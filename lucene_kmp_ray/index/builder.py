@@ -1,0 +1,145 @@
+"""Distributed index build: Ray Data pipeline → immutable segments + manifest.
+
+Shape (SURVEY §3.1 "→ Ray Data shape"): corpus Dataset → assign segment ids →
+``groupby("seg").map_groups(build one segment)`` → per-segment atomic commit →
+driver writes the global manifest last (the ``segments_N`` two-phase commit,
+IndexWriter.kt:4292 analog).
+
+Scale notes (designed for 10^12 docs / 256 nodes, tested single-node):
+
+- The ONLY wide shuffle is the groupby on ``seg`` — document-count balanced by
+  construction (seg = doc_id // segment_size), so no Zipf skew: the classic
+  head-term problem of a groupby-*term* build never arises because inversion
+  happens *within* a segment group, in memory, exactly like a Lucene DWPT.
+  At production scale, when the corpus is already laid out one-file-per-shard,
+  pass ``seg_from="file"`` semantics instead (segment == input file) and the
+  shuffle disappears entirely.
+- A segment (docs text + postings) must fit one worker's heap: size
+  ``segment_size`` so segment text ≈ 100-500 MB. Ray's sort-based groupby
+  spills to the object store, so the shuffle itself streams.
+- Resume: segments whose manifest exists are skipped at the *read* (filtered
+  before the shuffle), and the per-segment write is atomic (tmp dir + rename)
+  — a failed run redoes only unfinished segments (north rule lineage).
+- Global term stats (df/ttf summed over segments — the TermStates/
+  CollectionStatistics resolution of IndexSearcher, SURVEY §2.4) are a
+  groupby over per-segment term rows: vocabulary-sized, i.e. tiny relative
+  to postings, and already pre-aggregated per segment (combiner pattern).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .format import (SEG_MANIFEST, build_and_write_segment, read_seg_manifest,
+                     seg_dirname)
+
+INDEX_MANIFEST = "manifest.json"
+TERM_STATS_FILE = "term_stats.parquet"
+DEFAULT_SEGMENT_SIZE = 100_000
+
+
+def completed_segments(index_dir: str) -> set[int]:
+    seg_root = os.path.join(index_dir, "segments")
+    done = set()
+    if os.path.isdir(seg_root):
+        for name in os.listdir(seg_root):
+            if name.startswith("seg=") and not name.endswith(".tmp") and \
+                    os.path.exists(os.path.join(seg_root, name, SEG_MANIFEST)):
+                done.add(int(name.split("=")[1]))
+    return done
+
+
+def build_index(ds, index_dir: str, segment_size: int = DEFAULT_SEGMENT_SIZE,
+                lineage_source: str = "") -> dict:
+    """Build (or resume) an index from a corpus Dataset with
+    ``doc_id, url, text`` columns. Returns the global manifest dict.
+
+    ``doc_id`` must be a dense-enough int key whose order defines docIDs;
+    ``seg = doc_id // segment_size`` and local docID = rank within segment.
+    """
+    t0 = time.monotonic()
+    os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
+    done = completed_segments(index_dir)
+
+    def assign_seg(batch: pa.Table) -> pa.Table:
+        seg = pc.divide(batch["doc_id"], segment_size)
+        batch = batch.append_column("seg", pc.cast(seg, pa.int64()))
+        if done:  # resume: drop rows of already-committed segments
+            mask = pc.invert(pc.is_in(
+                batch["seg"], value_set=pa.array(sorted(done), pa.int64())))
+            batch = batch.filter(mask)
+        return batch
+
+    def build_group(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"manifest": pa.array([], pa.string())})
+        seg = int(group["seg"][0].as_py())
+        lineage = {"source": lineage_source, "segment_size": segment_size,
+                   "rows": group.num_rows}
+        man = build_and_write_segment(
+            group.select(["doc_id", "url", "text"]), seg, index_dir, lineage)
+        return pa.table({"manifest": pa.array([json.dumps(man)], pa.string())})
+
+    ds = ds.select_columns(["doc_id", "url", "text"]) \
+           .map_batches(assign_seg, batch_format="pyarrow")
+    out = ds.groupby("seg").map_groups(build_group, batch_format="pyarrow")
+    out_df = out.to_pandas()  # one tiny manifest row per segment
+    new_manifests = [json.loads(s) for s in out_df["manifest"].tolist()] \
+        if "manifest" in out_df.columns else []
+
+    # gather all segment manifests (resumed + new) and commit globally
+    segs = sorted(done | {m["seg"] for m in new_manifests})
+    manifests = [read_seg_manifest(index_dir, s) for s in segs]
+    return commit_index(index_dir, manifests, build_sec=time.monotonic() - t0)
+
+
+def commit_index(index_dir: str, manifests: list[dict],
+                 build_sec: float | None = None) -> dict:
+    """Write global term stats + manifest (phase 2 of the two-phase commit)."""
+    _write_term_stats(index_dir, manifests)
+    manifest = {
+        "version": 1,
+        "field": "text",
+        "analyzer": "standard",
+        "doc_count": sum(m["doc_count"] for m in manifests),
+        "sum_total_term_freq": sum(m["sum_total_term_freq"] for m in manifests),
+        "sum_doc_freq": sum(m["sum_doc_freq"] for m in manifests),
+        "segments": [{k: m[k] for k in
+                      ("seg", "doc_count", "sum_total_term_freq",
+                       "sum_doc_freq", "unique_terms", "doc_id_min",
+                       "doc_id_max")} | {"dir": f"segments/{seg_dirname(m['seg'])}"}
+                     for m in manifests],
+        "metrics": {"build_sec": round(build_sec, 3) if build_sec else None},
+    }
+    tmp = os.path.join(index_dir, INDEX_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(index_dir, INDEX_MANIFEST))
+    return manifest
+
+
+def _write_term_stats(index_dir: str, manifests: list[dict]) -> None:
+    """Global (term → df, ttf) table, pre-aggregated per segment already.
+
+    Driver-side pyarrow concat+groupby here because per-segment term tables
+    are vocabulary-sized (the per-segment aggregation inside invert_segment
+    is the combiner); at true web scale swap in
+    ``rd.read_parquet(...).groupby("term").aggregate(Sum("df"), Sum("ttf"))``
+    over the same files — layout is already that shape.
+    """
+    import pyarrow.parquet as pq
+    parts = []
+    for m in manifests:
+        p = os.path.join(index_dir, "segments", seg_dirname(m["seg"]),
+                         "terms.parquet")
+        parts.append(pq.read_table(p, columns=["term", "df", "ttf"]))
+    allp = pa.concat_tables(parts)
+    agg = allp.group_by("term").aggregate([("df", "sum"), ("ttf", "sum")])
+    agg = agg.rename_columns(["term", "df", "ttf"]).sort_by("term")
+    pq.write_table(agg, os.path.join(index_dir, TERM_STATS_FILE))

@@ -1,0 +1,220 @@
+"""Immutable segment format: inversion, encoding, file layout.
+
+A segment is the unit of parallel index build and of query assignment — the
+analog of a Lucene segment produced by one DWPT flush
+(``/root/reference/core/.../index/DocumentsWriterPerThread.kt:278``,
+``FreqProxTermsWriter.kt:63``), re-expressed as one vectorized function over
+an Arrow table of documents. Layout per segment directory:
+
+- ``terms.parquet`` — one row per term, terms in unsigned-byte (== UTF-8
+  code-point) order: ``term, df, ttf, docs_enc, freqs_enc, pos_enc,
+  block_last_doc, block_max_freq, block_min_norm``. ``docs_enc`` is
+  delta+FOR over ascending local docIDs in 128-doc blocks (ForDeltaUtil
+  semantics), ``freqs_enc`` FOR over term freqs, ``pos_enc`` FOR over
+  within-doc delta-encoded positions. The ``block_*`` lists are the skip +
+  impact metadata (one entry per 128-doc block: last docID, max freq, min
+  norm byte — the block-max WAND upper-bound inputs,
+  ``Lucene101PostingsWriter.kt:96-107``).
+- ``docs.parquet`` — per-doc metadata, row N == local docID N:
+  ``doc_id, url, length, norm`` (norm = SmallFloat.intToByte4(length),
+  Similarity.kt:134-144).
+- ``manifest.json`` — docCount, sumTotalTermFreq, sumDocFreq, uniqueTerms
+  (per-field stats as in Lucene90BlockTreeTermsWriter.kt:160), lineage and
+  build metrics (north rule: resumable per-partition checkpoints).
+
+Everything in this module is pure (no Ray): the builder calls it inside
+map_groups / map_batches; tests call it directly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..analysis.standard import tokenize_batch
+from ..util import forutil as fu
+from ..util.smallfloat import int_to_byte4_np
+
+TERMS_FILE = "terms.parquet"
+DOCS_FILE = "docs.parquet"
+SEG_MANIFEST = "manifest.json"
+
+
+def invert_segment(docs: pa.Table, seg: int,
+                   lineage: dict | None = None) -> tuple[pa.Table, pa.Table, dict]:
+    """Invert one segment's documents → (terms_table, docs_table, manifest).
+
+    ``docs`` must have columns ``doc_id, url, text``; rows are sorted by
+    ``doc_id`` and local docIDs are their ranks (deterministic corpus order,
+    never Ray block arrival order — SURVEY §4 "ordering").
+    """
+    t0 = time.monotonic()
+    docs = docs.sort_by("doc_id")
+    n_docs = docs.num_rows
+
+    doc_lengths, unique_counts, terms, positions = tokenize_batch(docs["text"])
+    norms = int_to_byte4_np(doc_lengths)
+
+    n_entries = len(terms)
+    entry_doc = np.repeat(np.arange(n_docs, dtype=np.int64), unique_counts)
+    freqs_e = np.fromiter((len(p) for p in positions), count=n_entries,
+                          dtype=np.int64)
+
+    # Sort entries by (term, doc). Terms get codes in sorted (code-point ==
+    # UTF-8 byte) order; entry_doc is already ascending within a term after a
+    # stable sort on codes because emission is doc-major.
+    codes, uniques = pd.factorize(pd.Index(terms), sort=True)
+    order = np.argsort(codes, kind="stable")
+    s_codes = codes[order]
+    s_doc = entry_doc[order]
+    s_freq = freqs_e[order]
+
+    # Flat positions, reordered to entry-sorted order (fully vectorized):
+    # each occurrence carries its entry's rank; a stable argsort groups them.
+    flat_pos = (np.concatenate(positions) if n_entries else
+                np.array([], dtype=np.int32)).astype(np.int64)
+    rank = np.empty(n_entries, dtype=np.int64)
+    rank[order] = np.arange(n_entries)
+    occ_rank = np.repeat(rank, freqs_e)
+    flat_pos = flat_pos[np.argsort(occ_rank, kind="stable")]
+    # delta within each entry's occurrence list (first kept absolute)
+    pos_delta = np.empty_like(flat_pos)
+    if len(flat_pos):
+        pos_delta[0] = flat_pos[0]
+        np.subtract(flat_pos[1:], flat_pos[:-1], out=pos_delta[1:])
+        starts = np.zeros(len(flat_pos), dtype=bool)
+        starts[np.cumsum(s_freq)[:-1]] = True
+        starts[0] = True
+        pos_delta[starts] = flat_pos[starts]
+
+    n_terms = len(uniques)
+    term_starts = np.searchsorted(s_codes, np.arange(n_terms))
+    term_ends = np.append(term_starts[1:], n_entries)
+    pos_bounds = np.append(0, np.cumsum(s_freq))
+
+    df = (term_ends - term_starts).astype(np.int64)
+    # ttf per term = sum of freqs over its entries
+    cs = np.append(0, np.cumsum(s_freq))
+    ttf = cs[term_ends] - cs[term_starts]
+
+    docs_enc, freqs_enc, pos_enc = [], [], []
+    blk_last, blk_maxf, blk_minn = [], [], []
+    for t in range(n_terms):
+        lo, hi = term_starts[t], term_ends[t]
+        d = s_doc[lo:hi]
+        f = s_freq[lo:hi]
+        docs_enc.append(fu.encode_blocks(fu.delta_encode(d)))
+        freqs_enc.append(fu.encode_blocks(f))
+        pos_enc.append(fu.encode_blocks(
+            pos_delta[pos_bounds[lo]:pos_bounds[hi]]))
+        # per-128-doc-block skip + impact metadata
+        idx = np.arange(0, len(d), fu.BLOCK_SIZE)
+        blk_last.append(d[np.minimum(idx + fu.BLOCK_SIZE - 1, len(d) - 1)]
+                        .astype(np.int32))
+        blk_maxf.append(np.maximum.reduceat(f, idx).astype(np.int32))
+        blk_minn.append(np.minimum.reduceat(
+            norms[d].astype(np.int64), idx).astype(np.int32))
+
+    terms_table = pa.table({
+        "term": pa.array(uniques, type=pa.string()),
+        "df": pa.array(df, type=pa.int64()),
+        "ttf": pa.array(ttf, type=pa.int64()),
+        "docs_enc": pa.array(docs_enc, type=pa.binary()),
+        "freqs_enc": pa.array(freqs_enc, type=pa.binary()),
+        "pos_enc": pa.array(pos_enc, type=pa.binary()),
+        "block_last_doc": pa.array(blk_last, type=pa.list_(pa.int32())),
+        "block_max_freq": pa.array(blk_maxf, type=pa.list_(pa.int32())),
+        "block_min_norm": pa.array(blk_minn, type=pa.list_(pa.int32())),
+    })
+    docs_table = pa.table({
+        "doc_id": docs["doc_id"],
+        "url": docs["url"],
+        "length": pa.array(doc_lengths, type=pa.int32()),
+        "norm": pa.array(norms, type=pa.uint8()),
+    })
+    manifest = {
+        "seg": int(seg),
+        "doc_count": int(n_docs),
+        "sum_total_term_freq": int(doc_lengths.sum()),
+        "sum_doc_freq": int(df.sum()),
+        "unique_terms": int(n_terms),
+        "doc_id_min": int(docs["doc_id"][0].as_py()) if n_docs else None,
+        "doc_id_max": int(docs["doc_id"][n_docs - 1].as_py()) if n_docs else None,
+        "lineage": lineage or {},
+        "metrics": {"build_sec": round(time.monotonic() - t0, 4),
+                    "tokens": int(doc_lengths.sum()),
+                    "entries": int(n_entries)},
+    }
+    return terms_table, docs_table, manifest
+
+
+def seg_dirname(seg: int) -> str:
+    return f"seg={seg:05d}"
+
+
+def write_segment(index_dir: str, terms_table: pa.Table, docs_table: pa.Table,
+                  manifest: dict) -> dict:
+    """Atomically persist one segment (write tmp dir, rename) — the
+    per-partition two-phase commit (SegmentInfos.kt:35-45 analog)."""
+    seg = manifest["seg"]
+    final_dir = os.path.join(index_dir, "segments", seg_dirname(seg))
+    if os.path.exists(os.path.join(final_dir, SEG_MANIFEST)):
+        return manifest  # already committed (resume path)
+    tmp_dir = final_dir + ".tmp"
+    os.makedirs(tmp_dir, exist_ok=True)
+    pq.write_table(terms_table, os.path.join(tmp_dir, TERMS_FILE))
+    pq.write_table(docs_table, os.path.join(tmp_dir, DOCS_FILE))
+    with open(os.path.join(tmp_dir, SEG_MANIFEST), "w") as f:
+        json.dump(manifest, f)
+    if os.path.exists(final_dir):  # concurrent retry won the race
+        import shutil
+        shutil.rmtree(tmp_dir)
+    else:
+        os.rename(tmp_dir, final_dir)
+    return manifest
+
+
+def build_and_write_segment(docs: pa.Table, seg: int, index_dir: str,
+                            lineage: dict | None = None) -> dict:
+    terms_table, docs_table, manifest = invert_segment(docs, seg, lineage)
+    return write_segment(index_dir, terms_table, docs_table, manifest)
+
+
+def decode_postings(df: int, ttf: int, docs_enc: bytes, freqs_enc: bytes,
+                    pos_enc: bytes | None = None):
+    """Decode one term's posting list → (docs, freqs[, flat_positions]).
+
+    ``docs`` ascending local docIDs (int64), ``freqs`` int64; when
+    ``pos_enc`` is given also the flat positions (absolute, occurrence-major
+    in (doc) order — split by ``freqs`` to get per-doc lists).
+    """
+    docs = fu.delta_decode(fu.decode_blocks(docs_enc, df))
+    freqs = fu.decode_blocks(freqs_enc, df)
+    if pos_enc is None:
+        return docs, freqs
+    n_pos = int(ttf)
+    pos_delta = fu.decode_blocks(pos_enc, n_pos)
+    # undo within-entry delta: cumsum then subtract carried base per entry
+    flat = np.cumsum(pos_delta)
+    starts = np.append(0, np.cumsum(freqs))[:-1]
+    if len(flat):
+        base = np.zeros(n_pos, dtype=np.int64)
+        entry_of = np.repeat(np.arange(df), freqs)
+        carried = flat[starts] - pos_delta[starts]
+        base = carried[entry_of]
+        flat = flat - base
+    return docs, freqs, flat
+
+
+def read_seg_manifest(index_dir: str, seg: int) -> dict | None:
+    p = os.path.join(index_dir, "segments", seg_dirname(seg), SEG_MANIFEST)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)

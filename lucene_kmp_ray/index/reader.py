@@ -1,0 +1,180 @@
+"""Index/segment readers — the query-side view of the immutable index.
+
+Analog of ``DirectoryReader.open`` + ``SegmentReader``
+(``/root/reference/core/.../index/DirectoryReader.kt:103``,
+``SegmentCoreReaders.kt``): the global manifest lists segments; each
+SegmentReader lazily loads its term table and norms and caches them (this is
+the state a query actor holds once per actor, SURVEY §2.3).
+
+Term lookup is a binary search over the sorted term column (the role of the
+FST block-tree index, which we deliberately do not port — SURVEY §1.4). At
+web scale the terms.parquet row groups act as term blocks: Parquet min/max
+stats let a reader load only the row groups covering the queried terms;
+single-node v1 loads the vocabulary-sized table whole.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..util import forutil as fu
+from .format import DOCS_FILE, TERMS_FILE, decode_postings
+
+INDEX_MANIFEST = "manifest.json"
+TERM_STATS_FILE = "term_stats.parquet"
+
+
+class SegmentReader:
+    def __init__(self, index_dir: str, seg_meta: dict):
+        self.index_dir = index_dir
+        self.meta = seg_meta
+        self.seg = seg_meta["seg"]
+        self.dir = os.path.join(index_dir, seg_meta["dir"])
+        self.doc_count = seg_meta["doc_count"]
+        self._terms: pa.Table | None = None
+        self._term_arr: np.ndarray | None = None
+        self._norms: np.ndarray | None = None
+        self._doc_meta: pa.Table | None = None
+
+    # --- lazy loads -----------------------------------------------------
+    @property
+    def terms_table(self) -> pa.Table:
+        if self._terms is None:
+            self._terms = pq.read_table(os.path.join(self.dir, TERMS_FILE))
+            self._term_arr = np.asarray(self._terms["term"].to_pylist(),
+                                        dtype=object)
+        return self._terms
+
+    @property
+    def norms(self) -> np.ndarray:
+        if self._norms is None:
+            t = pq.read_table(os.path.join(self.dir, DOCS_FILE),
+                              columns=["norm"])
+            self._norms = t["norm"].to_numpy().astype(np.uint8)
+        return self._norms
+
+    @property
+    def doc_meta(self) -> pa.Table:
+        if self._doc_meta is None:
+            self._doc_meta = pq.read_table(os.path.join(self.dir, DOCS_FILE))
+        return self._doc_meta
+
+    # --- term access ----------------------------------------------------
+    def term_index(self, term: str) -> int | None:
+        """Binary search the sorted term dictionary."""
+        tbl = self.terms_table
+        arr = self._term_arr
+        i = int(np.searchsorted(arr, term))
+        if i < len(arr) and arr[i] == term:
+            return i
+        return None
+
+    def term_row(self, term: str) -> dict | None:
+        i = self.term_index(term)
+        if i is None:
+            return None
+        t = self.terms_table
+        return {name: t[name][i].as_py() for name in t.column_names}
+
+    def postings(self, term: str, positions: bool = False):
+        """Decoded postings (docs, freqs[, flat_positions]) or None."""
+        row = self.term_row(term)
+        if row is None:
+            return None
+        if positions:
+            return decode_postings(row["df"], row["ttf"], row["docs_enc"],
+                                   row["freqs_enc"], row["pos_enc"])
+        return decode_postings(row["df"], row["ttf"], row["docs_enc"],
+                               row["freqs_enc"])
+
+    def postings_pruned(self, term: str, keep_block) -> tuple[np.ndarray, np.ndarray]:
+        """Block-max pruned decode: ``keep_block(max_freq, min_norm,
+        last_doc) -> bool mask`` selects 128-doc blocks worth decoding
+        (ImpactsDISI / MaxScoreCache semantics, SURVEY §2.5). Sound because
+        skipped blocks cannot contain competitive hits."""
+        row = self.term_row(term)
+        if row is None:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        maxf = np.asarray(row["block_max_freq"], dtype=np.int64)
+        minn = np.asarray(row["block_min_norm"], dtype=np.int64)
+        last = np.asarray(row["block_last_doc"], dtype=np.int64)
+        mask = keep_block(maxf, minn, last)
+        if mask.all():
+            d, f = decode_postings(row["df"], row["ttf"], row["docs_enc"],
+                                   row["freqs_enc"])
+            return d, f
+        return _decode_selected_blocks(row, mask)
+
+
+def _decode_selected_blocks(row: dict, mask: np.ndarray):
+    """Decode only the selected 128-doc blocks of one posting list.
+
+    The docID delta chain crosses blocks; block b's base is
+    block_last_doc[b-1], which we stored precisely so a skipped block's
+    successor can be decoded without it (the skip-pointer role,
+    Lucene101PostingsReader BlockPostingsEnum, SURVEY §2.1).
+    """
+    df = row["df"]
+    last = row["block_last_doc"]
+    docs_mv = memoryview(row["docs_enc"])
+    freqs_mv = memoryview(row["freqs_enc"])
+    out_docs, out_freqs = [], []
+    dpos = fpos = 0
+    nblocks = len(last)
+    for b in range(nblocks):
+        cnt = min(fu.BLOCK_SIZE, df - b * fu.BLOCK_SIZE)
+        dw = docs_mv[dpos]
+        fw = freqs_mv[fpos]
+        dbytes = (cnt * dw + 7) // 8
+        fbytes = (cnt * fw + 7) // 8
+        if mask[b]:
+            deltas = fu.unpack_ints(docs_mv[dpos + 1:dpos + 1 + dbytes], cnt, dw)
+            base = last[b - 1] if b > 0 else None
+            docs = np.cumsum(deltas)
+            if base is not None:
+                docs += base
+            out_docs.append(docs)
+            out_freqs.append(fu.unpack_ints(
+                freqs_mv[fpos + 1:fpos + 1 + fbytes], cnt, fw))
+        dpos += 1 + dbytes
+        fpos += 1 + fbytes
+    if not out_docs:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(out_docs), np.concatenate(out_freqs)
+
+
+class IndexReader:
+    """Open an index directory: global stats + one SegmentReader per segment."""
+
+    def __init__(self, index_dir: str, segments: list[int] | None = None):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, INDEX_MANIFEST)) as f:
+            self.manifest = json.load(f)
+        metas = self.manifest["segments"]
+        if segments is not None:
+            metas = [m for m in metas if m["seg"] in set(segments)]
+        self.segment_readers = [SegmentReader(index_dir, m) for m in metas]
+        self.doc_count = self.manifest["doc_count"]
+        self.sum_total_term_freq = self.manifest["sum_total_term_freq"]
+        self._term_stats_path = os.path.join(index_dir, TERM_STATS_FILE)
+
+    def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """Global (df, ttf) per term — the TermStates resolution step
+        (index/TermStates.kt): stats precede scoring and are identical for
+        every segment. Uses Parquet predicate pushdown on the sorted stats
+        table (row-group pruning at scale)."""
+        if not terms:
+            return {}
+        t = pq.read_table(self._term_stats_path,
+                          filters=[("term", "in", list(set(terms)))])
+        out = {term: (0, 0) for term in terms}
+        for term, df, ttf in zip(t["term"].to_pylist(), t["df"].to_pylist(),
+                                 t["ttf"].to_pylist()):
+            out[term] = (df, ttf)
+        return out

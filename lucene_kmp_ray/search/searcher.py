@@ -1,0 +1,317 @@
+"""Searcher: vectorized per-segment scoring + TopDocs merge.
+
+Execution semantics follow ``IndexSearcher.search`` (SURVEY §3.2): term stats
+are resolved globally BEFORE scoring (TermStates/CollectionStatistics —
+every segment scores with identical global df/ttf/docCount/avgdl, exactly as
+a single Lucene IndexSearcher over all leaves), then each segment produces
+its matches and the merge reproduces ``TopDocs.merge`` ordering
+(``TopDocs.kt:166-207``): (score desc, segment asc, local doc asc).
+
+Scoring is block/vector-at-a-time numpy instead of doc-at-a-time iterators —
+the BooleanScorer 4096-doc-window idea (BooleanScorer.kt:318-319) taken to
+whole-posting granularity. Boolean combination:
+MUST/FILTER = sorted-docID intersection, SHOULD = union + score sum,
+MUST_NOT = anti-join (ReqExclScorer analog), FILTER never contributes score
+(BooleanClause.kt:15) and minimumNumberShouldMatch is enforced.
+
+``prune=True`` enables block-max pruning for term queries (WAND family,
+WANDScorer.kt / ImpactsDISI.kt / MaxScoreBulkScorer.kt): after
+``total_hits_threshold`` (1000, IndexSearcher.kt:1024) hits the collector's
+min-competitive score skips 128-doc blocks whose impact bound
+score(block_max_freq, block_min_norm) is not competitive; total hits then
+becomes a lower bound (TotalHits.Relation.GREATER_THAN_OR_EQUAL_TO,
+TotalHits.kt:15).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..index.reader import IndexReader, SegmentReader
+from ..similarity.bm25 import BM25Similarity
+from .query import (BooleanQuery, BoostQuery, MatchAllDocsQuery, Occur,
+                    PhraseQuery, Query, TermQuery)
+
+TOTAL_HITS_THRESHOLD = 1000  # IndexSearcher.kt:1024
+
+
+@dataclass
+class ScoreDoc:
+    score: float
+    seg: int
+    doc: int            # local docID within segment
+    doc_id: int = -1    # global corpus key (resolved on fetch)
+    url: str = ""
+
+
+@dataclass
+class TopDocs:
+    total_hits: int
+    relation: str  # "EQUAL_TO" | "GREATER_THAN_OR_EQUAL_TO"
+    score_docs: list[ScoreDoc]
+
+
+def _intersect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.intersect1d(a, b, assume_unique=True)
+
+
+def _isin_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
+    """Membership mask of values in an ascending unique array (galloping
+    ConjunctionDISI analog via searchsorted)."""
+    if len(sorted_arr) == 0:
+        return np.zeros(len(values), dtype=bool)
+    idx = np.searchsorted(sorted_arr, values)
+    idx[idx == len(sorted_arr)] = 0
+    return sorted_arr[idx] == values
+
+
+def _lookup_scores(cand: np.ndarray, docs: np.ndarray,
+                   scores: np.ndarray) -> np.ndarray:
+    """Scores of cand docs (must all be present in docs, ascending)."""
+    return scores[np.searchsorted(docs, cand)]
+
+
+class Searcher:
+    def __init__(self, reader: IndexReader,
+                 similarity: BM25Similarity | None = None):
+        self.reader = reader
+        self.sim = similarity or BM25Similarity()
+
+    # ----- stats resolution (precedes scoring, TermQuery.kt:269) --------
+    def _scorer_for_terms(self, terms: list[str], boost: float = 1.0):
+        stats = self.reader.term_stats(terms)
+        dfs = [stats[t][0] for t in terms]
+        if any(df == 0 for df in dfs) and len(terms) > 1:
+            # a phrase containing an unknown term matches nothing
+            return None, stats
+        return (self.sim.scorer(boost, self.reader.doc_count,
+                                self.reader.sum_total_term_freq, dfs),
+                stats)
+
+    # ----- per-segment match+score: returns (docs asc, scores) ---------
+    def _score_segment(self, sr: SegmentReader, query: Query,
+                       boost: float = 1.0, scoring: bool = True):
+        if isinstance(query, BoostQuery):
+            return self._score_segment(sr, query.query, boost * query.boost,
+                                       scoring)
+        if isinstance(query, MatchAllDocsQuery):
+            docs = np.arange(sr.doc_count, dtype=np.int64)
+            dt = self.sim.dtype
+            return docs, np.full(len(docs), dt.type(boost), dtype=dt)
+        if isinstance(query, TermQuery):
+            scorer, _ = self._scorer_for_terms([query.term], boost)
+            p = sr.postings(query.term)
+            if p is None:
+                return _empty(self.sim.dtype)
+            docs, freqs = p
+            if not scoring:
+                return docs, np.zeros(len(docs), dtype=self.sim.dtype)
+            return docs, scorer.score(freqs, sr.norms[docs])
+        if isinstance(query, PhraseQuery):
+            if query.slop != 0:
+                raise NotImplementedError("sloppy phrase not implemented v1")
+            docs, freqs = _exact_phrase(sr, list(query.phrase_terms))
+            if not scoring:
+                return docs, np.zeros(len(docs), dtype=self.sim.dtype)
+            scorer, _ = self._scorer_for_terms(list(query.phrase_terms), boost)
+            if scorer is None or len(docs) == 0:
+                return _empty(self.sim.dtype)
+            return docs, scorer.score(freqs, sr.norms[docs])
+        if isinstance(query, BooleanQuery):
+            return self._score_boolean(sr, query, boost, scoring)
+        raise TypeError(f"unsupported query: {query!r}")
+
+    def _score_boolean(self, sr: SegmentReader, q: BooleanQuery,
+                       boost: float, scoring: bool):
+        dt = self.sim.dtype
+        musts, filters, shoulds, nots = [], [], [], []
+        for occ, sub in q.clauses:
+            if occ == Occur.MUST:
+                musts.append(self._score_segment(sr, sub, boost, scoring))
+            elif occ == Occur.FILTER:
+                filters.append(self._score_segment(sr, sub, boost, False))
+            elif occ == Occur.SHOULD:
+                shoulds.append(self._score_segment(sr, sub, boost, scoring))
+            else:
+                nots.append(self._score_segment(sr, sub, boost, False))
+
+        msm = q.minimum_should_match
+        # union of SHOULD docs with per-doc summed score + match count
+        if shoulds:
+            sdocs = np.concatenate([d for d, _ in shoulds])
+            sscores = np.concatenate([s for _, s in shoulds])
+            u_docs, inv = np.unique(sdocs, return_inverse=True)
+            u_scores = np.zeros(len(u_docs), dtype=np.float64)
+            np.add.at(u_scores, inv, sscores.astype(np.float64))
+            u_scores = u_scores.astype(dt)
+            s_count = np.zeros(len(u_docs), dtype=np.int64)
+            np.add.at(s_count, inv, 1)
+        else:
+            u_docs = np.empty(0, np.int64)
+            u_scores = np.empty(0, dt)
+            s_count = np.empty(0, np.int64)
+
+        required = musts + filters
+        if required:
+            cand = required[0][0]
+            for d, _ in required[1:]:
+                cand = _intersect(cand, d)
+            scores = np.zeros(len(cand), dtype=dt)
+            for d, s in musts:
+                scores = scores + _lookup_scores(cand, d, s)
+            if shoulds:
+                in_s = _isin_sorted(cand, u_docs)
+                if msm > 0:
+                    cnt = np.zeros(len(cand), dtype=np.int64)
+                    cnt[in_s] = s_count[np.searchsorted(u_docs, cand[in_s])]
+                    keep = cnt >= msm
+                    cand, scores, in_s = cand[keep], scores[keep], in_s[keep]
+                add = np.zeros(len(cand), dtype=dt)
+                add[in_s] = u_scores[np.searchsorted(u_docs, cand[in_s])]
+                scores = scores + add
+        elif shoulds:
+            keep = s_count >= max(1, msm)
+            cand, scores = u_docs[keep], u_scores[keep]
+        else:
+            return _empty(dt)  # only MUST_NOT → matches nothing (kt:190-224)
+
+        for d, _ in nots:
+            keep = ~_isin_sorted(cand, d)
+            cand, scores = cand[keep], scores[keep]
+        return cand, scores
+
+    # ----- top-k --------------------------------------------------------
+    def search(self, query: Query, k: int = 10, prune: bool = False) -> TopDocs:
+        if prune and isinstance(query, TermQuery):
+            return self._search_term_pruned(query, k)
+        total = 0
+        parts = []  # (scores, seg, docs)
+        for si, sr in enumerate(self.reader.segment_readers):
+            docs, scores = self._score_segment(sr, query)
+            total += len(docs)
+            if len(docs) > k:  # per-leaf top-k before the merge
+                sel = _topk_idx(scores, docs, k)
+                docs, scores = docs[sel], scores[sel]
+            parts.append((scores, np.full(len(docs), si), docs))
+        return self._merge(parts, k, total, "EQUAL_TO")
+
+    def count(self, query: Query) -> int:
+        """Exact hit count (IndexSearcher.count / TotalHitCountCollector)."""
+        return sum(len(self._score_segment(sr, query, scoring=False)[0])
+                   for sr in self.reader.segment_readers)
+
+    def _search_term_pruned(self, query: TermQuery, k: int) -> TopDocs:
+        """Block-max WAND for a single term across segments: carry the
+        collector's min-competitive score into every later segment's block
+        mask (TopScoreDocCollector.kt:81-135 minCompetitiveScore
+        propagation into ImpactsDISI)."""
+        scorer, _ = self._scorer_for_terms([query.term])
+        top_scores = np.empty(0, dtype=self.sim.dtype)
+        hits_seen = 0
+        pruned = False
+        parts = []
+        for si, sr in enumerate(self.reader.segment_readers):
+            threshold = None
+            if hits_seen >= TOTAL_HITS_THRESHOLD and len(top_scores) >= k:
+                threshold = np.partition(top_scores, -k)[-k]
+
+            def keep(maxf, minn, last, _t=threshold):
+                if _t is None:
+                    return np.ones(len(maxf), dtype=bool)
+                bounds = scorer.score(maxf, minn.astype(np.uint8))
+                return bounds > _t
+            docs, freqs = sr.postings_pruned(query.term, keep)
+            if threshold is not None:
+                pruned = True
+            hits_seen += len(docs)
+            if len(docs) == 0:
+                continue
+            scores = scorer.score(freqs, sr.norms[docs])
+            sel = _topk_idx(scores, docs, k)
+            parts.append((scores[sel], np.full(len(sel), si), docs[sel]))
+            top_scores = np.concatenate([top_scores, scores[sel]])
+            if len(top_scores) > k:
+                top_scores = np.partition(top_scores, -k)[-k:]
+        rel = "GREATER_THAN_OR_EQUAL_TO" if pruned else "EQUAL_TO"
+        return self._merge(parts, k, hits_seen, rel)
+
+    def _merge(self, parts, k: int, total: int, relation: str) -> TopDocs:
+        """TopDocs.merge: (score desc, seg asc, doc asc) — TopDocs.kt:166-207."""
+        if parts:
+            scores = np.concatenate([p[0] for p in parts])
+            segs = np.concatenate([p[1] for p in parts]).astype(np.int64)
+            docs = np.concatenate([p[2] for p in parts])
+        else:
+            scores = np.empty(0, self.sim.dtype)
+            segs = docs = np.empty(0, np.int64)
+        order = np.lexsort((docs, segs, -scores.astype(np.float64)))[:k]
+        hits = [ScoreDoc(float(scores[i]), int(segs[i]), int(docs[i]))
+                for i in order]
+        self._resolve(hits)
+        return TopDocs(int(total), relation, hits)
+
+    def _resolve(self, hits: list[ScoreDoc]) -> None:
+        """Fetch stored fields (doc_id, url) — StoredFieldVisitor analog;
+        the corpus Parquet is the row store (SURVEY §1.4)."""
+        for h in hits:
+            sr = self.reader.segment_readers[h.seg]
+            dm = sr.doc_meta
+            h.doc_id = dm["doc_id"][h.doc].as_py()
+            h.url = dm["url"][h.doc].as_py()
+
+
+def _topk_idx(scores: np.ndarray, docs: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the top-k by (score desc, doc asc), HitQueue tie-break."""
+    neg = -scores.astype(np.float64)
+    if len(scores) <= k:
+        return np.lexsort((docs, neg))
+    cut = np.argpartition(neg, k - 1)
+    kth = scores[cut[k - 1]]
+    cand = np.flatnonzero(scores >= kth)  # all boundary ties kept, then exact
+    order = np.lexsort((docs[cand], neg[cand]))[:k]
+    return cand[order]
+
+
+def _empty(dtype):
+    return np.empty(0, np.int64), np.empty(0, dtype)
+
+
+def _exact_phrase(sr: SegmentReader, terms: list[str]):
+    """ExactPhraseMatcher: docs containing the terms at consecutive
+    positions; freq = number of phrase starts (PhraseQuery scoring freq)."""
+    posts = []
+    for t in terms:
+        p = sr.postings(t, positions=True)
+        if p is None:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        posts.append(p)
+    cand = posts[0][0]
+    for d, _, _ in posts[1:]:
+        cand = _intersect(cand, d)
+    if len(cand) == 0:
+        return cand, np.empty(0, np.int64)
+    # per-term helpers: offsets of each doc's positions inside the flat array
+    sliced = []
+    for docs, freqs, flat in posts:
+        offs = np.append(0, np.cumsum(freqs))
+        idx = np.searchsorted(docs, cand)
+        sliced.append((offs, idx, flat, freqs))
+    out_docs, out_freqs = [], []
+    for j, doc in enumerate(cand):
+        offs0, idx0, flat0, _ = sliced[0]
+        i0 = idx0[j]
+        starts = flat0[offs0[i0]:offs0[i0 + 1]]
+        for t in range(1, len(terms)):
+            offs, idx, flat, _ = sliced[t]
+            i = idx[j]
+            pos_t = flat[offs[i]:offs[i + 1]]
+            starts = starts[_isin_sorted(starts + t, pos_t)]
+            if len(starts) == 0:
+                break
+        if len(starts):
+            out_docs.append(doc)
+            out_freqs.append(len(starts))
+    return (np.asarray(out_docs, dtype=np.int64),
+            np.asarray(out_freqs, dtype=np.int64))

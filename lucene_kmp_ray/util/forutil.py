@@ -1,0 +1,90 @@
+"""Delta + FOR (Frame-of-Reference) bit-packing for posting lists.
+
+Semantics follow the reference's Lucene101 postings layout
+(``/root/reference/core/.../codecs/lucene101/ForUtil.kt:121`` — 128-int
+blocks, per-block bit width; ``ForDeltaUtil.kt`` — delta+FOR for docIDs;
+skip/impact metadata every block, ``Lucene101PostingsWriter.kt:96-107``).
+The byte layout here is our own (numpy little-endian bit packing); scores
+depend on the decoded *values*, which round-trip exactly.
+
+Stream layout per encoded column: for each 128-value block (tail may be
+short) one header byte = bit width ``w``, then ``ceil(nvals*w/8)`` payload
+bytes with values packed LSB-first. ``w == 0`` means all values are 0 and
+there is no payload. Decoding needs only the total value count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128  # ForUtil.kt:121
+
+__all__ = ["BLOCK_SIZE", "pack_ints", "unpack_ints", "encode_blocks",
+           "decode_blocks", "delta_encode", "delta_decode"]
+
+
+def pack_ints(vals: np.ndarray, width: int) -> bytes:
+    """Pack non-negative ints into `width` bits each, LSB-first."""
+    n = len(vals)
+    if width == 0 or n == 0:
+        return b""
+    v = np.ascontiguousarray(vals, dtype=np.uint64)
+    bits = ((v[:, None] >> np.arange(width, dtype=np.uint64)) & 1).astype(np.uint8)
+    return np.packbits(bits.ravel(), bitorder="little").tobytes()
+
+
+def unpack_ints(buf: memoryview | bytes, n: int, width: int) -> np.ndarray:
+    """Inverse of pack_ints → int64 array of length n."""
+    if width == 0 or n == 0:
+        return np.zeros(n, dtype=np.int64)
+    raw = np.frombuffer(buf, dtype=np.uint8, count=(n * width + 7) // 8)
+    bits = np.unpackbits(raw, bitorder="little", count=n * width)
+    weights = (np.int64(1) << np.arange(width, dtype=np.int64))
+    return bits.reshape(n, width).astype(np.int64) @ weights
+
+
+def _width_of(block_max: int) -> int:
+    return int(block_max).bit_length()
+
+
+def encode_blocks(vals: np.ndarray) -> bytes:
+    """FOR-encode an int array into self-describing 128-value blocks."""
+    v = np.asarray(vals, dtype=np.int64)
+    if v.size and v.min() < 0:
+        raise ValueError("FOR encoding requires non-negative values")
+    out = bytearray()
+    for start in range(0, len(v), BLOCK_SIZE):
+        block = v[start:start + BLOCK_SIZE]
+        w = _width_of(block.max()) if len(block) else 0
+        out.append(w)
+        out += pack_ints(block, w)
+    return bytes(out)
+
+
+def decode_blocks(buf: bytes | memoryview, n: int) -> np.ndarray:
+    """Decode encode_blocks output given the total value count."""
+    out = np.empty(n, dtype=np.int64)
+    mv = memoryview(buf)
+    pos = 0
+    for start in range(0, n, BLOCK_SIZE):
+        cnt = min(BLOCK_SIZE, n - start)
+        w = mv[pos]
+        pos += 1
+        nbytes = (cnt * w + 7) // 8
+        out[start:start + cnt] = unpack_ints(mv[pos:pos + nbytes], cnt, w)
+        pos += nbytes
+    return out
+
+
+def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
+    """First value kept absolute, then gaps (input must be ascending)."""
+    v = np.asarray(sorted_vals, dtype=np.int64)
+    d = np.empty_like(v)
+    if len(v):
+        d[0] = v[0]
+        np.subtract(v[1:], v[:-1], out=d[1:])
+    return d
+
+
+def delta_decode(deltas: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.asarray(deltas, dtype=np.int64))

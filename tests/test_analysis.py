@@ -1,0 +1,62 @@
+"""Tokenizer + HTML extraction: reference StandardAnalyzer semantics and
+Python↔DuckDB (oracle) parity."""
+import duckdb
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_kmp_ray.analysis import (MAX_TOKEN_LENGTH, sql_tokens_expr,
+                                     tokenize)
+from lucene_kmp_ray.analysis.htmlstrip import html_to_text
+from lucene_kmp_ray.sources.corpus import CORPUS_SQL, corpus_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_standard_cases():
+    # StandardAnalyzer classics: lowercase, symbol split, MidNumLet joins
+    assert tokenize("XY&Z Corporation - xyz@example.com") == \
+        ["xy", "z", "corporation", "xyz", "example.com"]
+    assert tokenize("can't 3.14 foo_bar The THE the") == \
+        ["can't", "3.14", "foo_bar", "the", "the", "the"]
+    assert tokenize("") == []
+    assert tokenize("   \n\t ") == []
+
+
+def test_max_token_length_split():
+    # StandardTokenizer.kt:105: over-long tokens are split, not dropped
+    long = "a" * (MAX_TOKEN_LENGTH + 10)
+    assert tokenize(long) == ["a" * MAX_TOKEN_LENGTH, "a" * 10]
+
+
+def test_sql_parity_sf0001():
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    rows = con.sql(
+        f"SELECT doc_id, {sql_tokens_expr('text')} toks FROM documents "
+        "ORDER BY doc_id").fetchall()
+    docs = pq.read_table(f"{SF}/documents.parquet").sort_by("doc_id")
+    for (_, toks), txt in zip(rows, docs["text"].to_pylist()):
+        assert toks == tokenize(txt)
+
+
+def test_corpus_derivation_matches_sql():
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    sql_t = con.sql(CORPUS_SQL + " ORDER BY doc_id").arrow()
+    py_t = corpus_table(SF).sort_by("doc_id")
+    for col in ["doc_id", "url", "text", "lang", "warc_ts"]:
+        assert sql_t[col].to_pylist() == py_t[col].to_pylist(), col
+    assert [bytes(x) for x in sql_t["html"].to_pylist()] == \
+        py_t["html"].to_pylist()
+
+
+def test_html_extraction_invariant():
+    """Per-row invariant (BASELINE.json): extracted text == text per url."""
+    t = corpus_table(SF)
+    for h, txt in zip(t["html"].to_pylist(), t["text"].to_pylist()):
+        assert html_to_text(h) == txt
+
+
+def test_html_strip_features():
+    assert html_to_text(b"<p>a <b>b</b></p><script>x=1;</script>c") == "a bc"
+    assert html_to_text("<!-- hi --><div>x &amp; y</div>") == "x & y"

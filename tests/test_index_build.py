@@ -1,0 +1,106 @@
+"""Segment inversion, encoding round-trips, Ray build, resume, CheckIndex."""
+import json
+import os
+import random
+
+import numpy as np
+import pytest
+
+from lucene_kmp_ray.analysis import tokenize
+from lucene_kmp_ray.index.format import decode_postings, invert_segment
+from lucene_kmp_ray.sources.corpus import corpus_table
+from lucene_kmp_ray.util.smallfloat import int_to_byte4
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def inverted(corpus_texts):
+    docs = corpus_table(SF).select(["doc_id", "url", "text"])
+    terms_t, docs_t, man = invert_segment(docs, 0)
+    return terms_t, docs_t, man
+
+
+def _brute_index(texts):
+    inv = {}
+    for d, txt in enumerate(texts):
+        for pos, t in enumerate(tokenize(txt)):
+            inv.setdefault(t, {}).setdefault(d, []).append(pos)
+    return inv
+
+
+def test_invert_matches_bruteforce(inverted, corpus_texts):
+    terms_t, docs_t, man = inverted
+    inv = _brute_index(corpus_texts)
+    assert sorted(inv.keys()) == terms_t["term"].to_pylist()  # term sort order
+    tt = terms_t.to_pydict()
+    random.seed(0)
+    idxs = random.sample(range(terms_t.num_rows), min(60, terms_t.num_rows))
+    for i in idxs:
+        term = tt["term"][i]
+        d, f, p = decode_postings(tt["df"][i], tt["ttf"][i], tt["docs_enc"][i],
+                                  tt["freqs_enc"][i], tt["pos_enc"][i])
+        exp = inv[term]
+        assert list(d) == sorted(exp)
+        assert list(f) == [len(exp[x]) for x in sorted(exp)]
+        assert list(p) == [pos for x in sorted(exp) for pos in exp[x]]
+
+
+def test_norms_and_stats(inverted, corpus_texts):
+    terms_t, docs_t, man = inverted
+    lens = [len(tokenize(t)) for t in corpus_texts]
+    assert docs_t["length"].to_pylist() == lens
+    assert docs_t["norm"].to_pylist() == [int_to_byte4(l) for l in lens]
+    assert man["doc_count"] == len(corpus_texts)
+    assert man["sum_total_term_freq"] == sum(lens)
+    inv = _brute_index(corpus_texts)
+    assert man["sum_doc_freq"] == sum(len(v) for v in inv.values())
+    assert man["unique_terms"] == len(inv)
+
+
+def test_block_impacts(inverted):
+    """Skip/impact metadata: per 128-doc block last doc, max freq, min norm."""
+    terms_t, docs_t, _ = inverted
+    norms = np.asarray(docs_t["norm"].to_pylist())
+    tt = terms_t.to_pydict()
+    i = int(np.argmax(tt["df"]))  # densest term has several blocks
+    d, f = decode_postings(tt["df"][i], tt["ttf"][i], tt["docs_enc"][i],
+                           tt["freqs_enc"][i])
+    B = 128
+    for b in range(len(tt["block_last_doc"][i])):
+        blk = slice(b * B, min((b + 1) * B, len(d)))
+        assert tt["block_last_doc"][i][b] == d[blk][-1]
+        assert tt["block_max_freq"][i][b] == f[blk].max()
+        assert tt["block_min_norm"][i][b] == norms[d[blk]].min()
+
+
+def test_ray_build_and_manifest(built_index):
+    with open(os.path.join(built_index, "manifest.json")) as fh:
+        man = json.load(fh)
+    assert man["doc_count"] == 500
+    assert len(man["segments"]) == 5
+    assert all(s["doc_count"] == 100 for s in man["segments"])
+    # global == sum of per-segment stats
+    assert man["sum_total_term_freq"] == \
+        sum(s["sum_total_term_freq"] for s in man["segments"])
+
+
+def test_global_term_stats(built_index, corpus_texts):
+    import pyarrow.parquet as pq
+    stats = pq.read_table(os.path.join(built_index, "term_stats.parquet"))
+    inv = _brute_index(corpus_texts)
+    got = {t: (df, ttf) for t, df, ttf in zip(*[stats[c].to_pylist()
+                                                for c in ("term", "df", "ttf")])}
+    exp = {t: (len(v), sum(len(p) for p in v.values())) for t, v in inv.items()}
+    assert got == exp
+
+
+def test_resume_skips_completed(built_index, ray_session):
+    """Second build over the same dir must not rebuild any segment."""
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.sources.corpus import corpus_dataset
+    seg_dir = os.path.join(built_index, "segments", "seg=00000")
+    mtime = os.path.getmtime(os.path.join(seg_dir, "terms.parquet"))
+    man = build_index(corpus_dataset(SF), built_index, segment_size=100)
+    assert man["doc_count"] == 500
+    assert os.path.getmtime(os.path.join(seg_dir, "terms.parquet")) == mtime

@@ -1,0 +1,164 @@
+"""Search correctness: golden assertions in the style of the reference's
+TestSearch.kt / TestBooleanQuery.kt (hit counts, FILTER score-invariance,
+MUST_NOT exclusion, phrase hits) plus brute-force BM25 rank/score identity."""
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from lucene_kmp_ray.analysis import tokenize
+from lucene_kmp_ray.index.reader import IndexReader
+from lucene_kmp_ray.search import (BooleanQuery, MatchAllDocsQuery, Occur,
+                                   PhraseQuery, Searcher, TermQuery)
+from lucene_kmp_ray.similarity.bm25 import BM25Similarity
+from lucene_kmp_ray.util.smallfloat import int_to_byte4_np
+
+
+@pytest.fixture(scope="module")
+def searcher(built_index):
+    return Searcher(IndexReader(built_index))
+
+
+@pytest.fixture(scope="module")
+def brute(corpus_texts):
+    tfs = [Counter(tokenize(t)) for t in corpus_texts]
+    lens = np.array([sum(c.values()) for c in tfs])
+    return tfs, lens, int_to_byte4_np(lens)
+
+
+def _brute_topk(tfs, lens, norms, term, k=10):
+    N = len(tfs)
+    docs = np.array([i for i, c in enumerate(tfs) if term in c], dtype=np.int64)
+    freqs = np.array([tfs[i][term] for i in docs])
+    sc = BM25Similarity().scorer(1.0, N, int(lens.sum()),
+                                 [len(docs)])
+    scores = sc.score(freqs, norms[docs])
+    order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
+    return [(int(docs[i]), float(scores[i])) for i in order], len(docs)
+
+
+@pytest.mark.parametrize("term", ["spark", "join", "window", "the", "scan"])
+def test_term_query_rank_and_score_identical(searcher, brute, term):
+    tfs, lens, norms = brute
+    exp, total = _brute_topk(tfs, lens, norms, term)
+    td = searcher.search(TermQuery(term), k=10)
+    assert td.total_hits == total
+    assert [(h.doc_id, h.score) for h in td.score_docs] == exp
+
+
+def test_missing_term(searcher):
+    td = searcher.search(TermQuery("zzzznotaterm"), k=10)
+    assert td.total_hits == 0 and td.score_docs == []
+
+
+def test_match_all(searcher, corpus_texts):
+    assert searcher.count(MatchAllDocsQuery()) == len(corpus_texts)
+
+
+def test_boolean_must(searcher, brute):
+    tfs, _, _ = brute
+    q = BooleanQuery.build((Occur.MUST, TermQuery("spark")),
+                           (Occur.MUST, TermQuery("join")))
+    exp = sum(1 for c in tfs if "spark" in c and "join" in c)
+    assert searcher.search(q, k=5).total_hits == exp
+    # MUST score == sum of term scores
+    td = searcher.search(q, k=3)
+    t1 = {h.doc_id: h.score for h in
+          searcher.search(TermQuery("spark"), k=500).score_docs}
+    t2 = {h.doc_id: h.score for h in
+          searcher.search(TermQuery("join"), k=500).score_docs}
+    for h in td.score_docs:
+        assert h.score == pytest.approx(
+            np.float32(t1[h.doc_id]) + np.float32(t2[h.doc_id]), rel=1e-6)
+
+
+def test_boolean_should_and_must_not(searcher, brute):
+    tfs, _, _ = brute
+    q = BooleanQuery.build((Occur.SHOULD, TermQuery("spark")),
+                           (Occur.SHOULD, TermQuery("join")),
+                           (Occur.MUST_NOT, TermQuery("window")))
+    exp = sum(1 for c in tfs
+              if ("spark" in c or "join" in c) and "window" not in c)
+    td = searcher.search(q, k=5)
+    assert td.total_hits == exp
+    # excluded docs really excluded
+    win = {h.doc_id for h in searcher.search(TermQuery("window"), k=500).score_docs}
+    assert all(h.doc_id not in win for h in td.score_docs)
+
+
+def test_filter_clause_behaves_like_must_without_scoring(searcher, brute):
+    """TestBooleanQuery.kt:404 + :497 — FILTER matches like MUST but does
+    not change the score."""
+    tfs, _, _ = brute
+    must = BooleanQuery.build((Occur.MUST, TermQuery("spark")),
+                              (Occur.MUST, TermQuery("join")))
+    filt = BooleanQuery.build((Occur.MUST, TermQuery("spark")),
+                              (Occur.FILTER, TermQuery("join")))
+    td_m = searcher.search(must, k=500)
+    td_f = searcher.search(filt, k=500)
+    assert td_m.total_hits == td_f.total_hits  # same matches
+    spark = {h.doc_id: h.score for h in
+             searcher.search(TermQuery("spark"), k=500).score_docs}
+    for h in td_f.score_docs:
+        assert h.score == spark[h.doc_id]  # score = spark-only score
+
+
+def test_pure_negation_matches_nothing(searcher):
+    q = BooleanQuery.build((Occur.MUST_NOT, TermQuery("spark")))
+    assert searcher.search(q, k=5).total_hits == 0
+
+
+def test_minimum_should_match(searcher, brute):
+    tfs, _, _ = brute
+    q = BooleanQuery(
+        (( Occur.SHOULD, TermQuery("spark")),
+         (Occur.SHOULD, TermQuery("join")),
+         (Occur.SHOULD, TermQuery("scan"))), minimum_should_match=2)
+    exp = sum(1 for c in tfs
+              if sum(t in c for t in ("spark", "join", "scan")) >= 2)
+    assert searcher.search(q, k=5).total_hits == exp
+
+
+def test_phrase_query(searcher, corpus_texts):
+    td = searcher.search(PhraseQuery(("batch", "batch")), k=5)
+    exp = sum(1 for t in corpus_texts
+              if any(a == "batch" and b == "batch"
+                     for a, b in zip(tokenize(t), tokenize(t)[1:])))
+    assert td.total_hits == exp
+    assert all(h.score > 0 for h in td.score_docs)
+
+
+def test_phrase_three_terms(searcher, corpus_texts):
+    phr = ("key", "order", "sort")
+    td = searcher.search(PhraseQuery(phr), k=10)
+
+    def has(t):
+        toks = tokenize(t)
+        return any(tuple(toks[i:i + 3]) == phr for i in range(len(toks) - 2))
+    assert td.total_hits == sum(1 for t in corpus_texts if has(t))
+
+
+def test_tie_break_order(searcher):
+    """Equal scores → segment asc then local doc asc (TopDocs.kt:166-207)."""
+    td = searcher.search(TermQuery("the"), k=50)
+    hits = [(h.score, h.seg, h.doc) for h in td.score_docs]
+    assert hits == sorted(hits, key=lambda x: (-x[0], x[1], x[2]))
+
+
+def test_pruned_search_equivalent(searcher):
+    """Block-max pruned term search returns identical top-k."""
+    for term in ["spark", "the", "join"]:
+        exact = searcher.search(TermQuery(term), k=10)
+        pruned = searcher.search(TermQuery(term), k=10, prune=True)
+        assert [(h.doc_id, h.score) for h in exact.score_docs] == \
+            [(h.doc_id, h.score) for h in pruned.score_docs]
+
+
+def test_boost_query(searcher):
+    from lucene_kmp_ray.search import BoostQuery
+    base = searcher.search(TermQuery("spark"), k=5)
+    boosted = searcher.search(BoostQuery(TermQuery("spark"), 2.0), k=5)
+    assert [h.doc_id for h in base.score_docs] == \
+        [h.doc_id for h in boosted.score_docs]
+    for hb, h in zip(boosted.score_docs, base.score_docs):
+        assert hb.score == pytest.approx(2 * h.score, rel=1e-5)
