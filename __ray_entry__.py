@@ -1,44 +1,245 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (index build + distributed BM25
+search) on sf0.001. ``queries()`` exposes one callable per implemented
+operator/pipeline (SURVEY §2); ``oracle_sql()`` the DuckDB mirror of each
+(see ``lucene_kmp_ray/oracle.py`` — float64 arithmetic matched op-for-op).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from lucene_kmp_ray import oracle
+from lucene_kmp_ray.pipelines import ann, dedup, textstats
+from lucene_kmp_ray.search import BooleanQuery, Occur, PhraseQuery, TermQuery
+from lucene_kmp_ray.search.ray_search import (phrase_freqs_distributed,
+                                              search_all_matches,
+                                              search_distributed)
+from lucene_kmp_ray.sources.corpus import corpus_dataset
+from lucene_kmp_ray.util.smallfloat import LENGTH_TABLE_INT
+
+SEGMENT_SIZE = 200
+_INDEX_CACHE: dict[str, str] = {}
+
+# query terms/phrases used by both engines (clause lists pre-sorted so the
+# engine's clause-order float sums match the oracle's left-fold order)
+TERM_A = "spark"
+TERM_B = "the"
+OR_TERMS = ["data", "spark"]
+AND_TERMS = ["join", "spark"]
+NOT_PAIR = ("spark", "join")  # MUST spark, MUST_NOT join
+PHRASE_2 = ["batch", "batch"]
+PHRASE_3 = ["big", "order", "scan"]  # present at every sf
+
+
+def _ensure_index(sf_dir: str) -> str:
+    """Build (resume-aware, cached) the inverted index for one sf dir."""
+    if sf_dir in _INDEX_CACHE:
+        return _INDEX_CACHE[sf_dir]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    index_dir = f"/tmp/lucene_kmp_ray_index/{tag}"
+    if not os.path.exists(os.path.join(index_dir, "manifest.json")):
+        from lucene_kmp_ray.index.builder import build_index_sharded
+        from lucene_kmp_ray.sources.corpus import corpus_shards
+        shards, make_docs = corpus_shards(sf_dir, segment_size=SEGMENT_SIZE)
+        build_index_sharded(shards, make_docs, index_dir,
+                            lineage_source=sf_dir)
+    _INDEX_CACHE[sf_dir] = index_dir
+    return index_dir
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build index over sf0.001 web corpus, run distributed BM25
+    top-10 for a query set, return the merged hits table."""
+    sf_dir = "/root/testdata/sf0.001"
+    index_dir = _ensure_index(sf_dir)
+    qs = {
+        "term:spark": TermQuery(TERM_A),
+        "bool:and": BooleanQuery.build(*[(Occur.MUST, TermQuery(t))
+                                         for t in AND_TERMS]),
+        "phrase:batch2": PhraseQuery(tuple(PHRASE_2)),
+    }
+    return search_distributed(index_dir, qs, k=10).to_pandas()
+
+
+# ---------------------------------------------------------------- helpers --
+def _corpus_summary(sf_dir: str):
+    def summarize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "url": b["url"],
+            "warc_ts": b["warc_ts"],
+            "lang": b["lang"],
+            "text_len": pc.cast(pc.utf8_length(b["text"]), pa.int64()),
+            "html_len": pc.cast(pc.binary_length(b["html"]), pa.int64()),
+        })
+    return corpus_dataset(sf_dir).map_batches(summarize, batch_format="pyarrow")
+
+
+def _term_stats(sf_dir: str):
+    import ray.data as rd
+    index_dir = _ensure_index(sf_dir)
+    return rd.read_parquet(os.path.join(index_dir, "term_stats.parquet"))
+
+
+def _doc_norms(sf_dir: str):
+    import ray.data as rd
+    index_dir = _ensure_index(sf_dir)
+
+    def decode(b: pa.Table) -> pa.Table:
+        norm = b["norm"].to_numpy().astype(np.int64)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "length": pc.cast(b["length"], pa.int64()),
+            "norm_byte": pa.array(norm, pa.int64()),
+            "decoded_length": pa.array(LENGTH_TABLE_INT[norm], pa.int64()),
+        })
+    seg_root = os.path.join(index_dir, "segments")
+    paths = [os.path.join(seg_root, d, "docs.parquet")
+             for d in sorted(os.listdir(seg_root)) if d.startswith("seg=")]
+    return rd.read_parquet(paths, columns=["doc_id", "length", "norm"]) \
+             .map_batches(decode, batch_format="pyarrow")
+
+
+def _collection_stats(sf_dir: str):
+    import json
+
+    import pandas as pd
+    index_dir = _ensure_index(sf_dir)
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        m = json.load(f)
+    import pyarrow.parquet as pq
+    uniq = pq.read_metadata(
+        os.path.join(index_dir, "term_stats.parquet")).num_rows
+    return pd.DataFrame({
+        "doc_count": [m["doc_count"]],
+        "sum_total_term_freq": [m["sum_total_term_freq"]],
+        "sum_doc_freq": [m["sum_doc_freq"]],
+        "unique_terms": [uniq],
+    })
+
+
+def _topk(sf_dir: str, query, k: int = 10):
+    import pandas as pd
+    index_dir = _ensure_index(sf_dir)
+    df = search_distributed(index_dir, {"q": query}, k=k,
+                            dtype="float64").to_pandas()
+    if df.empty:  # zero matches → stable empty schema
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "url": pd.Series([], dtype="string"),
+                             "score": pd.Series([], dtype="float64")})
+    return df[["doc_id", "url", "score"]]
+
+
+def _count_term(sf_dir: str, term: str):
+    import pandas as pd
+    import pyarrow.parquet as pq
+    index_dir = _ensure_index(sf_dir)
+    t = pq.read_table(os.path.join(index_dir, "term_stats.parquet"),
+                      filters=[("term", "=", term)])
+    n = int(t["df"][0].as_py()) if t.num_rows else 0
+    return pd.DataFrame({"n": [n]})
+
+
+def _dedup_fp(sf_dir: str):
+    ds = textstats.fingerprints(sf_dir)
+    out = dedup.dedup_exact(ds, key="fingerprint", order_col="doc_id",
+                            keep="min")
+    return out.select_columns(["fingerprint", "doc_id"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    q: dict[str, Callable[[str], Any]] = {
+        # --- sources / schema (SURVEY §2.1) ---
+        "corpus_summary": _corpus_summary,
+        # --- index build stats / norms (SURVEY §2.2, §2.6) ---
+        "term_stats": _term_stats,
+        "doc_norms": _doc_norms,
+        "collection_stats": _collection_stats,
+        # --- query operators (SURVEY §2.5) ---
+        "bm25_term_spark": lambda sf: _topk(sf, TermQuery(TERM_A)),
+        "bm25_term_the": lambda sf: _topk(sf, TermQuery(TERM_B)),
+        "bm25_or_top10": lambda sf: _topk(sf, BooleanQuery.build(
+            *[(Occur.SHOULD, TermQuery(t)) for t in OR_TERMS])),
+        "bm25_and_top10": lambda sf: _topk(sf, BooleanQuery.build(
+            *[(Occur.MUST, TermQuery(t)) for t in AND_TERMS])),
+        "bool_not_all": lambda sf: search_all_matches(
+            _ensure_index(sf), BooleanQuery.build(
+                (Occur.MUST, TermQuery(NOT_PAIR[0])),
+                (Occur.MUST_NOT, TermQuery(NOT_PAIR[1])))),
+        "phrase_counts": lambda sf: phrase_freqs_distributed(
+            _ensure_index(sf), PHRASE_2),
+        "phrase_top10": lambda sf: _topk(sf, PhraseQuery(tuple(PHRASE_3))),
+        "count_term_the": lambda sf: _count_term(sf, TERM_B),
+        # --- training-data ops: text analysis ---
+        "token_counts": textstats.token_counts,
+        "quality": textstats.quality,
+        "langid": textstats.langid,
+        "fingerprints": textstats.fingerprints,
+        # --- dedup ---
+        "dedup_exact_fingerprint": _dedup_fp,
+        "jaccard_pairs": lambda sf: dedup.jaccard_pairs(sf, threshold=0.5),
+        "minhash_bands": lambda sf: dedup.minhash_batch_ds(sf),
+        "minhash_pairs": dedup.minhash_candidate_pairs,
+        "simhash_signatures": dedup.simhash_signatures,  # rows-only check
+        # --- similarity search ---
+        "ann_cosine_top10": _ann_brute,
+        "ann_lsh_top10": lambda sf: ann.ann_lsh_topk(sf),  # rows-only check
+        # --- multimodal plumbing (rows-only; decode stubbed) ---
+        "multimodal_features": _multimodal,
+    }
+    return q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _ann_brute(sf_dir: str):
+    df = ann.ann_brute_topk(sf_dir).to_pandas()
+    df["score_r"] = np.round(df["score"], 6)
+    return df[["query_id", "rank", "vec_id", "score_r"]]
+
+
+def _multimodal(sf_dir: str):
+    import ray.data as rd
+
+    from lucene_kmp_ray.pipelines.multimodal import (extract_features,
+                                                     synthesize_media_table)
+    ds = rd.from_arrow(synthesize_media_table(64))
+    return extract_features(ds)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "corpus_summary": oracle.corpus_summary(),
+        "term_stats": oracle.term_stats(),
+        "doc_norms": oracle.doc_norms(),
+        "collection_stats": oracle.collection_stats(),
+        "bm25_term_spark": oracle.bm25_term_topk(TERM_A),
+        "bm25_term_the": oracle.bm25_term_topk(TERM_B),
+        "bm25_or_top10": oracle.bm25_or_topk(OR_TERMS),
+        "bm25_and_top10": oracle.bm25_and_topk(AND_TERMS),
+        "bool_not_all": oracle.bool_not_all(*NOT_PAIR),
+        "phrase_counts": oracle.phrase_counts(PHRASE_2),
+        "phrase_top10": oracle.phrase_topk(PHRASE_3),
+        "count_term_the": oracle.count_term(TERM_B),
+        "token_counts": oracle.token_counts(),
+        "quality": oracle.quality(),
+        "langid": oracle.langid(),
+        "fingerprints": oracle.fingerprints(),
+        "dedup_exact_fingerprint": oracle.dedup_exact_fingerprint(),
+        "jaccard_pairs": oracle.jaccard_pairs(0.5),
+        "minhash_bands": oracle.minhash_bands(),
+        "minhash_pairs": oracle.minhash_pairs(),
+        "ann_cosine_top10": oracle.ann_cosine_topk(),
+        # simhash_signatures / ann_lsh_top10 / multimodal_features:
+        # intentionally no SQL (hash bit-twiddling / approximate / stubbed
+        # decode) → driver records rows-only checks.
+    }

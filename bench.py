@@ -1,0 +1,133 @@
+"""Bench harness: headline index-build throughput + BM25 query latency.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline build sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N,
+   "docs": N, "docs_per_sec": ...}
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default
+32), GRAFT_EXPAND (corpus replication factor, default 20 → 100k docs at
+sf0.1 — deterministic synthesis per the no-external-data rule).
+
+``--scaling`` runs the same build in two fresh processes (8 vs 32 CPUs, the
+sandbox proxy for N vs 4N nodes) and reports throughputs + efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+EXPAND = int(os.environ.get("GRAFT_EXPAND", "100"))
+
+
+def run_bench() -> dict:
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from lucene_kmp_ray.index.builder import build_index_sharded
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.search import (BooleanQuery, Occur, PhraseQuery,
+                                       Searcher, TermQuery)
+    from lucene_kmp_ray.sources.corpus import corpus_dataset, corpus_shards
+
+    timings: dict[str, float] = {}
+
+    # warm-up (untimed): spins up the full worker pool, imports the library
+    # in every worker, warms the page cache — so the timed run measures
+    # steady-state compute, not process spawn.
+    warm_dir = "/tmp/bench_warm"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    w_shards, w_make = corpus_shards(SF_DIR, segment_size=500, expand=8)
+    build_index_sharded(w_shards, w_make, warm_dir)
+
+    # ---- headline: index build (shuffle-free sharded path) ----
+    idx = f"/tmp/bench_idx_{NUM_CPUS}"
+    shutil.rmtree(idx, ignore_errors=True)
+    shards, make_docs = corpus_shards(SF_DIR, segment_size=5_000,
+                                      expand=EXPAND)
+    t0 = time.monotonic()
+    man = build_index_sharded(shards, make_docs, idx, lineage_source=SF_DIR)
+    t_build = time.monotonic() - t0
+    n_docs = man["doc_count"]
+    timings["build_index"] = round(t_build, 3)
+
+    # ---- query latency (driver-side searcher, float32 prod path) ----
+    searcher = Searcher(IndexReader(idx))
+    qset = {
+        "q_term": TermQuery("spark"),
+        "q_term_stop": TermQuery("the"),
+        "q_bool_and": BooleanQuery.build((Occur.MUST, TermQuery("spark")),
+                                         (Occur.MUST, TermQuery("join"))),
+        "q_bool_or": BooleanQuery.build((Occur.SHOULD, TermQuery("data")),
+                                        (Occur.SHOULD, TermQuery("spark"))),
+        "q_phrase": PhraseQuery(("big", "order", "scan")),
+    }
+    import numpy as np
+    for name, q in qset.items():
+        lat = []
+        for _ in range(5):
+            tq = time.monotonic()
+            searcher.search(q, k=10)
+            lat.append(time.monotonic() - tq)
+        timings[name] = round(float(np.median(lat)), 4)
+        timings[name + "_p95"] = round(float(np.percentile(lat, 95)), 4)
+
+    # ---- training-data pipelines (sf as-is, no expand) ----
+    from lucene_kmp_ray.pipelines import ann, dedup
+    t0 = time.monotonic()
+    dedup.minhash_batch_ds(SF_DIR).count()
+    timings["minhash_bands"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    ann.ann_brute_topk(SF_DIR).count()
+    timings["ann_brute_topk"] = round(time.monotonic() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "index-build sec (headline) + stage timings",
+        "value": round(t_build, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / t_build, 1),
+    }
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    return {
+        "metric": "scaling 8→32 cpus (proxy for N→4N nodes)",
+        "sec_8": t_lo, "sec_32": t_hi,
+        "docs_per_sec_8": lo["docs_per_sec"],
+        "docs_per_sec_32": hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "docs": hi["docs"], "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -5,5 +5,5 @@ from .standard import (  # noqa: F401
     StandardAnalyzer,
     sql_tokens_expr,
     tokenize,
-    tokenize_batch,
+    tokenize_flat,
 )

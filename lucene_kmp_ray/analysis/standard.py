@@ -67,39 +67,31 @@ class StandardAnalyzer:
         return tokenize(text)
 
 
-def tokenize_batch(texts):
-    """Tokenize a batch of documents into flat inverted-entry arrays.
+def tokenize_flat(texts) -> tuple[np.ndarray, pa.Array]:
+    """Tokenize a batch into (doc_lengths, flat lowercased token array).
 
-    Returns ``(doc_lengths, unique_counts, terms, positions)``: for every
-    *unique* (doc, term) pair there is one entry in ``terms`` (the term) and
-    one int32 array in ``positions`` (ascending token positions of that term
-    in that doc), emitted doc-major in input order. ``doc_lengths[i]`` is the
-    token count of document i (the norm length — no overlaps are produced by
-    this analyzer, so length == numTerms; FieldInvertState.kt:18-62) and
-    ``unique_counts[i]`` its unique-term count (entries contributed).
-
-    The per-doc loop is the tokenizer DFA itself (as in the reference's
-    invert loop, IndexingChain.kt:1153-1290); everything downstream of this
-    function is vectorized numpy/Arrow.
+    The per-doc regex scan is the tokenizer DFA itself (the reference's
+    invert loop, IndexingChain.kt:1153-1290); lowercasing runs as one Arrow
+    C++ kernel over the flat token array, and everything downstream
+    (grouping to postings, positions, norms) is vectorized numpy — no
+    per-token Python objects survive past this function.
     """
     if isinstance(texts, (pa.Array, pa.ChunkedArray)):
         texts = texts.to_pylist()
-    doc_lengths = np.empty(len(texts), dtype=np.int32)
-    unique_counts = np.empty(len(texts), dtype=np.int64)
-    out_terms: list[str] = []
-    out_positions: list[np.ndarray] = []
+    doc_lengths = np.empty(len(texts), dtype=np.int64)
+    flat: list[str] = []
+    findall = PY_TOKEN_RE.findall
+    maxlen = MAX_TOKEN_LENGTH
     for i, text in enumerate(texts):
-        toks = tokenize(text or "")
+        toks = findall(text or "")
+        if toks and max(map(len, toks)) > maxlen:  # rare slow path
+            toks = [piece for t in toks for piece in
+                    ([t] if len(t) <= maxlen else
+                     [t[j:j + maxlen] for j in range(0, len(t), maxlen)])]
         doc_lengths[i] = len(toks)
-        by_term: dict[str, list[int]] = {}
-        for pos, t in enumerate(toks):
-            by_term.setdefault(t, []).append(pos)
-        unique_counts[i] = len(by_term)
-        # term order within a doc does not matter (sorted later per segment)
-        for t, poss in by_term.items():
-            out_terms.append(t)
-            out_positions.append(np.asarray(poss, dtype=np.int32))
-    return doc_lengths, unique_counts, out_terms, out_positions
+        flat.extend(toks)
+    import pyarrow.compute as pc
+    return doc_lengths, pc.utf8_lower(pa.array(flat, type=pa.string()))
 
 
 def term_freqs(text: str) -> Counter:

@@ -99,6 +99,59 @@ def build_index(ds, index_dir: str, segment_size: int = DEFAULT_SEGMENT_SIZE,
     return commit_index(index_dir, manifests, build_sec=time.monotonic() - t0)
 
 
+def build_index_sharded(shards: list[dict], make_docs, index_dir: str,
+                        lineage_source: str = "",
+                        max_in_flight: int | None = None) -> dict:
+    """Shuffle-free build: one Ray task per shard, segment == shard.
+
+    This is the production path (and the Lucene DWPT model: each writer
+    builds its own segment from its own slice of the corpus,
+    DocumentsWriterPerThreadPool.kt:20-116 — zero cross-task coordination
+    until the commit). ``shards`` is a list of dicts each carrying at least
+    ``seg``; ``make_docs(spec) -> pa.Table(doc_id, url, text)`` loads one
+    shard deterministically (at web scale: one input Parquet file / row-group
+    range per shard — docIDs derive from file order, never from Ray
+    scheduling).
+
+    Execution is raw ``@ray.remote`` fan-out with a windowed ``ray.wait``
+    in-flight cap — deliberately NOT a Dataset: there is no dataflow here
+    (inputs are spec dicts, outputs are manifest paths on disk; the only
+    thing moving through the object store is a manifest JSON per segment),
+    and Ray Data's per-task block machinery adds ~40ms/task of pure overhead
+    to what is an embarrassingly-parallel job scheduler. The window is the
+    DocumentsWriterStallControl backpressure analog
+    (DocumentsWriterStallControl.kt:25-47). Retries are safe: the
+    per-segment write is atomic + idempotent (skip-if-committed).
+    """
+    import ray
+
+    t0 = time.monotonic()
+    os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
+    done = completed_segments(index_dir)
+    todo = [s for s in shards if s["seg"] not in done]
+    if max_in_flight is None:
+        max_in_flight = int(ray.cluster_resources().get("CPU", 8)) * 2
+
+    @ray.remote
+    def build_shard(spec: dict) -> str:
+        lineage = {"source": lineage_source, **spec}
+        man = build_and_write_segment(make_docs(spec), spec["seg"],
+                                      index_dir, lineage)
+        return json.dumps(man)
+
+    pending: list = []
+    for spec in todo:
+        if len(pending) >= max_in_flight:
+            ready, pending = ray.wait(pending, num_returns=1)
+            ray.get(ready)
+        pending.append(build_shard.remote(spec))
+    ray.get(pending)
+
+    segs = sorted(done | {s["seg"] for s in todo})
+    manifests = [read_seg_manifest(index_dir, s) for s in segs]
+    return commit_index(index_dir, manifests, build_sec=time.monotonic() - t0)
+
+
 def commit_index(index_dir: str, manifests: list[dict],
                  build_sec: float | None = None) -> dict:
     """Write global term stats + manifest (phase 2 of the two-phase commit)."""

@@ -37,7 +37,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..analysis.standard import tokenize_batch
+from ..analysis.standard import tokenize_flat
 from ..util import forutil as fu
 from ..util.smallfloat import int_to_byte4_np
 
@@ -58,49 +58,65 @@ def invert_segment(docs: pa.Table, seg: int,
     docs = docs.sort_by("doc_id")
     n_docs = docs.num_rows
 
-    doc_lengths, unique_counts, terms, positions = tokenize_batch(docs["text"])
+    doc_lengths, flat_tokens = tokenize_flat(docs["text"])
     norms = int_to_byte4_np(doc_lengths)
+    total = len(flat_tokens)
 
-    n_entries = len(terms)
-    entry_doc = np.repeat(np.arange(n_docs, dtype=np.int64), unique_counts)
-    freqs_e = np.fromiter((len(p) for p in positions), count=n_entries,
-                          dtype=np.int64)
+    # Token → dense code via Arrow dictionary encode (C++), then remap codes
+    # to sorted-term rank (sort order = code-point == UTF-8 byte order, the
+    # BytesRef term order of TermsHashPerField.sortTerms).
+    dict_arr = flat_tokens.dictionary_encode()
+    codes = dict_arr.indices.to_numpy().astype(np.int64)
+    vocab = np.asarray(dict_arr.dictionary.to_pylist(), dtype=object)
+    vorder = np.argsort(vocab)
+    uniques = vocab[vorder]
+    rank = np.empty(len(vocab), dtype=np.int64)
+    rank[vorder] = np.arange(len(vocab))
+    scodes = rank[codes]
 
-    # Sort entries by (term, doc). Terms get codes in sorted (code-point ==
-    # UTF-8 byte) order; entry_doc is already ascending within a term after a
-    # stable sort on codes because emission is doc-major.
-    codes, uniques = pd.factorize(pd.Index(terms), sort=True)
-    order = np.argsort(codes, kind="stable")
-    s_codes = codes[order]
-    s_doc = entry_doc[order]
-    s_freq = freqs_e[order]
+    # occurrence arrays: owning doc + in-doc position, all vectorized
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), doc_lengths)
+    doc_starts = np.append(0, np.cumsum(doc_lengths))[:-1]
+    positions = np.arange(total, dtype=np.int64) - np.repeat(doc_starts,
+                                                             doc_lengths)
 
-    # Flat positions, reordered to entry-sorted order (fully vectorized):
-    # each occurrence carries its entry's rank; a stable argsort groups them.
-    flat_pos = (np.concatenate(positions) if n_entries else
-                np.array([], dtype=np.int32)).astype(np.int64)
-    rank = np.empty(n_entries, dtype=np.int64)
-    rank[order] = np.arange(n_entries)
-    occ_rank = np.repeat(rank, freqs_e)
-    flat_pos = flat_pos[np.argsort(occ_rank, kind="stable")]
+    # sort occurrences by (term, doc); stable keeps positions ascending
+    key = scodes * n_docs + doc_of
+    order = np.argsort(key, kind="stable")
+    okey = key[order]
+    pos_sorted = positions[order]
+
+    # entries = unique (term, doc) pairs; freqs = occurrences per entry
+    if total:
+        entry_mask = np.empty(total, dtype=bool)
+        entry_mask[0] = True
+        np.not_equal(okey[1:], okey[:-1], out=entry_mask[1:])
+        entry_starts_occ = np.flatnonzero(entry_mask)
+        s_freq = np.diff(np.append(entry_starts_occ, total))
+        entry_key = okey[entry_starts_occ]
+    else:
+        entry_starts_occ = np.empty(0, np.int64)
+        s_freq = np.empty(0, np.int64)
+        entry_key = np.empty(0, np.int64)
+    n_entries = len(entry_key)
+    s_doc = entry_key % n_docs
+    entry_term = entry_key // n_docs
+
     # delta within each entry's occurrence list (first kept absolute)
-    pos_delta = np.empty_like(flat_pos)
-    if len(flat_pos):
-        pos_delta[0] = flat_pos[0]
-        np.subtract(flat_pos[1:], flat_pos[:-1], out=pos_delta[1:])
-        starts = np.zeros(len(flat_pos), dtype=bool)
-        starts[np.cumsum(s_freq)[:-1]] = True
-        starts[0] = True
-        pos_delta[starts] = flat_pos[starts]
+    pos_delta = np.empty_like(pos_sorted)
+    if total:
+        pos_delta[0] = pos_sorted[0]
+        np.subtract(pos_sorted[1:], pos_sorted[:-1], out=pos_delta[1:])
+        pos_delta[entry_starts_occ] = pos_sorted[entry_starts_occ]
 
     n_terms = len(uniques)
-    term_starts = np.searchsorted(s_codes, np.arange(n_terms))
+    term_starts = np.searchsorted(entry_term, np.arange(n_terms))
     term_ends = np.append(term_starts[1:], n_entries)
     pos_bounds = np.append(0, np.cumsum(s_freq))
 
     df = (term_ends - term_starts).astype(np.int64)
     # ttf per term = sum of freqs over its entries
-    cs = np.append(0, np.cumsum(s_freq))
+    cs = pos_bounds
     ttf = cs[term_ends] - cs[term_starts]
 
     docs_enc, freqs_enc, pos_enc = [], [], []

@@ -1,0 +1,381 @@
+"""DuckDB oracle SQL — the ANSI-SQL mirror of every engine pipeline.
+
+Each SQL string reproduces the corresponding Ray pipeline *bit-for-bit*
+(float64 arithmetic written with the exact same IEEE op order the engine's
+float64 mode uses; tokenization via the identical RE2 regex; SmallFloat
+lossy norms via an inline 256-entry decode table; md5-based hashes). The
+driver runs these against views named after the parquet tables.
+
+The BM25 formulas come straight from the reference
+(``BM25Similarity.kt:48-55,161-198``):
+  idf   = ln(1 + (docCount - df + 0.5)/(df + 0.5))
+  avgdl = sumTotalTermFreq / docCount
+  score = idf - idf/(1 + freq * 1/(k1*((1-b) + b*decoded_len/avgdl)))
+with k1=1.2, b=0.75, decoded_len = byte4ToInt(intToByte4(len)).
+"""
+
+from __future__ import annotations
+
+from .analysis.standard import sql_tokens_expr
+from .pipelines.dedup import LSH_BANDS, LSH_ROWS, MINHASH_PERMS, N_SHINGLE
+from .pipelines.textstats import LANG_STOPWORDS
+from .sources.corpus import CORPUS_SQL
+from .util.smallfloat import LENGTH_TABLE_INT
+
+
+def _lt_values() -> str:
+    return ", ".join(f"({b}, {int(v)})"
+                     for b, v in enumerate(LENGTH_TABLE_INT.tolist()))
+
+
+# Shared CTE preamble: corpus → tokens → postings → doc lengths → lossy
+# norms → collection stats → term stats. Every oracle query starts here.
+def preamble() -> str:
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS (
+  SELECT doc_id, url, {sql_tokens_expr('text')} AS toks FROM corpus
+),
+tokens AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(generate_series(1, len(toks))) - 1 AS pos
+  FROM toksrc
+),
+postings AS (
+  SELECT doc_id, term, count(*) AS freq FROM tokens GROUP BY doc_id, term
+),
+doclen AS (SELECT doc_id, len(toks) AS dl FROM toksrc),
+lt(b, v) AS (VALUES {_lt_values()}),
+normd AS (
+  SELECT d.doc_id, d.dl, l.b AS norm_byte, l.v AS dln
+  FROM doclen d
+  JOIN lt l ON l.v = (SELECT max(v) FROM lt l2 WHERE l2.v <= d.dl)
+),
+stats AS (SELECT count(*) AS doc_count, sum(dl) AS sum_ttf FROM doclen),
+tstats AS (
+  SELECT term, count(*) AS df, sum(freq) AS ttf FROM postings GROUP BY term
+),
+av AS (SELECT sum_ttf / CAST(doc_count AS DOUBLE) AS avgdl FROM stats)
+"""
+
+
+def idf_sql(df_expr: str, dc: str = "(SELECT doc_count FROM stats)") -> str:
+    return f"ln(1 + ({dc} - {df_expr} + 0.5)/({df_expr} + 0.5))"
+
+
+def score_sql(freq_expr: str, dln_expr: str, idf_expr: str) -> str:
+    """weight - weight/(1 + freq * cache[norm]) in the engine's exact
+    float64 op order (see similarity/bm25.py BM25Scorer)."""
+    inv = (f"(1.0/(1.2*((1-0.75) + 0.75*{dln_expr}/"
+           f"(SELECT avgdl FROM av))))")
+    return f"({idf_expr} - {idf_expr}/(1 + {freq_expr}*{inv}))"
+
+
+def term_scored_cte(term_literal: str) -> str:
+    """CTE body scoring one term over all matching docs (float64)."""
+    idf = idf_sql(f"(SELECT df FROM tstats WHERE term = {term_literal})")
+    score = score_sql("p.freq", "n.dln", idf)
+    return f"""
+  SELECT p.doc_id, {score} AS score
+  FROM postings p JOIN normd n USING (doc_id)
+  WHERE p.term = {term_literal}
+"""
+
+
+def bm25_term_topk(term: str, k: int = 10) -> str:
+    lit = f"'{term}'"
+    return preamble() + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
+def bm25_or_topk(terms: list[str], k: int = 10) -> str:
+    """SHOULD-disjunction: per-doc sum of term scores in sorted-term order
+    (the engine sums clause-order; callers pass terms sorted)."""
+    terms = list(terms)
+    ctes = ",\n".join(
+        f"sc{i} AS ({term_scored_cte(repr(t))})" for i, t in enumerate(terms))
+    # left-fold: ((0 + s0) + s1) + ... matches np.add.at accumulation order
+    ids = " UNION ".join(f"SELECT doc_id FROM sc{i}"
+                         for i in range(len(terms)))
+    total = "0"
+    joins = ""
+    for i in range(len(terms)):
+        total = f"({total} + COALESCE(sc{i}.score, 0))"
+        joins += f" LEFT JOIN sc{i} ON sc{i}.doc_id = d.doc_id"
+    return preamble() + f""",
+{ctes},
+docs AS ({ids})
+SELECT d.doc_id, c.url, {total} AS score
+FROM docs d{joins} JOIN corpus c ON c.doc_id = d.doc_id
+ORDER BY score DESC, d.doc_id LIMIT {k}
+"""
+
+
+def bm25_and_topk(terms: list[str], k: int = 10) -> str:
+    """MUST-conjunction: docs containing every term, summed scores."""
+    ctes = ",\n".join(
+        f"sc{i} AS ({term_scored_cte(repr(t))})" for i, t in enumerate(terms))
+    total = "0"
+    joins = "sc0"
+    for i in range(len(terms)):
+        total = f"({total} + sc{i}.score)"
+        if i > 0:
+            joins += f" JOIN sc{i} USING (doc_id)"
+    return preamble() + f""",
+{ctes}
+SELECT sc0.doc_id, c.url, {total} AS score
+FROM {joins} JOIN corpus c USING (doc_id)
+ORDER BY score DESC, sc0.doc_id LIMIT {k}
+"""
+
+
+def bool_not_all(must_term: str, not_term: str) -> str:
+    """MUST t1, MUST_NOT t2 — full match set (order-insensitive check)."""
+    return preamble() + f""",
+scored AS ({term_scored_cte(repr(must_term))})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+WHERE s.doc_id NOT IN (SELECT doc_id FROM postings WHERE term = '{not_term}')
+"""
+
+
+def phrase_counts(terms: list[str]) -> str:
+    """Exact-phrase match docs + phrase frequency (count of start positions)."""
+    conds = " AND ".join(
+        f"t{i}.term = '{t}' AND t{i}.doc_id = t0.doc_id AND "
+        f"t{i}.pos = t0.pos + {i}" for i, t in enumerate(terms) if i > 0)
+    tables = ", ".join(f"tokens t{i}" for i in range(len(terms)))
+    return preamble() + f"""
+SELECT t0.doc_id, count(*) AS freq
+FROM {tables}
+WHERE t0.term = '{terms[0]}' {"AND " + conds if conds else ""}
+GROUP BY t0.doc_id
+"""
+
+
+def phrase_topk(terms: list[str], k: int = 10) -> str:
+    """Scored exact phrase: freq = phrase starts, idf = sum of per-term idfs
+    in phrase order (BM25Similarity idfExplain sum, kt:138-146)."""
+    idf_sum = " + ".join(
+        idf_sql(f"(SELECT df FROM tstats WHERE term = {t!r})") for t in terms)
+    score = score_sql("p.freq", "n.dln", f"({idf_sum})")
+    return preamble() + f""",
+pfreq AS (
+SELECT t0.doc_id, count(*) AS freq
+FROM {", ".join(f"tokens t{i}" for i in range(len(terms)))}
+WHERE t0.term = '{terms[0]}' {"AND " + " AND ".join(
+        f"t{i}.term = '{t}' AND t{i}.doc_id = t0.doc_id AND t{i}.pos = t0.pos + {i}"
+        for i, t in enumerate(terms) if i > 0) if len(terms) > 1 else ""}
+GROUP BY t0.doc_id
+)
+SELECT p.doc_id, c.url, {score} AS score
+FROM pfreq p JOIN normd n USING (doc_id) JOIN corpus c USING (doc_id)
+ORDER BY score DESC, p.doc_id LIMIT {k}
+"""
+
+
+def corpus_summary() -> str:
+    return preamble() + """
+SELECT doc_id, url, warc_ts, lang, length(text) AS text_len,
+       octet_length(html) AS html_len
+FROM corpus
+"""
+
+
+def term_stats() -> str:
+    return preamble() + "SELECT term, df, ttf FROM tstats"
+
+
+def doc_norms() -> str:
+    return preamble() + \
+        "SELECT doc_id, dl AS length, norm_byte, dln AS decoded_length FROM normd"
+
+
+def count_term(term: str) -> str:
+    return preamble() + \
+        f"SELECT count(*) AS n FROM postings WHERE term = '{term}'"
+
+
+def collection_stats() -> str:
+    return preamble() + """
+SELECT doc_count, sum_ttf AS sum_total_term_freq,
+       (SELECT count(*) FROM postings) AS sum_doc_freq,
+       (SELECT count(*) FROM tstats) AS unique_terms
+FROM stats
+"""
+
+
+# ------------------------- training-data ops ------------------------------
+def token_counts() -> str:
+    return preamble() + """
+SELECT t.doc_id, len(t.toks) AS n_tokens,
+       len(list_distinct(t.toks)) AS n_unique_tokens
+FROM toksrc t
+"""
+
+
+def quality() -> str:
+    stop = ", ".join(repr(s) for s in LANG_STOPWORDS["en"])
+    return preamble() + f""",
+q AS (
+  SELECT c.doc_id,
+         length(c.text) AS n_chars,
+         length(regexp_replace(c.text, '[^\\pL\\pN\\s]', '', 'g')) AS n_alnum,
+         len(t.toks) AS n_tokens,
+         len(list_filter(t.toks, x -> list_contains([{stop}], x))) AS n_stop,
+         len(list_distinct(t.toks)) AS n_uniq,
+         len(array_to_string(t.toks, '')) AS tok_chars
+  FROM corpus c JOIN toksrc t USING (doc_id)
+)
+SELECT doc_id, n_chars, n_tokens,
+       n_alnum / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS alnum_ratio,
+       n_stop / CAST(GREATEST(n_tokens, 1) AS DOUBLE) AS stopword_ratio,
+       n_uniq / CAST(GREATEST(n_tokens, 1) AS DOUBLE) AS unique_ratio,
+       tok_chars / CAST(GREATEST(n_tokens, 1) AS DOUBLE) AS mean_token_len
+FROM q
+"""
+
+
+def langid() -> str:
+    langs = sorted(LANG_STOPWORDS)
+    cols = ",\n".join(
+        "         len(list_filter(t.toks, x -> list_contains([{}], x))) AS c_{}"
+        .format(", ".join(repr(s) for s in LANG_STOPWORDS[l]), l)
+        for l in langs)
+    g = "GREATEST({})".format(", ".join(f"c_{l}" for l in langs))
+    cases = " ".join(f"WHEN c_{l} = g THEN '{l}'" for l in langs)
+    return preamble() + f""",
+hits AS (
+  SELECT t.doc_id,
+{cols}
+  FROM toksrc t
+),
+hg AS (SELECT *, {g} AS g FROM hits)
+SELECT doc_id,
+       CASE WHEN g = 0 THEN 'und' {cases} END AS pred_lang,
+       g AS stopword_hits
+FROM hg
+"""
+
+
+def fingerprints() -> str:
+    return preamble() + """
+SELECT doc_id, md5(array_to_string(toks, ' ')) AS fingerprint
+FROM toksrc
+"""
+
+
+def dedup_exact_fingerprint() -> str:
+    return preamble() + """,
+fp AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fingerprint
+       FROM toksrc)
+SELECT fingerprint, min(doc_id) AS doc_id FROM fp GROUP BY fingerprint
+"""
+
+
+# shingles CTE shared by jaccard/minhash (token 3-grams, distinct per doc)
+def _shingle_cte() -> str:
+    n = N_SHINGLE
+    return f"""
+sh AS (
+  SELECT doc_id,
+    list_distinct(CASE
+      WHEN len(toks) = 0 THEN []
+      WHEN len(toks) < {n} THEN [array_to_string(toks, ' ')]
+      ELSE list_transform(generate_series(1, len(toks) - {n - 1}),
+                          i -> array_to_string(toks[i:i + {n - 1}], ' '))
+    END) AS shingles
+  FROM toksrc
+),
+shrow AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+"""
+
+
+def jaccard_pairs(threshold: float = 0.5) -> str:
+    return preamble() + "," + _shingle_cte() + f""",
+sizes AS (SELECT doc_id, count(*) AS n FROM shrow GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM shrow a JOIN shrow b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.a, i.b, i.i / CAST(sa.n + sb.n - i.i AS DOUBLE) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.i / CAST(sa.n + sb.n - i.i AS DOUBLE) >= {threshold}
+"""
+
+
+def minhash_bands() -> str:
+    """(doc_id, band, band_hash) — identical to pipelines.dedup.minhash_batch."""
+    perms = MINHASH_PERMS
+    sig_cols = ",\n".join(
+        f"    (SELECT min(substr(md5(CONCAT('{p}:', shingle)), 1, 8)) "
+        f"FROM shrow s WHERE s.doc_id = d.doc_id) AS m{p}"
+        for p in range(perms))
+    bands = []
+    for b in range(LSH_BANDS):
+        parts = [f"m{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
+        expr = " || '-' || ".join(f"COALESCE({p}, '')" for p in parts)
+        bands.append(f"SELECT doc_id, {b} AS band, {expr} AS band_hash FROM sig")
+    return preamble() + "," + _shingle_cte() + f""",
+sig AS (
+  SELECT d.doc_id,
+{sig_cols}
+  FROM (SELECT DISTINCT doc_id FROM shrow) d
+)
+{" UNION ALL ".join(bands)}
+"""
+
+
+def minhash_pairs() -> str:
+    """Candidate near-dup pairs sharing any LSH band bucket."""
+    perms = MINHASH_PERMS
+    sig_cols = ",\n".join(
+        f"    (SELECT min(substr(md5(CONCAT('{p}:', shingle)), 1, 8)) "
+        f"FROM shrow s WHERE s.doc_id = d.doc_id) AS m{p}"
+        for p in range(perms))
+    bands = []
+    for b in range(LSH_BANDS):
+        parts = [f"m{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
+        expr = " || '-' || ".join(f"COALESCE({p}, '')" for p in parts)
+        bands.append(f"SELECT doc_id, {b} AS band, {expr} AS band_hash FROM sig")
+    return preamble() + "," + _shingle_cte() + f""",
+sig AS (
+  SELECT d.doc_id,
+{sig_cols}
+  FROM (SELECT DISTINCT doc_id FROM shrow) d
+),
+bandrows AS ({" UNION ALL ".join(bands)})
+SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+FROM bandrows a JOIN bandrows b
+  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+
+def ann_cosine_topk(n_queries: int = 5, k: int = 10) -> str:
+    """Brute cosine top-k, scores rounded to 6dp (summation-order-tolerant)."""
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding
+  FROM embeddings ORDER BY vec_id LIMIT {n_queries}
+),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS cos
+  FROM q CROSS JOIN embeddings e
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM sims
+)
+SELECT query_id, rank, vec_id, round(cos, 6) AS score_r
+FROM ranked WHERE rank <= {k}
+"""

@@ -1,0 +1,212 @@
+"""Deduplication pipelines for the training-data path.
+
+Scale notes — each documented with its shuffle shape:
+
+- **Exact** dedup: hash-partition on the key (url or content fingerprint),
+  keep one winner per group — ``groupby(key).map_groups(head-by-rule)``.
+  Shuffle = one all-to-all on the key; per-group work O(group). This is the
+  reference's ``updateDocument(term, doc)`` upsert semantics
+  (IndexWriter.kt:1641 — delete-by-key + add == keep latest per key).
+- **MinHash + LSH** near-dup: per-batch shingle→minhash (vectorized md5-based
+  permutation hashes), explode to (band_id, band_hash, doc_id) rows —
+  b bands of r rows each — ``groupby(band)`` produces candidate buckets,
+  verified with exact shingle-Jaccard. Shuffle moves only b rows per doc.
+- **SimHash**: 64-bit weighted-projection signature per doc; near-dups =
+  equal bands of the signature (Hamming ≤ 3 via 4-band exact-match trick).
+- **n-gram Jaccard**: exact pairwise verification over candidate pairs that
+  share at least one shingle — groupby(shingle) → pairs → aggregate
+  intersection counts; |A∪B| via per-doc shingle counts broadcast.
+
+Hash functions are md5-derived (stable across Python/numpy/DuckDB) so the
+DuckDB oracle can reproduce signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..analysis.standard import tokenize
+
+N_SHINGLE = 3          # token 3-grams
+MINHASH_PERMS = 12     # b=6 bands × r=2 rows
+LSH_BANDS = 6
+LSH_ROWS = 2
+
+
+def _shingles(text: str) -> list[str]:
+    toks = tokenize(text or "")
+    if len(toks) < N_SHINGLE:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i:i + N_SHINGLE])
+            for i in range(len(toks) - N_SHINGLE + 1)]
+
+
+def _md5_hex8(s: str) -> str:
+    """First 8 hex chars of md5 — stable across Python and DuckDB
+    (``substr(md5(s), 1, 8)``); lexicographic min on the lowercase hex is
+    the permutation-min (hex order == numeric order at fixed width)."""
+    return hashlib.md5(s.encode()).hexdigest()[:8]
+
+
+def minhash_signature(text: str) -> list[str]:
+    """MinHash over md5-salted shingle hashes: sig[p] = min over shingles of
+    md5_hex8(p || ':' || shingle). Deterministic and oracle-reproducible."""
+    sh = set(_shingles(text))
+    if not sh:
+        return ["" for _ in range(MINHASH_PERMS)]
+    return [min(_md5_hex8(f"{p}:{s}") for s in sh)
+            for p in range(MINHASH_PERMS)]
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over shingle md5 hashes with tf weights."""
+    acc = np.zeros(64, dtype=np.int64)
+    from collections import Counter
+    for s, w in Counter(_shingles(text)).items():
+        h = np.uint64(int(hashlib.md5(s.encode()).hexdigest()[:16], 16))
+        bits = ((h >> np.arange(64, dtype=np.uint64)) &
+                np.uint64(1)).astype(np.int64)
+        acc += np.where(bits == 1, w, -w)
+    return int("".join("1" if b > 0 else "0" for b in acc[::-1]), 2)
+
+
+# ---------------------------------------------------------------- exact ----
+def dedup_exact(ds, key: str = "fingerprint", order_col: str = "doc_id",
+                keep: str = "min"):
+    """Keep one row per key: the min/max ``order_col`` winner.
+
+    groupby(key) hash shuffle; winner rule is deterministic so retries are
+    idempotent. ``keep='max'`` + order_col='warc_ts' == "latest crawl wins"
+    (the updateDocument upsert)."""
+    asc = keep == "min"
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(order_col, ascending=asc, kind="mergesort").head(1)
+
+    return ds.groupby(key).map_groups(pick, batch_format="pandas")
+
+
+# ------------------------------------------------------------- minhash ----
+def minhash_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, band, band_hash) rows — LSH_BANDS rows per doc."""
+    out_doc, out_band, out_hash = [], [], []
+    for did, text in zip(batch["doc_id"].to_pylist(),
+                         batch["text"].to_pylist()):
+        if not _shingles(text):
+            continue  # no shingles → no signature (oracle parity)
+        sig = minhash_signature(text)
+        for b in range(LSH_BANDS):
+            band_vals = sig[b * LSH_ROWS:(b + 1) * LSH_ROWS]
+            out_doc.append(did)
+            out_band.append(b)
+            out_hash.append("-".join(band_vals))
+    return pa.table({"doc_id": pa.array(out_doc, pa.int64()),
+                     "band": pa.array(out_band, pa.int64()),
+                     "band_hash": pa.array(out_hash, pa.string())})
+
+
+def minhash_batch_ds(sf_dir: str):
+    """(doc_id, band, band_hash) rows as a Dataset (LSH explode stage)."""
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]) \
+             .map_batches(minhash_batch, batch_format="pyarrow")
+
+
+def minhash_candidate_pairs(sf_dir: str):
+    """Near-dup candidate pairs (a < b) sharing any LSH band bucket."""
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    bands = ds.map_batches(minhash_batch, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].unique().tolist())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1:]])
+        return pd.DataFrame({"a": list(a), "b": list(b)})
+
+    cand = bands.groupby(["band", "band_hash"]).map_groups(
+        pairs, batch_format="pandas")
+    # dedupe pairs found in multiple bands
+    return cand.groupby(["a", "b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
+# ------------------------------------------------------------- simhash ----
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    sigs = [simhash64(t) for t in batch["text"].to_pylist()]
+    return pa.table({"doc_id": batch["doc_id"],
+                     "simhash": pa.array(np.array(sigs, dtype=np.uint64))})
+
+
+def simhash_signatures(sf_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]) \
+             .map_batches(simhash_batch, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- ngram jaccard ----
+def jaccard_pairs(sf_dir: str, threshold: float = 0.5):
+    """Exact token-3-gram Jaccard over all pairs sharing a shingle.
+
+    Shuffle = groupby(shingle) then groupby(pair); per-shingle groups are
+    candidate generators (head shingles are the skew risk — at scale cap
+    bucket size / drop ultra-common shingles, the standard LSH trick; the
+    sf-scale exact version keeps everything so the oracle can match).
+    Output: (a, b, jaccard) for pairs with jaccard >= threshold.
+    """
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        out_doc, out_sh = [], []
+        for did, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            for s in set(_shingles(text)):
+                out_doc.append(did)
+                out_sh.append(s)
+        return pa.table({"doc_id": pa.array(out_doc, pa.int64()),
+                         "shingle": pa.array(out_sh, pa.string())})
+
+    rows = ds.map_batches(shingle_rows, batch_format="pyarrow")
+
+    # per-doc distinct-shingle counts (for |A| + |B|), broadcast to verifiers
+    import ray
+    sizes_df = rows.groupby("doc_id").count().to_pandas()
+    sizes = dict(zip(sizes_df["doc_id"], sizes_df["count()"]))
+    sizes_ref = ray.put(sizes)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].unique().tolist())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1:]])
+        return pd.DataFrame({"a": list(a), "b": list(b)})
+
+    pairs = rows.groupby("shingle").map_groups(bucket_pairs,
+                                               batch_format="pandas")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+        sz = _ray.get(sizes_ref)
+        a = int(g["a"].iloc[0])
+        b = int(g["b"].iloc[0])
+        inter = len(g)  # one row per shared shingle
+        j = inter / (sz[a] + sz[b] - inter)
+        if j >= threshold:
+            return pd.DataFrame({"a": [a], "b": [b], "jaccard": [j]})
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+
+    return pairs.groupby(["a", "b"]).map_groups(verify, batch_format="pandas")

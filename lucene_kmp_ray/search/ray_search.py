@@ -1,0 +1,169 @@
+"""Distributed query execution over Ray Data.
+
+SURVEY §3.2 "→ Ray Data shape": a dataset of (segment × query-batch) work
+items streams through an actor pool; each actor caches the SegmentReaders it
+has opened (the SearcherManager / leaf-slice role, IndexSearcher.kt:227-228)
+and emits per-(query, segment) top-k rows; a groupby(query_id).map_groups
+reduce reproduces ``TopDocs.merge`` ordering exactly: (score desc, segment
+asc, local doc asc), ``TopDocs.kt:166-207``.
+
+Partitioning story at scale: segments shard across the cluster (one work
+item per segment — 10^12 docs / 1M-doc segments = 10^6 items), queries are
+tiny and broadcast via ``ray.put`` once, never re-shipped per batch. The
+final groupby moves only per-(query, segment) top-k rows: k × #segments ×
+#queries, independent of corpus size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..index.reader import IndexReader
+from ..similarity.bm25 import BM25Similarity
+from .query import Query
+from .searcher import Searcher, _topk_idx
+
+
+class SegmentSearchActor:
+    """Actor-pool stage: holds open SegmentReaders + resolved query scorers.
+
+    ``__init__`` runs once per actor (stats resolution + reader open);
+    ``__call__`` scores one batch of (seg,) work items against all queries.
+    """
+
+    def __init__(self, index_dir: str, queries_ref, k: int, dtype: str):
+        import ray
+        self.queries: dict[str, Query] = ray.get(queries_ref)
+        self.k = k
+        self.reader = IndexReader(index_dir)
+        self.searcher = Searcher(self.reader, BM25Similarity(dtype=dtype))
+        self.by_seg = {sr.seg: (i, sr)
+                       for i, sr in enumerate(self.reader.segment_readers)}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"query_id": [], "seg": [], "doc": [], "score": [],
+               "doc_id": [], "url": []}
+        for seg in batch["seg"].tolist():
+            si, sr = self.by_seg[seg]
+            for qid, query in self.queries.items():
+                docs, scores = self.searcher._score_segment(sr, query)
+                sel = _topk_idx(scores, docs, self.k)
+                docs, scores = docs[sel], scores[sel]
+                dm = sr.doc_meta
+                out["query_id"].extend([qid] * len(docs))
+                out["seg"].extend([seg] * len(docs))
+                out["doc"].extend(docs.tolist())
+                out["score"].extend(np.asarray(scores, dtype=np.float64).tolist())
+                out["doc_id"].extend(
+                    dm["doc_id"].take(docs).to_pylist())  # type: ignore[arg-type]
+                out["url"].extend(dm["url"].take(docs).to_pylist())
+        return pd.DataFrame(out)
+
+
+def search_distributed(index_dir: str, queries: dict[str, Query], k: int = 10,
+                       concurrency: int = 4, dtype: str = "float32"):
+    """Run many queries over all segments → Dataset of global top-k rows
+    with columns (query_id, doc_id, url, score, rank)."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    reader = IndexReader(index_dir)
+    segs = [m["seg"] for m in reader.manifest["segments"]]
+    queries_ref = ray.put(queries)  # broadcast once, read per actor
+
+    ds = rd.from_arrow(pa.table({"seg": pa.array(segs, pa.int64())}))
+    per_seg = ds.map_batches(
+        SegmentSearchActor,
+        fn_constructor_args=(index_dir, queries_ref, k, dtype),
+        batch_format="pandas", batch_size=8, concurrency=concurrency)
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "seg", "doc"],
+                          ascending=[False, True, True],
+                          kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "doc_id", "url", "score"]]
+
+    return per_seg.groupby("query_id").map_groups(merge_topk,
+                                                  batch_format="pandas")
+
+
+class SegmentMatchActor:
+    """Emit ALL matches (doc_id, url, score) of one query per segment —
+    the no-limit collector path (TotalHitCountCollector / exhaustive)."""
+
+    def __init__(self, index_dir: str, query_ref, dtype: str):
+        import ray
+        self.query: Query = ray.get(query_ref)
+        self.reader = IndexReader(index_dir)
+        self.searcher = Searcher(self.reader, BM25Similarity(dtype=dtype))
+        self.by_seg = {sr.seg: sr for sr in self.reader.segment_readers}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for seg in batch["seg"].tolist():
+            sr = self.by_seg[seg]
+            docs, scores = self.searcher._score_segment(sr, self.query)
+            dm = sr.doc_meta
+            frames.append(pd.DataFrame({
+                "doc_id": dm["doc_id"].take(docs).to_pylist(),
+                "url": dm["url"].take(docs).to_pylist(),
+                "score": np.asarray(scores, dtype=np.float64)}))
+        return pd.concat(frames) if frames else pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "url": pd.Series([], dtype="string"),
+             "score": pd.Series([], dtype="float64")})
+
+
+def search_all_matches(index_dir: str, query: Query, dtype: str = "float64",
+                       concurrency: int = 4):
+    """All matching docs of ``query`` as a Dataset (doc_id, url, score)."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    reader = IndexReader(index_dir)
+    segs = [m["seg"] for m in reader.manifest["segments"]]
+    ds = rd.from_arrow(pa.table({"seg": pa.array(segs, pa.int64())}))
+    return ds.map_batches(SegmentMatchActor,
+                          fn_constructor_args=(index_dir, ray.put(query), dtype),
+                          batch_format="pandas", batch_size=8,
+                          concurrency=concurrency)
+
+
+def phrase_freqs_distributed(index_dir: str, terms: list[str],
+                             concurrency: int = 4):
+    """(doc_id, freq) of exact-phrase matches — the positional-join operator
+    run segment-parallel (ExactPhraseMatcher, SURVEY §2.5)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .searcher import _exact_phrase
+
+    reader = IndexReader(index_dir)
+    segs = [m["seg"] for m in reader.manifest["segments"]]
+
+    class PhraseActor:
+        def __init__(self):
+            self.reader = IndexReader(index_dir)
+            self.by_seg = {sr.seg: sr for sr in self.reader.segment_readers}
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            frames = []
+            for seg in batch["seg"].tolist():
+                sr = self.by_seg[seg]
+                docs, freqs = _exact_phrase(sr, terms)
+                dm = sr.doc_meta
+                frames.append(pd.DataFrame({
+                    "doc_id": dm["doc_id"].take(docs).to_pylist(),
+                    "freq": freqs.astype(np.int64)}))
+            return pd.concat(frames) if frames else pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "freq": pd.Series([], dtype="int64")})
+
+    ds = rd.from_arrow(pa.table({"seg": pa.array(segs, pa.int64())}))
+    return ds.map_batches(PhraseActor, batch_format="pandas", batch_size=8,
+                          concurrency=concurrency)

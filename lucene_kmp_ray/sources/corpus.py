@@ -63,17 +63,89 @@ def corpus_table(sf_dir: str) -> pa.Table:
     return _derive(pq.read_table(f"{sf_dir}/documents.parquet"))
 
 
-def corpus_dataset(sf_dir: str, columns: list[str] | None = None):
+def corpus_shards(sf_dir: str, segment_size: int, expand: int = 1):
+    """Shard specs + loader for the shuffle-free build path.
+
+    The virtual corpus is ``expand`` deterministic copies of
+    documents.parquet (global row r ↦ doc_id r, text of source row r % n);
+    shard k covers global rows [k*segment_size, (k+1)*segment_size) — fully
+    deterministic, independent of Ray scheduling. The loader caches the
+    (tiny) source table per worker process. At real web scale a shard is
+    simply one input Parquet file (docIDs from file order).
+    """
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/documents.parquet"
+    n = pq.read_metadata(path).num_rows
+    total = n * expand
+    shards = [{"seg": seg, "row_lo": lo, "row_hi": min(lo + segment_size, total)}
+              for seg, lo in enumerate(range(0, total, segment_size))]
+
+    def make_docs(spec: dict) -> pa.Table:
+        src = _cached_source(path)
+        lo, hi = spec["row_lo"], spec["row_hi"]
+        parts = []
+        r = lo
+        while r < hi:
+            c, off = divmod(r, n)
+            take = min(n - off, hi - r)
+            sl = src.slice(off, take)
+            if c:
+                sl = sl.set_column(
+                    sl.schema.get_field_index("doc_id"), "doc_id",
+                    pc.add(sl["doc_id"], c * n))
+            parts.append(sl)
+            r += take
+        return _derive(pa.concat_tables(parts)).select(
+            ["doc_id", "url", "text"])
+
+    return shards, make_docs
+
+
+_SOURCE_CACHE: dict = {}
+
+
+def _cached_source(path: str) -> pa.Table:
+    t = _SOURCE_CACHE.get(path)
+    if t is None:
+        import pyarrow.parquet as pq
+        t = pq.read_table(path, columns=["doc_id", "text", "lang", "source"]) \
+            .sort_by("doc_id")
+        _SOURCE_CACHE[path] = t
+    return t
+
+
+def corpus_dataset(sf_dir: str, columns: list[str] | None = None,
+                   expand: int = 1):
     """Derived corpus as a streaming Ray Dataset (the build-path entry).
 
     At real scale this is a plain ``read_parquet`` of WARC-derived Parquet;
     here the derivation itself is the (cheap, vectorized) first map stage.
     Reads only the source columns actually required.
+
+    ``expand=K`` replicates the corpus K× deterministically (copy i gets
+    ``doc_id += i*N``, urls/timestamps re-derived) — the bench knob for
+    measuring throughput beyond the tiny synthetic table; no external data.
     """
+    import pyarrow.parquet as pq
     import ray.data as rd
 
     need_src = {"doc_id", "text", "lang", "source"}
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=sorted(need_src))
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(path, columns=sorted(need_src))
+    if expand > 1:
+        n = pq.read_metadata(path).num_rows
+
+        def replicate(tbl: pa.Table) -> pa.Table:
+            parts = []
+            for i in range(expand):
+                t = tbl.set_column(
+                    tbl.schema.get_field_index("doc_id"), "doc_id",
+                    pc.add(tbl["doc_id"], i * n))
+                parts.append(t)
+            return pa.concat_tables(parts)
+
+        ds = ds.map_batches(replicate, batch_format="pyarrow")
     ds = ds.map_batches(_derive, batch_format="pyarrow")
     if columns is not None:
         ds = ds.select_columns(columns)

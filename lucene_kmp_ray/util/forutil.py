@@ -47,18 +47,58 @@ def _width_of(block_max: int) -> int:
     return int(block_max).bit_length()
 
 
+def _bit_length_np(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.int64, copy=True)
+    out = np.zeros(v.shape, dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        mask = v >= (np.int64(1) << s)
+        out[mask] += s
+        v[mask] >>= s
+    out[v > 0] += 1
+    return out
+
+
 def encode_blocks(vals: np.ndarray) -> bytes:
-    """FOR-encode an int array into self-describing 128-value blocks."""
+    """FOR-encode an int array into self-describing 128-value blocks.
+
+    Vectorized across blocks: blocks sharing a bit width are packed with a
+    single ``np.packbits`` call and scattered into the output stream by
+    fancy indexing — no per-block Python work.
+    """
     v = np.asarray(vals, dtype=np.int64)
-    if v.size and v.min() < 0:
+    n = len(v)
+    if n == 0:
+        return b""
+    if v.min() < 0:
         raise ValueError("FOR encoding requires non-negative values")
-    out = bytearray()
-    for start in range(0, len(v), BLOCK_SIZE):
-        block = v[start:start + BLOCK_SIZE]
-        w = _width_of(block.max()) if len(block) else 0
-        out.append(w)
-        out += pack_ints(block, w)
-    return bytes(out)
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    padded = np.zeros(nblocks * BLOCK_SIZE, dtype=np.uint64)
+    padded[:n] = v.astype(np.uint64)
+    resh = padded.reshape(nblocks, BLOCK_SIZE)
+    widths = _bit_length_np(resh.max(axis=1))
+    counts = np.full(nblocks, BLOCK_SIZE, dtype=np.int64)
+    counts[-1] = n - (nblocks - 1) * BLOCK_SIZE
+    payload = (counts * widths + 7) // 8
+    # stream offsets: 1 header byte + payload per block
+    ends = np.cumsum(1 + payload)
+    starts = ends - (1 + payload)
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    out[starts] = widths.astype(np.uint8)
+    for w in np.unique(widths):
+        if w == 0:
+            continue
+        idx = np.flatnonzero(widths == w)
+        rows = resh[idx]  # (k, 128)
+        bits = ((rows[:, :, None] >> np.arange(w, dtype=np.uint64)) & 1) \
+            .astype(np.uint8)
+        packed = np.packbits(bits.reshape(len(idx), BLOCK_SIZE * int(w)),
+                             axis=1, bitorder="little")  # (k, 16*w)
+        # scatter each block's true payload bytes after its header byte
+        take = payload[idx]  # tail block may take fewer bytes
+        dest = (starts[idx] + 1)[:, None] + np.arange(packed.shape[1])
+        mask = np.arange(packed.shape[1])[None, :] < take[:, None]
+        out[dest[mask]] = packed[mask]
+    return out.tobytes()
 
 
 def decode_blocks(buf: bytes | memoryview, n: int) -> np.ndarray:
