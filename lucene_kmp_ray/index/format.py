@@ -119,35 +119,11 @@ def invert_segment(docs: pa.Table, seg: int,
     cs = pos_bounds
     ttf = cs[term_ends] - cs[term_starts]
 
-    docs_enc, freqs_enc, pos_enc = [], [], []
-    blk_last, blk_maxf, blk_minn = [], [], []
-    for t in range(n_terms):
-        lo, hi = term_starts[t], term_ends[t]
-        d = s_doc[lo:hi]
-        f = s_freq[lo:hi]
-        docs_enc.append(fu.encode_blocks(fu.delta_encode(d)))
-        freqs_enc.append(fu.encode_blocks(f))
-        pos_enc.append(fu.encode_blocks(
-            pos_delta[pos_bounds[lo]:pos_bounds[hi]]))
-        # per-128-doc-block skip + impact metadata
-        idx = np.arange(0, len(d), fu.BLOCK_SIZE)
-        blk_last.append(d[np.minimum(idx + fu.BLOCK_SIZE - 1, len(d) - 1)]
-                        .astype(np.int32))
-        blk_maxf.append(np.maximum.reduceat(f, idx).astype(np.int32))
-        blk_minn.append(np.minimum.reduceat(
-            norms[d].astype(np.int64), idx).astype(np.int32))
-
-    terms_table = pa.table({
-        "term": pa.array(uniques, type=pa.string()),
-        "df": pa.array(df, type=pa.int64()),
-        "ttf": pa.array(ttf, type=pa.int64()),
-        "docs_enc": pa.array(docs_enc, type=pa.binary()),
-        "freqs_enc": pa.array(freqs_enc, type=pa.binary()),
-        "pos_enc": pa.array(pos_enc, type=pa.binary()),
-        "block_last_doc": pa.array(blk_last, type=pa.list_(pa.int32())),
-        "block_max_freq": pa.array(blk_maxf, type=pa.list_(pa.int32())),
-        "block_min_norm": pa.array(blk_minn, type=pa.list_(pa.int32())),
-    })
+    terms_table = encode_term_table(
+        ((uniques[t], s_doc[term_starts[t]:term_ends[t]],
+          s_freq[term_starts[t]:term_ends[t]],
+          pos_delta[pos_bounds[term_starts[t]]:pos_bounds[term_ends[t]]])
+         for t in range(n_terms)), norms)
     docs_table = pa.table({
         "doc_id": docs["doc_id"],
         "url": docs["url"],
@@ -168,6 +144,46 @@ def invert_segment(docs: pa.Table, seg: int,
                     "entries": int(n_entries)},
     }
     return terms_table, docs_table, manifest
+
+
+def encode_term_table(entries, norms: np.ndarray) -> pa.Table:
+    """Encode per-term postings → the segment terms table.
+
+    ``entries`` yields ``(term, docs, freqs, pos_deltas)`` in ascending term
+    order: ``docs`` ascending local docIDs, ``freqs`` per-doc term freqs,
+    ``pos_deltas`` the flat within-entry delta-encoded positions (first of
+    each entry absolute). Emits delta+FOR encoded columns plus per-128-doc
+    block skip/impact metadata (Lucene101PostingsWriter.kt:96-107 role).
+    Shared by the segment builder (invert_segment) and the segment merger.
+    """
+    terms, dfs, ttfs = [], [], []
+    docs_enc, freqs_enc, pos_enc = [], [], []
+    blk_last, blk_maxf, blk_minn = [], [], []
+    for term, d, f, posd in entries:
+        terms.append(term)
+        dfs.append(len(d))
+        ttfs.append(int(f.sum()))
+        docs_enc.append(fu.encode_blocks(fu.delta_encode(d)))
+        freqs_enc.append(fu.encode_blocks(f))
+        pos_enc.append(fu.encode_blocks(posd))
+        # per-128-doc-block skip + impact metadata
+        idx = np.arange(0, len(d), fu.BLOCK_SIZE)
+        blk_last.append(d[np.minimum(idx + fu.BLOCK_SIZE - 1, len(d) - 1)]
+                        .astype(np.int32))
+        blk_maxf.append(np.maximum.reduceat(f, idx).astype(np.int32))
+        blk_minn.append(np.minimum.reduceat(
+            norms[d].astype(np.int64), idx).astype(np.int32))
+    return pa.table({
+        "term": pa.array(terms, type=pa.string()),
+        "df": pa.array(dfs, type=pa.int64()),
+        "ttf": pa.array(ttfs, type=pa.int64()),
+        "docs_enc": pa.array(docs_enc, type=pa.binary()),
+        "freqs_enc": pa.array(freqs_enc, type=pa.binary()),
+        "pos_enc": pa.array(pos_enc, type=pa.binary()),
+        "block_last_doc": pa.array(blk_last, type=pa.list_(pa.int32())),
+        "block_max_freq": pa.array(blk_maxf, type=pa.list_(pa.int32())),
+        "block_min_norm": pa.array(blk_minn, type=pa.list_(pa.int32())),
+    })
 
 
 def seg_dirname(seg: int) -> str:

@@ -1,0 +1,223 @@
+"""Log-structured tiered merges of immutable segments.
+
+The policy reimplements the *geometry* of ``TieredMergePolicy``
+(``/root/reference/core/.../index/TieredMergePolicy.kt:66-91,225-232,
+566-587``): segments are bucketed into tiers by size, an allowed segment
+count is derived from the tier geometry (``segmentsPerTier`` per tier,
+sizes floored at ``floor_docs``), and when over budget the policy picks the
+candidate merge with the best (lowest) skew×size score. We measure size in
+documents, not bytes — our segments are doc-count-balanced by construction
+and carry no deletes, so docs ∝ bytes (the reclaim term of the reference's
+score is always 1 here).
+
+The merge itself is ``SegmentMerger.merge`` re-expressed over Arrow
+(``index/SegmentMerger.kt:93-143``, docID remap ``DocIDMerger.kt:13-35``):
+postings of the same term are concatenated in segment order with local
+docIDs rebased by the new segment's doc bases, then delta+FOR re-encoded
+with fresh skip/impact block metadata; per-doc rows concatenate in the same
+order, so the merged segment is bit-equivalent to one built from the union
+corpus. Each merge runs as one Ray task (the ConcurrentMergeScheduler
+worker analog, ``ConcurrentMergeScheduler.kt:77-142``) — merges are
+independent and fan out in parallel; the driver commits the new manifest
+only after every merge landed (two-phase, crash = old manifest intact).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..util import forutil as fu
+from .builder import commit_index
+from .format import (DOCS_FILE, TERMS_FILE, encode_term_table, seg_dirname,
+                     write_segment)
+
+# TieredMergePolicy.kt defaults, re-based on docs (5GB/16MB ≈ 320:1 ratio
+# preserved): segments under the floor count as floor-sized.
+DEFAULT_SEGMENTS_PER_TIER = 10
+DEFAULT_FLOOR_DOCS = 10_000
+DEFAULT_MAX_MERGED_DOCS = 3_200_000
+DEFAULT_MAX_MERGE_AT_ONCE = 10
+
+
+def find_merges(segments: list[dict],
+                segments_per_tier: int = DEFAULT_SEGMENTS_PER_TIER,
+                floor_docs: int = DEFAULT_FLOOR_DOCS,
+                max_merged_docs: int = DEFAULT_MAX_MERGED_DOCS,
+                max_merge_at_once: int = DEFAULT_MAX_MERGE_AT_ONCE,
+                ) -> list[list[int]]:
+    """Plan merges over segment manifests → list of seg-id groups.
+
+    Pure manifest math (no data touched), the ``findMerges`` analog
+    (TieredMergePolicy.kt:266): compute the allowed segment count from tier
+    geometry, then greedily pick the best-scored candidate among windows of
+    the size-sorted segment list until within budget. Score = skew ×
+    size^0.05 (lower is better, TieredMergePolicy.kt:566-587) where skew =
+    max/(sum of floored sizes) — merging similar-sized segments wins.
+    """
+    live = [(m["seg"], max(m["doc_count"], 1)) for m in segments]
+    total = sum(s for _, s in live)
+    merges: list[list[int]] = []
+
+    while True:
+        # allowed count: levels of segments_per_tier from floor upward
+        allowed, level_size, remaining = 0, float(floor_docs), float(total)
+        while True:
+            if remaining <= level_size * segments_per_tier:
+                allowed += max(1, int(np.ceil(remaining / level_size)))
+                break
+            allowed += segments_per_tier
+            remaining -= level_size * segments_per_tier
+            level_size *= segments_per_tier
+        eligible = [(seg, sz) for seg, sz in live if sz < max_merged_docs]
+        if len(live) <= allowed or len(eligible) < 2:
+            return merges
+        by_size = sorted(eligible, key=lambda t: (-t[1], t[0]))
+        best, best_score = None, None
+        for lo in range(len(by_size) - 1):
+            cand, csum = [], 0
+            for seg, sz in by_size[lo:]:
+                if len(cand) >= max_merge_at_once or \
+                        csum + sz > max_merged_docs:
+                    break
+                cand.append((seg, sz))
+                csum += sz
+            if len(cand) < 2:
+                continue
+            floored = [max(sz, floor_docs) for _, sz in cand]
+            skew = max(floored) / sum(floored)
+            score = skew * (csum ** 0.05)
+            if best_score is None or score < best_score:
+                best, best_score = cand, score
+        if best is None:
+            return merges
+        merges.append(sorted(seg for seg, _ in best))
+        merged_size = sum(sz for _, sz in best)
+        chosen = set(seg for seg, _ in best)
+        live = [(seg, sz) for seg, sz in live if seg not in chosen]
+        live.append((-len(merges), merged_size))  # placeholder id
+
+
+def merge_segments(index_dir: str, segs: list[int], new_seg: int) -> dict:
+    """k-way merge ``segs`` → one new segment ``new_seg`` (pure, no Ray).
+
+    Reads the source segments' term + doc tables, rebases local docIDs by
+    cumulative doc bases (segment order = ascending seg id, the addIndexes
+    ordering), re-encodes every posting list, recomputes skip/impact
+    metadata, and atomically writes the new segment directory.
+    """
+    t0 = time.monotonic()
+    segs = sorted(segs)
+    dirs = [os.path.join(index_dir, "segments", seg_dirname(s)) for s in segs]
+    doc_tables = [pq.read_table(os.path.join(d, DOCS_FILE)) for d in dirs]
+    bases = np.append(0, np.cumsum([t.num_rows for t in doc_tables]))[:-1]
+    docs_table = pa.concat_tables(doc_tables).combine_chunks()
+    norms = docs_table["norm"].to_numpy().astype(np.uint8)
+    n_docs = docs_table.num_rows
+
+    # decode every source posting, rebase docs, bucket by term
+    per_term: dict[str, list] = {}
+    for si, d in enumerate(dirs):
+        tt = pq.read_table(os.path.join(d, TERMS_FILE))
+        terms = tt["term"].to_pylist()
+        dfs = tt["df"].to_numpy()
+        ttfs = tt["ttf"].to_numpy()
+        de = tt["docs_enc"].to_pylist()
+        fe = tt["freqs_enc"].to_pylist()
+        pe = tt["pos_enc"].to_pylist()
+        for i, term in enumerate(terms):
+            docs = fu.delta_decode(fu.decode_blocks(de[i], int(dfs[i])))
+            freqs = fu.decode_blocks(fe[i], int(dfs[i]))
+            posd = fu.decode_blocks(pe[i], int(ttfs[i]))
+            per_term.setdefault(term, []).append(
+                (docs + bases[si], freqs, posd))
+
+    uniq = sorted(per_term)
+    merged = []
+    for term in uniq:
+        parts = per_term[term]
+        d = np.concatenate([p[0] for p in parts])
+        f = np.concatenate([p[1] for p in parts])
+        # per-entry position deltas concatenate unchanged: the delta chain
+        # restarts at every entry (first position absolute), and entries
+        # never span segments
+        posd = np.concatenate([p[2] for p in parts])
+        merged.append((term, d, f, posd))
+
+    terms_table = encode_term_table(merged, norms)
+    lengths = docs_table["length"].to_numpy()
+    df_total = int(sum(len(d) for _, d, _, _ in merged))
+    manifest = {
+        "seg": int(new_seg),
+        "doc_count": int(n_docs),
+        "sum_total_term_freq": int(lengths.sum()),
+        "sum_doc_freq": df_total,
+        "unique_terms": len(uniq),
+        "doc_id_min": int(docs_table["doc_id"][0].as_py()) if n_docs else None,
+        "doc_id_max": int(docs_table["doc_id"][n_docs - 1].as_py())
+        if n_docs else None,
+        "lineage": {"merged_from": [int(s) for s in segs]},
+        "metrics": {"merge_sec": round(time.monotonic() - t0, 4)},
+    }
+    return write_segment(index_dir, terms_table, docs_table, manifest)
+
+
+def run_merges(index_dir: str, merges: list[list[int]] | None = None,
+               delete_merged: bool = True, **policy_kw) -> dict:
+    """Execute one round of tiered merges (parallel Ray tasks) + commit.
+
+    ``merges=None`` plans via :func:`find_merges` on the current manifest.
+    New segments get ids above the current max. Returns the new global
+    manifest; source segment dirs are removed after the commit (the
+    IndexFileDeleter role — files unreferenced by the live manifest).
+    """
+    import json
+
+    import ray
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    seg_metas = {m["seg"]: m for m in manifest["segments"]}
+    if merges is None:
+        merges = find_merges(manifest["segments"], **policy_kw)
+    if not merges:
+        return manifest
+    next_seg = max(seg_metas) + 1
+
+    @ray.remote
+    def do_merge(segs: list[int], new_seg: int) -> str:
+        return json.dumps(merge_segments(index_dir, segs, new_seg))
+
+    jobs = [(group, next_seg + i) for i, group in enumerate(merges)]
+    new_manifests = [json.loads(s) for s in ray.get(
+        [do_merge.remote(g, ns) for g, ns in jobs])]
+
+    merged_away = {s for g, _ in jobs for s in g}
+    survivors = [seg_metas[s] for s in sorted(seg_metas)
+                 if s not in merged_away]
+    all_metas = survivors + new_manifests
+    out = commit_index(index_dir, all_metas)
+    if delete_merged:
+        for s in sorted(merged_away):
+            shutil.rmtree(os.path.join(index_dir, "segments",
+                                       seg_dirname(s)), ignore_errors=True)
+    return out
+
+
+def force_merge(index_dir: str, max_segments: int = 1) -> dict:
+    """``IndexWriter.forceMerge`` analog: merge down to ≤ max_segments."""
+    import json
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    segs = sorted(m["seg"] for m in manifest["segments"])
+    if len(segs) <= max_segments:
+        return manifest
+    groups = [list(g) for g in np.array_split(np.array(segs), max_segments)
+              if len(g) >= 2]
+    groups = [[int(s) for s in g] for g in groups]
+    return run_merges(index_dir, merges=groups)

@@ -1,0 +1,116 @@
+"""Tiered merge: policy geometry + k-way segment merge equivalence.
+
+Assertion style follows the reference's TestAddIndexes / TestDuelingCodecs
+(SURVEY §5): a merged index must be *query-equivalent* to the unmerged one
+(identical stats, postings, and top-k docIDs+scores), and a full merge must
+be bit-equivalent to a single-segment build of the same corpus.
+"""
+
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_kmp_ray.index.builder import build_index
+from lucene_kmp_ray.index.merge import find_merges, force_merge, run_merges
+from lucene_kmp_ray.index.reader import IndexReader
+from lucene_kmp_ray.search import (BooleanQuery, Occur, PhraseQuery, Searcher,
+                                   TermQuery)
+from lucene_kmp_ray.sources.corpus import corpus_dataset
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory, ray_session):
+    base = tmp_path_factory.mktemp("merge")
+    many = str(base / "many")
+    one = str(base / "one")
+    build_index(corpus_dataset(SF), many, segment_size=50)   # 10 segments
+    build_index(corpus_dataset(SF), one, segment_size=10_000)  # 1 segment
+    return many, one
+
+
+def _topk(index_dir, query, k=10):
+    td = Searcher(IndexReader(index_dir)).search(query, k=k)
+    return [(h.doc_id, h.score) for h in td.score_docs], td.total_hits
+
+
+def test_find_merges_geometry():
+    segs = [{"seg": i, "doc_count": 1000} for i in range(25)]
+    plans = find_merges(segs, segments_per_tier=10, floor_docs=1000)
+    assert plans, "25 equal segments at tier=10 must trigger a merge"
+    for g in plans:
+        assert 2 <= len(g) <= 10
+    chosen = [s for g in plans for s in g]
+    assert len(chosen) == len(set(chosen)), "a segment merges at most once"
+
+    # under budget → no merges
+    assert find_merges(segs[:5], segments_per_tier=10, floor_docs=1000) == []
+
+    # max_merged_docs caps candidate size
+    plans = find_merges(segs, segments_per_tier=2, floor_docs=1000,
+                        max_merged_docs=3000)
+    assert all(sum(1000 for _ in g) <= 3000 for g in plans)
+
+
+def test_merge_preserves_search(built):
+    many, one = built
+    work = many + "_copy"
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(many, work)
+
+    queries = {
+        "t": TermQuery("spark"),
+        "and": BooleanQuery.build((Occur.MUST, TermQuery("spark")),
+                                  (Occur.MUST, TermQuery("join"))),
+        "not": BooleanQuery.build((Occur.MUST, TermQuery("the")),
+                                  (Occur.MUST_NOT, TermQuery("spark"))),
+        "ph": PhraseQuery(("batch", "batch")),
+    }
+    # merge changes segment ids, so equal-score TIES may legally reorder
+    # (exactly as in Lucene: tie-break is by (seg, doc)). The invariant is
+    # the full per-doc score map — compare every hit, sorted by
+    # (score desc, doc_id) which is merge-independent.
+    before = {k: _topk(work, q, k=1000) for k, q in queries.items()}
+
+    man = run_merges(work, merges=[[0, 1, 2], [3, 4]])
+    assert len(man["segments"]) == 10 - 5 + 2
+    after = {k: _topk(work, q, k=1000) for k, q in queries.items()}
+    for k in queries:
+        (h0, n0), (h1, n1) = before[k], after[k]
+        assert n0 == n1
+        key = lambda h: sorted((-s, d) for d, s in h)  # noqa: E731
+        assert key(h0) == key(h1)  # float-identical scores, same docs
+
+
+def test_force_merge_matches_single_segment_build(built):
+    many, one = built
+    work = many + "_force"
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(many, work)
+    man = force_merge(work, max_segments=1)
+    assert len(man["segments"]) == 1
+
+    # merged segment must equal the from-scratch single-segment build,
+    # column for column (terms, postings bytes, norms)
+    seg_m = man["segments"][0]["dir"]
+    with open(f"{one}/manifest.json") as f:
+        import json
+        seg_1 = json.load(f)["segments"][0]["dir"]
+    tm = pq.read_table(f"{work}/{seg_m}/terms.parquet")
+    t1 = pq.read_table(f"{one}/{seg_1}/terms.parquet")
+    assert tm.equals(t1)
+    dm = pq.read_table(f"{work}/{seg_m}/docs.parquet")
+    d1 = pq.read_table(f"{one}/{seg_1}/docs.parquet")
+    assert dm.equals(d1)
+
+    # global stats invariant under merge
+    with open(f"{work}/manifest.json") as f:
+        import json
+        mw = json.load(f)
+    with open(f"{many}/manifest.json") as f:
+        mo = json.load(f)
+    for k in ("doc_count", "sum_total_term_freq", "sum_doc_freq"):
+        assert mw[k] == mo[k]
