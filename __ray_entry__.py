@@ -21,10 +21,15 @@ import pyarrow.compute as pc
 
 from lucene_kmp_ray import oracle
 from lucene_kmp_ray.pipelines import ann, dedup, textstats
-from lucene_kmp_ray.search import BooleanQuery, Occur, PhraseQuery, TermQuery
+from lucene_kmp_ray.search import (BooleanQuery, DisjunctionMaxQuery,
+                                   FuzzyQuery, Occur, PhraseQuery,
+                                   PrefixQuery, RangeFilterQuery, Searcher,
+                                   SynonymQuery, TermInSetQuery, TermQuery,
+                                   TermRangeQuery, WildcardQuery)
 from lucene_kmp_ray.search.ray_search import (phrase_freqs_distributed,
                                               search_all_matches,
-                                              search_distributed)
+                                              search_distributed,
+                                              search_sorted_by_field)
 from lucene_kmp_ray.sources.corpus import corpus_dataset
 from lucene_kmp_ray.util.smallfloat import LENGTH_TABLE_INT
 
@@ -40,6 +45,17 @@ AND_TERMS = ["join", "spark"]
 NOT_PAIR = ("spark", "join")  # MUST spark, MUST_NOT join
 PHRASE_2 = ["batch", "batch"]
 PHRASE_3 = ["big", "order", "scan"]  # present at every sf
+AND_SORTED = ("join", "spark")  # sorted for deterministic clause order
+DISMAX_TB = 0.3
+
+
+def _dismax(sf_dir: str):
+    import pandas as pd
+    df = _topk(sf_dir, DisjunctionMaxQuery(
+        (TermQuery(AND_SORTED[0]), TermQuery(AND_SORTED[1])), DISMAX_TB))
+    df = df.rename(columns={"score": "score_r"})
+    df["score_r"] = np.round(df["score_r"], 6)
+    return df
 
 
 def _ensure_index(sf_dir: str) -> str:
@@ -181,6 +197,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ensure_index(sf), PHRASE_2),
         "phrase_top10": lambda sf: _topk(sf, PhraseQuery(tuple(PHRASE_3))),
         "count_term_the": lambda sf: _count_term(sf, TERM_B),
+        # --- multi-term expansion family (SURVEY §2.5 MultiTermQuery) ---
+        "prefix_all": lambda sf: search_all_matches(
+            _ensure_index(sf), PrefixQuery("sp")),
+        "wildcard_all": lambda sf: search_all_matches(
+            _ensure_index(sf), WildcardQuery("s*k")),
+        "term_range_all": lambda sf: search_all_matches(
+            _ensure_index(sf), TermRangeQuery("order", "spark")),
+        "term_in_set_all": lambda sf: search_all_matches(
+            _ensure_index(sf), TermInSetQuery(("spark", "window", "zzz"))),
+        "fuzzy_all": lambda sf: search_all_matches(
+            _ensure_index(sf), FuzzyQuery("scan", max_edits=1)),
+        # --- synonym / dismax / filter / field sort ---
+        "synonym_top10": lambda sf: _topk(sf, SynonymQuery(AND_SORTED)),
+        "dismax_top10": _dismax,
+        "range_filter_all": lambda sf: search_all_matches(
+            _ensure_index(sf), BooleanQuery.build(
+                (Occur.MUST, TermQuery(TERM_A)),
+                (Occur.FILTER, RangeFilterQuery("length", 40, 60)))),
+        "sorted_by_length": lambda sf: search_sorted_by_field(
+            _ensure_index(sf), TermQuery(TERM_A), "length", k=20),
         # --- training-data ops: text analysis ---
         "token_counts": textstats.token_counts,
         "quality": textstats.quality,
@@ -230,6 +266,15 @@ def oracle_sql() -> dict[str, str]:
         "phrase_counts": oracle.phrase_counts(PHRASE_2),
         "phrase_top10": oracle.phrase_topk(PHRASE_3),
         "count_term_the": oracle.count_term(TERM_B),
+        "prefix_all": oracle.prefix_all("sp"),
+        "wildcard_all": oracle.wildcard_all("s.*k"),
+        "term_range_all": oracle.term_range_all("order", "spark"),
+        "term_in_set_all": oracle.term_in_set_all(("spark", "window", "zzz")),
+        "fuzzy_all": oracle.fuzzy_all("scan", 1),
+        "synonym_top10": oracle.synonym_topk(AND_SORTED),
+        "dismax_top10": oracle.dismax_topk(AND_SORTED, DISMAX_TB),
+        "range_filter_all": oracle.range_filter_all(TERM_A, 40, 60),
+        "sorted_by_length": oracle.sorted_by_length(TERM_A, 20),
         "token_counts": oracle.token_counts(),
         "quality": oracle.quality(),
         "langid": oracle.langid(),

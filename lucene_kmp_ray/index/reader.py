@@ -82,6 +82,17 @@ class SegmentReader:
         t = self.terms_table
         return {name: t[name][i].as_py() for name in t.column_names}
 
+    def postings_at(self, i: int, positions: bool = False):
+        """Decoded postings of the i-th term in the sorted dictionary —
+        the TermsEnum-by-ordinal path used by MultiTermQuery expansion."""
+        t = self.terms_table
+        row = {name: t[name][i].as_py() for name in t.column_names}
+        if positions:
+            return decode_postings(row["df"], row["ttf"], row["docs_enc"],
+                                   row["freqs_enc"], row["pos_enc"])
+        return decode_postings(row["df"], row["ttf"], row["docs_enc"],
+                               row["freqs_enc"])
+
     def postings(self, term: str, positions: bool = False):
         """Decoded postings (docs, freqs[, flat_positions]) or None."""
         row = self.term_row(term)

@@ -379,3 +379,99 @@ ranked AS (
 SELECT query_id, rank, vec_id, round(cos, 6) AS score_r
 FROM ranked WHERE rank <= {k}
 """
+
+
+# --------------------- multi-term / synonym / dismax / sort ---------------
+def _multiterm_all(term_pred: str) -> str:
+    """Constant-score expansion: docs containing any term matching the
+    predicate (MultiTermQuery CONSTANT_SCORE rewrite)."""
+    return preamble() + f"""
+SELECT DISTINCT p.doc_id, c.url, 1.0 AS score
+FROM postings p JOIN corpus c USING (doc_id)
+WHERE {term_pred}
+"""
+
+
+def prefix_all(prefix: str) -> str:
+    return _multiterm_all(f"p.term LIKE '{prefix}%'")
+
+
+def wildcard_all(regex: str) -> str:
+    return _multiterm_all(f"regexp_full_match(p.term, '{regex}')")
+
+
+def term_range_all(lo: str, hi: str) -> str:
+    return _multiterm_all(f"p.term >= '{lo}' AND p.term <= '{hi}'")
+
+
+def term_in_set_all(terms: tuple[str, ...]) -> str:
+    in_list = ", ".join(repr(t) for t in sorted(set(terms)))
+    return _multiterm_all(f"p.term IN ({in_list})")
+
+
+def fuzzy_all(term: str, max_edits: int) -> str:
+    return _multiterm_all(f"levenshtein(p.term, '{term}') <= {max_edits}")
+
+
+def synonym_topk(terms: tuple[str, ...], k: int = 10) -> str:
+    """SynonymQuery: freq = Σ term freqs per doc, df = max of term dfs
+    (SynonymQuery.kt:182-202)."""
+    in_list = ", ".join(repr(t) for t in terms)
+    df = (f"(SELECT max(df) FROM tstats WHERE term IN ({in_list}))")
+    score = score_sql("f.freq", "n.dln", idf_sql(df))
+    return preamble() + f""",
+syn AS (
+  SELECT doc_id, sum(freq) AS freq FROM postings
+  WHERE term IN ({in_list}) GROUP BY doc_id
+)
+SELECT f.doc_id, c.url, {score} AS score
+FROM syn f JOIN normd n USING (doc_id) JOIN corpus c USING (doc_id)
+ORDER BY score DESC, f.doc_id LIMIT {k}
+"""
+
+
+def dismax_topk(terms: tuple[str, ...], tie_breaker: float,
+                k: int = 10) -> str:
+    """DisjunctionMaxQuery: max + tie_breaker × (sum - max)."""
+    ctes = ",\n".join(
+        f"sc{i} AS ({term_scored_cte(repr(t))})" for i, t in enumerate(terms))
+    ids = " UNION ".join(f"SELECT doc_id FROM sc{i}"
+                         for i in range(len(terms)))
+    joins = "".join(f" LEFT JOIN sc{i} ON sc{i}.doc_id = d.doc_id"
+                    for i in range(len(terms)))
+    vals = ", ".join(f"COALESCE(sc{i}.score, NULL)"
+                     for i in range(len(terms)))
+    mx = f"GREATEST({vals})"
+    total = " + ".join(f"COALESCE(sc{i}.score, 0)"
+                       for i in range(len(terms)))
+    return preamble() + f""",
+{ctes},
+docs AS ({ids})
+SELECT d.doc_id, c.url,
+       round({mx} + {tie_breaker} * (({total}) - {mx}), 6) AS score_r
+FROM docs d{joins} JOIN corpus c ON c.doc_id = d.doc_id
+ORDER BY score_r DESC, d.doc_id LIMIT {k}
+"""
+
+
+def range_filter_all(term: str, lo: int, hi: int) -> str:
+    """MUST(term) ∧ FILTER(doc length in [lo, hi]) — full match set; the
+    filter restricts matches but never changes the score."""
+    return preamble() + f""",
+scored AS ({term_scored_cte(repr(term))})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN doclen d USING (doc_id) JOIN corpus c USING (doc_id)
+WHERE d.dl BETWEEN {lo} AND {hi}
+"""
+
+
+def sorted_by_length(term: str, k: int = 20) -> str:
+    """TopFieldCollector: matches of ``term`` ordered by doc length desc,
+    tie-break doc_id asc."""
+    return preamble() + f"""
+SELECT row_number() OVER (ORDER BY d.dl DESC, p.doc_id) AS rank,
+       p.doc_id, c.url, d.dl AS length
+FROM postings p JOIN doclen d USING (doc_id) JOIN corpus c USING (doc_id)
+WHERE p.term = '{term}'
+ORDER BY d.dl DESC, p.doc_id LIMIT {k}
+"""

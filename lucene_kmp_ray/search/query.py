@@ -58,6 +58,196 @@ class BoostQuery(Query):
         return self.query.terms()
 
 
+@dataclass(frozen=True)
+class SynonymQuery(Query):
+    """Scores multiple terms as one (``search/SynonymQuery.kt:40``):
+    per-doc freq = sum over terms, blended stats df = max(term dfs),
+    ttf = sum(term ttfs) — SynonymQuery.kt:182-202."""
+    synonym_terms: tuple[str, ...]
+
+    def terms(self):
+        return list(self.synonym_terms)
+
+
+@dataclass(frozen=True)
+class DisjunctionMaxQuery(Query):
+    """Union of disjuncts scored max + tie_breaker × (sum of non-max) —
+    ``search/DisjunctionMaxQuery.kt:11-42``."""
+    disjuncts: tuple[Query, ...]
+    tie_breaker: float = 0.0
+
+    def terms(self):
+        return [t for q in self.disjuncts for t in q.terms()]
+
+
+class MultiTermQuery(Query):
+    """Base of the term-predicate expansion family
+    (``search/MultiTermQuery.kt``): the predicate expands against each
+    segment's sorted term dictionary and matching docs score a constant
+    ``boost`` (CONSTANT_SCORE rewrite — the default used when a filter-like
+    query over many terms would blow the BM25 stats budget; wrap in
+    BoostQuery to change the constant)."""
+
+    def matches(self, terms_sorted) -> "object":
+        """→ bool ndarray over the segment's sorted term array."""
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class PrefixQuery(MultiTermQuery):
+    """``search/PrefixQuery.kt`` — range scan on the sorted term dict."""
+    prefix: str
+
+    def matches(self, terms_sorted):
+        import numpy as np
+        lo = np.searchsorted(terms_sorted, self.prefix)
+        hi = np.searchsorted(terms_sorted, self.prefix + "\U0010ffff")
+        out = np.zeros(len(terms_sorted), dtype=bool)
+        out[lo:hi] = True
+        return out
+
+
+@dataclass(frozen=True)
+class TermRangeQuery(MultiTermQuery):
+    """``search/TermRangeQuery.kt`` — terms in [lower, upper] (bytewise
+    order); None bound = open."""
+    lower: str | None
+    upper: str | None
+    include_lower: bool = True
+    include_upper: bool = True
+
+    def matches(self, terms_sorted):
+        import numpy as np
+        n = len(terms_sorted)
+        lo = 0 if self.lower is None else int(np.searchsorted(
+            terms_sorted, self.lower, side="left" if self.include_lower
+            else "right"))
+        hi = n if self.upper is None else int(np.searchsorted(
+            terms_sorted, self.upper, side="right" if self.include_upper
+            else "left"))
+        out = np.zeros(n, dtype=bool)
+        out[lo:hi] = True
+        return out
+
+
+@dataclass(frozen=True)
+class WildcardQuery(MultiTermQuery):
+    """``search/WildcardQuery.kt`` — ``*`` any run, ``?`` one char; the
+    compiled-automaton run over the term dict becomes a vectorized regex
+    match (pyarrow ``match_substring_regex`` on the anchored pattern)."""
+    pattern: str
+
+    def matches(self, terms_sorted):
+        import re
+        return _regex_matches(terms_sorted,
+                              _wildcard_to_regex(self.pattern), re)
+
+
+@dataclass(frozen=True)
+class RegexpQuery(MultiTermQuery):
+    """``search/RegexpQuery.kt`` — full-term-anchored regexp."""
+    regexp: str
+
+    def matches(self, terms_sorted):
+        import re
+        return _regex_matches(terms_sorted, self.regexp, re)
+
+
+@dataclass(frozen=True)
+class FuzzyQuery(MultiTermQuery):
+    """``search/FuzzyQuery.kt:38-43`` — terms within Levenshtein
+    ``max_edits`` (≤2) of ``term``, sharing a ``prefix_length`` prefix. The
+    reference runs parametric Levenshtein automata over the FST; over our
+    vocabulary-sized sorted term dict a banded-DP scan is equivalent (and
+    the prefix + length band prune most candidates first)."""
+    term: str
+    max_edits: int = 2
+    prefix_length: int = 0
+
+    def __post_init__(self):
+        if not 0 <= self.max_edits <= 2:
+            raise ValueError("max_edits must be 0..2 (LevenshteinAutomata)")
+
+    def matches(self, terms_sorted):
+        import numpy as np
+        t = self.term
+        k = self.max_edits
+        pre = t[:self.prefix_length]
+        out = np.zeros(len(terms_sorted), dtype=bool)
+        lo = np.searchsorted(terms_sorted, pre)
+        hi = np.searchsorted(terms_sorted, pre + "\U0010ffff") if pre else \
+            len(terms_sorted)
+        for i in range(int(lo), int(hi)):
+            c = terms_sorted[i]
+            if abs(len(c) - len(t)) <= k and _edit_distance_le(t, c, k):
+                out[i] = True
+        return out
+
+
+@dataclass(frozen=True)
+class TermInSetQuery(MultiTermQuery):
+    """``search/TermInSetQuery.kt`` — semi-join: docs whose field contains
+    any of the given terms (constant score)."""
+    term_set: tuple[str, ...]
+
+    def matches(self, terms_sorted):
+        import numpy as np
+        return np.isin(terms_sorted,
+                       np.asarray(sorted(set(self.term_set)), dtype=object))
+
+
+def _wildcard_to_regex(pattern: str) -> str:
+    import re
+    parts = []
+    for ch in pattern:
+        if ch == "*":
+            parts.append(".*")
+        elif ch == "?":
+            parts.append(".")
+        else:
+            parts.append(re.escape(ch))
+    return "".join(parts)
+
+
+def _regex_matches(terms_sorted, pattern: str, re_mod):
+    import numpy as np
+    rx = re_mod.compile(pattern)
+    return np.fromiter((rx.fullmatch(t) is not None for t in terms_sorted),
+                       dtype=bool, count=len(terms_sorted))
+
+
+def _edit_distance_le(a: str, b: str, k: int) -> bool:
+    """Banded Levenshtein: distance(a, b) <= k (k ∈ {0,1,2})."""
+    if k == 0:
+        return a == b
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return False
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        row_min = i
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+            row_min = min(row_min, cur[j])
+        if row_min > k:
+            return False
+        prev = cur
+    return prev[lb] <= k
+
+
+@dataclass(frozen=True)
+class RangeFilterQuery(Query):
+    """Numeric range over a per-doc metadata column (the PointRangeQuery /
+    BKD role, ``search/PointRangeQuery.kt:40`` — Parquet row-group min/max
+    pruning + Arrow compare replaces the BKD tree, SURVEY §2.5). Matches
+    score a constant 1.0 (use in FILTER position for pure filtering)."""
+    field: str  # docs.parquet numeric column: "length" or "doc_id"
+    lower: float | None = None
+    upper: float | None = None
+
+
 MAX_CLAUSE_COUNT = 1024  # IndexSearcher.kt:986
 
 

@@ -1,0 +1,208 @@
+"""Classic query-parser subset → query IR.
+
+The syntax subset of the reference's JavaCC-generated classic parser
+(``/root/reference/queryparser/.../classic/QueryParser.kt``,
+``QueryParserBase.kt:51,161,380``) that covers its documented surface:
+
+    spark AND join            conjunction
+    spark OR data             disjunction
+    spark join                default operator (OR, like Lucene's default)
+    +spark join -window       required / optional / prohibited
+    NOT window                prohibited
+    "big order scan"          phrase
+    spar?  sp*k  spark*       wildcard / prefix
+    spark~1                   fuzzy (max_edits)
+    [batch TO data]           term range (inclusive); {..} exclusive
+    spark^2.5                 boost
+    (spark OR data) AND join  grouping
+
+Field prefixes (``title:foo``) are accepted and ignored — the engine
+indexes the single ``text`` field (input_hint schema). Bare terms are
+re-analyzed with the indexing analyzer before becoming TermQuerys
+(QueryBuilder.kt:45,115-178 — query-side tokenization MUST match the index
+side); a bare term that analyzes to several tokens becomes a phrase, one
+that analyzes to none (e.g. punctuation) is dropped.
+
+Clause semantics reproduce ``QueryParserBase.addClause``: with default
+operator OR, unmarked clauses are SHOULD; ``+``/``AND`` neighbours become
+MUST; ``-``/``NOT`` become MUST_NOT.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from ..analysis.standard import tokenize
+from .query import (BooleanQuery, BoostQuery, FuzzyQuery, Occur, PhraseQuery,
+                    PrefixQuery, Query, TermQuery, TermRangeQuery,
+                    WildcardQuery)
+
+_TOKEN_RE = re.compile(r"""
+    \s*(?:
+      (?P<lparen>\() | (?P<rparen>\)) |
+      (?P<and>AND\b|&&) | (?P<or>OR\b|\|\|) | (?P<not>NOT\b) |
+      (?P<plus>\+) | (?P<minus>-) |
+      (?P<phrase>"(?P<phrase_body>[^"]*)"(?:~(?P<slop>\d+))?) |
+      (?P<range>[\[{](?P<range_lo>[^\s\]}]+)\s+TO\s+(?P<range_hi>[^\s\]}]+)[\]}]) |
+      (?P<term>[^\s()+\-"^]+)
+    )(?:\^(?P<boost>\d+(?:\.\d+)?))?
+""", re.VERBOSE)
+
+
+@dataclass
+class _Tok:
+    kind: str
+    text: str
+    boost: float | None = None
+    extra: dict | None = None
+
+
+def _lex(s: str) -> list[_Tok]:
+    out, pos = [], 0
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if not m or m.end() == pos:
+            if s[pos:].strip():
+                raise ValueError(f"cannot parse query at: {s[pos:]!r}")
+            break
+        pos = m.end()
+        boost = float(m.group("boost")) if m.group("boost") else None
+        for kind in ("lparen", "rparen", "and", "or", "not", "plus", "minus"):
+            if m.group(kind):
+                out.append(_Tok(kind, m.group(kind)))
+                break
+        else:
+            if m.group("phrase") is not None:
+                out.append(_Tok("phrase", m.group("phrase_body"), boost,
+                                {"slop": int(m.group("slop") or 0)}))
+            elif m.group("range") is not None:
+                out.append(_Tok("range", m.group("range"), boost, {
+                    "lo": m.group("range_lo"), "hi": m.group("range_hi"),
+                    "inc_lo": m.group("range").startswith("["),
+                    "inc_hi": m.group("range").endswith("]")}))
+            else:
+                out.append(_Tok("term", m.group("term"), boost))
+    return out
+
+
+def _strip_field(text: str) -> str:
+    """Drop a leading `field:` prefix (single-field engine)."""
+    i = text.find(":")
+    if 0 < i < len(text) - 1 and not text[:i].isdigit():
+        return text[i + 1:]
+    return text
+
+
+def _analyze_term(raw: str) -> list[str]:
+    return tokenize(raw)
+
+
+def _term_to_query(tok: _Tok) -> Query | None:
+    text = _strip_field(tok.text)
+    fuzzy = re.fullmatch(r"(.+?)~(\d?)", text)
+    if fuzzy and "*" not in text and "?" not in text:
+        base = fuzzy.group(1)
+        edits = int(fuzzy.group(2)) if fuzzy.group(2) else 2
+        toks = _analyze_term(base)
+        if not toks:
+            return None
+        return FuzzyQuery(toks[0], max_edits=min(edits, 2))
+    if "*" in text or "?" in text:
+        low = text.lower()  # analyzer lowercases; wildcards pass through
+        if low.endswith("*") and "*" not in low[:-1] and "?" not in low:
+            return PrefixQuery(low[:-1])
+        return WildcardQuery(low)
+    toks = _analyze_term(text)
+    if not toks:
+        return None
+    if len(toks) == 1:
+        return TermQuery(toks[0])
+    return PhraseQuery(tuple(toks))
+
+
+def _phrase_to_query(tok: _Tok) -> Query | None:
+    toks = _analyze_term(_strip_field(tok.text))
+    if not toks:
+        return None
+    if len(toks) == 1:
+        return TermQuery(toks[0])
+    return PhraseQuery(tuple(toks), slop=tok.extra["slop"])
+
+
+def _range_to_query(tok: _Tok) -> Query:
+    lo = None if tok.extra["lo"] == "*" else tok.extra["lo"].lower()
+    hi = None if tok.extra["hi"] == "*" else tok.extra["hi"].lower()
+    return TermRangeQuery(lo, hi, tok.extra["inc_lo"], tok.extra["inc_hi"])
+
+
+class _Parser:
+    def __init__(self, toks: list[_Tok]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> _Tok | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> _Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def parse(self) -> Query:
+        clauses: list[tuple[Occur, Query]] = []
+        pending_occur: Occur | None = None
+        conj_with_prev = False
+        while (t := self.peek()) is not None:
+            if t.kind == "rparen":
+                break
+            t = self.next()
+            if t.kind == "and":
+                conj_with_prev = True
+                # retro-promote the previous clause to MUST (QueryParserBase)
+                if clauses and clauses[-1][0] == Occur.SHOULD:
+                    clauses[-1] = (Occur.MUST, clauses[-1][1])
+                continue
+            if t.kind == "or":
+                conj_with_prev = False
+                continue
+            if t.kind in ("not", "minus"):
+                pending_occur = Occur.MUST_NOT
+                continue
+            if t.kind == "plus":
+                pending_occur = Occur.MUST
+                continue
+            if t.kind == "lparen":
+                q = self.parse()
+                closing = self.peek()
+                if closing is None or closing.kind != "rparen":
+                    raise ValueError("unbalanced parentheses")
+                self.next()
+                nxt_boost = None
+            else:
+                nxt_boost = t.boost
+                if t.kind == "phrase":
+                    q = _phrase_to_query(t)
+                elif t.kind == "range":
+                    q = _range_to_query(t)
+                else:
+                    q = _term_to_query(t)
+            if q is None:
+                pending_occur, conj_with_prev = None, False
+                continue
+            if nxt_boost is not None:
+                q = BoostQuery(q, nxt_boost)
+            occur = pending_occur or (Occur.MUST if conj_with_prev
+                                      else Occur.SHOULD)
+            clauses.append((occur, q))
+            pending_occur, conj_with_prev = None, False
+        if not clauses:
+            raise ValueError("empty query")
+        if len(clauses) == 1 and clauses[0][0] == Occur.SHOULD:
+            return clauses[0][1]
+        return BooleanQuery(tuple(clauses))
+
+
+def parse_query(s: str) -> Query:
+    """Parse a classic-syntax query string into the query IR."""
+    return _Parser(_lex(s)).parse()

@@ -92,15 +92,19 @@ def search_distributed(index_dir: str, queries: dict[str, Query], k: int = 10,
 
 
 class SegmentMatchActor:
-    """Emit ALL matches (doc_id, url, score) of one query per segment —
-    the no-limit collector path (TotalHitCountCollector / exhaustive)."""
+    """Emit ALL matches (doc_id, url, score[, meta cols]) of one query per
+    segment — the no-limit collector path (TotalHitCountCollector /
+    exhaustive). ``meta_cols`` adds doc-meta columns (e.g. ``length``) for
+    downstream field sorts (the SortField fetch, SURVEY §2.7)."""
 
-    def __init__(self, index_dir: str, query_ref, dtype: str):
+    def __init__(self, index_dir: str, query_ref, dtype: str,
+                 meta_cols: tuple[str, ...] = ()):
         import ray
         self.query: Query = ray.get(query_ref)
         self.reader = IndexReader(index_dir)
         self.searcher = Searcher(self.reader, BM25Similarity(dtype=dtype))
         self.by_seg = {sr.seg: sr for sr in self.reader.segment_readers}
+        self.meta_cols = meta_cols
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         frames = []
@@ -108,18 +112,26 @@ class SegmentMatchActor:
             sr = self.by_seg[seg]
             docs, scores = self.searcher._score_segment(sr, self.query)
             dm = sr.doc_meta
-            frames.append(pd.DataFrame({
+            cols = {
                 "doc_id": dm["doc_id"].take(docs).to_pylist(),
                 "url": dm["url"].take(docs).to_pylist(),
-                "score": np.asarray(scores, dtype=np.float64)}))
-        return pd.concat(frames) if frames else pd.DataFrame(
-            {"doc_id": pd.Series([], dtype="int64"),
-             "url": pd.Series([], dtype="string"),
-             "score": pd.Series([], dtype="float64")})
+                "score": np.asarray(scores, dtype=np.float64)}
+            for c in self.meta_cols:
+                cols[c] = np.asarray(dm[c].take(docs).to_pylist(),
+                                     dtype=np.int64)
+            frames.append(pd.DataFrame(cols))
+        if frames:
+            return pd.concat(frames)
+        empty = {"doc_id": pd.Series([], dtype="int64"),
+                 "url": pd.Series([], dtype="string"),
+                 "score": pd.Series([], dtype="float64")}
+        for c in self.meta_cols:
+            empty[c] = pd.Series([], dtype="int64")
+        return pd.DataFrame(empty)
 
 
 def search_all_matches(index_dir: str, query: Query, dtype: str = "float64",
-                       concurrency: int = 4):
+                       concurrency: int = 4, meta_cols: tuple[str, ...] = ()):
     """All matching docs of ``query`` as a Dataset (doc_id, url, score)."""
     import pyarrow as pa
     import ray
@@ -129,9 +141,26 @@ def search_all_matches(index_dir: str, query: Query, dtype: str = "float64",
     segs = [m["seg"] for m in reader.manifest["segments"]]
     ds = rd.from_arrow(pa.table({"seg": pa.array(segs, pa.int64())}))
     return ds.map_batches(SegmentMatchActor,
-                          fn_constructor_args=(index_dir, ray.put(query), dtype),
+                          fn_constructor_args=(index_dir, ray.put(query),
+                                               dtype, meta_cols),
                           batch_format="pandas", batch_size=8,
                           concurrency=concurrency)
+
+
+def search_sorted_by_field(index_dir: str, query: Query, field: str,
+                           descending: bool = True, k: int = 20,
+                           concurrency: int = 4):
+    """TopFieldCollector / Sort(SortField) analog (SortField.kt:54-80):
+    matches of ``query`` ordered by a doc-meta field, tie-broken by doc_id
+    ascending, global top-k. Per-segment matches stream through the actor
+    pool; the sort moves only (doc_id, url, field) rows of matching docs.
+    Returns a pandas DataFrame with a ``rank`` column (deterministic)."""
+    ds = search_all_matches(index_dir, query, concurrency=concurrency,
+                            meta_cols=(field,))
+    out = ds.sort([field, "doc_id"], descending=[descending, False]) \
+            .limit(k).to_pandas()
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["rank", "doc_id", "url", field]]
 
 
 def phrase_freqs_distributed(index_dir: str, terms: list[str],

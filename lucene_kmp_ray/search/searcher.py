@@ -31,8 +31,9 @@ import numpy as np
 
 from ..index.reader import IndexReader, SegmentReader
 from ..similarity.bm25 import BM25Similarity
-from .query import (BooleanQuery, BoostQuery, MatchAllDocsQuery, Occur,
-                    PhraseQuery, Query, TermQuery)
+from .query import (BooleanQuery, BoostQuery, DisjunctionMaxQuery,
+                    MatchAllDocsQuery, MultiTermQuery, Occur, PhraseQuery,
+                    Query, RangeFilterQuery, SynonymQuery, TermQuery)
 
 TOTAL_HITS_THRESHOLD = 1000  # IndexSearcher.kt:1024
 
@@ -119,9 +120,91 @@ class Searcher:
             if scorer is None or len(docs) == 0:
                 return _empty(self.sim.dtype)
             return docs, scorer.score(freqs, sr.norms[docs])
+        if isinstance(query, SynonymQuery):
+            return self._score_synonym(sr, query, boost, scoring)
+        if isinstance(query, DisjunctionMaxQuery):
+            return self._score_dismax(sr, query, boost, scoring)
+        if isinstance(query, MultiTermQuery):
+            return self._score_multiterm(sr, query, boost)
+        if isinstance(query, RangeFilterQuery):
+            return self._score_range(sr, query, boost)
         if isinstance(query, BooleanQuery):
             return self._score_boolean(sr, query, boost, scoring)
         raise TypeError(f"unsupported query: {query!r}")
+
+    def _score_synonym(self, sr: SegmentReader, q: SynonymQuery,
+                       boost: float, scoring: bool):
+        """SynonymQuery.kt:182-202: per-doc freq = Σ term freqs; blended
+        stats df = max(term dfs), ttf = Σ (ttf unused by BM25 score)."""
+        dt = self.sim.dtype
+        stats = self.reader.term_stats(list(q.synonym_terms))
+        df_blend = max((stats[t][0] for t in q.synonym_terms), default=0)
+        if df_blend == 0:
+            return _empty(dt)
+        parts = [p for t in set(q.synonym_terms)
+                 if (p := sr.postings(t)) is not None]
+        if not parts:
+            return _empty(dt)
+        alldocs = np.concatenate([d for d, _ in parts])
+        allfreqs = np.concatenate([f for _, f in parts])
+        docs, inv = np.unique(alldocs, return_inverse=True)
+        freq_sum = np.zeros(len(docs), dtype=np.int64)
+        np.add.at(freq_sum, inv, allfreqs)
+        if not scoring:
+            return docs, np.zeros(len(docs), dtype=dt)
+        scorer = self.sim.scorer(boost, self.reader.doc_count,
+                                 self.reader.sum_total_term_freq, [df_blend])
+        return docs, scorer.score(freq_sum, sr.norms[docs])
+
+    def _score_dismax(self, sr: SegmentReader, q: DisjunctionMaxQuery,
+                      boost: float, scoring: bool):
+        """DisjunctionMaxQuery.kt: max + tie_breaker × (sum of non-max)."""
+        dt = self.sim.dtype
+        subs = [self._score_segment(sr, sub, boost, scoring)
+                for sub in q.disjuncts]
+        subs = [(d, s) for d, s in subs if len(d)]
+        if not subs:
+            return _empty(dt)
+        alldocs = np.concatenate([d for d, _ in subs])
+        allscores = np.concatenate([s for _, s in subs])
+        docs, inv = np.unique(alldocs, return_inverse=True)
+        mx = np.full(len(docs), -np.inf, dtype=np.float64)
+        np.maximum.at(mx, inv, allscores.astype(np.float64))
+        if not scoring:
+            return docs, np.zeros(len(docs), dtype=dt)
+        tb = q.tie_breaker
+        if tb == 0.0:
+            return docs, mx.astype(dt)
+        total = np.zeros(len(docs), dtype=np.float64)
+        np.add.at(total, inv, allscores.astype(np.float64))
+        return docs, (mx + tb * (total - mx)).astype(dt)
+
+    def _score_multiterm(self, sr: SegmentReader, q: MultiTermQuery,
+                         boost: float):
+        """CONSTANT_SCORE rewrite: union of matching terms' postings; every
+        matching doc scores ``boost`` (MultiTermQuery.kt rewrite family)."""
+        dt = self.sim.dtype
+        sr.terms_table  # ensure term array loaded
+        mask = q.matches(sr._term_arr)
+        idxs = np.flatnonzero(mask)
+        if len(idxs) == 0:
+            return _empty(dt)
+        docs = np.unique(np.concatenate(
+            [sr.postings_at(int(i))[0] for i in idxs]))
+        return docs, np.full(len(docs), dt.type(boost), dtype=dt)
+
+    def _score_range(self, sr: SegmentReader, q: RangeFilterQuery,
+                     boost: float):
+        """PointRangeQuery analog over a doc-meta numeric column."""
+        dt = self.sim.dtype
+        col = sr.doc_meta[q.field].to_numpy()
+        mask = np.ones(len(col), dtype=bool)
+        if q.lower is not None:
+            mask &= col >= q.lower
+        if q.upper is not None:
+            mask &= col <= q.upper
+        docs = np.flatnonzero(mask).astype(np.int64)
+        return docs, np.full(len(docs), dt.type(boost), dtype=dt)
 
     def _score_boolean(self, sr: SegmentReader, q: BooleanQuery,
                        boost: float, scoring: bool):
