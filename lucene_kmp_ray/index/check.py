@@ -1,0 +1,159 @@
+"""CheckIndex analog: full-index integrity scan.
+
+Re-reads every structure of every segment and re-derives the statistics the
+manifests claim, exactly in the spirit of ``index/CheckIndex.kt:487``
+(postings re-walked at ``:1033-1055``, norms, stored fields, per-field
+stats). Segments are verified by parallel Ray tasks (one per segment — the
+scan is embarrassingly parallel and IO-bound); the driver then checks the
+global manifest and term_stats aggregation.
+
+Checks per segment:
+- terms strictly ascending (BytesRef order == code-point order);
+- decoded docIDs strictly ascending, in ``[0, doc_count)``; ``df`` matches;
+- ``ttf`` == Σ freqs; freqs ≥ 1; positions per entry strictly ascending,
+  non-negative;
+- skip/impact metadata consistent: ``block_last_doc``/``block_max_freq``/
+  ``block_min_norm`` re-derivable from the decoded postings;
+- ``norm`` byte == SmallFloat.intToByte4(length) for every doc;
+- segment manifest stats == re-derived sums.
+
+Global checks: manifest totals == Σ segment manifests; ``term_stats``
+equals the groupby-term aggregation of per-segment (df, ttf).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..util import forutil as fu
+from ..util.smallfloat import int_to_byte4_np
+from .format import DOCS_FILE, TERMS_FILE, decode_postings
+from .reader import INDEX_MANIFEST, TERM_STATS_FILE
+
+
+def check_segment(index_dir: str, seg_dir: str) -> dict:
+    """Verify one segment directory; returns {seg, ok, errors, stats}."""
+    errors: list[str] = []
+    d = os.path.join(index_dir, seg_dir)
+    with open(os.path.join(d, "manifest.json")) as f:
+        man = json.load(f)
+    docs_t = pq.read_table(os.path.join(d, DOCS_FILE))
+    terms_t = pq.read_table(os.path.join(d, TERMS_FILE))
+    n_docs = docs_t.num_rows
+    if n_docs != man["doc_count"]:
+        errors.append(f"doc_count {n_docs} != manifest {man['doc_count']}")
+
+    lengths = docs_t["length"].to_numpy().astype(np.int64)
+    norms = docs_t["norm"].to_numpy().astype(np.uint8)
+    expect_norms = int_to_byte4_np(lengths)
+    bad = np.flatnonzero(norms != expect_norms)
+    if len(bad):
+        errors.append(f"{len(bad)} norm bytes disagree with "
+                      f"SmallFloat(length), first at doc {bad[0]}")
+
+    terms = terms_t["term"].to_pylist()
+    if any(terms[i] >= terms[i + 1] for i in range(len(terms) - 1)):
+        errors.append("terms not strictly ascending")
+
+    sum_ttf = 0
+    sum_df = 0
+    dfs = terms_t["df"].to_numpy()
+    ttfs = terms_t["ttf"].to_numpy()
+    for i in range(terms_t.num_rows):
+        df_i, ttf_i = int(dfs[i]), int(ttfs[i])
+        try:
+            docs, freqs, flat = decode_postings(
+                df_i, ttf_i, terms_t["docs_enc"][i].as_py(),
+                terms_t["freqs_enc"][i].as_py(),
+                terms_t["pos_enc"][i].as_py())
+        except Exception as e:  # corrupt encoding
+            errors.append(f"term {terms[i]!r}: decode failed: {e}")
+            continue
+        if len(docs) != df_i:
+            errors.append(f"term {terms[i]!r}: df {df_i} != {len(docs)}")
+        if len(docs) and (np.any(np.diff(docs) <= 0) or docs[0] < 0
+                          or docs[-1] >= n_docs):
+            errors.append(f"term {terms[i]!r}: docIDs not ascending in range")
+        if int(freqs.sum()) != ttf_i:
+            errors.append(f"term {terms[i]!r}: ttf {ttf_i} != {freqs.sum()}")
+        if len(freqs) and freqs.min() < 1:
+            errors.append(f"term {terms[i]!r}: freq < 1")
+        # positions ascending within each entry
+        ends = np.cumsum(freqs)
+        starts = ends - freqs
+        if len(flat) and np.any(flat < 0):
+            errors.append(f"term {terms[i]!r}: negative position")
+        inner = np.ones(len(flat), dtype=bool)
+        inner[starts[starts < len(flat)]] = False
+        if len(flat) > 1 and np.any(np.diff(flat)[inner[1:]] <= 0):
+            errors.append(f"term {terms[i]!r}: positions not ascending")
+        # impacts / skip metadata re-derivation
+        idx = np.arange(0, len(docs), fu.BLOCK_SIZE)
+        if len(docs):
+            exp_last = docs[np.minimum(idx + fu.BLOCK_SIZE - 1,
+                                       len(docs) - 1)]
+            exp_maxf = np.maximum.reduceat(freqs, idx)
+            exp_minn = np.minimum.reduceat(norms[docs].astype(np.int64), idx)
+            if not (np.array_equal(exp_last,
+                                   np.asarray(terms_t["block_last_doc"][i]
+                                              .as_py())) and
+                    np.array_equal(exp_maxf,
+                                   np.asarray(terms_t["block_max_freq"][i]
+                                              .as_py())) and
+                    np.array_equal(exp_minn,
+                                   np.asarray(terms_t["block_min_norm"][i]
+                                              .as_py()))):
+                errors.append(f"term {terms[i]!r}: skip/impact metadata "
+                              "disagrees with postings")
+        sum_df += df_i
+        sum_ttf += ttf_i
+
+    if sum_df != man["sum_doc_freq"]:
+        errors.append(f"sum_doc_freq {man['sum_doc_freq']} != {sum_df}")
+    if sum_ttf != man["sum_total_term_freq"]:
+        errors.append(
+            f"sum_total_term_freq {man['sum_total_term_freq']} != {sum_ttf}")
+    if int(lengths.sum()) != man["sum_total_term_freq"]:
+        errors.append("Σ length != sum_total_term_freq")
+    return {"seg": man["seg"], "ok": not errors, "errors": errors,
+            "doc_count": n_docs, "unique_terms": terms_t.num_rows}
+
+
+def check_index(index_dir: str, parallel: bool = True) -> dict:
+    """Verify the whole index; returns a report dict (ok, segments, errors)."""
+    with open(os.path.join(index_dir, INDEX_MANIFEST)) as f:
+        manifest = json.load(f)
+    seg_dirs = [m["dir"] for m in manifest["segments"]]
+
+    if parallel:
+        import ray
+
+        @ray.remote
+        def one(sd: str) -> str:
+            return json.dumps(check_segment(index_dir, sd))
+
+        seg_reports = [json.loads(r) for r in
+                       ray.get([one.remote(sd) for sd in seg_dirs])]
+    else:
+        seg_reports = [check_segment(index_dir, sd) for sd in seg_dirs]
+
+    errors = [f"seg {r['seg']}: {e}" for r in seg_reports for e in r["errors"]]
+    # global aggregates
+    if sum(r["doc_count"] for r in seg_reports) != manifest["doc_count"]:
+        errors.append("global doc_count != Σ segment doc_count")
+    parts = [pq.read_table(os.path.join(index_dir, m["dir"], TERMS_FILE),
+                           columns=["term", "df", "ttf"])
+             for m in manifest["segments"]]
+    agg = pa.concat_tables(parts).group_by("term") \
+        .aggregate([("df", "sum"), ("ttf", "sum")]) \
+        .rename_columns(["term", "df", "ttf"]).sort_by("term")
+    stats = pq.read_table(os.path.join(index_dir, TERM_STATS_FILE))
+    if not agg.equals(stats):
+        errors.append("term_stats.parquet disagrees with per-segment terms")
+    return {"ok": not errors, "doc_count": manifest["doc_count"],
+            "segments": seg_reports, "errors": errors}

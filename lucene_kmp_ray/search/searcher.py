@@ -269,6 +269,9 @@ class Searcher:
     def search(self, query: Query, k: int = 10, prune: bool = False) -> TopDocs:
         if prune and isinstance(query, TermQuery):
             return self._search_term_pruned(query, k)
+        if prune and _is_term_disjunction(query):
+            return self._search_or_pruned(
+                [sub.term for _, sub in query.clauses], k)
         total = 0
         parts = []  # (scores, seg, docs)
         for si, sr in enumerate(self.reader.segment_readers):
@@ -320,6 +323,74 @@ class Searcher:
         rel = "GREATER_THAN_OR_EQUAL_TO" if pruned else "EQUAL_TO"
         return self._merge(parts, k, hits_seen, rel)
 
+    def _search_or_pruned(self, terms: list[str], k: int) -> TopDocs:
+        """MaxScore pruning for a pure term disjunction
+        (MaxScoreBulkScorer.kt:15-36 essential/non-essential split +
+        WANDScorer's θ feedback): once the collector holds ≥ threshold hits,
+        terms whose per-segment score upper bound cannot lift a
+        non-essential-only doc above θ are dropped from candidate
+        *generation* (their freqs still contribute to candidates found via
+        essential terms). Hit counts become lower bounds
+        (TotalHits.GREATER_THAN_OR_EQUAL_TO), exactly like the reference.
+        """
+        dt = self.sim.dtype
+        stats = self.reader.term_stats(terms)
+        live = [t for t in terms if stats[t][0] > 0]
+        scorers = {t: self.sim.scorer(1.0, self.reader.doc_count,
+                                      self.reader.sum_total_term_freq,
+                                      [stats[t][0]])
+                   for t in live}
+        top_scores = np.empty(0, dtype=dt)
+        hits_seen = 0
+        pruned = False
+        parts = []
+        for si, sr in enumerate(self.reader.segment_readers):
+            theta = None
+            if hits_seen >= TOTAL_HITS_THRESHOLD and len(top_scores) >= k:
+                theta = float(np.partition(top_scores, -k)[-k])
+            posts = {t: p for t in live
+                     if (p := sr.postings(t)) is not None}
+            if not posts:
+                continue
+            # per-term upper bound in this segment = max block impact score
+            ubs = {}
+            for t in posts:
+                row = sr.term_row(t)
+                maxf = np.asarray(row["block_max_freq"], dtype=np.int64)
+                minn = np.asarray(row["block_min_norm"], dtype=np.uint8)
+                ubs[t] = float(scorers[t].score(maxf, minn).max()) \
+                    if len(maxf) else 0.0
+            order = sorted(posts, key=lambda t: ubs[t])  # ascending bound
+            essential, acc = [], 0.0
+            for t in order:
+                # non-essential prefix: cumulative bound cannot beat θ
+                if theta is not None and acc + ubs[t] <= theta:
+                    acc += ubs[t]
+                    pruned = True
+                else:
+                    essential.append(t)
+            if not essential:
+                continue
+            cand = np.unique(np.concatenate(
+                [posts[t][0] for t in essential]))
+            scores = np.zeros(len(cand), dtype=np.float64)
+            for t in posts:  # ALL terms score the surviving candidates
+                d, f = posts[t]
+                idx = np.searchsorted(d, cand)
+                idx[idx == len(d)] = 0
+                hit = d[idx] == cand
+                sc = scorers[t].score(f[idx[hit]], sr.norms[cand[hit]])
+                scores[hit] += sc.astype(np.float64)
+            scores = scores.astype(dt)
+            hits_seen += len(cand)
+            sel = _topk_idx(scores, cand, k)
+            parts.append((scores[sel], np.full(len(sel), si), cand[sel]))
+            top_scores = np.concatenate([top_scores, scores[sel]])
+            if len(top_scores) > k:
+                top_scores = np.partition(top_scores, -k)[-k:]
+        rel = "GREATER_THAN_OR_EQUAL_TO" if pruned else "EQUAL_TO"
+        return self._merge(parts, k, hits_seen, rel)
+
     def _merge(self, parts, k: int, total: int, relation: str) -> TopDocs:
         """TopDocs.merge: (score desc, seg asc, doc asc) — TopDocs.kt:166-207."""
         if parts:
@@ -345,6 +416,13 @@ class Searcher:
             h.url = dm["url"][h.doc].as_py()
 
 
+def _is_term_disjunction(q: Query) -> bool:
+    """Pure SHOULD-of-TermQuery BooleanQuery (the MaxScore-eligible shape)."""
+    return (isinstance(q, BooleanQuery) and q.minimum_should_match <= 1 and
+            all(occ == Occur.SHOULD and isinstance(sub, TermQuery)
+                for occ, sub in q.clauses))
+
+
 def _topk_idx(scores: np.ndarray, docs: np.ndarray, k: int) -> np.ndarray:
     """Indices of the top-k by (score desc, doc asc), HitQueue tie-break."""
     neg = -scores.astype(np.float64)
@@ -363,38 +441,30 @@ def _empty(dtype):
 
 def _exact_phrase(sr: SegmentReader, terms: list[str]):
     """ExactPhraseMatcher: docs containing the terms at consecutive
-    positions; freq = number of phrase starts (PhraseQuery scoring freq)."""
+    positions; freq = number of phrase starts (PhraseQuery scoring freq).
+
+    Fully vectorized positional join: each term's occurrences map to a
+    combined key ``doc * M + (pos - offset)`` (M chosen so shifted keys
+    cannot collide across docs); phrase starts are the intersection of the
+    per-term sorted key arrays — the leapfrog of ExactPhraseMatcher taken
+    whole-posting-at-a-time (SURVEY §2.5)."""
     posts = []
     for t in terms:
         p = sr.postings(t, positions=True)
         if p is None:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         posts.append(p)
-    cand = posts[0][0]
-    for d, _, _ in posts[1:]:
-        cand = _intersect(cand, d)
-    if len(cand) == 0:
-        return cand, np.empty(0, np.int64)
-    # per-term helpers: offsets of each doc's positions inside the flat array
-    sliced = []
-    for docs, freqs, flat in posts:
-        offs = np.append(0, np.cumsum(freqs))
-        idx = np.searchsorted(docs, cand)
-        sliced.append((offs, idx, flat, freqs))
-    out_docs, out_freqs = [], []
-    for j, doc in enumerate(cand):
-        offs0, idx0, flat0, _ = sliced[0]
-        i0 = idx0[j]
-        starts = flat0[offs0[i0]:offs0[i0 + 1]]
-        for t in range(1, len(terms)):
-            offs, idx, flat, _ = sliced[t]
-            i = idx[j]
-            pos_t = flat[offs[i]:offs[i + 1]]
-            starts = starts[_isin_sorted(starts + t, pos_t)]
-            if len(starts) == 0:
-                break
-        if len(starts):
-            out_docs.append(doc)
-            out_freqs.append(len(starts))
-    return (np.asarray(out_docs, dtype=np.int64),
-            np.asarray(out_freqs, dtype=np.int64))
+    nt = len(terms)
+    max_pos = max((int(flat.max()) if len(flat) else 0)
+                  for _, _, flat in posts)
+    M = max_pos + nt + 1  # pos - i >= -i > -M and M + pos - i > max_pos
+    keys = None
+    for i, (docs, freqs, flat) in enumerate(posts):
+        doc_of = np.repeat(docs, freqs)
+        k = doc_of * M + (flat - i)
+        keys = k if keys is None else np.intersect1d(keys, k,
+                                                     assume_unique=True)
+        if len(keys) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+    out_docs, out_freqs = np.unique(keys // M, return_counts=True)
+    return out_docs.astype(np.int64), out_freqs.astype(np.int64)
