@@ -217,6 +217,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 (Occur.FILTER, RangeFilterQuery("length", 40, 60)))),
         "sorted_by_length": lambda sf: search_sorted_by_field(
             _ensure_index(sf), TermQuery(TERM_A), "length", k=20),
+        # sloppy phrase: greedy minimal-window matcher (SloppyPhraseMatcher)
+        # is deliberately traversal-order-dependent → not SQL-expressible;
+        # rows-only check here, exact-parity unit tests in
+        # tests/test_query_operators.py
+        "sloppy_phrase_all": lambda sf: search_all_matches(
+            _ensure_index(sf), PhraseQuery(tuple(PHRASE_3), slop=2)),
         # --- training-data ops: text analysis ---
         "token_counts": textstats.token_counts,
         "quality": textstats.quality,

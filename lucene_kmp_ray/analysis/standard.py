@@ -67,17 +67,35 @@ class StandardAnalyzer:
         return tokenize(text)
 
 
-def tokenize_flat(texts) -> tuple[np.ndarray, pa.Array]:
-    """Tokenize a batch into (doc_lengths, flat lowercased token array).
+# ---- vectorized batch tokenizer -----------------------------------------
+# Character classes for the numpy scan, derived FROM the regex itself so the
+# two tokenizers agree by construction: 1 = word char (\w), 2 = joiner
+# (' ’ . — token-internal only when flanked by word chars). BMP table built
+# lazily once per process (the once-per-actor state of SURVEY §2.3).
+_CLS_LIMIT = 0x10000
+_CLS_TABLE: np.ndarray | None = None
+_JOINERS = {ord("'"), ord("’"), ord(".")}
 
-    The per-doc regex scan is the tokenizer DFA itself (the reference's
-    invert loop, IndexingChain.kt:1153-1290); lowercasing runs as one Arrow
-    C++ kernel over the flat token array, and everything downstream
-    (grouping to postings, positions, norms) is vectorized numpy — no
-    per-token Python objects survive past this function.
-    """
-    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
-        texts = texts.to_pylist()
+
+def _cls_table() -> np.ndarray:
+    global _CLS_TABLE
+    if _CLS_TABLE is None:
+        word_re = re.compile(r"\w", re.UNICODE)
+        t = np.zeros(_CLS_LIMIT + 1, dtype=np.uint8)
+        # chr() over the BMP once (~20ms, amortized per worker process)
+        t[:_CLS_LIMIT] = np.frombuffer(
+            bytes(1 if word_re.match(chr(c)) else 0
+                  for c in range(_CLS_LIMIT)), dtype=np.uint8)
+        for j in _JOINERS:
+            t[j] = 2
+        t[_CLS_LIMIT] = 255  # sentinel: astral char → slow path
+        _CLS_TABLE = t
+    return _CLS_TABLE
+
+
+def _tokenize_flat_slow(texts) -> tuple[np.ndarray, pa.Array]:
+    """Per-doc regex fallback (exact reference of the fast path)."""
+    import pyarrow.compute as pc
     doc_lengths = np.empty(len(texts), dtype=np.int64)
     flat: list[str] = []
     findall = PY_TOKEN_RE.findall
@@ -90,8 +108,89 @@ def tokenize_flat(texts) -> tuple[np.ndarray, pa.Array]:
                      [t[j:j + maxlen] for j in range(0, len(t), maxlen)])]
         doc_lengths[i] = len(toks)
         flat.extend(toks)
-    import pyarrow.compute as pc
     return doc_lengths, pc.utf8_lower(pa.array(flat, type=pa.string()))
+
+
+def tokenize_flat(texts) -> tuple[np.ndarray, pa.Array]:
+    """Tokenize a batch into (doc_lengths, flat lowercased token array).
+
+    Vectorized scan (the reference's tokenizer DFA, StandardTokenizerImpl,
+    run whole-batch-at-a-time): the batch's texts concatenate into one
+    codepoint array, a class-table lookup marks word chars and joiners
+    (joiner counts as token-internal iff flanked by word chars — exactly
+    ``\\w+(['’.]\\w+)*``), run boundaries come from a shifted compare, and
+    the token bytes are gathered straight into an Arrow StringArray's data
+    buffer — zero per-token Python objects. Lowercasing is one Arrow C++
+    kernel. Falls back to the per-doc regex for batches containing astral
+    chars, NULs, or over-long tokens (the class table is generated from the
+    regex itself, so both paths agree by construction; asserted in
+    tests/test_analysis.py).
+    """
+    import pyarrow.compute as pc
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = texts.to_pylist()
+    if not texts:
+        return np.empty(0, np.int64), pa.array([], type=pa.string())
+    try:
+        s = "\x00".join(t or "" for t in texts)
+    except TypeError:
+        return _tokenize_flat_slow(texts)
+    if s.count("\x00") != len(texts) - 1:  # NUL inside a text → slow path
+        return _tokenize_flat_slow(texts)
+
+    cps = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    mx = int(cps.max(initial=0))
+    if mx >= _CLS_LIMIT:  # astral chars present
+        return _tokenize_flat_slow(texts)
+    cls = _cls_table()[cps]
+    word = cls == 1
+    prev_w = np.empty_like(word)
+    prev_w[0] = False
+    prev_w[1:] = word[:-1]
+    next_w = np.empty_like(word)
+    next_w[-1] = False
+    next_w[:-1] = word[1:]
+    tok = word | ((cls == 2) & prev_w & next_w)
+
+    starts = tok.copy()
+    starts[1:] &= ~tok[:-1]
+    start_idx = np.flatnonzero(starts)
+    n_tok = len(start_idx)
+    n_docs = len(texts)
+    if n_tok == 0:
+        return np.zeros(n_docs, np.int64), pa.array([], type=pa.string())
+    ends = tok.copy()
+    ends[:-1] &= ~tok[1:]
+    end_idx = np.flatnonzero(ends)
+    if int((end_idx - start_idx).max()) + 1 > MAX_TOKEN_LENGTH:
+        return _tokenize_flat_slow(texts)
+
+    # doc of each token = number of NUL separators before its start — a
+    # searchsorted against the (tiny) separator index, not a full cumsum
+    sep_idx = np.flatnonzero(cps == 0)
+    doc_of = np.searchsorted(sep_idx, start_idx)
+    doc_lengths = np.bincount(doc_of, minlength=n_docs).astype(np.int64)
+
+    if mx < 0x80:  # pure-ASCII batch: codepoints ARE the UTF-8 bytes
+        tok_bytes = cps[tok].astype(np.uint8)
+        tok_byte_lens = end_idx - start_idx + 1
+    else:
+        # gather UTF-8 bytes of token chars into a contiguous buffer
+        blen = (1 + (cps >= 0x80).astype(np.int64) + (cps >= 0x800))
+        byte_arr = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+        tok_bytes = byte_arr[np.repeat(tok, blen)]
+        # per-token byte lengths: segment sums of blen over token runs
+        bounds = np.empty(2 * n_tok, dtype=np.int64)
+        bounds[0::2] = start_idx
+        bounds[1::2] = end_idx + 1
+        seg = np.add.reduceat(blen, bounds[:-1] if bounds[-1] == len(blen)
+                              else bounds)
+        tok_byte_lens = seg[0::2]
+    offsets = np.concatenate([[0], np.cumsum(tok_byte_lens)]).astype(np.int32)
+    arr = pa.StringArray.from_buffers(
+        n_tok, pa.py_buffer(offsets.tobytes()),
+        pa.py_buffer(tok_bytes.tobytes()))
+    return doc_lengths, pc.utf8_lower(arr)
 
 
 def term_freqs(text: str) -> Counter:

@@ -112,8 +112,10 @@ class Searcher:
             return docs, scorer.score(freqs, sr.norms[docs])
         if isinstance(query, PhraseQuery):
             if query.slop != 0:
-                raise NotImplementedError("sloppy phrase not implemented v1")
-            docs, freqs = _exact_phrase(sr, list(query.phrase_terms))
+                docs, freqs = _sloppy_phrase(sr, list(query.phrase_terms),
+                                             query.slop)
+            else:
+                docs, freqs = _exact_phrase(sr, list(query.phrase_terms))
             if not scoring:
                 return docs, np.zeros(len(docs), dtype=self.sim.dtype)
             scorer, _ = self._scorer_for_terms(list(query.phrase_terms), boost)
@@ -414,6 +416,176 @@ class Searcher:
             dm = sr.doc_meta
             h.doc_id = dm["doc_id"][h.doc].as_py()
             h.url = dm["url"][h.doc].as_py()
+
+
+class _PP:
+    """PhrasePositions (PhrasePositions.kt): a phrase slot's iterator over
+    its term's positions in the current doc, normalized by phrase offset."""
+    __slots__ = ("pos", "offset", "ord", "idx", "count", "position",
+                 "rpt_group", "rpt_ind")
+
+    def __init__(self, pos: np.ndarray, offset: int, ord_: int):
+        self.pos = pos
+        self.offset = offset
+        self.ord = ord_
+        self.rpt_group = -1
+        self.rpt_ind = 0
+
+    def first_position(self):
+        self.count = len(self.pos)
+        self.idx = 0
+        self.next_position()
+
+    def next_position(self) -> bool:
+        if self.count > 0:
+            self.count -= 1
+            self.position = int(self.pos[self.idx]) - self.offset
+            self.idx += 1
+            return True
+        return False
+
+
+def _sloppy_freq_doc(pos_lists: list[np.ndarray], slop: int) -> float:
+    """One doc's sloppy phrase freq = Σ 1/(1+matchLength) over the matches
+    found by the reference's greedy minimal-window walk
+    (SloppyPhraseMatcher.kt:139-173 nextMatch/sloppyWeight,
+    PhraseScorer.kt score()). The walk is deliberately order-dependent
+    (see the class comment in the reference: not all combinations are
+    found — "a b c"~4 vs "c b a"~4 may score differently); we reproduce
+    the same priority-queue traversal, including single-term repeat-group
+    collision handling (advanceRpts, case without multi-term postings),
+    so freqs are identical. Accumulation is float32 like the reference.
+
+    ``pos_lists[i]`` = ascending positions of the i-th phrase term (lists
+    are shared between repeated slots of the same term); phrase offset of
+    slot i is i.
+    """
+    n = len(pos_lists)
+    pps = [_PP(pos_lists[i], i, i) for i in range(n)]
+    # repeat groups: slots sharing a term (identified by identical position
+    # arrays), sorted by offset (sortRptGroups)
+    groups: dict[int, list[_PP]] = {}
+    for pp in pps:
+        groups.setdefault(id(pp.pos), []).append(pp)
+    rpt_groups = [g for g in groups.values() if len(g) > 1]
+    for gi, g in enumerate(rpt_groups):
+        for ind, pp in enumerate(g):  # already offset-ascending
+            pp.rpt_group, pp.rpt_ind = gi, ind
+
+    # --- init (initPhrasePositions) ---
+    for pp in pps:
+        pp.first_position()
+    for g in rpt_groups:  # advanceRepeatGroups, single-term case
+        for j in range(1, len(g)):
+            for _ in range(j):
+                if not g[j].next_position():
+                    return 0.0
+    end = max(pp.position for pp in pps)
+    queue = list(pps)  # list-backed PQ: pop/top = min by current values
+
+    def key(pp: _PP):
+        return (pp.position, pp.offset, pp.ord)  # PhraseQueue.lessThan
+
+    def advance_pp(pp: _PP) -> bool:
+        nonlocal end
+        if not pp.next_position():
+            return False
+        if pp.position > end:
+            end = pp.position
+        return True
+
+    def collide(pp: _PP) -> _PP | None:
+        tp = pp.position + pp.offset
+        for pp2 in rpt_groups[pp.rpt_group]:
+            if pp2 is not pp and pp2.position + pp2.offset == tp:
+                return pp2
+        return None
+
+    def advance_rpts(pp: _PP) -> bool:
+        if pp.rpt_group < 0:
+            return True
+        while (pp2 := collide(pp)) is not None:
+            lower = pp if (pp.position, pp.offset) < (pp2.position,
+                                                      pp2.offset) else pp2
+            if not advance_pp(lower):
+                return False
+            pp = lower
+        return True
+
+    match_length = [1 << 30]
+    positioned = [True]
+
+    def next_match() -> bool:  # SloppyPhraseMatcher.nextMatch
+        if not positioned[0]:
+            return False
+        pp = min(queue, key=key)
+        queue.remove(pp)
+        match_length[0] = end - pp.position
+        nxt = min(queue, key=key).position
+        while advance_pp(pp):
+            if rpt_groups and not advance_rpts(pp):
+                break
+            if pp.position > nxt:
+                queue.append(pp)
+                if match_length[0] <= slop:
+                    return True
+                pp = min(queue, key=key)
+                queue.remove(pp)
+                nxt = min(queue, key=key).position
+                match_length[0] = end - pp.position
+            else:
+                ml2 = end - pp.position
+                if ml2 < match_length[0]:
+                    match_length[0] = ml2
+        positioned[0] = False
+        return match_length[0] <= slop
+
+    if not next_match():
+        return 0.0
+    freq = np.float32(1.0) / (np.float32(1.0) + np.float32(match_length[0]))
+    while next_match():
+        freq = freq + np.float32(1.0) / (np.float32(1.0) +
+                                         np.float32(match_length[0]))
+    return float(freq)
+
+
+def _sloppy_phrase(sr: SegmentReader, terms: list[str], slop: int):
+    """Docs + float sloppy freqs for a slop > 0 phrase."""
+    uniq = list(dict.fromkeys(terms))
+    posts = {}
+    for t in uniq:
+        p = sr.postings(t, positions=True)
+        if p is None:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        posts[t] = p
+    cand = posts[uniq[0]][0]
+    for t in uniq[1:]:
+        cand = _intersect(cand, posts[t][0])
+    if len(cand) == 0:
+        return cand, np.empty(0, np.float64)
+    # per-term slicing helpers
+    sliced = {}
+    for t in uniq:
+        docs, freqs, flat = posts[t]
+        offs = np.append(0, np.cumsum(freqs))
+        idx = np.searchsorted(docs, cand)
+        sliced[t] = (offs, idx, flat)
+    out_docs, out_freqs = [], []
+    for j in range(len(cand)):
+        pos_lists = []
+        cache = {}
+        for t in terms:
+            if t not in cache:
+                offs, idx, flat = sliced[t]
+                i = idx[j]
+                cache[t] = flat[offs[i]:offs[i + 1]]
+            pos_lists.append(cache[t])
+        f = _sloppy_freq_doc(pos_lists, slop)
+        if f > 0.0:
+            out_docs.append(int(cand[j]))
+            out_freqs.append(f)
+    return (np.asarray(out_docs, dtype=np.int64),
+            np.asarray(out_freqs, dtype=np.float64))
 
 
 def _is_term_disjunction(q: Query) -> bool:

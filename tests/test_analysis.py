@@ -60,3 +60,43 @@ def test_html_extraction_invariant():
 def test_html_strip_features():
     assert html_to_text(b"<p>a <b>b</b></p><script>x=1;</script>c") == "a bc"
     assert html_to_text("<!-- hi --><div>x &amp; y</div>") == "x & y"
+
+
+def test_tokenize_flat_fast_equals_slow_paths():
+    """The vectorized batch tokenizer must agree with the per-doc regex on
+    every edge case (the class table is generated from the regex, but run
+    semantics — joiners, boundaries, doc attribution — are asserted here)."""
+    from lucene_kmp_ray.analysis.standard import (_tokenize_flat_slow,
+                                                  tokenize_flat)
+    texts = [
+        "Hello, World! it's example.com v2.0",
+        "",
+        "..leading 'quoted' trailing. dots.. a..b",
+        "under_score 3.14 can't won’t a'b'c x",
+        "ünïcödé Ωmega ΔΔ mixed123abc",
+        "a" * 600 + " tail",          # over-long token → slow path
+        "tab\tsep\nnewline  spaces",
+        "'", ".", "’", "a", "1",
+    ]
+    dl_f, toks_f = tokenize_flat(texts)
+    dl_s, toks_s = _tokenize_flat_slow(texts)
+    assert dl_f.tolist() == dl_s.tolist()
+    assert toks_f.to_pylist() == toks_s.to_pylist()
+    # each subset without the long token exercises the FAST path
+    sub = texts[:5] + texts[6:]
+    dl_f2, toks_f2 = tokenize_flat(sub)
+    dl_s2, toks_s2 = _tokenize_flat_slow(sub)
+    assert dl_f2.tolist() == dl_s2.tolist()
+    assert toks_f2.to_pylist() == toks_s2.to_pylist()
+
+
+def test_tokenize_flat_nul_and_astral_fallback():
+    from lucene_kmp_ray.analysis.standard import tokenize, tokenize_flat
+    dl, toks = tokenize_flat(["has\x00nul token", "plain text"])
+    assert dl.tolist() == [3, 2]
+    assert toks.to_pylist() == tokenize("has\x00nul token") + \
+        tokenize("plain text")
+    dl2, toks2 = tokenize_flat(["emoji 🎉 and 𝒜stral", "ok"])
+    assert dl2.tolist() == [len(tokenize("emoji 🎉 and 𝒜stral")), 1]
+    assert toks2.to_pylist() == tokenize("emoji 🎉 and 𝒜stral") + \
+        tokenize("ok")

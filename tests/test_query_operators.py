@@ -204,3 +204,75 @@ def test_parser_end_to_end(searcher):
                            (Occur.MUST, TermQuery("join"))), k=10)
     assert [(h.doc_id, h.score) for h in td1.score_docs] == \
         [(h.doc_id, h.score) for h in td2.score_docs]
+
+
+# ------------------------------------------------------------ sloppy phrase
+def test_sloppy_freq_reference_example():
+    """The documented reference example (SloppyPhraseMatcher.kt class
+    comment): "a b"~2 over doc "x a b a y" matches twice — distance 0 and
+    distance 2 — so freq = 1/(1+0) + 1/(1+2) in float32."""
+    import numpy as np
+    from lucene_kmp_ray.search.searcher import _sloppy_freq_doc
+    a, b = np.array([1, 3]), np.array([2])
+    f = _sloppy_freq_doc([a, b], 2)
+    assert f == pytest.approx(float(np.float32(1.0) + np.float32(1 / 3)), abs=0)
+    assert _sloppy_freq_doc([a, b], 0) == 1.0       # only the exact match
+    assert _sloppy_freq_doc([np.array([0]), np.array([9])], 2) == 0.0
+
+
+def test_sloppy_repeats():
+    import numpy as np
+    from lucene_kmp_ray.search.searcher import _sloppy_freq_doc
+    aa = np.array([0, 1, 2])
+    # "a a"~1 over "a a a": greedy finds two adjacent matches
+    assert _sloppy_freq_doc([aa, aa], 1) == 2.0
+
+
+def test_sloppy_phrase_superset_of_exact(searcher, toks):
+    """Every exact-phrase doc must match the sloppy version, and sloppy
+    scores are computed from float freqs (PhraseScorer.score)."""
+    from lucene_kmp_ray.search import PhraseQuery
+    exact = searcher.search(PhraseQuery(("big", "order", "scan")), k=1000)
+    sloppy = searcher.search(PhraseQuery(("big", "order", "scan"), slop=3),
+                             k=1000)
+    exact_docs = {h.doc_id for h in exact.score_docs}
+    sloppy_docs = {h.doc_id for h in sloppy.score_docs}
+    assert exact_docs <= sloppy_docs
+    assert sloppy.total_hits >= exact.total_hits
+
+
+def test_sloppy_phrase_brute_force(searcher, toks):
+    """Docs + freqs must equal a direct run of the greedy kernel over the
+    raw token positions of every candidate doc."""
+    import numpy as np
+    from lucene_kmp_ray.search import PhraseQuery
+    from lucene_kmp_ray.search.searcher import _sloppy_freq_doc
+    from lucene_kmp_ray.similarity.bm25 import BM25Similarity
+    from lucene_kmp_ray.util.smallfloat import int_to_byte4_np
+    terms, slop = ["order", "scan"], 2
+    exp = {}
+    for i, t in enumerate(toks):
+        pos = {w: np.flatnonzero(np.asarray(t, dtype=object) == w)
+               for w in set(terms)}
+        if all(len(pos[w]) for w in terms):
+            f = _sloppy_freq_doc([pos[w] for w in terms], slop)
+            if f > 0:
+                exp[i] = f
+    td = searcher.search(PhraseQuery(tuple(terms), slop=slop), k=10_000)
+    got_docs = {h.doc_id for h in td.score_docs}
+    assert got_docs == set(exp)
+    # scores: BM25 with idf summed over phrase terms, float freq
+    lens = np.array([len(t) for t in toks])
+    norms = int_to_byte4_np(lens)
+    sim = BM25Similarity()
+    dfs = [sum(1 for t in toks if w in t) for w in terms]
+    sc = sim.scorer(1.0, len(toks), int(lens.sum()), dfs)
+    for h in td.score_docs:
+        want = float(sc.score(np.array([exp[h.doc_id]]),
+                              norms[[h.doc_id]])[0])
+        assert h.score == pytest.approx(want, abs=0)
+
+
+def test_parser_sloppy_phrase():
+    assert parse_query('"big order scan"~2') == \
+        PhraseQuery(("big", "order", "scan"), slop=2)
