@@ -123,25 +123,26 @@ def _build_only(ncpu: int) -> dict:
     return json.loads(out.strip().splitlines()[-1])
 
 
-def _cpu_dilation_control(nproc: int, per_proc_mb: int = 48) -> float:
+def _dilation_work(_):
+    import numpy as np
+    t0 = time.monotonic()
+    a = np.arange(48 * 131_072, dtype=np.int64)  # ~48MB working set
+    for _ in range(3):
+        a = a[np.argsort((a * 2654435761) % 2**31, kind="stable")]
+    return time.monotonic() - t0
+
+
+def _cpu_dilation_control(nproc: int) -> float:
     """No-Ray control: the same numpy-bound work run in 1 vs ``nproc``
     OS processes. Returns the per-process time dilation factor — the
     *hardware* (shared memory bus) ceiling of this sandbox, so the Ray
     numbers can be read against what the machine permits at all."""
     import multiprocessing as mp
 
-    def work(_):
-        import numpy as np
-        t0 = time.monotonic()
-        a = np.arange(per_proc_mb * 131_072, dtype=np.int64)  # 1MB/131072
-        for _ in range(3):
-            a = a[np.argsort((a * 2654435761) % 2**31, kind="stable")]
-        return time.monotonic() - t0
-
     with mp.get_context("spawn").Pool(1) as p:
-        t1 = min(p.map(work, range(1)))
+        t1 = min(p.map(_dilation_work, range(1)))
     with mp.get_context("spawn").Pool(nproc) as p:
-        tn = max(p.map(work, range(nproc)))
+        tn = max(p.map(_dilation_work, range(nproc)))
     return tn / t1
 
 

@@ -174,18 +174,22 @@ class IndexReader:
         self.doc_count = self.manifest["doc_count"]
         self.sum_total_term_freq = self.manifest["sum_total_term_freq"]
         self._term_stats_path = os.path.join(index_dir, TERM_STATS_FILE)
+        self._stats_cache: dict[str, tuple[int, int]] = {}
 
     def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
         """Global (df, ttf) per term — the TermStates resolution step
-        (index/TermStates.kt): stats precede scoring and are identical for
-        every segment. Uses Parquet predicate pushdown on the sorted stats
-        table (row-group pruning at scale)."""
+        (index/TermStates.kt): stats precede scoring, are identical for
+        every segment, and are resolved ONCE per term per reader (the
+        TermStates cache role). Uses Parquet predicate pushdown on the
+        sorted stats table (row-group pruning at scale)."""
         if not terms:
             return {}
-        t = pq.read_table(self._term_stats_path,
-                          filters=[("term", "in", list(set(terms)))])
-        out = {term: (0, 0) for term in terms}
-        for term, df, ttf in zip(t["term"].to_pylist(), t["df"].to_pylist(),
-                                 t["ttf"].to_pylist()):
-            out[term] = (df, ttf)
-        return out
+        missing = sorted({t for t in terms if t not in self._stats_cache})
+        if missing:
+            t = pq.read_table(self._term_stats_path,
+                              filters=[("term", "in", missing)])
+            found = dict(zip(t["term"].to_pylist(),
+                             zip(t["df"].to_pylist(), t["ttf"].to_pylist())))
+            for term in missing:
+                self._stats_cache[term] = found.get(term, (0, 0))
+        return {term: self._stats_cache[term] for term in terms}

@@ -102,17 +102,51 @@ def encode_blocks(vals: np.ndarray) -> bytes:
 
 
 def decode_blocks(buf: bytes | memoryview, n: int) -> np.ndarray:
-    """Decode encode_blocks output given the total value count."""
-    out = np.empty(n, dtype=np.int64)
-    mv = memoryview(buf)
+    """Decode encode_blocks output given the total value count.
+
+    Vectorized across blocks (mirror of the encoder): the per-block Python
+    work is only header parsing; all full blocks sharing a bit width unpack
+    with a single ``np.unpackbits`` + matmul, scattered back by fancy
+    indexing. The short tail block decodes alone.
+    """
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    mv = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    tail_cnt = n - (nblocks - 1) * BLOCK_SIZE
+    widths = np.empty(nblocks, dtype=np.int64)
+    starts = np.empty(nblocks, dtype=np.int64)
     pos = 0
-    for start in range(0, n, BLOCK_SIZE):
-        cnt = min(BLOCK_SIZE, n - start)
+    for b in range(nblocks - 1):
         w = mv[pos]
-        pos += 1
-        nbytes = (cnt * w + 7) // 8
-        out[start:start + cnt] = unpack_ints(mv[pos:pos + nbytes], cnt, w)
-        pos += nbytes
+        widths[b] = w
+        starts[b] = pos + 1
+        pos += 1 + (BLOCK_SIZE * int(w)) // 8  # full block: 128*w bits exact
+    w = mv[pos]
+    widths[-1] = w
+    starts[-1] = pos + 1
+
+    out = np.zeros(n, dtype=np.int64)
+    full_w = widths[:-1]
+    for wv in np.unique(full_w):
+        if wv == 0:
+            continue
+        idx = np.flatnonzero(full_w == wv)
+        pbytes = (BLOCK_SIZE * int(wv)) // 8
+        gather = starts[idx][:, None] + np.arange(pbytes)
+        raw = mv[gather]  # (k, pbytes)
+        bits = np.unpackbits(raw, axis=1, bitorder="little")
+        vals = bits.reshape(len(idx), BLOCK_SIZE, int(wv)).astype(np.int64) \
+            @ (np.int64(1) << np.arange(int(wv), dtype=np.int64))
+        dest = idx[:, None] * BLOCK_SIZE + np.arange(BLOCK_SIZE)
+        out[dest.ravel()] = vals.ravel()
+    # tail block
+    tw = int(widths[-1])
+    if tw:
+        tb = (tail_cnt * tw + 7) // 8
+        s = int(starts[-1])
+        out[(nblocks - 1) * BLOCK_SIZE:] = unpack_ints(
+            mv[s:s + tb].tobytes(), tail_cnt, tw)
     return out
 
 
