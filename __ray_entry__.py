@@ -20,7 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from lucene_kmp_ray import oracle
-from lucene_kmp_ray.pipelines import ann, dedup, textstats
+from lucene_kmp_ray.pipelines import ann, dedup, events, textstats
 from lucene_kmp_ray.search import (BooleanQuery, DisjunctionMaxQuery,
                                    FuzzyQuery, Occur, PhraseQuery,
                                    PrefixQuery, RangeFilterQuery, Searcher,
@@ -234,6 +234,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_bands": lambda sf: dedup.minhash_batch_ds(sf),
         "minhash_pairs": dedup.minhash_candidate_pairs,
         "simhash_signatures": dedup.simhash_signatures,  # rows-only check
+        # --- windowed aggregates / sessionization (events table) ---
+        "tumbling_counts": events.tumbling_counts,
+        "sessionize": events.sessionize,
         # --- similarity search ---
         "ann_cosine_top10": _ann_brute,
         "ann_lsh_top10": lambda sf: ann.ann_lsh_topk(sf),  # rows-only check
@@ -290,6 +293,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_bands": oracle.minhash_bands(),
         "minhash_pairs": oracle.minhash_pairs(),
         "ann_cosine_top10": oracle.ann_cosine_topk(),
+        "tumbling_counts": oracle.tumbling_counts(),
+        "sessionize": oracle.sessionize(),
         # simhash_signatures / ann_lsh_top10 / multimodal_features:
         # intentionally no SQL (hash bit-twiddling / approximate / stubbed
         # decode) → driver records rows-only checks.

@@ -177,22 +177,36 @@ def commit_index(index_dir: str, manifests: list[dict],
     return manifest
 
 
-def _write_term_stats(index_dir: str, manifests: list[dict]) -> None:
-    """Global (term → df, ttf) table, pre-aggregated per segment already.
+def _partial_term_stats(index_dir: str, segs: list[int]) -> pa.Table:
+    """Read + partially aggregate one chunk of segment term tables (the
+    combiner side of the two-level term-stats aggregation)."""
+    import pyarrow.parquet as pq
+    parts = [pq.read_table(
+        os.path.join(index_dir, "segments", seg_dirname(s), "terms.parquet"),
+        columns=["term", "df", "ttf"]) for s in segs]
+    return pa.concat_tables(parts).group_by("term") \
+        .aggregate([("df", "sum"), ("ttf", "sum")]) \
+        .rename_columns(["term", "df", "ttf"])
 
-    Driver-side pyarrow concat+groupby here because per-segment term tables
-    are vocabulary-sized (the per-segment aggregation inside invert_segment
-    is the combiner); at true web scale swap in
-    ``rd.read_parquet(...).groupby("term").aggregate(Sum("df"), Sum("ttf"))``
-    over the same files — layout is already that shape.
+
+def _write_term_stats(index_dir: str, manifests: list[dict]) -> None:
+    """Global (term → df, ttf) table via two-level aggregation: Ray tasks
+    partially aggregate chunks of per-segment term tables (per-segment
+    tables are themselves pre-aggregated — the combiner pattern, SURVEY
+    §2.6), the driver merges the vocabulary-sized partials. At 10^6
+    segments the partial layer becomes a tree of the same task; nothing
+    here is proportional to postings volume.
     """
     import pyarrow.parquet as pq
-    parts = []
-    for m in manifests:
-        p = os.path.join(index_dir, "segments", seg_dirname(m["seg"]),
-                         "terms.parquet")
-        parts.append(pq.read_table(p, columns=["term", "df", "ttf"]))
-    allp = pa.concat_tables(parts)
-    agg = allp.group_by("term").aggregate([("df", "sum"), ("ttf", "sum")])
-    agg = agg.rename_columns(["term", "df", "ttf"]).sort_by("term")
+    segs = [m["seg"] for m in manifests]
+    chunks = [segs[i:i + 16] for i in range(0, len(segs), 16)]
+    if len(chunks) > 1:
+        import ray
+        part_fn = ray.remote(_partial_term_stats)
+        parts = ray.get([part_fn.remote(index_dir, c) for c in chunks])
+    else:
+        parts = [_partial_term_stats(index_dir, c) for c in chunks]
+    agg = pa.concat_tables(parts).group_by("term") \
+        .aggregate([("df", "sum"), ("ttf", "sum")]) \
+        .rename_columns(["term", "df", "ttf"]).sort_by("term")
     pq.write_table(agg, os.path.join(index_dir, TERM_STATS_FILE))

@@ -475,3 +475,43 @@ FROM postings p JOIN doclen d USING (doc_id) JOIN corpus c USING (doc_id)
 WHERE p.term = '{term}'
 ORDER BY d.dl DESC, p.doc_id LIMIT {k}
 """
+
+
+# ------------------------------ events ------------------------------------
+def tumbling_counts(window_minutes: int = 60) -> str:
+    w_us = window_minutes * 60 * 1_000_000
+    return f"""
+SELECT event_type,
+       (epoch_us(ts) // {w_us}) * {w_us} AS window_us,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value_r,
+       round(sum(value)/count(*), 6) AS mean_value_r
+FROM events GROUP BY event_type, window_us
+"""
+
+
+def sessionize(gap_minutes: int = 30) -> str:
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+           AS prev_us
+  FROM events
+),
+marked AS (
+  SELECT user_id, ts_us,
+         CASE WHEN prev_us IS NULL OR ts_us - prev_us > {gap_us}
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+sess AS (
+  SELECT user_id, ts_us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, min(ts_us) AS session_start_us, count(*) AS n_events,
+       max(ts_us) - min(ts_us) AS duration_us
+FROM sess GROUP BY user_id, sid
+"""

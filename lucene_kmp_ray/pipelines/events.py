@@ -1,0 +1,101 @@
+"""Windowed aggregates + sessionization over the ``events`` table.
+
+The reference is strictly batch (SURVEY §2.10: no streaming operators
+anywhere in lucene-kmp), but a large-scale training-data pipeline needs
+time-window operators, so these are first-class extras. Both are expressed
+as the partial-aggregate combiner pattern: ``map_batches`` pre-aggregates
+each Arrow batch to (key, window) partials, then a vocabulary-×-window-sized
+``groupby`` merges — the shuffle moves partial rows, never raw events
+(SURVEY §2.6 "pre-aggregate inside map_batches").
+
+Sessionization (gap-based windows) groups by ``user_id`` instead: one
+user's events must be co-located and time-sorted to find session breaks —
+the partitioning assumption is documented on the function (the classic
+skew risk of a hot user is bounded because a user's event count is bounded
+by the collection window, unlike Zipf term skew).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+WINDOW_MINUTES = 60
+SESSION_GAP_MINUTES = 30
+
+
+def tumbling_counts(sf_dir: str, window_minutes: int = WINDOW_MINUTES):
+    """Tumbling-window count/sum/mean of ``value`` per (event_type, window).
+
+    window = floor(ts / W): each batch pre-aggregates locally (partial
+    count+sum), the groupby merges partials, and mean = sum/count is
+    derived after the merge — associativity exactly as a streaming engine
+    would hold it.
+    """
+    import ray.data as rd
+
+    w_us = window_minutes * 60 * 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["ts"].cast(pa.int64())
+        win = pc.multiply(pc.divide(ts, w_us), w_us)
+        t = pa.table({"event_type": b["event_type"], "window_us": win,
+                      "value": b["value"]})
+        return t.group_by(["event_type", "window_us"]).aggregate(
+            [("value", "sum"), ("value", "count")]) \
+            .rename_columns(["event_type", "window_us", "psum", "pcount"])
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["pcount"].sum())
+        s = float(g["psum"].sum())
+        # rounded to 6dp: double sums are association-order-dependent and
+        # the partial-merge order differs from a serial fold
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "window_us": [int(g["window_us"].iloc[0])],
+            "n_events": [n],
+            "sum_value_r": [round(s, 6)],
+            "mean_value_r": [round(s / n, 6)],
+        })
+
+    return partials.groupby(["event_type", "window_us"]).map_groups(
+        merge, batch_format="pandas")
+
+
+def sessionize(sf_dir: str, gap_minutes: int = SESSION_GAP_MINUTES):
+    """Gap-based sessions per user: a new session starts when the gap to
+    the previous event exceeds ``gap_minutes``. Emits one row per session
+    (user_id, session_start_us, n_events, duration_us).
+
+    Partitioning assumption: ``groupby(user_id)`` co-locates one user's
+    events in one group (time-sorted inside the group function). Safe at
+    scale because per-user event counts are bounded; if a pathological key
+    existed, salt by coarse time range and merge adjacent sessions at the
+    boundary.
+    """
+    import ray.data as rd
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].astype("int64").to_numpy())
+        breaks = np.diff(ts) > gap_us
+        sess_id = np.concatenate([[0], np.cumsum(breaks)])
+        starts = np.flatnonzero(np.concatenate([[True], breaks]))
+        ends = np.concatenate([starts[1:] - 1, [len(ts) - 1]])
+        return pd.DataFrame({
+            "user_id": g["user_id"].iloc[0],
+            "session_start_us": ts[starts],
+            "n_events": np.bincount(sess_id),
+            "duration_us": ts[ends] - ts[starts],
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
