@@ -49,6 +49,11 @@ AND_SORTED = ("join", "spark")  # sorted for deterministic clause order
 DISMAX_TB = 0.3
 
 
+def _extract_invariant(sf_dir: str):
+    from lucene_kmp_ray.pipelines.validate import extract_invariant
+    return extract_invariant(sf_dir)
+
+
 def _dismax(sf_dir: str):
     import pandas as pd
     df = _topk(sf_dir, DisjunctionMaxQuery(
@@ -234,6 +239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_bands": lambda sf: dedup.minhash_batch_ds(sf),
         "minhash_pairs": dedup.minhash_candidate_pairs,
         "simhash_signatures": dedup.simhash_signatures,  # rows-only check
+        # --- per-row extraction invariant (input_hint) ---
+        "extract_invariant": _extract_invariant,
         # --- windowed aggregates / sessionization (events table) ---
         "tumbling_counts": events.tumbling_counts,
         "sessionize": events.sessionize,
@@ -293,6 +300,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_bands": oracle.minhash_bands(),
         "minhash_pairs": oracle.minhash_pairs(),
         "ann_cosine_top10": oracle.ann_cosine_topk(),
+        "extract_invariant": oracle.extract_invariant(),
         "tumbling_counts": oracle.tumbling_counts(),
         "sessionize": oracle.sessionize(),
         # simhash_signatures / ann_lsh_top10 / multimodal_features:

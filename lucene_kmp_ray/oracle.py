@@ -515,3 +515,15 @@ SELECT user_id, min(ts_us) AS session_start_us, count(*) AS n_events,
        max(ts_us) - min(ts_us) AS duration_us
 FROM sess GROUP BY user_id, sid
 """
+
+
+def extract_invariant() -> str:
+    """html→text extraction invariant: tag-strip + entity decode of the
+    corpus html must reproduce text byte-identically (input_hint)."""
+    return preamble() + """
+SELECT doc_id,
+       (regexp_replace(regexp_replace(CAST(html AS VARCHAR),
+            '(?s)<[^>]*>', '', 'g'), '&amp;', '&', 'g') = text) AS match,
+       length(text) AS text_len
+FROM corpus
+"""
