@@ -209,6 +209,47 @@ def run_merges(index_dir: str, merges: list[list[int]] | None = None,
     return out
 
 
+def add_indexes(dest_dir: str, src_dirs: list[str]) -> dict:
+    """Bulk union of whole indexes (``IndexWriter.addIndexes``,
+    ``index/IndexWriter.kt:3040``): source segment directories are copied
+    under fresh segment ids and the destination manifest re-commits over
+    the union. Segments stay immutable; global stats re-aggregate. Sources
+    must not share doc_ids with the destination (doc_id is the global
+    corpus key; the caller owns key disjointness, exactly as Lucene callers
+    own de-duplication across added indexes)."""
+    import json
+
+    with open(os.path.join(dest_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    metas = {m["seg"]: m for m in manifest["segments"]}
+    next_seg = max(metas, default=-1) + 1
+    all_metas = [metas[s] for s in sorted(metas)]
+    for src in src_dirs:
+        with open(os.path.join(src, "manifest.json")) as f:
+            sman = json.load(f)
+        for m in sorted(sman["segments"], key=lambda m: m["seg"]):
+            new = dict(m)
+            new["seg"] = next_seg
+            dst = os.path.join(dest_dir, "segments", seg_dirname(next_seg))
+            shutil.copytree(os.path.join(src, m["dir"]), dst)
+            # rewrite the copied segment manifest's id for lineage coherence
+            with open(os.path.join(dst, "manifest.json")) as f:
+                seg_man = json.load(f)
+            seg_man["lineage"] = {"added_from": src,
+                                  "src_seg": m["seg"],
+                                  **seg_man.get("lineage", {})}
+            seg_man["seg"] = next_seg
+            with open(os.path.join(dst, "manifest.json"), "w") as f:
+                json.dump(seg_man, f)
+            new["dir"] = f"segments/{seg_dirname(next_seg)}"
+            all_metas.append({k: seg_man[k] for k in
+                              ("seg", "doc_count", "sum_total_term_freq",
+                               "sum_doc_freq", "unique_terms", "doc_id_min",
+                               "doc_id_max")})
+            next_seg += 1
+    return commit_index(dest_dir, all_metas)
+
+
 def force_merge(index_dir: str, max_segments: int = 1) -> dict:
     """``IndexWriter.forceMerge`` analog: merge down to ≤ max_segments."""
     import json

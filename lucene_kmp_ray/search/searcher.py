@@ -408,6 +408,73 @@ class Searcher:
         self._resolve(hits)
         return TopDocs(int(total), relation, hits)
 
+    def explain(self, query: Query, doc_id: int) -> dict:
+        """Explanation tree for one doc (``Weight.explain`` /
+        ``BM25Similarity.explain`` shape): nested {value, description,
+        details}. Supports TermQuery and BooleanQuery over terms."""
+        for si, sr in enumerate(self.reader.segment_readers):
+            dm = sr.doc_meta
+            ids = dm["doc_id"].to_numpy()
+            pos = np.searchsorted(ids, doc_id)
+            if pos < len(ids) and ids[pos] == doc_id:
+                return self._explain_leaf(sr, query, int(pos))
+        return {"value": 0.0, "description": f"doc {doc_id} not found",
+                "details": []}
+
+    def _explain_leaf(self, sr: SegmentReader, query: Query,
+                      local_doc: int) -> dict:
+        if isinstance(query, BooleanQuery):
+            details = [self._explain_leaf(sr, sub, local_doc)
+                       for occ, sub in query.clauses
+                       if occ in (Occur.MUST, Occur.SHOULD)]
+            matched = [d for d in details if d["value"] > 0]
+            return {"value": float(sum(d["value"] for d in matched)),
+                    "description": "sum of:", "details": matched}
+        if not isinstance(query, TermQuery):
+            docs, scores = self._score_segment(sr, query)
+            i = np.searchsorted(docs, local_doc)
+            v = float(scores[i]) if i < len(docs) and docs[i] == local_doc \
+                else 0.0
+            return {"value": v, "description": f"score({query!r})",
+                    "details": []}
+        term = query.term
+        stats = self.reader.term_stats([term])
+        df, _ = stats[term]
+        p = sr.postings(term)
+        if p is None or df == 0:
+            return {"value": 0.0,
+                    "description": f"no matching term '{term}'", "details": []}
+        docs, freqs = p
+        i = np.searchsorted(docs, local_doc)
+        if i >= len(docs) or docs[i] != local_doc:
+            return {"value": 0.0,
+                    "description": f"term '{term}' not in doc", "details": []}
+        freq = int(freqs[i])
+        norm = int(sr.norms[local_doc])
+        n = self.reader.doc_count
+        idf = self.sim.idf(df, n)
+        avgdl = self.sim.avgdl(self.reader.sum_total_term_freq, n)
+        scorer = self.sim.scorer(1.0, n, self.reader.sum_total_term_freq,
+                                 [df])
+        score = float(scorer.score(np.array([freq]),
+                                   np.array([norm], np.uint8))[0])
+        from ..util.smallfloat import LENGTH_TABLE_INT
+        dl = int(LENGTH_TABLE_INT[norm])
+        return {
+            "value": score,
+            "description": f"weight(text:{term}) [BM25Similarity]",
+            "details": [
+                {"value": idf,
+                 "description": f"idf, ln(1+(N-n+0.5)/(n+0.5)) with n={df}, "
+                                f"N={n}", "details": []},
+                {"value": freq, "description": "freq", "details": []},
+                {"value": dl,
+                 "description": f"dl, length of field (SmallFloat norm byte "
+                                f"{norm})", "details": []},
+                {"value": avgdl, "description": "avgdl", "details": []},
+            ],
+        }
+
     def _resolve(self, hits: list[ScoreDoc]) -> None:
         """Fetch stored fields (doc_id, url) — StoredFieldVisitor analog;
         the corpus Parquet is the row store (SURVEY §1.4)."""

@@ -114,3 +114,31 @@ def test_force_merge_matches_single_segment_build(built):
         mo = json.load(f)
     for k in ("doc_count", "sum_total_term_freq", "sum_doc_freq"):
         assert mw[k] == mo[k]
+
+
+def test_add_indexes(built, tmp_path, ray_session):
+    """addIndexes analog (IndexWriter.kt:3040): source segments copy in
+    under fresh ids and global stats re-aggregate over the union. (Key
+    disjointness is the caller's contract, as in Lucene; here both sides
+    cover the same corpus, so every global stat must exactly double.)"""
+    import json
+    import shutil as sh
+
+    from lucene_kmp_ray.index.merge import add_indexes
+    many, one = built
+    dest = str(tmp_path / "dest")
+    sh.copytree(many, dest)
+    man = add_indexes(dest, [one])
+    assert len(man["segments"]) == 10 + 1
+    with open(f"{many}/manifest.json") as f:
+        orig = json.load(f)
+    for k in ("doc_count", "sum_total_term_freq", "sum_doc_freq"):
+        assert man[k] == 2 * orig[k]
+    ts_dest = pq.read_table(f"{dest}/term_stats.parquet")
+    ts_one = pq.read_table(f"{one}/term_stats.parquet")
+    assert ts_dest["term"].to_pylist() == ts_one["term"].to_pylist()
+    assert [2 * v for v in ts_one["df"].to_pylist()] == \
+        ts_dest["df"].to_pylist()
+    # the added segment is queryable through the normal reader
+    td = Searcher(IndexReader(dest)).search(TermQuery("spark"), k=5)
+    assert td.total_hits == 2 * 387

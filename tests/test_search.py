@@ -208,3 +208,18 @@ def test_pruning_engages_and_stays_rank_identical(searcher, monkeypatch):
         [(h.doc_id, h.score) for h in pruned_b.score_docs]
     assert pruned_b.relation == "GREATER_THAN_OR_EQUAL_TO" or \
         pruned_t.relation == "GREATER_THAN_OR_EQUAL_TO"
+
+
+def test_explain_matches_score(searcher):
+    from lucene_kmp_ray.search import BooleanQuery, Occur, TermQuery
+    td = searcher.search(TermQuery("spark"), k=3)
+    for h in td.score_docs:
+        ex = searcher.explain(TermQuery("spark"), h.doc_id)
+        assert ex["value"] == pytest.approx(h.score, abs=0)
+        assert any("idf" in d["description"] for d in ex["details"])
+    q = BooleanQuery.build((Occur.SHOULD, TermQuery("spark")),
+                           (Occur.SHOULD, TermQuery("join")))
+    td2 = searcher.search(q, k=1)
+    ex2 = searcher.explain(q, td2.score_docs[0].doc_id)
+    assert ex2["value"] == pytest.approx(td2.score_docs[0].score, rel=1e-6)
+    assert searcher.explain(TermQuery("zzz"), 0)["value"] == 0.0
