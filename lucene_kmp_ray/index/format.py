@@ -163,9 +163,11 @@ def encode_term_table(entries, norms: np.ndarray) -> pa.Table:
         terms.append(term)
         dfs.append(len(d))
         ttfs.append(int(f.sum()))
+        # docs: delta+FOR (ForDeltaUtil role); freqs/positions: PFor with
+        # ≤7 patched exceptions (PForUtil role) — skewed freqs are the norm
         docs_enc.append(fu.encode_blocks(fu.delta_encode(d)))
-        freqs_enc.append(fu.encode_blocks(f))
-        pos_enc.append(fu.encode_blocks(posd))
+        freqs_enc.append(fu.encode_blocks_pfor(f))
+        pos_enc.append(fu.encode_blocks_pfor(posd))
         # per-128-doc-block skip + impact metadata
         idx = np.arange(0, len(d), fu.BLOCK_SIZE)
         blk_last.append(d[np.minimum(idx + fu.BLOCK_SIZE - 1, len(d) - 1)]

@@ -217,8 +217,8 @@ def _encode_group(g: pa.Table) -> pa.Table:
         pa.nulls(1, pa.string()), pa.array([0], i64), pa.array([0], i64),
         pa.array([len(d)], i64), pa.array([int(f.sum())], i64),
         pa.array([fu.encode_blocks(fu.delta_encode(d))], pa.binary()),
-        pa.array([fu.encode_blocks(f)], pa.binary()),
-        pa.array([fu.encode_blocks(posd_flat)], pa.binary()),
+        pa.array([fu.encode_blocks_pfor(f)], pa.binary()),
+        pa.array([fu.encode_blocks_pfor(posd_flat)], pa.binary()),
         pa.array([d[np.minimum(idx + fu.BLOCK_SIZE - 1, len(d) - 1)]
                   .astype(np.int32)], pa.list_(pa.int32())),
         pa.array([np.maximum.reduceat(f, idx).astype(np.int32)],

@@ -129,32 +129,22 @@ def _decode_selected_blocks(row: dict, mask: np.ndarray):
     The docID delta chain crosses blocks; block b's base is
     block_last_doc[b-1], which we stored precisely so a skipped block's
     successor can be decoded without it (the skip-pointer role,
-    Lucene101PostingsReader BlockPostingsEnum, SURVEY §2.1).
+    Lucene101PostingsReader BlockPostingsEnum, SURVEY §2.1). Block walking
+    uses the shared FOR/PFor stream parser, so freq blocks may be patched.
     """
     df = row["df"]
     last = row["block_last_doc"]
-    docs_mv = memoryview(row["docs_enc"])
-    freqs_mv = memoryview(row["freqs_enc"])
+    dmv, dmeta = fu.block_stream_meta(row["docs_enc"], df)
+    fmv, fmeta = fu.block_stream_meta(row["freqs_enc"], df)
     out_docs, out_freqs = [], []
-    dpos = fpos = 0
-    nblocks = len(last)
-    for b in range(nblocks):
+    for b in np.flatnonzero(mask):
         cnt = min(fu.BLOCK_SIZE, df - b * fu.BLOCK_SIZE)
-        dw = docs_mv[dpos]
-        fw = freqs_mv[fpos]
-        dbytes = (cnt * dw + 7) // 8
-        fbytes = (cnt * fw + 7) // 8
-        if mask[b]:
-            deltas = fu.unpack_ints(docs_mv[dpos + 1:dpos + 1 + dbytes], cnt, dw)
-            base = last[b - 1] if b > 0 else None
-            docs = np.cumsum(deltas)
-            if base is not None:
-                docs += base
-            out_docs.append(docs)
-            out_freqs.append(fu.unpack_ints(
-                freqs_mv[fpos + 1:fpos + 1 + fbytes], cnt, fw))
-        dpos += 1 + dbytes
-        fpos += 1 + fbytes
+        deltas = fu.decode_one_block(dmv, dmeta[b], cnt)
+        docs = np.cumsum(deltas)
+        if b > 0:
+            docs += last[b - 1]
+        out_docs.append(docs)
+        out_freqs.append(fu.decode_one_block(fmv, fmeta[b], cnt))
     if not out_docs:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     return np.concatenate(out_docs), np.concatenate(out_freqs)

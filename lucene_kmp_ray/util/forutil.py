@@ -48,8 +48,16 @@ def _width_of(block_max: int) -> int:
 
 
 def _bit_length_np(v: np.ndarray) -> np.ndarray:
-    v = v.astype(np.int64, copy=True)
+    """Vectorized int bit_length. Fast path: one ``np.frexp`` (the float64
+    exponent IS the bit length for 0 < v < 2^53); shift-mask fallback above."""
+    v = np.asarray(v, dtype=np.int64)
+    if v.size == 0:
+        return np.zeros(v.shape, dtype=np.int64)
+    if v.max() < (1 << 53):
+        _, e = np.frexp(v.astype(np.float64))
+        return e.astype(np.int64)
     out = np.zeros(v.shape, dtype=np.int64)
+    v = v.copy()
     for s in (32, 16, 8, 4, 2, 1):
         mask = v >= (np.int64(1) << s)
         out[mask] += s
@@ -101,30 +109,152 @@ def encode_blocks(vals: np.ndarray) -> bytes:
     return out.tobytes()
 
 
-def decode_blocks(buf: bytes | memoryview, n: int) -> np.ndarray:
-    """Decode encode_blocks output given the total value count.
+PATCHED_FLAG = 0x80      # header high bit: PFor block with exceptions
+MAX_EXCEPTIONS = 7       # PForUtil.kt:100
+MAX_PATCH_BITS = 8       # exception high bits must fit one byte
 
-    Vectorized across blocks (mirror of the encoder): the per-block Python
-    work is only header parsing; all full blocks sharing a bit width unpack
-    with a single ``np.unpackbits`` + matmul, scattered back by fancy
-    indexing. The short tail block decodes alone.
+
+def encode_blocks_pfor(vals: np.ndarray) -> bytes:
+    """PForDelta-encode: FOR blocks where up to MAX_EXCEPTIONS outlier
+    values per 128-block store only their low ``w`` bits in the packed
+    payload, with their high bits patched from per-exception bytes —
+    the semantics of the reference's ``PForUtil.kt:17-100`` (≤7 patched
+    exceptions, chosen when they shrink the block). Self-describing block
+    layout: header ``0x80|w``, one exception-count byte, packed payload,
+    then ``(position, high_bits)`` byte pairs. Blocks where patching does
+    not pay stay plain FOR (header ``w``), so ``decode_blocks`` reads both.
+
+    Width selection is cost-based and fully vectorized: for e ∈ 0..7 the
+    candidate width is the (e+1)-th largest bit length in the block; the
+    cheapest valid (high bits ≤ 8) candidate wins.
+    """
+    v = np.asarray(vals, dtype=np.int64)
+    n = len(v)
+    if n == 0:
+        return b""
+    if v.min() < 0:
+        raise ValueError("FOR encoding requires non-negative values")
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    padded = np.zeros(nblocks * BLOCK_SIZE, dtype=np.uint64)
+    padded[:n] = v.astype(np.uint64)
+    resh = padded.reshape(nblocks, BLOCK_SIZE)
+    bl = _bit_length_np(resh.reshape(-1).astype(np.int64)) \
+        .reshape(nblocks, BLOCK_SIZE)
+    counts = np.full(nblocks, BLOCK_SIZE, dtype=np.int64)
+    counts[-1] = n - (nblocks - 1) * BLOCK_SIZE
+
+    # top-(MAX_EXCEPTIONS+1) bit lengths per block, descending
+    k = MAX_EXCEPTIONS + 1
+    if bl.shape[1] > k:
+        top = -np.partition(-bl, k - 1, axis=1)[:, :k]
+        top.sort(axis=1)
+        top = top[:, ::-1]
+    else:
+        top = -np.sort(-bl, axis=1)
+    w_full = top[:, 0]
+    # candidate e: width = top[:, e]; exceptions have bl > width
+    cand_w = top                                 # (nblocks, 8)
+    nexc = (bl[:, :, None] > cand_w[:, None, :]).sum(axis=1)  # (nblocks, 8)
+    patch_ok = (w_full[:, None] - cand_w) <= MAX_PATCH_BITS
+    cost = (counts[:, None] * cand_w + 7) // 8 + \
+        np.where(nexc > 0, 1 + 2 * nexc, 0)
+    cost = np.where(patch_ok & (nexc <= MAX_EXCEPTIONS), cost, 1 << 40)
+    best = np.argmin(cost, axis=1)               # first (fewest-exc) minimum
+    widths = cand_w[np.arange(nblocks), best]
+    n_exc = nexc[np.arange(nblocks), best]
+    patched = n_exc > 0
+
+    payload = (counts * widths + 7) // 8
+    block_bytes = 1 + np.where(patched, 1 + 2 * n_exc, 0) + payload
+    ends = np.cumsum(block_bytes)
+    starts = ends - block_bytes
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    out[starts] = np.where(patched, PATCHED_FLAG | widths, widths) \
+        .astype(np.uint8)
+    out[starts[patched] + 1] = n_exc[patched].astype(np.uint8)
+    pay_start = starts + 1 + np.where(patched, 1, 0)
+
+    mask64 = np.where(widths >= 64, np.uint64(0xFFFFFFFFFFFFFFFF),
+                      (np.uint64(1) << np.minimum(widths, 63)
+                       .astype(np.uint64)) - np.uint64(1))
+    base = resh & mask64[:, None]
+    for w in np.unique(widths):
+        if w == 0:
+            continue
+        idx = np.flatnonzero(widths == w)
+        rows = base[idx]
+        bits = ((rows[:, :, None] >> np.arange(w, dtype=np.uint64)) & 1) \
+            .astype(np.uint8)
+        packed = np.packbits(bits.reshape(len(idx), BLOCK_SIZE * int(w)),
+                             axis=1, bitorder="little")
+        take = payload[idx]
+        dest = pay_start[idx][:, None] + np.arange(packed.shape[1])
+        m = np.arange(packed.shape[1])[None, :] < take[:, None]
+        out[dest[m]] = packed[m]
+    # exception byte pairs (patched blocks only; ≤7 each)
+    for b in np.flatnonzero(patched):
+        w = int(widths[b])
+        pos_in_block = np.flatnonzero(bl[b] > w)
+        highs = (resh[b, pos_in_block] >> np.uint64(w)).astype(np.uint8)
+        e0 = int(starts[b] + 1 + 1 + payload[b])
+        pairs = np.empty(2 * len(pos_in_block), dtype=np.uint8)
+        pairs[0::2] = pos_in_block.astype(np.uint8)
+        pairs[1::2] = highs
+        out[e0:e0 + len(pairs)] = pairs
+    return out.tobytes()
+
+
+def block_stream_meta(buf, n: int):
+    """Walk a FOR/PFor block stream → per-block metadata arrays
+    ``(start_of_payload, width, n_exc, payload_bytes, block_total_bytes)``
+    — the shared parser for decode_blocks and the skip-pointer reader."""
+    mv = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    meta = np.empty((nblocks, 5), dtype=np.int64)
+    pos = 0
+    for b in range(nblocks):
+        cnt = BLOCK_SIZE if b < nblocks - 1 else n - b * BLOCK_SIZE
+        h = int(mv[pos])
+        if h & PATCHED_FLAG:
+            w = h & 0x7F
+            ne = int(mv[pos + 1])
+            pstart = pos + 2
+        else:
+            w, ne = h, 0
+            pstart = pos + 1
+        pbytes = (cnt * w + 7) // 8
+        total = (pstart - pos) + pbytes + 2 * ne
+        meta[b] = (pstart, w, ne, pbytes, total)
+        pos += total
+    return mv, meta
+
+
+def decode_one_block(mv: np.ndarray, meta_row, cnt: int) -> np.ndarray:
+    """Decode a single block from its stream metadata row (skip-read path)."""
+    pstart, w, ne, pbytes = (int(meta_row[0]), int(meta_row[1]),
+                             int(meta_row[2]), int(meta_row[3]))
+    vals = unpack_ints(mv[pstart:pstart + pbytes].tobytes(), cnt, w)
+    if ne:
+        pairs = mv[pstart + pbytes:pstart + pbytes + 2 * ne]
+        vals[pairs[0::2].astype(np.int64)] |= \
+            pairs[1::2].astype(np.int64) << w
+    return vals
+
+
+def decode_blocks(buf: bytes | memoryview, n: int) -> np.ndarray:
+    """Decode encode_blocks / encode_blocks_pfor output given the count.
+
+    Vectorized across blocks (mirror of the encoder): per-block Python work
+    is only header parsing; all full blocks sharing a bit width unpack with
+    a single ``np.unpackbits`` + matmul, scattered back by fancy indexing;
+    PFor exception patches apply afterwards (≤7 per patched block).
     """
     if n == 0:
         return np.empty(0, dtype=np.int64)
-    mv = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
-    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    mv, meta = block_stream_meta(buf, n)
+    nblocks = meta.shape[0]
     tail_cnt = n - (nblocks - 1) * BLOCK_SIZE
-    widths = np.empty(nblocks, dtype=np.int64)
-    starts = np.empty(nblocks, dtype=np.int64)
-    pos = 0
-    for b in range(nblocks - 1):
-        w = mv[pos]
-        widths[b] = w
-        starts[b] = pos + 1
-        pos += 1 + (BLOCK_SIZE * int(w)) // 8  # full block: 128*w bits exact
-    w = mv[pos]
-    widths[-1] = w
-    starts[-1] = pos + 1
+    pstarts, widths, nexcs = meta[:, 0], meta[:, 1], meta[:, 2]
 
     out = np.zeros(n, dtype=np.int64)
     full_w = widths[:-1]
@@ -133,20 +263,26 @@ def decode_blocks(buf: bytes | memoryview, n: int) -> np.ndarray:
             continue
         idx = np.flatnonzero(full_w == wv)
         pbytes = (BLOCK_SIZE * int(wv)) // 8
-        gather = starts[idx][:, None] + np.arange(pbytes)
-        raw = mv[gather]  # (k, pbytes)
+        gather = pstarts[idx][:, None] + np.arange(pbytes)
+        raw = mv[gather]
         bits = np.unpackbits(raw, axis=1, bitorder="little")
         vals = bits.reshape(len(idx), BLOCK_SIZE, int(wv)).astype(np.int64) \
             @ (np.int64(1) << np.arange(int(wv), dtype=np.int64))
         dest = idx[:, None] * BLOCK_SIZE + np.arange(BLOCK_SIZE)
         out[dest.ravel()] = vals.ravel()
-    # tail block
     tw = int(widths[-1])
     if tw:
-        tb = (tail_cnt * tw + 7) // 8
-        s = int(starts[-1])
+        s = int(pstarts[-1])
+        tb = int(meta[-1, 3])
         out[(nblocks - 1) * BLOCK_SIZE:] = unpack_ints(
             mv[s:s + tb].tobytes(), tail_cnt, tw)
+    # apply PFor exception patches
+    for b in np.flatnonzero(nexcs):
+        e0 = int(pstarts[b] + meta[b, 3])
+        ne = int(nexcs[b])
+        pairs = mv[e0:e0 + 2 * ne]
+        idxs = b * BLOCK_SIZE + pairs[0::2].astype(np.int64)
+        out[idxs] |= pairs[1::2].astype(np.int64) << int(widths[b])
     return out
 
 

@@ -37,3 +37,51 @@ def test_delta_roundtrip_docids():
 def test_encode_blocks_property(vals):
     v = np.array(vals, dtype=np.int64)
     assert np.array_equal(fu.decode_blocks(fu.encode_blocks(v), len(v)), v)
+
+
+# ------------------------------- PFor ------------------------------------
+def test_pfor_roundtrip_outliers():
+    import numpy as np
+    from lucene_kmp_ray.util.forutil import (decode_blocks,
+                                             encode_blocks,
+                                             encode_blocks_pfor)
+    rng = np.random.default_rng(7)
+    # mostly-small values with rare huge outliers: PFor's home turf
+    v = rng.integers(0, 4, size=1000)
+    out_pos = rng.choice(1000, size=20, replace=False)
+    v[out_pos] = rng.integers(100, 900, size=20)
+    enc = encode_blocks_pfor(v)
+    assert decode_blocks(enc, len(v)).tolist() == v.tolist()
+    assert len(enc) < len(encode_blocks(v)), "patching must pay here"
+
+
+def test_pfor_roundtrip_edges():
+    import numpy as np
+    from lucene_kmp_ray.util.forutil import decode_blocks, encode_blocks_pfor
+    cases = [
+        np.array([], dtype=np.int64),
+        np.zeros(5, dtype=np.int64),
+        np.array([7]),
+        np.arange(128),                       # exactly one full block
+        np.arange(129),                       # full + 1-tail
+        np.full(300, 2**40),                  # huge uniform (no patching)
+        np.r_[np.zeros(127, np.int64), 2**33],  # single outlier, w=0 base
+    ]
+    for v in cases:
+        enc = encode_blocks_pfor(v)
+        assert decode_blocks(enc, len(v)).tolist() == v.tolist(), v[:8]
+
+
+def test_pfor_property_random():
+    import numpy as np
+    from lucene_kmp_ray.util.forutil import decode_blocks, encode_blocks_pfor
+    rng = np.random.default_rng(3)
+    for _ in range(30):
+        n = int(rng.integers(1, 700))
+        base = rng.integers(0, int(rng.integers(2, 50)), size=n)
+        k = int(rng.integers(0, min(20, n)))
+        if k:
+            base[rng.choice(n, size=k, replace=False)] += \
+                rng.integers(1, 2**int(rng.integers(4, 30)), size=k)
+        enc = encode_blocks_pfor(base)
+        assert decode_blocks(enc, n).tolist() == base.tolist()
