@@ -172,6 +172,32 @@ def _count_term(sf_dir: str, term: str):
     return pd.DataFrame({"n": [n]})
 
 
+def _dedup_url_latest(sf_dir: str):
+    """updateDocument-by-url analog (IndexWriter.kt:1641, SURVEY §2.8):
+    two simulated crawls of the same urls; keep the latest warc_ts row."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    day_us = 86_400_000_000
+
+    def crawl2(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.add(b["doc_id"], n),
+            "url": b["url"],
+            "warc_ts": pc.cast(pc.add(pc.cast(b["warc_ts"], pa.int64()),
+                                      day_us), pa.timestamp("us")),
+        })
+
+    base = corpus_dataset(sf_dir, columns=["doc_id", "url", "warc_ts"])
+    second = corpus_dataset(sf_dir, columns=["doc_id", "url", "warc_ts"]) \
+        .map_batches(crawl2, batch_format="pyarrow")
+    both = base.union(second)
+    out = dedup.dedup_exact(both, key="url", order_col="warc_ts", keep="max")
+    return out.select_columns(["url", "doc_id"])
+
+
 def _dedup_fp(sf_dir: str):
     ds = textstats.fingerprints(sf_dir)
     out = dedup.dedup_exact(ds, key="fingerprint", order_col="doc_id",
@@ -235,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": textstats.fingerprints,
         # --- dedup ---
         "dedup_exact_fingerprint": _dedup_fp,
+        "dedup_url_latest": _dedup_url_latest,
         "jaccard_pairs": lambda sf: dedup.jaccard_pairs(sf, threshold=0.5),
         "minhash_bands": lambda sf: dedup.minhash_batch_ds(sf),
         "minhash_pairs": dedup.minhash_candidate_pairs,
@@ -296,6 +323,7 @@ def oracle_sql() -> dict[str, str]:
         "langid": oracle.langid(),
         "fingerprints": oracle.fingerprints(),
         "dedup_exact_fingerprint": oracle.dedup_exact_fingerprint(),
+        "dedup_url_latest": oracle.dedup_url_latest(),
         "jaccard_pairs": oracle.jaccard_pairs(0.5),
         "minhash_bands": oracle.minhash_bands(),
         "minhash_pairs": oracle.minhash_pairs(),

@@ -84,6 +84,8 @@ def run_bench() -> dict:
         "q_phrase": PhraseQuery(("big", "order", "scan")),
     }
     import numpy as np
+    for q in qset.values():  # warm: load term tables/norms into the reader
+        searcher.search(q, k=10)
     for name, q in qset.items():
         lat = []
         for _ in range(5):

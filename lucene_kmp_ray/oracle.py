@@ -527,3 +527,22 @@ SELECT doc_id,
        length(text) AS text_len
 FROM corpus
 """
+
+
+def dedup_url_latest() -> str:
+    """updateDocument-by-url upsert: two crawls (second = doc_id+N,
+    warc_ts+1 day), keep the latest row per url."""
+    return preamble() + """,
+n AS (SELECT count(*) AS n FROM documents),
+crawls AS (
+  SELECT doc_id, url, warc_ts FROM corpus
+  UNION ALL
+  SELECT doc_id + (SELECT n FROM n), url,
+         warc_ts + INTERVAL 1 DAY FROM corpus
+)
+SELECT url, doc_id FROM (
+  SELECT url, doc_id,
+         row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn
+  FROM crawls
+) WHERE rn = 1
+"""

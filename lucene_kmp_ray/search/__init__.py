@@ -1,9 +1,11 @@
 from .query import (  # noqa: F401
     BooleanQuery,
     BoostQuery,
+    ConstantScoreQuery,
     DisjunctionMaxQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
+    MatchNoDocsQuery,
     MultiTermQuery,
     Occur,
     PhraseQuery,

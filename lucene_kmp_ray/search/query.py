@@ -50,6 +50,22 @@ class MatchAllDocsQuery(Query):
 
 
 @dataclass(frozen=True)
+class MatchNoDocsQuery(Query):
+    """``search/MatchNoDocsQuery``: matches nothing (rewrite target)."""
+    reason: str = ""
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    """``search/ConstantScoreQuery``: matches of the wrapped query, every
+    hit scoring the boost (1.0 unless wrapped in BoostQuery)."""
+    query: Query
+
+    def terms(self):
+        return []  # scores don't depend on term stats
+
+
+@dataclass(frozen=True)
 class BoostQuery(Query):
     query: Query
     boost: float

@@ -31,9 +31,10 @@ import numpy as np
 
 from ..index.reader import IndexReader, SegmentReader
 from ..similarity.bm25 import BM25Similarity
-from .query import (BooleanQuery, BoostQuery, DisjunctionMaxQuery,
-                    MatchAllDocsQuery, MultiTermQuery, Occur, PhraseQuery,
-                    Query, RangeFilterQuery, SynonymQuery, TermQuery)
+from .query import (BooleanQuery, BoostQuery, ConstantScoreQuery,
+                    DisjunctionMaxQuery, MatchAllDocsQuery, MatchNoDocsQuery,
+                    MultiTermQuery, Occur, PhraseQuery, Query,
+                    RangeFilterQuery, SynonymQuery, TermQuery)
 
 TOTAL_HITS_THRESHOLD = 1000  # IndexSearcher.kt:1024
 
@@ -99,6 +100,12 @@ class Searcher:
                                        scoring)
         if isinstance(query, MatchAllDocsQuery):
             docs = np.arange(sr.doc_count, dtype=np.int64)
+            dt = self.sim.dtype
+            return docs, np.full(len(docs), dt.type(boost), dtype=dt)
+        if isinstance(query, MatchNoDocsQuery):
+            return _empty(self.sim.dtype)
+        if isinstance(query, ConstantScoreQuery):
+            docs, _ = self._score_segment(sr, query.query, 1.0, False)
             dt = self.sim.dtype
             return docs, np.full(len(docs), dt.type(boost), dtype=dt)
         if isinstance(query, TermQuery):

@@ -276,3 +276,17 @@ def test_sloppy_phrase_brute_force(searcher, toks):
 def test_parser_sloppy_phrase():
     assert parse_query('"big order scan"~2') == \
         PhraseQuery(("big", "order", "scan"), slop=2)
+
+
+def test_constant_score_and_match_no_docs(searcher):
+    from lucene_kmp_ray.search import (BoostQuery, ConstantScoreQuery,
+                                       MatchNoDocsQuery)
+    base = searcher.search(TermQuery("spark"), k=10_000)
+    cs = searcher.search(ConstantScoreQuery(TermQuery("spark")), k=10_000)
+    assert {h.doc_id for h in cs.score_docs} == \
+        {h.doc_id for h in base.score_docs}
+    assert all(h.score == 1.0 for h in cs.score_docs)
+    boosted = searcher.search(
+        BoostQuery(ConstantScoreQuery(TermQuery("spark")), 2.5), k=5)
+    assert all(h.score == 2.5 for h in boosted.score_docs)
+    assert searcher.search(MatchNoDocsQuery(), k=5).total_hits == 0
