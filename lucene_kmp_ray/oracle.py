@@ -314,7 +314,7 @@ def minhash_bands() -> str:
     """(doc_id, band, band_hash) — identical to pipelines.dedup.minhash_batch."""
     perms = MINHASH_PERMS
     sig_cols = ",\n".join(
-        f"    (SELECT min(substr(md5(CONCAT('{p}:', shingle)), 1, 8)) "
+        f"    (SELECT min(substr(md5(shingle), {1 + 2 * p}, 8)) "
         f"FROM shrow s WHERE s.doc_id = d.doc_id) AS m{p}"
         for p in range(perms))
     bands = []
@@ -336,7 +336,7 @@ def minhash_pairs() -> str:
     """Candidate near-dup pairs sharing any LSH band bucket."""
     perms = MINHASH_PERMS
     sig_cols = ",\n".join(
-        f"    (SELECT min(substr(md5(CONCAT('{p}:', shingle)), 1, 8)) "
+        f"    (SELECT min(substr(md5(shingle), {1 + 2 * p}, 8)) "
         f"FROM shrow s WHERE s.doc_id = d.doc_id) AS m{p}"
         for p in range(perms))
     bands = []

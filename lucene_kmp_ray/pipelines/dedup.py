@@ -53,24 +53,33 @@ def _md5_hex8(s: str) -> str:
 
 
 def minhash_signature(text: str) -> list[str]:
-    """MinHash over md5-salted shingle hashes: sig[p] = min over shingles of
-    md5_hex8(p || ':' || shingle). Deterministic and oracle-reproducible."""
+    """MinHash: one md5 per distinct shingle; permutation p reads the 8-hex
+    window at offset 2p of the digest (overlapping windows of one md5 are
+    cheap stand-in permutations — 12× fewer digests than salting the
+    shingle per permutation, and the SQL mirror is
+    ``min(substr(md5(shingle), 1+2p, 8))``). Lexicographic min on
+    fixed-width lowercase hex == numeric min."""
     sh = set(_shingles(text))
     if not sh:
         return ["" for _ in range(MINHASH_PERMS)]
-    return [min(_md5_hex8(f"{p}:{s}") for s in sh)
+    digests = [hashlib.md5(s.encode()).hexdigest() for s in sh]
+    return [min(d[2 * p:2 * p + 8] for d in digests)
             for p in range(MINHASH_PERMS)]
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over shingle md5 hashes with tf weights."""
-    acc = np.zeros(64, dtype=np.int64)
+    """64-bit SimHash over shingle md5 hashes with tf weights (one md5 per
+    distinct shingle, bit unpacking vectorized across shingles)."""
     from collections import Counter
-    for s, w in Counter(_shingles(text)).items():
-        h = np.uint64(int(hashlib.md5(s.encode()).hexdigest()[:16], 16))
-        bits = ((h >> np.arange(64, dtype=np.uint64)) &
-                np.uint64(1)).astype(np.int64)
-        acc += np.where(bits == 1, w, -w)
+    tf = Counter(_shingles(text))
+    if not tf:
+        return 0
+    hs = np.array([int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
+                   for s in tf], dtype=np.uint64)
+    w = np.fromiter(tf.values(), dtype=np.int64, count=len(tf))
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) &
+            np.uint64(1)).astype(np.int64)        # (n, 64)
+    acc = ((2 * bits - 1) * w[:, None]).sum(axis=0)
     return int("".join("1" if b > 0 else "0" for b in acc[::-1]), 2)
 
 
