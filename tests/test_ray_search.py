@@ -1,0 +1,67 @@
+"""Distributed query execution == driver-side Searcher (the TopDocs.merge
+equivalence across the actor-pool + groupby reduce path)."""
+
+import numpy as np
+import pytest
+
+from lucene_kmp_ray.index.reader import IndexReader
+from lucene_kmp_ray.search import BooleanQuery, Occur, Searcher, TermQuery
+from lucene_kmp_ray.search.ray_search import (phrase_freqs_distributed,
+                                              search_all_matches,
+                                              search_distributed,
+                                              search_sorted_by_field)
+from lucene_kmp_ray.similarity.bm25 import BM25Similarity
+
+
+@pytest.fixture(scope="module")
+def local64(built_index):
+    return Searcher(IndexReader(built_index), BM25Similarity(dtype="float64"))
+
+
+def test_distributed_topk_matches_local(built_index, local64, ray_session):
+    qs = {
+        "t": TermQuery("spark"),
+        "b": BooleanQuery.build((Occur.MUST, TermQuery("spark")),
+                                (Occur.MUST, TermQuery("join"))),
+    }
+    df = search_distributed(built_index, qs, k=10, dtype="float64") \
+        .to_pandas()
+    for qid, q in qs.items():
+        td = local64.search(q, k=10)
+        got = df[df["query_id"] == qid].sort_values("rank")
+        assert got["doc_id"].tolist() == [h.doc_id for h in td.score_docs]
+        np.testing.assert_array_equal(
+            got["score"].to_numpy(),
+            np.array([h.score for h in td.score_docs]))
+
+
+def test_all_matches_distributed(built_index, local64, ray_session):
+    q = TermQuery("join")
+    df = search_all_matches(built_index, q).to_pandas()
+    td = local64.search(q, k=100_000)
+    assert sorted(df["doc_id"].tolist()) == \
+        sorted(h.doc_id for h in td.score_docs)
+
+
+def test_phrase_freqs_distributed(built_index, ray_session, corpus_texts):
+    from lucene_kmp_ray.analysis import tokenize
+    df = phrase_freqs_distributed(built_index, ["batch", "batch"]).to_pandas()
+    exp = {}
+    for i, text in enumerate(corpus_texts):
+        toks = tokenize(text)
+        c = sum(1 for j in range(len(toks) - 1)
+                if toks[j] == "batch" and toks[j + 1] == "batch")
+        if c:
+            exp[i] = c
+    assert dict(zip(df["doc_id"], df["freq"])) == exp
+
+
+def test_sorted_by_field_distributed(built_index, ray_session, corpus_texts):
+    from lucene_kmp_ray.analysis import tokenize
+    toks = [tokenize(t) for t in corpus_texts]
+    df = search_sorted_by_field(built_index, TermQuery("spark"), "length",
+                                k=15)
+    match = [(len(t), -i) for i, t in enumerate(toks) if "spark" in t]
+    exp = [-d for _, d in sorted(match, reverse=True)[:15]]
+    assert df["doc_id"].tolist() == exp
+    assert df["rank"].tolist() == list(range(1, len(exp) + 1))
