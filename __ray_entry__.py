@@ -49,6 +49,26 @@ AND_SORTED = ("join", "spark")  # sorted for deterministic clause order
 DISMAX_TB = 0.3
 
 
+def _english_topk(sf_dir: str):
+    """Top-10 for the English-analyzed index (query analyzed the same way:
+    'queries' → 'queri' — QueryBuilder symmetry)."""
+    import os
+
+    from lucene_kmp_ray.analysis.standard import EnglishAnalyzer
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.sources.corpus import corpus_dataset
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/lucene_kmp_ray_index_en/{tag}"
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(corpus_dataset(sf_dir), idx, segment_size=SEGMENT_SIZE,
+                    analyzer=EnglishAnalyzer())
+    analyzer = EnglishAnalyzer()
+    (term,) = analyzer("queries")
+    return search_distributed(idx, {"q": TermQuery(term)}, k=10,
+                              dtype="float64").to_pandas()
+
+
 def _extract_invariant(sf_dir: str):
     from lucene_kmp_ray.pipelines.validate import extract_invariant
     return extract_invariant(sf_dir)
@@ -248,6 +268,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 (Occur.FILTER, RangeFilterQuery("length", 40, 60)))),
         "sorted_by_length": lambda sf: search_sorted_by_field(
             _ensure_index(sf), TermQuery(TERM_A), "length", k=20),
+        # English analysis chain (possessive → stop → Porter): stemming is
+        # not SQL-expressible → rows-only; exact Porter vectors + chain
+        # parity live in tests/test_english_analyzer.py
+        "bm25_english_top10": _english_topk,
         # sloppy phrase: greedy minimal-window matcher (SloppyPhraseMatcher)
         # is deliberately traversal-order-dependent → not SQL-expressible;
         # rows-only check here, exact-parity unit tests in

@@ -61,10 +61,88 @@ def tokenize(text: str) -> list[str]:
 
 
 class StandardAnalyzer:
-    """Callable analyzer object (pluggable per-lang slot, SURVEY §2.2)."""
+    """Callable analyzer object (pluggable per-lang slot, SURVEY §2.2).
+
+    The batch interface ``analyze_flat(texts)`` returns the quadruple the
+    inverter consumes: ``(norm_lengths, flat_tokens, doc_of, positions)``
+    where ``norm_lengths[i]`` is doc i's indexed-token count (the norm
+    length, FieldInvertState.length), ``flat_tokens`` the occurrence-major
+    token array, ``doc_of``/``positions`` each occurrence's doc index and
+    original in-doc position (filters that drop tokens leave position
+    holes, exactly like StopFilter's position-increment gaps).
+    """
+
+    name = "standard"
 
     def __call__(self, text: str) -> list[str]:
         return tokenize(text)
+
+    def analyze_flat(self, texts):
+        doc_lengths, flat = tokenize_flat(texts)
+        doc_of = np.repeat(np.arange(len(doc_lengths), dtype=np.int64),
+                           doc_lengths)
+        starts = np.append(0, np.cumsum(doc_lengths))[:-1]
+        positions = np.arange(len(flat), dtype=np.int64) - \
+            np.repeat(starts, doc_lengths)
+        return doc_lengths, flat, doc_of, positions
+
+
+# Lucene's classic English stop set (EnglishAnalyzer default,
+# analysis/en/EnglishAnalyzer.kt / StandardAnalyzer's STOP_WORDS list).
+ENGLISH_STOP_WORDS = frozenset("""
+a an and are as at be but by for if in into is it no not of on or such that
+the their then there these they this to was will with
+""".split())
+
+
+class EnglishAnalyzer:
+    """StandardTokenizer → LowerCase → possessive-'s strip → English stop
+    set → PorterStemmer (the reference's EnglishAnalyzer chain,
+    ``analysis/common/.../en/EnglishAnalyzer.kt``: EnglishPossessiveFilter +
+    StopFilter + PorterStemFilter). The stemmer runs per *unique* token of
+    the batch (dictionary encode first), not per occurrence.
+    """
+
+    name = "english"
+
+    def __init__(self, stop_words=ENGLISH_STOP_WORDS):
+        self.stop = sorted(stop_words)
+
+    def _stem_array(self, arr: pa.Array) -> pa.Array:
+        from .porter import porter_stem
+        dict_arr = arr.dictionary_encode()
+        stemmed = pa.array([porter_stem(t) for t in
+                            dict_arr.dictionary.to_pylist()], pa.string())
+        return pa.DictionaryArray.from_arrays(dict_arr.indices, stemmed) \
+            .cast(pa.string())
+
+    def __call__(self, text: str) -> list[str]:
+        from .porter import porter_stem
+        out = []
+        for t in tokenize(text):
+            if t.endswith("'s") or t.endswith("’s"):
+                t = t[:-2]
+            if t and t not in ENGLISH_STOP_WORDS:
+                out.append(porter_stem(t))
+        return out
+
+    def analyze_flat(self, texts):
+        import pyarrow.compute as pc
+        doc_lengths, flat, doc_of, positions = \
+            StandardAnalyzer().analyze_flat(texts)
+        if len(flat) == 0:
+            return doc_lengths, flat, doc_of, positions
+        flat = pc.replace_substring_regex(flat, pattern="['’]s$",
+                                          replacement="")
+        keep = pc.invert(pc.is_in(flat, value_set=pa.array(
+            self.stop + [""], pa.string())))
+        mask = keep.to_numpy(zero_copy_only=False)
+        flat = flat.filter(keep)
+        doc_of = doc_of[mask]
+        positions = positions[mask]
+        norm_lengths = np.bincount(doc_of, minlength=len(doc_lengths)) \
+            .astype(np.int64)
+        return norm_lengths, self._stem_array(flat), doc_of, positions
 
 
 # ---- vectorized batch tokenizer -----------------------------------------

@@ -56,7 +56,7 @@ def completed_segments(index_dir: str) -> set[int]:
 
 
 def build_index(ds, index_dir: str, segment_size: int = DEFAULT_SEGMENT_SIZE,
-                lineage_source: str = "") -> dict:
+                lineage_source: str = "", analyzer=None) -> dict:
     """Build (or resume) an index from a corpus Dataset with
     ``doc_id, url, text`` columns. Returns the global manifest dict.
 
@@ -83,7 +83,8 @@ def build_index(ds, index_dir: str, segment_size: int = DEFAULT_SEGMENT_SIZE,
         lineage = {"source": lineage_source, "segment_size": segment_size,
                    "rows": group.num_rows}
         man = build_and_write_segment(
-            group.select(["doc_id", "url", "text"]), seg, index_dir, lineage)
+            group.select(["doc_id", "url", "text"]), seg, index_dir, lineage,
+            analyzer=analyzer)
         return pa.table({"manifest": pa.array([json.dumps(man)], pa.string())})
 
     ds = ds.select_columns(["doc_id", "url", "text"]) \
@@ -96,12 +97,18 @@ def build_index(ds, index_dir: str, segment_size: int = DEFAULT_SEGMENT_SIZE,
     # gather all segment manifests (resumed + new) and commit globally
     segs = sorted(done | {m["seg"] for m in new_manifests})
     manifests = [read_seg_manifest(index_dir, s) for s in segs]
-    return commit_index(index_dir, manifests, build_sec=time.monotonic() - t0)
+    return commit_index(index_dir, manifests, build_sec=time.monotonic() - t0,
+                        analyzer_name=_aname(analyzer))
+
+
+def _aname(analyzer) -> str:
+    return getattr(analyzer, "name", "standard") if analyzer else "standard"
 
 
 def build_index_sharded(shards: list[dict], make_docs, index_dir: str,
                         lineage_source: str = "",
-                        max_in_flight: int | None = None) -> dict:
+                        max_in_flight: int | None = None,
+                        analyzer=None) -> dict:
     """Shuffle-free build: one Ray task per shard, segment == shard.
 
     This is the production path (and the Lucene DWPT model: each writer
@@ -136,7 +143,7 @@ def build_index_sharded(shards: list[dict], make_docs, index_dir: str,
     def build_shard(spec: dict) -> str:
         lineage = {"source": lineage_source, **spec}
         man = build_and_write_segment(make_docs(spec), spec["seg"],
-                                      index_dir, lineage)
+                                      index_dir, lineage, analyzer=analyzer)
         return json.dumps(man)
 
     pending: list = []
@@ -149,17 +156,19 @@ def build_index_sharded(shards: list[dict], make_docs, index_dir: str,
 
     segs = sorted(done | {s["seg"] for s in todo})
     manifests = [read_seg_manifest(index_dir, s) for s in segs]
-    return commit_index(index_dir, manifests, build_sec=time.monotonic() - t0)
+    return commit_index(index_dir, manifests, build_sec=time.monotonic() - t0,
+                        analyzer_name=_aname(analyzer))
 
 
 def commit_index(index_dir: str, manifests: list[dict],
-                 build_sec: float | None = None) -> dict:
+                 build_sec: float | None = None,
+                 analyzer_name: str = "standard") -> dict:
     """Write global term stats + manifest (phase 2 of the two-phase commit)."""
     _write_term_stats(index_dir, manifests)
     manifest = {
         "version": 1,
         "field": "text",
-        "analyzer": "standard",
+        "analyzer": analyzer_name,
         "doc_count": sum(m["doc_count"] for m in manifests),
         "sum_total_term_freq": sum(m["sum_total_term_freq"] for m in manifests),
         "sum_doc_freq": sum(m["sum_doc_freq"] for m in manifests),

@@ -37,7 +37,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..analysis.standard import tokenize_flat
 from ..util import forutil as fu
 from ..util.smallfloat import int_to_byte4_np
 
@@ -46,19 +45,25 @@ DOCS_FILE = "docs.parquet"
 SEG_MANIFEST = "manifest.json"
 
 
-def invert_segment(docs: pa.Table, seg: int,
-                   lineage: dict | None = None) -> tuple[pa.Table, pa.Table, dict]:
+def invert_segment(docs: pa.Table, seg: int, lineage: dict | None = None,
+                   analyzer=None) -> tuple[pa.Table, pa.Table, dict]:
     """Invert one segment's documents → (terms_table, docs_table, manifest).
 
     ``docs`` must have columns ``doc_id, url, text``; rows are sorted by
     ``doc_id`` and local docIDs are their ranks (deterministic corpus order,
-    never Ray block arrival order — SURVEY §4 "ordering").
+    never Ray block arrival order — SURVEY §4 "ordering"). ``analyzer`` is
+    any object with ``analyze_flat(texts)`` (see StandardAnalyzer — the
+    Analyzer extension point, SURVEY §2.11); default StandardAnalyzer.
     """
     t0 = time.monotonic()
     docs = docs.sort_by("doc_id")
     n_docs = docs.num_rows
 
-    doc_lengths, flat_tokens = tokenize_flat(docs["text"])
+    if analyzer is None:
+        from ..analysis.standard import StandardAnalyzer
+        analyzer = StandardAnalyzer()
+    doc_lengths, flat_tokens, doc_of, positions = \
+        analyzer.analyze_flat(docs["text"])
     norms = int_to_byte4_np(doc_lengths)
     total = len(flat_tokens)
 
@@ -66,19 +71,14 @@ def invert_segment(docs: pa.Table, seg: int,
     # to sorted-term rank (sort order = code-point == UTF-8 byte order, the
     # BytesRef term order of TermsHashPerField.sortTerms).
     dict_arr = flat_tokens.dictionary_encode()
-    codes = dict_arr.indices.to_numpy().astype(np.int64)
+    codes = dict_arr.indices.to_numpy().astype(np.int64) if total else \
+        np.empty(0, np.int64)
     vocab = np.asarray(dict_arr.dictionary.to_pylist(), dtype=object)
     vorder = np.argsort(vocab)
     uniques = vocab[vorder]
     rank = np.empty(len(vocab), dtype=np.int64)
     rank[vorder] = np.arange(len(vocab))
     scodes = rank[codes]
-
-    # occurrence arrays: owning doc + in-doc position, all vectorized
-    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), doc_lengths)
-    doc_starts = np.append(0, np.cumsum(doc_lengths))[:-1]
-    positions = np.arange(total, dtype=np.int64) - np.repeat(doc_starts,
-                                                             doc_lengths)
 
     # sort occurrences by (term, doc); stable keeps positions ascending
     key = scodes * n_docs + doc_of
@@ -215,8 +215,10 @@ def write_segment(index_dir: str, terms_table: pa.Table, docs_table: pa.Table,
 
 
 def build_and_write_segment(docs: pa.Table, seg: int, index_dir: str,
-                            lineage: dict | None = None) -> dict:
-    terms_table, docs_table, manifest = invert_segment(docs, seg, lineage)
+                            lineage: dict | None = None,
+                            analyzer=None) -> dict:
+    terms_table, docs_table, manifest = invert_segment(docs, seg, lineage,
+                                                       analyzer)
     return write_segment(index_dir, terms_table, docs_table, manifest)
 
 
