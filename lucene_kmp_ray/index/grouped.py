@@ -340,7 +340,10 @@ def build_index_grouped(ds, index_dir: str, segment_size: int,
         return out
 
     src = ds.select_columns(["doc_id", "url", "text"])
-    exploded = src.map_batches(explode, batch_format="pyarrow")
+    # bounded batches: explode multiplies rows ~avg_doc_len×, so a batch's
+    # output must fit the worker heap even for long pages (SURVEY §4 memory)
+    exploded = src.map_batches(explode, batch_format="pyarrow",
+                               batch_size=512)
     encoded = exploded.groupby(["seg", "term", "salt"]).map_groups(
         _encode_group, batch_format="pyarrow")
     out = encoded.groupby("seg").map_groups(

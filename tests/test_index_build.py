@@ -104,3 +104,38 @@ def test_resume_skips_completed(built_index, ray_session):
     man = build_index(corpus_dataset(SF), built_index, segment_size=100)
     assert man["doc_count"] == 500
     assert os.path.getmtime(os.path.join(seg_dir, "terms.parquet")) == mtime
+
+
+def test_interrupted_build_equals_uninterrupted(tmp_path, ray_session,
+                                                corpus_texts):
+    """F7: a build killed mid-way and resumed produces the identical index
+    (file-for-file) as an uninterrupted one — per-partition checkpoints +
+    two-phase commit."""
+    import pyarrow.parquet as pq
+
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.sources.corpus import corpus_dataset, corpus_shards
+    from lucene_kmp_ray.index.format import build_and_write_segment
+
+    full = str(tmp_path / "full")
+    build_index(corpus_dataset("/root/testdata/sf0.001"), full,
+                segment_size=100)
+
+    # "interrupted": pre-commit only segments 1 and 3 (as a killed run
+    # would leave them), then resume via the normal entry point
+    part = str(tmp_path / "part")
+    shards, make_docs = corpus_shards("/root/testdata/sf0.001", 100)
+    for spec in (shards[1], shards[3]):
+        build_and_write_segment(make_docs(spec), spec["seg"], part,
+                                {"source": "precommitted"})
+    man = build_index(corpus_dataset("/root/testdata/sf0.001"), part,
+                      segment_size=100)
+    assert len(man["segments"]) == 5
+    for seg_meta in man["segments"]:
+        d = seg_meta["dir"]
+        assert pq.read_table(f"{part}/{d}/terms.parquet").equals(
+            pq.read_table(f"{full}/{d}/terms.parquet"))
+        assert pq.read_table(f"{part}/{d}/docs.parquet").equals(
+            pq.read_table(f"{full}/{d}/docs.parquet"))
+    assert pq.read_table(f"{part}/term_stats.parquet").equals(
+        pq.read_table(f"{full}/term_stats.parquet"))
