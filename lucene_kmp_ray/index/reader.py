@@ -30,6 +30,9 @@ INDEX_MANIFEST = "manifest.json"
 TERM_STATS_FILE = "term_stats.parquet"
 
 
+POSTINGS_CACHE_TERMS = 64  # decoded posting lists kept per segment reader
+
+
 class SegmentReader:
     def __init__(self, index_dir: str, seg_meta: dict):
         self.index_dir = index_dir
@@ -41,6 +44,10 @@ class SegmentReader:
         self._term_arr: np.ndarray | None = None
         self._norms: np.ndarray | None = None
         self._doc_meta: pa.Table | None = None
+        # actor-local LRU of decoded posting lists (the LRUQueryCache /
+        # decoded-block cache role, SURVEY §2.3): repeated terms across a
+        # query batch decode once per actor, capacity-bounded
+        self._postings_cache: dict = {}
 
     # --- lazy loads -----------------------------------------------------
     @property
@@ -94,15 +101,26 @@ class SegmentReader:
                                row["freqs_enc"])
 
     def postings(self, term: str, positions: bool = False):
-        """Decoded postings (docs, freqs[, flat_positions]) or None."""
+        """Decoded postings (docs, freqs[, flat_positions]) or None.
+        LRU-cached per (term, positions) — index files are immutable."""
+        key = (term, positions)
+        hit = self._postings_cache.pop(key, None)
+        if hit is not None:
+            self._postings_cache[key] = hit  # re-insert = most recent
+            return hit
         row = self.term_row(term)
         if row is None:
             return None
         if positions:
-            return decode_postings(row["df"], row["ttf"], row["docs_enc"],
-                                   row["freqs_enc"], row["pos_enc"])
-        return decode_postings(row["df"], row["ttf"], row["docs_enc"],
-                               row["freqs_enc"])
+            out = decode_postings(row["df"], row["ttf"], row["docs_enc"],
+                                  row["freqs_enc"], row["pos_enc"])
+        else:
+            out = decode_postings(row["df"], row["ttf"], row["docs_enc"],
+                                  row["freqs_enc"])
+        self._postings_cache[key] = out
+        while len(self._postings_cache) > POSTINGS_CACHE_TERMS:
+            self._postings_cache.pop(next(iter(self._postings_cache)))
+        return out
 
     def postings_pruned(self, term: str, keep_block) -> tuple[np.ndarray, np.ndarray]:
         """Block-max pruned decode: ``keep_block(max_freq, min_norm,
