@@ -122,6 +122,47 @@ class SegmentReader:
             self._postings_cache.pop(next(iter(self._postings_cache)))
         return out
 
+    def positions_for_entries(self, term: str, entry_idx: np.ndarray):
+        """Absolute positions for the selected posting entries only.
+
+        Decodes just the 128-occurrence blocks of the ``pos_enc`` stream
+        that the selected entries touch (the positional skip-read of
+        BlockPostingsEnum) — the phrase matcher's doc-level intersection
+        usually survives a small fraction of entries, so most position
+        blocks never decode. Returns ``(sel_freqs, flat_abs_positions)``
+        with positions concatenated in ``entry_idx`` order.
+        """
+        row = self.term_row(term)
+        cached = self._postings_cache.get((term, False))
+        freqs = cached[1] if cached is not None else decode_postings(
+            row["df"], row["ttf"], row["docs_enc"], row["freqs_enc"])[1]
+        bounds = np.append(0, np.cumsum(freqs))
+        n_pos = int(row["ttf"])
+        s = bounds[entry_idx]
+        e = bounds[entry_idx + 1]
+        nblocks = (n_pos + fu.BLOCK_SIZE - 1) // fu.BLOCK_SIZE
+        delta = np.zeros(nblocks + 1, dtype=np.int64)
+        np.add.at(delta, s // fu.BLOCK_SIZE, 1)
+        np.add.at(delta, np.minimum((e - 1) // fu.BLOCK_SIZE + 1, nblocks),
+                  -1)
+        mask = np.cumsum(delta[:-1]) > 0
+        posd = fu.decode_blocks_masked(row["pos_enc"], n_pos, mask)
+        # gather selected occurrence deltas (entry-major order)
+        sel_freqs = (e - s).astype(np.int64)
+        total = int(sel_freqs.sum())
+        if total == 0:
+            return sel_freqs, np.empty(0, np.int64)
+        ends = np.cumsum(sel_freqs)
+        starts_out = ends - sel_freqs
+        idx = np.arange(total, dtype=np.int64) - \
+            np.repeat(starts_out, sel_freqs) + np.repeat(s, sel_freqs)
+        deltas = posd[idx]
+        # per-entry cumsum: global cumsum minus carried base at entry starts
+        flat = np.cumsum(deltas)
+        carried = flat[starts_out] - deltas[starts_out]
+        flat = flat - np.repeat(carried, sel_freqs)
+        return sel_freqs, flat
+
     def postings_pruned(self, term: str, keep_block) -> tuple[np.ndarray, np.ndarray]:
         """Block-max pruned decode: ``keep_block(max_freq, min_norm,
         last_doc) -> bool mask`` selects 128-doc blocks worth decoding

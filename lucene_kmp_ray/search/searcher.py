@@ -56,7 +56,12 @@ class TopDocs:
 
 
 def _intersect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    return np.intersect1d(a, b, assume_unique=True)
+    """Intersection of two ascending unique docID arrays: binary-search the
+    shorter into the longer (galloping ConjunctionDISI analog) — avoids
+    intersect1d's concatenate+sort of already-sorted inputs."""
+    if len(a) > len(b):
+        a, b = b, a
+    return a[_isin_sorted(a, b)]
 
 
 def _isin_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
@@ -689,27 +694,42 @@ def _exact_phrase(sr: SegmentReader, terms: list[str]):
     """ExactPhraseMatcher: docs containing the terms at consecutive
     positions; freq = number of phrase starts (PhraseQuery scoring freq).
 
-    Fully vectorized positional join: each term's occurrences map to a
-    combined key ``doc * M + (pos - offset)`` (M chosen so shifted keys
-    cannot collide across docs); phrase starts are the intersection of the
-    per-term sorted key arrays — the leapfrog of ExactPhraseMatcher taken
-    whole-posting-at-a-time (SURVEY §2.5)."""
-    posts = []
-    for t in terms:
-        p = sr.postings(t, positions=True)
+    Fully vectorized positional join: docs intersect FIRST (cheap doc/freq
+    streams), then ONLY the candidate entries' position blocks decode
+    (positions_for_entries — the positional skip-read), and each term's
+    surviving occurrences map to a combined key ``doc * M + (pos - offset)``
+    (M chosen so shifted keys cannot collide across docs); phrase starts
+    are the intersection of the per-term sorted key arrays — the leapfrog
+    of ExactPhraseMatcher taken whole-posting-at-a-time (SURVEY §2.5)."""
+    uniq = list(dict.fromkeys(terms))
+    posts = {}
+    for t in uniq:
+        p = sr.postings(t)
         if p is None:
             return np.empty(0, np.int64), np.empty(0, np.int64)
-        posts.append(p)
+        posts[t] = p
+    cand = posts[uniq[0]][0]
+    for t in uniq[1:]:
+        cand = _intersect(cand, posts[t][0])
+    if len(cand) == 0:
+        return cand, np.empty(0, np.int64)
+    sel = {}
+    for t in uniq:
+        docs, _ = posts[t]
+        entry_idx = np.searchsorted(docs, cand)
+        sel[t] = sr.positions_for_entries(t, entry_idx)
     nt = len(terms)
     max_pos = max((int(flat.max()) if len(flat) else 0)
-                  for _, _, flat in posts)
+                  for _, flat in sel.values())
     M = max_pos + nt + 1  # pos - i >= -i > -M and M + pos - i > max_pos
     keys = None
-    for i, (docs, freqs, flat) in enumerate(posts):
-        doc_of = np.repeat(docs, freqs)
+    for i, t in enumerate(terms):
+        freqs, flat = sel[t]
+        doc_of = np.repeat(cand, freqs)
         k = doc_of * M + (flat - i)
-        keys = k if keys is None else np.intersect1d(keys, k,
-                                                     assume_unique=True)
+        # both sides are already sorted (docs ascending, positions ascending
+        # within a doc) — searchsorted membership beats intersect1d's resort
+        keys = k if keys is None else keys[_isin_sorted(keys, k)]
         if len(keys) == 0:
             return np.empty(0, np.int64), np.empty(0, np.int64)
     out_docs, out_freqs = np.unique(keys // M, return_counts=True)

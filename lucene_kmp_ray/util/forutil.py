@@ -276,13 +276,59 @@ def decode_blocks(buf: bytes | memoryview, n: int) -> np.ndarray:
         tb = int(meta[-1, 3])
         out[(nblocks - 1) * BLOCK_SIZE:] = unpack_ints(
             mv[s:s + tb].tobytes(), tail_cnt, tw)
-    # apply PFor exception patches
-    for b in np.flatnonzero(nexcs):
-        e0 = int(pstarts[b] + meta[b, 3])
-        ne = int(nexcs[b])
-        pairs = mv[e0:e0 + 2 * ne]
-        idxs = b * BLOCK_SIZE + pairs[0::2].astype(np.int64)
-        out[idxs] |= pairs[1::2].astype(np.int64) << int(widths[b])
+    _apply_patches(out, mv, meta, np.flatnonzero(nexcs))
+    return out
+
+
+def _apply_patches(out: np.ndarray, mv: np.ndarray, meta: np.ndarray,
+                   blocks: np.ndarray) -> None:
+    """Vectorized PFor exception application for the given block ids:
+    gather every (position, high_bits) byte pair in one fancy index, then
+    one scattered |=. Exception positions are unique per block, so the
+    fancy in-place OR is safe."""
+    if len(blocks) == 0:
+        return
+    nes = meta[blocks, 2]
+    e0 = meta[blocks, 0] + meta[blocks, 3]
+    total = int(nes.sum())
+    ends = np.cumsum(nes)
+    starts = ends - nes
+    local = np.arange(total, dtype=np.int64) - np.repeat(starts, nes)
+    src = np.repeat(e0, nes) + 2 * local
+    block_of = np.repeat(blocks, nes)
+    idxs = block_of * BLOCK_SIZE + mv[src].astype(np.int64)
+    out[idxs] |= mv[src + 1].astype(np.int64) << meta[block_of, 1]
+
+
+def decode_blocks_masked(buf, n: int, mask: np.ndarray) -> np.ndarray:
+    """Decode only the blocks selected by ``mask`` (bool per block); the
+    output has length n with zeros in unselected regions. Same vectorized
+    per-width unpacking as decode_blocks — the positional skip-read path."""
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    mv, meta = block_stream_meta(buf, n)
+    nblocks = meta.shape[0]
+    out = np.zeros(n, dtype=np.int64)
+    pstarts, widths, nexcs = meta[:, 0], meta[:, 1], meta[:, 2]
+    sel_full = np.flatnonzero(mask[:nblocks - 1] & (widths[:-1] > 0))
+    for wv in np.unique(widths[sel_full]) if len(sel_full) else []:
+        idx = sel_full[widths[sel_full] == wv]
+        pbytes = (BLOCK_SIZE * int(wv)) // 8
+        gather = pstarts[idx][:, None] + np.arange(pbytes)
+        bits = np.unpackbits(mv[gather], axis=1, bitorder="little")
+        vals = bits.reshape(len(idx), BLOCK_SIZE, int(wv)).astype(np.int64) \
+            @ (np.int64(1) << np.arange(int(wv), dtype=np.int64))
+        dest = idx[:, None] * BLOCK_SIZE + np.arange(BLOCK_SIZE)
+        out[dest.ravel()] = vals.ravel()
+    if mask[nblocks - 1]:
+        tail_cnt = n - (nblocks - 1) * BLOCK_SIZE
+        tw = int(widths[-1])
+        if tw:
+            s = int(pstarts[-1])
+            out[(nblocks - 1) * BLOCK_SIZE:] = unpack_ints(
+                mv[s:s + int(meta[-1, 3])].tobytes(), tail_cnt, tw)
+    _apply_patches(out, mv, meta,
+                   np.flatnonzero((nexcs > 0) & mask[:nblocks]))
     return out
 
 

@@ -85,3 +85,25 @@ def test_pfor_property_random():
                 rng.integers(1, 2**int(rng.integers(4, 30)), size=k)
         enc = encode_blocks_pfor(base)
         assert decode_blocks(enc, n).tolist() == base.tolist()
+
+
+def test_decode_blocks_masked_equivalence():
+    import numpy as np
+    from lucene_kmp_ray.util.forutil import (BLOCK_SIZE, decode_blocks,
+                                             decode_blocks_masked,
+                                             encode_blocks_pfor)
+    rng = np.random.default_rng(11)
+    v = rng.integers(0, 50, size=1000)
+    v[rng.choice(1000, 12, replace=False)] += 5000  # force patched blocks
+    enc = encode_blocks_pfor(v)
+    full = decode_blocks(enc, len(v))
+    nblocks = (len(v) + BLOCK_SIZE - 1) // BLOCK_SIZE
+    for trial in range(5):
+        mask = rng.random(nblocks) < 0.5
+        out = decode_blocks_masked(enc, len(v), mask)
+        for b in range(nblocks):
+            lo, hi = b * BLOCK_SIZE, min((b + 1) * BLOCK_SIZE, len(v))
+            if mask[b]:
+                assert out[lo:hi].tolist() == full[lo:hi].tolist()
+            else:
+                assert not out[lo:hi].any()
