@@ -6,6 +6,7 @@ from .query import (  # noqa: F401
     FuzzyQuery,
     MatchAllDocsQuery,
     MatchNoDocsQuery,
+    MultiPhraseQuery,
     MultiTermQuery,
     Occur,
     PhraseQuery,

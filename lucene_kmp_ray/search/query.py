@@ -50,6 +50,21 @@ class MatchAllDocsQuery(Query):
 
 
 @dataclass(frozen=True)
+class MultiPhraseQuery(Query):
+    """Phrase with term alternatives per position
+    (``search/MultiPhraseQuery.kt``): slot i matches if ANY of
+    ``slots[i]`` occurs there; freq = number of start positions with a
+    full alignment. idf sums over ALL present terms of all slots
+    (MultiPhraseQuery.kt:193-215 collects every term's TermStatistics,
+    skipping index-absent terms)."""
+    slots: tuple[tuple[str, ...], ...]
+    slop: int = 0  # exact only v1
+
+    def terms(self):
+        return [t for slot in self.slots for t in slot]
+
+
+@dataclass(frozen=True)
 class MatchNoDocsQuery(Query):
     """``search/MatchNoDocsQuery``: matches nothing (rewrite target)."""
     reason: str = ""

@@ -33,8 +33,8 @@ from ..index.reader import IndexReader, SegmentReader
 from ..similarity.bm25 import BM25Similarity
 from .query import (BooleanQuery, BoostQuery, ConstantScoreQuery,
                     DisjunctionMaxQuery, MatchAllDocsQuery, MatchNoDocsQuery,
-                    MultiTermQuery, Occur, PhraseQuery, Query,
-                    RangeFilterQuery, SynonymQuery, TermQuery)
+                    MultiPhraseQuery, MultiTermQuery, Occur, PhraseQuery,
+                    Query, RangeFilterQuery, SynonymQuery, TermQuery)
 
 TOTAL_HITS_THRESHOLD = 1000  # IndexSearcher.kt:1024
 
@@ -133,6 +133,20 @@ class Searcher:
             scorer, _ = self._scorer_for_terms(list(query.phrase_terms), boost)
             if scorer is None or len(docs) == 0:
                 return _empty(self.sim.dtype)
+            return docs, scorer.score(freqs, sr.norms[docs])
+        if isinstance(query, MultiPhraseQuery):
+            if query.slop != 0:
+                raise NotImplementedError("sloppy multi-phrase not in v1")
+            docs, freqs = _exact_multi_phrase(sr, query.slots)
+            if not scoring:
+                return docs, np.zeros(len(docs), dtype=self.sim.dtype)
+            stats = self.reader.term_stats(query.terms())
+            dfs = [stats[t][0] for slot in query.slots for t in slot
+                   if stats[t][0] > 0]
+            if not dfs or len(docs) == 0:
+                return _empty(self.sim.dtype)
+            scorer = self.sim.scorer(boost, self.reader.doc_count,
+                                     self.reader.sum_total_term_freq, dfs)
             return docs, scorer.score(freqs, sr.norms[docs])
         if isinstance(query, SynonymQuery):
             return self._score_synonym(sr, query, boost, scoring)
@@ -626,6 +640,58 @@ def _sloppy_freq_doc(pos_lists: list[np.ndarray], slop: int) -> float:
         freq = freq + np.float32(1.0) / (np.float32(1.0) +
                                          np.float32(match_length[0]))
     return float(freq)
+
+
+def _exact_multi_phrase(sr: SegmentReader, slots):
+    """MultiPhraseQuery exact matcher: per slot the occurrence key set is
+    the union over alternatives (disjoint — one term per position), then
+    the same sorted-key intersection as _exact_phrase."""
+    slot_posts = []
+    for slot in slots:
+        entries = []
+        for t in dict.fromkeys(slot):
+            p = sr.postings(t)
+            if p is not None:
+                entries.append((t, p[0]))
+        if not entries:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        slot_posts.append(entries)
+    cand = None
+    for entries in slot_posts:
+        docs_u = entries[0][1]
+        for _, d in entries[1:]:
+            docs_u = np.union1d(docs_u, d)
+        cand = docs_u if cand is None else _intersect(cand, docs_u)
+        if len(cand) == 0:
+            return cand, np.empty(0, np.int64)
+    # selected positions per (slot, term), then the combined-key join
+    selected = []
+    max_pos = 0
+    for entries in slot_posts:
+        per = []
+        for t, docs in entries:
+            sub = docs[_isin_sorted(docs, cand)]
+            if len(sub) == 0:
+                continue
+            f_sel, flat = sr.positions_for_entries(
+                t, np.searchsorted(docs, sub))
+            if len(flat):
+                max_pos = max(max_pos, int(flat.max()))
+            per.append((sub, f_sel, flat))
+        selected.append(per)
+    M = max_pos + len(slots) + 1
+    keys = None
+    for i, per in enumerate(selected):
+        ks = [np.repeat(sub, f_sel) * M + (flat - i)
+              for sub, f_sel, flat in per]
+        if not ks:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        k = np.sort(np.concatenate(ks)) if len(ks) > 1 else ks[0]
+        keys = k if keys is None else keys[_isin_sorted(keys, k)]
+        if len(keys) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+    out_docs, out_freqs = np.unique(keys // M, return_counts=True)
+    return out_docs.astype(np.int64), out_freqs.astype(np.int64)
 
 
 def _sloppy_phrase(sr: SegmentReader, terms: list[str], slop: int):

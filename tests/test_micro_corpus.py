@@ -128,3 +128,28 @@ def test_scores_sorted_score_then_docid(micro):
     td = micro.search(TermQuery("a"), k=10)
     pairs = [(-h.score, h.doc_id) for h in td.score_docs]
     assert pairs == sorted(pairs)
+
+
+def test_multi_phrase(micro):
+    """MultiPhraseQuery: "a (b|c) c|e"-style slot alternatives over the
+    TestSearch micro-corpus."""
+    from lucene_kmp_ray.search import MultiPhraseQuery, PhraseQuery
+    # slots: a, then (b or c): "a b" docs 0,1,2,6; "a c" docs 3,5,6
+    q = MultiPhraseQuery((("a",), ("b", "c")))
+    td = micro.search(q, k=10)
+    assert sorted(h.doc_id for h in td.score_docs) == [0, 1, 2, 3, 5, 6]
+    # freq adds alignments: doc6 "a c e a b c" has a-c@0 and a-b@3 → freq 2
+    from lucene_kmp_ray.search.searcher import _exact_multi_phrase
+    sr = micro.reader.segment_readers[0]
+    docs, freqs = _exact_multi_phrase(sr, (("a",), ("b", "c")))
+    assert dict(zip(docs.tolist(), freqs.tolist()))[6] == 2
+    # single-alternative slots degrade to exact phrase matching
+    d1, f1 = _exact_multi_phrase(sr, (("a",), ("b",), ("c",)))
+    from lucene_kmp_ray.search.searcher import _exact_phrase
+    d2, f2 = _exact_phrase(sr, ["a", "b", "c"])
+    assert d1.tolist() == d2.tolist() and f1.tolist() == f2.tolist()
+    # absent alternative is ignored; absent whole slot matches nothing
+    d3, _ = _exact_multi_phrase(sr, (("a", "zzz"), ("b",), ("c",)))
+    assert d3.tolist() == d2.tolist()
+    d4, _ = _exact_multi_phrase(sr, (("zzz",), ("b",)))
+    assert d4.tolist() == []
