@@ -74,7 +74,10 @@ def find_merges(segments: list[dict],
             allowed += segments_per_tier
             remaining -= level_size * segments_per_tier
             level_size *= segments_per_tier
-        eligible = [(seg, sz) for seg, sz in live if sz < max_merged_docs]
+        # negative ids are this round's already-planned merges (in-flight
+        # merges are not merge candidates, as in the reference's scheduler)
+        eligible = [(seg, sz) for seg, sz in live
+                    if seg >= 0 and sz < max_merged_docs]
         if len(live) <= allowed or len(eligible) < 2:
             return merges
         by_size = sorted(eligible, key=lambda t: (-t[1], t[0]))
@@ -228,8 +231,6 @@ def add_indexes(dest_dir: str, src_dirs: list[str]) -> dict:
         with open(os.path.join(src, "manifest.json")) as f:
             sman = json.load(f)
         for m in sorted(sman["segments"], key=lambda m: m["seg"]):
-            new = dict(m)
-            new["seg"] = next_seg
             dst = os.path.join(dest_dir, "segments", seg_dirname(next_seg))
             shutil.copytree(os.path.join(src, m["dir"]), dst)
             # rewrite the copied segment manifest's id for lineage coherence
@@ -241,7 +242,6 @@ def add_indexes(dest_dir: str, src_dirs: list[str]) -> dict:
             seg_man["seg"] = next_seg
             with open(os.path.join(dst, "manifest.json"), "w") as f:
                 json.dump(seg_man, f)
-            new["dir"] = f"segments/{seg_dirname(next_seg)}"
             all_metas.append({k: seg_man[k] for k in
                               ("seg", "doc_count", "sum_total_term_freq",
                                "sum_doc_freq", "unique_terms", "doc_id_min",

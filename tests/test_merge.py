@@ -142,3 +142,17 @@ def test_add_indexes(built, tmp_path, ray_session):
     # the added segment is queryable through the normal reader
     td = Searcher(IndexReader(dest)).search(TermQuery("spark"), k=5)
     assert td.total_hits == 2 * 387
+
+
+def test_find_merges_never_plans_nonexistent_segments():
+    """Regression: an in-round planned merge's placeholder must never be
+    selected into a later merge of the same round (it has no segment id
+    yet — an in-flight merge is not a candidate)."""
+    segs = [{"seg": i, "doc_count": 1000} for i in range(60)]
+    for tier in (2, 3, 10):
+        plans = find_merges(segs, segments_per_tier=tier, floor_docs=1000,
+                            max_merged_docs=10_000)
+        for g in plans:
+            assert all(0 <= s < 60 for s in g), (tier, g)
+        flat = [s for g in plans for s in g]
+        assert len(flat) == len(set(flat))
