@@ -45,9 +45,12 @@ _TOKEN_RE = re.compile(r"""
       (?P<plus>\+) | (?P<minus>-) |
       (?P<phrase>"(?P<phrase_body>[^"]*)"(?:~(?P<slop>\d+))?) |
       (?P<range>[\[{](?P<range_lo>[^\s\]}]+)\s+TO\s+(?P<range_hi>[^\s\]}]+)[\]}]) |
-      (?P<term>[^\s()+\-"^]+)
+      (?P<term>[^\s()+\-"^][^\s()"^]*)
     )(?:\^(?P<boost>\d+(?:\.\d+)?))?
 """, re.VERBOSE)
+# note the term pattern: '-' is an operator only at a clause BOUNDARY; inside
+# a token ("foo-bar") it is term text, which the analyzer then splits — the
+# classic parser's behavior (QueryParserBase.kt:161).
 
 
 @dataclass
@@ -70,7 +73,7 @@ def _lex(s: str) -> list[_Tok]:
         boost = float(m.group("boost")) if m.group("boost") else None
         for kind in ("lparen", "rparen", "and", "or", "not", "plus", "minus"):
             if m.group(kind):
-                out.append(_Tok(kind, m.group(kind)))
+                out.append(_Tok(kind, m.group(kind), boost))  # ")^2"
                 break
         else:
             if m.group("phrase") is not None:
@@ -118,7 +121,9 @@ def _term_to_query(tok: _Tok) -> Query | None:
         return None
     if len(toks) == 1:
         return TermQuery(toks[0])
-    return PhraseQuery(tuple(toks))
+    # unquoted text analyzing to several tokens → SHOULD-of-terms, the
+    # classic default (autoGeneratePhraseQueries=false, QueryBuilder.kt:115)
+    return BooleanQuery(tuple((Occur.SHOULD, TermQuery(t)) for t in toks))
 
 
 def _phrase_to_query(tok: _Tok) -> Query | None:
@@ -178,7 +183,7 @@ class _Parser:
                 if closing is None or closing.kind != "rparen":
                     raise ValueError("unbalanced parentheses")
                 self.next()
-                nxt_boost = None
+                nxt_boost = closing.boost  # "(a b)^2"
             else:
                 nxt_boost = t.boost
                 if t.kind == "phrase":

@@ -290,3 +290,18 @@ def test_constant_score_and_match_no_docs(searcher):
         BoostQuery(ConstantScoreQuery(TermQuery("spark")), 2.5), k=5)
     assert all(h.score == 2.5 for h in boosted.score_docs)
     assert searcher.search(MatchNoDocsQuery(), k=5).total_hits == 0
+
+
+def test_parser_hyphen_and_group_boost_and_multitoken():
+    from lucene_kmp_ray.search import BoostQuery
+    # '-' inside a token is term text; the analyzer splits it → SHOULD terms
+    assert parse_query("foo-bar") == BooleanQuery.build(
+        (Occur.SHOULD, TermQuery("foo")), (Occur.SHOULD, TermQuery("bar")))
+    # '-' at a clause boundary prohibits
+    assert parse_query("foo -bar") == BooleanQuery.build(
+        (Occur.SHOULD, TermQuery("foo")), (Occur.MUST_NOT, TermQuery("bar")))
+    # group boost
+    q = parse_query("(spark OR data)^2")
+    inner = BooleanQuery.build((Occur.SHOULD, TermQuery("spark")),
+                               (Occur.SHOULD, TermQuery("data")))
+    assert q == BoostQuery(inner, 2.0)
