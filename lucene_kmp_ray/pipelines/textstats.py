@@ -1,14 +1,16 @@
 """Text-analysis stages for a training-data pipeline over the documents table.
 
 All are single-pass ``map_batches`` transforms (no shuffle, embarrassingly
-parallel — the 100 TB shape is identical to the sf0.01 shape). Each has an
-exact DuckDB oracle in ``lucene_kmp_ray.oracle``:
+parallel — the 100 TB shape is identical to the sf0.01 shape), vectorized on
+the batch tokenizer (one flat Arrow token array per batch, per-doc stats via
+bincount — no per-token Python). Each has an exact DuckDB oracle in
+``lucene_kmp_ray.oracle``:
 
-- token counting (whitespace-free, analyzer-identical token count)
-- quality scoring: length / punctuation ratio / stopword ratio /
-  unique-token ratio
-- language ID: stopword-hit n-gram heuristic over five language lists with
-  deterministic tie-break
+- token counting (analyzer-identical token count + per-doc unique count)
+- quality scoring: length / alnum ratio / stopword ratio / unique ratio /
+  mean token length
+- language ID: stopword-hit heuristic over five language lists with
+  deterministic alphabetical tie-break
 - document fingerprinting: md5 of the canonical token stream (the
   deterministic content key used for exact near-canonical dedup)
 """
@@ -21,7 +23,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..analysis.standard import tokenize
+from ..analysis.standard import tokenize_flat
 
 # Tiny built-in stopword lists (public, common knowledge). Order matters for
 # the deterministic argmax tie-break: alphabetical language code.
@@ -36,44 +38,95 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 EN_STOPWORDS = LANG_STOPWORDS["en"]
 
 
+def _flat(batch: pa.Table):
+    """(texts, doc_lengths, flat_tokens, doc_of) for one batch."""
+    texts = batch["text"].to_pylist()
+    dl, flat = tokenize_flat(texts)
+    doc_of = np.repeat(np.arange(len(dl), dtype=np.int64), dl)
+    return texts, dl, flat, doc_of
+
+
+def _unique_per_doc(flat: pa.Array, doc_of: np.ndarray, n: int) -> np.ndarray:
+    """Per-doc distinct-token counts: dictionary codes + one np.unique."""
+    if len(flat) == 0:
+        return np.zeros(n, dtype=np.int64)
+    codes = flat.dictionary_encode().indices.to_numpy().astype(np.int64)
+    v = int(codes.max()) + 1
+    pairs = np.unique(doc_of * v + codes)
+    return np.bincount(pairs // v, minlength=n).astype(np.int64)
+
+
+def _stop_hits(flat: pa.Array, doc_of: np.ndarray, n: int,
+               stop: tuple[str, ...]) -> np.ndarray:
+    if len(flat) == 0:
+        return np.zeros(n, dtype=np.int64)
+    m = pc.is_in(flat, value_set=pa.array(sorted(stop), pa.string()))
+    return np.bincount(doc_of, weights=m.to_numpy(zero_copy_only=False),
+                       minlength=n).astype(np.int64)
+
+
 def token_count_batch(batch: pa.Table) -> pa.Table:
     """(doc_id, n_tokens, n_unique_tokens) via the standard analyzer."""
-    counts, uniq = [], []
-    for t in batch["text"].to_pylist():
-        toks = tokenize(t or "")
-        counts.append(len(toks))
-        uniq.append(len(set(toks)))
+    _, dl, flat, doc_of = _flat(batch)
     return pa.table({
         "doc_id": batch["doc_id"],
-        "n_tokens": pa.array(counts, pa.int64()),
-        "n_unique_tokens": pa.array(uniq, pa.int64()),
+        "n_tokens": pa.array(dl, pa.int64()),
+        "n_unique_tokens": pa.array(_unique_per_doc(flat, doc_of, len(dl)),
+                                    pa.int64()),
     })
+
+
+# BMP class table for the alnum-or-space ratio, built from str.isalnum /
+# str.isspace themselves (exact agreement with the per-char definition and
+# the oracle's [\pL\pN\s] regexp).
+_ALNUM_LIMIT = 0x10000
+_ALNUM_TABLE: np.ndarray | None = None
+
+
+def _alnum_table() -> np.ndarray:
+    global _ALNUM_TABLE
+    if _ALNUM_TABLE is None:
+        t = np.frombuffer(bytes(
+            1 if (chr(c).isalnum() or chr(c).isspace()) else 0
+            for c in range(_ALNUM_LIMIT)), dtype=np.uint8).copy()
+        t = np.append(t, 0)  # sentinel slot for astral (handled separately)
+        _ALNUM_TABLE = t
+    return _ALNUM_TABLE
+
+
+def _alnum_counts(texts: list[str]) -> np.ndarray:
+    out = np.empty(len(texts), dtype=np.int64)
+    table = _alnum_table()
+    for i, t in enumerate(texts):
+        t = t or ""
+        cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+        over = cps >= _ALNUM_LIMIT
+        c = int(table[np.minimum(cps, _ALNUM_LIMIT)].sum())
+        if over.any():  # rare astral chars: per-char fallback
+            c += sum(1 for ch in t if ord(ch) >= _ALNUM_LIMIT
+                     and (ch.isalnum() or ch.isspace()))
+        out[i] = c
+    return out
 
 
 def quality_batch(batch: pa.Table) -> pa.Table:
     """Quality signals: n_chars, n_tokens, alnum ratio, stopword ratio,
-    unique-token ratio, mean token length. Vectorized where Arrow kernels
-    exist; tokenization reuses the analyzer."""
-    texts = batch["text"].to_pylist()
+    unique-token ratio, mean token length."""
+    texts, dl, flat, doc_of = _flat(batch)
+    n = len(dl)
     n_chars = np.array([len(t or "") for t in texts], dtype=np.int64)
-    alnum = np.array([sum(c.isalnum() or c.isspace() for c in (t or ""))
-                      for t in texts], dtype=np.int64)
-    n_tok = np.empty(len(texts), dtype=np.int64)
-    n_stop = np.empty(len(texts), dtype=np.int64)
-    n_uniq = np.empty(len(texts), dtype=np.int64)
-    tok_chars = np.empty(len(texts), dtype=np.int64)
-    stop = set(EN_STOPWORDS)
-    for i, t in enumerate(texts):
-        toks = tokenize(t or "")
-        n_tok[i] = len(toks)
-        n_stop[i] = sum(1 for x in toks if x in stop)
-        n_uniq[i] = len(set(toks))
-        tok_chars[i] = sum(len(x) for x in toks)
-    denom_t = np.maximum(n_tok, 1).astype(np.float64)
+    alnum = _alnum_counts(texts)
+    n_uniq = _unique_per_doc(flat, doc_of, n)
+    n_stop = _stop_hits(flat, doc_of, n, EN_STOPWORDS)
+    tlens = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+        if len(flat) else np.empty(0, np.int64)
+    tok_chars = np.bincount(doc_of, weights=tlens, minlength=n) \
+        .astype(np.int64)
+    denom_t = np.maximum(dl, 1).astype(np.float64)
     return pa.table({
         "doc_id": batch["doc_id"],
         "n_chars": pa.array(n_chars),
-        "n_tokens": pa.array(n_tok),
+        "n_tokens": pa.array(dl, pa.int64()),
         "alnum_ratio": pa.array(alnum / np.maximum(n_chars, 1)),
         "stopword_ratio": pa.array(n_stop / denom_t),
         "unique_ratio": pa.array(n_uniq / denom_t),
@@ -84,30 +137,29 @@ def quality_batch(batch: pa.Table) -> pa.Table:
 def langid_batch(batch: pa.Table) -> pa.Table:
     """Stopword-hit language ID: lang = argmax over per-language stopword
     token hits; ties → alphabetically-first language; zero hits → 'und'."""
+    _, dl, flat, doc_of = _flat(batch)
+    n = len(dl)
     langs = sorted(LANG_STOPWORDS)
-    sets = {l: set(LANG_STOPWORDS[l]) for l in langs}
-    pred, hits = [], []
-    for t in batch["text"].to_pylist():
-        toks = tokenize(t or "")
-        counts = [(sum(1 for x in toks if x in sets[l])) for l in langs]
-        best = max(counts)
-        if best == 0:
-            pred.append("und")
-        else:
-            pred.append(langs[int(np.argmax(counts))])
-        hits.append(best)
+    hits = np.stack([_stop_hits(flat, doc_of, n, LANG_STOPWORDS[lang])
+                     for lang in langs], axis=1)  # (n, n_langs)
+    best = hits.max(axis=1)
+    pred = np.asarray(langs, dtype=object)[np.argmax(hits, axis=1)]
+    pred[best == 0] = "und"
     return pa.table({
         "doc_id": batch["doc_id"],
         "pred_lang": pa.array(pred, pa.string()),
-        "stopword_hits": pa.array(hits, pa.int64()),
+        "stopword_hits": pa.array(best, pa.int64()),
     })
 
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Canonical content fingerprint: md5 of ' '.join(tokens) — whitespace/
     punctuation-insensitive exact-dup key (DuckDB: md5(array_to_string(...)))."""
-    fps = [hashlib.md5(" ".join(tokenize(t or "")).encode()).hexdigest()
-           for t in batch["text"].to_pylist()]
+    _, dl, flat, _ = _flat(batch)
+    offsets = np.concatenate([[0], np.cumsum(dl)]).astype(np.int32)
+    joined = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets), flat), " ").to_pylist()
+    fps = [hashlib.md5((s or "").encode()).hexdigest() for s in joined]
     return pa.table({
         "doc_id": batch["doc_id"],
         "fingerprint": pa.array(fps, pa.string()),
