@@ -49,15 +49,24 @@ def sql_tokens_expr(col: str = "text") -> str:
 
 
 def tokenize(text: str) -> list[str]:
-    """Lowercased token list for one document (index- and query-side)."""
+    """Lowercased token list for one document (index- and query-side).
+
+    Lowercasing uses Arrow's ``utf8_lower`` (simple Unicode case mapping) —
+    the SAME kernel the batch tokenizer and the DuckDB oracle use — so the
+    query side, the dedup shingles and the index agree on every codepoint
+    (Python's ``str.lower`` differs on e.g. 'İ', which would silently break
+    index/query parity)."""
+    import pyarrow.compute as pc
     out = []
     for tok in PY_TOKEN_RE.findall(text):
         if len(tok) > MAX_TOKEN_LENGTH:  # over-long tokens split, not dropped
-            for i in range(0, len(tok), MAX_TOKEN_LENGTH):
-                out.append(tok[i:i + MAX_TOKEN_LENGTH].lower())
+            out.extend(tok[i:i + MAX_TOKEN_LENGTH]
+                       for i in range(0, len(tok), MAX_TOKEN_LENGTH))
         else:
-            out.append(tok.lower())
-    return out
+            out.append(tok)
+    if not out:
+        return out
+    return pc.utf8_lower(pa.array(out, type=pa.string())).to_pylist()
 
 
 class StandardAnalyzer:

@@ -155,7 +155,7 @@ def langid_batch(batch: pa.Table) -> pa.Table:
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Canonical content fingerprint: md5 of ' '.join(tokens) — whitespace/
     punctuation-insensitive exact-dup key (DuckDB: md5(array_to_string(...)))."""
-    _, dl, flat, _ = _flat(batch)
+    dl, flat = tokenize_flat(batch["text"].to_pylist())  # no doc_of needed
     offsets = np.concatenate([[0], np.cumsum(dl)]).astype(np.int32)
     joined = pc.binary_join(
         pa.ListArray.from_arrays(pa.array(offsets), flat), " ").to_pylist()
