@@ -74,6 +74,8 @@ def run_bench() -> dict:
 
     # ---- query latency (driver-side searcher, float32 prod path) ----
     searcher = Searcher(IndexReader(idx))
+    from lucene_kmp_ray.search import (DisjunctionMaxQuery, PrefixQuery,
+                                       SynonymQuery)
     qset = {
         "q_term": TermQuery("spark"),
         "q_term_stop": TermQuery("the"),
@@ -82,6 +84,11 @@ def run_bench() -> dict:
         "q_bool_or": BooleanQuery.build((Occur.SHOULD, TermQuery("data")),
                                         (Occur.SHOULD, TermQuery("spark"))),
         "q_phrase": PhraseQuery(("big", "order", "scan")),
+        "q_sloppy": PhraseQuery(("big", "scan"), slop=2),
+        "q_prefix": PrefixQuery("sp"),
+        "q_synonym": SynonymQuery(("join", "spark")),
+        "q_dismax": DisjunctionMaxQuery((TermQuery("join"),
+                                         TermQuery("spark")), 0.3),
     }
     import numpy as np
     for q in qset.values():  # warm: load term tables/norms into the reader
