@@ -298,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_cosine_top10": _ann_brute,
         "ann_lsh_top10": lambda sf: ann.ann_lsh_topk(sf),  # rows-only check
+        "ann_ivf_top10": lambda sf: ann.ann_ivf_topk(sf),  # rows-only check
         # --- multimodal plumbing (rows-only; decode stubbed) ---
         "multimodal_features": _multimodal,
     }

@@ -20,6 +20,17 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _pool_size(requested=None) -> int:
+    """Actor-pool size that leaves CPU headroom for upstream reads and the
+    downstream shuffle: an actor pool equal to the whole cluster starves
+    its own input (deadlocks outright at num_cpus == concurrency)."""
+    if requested is not None:
+        return requested
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(1, min(cpus - 2, 8))
+
+
 def _norm_rows(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1.0
@@ -66,7 +77,7 @@ def _merge_topk_factory(k: int):
 
 
 def ann_brute_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
-                   concurrency: int = 4):
+                   concurrency: int | None = None):
     """Cosine top-k of every embedding vs the first ``n_queries`` vectors
     (deterministic query set: vec_id 0..n_queries-1)."""
     import pyarrow.parquet as pq
@@ -86,7 +97,7 @@ def ann_brute_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
     partial = ds.map_batches(BruteForceScorer,
                              fn_constructor_args=(queries_ref, k),
                              batch_format="pyarrow", batch_size=1024,
-                             concurrency=concurrency)
+                             concurrency=_pool_size(concurrency))
     return partial.groupby("query_id").map_groups(
         _merge_topk_factory(k), batch_format="pandas")
 
@@ -101,7 +112,7 @@ def _planes(dim: int) -> np.ndarray:
 
 
 def ann_lsh_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
-                 concurrency: int = 4):
+                 concurrency: int | None = None):
     """Signed-random-projection LSH: vectors bucketed by sign pattern;
     each query scores only its own bucket (approximate — recall measured
     against ann_brute_topk in tests)."""
@@ -154,6 +165,92 @@ def ann_lsh_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
                          columns=["vec_id", "embedding"])
     partial = ds.map_batches(add_bucket, batch_format="pyarrow") \
                 .map_batches(BucketScorer, batch_format="pyarrow",
-                             batch_size=1024, concurrency=concurrency)
+                             batch_size=1024, concurrency=_pool_size(concurrency))
+    return partial.groupby("query_id").map_groups(
+        _merge_topk_factory(k), batch_format="pandas")
+
+
+# ----------------------------------------------------------- IVF variant ---
+IVF_CELLS = 16
+IVF_NPROBE = 4
+IVF_KMEANS_ITERS = 8
+IVF_TRAIN_SAMPLE = 2048
+
+
+def _train_centroids(sf_dir: str, n_cells: int = IVF_CELLS) -> np.ndarray:
+    """Deterministic k-means coarse quantizer trained on a sample (the IVF
+    training step — at 100 TB this samples ~1M vectors to the driver or a
+    single trainer task; centroids are tiny and broadcast)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").head(IVF_TRAIN_SAMPLE)
+    x = _norm_rows(np.vstack(df["embedding"].to_numpy()).astype(np.float64))
+    rng = np.random.default_rng(42)
+    cent = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(IVF_KMEANS_ITERS):
+        assign = np.argmax(x @ cent.T, axis=1)  # cosine assignment
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(axis=0)
+        cent = _norm_rows(cent)
+    return cent
+
+
+def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
+                 nprobe: int = IVF_NPROBE, concurrency: int | None = None):
+    """IVF scale path: a trained coarse quantizer assigns every vector to a
+    cell (one vectorized matmul per batch); each query scores only its
+    ``nprobe`` nearest cells. The assignment stage is the partitioner a
+    100 TB deployment would write out as ``cell=N/`` Parquet partitions so
+    queries read only probed cells; here cells stay in-stream and the
+    mask is applied per batch. Approximate — recall vs ann_brute_topk is
+    asserted in tests."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    cent = _train_centroids(sf_dir)
+    df = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas() \
+        .sort_values("vec_id").head(n_queries)
+    qids = df["vec_id"].tolist()
+    qmat = _norm_rows(np.vstack(df["embedding"].to_numpy())
+                      .astype(np.float64))
+    nprobe = min(nprobe, len(cent))
+    qcells = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]
+    shared = ray.put((qids, qmat, qcells, cent))
+
+    class IVFScorer:
+        def __init__(self):
+            import ray as _ray
+            self.qids, self.q, self.qcells, self.cent = _ray.get(shared)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vec_ids = batch["vec_id"].to_numpy()
+            mat = _norm_rows(np.vstack(
+                batch["embedding"].to_numpy(zero_copy_only=False))
+                .astype(np.float64))
+            cells = np.argmax(mat @ self.cent.T, axis=1)
+            out = {"query_id": [], "vec_id": [], "score": []}
+            for j, qid in enumerate(self.qids):
+                mask = np.isin(cells, self.qcells[j])
+                if not mask.any():
+                    continue
+                col = mat[mask] @ self.q[j]
+                ids = vec_ids[mask]
+                sel = np.argsort(-col)[:k]
+                out["query_id"].extend([qid] * len(sel))
+                out["vec_id"].extend(ids[sel].tolist())
+                out["score"].extend(col[sel].tolist())
+            return pa.table({"query_id": pa.array(out["query_id"], pa.int64()),
+                             "vec_id": pa.array(out["vec_id"], pa.int64()),
+                             "score": pa.array(out["score"], pa.float64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    partial = ds.map_batches(IVFScorer, batch_format="pyarrow",
+                             batch_size=1024, concurrency=_pool_size(concurrency))
     return partial.groupby("query_id").map_groups(
         _merge_topk_factory(k), batch_format="pandas")

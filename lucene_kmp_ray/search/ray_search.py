@@ -25,6 +25,17 @@ from .query import Query
 from .searcher import Searcher, _topk_idx
 
 
+def _pool_size(requested=None) -> int:
+    """Actor-pool size that leaves CPU headroom for upstream reads and the
+    downstream shuffle: an actor pool equal to the whole cluster starves
+    its own input (deadlocks outright at num_cpus == concurrency)."""
+    if requested is not None:
+        return requested
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(1, min(cpus - 2, 8))
+
+
 class SegmentSearchActor:
     """Actor-pool stage: holds open SegmentReaders + resolved query scorers.
 
@@ -62,7 +73,7 @@ class SegmentSearchActor:
 
 
 def search_distributed(index_dir: str, queries: dict[str, Query], k: int = 10,
-                       concurrency: int = 4, dtype: str = "float32"):
+                       concurrency: int | None = None, dtype: str = "float32"):
     """Run many queries over all segments → Dataset of global top-k rows
     with columns (query_id, doc_id, url, score, rank)."""
     import pyarrow as pa
@@ -77,7 +88,7 @@ def search_distributed(index_dir: str, queries: dict[str, Query], k: int = 10,
     per_seg = ds.map_batches(
         SegmentSearchActor,
         fn_constructor_args=(index_dir, queries_ref, k, dtype),
-        batch_format="pandas", batch_size=8, concurrency=concurrency)
+        batch_format="pandas", batch_size=8, concurrency=_pool_size(concurrency))
 
     def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["score", "seg", "doc"],
@@ -131,7 +142,7 @@ class SegmentMatchActor:
 
 
 def search_all_matches(index_dir: str, query: Query, dtype: str = "float64",
-                       concurrency: int = 4, meta_cols: tuple[str, ...] = ()):
+                       concurrency: int | None = None, meta_cols: tuple[str, ...] = ()):
     """All matching docs of ``query`` as a Dataset (doc_id, url, score)."""
     import pyarrow as pa
     import ray
@@ -144,18 +155,18 @@ def search_all_matches(index_dir: str, query: Query, dtype: str = "float64",
                           fn_constructor_args=(index_dir, ray.put(query),
                                                dtype, meta_cols),
                           batch_format="pandas", batch_size=8,
-                          concurrency=concurrency)
+                          concurrency=_pool_size(concurrency))
 
 
 def search_sorted_by_field(index_dir: str, query: Query, field: str,
                            descending: bool = True, k: int = 20,
-                           concurrency: int = 4):
+                           concurrency: int | None = None):
     """TopFieldCollector / Sort(SortField) analog (SortField.kt:54-80):
     matches of ``query`` ordered by a doc-meta field, tie-broken by doc_id
     ascending, global top-k. Per-segment matches stream through the actor
     pool; the sort moves only (doc_id, url, field) rows of matching docs.
     Returns a pandas DataFrame with a ``rank`` column (deterministic)."""
-    ds = search_all_matches(index_dir, query, concurrency=concurrency,
+    ds = search_all_matches(index_dir, query, concurrency=_pool_size(concurrency),
                             meta_cols=(field,))
     out = ds.sort([field, "doc_id"], descending=[descending, False]) \
             .limit(k).to_pandas()
@@ -164,7 +175,7 @@ def search_sorted_by_field(index_dir: str, query: Query, field: str,
 
 
 def phrase_freqs_distributed(index_dir: str, terms: list[str],
-                             concurrency: int = 4):
+                             concurrency: int | None = None):
     """(doc_id, freq) of exact-phrase matches — the positional-join operator
     run segment-parallel (ExactPhraseMatcher, SURVEY §2.5)."""
     import pyarrow as pa
@@ -195,4 +206,4 @@ def phrase_freqs_distributed(index_dir: str, terms: list[str],
 
     ds = rd.from_arrow(pa.table({"seg": pa.array(segs, pa.int64())}))
     return ds.map_batches(PhraseActor, batch_format="pandas", batch_size=8,
-                          concurrency=concurrency)
+                          concurrency=_pool_size(concurrency))

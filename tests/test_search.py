@@ -223,3 +223,18 @@ def test_explain_matches_score(searcher):
     ex2 = searcher.explain(q, td2.score_docs[0].doc_id)
     assert ex2["value"] == pytest.approx(td2.score_docs[0].score, rel=1e-6)
     assert searcher.explain(TermQuery("zzz"), 0)["value"] == 0.0
+
+
+def test_ann_ivf_recall(ray_session):
+    """IVF top-k recall@10 vs brute force must be high at nprobe=4/16
+    cells on the synthetic embeddings (approximate by construction)."""
+    from lucene_kmp_ray.pipelines.ann import ann_brute_topk, ann_ivf_topk
+    sf = "/root/testdata/sf0.001"
+    brute = ann_brute_topk(sf).to_pandas()
+    ivf = ann_ivf_topk(sf).to_pandas()
+    recalls = []
+    for qid in brute["query_id"].unique():
+        b = set(brute[brute["query_id"] == qid]["vec_id"])
+        v = set(ivf[ivf["query_id"] == qid]["vec_id"])
+        recalls.append(len(b & v) / len(b))
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
