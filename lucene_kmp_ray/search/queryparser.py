@@ -97,8 +97,11 @@ def _strip_field(text: str) -> str:
     return text
 
 
+_ANALYZER = None  # module default: StandardAnalyzer semantics
+
+
 def _analyze_term(raw: str) -> list[str]:
-    return tokenize(raw)
+    return _ANALYZER(raw) if _ANALYZER is not None else tokenize(raw)
 
 
 def _term_to_query(tok: _Tok) -> Query | None:
@@ -208,6 +211,16 @@ class _Parser:
         return BooleanQuery(tuple(clauses))
 
 
-def parse_query(s: str) -> Query:
-    """Parse a classic-syntax query string into the query IR."""
-    return _Parser(_lex(s)).parse()
+def parse_query(s: str, analyzer=None) -> Query:
+    """Parse a classic-syntax query string into the query IR.
+
+    ``analyzer`` (a callable text → tokens, e.g. EnglishAnalyzer) re-analyzes
+    bare terms and phrase bodies — the QueryBuilder symmetry rule: the query
+    side MUST use the analyzer the index was built with
+    (util/QueryBuilder.kt:45). Default = the standard chain."""
+    global _ANALYZER
+    _ANALYZER = analyzer
+    try:
+        return _Parser(_lex(s)).parse()
+    finally:
+        _ANALYZER = None

@@ -100,3 +100,14 @@ def test_english_index_build_and_search(tmp_path, ray_session):
     assert man["sum_total_term_freq"] < total_std
     ea = EnglishAnalyzer()
     assert man["sum_total_term_freq"] == sum(len(ea(t)) for t in texts)
+
+
+def test_parser_with_english_analyzer():
+    from lucene_kmp_ray.search import BooleanQuery, Occur, TermQuery, parse_query
+    a = EnglishAnalyzer()
+    assert parse_query("Queries", analyzer=a) == TermQuery("queri")
+    q = parse_query("running AND merges", analyzer=a)
+    assert q == BooleanQuery.build((Occur.MUST, TermQuery("run")),
+                                   (Occur.MUST, TermQuery("merg")))
+    # stopword-only clause drops out entirely
+    assert parse_query("the running", analyzer=a) == TermQuery("run")
