@@ -115,7 +115,8 @@ class EnglishAnalyzer:
     name = "english"
 
     def __init__(self, stop_words=ENGLISH_STOP_WORDS):
-        self.stop = sorted(stop_words)
+        self.stop_set = frozenset(stop_words)
+        self.stop = sorted(self.stop_set)
 
     def _stem_array(self, arr: pa.Array) -> pa.Array:
         from .porter import porter_stem
@@ -131,7 +132,7 @@ class EnglishAnalyzer:
         for t in tokenize(text):
             if t.endswith("'s") or t.endswith("’s"):
                 t = t[:-2]
-            if t and t not in ENGLISH_STOP_WORDS:
+            if t and t not in self.stop_set:  # the instance's set, both paths
                 out.append(porter_stem(t))
         return out
 

@@ -196,21 +196,28 @@ def write_segment(index_dir: str, terms_table: pa.Table, docs_table: pa.Table,
                   manifest: dict) -> dict:
     """Atomically persist one segment (write tmp dir, rename) — the
     per-partition two-phase commit (SegmentInfos.kt:35-45 analog)."""
+    import shutil
+    import tempfile
+
     seg = manifest["seg"]
-    final_dir = os.path.join(index_dir, "segments", seg_dirname(seg))
+    seg_root = os.path.join(index_dir, "segments")
+    final_dir = os.path.join(seg_root, seg_dirname(seg))
     if os.path.exists(os.path.join(final_dir, SEG_MANIFEST)):
         return manifest  # already committed (resume path)
-    tmp_dir = final_dir + ".tmp"
-    os.makedirs(tmp_dir, exist_ok=True)
+    os.makedirs(seg_root, exist_ok=True)
+    # unique tmp dir per attempt: Ray is at-least-once, and two live
+    # attempts of the same segment must never interleave writes — each
+    # writes its own dir and only one wins the rename
+    tmp_dir = tempfile.mkdtemp(prefix=seg_dirname(seg) + ".tmp.",
+                               dir=seg_root)
     pq.write_table(terms_table, os.path.join(tmp_dir, TERMS_FILE))
     pq.write_table(docs_table, os.path.join(tmp_dir, DOCS_FILE))
     with open(os.path.join(tmp_dir, SEG_MANIFEST), "w") as f:
         json.dump(manifest, f)
-    if os.path.exists(final_dir):  # concurrent retry won the race
-        import shutil
-        shutil.rmtree(tmp_dir)
-    else:
+    try:
         os.rename(tmp_dir, final_dir)
+    except OSError:  # concurrent attempt won the race
+        shutil.rmtree(tmp_dir, ignore_errors=True)
     return manifest
 
 

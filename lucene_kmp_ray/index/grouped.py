@@ -253,6 +253,13 @@ def make_assembler(index_dir: str, lineage_source: str, segment_size: int):
         subs = g.filter(pa.array(kinds == 1))
         norms_by_doc = docrows["norm"].to_numpy().astype(np.uint8)
         n_docs = docrows.num_rows
+        # local docID contract: row N of docs.parquet == local docID N.
+        # Stage 1 stored `doc_id - seg*segment_size`, which equals the rank
+        # only for dense doc_ids; sparse corpora (filtered/deduped) remap
+        # stored locals → ranks here (monotone map: sort order unchanged).
+        stored_locals = docrows["doc"].to_numpy()
+        need_remap = not np.array_equal(stored_locals,
+                                        np.arange(n_docs, dtype=np.int64))
 
         # per term: single sub-list passes through; multi-salt (head terms)
         # decode sub-lists, concat in salt==doc order, re-encode
@@ -265,6 +272,8 @@ def make_assembler(index_dir: str, lineage_source: str, segment_size: int):
             df_i, ttf_i = int(dfs[i]), int(ttfs[i])
             d = fu.delta_decode(fu.decode_blocks(
                 subs["docs_enc"][i].as_py(), df_i))
+            if need_remap:
+                d = np.searchsorted(stored_locals, d)
             f = fu.decode_blocks(subs["freqs_enc"][i].as_py(), df_i)
             p = fu.decode_blocks(subs["pos_enc"][i].as_py(), ttf_i)
             return d, f, p

@@ -119,11 +119,23 @@ def merge_segments(index_dir: str, segs: list[int], new_seg: int) -> dict:
     dirs = [os.path.join(index_dir, "segments", seg_dirname(s)) for s in segs]
     doc_tables = [pq.read_table(os.path.join(d, DOCS_FILE)) for d in dirs]
     bases = np.append(0, np.cumsum([t.num_rows for t in doc_tables]))[:-1]
-    docs_table = pa.concat_tables(doc_tables).combine_chunks()
-    norms = docs_table["norm"].to_numpy().astype(np.uint8)
-    n_docs = docs_table.num_rows
+    concat_docs = pa.concat_tables(doc_tables).combine_chunks()
+    n_docs = concat_docs.num_rows
 
-    # decode every source posting, rebase docs, bucket by term
+    # The merged doc table must stay doc_id-ascending (row N == local docID
+    # N; readers binary-search doc_id and manifests record min/max), but
+    # after one merge round segment doc ranges interleave — so docIDs remap
+    # through the sort permutation, the SortingCodecReader role
+    # (index/SortingCodecReader.kt; DocIDMerger.kt handles the id rebase).
+    doc_ids = concat_docs["doc_id"].to_numpy()
+    perm = np.argsort(doc_ids, kind="stable")
+    inv_perm = np.empty(n_docs, dtype=np.int64)
+    inv_perm[perm] = np.arange(n_docs)
+    docs_table = concat_docs.take(pa.array(perm)) \
+        if not np.array_equal(perm, np.arange(n_docs)) else concat_docs
+    norms = docs_table["norm"].to_numpy().astype(np.uint8)
+
+    # decode every source posting, remap docIDs, bucket by term
     per_term: dict[str, list] = {}
     for si, d in enumerate(dirs):
         tt = pq.read_table(os.path.join(d, TERMS_FILE))
@@ -138,7 +150,7 @@ def merge_segments(index_dir: str, segs: list[int], new_seg: int) -> dict:
             freqs = fu.decode_blocks(fe[i], int(dfs[i]))
             posd = fu.decode_blocks(pe[i], int(ttfs[i]))
             per_term.setdefault(term, []).append(
-                (docs + bases[si], freqs, posd))
+                (inv_perm[docs + bases[si]], freqs, posd))
 
     uniq = sorted(per_term)
     merged = []
@@ -150,6 +162,18 @@ def merge_segments(index_dir: str, segs: list[int], new_seg: int) -> dict:
         # restarts at every entry (first position absolute), and entries
         # never span segments
         posd = np.concatenate([p[2] for p in parts])
+        if len(d) > 1 and np.any(np.diff(d) < 0):
+            # interleaved sources: re-sort entries by new docID, carrying
+            # each entry's position run along (vectorized gather)
+            order = np.argsort(d, kind="stable")
+            bounds = np.append(0, np.cumsum(f))
+            starts = bounds[order]
+            lens = f[order]
+            total = int(lens.sum())
+            out_start = np.append(0, np.cumsum(lens))[:-1]
+            gather = np.arange(total, dtype=np.int64) - \
+                np.repeat(out_start, lens) + np.repeat(starts, lens)
+            d, f, posd = d[order], lens, posd[gather]
         merged.append((term, d, f, posd))
 
     terms_table = encode_term_table(merged, norms)
@@ -164,7 +188,7 @@ def merge_segments(index_dir: str, segs: list[int], new_seg: int) -> dict:
         "doc_id_min": int(docs_table["doc_id"][0].as_py()) if n_docs else None,
         "doc_id_max": int(docs_table["doc_id"][n_docs - 1].as_py())
         if n_docs else None,
-        "lineage": {"merged_from": [int(s) for s in segs]},
+        "lineage": {"merged_from": sorted(int(s) for s in segs)},
         "metrics": {"merge_sec": round(time.monotonic() - t0, 4)},
     }
     return write_segment(index_dir, terms_table, docs_table, manifest)

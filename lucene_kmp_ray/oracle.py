@@ -518,13 +518,23 @@ FROM sess GROUP BY user_id, sid
 
 
 def extract_invariant() -> str:
-    """html→text extraction invariant: tag-strip + entity decode of the
-    corpus html must reproduce text byte-identically (input_hint)."""
-    return preamble() + """
-SELECT doc_id,
-       (regexp_replace(regexp_replace(CAST(html AS VARCHAR),
-            '(?s)<[^>]*>', '', 'g'), '&amp;', '&', 'g') = text) AS match,
-       length(text) AS text_len
+    """html→text extraction invariant: the full engine transform mirrored —
+    script/style/comment removal, tag strip, entity decode (non-amp
+    entities first, &amp; last: sequential replace() then matches the
+    engine's single-pass alternation on nested cases like '&amp;lt;')."""
+    stripped = """regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        CAST(html AS VARCHAR),
+        '(?is)<script\\b.*?</script\\s*>', '', 'g'),
+        '(?is)<style\\b.*?</style\\s*>', '', 'g'),
+        '(?s)<!--.*?-->', '', 'g'),
+        '(?s)<[^>]*>', '', 'g')"""
+    ent = stripped
+    for k, v in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '""'),
+                 ("&apos;", "''"), ("&#39;", "''"), ("&nbsp;", " "),
+                 ("&amp;", "&")):
+        ent = f"replace({ent}, '{k}', '{v}')"
+    return preamble() + f"""
+SELECT doc_id, ({ent} = text) AS match, length(text) AS text_len
 FROM corpus
 """
 

@@ -19,16 +19,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-
-def _pool_size(requested=None) -> int:
-    """Actor-pool size that leaves CPU headroom for upstream reads and the
-    downstream shuffle: an actor pool equal to the whole cluster starves
-    its own input (deadlocks outright at num_cpus == concurrency)."""
-    if requested is not None:
-        return requested
-    import ray
-    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    return max(1, min(cpus - 2, 8))
+from ..util.pool import pool_size as _pool_size
 
 
 def _norm_rows(m: np.ndarray) -> np.ndarray:

@@ -76,10 +76,12 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
     })
 
 
-# BMP class table for the alnum-or-space ratio, built from str.isalnum /
-# str.isspace themselves (exact agreement with the per-char definition and
-# the oracle's [\pL\pN\s] regexp).
+# BMP class table for the alnum-or-space ratio. Whitespace is RE2's ASCII
+# \s = [\t\n\f\r ] — NOT Python str.isspace() (which also matches NBSP,
+# vertical tab, Unicode separators) — so the count agrees with the DuckDB
+# oracle's regexp_replace(text, '[^\pL\pN\s]') on every codepoint.
 _ALNUM_LIMIT = 0x10000
+_RE2_SPACE = frozenset(b"\t\n\f\r ")
 _ALNUM_TABLE: np.ndarray | None = None
 
 
@@ -87,7 +89,7 @@ def _alnum_table() -> np.ndarray:
     global _ALNUM_TABLE
     if _ALNUM_TABLE is None:
         t = np.frombuffer(bytes(
-            1 if (chr(c).isalnum() or chr(c).isspace()) else 0
+            1 if (chr(c).isalnum() or c in _RE2_SPACE) else 0
             for c in range(_ALNUM_LIMIT)), dtype=np.uint8).copy()
         t = np.append(t, 0)  # sentinel slot for astral (handled separately)
         _ALNUM_TABLE = t
@@ -104,7 +106,7 @@ def _alnum_counts(texts: list[str]) -> np.ndarray:
         c = int(table[np.minimum(cps, _ALNUM_LIMIT)].sum())
         if over.any():  # rare astral chars: per-char fallback
             c += sum(1 for ch in t if ord(ch) >= _ALNUM_LIMIT
-                     and (ch.isalnum() or ch.isspace()))
+                     and ch.isalnum())
         out[i] = c
     return out
 

@@ -97,20 +97,17 @@ def _strip_field(text: str) -> str:
     return text
 
 
-_ANALYZER = None  # module default: StandardAnalyzer semantics
+def _analyze_term(raw: str, analyzer) -> list[str]:
+    return analyzer(raw) if analyzer is not None else tokenize(raw)
 
 
-def _analyze_term(raw: str) -> list[str]:
-    return _ANALYZER(raw) if _ANALYZER is not None else tokenize(raw)
-
-
-def _term_to_query(tok: _Tok) -> Query | None:
+def _term_to_query(tok: _Tok, analyzer) -> Query | None:
     text = _strip_field(tok.text)
     fuzzy = re.fullmatch(r"(.+?)~(\d?)", text)
     if fuzzy and "*" not in text and "?" not in text:
         base = fuzzy.group(1)
         edits = int(fuzzy.group(2)) if fuzzy.group(2) else 2
-        toks = _analyze_term(base)
+        toks = _analyze_term(base, analyzer)
         if not toks:
             return None
         return FuzzyQuery(toks[0], max_edits=min(edits, 2))
@@ -119,7 +116,7 @@ def _term_to_query(tok: _Tok) -> Query | None:
         if low.endswith("*") and "*" not in low[:-1] and "?" not in low:
             return PrefixQuery(low[:-1])
         return WildcardQuery(low)
-    toks = _analyze_term(text)
+    toks = _analyze_term(text, analyzer)
     if not toks:
         return None
     if len(toks) == 1:
@@ -129,8 +126,8 @@ def _term_to_query(tok: _Tok) -> Query | None:
     return BooleanQuery(tuple((Occur.SHOULD, TermQuery(t)) for t in toks))
 
 
-def _phrase_to_query(tok: _Tok) -> Query | None:
-    toks = _analyze_term(_strip_field(tok.text))
+def _phrase_to_query(tok: _Tok, analyzer) -> Query | None:
+    toks = _analyze_term(_strip_field(tok.text), analyzer)
     if not toks:
         return None
     if len(toks) == 1:
@@ -145,9 +142,10 @@ def _range_to_query(tok: _Tok) -> Query:
 
 
 class _Parser:
-    def __init__(self, toks: list[_Tok]):
+    def __init__(self, toks: list[_Tok], analyzer=None):
         self.toks = toks
         self.i = 0
+        self.analyzer = analyzer
 
     def peek(self) -> _Tok | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -190,11 +188,11 @@ class _Parser:
             else:
                 nxt_boost = t.boost
                 if t.kind == "phrase":
-                    q = _phrase_to_query(t)
+                    q = _phrase_to_query(t, self.analyzer)
                 elif t.kind == "range":
                     q = _range_to_query(t)
                 else:
-                    q = _term_to_query(t)
+                    q = _term_to_query(t, self.analyzer)
             if q is None:
                 pending_occur, conj_with_prev = None, False
                 continue
@@ -218,9 +216,4 @@ def parse_query(s: str, analyzer=None) -> Query:
     bare terms and phrase bodies — the QueryBuilder symmetry rule: the query
     side MUST use the analyzer the index was built with
     (util/QueryBuilder.kt:45). Default = the standard chain."""
-    global _ANALYZER
-    _ANALYZER = analyzer
-    try:
-        return _Parser(_lex(s)).parse()
-    finally:
-        _ANALYZER = None
+    return _Parser(_lex(s), analyzer).parse()

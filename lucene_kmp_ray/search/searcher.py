@@ -123,6 +123,10 @@ class Searcher:
                 return docs, np.zeros(len(docs), dtype=self.sim.dtype)
             return docs, scorer.score(freqs, sr.norms[docs])
         if isinstance(query, PhraseQuery):
+            if len(query.phrase_terms) == 1:
+                # Lucene rewrites a one-term phrase to a TermQuery
+                return self._score_segment(
+                    sr, TermQuery(query.phrase_terms[0]), boost, scoring)
             if query.slop != 0:
                 docs, freqs = _sloppy_phrase(sr, list(query.phrase_terms),
                                              query.slop)
@@ -734,10 +738,15 @@ def _sloppy_phrase(sr: SegmentReader, terms: list[str], slop: int):
 
 
 def _is_term_disjunction(q: Query) -> bool:
-    """Pure SHOULD-of-TermQuery BooleanQuery (the MaxScore-eligible shape)."""
-    return (isinstance(q, BooleanQuery) and q.minimum_should_match <= 1 and
+    """Pure SHOULD-of-TermQuery BooleanQuery with DISTINCT terms (the
+    MaxScore-eligible shape — duplicate SHOULD clauses each score in the
+    exhaustive path, so they stay on it)."""
+    if not (isinstance(q, BooleanQuery) and q.minimum_should_match <= 1 and
             all(occ == Occur.SHOULD and isinstance(sub, TermQuery)
-                for occ, sub in q.clauses))
+                for occ, sub in q.clauses)):
+        return False
+    terms = [sub.term for _, sub in q.clauses]
+    return len(terms) == len(set(terms))
 
 
 def _topk_idx(scores: np.ndarray, docs: np.ndarray, k: int) -> np.ndarray:

@@ -61,3 +61,34 @@ def test_identical_term_stats(pair):
     a, b = pair
     assert pq.read_table(f"{a}/term_stats.parquet").equals(
         pq.read_table(f"{b}/term_stats.parquet"))
+
+
+def test_sparse_doc_ids_match_dense_rank_path(tmp_path, ray_session):
+    """Regression: sparse doc_ids (filtered/deduped corpus) must produce
+    the same segments as build_index's rank-within-segment path."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_kmp_ray.sources.corpus import corpus_table
+
+    src = corpus_table(SF).sort_by("doc_id").select(["doc_id", "url", "text"])
+    sparse = src.filter(pa.compute.equal(
+        pa.compute.bit_wise_and(src["doc_id"], 1), 0))  # even ids only
+    ds = rd.from_arrow(sparse)
+    a = str(tmp_path / "rank")
+    b = str(tmp_path / "grouped")
+    build_index(ds, a, segment_size=100)
+    build_index_grouped(rd.from_arrow(sparse), b, segment_size=100,
+                        salt_docs=16, head_df_frac=0.05)
+    import json
+    with open(f"{a}/manifest.json") as f:
+        ma = json.load(f)
+    with open(f"{b}/manifest.json") as f:
+        mb = json.load(f)
+    assert ma["doc_count"] == mb["doc_count"] == sparse.num_rows
+    for s in ma["segments"]:
+        d = s["dir"]
+        assert pq.read_table(f"{a}/{d}/terms.parquet").equals(
+            pq.read_table(f"{b}/{d}/terms.parquet")), d
+        assert pq.read_table(f"{a}/{d}/docs.parquet").equals(
+            pq.read_table(f"{b}/{d}/docs.parquet")), d

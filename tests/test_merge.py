@@ -156,3 +156,29 @@ def test_find_merges_never_plans_nonexistent_segments():
             assert all(0 <= s < 60 for s in g), (tier, g)
         flat = [s for g in plans for s in g]
         assert len(flat) == len(set(flat))
+
+
+def test_multi_round_merge_keeps_doc_order(built, tmp_path, ray_session):
+    """Regression: merging non-contiguous segment ids (normal after one
+    round) must keep the merged doc table doc_id-ascending — readers
+    binary-search doc_id (explain) and manifests record min/max."""
+    import json
+    import shutil as sh
+
+    from lucene_kmp_ray.search import TermQuery
+    many, _ = built
+    work = str(tmp_path / "rounds")
+    sh.copytree(many, work)
+    run_merges(work, merges=[[0, 2]])   # -> seg 10 (docs 0-49, 100-149)
+    man = run_merges(work, merges=[[1, 10]])  # -> seg 11 (0-149)
+    seg_dir = [m["dir"] for m in man["segments"] if m["seg"] == 11][0]
+    ids = pq.read_table(f"{work}/{seg_dir}/docs.parquet")["doc_id"] \
+        .to_pylist()
+    assert ids == sorted(ids)
+    with open(f"{work}/{seg_dir}/manifest.json") as f:
+        sm = json.load(f)
+    assert sm["doc_id_min"] == min(ids) and sm["doc_id_max"] == max(ids)
+    s = Searcher(IndexReader(work))
+    td = s.search(TermQuery("spark"), k=3)
+    ex = s.explain(TermQuery("spark"), td.score_docs[0].doc_id)
+    assert ex["value"] == pytest.approx(td.score_docs[0].score, abs=0)

@@ -238,3 +238,30 @@ def test_ann_ivf_recall(ray_session):
         v = set(ivf[ivf["query_id"] == qid]["vec_id"])
         recalls.append(len(b & v) / len(b))
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_duplicate_should_terms_score_per_clause(searcher):
+    """Regression: duplicate SHOULD clauses each score (Lucene semantics);
+    the MaxScore prune path must not dedup them (it declines such shapes)."""
+    from lucene_kmp_ray.search import BooleanQuery, Occur, TermQuery
+    q = BooleanQuery.build((Occur.SHOULD, TermQuery("spark")),
+                           (Occur.SHOULD, TermQuery("spark")))
+    single = searcher.search(TermQuery("spark"), k=5)
+    dup_full = searcher.search(q, k=5)
+    dup_pruned = searcher.search(q, k=5, prune=True)
+    assert [(h.doc_id, h.score) for h in dup_full.score_docs] == \
+        [(h.doc_id, h.score) for h in dup_pruned.score_docs]
+    # each clause contributes: doubled score vs the single term
+    assert dup_full.score_docs[0].score == \
+        pytest.approx(2 * single.score_docs[0].score, rel=1e-6)
+
+
+def test_single_term_phrase_rewrites_to_term(searcher):
+    """Regression: PhraseQuery with one term == TermQuery (Lucene rewrite),
+    for both slop=0 and slop>0 (the latter used to crash)."""
+    from lucene_kmp_ray.search import PhraseQuery, TermQuery
+    t = searcher.search(TermQuery("spark"), k=5)
+    for slop in (0, 2):
+        p = searcher.search(PhraseQuery(("spark",), slop=slop), k=5)
+        assert [(h.doc_id, h.score) for h in p.score_docs] == \
+            [(h.doc_id, h.score) for h in t.score_docs]
