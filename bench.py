@@ -102,6 +102,13 @@ def run_bench() -> dict:
         timings[name] = round(float(np.median(lat)), 4)
         timings[name + "_p95"] = round(float(np.percentile(lat, 95)), 4)
 
+    # ---- distributed query path (actor pool over segments) ----
+    from lucene_kmp_ray.search.ray_search import search_distributed
+    search_distributed(idx, qset, k=10).count()  # warm actors
+    t0 = time.monotonic()
+    search_distributed(idx, qset, k=10).count()
+    timings["distributed_search_9q"] = round(time.monotonic() - t0, 3)
+
     # ---- training-data pipelines (sf as-is, no expand) ----
     from lucene_kmp_ray.pipelines import ann, dedup
     t0 = time.monotonic()
