@@ -542,6 +542,78 @@ class _PP:
         return False
 
 
+def _sloppy_freq_2(a: np.ndarray, b: np.ndarray, slop: int) -> float:
+    """Specialized 2-distinct-term greedy walk — the exact state machine of
+    ``_sloppy_freq_doc`` with the queue/repeat machinery peeled away (two
+    pointers, one live min). Fuzz-verified identical to the general matcher
+    (tests/test_query_operators.py::test_sloppy_two_term_specialization).
+
+    ``a``/``b`` are the offset-normalized position arrays (position - slot
+    offset), ascending.
+    """
+    ia = ib = 0
+    pa_ = int(a[0])
+    pb = int(b[0])
+    end = pa_ if pa_ > pb else pb
+    freq = np.float32(0.0)
+    one = np.float32(1.0)
+    # pop the lesser (tie: lower offset = a), matchLength = end - popped
+    while True:
+        if pa_ < pb or (pa_ == pb):
+            ml = end - pa_
+            nxt = pb
+            adv_a = True
+        else:
+            ml = end - pb
+            nxt = pa_
+            adv_a = False
+        matched = False
+        matched_ml = 0
+        while True:
+            if adv_a:
+                ia += 1
+                if ia >= len(a):
+                    break
+                pa_ = int(a[ia])
+                if pa_ > end:
+                    end = pa_
+                cur = pa_
+            else:
+                ib += 1
+                if ib >= len(b):
+                    break
+                pb = int(b[ib])
+                if pb > end:
+                    end = pb
+                cur = pb
+            if cur > nxt:
+                if ml <= slop:
+                    matched = True
+                    matched_ml = ml  # before the re-pop overwrites it
+                # pop the new lesser
+                if pa_ < pb or (pa_ == pb):
+                    ml = end - pa_
+                    nxt = pb
+                    adv_a = True
+                else:
+                    ml = end - pb
+                    nxt = pa_
+                    adv_a = False
+                if matched:
+                    break
+            else:
+                ml2 = end - cur
+                if ml2 < ml:
+                    ml = ml2
+        if matched:
+            freq = freq + one / (one + np.float32(matched_ml))
+            continue
+        # exhausted
+        if ml <= slop:
+            freq = freq + one / (one + np.float32(ml))
+        return float(freq)
+
+
 def _sloppy_freq_doc(pos_lists: list[np.ndarray], slop: int) -> float:
     """One doc's sloppy phrase freq = Σ 1/(1+matchLength) over the matches
     found by the reference's greedy minimal-window walk
@@ -719,6 +791,7 @@ def _sloppy_phrase(sr: SegmentReader, terms: list[str], slop: int):
         offs = np.append(0, np.cumsum(freqs))
         idx = np.searchsorted(docs, cand)
         sliced[t] = (offs, idx, flat)
+    two_distinct = len(terms) == 2 and terms[0] != terms[1]
     out_docs, out_freqs = [], []
     for j in range(len(cand)):
         pos_lists = []
@@ -729,7 +802,10 @@ def _sloppy_phrase(sr: SegmentReader, terms: list[str], slop: int):
                 i = idx[j]
                 cache[t] = flat[offs[i]:offs[i + 1]]
             pos_lists.append(cache[t])
-        f = _sloppy_freq_doc(pos_lists, slop)
+        if two_distinct:
+            f = _sloppy_freq_2(pos_lists[0], pos_lists[1] - 1, slop)
+        else:
+            f = _sloppy_freq_doc(pos_lists, slop)
         if f > 0.0:
             out_docs.append(int(cand[j]))
             out_freqs.append(f)

@@ -305,3 +305,22 @@ def test_parser_hyphen_and_group_boost_and_multitoken():
     inner = BooleanQuery.build((Occur.SHOULD, TermQuery("spark")),
                                (Occur.SHOULD, TermQuery("data")))
     assert q == BoostQuery(inner, 2.0)
+
+
+def test_sloppy_two_term_specialization_fuzz():
+    """The 2-term fast walk must be bit-identical to the general greedy
+    matcher on thousands of random position configurations."""
+    import numpy as np
+    from lucene_kmp_ray.search.searcher import (_sloppy_freq_2,
+                                                _sloppy_freq_doc)
+    rng = np.random.default_rng(99)
+    for trial in range(3000):
+        la = int(rng.integers(1, 8))
+        lb = int(rng.integers(1, 8))
+        span = int(rng.integers(4, 40))
+        a = np.unique(rng.integers(0, span, size=la))
+        b = np.unique(rng.integers(0, span, size=lb))
+        slop = int(rng.integers(0, 6))
+        want = _sloppy_freq_doc([a, b], slop)
+        got = _sloppy_freq_2(a, b - 1, slop)
+        assert got == want, (a.tolist(), b.tolist(), slop, got, want)
