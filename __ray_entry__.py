@@ -294,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_invariant": _extract_invariant,
         # --- windowed aggregates / sessionization (events table) ---
         "tumbling_counts": events.tumbling_counts,
+        "hopping_counts": events.hopping_counts,
         "sessionize": events.sessionize,
         # --- similarity search ---
         "ann_cosine_top10": _ann_brute,
@@ -355,6 +356,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_top10": oracle.ann_cosine_topk(),
         "extract_invariant": oracle.extract_invariant(),
         "tumbling_counts": oracle.tumbling_counts(),
+        "hopping_counts": oracle.hopping_counts(),
         "sessionize": oracle.sessionize(),
         # simhash_signatures / ann_lsh_top10 / multimodal_features:
         # intentionally no SQL (hash bit-twiddling / approximate / stubbed

@@ -556,3 +556,21 @@ SELECT url, doc_id FROM (
   FROM crawls
 ) WHERE rn = 1
 """
+
+
+def hopping_counts(window_minutes: int = 60, hop_minutes: int = 15) -> str:
+    w_us = window_minutes * 60 * 1_000_000
+    h_us = hop_minutes * 60 * 1_000_000
+    k = w_us // h_us
+    return f"""
+WITH hops AS (
+  SELECT e.event_type, e.value,
+         (epoch_us(e.ts) // {h_us}) * {h_us} - g.i * {h_us} AS window_us
+  FROM events e CROSS JOIN (SELECT unnest(generate_series(0, {k - 1})) AS i) g
+  WHERE epoch_us(e.ts) < (epoch_us(e.ts) // {h_us}) * {h_us}
+        - g.i * {h_us} + {w_us}
+)
+SELECT event_type, window_us, count(*) AS n_events,
+       round(sum(value), 6) AS sum_value_r
+FROM hops GROUP BY event_type, window_us
+"""

@@ -99,3 +99,54 @@ def sessionize(sf_dir: str, gap_minutes: int = SESSION_GAP_MINUTES):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["ts", "user_id"])
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def hopping_counts(sf_dir: str, window_minutes: int = WINDOW_MINUTES,
+                   hop_minutes: int = 15):
+    """Hopping (sliding) windows: each event lands in window_minutes/hop
+    overlapping windows. The explode is a per-batch flat map (one row per
+    (event, window)), then the same partial-aggregate merge as tumbling —
+    shuffle volume = partials per (event_type, window), never raw events.
+    """
+    import ray.data as rd
+
+    w_us = window_minutes * 60 * 1_000_000
+    h_us = hop_minutes * 60 * 1_000_000
+    k = w_us // h_us  # windows covering each event
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["ts"].cast(pa.int64()).to_numpy()
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        val = b["value"].to_numpy()
+        # window starts: latest hop boundary <= ts, going back k hops
+        base = (ts // h_us) * h_us
+        starts = base[:, None] - np.arange(k) * h_us  # (n, k)
+        keep = ts[:, None] < starts + w_us            # always true, but safe
+        starts = starts.ravel()
+        ev = np.repeat(np.arange(len(ts)), k)[keep.ravel()]
+        starts = starts[keep.ravel()]
+        t = pa.table({
+            "event_type": pa.array(et[ev], pa.string()),
+            "window_us": pa.array(starts, pa.int64()),
+            "value": pa.array(val[ev]),
+        })
+        return t.group_by(["event_type", "window_us"]).aggregate(
+            [("value", "sum"), ("value", "count")]) \
+            .rename_columns(["event_type", "window_us", "psum", "pcount"])
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["pcount"].sum())
+        s = float(g["psum"].sum())
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "window_us": [int(g["window_us"].iloc[0])],
+            "n_events": [n],
+            "sum_value_r": [round(s, 6)],
+        })
+
+    return partials.groupby(["event_type", "window_us"]).map_groups(
+        merge, batch_format="pandas")
