@@ -48,6 +48,13 @@ def sql_tokens_expr(col: str = "text") -> str:
             f"t -> lower(t))")
 
 
+def fold_case(s: str) -> str:
+    """The index's case mapping for one string (Arrow utf8_lower — simple
+    Unicode case mapping, NOT Python str.lower; see tokenize())."""
+    import pyarrow.compute as pc
+    return pc.utf8_lower(pa.array([s], type=pa.string()))[0].as_py()
+
+
 def tokenize(text: str) -> list[str]:
     """Lowercased token list for one document (index- and query-side).
 

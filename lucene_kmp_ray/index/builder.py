@@ -49,7 +49,7 @@ def completed_segments(index_dir: str) -> set[int]:
     done = set()
     if os.path.isdir(seg_root):
         for name in os.listdir(seg_root):
-            if name.startswith("seg=") and not name.endswith(".tmp") and \
+            if name.startswith("seg=") and ".tmp" not in name and \
                     os.path.exists(os.path.join(seg_root, name, SEG_MANIFEST)):
                 done.add(int(name.split("=")[1]))
     return done

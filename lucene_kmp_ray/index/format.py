@@ -206,8 +206,9 @@ def write_segment(index_dir: str, terms_table: pa.Table, docs_table: pa.Table,
     os.makedirs(seg_root, exist_ok=True)
     # unique tmp dir per attempt: Ray is at-least-once, and two live
     # attempts of the same segment must never interleave writes — each
-    # writes its own dir and only one wins the rename
-    tmp_dir = tempfile.mkdtemp(prefix=seg_dirname(seg) + ".tmp.",
+    # writes its own dir and only one wins the rename. The "_tmp." prefix
+    # keeps crashed attempts invisible to completed_segments' "seg=" scan.
+    tmp_dir = tempfile.mkdtemp(prefix="_tmp." + seg_dirname(seg) + ".",
                                dir=seg_root)
     pq.write_table(terms_table, os.path.join(tmp_dir, TERMS_FILE))
     pq.write_table(docs_table, os.path.join(tmp_dir, DOCS_FILE))
@@ -215,8 +216,11 @@ def write_segment(index_dir: str, terms_table: pa.Table, docs_table: pa.Table,
         json.dump(manifest, f)
     try:
         os.rename(tmp_dir, final_dir)
-    except OSError:  # concurrent attempt won the race
-        shutil.rmtree(tmp_dir, ignore_errors=True)
+    except OSError:
+        if os.path.exists(os.path.join(final_dir, SEG_MANIFEST)):
+            shutil.rmtree(tmp_dir, ignore_errors=True)  # lost the race
+        else:
+            raise  # a real commit failure must not masquerade as success
     return manifest
 
 

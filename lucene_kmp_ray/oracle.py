@@ -529,7 +529,9 @@ def extract_invariant() -> str:
         '(?s)<!--.*?-->', '', 'g'),
         '(?s)<[^>]*>', '', 'g')"""
     ent = stripped
-    for k, v in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '""'),
+    # SQL literal escapes: '' is one quote inside '...'; a double-quote
+    # char needs no escaping in a single-quoted literal
+    for k, v in (("&lt;", "<"), ("&gt;", ">"), ('&quot;', '"'),
                  ("&apos;", "''"), ("&#39;", "''"), ("&nbsp;", " "),
                  ("&amp;", "&")):
         ent = f"replace({ent}, '{k}', '{v}')"
@@ -561,7 +563,7 @@ SELECT url, doc_id FROM (
 def hopping_counts(window_minutes: int = 60, hop_minutes: int = 15) -> str:
     w_us = window_minutes * 60 * 1_000_000
     h_us = hop_minutes * 60 * 1_000_000
-    k = w_us // h_us
+    k = -(-w_us // h_us)  # ceil, like the engine
     return f"""
 WITH hops AS (
   SELECT e.event_type, e.value,

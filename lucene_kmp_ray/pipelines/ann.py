@@ -204,7 +204,8 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
     import ray.data as rd
 
     cent = _train_centroids(sf_dir)
-    df = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas() \
+    df = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"]).to_pandas() \
         .sort_values("vec_id").head(n_queries)
     qids = df["vec_id"].tolist()
     qmat = _norm_rows(np.vstack(df["embedding"].to_numpy())

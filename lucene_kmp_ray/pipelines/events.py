@@ -112,16 +112,18 @@ def hopping_counts(sf_dir: str, window_minutes: int = WINDOW_MINUTES,
 
     w_us = window_minutes * 60 * 1_000_000
     h_us = hop_minutes * 60 * 1_000_000
-    k = w_us // h_us  # windows covering each event
+    k = -(-w_us // h_us)  # ceil: max hop-aligned windows covering an event
 
     def partial(b: pa.Table) -> pa.Table:
         ts = b["ts"].cast(pa.int64()).to_numpy()
         et = b["event_type"].to_numpy(zero_copy_only=False)
         val = b["value"].to_numpy()
-        # window starts: latest hop boundary <= ts, going back k hops
+        # window starts: latest hop boundary <= ts, going back k hops; the
+        # keep mask drops the k-th window when it no longer covers ts
+        # (only when hop does not divide window)
         base = (ts // h_us) * h_us
         starts = base[:, None] - np.arange(k) * h_us  # (n, k)
-        keep = ts[:, None] < starts + w_us            # always true, but safe
+        keep = ts[:, None] < starts + w_us
         starts = starts.ravel()
         ev = np.repeat(np.arange(len(ts)), k)[keep.ravel()]
         starts = starts[keep.ravel()]

@@ -33,7 +33,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
-from ..analysis.standard import tokenize
+from ..analysis.standard import fold_case, tokenize
 from .query import (BooleanQuery, BoostQuery, FuzzyQuery, Occur, PhraseQuery,
                     PrefixQuery, Query, TermQuery, TermRangeQuery,
                     WildcardQuery)
@@ -112,7 +112,7 @@ def _term_to_query(tok: _Tok, analyzer) -> Query | None:
             return None
         return FuzzyQuery(toks[0], max_edits=min(edits, 2))
     if "*" in text or "?" in text:
-        low = text.lower()  # analyzer lowercases; wildcards pass through
+        low = fold_case(text)  # the index's case mapping (utf8_lower)
         if low.endswith("*") and "*" not in low[:-1] and "?" not in low:
             return PrefixQuery(low[:-1])
         return WildcardQuery(low)
@@ -136,8 +136,8 @@ def _phrase_to_query(tok: _Tok, analyzer) -> Query | None:
 
 
 def _range_to_query(tok: _Tok) -> Query:
-    lo = None if tok.extra["lo"] == "*" else tok.extra["lo"].lower()
-    hi = None if tok.extra["hi"] == "*" else tok.extra["hi"].lower()
+    lo = None if tok.extra["lo"] == "*" else fold_case(tok.extra["lo"])
+    hi = None if tok.extra["hi"] == "*" else fold_case(tok.extra["hi"])
     return TermRangeQuery(lo, hi, tok.extra["inc_lo"], tok.extra["inc_hi"])
 
 

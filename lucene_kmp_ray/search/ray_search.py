@@ -156,7 +156,7 @@ def search_sorted_by_field(index_dir: str, query: Query, field: str,
     ascending, global top-k. Per-segment matches stream through the actor
     pool; the sort moves only (doc_id, url, field) rows of matching docs.
     Returns a pandas DataFrame with a ``rank`` column (deterministic)."""
-    ds = search_all_matches(index_dir, query, concurrency=_pool_size(concurrency),
+    ds = search_all_matches(index_dir, query, concurrency=concurrency,
                             meta_cols=(field,))
     out = ds.sort([field, "doc_id"], descending=[descending, False]) \
             .limit(k).to_pandas()

@@ -139,3 +139,21 @@ def test_interrupted_build_equals_uninterrupted(tmp_path, ray_session,
             pq.read_table(f"{full}/{d}/docs.parquet"))
     assert pq.read_table(f"{part}/term_stats.parquet").equals(
         pq.read_table(f"{full}/term_stats.parquet"))
+
+
+def test_crashed_tmp_dir_does_not_break_resume(tmp_path, ray_session):
+    """Regression: a crashed attempt's tmp dir (with manifest inside) must
+    be invisible to the resume scanner and to a follow-up build."""
+    import os
+
+    from lucene_kmp_ray.index.builder import build_index, completed_segments
+    from lucene_kmp_ray.sources.corpus import corpus_dataset
+
+    idx = str(tmp_path / "idx")
+    os.makedirs(f"{idx}/segments/_tmp.seg=00001.abc123")
+    with open(f"{idx}/segments/_tmp.seg=00001.abc123/manifest.json", "w") as f:
+        f.write("{}")
+    assert completed_segments(idx) == set()
+    man = build_index(corpus_dataset("/root/testdata/sf0.001"), idx,
+                      segment_size=100)
+    assert man["doc_count"] == 500 and len(man["segments"]) == 5

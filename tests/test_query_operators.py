@@ -324,3 +324,13 @@ def test_sloppy_two_term_specialization_fuzz():
         want = _sloppy_freq_doc([a, b], slop)
         got = _sloppy_freq_2(a, b - 1, slop)
         assert got == want, (a.tolist(), b.tolist(), slop, got, want)
+
+
+def test_parser_folds_case_like_the_index():
+    """Wildcard/prefix/range bounds fold case with the index's utf8_lower
+    (str.lower('İ') inserts a combining dot and would never match)."""
+    from lucene_kmp_ray.analysis.standard import fold_case
+    assert fold_case("İstanbul") == "istanbul"
+    assert parse_query("İstanbul*") == PrefixQuery("istanbul")
+    assert parse_query("[Batch TO İData]") == \
+        TermRangeQuery("batch", "idata")
