@@ -26,6 +26,19 @@ from .query import Query
 from .searcher import Searcher, _topk_idx
 
 
+def _seg_work_items(segs, per_block: int = 8):
+    """Segment ids as a Dataset with one BLOCK per ~per_block segments —
+    ``from_arrow`` yields a single block, which would feed the whole actor
+    pool through one task (observed in ds.stats(): 1 task used). One block
+    per batch lets every actor pull work concurrently."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    nblocks = max(1, (len(segs) + per_block - 1) // per_block)
+    return rd.from_arrow(pa.table({"seg": pa.array(segs, pa.int64())})) \
+        .repartition(nblocks)
+
+
 class SegmentSearchActor:
     """Actor-pool stage: holds open SegmentReaders + resolved query scorers.
 
@@ -74,7 +87,7 @@ def search_distributed(index_dir: str, queries: dict[str, Query], k: int = 10,
     segs = [m["seg"] for m in reader.manifest["segments"]]
     queries_ref = ray.put(queries)  # broadcast once, read per actor
 
-    ds = rd.from_arrow(pa.table({"seg": pa.array(segs, pa.int64())}))
+    ds = _seg_work_items(segs)
     per_seg = ds.map_batches(
         SegmentSearchActor,
         fn_constructor_args=(index_dir, queries_ref, k, dtype),
@@ -140,7 +153,7 @@ def search_all_matches(index_dir: str, query: Query, dtype: str = "float64",
 
     reader = IndexReader(index_dir)
     segs = [m["seg"] for m in reader.manifest["segments"]]
-    ds = rd.from_arrow(pa.table({"seg": pa.array(segs, pa.int64())}))
+    ds = _seg_work_items(segs)
     return ds.map_batches(SegmentMatchActor,
                           fn_constructor_args=(index_dir, ray.put(query),
                                                dtype, meta_cols),
@@ -194,6 +207,6 @@ def phrase_freqs_distributed(index_dir: str, terms: list[str],
                 {"doc_id": pd.Series([], dtype="int64"),
                  "freq": pd.Series([], dtype="int64")})
 
-    ds = rd.from_arrow(pa.table({"seg": pa.array(segs, pa.int64())}))
+    ds = _seg_work_items(segs)
     return ds.map_batches(PhraseActor, batch_format="pandas", batch_size=8,
                           concurrency=_pool_size(concurrency))
