@@ -348,7 +348,14 @@ def build_index_grouped(ds, index_dir: str, segment_size: int,
             out = out.filter(mask)
         return out
 
+    import ray
     src = ds.select_columns(["doc_id", "url", "text"])
+    # single-file corpora arrive as one block, which would serialize the
+    # explode stage — split so every CPU gets work (at real scale the read
+    # is many files/row-groups and this is a no-op-sized repartition)
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    src = src.repartition(max(ncpu * 2, 16))
     # bounded batches: explode multiplies rows ~avg_doc_len×, so a batch's
     # output must fit the worker heap even for long pages (SURVEY §4 memory)
     exploded = src.map_batches(explode, batch_format="pyarrow",
