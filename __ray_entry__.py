@@ -289,6 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": lambda sf: dedup.jaccard_pairs(sf, threshold=0.5),
         "minhash_bands": lambda sf: dedup.minhash_batch_ds(sf),
         "minhash_pairs": dedup.minhash_candidate_pairs,
+        "near_dup_clusters": dedup.near_dup_clusters,
         "simhash_signatures": dedup.simhash_signatures,  # rows-only check
         # --- per-row extraction invariant (input_hint) ---
         "extract_invariant": _extract_invariant,
@@ -353,6 +354,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": oracle.jaccard_pairs(0.5),
         "minhash_bands": oracle.minhash_bands(),
         "minhash_pairs": oracle.minhash_pairs(),
+        "near_dup_clusters": oracle.near_dup_clusters(),
         "ann_cosine_top10": oracle.ann_cosine_topk(),
         "extract_invariant": oracle.extract_invariant(),
         "tumbling_counts": oracle.tumbling_counts(),

@@ -576,3 +576,41 @@ SELECT event_type, window_us, count(*) AS n_events,
        round(sum(value), 6) AS sum_value_r
 FROM hops GROUP BY event_type, window_us
 """
+
+
+def near_dup_clusters() -> str:
+    """Connected components over the LSH candidate pairs: cluster_id = min
+    doc_id reachable through undirected pair edges (recursive closure)."""
+    perms = MINHASH_PERMS
+    sig_cols = ",\n".join(
+        f"    (SELECT min(substr(md5(shingle), {1 + 2 * p}, 8)) "
+        f"FROM shrow s WHERE s.doc_id = d.doc_id) AS m{p}"
+        for p in range(perms))
+    bands = []
+    for b in range(LSH_BANDS):
+        parts = [f"m{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
+        expr = " || '-' || ".join(f"COALESCE({p}, '')" for p in parts)
+        bands.append(f"SELECT doc_id, {b} AS band, {expr} AS band_hash FROM sig")
+    pre = preamble().replace("\nWITH ", "\nWITH RECURSIVE ", 1)
+    return pre + "," + _shingle_cte() + f""",
+sig AS (
+  SELECT d.doc_id,
+{sig_cols}
+  FROM (SELECT DISTINCT doc_id FROM shrow) d
+),
+bandrows AS ({" UNION ALL ".join(bands)}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bandrows a JOIN bandrows b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+nodes AS (SELECT DISTINCT a AS n FROM edges),
+reach AS (
+  SELECT n AS src, n AS dst FROM nodes
+  UNION
+  SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON e.a = r.dst
+)
+SELECT src AS doc_id, min(dst) AS cluster_id
+FROM reach GROUP BY src ORDER BY doc_id
+"""

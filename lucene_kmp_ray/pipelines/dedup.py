@@ -219,3 +219,40 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5):
                              "jaccard": pd.Series([], dtype="float64")})
 
     return pairs.groupby(["a", "b"]).map_groups(verify, batch_format="pandas")
+
+
+# -------------------------------------------------- near-dup clusters ----
+def near_dup_clusters(sf_dir: str):
+    """Connected components over the MinHash-LSH candidate pairs → one row
+    per clustered doc: (doc_id, cluster_id = min doc_id in its component).
+
+    The candidate-pair edge list is SPARSE by construction (LSH emits only
+    likely near-dups), so the components run driver-side over the collected
+    pairs (union-find) — the standard final step of a web-scale dedup
+    pipeline (keep one representative per cluster). At 100 TB, swap the
+    driver fold for the large-star/small-star iteration: alternate
+    ``groupby(node).min`` label propagation over the (still sparse) edge
+    Dataset until no label changes; the output contract is identical.
+    Docs in no pair are not emitted (their cluster is themselves).
+    """
+    import pandas as pd
+
+    pairs = minhash_candidate_pairs(sf_dir).to_pandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            if ra < rb:  # deterministic: smaller id wins
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    rows = sorted((n, find(n)) for n in parent)
+    return pd.DataFrame({"doc_id": [n for n, _ in rows],
+                         "cluster_id": [c for _, c in rows]})
