@@ -290,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_bands": lambda sf: dedup.minhash_batch_ds(sf),
         "minhash_pairs": dedup.minhash_candidate_pairs,
         "near_dup_clusters": dedup.near_dup_clusters,
+        "embedding_dup_pairs": lambda sf: dedup.embedding_dup_pairs(sf, 0.4),
         "simhash_signatures": dedup.simhash_signatures,  # rows-only check
         # --- per-row extraction invariant (input_hint) ---
         "extract_invariant": _extract_invariant,
@@ -355,6 +356,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_bands": oracle.minhash_bands(),
         "minhash_pairs": oracle.minhash_pairs(),
         "near_dup_clusters": oracle.near_dup_clusters(),
+        "embedding_dup_pairs": oracle.embedding_dup_pairs(0.4),
         "ann_cosine_top10": oracle.ann_cosine_topk(),
         "extract_invariant": oracle.extract_invariant(),
         "tumbling_counts": oracle.tumbling_counts(),

@@ -614,3 +614,16 @@ reach AS (
 SELECT src AS doc_id, min(dst) AS cluster_id
 FROM reach GROUP BY src ORDER BY doc_id
 """
+
+
+def embedding_dup_pairs(threshold: float = 0.95) -> str:
+    """Embedding-cosine near-dup pairs (a < b, cosine >= threshold)."""
+    return f"""
+SELECT x.vec_id AS a, y.vec_id AS b,
+       round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                    CAST(y.embedding AS DOUBLE[])), 6)
+         AS cos_r
+FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                             CAST(y.embedding AS DOUBLE[])) >= {threshold}
+"""

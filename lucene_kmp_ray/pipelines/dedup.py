@@ -256,3 +256,60 @@ def near_dup_clusters(sf_dir: str):
     rows = sorted((n, find(n)) for n in parent)
     return pd.DataFrame({"doc_id": [n for n, _ in rows],
                          "cluster_id": [c for _, c in rows]})
+
+
+# ------------------------------------------- embedding-cosine near-dup ----
+def embedding_dup_pairs(sf_dir: str, threshold: float = 0.95,
+                        concurrency: int | None = None):
+    """Embedding-cosine near-duplicate pairs: (a, b, cos) for all vector
+    pairs with cosine ≥ threshold, a < b.
+
+    Each batch multiplies against the full normalized matrix broadcast once
+    via ``ray.put`` (at sf scale the matrix is small; at 100 TB replace the
+    broadcast side with LSH/IVF buckets — ``pipelines.ann`` holds both
+    bucketing schemes — so each batch multiplies only against its bucket).
+    Scores rounded to 6dp: float dot products are summation-order-dependent.
+    """
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ..util.pool import pool_size
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id")
+    ids_all = df["vec_id"].to_numpy()
+    mat = np.vstack(df["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = mat / norms
+    shared = ray.put((ids_all, mat))
+
+    class PairFinder:
+        def __init__(self):
+            import ray as _ray
+            self.ids, self.mat = _ray.get(shared)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vid = batch["vec_id"].to_numpy()
+            m = np.vstack(batch["embedding"].to_numpy(zero_copy_only=False)) \
+                .astype(np.float64)
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            sims = (m / n) @ self.mat.T              # (batch, all)
+            ii, jj = np.nonzero(sims >= threshold)
+            a = vid[ii]
+            b = self.ids[jj]
+            keep = a < b                              # each pair once
+            return pa.table({
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+                "cos_r": pa.array(np.round(sims[ii, jj][keep], 6)),
+            })
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return ds.map_batches(PairFinder, batch_format="pyarrow",
+                          batch_size=1024,
+                          concurrency=pool_size(concurrency))
