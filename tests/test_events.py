@@ -1,0 +1,51 @@
+"""Windowed-aggregate semantics (incl. the non-divisible hop regression)."""
+
+import numpy as np
+import pytest
+
+
+def test_hopping_nondivisible_hop_covers_all_windows(ray_session):
+    """w=90min, hop=60min: an event at minute 80 belongs to the windows
+    starting at minute 0 AND minute 60 (floor-k dropped the first)."""
+    from lucene_kmp_ray.pipelines.events import hopping_counts
+    df = hopping_counts("/root/testdata/sf0.001", window_minutes=90,
+                        hop_minutes=60).to_pandas()
+    # brute force over the raw events
+    import pyarrow.parquet as pq
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                      columns=["ts", "event_type", "value"]).to_pandas()
+    ts = t["ts"].astype("int64").to_numpy()
+    w = 90 * 60 * 1_000_000
+    h = 60 * 60 * 1_000_000
+    exp = {}
+    for tus, et, v in zip(ts, t["event_type"], t["value"]):
+        base = (tus // h) * h
+        k = 0
+        while True:
+            start = base - k * h
+            if tus >= start + w:
+                break
+            n, s = exp.get((et, start), (0, 0.0))
+            exp[(et, start)] = (n + 1, s + v)
+            k += 1
+    got = {(r.event_type, r.window_us): (r.n_events, r.sum_value_r)
+           for r in df.itertuples()}
+    assert set(got) == set(exp)
+    for key in exp:
+        assert got[key][0] == exp[key][0], key
+        assert got[key][1] == pytest.approx(round(exp[key][1], 6), abs=1e-6)
+
+
+def test_tumbling_counts_match_brute(ray_session):
+    from lucene_kmp_ray.pipelines.events import tumbling_counts
+    df = tumbling_counts("/root/testdata/sf0.001").to_pandas()
+    import pyarrow.parquet as pq
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                      columns=["ts", "event_type", "value"]).to_pandas()
+    w = 60 * 60 * 1_000_000
+    t["window_us"] = (t["ts"].astype("int64") // w) * w
+    exp = t.groupby(["event_type", "window_us"]).agg(
+        n=("value", "size"), s=("value", "sum")).reset_index()
+    got = {(r.event_type, r.window_us): r.n_events for r in df.itertuples()}
+    for r in exp.itertuples():
+        assert got[(r.event_type, r.window_us)] == r.n
