@@ -292,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters": dedup.near_dup_clusters,
         "embedding_dup_pairs": lambda sf: dedup.embedding_dup_pairs(sf, 0.4),
         "simhash_signatures": dedup.simhash_signatures,  # rows-only check
+        "simhash_pairs": dedup.simhash_candidate_pairs,  # rows-only check
         # --- per-row extraction invariant (input_hint) ---
         "extract_invariant": _extract_invariant,
         # --- windowed aggregates / sessionization (events table) ---

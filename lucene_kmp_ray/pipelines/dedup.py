@@ -313,3 +313,59 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.95,
     return ds.map_batches(PairFinder, batch_format="pyarrow",
                           batch_size=1024,
                           concurrency=pool_size(concurrency))
+
+
+def simhash_candidate_pairs(sf_dir: str):
+    """SimHash near-dup candidates: the 4-band exact-match trick — two
+    64-bit signatures within Hamming distance 3 must agree exactly on at
+    least one of four 16-bit bands (pigeonhole). Explode each doc to 4
+    (band, band_bits) rows, groupby buckets → pairs, verified by the true
+    Hamming distance. Shuffle moves 4 rows per doc.
+    """
+    import ray.data as rd
+
+    def bands(batch: pa.Table) -> pa.Table:
+        sigs = np.array([simhash64(t) for t in batch["text"].to_pylist()],
+                        dtype=np.uint64)
+        doc = batch["doc_id"].to_numpy()
+        out_doc, out_band, out_bits, out_sig = [], [], [], []
+        for b in range(4):
+            out_doc.append(doc)
+            out_band.append(np.full(len(doc), b, dtype=np.int64))
+            out_bits.append(((sigs >> np.uint64(16 * b)) &
+                             np.uint64(0xFFFF)).astype(np.int64))
+            out_sig.append(sigs.astype(np.int64))  # two's-complement carry
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+            "band": pa.array(np.concatenate(out_band), pa.int64()),
+            "band_bits": pa.array(np.concatenate(out_bits), pa.int64()),
+            "sig": pa.array(np.concatenate(out_sig), pa.int64()),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    rows = ds.map_batches(bands, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        sigs = g["sig"].to_numpy().astype(np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        out = {"a": [], "b": [], "hamming": []}
+        for i in range(len(ids)):
+            x = sigs[i] ^ sigs[i + 1:]
+            hd = np.array([bin(int(v)).count("1") for v in x])
+            hit = np.flatnonzero(hd <= 3)
+            for j in hit:
+                out["a"].append(int(ids[i]))
+                out["b"].append(int(ids[i + 1 + j]))
+                out["hamming"].append(int(hd[j]))
+        return pd.DataFrame(out)
+
+    cand = rows.groupby(["band", "band_bits"]).map_groups(
+        pairs, batch_format="pandas")
+    return cand.groupby(["a", "b"]).map_groups(lambda g: g.head(1),
+                                               batch_format="pandas")

@@ -334,3 +334,38 @@ def test_parser_folds_case_like_the_index():
     assert parse_query("İstanbul*") == PrefixQuery("istanbul")
     assert parse_query("[Batch TO İData]") == \
         TermRangeQuery("batch", "idata")
+
+
+def test_simhash_band_pigeonhole_and_pairs(ray_session):
+    """Hamming-≤3 64-bit signatures must share at least one 16-bit band
+    (pigeonhole), and the banded pipeline finds exactly the Hamming-≤3
+    pairs a brute-force scan finds."""
+    import numpy as np
+    from lucene_kmp_ray.pipelines.dedup import (simhash64,
+                                                simhash_candidate_pairs)
+    rng = np.random.default_rng(5)
+    for _ in range(200):
+        a = rng.integers(0, 2**63, dtype=np.int64).astype(np.uint64)
+        flips = rng.choice(64, size=int(rng.integers(0, 4)), replace=False)
+        b = a
+        for f in flips:
+            b = b ^ np.uint64(1 << int(f))
+        shared = any(((a >> np.uint64(16 * k)) & np.uint64(0xFFFF)) ==
+                     ((b >> np.uint64(16 * k)) & np.uint64(0xFFFF))
+                     for k in range(4))
+        assert shared  # pigeonhole
+    df = simhash_candidate_pairs("/root/testdata/sf0.001").to_pandas()
+    # brute force over all signature pairs
+    import pyarrow.parquet as pq
+    texts = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                          columns=["doc_id", "text"]).to_pandas() \
+        .sort_values("doc_id")
+    sigs = {int(r.doc_id): simhash64(r.text) for r in texts.itertuples()}
+    ids = sorted(sigs)
+    exp = set()
+    for i, x in enumerate(ids):
+        for y in ids[i + 1:]:
+            if bin(sigs[x] ^ sigs[y]).count("1") <= 3:
+                exp.add((x, y))
+    got = set(zip(df["a"], df["b"]))
+    assert got == exp
