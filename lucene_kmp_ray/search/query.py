@@ -65,6 +65,14 @@ class MultiPhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class FieldExistsQuery(Query):
+    """``search/FieldExistsQuery``: docs with a value for the field. Over
+    our schema: "text" matches docs with at least one indexed token
+    (norm length > 0); doc-meta columns match where non-null."""
+    field: str = "text"
+
+
+@dataclass(frozen=True)
 class MatchNoDocsQuery(Query):
     """``search/MatchNoDocsQuery``: matches nothing (rewrite target)."""
     reason: str = ""

@@ -32,9 +32,10 @@ import numpy as np
 from ..index.reader import IndexReader, SegmentReader
 from ..similarity.bm25 import BM25Similarity
 from .query import (BooleanQuery, BoostQuery, ConstantScoreQuery,
-                    DisjunctionMaxQuery, MatchAllDocsQuery, MatchNoDocsQuery,
-                    MultiPhraseQuery, MultiTermQuery, Occur, PhraseQuery,
-                    Query, RangeFilterQuery, SynonymQuery, TermQuery)
+                    DisjunctionMaxQuery, FieldExistsQuery, MatchAllDocsQuery,
+                    MatchNoDocsQuery, MultiPhraseQuery, MultiTermQuery,
+                    Occur, PhraseQuery, Query, RangeFilterQuery,
+                    SynonymQuery, TermQuery)
 
 TOTAL_HITS_THRESHOLD = 1000  # IndexSearcher.kt:1024
 
@@ -109,6 +110,16 @@ class Searcher:
             return docs, np.full(len(docs), dt.type(boost), dtype=dt)
         if isinstance(query, MatchNoDocsQuery):
             return _empty(self.sim.dtype)
+        if isinstance(query, FieldExistsQuery):
+            dt = self.sim.dtype
+            if query.field == "text":
+                docs = np.flatnonzero(
+                    sr.doc_meta["length"].to_numpy() > 0).astype(np.int64)
+            else:
+                col = sr.doc_meta[query.field]
+                docs = np.flatnonzero(
+                    ~np.asarray(col.is_null())).astype(np.int64)
+            return docs, np.full(len(docs), dt.type(boost), dtype=dt)
         if isinstance(query, ConstantScoreQuery):
             docs, _ = self._score_segment(sr, query.query, 1.0, False)
             dt = self.sim.dtype

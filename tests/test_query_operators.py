@@ -369,3 +369,12 @@ def test_simhash_band_pigeonhole_and_pairs(ray_session):
                 exp.add((x, y))
     got = set(zip(df["a"], df["b"]))
     assert got == exp
+
+
+def test_field_exists(searcher):
+    from lucene_kmp_ray.search import FieldExistsQuery
+    td = searcher.search(FieldExistsQuery("text"), k=10_000)
+    assert td.total_hits == 500  # every synthetic doc has text
+    assert all(h.score == 1.0 for h in td.score_docs)
+    td2 = searcher.search(FieldExistsQuery("url"), k=10_000)
+    assert td2.total_hits == 500
