@@ -309,22 +309,36 @@ class Searcher:
         return cand, scores
 
     # ----- top-k --------------------------------------------------------
-    def search(self, query: Query, k: int = 10, prune: bool = False) -> TopDocs:
+    def search(self, query: Query, k: int = 10, prune: bool = False,
+               timeout_s: float | None = None) -> TopDocs:
+        """Top-k. ``timeout_s`` is the per-search time budget
+        (TimeLimitingBulkScorer / QueryTimeout, IndexSearcher.kt:661-685):
+        when exceeded, remaining segments are skipped and the hit count
+        weakens to a lower bound — results so far are still returned.
+        """
         if prune and isinstance(query, TermQuery):
             return self._search_term_pruned(query, k)
         if prune and _is_term_disjunction(query):
             return self._search_or_pruned(
                 [sub.term for _, sub in query.clauses], k)
+        import time as _time
+        deadline = (_time.monotonic() + timeout_s
+                    if timeout_s is not None else None)
+        timed_out = False
         total = 0
         parts = []  # (scores, seg, docs)
         for si, sr in enumerate(self.reader.segment_readers):
+            if deadline is not None and _time.monotonic() > deadline:
+                timed_out = True
+                break
             docs, scores = self._score_segment(sr, query)
             total += len(docs)
             if len(docs) > k:  # per-leaf top-k before the merge
                 sel = _topk_idx(scores, docs, k)
                 docs, scores = docs[sel], scores[sel]
             parts.append((scores, np.full(len(docs), si), docs))
-        return self._merge(parts, k, total, "EQUAL_TO")
+        rel = "GREATER_THAN_OR_EQUAL_TO" if timed_out else "EQUAL_TO"
+        return self._merge(parts, k, total, rel)
 
     def count(self, query: Query) -> int:
         """Exact hit count (IndexSearcher.count / TotalHitCountCollector)."""

@@ -265,3 +265,16 @@ def test_single_term_phrase_rewrites_to_term(searcher):
         p = searcher.search(PhraseQuery(("spark",), slop=slop), k=5)
         assert [(h.doc_id, h.score) for h in p.score_docs] == \
             [(h.doc_id, h.score) for h in t.score_docs]
+
+
+def test_search_timeout_returns_partial_lower_bound(searcher):
+    """TimeLimitingBulkScorer analog: an already-expired budget yields a
+    (possibly empty) partial result with a lower-bound hit count, never an
+    exception."""
+    from lucene_kmp_ray.search import TermQuery
+    td = searcher.search(TermQuery("spark"), k=5, timeout_s=0.0)
+    assert td.relation == "GREATER_THAN_OR_EQUAL_TO"
+    full = searcher.search(TermQuery("spark"), k=5, timeout_s=60.0)
+    assert full.relation == "EQUAL_TO"
+    assert full.total_hits == searcher.search(TermQuery("spark"),
+                                              k=5).total_hits
