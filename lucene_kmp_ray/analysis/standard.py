@@ -291,3 +291,53 @@ def tokenize_flat(texts) -> tuple[np.ndarray, pa.Array]:
 def term_freqs(text: str) -> Counter:
     """Convenience for tests/oracles: term -> tf for one document."""
     return Counter(tokenize(text))
+
+
+class NGramAnalyzer:
+    """StandardTokenizer → LowerCase → character n-grams per word token
+    (the NGramTokenFilter role, ``analysis/common/.../ngram/`` — grams of
+    one word share the word's position, as the modern filter preserves
+    position increments). Enables substring-style term matching: indexing
+    with ``NGramAnalyzer(3, 3)`` makes ``TermQuery("par")`` match docs
+    containing "spark".
+    """
+
+    def __init__(self, min_n: int = 2, max_n: int = 3):
+        if not 1 <= min_n <= max_n:
+            raise ValueError("need 1 <= min_n <= max_n")
+        self.min_n = min_n
+        self.max_n = max_n
+        self.name = f"ngram_{min_n}_{max_n}"
+
+    def _grams(self, tok: str) -> list[str]:
+        out = []
+        for n in range(self.min_n, self.max_n + 1):
+            if n >= len(tok):
+                if n == self.min_n or n == len(tok):
+                    out.append(tok)  # short tokens kept whole, once
+                break
+            out.extend(tok[i:i + n] for i in range(len(tok) - n + 1))
+        return out
+
+    def __call__(self, text: str) -> list[str]:
+        return [g for tok in tokenize(text) for g in self._grams(tok)]
+
+    def analyze_flat(self, texts):
+        doc_lengths, flat, doc_of, positions = \
+            StandardAnalyzer().analyze_flat(texts)
+        if len(flat) == 0:
+            return doc_lengths, flat, doc_of, positions
+        # grams per UNIQUE token, expanded to occurrences by dictionary code
+        dict_arr = flat.dictionary_encode()
+        codes = dict_arr.indices.to_numpy().astype(np.int64)
+        vocab = dict_arr.dictionary.to_pylist()
+        per_tok = [self._grams(t) for t in vocab]
+        counts = np.array([len(g) for g in per_tok], dtype=np.int64)
+        occ_counts = counts[codes]
+        flat_grams = pa.array(
+            [g for c in codes for g in per_tok[c]], type=pa.string())
+        doc_of2 = np.repeat(doc_of, occ_counts)
+        positions2 = np.repeat(positions, occ_counts)  # grams share position
+        norm_lengths = np.bincount(doc_of2, minlength=len(doc_lengths)) \
+            .astype(np.int64)
+        return norm_lengths, flat_grams, doc_of2, positions2

@@ -111,3 +111,37 @@ def test_parser_with_english_analyzer():
                                    (Occur.MUST, TermQuery("merg")))
     # stopword-only clause drops out entirely
     assert parse_query("the running", analyzer=a) == TermQuery("run")
+
+
+def test_ngram_analyzer_batch_matches_per_text():
+    from lucene_kmp_ray.analysis.standard import NGramAnalyzer
+    a = NGramAnalyzer(2, 3)
+    texts = ["Spark joins fast", "", "ab c big-table"]
+    nl, flat, doc_of, pos = a.analyze_flat(texts)
+    per_doc = [[] for _ in texts]
+    for t, d in zip(flat.to_pylist(), doc_of):
+        per_doc[d].append(t)
+    assert per_doc == [a(t) for t in texts]
+    assert nl.tolist() == [len(a(t)) for t in texts]
+    # grams of one word share the word position
+    assert a("spark") == ["sp", "pa", "ar", "rk", "spa", "par", "ark"]
+    assert NGramAnalyzer(2, 4)("ab") == ["ab"]
+
+
+def test_ngram_index_substring_search(tmp_path, ray_session):
+    from lucene_kmp_ray.analysis.standard import NGramAnalyzer
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.search import Searcher, TermQuery
+    from lucene_kmp_ray.sources.corpus import corpus_dataset
+
+    idx = str(tmp_path / "ngram_idx")
+    man = build_index(corpus_dataset("/root/testdata/sf0.001"), idx,
+                      segment_size=250, analyzer=NGramAnalyzer(3, 3))
+    assert man["analyzer"] == "ngram_3_3"
+    s = Searcher(IndexReader(idx))
+    # 'par' occurs only inside 'spark' / 'part' in the corpus vocabulary
+    td = s.search(TermQuery("par"), k=10)
+    assert td.total_hits > 0
+    # full words are not terms in a pure 3-gram index (len != 3)
+    assert s.search(TermQuery("spark"), k=1).total_hits == 0
