@@ -193,8 +193,11 @@ def _partial_term_stats(index_dir: str, segs: list[int]) -> pa.Table:
     parts = [pq.read_table(
         os.path.join(index_dir, "segments", seg_dirname(s), "terms.parquet"),
         columns=["term", "df", "ttf"]) for s in segs]
-    return pa.concat_tables(parts).group_by("term") \
-        .aggregate([("df", "sum"), ("ttf", "sum")]) \
+    agg = pa.concat_tables(parts).group_by("term") \
+        .aggregate([("df", "sum"), ("ttf", "sum")])
+    # select-by-name before the positional rename: pyarrow versions differ
+    # on whether the group key lands first or last
+    return agg.select(["term", "df_sum", "ttf_sum"]) \
         .rename_columns(["term", "df", "ttf"])
 
 
@@ -217,5 +220,6 @@ def _write_term_stats(index_dir: str, manifests: list[dict]) -> None:
         parts = [_partial_term_stats(index_dir, c) for c in chunks]
     agg = pa.concat_tables(parts).group_by("term") \
         .aggregate([("df", "sum"), ("ttf", "sum")]) \
+        .select(["term", "df_sum", "ttf_sum"]) \
         .rename_columns(["term", "df", "ttf"]).sort_by("term")
     pq.write_table(agg, os.path.join(index_dir, TERM_STATS_FILE))

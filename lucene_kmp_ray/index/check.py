@@ -151,6 +151,7 @@ def check_index(index_dir: str, parallel: bool = True) -> dict:
              for m in manifest["segments"]]
     agg = pa.concat_tables(parts).group_by("term") \
         .aggregate([("df", "sum"), ("ttf", "sum")]) \
+        .select(["term", "df_sum", "ttf_sum"]) \
         .rename_columns(["term", "df", "ttf"]).sort_by("term")
     stats = pq.read_table(os.path.join(index_dir, TERM_STATS_FILE))
     if not agg.equals(stats):

@@ -61,8 +61,8 @@ DEFAULT_HEAD_SAMPLE_DOCS = 2_000    # docs tokenized by the df pre-pass
 
 
 def estimate_head_terms(ds, sample_docs: int = DEFAULT_HEAD_SAMPLE_DOCS,
-                        head_df_frac: float = DEFAULT_HEAD_DF_FRAC
-                        ) -> set[str]:
+                        head_df_frac: float = DEFAULT_HEAD_DF_FRAC,
+                        analyzer=None) -> set[str]:
     """Sampled df pre-pass → the Zipf-head term set to salt.
 
     Tokenizes ``sample_docs`` docs (driver-side: the sample is tiny and the
@@ -77,7 +77,10 @@ def estimate_head_terms(ds, sample_docs: int = DEFAULT_HEAD_SAMPLE_DOCS,
     texts = [r["text"] for r in sample]
     if not texts:
         return set()
-    dl, flat = tokenize_flat(texts)
+    if analyzer is None:
+        dl, flat = tokenize_flat(texts)
+    else:
+        dl, flat, _, _ = analyzer.analyze_flat(texts)
     toks = flat.to_pylist()
     df: collections.Counter = collections.Counter()  # df, not ttf
     lo = 0
@@ -89,11 +92,15 @@ def estimate_head_terms(ds, sample_docs: int = DEFAULT_HEAD_SAMPLE_DOCS,
 
 
 def _explode(batch: pa.Table, segment_size: int, heads: set[str],
-             salt_docs: int) -> pa.Table:
+             salt_docs: int, analyzer=None) -> pa.Table:
     """Corpus batch → unified entry/doc-meta rows (stage 1)."""
     n_rows = batch.num_rows
     doc_ids = batch["doc_id"].to_numpy()
-    doc_lengths, flat_tokens = tokenize_flat(batch["text"])
+    if analyzer is None:
+        from ..analysis.standard import StandardAnalyzer
+        analyzer = StandardAnalyzer()
+    doc_lengths, flat_tokens, row_of, positions = \
+        analyzer.analyze_flat(batch["text"])
     norms = int_to_byte4_np(doc_lengths)
     total = len(flat_tokens)
 
@@ -102,10 +109,6 @@ def _explode(batch: pa.Table, segment_size: int, heads: set[str],
         np.empty(0, np.int64)
     vocab = np.asarray(dict_arr.dictionary.to_pylist(), dtype=object)
 
-    row_of = np.repeat(np.arange(n_rows, dtype=np.int64), doc_lengths)
-    doc_starts = np.append(0, np.cumsum(doc_lengths))[:-1]
-    positions = np.arange(total, dtype=np.int64) - np.repeat(doc_starts,
-                                                             doc_lengths)
     # sort occurrences by (term, row); stable keeps positions ascending
     key = codes * max(n_rows, 1) + row_of
     order = np.argsort(key, kind="stable")
@@ -329,8 +332,13 @@ def build_index_grouped(ds, index_dir: str, segment_size: int,
                         lineage_source: str = "",
                         salt_docs: int = DEFAULT_SALT_DOCS,
                         head_df_frac: float = DEFAULT_HEAD_DF_FRAC,
-                        heads: set[str] | None = None) -> dict:
-    """Full-shuffle build (see module docstring). Returns global manifest."""
+                        heads: set[str] | None = None,
+                        analyzer=None) -> dict:
+    """Full-shuffle build (see module docstring). Returns global manifest.
+
+    ``analyzer`` is any object with ``analyze_flat`` (same slot as the
+    other build paths); output stays file-identical to them for any
+    analyzer because all three share the analyzer's token stream."""
     import json
     import os
 
@@ -338,10 +346,11 @@ def build_index_grouped(ds, index_dir: str, segment_size: int,
     os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
     done = completed_segments(index_dir)
     if heads is None:
-        heads = estimate_head_terms(ds, head_df_frac=head_df_frac)
+        heads = estimate_head_terms(ds, head_df_frac=head_df_frac,
+                                    analyzer=analyzer)
 
     def explode(batch: pa.Table) -> pa.Table:
-        out = _explode(batch, segment_size, heads, salt_docs)
+        out = _explode(batch, segment_size, heads, salt_docs, analyzer)
         if done:
             mask = pc.invert(pc.is_in(
                 out["seg"], value_set=pa.array(sorted(done), pa.int64())))
@@ -370,4 +379,6 @@ def build_index_grouped(ds, index_dir: str, segment_size: int,
         if "manifest" in out_df.columns else []
     segs = sorted(done | {m["seg"] for m in new_manifests})
     manifests = [read_seg_manifest(index_dir, s) for s in segs]
-    return commit_index(index_dir, manifests, build_sec=time.monotonic() - t0)
+    return commit_index(index_dir, manifests, build_sec=time.monotonic() - t0,
+                        analyzer_name=getattr(analyzer, "name", "standard")
+                        if analyzer else "standard")

@@ -228,7 +228,11 @@ def run_merges(index_dir: str, merges: list[list[int]] | None = None,
     survivors = [seg_metas[s] for s in sorted(seg_metas)
                  if s not in merged_away]
     all_metas = survivors + new_manifests
-    out = commit_index(index_dir, all_metas)
+    # carry the analyzer through the re-commit: an EnglishAnalyzer index
+    # must not silently become "standard" (query-side analyzer selection
+    # reads the manifest)
+    out = commit_index(index_dir, all_metas,
+                       analyzer_name=manifest.get("analyzer", "standard"))
     if delete_merged:
         for s in sorted(merged_away):
             shutil.rmtree(os.path.join(index_dir, "segments",
@@ -271,7 +275,8 @@ def add_indexes(dest_dir: str, src_dirs: list[str]) -> dict:
                                "sum_doc_freq", "unique_terms", "doc_id_min",
                                "doc_id_max")})
             next_seg += 1
-    return commit_index(dest_dir, all_metas)
+    return commit_index(dest_dir, all_metas,
+                        analyzer_name=manifest.get("analyzer", "standard"))
 
 
 def force_merge(index_dir: str, max_segments: int = 1) -> dict:

@@ -187,7 +187,11 @@ FROM corpus
 
 
 def term_stats() -> str:
-    return preamble() + "SELECT term, df, ttf FROM tstats"
+    # CAST: DuckDB sum() yields HUGEINT → float64 in pandas; the engine's
+    # parquet column is int64. ORDER BY: engine returns term-sorted rows.
+    return preamble() + ("SELECT term, CAST(df AS BIGINT) AS df, "
+                         "CAST(ttf AS BIGINT) AS ttf FROM tstats "
+                         "ORDER BY term")
 
 
 def doc_norms() -> str:
@@ -202,7 +206,7 @@ def count_term(term: str) -> str:
 
 def collection_stats() -> str:
     return preamble() + """
-SELECT doc_count, sum_ttf AS sum_total_term_freq,
+SELECT doc_count, CAST(sum_ttf AS BIGINT) AS sum_total_term_freq,
        (SELECT count(*) FROM postings) AS sum_doc_freq,
        (SELECT count(*) FROM tstats) AS unique_terms
 FROM stats

@@ -45,6 +45,7 @@ def tumbling_counts(sf_dir: str, window_minutes: int = WINDOW_MINUTES):
                       "value": b["value"]})
         return t.group_by(["event_type", "window_us"]).aggregate(
             [("value", "sum"), ("value", "count")]) \
+            .select(["event_type", "window_us", "value_sum", "value_count"]) \
             .rename_columns(["event_type", "window_us", "psum", "pcount"])
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
@@ -134,6 +135,7 @@ def hopping_counts(sf_dir: str, window_minutes: int = WINDOW_MINUTES,
         })
         return t.group_by(["event_type", "window_us"]).aggregate(
             [("value", "sum"), ("value", "count")]) \
+            .select(["event_type", "window_us", "value_sum", "value_count"]) \
             .rename_columns(["event_type", "window_us", "psum", "pcount"])
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",

@@ -264,6 +264,10 @@ class Searcher:
                 nots.append(self._score_segment(sr, sub, boost, False))
 
         msm = q.minimum_should_match
+        if msm > len(shoulds):
+            # Lucene rewrites msm > #optional to MatchNoDocsQuery
+            # (BooleanQuery.kt rewrite) — applies even with MUST clauses
+            return _empty(dt)
         # union of SHOULD docs with per-doc summed score + match count
         if shoulds:
             sdocs = np.concatenate([d for d, _ in shoulds])
@@ -316,14 +320,14 @@ class Searcher:
         when exceeded, remaining segments are skipped and the hit count
         weakens to a lower bound — results so far are still returned.
         """
-        if prune and isinstance(query, TermQuery):
-            return self._search_term_pruned(query, k)
-        if prune and _is_term_disjunction(query):
-            return self._search_or_pruned(
-                [sub.term for _, sub in query.clauses], k)
         import time as _time
         deadline = (_time.monotonic() + timeout_s
                     if timeout_s is not None else None)
+        if prune and isinstance(query, TermQuery):
+            return self._search_term_pruned(query, k, deadline)
+        if prune and _is_term_disjunction(query):
+            return self._search_or_pruned(
+                [sub.term for _, sub in query.clauses], k, deadline)
         timed_out = False
         total = 0
         parts = []  # (scores, seg, docs)
@@ -345,17 +349,22 @@ class Searcher:
         return sum(len(self._score_segment(sr, query, scoring=False)[0])
                    for sr in self.reader.segment_readers)
 
-    def _search_term_pruned(self, query: TermQuery, k: int) -> TopDocs:
+    def _search_term_pruned(self, query: TermQuery, k: int,
+                            deadline: float | None = None) -> TopDocs:
         """Block-max WAND for a single term across segments: carry the
         collector's min-competitive score into every later segment's block
         mask (TopScoreDocCollector.kt:81-135 minCompetitiveScore
         propagation into ImpactsDISI)."""
+        import time as _time
         scorer, _ = self._scorer_for_terms([query.term])
         top_scores = np.empty(0, dtype=self.sim.dtype)
         hits_seen = 0
         pruned = False
         parts = []
         for si, sr in enumerate(self.reader.segment_readers):
+            if deadline is not None and _time.monotonic() > deadline:
+                pruned = True  # remaining segments skipped → lower bound
+                break
             threshold = None
             if hits_seen >= TOTAL_HITS_THRESHOLD and len(top_scores) >= k:
                 threshold = np.partition(top_scores, -k)[-k]
@@ -380,7 +389,8 @@ class Searcher:
         rel = "GREATER_THAN_OR_EQUAL_TO" if pruned else "EQUAL_TO"
         return self._merge(parts, k, hits_seen, rel)
 
-    def _search_or_pruned(self, terms: list[str], k: int) -> TopDocs:
+    def _search_or_pruned(self, terms: list[str], k: int,
+                          deadline: float | None = None) -> TopDocs:
         """MaxScore pruning for a pure term disjunction
         (MaxScoreBulkScorer.kt:15-36 essential/non-essential split +
         WANDScorer's θ feedback): once the collector holds ≥ threshold hits,
@@ -390,6 +400,7 @@ class Searcher:
         essential terms). Hit counts become lower bounds
         (TotalHits.GREATER_THAN_OR_EQUAL_TO), exactly like the reference.
         """
+        import time as _time
         dt = self.sim.dtype
         stats = self.reader.term_stats(terms)
         live = [t for t in terms if stats[t][0] > 0]
@@ -402,6 +413,9 @@ class Searcher:
         pruned = False
         parts = []
         for si, sr in enumerate(self.reader.segment_readers):
+            if deadline is not None and _time.monotonic() > deadline:
+                pruned = True  # remaining segments skipped → lower bound
+                break
             theta = None
             if hits_seen >= TOTAL_HITS_THRESHOLD and len(top_scores) >= k:
                 theta = float(np.partition(top_scores, -k)[-k])

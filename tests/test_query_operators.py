@@ -378,3 +378,30 @@ def test_field_exists(searcher):
     assert all(h.score == 1.0 for h in td.score_docs)
     td2 = searcher.search(FieldExistsQuery("url"), k=10_000)
     assert td2.total_hits == 500
+
+
+def test_msm_exceeding_should_count_matches_nothing(searcher):
+    """Lucene rewrites msm > #optional to MatchNoDocsQuery — also when MUST
+    clauses are present (BooleanQuery.kt rewrite; ADVICE r1)."""
+    q = BooleanQuery((((Occur.MUST, TermQuery("the")),)), minimum_should_match=1)
+    assert searcher.search(q, k=10).score_docs == []
+    q2 = BooleanQuery(((Occur.MUST, TermQuery("the")),
+                       (Occur.SHOULD, TermQuery("spark")),
+                       (Occur.SHOULD, TermQuery("data"))),
+                      minimum_should_match=3)
+    assert searcher.search(q2, k=10).score_docs == []
+    # msm == #SHOULD still matches (conjunction of the SHOULDs)
+    q3 = BooleanQuery(((Occur.SHOULD, TermQuery("spark")),
+                       (Occur.SHOULD, TermQuery("data"))),
+                      minimum_should_match=2)
+    both = searcher.search(BooleanQuery.build(
+        (Occur.MUST, TermQuery("spark")), (Occur.MUST, TermQuery("data"))),
+        k=10_000)
+    assert _docs_of(searcher.search(q3, k=10_000)) == _docs_of(both)
+
+
+def test_pruned_paths_honor_timeout(searcher):
+    """timeout_s applies on the WAND/MaxScore routes too (ADVICE r1)."""
+    td = searcher.search(TermQuery("the"), k=5, prune=True, timeout_s=0.0)
+    assert td.relation == "GREATER_THAN_OR_EQUAL_TO"
+    assert td.score_docs == []
