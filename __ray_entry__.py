@@ -83,8 +83,12 @@ def _dismax(sf_dir: str):
     return df
 
 
+INDEX_FIELDS = ("text", "title")  # fielded documents (Document.kt:20)
+
+
 def _ensure_index(sf_dir: str) -> str:
-    """Build (resume-aware, cached) the inverted index for one sf dir."""
+    """Build (resume-aware, cached) the inverted index for one sf dir.
+    Indexes BOTH fields: body text + the html <title>-derived title."""
     if sf_dir in _INDEX_CACHE:
         return _INDEX_CACHE[sf_dir]
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
@@ -92,9 +96,10 @@ def _ensure_index(sf_dir: str) -> str:
     if not os.path.exists(os.path.join(index_dir, "manifest.json")):
         from lucene_kmp_ray.index.builder import build_index_sharded
         from lucene_kmp_ray.sources.corpus import corpus_shards
-        shards, make_docs = corpus_shards(sf_dir, segment_size=SEGMENT_SIZE)
+        shards, make_docs = corpus_shards(sf_dir, segment_size=SEGMENT_SIZE,
+                                          fields=INDEX_FIELDS)
         build_index_sharded(shards, make_docs, index_dir,
-                            lineage_source=sf_dir)
+                            lineage_source=sf_dir, fields=INDEX_FIELDS)
     _INDEX_CACHE[sf_dir] = index_dir
     return index_dir
 
@@ -128,9 +133,39 @@ def _corpus_summary(sf_dir: str):
 
 
 def _term_stats(sf_dir: str):
+    """Text-field (term, df, ttf) — the single-field view (back-compat)."""
+    import ray.data as rd
+    index_dir = _ensure_index(sf_dir)
+
+    def text_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["field"], "text")) \
+                .select(["term", "df", "ttf"])
+    return rd.read_parquet(os.path.join(index_dir, "term_stats.parquet")) \
+             .map_batches(text_only, batch_format="pyarrow")
+
+
+def _term_stats_fields(sf_dir: str):
+    """Full (field, term, df, ttf) across text + title."""
     import ray.data as rd
     index_dir = _ensure_index(sf_dir)
     return rd.read_parquet(os.path.join(index_dir, "term_stats.parquet"))
+
+
+def _field_stats(sf_dir: str):
+    """Per-field CollectionStatistics from the committed manifest."""
+    import json
+
+    import pandas as pd
+    index_dir = _ensure_index(sf_dir)
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        m = json.load(f)
+    rows = sorted(m["fields"].items())
+    return pd.DataFrame({
+        "field": [f for f, _ in rows],
+        "doc_count": [s["doc_count"] for _, s in rows],
+        "sum_total_term_freq": [s["sum_total_term_freq"] for _, s in rows],
+        "sum_doc_freq": [s["sum_doc_freq"] for _, s in rows],
+    })
 
 
 def _doc_norms(sf_dir: str):
@@ -160,8 +195,9 @@ def _collection_stats(sf_dir: str):
     with open(os.path.join(index_dir, "manifest.json")) as f:
         m = json.load(f)
     import pyarrow.parquet as pq
-    uniq = pq.read_metadata(
-        os.path.join(index_dir, "term_stats.parquet")).num_rows
+    uniq = pq.read_table(
+        os.path.join(index_dir, "term_stats.parquet"),
+        columns=["term"], filters=[("field", "=", "text")]).num_rows
     return pd.DataFrame({
         "doc_count": [m["doc_count"]],
         "sum_total_term_freq": [m["sum_total_term_freq"]],
@@ -262,6 +298,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- synonym / dismax / filter / field sort ---
         "synonym_top10": lambda sf: _topk(sf, SynonymQuery(AND_SORTED)),
         "dismax_top10": _dismax,
+        # --- multi-field documents (title + text, Document.kt:20) ---
+        "field_stats": _field_stats,
+        "term_stats_fields": _term_stats_fields,
+        "bm25_title_top10": lambda sf: _topk(sf, TermQuery(TERM_A, "title")),
+        "bm25_multifield_top10": lambda sf: _topk(sf, BooleanQuery.build(
+            (Occur.SHOULD, TermQuery(TERM_A, "text")),
+            (Occur.SHOULD, TermQuery(TERM_A, "title")))),
         "range_filter_all": lambda sf: search_all_matches(
             _ensure_index(sf), BooleanQuery.build(
                 (Occur.MUST, TermQuery(TERM_A)),
@@ -345,6 +388,10 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_all": oracle.fuzzy_all("scan", 1),
         "synonym_top10": oracle.synonym_topk(AND_SORTED),
         "dismax_top10": oracle.dismax_topk(AND_SORTED, DISMAX_TB),
+        "field_stats": oracle.field_stats(),
+        "term_stats_fields": oracle.term_stats_fields(),
+        "bm25_title_top10": oracle.bm25_title_topk(TERM_A),
+        "bm25_multifield_top10": oracle.bm25_multifield_topk(TERM_A),
         "range_filter_all": oracle.range_filter_all(TERM_A, 40, 60),
         "sorted_by_length": oracle.sorted_by_length(TERM_A, 20),
         "token_counts": oracle.token_counts(),

@@ -56,14 +56,18 @@ def completed_segments(index_dir: str) -> set[int]:
 
 
 def build_index(ds, index_dir: str, segment_size: int = DEFAULT_SEGMENT_SIZE,
-                lineage_source: str = "", analyzer=None) -> dict:
+                lineage_source: str = "", analyzer=None,
+                fields: tuple[str, ...] = ("text",)) -> dict:
     """Build (or resume) an index from a corpus Dataset with
-    ``doc_id, url, text`` columns. Returns the global manifest dict.
+    ``doc_id, url`` plus one column per indexed field (default just
+    ``text``; pass ``fields=("text", "title")`` for fielded documents,
+    Document.kt:20). Returns the global manifest dict.
 
     ``doc_id`` must be a dense-enough int key whose order defines docIDs;
     ``seg = doc_id // segment_size`` and local docID = rank within segment.
     """
     t0 = time.monotonic()
+    fields = tuple(sorted(fields))
     os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
     done = completed_segments(index_dir)
 
@@ -83,11 +87,11 @@ def build_index(ds, index_dir: str, segment_size: int = DEFAULT_SEGMENT_SIZE,
         lineage = {"source": lineage_source, "segment_size": segment_size,
                    "rows": group.num_rows}
         man = build_and_write_segment(
-            group.select(["doc_id", "url", "text"]), seg, index_dir, lineage,
-            analyzer=analyzer)
+            group.select(["doc_id", "url", *fields]), seg, index_dir,
+            lineage, analyzer=analyzer, fields=fields)
         return pa.table({"manifest": pa.array([json.dumps(man)], pa.string())})
 
-    ds = ds.select_columns(["doc_id", "url", "text"]) \
+    ds = ds.select_columns(["doc_id", "url", *fields]) \
            .map_batches(assign_seg, batch_format="pyarrow")
     out = ds.groupby("seg").map_groups(build_group, batch_format="pyarrow")
     out_df = out.to_pandas()  # one tiny manifest row per segment
@@ -108,7 +112,8 @@ def _aname(analyzer) -> str:
 def build_index_sharded(shards: list[dict], make_docs, index_dir: str,
                         lineage_source: str = "",
                         max_in_flight: int | None = None,
-                        analyzer=None) -> dict:
+                        analyzer=None,
+                        fields: tuple[str, ...] = ("text",)) -> dict:
     """Shuffle-free build: one Ray task per shard, segment == shard.
 
     This is the production path (and the Lucene DWPT model: each writer
@@ -143,7 +148,8 @@ def build_index_sharded(shards: list[dict], make_docs, index_dir: str,
     def build_shard(spec: dict) -> str:
         lineage = {"source": lineage_source, **spec}
         man = build_and_write_segment(make_docs(spec), spec["seg"],
-                                      index_dir, lineage, analyzer=analyzer)
+                                      index_dir, lineage, analyzer=analyzer,
+                                      fields=fields)
         return json.dumps(man)
 
     pending: list = []
@@ -163,15 +169,36 @@ def build_index_sharded(shards: list[dict], make_docs, index_dir: str,
 def commit_index(index_dir: str, manifests: list[dict],
                  build_sec: float | None = None,
                  analyzer_name: str = "standard") -> dict:
-    """Write global term stats + manifest (phase 2 of the two-phase commit)."""
+    """Write global term stats + manifest (phase 2 of the two-phase commit).
+
+    Per-field collection stats aggregate across segments under ``fields``
+    (the CollectionStatistics per field, SURVEY §2.4); the top-level stats
+    stay the text field's for back-compat.
+    """
     _write_term_stats(index_dir, manifests)
+    field_stats: dict[str, dict] = {}
+    for m in manifests:
+        # old manifests (pre-field) carry only top-level text stats
+        per = m.get("fields") or {"text": {
+            "doc_count": m["doc_count"],
+            "sum_total_term_freq": m["sum_total_term_freq"],
+            "sum_doc_freq": m["sum_doc_freq"],
+            "unique_terms": m.get("unique_terms", 0)}}
+        for f, s in per.items():
+            acc = field_stats.setdefault(f, {"doc_count": 0,
+                                             "sum_total_term_freq": 0,
+                                             "sum_doc_freq": 0})
+            acc["doc_count"] += s["doc_count"]
+            acc["sum_total_term_freq"] += s["sum_total_term_freq"]
+            acc["sum_doc_freq"] += s["sum_doc_freq"]
     manifest = {
-        "version": 1,
+        "version": 2,
         "field": "text",
         "analyzer": analyzer_name,
         "doc_count": sum(m["doc_count"] for m in manifests),
         "sum_total_term_freq": sum(m["sum_total_term_freq"] for m in manifests),
         "sum_doc_freq": sum(m["sum_doc_freq"] for m in manifests),
+        "fields": field_stats,
         "segments": [{k: m[k] for k in
                       ("seg", "doc_count", "sum_total_term_freq",
                        "sum_doc_freq", "unique_terms", "doc_id_min",
@@ -186,19 +213,30 @@ def commit_index(index_dir: str, manifests: list[dict],
     return manifest
 
 
+def _read_seg_term_stats(index_dir: str, seg: int) -> pa.Table:
+    """One segment's (field, term, df, ttf); legacy tables (no field
+    column) read as field='text'."""
+    import pyarrow.parquet as pq
+    path = os.path.join(index_dir, "segments", seg_dirname(seg),
+                        "terms.parquet")
+    cols = {f.name for f in pq.read_schema(path)}
+    if "field" in cols:
+        return pq.read_table(path, columns=["field", "term", "df", "ttf"])
+    t = pq.read_table(path, columns=["term", "df", "ttf"])
+    return t.add_column(0, "field",
+                        pa.array(["text"] * t.num_rows, pa.string()))
+
+
 def _partial_term_stats(index_dir: str, segs: list[int]) -> pa.Table:
     """Read + partially aggregate one chunk of segment term tables (the
     combiner side of the two-level term-stats aggregation)."""
-    import pyarrow.parquet as pq
-    parts = [pq.read_table(
-        os.path.join(index_dir, "segments", seg_dirname(s), "terms.parquet"),
-        columns=["term", "df", "ttf"]) for s in segs]
-    agg = pa.concat_tables(parts).group_by("term") \
+    parts = [_read_seg_term_stats(index_dir, s) for s in segs]
+    agg = pa.concat_tables(parts).group_by(["field", "term"]) \
         .aggregate([("df", "sum"), ("ttf", "sum")])
     # select-by-name before the positional rename: pyarrow versions differ
     # on whether the group key lands first or last
-    return agg.select(["term", "df_sum", "ttf_sum"]) \
-        .rename_columns(["term", "df", "ttf"])
+    return agg.select(["field", "term", "df_sum", "ttf_sum"]) \
+        .rename_columns(["field", "term", "df", "ttf"])
 
 
 def _write_term_stats(index_dir: str, manifests: list[dict]) -> None:
@@ -218,8 +256,9 @@ def _write_term_stats(index_dir: str, manifests: list[dict]) -> None:
         parts = ray.get([part_fn.remote(index_dir, c) for c in chunks])
     else:
         parts = [_partial_term_stats(index_dir, c) for c in chunks]
-    agg = pa.concat_tables(parts).group_by("term") \
+    agg = pa.concat_tables(parts).group_by(["field", "term"]) \
         .aggregate([("df", "sum"), ("ttf", "sum")]) \
-        .select(["term", "df_sum", "ttf_sum"]) \
-        .rename_columns(["term", "df", "ttf"]).sort_by("term")
+        .select(["field", "term", "df_sum", "ttf_sum"]) \
+        .rename_columns(["field", "term", "df", "ttf"]) \
+        .sort_by([("field", "ascending"), ("term", "ascending")])
     pq.write_table(agg, os.path.join(index_dir, TERM_STATS_FILE))

@@ -48,20 +48,31 @@ def check_segment(index_dir: str, seg_dir: str) -> dict:
     if n_docs != man["doc_count"]:
         errors.append(f"doc_count {n_docs} != manifest {man['doc_count']}")
 
+    # per-field norms: field f's columns are length[_f] / norm[_f]
+    field_names = sorted({c[5:] if c.startswith("norm_") else "text"
+                          for c in docs_t.column_names
+                          if c == "norm" or c.startswith("norm_")})
+    norms_by_field: dict[str, np.ndarray] = {}
+    for f in field_names:
+        lcol, ncol = ("length", "norm") if f == "text" else \
+            (f"length_{f}", f"norm_{f}")
+        fl = docs_t[lcol].to_numpy().astype(np.int64)
+        fn = docs_t[ncol].to_numpy().astype(np.uint8)
+        norms_by_field[f] = fn
+        bad = np.flatnonzero(fn != int_to_byte4_np(fl))
+        if len(bad):
+            errors.append(f"field {f}: {len(bad)} norm bytes disagree with "
+                          f"SmallFloat(length), first at doc {bad[0]}")
     lengths = docs_t["length"].to_numpy().astype(np.int64)
-    norms = docs_t["norm"].to_numpy().astype(np.uint8)
-    expect_norms = int_to_byte4_np(lengths)
-    bad = np.flatnonzero(norms != expect_norms)
-    if len(bad):
-        errors.append(f"{len(bad)} norm bytes disagree with "
-                      f"SmallFloat(length), first at doc {bad[0]}")
 
     terms = terms_t["term"].to_pylist()
-    if any(terms[i] >= terms[i + 1] for i in range(len(terms) - 1)):
-        errors.append("terms not strictly ascending")
+    tfields = terms_t["field"].to_pylist() \
+        if "field" in terms_t.column_names else ["text"] * len(terms)
+    if any((tfields[i], terms[i]) >= (tfields[i + 1], terms[i + 1])
+           for i in range(len(terms) - 1)):
+        errors.append("(field, term) keys not strictly ascending")
 
-    sum_ttf = 0
-    sum_df = 0
+    per_field_sums: dict[str, list[int]] = {}  # field -> [df, ttf, nterms]
     dfs = terms_t["df"].to_numpy()
     ttfs = terms_t["ttf"].to_numpy()
     for i in range(terms_t.num_rows):
@@ -92,13 +103,14 @@ def check_segment(index_dir: str, seg_dir: str) -> dict:
         inner[starts[starts < len(flat)]] = False
         if len(flat) > 1 and np.any(np.diff(flat)[inner[1:]] <= 0):
             errors.append(f"term {terms[i]!r}: positions not ascending")
-        # impacts / skip metadata re-derivation
+        # impacts / skip metadata re-derivation (against the FIELD's norms)
+        fnorms = norms_by_field.get(tfields[i], norms_by_field.get("text"))
         idx = np.arange(0, len(docs), fu.BLOCK_SIZE)
         if len(docs):
             exp_last = docs[np.minimum(idx + fu.BLOCK_SIZE - 1,
                                        len(docs) - 1)]
             exp_maxf = np.maximum.reduceat(freqs, idx)
-            exp_minn = np.minimum.reduceat(norms[docs].astype(np.int64), idx)
+            exp_minn = np.minimum.reduceat(fnorms[docs].astype(np.int64), idx)
             if not (np.array_equal(exp_last,
                                    np.asarray(terms_t["block_last_doc"][i]
                                               .as_py())) and
@@ -110,16 +122,25 @@ def check_segment(index_dir: str, seg_dir: str) -> dict:
                                               .as_py()))):
                 errors.append(f"term {terms[i]!r}: skip/impact metadata "
                               "disagrees with postings")
-        sum_df += df_i
-        sum_ttf += ttf_i
+        acc = per_field_sums.setdefault(tfields[i], [0, 0, 0])
+        acc[0] += df_i
+        acc[1] += ttf_i
+        acc[2] += 1
 
-    if sum_df != man["sum_doc_freq"]:
-        errors.append(f"sum_doc_freq {man['sum_doc_freq']} != {sum_df}")
-    if sum_ttf != man["sum_total_term_freq"]:
-        errors.append(
-            f"sum_total_term_freq {man['sum_total_term_freq']} != {sum_ttf}")
+    man_fields = man.get("fields") or {"text": {
+        "sum_doc_freq": man["sum_doc_freq"],
+        "sum_total_term_freq": man["sum_total_term_freq"],
+        "unique_terms": man.get("unique_terms", 0)}}
+    for f, (sum_df, sum_ttf, n_terms) in per_field_sums.items():
+        mf = man_fields.get(f, {})
+        if sum_df != mf.get("sum_doc_freq"):
+            errors.append(f"field {f}: sum_doc_freq "
+                          f"{mf.get('sum_doc_freq')} != {sum_df}")
+        if sum_ttf != mf.get("sum_total_term_freq"):
+            errors.append(f"field {f}: sum_total_term_freq "
+                          f"{mf.get('sum_total_term_freq')} != {sum_ttf}")
     if int(lengths.sum()) != man["sum_total_term_freq"]:
-        errors.append("Σ length != sum_total_term_freq")
+        errors.append("Σ length != sum_total_term_freq (text)")
     return {"seg": man["seg"], "ok": not errors, "errors": errors,
             "doc_count": n_docs, "unique_terms": terms_t.num_rows}
 
@@ -146,13 +167,14 @@ def check_index(index_dir: str, parallel: bool = True) -> dict:
     # global aggregates
     if sum(r["doc_count"] for r in seg_reports) != manifest["doc_count"]:
         errors.append("global doc_count != Σ segment doc_count")
-    parts = [pq.read_table(os.path.join(index_dir, m["dir"], TERMS_FILE),
-                           columns=["term", "df", "ttf"])
+    from .builder import _read_seg_term_stats
+    parts = [_read_seg_term_stats(index_dir, m["seg"])
              for m in manifest["segments"]]
-    agg = pa.concat_tables(parts).group_by("term") \
+    agg = pa.concat_tables(parts).group_by(["field", "term"]) \
         .aggregate([("df", "sum"), ("ttf", "sum")]) \
-        .select(["term", "df_sum", "ttf_sum"]) \
-        .rename_columns(["term", "df", "ttf"]).sort_by("term")
+        .select(["field", "term", "df_sum", "ttf_sum"]) \
+        .rename_columns(["field", "term", "df", "ttf"]) \
+        .sort_by([("field", "ascending"), ("term", "ascending")])
     stats = pq.read_table(os.path.join(index_dir, TERM_STATS_FILE))
     if not agg.equals(stats):
         errors.append("term_stats.parquet disagrees with per-segment terms")

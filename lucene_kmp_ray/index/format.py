@@ -44,25 +44,17 @@ DOCS_FILE = "docs.parquet"
 SEG_MANIFEST = "manifest.json"
 
 
-def invert_segment(docs: pa.Table, seg: int, lineage: dict | None = None,
-                   analyzer=None) -> tuple[pa.Table, pa.Table, dict]:
-    """Invert one segment's documents → (terms_table, docs_table, manifest).
+def invert_field(texts, n_docs: int, analyzer=None):
+    """Invert one field's values → (doc_lengths, norms, field terms table).
 
-    ``docs`` must have columns ``doc_id, url, text``; rows are sorted by
-    ``doc_id`` and local docIDs are their ranks (deterministic corpus order,
-    never Ray block arrival order — SURVEY §4 "ordering"). ``analyzer`` is
-    any object with ``analyze_flat(texts)`` (see StandardAnalyzer — the
-    Analyzer extension point, SURVEY §2.11); default StandardAnalyzer.
+    The single-field inversion core (IndexingChain.invert /
+    FieldInvertState, ``index/IndexingChain.kt:1153-1290``), fully
+    vectorized. ``texts`` is the field's Arrow column in local-docID order.
     """
-    t0 = time.monotonic()
-    docs = docs.sort_by("doc_id")
-    n_docs = docs.num_rows
-
     if analyzer is None:
         from ..analysis.standard import StandardAnalyzer
         analyzer = StandardAnalyzer()
-    doc_lengths, flat_tokens, doc_of, positions = \
-        analyzer.analyze_flat(docs["text"])
+    doc_lengths, flat_tokens, doc_of, positions = analyzer.analyze_flat(texts)
     norms = int_to_byte4_np(doc_lengths)
     total = len(flat_tokens)
 
@@ -80,7 +72,8 @@ def invert_segment(docs: pa.Table, seg: int, lineage: dict | None = None,
     scodes = rank[codes]
 
     # sort occurrences by (term, doc); stable keeps positions ascending
-    key = scodes * n_docs + doc_of
+    nd = max(n_docs, 1)
+    key = scodes * nd + doc_of
     order = np.argsort(key, kind="stable")
     okey = key[order]
     pos_sorted = positions[order]
@@ -98,8 +91,8 @@ def invert_segment(docs: pa.Table, seg: int, lineage: dict | None = None,
         s_freq = np.empty(0, np.int64)
         entry_key = np.empty(0, np.int64)
     n_entries = len(entry_key)
-    s_doc = entry_key % n_docs
-    entry_term = entry_key // n_docs
+    s_doc = entry_key % nd
+    entry_term = entry_key // nd
 
     # delta within each entry's occurrence list (first kept absolute)
     pos_delta = np.empty_like(pos_sorted)
@@ -113,36 +106,97 @@ def invert_segment(docs: pa.Table, seg: int, lineage: dict | None = None,
     term_ends = np.append(term_starts[1:], n_entries)
     pos_bounds = np.append(0, np.cumsum(s_freq))
 
-    df = (term_ends - term_starts).astype(np.int64)
-    # ttf per term = sum of freqs over its entries
-    cs = pos_bounds
-    ttf = cs[term_ends] - cs[term_starts]
-
     terms_table = encode_term_table(
         ((uniques[t], s_doc[term_starts[t]:term_ends[t]],
           s_freq[term_starts[t]:term_ends[t]],
           pos_delta[pos_bounds[term_starts[t]]:pos_bounds[term_ends[t]]])
          for t in range(n_terms)), norms)
-    docs_table = pa.table({
-        "doc_id": docs["doc_id"],
-        "url": docs["url"],
-        "length": pa.array(doc_lengths, type=pa.int32()),
-        "norm": pa.array(norms, type=pa.uint8()),
-    })
+    return doc_lengths, norms, terms_table
+
+
+def field_stats_of(doc_lengths: np.ndarray, terms_table: pa.Table) -> dict:
+    """Per-field collection stats (the per-field accumulation of
+    Lucene90BlockTreeTermsWriter.kt:160): docCount counts docs with at
+    least one indexed term of the field (Terms.getDocCount semantics)."""
+    return {
+        "doc_count": int((doc_lengths > 0).sum()),
+        "sum_total_term_freq": int(doc_lengths.sum()),
+        "sum_doc_freq": int(terms_table["df"].to_numpy().sum())
+        if terms_table.num_rows else 0,
+        "unique_terms": int(terms_table.num_rows),
+    }
+
+
+def invert_segment(docs: pa.Table, seg: int, lineage: dict | None = None,
+                   analyzer=None,
+                   fields: tuple[str, ...] = ("text",)
+                   ) -> tuple[pa.Table, pa.Table, dict]:
+    """Invert one segment's documents → (terms_table, docs_table, manifest).
+
+    ``docs`` must have columns ``doc_id, url`` plus one column per entry of
+    ``fields`` (the fielded-document model, Document.kt:20 / FieldInfos.kt
+    — each field inverts independently with its own norms and stats); rows
+    are sorted by ``doc_id`` and local docIDs are their ranks (deterministic
+    corpus order, never Ray block arrival order — SURVEY §4 "ordering").
+    ``analyzer`` is any object with ``analyze_flat(texts)`` (see
+    StandardAnalyzer — the Analyzer extension point, SURVEY §2.11); default
+    StandardAnalyzer, applied to every field (per-field analyzers slot in
+    via a dict, PerFieldAnalyzerWrapper role: pass {field: analyzer}).
+
+    Output terms table carries a ``field`` column and is sorted by
+    (field, term) — the (field, term)-keyed term dictionary of
+    Lucene90BlockTreeTermsWriter (one block-tree per field). The docs table
+    holds per-field norms: field "text" keeps the legacy ``length``/``norm``
+    names, any other field f gets ``length_{f}``/``norm_{f}``.
+    """
+    t0 = time.monotonic()
+    docs = docs.sort_by("doc_id")
+    n_docs = docs.num_rows
+    fields = tuple(sorted(fields))
+
+    per_field_tables = []
+    doc_cols: dict = {"doc_id": docs["doc_id"], "url": docs["url"]}
+    field_stats: dict = {}
+    for f in fields:
+        ana = analyzer.get(f) if isinstance(analyzer, dict) else analyzer
+        lengths, norms, ft = invert_field(docs[f], n_docs, ana)
+        per_field_tables.append(_prepend_field(ft, f))
+        lcol, ncol = ("length", "norm") if f == "text" else \
+            (f"length_{f}", f"norm_{f}")
+        doc_cols[lcol] = pa.array(lengths, type=pa.int32())
+        doc_cols[ncol] = pa.array(norms, type=pa.uint8())
+        field_stats[f] = field_stats_of(lengths, ft)
+
+    terms_table = pa.concat_tables(per_field_tables) if per_field_tables \
+        else _prepend_field(encode_term_table(iter(()), np.empty(0, np.uint8)),
+                            "text").slice(0, 0)
+    docs_table = pa.table(doc_cols)
+    # top-level stats remain the text field's (back-compat: the primary
+    # scored field); per-field stats live under "fields"
+    main = field_stats.get("text", next(iter(field_stats.values()), {
+        "sum_total_term_freq": 0, "sum_doc_freq": 0, "unique_terms": 0}))
     manifest = {
         "seg": int(seg),
         "doc_count": int(n_docs),
-        "sum_total_term_freq": int(doc_lengths.sum()),
-        "sum_doc_freq": int(df.sum()),
-        "unique_terms": int(n_terms),
+        "sum_total_term_freq": main["sum_total_term_freq"],
+        "sum_doc_freq": main["sum_doc_freq"],
+        "unique_terms": main["unique_terms"],
+        "fields": field_stats,
         "doc_id_min": int(docs["doc_id"][0].as_py()) if n_docs else None,
         "doc_id_max": int(docs["doc_id"][n_docs - 1].as_py()) if n_docs else None,
         "lineage": lineage or {},
         "metrics": {"build_sec": round(time.monotonic() - t0, 4),
-                    "tokens": int(doc_lengths.sum()),
-                    "entries": int(n_entries)},
+                    "tokens": sum(s["sum_total_term_freq"]
+                                  for s in field_stats.values())},
     }
     return terms_table, docs_table, manifest
+
+
+def _prepend_field(terms_table: pa.Table, field: str) -> pa.Table:
+    """Add the constant ``field`` column in front (dictionary-friendly)."""
+    n = terms_table.num_rows
+    return terms_table.add_column(
+        0, "field", pa.array([field] * n, type=pa.string()))
 
 
 def encode_term_table(entries, norms: np.ndarray) -> pa.Table:
@@ -226,9 +280,10 @@ def write_segment(index_dir: str, terms_table: pa.Table, docs_table: pa.Table,
 
 def build_and_write_segment(docs: pa.Table, seg: int, index_dir: str,
                             lineage: dict | None = None,
-                            analyzer=None) -> dict:
+                            analyzer=None,
+                            fields: tuple[str, ...] = ("text",)) -> dict:
     terms_table, docs_table, manifest = invert_segment(docs, seg, lineage,
-                                                       analyzer)
+                                                       analyzer, fields)
     return write_segment(index_dir, terms_table, docs_table, manifest)
 
 

@@ -53,7 +53,8 @@ from ..analysis.standard import tokenize_flat
 from ..util import forutil as fu
 from ..util.smallfloat import int_to_byte4_np
 from .builder import commit_index, completed_segments
-from .format import encode_term_table, read_seg_manifest, write_segment
+from .format import (_prepend_field, encode_term_table, field_stats_of,
+                     read_seg_manifest, write_segment)
 
 DEFAULT_SALT_DOCS = 16_384          # head-term sub-list = ≤ this many docs
 DEFAULT_HEAD_DF_FRAC = 0.05         # df/doc_count above this → head term
@@ -300,7 +301,8 @@ def make_assembler(index_dir: str, lineage_source: str, segment_size: int):
         def _passthrough(i):
             return sub_arrays(i)
 
-        terms_table = encode_term_table(entries(), norms_by_doc)
+        terms_plain = encode_term_table(entries(), norms_by_doc)
+        terms_table = _prepend_field(terms_plain, "text")
         docs_table = pa.table({
             "doc_id": docrows["doc_id"],
             "url": docrows["url"],
@@ -312,9 +314,10 @@ def make_assembler(index_dir: str, lineage_source: str, segment_size: int):
             "seg": seg,
             "doc_count": int(n_docs),
             "sum_total_term_freq": int(lengths.sum()),
-            "sum_doc_freq": int(terms_table["df"].to_numpy().sum())
-            if terms_table.num_rows else 0,
-            "unique_terms": int(terms_table.num_rows),
+            "sum_doc_freq": int(terms_plain["df"].to_numpy().sum())
+            if terms_plain.num_rows else 0,
+            "unique_terms": int(terms_plain.num_rows),
+            "fields": {"text": field_stats_of(lengths, terms_plain)},
             "doc_id_min": int(docrows["doc_id"][0].as_py()) if n_docs else None,
             "doc_id_max": int(docrows["doc_id"][n_docs - 1].as_py())
             if n_docs else None,

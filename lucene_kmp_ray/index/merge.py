@@ -34,7 +34,8 @@ import pyarrow.parquet as pq
 
 from ..util import forutil as fu
 from .builder import commit_index
-from .format import (DOCS_FILE, TERMS_FILE, encode_term_table, seg_dirname,
+from .format import (DOCS_FILE, TERMS_FILE, _prepend_field,
+                     encode_term_table, field_stats_of, seg_dirname,
                      write_segment)
 
 # TieredMergePolicy.kt defaults, re-based on docs (5GB/16MB ≈ 320:1 ratio
@@ -133,13 +134,15 @@ def merge_segments(index_dir: str, segs: list[int], new_seg: int) -> dict:
     inv_perm[perm] = np.arange(n_docs)
     docs_table = concat_docs.take(pa.array(perm)) \
         if not np.array_equal(perm, np.arange(n_docs)) else concat_docs
-    norms = docs_table["norm"].to_numpy().astype(np.uint8)
 
-    # decode every source posting, remap docIDs, bucket by term
-    per_term: dict[str, list] = {}
+    # decode every source posting, remap docIDs, bucket by (field, term)
+    # — the per-field MultiTermsEnum union of SegmentMerger.mergeTerms
+    per_term: dict[tuple[str, str], list] = {}
     for si, d in enumerate(dirs):
         tt = pq.read_table(os.path.join(d, TERMS_FILE))
         terms = tt["term"].to_pylist()
+        fields_col = tt["field"].to_pylist() \
+            if "field" in tt.column_names else ["text"] * len(terms)
         dfs = tt["df"].to_numpy()
         ttfs = tt["ttf"].to_numpy()
         de = tt["docs_enc"].to_pylist()
@@ -149,13 +152,13 @@ def merge_segments(index_dir: str, segs: list[int], new_seg: int) -> dict:
             docs = fu.delta_decode(fu.decode_blocks(de[i], int(dfs[i])))
             freqs = fu.decode_blocks(fe[i], int(dfs[i]))
             posd = fu.decode_blocks(pe[i], int(ttfs[i]))
-            per_term.setdefault(term, []).append(
+            per_term.setdefault((fields_col[i], term), []).append(
                 (inv_perm[docs + bases[si]], freqs, posd))
 
-    uniq = sorted(per_term)
-    merged = []
-    for term in uniq:
-        parts = per_term[term]
+    uniq = sorted(per_term)  # (field, term) ascending == build order
+    merged: dict[str, list] = {}
+    for fld, term in uniq:
+        parts = per_term[(fld, term)]
         d = np.concatenate([p[0] for p in parts])
         f = np.concatenate([p[1] for p in parts])
         # per-entry position deltas concatenate unchanged: the delta chain
@@ -174,17 +177,28 @@ def merge_segments(index_dir: str, segs: list[int], new_seg: int) -> dict:
             gather = np.arange(total, dtype=np.int64) - \
                 np.repeat(out_start, lens) + np.repeat(starts, lens)
             d, f, posd = d[order], lens, posd[gather]
-        merged.append((term, d, f, posd))
+        merged.setdefault(fld, []).append((term, d, f, posd))
 
-    terms_table = encode_term_table(merged, norms)
-    lengths = docs_table["length"].to_numpy()
-    df_total = int(sum(len(d) for _, d, _, _ in merged))
+    field_tables = []
+    field_stats = {}
+    for fld in sorted(merged):
+        ncol = "norm" if fld == "text" else f"norm_{fld}"
+        norms = docs_table[ncol].to_numpy().astype(np.uint8)
+        ft = encode_term_table(merged[fld], norms)
+        field_tables.append(_prepend_field(ft, fld))
+        lcol = "length" if fld == "text" else f"length_{fld}"
+        field_stats[fld] = field_stats_of(
+            docs_table[lcol].to_numpy().astype(np.int64), ft)
+    terms_table = pa.concat_tables(field_tables)
+    main = field_stats.get("text", {"sum_total_term_freq": 0,
+                                    "sum_doc_freq": 0, "unique_terms": 0})
     manifest = {
         "seg": int(new_seg),
         "doc_count": int(n_docs),
-        "sum_total_term_freq": int(lengths.sum()),
-        "sum_doc_freq": df_total,
-        "unique_terms": len(uniq),
+        "sum_total_term_freq": main["sum_total_term_freq"],
+        "sum_doc_freq": main["sum_doc_freq"],
+        "unique_terms": main["unique_terms"],
+        "fields": field_stats,
         "doc_id_min": int(docs_table["doc_id"][0].as_py()) if n_docs else None,
         "doc_id_max": int(docs_table["doc_id"][n_docs - 1].as_py())
         if n_docs else None,

@@ -41,7 +41,8 @@ class SegmentReader:
         self.doc_count = seg_meta["doc_count"]
         self._terms: pa.Table | None = None
         self._term_arr: np.ndarray | None = None
-        self._norms: np.ndarray | None = None
+        self._field_ranges: dict[str, tuple[int, int]] | None = None
+        self._norms: dict[str, np.ndarray] = {}
         self._doc_meta: pa.Table | None = None
         # actor-local LRU of decoded posting lists (the LRUQueryCache /
         # decoded-block cache role, SURVEY §2.3): repeated terms across a
@@ -55,15 +56,51 @@ class SegmentReader:
             self._terms = pq.read_table(os.path.join(self.dir, TERMS_FILE))
             self._term_arr = np.asarray(self._terms["term"].to_pylist(),
                                         dtype=object)
+            # (field, term)-sorted dictionary → per-field contiguous row
+            # ranges (one block-tree per field,
+            # Lucene90BlockTreeTermsWriter.kt:153); legacy single-field
+            # tables (no field column) read as one "text" range
+            if "field" in self._terms.column_names:
+                farr = np.asarray(self._terms["field"].to_pylist(),
+                                  dtype=object)
+                self._field_ranges = {}
+                if len(farr):
+                    uniq, starts = np.unique(farr, return_index=True)
+                    order = np.argsort(starts)
+                    bounds = np.append(starts[order], len(farr))
+                    for k, f in enumerate(uniq[order]):
+                        self._field_ranges[str(f)] = (int(bounds[k]),
+                                                      int(bounds[k + 1]))
+            else:
+                self._field_ranges = {"text": (0, len(self._term_arr))}
         return self._terms
+
+    def field_range(self, field: str) -> tuple[int, int]:
+        """Row range [lo, hi) of ``field`` in the sorted term table."""
+        self.terms_table
+        return self._field_ranges.get(field, (0, 0))
+
+    def field_terms(self, field: str) -> tuple[np.ndarray, int]:
+        """(sorted term array of the field, row offset of its range)."""
+        self.terms_table
+        lo, hi = self.field_range(field)
+        return self._term_arr[lo:hi], lo
 
     @property
     def norms(self) -> np.ndarray:
-        if self._norms is None:
+        return self.norms_for("text")
+
+    def norms_for(self, field: str) -> np.ndarray:
+        """Per-field norm bytes (one .nvd per field,
+        Lucene90NormsFormat.kt:21): text keeps the legacy column name."""
+        n = self._norms.get(field)
+        if n is None:
+            col = "norm" if field == "text" else f"norm_{field}"
             t = pq.read_table(os.path.join(self.dir, DOCS_FILE),
-                              columns=["norm"])
-            self._norms = t["norm"].to_numpy().astype(np.uint8)
-        return self._norms
+                              columns=[col])
+            n = t[col].to_numpy().astype(np.uint8)
+            self._norms[field] = n
+        return n
 
     @property
     def doc_meta(self) -> pa.Table:
@@ -72,17 +109,19 @@ class SegmentReader:
         return self._doc_meta
 
     # --- term access ----------------------------------------------------
-    def term_index(self, term: str) -> int | None:
-        """Binary search the sorted term dictionary."""
-        tbl = self.terms_table
+    def term_index(self, term: str, field: str = "text") -> int | None:
+        """Binary search the field's slice of the sorted term dictionary;
+        returns a GLOBAL row index into the terms table."""
+        self.terms_table
+        lo, hi = self.field_range(field)
         arr = self._term_arr
-        i = int(np.searchsorted(arr, term))
-        if i < len(arr) and arr[i] == term:
+        i = lo + int(np.searchsorted(arr[lo:hi], term))
+        if i < hi and arr[i] == term:
             return i
         return None
 
-    def term_row(self, term: str) -> dict | None:
-        i = self.term_index(term)
+    def term_row(self, term: str, field: str = "text") -> dict | None:
+        i = self.term_index(term, field)
         if i is None:
             return None
         t = self.terms_table
@@ -99,15 +138,17 @@ class SegmentReader:
         return decode_postings(row["df"], row["ttf"], row["docs_enc"],
                                row["freqs_enc"])
 
-    def postings(self, term: str, positions: bool = False):
+    def postings(self, term: str, positions: bool = False,
+                 field: str = "text"):
         """Decoded postings (docs, freqs[, flat_positions]) or None.
-        LRU-cached per (term, positions) — index files are immutable."""
-        key = (term, positions)
+        LRU-cached per (field, term, positions) — index files are
+        immutable."""
+        key = (field, term, positions)
         hit = self._postings_cache.pop(key, None)
         if hit is not None:
             self._postings_cache[key] = hit  # re-insert = most recent
             return hit
-        row = self.term_row(term)
+        row = self.term_row(term, field)
         if row is None:
             return None
         if positions:
@@ -121,7 +162,8 @@ class SegmentReader:
             self._postings_cache.pop(next(iter(self._postings_cache)))
         return out
 
-    def positions_for_entries(self, term: str, entry_idx: np.ndarray):
+    def positions_for_entries(self, term: str, entry_idx: np.ndarray,
+                              field: str = "text"):
         """Absolute positions for the selected posting entries only.
 
         Decodes just the 128-occurrence blocks of the ``pos_enc`` stream
@@ -131,8 +173,8 @@ class SegmentReader:
         blocks never decode. Returns ``(sel_freqs, flat_abs_positions)``
         with positions concatenated in ``entry_idx`` order.
         """
-        row = self.term_row(term)
-        cached = self._postings_cache.get((term, False))
+        row = self.term_row(term, field)
+        cached = self._postings_cache.get((field, term, False))
         freqs = cached[1] if cached is not None else decode_postings(
             row["df"], row["ttf"], row["docs_enc"], row["freqs_enc"])[1]
         bounds = np.append(0, np.cumsum(freqs))
@@ -162,12 +204,13 @@ class SegmentReader:
         flat = flat - np.repeat(carried, sel_freqs)
         return sel_freqs, flat
 
-    def postings_pruned(self, term: str, keep_block) -> tuple[np.ndarray, np.ndarray]:
+    def postings_pruned(self, term: str, keep_block,
+                        field: str = "text") -> tuple[np.ndarray, np.ndarray]:
         """Block-max pruned decode: ``keep_block(max_freq, min_norm,
         last_doc) -> bool mask`` selects 128-doc blocks worth decoding
         (ImpactsDISI / MaxScoreCache semantics, SURVEY §2.5). Sound because
         skipped blocks cannot contain competitive hits."""
-        row = self.term_row(term)
+        row = self.term_row(term, field)
         if row is None:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         maxf = np.asarray(row["block_max_freq"], dtype=np.int64)
@@ -222,22 +265,43 @@ class IndexReader:
         self.doc_count = self.manifest["doc_count"]
         self.sum_total_term_freq = self.manifest["sum_total_term_freq"]
         self._term_stats_path = os.path.join(index_dir, TERM_STATS_FILE)
-        self._stats_cache: dict[str, tuple[int, int]] = {}
+        self._stats_cache: dict[tuple[str, str], tuple[int, int]] = {}
+        self._stats_has_field: bool | None = None
 
-    def term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+    def field_stats(self, field: str) -> tuple[int, int]:
+        """(docCount, sumTotalTermFreq) of one field — the per-field
+        CollectionStatistics (search/CollectionStatistics.kt). The text
+        field uses the top-level (all-docs) counts for back-compat with
+        the single-field format; other fields use the per-field aggregate
+        (docCount = docs with ≥1 term of the field, Terms.getDocCount)."""
+        if field == "text":
+            return self.doc_count, self.sum_total_term_freq
+        s = (self.manifest.get("fields") or {}).get(field)
+        if s is None:
+            return 0, 0
+        return s["doc_count"], s["sum_total_term_freq"]
+
+    def term_stats(self, terms: list[str],
+                   field: str = "text") -> dict[str, tuple[int, int]]:
         """Global (df, ttf) per term — the TermStates resolution step
         (index/TermStates.kt): stats precede scoring, are identical for
-        every segment, and are resolved ONCE per term per reader (the
-        TermStates cache role). Uses Parquet predicate pushdown on the
+        every segment, and are resolved ONCE per (field, term) per reader
+        (the TermStates cache role). Uses Parquet predicate pushdown on the
         sorted stats table (row-group pruning at scale)."""
         if not terms:
             return {}
-        missing = sorted({t for t in terms if t not in self._stats_cache})
+        if self._stats_has_field is None:
+            self._stats_has_field = "field" in {
+                f.name for f in pq.read_schema(self._term_stats_path)}
+        missing = sorted({t for t in terms
+                          if (field, t) not in self._stats_cache})
         if missing:
-            t = pq.read_table(self._term_stats_path,
-                              filters=[("term", "in", missing)])
+            filters = [("term", "in", missing)]
+            if self._stats_has_field:
+                filters.append(("field", "=", field))
+            t = pq.read_table(self._term_stats_path, filters=filters)
             found = dict(zip(t["term"].to_pylist(),
                              zip(t["df"].to_pylist(), t["ttf"].to_pylist())))
             for term in missing:
-                self._stats_cache[term] = found.get(term, (0, 0))
-        return {term: self._stats_cache[term] for term in terms}
+                self._stats_cache[(field, term)] = found.get(term, (0, 0))
+        return {term: self._stats_cache[(field, term)] for term in terms}

@@ -55,7 +55,30 @@ stats AS (SELECT count(*) AS doc_count, sum(dl) AS sum_ttf FROM doclen),
 tstats AS (
   SELECT term, count(*) AS df, sum(freq) AS ttf FROM postings GROUP BY term
 ),
-av AS (SELECT sum_ttf / CAST(doc_count AS DOUBLE) AS avgdl FROM stats)
+av AS (SELECT sum_ttf / CAST(doc_count AS DOUBLE) AS avgdl FROM stats),
+-- title field (fielded documents): same chain over the title column;
+-- docCount counts docs with >= 1 title term (Terms.getDocCount)
+ttoksrc AS (
+  SELECT doc_id, {sql_tokens_expr('title')} AS toks FROM corpus
+),
+ttokens AS (
+  SELECT doc_id, unnest(toks) AS term FROM ttoksrc
+),
+tpostings AS (
+  SELECT doc_id, term, count(*) AS freq FROM ttokens GROUP BY doc_id, term
+),
+tdoclen AS (SELECT doc_id, len(toks) AS dl FROM ttoksrc),
+tnormd AS (
+  SELECT d.doc_id, d.dl, l.b AS norm_byte, l.v AS dln
+  FROM tdoclen d
+  JOIN lt l ON l.v = (SELECT max(v) FROM lt l2 WHERE l2.v <= d.dl)
+),
+tfstats AS (SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
+                   sum(dl) AS sum_ttf FROM tdoclen),
+ttstats AS (
+  SELECT term, count(*) AS df, sum(freq) AS ttf FROM tpostings GROUP BY term
+),
+tav AS (SELECT sum_ttf / CAST(doc_count AS DOUBLE) AS avgdl FROM tfstats)
 """
 
 
@@ -63,11 +86,13 @@ def idf_sql(df_expr: str, dc: str = "(SELECT doc_count FROM stats)") -> str:
     return f"ln(1 + ({dc} - {df_expr} + 0.5)/({df_expr} + 0.5))"
 
 
-def score_sql(freq_expr: str, dln_expr: str, idf_expr: str) -> str:
+def score_sql(freq_expr: str, dln_expr: str, idf_expr: str,
+              av: str = "av") -> str:
     """weight - weight/(1 + freq * cache[norm]) in the engine's exact
-    float64 op order (see similarity/bm25.py BM25Scorer)."""
+    float64 op order (see similarity/bm25.py BM25Scorer). ``av`` names the
+    avgdl CTE of the scored field ('av' = text, 'tav' = title)."""
     inv = (f"(1.0/(1.2*((1-0.75) + 0.75*{dln_expr}/"
-           f"(SELECT avgdl FROM av))))")
+           f"(SELECT avgdl FROM {av}))))")
     return f"({idf_expr} - {idf_expr}/(1 + {freq_expr}*{inv}))"
 
 
@@ -79,6 +104,76 @@ def term_scored_cte(term_literal: str) -> str:
   SELECT p.doc_id, {score} AS score
   FROM postings p JOIN normd n USING (doc_id)
   WHERE p.term = {term_literal}
+"""
+
+
+def title_scored_cte(term_literal: str) -> str:
+    """CTE body scoring one TITLE term over all matching docs — the
+    title-field BM25 (per-field stats: doc_count/avgdl from tfstats/tav)."""
+    idf = idf_sql(f"(SELECT df FROM ttstats WHERE term = {term_literal})",
+                  dc="(SELECT doc_count FROM tfstats)")
+    score = score_sql("p.freq", "n.dln", idf, av="tav")
+    return f"""
+  SELECT p.doc_id, {score} AS score
+  FROM tpostings p JOIN tnormd n USING (doc_id)
+  WHERE p.term = {term_literal}
+"""
+
+
+def bm25_title_topk(term: str, k: int = 10) -> str:
+    lit = f"'{term}'"
+    return preamble() + f""",
+scored AS ({title_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
+def bm25_multifield_topk(term: str, k: int = 10) -> str:
+    """SHOULD(text:term) + SHOULD(title:term): per-doc sum of the two
+    field scores (MultiFieldQueryParser's per-field SHOULD expansion,
+    queryparser/classic/MultiFieldQueryParser.kt)."""
+    lit = f"'{term}'"
+    return preamble() + f""",
+sc0 AS ({term_scored_cte(lit)}),
+sc1 AS ({title_scored_cte(lit)}),
+docs AS (SELECT doc_id FROM sc0 UNION SELECT doc_id FROM sc1)
+SELECT d.doc_id, c.url,
+       ((0 + COALESCE(sc0.score, 0)) + COALESCE(sc1.score, 0)) AS score
+FROM docs d LEFT JOIN sc0 ON sc0.doc_id = d.doc_id
+            LEFT JOIN sc1 ON sc1.doc_id = d.doc_id
+            JOIN corpus c ON c.doc_id = d.doc_id
+ORDER BY score DESC, d.doc_id LIMIT {k}
+"""
+
+
+def field_stats() -> str:
+    """Per-field CollectionStatistics (docCount = docs with ≥1 term of the
+    field; sum casts to BIGINT — DuckDB HUGEINT→float64 otherwise)."""
+    return preamble() + """
+SELECT * FROM (
+  SELECT 'text' AS field,
+         (SELECT count(*) FROM doclen WHERE dl > 0) AS doc_count,
+         (SELECT CAST(sum(dl) AS BIGINT) FROM doclen) AS sum_total_term_freq,
+         (SELECT count(*) FROM postings) AS sum_doc_freq
+  UNION ALL
+  SELECT 'title',
+         (SELECT count(*) FROM tdoclen WHERE dl > 0),
+         (SELECT CAST(sum(dl) AS BIGINT) FROM tdoclen),
+         (SELECT count(*) FROM tpostings)
+) ORDER BY field
+"""
+
+
+def term_stats_fields() -> str:
+    return preamble() + """
+SELECT * FROM (
+  SELECT 'text' AS field, term, CAST(df AS BIGINT) AS df,
+         CAST(ttf AS BIGINT) AS ttf FROM tstats
+  UNION ALL
+  SELECT 'title', term, CAST(df AS BIGINT), CAST(ttf AS BIGINT) FROM ttstats
+) ORDER BY field, term
 """
 
 
@@ -527,20 +622,27 @@ def extract_invariant() -> str:
     entities first, &amp; last: sequential replace() then matches the
     engine's single-pass alternation on nested cases like '&amp;lt;')."""
     stripped = """regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(
         CAST(html AS VARCHAR),
         '(?is)<script\\b.*?</script\\s*>', '', 'g'),
         '(?is)<style\\b.*?</style\\s*>', '', 'g'),
+        '(?is)<head\\b.*?</head\\s*>', '', 'g'),
         '(?s)<!--.*?-->', '', 'g'),
         '(?s)<[^>]*>', '', 'g')"""
     ent = stripped
     # SQL literal escapes: '' is one quote inside '...'; a double-quote
     # char needs no escaping in a single-quoted literal
+    title_raw = ("regexp_extract(CAST(html AS VARCHAR), "
+                 "'(?is)<title[^>]*>(.*?)</title\\s*>', 1)")
+    tent = title_raw
     for k, v in (("&lt;", "<"), ("&gt;", ">"), ('&quot;', '"'),
                  ("&apos;", "''"), ("&#39;", "''"), ("&nbsp;", " "),
                  ("&amp;", "&")):
         ent = f"replace({ent}, '{k}', '{v}')"
+        tent = f"replace({tent}, '{k}', '{v}')"
     return preamble() + f"""
-SELECT doc_id, ({ent} = text) AS match, length(text) AS text_len
+SELECT doc_id, ({ent} = text) AS match,
+       ({tent} = title) AS title_match, length(text) AS text_len
 FROM corpus
 """
 

@@ -12,20 +12,27 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..analysis.htmlstrip import html_to_text
+from ..analysis.htmlstrip import html_title, html_to_text
 from ..sources.corpus import corpus_dataset
 
 
 def extract_invariant(sf_dir: str):
-    """(doc_id, match, text_len) — match must be true for every row."""
+    """(doc_id, match, title_match, text_len) — both matches must be true
+    for every row: body extraction == text AND <title> extraction ==
+    title (the fielded-document derivation the index build relies on)."""
 
     def check(b: pa.Table) -> pa.Table:
-        extracted = [html_to_text(h) for h in b["html"].to_pylist()]
+        htmls = b["html"].to_pylist()
+        extracted = [html_to_text(h) for h in htmls]
+        titles = [html_title(h) for h in htmls]
         return pa.table({
             "doc_id": b["doc_id"],
             "match": pc.equal(pa.array(extracted, pa.string()), b["text"]),
+            "title_match": pc.equal(pa.array(titles, pa.string()),
+                                    b["title"]),
             "text_len": pc.cast(pc.utf8_length(b["text"]), pa.int64()),
         })
 
-    return corpus_dataset(sf_dir, columns=["doc_id", "html", "text"]) \
+    return corpus_dataset(sf_dir, columns=["doc_id", "html", "text",
+                                           "title"]) \
         .map_batches(check, batch_format="pyarrow")

@@ -30,6 +30,7 @@ class Query:
 @dataclass(frozen=True)
 class TermQuery(Query):
     term: str
+    field: str = "text"
 
     def terms(self):
         return [self.term]
@@ -38,7 +39,8 @@ class TermQuery(Query):
 @dataclass(frozen=True)
 class PhraseQuery(Query):
     phrase_terms: tuple[str, ...]
-    slop: int = 0  # only 0 (exact) supported v1; ExactPhraseMatcher analog
+    slop: int = 0
+    field: str = "text"
 
     def terms(self):
         return list(self.phrase_terms)
@@ -58,7 +60,8 @@ class MultiPhraseQuery(Query):
     (MultiPhraseQuery.kt:193-215 collects every term's TermStatistics,
     skipping index-absent terms)."""
     slots: tuple[tuple[str, ...], ...]
-    slop: int = 0  # exact only v1
+    slop: int = 0
+    field: str = "text"
 
     def terms(self):
         return [t for slot in self.slots for t in slot]
@@ -103,6 +106,7 @@ class SynonymQuery(Query):
     per-doc freq = sum over terms, blended stats df = max(term dfs),
     ttf = sum(term ttfs) — SynonymQuery.kt:182-202."""
     synonym_terms: tuple[str, ...]
+    field: str = "text"
 
     def terms(self):
         return list(self.synonym_terms)
@@ -120,6 +124,7 @@ class DisjunctionMaxQuery(Query):
 
 
 class MultiTermQuery(Query):
+    field = "text"  # overridden by subclass dataclass fields
     """Base of the term-predicate expansion family
     (``search/MultiTermQuery.kt``): the predicate expands against each
     segment's sorted term dictionary and matching docs score a constant
@@ -136,6 +141,7 @@ class MultiTermQuery(Query):
 class PrefixQuery(MultiTermQuery):
     """``search/PrefixQuery.kt`` — range scan on the sorted term dict."""
     prefix: str
+    field: str = "text"
 
     def matches(self, terms_sorted):
         import numpy as np
@@ -154,6 +160,7 @@ class TermRangeQuery(MultiTermQuery):
     upper: str | None
     include_lower: bool = True
     include_upper: bool = True
+    field: str = "text"
 
     def matches(self, terms_sorted):
         import numpy as np
@@ -175,6 +182,7 @@ class WildcardQuery(MultiTermQuery):
     compiled-automaton run over the term dict becomes a vectorized regex
     match (pyarrow ``match_substring_regex`` on the anchored pattern)."""
     pattern: str
+    field: str = "text"
 
     def matches(self, terms_sorted):
         import re
@@ -186,6 +194,7 @@ class WildcardQuery(MultiTermQuery):
 class RegexpQuery(MultiTermQuery):
     """``search/RegexpQuery.kt`` — full-term-anchored regexp."""
     regexp: str
+    field: str = "text"
 
     def matches(self, terms_sorted):
         import re
@@ -202,6 +211,7 @@ class FuzzyQuery(MultiTermQuery):
     term: str
     max_edits: int = 2
     prefix_length: int = 0
+    field: str = "text"
 
     def __post_init__(self):
         if not 0 <= self.max_edits <= 2:
@@ -228,6 +238,7 @@ class TermInSetQuery(MultiTermQuery):
     """``search/TermInSetQuery.kt`` — semi-join: docs whose field contains
     any of the given terms (constant score)."""
     term_set: tuple[str, ...]
+    field: str = "text"
 
     def matches(self, terms_sorted):
         import numpy as np

@@ -16,8 +16,11 @@ The syntax subset of the reference's JavaCC-generated classic parser
     spark^2.5                 boost
     (spark OR data) AND join  grouping
 
-Field prefixes (``title:foo``) are accepted and ignored — the engine
-indexes the single ``text`` field (input_hint schema). Bare terms are
+Field prefixes (``title:foo``) scope the clause to that field
+(QueryParserBase.getFieldQuery's field argument); bare terms use the
+parser's default field ("text"). ``multi_field_parse`` is the
+MultiFieldQueryParser analog (queryparser/classic/MultiFieldQueryParser.kt):
+un-fielded clauses expand to one SHOULD clause per field. Bare terms are
 re-analyzed with the indexing analyzer before becoming TermQuerys
 (QueryBuilder.kt:45,115-178 — query-side tokenization MUST match the index
 side); a bare term that analyzes to several tokens becomes a phrase, one
@@ -89,20 +92,21 @@ def _lex(s: str) -> list[_Tok]:
     return out
 
 
-def _strip_field(text: str) -> str:
-    """Drop a leading `field:` prefix (single-field engine)."""
+def _split_field(text: str) -> tuple[str | None, str]:
+    """Split a leading `field:` prefix → (field | None, rest)."""
     i = text.find(":")
     if 0 < i < len(text) - 1 and not text[:i].isdigit():
-        return text[i + 1:]
-    return text
+        return text[:i], text[i + 1:]
+    return None, text
 
 
 def _analyze_term(raw: str, analyzer) -> list[str]:
     return analyzer(raw) if analyzer is not None else tokenize(raw)
 
 
-def _term_to_query(tok: _Tok, analyzer) -> Query | None:
-    text = _strip_field(tok.text)
+def _term_to_query(tok: _Tok, analyzer, default_field: str) -> Query | None:
+    fld, text = _split_field(tok.text)
+    fld = fld or default_field
     fuzzy = re.fullmatch(r"(.+?)~(\d?)", text)
     if fuzzy and "*" not in text and "?" not in text:
         base = fuzzy.group(1)
@@ -110,42 +114,48 @@ def _term_to_query(tok: _Tok, analyzer) -> Query | None:
         toks = _analyze_term(base, analyzer)
         if not toks:
             return None
-        return FuzzyQuery(toks[0], max_edits=min(edits, 2))
+        return FuzzyQuery(toks[0], max_edits=min(edits, 2), field=fld)
     if "*" in text or "?" in text:
         low = fold_case(text)  # the index's case mapping (utf8_lower)
         if low.endswith("*") and "*" not in low[:-1] and "?" not in low:
-            return PrefixQuery(low[:-1])
-        return WildcardQuery(low)
+            return PrefixQuery(low[:-1], field=fld)
+        return WildcardQuery(low, field=fld)
     toks = _analyze_term(text, analyzer)
     if not toks:
         return None
     if len(toks) == 1:
-        return TermQuery(toks[0])
+        return TermQuery(toks[0], fld)
     # unquoted text analyzing to several tokens → SHOULD-of-terms, the
     # classic default (autoGeneratePhraseQueries=false, QueryBuilder.kt:115)
-    return BooleanQuery(tuple((Occur.SHOULD, TermQuery(t)) for t in toks))
+    return BooleanQuery(tuple((Occur.SHOULD, TermQuery(t, fld))
+                              for t in toks))
 
 
-def _phrase_to_query(tok: _Tok, analyzer) -> Query | None:
-    toks = _analyze_term(_strip_field(tok.text), analyzer)
+def _phrase_to_query(tok: _Tok, analyzer, default_field: str) -> Query | None:
+    fld, text = _split_field(tok.text)
+    fld = fld or default_field
+    toks = _analyze_term(text, analyzer)
     if not toks:
         return None
     if len(toks) == 1:
-        return TermQuery(toks[0])
-    return PhraseQuery(tuple(toks), slop=tok.extra["slop"])
+        return TermQuery(toks[0], fld)
+    return PhraseQuery(tuple(toks), slop=tok.extra["slop"], field=fld)
 
 
-def _range_to_query(tok: _Tok) -> Query:
+def _range_to_query(tok: _Tok, default_field: str) -> Query:
     lo = None if tok.extra["lo"] == "*" else fold_case(tok.extra["lo"])
     hi = None if tok.extra["hi"] == "*" else fold_case(tok.extra["hi"])
-    return TermRangeQuery(lo, hi, tok.extra["inc_lo"], tok.extra["inc_hi"])
+    return TermRangeQuery(lo, hi, tok.extra["inc_lo"], tok.extra["inc_hi"],
+                          field=default_field)
 
 
 class _Parser:
-    def __init__(self, toks: list[_Tok], analyzer=None):
+    def __init__(self, toks: list[_Tok], analyzer=None,
+                 default_field: str = "text"):
         self.toks = toks
         self.i = 0
         self.analyzer = analyzer
+        self.default_field = default_field
 
     def peek(self) -> _Tok | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -188,11 +198,13 @@ class _Parser:
             else:
                 nxt_boost = t.boost
                 if t.kind == "phrase":
-                    q = _phrase_to_query(t, self.analyzer)
+                    q = _phrase_to_query(t, self.analyzer,
+                                         self.default_field)
                 elif t.kind == "range":
-                    q = _range_to_query(t)
+                    q = _range_to_query(t, self.default_field)
                 else:
-                    q = _term_to_query(t, self.analyzer)
+                    q = _term_to_query(t, self.analyzer,
+                                       self.default_field)
             if q is None:
                 pending_occur, conj_with_prev = None, False
                 continue
@@ -209,11 +221,49 @@ class _Parser:
         return BooleanQuery(tuple(clauses))
 
 
-def parse_query(s: str, analyzer=None) -> Query:
+def parse_query(s: str, analyzer=None, default_field: str = "text") -> Query:
     """Parse a classic-syntax query string into the query IR.
 
     ``analyzer`` (a callable text → tokens, e.g. EnglishAnalyzer) re-analyzes
     bare terms and phrase bodies — the QueryBuilder symmetry rule: the query
     side MUST use the analyzer the index was built with
-    (util/QueryBuilder.kt:45). Default = the standard chain."""
-    return _Parser(_lex(s), analyzer).parse()
+    (util/QueryBuilder.kt:45). Default = the standard chain. Clauses with
+    an explicit ``field:`` prefix scope to that field; others use
+    ``default_field``."""
+    return _Parser(_lex(s), analyzer, default_field).parse()
+
+
+def multi_field_parse(s: str, fields: tuple[str, ...] = ("text", "title"),
+                      analyzer=None,
+                      boosts: dict[str, float] | None = None) -> Query:
+    """MultiFieldQueryParser analog
+    (queryparser/classic/MultiFieldQueryParser.kt): parse with a sentinel
+    default field, then expand every un-fielded leaf into one SHOULD clause
+    per field (optionally boosted per field) — exactly the reference's
+    getFieldQuery(null) expansion. Explicit ``field:`` prefixes survive
+    unexpanded."""
+    import dataclasses
+
+    sentinel = "\x00multi"
+    q = parse_query(s, analyzer, default_field=sentinel)
+
+    def expand(node: Query) -> Query:
+        if isinstance(node, BooleanQuery):
+            return BooleanQuery(
+                tuple((occ, expand(sub)) for occ, sub in node.clauses),
+                node.minimum_should_match)
+        if isinstance(node, BoostQuery):
+            return BoostQuery(expand(node.query), node.boost)
+        if getattr(node, "field", None) == sentinel:
+            per = []
+            for f in fields:
+                sub = dataclasses.replace(node, field=f)
+                if boosts and f in boosts:
+                    sub = BoostQuery(sub, boosts[f])
+                per.append((Occur.SHOULD, sub))
+            if len(per) == 1:
+                return per[0][1]
+            return BooleanQuery(tuple(per))
+        return node
+
+    return expand(q)

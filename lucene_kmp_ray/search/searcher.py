@@ -88,15 +88,15 @@ class Searcher:
         self.sim = similarity or BM25Similarity()
 
     # ----- stats resolution (precedes scoring, TermQuery.kt:269) --------
-    def _scorer_for_terms(self, terms: list[str], boost: float = 1.0):
-        stats = self.reader.term_stats(terms)
+    def _scorer_for_terms(self, terms: list[str], boost: float = 1.0,
+                          field: str = "text"):
+        stats = self.reader.term_stats(terms, field)
         dfs = [stats[t][0] for t in terms]
         if any(df == 0 for df in dfs) and len(terms) > 1:
             # a phrase containing an unknown term matches nothing
             return None, stats
-        return (self.sim.scorer(boost, self.reader.doc_count,
-                                self.reader.sum_total_term_freq, dfs),
-                stats)
+        dc, sttf = self.reader.field_stats(field)
+        return self.sim.scorer(boost, dc, sttf, dfs), stats
 
     # ----- per-segment match+score: returns (docs asc, scores) ---------
     def _score_segment(self, sr: SegmentReader, query: Query,
@@ -112,11 +112,14 @@ class Searcher:
             return _empty(self.sim.dtype)
         if isinstance(query, FieldExistsQuery):
             dt = self.sim.dtype
-            if query.field == "text":
+            dm = sr.doc_meta
+            lcol = "length" if query.field == "text" else \
+                f"length_{query.field}"
+            if lcol in dm.column_names:  # indexed field: ≥1 token
                 docs = np.flatnonzero(
-                    sr.doc_meta["length"].to_numpy() > 0).astype(np.int64)
-            else:
-                col = sr.doc_meta[query.field]
+                    dm[lcol].to_numpy() > 0).astype(np.int64)
+            else:  # doc-meta column: non-null
+                col = dm[query.field]
                 docs = np.flatnonzero(
                     ~np.asarray(col.is_null())).astype(np.int64)
             return docs, np.full(len(docs), dt.type(boost), dtype=dt)
@@ -125,44 +128,50 @@ class Searcher:
             dt = self.sim.dtype
             return docs, np.full(len(docs), dt.type(boost), dtype=dt)
         if isinstance(query, TermQuery):
-            scorer, _ = self._scorer_for_terms([query.term], boost)
-            p = sr.postings(query.term)
+            scorer, _ = self._scorer_for_terms([query.term], boost,
+                                               query.field)
+            p = sr.postings(query.term, field=query.field)
             if p is None:
                 return _empty(self.sim.dtype)
             docs, freqs = p
             if not scoring:
                 return docs, np.zeros(len(docs), dtype=self.sim.dtype)
-            return docs, scorer.score(freqs, sr.norms[docs])
+            return docs, scorer.score(freqs, sr.norms_for(query.field)[docs])
         if isinstance(query, PhraseQuery):
             if len(query.phrase_terms) == 1:
                 # Lucene rewrites a one-term phrase to a TermQuery
                 return self._score_segment(
-                    sr, TermQuery(query.phrase_terms[0]), boost, scoring)
+                    sr, TermQuery(query.phrase_terms[0], query.field),
+                    boost, scoring)
             if query.slop != 0:
                 docs, freqs = _sloppy_phrase(sr, list(query.phrase_terms),
-                                             query.slop)
+                                             query.slop, query.field)
             else:
-                docs, freqs = _exact_phrase(sr, list(query.phrase_terms))
+                docs, freqs = _exact_phrase(sr, list(query.phrase_terms),
+                                            query.field)
             if not scoring:
                 return docs, np.zeros(len(docs), dtype=self.sim.dtype)
-            scorer, _ = self._scorer_for_terms(list(query.phrase_terms), boost)
+            scorer, _ = self._scorer_for_terms(list(query.phrase_terms),
+                                               boost, query.field)
             if scorer is None or len(docs) == 0:
                 return _empty(self.sim.dtype)
-            return docs, scorer.score(freqs, sr.norms[docs])
+            return docs, scorer.score(freqs,
+                                      sr.norms_for(query.field)[docs])
         if isinstance(query, MultiPhraseQuery):
             if query.slop != 0:
                 raise NotImplementedError("sloppy multi-phrase not in v1")
-            docs, freqs = _exact_multi_phrase(sr, query.slots)
+            docs, freqs = _exact_multi_phrase(sr, query.slots, query.field)
             if not scoring:
                 return docs, np.zeros(len(docs), dtype=self.sim.dtype)
-            stats = self.reader.term_stats(query.terms())
+            stats = self.reader.term_stats(query.terms(), query.field)
             dfs = [stats[t][0] for slot in query.slots for t in slot
                    if stats[t][0] > 0]
             if not dfs or len(docs) == 0:
                 return _empty(self.sim.dtype)
-            scorer = self.sim.scorer(boost, self.reader.doc_count,
-                                     self.reader.sum_total_term_freq, dfs)
-            return docs, scorer.score(freqs, sr.norms[docs])
+            dc, sttf = self.reader.field_stats(query.field)
+            scorer = self.sim.scorer(boost, dc, sttf, dfs)
+            return docs, scorer.score(freqs,
+                                      sr.norms_for(query.field)[docs])
         if isinstance(query, SynonymQuery):
             return self._score_synonym(sr, query, boost, scoring)
         if isinstance(query, DisjunctionMaxQuery):
@@ -180,12 +189,12 @@ class Searcher:
         """SynonymQuery.kt:182-202: per-doc freq = Σ term freqs; blended
         stats df = max(term dfs), ttf = Σ (ttf unused by BM25 score)."""
         dt = self.sim.dtype
-        stats = self.reader.term_stats(list(q.synonym_terms))
+        stats = self.reader.term_stats(list(q.synonym_terms), q.field)
         df_blend = max((stats[t][0] for t in q.synonym_terms), default=0)
         if df_blend == 0:
             return _empty(dt)
         parts = [p for t in set(q.synonym_terms)
-                 if (p := sr.postings(t)) is not None]
+                 if (p := sr.postings(t, field=q.field)) is not None]
         if not parts:
             return _empty(dt)
         alldocs = np.concatenate([d for d, _ in parts])
@@ -195,9 +204,9 @@ class Searcher:
         np.add.at(freq_sum, inv, allfreqs)
         if not scoring:
             return docs, np.zeros(len(docs), dtype=dt)
-        scorer = self.sim.scorer(boost, self.reader.doc_count,
-                                 self.reader.sum_total_term_freq, [df_blend])
-        return docs, scorer.score(freq_sum, sr.norms[docs])
+        dc, sttf = self.reader.field_stats(q.field)
+        scorer = self.sim.scorer(boost, dc, sttf, [df_blend])
+        return docs, scorer.score(freq_sum, sr.norms_for(q.field)[docs])
 
     def _score_dismax(self, sr: SegmentReader, q: DisjunctionMaxQuery,
                       boost: float, scoring: bool):
@@ -227,9 +236,9 @@ class Searcher:
         """CONSTANT_SCORE rewrite: union of matching terms' postings; every
         matching doc scores ``boost`` (MultiTermQuery.kt rewrite family)."""
         dt = self.sim.dtype
-        sr.terms_table  # ensure term array loaded
-        mask = q.matches(sr._term_arr)
-        idxs = np.flatnonzero(mask)
+        arr, lo = sr.field_terms(getattr(q, "field", "text"))
+        mask = q.matches(arr)
+        idxs = np.flatnonzero(mask) + lo
         if len(idxs) == 0:
             return _empty(dt)
         docs = np.unique(np.concatenate(
@@ -327,7 +336,8 @@ class Searcher:
             return self._search_term_pruned(query, k, deadline)
         if prune and _is_term_disjunction(query):
             return self._search_or_pruned(
-                [sub.term for _, sub in query.clauses], k, deadline)
+                [sub.term for _, sub in query.clauses], k, deadline,
+                query.clauses[0][1].field)
         timed_out = False
         total = 0
         parts = []  # (scores, seg, docs)
@@ -356,7 +366,8 @@ class Searcher:
         mask (TopScoreDocCollector.kt:81-135 minCompetitiveScore
         propagation into ImpactsDISI)."""
         import time as _time
-        scorer, _ = self._scorer_for_terms([query.term])
+        field = query.field
+        scorer, _ = self._scorer_for_terms([query.term], field=field)
         top_scores = np.empty(0, dtype=self.sim.dtype)
         hits_seen = 0
         pruned = False
@@ -374,13 +385,13 @@ class Searcher:
                     return np.ones(len(maxf), dtype=bool)
                 bounds = scorer.score(maxf, minn.astype(np.uint8))
                 return bounds > _t
-            docs, freqs = sr.postings_pruned(query.term, keep)
+            docs, freqs = sr.postings_pruned(query.term, keep, field)
             if threshold is not None:
                 pruned = True
             hits_seen += len(docs)
             if len(docs) == 0:
                 continue
-            scores = scorer.score(freqs, sr.norms[docs])
+            scores = scorer.score(freqs, sr.norms_for(field)[docs])
             sel = _topk_idx(scores, docs, k)
             parts.append((scores[sel], np.full(len(sel), si), docs[sel]))
             top_scores = np.concatenate([top_scores, scores[sel]])
@@ -390,7 +401,8 @@ class Searcher:
         return self._merge(parts, k, hits_seen, rel)
 
     def _search_or_pruned(self, terms: list[str], k: int,
-                          deadline: float | None = None) -> TopDocs:
+                          deadline: float | None = None,
+                          field: str = "text") -> TopDocs:
         """MaxScore pruning for a pure term disjunction
         (MaxScoreBulkScorer.kt:15-36 essential/non-essential split +
         WANDScorer's θ feedback): once the collector holds ≥ threshold hits,
@@ -402,11 +414,10 @@ class Searcher:
         """
         import time as _time
         dt = self.sim.dtype
-        stats = self.reader.term_stats(terms)
+        stats = self.reader.term_stats(terms, field)
         live = [t for t in terms if stats[t][0] > 0]
-        scorers = {t: self.sim.scorer(1.0, self.reader.doc_count,
-                                      self.reader.sum_total_term_freq,
-                                      [stats[t][0]])
+        dc, sttf = self.reader.field_stats(field)
+        scorers = {t: self.sim.scorer(1.0, dc, sttf, [stats[t][0]])
                    for t in live}
         top_scores = np.empty(0, dtype=dt)
         hits_seen = 0
@@ -420,13 +431,13 @@ class Searcher:
             if hits_seen >= TOTAL_HITS_THRESHOLD and len(top_scores) >= k:
                 theta = float(np.partition(top_scores, -k)[-k])
             posts = {t: p for t in live
-                     if (p := sr.postings(t)) is not None}
+                     if (p := sr.postings(t, field=field)) is not None}
             if not posts:
                 continue
             # per-term upper bound in this segment = max block impact score
             ubs = {}
             for t in posts:
-                row = sr.term_row(t)
+                row = sr.term_row(t, field)
                 maxf = np.asarray(row["block_max_freq"], dtype=np.int64)
                 minn = np.asarray(row["block_min_norm"], dtype=np.uint8)
                 ubs[t] = float(scorers[t].score(maxf, minn).max()) \
@@ -450,7 +461,8 @@ class Searcher:
                 idx = np.searchsorted(d, cand)
                 idx[idx == len(d)] = 0
                 hit = d[idx] == cand
-                sc = scorers[t].score(f[idx[hit]], sr.norms[cand[hit]])
+                sc = scorers[t].score(f[idx[hit]],
+                                      sr.norms_for(field)[cand[hit]])
                 scores[hit] += sc.astype(np.float64)
             scores = scores.astype(dt)
             hits_seen += len(cand)
@@ -507,9 +519,9 @@ class Searcher:
             return {"value": v, "description": f"score({query!r})",
                     "details": []}
         term = query.term
-        stats = self.reader.term_stats([term])
+        stats = self.reader.term_stats([term], query.field)
         df, _ = stats[term]
-        p = sr.postings(term)
+        p = sr.postings(term, field=query.field)
         if p is None or df == 0:
             return {"value": 0.0,
                     "description": f"no matching term '{term}'", "details": []}
@@ -519,19 +531,18 @@ class Searcher:
             return {"value": 0.0,
                     "description": f"term '{term}' not in doc", "details": []}
         freq = int(freqs[i])
-        norm = int(sr.norms[local_doc])
-        n = self.reader.doc_count
+        norm = int(sr.norms_for(query.field)[local_doc])
+        n, sttf = self.reader.field_stats(query.field)
         idf = self.sim.idf(df, n)
-        avgdl = self.sim.avgdl(self.reader.sum_total_term_freq, n)
-        scorer = self.sim.scorer(1.0, n, self.reader.sum_total_term_freq,
-                                 [df])
+        avgdl = self.sim.avgdl(sttf, n)
+        scorer = self.sim.scorer(1.0, n, sttf, [df])
         score = float(scorer.score(np.array([freq]),
                                    np.array([norm], np.uint8))[0])
         from ..util.smallfloat import LENGTH_TABLE_INT
         dl = int(LENGTH_TABLE_INT[norm])
         return {
             "value": score,
-            "description": f"weight(text:{term}) [BM25Similarity]",
+            "description": f"weight({query.field}:{term}) [BM25Similarity]",
             "details": [
                 {"value": idf,
                  "description": f"idf, ln(1+(N-n+0.5)/(n+0.5)) with n={df}, "
@@ -757,7 +768,7 @@ def _sloppy_freq_doc(pos_lists: list[np.ndarray], slop: int) -> float:
     return float(freq)
 
 
-def _exact_multi_phrase(sr: SegmentReader, slots):
+def _exact_multi_phrase(sr: SegmentReader, slots, field: str = "text"):
     """MultiPhraseQuery exact matcher: per slot the occurrence key set is
     the union over alternatives (disjoint — one term per position), then
     the same sorted-key intersection as _exact_phrase."""
@@ -765,7 +776,7 @@ def _exact_multi_phrase(sr: SegmentReader, slots):
     for slot in slots:
         entries = []
         for t in dict.fromkeys(slot):
-            p = sr.postings(t)
+            p = sr.postings(t, field=field)
             if p is not None:
                 entries.append((t, p[0]))
         if not entries:
@@ -789,7 +800,7 @@ def _exact_multi_phrase(sr: SegmentReader, slots):
             if len(sub) == 0:
                 continue
             f_sel, flat = sr.positions_for_entries(
-                t, np.searchsorted(docs, sub))
+                t, np.searchsorted(docs, sub), field)
             if len(flat):
                 max_pos = max(max_pos, int(flat.max()))
             per.append((sub, f_sel, flat))
@@ -809,12 +820,13 @@ def _exact_multi_phrase(sr: SegmentReader, slots):
     return out_docs.astype(np.int64), out_freqs.astype(np.int64)
 
 
-def _sloppy_phrase(sr: SegmentReader, terms: list[str], slop: int):
+def _sloppy_phrase(sr: SegmentReader, terms: list[str], slop: int,
+                   field: str = "text"):
     """Docs + float sloppy freqs for a slop > 0 phrase."""
     uniq = list(dict.fromkeys(terms))
     posts = {}
     for t in uniq:
-        p = sr.postings(t, positions=True)
+        p = sr.postings(t, positions=True, field=field)
         if p is None:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         posts[t] = p
@@ -861,7 +873,8 @@ def _is_term_disjunction(q: Query) -> bool:
                 for occ, sub in q.clauses)):
         return False
     terms = [sub.term for _, sub in q.clauses]
-    return len(terms) == len(set(terms))
+    fields = {sub.field for _, sub in q.clauses}
+    return len(terms) == len(set(terms)) and len(fields) <= 1
 
 
 def _topk_idx(scores: np.ndarray, docs: np.ndarray, k: int) -> np.ndarray:
@@ -880,7 +893,8 @@ def _empty(dtype):
     return np.empty(0, np.int64), np.empty(0, dtype)
 
 
-def _exact_phrase(sr: SegmentReader, terms: list[str]):
+def _exact_phrase(sr: SegmentReader, terms: list[str],
+                  field: str = "text"):
     """ExactPhraseMatcher: docs containing the terms at consecutive
     positions; freq = number of phrase starts (PhraseQuery scoring freq).
 
@@ -894,7 +908,7 @@ def _exact_phrase(sr: SegmentReader, terms: list[str]):
     uniq = list(dict.fromkeys(terms))
     posts = {}
     for t in uniq:
-        p = sr.postings(t)
+        p = sr.postings(t, field=field)
         if p is None:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         posts[t] = p
@@ -907,7 +921,7 @@ def _exact_phrase(sr: SegmentReader, terms: list[str]):
     for t in uniq:
         docs, _ = posts[t]
         entry_idx = np.searchsorted(docs, cand)
-        sel[t] = sr.positions_for_entries(t, entry_idx)
+        sel[t] = sr.positions_for_entries(t, entry_idx, field)
     nt = len(terms)
     max_pos = max((int(flat.max()) if len(flat) else 0)
                   for _, flat in sel.values())

@@ -8,9 +8,17 @@ n_chars):
 
     url     = 'https://' + source + '.example.com/doc/' + doc_id
     warc_ts = TIMESTAMP '2024-01-01 00:00:00' + doc_id seconds
-    html    = encode('<html><body>' + text + '</body></html>')
+    title   = substr(text, 1, 48)   (the page's <title> content)
+    html    = encode('<html><head><title>' + title + '</title></head>'
+                     '<body>' + text + '</body></html>')
     text    = text,  lang = lang,  doc_id = doc_id (dense int64, kept as the
               deterministic global doc ordering key — SURVEY §4 "ordering")
+
+``title`` is carried as its own column so the (pruned) index build can read
+it without the html binary; the per-row invariant ``html_title(html) ==
+title`` (and ``html_to_text(html) == text``) is enforced by
+``pipelines/validate.py`` — the production path would extract both from
+html (Document.kt:20 fielded docs: title + body).
 
 The SQL view below produces the byte-identical table in DuckDB, so every
 oracle query can join/derive from the same corpus.
@@ -31,29 +39,36 @@ SELECT
   doc_id,
   'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
   TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS warc_ts,
-  encode('<html><body>' || text || '</body></html>') AS html,
+  encode('<html><head><title>' || substr(text, 1, 48) ||
+         '</title></head><body>' || text || '</body></html>') AS html,
   text,
+  substr(text, 1, 48) AS title,
   lang
 FROM documents
 """
+
+TITLE_CHARS = 48  # substr(text, 1, 48) — keep in sync with CORPUS_SQL
 
 
 def _derive(tbl: pa.Table) -> pa.Table:
     doc_id = tbl["doc_id"].to_numpy()
     text = tbl["text"]
+    title = pc.utf8_slice_codeunits(text, 0, TITLE_CHARS)
     url = pc.binary_join_element_wise(
         "https://", pc.cast(tbl["source"], pa.string()), ".example.com/doc/",
         pc.cast(tbl["doc_id"], pa.string()), "")
     warc_ts = pa.array(_EPOCH + doc_id.astype("timedelta64[s]"),
                        type=pa.timestamp("us"))
     html = pc.cast(pc.binary_join_element_wise(
-        "<html><body>", text, "</body></html>", ""), pa.binary())
+        "<html><head><title>", title, "</title></head><body>", text,
+        "</body></html>", ""), pa.binary())
     return pa.table({
         "doc_id": tbl["doc_id"],
         "url": url,
         "warc_ts": warc_ts,
         "html": html,
         "text": text,
+        "title": title,
         "lang": tbl["lang"],
     })
 
@@ -63,7 +78,8 @@ def corpus_table(sf_dir: str) -> pa.Table:
     return _derive(pq.read_table(f"{sf_dir}/documents.parquet"))
 
 
-def corpus_shards(sf_dir: str, segment_size: int, expand: int = 1):
+def corpus_shards(sf_dir: str, segment_size: int, expand: int = 1,
+                  fields: tuple[str, ...] = ("text",)):
     """Shard specs + loader for the shuffle-free build path.
 
     The virtual corpus is ``expand`` deterministic copies of
@@ -97,7 +113,7 @@ def corpus_shards(sf_dir: str, segment_size: int, expand: int = 1):
             parts.append(sl)
             r += take
         return _derive(pa.concat_tables(parts)).select(
-            ["doc_id", "url", "text"])
+            ["doc_id", "url", *sorted(fields)])
 
     return shards, make_docs
 

@@ -28,7 +28,7 @@ def built_index(ray_session, tmp_path_factory):
     idx = str(tmp_path_factory.mktemp("index") / "idx")
     shutil.rmtree(idx, ignore_errors=True)
     build_index(corpus_dataset(SF_DIR), idx, segment_size=100,
-                lineage_source=SF_DIR)
+                lineage_source=SF_DIR, fields=("text", "title"))
     return idx
 
 

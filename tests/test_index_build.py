@@ -87,7 +87,8 @@ def test_ray_build_and_manifest(built_index):
 
 def test_global_term_stats(built_index, corpus_texts):
     import pyarrow.parquet as pq
-    stats = pq.read_table(os.path.join(built_index, "term_stats.parquet"))
+    stats = pq.read_table(os.path.join(built_index, "term_stats.parquet"),
+                          filters=[("field", "=", "text")])
     inv = _brute_index(corpus_texts)
     got = {t: (df, ttf) for t, df, ttf in zip(*[stats[c].to_pylist()
                                                 for c in ("term", "df", "ttf")])}

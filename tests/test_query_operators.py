@@ -186,7 +186,9 @@ def test_parser_phrase_range_wild_fuzzy_boost():
     assert parse_query("{batch TO data}") == \
         TermRangeQuery("batch", "data", False, False)
     assert parse_query("spark^2.5") == BoostQuery(TermQuery("spark"), 2.5)
-    assert parse_query("title:spark") == TermQuery("spark")  # field ignored
+    assert parse_query("title:spark") == TermQuery("spark", "title")
+    assert parse_query("spark", default_field="title") == \
+        TermQuery("spark", "title")
 
 
 def test_parser_groups():
@@ -405,3 +407,39 @@ def test_pruned_paths_honor_timeout(searcher):
     td = searcher.search(TermQuery("the"), k=5, prune=True, timeout_s=0.0)
     assert td.relation == "GREATER_THAN_OR_EQUAL_TO"
     assert td.score_docs == []
+
+
+def test_multi_field_parse_expansion():
+    """MultiFieldQueryParser.kt: un-fielded leaves expand SHOULD-per-field;
+    explicit field prefixes survive."""
+    from lucene_kmp_ray.search import multi_field_parse
+    q = multi_field_parse("spark", fields=("text", "title"))
+    assert q == BooleanQuery(((Occur.SHOULD, TermQuery("spark", "text")),
+                              (Occur.SHOULD, TermQuery("spark", "title"))))
+    q2 = multi_field_parse("title:spark AND data", fields=("text", "title"))
+    assert q2 == BooleanQuery((
+        (Occur.MUST, TermQuery("spark", "title")),
+        (Occur.MUST, BooleanQuery(((Occur.SHOULD, TermQuery("data", "text")),
+                                   (Occur.SHOULD, TermQuery("data", "title"))))),
+    ))
+    q3 = multi_field_parse("spark", fields=("text", "title"),
+                           boosts={"title": 2.0})
+    assert q3 == BooleanQuery((
+        (Occur.SHOULD, TermQuery("spark", "text")),
+        (Occur.SHOULD, BoostQuery(TermQuery("spark", "title"), 2.0))))
+
+
+def test_title_field_search(searcher, corpus_texts):
+    """Title = first 48 chars of text; title hits ⊆ docs whose truncated
+    text contains the term; scoring uses title-field stats."""
+    from lucene_kmp_ray.analysis import tokenize
+    exp = sorted(i for i, t in enumerate(corpus_texts)
+                 if "spark" in tokenize(t[:48]))
+    td = searcher.search(TermQuery("spark", "title"), k=10_000)
+    assert _docs_of(td) == exp
+    # multifield SHOULD ⊇ both fields' matches
+    both = searcher.search(BooleanQuery.build(
+        (Occur.SHOULD, TermQuery("spark", "text")),
+        (Occur.SHOULD, TermQuery("spark", "title"))), k=10_000)
+    text_only = searcher.search(TermQuery("spark"), k=10_000)
+    assert set(_docs_of(both)) == set(_docs_of(text_only)) | set(exp)
