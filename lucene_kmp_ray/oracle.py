@@ -17,7 +17,8 @@ with k1=1.2, b=0.75, decoded_len = byte4ToInt(intToByte4(len)).
 from __future__ import annotations
 
 from .analysis.standard import sql_tokens_expr
-from .pipelines.dedup import LSH_BANDS, LSH_ROWS, MINHASH_PERMS, N_SHINGLE
+from .pipelines.dedup import (LSH_BANDS, LSH_ROWS, MAX_LSH_BUCKET,
+                              MAX_SHINGLE_BUCKET, MINHASH_PERMS, N_SHINGLE)
 from .pipelines.textstats import LANG_STOPWORDS
 from .sources.corpus import CORPUS_SQL
 from .util.smallfloat import LENGTH_TABLE_INT
@@ -395,12 +396,20 @@ shrow AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
 
 
 def jaccard_pairs(threshold: float = 0.5) -> str:
+    """Mirror of pipelines.dedup.jaccard_pairs incl. the head-bucket cap:
+    shingles shared by more than MAX_SHINGLE_BUCKET docs generate no
+    candidates (and are excluded from the intersection count, exactly like
+    the engine's per-bucket pair emission); sizes stay full distinct
+    counts. The cap does not bind at sf scale (max bucket ≈ 9)."""
     return preamble() + "," + _shingle_cte() + f""",
 sizes AS (SELECT doc_id, count(*) AS n FROM shrow GROUP BY doc_id),
+bucketok AS (SELECT shingle FROM shrow GROUP BY shingle
+             HAVING count(*) <= {MAX_SHINGLE_BUCKET}),
 inter AS (
   SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
   FROM shrow a JOIN shrow b
     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN bucketok k ON k.shingle = a.shingle
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT i.a, i.b, i.i / CAST(sa.n + sb.n - i.i AS DOUBLE) AS jaccard
@@ -449,10 +458,13 @@ sig AS (
 {sig_cols}
   FROM (SELECT DISTINCT doc_id FROM shrow) d
 ),
-bandrows AS ({" UNION ALL ".join(bands)})
+bandrows AS ({" UNION ALL ".join(bands)}),
+bok AS (SELECT band, band_hash FROM bandrows GROUP BY band, band_hash
+        HAVING count(DISTINCT doc_id) <= {MAX_LSH_BUCKET})
 SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
 FROM bandrows a JOIN bandrows b
   ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+JOIN bok k ON k.band = a.band AND k.band_hash = a.band_hash
 """
 
 
@@ -705,10 +717,13 @@ sig AS (
   FROM (SELECT DISTINCT doc_id FROM shrow) d
 ),
 bandrows AS ({" UNION ALL ".join(bands)}),
+bok AS (SELECT band, band_hash FROM bandrows GROUP BY band, band_hash
+        HAVING count(DISTINCT doc_id) <= {MAX_LSH_BUCKET}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
   FROM bandrows a JOIN bandrows b
     ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+  JOIN bok k ON k.band = a.band AND k.band_hash = a.band_hash
 ),
 edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
 nodes AS (SELECT DISTINCT a AS n FROM edges),

@@ -7,15 +7,21 @@ Scale notes — each documented with its shuffle shape:
   Shuffle = one all-to-all on the key; per-group work O(group). This is the
   reference's ``updateDocument(term, doc)`` upsert semantics
   (IndexWriter.kt:1641 — delete-by-key + add == keep latest per key).
-- **MinHash + LSH** near-dup: per-batch shingle→minhash (vectorized md5-based
-  permutation hashes), explode to (band_id, band_hash, doc_id) rows —
-  b bands of r rows each — ``groupby(band)`` produces candidate buckets,
-  verified with exact shingle-Jaccard. Shuffle moves only b rows per doc.
+- **MinHash + LSH** near-dup: per-batch shingle→minhash (batch-vectorized:
+  one md5 per batch-distinct shingle, numpy window extraction + reduceat
+  mins), explode to (band_id, band_hash, doc_id) rows — b bands of r rows
+  each — ``groupby(band)`` produces candidate buckets, verified with exact
+  shingle-Jaccard. Shuffle moves only b rows per doc. Buckets larger than
+  ``max_bucket`` are dropped before the all-pairs expansion (the head-
+  bucket cap: a bucket of B docs expands to B²/2 pairs).
 - **SimHash**: 64-bit weighted-projection signature per doc; near-dups =
   equal bands of the signature (Hamming ≤ 3 via 4-band exact-match trick).
 - **n-gram Jaccard**: exact pairwise verification over candidate pairs that
   share at least one shingle — groupby(shingle) → pairs → aggregate
-  intersection counts; |A∪B| via per-doc shingle counts broadcast.
+  intersection counts. Per-doc distinct-shingle sizes ride ON the shingle
+  rows (computed at explode time), so |A|+|B| needs no driver dict, no
+  broadcast, no join — nothing here is proportional to corpus size on the
+  driver.
 
 Hash functions are md5-derived (stable across Python/numpy/DuckDB) so the
 DuckDB oracle can reproduce signatures bit-for-bit.
@@ -29,12 +35,14 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..analysis.standard import tokenize
+from ..analysis.standard import StandardAnalyzer, tokenize
 
 N_SHINGLE = 3          # token 3-grams
 MINHASH_PERMS = 12     # b=6 bands × r=2 rows
 LSH_BANDS = 6
 LSH_ROWS = 2
+MAX_SHINGLE_BUCKET = 64   # jaccard candidate-gen cap (docs per shingle)
+MAX_LSH_BUCKET = 256      # LSH candidate-gen cap (docs per band bucket)
 
 
 def _shingles(text: str) -> list[str]:
@@ -53,12 +61,13 @@ def _md5_hex8(s: str) -> str:
 
 
 def minhash_signature(text: str) -> list[str]:
-    """MinHash: one md5 per distinct shingle; permutation p reads the 8-hex
-    window at offset 2p of the digest (overlapping windows of one md5 are
-    cheap stand-in permutations — 12× fewer digests than salting the
-    shingle per permutation, and the SQL mirror is
-    ``min(substr(md5(shingle), 1+2p, 8))``). Lexicographic min on
-    fixed-width lowercase hex == numeric min."""
+    """MinHash (scalar reference path): one md5 per distinct shingle;
+    permutation p reads the 8-hex window at offset 2p of the digest
+    (overlapping windows of one md5 are cheap stand-in permutations — 12×
+    fewer digests than salting the shingle per permutation, and the SQL
+    mirror is ``min(substr(md5(shingle), 1+2p, 8))``). Lexicographic min on
+    fixed-width lowercase hex == numeric min. The batch path
+    (minhash_batch) is vectorized and asserted identical in tests."""
     sh = set(_shingles(text))
     if not sh:
         return ["" for _ in range(MINHASH_PERMS)]
@@ -68,8 +77,9 @@ def minhash_signature(text: str) -> list[str]:
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over shingle md5 hashes with tf weights (one md5 per
-    distinct shingle, bit unpacking vectorized across shingles)."""
+    """64-bit SimHash (scalar reference path) over shingle md5 hashes with
+    tf weights; the batch path (simhash_batch) is vectorized and asserted
+    identical in tests."""
     from collections import Counter
     tf = Counter(_shingles(text))
     if not tf:
@@ -81,6 +91,146 @@ def simhash64(text: str) -> int:
             np.uint64(1)).astype(np.int64)        # (n, 64)
     acc = ((2 * bits - 1) * w[:, None]).sum(axis=0)
     return int("".join("1" if b > 0 else "0" for b in acc[::-1]), 2)
+
+
+# ------------------------ vectorized batch shingling ----------------------
+def _batch_shingles(texts):
+    """Batch texts → distinct (row, shingle) pairs, fully vectorized.
+
+    Tokenization is the shared whole-batch scan (tokenize_flat); shingles
+    are one Arrow ``binary_join_element_wise`` over three shifted slices of
+    the flat token array (a shingle is valid when its three tokens share a
+    doc); docs with 1..N_SHINGLE-1 tokens contribute their whole-token join
+    (the _shingles short-doc rule). Returns
+
+      (prow, pcode, pcount, uniq)
+
+    with one entry per DISTINCT (doc, shingle), sorted by (row, code):
+    ``prow`` the batch row index, ``pcode`` an index into ``uniq`` (the
+    batch-distinct shingle strings), ``pcount`` the occurrence count (tf).
+    """
+    import pyarrow.compute as pc
+
+    analyzer = StandardAnalyzer()
+    dl, flat, doc_of, _ = analyzer.analyze_flat(texts)
+    n = len(flat)
+    n_rows = len(dl)
+    parts_str: list[pa.Array] = []
+    parts_row: list[np.ndarray] = []
+    if n >= N_SHINGLE:
+        m = n - (N_SHINGLE - 1)
+        valid = doc_of[:m] == doc_of[N_SHINGLE - 1:]
+        slices = [flat.slice(i, m) for i in range(N_SHINGLE)]
+        joined = pc.binary_join_element_wise(*slices, " ")
+        vmask = pa.array(valid)
+        parts_str.append(joined.filter(vmask))
+        parts_row.append(doc_of[:m][valid])
+    # short docs (0 < dl < N_SHINGLE): whole-doc join — rare at web scale
+    short = np.flatnonzero((dl > 0) & (dl < N_SHINGLE))
+    if len(short):
+        starts = np.append(0, np.cumsum(dl))[:-1]
+        toks = flat.to_pylist()
+        parts_str.append(pa.array(
+            [" ".join(toks[starts[r]:starts[r] + dl[r]]) for r in short],
+            pa.string()))
+        parts_row.append(short.astype(np.int64))
+    if not parts_str:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.int64), [])
+    allstr = pa.concat_arrays(
+        [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+         for p in parts_str])
+    rows = np.concatenate(parts_row)
+    dict_arr = allstr.dictionary_encode()
+    codes = dict_arr.indices.to_numpy().astype(np.int64)
+    uniq = dict_arr.dictionary.to_pylist()
+    nc = max(len(uniq), 1)
+    key = rows * nc + codes
+    ukey, pcount = np.unique(key, return_counts=True)
+    return ukey // nc, ukey % nc, pcount, uniq
+
+
+def _md5_digests(strings) -> np.ndarray:
+    """md5 digests of the batch-distinct shingles as a (n, 16) uint8
+    matrix — the ONLY per-string Python loop left in the hashing stages
+    (md5 itself is not vectorizable; it runs once per batch-distinct
+    shingle, not once per occurrence per permutation)."""
+    out = np.empty((len(strings), 16), np.uint8)
+    md5 = hashlib.md5
+    for i, s in enumerate(strings):
+        out[i] = np.frombuffer(md5(s.encode()).digest(), np.uint8)
+    return out
+
+
+_HEXD = np.frombuffer(b"0123456789abcdef", np.uint8)
+
+
+def _band_hash_array(mins: np.ndarray) -> pa.Array:
+    """(n_docs, MINHASH_PERMS) uint64 minima → StringArray of the
+    '%08x-%08x' band-hash strings, doc-major then band order. Built as one
+    fixed-width uint8 char matrix straight into an Arrow string buffer —
+    no per-value Python formatting, no np.char (its _vec_string loop was
+    the top cost of the r1-replacement profile)."""
+    n = mins.shape[0]
+    w = 8 * LSH_ROWS + (LSH_ROWS - 1)           # chars per band hash
+    out = np.empty((n, LSH_BANDS, w), np.uint8)
+    for b in range(LSH_BANDS):
+        for r in range(LSH_ROWS):
+            base = r * 9
+            if r:
+                out[:, b, base - 1] = ord("-")
+            v = mins[:, b * LSH_ROWS + r]
+            for k in range(4):
+                byte = ((v >> np.uint64(24 - 8 * k)) &
+                        np.uint64(0xFF)).astype(np.int64)
+                out[:, b, base + 2 * k] = _HEXD[byte >> 4]
+                out[:, b, base + 2 * k + 1] = _HEXD[byte & 15]
+    total = n * LSH_BANDS
+    offsets = np.arange(0, (total + 1) * w, w, dtype=np.int32)
+    return pa.StringArray.from_buffers(
+        total, pa.py_buffer(offsets.tobytes()),
+        pa.py_buffer(out.tobytes()))
+
+
+def _digest_windows(digests: np.ndarray) -> np.ndarray:
+    """(n, 16) digest bytes → (n, MINHASH_PERMS) uint64 of the big-endian
+    uint32 at byte offset p (== hex window [2p, 2p+8) of the hex digest —
+    numeric order equals the lexicographic hex order the oracle uses)."""
+    d = digests.astype(np.uint64)
+    cols = [(d[:, p] << np.uint64(24)) | (d[:, p + 1] << np.uint64(16)) |
+            (d[:, p + 2] << np.uint64(8)) | d[:, p + 3]
+            for p in range(MINHASH_PERMS)]
+    return np.stack(cols, axis=1)
+
+
+def _doc_group_starts(prow: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(unique rows, start offsets of each row's run) for reduceat."""
+    change = np.empty(len(prow), dtype=bool)
+    change[0] = True
+    np.not_equal(prow[1:], prow[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    return prow[starts], starts
+
+
+def _read_docs(sf_dir: str, columns: list[str]):
+    """Column-pruned documents read, split into enough blocks to feed
+    every CPU. A single-file sf corpus arrives as ONE block, which would
+    serialize the downstream map stage (observed: 3× wall time); at real
+    web scale the input is many files/row-groups and the override is
+    skipped (never coalesce a well-partitioned read)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    path = f"{sf_dir}/documents.parquet"
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    meta = pq.read_metadata(path)
+    if meta.num_row_groups < ncpu:
+        blocks = min(max(8, ncpu), max(1, meta.num_rows // 256))
+        return rd.read_parquet(path, columns=columns,
+                               override_num_blocks=blocks)
+    return rd.read_parquet(path, columns=columns)
 
 
 # ---------------------------------------------------------------- exact ----
@@ -101,48 +251,55 @@ def dedup_exact(ds, key: str = "fingerprint", order_col: str = "doc_id",
 
 # ------------------------------------------------------------- minhash ----
 def minhash_batch(batch: pa.Table) -> pa.Table:
-    """(doc_id, band, band_hash) rows — LSH_BANDS rows per doc."""
-    out_doc, out_band, out_hash = [], [], []
-    for did, text in zip(batch["doc_id"].to_pylist(),
-                         batch["text"].to_pylist()):
-        if not _shingles(text):
-            continue  # no shingles → no signature (oracle parity)
-        sig = minhash_signature(text)
-        for b in range(LSH_BANDS):
-            band_vals = sig[b * LSH_ROWS:(b + 1) * LSH_ROWS]
-            out_doc.append(did)
-            out_band.append(b)
-            out_hash.append("-".join(band_vals))
+    """(doc_id, band, band_hash) rows — LSH_BANDS rows per doc, vectorized:
+    one tokenizer scan + one md5 per batch-distinct shingle + numpy
+    minimum.reduceat per permutation (the per-row Python loop of r1 is
+    gone; asserted equal to the scalar path in tests)."""
+    doc_ids = batch["doc_id"].to_numpy()
+    prow, pcode, _, uniq = _batch_shingles(batch["text"])
+    if not len(prow):
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "band": pa.array([], pa.int64()),
+                         "band_hash": pa.array([], pa.string())})
+    win = _digest_windows(_md5_digests(uniq))      # (n_uniq, PERMS)
+    vals = win[pcode]                              # (n_pairs, PERMS)
+    urows, starts = _doc_group_starts(prow)
+    mins = np.minimum.reduceat(vals, starts, axis=0)  # (n_docs, PERMS)
+    n_docs = len(urows)
+    out_doc = np.repeat(doc_ids[urows], LSH_BANDS)
+    out_band = np.tile(np.arange(LSH_BANDS, dtype=np.int64), n_docs)
     return pa.table({"doc_id": pa.array(out_doc, pa.int64()),
                      "band": pa.array(out_band, pa.int64()),
-                     "band_hash": pa.array(out_hash, pa.string())})
+                     "band_hash": _band_hash_array(mins)})
 
 
 def minhash_batch_ds(sf_dir: str):
     """(doc_id, band, band_hash) rows as a Dataset (LSH explode stage)."""
-    import ray.data as rd
-    return rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"]) \
-             .map_batches(minhash_batch, batch_format="pyarrow")
+    return _read_docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(minhash_batch, batch_format="pyarrow")
 
 
-def minhash_candidate_pairs(sf_dir: str):
-    """Near-dup candidate pairs (a < b) sharing any LSH band bucket."""
-    import ray.data as rd
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
-    bands = ds.map_batches(minhash_batch, batch_format="pyarrow")
-
+def _bucket_pairs_capped(max_bucket: int):
+    """Pair generator for one candidate bucket, dropping over-cap buckets
+    (the head-bucket scale guard: B docs → B²/2 pairs)."""
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique().tolist())
-        if len(ids) < 2:
+        ids = np.unique(g["doc_id"].to_numpy())
+        if len(ids) < 2 or len(ids) > max_bucket:
             return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                                  "b": pd.Series([], dtype="int64")})
-        a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1:]])
-        return pd.DataFrame({"a": list(a), "b": list(b)})
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+    return pairs
 
+
+def minhash_candidate_pairs(sf_dir: str, max_bucket: int = MAX_LSH_BUCKET):
+    """Near-dup candidate pairs (a < b) sharing any LSH band bucket.
+    Buckets larger than ``max_bucket`` docs are dropped whole (mirrored in
+    the SQL oracle)."""
+    bands = _read_docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(minhash_batch, batch_format="pyarrow")
     cand = bands.groupby(["band", "band_hash"]).map_groups(
-        pairs, batch_format="pandas")
+        _bucket_pairs_capped(max_bucket), batch_format="pandas")
     # dedupe pairs found in multiple bands
     return cand.groupby(["a", "b"]).map_groups(
         lambda g: g.head(1), batch_format="pandas")
@@ -150,68 +307,92 @@ def minhash_candidate_pairs(sf_dir: str):
 
 # ------------------------------------------------------------- simhash ----
 def simhash_batch(batch: pa.Table) -> pa.Table:
-    sigs = [simhash64(t) for t in batch["text"].to_pylist()]
+    """Vectorized SimHash: md5 per batch-distinct shingle, bit unpack and
+    tf-weighted accumulation via reduceat (parity with simhash64 asserted
+    in tests)."""
+    doc_ids = batch["doc_id"].to_numpy()
+    n_rows = len(doc_ids)
+    prow, pcode, pcount, uniq = _batch_shingles(batch["text"])
+    sigs = np.zeros(n_rows, dtype=np.uint64)
+    if len(prow):
+        d = _md5_digests(uniq).astype(np.uint64)
+        h64 = d[:, 0]
+        for i in range(1, 8):
+            h64 = (h64 << np.uint64(8)) | d[:, i]
+        bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64)) &
+                np.uint64(1)).astype(np.int64)     # (n_uniq, 64)
+        contrib = (2 * bits[pcode] - 1) * pcount[:, None]
+        urows, starts = _doc_group_starts(prow)
+        acc = np.add.reduceat(contrib, starts, axis=0)  # (n_docs, 64)
+        present_bits = (acc > 0).astype(np.uint64)
+        shift = np.arange(64, dtype=np.uint64)
+        sigs[urows] = (present_bits << shift).sum(axis=1, dtype=np.uint64)
     return pa.table({"doc_id": batch["doc_id"],
-                     "simhash": pa.array(np.array(sigs, dtype=np.uint64))})
+                     "simhash": pa.array(sigs)})
 
 
 def simhash_signatures(sf_dir: str):
-    import ray.data as rd
-    return rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"]) \
-             .map_batches(simhash_batch, batch_format="pyarrow")
+    return _read_docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(simhash_batch, batch_format="pyarrow")
 
 
 # ------------------------------------------------------- ngram jaccard ----
-def jaccard_pairs(sf_dir: str, threshold: float = 0.5):
+def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
+                  max_bucket: int = MAX_SHINGLE_BUCKET):
     """Exact token-3-gram Jaccard over all pairs sharing a shingle.
 
-    Shuffle = groupby(shingle) then groupby(pair); per-shingle groups are
-    candidate generators (head shingles are the skew risk — at scale cap
-    bucket size / drop ultra-common shingles, the standard LSH trick; the
-    sf-scale exact version keeps everything so the oracle can match).
+    Shuffle = groupby(shingle) then groupby(pair). Per-doc distinct-shingle
+    counts ride on the shingle rows themselves (known at explode time), so
+    |A∪B| = nA + nB − inter needs NO driver-side dict and NO broadcast —
+    the r1 scale-killer is gone. Head shingles are the skew risk: buckets
+    larger than ``max_bucket`` docs are dropped before the all-pairs
+    expansion (candidate recall loss only via shingles shared by > cap
+    docs — those are stop-shingles, the standard LSH trick; the cap is
+    mirrored in the SQL oracle and does not bind at sf scale).
     Output: (a, b, jaccard) for pairs with jaccard >= threshold.
     """
-    import ray.data as rd
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
-        out_doc, out_sh = [], []
-        for did, text in zip(batch["doc_id"].to_pylist(),
-                             batch["text"].to_pylist()):
-            for s in set(_shingles(text)):
-                out_doc.append(did)
-                out_sh.append(s)
-        return pa.table({"doc_id": pa.array(out_doc, pa.int64()),
-                         "shingle": pa.array(out_sh, pa.string())})
+        doc_ids = batch["doc_id"].to_numpy()
+        prow, pcode, _, uniq = _batch_shingles(batch["text"])
+        if not len(prow):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "shingle": pa.array([], pa.string()),
+                             "nsh": pa.array([], pa.int64())})
+        # per-doc distinct count rides on every row (carried size pattern)
+        nsh = np.bincount(prow, minlength=len(doc_ids))
+        u = np.asarray(uniq, dtype=object)
+        return pa.table({
+            "doc_id": pa.array(doc_ids[prow], pa.int64()),
+            "shingle": pa.array(u[pcode], pa.string()),
+            "nsh": pa.array(nsh[prow].astype(np.int64)),
+        })
 
     rows = ds.map_batches(shingle_rows, batch_format="pyarrow")
 
-    # per-doc distinct-shingle counts (for |A| + |B|), broadcast to verifiers
-    import ray
-    sizes_df = rows.groupby("doc_id").count().to_pandas()
-    sizes = dict(zip(sizes_df["doc_id"], sizes_df["count()"]))
-    sizes_ref = ray.put(sizes)
-
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique().tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64")})
-        a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1:]])
-        return pd.DataFrame({"a": list(a), "b": list(b)})
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64"),
+                              "na": pd.Series([], dtype="int64"),
+                              "nb": pd.Series([], dtype="int64")})
+        if len(ids) < 2 or len(ids) > max_bucket:
+            return empty
+        ns = g["nsh"].to_numpy()
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[ii], "b": ids[jj],
+                             "na": ns[ii], "nb": ns[jj]})
 
     pairs = rows.groupby("shingle").map_groups(bucket_pairs,
                                                batch_format="pandas")
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        import ray as _ray
-        sz = _ray.get(sizes_ref)
         a = int(g["a"].iloc[0])
         b = int(g["b"].iloc[0])
-        inter = len(g)  # one row per shared shingle
-        j = inter / (sz[a] + sz[b] - inter)
+        inter = len(g)  # one row per shared (uncapped) shingle
+        j = inter / (int(g["na"].iloc[0]) + int(g["nb"].iloc[0]) - inter)
         if j >= threshold:
             return pd.DataFrame({"a": [a], "b": [b], "jaccard": [j]})
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
@@ -222,111 +403,202 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5):
 
 
 # -------------------------------------------------- near-dup clusters ----
+def _star_round(edges, small: bool):
+    """One large-star (small=False) or small-star (small=True) round of the
+    MapReduce connected-components algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"): group the directed edge list by
+    node; large-star connects every LARGER neighbor to the group min,
+    small-star connects every smaller-or-equal neighbor to the min. Both
+    are one groupby + flat re-emit — no driver state."""
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        u = int(g["u"].iloc[0])
+        nbrs = np.unique(g["v"].to_numpy())
+        m = min(u, int(nbrs[0]))
+        if small:
+            targets = nbrs[nbrs <= u]
+        else:
+            targets = nbrs[nbrs > u]
+        targets = targets[targets != m]
+        if u != m and small:
+            targets = np.unique(np.append(targets, u))
+            targets = targets[targets != m]
+        if not len(targets):
+            return pd.DataFrame({"u": pd.Series([], dtype="int64"),
+                                 "v": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"u": targets.astype(np.int64),
+                             "v": np.full(len(targets), m, np.int64)})
+    return edges.groupby("u").map_groups(fn, batch_format="pandas")
+
+
+def connected_components(pairs, max_rounds: int = 16):
+    """Distributed connected components over an (a, b) edge Dataset via
+    alternating large-star/small-star rounds → (doc_id, cluster_id = min
+    doc_id of the component), one row per node that appears in any edge.
+
+    Converges in O(log n) rounds (fingerprint = (row count, Σu, Σv) stable
+    across one large+small round pair); per round the data moving is the
+    (sparse) edge list — the driver holds only scalar aggregates, never
+    the edges (the r1 driver-side union-find is gone).
+    """
+    import pyarrow as pa  # noqa: F401
+
+    def to_directed(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        a = b["a"]
+        bb = b["b"]
+        return pa.table({
+            "u": pa.concat_arrays([pc.cast(a, pa.int64()).combine_chunks(),
+                                   pc.cast(bb, pa.int64()).combine_chunks()]),
+            "v": pa.concat_arrays([pc.cast(bb, pa.int64()).combine_chunks(),
+                                   pc.cast(a, pa.int64()).combine_chunks()]),
+        })
+
+    edges = pairs.map_batches(to_directed, batch_format="pyarrow") \
+        .materialize()
+
+    def fingerprint(ds) -> tuple:
+        import pyarrow.compute as pc
+        n = su = sv = 0
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            n += b.num_rows
+            su += int(pc.sum(b["u"]).as_py() or 0)
+            sv += int(pc.sum(b["v"]).as_py() or 0)
+        return n, su, sv
+
+    prev = None
+    for _ in range(max_rounds):
+        # large-star then small-star; re-symmetrize + dedupe between rounds
+        # (materialize checkpoints the round so the fingerprint pass and
+        # the next groupby don't both re-run the whole lineage)
+        stars = _star_round(edges, small=False)
+        edges = _dedup_uv(stars.map_batches(
+            to_directed_pairs, batch_format="pyarrow")).materialize()
+        stars2 = _star_round(edges, small=True)
+        edges = _dedup_uv(stars2.map_batches(
+            to_directed_pairs, batch_format="pyarrow")).materialize()
+        fp = fingerprint(edges)
+        if fp == prev or fp[0] == 0:
+            break
+        prev = fp
+
+    # at convergence every edge points node → component min; emit labels
+    def labels(g: pd.DataFrame) -> pd.DataFrame:
+        u = int(g["u"].iloc[0])
+        m = int(g["v"].min())
+        return pd.DataFrame({"doc_id": [u], "cluster_id": [min(u, m)]})
+
+    node_labels = edges.groupby("u").map_groups(labels,
+                                                batch_format="pandas")
+    return node_labels
+
+
+def to_directed_pairs(b: pa.Table) -> pa.Table:
+    """(u, v) star edges → symmetric directed edge list (both directions),
+    so the next star round sees every node as a group key."""
+    import pyarrow.compute as pc
+    u = pc.cast(b["u"], pa.int64()).combine_chunks()
+    v = pc.cast(b["v"], pa.int64()).combine_chunks()
+    return pa.table({"u": pa.concat_arrays([u, v]),
+                     "v": pa.concat_arrays([v, u])})
+
+
+def _dedup_uv(edges):
+    """Drop duplicate directed edges (cheap per-group head)."""
+    return edges.groupby(["u", "v"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
 def near_dup_clusters(sf_dir: str):
     """Connected components over the MinHash-LSH candidate pairs → one row
     per clustered doc: (doc_id, cluster_id = min doc_id in its component).
 
-    The candidate-pair edge list is SPARSE by construction (LSH emits only
-    likely near-dups), so the components run driver-side over the collected
-    pairs (union-find) — the standard final step of a web-scale dedup
-    pipeline (keep one representative per cluster). At 100 TB, swap the
-    driver fold for the large-star/small-star iteration: alternate
-    ``groupby(node).min`` label propagation over the (still sparse) edge
-    Dataset until no label changes; the output contract is identical.
-    Docs in no pair are not emitted (their cluster is themselves).
+    Distributed end-to-end: LSH pair generation (bucket groupbys) feeds the
+    alternating large-star/small-star label propagation — the classic
+    MapReduce components algorithm; no driver-side union-find, no
+    ``to_pandas`` of the edge list. Docs in no pair are not emitted (their
+    cluster is themselves).
     """
-    import pandas as pd
-
-    pairs = minhash_candidate_pairs(sf_dir).to_pandas()
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]  # path halving
-            x = parent[x]
-        return x
-
-    for a, b in zip(pairs["a"], pairs["b"]):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            if ra < rb:  # deterministic: smaller id wins
-                parent[rb] = ra
-            else:
-                parent[ra] = rb
-    rows = sorted((n, find(n)) for n in parent)
-    return pd.DataFrame({"doc_id": [n for n, _ in rows],
-                         "cluster_id": [c for _, c in rows]})
+    pairs = minhash_candidate_pairs(sf_dir)
+    return connected_components(pairs)
 
 
 # ------------------------------------------- embedding-cosine near-dup ----
 def embedding_dup_pairs(sf_dir: str, threshold: float = 0.95,
-                        concurrency: int | None = None):
+                        block_rows: int = 4096):
     """Embedding-cosine near-duplicate pairs: (a, b, cos) for all vector
-    pairs with cosine ≥ threshold, a < b.
+    pairs with cosine ≥ threshold, a < b. EXACT, and distributed as a
+    block-pair join: vectors load once into the object store as normalized
+    blocks (one loader task per parquet row-group range — the driver holds
+    only ObjectRefs), then one task per block pair (i ≤ j) multiplies two
+    blocks and emits its qualifying pairs. O(N²/B²) bounded-memory tasks
+    replace r1's full-matrix broadcast + per-batch O(N·d) matmul; nothing
+    driver-side scales with N. For approximate scale-out beyond exact
+    reach, LSH/IVF bucketing lives in ``pipelines.ann`` (bucket first,
+    brute-force within buckets).
 
-    Each batch multiplies against the full normalized matrix broadcast once
-    via ``ray.put`` (at sf scale the matrix is small; at 100 TB replace the
-    broadcast side with LSH/IVF buckets — ``pipelines.ann`` holds both
-    bucketing schemes — so each batch multiplies only against its bucket).
     Scores rounded to 6dp: float dot products are summation-order-dependent.
     """
     import pyarrow.parquet as pq
     import ray
     import ray.data as rd
 
-    from ..util.pool import pool_size
+    path = f"{sf_dir}/embeddings.parquet"
+    meta = pq.read_metadata(path)
+    n = meta.num_rows
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
-    df = t.to_pandas().sort_values("vec_id")
-    ids_all = df["vec_id"].to_numpy()
-    mat = np.vstack(df["embedding"].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    mat = mat / norms
-    shared = ray.put((ids_all, mat))
+    @ray.remote
+    def load_block(lo: int, hi: int):
+        t = pq.read_table(path, columns=["vec_id", "embedding"])
+        t = t.slice(lo, hi - lo)
+        ids = t["vec_id"].to_numpy()
+        mat = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return ids, mat / norms
 
-    class PairFinder:
-        def __init__(self):
-            import ray as _ray
-            self.ids, self.mat = _ray.get(shared)
+    bounds = list(range(0, n, block_rows)) + [n]
+    refs = [load_block.remote(bounds[i], bounds[i + 1])
+            for i in range(len(bounds) - 1)]
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vid = batch["vec_id"].to_numpy()
-            m = np.vstack(batch["embedding"].to_numpy(zero_copy_only=False)) \
-                .astype(np.float64)
-            n = np.linalg.norm(m, axis=1, keepdims=True)
-            n[n == 0] = 1.0
-            sims = (m / n) @ self.mat.T              # (batch, all)
-            ii, jj = np.nonzero(sims >= threshold)
-            a = vid[ii]
-            b = self.ids[jj]
-            keep = a < b                              # each pair once
-            return pa.table({
-                "a": pa.array(a[keep], pa.int64()),
-                "b": pa.array(b[keep], pa.int64()),
-                "cos_r": pa.array(np.round(sims[ii, jj][keep], 6)),
-            })
+    @ray.remote
+    def pair_block(bi, bj, same: bool):
+        ids_i, m_i = bi
+        ids_j, m_j = bj
+        sims = m_i @ m_j.T
+        ii, jj = np.nonzero(sims >= threshold)
+        if same:  # each unordered in-block pair once (upper triangle)
+            keep = ii < jj
+            ii, jj = ii[keep], jj[keep]
+        x = ids_i[ii]
+        y = ids_j[jj]
+        # canonical (a < b) regardless of id↔block alignment
+        a = np.minimum(x, y)
+        b = np.maximum(x, y)
+        keep = a < b  # drops id self-pairs only
+        return pa.table({
+            "a": pa.array(a[keep], pa.int64()),
+            "b": pa.array(b[keep], pa.int64()),
+            "cos_r": pa.array(np.round(sims[ii, jj][keep], 6)),
+        })
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
-    return ds.map_batches(PairFinder, batch_format="pyarrow",
-                          batch_size=1024,
-                          concurrency=pool_size(concurrency))
+    tasks = [pair_block.remote(refs[i], refs[j], i == j)
+             for i in range(len(refs)) for j in range(i, len(refs))]
+    parts = ray.get(tasks)  # each part is a tiny qualifying-pairs table
+    return rd.from_arrow(pa.concat_tables(parts))
 
 
-def simhash_candidate_pairs(sf_dir: str):
+def simhash_candidate_pairs(sf_dir: str, max_bucket: int = MAX_LSH_BUCKET):
     """SimHash near-dup candidates: the 4-band exact-match trick — two
     64-bit signatures within Hamming distance 3 must agree exactly on at
     least one of four 16-bit bands (pigeonhole). Explode each doc to 4
     (band, band_bits) rows, groupby buckets → pairs, verified by the true
-    Hamming distance. Shuffle moves 4 rows per doc.
+    Hamming distance. Shuffle moves 4 rows per doc; over-cap buckets drop
+    before the all-pairs expansion.
     """
-    import ray.data as rd
-
     def bands(batch: pa.Table) -> pa.Table:
-        sigs = np.array([simhash64(t) for t in batch["text"].to_pylist()],
-                        dtype=np.uint64)
+        sig_t = simhash_batch(batch)
+        sigs = sig_t["simhash"].to_numpy().astype(np.uint64)
         doc = batch["doc_id"].to_numpy()
         out_doc, out_band, out_bits, out_sig = [], [], [], []
         for b in range(4):
@@ -342,15 +614,14 @@ def simhash_candidate_pairs(sf_dir: str):
             "sig": pa.array(np.concatenate(out_sig), pa.int64()),
         })
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
-    rows = ds.map_batches(bands, batch_format="pyarrow")
+    rows = _read_docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(bands, batch_format="pyarrow")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("doc_id").sort_values("doc_id")
         ids = g["doc_id"].to_numpy()
         sigs = g["sig"].to_numpy().astype(np.uint64)
-        if len(ids) < 2:
+        if len(ids) < 2 or len(ids) > max_bucket:
             return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                                  "b": pd.Series([], dtype="int64"),
                                  "hamming": pd.Series([], dtype="int64")})

@@ -443,3 +443,61 @@ def test_title_field_search(searcher, corpus_texts):
         (Occur.SHOULD, TermQuery("spark", "title"))), k=10_000)
     text_only = searcher.search(TermQuery("spark"), k=10_000)
     assert set(_docs_of(both)) == set(_docs_of(text_only)) | set(exp)
+
+
+def test_minhash_simhash_batch_match_scalar(ray_session):
+    """The vectorized batch hashing stages must reproduce the scalar
+    reference paths bit-for-bit (same md5 window contract)."""
+    import pyarrow as pa
+
+    from lucene_kmp_ray.pipelines.dedup import (LSH_BANDS, LSH_ROWS,
+                                                minhash_batch,
+                                                minhash_signature,
+                                                simhash64, simhash_batch)
+    texts = [
+        "the fast key order sort table scan merge",
+        "a b",                       # short doc (dl < N_SHINGLE)
+        "",                          # empty
+        "x",                         # single token
+        "spark join spark join spark join window",
+        "the fast key order sort table scan merge",  # exact dup
+    ]
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+    out = minhash_batch(batch)
+    got = {}
+    for d, b, h in zip(out["doc_id"].to_pylist(), out["band"].to_pylist(),
+                       out["band_hash"].to_pylist()):
+        got.setdefault(d, {})[b] = h
+    for i, t in enumerate(texts):
+        sig = minhash_signature(t)
+        if not any(sig):
+            assert i not in got  # shingle-less docs emit no bands
+            continue
+        for b in range(LSH_BANDS):
+            exp = "-".join(sig[b * LSH_ROWS:(b + 1) * LSH_ROWS])
+            assert got[i][b] == exp, (i, b)
+
+    sims = simhash_batch(batch)["simhash"].to_pylist()
+    for i, t in enumerate(texts):
+        assert sims[i] == simhash64(t), i
+
+
+def test_connected_components_distributed(ray_session):
+    """Large-star/small-star label propagation: chains force multi-round
+    convergence; labels must equal min-reachable (the union-find result)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_kmp_ray.pipelines.dedup import connected_components
+    # chain 0-1-2-...-7, separate triangle {10,11,12}, pair {20, 21}
+    edges = [(i, i + 1) for i in range(7)] + \
+        [(10, 11), (11, 12), (10, 12), (20, 21)]
+    pairs = rd.from_arrow(pa.table({
+        "a": pa.array([a for a, _ in edges], pa.int64()),
+        "b": pa.array([b for _, b in edges], pa.int64())}))
+    out = connected_components(pairs).to_pandas().sort_values("doc_id")
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    exp = {i: 0 for i in range(8)}
+    exp.update({10: 10, 11: 10, 12: 10, 20: 20, 21: 20})
+    assert got == exp
