@@ -106,11 +106,9 @@ def invert_field(texts, n_docs: int, analyzer=None):
     term_ends = np.append(term_starts[1:], n_entries)
     pos_bounds = np.append(0, np.cumsum(s_freq))
 
-    terms_table = encode_term_table(
-        ((uniques[t], s_doc[term_starts[t]:term_ends[t]],
-          s_freq[term_starts[t]:term_ends[t]],
-          pos_delta[pos_bounds[term_starts[t]]:pos_bounds[term_ends[t]]])
-         for t in range(n_terms)), norms)
+    terms_table = encode_term_table_arrays(
+        uniques, s_doc, s_freq, pos_delta, term_starts, term_ends,
+        pos_bounds, norms)
     return doc_lengths, norms, terms_table
 
 
@@ -197,6 +195,172 @@ def _prepend_field(terms_table: pa.Table, field: str) -> pa.Table:
     n = terms_table.num_rows
     return terms_table.add_column(
         0, "field", pa.array([field] * n, type=pa.string()))
+
+
+def _binary_column(n_terms: int, sgl_idx: np.ndarray, stream: np.ndarray,
+                   block_starts: np.ndarray, multi_idx: np.ndarray,
+                   multi_bytes: list[bytes]) -> pa.Array:
+    """Assemble one per-term binary column: single-block terms slice out
+    of the shared block stream with ONE fancy-index copy; the (rare)
+    multi-block terms fill from their per-term bytes. Output is built
+    straight into an Arrow binary buffer — zero per-term Python objects
+    on the bulk path."""
+    block_ends = np.append(block_starts[1:], len(stream)) \
+        if len(block_starts) else np.empty(0, np.int64)
+    sl = (block_ends - block_starts).astype(np.int64)
+    lengths = np.zeros(n_terms, np.int64)
+    lengths[sgl_idx] = sl
+    for j, i in enumerate(multi_idx):
+        lengths[i] = len(multi_bytes[j])
+    offsets = np.zeros(n_terms + 1, np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    data = np.empty(int(offsets[-1]), np.uint8)
+    total = int(sl.sum())
+    if total:
+        out_start = np.cumsum(sl) - sl
+        within = np.arange(total, dtype=np.int64) - np.repeat(out_start, sl)
+        src = np.repeat(block_starts, sl) + within
+        dest = np.repeat(offsets[sgl_idx], sl) + within
+        data[dest] = stream[src]
+    for j, i in enumerate(multi_idx):
+        o = int(offsets[i])
+        b = multi_bytes[j]
+        data[o:o + len(b)] = np.frombuffer(b, np.uint8)
+    return pa.Array.from_buffers(
+        pa.binary(), n_terms,
+        [None, pa.py_buffer(offsets.astype(np.int32).tobytes()),
+         pa.py_buffer(data.tobytes())])
+
+
+def _list_column(n_terms: int, counts: np.ndarray,
+                 values: np.ndarray) -> pa.Array:
+    """Per-term list<int32> column from (counts per term, concatenated
+    values in term order)."""
+    offsets = np.zeros(n_terms + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32)),
+        pa.array(values.astype(np.int32)))
+
+
+def encode_term_table_arrays(uniques, s_doc, s_freq, pos_delta,
+                             term_starts, term_ends, pos_bounds,
+                             norms: np.ndarray) -> pa.Table:
+    """Bulk term-table encode over the inverter's flat entry arrays.
+
+    The r1 per-term Python loop (one generator step + ~10 numpy calls per
+    term) is invisible on a 31-term synthetic vocabulary and dominant on a
+    real web vocabulary (millions of terms/segment, mostly df=1). Here
+    every term whose three streams fit one 128-value block — at web scale
+    the overwhelming majority — encodes via ONE call each to
+    ``for_blocks_matrix`` / ``pfor_blocks_matrix`` (terms stacked as rows;
+    blocks are independent in the stream so the bytes are identical to the
+    per-term path, asserted in tests), and the output Arrow buffers are
+    assembled by fancy indexing. Multi-block terms (the Zipf head) fall
+    back to the per-term path and are stitched into the same columns.
+    """
+    n_terms = len(uniques)
+    df = (term_ends - term_starts).astype(np.int64)
+    ttf = (pos_bounds[term_ends] - pos_bounds[term_starts]).astype(np.int64)
+    single = (df <= fu.BLOCK_SIZE) & (ttf <= fu.BLOCK_SIZE)
+    sgl_idx = np.flatnonzero(single)
+    multi_idx = np.flatnonzero(~single)
+
+    # docs delta chain restarts at every term: one global diff + absolute
+    # first-of-term fix (no per-term delta_encode calls)
+    d_delta = np.empty_like(s_doc)
+    if len(s_doc):
+        d_delta[0] = s_doc[0]
+        np.subtract(s_doc[1:], s_doc[:-1], out=d_delta[1:])
+        d_delta[term_starts] = s_doc[term_starts]
+
+    # ---- bulk single-block path: stack terms as matrix rows ----
+    k = len(sgl_idx)
+    st = term_starts[sgl_idx]
+    cnt = df[sgl_idx]
+    D = np.zeros((k, fu.BLOCK_SIZE), np.uint64)
+    F = np.zeros((k, fu.BLOCK_SIZE), np.uint64)
+    P = np.zeros((k, fu.BLOCK_SIZE), np.uint64)
+    if k:
+        total = int(cnt.sum())
+        out_start = np.cumsum(cnt) - cnt
+        within = np.arange(total, dtype=np.int64) - np.repeat(out_start, cnt)
+        gather = np.repeat(st, cnt) + within
+        rows = np.repeat(np.arange(k), cnt)
+        D[rows, within] = d_delta[gather].astype(np.uint64)
+        F[rows, within] = s_freq[gather].astype(np.uint64)
+        pst = pos_bounds[st]
+        pcnt = ttf[sgl_idx]
+        ptotal = int(pcnt.sum())
+        pout = np.cumsum(pcnt) - pcnt
+        pwithin = np.arange(ptotal, dtype=np.int64) - np.repeat(pout, pcnt)
+        pgather = np.repeat(pst, pcnt) + pwithin
+        prows = np.repeat(np.arange(k), pcnt)
+        P[prows, pwithin] = pos_delta[pgather].astype(np.uint64)
+    else:
+        pcnt = np.empty(0, np.int64)
+    d_stream, d_starts = fu.for_blocks_matrix(D, cnt)
+    f_stream, f_starts = fu.pfor_blocks_matrix(F, cnt)
+    p_stream, p_starts = fu.pfor_blocks_matrix(P, pcnt)
+
+    # ---- multi-block (head) terms: per-term fallback ----
+    m_docs, m_freqs, m_pos = [], [], []
+    m_last, m_maxf, m_minn = [], [], []
+    for t in multi_idx:
+        d = s_doc[term_starts[t]:term_ends[t]]
+        f = s_freq[term_starts[t]:term_ends[t]]
+        posd = pos_delta[pos_bounds[term_starts[t]]:pos_bounds[term_ends[t]]]
+        m_docs.append(fu.encode_blocks(fu.delta_encode(d)))
+        m_freqs.append(fu.encode_blocks_pfor(f))
+        m_pos.append(fu.encode_blocks_pfor(posd))
+        idx = np.arange(0, len(d), fu.BLOCK_SIZE)
+        m_last.append(d[np.minimum(idx + fu.BLOCK_SIZE - 1, len(d) - 1)]
+                      .astype(np.int32))
+        m_maxf.append(np.maximum.reduceat(f, idx).astype(np.int32))
+        m_minn.append(np.minimum.reduceat(
+            norms[d].astype(np.int64), idx).astype(np.int32))
+
+    # ---- skip/impact metadata: one reduceat across ALL terms for the
+    # single-block majority (each such term is exactly one block) ----
+    if n_terms:
+        per_term_maxf = np.maximum.reduceat(s_freq, term_starts) \
+            if len(s_freq) else np.empty(0, np.int64)
+        per_term_minn = np.minimum.reduceat(
+            norms[s_doc].astype(np.int64), term_starts) \
+            if len(s_doc) else np.empty(0, np.int64)
+        last_doc = s_doc[term_ends - 1]
+    blk_counts = np.ones(n_terms, np.int64)
+    for j, i in enumerate(multi_idx):
+        blk_counts[i] = len(m_last[j])
+    total_blocks = int(blk_counts.sum())
+    v_last = np.empty(total_blocks, np.int64)
+    v_maxf = np.empty(total_blocks, np.int64)
+    v_minn = np.empty(total_blocks, np.int64)
+    boff = np.cumsum(blk_counts) - blk_counts
+    if n_terms:
+        v_last[boff[sgl_idx]] = last_doc[sgl_idx]
+        v_maxf[boff[sgl_idx]] = per_term_maxf[sgl_idx]
+        v_minn[boff[sgl_idx]] = per_term_minn[sgl_idx]
+    for j, i in enumerate(multi_idx):
+        o = int(boff[i])
+        v_last[o:o + blk_counts[i]] = m_last[j]
+        v_maxf[o:o + blk_counts[i]] = m_maxf[j]
+        v_minn[o:o + blk_counts[i]] = m_minn[j]
+
+    return pa.table({
+        "term": pa.array(uniques, type=pa.string()),
+        "df": pa.array(df, type=pa.int64()),
+        "ttf": pa.array(ttf, type=pa.int64()),
+        "docs_enc": _binary_column(n_terms, sgl_idx, d_stream, d_starts,
+                                   multi_idx, m_docs),
+        "freqs_enc": _binary_column(n_terms, sgl_idx, f_stream, f_starts,
+                                    multi_idx, m_freqs),
+        "pos_enc": _binary_column(n_terms, sgl_idx, p_stream, p_starts,
+                                  multi_idx, m_pos),
+        "block_last_doc": _list_column(n_terms, blk_counts, v_last),
+        "block_max_freq": _list_column(n_terms, blk_counts, v_maxf),
+        "block_min_norm": _list_column(n_terms, blk_counts, v_minn),
+    })
 
 
 def encode_term_table(entries, norms: np.ndarray) -> pa.Table:

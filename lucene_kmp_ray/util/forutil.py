@@ -66,6 +66,68 @@ def _bit_length_np(v: np.ndarray) -> np.ndarray:
     return out
 
 
+def _pack_ragged(out: np.ndarray, pay_start: np.ndarray, widths: np.ndarray,
+                 resh: np.ndarray, counts: np.ndarray) -> None:
+    """Pack each block's first ``counts[b]`` values (``widths[b]`` bits
+    each, LSB-first) into ``out`` at byte offset ``pay_start[b]``.
+
+    Work is O(Σ counts[b]·widths[b]) — the true bit count — instead of the
+    former per-width (k, 128, w) bit tensor, which expanded the zero
+    padding too (128× waste for the df=1 terms that dominate a web
+    vocabulary). Every absolute bit position is written at most once, so
+    the byte accumulation is an exact np.bincount.
+    """
+    nblocks = len(counts)
+    if nblocks == 0:
+        return
+    vb = np.repeat(np.arange(nblocks), counts)
+    total = len(vb)
+    if total == 0:
+        return
+    ob = np.cumsum(counts) - counts
+    iib = np.arange(total, dtype=np.int64) - np.repeat(ob, counts)
+    vals = resh[vb, iib]
+    w = widths[vb]
+    keep = w > 0
+    if not keep.all():
+        vals, vb, iib, w = vals[keep], vb[keep], iib[keep], w[keep]
+    if len(vals) == 0:
+        return
+    bit_start = pay_start[vb] * 8 + iib * w
+    tb = int(w.sum())
+    off = np.cumsum(w) - w
+    bit_idx = np.arange(tb, dtype=np.int64) - np.repeat(off, w)
+    val_rep = np.repeat(vals, w)
+    bits = ((val_rep >> bit_idx.astype(np.uint64)) &
+            np.uint64(1)).astype(np.int64)
+    abs_bit = np.repeat(bit_start, w) + bit_idx
+    contrib = bits << (abs_bit & 7)
+    acc = np.bincount(abs_bit >> 3, weights=contrib, minlength=len(out))
+    out |= acc.astype(np.uint8)
+
+
+def for_blocks_matrix(resh: np.ndarray,
+                      counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """FOR-encode a (nblocks, 128) uint64 matrix (row b holds ``counts[b]``
+    values, zero-padded) into one self-describing block stream. Blocks are
+    INDEPENDENT in the stream, so callers may treat each row as a separate
+    value list (the bulk single-block-term path of encode_term_table) or as
+    consecutive blocks of one list (encode_blocks) — the bytes per block
+    are identical either way. Returns ``(stream_uint8, block_starts)``
+    (block b's bytes are ``stream[starts[b]:starts[b+1] or end]``).
+    """
+    nblocks = resh.shape[0]
+    widths = _bit_length_np(resh.max(axis=1).astype(np.int64))
+    payload = (counts * widths + 7) // 8
+    # stream offsets: 1 header byte + payload per block
+    ends = np.cumsum(1 + payload)
+    starts = ends - (1 + payload)
+    out = np.zeros(int(ends[-1]) if nblocks else 0, dtype=np.uint8)
+    out[starts] = widths.astype(np.uint8)
+    _pack_ragged(out, starts + 1, widths, resh, counts)
+    return out, starts
+
+
 def encode_blocks(vals: np.ndarray) -> bytes:
     """FOR-encode an int array into self-describing 128-value blocks.
 
@@ -82,30 +144,9 @@ def encode_blocks(vals: np.ndarray) -> bytes:
     nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
     padded = np.zeros(nblocks * BLOCK_SIZE, dtype=np.uint64)
     padded[:n] = v.astype(np.uint64)
-    resh = padded.reshape(nblocks, BLOCK_SIZE)
-    widths = _bit_length_np(resh.max(axis=1))
     counts = np.full(nblocks, BLOCK_SIZE, dtype=np.int64)
     counts[-1] = n - (nblocks - 1) * BLOCK_SIZE
-    payload = (counts * widths + 7) // 8
-    # stream offsets: 1 header byte + payload per block
-    ends = np.cumsum(1 + payload)
-    starts = ends - (1 + payload)
-    out = np.zeros(int(ends[-1]), dtype=np.uint8)
-    out[starts] = widths.astype(np.uint8)
-    for w in np.unique(widths):
-        if w == 0:
-            continue
-        idx = np.flatnonzero(widths == w)
-        rows = resh[idx]  # (k, 128)
-        bits = ((rows[:, :, None] >> np.arange(w, dtype=np.uint64)) & 1) \
-            .astype(np.uint8)
-        packed = np.packbits(bits.reshape(len(idx), BLOCK_SIZE * int(w)),
-                             axis=1, bitorder="little")  # (k, 16*w)
-        # scatter each block's true payload bytes after its header byte
-        take = payload[idx]  # tail block may take fewer bytes
-        dest = (starts[idx] + 1)[:, None] + np.arange(packed.shape[1])
-        mask = np.arange(packed.shape[1])[None, :] < take[:, None]
-        out[dest[mask]] = packed[mask]
+    out, _ = for_blocks_matrix(padded.reshape(nblocks, BLOCK_SIZE), counts)
     return out.tobytes()
 
 
@@ -137,11 +178,21 @@ def encode_blocks_pfor(vals: np.ndarray) -> bytes:
     nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
     padded = np.zeros(nblocks * BLOCK_SIZE, dtype=np.uint64)
     padded[:n] = v.astype(np.uint64)
-    resh = padded.reshape(nblocks, BLOCK_SIZE)
-    bl = _bit_length_np(resh.reshape(-1).astype(np.int64)) \
-        .reshape(nblocks, BLOCK_SIZE)
     counts = np.full(nblocks, BLOCK_SIZE, dtype=np.int64)
     counts[-1] = n - (nblocks - 1) * BLOCK_SIZE
+    out, _ = pfor_blocks_matrix(padded.reshape(nblocks, BLOCK_SIZE), counts)
+    return out.tobytes()
+
+
+def pfor_blocks_matrix(resh: np.ndarray,
+                       counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """PFor-encode a (nblocks, 128) matrix into one block stream — the
+    vectorized core of encode_blocks_pfor, shared with the bulk
+    single-block-term path (see for_blocks_matrix on block independence).
+    Returns ``(stream_uint8, block_starts)``."""
+    nblocks = resh.shape[0]
+    bl = _bit_length_np(resh.reshape(-1).astype(np.int64)) \
+        .reshape(nblocks, BLOCK_SIZE)
 
     # top-(MAX_EXCEPTIONS+1) bit lengths per block, descending
     k = MAX_EXCEPTIONS + 1
@@ -168,7 +219,7 @@ def encode_blocks_pfor(vals: np.ndarray) -> bytes:
     block_bytes = 1 + np.where(patched, 1 + 2 * n_exc, 0) + payload
     ends = np.cumsum(block_bytes)
     starts = ends - block_bytes
-    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    out = np.zeros(int(ends[-1]) if nblocks else 0, dtype=np.uint8)
     out[starts] = np.where(patched, PATCHED_FLAG | widths, widths) \
         .astype(np.uint8)
     out[starts[patched] + 1] = n_exc[patched].astype(np.uint8)
@@ -178,30 +229,23 @@ def encode_blocks_pfor(vals: np.ndarray) -> bytes:
                       (np.uint64(1) << np.minimum(widths, 63)
                        .astype(np.uint64)) - np.uint64(1))
     base = resh & mask64[:, None]
-    for w in np.unique(widths):
-        if w == 0:
-            continue
-        idx = np.flatnonzero(widths == w)
-        rows = base[idx]
-        bits = ((rows[:, :, None] >> np.arange(w, dtype=np.uint64)) & 1) \
-            .astype(np.uint8)
-        packed = np.packbits(bits.reshape(len(idx), BLOCK_SIZE * int(w)),
-                             axis=1, bitorder="little")
-        take = payload[idx]
-        dest = pay_start[idx][:, None] + np.arange(packed.shape[1])
-        m = np.arange(packed.shape[1])[None, :] < take[:, None]
-        out[dest[m]] = packed[m]
-    # exception byte pairs (patched blocks only; ≤7 each)
-    for b in np.flatnonzero(patched):
-        w = int(widths[b])
-        pos_in_block = np.flatnonzero(bl[b] > w)
-        highs = (resh[b, pos_in_block] >> np.uint64(w)).astype(np.uint8)
-        e0 = int(starts[b] + 1 + 1 + payload[b])
-        pairs = np.empty(2 * len(pos_in_block), dtype=np.uint8)
-        pairs[0::2] = pos_in_block.astype(np.uint8)
-        pairs[1::2] = highs
-        out[e0:e0 + len(pairs)] = pairs
-    return out.tobytes()
+    _pack_ragged(out, pay_start, widths, base, counts)
+    # exception byte pairs (patched blocks only; positions+highs gathered
+    # with one vectorized pass — no per-block Python)
+    pb = np.flatnonzero(patched)
+    if len(pb):
+        exc_mask = bl[pb] > widths[pb, None]          # (p, 128)
+        prow, pcol = np.nonzero(exc_mask)             # in block order
+        highs = (resh[pb[prow], pcol] >>
+                 widths[pb[prow]].astype(np.uint64)).astype(np.uint8)
+        nes = n_exc[pb]
+        local = np.arange(len(prow)) - np.repeat(
+            np.cumsum(nes) - nes, nes)
+        e0 = starts[pb] + 2 + payload[pb]
+        dest = e0[prow] + 2 * local
+        out[dest] = pcol.astype(np.uint8)
+        out[dest + 1] = highs
+    return out, starts
 
 
 def block_stream_meta(buf, n: int):

@@ -158,3 +158,53 @@ def test_crashed_tmp_dir_does_not_break_resume(tmp_path, ray_session):
     man = build_index(corpus_dataset("/root/testdata/sf0.001"), idx,
                       segment_size=100)
     assert man["doc_count"] == 500 and len(man["segments"]) == 5
+
+
+def test_encode_term_table_arrays_matches_loop_path():
+    """The bulk single-block encoder must be byte-identical to the
+    per-term generator path on random data (incl. multi-block head terms
+    and patched PFor freq blocks)."""
+    import numpy as np
+
+    from lucene_kmp_ray.index.format import (encode_term_table,
+                                             encode_term_table_arrays)
+    rng = np.random.default_rng(7)
+    n_docs = 400
+    norms = rng.integers(1, 255, n_docs).astype(np.uint8)
+    # synthetic postings: 300 tail terms (df 1..5), 3 head terms (df ~300)
+    terms, entries = [], []
+    for i in range(300):
+        df = int(rng.integers(1, 6))
+        docs = np.sort(rng.choice(n_docs, df, replace=False))
+        freqs = rng.integers(1, 50, df)
+        freqs[rng.random(df) < 0.05] += 5000  # pfor exception bait
+        terms.append((f"t{i:04d}", docs, freqs))
+    for i in range(3):
+        df = int(rng.integers(200, 350))
+        docs = np.sort(rng.choice(n_docs, df, replace=False))
+        freqs = rng.integers(1, 9, df)
+        terms.append((f"zzhead{i}", docs, freqs))
+    terms.sort(key=lambda t: t[0])
+
+    s_doc = np.concatenate([d for _, d, _ in terms])
+    s_freq = np.concatenate([f for _, _, f in terms])
+    dfs = np.array([len(d) for _, d, _ in terms])
+    term_ends = np.cumsum(dfs)
+    term_starts = term_ends - dfs
+    pos_bounds = np.append(0, np.cumsum(s_freq))
+    # positions: deltas 1..20, first absolute
+    pos_delta = rng.integers(1, 20, int(s_freq.sum()))
+
+    uniques = np.array([t for t, _, _ in terms], dtype=object)
+    fast = encode_term_table_arrays(uniques, s_doc, s_freq, pos_delta,
+                                    term_starts, term_ends, pos_bounds,
+                                    norms)
+
+    def gen():
+        for t in range(len(terms)):
+            yield (uniques[t], s_doc[term_starts[t]:term_ends[t]],
+                   s_freq[term_starts[t]:term_ends[t]],
+                   pos_delta[pos_bounds[term_starts[t]]:
+                             pos_bounds[term_ends[t]]])
+    slow = encode_term_table(gen(), norms)
+    assert fast.equals(slow), "bulk path diverges from per-term path"
