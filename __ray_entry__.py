@@ -323,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ensure_index(sf), PhraseQuery(tuple(PHRASE_3), slop=2)),
         # --- training-data ops: text analysis ---
         "token_counts": textstats.token_counts,
+        "token_counts_cjk": textstats.token_counts_cjk,
         "quality": textstats.quality,
         "langid": textstats.langid,
         "fingerprints": textstats.fingerprints,
@@ -395,6 +396,7 @@ def oracle_sql() -> dict[str, str]:
         "range_filter_all": oracle.range_filter_all(TERM_A, 40, 60),
         "sorted_by_length": oracle.sorted_by_length(TERM_A, 20),
         "token_counts": oracle.token_counts(),
+        "token_counts_cjk": oracle.token_counts_cjk(),
         "quality": oracle.quality(),
         "langid": oracle.langid(),
         "fingerprints": oracle.fingerprints(),

@@ -15,9 +15,25 @@ driver's SQL oracle can reproduce tokenization exactly:
 where ALNUM = letters | digits | underscore (UAX#29 ExtendNumLet joins words
 with '_'; MidNumLet ``.``/``'`` joins runs with alphanumerics on both sides —
 so ``can't``, ``example.com``, ``3.14`` are single tokens, matching the
-reference). Deviations from full UAX#29 (documented, Latin-focused v1):
-``1,000`` splits at the comma (MidNum) and ``a:b`` at the colon (MidLetter);
-no special CJK/emoji segmentation. Tokens are lowercased after segmentation.
+reference).
+
+CJK segmentation follows the reference's StandardTokenizer grammar
+(``StandardTokenizerImpl.kt:11-32`` token types; conformance vectors from
+``TestStandardAnalyzer.kt`` testChinese/testJapanese/testKorean):
+
+- Han ideographs and Hiragana emit ONE TOKEN PER CHARACTER
+  (<IDEOGRAPHIC>/<HIRAGANA> — "我是中国人" → 我 是 中 国 人,
+  "仮名遣い" → 仮 名 遣 い);
+- Katakana and Hangul emit RUNS ("カタカナ" → カタカナ,
+  "훈민정음" → 훈민정음).
+
+Both the numpy scanner and the regex/SQL fallbacks implement this by the
+same rule (the fallbacks space-isolate CJK first, then run the word regex —
+semantically identical, asserted in tests). Deviations from full UAX#29
+(documented): ``1,000`` splits at the comma (MidNum), ``a:b`` at the colon
+(MidLetter), combining marks split (the LUCENE-1545 case), and emoji have
+no special handling. Tokens are lowercased after segmentation (no-op for
+CJK).
 
 The query side MUST use the same functions (QueryBuilder semantics,
 ``/root/reference/core/.../util/QueryBuilder.kt:45``).
@@ -40,11 +56,55 @@ PY_TOKEN_RE = re.compile(r"\w+(?:['’.]\w+)*", re.UNICODE)
 # letters/numbers; agreement with \w holds for the BMP alphanumerics used here.
 SQL_TOKEN_PATTERN = r"[\pL\pN_]+(?:['’.][\pL\pN_]+)*"
 
+# CJK codepoint ranges (StandardTokenizerImpl grammar). SINGLE = one token
+# per char (Han + Hiragana, <IDEOGRAPHIC>/<HIRAGANA>); RUN = maximal runs
+# (Katakana + Hangul, <KATAKANA>/<HANGUL>).
+CJK_SINGLE_RANGES = ((0x3400, 0x4DBF), (0x4E00, 0x9FFF), (0xF900, 0xFAFF),
+                     (0x3040, 0x309F))
+CJK_SINGLE_ASTRAL = ((0x20000, 0x2FA1F),)  # CJK Ext B+ (slow path only)
+CJK_KATAKANA_RANGES = ((0x30A0, 0x30FF), (0x31F0, 0x31FF))
+CJK_HANGUL_RANGES = ((0xAC00, 0xD7A3), (0x1100, 0x11FF), (0x3130, 0x318F))
+
+
+def _ranges_re(ranges, astral=()):
+    return "".join(f"\\u{lo:04X}-\\u{hi:04X}" for lo, hi in ranges) + \
+        "".join(f"\\U{lo:08X}-\\U{hi:08X}" for lo, hi in astral)
+
+
+_CJK_RUN_RE = re.compile(
+    f"([{_ranges_re(CJK_KATAKANA_RANGES)}]+"
+    f"|[{_ranges_re(CJK_HANGUL_RANGES)}]+)")
+_CJK_SINGLE_RE = re.compile(
+    f"([{_ranges_re(CJK_SINGLE_RANGES, CJK_SINGLE_ASTRAL)}])")
+
+
+_CJK_ANY_RE = re.compile(
+    f"[{_ranges_re(CJK_SINGLE_RANGES + CJK_KATAKANA_RANGES + CJK_HANGUL_RANGES, CJK_SINGLE_ASTRAL)}]")
+
+
+def _pre_cjk(s: str) -> str:
+    """Space-isolate CJK per the grammar (runs whole, singles per char) so
+    the plain word regex then tokenizes them as separate 'words' — the
+    regex-engine-portable form of the scanner's class transitions (RE2 has
+    no lookarounds or class subtraction, so the word class cannot simply
+    exclude CJK)."""
+    return _CJK_SINGLE_RE.sub(r" \1 ", _CJK_RUN_RE.sub(r" \1 ", s))
+
+
+def _ranges_re2(ranges) -> str:
+    return "".join(f"\\x{{{lo:04X}}}-\\x{{{hi:04X}}}" for lo, hi in ranges)
+
 
 def sql_tokens_expr(col: str = "text") -> str:
-    """DuckDB expression: list of lowercased tokens of `col` (oracle side)."""
+    """DuckDB expression: list of lowercased tokens of `col` (oracle side).
+    Mirrors tokenize(): CJK space-isolation replaces, then the word regex."""
     pat = SQL_TOKEN_PATTERN.replace("'", "''")
-    return (f"list_transform(regexp_extract_all({col}, '{pat}'), "
+    run_pat = (f"([{_ranges_re2(CJK_KATAKANA_RANGES)}]+"
+               f"|[{_ranges_re2(CJK_HANGUL_RANGES)}]+)")
+    sgl_pat = f"([{_ranges_re2(CJK_SINGLE_RANGES + CJK_SINGLE_ASTRAL)}])"
+    pre = (f"regexp_replace(regexp_replace({col}, '{run_pat}', ' \\1 ', "
+           f"'g'), '{sgl_pat}', ' \\1 ', 'g')")
+    return (f"list_transform(regexp_extract_all({pre}, '{pat}'), "
             f"t -> lower(t))")
 
 
@@ -64,6 +124,8 @@ def tokenize(text: str) -> list[str]:
     (Python's ``str.lower`` differs on e.g. 'İ', which would silently break
     index/query parity)."""
     import pyarrow.compute as pc
+    if _CJK_ANY_RE.search(text):
+        text = _pre_cjk(text)
     out = []
     for tok in PY_TOKEN_RE.findall(text):
         if len(tok) > MAX_TOKEN_LENGTH:  # over-long tokens split, not dropped
@@ -165,8 +227,9 @@ class EnglishAnalyzer:
 # ---- vectorized batch tokenizer -----------------------------------------
 # Character classes for the numpy scan, derived FROM the regex itself so the
 # two tokenizers agree by construction: 1 = word char (\w), 2 = joiner
-# (' ’ . — token-internal only when flanked by word chars). BMP table built
-# lazily once per process (the once-per-actor state of SURVEY §2.3).
+# (' ’ . — token-internal only when flanked by word chars), 4 = Katakana
+# (runs), 5 = Hangul (runs), 6 = Han/Hiragana (one token per char). BMP
+# table built lazily once per process (once-per-actor state, SURVEY §2.3).
 _CLS_LIMIT = 0x10000
 _CLS_TABLE: np.ndarray | None = None
 _JOINERS = {ord("'"), ord("’"), ord(".")}
@@ -183,6 +246,11 @@ def _cls_table() -> np.ndarray:
                   for c in range(_CLS_LIMIT)), dtype=np.uint8)
         for j in _JOINERS:
             t[j] = 2
+        for cls, ranges in ((4, CJK_KATAKANA_RANGES),
+                            (5, CJK_HANGUL_RANGES),
+                            (6, CJK_SINGLE_RANGES)):
+            for lo, hi in ranges:
+                t[lo:hi + 1] = cls
         t[_CLS_LIMIT] = 255  # sentinel: astral char → slow path
         _CLS_TABLE = t
     return _CLS_TABLE
@@ -196,7 +264,10 @@ def _tokenize_flat_slow(texts) -> tuple[np.ndarray, pa.Array]:
     findall = PY_TOKEN_RE.findall
     maxlen = MAX_TOKEN_LENGTH
     for i, text in enumerate(texts):
-        toks = findall(text or "")
+        text = text or ""
+        if _CJK_ANY_RE.search(text):
+            text = _pre_cjk(text)
+        toks = findall(text)
         if toks and max(map(len, toks)) > maxlen:  # rare slow path
             toks = [piece for t in toks for piece in
                     ([t] if len(t) <= maxlen else
@@ -245,17 +316,30 @@ def tokenize_flat(texts) -> tuple[np.ndarray, pa.Array]:
     next_w = np.empty_like(word)
     next_w[-1] = False
     next_w[:-1] = word[1:]
-    tok = word | ((cls == 2) & prev_w & next_w)
+    # token class per char: 1 = word run (incl. resolved joiners),
+    # 4/5 = Katakana/Hangul runs, 6 = per-char CJK singles
+    tokc = np.where(word | ((cls == 2) & prev_w & next_w),
+                    np.uint8(1), np.uint8(0))
+    cjk = cls >= 4
+    if cjk.any():
+        tokc = np.where(cjk, cls, tokc)
+    tok = tokc > 0
 
-    starts = tok.copy()
-    starts[1:] &= ~tok[:-1]
+    # boundaries: class CHANGE splits (アア|abc|漢); class 6 splits at
+    # every char (one token per ideograph/hiragana)
+    prev_tc = np.empty_like(tokc)
+    prev_tc[0] = 0
+    prev_tc[1:] = tokc[:-1]
+    starts = tok & ((tokc != prev_tc) | (tokc == 6))
     start_idx = np.flatnonzero(starts)
     n_tok = len(start_idx)
     n_docs = len(texts)
     if n_tok == 0:
         return np.zeros(n_docs, np.int64), pa.array([], type=pa.string())
-    ends = tok.copy()
-    ends[:-1] &= ~tok[1:]
+    next_tc = np.empty_like(tokc)
+    next_tc[-1] = 0
+    next_tc[:-1] = tokc[1:]
+    ends = tok & ((tokc != next_tc) | (tokc == 6))
     end_idx = np.flatnonzero(ends)
     if int((end_idx - start_idx).max()) + 1 > MAX_TOKEN_LENGTH:
         return _tokenize_flat_slow(texts)

@@ -310,6 +310,27 @@ FROM stats
 
 
 # ------------------------- training-data ops ------------------------------
+def token_counts_cjk() -> str:
+    """CJK segmentation oracle: the same deterministic per-doc CJK text
+    synthesized in SQL (chr() arithmetic mirrors _synth_cjk_text), then
+    the shared tokenizer expression — per-char Han/Hiragana, Katakana
+    runs."""
+    from .analysis.standard import sql_tokens_expr
+    t = ("array_to_string(list_transform(generate_series(0, doc_id % 5 + 2), "
+         "i -> chr(CAST(19968 + (doc_id * 7 + i) % 512 AS INTEGER))), '') "
+         "|| ' ' || "
+         "array_to_string(list_transform(generate_series(0, 3), "
+         "i -> chr(CAST(12450 + (doc_id + i) % 20 AS INTEGER))), '') "
+         "|| ' doc ' || chr(CAST(12354 + doc_id % 10 AS INTEGER))")
+    return f"""
+WITH cjk AS (SELECT doc_id, {t} AS t FROM documents),
+toks AS (SELECT doc_id, {sql_tokens_expr('t')} AS tk FROM cjk)
+SELECT doc_id, len(tk) AS n_tokens,
+       len(list_distinct(tk)) AS n_unique_tokens
+FROM toks
+"""
+
+
 def token_counts() -> str:
     return preamble() + """
 SELECT t.doc_id, len(t.toks) AS n_tokens,

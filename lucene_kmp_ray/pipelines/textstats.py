@@ -188,3 +188,49 @@ def langid(sf_dir: str):
 
 def fingerprints(sf_dir: str):
     return _docs_ds(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def _synth_cjk_text(doc_ids):
+    """Deterministic CJK text per doc_id (no external data; mirrored
+    bit-for-bit by oracle.token_counts_cjk): an UNSPACED Han run (per-char
+    segmentation test), a Katakana run, a Latin word, one Hiragana char."""
+    out = []
+    for d in doc_ids:
+        d = int(d)
+        han = "".join(chr(0x4E00 + (d * 7 + i) % 512)
+                      for i in range(d % 5 + 3))
+        kata = "".join(chr(0x30A2 + (d + i) % 20) for i in range(4))
+        hira = chr(0x3042 + d % 10)
+        out.append(f"{han} {kata} doc {hira}")
+    return out
+
+
+def token_counts_cjk(sf_dir: str):
+    """Token counts over deterministic CJK documents — proves the
+    per-ideograph/Hiragana-single/Katakana-run segmentation end-to-end
+    (StandardTokenizerImpl.kt grammar; conformance vectors in
+    tests/test_analysis.py)."""
+    import pyarrow as pa
+
+    from ..analysis.standard import StandardAnalyzer
+
+    analyzer = StandardAnalyzer()
+
+    def counts(batch: pa.Table) -> pa.Table:
+        texts = _synth_cjk_text(batch["doc_id"].to_numpy())
+        dl, flat, doc_of, _ = analyzer.analyze_flat(texts)
+        dict_arr = flat.dictionary_encode()
+        codes = dict_arr.indices.to_numpy().astype(np.int64) if len(flat) \
+            else np.empty(0, np.int64)
+        nuniq = np.zeros(batch.num_rows, dtype=np.int64)
+        if len(codes):
+            key = doc_of * max(len(dict_arr.dictionary), 1) + codes
+            urow = np.unique(key) // max(len(dict_arr.dictionary), 1)
+            nuniq = np.bincount(urow, minlength=batch.num_rows)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(dl.astype(np.int64)),
+            "n_unique_tokens": pa.array(nuniq.astype(np.int64)),
+        })
+
+    return _docs_ds(sf_dir).map_batches(counts, batch_format="pyarrow")

@@ -100,3 +100,42 @@ def test_tokenize_flat_nul_and_astral_fallback():
     assert dl2.tolist() == [len(tokenize("emoji 🎉 and 𝒜stral")), 1]
     assert toks2.to_pylist() == tokenize("emoji 🎉 and 𝒜stral") + \
         tokenize("ok")
+
+
+def test_cjk_segmentation_reference_vectors():
+    """Conformance vectors from the reference's TestStandardAnalyzer.kt
+    (testChinese:240, testKoreanSA:341, testKorean:372, testJapanese:378,
+    testSupplementary:366): Han/Hiragana one token per char, Katakana and
+    Hangul runs."""
+    from lucene_kmp_ray.analysis.standard import (_tokenize_flat_slow,
+                                                  tokenize, tokenize_flat)
+    cases = [
+        ("我是中国人。 １２３４ Ｔｅｓｔｓ ",
+         ["我", "是", "中", "国", "人", "１２３４", "ｔｅｓｔｓ"]),
+        ("안녕하세요 한글입니다", ["안녕하세요", "한글입니다"]),
+        ("훈민정음", ["훈민정음"]),
+        ("仮名遣い カタカナ",
+         ["仮", "名", "遣", "い", "カタカナ"]),
+        ("𩬅艱鍟䇹愯瀛", ["𩬅", "艱", "鍟", "䇹", "愯", "瀛"]),
+        ("abc漢def", ["abc", "漢", "def"]),
+        ("アアaア", ["アア", "a", "ア"]),
+    ]
+    for text, exp in cases:
+        assert tokenize(text) == exp, text
+        _, fast = tokenize_flat([text])
+        assert fast.to_pylist() == exp, ("fast", text)
+        _, slow = _tokenize_flat_slow([text])
+        assert slow.to_pylist() == exp, ("slow", text)
+
+
+def test_cjk_sql_mirror_agrees():
+    import duckdb
+
+    from lucene_kmp_ray.analysis.standard import sql_tokens_expr, tokenize
+    con = duckdb.connect()
+    expr = sql_tokens_expr("t")
+    for c in ["我是中国人。 Ｔｅｓｔｓ", "仮名遣い カタカナ", "안녕 한글",
+              "abc漢def", "the fast key"]:
+        got = con.sql(f"SELECT {expr} AS toks FROM (SELECT ? AS t)",
+                      params=[c]).fetchone()[0]
+        assert got == tokenize(c), c
