@@ -104,6 +104,52 @@ def _ensure_index(sf_dir: str) -> str:
     return index_dir
 
 
+def _sorted_by_url(sf_dir: str):
+    """STRING SortField: matches ordered by url descending (SortField.kt
+    STRING type; bytewise UTF-8 order == DuckDB's binary collation)."""
+    from lucene_kmp_ray.search.ray_search import (SortField,
+                                                  search_sorted_by_fields)
+    return search_sorted_by_fields(
+        _ensure_index(sf_dir), TermQuery(TERM_A),
+        (SortField("url", descending=True),), k=20)
+
+
+def _sorted_multi(sf_dir: str):
+    """Multi-key sort: (length asc, url desc), doc_id tiebreak — the
+    compound Sort of TopFieldCollector."""
+    from lucene_kmp_ray.search.ray_search import (SortField,
+                                                  search_sorted_by_fields)
+    return search_sorted_by_fields(
+        _ensure_index(sf_dir), TermQuery(TERM_A),
+        (SortField("length"), SortField("url", descending=True)), k=20)
+
+
+def _delete_by_url_search(sf_dir: str):
+    """Tombstone delete-by-url (liveDocs sidecar, deletes.py) then search:
+    docs with doc_id %% 10 == 0 are deleted by URL; matches must exclude
+    them while BM25 stats still count them (Lucene semantics: deleted docs
+    affect stats until merge reclaim)."""
+    import shutil
+
+    import duckdb
+
+    from lucene_kmp_ray.index.deletes import delete_by_url
+
+    src_idx = _ensure_index(sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    del_idx = f"/tmp/lucene_kmp_ray_index_del/{tag}"
+    if not os.path.exists(os.path.join(del_idx, "manifest.json")):
+        shutil.copytree(src_idx, del_idx, dirs_exist_ok=True)
+        con = duckdb.connect()
+        urls = [r[0] for r in con.sql(
+            f"SELECT 'https://' || source || '.example.com/doc/' || "
+            f"CAST(doc_id AS VARCHAR) FROM "
+            f"'{sf_dir}/documents.parquet' WHERE doc_id % 10 = 0"
+        ).fetchall()]
+        delete_by_url(del_idx, urls)
+    return search_all_matches(del_idx, TermQuery(TERM_A))
+
+
 def entry() -> Any:
     """Flagship: build index over sf0.001 web corpus, run distributed BM25
     top-10 for a query set, return the merged hits table."""
@@ -305,12 +351,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_multifield_top10": lambda sf: _topk(sf, BooleanQuery.build(
             (Occur.SHOULD, TermQuery(TERM_A, "text")),
             (Occur.SHOULD, TermQuery(TERM_A, "title")))),
+        "delete_by_url_search": _delete_by_url_search,
         "range_filter_all": lambda sf: search_all_matches(
             _ensure_index(sf), BooleanQuery.build(
                 (Occur.MUST, TermQuery(TERM_A)),
                 (Occur.FILTER, RangeFilterQuery("length", 40, 60)))),
         "sorted_by_length": lambda sf: search_sorted_by_field(
             _ensure_index(sf), TermQuery(TERM_A), "length", k=20),
+        "sorted_by_url_top20": lambda sf: _sorted_by_url(sf),
+        "sorted_multi_key_top20": lambda sf: _sorted_multi(sf),
         # English analysis chain (possessive → stop → Porter): stemming is
         # not SQL-expressible → rows-only; exact Porter vectors + chain
         # parity live in tests/test_english_analyzer.py
@@ -393,8 +442,11 @@ def oracle_sql() -> dict[str, str]:
         "term_stats_fields": oracle.term_stats_fields(),
         "bm25_title_top10": oracle.bm25_title_topk(TERM_A),
         "bm25_multifield_top10": oracle.bm25_multifield_topk(TERM_A),
+        "delete_by_url_search": oracle.delete_by_url_search(TERM_A),
         "range_filter_all": oracle.range_filter_all(TERM_A, 40, 60),
         "sorted_by_length": oracle.sorted_by_length(TERM_A, 20),
+        "sorted_by_url_top20": oracle.sorted_by_url(TERM_A, 20),
+        "sorted_multi_key_top20": oracle.sorted_multi_key(TERM_A, 20),
         "token_counts": oracle.token_counts(),
         "token_counts_cjk": oracle.token_counts_cjk(),
         "quality": oracle.quality(),

@@ -120,7 +120,23 @@ def merge_segments(index_dir: str, segs: list[int], new_seg: int) -> dict:
     dirs = [os.path.join(index_dir, "segments", seg_dirname(s)) for s in segs]
     doc_tables = [pq.read_table(os.path.join(d, DOCS_FILE)) for d in dirs]
     bases = np.append(0, np.cumsum([t.num_rows for t in doc_tables]))[:-1]
-    concat_docs = pa.concat_tables(doc_tables).combine_chunks()
+    concat_all = pa.concat_tables(doc_tables).combine_chunks()
+    n_all = concat_all.num_rows
+
+    # tombstone reclaim (the DocIDMerger deleted-doc skip,
+    # DocIDMerger.kt:13-35): deleted rows drop here and their postings
+    # entries drop below; the merged segment carries no tombstones
+    from .deletes import read_tombstones
+    keep_concat = np.ones(n_all, dtype=bool)
+    reclaimed = 0
+    for si, d in enumerate(dirs):
+        tomb = read_tombstones(d)
+        if tomb is not None and len(tomb):
+            keep_concat[tomb + bases[si]] = False
+            reclaimed += len(tomb)
+    live_pos = np.flatnonzero(keep_concat)
+    concat_docs = concat_all.take(pa.array(live_pos)) \
+        if reclaimed else concat_all
     n_docs = concat_docs.num_rows
 
     # The merged doc table must stay doc_id-ascending (row N == local docID
@@ -130,8 +146,11 @@ def merge_segments(index_dir: str, segs: list[int], new_seg: int) -> dict:
     # (index/SortingCodecReader.kt; DocIDMerger.kt handles the id rebase).
     doc_ids = concat_docs["doc_id"].to_numpy()
     perm = np.argsort(doc_ids, kind="stable")
-    inv_perm = np.empty(n_docs, dtype=np.int64)
-    inv_perm[perm] = np.arange(n_docs)
+    inv_perm_live = np.empty(n_docs, dtype=np.int64)
+    inv_perm_live[perm] = np.arange(n_docs)
+    # old global concat position → new local id, -1 = reclaimed
+    inv_perm = np.full(n_all, -1, dtype=np.int64)
+    inv_perm[live_pos] = inv_perm_live
     docs_table = concat_docs.take(pa.array(perm)) \
         if not np.array_equal(perm, np.arange(n_docs)) else concat_docs
 
@@ -152,8 +171,15 @@ def merge_segments(index_dir: str, segs: list[int], new_seg: int) -> dict:
             docs = fu.delta_decode(fu.decode_blocks(de[i], int(dfs[i])))
             freqs = fu.decode_blocks(fe[i], int(dfs[i]))
             posd = fu.decode_blocks(pe[i], int(ttfs[i]))
+            nl = inv_perm[docs + bases[si]]
+            if reclaimed:
+                keep = nl >= 0
+                if not keep.all():
+                    nl, freqs, posd = _filter_entries(nl, freqs, posd, keep)
+                    if len(nl) == 0:
+                        continue  # term survives only in other segments
             per_term.setdefault((fields_col[i], term), []).append(
-                (inv_perm[docs + bases[si]], freqs, posd))
+                (nl, freqs, posd))
 
     uniq = sorted(per_term)  # (field, term) ascending == build order
     merged: dict[str, list] = {}
@@ -202,10 +228,26 @@ def merge_segments(index_dir: str, segs: list[int], new_seg: int) -> dict:
         "doc_id_min": int(docs_table["doc_id"][0].as_py()) if n_docs else None,
         "doc_id_max": int(docs_table["doc_id"][n_docs - 1].as_py())
         if n_docs else None,
-        "lineage": {"merged_from": sorted(int(s) for s in segs)},
+        "lineage": {"merged_from": sorted(int(s) for s in segs),
+                    "reclaimed_deletes": reclaimed},
         "metrics": {"merge_sec": round(time.monotonic() - t0, 4)},
     }
     return write_segment(index_dir, terms_table, docs_table, manifest)
+
+
+def _filter_entries(nl: np.ndarray, freqs: np.ndarray, posd: np.ndarray,
+                    keep: np.ndarray):
+    """Drop posting entries of reclaimed docs, carrying each surviving
+    entry's position-delta run along (vectorized gather; delta chains
+    restart per entry so runs move independently)."""
+    bounds = np.append(0, np.cumsum(freqs))
+    starts = bounds[:-1][keep]
+    lens = freqs[keep]
+    total = int(lens.sum())
+    outs = np.cumsum(lens) - lens
+    gather = np.arange(total, dtype=np.int64) - \
+        np.repeat(outs, lens) + np.repeat(starts, lens)
+    return nl[keep], lens, posd[gather]
 
 
 def run_merges(index_dir: str, merges: list[list[int]] | None = None,

@@ -48,6 +48,18 @@ class SegmentReader:
         # decoded-block cache role, SURVEY §2.3): repeated terms across a
         # query batch decode once per actor, capacity-bounded
         self._postings_cache: dict = {}
+        self._tombstones: np.ndarray | None | bool = False  # False=unloaded
+
+    @property
+    def tombstones(self) -> np.ndarray | None:
+        """Sorted local ids of deleted docs (live-docs bitset role,
+        Lucene90LiveDocsFormat.kt:22-35) or None. Loaded once per reader;
+        index files are immutable between manifest generations, so a
+        reader pins the deletion state it opened with."""
+        if self._tombstones is False:
+            from .deletes import read_tombstones
+            self._tombstones = read_tombstones(self.dir)
+        return self._tombstones
 
     # --- lazy loads -----------------------------------------------------
     @property

@@ -586,6 +586,18 @@ ORDER BY score_r DESC, d.doc_id LIMIT {k}
 """
 
 
+def delete_by_url_search(term: str) -> str:
+    """Matches of ``term`` excluding tombstoned docs (doc_id %% 10 == 0
+    deleted by url). Scores use FULL-corpus stats: deletions do not touch
+    statistics until a merge reclaims them (Lucene liveDocs semantics)."""
+    return preamble() + f""",
+scored AS ({term_scored_cte(repr(term))})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+WHERE s.doc_id % 10 != 0
+"""
+
+
 def range_filter_all(term: str, lo: int, hi: int) -> str:
     """MUST(term) ∧ FILTER(doc length in [lo, hi]) — full match set; the
     filter restricts matches but never changes the score."""
@@ -606,6 +618,28 @@ SELECT row_number() OVER (ORDER BY d.dl DESC, p.doc_id) AS rank,
 FROM postings p JOIN doclen d USING (doc_id) JOIN corpus c USING (doc_id)
 WHERE p.term = '{term}'
 ORDER BY d.dl DESC, p.doc_id LIMIT {k}
+"""
+
+
+def sorted_by_url(term: str, k: int = 20) -> str:
+    """STRING-typed field sort: url descending, doc_id tiebreak."""
+    return preamble() + f"""
+SELECT row_number() OVER (ORDER BY c.url DESC, p.doc_id) AS rank,
+       p.doc_id, c.url
+FROM postings p JOIN corpus c USING (doc_id)
+WHERE p.term = '{term}'
+ORDER BY c.url DESC, p.doc_id LIMIT {k}
+"""
+
+
+def sorted_multi_key(term: str, k: int = 20) -> str:
+    """Compound sort (length asc, url desc, doc_id asc)."""
+    return preamble() + f"""
+SELECT row_number() OVER (ORDER BY d.dl, c.url DESC, p.doc_id) AS rank,
+       p.doc_id, c.url, d.dl AS length
+FROM postings p JOIN doclen d USING (doc_id) JOIN corpus c USING (doc_id)
+WHERE p.term = '{term}'
+ORDER BY d.dl, c.url DESC, p.doc_id LIMIT {k}
 """
 
 

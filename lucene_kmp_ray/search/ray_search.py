@@ -16,6 +16,8 @@ final groupby moves only per-(query, segment) top-k rows: k × #segments ×
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 import pandas as pd
 
@@ -131,8 +133,7 @@ class SegmentMatchActor:
                 "url": dm["url"].take(docs).to_pylist(),
                 "score": np.asarray(scores, dtype=np.float64)}
             for c in self.meta_cols:
-                cols[c] = np.asarray(dm[c].take(docs).to_pylist(),
-                                     dtype=np.int64)
+                cols[c] = _meta_series(dm[c].take(docs))
             frames.append(pd.DataFrame(cols))
         if frames:
             return pd.concat(frames)
@@ -140,7 +141,8 @@ class SegmentMatchActor:
                  "url": pd.Series([], dtype="string"),
                  "score": pd.Series([], dtype="float64")}
         for c in self.meta_cols:
-            empty[c] = pd.Series([], dtype="int64")
+            empty[c] = pd.Series([], dtype=_meta_empty_dtype(
+                self.by_seg[next(iter(self.by_seg))].doc_meta[c].type))
         return pd.DataFrame(empty)
 
 
@@ -161,20 +163,86 @@ def search_all_matches(index_dir: str, query: Query, dtype: str = "float64",
                           concurrency=_pool_size(concurrency))
 
 
+def _meta_series(arr) -> pd.Series:
+    """Arrow doc-meta column slice → pandas with the SortField value type:
+    integers widen to int64, floats to float64, strings stay str (the
+    SortField.Type axis, SortField.kt:54-80)."""
+    import pyarrow as pa
+    t = arr.type
+    if pa.types.is_integer(t):
+        return pd.Series(arr.to_pylist(), dtype="Int64")
+    if pa.types.is_floating(t):
+        return pd.Series(arr.to_pylist(), dtype="float64")
+    return pd.Series(arr.to_pylist(), dtype="object")
+
+
+def _meta_empty_dtype(t) -> str:
+    import pyarrow as pa
+    if pa.types.is_integer(t):
+        return "Int64"
+    if pa.types.is_floating(t):
+        return "float64"
+    return "object"
+
+
+@dataclass(frozen=True)
+class SortField:
+    """One sort key (``search/SortField.kt:54-80``): any doc-meta column
+    (INT/LONG via int64, FLOAT/DOUBLE via float64, STRING via utf8),
+    per-key direction, per-key missing-value policy (``missing_last`` —
+    None means missing sorts as smallest, Lucene's default)."""
+    field: str
+    descending: bool = False
+    missing_last: bool | None = None
+
+
+def search_sorted_by_fields(index_dir: str, query: Query,
+                            sort_fields: tuple[SortField, ...], k: int = 20,
+                            concurrency: int | None = None):
+    """TopFieldCollector / Sort analog over MULTIPLE typed keys: matches of
+    ``query`` ordered by the sort-field tuple, final tie-break doc_id
+    ascending, global top-k. Per-segment matches stream through the actor
+    pool; the distributed sort moves only matching rows' key columns.
+    Missing values order via a 0/1 null-rank helper column per nullable
+    key (Ray's sort has no null placement policy of its own). Returns a
+    pandas DataFrame with a ``rank`` column (deterministic)."""
+    # doc_id/url always ride along — only extra doc-meta columns fetch
+    meta_cols = tuple(dict.fromkeys(sf.field for sf in sort_fields
+                                    if sf.field not in ("doc_id", "url")))
+    ds = search_all_matches(index_dir, query, concurrency=concurrency,
+                            meta_cols=meta_cols)
+
+    keys: list[str] = []
+    desc: list[bool] = []
+    helpers = [sf for sf in sort_fields if sf.missing_last is not None]
+
+    if helpers:
+        def add_null_rank(df: pd.DataFrame) -> pd.DataFrame:
+            for sf in helpers:
+                df[f"_null_{sf.field}"] = df[sf.field].isna().astype(int)
+            return df
+        ds = ds.map_batches(add_null_rank, batch_format="pandas")
+    for sf in sort_fields:
+        if sf.missing_last is not None:
+            # nulls get rank 1; rank sorts ascending for missing-last
+            keys.append(f"_null_{sf.field}")
+            desc.append(not sf.missing_last)
+        keys.append(sf.field)
+        desc.append(sf.descending)
+    keys.append("doc_id")
+    desc.append(False)
+    out = ds.sort(keys, descending=desc).limit(k).to_pandas()
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["rank", "doc_id", "url", *meta_cols]]
+
+
 def search_sorted_by_field(index_dir: str, query: Query, field: str,
                            descending: bool = True, k: int = 20,
                            concurrency: int | None = None):
-    """TopFieldCollector / Sort(SortField) analog (SortField.kt:54-80):
-    matches of ``query`` ordered by a doc-meta field, tie-broken by doc_id
-    ascending, global top-k. Per-segment matches stream through the actor
-    pool; the sort moves only (doc_id, url, field) rows of matching docs.
-    Returns a pandas DataFrame with a ``rank`` column (deterministic)."""
-    ds = search_all_matches(index_dir, query, concurrency=concurrency,
-                            meta_cols=(field,))
-    out = ds.sort([field, "doc_id"], descending=[descending, False]) \
-            .limit(k).to_pandas()
-    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
-    return out[["rank", "doc_id", "url", field]]
+    """Single-key convenience wrapper (legacy surface)."""
+    return search_sorted_by_fields(
+        index_dir, query, (SortField(field, descending),), k=k,
+        concurrency=concurrency)
 
 
 def phrase_freqs_distributed(index_dir: str, terms: list[str],
@@ -199,6 +267,11 @@ def phrase_freqs_distributed(index_dir: str, terms: list[str],
             for seg in batch["seg"].tolist():
                 sr = self.by_seg[seg]
                 docs, freqs = _exact_phrase(sr, terms)
+                tomb = sr.tombstones
+                if tomb is not None and len(docs):
+                    import numpy as _np
+                    live = ~_np.isin(docs, tomb)
+                    docs, freqs = docs[live], freqs[live]
                 dm = sr.doc_meta
                 frames.append(pd.DataFrame({
                     "doc_id": dm["doc_id"].take(docs).to_pylist(),

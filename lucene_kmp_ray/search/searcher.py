@@ -101,9 +101,22 @@ class Searcher:
     # ----- per-segment match+score: returns (docs asc, scores) ---------
     def _score_segment(self, sr: SegmentReader, query: Query,
                        boost: float = 1.0, scoring: bool = True):
+        """Match+score one segment, with deleted docs subtracted (the
+        liveDocs filter of LeafReader; tombstones sidecar, deletes.py).
+        Sub-queries recurse through _score_segment_raw; the live filter
+        applies exactly once at the top of each segment evaluation."""
+        docs, scores = self._score_segment_raw(sr, query, boost, scoring)
+        tomb = sr.tombstones
+        if tomb is not None and len(docs):
+            keep = ~_isin_sorted(docs, tomb)
+            docs, scores = docs[keep], scores[keep]
+        return docs, scores
+
+    def _score_segment_raw(self, sr: SegmentReader, query: Query,
+                           boost: float = 1.0, scoring: bool = True):
         if isinstance(query, BoostQuery):
-            return self._score_segment(sr, query.query, boost * query.boost,
-                                       scoring)
+            return self._score_segment_raw(sr, query.query,
+                                           boost * query.boost, scoring)
         if isinstance(query, MatchAllDocsQuery):
             docs = np.arange(sr.doc_count, dtype=np.int64)
             dt = self.sim.dtype
@@ -124,7 +137,7 @@ class Searcher:
                     ~np.asarray(col.is_null())).astype(np.int64)
             return docs, np.full(len(docs), dt.type(boost), dtype=dt)
         if isinstance(query, ConstantScoreQuery):
-            docs, _ = self._score_segment(sr, query.query, 1.0, False)
+            docs, _ = self._score_segment_raw(sr, query.query, 1.0, False)
             dt = self.sim.dtype
             return docs, np.full(len(docs), dt.type(boost), dtype=dt)
         if isinstance(query, TermQuery):
@@ -140,7 +153,7 @@ class Searcher:
         if isinstance(query, PhraseQuery):
             if len(query.phrase_terms) == 1:
                 # Lucene rewrites a one-term phrase to a TermQuery
-                return self._score_segment(
+                return self._score_segment_raw(
                     sr, TermQuery(query.phrase_terms[0], query.field),
                     boost, scoring)
             if query.slop != 0:
@@ -215,7 +228,7 @@ class Searcher:
                       boost: float, scoring: bool):
         """DisjunctionMaxQuery.kt: max + tie_breaker × (sum of non-max)."""
         dt = self.sim.dtype
-        subs = [self._score_segment(sr, sub, boost, scoring)
+        subs = [self._score_segment_raw(sr, sub, boost, scoring)
                 for sub in q.disjuncts]
         subs = [(d, s) for d, s in subs if len(d)]
         if not subs:
@@ -267,13 +280,14 @@ class Searcher:
         musts, filters, shoulds, nots = [], [], [], []
         for occ, sub in q.clauses:
             if occ == Occur.MUST:
-                musts.append(self._score_segment(sr, sub, boost, scoring))
+                musts.append(self._score_segment_raw(sr, sub, boost, scoring))
             elif occ == Occur.FILTER:
-                filters.append(self._score_segment(sr, sub, boost, False))
+                filters.append(self._score_segment_raw(sr, sub, boost, False))
             elif occ == Occur.SHOULD:
-                shoulds.append(self._score_segment(sr, sub, boost, scoring))
+                shoulds.append(self._score_segment_raw(sr, sub, boost,
+                                                       scoring))
             else:
-                nots.append(self._score_segment(sr, sub, boost, False))
+                nots.append(self._score_segment_raw(sr, sub, boost, False))
 
         msm = q.minimum_should_match
         if msm > len(shoulds):
@@ -389,6 +403,10 @@ class Searcher:
                 bounds = scorer.score(maxf, minn.astype(np.uint8))
                 return bounds > _t
             docs, freqs = sr.postings_pruned(query.term, keep, field)
+            tomb = sr.tombstones
+            if tomb is not None and len(docs):
+                live = ~_isin_sorted(docs, tomb)
+                docs, freqs = docs[live], freqs[live]
             if threshold is not None:
                 pruned = True
             hits_seen += len(docs)
@@ -458,6 +476,9 @@ class Searcher:
                 continue
             cand = np.unique(np.concatenate(
                 [posts[t][0] for t in essential]))
+            tomb = sr.tombstones
+            if tomb is not None and len(cand):
+                cand = cand[~_isin_sorted(cand, tomb)]
             scores = np.zeros(len(cand), dtype=np.float64)
             for t in posts:  # ALL terms score the surviving candidates
                 d, f = posts[t]

@@ -182,3 +182,60 @@ def test_multi_round_merge_keeps_doc_order(built, tmp_path, ray_session):
     td = s.search(TermQuery("spark"), k=3)
     ex = s.explain(TermQuery("spark"), td.score_docs[0].doc_id)
     assert ex["value"] == pytest.approx(td.score_docs[0].score, abs=0)
+
+
+def test_delete_by_url_and_merge_reclaim(ray_session, tmp_path):
+    """Tombstone sidecar (liveDocs analog): deletes exclude docs from every
+    search path immediately; a merge reclaims them physically (docs gone
+    from docs.parquet, postings filtered, no tombstone files survive) with
+    identical search results before and after — Lucene90LiveDocsFormat /
+    DocIDMerger semantics."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.index.check import check_index
+    from lucene_kmp_ray.index.deletes import delete_by_url, read_tombstones
+    from lucene_kmp_ray.index.merge import force_merge
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.search import Searcher, TermQuery
+    from lucene_kmp_ray.sources.corpus import corpus_dataset, corpus_table
+
+    idx = str(tmp_path / "delidx")
+    build_index(corpus_dataset("/root/testdata/sf0.001"), idx,
+                segment_size=100)
+    s = Searcher(IndexReader(idx))
+    before = {h.doc_id for h in s.search(TermQuery("spark"), k=10_000)
+              .score_docs}
+
+    corpus = corpus_table("/root/testdata/sf0.001")
+    urls = [u for d, u in zip(corpus["doc_id"].to_pylist(),
+                              corpus["url"].to_pylist()) if d % 7 == 0]
+    n = delete_by_url(idx, urls)
+    assert n == len(urls)
+    # idempotent
+    assert delete_by_url(idx, urls) == len(urls)
+
+    s2 = Searcher(IndexReader(idx))
+    after = {h.doc_id for h in s2.search(TermQuery("spark"), k=10_000)
+             .score_docs}
+    assert after == {d for d in before if d % 7 != 0}
+    # WAND path honors tombstones too
+    td = s2.search(TermQuery("the"), k=10_000, prune=True)
+    assert all(h.doc_id % 7 != 0 for h in td.score_docs)
+    # stats unchanged until merge (Lucene: deletes don't touch stats)
+    assert s2.reader.doc_count == 500
+
+    man = force_merge(idx, max_segments=1)
+    assert man["doc_count"] == 500 - len(urls)
+    s3 = Searcher(IndexReader(idx))
+    merged = {h.doc_id for h in s3.search(TermQuery("spark"), k=10_000)
+              .score_docs}
+    assert merged == after
+    seg_dir = os.path.join(idx, man["segments"][0]["dir"])
+    assert read_tombstones(seg_dir) is None
+    docs_t = pq.read_table(os.path.join(seg_dir, "docs.parquet"))
+    assert all(d % 7 != 0 for d in docs_t["doc_id"].to_pylist())
+    rep = check_index(idx, parallel=False)
+    assert rep["ok"], rep["errors"]

