@@ -97,11 +97,46 @@ def _ensure_index(sf_dir: str) -> str:
         from lucene_kmp_ray.index.builder import build_index_sharded
         from lucene_kmp_ray.sources.corpus import corpus_shards
         shards, make_docs = corpus_shards(sf_dir, segment_size=SEGMENT_SIZE,
-                                          fields=INDEX_FIELDS)
+                                          fields=INDEX_FIELDS,
+                                          with_vectors=True)
         build_index_sharded(shards, make_docs, index_dir,
-                            lineage_source=sf_dir, fields=INDEX_FIELDS)
+                            lineage_source=sf_dir, fields=INDEX_FIELDS,
+                            vector_col="embedding")
     _INDEX_CACHE[sf_dir] = index_dir
     return index_dir
+
+
+def _query_vector(sf_dir: str) -> tuple:
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).sort_by("vec_id")
+    return tuple(t["embedding"][0].as_py())
+
+
+def _knn_topk(sf_dir: str):
+    """Index-integrated KNN (KnnFloatVectorQuery.kt:33 analog): exact
+    cosine top-10 over the per-segment vector sidecars, query = vector 0."""
+    import pandas as pd
+
+    from lucene_kmp_ray.search import KnnFloatVectorQuery
+    df = _topk(sf_dir, KnnFloatVectorQuery(_query_vector(sf_dir), k=10))
+    df = df.rename(columns={"score": "score_r"})
+    df["score_r"] = np.round(df["score_r"], 6)
+    return df
+
+
+def _hybrid_topk(sf_dir: str):
+    """Hybrid BM25 + vector over ONE index artifact: SHOULD(text:spark)
+    + SHOULD(knn(vec0, k=50)); scores sum per doc (the additive hybrid of
+    Lucene's rewritten DocAndScoreQuery in a BooleanQuery)."""
+    from lucene_kmp_ray.search import KnnFloatVectorQuery
+    q = BooleanQuery.build(
+        (Occur.SHOULD, TermQuery(TERM_A)),
+        (Occur.SHOULD, KnnFloatVectorQuery(_query_vector(sf_dir), k=50)))
+    df = _topk(sf_dir, q)
+    df = df.rename(columns={"score": "score_r"})
+    df["score_r"] = np.round(df["score_r"], 6)
+    return df
 
 
 def _sorted_by_url(sf_dir: str):
@@ -359,6 +394,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_by_length": lambda sf: search_sorted_by_field(
             _ensure_index(sf), TermQuery(TERM_A), "length", k=20),
         "sorted_by_url_top20": lambda sf: _sorted_by_url(sf),
+        "knn_vector_top10": _knn_topk,
+        "hybrid_bm25_knn_top10": _hybrid_topk,
         "sorted_multi_key_top20": lambda sf: _sorted_multi(sf),
         # English analysis chain (possessive → stop → Porter): stemming is
         # not SQL-expressible → rows-only; exact Porter vectors + chain
@@ -446,6 +483,8 @@ def oracle_sql() -> dict[str, str]:
         "range_filter_all": oracle.range_filter_all(TERM_A, 40, 60),
         "sorted_by_length": oracle.sorted_by_length(TERM_A, 20),
         "sorted_by_url_top20": oracle.sorted_by_url(TERM_A, 20),
+        "knn_vector_top10": oracle.knn_vector_topk(),
+        "hybrid_bm25_knn_top10": oracle.hybrid_bm25_knn_topk(TERM_A),
         "sorted_multi_key_top20": oracle.sorted_multi_key(TERM_A, 20),
         "token_counts": oracle.token_counts(),
         "token_counts_cjk": oracle.token_counts_cjk(),

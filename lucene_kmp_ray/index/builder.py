@@ -57,7 +57,8 @@ def completed_segments(index_dir: str) -> set[int]:
 
 def build_index(ds, index_dir: str, segment_size: int = DEFAULT_SEGMENT_SIZE,
                 lineage_source: str = "", analyzer=None,
-                fields: tuple[str, ...] = ("text",)) -> dict:
+                fields: tuple[str, ...] = ("text",),
+                vector_col: str | None = None) -> dict:
     """Build (or resume) an index from a corpus Dataset with
     ``doc_id, url`` plus one column per indexed field (default just
     ``text``; pass ``fields=("text", "title")`` for fielded documents,
@@ -86,12 +87,16 @@ def build_index(ds, index_dir: str, segment_size: int = DEFAULT_SEGMENT_SIZE,
         seg = int(group["seg"][0].as_py())
         lineage = {"source": lineage_source, "segment_size": segment_size,
                    "rows": group.num_rows}
+        cols = ["doc_id", "url", *fields] + \
+            ([vector_col] if vector_col else [])
         man = build_and_write_segment(
-            group.select(["doc_id", "url", *fields]), seg, index_dir,
-            lineage, analyzer=analyzer, fields=fields)
+            group.select(cols), seg, index_dir,
+            lineage, analyzer=analyzer, fields=fields,
+            vector_col=vector_col)
         return pa.table({"manifest": pa.array([json.dumps(man)], pa.string())})
 
-    ds = ds.select_columns(["doc_id", "url", *fields]) \
+    ds = ds.select_columns(["doc_id", "url", *fields] +
+                           ([vector_col] if vector_col else [])) \
            .map_batches(assign_seg, batch_format="pyarrow")
     out = ds.groupby("seg").map_groups(build_group, batch_format="pyarrow")
     out_df = out.to_pandas()  # one tiny manifest row per segment
@@ -113,7 +118,8 @@ def build_index_sharded(shards: list[dict], make_docs, index_dir: str,
                         lineage_source: str = "",
                         max_in_flight: int | None = None,
                         analyzer=None,
-                        fields: tuple[str, ...] = ("text",)) -> dict:
+                        fields: tuple[str, ...] = ("text",),
+                        vector_col: str | None = None) -> dict:
     """Shuffle-free build: one Ray task per shard, segment == shard.
 
     This is the production path (and the Lucene DWPT model: each writer
@@ -149,7 +155,7 @@ def build_index_sharded(shards: list[dict], make_docs, index_dir: str,
         lineage = {"source": lineage_source, **spec}
         man = build_and_write_segment(make_docs(spec), spec["seg"],
                                       index_dir, lineage, analyzer=analyzer,
-                                      fields=fields)
+                                      fields=fields, vector_col=vector_col)
         return json.dumps(man)
 
     pending: list = []

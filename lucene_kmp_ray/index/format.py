@@ -41,6 +41,7 @@ from ..util.smallfloat import int_to_byte4_np
 
 TERMS_FILE = "terms.parquet"
 DOCS_FILE = "docs.parquet"
+VECTORS_FILE = "vectors.parquet"
 SEG_MANIFEST = "manifest.json"
 
 
@@ -410,9 +411,12 @@ def seg_dirname(seg: int) -> str:
 
 
 def write_segment(index_dir: str, terms_table: pa.Table, docs_table: pa.Table,
-                  manifest: dict) -> dict:
+                  manifest: dict, vectors_table: pa.Table | None = None
+                  ) -> dict:
     """Atomically persist one segment (write tmp dir, rename) — the
-    per-partition two-phase commit (SegmentInfos.kt:35-45 analog)."""
+    per-partition two-phase commit (SegmentInfos.kt:35-45 analog).
+    ``vectors_table`` is the optional per-doc vector sidecar (row N ==
+    local docID N — the KnnVectorsFormat role, codecs/lucene99)."""
     import shutil
     import tempfile
 
@@ -430,6 +434,8 @@ def write_segment(index_dir: str, terms_table: pa.Table, docs_table: pa.Table,
                                dir=seg_root)
     pq.write_table(terms_table, os.path.join(tmp_dir, TERMS_FILE))
     pq.write_table(docs_table, os.path.join(tmp_dir, DOCS_FILE))
+    if vectors_table is not None:
+        pq.write_table(vectors_table, os.path.join(tmp_dir, VECTORS_FILE))
     with open(os.path.join(tmp_dir, SEG_MANIFEST), "w") as f:
         json.dump(manifest, f)
     try:
@@ -445,10 +451,26 @@ def write_segment(index_dir: str, terms_table: pa.Table, docs_table: pa.Table,
 def build_and_write_segment(docs: pa.Table, seg: int, index_dir: str,
                             lineage: dict | None = None,
                             analyzer=None,
-                            fields: tuple[str, ...] = ("text",)) -> dict:
+                            fields: tuple[str, ...] = ("text",),
+                            vector_col: str | None = None) -> dict:
+    """``vector_col`` names a per-doc vector column of ``docs`` (a
+    KnnFloatVectorField, document/KnnFloatVectorField role): it splits
+    into the vectors sidecar in local-docID order and never enters the
+    inverted part."""
+    vectors_table = None
+    if vector_col is not None and vector_col in docs.column_names:
+        docs = docs.sort_by("doc_id")
+        vectors_table = docs.select([vector_col]) \
+            .rename_columns(["embedding"])
+        docs = docs.drop_columns([vector_col])
     terms_table, docs_table, manifest = invert_segment(docs, seg, lineage,
                                                        analyzer, fields)
-    return write_segment(index_dir, terms_table, docs_table, manifest)
+    if vectors_table is not None:
+        d = vectors_table["embedding"][0].as_py() \
+            if vectors_table.num_rows else []
+        manifest["vector_dim"] = len(d) if d is not None else 0
+    return write_segment(index_dir, terms_table, docs_table, manifest,
+                         vectors_table)
 
 
 def decode_postings(df: int, ttf: int, docs_enc: bytes, freqs_enc: bytes,

@@ -144,6 +144,16 @@ def merge_segments(index_dir: str, segs: list[int], new_seg: int) -> dict:
     # after one merge round segment doc ranges interleave — so docIDs remap
     # through the sort permutation, the SortingCodecReader role
     # (index/SortingCodecReader.kt; DocIDMerger.kt handles the id rebase).
+    # vector sidecars ride the same permutation (KnnVectorsFormat merge)
+    vec_paths = [os.path.join(d, "vectors.parquet") for d in dirs]
+    vectors_table = None
+    if all(os.path.exists(p) for p in vec_paths):
+        concat_vecs = pa.concat_tables(
+            [pq.read_table(p) for p in vec_paths]).combine_chunks()
+        if reclaimed:
+            concat_vecs = concat_vecs.take(pa.array(live_pos))
+        vectors_table = concat_vecs
+
     doc_ids = concat_docs["doc_id"].to_numpy()
     perm = np.argsort(doc_ids, kind="stable")
     inv_perm_live = np.empty(n_docs, dtype=np.int64)
@@ -151,8 +161,10 @@ def merge_segments(index_dir: str, segs: list[int], new_seg: int) -> dict:
     # old global concat position → new local id, -1 = reclaimed
     inv_perm = np.full(n_all, -1, dtype=np.int64)
     inv_perm[live_pos] = inv_perm_live
-    docs_table = concat_docs.take(pa.array(perm)) \
-        if not np.array_equal(perm, np.arange(n_docs)) else concat_docs
+    identity = np.array_equal(perm, np.arange(n_docs))
+    docs_table = concat_docs if identity else concat_docs.take(pa.array(perm))
+    if vectors_table is not None and not identity:
+        vectors_table = vectors_table.take(pa.array(perm))
 
     # decode every source posting, remap docIDs, bucket by (field, term)
     # — the per-field MultiTermsEnum union of SegmentMerger.mergeTerms
@@ -232,7 +244,8 @@ def merge_segments(index_dir: str, segs: list[int], new_seg: int) -> dict:
                     "reclaimed_deletes": reclaimed},
         "metrics": {"merge_sec": round(time.monotonic() - t0, 4)},
     }
-    return write_segment(index_dir, terms_table, docs_table, manifest)
+    return write_segment(index_dir, terms_table, docs_table, manifest,
+                         vectors_table)
 
 
 def _filter_entries(nl: np.ndarray, freqs: np.ndarray, posd: np.ndarray,

@@ -49,6 +49,7 @@ class SegmentReader:
         # query batch decode once per actor, capacity-bounded
         self._postings_cache: dict = {}
         self._tombstones: np.ndarray | None | bool = False  # False=unloaded
+        self._vectors: np.ndarray | None | bool = False
 
     @property
     def tombstones(self) -> np.ndarray | None:
@@ -113,6 +114,24 @@ class SegmentReader:
             n = t[col].to_numpy().astype(np.uint8)
             self._norms[field] = n
         return n
+
+    @property
+    def vectors(self) -> np.ndarray | None:
+        """Per-doc float32 vector matrix (row == local docID) from the
+        vectors sidecar, or None — the per-segment vector storage of
+        KnnVectorsFormat (codecs/lucene99 role; graph replaced by brute /
+        IVF per SURVEY: exact per-segment scan is the baseline, bucketed
+        variants live in pipelines.ann)."""
+        if self._vectors is False:
+            path = os.path.join(self.dir, "vectors.parquet")
+            if not os.path.exists(path):
+                self._vectors = None
+            else:
+                t = pq.read_table(path)
+                self._vectors = np.vstack(
+                    t["embedding"].to_numpy(zero_copy_only=False)) \
+                    .astype(np.float64)
+        return self._vectors
 
     @property
     def doc_meta(self) -> pa.Table:

@@ -621,6 +621,50 @@ ORDER BY d.dl DESC, p.doc_id LIMIT {k}
 """
 
 
+def knn_vector_topk(k: int = 10) -> str:
+    """Index-integrated exact KNN mirror: cosine of every doc's vector
+    (embeddings joined vec_id == doc_id) against vector 0, top-k by
+    (similarity desc, doc_id)."""
+    return preamble() + f""",
+qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT e.vec_id AS doc_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             CAST((SELECT embedding FROM qv) AS DOUBLE[])) AS cos
+  FROM embeddings e
+)
+SELECT s.doc_id, c.url, round(s.cos, 6) AS score_r
+FROM sims s JOIN corpus c USING (doc_id)
+ORDER BY s.cos DESC, s.doc_id LIMIT {k}
+"""
+
+
+def hybrid_bm25_knn_topk(term: str, k: int = 10, knn_k: int = 50) -> str:
+    """Hybrid retrieval: SHOULD(text term BM25) + SHOULD(global top-knn_k
+    cosine) — scores sum per doc in the engine's float64 clause order."""
+    return preamble() + f""",
+qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT e.vec_id AS doc_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             CAST((SELECT embedding FROM qv) AS DOUBLE[])) AS cos
+  FROM embeddings e
+),
+knn AS (SELECT doc_id, cos FROM sims ORDER BY cos DESC, doc_id
+        LIMIT {knn_k}),
+sc0 AS ({term_scored_cte(repr(term))}),
+ids AS (SELECT doc_id FROM sc0 UNION SELECT doc_id FROM knn)
+SELECT d.doc_id, c.url,
+       round((0 + COALESCE(sc0.score, 0)) + COALESCE(knn.cos, 0), 6)
+         AS score_r
+FROM ids d LEFT JOIN sc0 ON sc0.doc_id = d.doc_id
+           LEFT JOIN knn ON knn.doc_id = d.doc_id
+           JOIN corpus c ON c.doc_id = d.doc_id
+ORDER BY ((0 + COALESCE(sc0.score, 0)) + COALESCE(knn.cos, 0)) DESC,
+         d.doc_id LIMIT {k}
+"""
+
+
 def sorted_by_url(term: str, k: int = 20) -> str:
     """STRING-typed field sort: url descending, doc_id tiebreak."""
     return preamble() + f"""

@@ -298,6 +298,22 @@ class RangeFilterQuery(Query):
     upper: float | None = None
 
 
+@dataclass(frozen=True)
+class KnnFloatVectorQuery(Query):
+    """``search/KnnFloatVectorQuery.kt:33``: the k nearest docs to
+    ``vector`` by cosine similarity over the segment vector sidecars.
+    Like the reference, the query REWRITES to the global top-k doc set
+    before scoring (Searcher.rewrite) — so it composes with BooleanQuery
+    for hybrid BM25 + vector retrieval. The per-segment scan is exact
+    brute-force (the HNSW graph is deliberately not ported; bucketed
+    IVF/LSH approximations live in pipelines.ann — SURVEY §2.5 KNN)."""
+    vector: tuple[float, ...]
+    k: int = 10
+
+    def terms(self):
+        return []
+
+
 MAX_CLAUSE_COUNT = 1024  # IndexSearcher.kt:986
 
 

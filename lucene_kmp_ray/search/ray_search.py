@@ -50,10 +50,13 @@ class SegmentSearchActor:
 
     def __init__(self, index_dir: str, queries_ref, k: int, dtype: str):
         import ray
-        self.queries: dict[str, Query] = ray.get(queries_ref)
         self.k = k
         self.reader = IndexReader(index_dir)
         self.searcher = Searcher(self.reader, BM25Similarity(dtype=dtype))
+        # KNN queries resolve to their global top-k ONCE per actor
+        self.queries: dict[str, Query] = {
+            qid: self.searcher.rewrite(q)
+            for qid, q in ray.get(queries_ref).items()}
         self.by_seg = {sr.seg: (i, sr)
                        for i, sr in enumerate(self.reader.segment_readers)}
 
@@ -116,9 +119,9 @@ class SegmentMatchActor:
     def __init__(self, index_dir: str, query_ref, dtype: str,
                  meta_cols: tuple[str, ...] = ()):
         import ray
-        self.query: Query = ray.get(query_ref)
         self.reader = IndexReader(index_dir)
         self.searcher = Searcher(self.reader, BM25Similarity(dtype=dtype))
+        self.query: Query = self.searcher.rewrite(ray.get(query_ref))
         self.by_seg = {sr.seg: sr for sr in self.reader.segment_readers}
         self.meta_cols = meta_cols
 

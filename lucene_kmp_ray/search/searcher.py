@@ -32,10 +32,23 @@ import numpy as np
 from ..index.reader import IndexReader, SegmentReader
 from ..similarity.bm25 import BM25Similarity
 from .query import (BooleanQuery, BoostQuery, ConstantScoreQuery,
-                    DisjunctionMaxQuery, FieldExistsQuery, MatchAllDocsQuery,
+                    DisjunctionMaxQuery, FieldExistsQuery,
+                    KnnFloatVectorQuery, MatchAllDocsQuery,
                     MatchNoDocsQuery, MultiPhraseQuery, MultiTermQuery,
                     Occur, PhraseQuery, Query, RangeFilterQuery,
                     SynonymQuery, TermQuery)
+
+
+class _KnnScoredQuery(Query):
+    """Rewrite target of KnnFloatVectorQuery: the resolved global
+    top-k (seg -> (docs asc, cosine scores)) — the DocAndScoreQuery the
+    reference rewrites to (KnnFloatVectorQuery.kt rewrite)."""
+
+    def __init__(self, by_seg: dict):
+        self.by_seg = by_seg
+
+    def terms(self):
+        return []
 
 TOTAL_HITS_THRESHOLD = 1000  # IndexSearcher.kt:1024
 
@@ -123,6 +136,18 @@ class Searcher:
             return docs, np.full(len(docs), dt.type(boost), dtype=dt)
         if isinstance(query, MatchNoDocsQuery):
             return _empty(self.sim.dtype)
+        if isinstance(query, KnnFloatVectorQuery):
+            return self._score_segment_raw(sr, self.rewrite(query), boost,
+                                           scoring)
+        if isinstance(query, _KnnScoredQuery):
+            dt = self.sim.dtype
+            hit = query.by_seg.get(sr.seg)
+            if hit is None:
+                return _empty(dt)
+            docs, sims = hit
+            if not scoring:
+                return docs, np.zeros(len(docs), dtype=dt)
+            return docs, (sims * boost).astype(dt)
         if isinstance(query, FieldExistsQuery):
             dt = self.sim.dtype
             dm = sr.doc_meta
@@ -338,6 +363,65 @@ class Searcher:
             cand, scores = cand[keep], scores[keep]
         return cand, scores
 
+    def rewrite(self, query: Query) -> Query:
+        """Resolve every KnnFloatVectorQuery in the tree to its global
+        top-k doc set (IndexSearcher.rewrite loop + the KNN pre-pass,
+        IndexSearcher.kt:699): per segment an exact cosine scan over the
+        vector sidecar (tombstoned docs masked), then one global top-k by
+        (similarity desc, seg asc, doc asc)."""
+        if isinstance(query, KnnFloatVectorQuery):
+            q = np.asarray(query.vector, dtype=np.float64)
+            qn = np.linalg.norm(q)
+            if qn == 0:
+                return MatchNoDocsQuery("zero query vector")
+            q = q / qn
+            segs, docs_l, sims_l = [], [], []
+            for si, sr in enumerate(self.reader.segment_readers):
+                mat = sr.vectors
+                if mat is None or not len(mat):
+                    continue
+                norms = np.linalg.norm(mat, axis=1)
+                norms[norms == 0] = 1.0
+                sims = (mat @ q) / norms
+                tomb = sr.tombstones
+                if tomb is not None and len(tomb):
+                    sims[tomb] = -np.inf
+                nk = min(query.k, len(sims))
+                sel = np.argpartition(-sims, nk - 1)[:nk] if nk < len(sims) \
+                    else np.arange(len(sims))
+                segs.append(np.full(len(sel), sr.seg, np.int64))
+                docs_l.append(sel.astype(np.int64))
+                sims_l.append(sims[sel])
+            if not segs:
+                return MatchNoDocsQuery("no vector sidecars")
+            seg_a = np.concatenate(segs)
+            doc_a = np.concatenate(docs_l)
+            sim_a = np.concatenate(sims_l)
+            order = np.lexsort((doc_a, seg_a, -sim_a))[:query.k]
+            by_seg: dict = {}
+            for i in order:
+                by_seg.setdefault(int(seg_a[i]), []).append(
+                    (int(doc_a[i]), float(sim_a[i])))
+            resolved = {}
+            for s, hits in by_seg.items():
+                hits.sort()
+                resolved[s] = (np.array([d for d, _ in hits], np.int64),
+                               np.array([v for _, v in hits], np.float64))
+            return _KnnScoredQuery(resolved)
+        if isinstance(query, BooleanQuery):
+            return BooleanQuery(
+                tuple((occ, self.rewrite(sub)) for occ, sub in query.clauses),
+                query.minimum_should_match)
+        if isinstance(query, BoostQuery):
+            return BoostQuery(self.rewrite(query.query), query.boost)
+        if isinstance(query, DisjunctionMaxQuery):
+            return DisjunctionMaxQuery(
+                tuple(self.rewrite(d) for d in query.disjuncts),
+                query.tie_breaker)
+        if isinstance(query, ConstantScoreQuery):
+            return ConstantScoreQuery(self.rewrite(query.query))
+        return query
+
     # ----- top-k --------------------------------------------------------
     def search(self, query: Query, k: int = 10, prune: bool = False,
                timeout_s: float | None = None) -> TopDocs:
@@ -346,6 +430,7 @@ class Searcher:
         when exceeded, remaining segments are skipped and the hit count
         weakens to a lower bound — results so far are still returned.
         """
+        query = self.rewrite(query)
         import time as _time
         deadline = (_time.monotonic() + timeout_s
                     if timeout_s is not None else None)
@@ -373,6 +458,7 @@ class Searcher:
 
     def count(self, query: Query) -> int:
         """Exact hit count (IndexSearcher.count / TotalHitCountCollector)."""
+        query = self.rewrite(query)
         return sum(len(self._score_segment(sr, query, scoring=False)[0])
                    for sr in self.reader.segment_readers)
 

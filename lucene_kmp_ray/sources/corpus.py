@@ -79,7 +79,8 @@ def corpus_table(sf_dir: str) -> pa.Table:
 
 
 def corpus_shards(sf_dir: str, segment_size: int, expand: int = 1,
-                  fields: tuple[str, ...] = ("text",)):
+                  fields: tuple[str, ...] = ("text",),
+                  with_vectors: bool = False):
     """Shard specs + loader for the shuffle-free build path.
 
     The virtual corpus is ``expand`` deterministic copies of
@@ -112,13 +113,31 @@ def corpus_shards(sf_dir: str, segment_size: int, expand: int = 1,
                     pc.add(sl["doc_id"], c * n))
             parts.append(sl)
             r += take
-        return _derive(pa.concat_tables(parts)).select(
+        out = _derive(pa.concat_tables(parts)).select(
             ["doc_id", "url", *sorted(fields)])
+        if with_vectors:
+            # embeddings align by vec_id == doc_id (mod n for expanded
+            # copies) — the KnnFloatVectorField source column
+            emb = _cached_embeddings(f"{sf_dir}/embeddings.parquet")
+            rows = out["doc_id"].to_numpy() % emb.num_rows
+            out = out.append_column(
+                "embedding", emb["embedding"].take(pa.array(rows)))
+        return out
 
     return shards, make_docs
 
 
 _SOURCE_CACHE: dict = {}
+
+
+def _cached_embeddings(path: str) -> pa.Table:
+    t = _SOURCE_CACHE.get(path)
+    if t is None:
+        import pyarrow.parquet as pq
+        t = pq.read_table(path, columns=["vec_id", "embedding"]) \
+            .sort_by("vec_id")
+        _SOURCE_CACHE[path] = t
+    return t
 
 
 def _cached_source(path: str) -> pa.Table:

@@ -278,3 +278,69 @@ def test_search_timeout_returns_partial_lower_bound(searcher):
     assert full.relation == "EQUAL_TO"
     assert full.total_hits == searcher.search(TermQuery("spark"),
                                               k=5).total_hits
+
+
+def test_knn_vector_query_and_hybrid(ray_session, tmp_path):
+    """Index-integrated vector field: KnnFloatVectorQuery matches brute
+    cosine top-k; hybrid SHOULD(BM25, KNN) sums per doc; merge carries the
+    vector sidecar; tombstones exclude deleted docs from KNN."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.index.deletes import delete_by_url
+    from lucene_kmp_ray.index.merge import force_merge
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.search import (BooleanQuery, KnnFloatVectorQuery,
+                                       Occur, Searcher, TermQuery)
+
+    rng = np.random.default_rng(3)
+    n, d = 60, 8
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    texts = [f"doc {'spark' if i % 3 == 0 else 'join'} number w{i}"
+             for i in range(n)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "url": pa.array([f"u{i}" for i in range(n)], pa.string()),
+        "text": pa.array(texts, pa.string()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32()))}))
+    idx = str(tmp_path / "vec")
+    build_index(ds, idx, segment_size=20, vector_col="embedding")
+
+    q = vecs[7].astype(np.float64)
+    sims = (vecs.astype(np.float64) @ (q / np.linalg.norm(q))) / \
+        np.linalg.norm(vecs.astype(np.float64), axis=1)
+    exp_top5 = sorted(np.argsort(-sims)[:5].tolist())
+
+    s = Searcher(IndexReader(idx))
+    knn = KnnFloatVectorQuery(tuple(q.tolist()), k=5)
+    td = s.search(knn, k=5)
+    assert sorted(h.doc_id for h in td.score_docs) == exp_top5
+    for h in td.score_docs:
+        assert abs(h.score - sims[h.doc_id]) < 1e-6
+
+    # hybrid: scores add for docs in both sets
+    hyb = BooleanQuery.build((Occur.SHOULD, TermQuery("spark")),
+                             (Occur.SHOULD, knn))
+    td_h = s.search(hyb, k=n)
+    by_doc = {h.doc_id: h.score for h in td_h.score_docs}
+    td_t = {h.doc_id: h.score for h in
+            s.search(TermQuery("spark"), k=n).score_docs}
+    for doc in exp_top5:
+        exp = sims[doc] + td_t.get(doc, 0.0)
+        assert abs(by_doc[doc] - exp) < 1e-5, doc
+
+    # merge keeps vectors; KNN result unchanged
+    force_merge(idx, max_segments=1)
+    s2 = Searcher(IndexReader(idx))
+    td2 = s2.search(knn, k=5)
+    assert sorted(h.doc_id for h in td2.score_docs) == exp_top5
+
+    # tombstoned docs leave the KNN result
+    best = int(np.argmax(sims))
+    delete_by_url(idx, [f"u{best}"])
+    s3 = Searcher(IndexReader(idx))
+    td3 = s3.search(knn, k=5)
+    assert best not in {h.doc_id for h in td3.score_docs}
