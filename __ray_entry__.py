@@ -185,6 +185,12 @@ def _delete_by_url_search(sf_dir: str):
     return search_all_matches(del_idx, TermQuery(TERM_A))
 
 
+def _span_near():
+    from lucene_kmp_ray.search import SpanNearQuery, SpanTermQuery
+    return SpanNearQuery((SpanTermQuery("big"), SpanTermQuery("scan")),
+                         slop=2, in_order=True)
+
+
 def entry() -> Any:
     """Flagship: build index over sf0.001 web corpus, run distributed BM25
     top-10 for a query set, return the merged hits table."""
@@ -401,6 +407,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # not SQL-expressible → rows-only; exact Porter vectors + chain
         # parity live in tests/test_english_analyzer.py
         "bm25_english_top10": _english_topk,
+        # span positional algebra (NearSpansOrdered greedy match stream is
+        # traversal-order-dependent like the sloppy matcher) → rows-only;
+        # conformance vectors incl. the reference's documented double-match
+        # live in tests/test_spans.py
+        "span_near_all": lambda sf: search_all_matches(
+            _ensure_index(sf), _span_near()),
         # sloppy phrase: greedy minimal-window matcher (SloppyPhraseMatcher)
         # is deliberately traversal-order-dependent → not SQL-expressible;
         # rows-only check here, exact-parity unit tests in

@@ -24,3 +24,5 @@ from .query import (  # noqa: F401
 )
 from .queryparser import multi_field_parse, parse_query  # noqa: F401
 from .searcher import Searcher, TopDocs  # noqa: F401
+from .spans import (SpanFirstQuery, SpanNearQuery,  # noqa: F401
+                    SpanNotQuery, SpanOrQuery, SpanTermQuery)

@@ -213,6 +213,19 @@ class Searcher:
             scorer = self.sim.scorer(boost, dc, sttf, dfs)
             return docs, scorer.score(freqs,
                                       sr.norms_for(query.field)[docs])
+        from .spans import SpanQuery, span_freqs
+        if isinstance(query, SpanQuery):
+            docs, freqs = span_freqs(sr, query)
+            if not scoring:
+                return docs, np.zeros(len(docs), dtype=self.sim.dtype)
+            stats = self.reader.term_stats(query.terms(), query.field)
+            dfs = [df for df, _ in stats.values() if df > 0]
+            if not dfs or len(docs) == 0:
+                return _empty(self.sim.dtype)
+            dc, sttf = self.reader.field_stats(query.field)
+            scorer = self.sim.scorer(boost, dc, sttf, dfs)
+            return docs, scorer.score(freqs,
+                                      sr.norms_for(query.field)[docs])
         if isinstance(query, SynonymQuery):
             return self._score_synonym(sr, query, boost, scoring)
         if isinstance(query, DisjunctionMaxQuery):
