@@ -425,3 +425,23 @@ class NGramAnalyzer:
         norm_lengths = np.bincount(doc_of2, minlength=len(doc_lengths)) \
             .astype(np.int64)
         return norm_lengths, flat_grams, doc_of2, positions2
+
+
+class NGramTokenizerAnalyzer(NGramAnalyzer):
+    """The NGramTokenizer model (``analysis/common/.../ngram/
+    NGramTokenizer``): each gram is its own token at its own POSITION
+    (sequential), unlike the filter model where grams share the source
+    word's position. This is the field type NGramPhraseQuery targets —
+    consecutive grams sit at consecutive positions, so gram phrases
+    match."""
+
+    def __init__(self, min_n: int = 2, max_n: int = 3):
+        super().__init__(min_n, max_n)
+        self.name = f"ngram_tok_{min_n}_{max_n}"
+
+    def analyze_flat(self, texts):
+        lengths, flat, doc_of, _ = super().analyze_flat(texts)
+        starts = np.append(0, np.cumsum(lengths))[:-1]
+        positions = np.arange(len(flat), dtype=np.int64) - \
+            np.repeat(starts, lengths)
+        return lengths, flat, doc_of, positions

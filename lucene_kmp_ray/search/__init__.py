@@ -10,6 +10,7 @@ from .query import (  # noqa: F401
     MatchNoDocsQuery,
     MultiPhraseQuery,
     MultiTermQuery,
+    NGramPhraseQuery,
     Occur,
     PhraseQuery,
     PrefixQuery,

@@ -9,11 +9,14 @@ The syntax subset of the reference's JavaCC-generated classic parser
     spark join                default operator (OR, like Lucene's default)
     +spark join -window       required / optional / prohibited
     NOT window                prohibited
-    "big order scan"          phrase
+    "big order scan"          phrase (boost: "big scan"^2)
     spar?  sp*k  spark*       wildcard / prefix
     spark~1                   fuzzy (max_edits)
+    /sp.rk?/                  regexp (RegexpQuery, anchored)
     [batch TO data]           term range (inclusive); {..} exclusive
+    title:[a TO b]            field-scoped range / phrase / term
     spark^2.5                 boost
+    sp\*rk  foo\:bar          backslash-escaped specials (literal)
     (spark OR data) AND join  grouping
 
 Field prefixes (``title:foo``) scope the clause to that field
@@ -38,17 +41,21 @@ from dataclasses import dataclass
 
 from ..analysis.standard import fold_case, tokenize
 from .query import (BooleanQuery, BoostQuery, FuzzyQuery, Occur, PhraseQuery,
-                    PrefixQuery, Query, TermQuery, TermRangeQuery,
-                    WildcardQuery)
+                    PrefixQuery, Query, RegexpQuery, TermQuery,
+                    TermRangeQuery, WildcardQuery)
 
 _TOKEN_RE = re.compile(r"""
     \s*(?:
       (?P<lparen>\() | (?P<rparen>\)) |
       (?P<and>AND\b|&&) | (?P<or>OR\b|\|\|) | (?P<not>NOT\b) |
       (?P<plus>\+) | (?P<minus>-) |
-      (?P<phrase>"(?P<phrase_body>[^"]*)"(?:~(?P<slop>\d+))?) |
-      (?P<range>[\[{](?P<range_lo>[^\s\]}]+)\s+TO\s+(?P<range_hi>[^\s\]}]+)[\]}]) |
-      (?P<term>[^\s()+\-"^][^\s()"^]*)
+      (?P<field>[A-Za-z_]\w*:)?
+      (?:
+        (?P<phrase>"(?P<phrase_body>[^"]*)"(?:~(?P<slop>\d+))?) |
+        (?P<regex>/(?P<regex_body>(?:[^/\\]|\\.)*)/) |
+        (?P<range>[\[{](?P<range_lo>[^\s\]}]+)\s+TO\s+(?P<range_hi>[^\s\]}]+)[\]}]) |
+        (?P<term>(?:[^\s()+\-"^\\]|\\.)(?:[^\s()"^\\]|\\.)*)
+      )
     )(?:\^(?P<boost>\d+(?:\.\d+)?))?
 """, re.VERBOSE)
 # note the term pattern: '-' is an operator only at a clause BOUNDARY; inside
@@ -79,25 +86,47 @@ def _lex(s: str) -> list[_Tok]:
                 out.append(_Tok(kind, m.group(kind), boost))  # ")^2"
                 break
         else:
+            fld = m.group("field")
+            fld = fld[:-1] if fld else None
             if m.group("phrase") is not None:
                 out.append(_Tok("phrase", m.group("phrase_body"), boost,
-                                {"slop": int(m.group("slop") or 0)}))
+                                {"slop": int(m.group("slop") or 0),
+                                 "field": fld}))
+            elif m.group("regex") is not None:
+                out.append(_Tok("regex", m.group("regex_body"), boost,
+                                {"field": fld}))
             elif m.group("range") is not None:
                 out.append(_Tok("range", m.group("range"), boost, {
                     "lo": m.group("range_lo"), "hi": m.group("range_hi"),
                     "inc_lo": m.group("range").startswith("["),
-                    "inc_hi": m.group("range").endswith("]")}))
+                    "inc_hi": m.group("range").endswith("]"),
+                    "field": fld}))
             else:
-                out.append(_Tok("term", m.group("term"), boost))
+                out.append(_Tok("term", m.group("term"), boost,
+                                {"field": fld}))
     return out
 
 
-def _split_field(text: str) -> tuple[str | None, str]:
-    """Split a leading `field:` prefix → (field | None, rest)."""
-    i = text.find(":")
-    if 0 < i < len(text) - 1 and not text[:i].isdigit():
-        return text[:i], text[i + 1:]
-    return None, text
+def _scan_escapes(raw: str) -> tuple[str, list[bool]]:
+    """Resolve backslash escapes (QueryParserBase.discardEscapeChar role):
+    returns (clean text, per-char 'active' flags) — an escaped char is
+    literal text and never query syntax."""
+    clean: list[str] = []
+    active: list[bool] = []
+    i = 0
+    while i < len(raw):
+        if raw[i] == "\\" and i + 1 < len(raw):
+            clean.append(raw[i + 1])
+            active.append(False)
+            i += 2
+        else:
+            clean.append(raw[i])
+            active.append(True)
+            i += 1
+    return "".join(clean), active
+
+
+
 
 
 def _analyze_term(raw: str, analyzer) -> list[str]:
@@ -105,22 +134,40 @@ def _analyze_term(raw: str, analyzer) -> list[str]:
 
 
 def _term_to_query(tok: _Tok, analyzer, default_field: str) -> Query | None:
-    fld, text = _split_field(tok.text)
-    fld = fld or default_field
-    fuzzy = re.fullmatch(r"(.+?)~(\d?)", text)
-    if fuzzy and "*" not in text and "?" not in text:
-        base = fuzzy.group(1)
-        edits = int(fuzzy.group(2)) if fuzzy.group(2) else 2
-        toks = _analyze_term(base, analyzer)
-        if not toks:
-            return None
-        return FuzzyQuery(toks[0], max_edits=min(edits, 2), field=fld)
-    if "*" in text or "?" in text:
-        low = fold_case(text)  # the index's case mapping (utf8_lower)
-        if low.endswith("*") and "*" not in low[:-1] and "?" not in low:
+    fld = (tok.extra or {}).get("field") or default_field
+    clean, active = _scan_escapes(tok.text)
+
+    def is_active(ch: str) -> bool:
+        return any(c == ch and a for c, a in zip(clean, active))
+
+    # fuzzy: trailing UNESCAPED ~[digit]
+    if len(clean) >= 2 and not is_active("*") and not is_active("?"):
+        tail = 2 if clean[-1].isdigit() and len(clean) >= 3 and \
+            clean[-2] == "~" else 1
+        tpos = len(clean) - tail
+        if clean[tpos] == "~" and active[tpos] and tpos > 0:
+            base = clean[:tpos]
+            edits = int(clean[-1]) if tail == 2 else 2
+            toks = _analyze_term(base, analyzer)
+            if not toks:
+                return None
+            return FuzzyQuery(toks[0], max_edits=min(edits, 2), field=fld)
+    if is_active("*") or is_active("?"):
+        low = fold_case(clean)  # the index's case mapping (utf8_lower)
+        stars = [i for i, (c, a) in enumerate(zip(low, active))
+                 if a and c in "*?"]
+        if len(stars) == 1 and low[stars[0]] == "*" and \
+                stars[0] == len(low) - 1:
             return PrefixQuery(low[:-1], field=fld)
-        return WildcardQuery(low, field=fld)
-    toks = _analyze_term(text, analyzer)
+        if all(active):  # no escapes: plain wildcard syntax
+            return WildcardQuery(low, field=fld)
+        # escaped chars present: compile to an anchored regexp where
+        # every literal (incl. escaped * / ?) is escaped
+        pat = "".join(("." if c == "?" else ".*") if (a and c in "*?")
+                      else re.escape(c)
+                      for c, a in zip(low, active))
+        return RegexpQuery(pat, field=fld)
+    toks = _analyze_term(clean, analyzer)
     if not toks:
         return None
     if len(toks) == 1:
@@ -132,8 +179,8 @@ def _term_to_query(tok: _Tok, analyzer, default_field: str) -> Query | None:
 
 
 def _phrase_to_query(tok: _Tok, analyzer, default_field: str) -> Query | None:
-    fld, text = _split_field(tok.text)
-    fld = fld or default_field
+    fld = (tok.extra or {}).get("field") or default_field
+    text = tok.text
     toks = _analyze_term(text, analyzer)
     if not toks:
         return None
@@ -143,10 +190,11 @@ def _phrase_to_query(tok: _Tok, analyzer, default_field: str) -> Query | None:
 
 
 def _range_to_query(tok: _Tok, default_field: str) -> Query:
+    fld = tok.extra.get("field") or default_field
     lo = None if tok.extra["lo"] == "*" else fold_case(tok.extra["lo"])
     hi = None if tok.extra["hi"] == "*" else fold_case(tok.extra["hi"])
     return TermRangeQuery(lo, hi, tok.extra["inc_lo"], tok.extra["inc_hi"],
-                          field=default_field)
+                          field=fld)
 
 
 class _Parser:
@@ -202,6 +250,11 @@ class _Parser:
                                          self.default_field)
                 elif t.kind == "range":
                     q = _range_to_query(t, self.default_field)
+                elif t.kind == "regex":
+                    q = RegexpQuery(
+                        t.text.replace("\\/", "/"),
+                        field=(t.extra or {}).get("field")
+                        or self.default_field)
                 else:
                     q = _term_to_query(t, self.analyzer,
                                        self.default_field)

@@ -35,8 +35,8 @@ from .query import (BooleanQuery, BoostQuery, ConstantScoreQuery,
                     DisjunctionMaxQuery, FieldExistsQuery,
                     KnnFloatVectorQuery, MatchAllDocsQuery,
                     MatchNoDocsQuery, MultiPhraseQuery, MultiTermQuery,
-                    Occur, PhraseQuery, Query, RangeFilterQuery,
-                    SynonymQuery, TermQuery)
+                    NGramPhraseQuery, Occur, PhraseQuery, Query,
+                    RangeFilterQuery, SynonymQuery, TermQuery)
 
 
 class _KnnScoredQuery(Query):
@@ -195,6 +195,18 @@ class Searcher:
                 return _empty(self.sim.dtype)
             return docs, scorer.score(freqs,
                                       sr.norms_for(query.field)[docs])
+        if isinstance(query, NGramPhraseQuery):
+            sel_terms, sel_offsets = query.selected()
+            docs, freqs = _exact_phrase(sr, list(sel_terms), query.field,
+                                        list(sel_offsets))
+            if not scoring:
+                return docs, np.zeros(len(docs), dtype=self.sim.dtype)
+            scorer, _ = self._scorer_for_terms(list(sel_terms), boost,
+                                               query.field)
+            if scorer is None or len(docs) == 0:
+                return _empty(self.sim.dtype)
+            return docs, scorer.score(freqs,
+                                      sr.norms_for(query.field)[docs])
         if isinstance(query, MultiPhraseQuery):
             if query.slop != 0:
                 docs, freqs = _sloppy_multi_phrase(sr, query.slots,
@@ -290,8 +302,15 @@ class Searcher:
         """CONSTANT_SCORE rewrite: union of matching terms' postings; every
         matching doc scores ``boost`` (MultiTermQuery.kt rewrite family)."""
         dt = self.sim.dtype
-        arr, lo = sr.field_terms(getattr(q, "field", "text"))
-        mask = q.matches(arr)
+        fld = getattr(q, "field", "text")
+        arr, lo = sr.field_terms(fld)
+        mask = None
+        if hasattr(q, "matches_arrow"):
+            hi = lo + len(arr)
+            mask = q.matches_arrow(sr.terms_table["term"].slice(lo, hi - lo)
+                                   .combine_chunks())
+        if mask is None:
+            mask = q.matches(arr)
         idxs = np.flatnonzero(mask) + lo
         if len(idxs) == 0:
             return _empty(dt)
@@ -1172,7 +1191,7 @@ def _empty(dtype):
 
 
 def _exact_phrase(sr: SegmentReader, terms: list[str],
-                  field: str = "text"):
+                  field: str = "text", offsets: list[int] | None = None):
     """ExactPhraseMatcher: docs containing the terms at consecutive
     positions; freq = number of phrase starts (PhraseQuery scoring freq).
 
@@ -1200,12 +1219,14 @@ def _exact_phrase(sr: SegmentReader, terms: list[str],
         docs, _ = posts[t]
         entry_idx = np.searchsorted(docs, cand)
         sel[t] = sr.positions_for_entries(t, entry_idx, field)
-    nt = len(terms)
+    if offsets is None:
+        offsets = list(range(len(terms)))
+    max_off = max(offsets)
     max_pos = max((int(flat.max()) if len(flat) else 0)
                   for _, flat in sel.values())
-    M = max_pos + nt + 1  # pos - i >= -i > -M and M + pos - i > max_pos
+    M = max_pos + max_off + 2  # pos - off > -M and M + pos - off > max_pos
     keys = None
-    for i, t in enumerate(terms):
+    for i, t in zip(offsets, terms):
         freqs, flat = sel[t]
         doc_of = np.repeat(cand, freqs)
         k = doc_of * M + (flat - i)

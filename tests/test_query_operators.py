@@ -567,3 +567,67 @@ def test_sloppy_multi_phrase_repeat_slots(ray_session, tmp_path):
     # "(a) (a)"~2: needs TWO distinct 'a' occurrences within the window
     q = MultiPhraseQuery((("a",), ("a",)), slop=2)
     assert _docs_of(s.search(q, k=10)) == [0]
+
+
+def test_parser_escaping_regexp_field_ranges():
+    """QueryParser completeness (QueryParserBase.kt:51,161,380 surface):
+    backslash escaping, /regexp/ syntax, field-scoped ranges and phrases,
+    boost on phrases."""
+    from lucene_kmp_ray.search import RegexpQuery
+    # escaped specials become literal text handed to the ANALYZER (the
+    # discardEscapeChar semantics): '*' is not a word char so the
+    # analyzer splits around it — exactly what Lucene's getFieldQuery
+    # does with an escaped wildcard
+    assert parse_query(r"sp\*rk") == BooleanQuery((
+        (Occur.SHOULD, TermQuery("sp")), (Occur.SHOULD, TermQuery("rk"))))
+    # escaped ':' prevents field-prefix parsing ('foo' is not a field)
+    q = parse_query(r"foo\:bar")
+    assert q == BooleanQuery((
+        (Occur.SHOULD, TermQuery("foo")), (Occur.SHOULD, TermQuery("bar"))))
+    # escaped '~' is not fuzzy syntax ('2' analyzes into the token run)
+    assert parse_query(r"spark\~2") == BooleanQuery((
+        (Occur.SHOULD, TermQuery("spark")), (Occur.SHOULD, TermQuery("2"))))
+    # an escaped star combined with a live trailing star: prefix of the
+    # LITERAL 'sp*' (discardEscapeChar keeps the star in the term text)
+    assert parse_query(r"sp\**") == PrefixQuery("sp*")
+    # regexp syntax
+    assert parse_query("/sp.rk/") == RegexpQuery("sp.rk")
+    assert parse_query("title:/sp.+/") == RegexpQuery("sp.+", field="title")
+    # field-scoped range + phrase + wildcard
+    assert parse_query("title:[a TO b]") == \
+        TermRangeQuery("a", "b", field="title")
+    assert parse_query('title:"big scan"') == \
+        PhraseQuery(("big", "scan"), field="title")
+    assert parse_query("title:sp*") == PrefixQuery("sp", field="title")
+    # boost on phrases
+    assert parse_query('"big scan"^2') == \
+        BoostQuery(PhraseQuery(("big", "scan")), 2.0)
+
+
+def test_ngram_phrase_query(ray_session, tmp_path):
+    """NGramPhraseQuery.kt: on an NGramAnalyzer(3,3) field, checking every
+    3rd gram (plus last) gives results identical to the full gram phrase."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_kmp_ray.analysis.standard import (NGramAnalyzer,
+                                                  NGramTokenizerAnalyzer)
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.search import NGramPhraseQuery
+
+    texts = ["sparkle words", "parking here", "spar none", "sparkles"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "url": pa.array([f"u{i}" for i in range(len(texts))], pa.string()),
+        "text": pa.array(texts, pa.string())}))
+    idx = str(tmp_path / "ng")
+    build_index(ds, idx, segment_size=100,
+                analyzer=NGramTokenizerAnalyzer(3, 3))
+    s = Searcher(IndexReader(idx))
+
+    ana = NGramAnalyzer(3, 3)
+    grams = tuple(ana("sparkle"))  # spa par ark rkl kle
+    full = s.search(PhraseQuery(grams), k=100)
+    opt = s.search(NGramPhraseQuery(3, grams), k=100)
+    assert _docs_of(full) == _docs_of(opt) == [0, 3]
