@@ -5,6 +5,7 @@ from .query import (  # noqa: F401
     DisjunctionMaxQuery,
     FieldExistsQuery,
     FuzzyQuery,
+    IndexOrDocValuesQuery,
     KnnFloatVectorQuery,
     MatchAllDocsQuery,
     MatchNoDocsQuery,

@@ -357,6 +357,23 @@ class KnnFloatVectorQuery(Query):
         return []
 
 
+@dataclass(frozen=True)
+class IndexOrDocValuesQuery(Query):
+    """``search/IndexOrDocValuesQuery.kt``: two semantically-identical
+    executions of one predicate — an index-driven one (e.g. TermRange over
+    indexed terms, cheap when it LEADS iteration) and a doc-values one
+    (column check, cheap when it VERIFIES few candidates). The executor
+    picks by cost: standalone/leading use runs ``index_query``; in FILTER
+    position behind selective MUST clauses the boolean scorer gathers the
+    ``dv_query`` column only at the candidates (see
+    Searcher._score_boolean's deferred-filter rule)."""
+    index_query: Query
+    dv_query: Query  # a RangeFilterQuery over a doc-meta column
+
+    def terms(self):
+        return self.index_query.terms()
+
+
 MAX_CLAUSE_COUNT = 1024  # IndexSearcher.kt:986
 
 

@@ -35,8 +35,9 @@ from .query import (BooleanQuery, BoostQuery, ConstantScoreQuery,
                     DisjunctionMaxQuery, FieldExistsQuery,
                     KnnFloatVectorQuery, MatchAllDocsQuery,
                     MatchNoDocsQuery, MultiPhraseQuery, MultiTermQuery,
-                    NGramPhraseQuery, Occur, PhraseQuery, Query,
-                    RangeFilterQuery, SynonymQuery, TermQuery)
+                    IndexOrDocValuesQuery, NGramPhraseQuery, Occur,
+                    PhraseQuery, Query, RangeFilterQuery, SynonymQuery,
+                    TermQuery)
 
 
 class _KnnScoredQuery(Query):
@@ -246,6 +247,10 @@ class Searcher:
             return self._score_multiterm(sr, query, boost)
         if isinstance(query, RangeFilterQuery):
             return self._score_range(sr, query, boost)
+        if isinstance(query, IndexOrDocValuesQuery):
+            # standalone = leading iteration → the index-driven execution
+            return self._score_segment_raw(sr, query.index_query, boost,
+                                           scoring)
         if isinstance(query, BooleanQuery):
             return self._score_boolean(sr, query, boost, scoring)
         raise TypeError(f"unsupported query: {query!r}")
@@ -335,11 +340,25 @@ class Searcher:
                        boost: float, scoring: bool):
         dt = self.sim.dtype
         musts, filters, shoulds, nots = [], [], [], []
+        deferred: list[RangeFilterQuery] = []
+        has_must = any(occ == Occur.MUST for occ, _ in q.clauses)
         for occ, sub in q.clauses:
             if occ == Occur.MUST:
                 musts.append(self._score_segment_raw(sr, sub, boost, scoring))
             elif occ == Occur.FILTER:
-                filters.append(self._score_segment_raw(sr, sub, boost, False))
+                # IndexOrDocValuesQuery cost rule: behind MUST clauses the
+                # doc-values side verifies candidates by column gather
+                # instead of scanning the whole segment
+                dv = sub.dv_query if isinstance(sub, IndexOrDocValuesQuery) \
+                    else sub
+                if has_must and isinstance(dv, RangeFilterQuery):
+                    deferred.append(dv)
+                elif isinstance(sub, IndexOrDocValuesQuery):
+                    filters.append(self._score_segment_raw(
+                        sr, sub.index_query, boost, False))
+                else:
+                    filters.append(self._score_segment_raw(sr, sub, boost,
+                                                           False))
             elif occ == Occur.SHOULD:
                 shoulds.append(self._score_segment_raw(sr, sub, boost,
                                                        scoring))
@@ -371,6 +390,8 @@ class Searcher:
             cand = required[0][0]
             for d, _ in required[1:]:
                 cand = _intersect(cand, d)
+            for dv in deferred:  # verify-at-candidates (DocValues path)
+                cand = cand[_range_mask_at(sr, dv, cand)]
             scores = np.zeros(len(cand), dtype=dt)
             for d, s in musts:
                 scores = scores + _lookup_scores(cand, d, s)
@@ -1184,6 +1205,20 @@ def _topk_idx(scores: np.ndarray, docs: np.ndarray, k: int) -> np.ndarray:
     cand = np.flatnonzero(scores >= kth)  # all boundary ties kept, then exact
     order = np.lexsort((docs[cand], neg[cand]))[:k]
     return cand[order]
+
+
+def _range_mask_at(sr: SegmentReader, q: RangeFilterQuery,
+                   docs: np.ndarray) -> np.ndarray:
+    """Range predicate evaluated ONLY at the candidate docs (the
+    doc-values verification side of IndexOrDocValuesQuery): a column
+    gather of len(docs) values instead of a whole-segment scan."""
+    col = sr.doc_meta[q.field].take(docs).to_numpy(zero_copy_only=False)
+    mask = np.ones(len(docs), dtype=bool)
+    if q.lower is not None:
+        mask &= col >= q.lower
+    if q.upper is not None:
+        mask &= col <= q.upper
+    return mask
 
 
 def _empty(dtype):

@@ -631,3 +631,24 @@ def test_ngram_phrase_query(ray_session, tmp_path):
     full = s.search(PhraseQuery(grams), k=100)
     opt = s.search(NGramPhraseQuery(3, grams), k=100)
     assert _docs_of(full) == _docs_of(opt) == [0, 3]
+
+
+def test_index_or_docvalues_and_deferred_filter(searcher, toks):
+    """IndexOrDocValuesQuery picks the execution by position: standalone
+    runs the index side; in FILTER position behind a MUST the doc-values
+    side verifies candidates — results identical either way."""
+    from lucene_kmp_ray.search import IndexOrDocValuesQuery
+
+    rf = RangeFilterQuery("length", 40, 60)
+    iodv = IndexOrDocValuesQuery(rf, rf)  # same predicate both sides
+    base = searcher.search(BooleanQuery.build(
+        (Occur.MUST, TermQuery("spark")), (Occur.FILTER, rf)), k=10_000)
+    via_iodv = searcher.search(BooleanQuery.build(
+        (Occur.MUST, TermQuery("spark")), (Occur.FILTER, iodv)), k=10_000)
+    assert _docs_of(base) == _docs_of(via_iodv)
+    assert [round(h.score, 6) for h in base.score_docs] == \
+        [round(h.score, 6) for h in via_iodv.score_docs]
+    # standalone: index side runs
+    alone = searcher.search(iodv, k=10_000)
+    exp = sorted(i for i, t in enumerate(toks) if 40 <= len(t) <= 60)
+    assert _docs_of(alone) == exp
