@@ -106,6 +106,21 @@ def _ensure_index(sf_dir: str) -> str:
     return index_dir
 
 
+def _classic_topk(sf_dir: str):
+    """ClassicSimilarity (TF-IDF) top-10 — the pluggable Similarity slot
+    (ClassicSimilarity.kt / TFIDFSimilarity.kt scorer, float64 mode)."""
+    import pandas as pd
+    index_dir = _ensure_index(sf_dir)
+    df = search_distributed(index_dir, {"q": TermQuery(TERM_A)}, k=10,
+                            dtype="float64",
+                            similarity="classic").to_pandas()
+    if df.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "url": pd.Series([], dtype="string"),
+                             "score": pd.Series([], dtype="float64")})
+    return df[["doc_id", "url", "score"]]
+
+
 def _query_vector(sf_dir: str) -> tuple:
     import pyarrow.parquet as pq
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
@@ -401,6 +416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ensure_index(sf), TermQuery(TERM_A), "length", k=20),
         "sorted_by_url_top20": lambda sf: _sorted_by_url(sf),
         "knn_vector_top10": _knn_topk,
+        "classic_term_top10": _classic_topk,
         "hybrid_bm25_knn_top10": _hybrid_topk,
         "sorted_multi_key_top20": lambda sf: _sorted_multi(sf),
         # English analysis chain (possessive → stop → Porter): stemming is
@@ -496,6 +512,7 @@ def oracle_sql() -> dict[str, str]:
         "sorted_by_length": oracle.sorted_by_length(TERM_A, 20),
         "sorted_by_url_top20": oracle.sorted_by_url(TERM_A, 20),
         "knn_vector_top10": oracle.knn_vector_topk(),
+        "classic_term_top10": oracle.classic_term_topk(TERM_A),
         "hybrid_bm25_knn_top10": oracle.hybrid_bm25_knn_topk(TERM_A),
         "sorted_multi_key_top20": oracle.sorted_multi_key(TERM_A, 20),
         "token_counts": oracle.token_counts(),

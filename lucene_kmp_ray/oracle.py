@@ -665,6 +665,25 @@ ORDER BY ((0 + COALESCE(sc0.score, 0)) + COALESCE(knn.cos, 0)) DESC,
 """
 
 
+def classic_term_topk(term: str, k: int = 10) -> str:
+    """ClassicSimilarity (TF-IDF) mirror: idf = ln((N+1)/(df+1)) + 1,
+    score = (sqrt(freq) * idf) * (1/sqrt(decoded_length)) — the exact
+    TFIDFScorer op order in float64."""
+    idf = (f"(ln((CAST((SELECT doc_count FROM stats) AS DOUBLE) + 1) / "
+           f"((SELECT df FROM tstats WHERE term = '{term}') + 1)) + 1.0)")
+    return preamble() + f""",
+scored AS (
+  SELECT p.doc_id,
+         (sqrt(CAST(p.freq AS DOUBLE)) * {idf}) * (1.0/sqrt(n.dln)) AS score
+  FROM postings p JOIN normd n USING (doc_id)
+  WHERE p.term = '{term}'
+)
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
 def sorted_by_url(term: str, k: int = 20) -> str:
     """STRING-typed field sort: url descending, doc_id tiebreak."""
     return preamble() + f"""

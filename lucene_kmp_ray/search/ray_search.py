@@ -28,6 +28,18 @@ from .query import Query
 from .searcher import Searcher, _topk_idx
 
 
+def make_similarity(name: str, dtype: str):
+    """Similarity registry (the Similarity extension surface, SURVEY
+    §2.11): 'bm25' (default), 'classic' (TF-IDF), 'boolean'."""
+    if name == "classic":
+        from ..similarity.classic import ClassicSimilarity
+        return ClassicSimilarity(dtype=dtype)
+    if name == "boolean":
+        from ..similarity.classic import BooleanSimilarity
+        return BooleanSimilarity(dtype=dtype)
+    return BM25Similarity(dtype=dtype)
+
+
 def _seg_work_items(segs, per_block: int = 8):
     """Segment ids as a Dataset with one BLOCK per ~per_block segments —
     ``from_arrow`` yields a single block, which would feed the whole actor
@@ -48,11 +60,13 @@ class SegmentSearchActor:
     ``__call__`` scores one batch of (seg,) work items against all queries.
     """
 
-    def __init__(self, index_dir: str, queries_ref, k: int, dtype: str):
+    def __init__(self, index_dir: str, queries_ref, k: int, dtype: str,
+                 similarity: str = "bm25"):
         import ray
         self.k = k
         self.reader = IndexReader(index_dir)
-        self.searcher = Searcher(self.reader, BM25Similarity(dtype=dtype))
+        self.searcher = Searcher(self.reader,
+                                 make_similarity(similarity, dtype))
         # KNN queries resolve to their global top-k ONCE per actor
         self.queries: dict[str, Query] = {
             qid: self.searcher.rewrite(q)
@@ -81,7 +95,8 @@ class SegmentSearchActor:
 
 
 def search_distributed(index_dir: str, queries: dict[str, Query], k: int = 10,
-                       concurrency: int | None = None, dtype: str = "float32"):
+                       concurrency: int | None = None, dtype: str = "float32",
+                       similarity: str = "bm25"):
     """Run many queries over all segments → Dataset of global top-k rows
     with columns (query_id, doc_id, url, score, rank)."""
     import pyarrow as pa
@@ -95,7 +110,7 @@ def search_distributed(index_dir: str, queries: dict[str, Query], k: int = 10,
     ds = _seg_work_items(segs)
     per_seg = ds.map_batches(
         SegmentSearchActor,
-        fn_constructor_args=(index_dir, queries_ref, k, dtype),
+        fn_constructor_args=(index_dir, queries_ref, k, dtype, similarity),
         batch_format="pandas", batch_size=8, concurrency=_pool_size(concurrency))
 
     def merge_topk(g: pd.DataFrame) -> pd.DataFrame:

@@ -81,3 +81,42 @@ def test_float64_mode_matches_formula():
     expected = idf - idf / (1.0 + 4.0 * inv)
     got = sc.score(np.array([4]), np.array([40], dtype=np.uint8))[0]
     assert got == pytest.approx(expected, abs=0, rel=0)
+
+
+def test_classic_and_boolean_similarity(built_index, corpus_texts):
+    """Pluggable Similarity slot: ClassicSimilarity reproduces the
+    TFIDFScorer formula (idf=ln((N+1)/(df+1))+1, sqrt tf, 1/sqrt(len)
+    norm table over the SmallFloat-decoded length); BooleanSimilarity
+    scores the boost."""
+    import math
+
+    import numpy as np
+
+    from lucene_kmp_ray.analysis import tokenize
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.search import Searcher, TermQuery
+    from lucene_kmp_ray.similarity.classic import (BooleanSimilarity,
+                                                   ClassicSimilarity)
+    from lucene_kmp_ray.util.smallfloat import LENGTH_TABLE_INT, int_to_byte4
+
+    reader = IndexReader(built_index)
+    s = Searcher(reader, ClassicSimilarity(dtype="float64"))
+    td = s.search(TermQuery("spark"), k=5)
+    toks = [tokenize(t) for t in corpus_texts]
+    n = len(toks)
+    df = sum(1 for t in toks if "spark" in t)
+    idf = math.log((n + 1) / (df + 1)) + 1.0
+    for h in td.score_docs:
+        freq = toks[h.doc_id].count("spark")
+        dln = int(LENGTH_TABLE_INT[int_to_byte4(len(toks[h.doc_id]))])
+        exp = (math.sqrt(freq) * idf) * (1.0 / math.sqrt(dln))
+        assert abs(h.score - exp) < 1e-12, h.doc_id
+
+    sb = Searcher(reader, BooleanSimilarity())
+    tb = sb.search(TermQuery("spark"), k=5)
+    assert all(h.score == 1.0 for h in tb.score_docs)
+    # pruned WAND path stays rank-identical under classic
+    exhaustive = s.search(TermQuery("the"), k=10)
+    pruned = s.search(TermQuery("the"), k=10, prune=True)
+    assert [h.doc_id for h in exhaustive.score_docs] == \
+        [h.doc_id for h in pruned.score_docs]
