@@ -441,6 +441,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": textstats.quality,
         "langid": textstats.langid,
         "fingerprints": textstats.fingerprints,
+        # --- training-pipeline composition ops ---
+        "contamination_screen": textstats.contamination_screen,
+        "stratified_sample": textstats.stratified_sample,
+        "quality_filter": textstats.quality_filter,
         # --- dedup ---
         "dedup_exact_fingerprint": _dedup_fp,
         "dedup_url_latest": _dedup_url_latest,
@@ -520,6 +524,9 @@ def oracle_sql() -> dict[str, str]:
         "quality": oracle.quality(),
         "langid": oracle.langid(),
         "fingerprints": oracle.fingerprints(),
+        "contamination_screen": oracle.contamination_screen(),
+        "stratified_sample": oracle.stratified_sample(),
+        "quality_filter": oracle.quality_filter(),
         "dedup_exact_fingerprint": oracle.dedup_exact_fingerprint(),
         "dedup_url_latest": oracle.dedup_url_latest(),
         "jaccard_pairs": oracle.jaccard_pairs(0.5),

@@ -390,6 +390,80 @@ FROM toksrc
 """
 
 
+def contamination_screen() -> str:
+    """Decontamination mirror: probe = distinct shingles of docs 0..4;
+    per doc the distinct-shingle count and how many fall in the probe."""
+    return preamble() + "," + _shingle_cte() + """,
+probe AS (SELECT DISTINCT shingle FROM shrow WHERE doc_id < 5),
+per AS (
+  SELECT r.doc_id, count(*) AS n, count(p.shingle) AS k
+  FROM shrow r LEFT JOIN probe p ON p.shingle = r.shingle
+  GROUP BY r.doc_id
+)
+SELECT c.doc_id,
+       COALESCE(per.n, 0) AS n_shingles,
+       COALESCE(per.k, 0) AS n_contaminated,
+       round(COALESCE(per.k, 0) /
+             CAST(GREATEST(COALESCE(per.n, 0), 1) AS DOUBLE), 6)
+         AS contamination_r
+FROM corpus c LEFT JOIN per USING (doc_id)
+"""
+
+
+def stratified_sample() -> str:
+    """Deterministic hash sampling mirror: keep iff the first 8 md5 hex
+    chars of the doc_id string sort under the language's threshold (hex
+    string order == numeric order at fixed width)."""
+    from .pipelines.textstats import SAMPLE_RATES
+    whens = " ".join(
+        f"WHEN lang = '{lg}' THEN '{int(r * 2**32):08x}'"
+        for lg, r in sorted(SAMPLE_RATES.items()))
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+      (CASE {whens} ELSE '00000000' END)
+"""
+
+
+def quality_filter() -> str:
+    """Quality-gate mirror: same signals, same threshold precedence
+    (too_short > no_lang > low_alnum > low_unique — the engine's
+    overwrite order reversed into CASE order)."""
+    from .pipelines.textstats import (QF_MIN_ALNUM, QF_MIN_TOKENS,
+                                      QF_MIN_UNIQUE)
+    langs = sorted(LANG_STOPWORDS)
+    cols = ",\n".join(
+        "         len(list_filter(t.toks, x -> list_contains([{}], x))) AS c_{}"
+        .format(", ".join(repr(s) for s in LANG_STOPWORDS[lg]), lg)
+        for lg in langs)
+    g = "GREATEST({})".format(", ".join(f"c_{lg}" for lg in langs))
+    return preamble() + f""",
+q AS (
+  SELECT c.doc_id,
+         length(c.text) AS n_chars,
+         length(regexp_replace(c.text, '[^\\pL\\pN\\s]', '', 'g')) AS n_alnum,
+         len(t.toks) AS n_tokens,
+         len(list_distinct(t.toks)) AS n_uniq,
+{cols}
+  FROM corpus c JOIN toksrc t USING (doc_id)
+),
+r AS (
+  SELECT doc_id,
+    CASE
+      WHEN n_tokens < {QF_MIN_TOKENS} THEN 'too_short'
+      WHEN {g} = 0 THEN 'no_lang'
+      WHEN n_alnum / CAST(GREATEST(n_chars, 1) AS DOUBLE) < {QF_MIN_ALNUM}
+        THEN 'low_alnum'
+      WHEN n_uniq / CAST(GREATEST(n_tokens, 1) AS DOUBLE) < {QF_MIN_UNIQUE}
+        THEN 'low_unique'
+      ELSE ''
+    END AS reject_reason
+  FROM q
+)
+SELECT doc_id, (reject_reason = '') AS kept, reject_reason FROM r
+"""
+
+
 def dedup_exact_fingerprint() -> str:
     return preamble() + """,
 fp AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fingerprint

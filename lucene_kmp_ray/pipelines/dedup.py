@@ -582,9 +582,19 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.95,
             "cos_r": pa.array(np.round(sims[ii, jj][keep], 6)),
         })
 
-    tasks = [pair_block.remote(refs[i], refs[j], i == j)
-             for i in range(len(refs)) for j in range(i, len(refs))]
-    parts = ray.get(tasks)  # each part is a tiny qualifying-pairs table
+    # windowed fan-out: at large block counts B the B²/2 pair tasks would
+    # otherwise all enqueue at once; the in-flight cap is the same
+    # backpressure pattern as the sharded index build
+    import ray as _ray
+    max_in_flight = int(ray.cluster_resources().get("CPU", 8)) * 4
+    parts, pending = [], []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            if len(pending) >= max_in_flight:
+                ready, pending = _ray.wait(pending, num_returns=1)
+                parts.extend(_ray.get(ready))
+            pending.append(pair_block.remote(refs[i], refs[j], i == j))
+    parts.extend(ray.get(pending))  # each part: tiny qualifying-pairs table
     return rd.from_arrow(pa.concat_tables(parts))
 
 

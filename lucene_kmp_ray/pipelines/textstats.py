@@ -234,3 +234,131 @@ def token_counts_cjk(sf_dir: str):
         })
 
     return _docs_ds(sf_dir).map_batches(counts, batch_format="pyarrow")
+
+
+# ------------------- training-pipeline composition ops ---------------------
+N_PROBE_DOCS = 5  # the simulated "benchmark/test set": first N docs
+
+
+def contamination_screen(sf_dir: str):
+    """Benchmark-decontamination screen: fraction of each doc's distinct
+    token 3-grams that appear in the probe set (the shingles of the first
+    ``N_PROBE_DOCS`` docs, simulating a held-out test set). The probe set
+    is the SMALL side: built once, broadcast via ``ray.put``, checked with
+    one vectorized ``is_in`` per batch — at 100 TB the probe side is a
+    benchmark corpus (MBs), never the training corpus.
+
+    Output: (doc_id, n_shingles, n_contaminated, contamination_r).
+    """
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from .dedup import _batch_shingles, _read_docs
+
+    probe_t = pq.read_table(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"]) \
+        .sort_by("doc_id").slice(0, N_PROBE_DOCS)
+    prow, pcode, _, uniq = _batch_shingles(probe_t["text"])
+    probe = sorted({uniq[c] for c in pcode})
+    probe_ref = ray.put(probe)
+
+    class Screen:
+        def __init__(self):
+            import ray as _ray
+            self.probe = pa.array(_ray.get(probe_ref), pa.string())
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rows, codes, _, u = _batch_shingles(batch["text"])
+            n = batch.num_rows
+            nsh = np.bincount(rows, minlength=n).astype(np.int64) \
+                if len(rows) else np.zeros(n, np.int64)
+            hit_code = pc.is_in(pa.array(u, pa.string()),
+                                value_set=self.probe) \
+                .to_numpy(zero_copy_only=False) if u else \
+                np.zeros(0, bool)
+            ncon = np.bincount(rows, weights=hit_code[codes],
+                               minlength=n).astype(np.int64) \
+                if len(rows) else np.zeros(n, np.int64)
+            return pa.table({
+                "doc_id": batch["doc_id"],
+                "n_shingles": pa.array(nsh),
+                "n_contaminated": pa.array(ncon),
+                "contamination_r": pa.array(
+                    np.round(ncon / np.maximum(nsh, 1), 6)),
+            })
+
+    return _read_docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(Screen, batch_format="pyarrow", concurrency=2)
+
+
+SAMPLE_RATES = {"en": 0.75, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.25}
+
+
+def stratified_sample(sf_dir: str, rates: dict[str, float] | None = None):
+    """Deterministic per-language stratified sampling: keep a doc iff the
+    first 8 hex chars of md5(doc_id) fall under the language's rate
+    threshold — a pure function of the row, so retries are idempotent, no
+    RNG state, and the SQL oracle reproduces the exact selection
+    (``substr(md5(...), 1, 8) < printf('%08x', rate * 2^32)``). The
+    standard down-sampling step of a multi-lingual training mix.
+    Output: kept (doc_id, lang) rows.
+    """
+    import ray.data as rd
+
+    rates = rates or SAMPLE_RATES
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        langs = batch["lang"].to_pylist()
+        h = np.array([int(hashlib.md5(str(int(d)).encode())
+                          .hexdigest()[:8], 16) for d in ids],
+                     dtype=np.uint64)
+        thr = np.array([int(rates.get(lg, 0.0) * 2**32) for lg in langs],
+                       dtype=np.uint64)
+        keep = h < thr
+        return pa.table({
+            "doc_id": batch["doc_id"].filter(pa.array(keep)),
+            "lang": batch["lang"].filter(pa.array(keep)),
+        })
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"]) \
+        .map_batches(pick, batch_format="pyarrow")
+
+
+# quality-gate thresholds (the C4/Gopher-style rule-based filter shape)
+QF_MIN_TOKENS = 10
+QF_MIN_ALNUM = 0.8
+QF_MIN_UNIQUE = 0.1
+
+
+def quality_filter(sf_dir: str):
+    """Rule-based quality gate composing the scored signals (the C4-style
+    filter chain of a pretraining pipeline): keep docs with ≥ QF_MIN_TOKENS
+    tokens, alnum ratio ≥ QF_MIN_ALNUM, unique-token ratio ≥ QF_MIN_UNIQUE,
+    and a recognized language. One fused single-pass map (the signals
+    compute per batch; nothing materializes). Output: (doc_id, kept,
+    reject_reason) for every doc — auditable filtering, not silent drops.
+    """
+    import ray.data as rd
+
+    def gate(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)
+        lid = langid_batch(batch)
+        n_tok = q["n_tokens"].to_numpy()
+        alnum = q["alnum_ratio"].to_numpy()
+        uniq = q["unique_ratio"].to_numpy()
+        lang = np.asarray(lid["pred_lang"].to_pylist(), dtype=object)
+        reason = np.full(batch.num_rows, "", dtype=object)
+        reason[uniq < QF_MIN_UNIQUE] = "low_unique"
+        reason[alnum < QF_MIN_ALNUM] = "low_alnum"
+        reason[lang == "und"] = "no_lang"
+        reason[n_tok < QF_MIN_TOKENS] = "too_short"
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "kept": pa.array(reason == ""),
+            "reject_reason": pa.array(reason, pa.string()),
+        })
+
+    return _docs_ds(sf_dir).map_batches(gate, batch_format="pyarrow")

@@ -105,6 +105,11 @@ def search_distributed(index_dir: str, queries: dict[str, Query], k: int = 10,
 
     reader = IndexReader(index_dir)
     segs = [m["seg"] for m in reader.manifest["segments"]]
+    # KNN queries resolve ONCE here (one pass over the vector sidecars)
+    # and broadcast resolved — otherwise EVERY actor would re-scan every
+    # segment's vectors during its own rewrite (O(actors × total vectors))
+    pre = Searcher(reader)
+    queries = {qid: pre.rewrite(q) for qid, q in queries.items()}
     queries_ref = ray.put(queries)  # broadcast once, read per actor
 
     ds = _seg_work_items(segs)
@@ -173,6 +178,7 @@ def search_all_matches(index_dir: str, query: Query, dtype: str = "float64",
 
     reader = IndexReader(index_dir)
     segs = [m["seg"] for m in reader.manifest["segments"]]
+    query = Searcher(reader).rewrite(query)  # resolve KNN once, broadcast
     ds = _seg_work_items(segs)
     return ds.map_batches(SegmentMatchActor,
                           fn_constructor_args=(index_dir, ray.put(query),
