@@ -71,29 +71,54 @@ def _pack_ragged(out: np.ndarray, pay_start: np.ndarray, widths: np.ndarray,
     """Pack each block's first ``counts[b]`` values (``widths[b]`` bits
     each, LSB-first) into ``out`` at byte offset ``pay_start[b]``.
 
-    Work is O(Σ counts[b]·widths[b]) — the true bit count — instead of the
-    former per-width (k, 128, w) bit tensor, which expanded the zero
-    padding too (128× waste for the df=1 terms that dominate a web
-    vocabulary). Every absolute bit position is written at most once, so
-    the byte accumulation is an exact np.bincount.
+    Hybrid strategy by block shape:
+
+    - FULL 128-value blocks (long posting lists — the merge/decode-heavy
+      case) pack per width group through ``np.packbits`` over a dense
+      uint8 bit tensor — C-loop packing, and 128·w bits is exactly the
+      payload, so nothing is wasted;
+    - PARTIAL blocks (df=1-ish terms — the web-vocabulary majority in the
+      bulk single-block-term path) go through a ragged bit-stream
+      scatter that is O(Σ counts[b]·widths[b]) — the true bit count —
+      instead of expanding the zero padding 128×. Every absolute bit
+      position is written once, so the byte accumulation is an exact
+      np.bincount.
     """
     nblocks = len(counts)
     if nblocks == 0:
         return
-    vb = np.repeat(np.arange(nblocks), counts)
-    total = len(vb)
+    full = counts == BLOCK_SIZE
+    if full.any():
+        for w in np.unique(widths[full]):
+            if w == 0:
+                continue
+            idx = np.flatnonzero(full & (widths == w))
+            rows = resh[idx]
+            bits = ((rows[:, :, None] >> np.arange(w, dtype=np.uint64)) & 1) \
+                .astype(np.uint8)
+            packed = np.packbits(bits.reshape(len(idx), BLOCK_SIZE * int(w)),
+                                 axis=1, bitorder="little")
+            nbytes = (BLOCK_SIZE * int(w)) // 8  # 128·w is byte-aligned
+            dest = pay_start[idx][:, None] + np.arange(nbytes)
+            out[dest.ravel()] = packed[:, :nbytes].ravel()
+    part = np.flatnonzero(~full)
+    if not len(part):
+        return
+    pcounts = counts[part]
+    vb_p = np.repeat(part, pcounts)
+    total = len(vb_p)
     if total == 0:
         return
-    ob = np.cumsum(counts) - counts
-    iib = np.arange(total, dtype=np.int64) - np.repeat(ob, counts)
-    vals = resh[vb, iib]
-    w = widths[vb]
+    ob = np.cumsum(pcounts) - pcounts
+    iib = np.arange(total, dtype=np.int64) - np.repeat(ob, pcounts)
+    vals = resh[vb_p, iib]
+    w = widths[vb_p]
     keep = w > 0
     if not keep.all():
-        vals, vb, iib, w = vals[keep], vb[keep], iib[keep], w[keep]
+        vals, vb_p, iib, w = vals[keep], vb_p[keep], iib[keep], w[keep]
     if len(vals) == 0:
         return
-    bit_start = pay_start[vb] * 8 + iib * w
+    bit_start = pay_start[vb_p] * 8 + iib * w
     tb = int(w.sum())
     off = np.cumsum(w) - w
     bit_idx = np.arange(tb, dtype=np.int64) - np.repeat(off, w)
