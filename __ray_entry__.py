@@ -320,6 +320,24 @@ def _topk(sf_dir: str, query, k: int = 10):
     return df[["doc_id", "url", "score"]]
 
 
+def _page2(sf_dir: str):
+    """searchAfter pagination (IndexSearcher.searchAfter): page 2 of the
+    'the' ranking — re-query with page 1's last hit as the cursor."""
+    import pandas as pd
+
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.similarity.bm25 import BM25Similarity
+
+    s = Searcher(IndexReader(_ensure_index(sf_dir)),
+                 BM25Similarity(dtype="float64"))
+    p1 = s.search(TermQuery(TERM_B), k=10)
+    td = s.search_after(p1.score_docs[-1], TermQuery(TERM_B), k=10)
+    return pd.DataFrame({
+        "doc_id": [h.doc_id for h in td.score_docs],
+        "url": [h.url for h in td.score_docs],
+        "score": [h.score for h in td.score_docs]})
+
+
 def _count_term(sf_dir: str, term: str):
     import pandas as pd
     import pyarrow.parquet as pq
@@ -374,6 +392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- query operators (SURVEY §2.5) ---
         "bm25_term_spark": lambda sf: _topk(sf, TermQuery(TERM_A)),
         "bm25_term_the": lambda sf: _topk(sf, TermQuery(TERM_B)),
+        "bm25_page2_top10": _page2,
         "bm25_or_top10": lambda sf: _topk(sf, BooleanQuery.build(
             *[(Occur.SHOULD, TermQuery(t)) for t in OR_TERMS])),
         "bm25_and_top10": lambda sf: _topk(sf, BooleanQuery.build(
@@ -494,6 +513,7 @@ def oracle_sql() -> dict[str, str]:
         "collection_stats": oracle.collection_stats(),
         "bm25_term_spark": oracle.bm25_term_topk(TERM_A),
         "bm25_term_the": oracle.bm25_term_topk(TERM_B),
+        "bm25_page2_top10": oracle.bm25_term_page(TERM_B, 10, 10),
         "bm25_or_top10": oracle.bm25_or_topk(OR_TERMS),
         "bm25_and_top10": oracle.bm25_and_topk(AND_TERMS),
         "bool_not_all": oracle.bool_not_all(*NOT_PAIR),

@@ -188,6 +188,17 @@ ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
 
 
+def bm25_term_page(term: str, k: int = 10, offset: int = 10) -> str:
+    """searchAfter mirror: page at OFFSET of the same total order."""
+    lit = f"'{term}'"
+    return preamble() + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k} OFFSET {offset}
+"""
+
+
 def bm25_or_topk(terms: list[str], k: int = 10) -> str:
     """SHOULD-disjunction: per-doc sum of term scores in sorted-term order
     (the engine sums clause-order; callers pass terms sorted)."""

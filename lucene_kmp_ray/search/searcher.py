@@ -475,6 +475,34 @@ class Searcher:
             return ConstantScoreQuery(self.rewrite(query.query))
         return query
 
+    def search_after(self, after: "ScoreDoc | None", query: Query,
+                     k: int = 10) -> TopDocs:
+        """Deep pagination (``IndexSearcher.searchAfter``): the top-k
+        strictly AFTER ``after`` in (score desc, seg asc, doc asc) order —
+        page N+1 re-runs the query with page N's last hit, never
+        materializing more than k hits anywhere (the scalable alternative
+        to a growing offset)."""
+        if after is None:
+            return self.search(query, k)
+        query = self.rewrite(query)
+        a_key = (-after.score, after.seg, after.doc)
+        total = 0
+        parts = []
+        for si, sr in enumerate(self.reader.segment_readers):
+            docs, scores = self._score_segment(sr, query)
+            total += len(docs)
+            # keep only hits strictly after the cursor
+            sc = scores.astype(np.float64)
+            keep = (-sc > a_key[0]) | \
+                ((-sc == a_key[0]) & (si > a_key[1])) | \
+                ((-sc == a_key[0]) & (si == a_key[1]) & (docs > a_key[2]))
+            docs, scores = docs[keep], scores[keep]
+            if len(docs) > k:
+                sel = _topk_idx(scores, docs, k)
+                docs, scores = docs[sel], scores[sel]
+            parts.append((scores, np.full(len(docs), si), docs))
+        return self._merge(parts, k, total, "EQUAL_TO")
+
     # ----- top-k --------------------------------------------------------
     def search(self, query: Query, k: int = 10, prune: bool = False,
                timeout_s: float | None = None) -> TopDocs:

@@ -185,3 +185,23 @@ def corpus_dataset(sf_dir: str, columns: list[str] | None = None,
     if columns is not None:
         ds = ds.select_columns(columns)
     return ds
+
+
+def fetch_documents(sf_dir: str, doc_ids: list[int],
+                    columns: list[str] | None = None) -> pa.Table:
+    """Stored-fields fetch (the StoredFieldVisitor / document() API,
+    SURVEY §1.4: the corpus Parquet IS the row store): pull the requested
+    docs' stored columns with parquet predicate pushdown — row groups not
+    covering the ids never read. Returns rows in doc_id order."""
+    import pyarrow.parquet as pq
+
+    cols = None
+    if columns is not None:
+        src_needed = {"doc_id", "text", "lang", "source"}
+        cols = sorted(src_needed)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=cols,
+                      filters=[("doc_id", "in", sorted(set(doc_ids)))])
+    out = _derive(t.sort_by("doc_id"))
+    if columns is not None:
+        out = out.select(columns)
+    return out

@@ -344,3 +344,26 @@ def test_knn_vector_query_and_hybrid(ray_session, tmp_path):
     s3 = Searcher(IndexReader(idx))
     td3 = s3.search(knn, k=5)
     assert best not in {h.doc_id for h in td3.score_docs}
+
+
+def test_search_after_pagination(built_index):
+    """searchAfter: pages tile the full ranking exactly, no overlaps."""
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.search import Searcher, TermQuery
+
+    s = Searcher(IndexReader(built_index))
+    q = TermQuery("the")
+    full = s.search(q, k=30).score_docs
+    p1 = s.search_after(None, q, k=10).score_docs
+    p2 = s.search_after(p1[-1], q, k=10).score_docs
+    p3 = s.search_after(p2[-1], q, k=10).score_docs
+    paged = [(h.doc_id, round(h.score, 7)) for h in p1 + p2 + p3]
+    assert paged == [(h.doc_id, round(h.score, 7)) for h in full]
+
+
+def test_fetch_documents_row_store(built_index):
+    from lucene_kmp_ray.sources.corpus import fetch_documents
+    t = fetch_documents("/root/testdata/sf0.001", [5, 3, 499],
+                        columns=["doc_id", "url", "title"])
+    assert t["doc_id"].to_pylist() == [3, 5, 499]
+    assert all(u.startswith("https://") for u in t["url"].to_pylist())
