@@ -72,3 +72,85 @@ def extract_features(ds, concurrency: int = 2):
     """ds of MEDIA_SCHEMA rows → (media_id, media_type, feature) rows."""
     return ds.map_batches(MediaFeatureExtractor, batch_format="pyarrow",
                           batch_size=32, concurrency=concurrency)
+
+
+def _fake_resize(payload: bytes, w: int, h: int,
+                 out_w: int, out_h: int) -> bytes:
+    """STUB resize: deterministic byte transform standing in for a real
+    PIL resize (payload → md5-chained bytes of the target size's scale,
+    stable for tests). A real deployment decodes, resizes, re-encodes."""
+    if payload is None or len(payload) == 0:
+        raise NotImplementedError("empty payload; real codec stubbed out")
+    seed = hashlib.md5(payload + bytes([out_w % 256, out_h % 256])).digest()
+    reps = max(1, (out_w * out_h) // (16 * 8))
+    return (seed * reps)[: out_w * out_h // 8 or len(seed)]
+
+
+class MediaResizer:
+    """Actor-pool resize stage (image thumbnailing shape): out payload +
+    updated dimensions; batches stay SMALL because payloads are large —
+    the batch_size × concurrency × payload product must fit the worker
+    heap (SURVEY §4 memory note)."""
+
+    def __init__(self, out_w: int = 32, out_h: int = 32):
+        self.out_w = out_w
+        self.out_h = out_h  # real init: codec/context setup once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        resized = [_fake_resize(p, w, h, self.out_w, self.out_h)
+                   for p, w, h in zip(batch["payload"].to_pylist(),
+                                      batch["width"].to_pylist(),
+                                      batch["height"].to_pylist())]
+        n = batch.num_rows
+        return pa.table({
+            "media_id": batch["media_id"],
+            "media_type": batch["media_type"],
+            "payload": pa.array(resized, pa.binary()),
+            "width": pa.array([self.out_w] * n, pa.int32()),
+            "height": pa.array([self.out_h] * n, pa.int32()),
+            "duration_ms": batch["duration_ms"],
+        })
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage (video → frames-at-interval shape):
+    one input row explodes to ceil(duration/interval) frame rows — the
+    flat_map shape of a video pipeline; frame 'decode' is the declared
+    stub. Output rows are MEDIA_SCHEMA-like with media_type='image' and a
+    frame_index column."""
+
+    def __init__(self, interval_ms: int = 1000):
+        self.interval_ms = interval_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"media_id": [], "frame_index": [], "payload": []}
+        for mid, mtype, payload, dur in zip(
+                batch["media_id"].to_pylist(),
+                batch["media_type"].to_pylist(),
+                batch["payload"].to_pylist(),
+                batch["duration_ms"].to_pylist()):
+            if mtype != "video":
+                continue
+            n_frames = max(1, int(dur) // self.interval_ms)
+            for fi in range(n_frames):
+                out["media_id"].append(mid)
+                out["frame_index"].append(fi)
+                out["payload"].append(
+                    hashlib.md5(payload + fi.to_bytes(4, "little")).digest())
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.int64()),
+            "frame_index": pa.array(out["frame_index"], pa.int64()),
+            "payload": pa.array(out["payload"], pa.binary()),
+        })
+
+
+def resize_media(ds, out_w: int = 32, out_h: int = 32, concurrency: int = 2):
+    return ds.map_batches(MediaResizer, fn_constructor_args=(out_w, out_h),
+                          batch_format="pyarrow", batch_size=16,
+                          concurrency=concurrency)
+
+
+def sample_frames(ds, interval_ms: int = 1000, concurrency: int = 2):
+    return ds.map_batches(FrameSampler, fn_constructor_args=(interval_ms,),
+                          batch_format="pyarrow", batch_size=16,
+                          concurrency=concurrency)

@@ -49,3 +49,33 @@ def test_tumbling_counts_match_brute(ray_session):
     got = {(r.event_type, r.window_us): r.n_events for r in df.itertuples()}
     for r in exp.itertuples():
         assert got[(r.event_type, r.window_us)] == r.n
+
+
+def test_multimodal_resize_and_frame_sample(ray_session):
+    """Multimodal plumbing: resize keeps row count + updates dims; frame
+    sampling explodes videos by duration; both deterministic (stub
+    decoders declared — no codec libs in this container)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_kmp_ray.pipelines.multimodal import (resize_media,
+                                                     sample_frames,
+                                                     synthesize_media_table)
+    t = synthesize_media_table(24)
+    # give videos a duration so sampling has frames
+    dur = [3000 if mt == "video" else 0
+           for mt in t["media_type"].to_pylist()]
+    t = t.set_column(t.schema.get_field_index("duration_ms"), "duration_ms",
+                     pa.array(dur, pa.int32()))
+    ds = rd.from_arrow(t)
+    resized = resize_media(ds, 16, 16).to_pandas()
+    assert len(resized) == 24
+    assert set(resized["width"]) == {16} and set(resized["height"]) == {16}
+    # determinism
+    resized2 = resize_media(rd.from_arrow(t), 16, 16).to_pandas()
+    assert list(resized["payload"]) == list(resized2["payload"])
+
+    frames = sample_frames(rd.from_arrow(t), 1000).to_pandas()
+    n_videos = sum(1 for mt in t["media_type"].to_pylist() if mt == "video")
+    assert len(frames) == n_videos * 3
+    assert set(frames["frame_index"]) == {0, 1, 2}
