@@ -299,6 +299,18 @@ class IndexReader:
         self._stats_cache: dict[tuple[str, str], tuple[int, int]] = {}
         self._stats_has_field: bool | None = None
 
+    def open_if_changed(self) -> "IndexReader | None":
+        """``DirectoryReader.openIfChanged`` analog (DirectoryReader.kt:221,
+        the NRT reopen surface): returns a NEW reader when the committed
+        manifest differs from the one this reader pinned at open, else
+        None. Readers are immutable snapshots — a 'reopen' is just a fresh
+        open against the latest two-phase commit."""
+        with open(os.path.join(self.index_dir, INDEX_MANIFEST)) as f:
+            current = json.load(f)
+        if current == self.manifest:
+            return None
+        return IndexReader(self.index_dir)
+
     def field_stats(self, field: str) -> tuple[int, int]:
         """(docCount, sumTotalTermFreq) of one field — the per-field
         CollectionStatistics (search/CollectionStatistics.kt). The text

@@ -367,3 +367,79 @@ def test_fetch_documents_row_store(built_index):
                         columns=["doc_id", "url", "title"])
     assert t["doc_id"].to_pylist() == [3, 5, 499]
     assert all(u.startswith("https://") for u in t["url"].to_pylist())
+
+
+def test_open_if_changed(ray_session, tmp_path):
+    """DirectoryReader.openIfChanged: None while unchanged; a new reader
+    after a merge commit changes the manifest."""
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.index.merge import force_merge
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.sources.corpus import corpus_dataset
+
+    idx = str(tmp_path / "nrt")
+    build_index(corpus_dataset("/root/testdata/sf0.001"), idx,
+                segment_size=100)
+    r = IndexReader(idx)
+    assert r.open_if_changed() is None
+    force_merge(idx, max_segments=1)
+    r2 = r.open_if_changed()
+    assert r2 is not None and len(r2.segment_readers) == 1
+    assert len(r.segment_readers) == 5  # old snapshot untouched
+
+
+def test_random_boolean_equivalence_fuzz(built_index, corpus_texts):
+    """TestBoolean2-style randomized battery: random boolean trees over
+    random terms — engine matches a brute-force set/score oracle."""
+    import random
+
+    from lucene_kmp_ray.analysis import tokenize
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.search import (BooleanQuery, Occur, Searcher,
+                                       TermQuery)
+    from lucene_kmp_ray.similarity.bm25 import BM25Similarity
+
+    toks = [set(tokenize(t)) for t in corpus_texts]
+    vocab = sorted(set().union(*toks))
+    s = Searcher(IndexReader(built_index), BM25Similarity(dtype="float64"))
+    rng = random.Random(1234)
+
+    def brute(q):
+        if isinstance(q, TermQuery):
+            return {i for i, t in enumerate(toks) if q.term in t}
+        must = [brute(sub) for occ, sub in q.clauses if occ == Occur.MUST]
+        should = [brute(sub) for occ, sub in q.clauses
+                  if occ == Occur.SHOULD]
+        nots = [brute(sub) for occ, sub in q.clauses
+                if occ == Occur.MUST_NOT]
+        if must:
+            out = set.intersection(*must)
+            if should and q.minimum_should_match > 0:
+                out = {d for d in out
+                       if sum(d in x for x in should)
+                       >= q.minimum_should_match}
+        elif should:
+            out = {d for d in set().union(*should)
+                   if sum(d in x for x in should)
+                   >= max(1, q.minimum_should_match)}
+        else:
+            return set()
+        if q.minimum_should_match > len(should):
+            return set()
+        for x in nots:
+            out -= x
+        return out
+
+    for trial in range(25):
+        n_cl = rng.randint(2, 4)
+        clauses = []
+        for _ in range(n_cl):
+            occ = rng.choice([Occur.MUST, Occur.SHOULD, Occur.SHOULD,
+                              Occur.MUST_NOT])
+            clauses.append((occ, TermQuery(rng.choice(vocab))))
+        if all(o == Occur.MUST_NOT for o, _ in clauses):
+            clauses[0] = (Occur.MUST, clauses[0][1])
+        msm = rng.randint(0, 2)
+        q = BooleanQuery(tuple(clauses), minimum_should_match=msm)
+        got = {h.doc_id for h in s.search(q, k=10_000).score_docs}
+        assert got == brute(q), (trial, q)
