@@ -106,6 +106,19 @@ def _ensure_index(sf_dir: str) -> str:
     return index_dir
 
 
+def _feature_blend(sf_dir: str):
+    """FeatureField blend: BM25(text term) + weight*ln(1 + length/100) —
+    a static quality signal in SHOULD position (FeatureField role)."""
+    from lucene_kmp_ray.search import FeatureQuery
+    q = BooleanQuery.build(
+        (Occur.SHOULD, TermQuery(TERM_A)),
+        (Occur.SHOULD, FeatureQuery("length", weight=0.5, scaling=100.0)))
+    df = _topk(sf_dir, q)
+    df = df.rename(columns={"score": "score_r"})
+    df["score_r"] = np.round(df["score_r"], 6)
+    return df
+
+
 def _classic_topk(sf_dir: str):
     """ClassicSimilarity (TF-IDF) top-10 — the pluggable Similarity slot
     (ClassicSimilarity.kt / TFIDFSimilarity.kt scorer, float64 mode)."""
@@ -436,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_by_url_top20": lambda sf: _sorted_by_url(sf),
         "knn_vector_top10": _knn_topk,
         "classic_term_top10": _classic_topk,
+        "feature_blend_top10": _feature_blend,
         "hybrid_bm25_knn_top10": _hybrid_topk,
         "sorted_multi_key_top20": lambda sf: _sorted_multi(sf),
         # English analysis chain (possessive → stop → Porter): stemming is
@@ -537,6 +551,7 @@ def oracle_sql() -> dict[str, str]:
         "sorted_by_url_top20": oracle.sorted_by_url(TERM_A, 20),
         "knn_vector_top10": oracle.knn_vector_topk(),
         "classic_term_top10": oracle.classic_term_topk(TERM_A),
+        "feature_blend_top10": oracle.feature_blend_topk(TERM_A),
         "hybrid_bm25_knn_top10": oracle.hybrid_bm25_knn_topk(TERM_A),
         "sorted_multi_key_top20": oracle.sorted_multi_key(TERM_A, 20),
         "token_counts": oracle.token_counts(),

@@ -750,6 +750,28 @@ ORDER BY ((0 + COALESCE(sc0.score, 0)) + COALESCE(knn.cos, 0)) DESC,
 """
 
 
+def feature_blend_topk(term: str, k: int = 10, weight: float = 0.5,
+                       scaling: float = 100.0) -> str:
+    """FeatureQuery blend mirror: SHOULD(BM25 term) + SHOULD(weight *
+    ln(1 + length/scaling)) — per-doc float64 sum in clause order."""
+    return preamble() + f""",
+sc0 AS ({term_scored_cte(repr(term))}),
+feat AS (
+  SELECT doc_id, {weight} * ln(1 + dl / {scaling}) AS score
+  FROM doclen WHERE dl > 0
+),
+ids AS (SELECT doc_id FROM sc0 UNION SELECT doc_id FROM feat)
+SELECT d.doc_id, c.url,
+       round((0 + COALESCE(sc0.score, 0)) + COALESCE(feat.score, 0), 6)
+         AS score_r
+FROM ids d LEFT JOIN sc0 ON sc0.doc_id = d.doc_id
+           LEFT JOIN feat ON feat.doc_id = d.doc_id
+           JOIN corpus c ON c.doc_id = d.doc_id
+ORDER BY ((0 + COALESCE(sc0.score, 0)) + COALESCE(feat.score, 0)) DESC,
+         d.doc_id LIMIT {k}
+"""
+
+
 def classic_term_topk(term: str, k: int = 10) -> str:
     """ClassicSimilarity (TF-IDF) mirror: idf = ln((N+1)/(df+1)) + 1,
     score = (sqrt(freq) * idf) * (1/sqrt(decoded_length)) — the exact

@@ -3,6 +3,7 @@ from .query import (  # noqa: F401
     BoostQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
+    FeatureQuery,
     FieldExistsQuery,
     FuzzyQuery,
     IndexOrDocValuesQuery,

@@ -358,6 +358,18 @@ class KnnFloatVectorQuery(Query):
 
 
 @dataclass(frozen=True)
+class FeatureQuery(Query):
+    """Static ranking signal over a per-doc numeric metadata column —
+    the ``FeatureField.newLogQuery`` role (document/FeatureField: features
+    score ``weight * ln(1 + value/scaling)``, combined with text queries
+    as a SHOULD clause to blend static quality into BM25 ranking).
+    Matches every doc with a positive value."""
+    field: str
+    weight: float = 1.0
+    scaling: float = 1.0
+
+
+@dataclass(frozen=True)
 class IndexOrDocValuesQuery(Query):
     """``search/IndexOrDocValuesQuery.kt``: two semantically-identical
     executions of one predicate — an index-driven one (e.g. TermRange over

@@ -35,9 +35,9 @@ from .query import (BooleanQuery, BoostQuery, ConstantScoreQuery,
                     DisjunctionMaxQuery, FieldExistsQuery,
                     KnnFloatVectorQuery, MatchAllDocsQuery,
                     MatchNoDocsQuery, MultiPhraseQuery, MultiTermQuery,
-                    IndexOrDocValuesQuery, NGramPhraseQuery, Occur,
-                    PhraseQuery, Query, RangeFilterQuery, SynonymQuery,
-                    TermQuery)
+                    FeatureQuery, IndexOrDocValuesQuery, NGramPhraseQuery,
+                    Occur, PhraseQuery, Query, RangeFilterQuery,
+                    SynonymQuery, TermQuery)
 
 
 class _KnnScoredQuery(Query):
@@ -245,6 +245,16 @@ class Searcher:
             return self._score_dismax(sr, query, boost, scoring)
         if isinstance(query, MultiTermQuery):
             return self._score_multiterm(sr, query, boost)
+        if isinstance(query, FeatureQuery):
+            dt = self.sim.dtype
+            col = sr.doc_meta[query.field].to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            docs = np.flatnonzero(col > 0).astype(np.int64)
+            if not scoring:
+                return docs, np.zeros(len(docs), dtype=dt)
+            vals = (boost * query.weight *
+                    np.log1p(col[docs] / query.scaling))
+            return docs, vals.astype(dt)
         if isinstance(query, RangeFilterQuery):
             return self._score_range(sr, query, boost)
         if isinstance(query, IndexOrDocValuesQuery):

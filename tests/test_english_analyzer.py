@@ -145,3 +145,39 @@ def test_ngram_index_substring_search(tmp_path, ray_session):
     assert td.total_hits > 0
     # full words are not terms in a pure 3-gram index (len != 3)
     assert s.search(TermQuery("spark"), k=1).total_hits == 0
+
+
+def test_per_field_analyzer_dict(ray_session, tmp_path):
+    """PerFieldAnalyzerWrapper role: invert_segment/build accept a
+    {field: analyzer} dict — title analyzed English (stemmed), text
+    standard, each field queryable with its own analysis."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_kmp_ray.analysis.standard import (EnglishAnalyzer,
+                                                  StandardAnalyzer)
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.search import Searcher, TermQuery
+
+    texts = ["running quickly", "the runner runs"]
+    titles = ["running shoes", "jogging gear"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(2), pa.int64()),
+        "url": pa.array(["u0", "u1"], pa.string()),
+        "text": pa.array(texts, pa.string()),
+        "title": pa.array(titles, pa.string())}))
+    idx = str(tmp_path / "perfield")
+    build_index(ds, idx, segment_size=100, fields=("text", "title"),
+                analyzer={"text": StandardAnalyzer(),
+                          "title": EnglishAnalyzer()})
+    s = Searcher(IndexReader(idx))
+    # text: unstemmed — "running" matches doc 0 only
+    assert {h.doc_id for h in
+            s.search(TermQuery("running"), k=10).score_docs} == {0}
+    # title: Porter-stemmed — query-side stem "run" matches "running"
+    ana = EnglishAnalyzer()
+    (stem,) = ana("running")
+    assert stem == "run"
+    assert {h.doc_id for h in
+            s.search(TermQuery(stem, "title"), k=10).score_docs} == {0}
