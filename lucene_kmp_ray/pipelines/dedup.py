@@ -292,17 +292,61 @@ def _bucket_pairs_capped(max_bucket: int):
     return pairs
 
 
+def _bucket_pairs_vectorized(key_cols: list[str], max_bucket: int,
+                             size_col: str | None = None):
+    """All-pairs generation over MANY buckets in one vectorized pass
+    (used inside a hash partition): rows sort by (bucket key, doc), runs
+    factorize via ngroup, over-cap runs drop, and pairs for all runs of
+    the same length come from ONE triu_indices broadcast — per-bucket
+    Python across 10^4-10^6 buckets was the wall-time of the pandas
+    per-group path."""
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(key_cols + ["doc_id"]) \
+            .sort_values(key_cols + ["doc_id"], kind="mergesort")
+        codes = df.groupby(key_cols, sort=False).ngroup().to_numpy()
+        docs = df["doc_id"].to_numpy()
+        sizes = df[size_col].to_numpy() if size_col else None
+        lens = np.bincount(codes)
+        starts = np.cumsum(lens) - lens
+        ok = (lens >= 2) & (lens <= max_bucket)
+        out_a, out_b, out_na, out_nb = [], [], [], []
+        for ln in np.unique(lens[ok]):
+            rs = starts[ok & (lens == ln)]
+            ii, jj = np.triu_indices(int(ln), k=1)
+            ai = rs[:, None] + ii[None, :]
+            bi = rs[:, None] + jj[None, :]
+            out_a.append(docs[ai].ravel())
+            out_b.append(docs[bi].ravel())
+            if sizes is not None:
+                out_na.append(sizes[ai].ravel())
+                out_nb.append(sizes[bi].ravel())
+        if not out_a:
+            cols = {"a": pd.Series([], dtype="int64"),
+                    "b": pd.Series([], dtype="int64")}
+            if size_col:
+                cols["na"] = pd.Series([], dtype="int64")
+                cols["nb"] = pd.Series([], dtype="int64")
+            return pd.DataFrame(cols)
+        cols = {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        if size_col:
+            cols["na"] = np.concatenate(out_na)
+            cols["nb"] = np.concatenate(out_nb)
+        return pd.DataFrame(cols)
+    return fn
+
+
 def minhash_candidate_pairs(sf_dir: str, max_bucket: int = MAX_LSH_BUCKET):
     """Near-dup candidate pairs (a < b) sharing any LSH band bucket.
     Buckets larger than ``max_bucket`` docs are dropped whole (mirrored in
     the SQL oracle)."""
     bands = _read_docs(sf_dir, ["doc_id", "text"]) \
         .map_batches(minhash_batch, batch_format="pyarrow")
-    cand = bands.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs_capped(max_bucket), batch_format="pandas")
+    cand = _partition_apply(
+        bands, ["band", "band_hash"],
+        _bucket_pairs_vectorized(["band", "band_hash"], max_bucket),
+        key_is_str=True)
     # dedupe pairs found in multiple bands
-    return cand.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    return _distinct_pairs(cand)
 
 
 # ------------------------------------------------------------- simhash ----
@@ -371,35 +415,30 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
 
     rows = ds.map_batches(shingle_rows, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                              "b": pd.Series([], dtype="int64"),
-                              "na": pd.Series([], dtype="int64"),
-                              "nb": pd.Series([], dtype="int64")})
-        if len(ids) < 2 or len(ids) > max_bucket:
-            return empty
-        ns = g["nsh"].to_numpy()
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[ii], "b": ids[jj],
-                             "na": ns[ii], "nb": ns[jj]})
+    pairs = _partition_apply(
+        rows, ["shingle"],
+        _bucket_pairs_vectorized(["shingle"], max_bucket, size_col="nsh"),
+        key_is_str=True)
 
-    pairs = rows.groupby("shingle").map_groups(bucket_pairs,
-                                               batch_format="pandas")
+    # verification via hash-partition + LOCAL vectorized aggregation:
+    # Ray's groupby over millions of distinct (a, b) groups is the
+    # bottleneck (326s at sf0.1 — both native aggregate and per-group
+    # map_groups); partitioning on hash(a,b) into a few dozen coarse
+    # groups and aggregating each with one pandas C-groupby takes the
+    # same shuffle but O(partitions) group overhead
+    def verify_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["a", "b"], sort=False).agg(
+            inter=("na", "size"), na=("na", "max"), nb=("nb", "max"))
+        g = g.reset_index()
+        j = g["inter"].to_numpy() / (g["na"].to_numpy() +
+                                     g["nb"].to_numpy() -
+                                     g["inter"].to_numpy())
+        keep = j >= threshold
+        return pd.DataFrame({"a": g["a"].to_numpy()[keep],
+                             "b": g["b"].to_numpy()[keep],
+                             "jaccard": j[keep]})
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        a = int(g["a"].iloc[0])
-        b = int(g["b"].iloc[0])
-        inter = len(g)  # one row per shared (uncapped) shingle
-        j = inter / (int(g["na"].iloc[0]) + int(g["nb"].iloc[0]) - inter)
-        if j >= threshold:
-            return pd.DataFrame({"a": [a], "b": [b], "jaccard": [j]})
-        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                             "b": pd.Series([], dtype="int64"),
-                             "jaccard": pd.Series([], dtype="float64")})
-
-    return pairs.groupby(["a", "b"]).map_groups(verify, batch_format="pandas")
+    return _partition_apply(pairs, ["a", "b"], verify_part)
 
 
 # -------------------------------------------------- near-dup clusters ----
@@ -481,15 +520,15 @@ def connected_components(pairs, max_rounds: int = 16):
             break
         prev = fp
 
-    # at convergence every edge points node → component min; emit labels
-    def labels(g: pd.DataFrame) -> pd.DataFrame:
-        u = int(g["u"].iloc[0])
-        m = int(g["v"].min())
-        return pd.DataFrame({"doc_id": [u], "cluster_id": [min(u, m)]})
+    # at convergence every edge points node → component min; label via
+    # hash-partition + local min aggregation
+    def to_labels(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("u", sort=False)["v"].min().reset_index()
+        u = g["u"].to_numpy()
+        return pd.DataFrame({"doc_id": u,
+                             "cluster_id": np.minimum(u, g["v"].to_numpy())})
 
-    node_labels = edges.groupby("u").map_groups(labels,
-                                                batch_format="pandas")
-    return node_labels
+    return _partition_apply(edges, ["u"], to_labels)
 
 
 def to_directed_pairs(b: pa.Table) -> pa.Table:
@@ -502,10 +541,54 @@ def to_directed_pairs(b: pa.Table) -> pa.Table:
                      "v": pa.concat_arrays([v, u])})
 
 
+N_AGG_PARTITIONS = 64
+
+
+def _partition_apply(ds, key_cols: list[str], fn, key_is_str: bool = False):
+    """Hash-partition on ``key_cols`` into N_AGG_PARTITIONS coarse groups,
+    then apply ``fn`` (a vectorized pandas aggregation) once per
+    partition. All rows of one key land in one partition, so per-key
+    aggregation inside ``fn`` is complete. This sidesteps Ray's per-group
+    overhead on high-cardinality groupbys (millions of pair keys) while
+    keeping the same single all-to-all shuffle."""
+    def add_h(df: pd.DataFrame) -> pd.DataFrame:
+        if key_is_str:
+            h = pd.util.hash_pandas_object(
+                df[key_cols].apply(lambda s: s.astype(str)).sum(axis=1)
+                if len(key_cols) > 1 else df[key_cols[0]].astype(str),
+                index=False).to_numpy().astype(np.uint64)
+        else:
+            h = np.zeros(len(df), dtype=np.uint64)
+            for c in key_cols:
+                h = h * np.uint64(1000003) + \
+                    df[c].to_numpy().astype(np.uint64)
+        df["_h"] = (h % np.uint64(N_AGG_PARTITIONS)).astype(np.int64)
+        return df
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        return fn(df.drop(columns=["_h"]))
+
+    return ds.map_batches(add_h, batch_format="pandas") \
+        .groupby("_h").map_groups(run, batch_format="pandas")
+
+
+def _distinct_pairs(cand, extra: str | None = None):
+    """Distinct (a, b) rows via hash-partition + local drop_duplicates
+    (see _partition_apply); ``extra`` carries one more column."""
+    cols = ["a", "b"] + ([extra] if extra else [])
+
+    def dedup_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["a", "b"])[cols]
+
+    return _partition_apply(cand, ["a", "b"], dedup_part)
+
+
 def _dedup_uv(edges):
-    """Drop duplicate directed edges (cheap per-group head)."""
-    return edges.groupby(["u", "v"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    """Drop duplicate directed edges (hash-partition + local dedupe)."""
+    def dedup_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["u", "v"])[["u", "v"]]
+
+    return _partition_apply(edges, ["u", "v"], dedup_part)
 
 
 def near_dup_clusters(sf_dir: str):
@@ -648,5 +731,4 @@ def simhash_candidate_pairs(sf_dir: str, max_bucket: int = MAX_LSH_BUCKET):
 
     cand = rows.groupby(["band", "band_bits"]).map_groups(
         pairs, batch_format="pandas")
-    return cand.groupby(["a", "b"]).map_groups(lambda g: g.head(1),
-                                               batch_format="pandas")
+    return _distinct_pairs(cand, extra="hamming")
