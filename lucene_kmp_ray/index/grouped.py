@@ -34,6 +34,10 @@ When to use which build path:
 
 Output is file-identical to the other build paths (asserted in
 tests/test_grouped_build.py), so readers, merge and search are oblivious.
+Scope note: this path indexes the single default ``text`` field (no
+title/vector sidecars) — it exists for the oversized-segment case, where
+the corpus slice is by definition the body text; fielded/vector builds go
+through the sharded or Dataset paths.
 
 Reference semantics mirrored: inversion IndexingChain.kt:1153-1290;
 sorted-term flush FreqProxTermsWriter.kt:63; skip/impacts

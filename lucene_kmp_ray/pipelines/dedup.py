@@ -710,25 +710,41 @@ def simhash_candidate_pairs(sf_dir: str, max_bucket: int = MAX_LSH_BUCKET):
     rows = _read_docs(sf_dir, ["doc_id", "text"]) \
         .map_batches(bands, batch_format="pyarrow")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sigs = g["sig"].to_numpy().astype(np.uint64)
-        if len(ids) < 2 or len(ids) > max_bucket:
+    def pairs_part(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized across ALL buckets of the partition: runs factorize,
+        # same-size buckets expand through one triu broadcast, hamming =
+        # popcount of the XOR via an unpackbits view (no per-pair Python)
+        df = df.drop_duplicates(["band", "band_bits", "doc_id"]) \
+            .sort_values(["band", "band_bits", "doc_id"], kind="mergesort")
+        codes = df.groupby(["band", "band_bits"], sort=False) \
+            .ngroup().to_numpy()
+        docs = df["doc_id"].to_numpy()
+        sigs = df["sig"].to_numpy().astype(np.uint64)
+        lens = np.bincount(codes)
+        starts = np.cumsum(lens) - lens
+        ok = (lens >= 2) & (lens <= max_bucket)
+        a_l, b_l, ha, hb = [], [], [], []
+        for ln in np.unique(lens[ok]):
+            rs = starts[ok & (lens == ln)]
+            ii, jj = np.triu_indices(int(ln), k=1)
+            ai = (rs[:, None] + ii[None, :]).ravel()
+            bi = (rs[:, None] + jj[None, :]).ravel()
+            a_l.append(docs[ai])
+            b_l.append(docs[bi])
+            ha.append(sigs[ai])
+            hb.append(sigs[bi])
+        if not a_l:
             return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                                  "b": pd.Series([], dtype="int64"),
                                  "hamming": pd.Series([], dtype="int64")})
-        out = {"a": [], "b": [], "hamming": []}
-        for i in range(len(ids)):
-            x = sigs[i] ^ sigs[i + 1:]
-            hd = np.array([bin(int(v)).count("1") for v in x])
-            hit = np.flatnonzero(hd <= 3)
-            for j in hit:
-                out["a"].append(int(ids[i]))
-                out["b"].append(int(ids[i + 1 + j]))
-                out["hamming"].append(int(hd[j]))
-        return pd.DataFrame(out)
+        a = np.concatenate(a_l)
+        b = np.concatenate(b_l)
+        x = np.concatenate(ha) ^ np.concatenate(hb)
+        bits = np.unpackbits(x.view(np.uint8)).reshape(len(x), 64)
+        hd = bits.sum(axis=1)  # popcount per uint64 (64 bits each)
+        keep = hd <= 3
+        return pd.DataFrame({"a": a[keep], "b": b[keep],
+                             "hamming": hd[keep].astype(np.int64)})
 
-    cand = rows.groupby(["band", "band_bits"]).map_groups(
-        pairs, batch_format="pandas")
+    cand = _partition_apply(rows, ["band", "band_bits"], pairs_part)
     return _distinct_pairs(cand, extra="hamming")
