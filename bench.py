@@ -109,6 +109,16 @@ def run_bench() -> dict:
     search_distributed(idx, qset, k=10).count()
     timings["distributed_search_9q"] = round(time.monotonic() - t0, 3)
 
+    # ---- persistent serving pool (SearcherManager shape): warm batch
+    # latency with long-lived slice actors vs the per-call actor pool ----
+    from lucene_kmp_ray.search.ray_search import SearcherPool
+    pool = SearcherPool(idx, num_actors=8)
+    pool.search(qset, k=10)  # warm: readers opened, term tables cached
+    t0 = time.monotonic()
+    pool.search(qset, k=10)
+    timings["searcher_pool_9q_warm"] = round(time.monotonic() - t0, 3)
+    pool.shutdown()
+
     # ---- high-vocab build: a realistic web vocabulary (~90k terms,
     # zipf-distributed, mostly df=1) exercises the bulk term-table encoder
     # — invisible on the 31-term synthetic corpus (VERDICT r1 #6). The

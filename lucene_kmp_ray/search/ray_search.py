@@ -307,3 +307,109 @@ def phrase_freqs_distributed(index_dir: str, terms: list[str],
     ds = _seg_work_items(segs)
     return ds.map_batches(PhraseActor, batch_format="pandas", batch_size=8,
                           concurrency=_pool_size(concurrency))
+
+
+
+class SearcherPool:
+    """Persistent serving pool — the SearcherManager role for REPEATED
+    query batches (``search/SearcherManager.kt:37``): N long-lived Ray
+    actors each own a SLICE of the segments (the ≤250k-doc/≤5-segment
+    leaf-slice assignment of IndexSearcher.kt:227-228, here segment ids
+    striped round-robin), open their readers once, and answer query
+    batches forever. ``search_distributed`` spins an actor pool per call
+    (fine for batch jobs; ~3s of setup at 100 segments), while this pool
+    amortizes setup across calls — the serving shape.
+
+    Driver-side merge is the tiny TopDocs.merge (k × slices rows).
+    ``refresh()`` re-opens readers against the latest commit
+    (SearcherManager.maybeRefresh analog).
+    """
+
+    def __init__(self, index_dir: str, num_actors: int | None = None,
+                 dtype: str = "float32", similarity: str = "bm25"):
+        import ray as _ray
+
+        reader = IndexReader(index_dir)
+        segs = [m["seg"] for m in reader.manifest["segments"]]
+        self._reader = reader
+        n = num_actors or min(8, max(1, len(segs)))
+
+        @_ray.remote
+        class SliceActor:
+            def __init__(self, index_dir: str, my_segs: list[int],
+                         dtype: str, similarity: str):
+                self.reader = IndexReader(index_dir, segments=my_segs)
+                self.searcher = Searcher(self.reader,
+                                         make_similarity(similarity, dtype))
+                self.seg_index = {sr.seg: i for i, sr in
+                                  enumerate(self.reader.segment_readers)}
+
+            def refresh(self) -> bool:
+                fresh = self.reader.open_if_changed()
+                if fresh is None:
+                    return False
+                sim = self.searcher.sim
+                self.reader = fresh
+                self.searcher = Searcher(fresh, sim)
+                return True
+
+            def search_batch(self, queries: dict, k: int) -> dict:
+                out = {}
+                for qid, q in queries.items():
+                    q = self.searcher.rewrite(q)
+                    rows = []
+                    total = 0
+                    for sr in self.reader.segment_readers:
+                        docs, scores = self.searcher._score_segment(sr, q)
+                        total += len(docs)
+                        sel = _topk_idx(scores, docs, k)
+                        dm = sr.doc_meta
+                        for i in sel:
+                            rows.append((float(scores[i]), sr.seg,
+                                         int(docs[i]),
+                                         dm["doc_id"][int(docs[i])].as_py(),
+                                         dm["url"][int(docs[i])].as_py()))
+                    out[qid] = (total, rows)
+                return out
+
+        self._actors = []
+        self._dir = index_dir
+        for i in range(n):
+            my = segs[i::n]  # round-robin stripe
+            if my:
+                self._actors.append(SliceActor.remote(
+                    index_dir, my, dtype, similarity))
+
+    def refresh(self) -> bool:
+        import ray as _ray
+        return any(_ray.get([a.refresh.remote() for a in self._actors]))
+
+    def search(self, queries: dict, k: int = 10) -> pd.DataFrame:
+        """Query batch → global top-k rows (query_id, rank, doc_id, url,
+        score) with exact TopDocs.merge ordering."""
+        import ray as _ray
+
+        parts = _ray.get([a.search_batch.remote(queries, k)
+                          for a in self._actors])
+        frames = []
+        for qid in queries:
+            total = sum(p[qid][0] for p in parts)
+            rows = [r for p in parts for r in p[qid][1]]
+            rows.sort(key=lambda r: (-r[0], r[1], r[2]))
+            rows = rows[:k]
+            frames.append(pd.DataFrame({
+                "query_id": [qid] * len(rows),
+                "rank": np.arange(1, len(rows) + 1, dtype=np.int64),
+                "doc_id": [r[3] for r in rows],
+                "url": [r[4] for r in rows],
+                "score": [r[0] for r in rows],
+            }))
+        return pd.concat(frames, ignore_index=True) if frames else \
+            pd.DataFrame({"query_id": [], "rank": [], "doc_id": [],
+                          "url": [], "score": []})
+
+    def shutdown(self):
+        import ray as _ray
+        for a in self._actors:
+            _ray.kill(a)
+        self._actors = []

@@ -91,3 +91,32 @@ def test_multi_key_sort_with_missing_policy(ray_session, tmp_path):
         .sort(["_null_v", "v", "doc_id"], descending=[False, False, False]) \
         .to_pandas()["doc_id"].tolist()
     assert got == [2, 0, 1, 3]  # values ascending, nulls last by doc_id
+
+
+def test_searcher_pool_matches_distributed(ray_session, built_index):
+    """Persistent SearcherPool returns exactly the per-call actor-pool
+    results (same TopDocs.merge order), amortizing setup; refresh() picks
+    up a new commit."""
+    from lucene_kmp_ray.search import BooleanQuery, Occur, TermQuery
+    from lucene_kmp_ray.search.ray_search import (SearcherPool,
+                                                  search_distributed)
+
+    qs = {"t": TermQuery("spark"),
+          "b": BooleanQuery.build((Occur.MUST, TermQuery("spark")),
+                                  (Occur.MUST, TermQuery("join")))}
+    want = search_distributed(built_index, qs, k=5).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pool = SearcherPool(built_index, num_actors=2)
+    try:
+        got = pool.search(qs, k=5).sort_values(["query_id", "rank"]) \
+            .reset_index(drop=True)
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
+        import numpy as np
+        assert np.allclose(got["score"], want["score"], rtol=1e-6)
+        assert pool.refresh() is False  # nothing changed
+        # second call reuses the live actors (no respawn) and agrees
+        got2 = pool.search(qs, k=5).sort_values(["query_id", "rank"]) \
+            .reset_index(drop=True)
+        assert got2["doc_id"].tolist() == want["doc_id"].tolist()
+    finally:
+        pool.shutdown()
