@@ -27,5 +27,6 @@ from .query import (  # noqa: F401
 )
 from .queryparser import multi_field_parse, parse_query  # noqa: F401
 from .searcher import Searcher, TopDocs  # noqa: F401
-from .spans import (SpanFirstQuery, SpanNearQuery,  # noqa: F401
-                    SpanNotQuery, SpanOrQuery, SpanTermQuery)
+from .spans import (SpanContainingQuery,  # noqa: F401
+                    SpanFirstQuery, SpanNearQuery, SpanNotQuery,
+                    SpanOrQuery, SpanTermQuery, SpanWithinQuery)

@@ -88,6 +88,37 @@ class SpanNotQuery(SpanQuery):
 
 
 @dataclass(frozen=True)
+class SpanContainingQuery(SpanQuery):
+    """``queries/spans/SpanContainingQuery.kt``: spans of ``big`` that
+    CONTAIN at least one span of ``little`` (big.start <= little.start and
+    little.end <= big.end). Scored from the big side."""
+    big: SpanQuery
+    little: SpanQuery
+
+    @property
+    def field(self):  # type: ignore[override]
+        return self.big.field
+
+    def terms(self):
+        return self.big.terms()
+
+
+@dataclass(frozen=True)
+class SpanWithinQuery(SpanQuery):
+    """``queries/spans/SpanWithinQuery.kt``: spans of ``little`` that lie
+    WITHIN some span of ``big``. Scored from the little side."""
+    big: SpanQuery
+    little: SpanQuery
+
+    @property
+    def field(self):  # type: ignore[override]
+        return self.little.field
+
+    def terms(self):
+        return self.little.terms()
+
+
+@dataclass(frozen=True)
 class SpanFirstQuery(SpanQuery):
     match: SpanQuery
     end: int
@@ -125,6 +156,10 @@ def _candidates(sr, q: SpanQuery) -> np.ndarray:
         return _candidates(sr, q.include)
     if isinstance(q, SpanFirstQuery):
         return _candidates(sr, q.match)
+    if isinstance(q, (SpanContainingQuery, SpanWithinQuery)):
+        from .searcher import _intersect
+        return _intersect(_candidates(sr, q.big),
+                          _candidates(sr, q.little))
     raise TypeError(f"unsupported span query: {q!r}")
 
 
@@ -161,6 +196,16 @@ def _doc_spans(sr, q: SpanQuery, doc: int) -> list[tuple[int, int, int]]:
                 if not any(e[0] < s[1] and s[0] < e[1] for e in exc)]
     if isinstance(q, SpanFirstQuery):
         return [s for s in _doc_spans(sr, q.match, doc) if s[1] <= q.end]
+    if isinstance(q, SpanContainingQuery):
+        big = _doc_spans(sr, q.big, doc)
+        little = _doc_spans(sr, q.little, doc)
+        return [b for b in big
+                if any(b[0] <= l[0] and l[1] <= b[1] for l in little)]
+    if isinstance(q, SpanWithinQuery):
+        big = _doc_spans(sr, q.big, doc)
+        little = _doc_spans(sr, q.little, doc)
+        return [l for l in little
+                if any(b[0] <= l[0] and l[1] <= b[1] for b in big)]
     raise TypeError(f"unsupported span query: {q!r}")
 
 

@@ -103,3 +103,20 @@ def test_span_freq_matches_sloppy_weight(span_index):
     docs, freqs = span_freqs(sr, q)
     i = list(docs).index(0)
     assert freqs[i] == 1.0  # 0.5 + 0.5
+
+
+def test_span_containing_within(span_index):
+    """SpanContaining/SpanWithin (queries/spans): containment filtering of
+    big vs little spans."""
+    from lucene_kmp_ray.search import (SpanContainingQuery, SpanWithinQuery)
+    s = Searcher(IndexReader(span_index))
+    big = SpanNearQuery((SpanTermQuery("t1"), SpanTermQuery("t3")), slop=5,
+                        in_order=True)
+    little = SpanTermQuery("t2")
+    # docs where a t1..t3 window CONTAINS a t2
+    cont = _hits(s, SpanContainingQuery(big, little))
+    assert 1 in cont          # t1 t2 t3 — window covers t2
+    assert 4 not in cont      # t2 t1 y t3: t2 precedes t1 (outside window)
+    # little-side: t2 occurrences inside some t1..t3 window
+    within = _hits(s, SpanWithinQuery(big, little))
+    assert set(within) == set(cont)  # same docs, scored from little side
