@@ -239,3 +239,53 @@ def test_delete_by_url_and_merge_reclaim(ray_session, tmp_path):
     assert all(d % 7 != 0 for d in docs_t["doc_id"].to_pylist())
     rep = check_index(idx, parallel=False)
     assert rep["ok"], rep["errors"]
+
+
+def test_delete_merge_bit_equivalent_to_filtered_rebuild(ray_session,
+                                                         tmp_path):
+    """Strong reclaim invariant: delete a random url subset, force-merge
+    to one segment — the result must be BIT-IDENTICAL (terms + docs
+    parquet) to a fresh single-segment build over only the surviving
+    docs. Exercises docID rebase, posting-entry filtering, position-run
+    gathers and per-field stats through the reclaim path."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.index.deletes import delete_by_url
+    from lucene_kmp_ray.index.merge import force_merge
+    from lucene_kmp_ray.sources.corpus import corpus_table
+
+    corpus = corpus_table("/root/testdata/sf0.001").sort_by("doc_id")
+    rng = random.Random(99)
+    dead = sorted(rng.sample(range(corpus.num_rows), 120))
+    dead_set = set(dead)
+
+    # path A: build all, delete, merge-reclaim
+    idx_a = str(tmp_path / "a")
+    build_index(rd.from_arrow(corpus.select(["doc_id", "url", "text",
+                                             "title"])),
+                idx_a, segment_size=100, fields=("text", "title"))
+    delete_by_url(idx_a, [corpus["url"][d].as_py() for d in dead])
+    man_a = force_merge(idx_a, max_segments=1)
+
+    # path B: fresh build over survivors only
+    keep = pa.array([i for i in range(corpus.num_rows)
+                     if i not in dead_set])
+    idx_b = str(tmp_path / "b")
+    build_index(rd.from_arrow(corpus.take(keep).select(
+        ["doc_id", "url", "text", "title"])),
+        idx_b, segment_size=1_000, fields=("text", "title"))
+
+    da = man_a["segments"][0]["dir"]
+    with open(f"{idx_a}/manifest.json") as f:
+        import json
+        db = json.load(open(f"{idx_b}/manifest.json"))["segments"][0]["dir"]
+    ta = pq.read_table(f"{idx_a}/{da}/terms.parquet")
+    tb = pq.read_table(f"{idx_b}/{db}/terms.parquet")
+    assert ta.equals(tb), "terms tables diverge after reclaim"
+    assert pq.read_table(f"{idx_a}/{da}/docs.parquet").equals(
+        pq.read_table(f"{idx_b}/{db}/docs.parquet"))
