@@ -158,6 +158,21 @@ class SegmentReader:
         t = self.terms_table
         return {name: t[name][i].as_py() for name in t.column_names}
 
+    def union_docs(self, idxs) -> np.ndarray:
+        """Ascending union of the docID sets of many term rows — the
+        MultiTermQuery expansion path. Decodes ONLY df + docs_enc (the
+        full-row path would copy freqs/pos binaries per term, pure waste
+        for a constant-score rewrite over thousands of matched terms)."""
+        t = self.terms_table
+        sub = t.select(["df", "docs_enc"]).take(pa.array(idxs))
+        dfs = sub["df"].to_numpy()
+        encs = sub["docs_enc"].to_pylist()
+        parts = [fu.delta_decode(fu.decode_blocks(e, int(d)))
+                 for e, d in zip(encs, dfs)]
+        if not parts:
+            return np.empty(0, np.int64)
+        return np.unique(np.concatenate(parts))
+
     def postings_at(self, i: int, positions: bool = False):
         """Decoded postings of the i-th term in the sorted dictionary —
         the TermsEnum-by-ordinal path used by MultiTermQuery expansion."""

@@ -329,8 +329,7 @@ class Searcher:
         idxs = np.flatnonzero(mask) + lo
         if len(idxs) == 0:
             return _empty(dt)
-        docs = np.unique(np.concatenate(
-            [sr.postings_at(int(i))[0] for i in idxs]))
+        docs = sr.union_docs(idxs)
         return docs, np.full(len(docs), dt.type(boost), dtype=dt)
 
     def _score_range(self, sr: SegmentReader, q: RangeFilterQuery,
