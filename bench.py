@@ -140,6 +140,21 @@ def run_bench() -> dict:
     timings["build_highvocab"] = round(t_hv, 3)
     timings["highvocab_docs_per_sec"] = round(hv_man["doc_count"] / t_hv, 1)
 
+    # queries at realistic vocabulary: term-dict binary search, stats
+    # pushdown and wide prefix expansion over ~90k terms/segment (the
+    # 31-term synthetic corpus exercises none of that — VERDICT r1 caveat)
+    from lucene_kmp_ray.search import PrefixQuery as _PQ
+    hv_s = Searcher(IndexReader(hv_idx))
+    hv_s.search(TermQuery("w7"), k=10)  # warm
+    for nm, q in (("hv_q_term", TermQuery("w7")),
+                  ("hv_q_prefix", _PQ("w12"))):
+        lat = []
+        for _ in range(5):
+            tq = time.monotonic()
+            hv_s.search(q, k=10)
+            lat.append(time.monotonic() - tq)
+        timings[nm] = round(float(np.median(lat)), 4)
+
     # ---- training-data pipelines (sf as-is, no expand) ----
     from lucene_kmp_ray.pipelines import ann, dedup
     t0 = time.monotonic()

@@ -167,8 +167,24 @@ class SegmentReader:
         sub = t.select(["df", "docs_enc"]).take(pa.array(idxs))
         dfs = sub["df"].to_numpy()
         encs = sub["docs_enc"].to_pylist()
-        parts = [fu.delta_decode(fu.decode_blocks(e, int(d)))
-                 for e, d in zip(encs, dfs)]
+        single = dfs <= fu.BLOCK_SIZE
+        parts = []
+        if single.any():
+            s_encs = [e for e, s in zip(encs, single) if s]
+            s_cnts = dfs[single]
+            try:
+                deltas, run_starts = fu.decode_for_single_blocks(s_encs,
+                                                                 s_cnts)
+                # per-run delta→absolute: global cumsum minus carried base
+                cs = np.cumsum(deltas)
+                base = cs[run_starts] - deltas[run_starts]
+                parts.append(cs - np.repeat(base, s_cnts))
+            except ValueError:  # exotic width: per-term fallback
+                parts.extend(fu.delta_decode(fu.decode_blocks(e, int(d)))
+                             for e, d in zip(s_encs, s_cnts))
+        for e, d, s in zip(encs, dfs, single):
+            if not s:
+                parts.append(fu.delta_decode(fu.decode_blocks(e, int(d))))
         if not parts:
             return np.empty(0, np.int64)
         return np.unique(np.concatenate(parts))

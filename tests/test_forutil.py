@@ -107,3 +107,21 @@ def test_decode_blocks_masked_equivalence():
                 assert out[lo:hi].tolist() == full[lo:hi].tolist()
             else:
                 assert not out[lo:hi].any()
+
+
+def test_decode_for_single_blocks_bulk():
+    """Bulk single-block FOR decode == per-stream decode_blocks."""
+    import numpy as np
+
+    from lucene_kmp_ray.util import forutil as fu
+    rng = np.random.default_rng(11)
+    encs, counts, expect = [], [], []
+    for _ in range(300):
+        n = int(rng.integers(1, 129))
+        vals = rng.integers(0, 1 << int(rng.integers(1, 40)), n)
+        encs.append(fu.encode_blocks(vals))
+        counts.append(n)
+        expect.append(vals)
+    flat, starts = fu.decode_for_single_blocks(encs, np.array(counts))
+    for i, (st, n) in enumerate(zip(starts, counts)):
+        assert np.array_equal(flat[st:st + n], expect[i]), i
