@@ -260,6 +260,48 @@ class FuzzyQuery(MultiTermQuery):
                 out[i] = True
         return out
 
+    def matches_arrow(self, term_arr):
+        """Vectorized pre-screen before the exact banded DP: length band
+        plus the character-histogram L1 bound (every edit changes the
+        histogram L1 by at most 2, so dist ≤ k ⇒ L1 ≤ 2k — a necessary
+        condition; Arrow count_substring kernels over the term column).
+        The Python DP runs only on survivors — the Levenshtein-automaton-
+        over-FST role at web vocabulary (FuzzyQuery.kt:38-43)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        t = self.term
+        k = self.max_edits
+        if k == 0:
+            return pc.equal(term_arr, t).to_numpy(zero_copy_only=False) \
+                .astype(bool)
+        lens = pc.utf8_length(term_arr).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        band = np.abs(lens - len(t)) <= k
+        if self.prefix_length:
+            band &= pc.starts_with(
+                term_arr, pattern=t[:self.prefix_length]) \
+                .to_numpy(zero_copy_only=False).astype(bool)
+        from collections import Counter
+        qc = Counter(t)
+        l1 = np.zeros(len(lens), dtype=np.int64)
+        other = lens.copy()
+        for ch, cnt in qc.items():
+            c = pc.count_substring(term_arr, pattern=ch) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            l1 += np.abs(c - cnt)
+            other -= c
+        l1 += other  # query has zero chars outside its own alphabet
+        band &= l1 <= 2 * k
+        out = np.zeros(len(lens), dtype=bool)
+        idxs = np.flatnonzero(band)
+        if len(idxs):
+            surv = term_arr.take(pa.array(idxs)).to_pylist()
+            for j, c in zip(idxs, surv):
+                if _edit_distance_le(t, c, k):
+                    out[j] = True
+        return out
+
 
 @dataclass(frozen=True)
 class TermInSetQuery(MultiTermQuery):
