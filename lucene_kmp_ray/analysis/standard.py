@@ -29,10 +29,14 @@ CJK segmentation follows the reference's StandardTokenizer grammar
 
 Both the numpy scanner and the regex/SQL fallbacks implement this by the
 same rule (the fallbacks space-isolate CJK first, then run the word regex —
-semantically identical, asserted in tests). Deviations from full UAX#29
-(documented): ``1,000`` splits at the comma (MidNum), ``a:b`` at the colon
-(MidLetter), combining marks split (the LUCENE-1545 case), and emoji have
-no special handling. Tokens are lowercased after segmentation (no-op for
+semantically identical, asserted in tests). Combining marks (Mn/Mc —
+Thai/Lao vowels and tone marks, Cyrillic accents, Arabic harakat, the
+LUCENE-1545 'moͤchte' case) EXTEND the preceding token per UAX#29's Extend
+rule: they continue word runs, Katakana/Hangul runs and even per-char CJK
+singles ("壹゙" stays one token, testCombiningMarks) but never start a
+token. Deviations from full UAX#29 (documented): ``1,000`` splits at the
+comma (MidNum), ``a:b`` at the colon (MidLetter), and emoji have no
+special handling. Tokens are lowercased after segmentation (no-op for
 CJK).
 
 The query side MUST use the same functions (QueryBuilder semantics,
@@ -49,18 +53,63 @@ import pyarrow as pa
 
 MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.kt:67
 
-# Python (re module): \w == [letters, digits, underscore] under re.UNICODE.
-PY_TOKEN_RE = re.compile(r"\w+(?:['’.]\w+)*", re.UNICODE)
+_MARKS_CLASS: str | None = None
+
+
+def _marks_class() -> str:
+    """Regex character class of the BMP combining marks (Mn/Mc) — the
+    UAX#29 Extend set this engine honors. Generated once per process from
+    unicodedata so the Python regex agrees with RE2's Mn/Mc properties."""
+    global _MARKS_CLASS
+    if _MARKS_CLASS is None:
+        import unicodedata
+        ranges = []
+        lo = None
+        prev = None
+        for c in range(0x10000):
+            if unicodedata.category(chr(c)) in ("Mn", "Mc"):
+                if lo is None:
+                    lo = c
+                prev = c
+            elif lo is not None:
+                ranges.append((lo, prev))
+                lo = None
+        if lo is not None:
+            ranges.append((lo, prev))
+        _MARKS_CLASS = "".join(f"\\u{a:04X}-\\u{b:04X}" if b > a
+                               else f"\\u{a:04X}" for a, b in ranges)
+    return _MARKS_CLASS
+
+
+_PY_TOKEN_RE_CACHE: "re.Pattern | None" = None
+
+
+def _py_token_re() -> "re.Pattern":
+    """Word-token regex: a word char starts, word chars + combining
+    marks continue; MidNumLet joiners need a word char right after."""
+    global _PY_TOKEN_RE_CACHE
+    if _PY_TOKEN_RE_CACHE is None:
+        m = _marks_class()
+        _PY_TOKEN_RE_CACHE = re.compile(
+            rf"\w[\w{m}]*(?:['’.]\w[\w{m}]*)*", re.UNICODE)
+    return _PY_TOKEN_RE_CACHE
+
 
 # Identical language in RE2 (DuckDB regexp_extract_all). \pL/\pN = Unicode
-# letters/numbers; agreement with \w holds for the BMP alphanumerics used here.
-SQL_TOKEN_PATTERN = r"[\pL\pN_]+(?:['’.][\pL\pN_]+)*"
+# letters/numbers; agreement with \w holds for the BMP alphanumerics used
+# here; \pM ≈ Mn+Mc+Me (Me is vanishingly rare in web text — enclosing
+# marks; the engine treats Me as a separator, RE2 extends with it: the
+# deliberate approximation is asserted equal on the conformance vectors).
+SQL_TOKEN_PATTERN = (r"[\pL\pN_][\pL\pN_\pM]*"
+                     r"(?:['’.][\pL\pN_][\pL\pN_\pM]*)*")
 
 # CJK codepoint ranges (StandardTokenizerImpl grammar). SINGLE = one token
 # per char (Han + Hiragana, <IDEOGRAPHIC>/<HIRAGANA>); RUN = maximal runs
 # (Katakana + Hangul, <KATAKANA>/<HANGUL>).
+# hiragana range excludes U+3099/309A (combining sound marks — they are
+# UAX#29 Extend, not token starters)
 CJK_SINGLE_RANGES = ((0x3400, 0x4DBF), (0x4E00, 0x9FFF), (0xF900, 0xFAFF),
-                     (0x3040, 0x309F))
+                     (0x3040, 0x3098), (0x309B, 0x309F))
 CJK_SINGLE_ASTRAL = ((0x20000, 0x2FA1F),)  # CJK Ext B+ (slow path only)
 CJK_KATAKANA_RANGES = ((0x30A0, 0x30FF), (0x31F0, 0x31FF))
 CJK_HANGUL_RANGES = ((0xAC00, 0xD7A3), (0x1100, 0x11FF), (0x3130, 0x318F))
@@ -71,11 +120,26 @@ def _ranges_re(ranges, astral=()):
         "".join(f"\\U{lo:08X}-\\U{hi:08X}" for lo, hi in astral)
 
 
-_CJK_RUN_RE = re.compile(
-    f"([{_ranges_re(CJK_KATAKANA_RANGES)}]+"
-    f"|[{_ranges_re(CJK_HANGUL_RANGES)}]+)")
-_CJK_SINGLE_RE = re.compile(
-    f"([{_ranges_re(CJK_SINGLE_RANGES, CJK_SINGLE_ASTRAL)}])")
+def _cjk_res():
+    """CJK isolation regexes, marks-aware (lazy: needs _marks_class).
+    Runs swallow interleaved marks; a single takes its TRAILING marks
+    along (壹゙ stays one token, testCombiningMarks)."""
+    global _CJK_RUN_RE, _CJK_SINGLE_RE
+    if _CJK_RUN_RE is None:
+        m = _marks_class()
+        _CJK_RUN_RE = re.compile(
+            f"([{_ranges_re(CJK_KATAKANA_RANGES)}]"
+            f"(?:[{_ranges_re(CJK_KATAKANA_RANGES)}{m}])*"
+            f"|[{_ranges_re(CJK_HANGUL_RANGES)}]"
+            f"(?:[{_ranges_re(CJK_HANGUL_RANGES)}{m}])*)")
+        _CJK_SINGLE_RE = re.compile(
+            f"([{_ranges_re(CJK_SINGLE_RANGES, CJK_SINGLE_ASTRAL)}]"
+            f"[{m}]*)")
+    return _CJK_RUN_RE, _CJK_SINGLE_RE
+
+
+_CJK_RUN_RE = None
+_CJK_SINGLE_RE = None
 
 
 _CJK_ANY_RE = re.compile(
@@ -88,7 +152,8 @@ def _pre_cjk(s: str) -> str:
     regex-engine-portable form of the scanner's class transitions (RE2 has
     no lookarounds or class subtraction, so the word class cannot simply
     exclude CJK)."""
-    return _CJK_SINGLE_RE.sub(r" \1 ", _CJK_RUN_RE.sub(r" \1 ", s))
+    run_re, sgl_re = _cjk_res()
+    return sgl_re.sub(r" \1 ", run_re.sub(r" \1 ", s))
 
 
 def _ranges_re2(ranges) -> str:
@@ -99,9 +164,12 @@ def sql_tokens_expr(col: str = "text") -> str:
     """DuckDB expression: list of lowercased tokens of `col` (oracle side).
     Mirrors tokenize(): CJK space-isolation replaces, then the word regex."""
     pat = SQL_TOKEN_PATTERN.replace("'", "''")
-    run_pat = (f"([{_ranges_re2(CJK_KATAKANA_RANGES)}]+"
-               f"|[{_ranges_re2(CJK_HANGUL_RANGES)}]+)")
-    sgl_pat = f"([{_ranges_re2(CJK_SINGLE_RANGES + CJK_SINGLE_ASTRAL)}])"
+    kata = _ranges_re2(CJK_KATAKANA_RANGES)
+    hang = _ranges_re2(CJK_HANGUL_RANGES)
+    run_pat = (f"([{kata}](?:[{kata}]|\\pM)*"
+               f"|[{hang}](?:[{hang}]|\\pM)*)")
+    sgl_pat = (f"([{_ranges_re2(CJK_SINGLE_RANGES + CJK_SINGLE_ASTRAL)}]"
+               f"\\pM*)")
     pre = (f"regexp_replace(regexp_replace({col}, '{run_pat}', ' \\1 ', "
            f"'g'), '{sgl_pat}', ' \\1 ', 'g')")
     return (f"list_transform(regexp_extract_all({pre}, '{pat}'), "
@@ -127,7 +195,7 @@ def tokenize(text: str) -> list[str]:
     if _CJK_ANY_RE.search(text):
         text = _pre_cjk(text)
     out = []
-    for tok in PY_TOKEN_RE.findall(text):
+    for tok in _py_token_re().findall(text):
         if len(tok) > MAX_TOKEN_LENGTH:  # over-long tokens split, not dropped
             out.extend(tok[i:i + MAX_TOKEN_LENGTH]
                        for i in range(0, len(tok), MAX_TOKEN_LENGTH))
@@ -251,6 +319,12 @@ def _cls_table() -> np.ndarray:
                             (6, CJK_SINGLE_RANGES)):
             for lo, hi in ranges:
                 t[lo:hi + 1] = cls
+        import unicodedata
+        # UAX#29 Extend LAST: marks override range membership (U+3099/309A
+        # sit inside the Hiragana block but are combining marks)
+        for c in range(_CLS_LIMIT):
+            if unicodedata.category(chr(c)) in ("Mn", "Mc"):
+                t[c] = 7
         t[_CLS_LIMIT] = 255  # sentinel: astral char → slow path
         _CLS_TABLE = t
     return _CLS_TABLE
@@ -261,7 +335,7 @@ def _tokenize_flat_slow(texts) -> tuple[np.ndarray, pa.Array]:
     import pyarrow.compute as pc
     doc_lengths = np.empty(len(texts), dtype=np.int64)
     flat: list[str] = []
-    findall = PY_TOKEN_RE.findall
+    findall = _py_token_re().findall
     maxlen = MAX_TOKEN_LENGTH
     for i, text in enumerate(texts):
         text = text or ""
@@ -325,20 +399,34 @@ def tokenize_flat(texts) -> tuple[np.ndarray, pa.Array]:
     next_w[-1] = False
     next_w[:-1] = word[1:]
     # token class per char: 1 = word run (incl. resolved joiners),
-    # 4/5 = Katakana/Hangul runs, 6 = per-char CJK singles
+    # 4/5 = Katakana/Hangul runs, 6 = per-char CJK singles, and UAX#29
+    # Extend chars (class 7 = Mn/Mc) INHERIT the class of the nearest
+    # preceding anchor char (word/kata/hangul/single) — marks continue a
+    # token but never start one
     tokc = np.where(word | ((cls == 2) & prev_w & next_w),
                     np.uint8(1), np.uint8(0))
     cjk = cls >= 4
     if cjk.any():
-        tokc = np.where(cjk, cls, tokc)
+        tokc = np.where(cls != 7, np.where(cjk, cls, tokc), tokc)
+    ext = cls == 7
+    if ext.any():
+        n = len(cls)
+        base = np.maximum.accumulate(
+            np.where(~ext, np.arange(n, dtype=np.int64), -1))
+        anchor = np.isin(cls, (1, 4, 5, 6))
+        valid = ext & (base >= 0)
+        vb = base[valid]
+        inherit = np.where(anchor[vb], cls[vb], 0).astype(np.uint8)
+        tokc[valid] = np.where(inherit == 1, np.uint8(1), inherit)
     tok = tokc > 0
 
     # boundaries: class CHANGE splits (アア|abc|漢); class 6 splits at
-    # every char (one token per ideograph/hiragana)
+    # every char (one token per ideograph/hiragana) — EXCEPT its trailing
+    # extend marks, which stay attached (testCombiningMarks 壹゙)
     prev_tc = np.empty_like(tokc)
     prev_tc[0] = 0
     prev_tc[1:] = tokc[:-1]
-    starts = tok & ((tokc != prev_tc) | (tokc == 6))
+    starts = tok & ((tokc != prev_tc) | ((tokc == 6) & ~ext))
     start_idx = np.flatnonzero(starts)
     n_tok = len(start_idx)
     n_docs = len(texts)
@@ -347,7 +435,10 @@ def tokenize_flat(texts) -> tuple[np.ndarray, pa.Array]:
     next_tc = np.empty_like(tokc)
     next_tc[-1] = 0
     next_tc[:-1] = tokc[1:]
-    ends = tok & ((tokc != next_tc) | (tokc == 6))
+    next_ext = np.empty_like(ext)
+    next_ext[-1] = False
+    next_ext[:-1] = ext[1:]
+    ends = tok & ((tokc != next_tc) | ((next_tc == 6) & ~next_ext))
     end_idx = np.flatnonzero(ends)
     if int((end_idx - start_idx).max()) + 1 > MAX_TOKEN_LENGTH:
         return _tokenize_flat_slow(texts)

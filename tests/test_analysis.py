@@ -139,3 +139,41 @@ def test_cjk_sql_mirror_agrees():
         got = con.sql(f"SELECT {expr} AS toks FROM (SELECT ? AS t)",
                       params=[c]).fetchone()[0]
         assert got == tokenize(c), c
+
+
+def test_combining_marks_and_more_languages():
+    """UAX#29 Extend support (reference vectors: testCombiningMarks,
+    testThai, testLao, testRussian idea, LUCENE-1545 'moͤchte'): combining
+    marks continue word runs, Katakana/Hangul runs and CJK singles; all
+    four tokenizer paths (scalar, scanner, regex fallback, SQL) agree."""
+    import duckdb
+
+    from lucene_kmp_ray.analysis.standard import (_tokenize_flat_slow,
+                                                  sql_tokens_expr, tokenize,
+                                                  tokenize_flat)
+    con = duckdb.connect()
+    expr = sql_tokens_expr("t")
+    cases = [
+        ("壹゙ ざ ザ 아゙", ["壹゙", "ざ", "ザ", "아゙"]),  # testCombiningMarks
+        ("moͤchte", ["moͤchte"]),                        # LUCENE-1545
+        ("การที่ได้ต้องแสดงว่างานดี. แล้วเธอจะไปไหน? ๑๒๓๔",
+         ["การที่ได้ต้องแสดงว่างานดี", "แล้วเธอจะไปไหน", "๑๒๓๔"]),  # testThai
+        ("ສາທາລະນະລັດ ປະຊາທິປະໄຕ ປະຊາຊົນລາວ",
+         ["ສາທາລະນະລັດ", "ປະຊາທິປະໄຕ", "ປະຊາຊົນລາວ"]),            # testLao
+        ("Вики́педия", ["вики́педия"]),
+        ("ዊኪፔድያ የባለ ብዙ ቋንቋ", ["ዊኪፔድያ", "የባለ", "ብዙ", "ቋንቋ"]),  # testAmharic
+        ("Γράφεται σε συνεργασία", ["γράφεται", "σε", "συνεργασία"]),
+        ("ویکی پدیای دانشنامهٔ", ["ویکی", "پدیای", "دانشنامهٔ"]),  # testFarsi
+        ("এই বিশ্বকোষ পরিচালনা", ["এই", "বিশ্বকোষ", "পরিচালনা"]),  # testBengali
+    ]
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    for text, exp_raw in cases:
+        exp = pc.utf8_lower(pa.array(exp_raw, pa.string())).to_pylist()
+        assert tokenize(text) == exp, text
+        assert tokenize_flat([text])[1].to_pylist() == exp, ("fast", text)
+        assert _tokenize_flat_slow([text])[1].to_pylist() == exp, \
+            ("slow", text)
+        got_sql = con.sql(f"SELECT {expr} AS t FROM (SELECT ? AS t)",
+                          params=[text]).fetchone()[0]
+        assert got_sql == exp, ("sql", text)
