@@ -17,6 +17,12 @@ Scale notes (designed for 10^12 docs / 256 nodes, tested single-node):
 - A segment (docs text + postings) must fit one worker's heap: size
   ``segment_size`` so segment text ≈ 100-500 MB. Ray's sort-based groupby
   spills to the object store, so the shuffle itself streams.
+- Prefer SMALL flush segments + tiered merges over big monolithic ones:
+  per-task inversion dilates badly once its working set falls out of
+  cache under concurrency (measured 7.6× at 20×50k-doc tasks on one
+  node; BASELINE.md "Segment sizing"). 5k-doc flushes + merge to the
+  50k-doc target reached the same geometry ~16× faster — exactly the
+  reference's 16 MB DWPT flush + TieredMergePolicy design.
 - Resume: segments whose manifest exists are skipped at the *read* (filtered
   before the shuffle), and the per-segment write is atomic (tmp dir + rename)
   — a failed run redoes only unfinished segments (north rule lineage).
