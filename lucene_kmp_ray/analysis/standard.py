@@ -81,6 +81,35 @@ def _marks_class() -> str:
     return _MARKS_CLASS
 
 
+# Emoji segmentation (the <EMOJI> token type, StandardTokenizerImpl
+# grammar; conformance vectors TestStandardAnalyzer.kt:444-505): regional
+# indicator PAIRS, keycap sequences, and pictograph ZWJ chains with skin
+# modifiers / VS16 / tag sequences. BMP pictographs force the scanner's
+# slow path (astral ones do already), so all paths agree.
+EMOJI_PICT_BMP = ((0x2600, 0x27BF), (0x2B00, 0x2BFF))
+EMOJI_PICT_ASTRAL = ((0x1F000, 0x1FAFF),)
+EMOJI_MOD = ((0x1F3FB, 0x1F3FF),)       # skin tones
+EMOJI_TAGS = ((0xE0020, 0xE007F),)      # tag sequences (flag of Scotland)
+EMOJI_RI = ((0x1F1E6, 0x1F1FF),)        # regional indicators
+
+
+def _emoji_pattern(re2: bool = False) -> str:
+    r = _ranges_re2 if re2 else lambda rs: _ranges_re(
+        tuple((a, b) for a, b in rs if b < 0x10000),
+        tuple((a, b) for a, b in rs if b >= 0x10000))
+    pict = r(EMOJI_PICT_BMP + EMOJI_PICT_ASTRAL)
+    mod = r(EMOJI_MOD)
+    tags = r(EMOJI_TAGS)
+    ri = r(EMOJI_RI)
+    vs = "\\x{FE0F}" if re2 else "\\uFE0F"
+    zwj = "\\x{200D}" if re2 else "\\u200D"
+    keycap_mark = "\\x{20E3}" if re2 else "\\u20E3"
+    elem = f"[{pict}](?:[{mod}]|{vs})*(?:[{tags}]+)?"
+    return (f"[{ri}][{ri}]"
+            f"|[0-9#*]{vs}?{keycap_mark}"
+            f"|{elem}(?:{zwj}{elem})*")
+
+
 _PY_TOKEN_RE_CACHE: "re.Pattern | None" = None
 
 
@@ -90,8 +119,9 @@ def _py_token_re() -> "re.Pattern":
     global _PY_TOKEN_RE_CACHE
     if _PY_TOKEN_RE_CACHE is None:
         m = _marks_class()
+        word = rf"\w[\w{m}]*(?:['’.]\w[\w{m}]*)*"
         _PY_TOKEN_RE_CACHE = re.compile(
-            rf"\w[\w{m}]*(?:['’.]\w[\w{m}]*)*", re.UNICODE)
+            f"(?:{_emoji_pattern()})|(?:{word})", re.UNICODE)
     return _PY_TOKEN_RE_CACHE
 
 
@@ -100,8 +130,15 @@ def _py_token_re() -> "re.Pattern":
 # here; \pM ≈ Mn+Mc+Me (Me is vanishingly rare in web text — enclosing
 # marks; the engine treats Me as a separator, RE2 extends with it: the
 # deliberate approximation is asserted equal on the conformance vectors).
-SQL_TOKEN_PATTERN = (r"[\pL\pN_][\pL\pN_\pM]*"
-                     r"(?:['’.][\pL\pN_][\pL\pN_\pM]*)*")
+SQL_WORD_PATTERN = (r"[\pL\pN_][\pL\pN_\pM]*"
+                    r"(?:['’.][\pL\pN_][\pL\pN_\pM]*)*")
+
+
+def _sql_token_pattern() -> str:
+    return f"(?:{_emoji_pattern(re2=True)})|(?:{SQL_WORD_PATTERN})"
+
+
+SQL_TOKEN_PATTERN = None  # built lazily via _sql_token_pattern()
 
 # CJK codepoint ranges (StandardTokenizerImpl grammar). SINGLE = one token
 # per char (Han + Hiragana, <IDEOGRAPHIC>/<HIRAGANA>); RUN = maximal runs
@@ -163,7 +200,7 @@ def _ranges_re2(ranges) -> str:
 def sql_tokens_expr(col: str = "text") -> str:
     """DuckDB expression: list of lowercased tokens of `col` (oracle side).
     Mirrors tokenize(): CJK space-isolation replaces, then the word regex."""
-    pat = SQL_TOKEN_PATTERN.replace("'", "''")
+    pat = _sql_token_pattern().replace("'", "''")
     kata = _ranges_re2(CJK_KATAKANA_RANGES)
     hang = _ranges_re2(CJK_HANGUL_RANGES)
     run_pat = (f"([{kata}](?:[{kata}]|\\pM)*"
@@ -325,6 +362,12 @@ def _cls_table() -> np.ndarray:
         for c in range(_CLS_LIMIT):
             if unicodedata.category(chr(c)) in ("Mn", "Mc"):
                 t[c] = 7
+        # BMP emoji machinery → class 254: any occurrence routes the batch
+        # to the regex path (astral pictographs do so via the astral check)
+        for lo, hi in EMOJI_PICT_BMP:
+            t[lo:hi + 1] = 254
+        for c in (0xFE0F, 0x200D, 0x20E3):
+            t[c] = 254
         t[_CLS_LIMIT] = 255  # sentinel: astral char → slow path
         _CLS_TABLE = t
     return _CLS_TABLE
@@ -391,6 +434,8 @@ def tokenize_flat(texts) -> tuple[np.ndarray, pa.Array]:
     if mx >= _CLS_LIMIT:  # astral chars present
         return _tokenize_flat_slow(texts)
     cls = _cls_table()[cps]
+    if (cls == 254).any():  # emoji present → regex path (exact sequences)
+        return _tokenize_flat_slow(texts)
     word = cls == 1
     prev_w = np.empty_like(word)
     prev_w[0] = False

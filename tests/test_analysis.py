@@ -177,3 +177,38 @@ def test_combining_marks_and_more_languages():
         got_sql = con.sql(f"SELECT {expr} AS t FROM (SELECT ? AS t)",
                           params=[text]).fetchone()[0]
         assert got_sql == exp, ("sql", text)
+
+
+def test_emoji_segmentation_reference_vectors():
+    """<EMOJI> token type (TestStandardAnalyzer.kt:444-505): bare emoji
+    split per pictograph, ZWJ sequences and modifier/VS16 chains stay one
+    token, regional indicators pair, keycaps combine; text-presentation
+    VS15 behaves per the reference. All four paths agree."""
+    import duckdb
+
+    from lucene_kmp_ray.analysis.standard import (_tokenize_flat_slow,
+                                                  sql_tokens_expr, tokenize,
+                                                  tokenize_flat)
+    con = duckdb.connect()
+    expr = sql_tokens_expr("t")
+    cases = [
+        ("💩 💩💩", ["💩", "💩", "💩"]),          # testEmoji
+        ("👩‍❤️‍👩", ["👩‍❤️‍👩"]),  # ZWJ sequence
+        ("👨🏼‍⚕️", ["👨🏼‍⚕️"]),        # modifier + ZWJ
+        ("🇺🇸🇺🇸", ["🇺🇸", "🇺🇸"]),               # regional indicators
+        ("#️⃣", ["#️⃣"]),                          # keycap
+        ("3️⃣", ["3️⃣"]),
+        ("#︎", []),                          # text presentation
+        ("3︎", ["3︎"]),
+        ("⭕︎", ["⭕"]),
+        ("poo💩poo", ["poo", "💩", "poo"]),       # testEmojiTokenization
+        ("💩中國💩", ["💩", "中", "國", "💩"]),
+    ]
+    for text, exp in cases:
+        assert tokenize(text) == exp, repr(text)
+        assert tokenize_flat([text])[1].to_pylist() == exp, ("fast", text)
+        assert _tokenize_flat_slow([text])[1].to_pylist() == exp, \
+            ("slow", text)
+        got_sql = con.sql(f"SELECT {expr} AS t FROM (SELECT ? AS t)",
+                          params=[text]).fetchone()[0]
+        assert got_sql == exp, ("sql", repr(text))
