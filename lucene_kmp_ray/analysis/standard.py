@@ -34,10 +34,12 @@ Thai/Lao vowels and tone marks, Cyrillic accents, Arabic harakat, the
 LUCENE-1545 'moͤchte' case) EXTEND the preceding token per UAX#29's Extend
 rule: they continue word runs, Katakana/Hangul runs and even per-char CJK
 singles ("壹゙" stays one token, testCombiningMarks) but never start a
-token. Deviations from full UAX#29 (documented): ``1,000`` splits at the
-comma (MidNum), ``a:b`` at the colon (MidLetter), and emoji have no
-special handling. Tokens are lowercased after segmentation (no-op for
-CJK).
+token. Emoji tokenize per the <EMOJI> grammar (regional-indicator pairs,
+keycaps, pictograph ZWJ/modifier/VS16 chains — reference vectors
+asserted). Remaining deviations from full UAX#29 (documented): ``1,000``
+splits at the comma (MidNum) and ``a:b`` at the colon (MidLetter) — both
+need lookbehind, which RE2 (the oracle mirror) lacks. Tokens are
+lowercased after segmentation (no-op for CJK/emoji).
 
 The query side MUST use the same functions (QueryBuilder semantics,
 ``/root/reference/core/.../util/QueryBuilder.kt:45``).
