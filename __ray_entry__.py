@@ -500,6 +500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_top10": lambda sf: ann.ann_ivf_topk(sf),  # rows-only check
         # --- multimodal plumbing (rows-only; decode stubbed) ---
         "multimodal_features": _multimodal,
+        "audio_features": _audio,  # REAL stdlib-wave decode, rows-only
     }
     return q
 
@@ -508,6 +509,17 @@ def _ann_brute(sf_dir: str):
     df = ann.ann_brute_topk(sf_dir).to_pandas()
     df["score_r"] = np.round(df["score"], 6)
     return df[["query_id", "rank", "vec_id", "score_r"]]
+
+
+def _audio(sf_dir: str):
+    """Audio featurization with a REAL decoder (stdlib wave — the one
+    media codec this container has): deterministic sine WAVs decode to
+    duration/RMS/ZCR/dominant-frequency features (FFT)."""
+    import ray.data as rd
+
+    from lucene_kmp_ray.pipelines.multimodal import (audio_features,
+                                                     synthesize_wav_table)
+    return audio_features(rd.from_arrow(synthesize_wav_table(48)))
 
 
 def _multimodal(sf_dir: str):

@@ -154,3 +154,85 @@ def sample_frames(ds, interval_ms: int = 1000, concurrency: int = 2):
     return ds.map_batches(FrameSampler, fn_constructor_args=(interval_ms,),
                           batch_format="pyarrow", batch_size=16,
                           concurrency=concurrency)
+
+
+# ---------------- REAL audio decode (stdlib wave — no external libs) -----
+def synthesize_wav_table(n: int = 32, sample_rate: int = 8000,
+                         seconds: float = 0.25) -> pa.Table:
+    """Deterministic REAL WAV payloads (stdlib ``wave`` writer): doc i is a
+    16-bit mono sine at a doc-dependent frequency with doc-dependent
+    amplitude — decodable by any WAV reader, no external data."""
+    import io
+    import wave
+
+    payloads = []
+    freqs = []
+    t = np.arange(int(sample_rate * seconds)) / sample_rate
+    for i in range(n):
+        f = 200.0 + 37.0 * (i % 20)
+        amp = 0.2 + 0.7 * ((i % 7) / 7.0)
+        sig = (amp * 32767 * np.sin(2 * np.pi * f * t)).astype(np.int16)
+        bio = io.BytesIO()
+        with wave.open(bio, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sample_rate)
+            w.writeframes(sig.tobytes())
+        payloads.append(bio.getvalue())
+        freqs.append(f)
+    return pa.table({
+        "media_id": pa.array(range(n), pa.int64()),
+        "media_type": pa.array(["audio"] * n, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "width": pa.array([0] * n, pa.int32()),
+        "height": pa.array([0] * n, pa.int32()),
+        "duration_ms": pa.array([int(seconds * 1000)] * n, pa.int32()),
+    })
+
+
+class AudioFeatureExtractor:
+    """Actor-pool stage with a REAL decoder: stdlib ``wave`` parses the
+    payload, numpy computes the features (duration, RMS, zero-crossing
+    rate, dominant frequency via FFT) — the audio analog of a model
+    featurizer, setup once per actor, vectorized per clip. Small batches:
+    payloads are the large side (SURVEY §4 memory)."""
+
+    def __init__(self, batch_fft: bool = True):
+        self.batch_fft = batch_fft  # real init: load model weights here
+
+    @staticmethod
+    def _features(payload: bytes) -> tuple[float, float, float, float]:
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            sr = w.getframerate()
+            frames = w.readframes(w.getnframes())
+        sig = np.frombuffer(frames, dtype=np.int16).astype(np.float64)
+        if len(sig) == 0:
+            return 0.0, 0.0, 0.0, 0.0
+        dur = len(sig) / sr
+        rms = float(np.sqrt(np.mean(sig ** 2)) / 32767.0)
+        zcr = float(np.mean(np.signbit(sig[1:]) != np.signbit(sig[:-1])))
+        spec = np.abs(np.fft.rfft(sig))
+        dom = float(np.argmax(spec) * sr / len(sig))
+        return dur, rms, zcr, dom
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [self._features(p) for p in batch["payload"].to_pylist()]
+        return pa.table({
+            "media_id": batch["media_id"],
+            "duration_s": pa.array([f[0] for f in feats], pa.float64()),
+            "rms": pa.array([round(f[1], 6) for f in feats], pa.float64()),
+            "zero_crossing_rate": pa.array([round(f[2], 6) for f in feats],
+                                           pa.float64()),
+            "dominant_hz": pa.array([round(f[3], 2) for f in feats],
+                                    pa.float64()),
+        })
+
+
+def audio_features(ds, concurrency: int = 2):
+    """WAV rows → (media_id, duration_s, rms, zero_crossing_rate,
+    dominant_hz) via the real stdlib decoder."""
+    return ds.map_batches(AudioFeatureExtractor, batch_format="pyarrow",
+                          batch_size=16, concurrency=concurrency)

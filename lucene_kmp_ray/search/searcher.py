@@ -547,8 +547,20 @@ class Searcher:
         return self._merge(parts, k, total, rel)
 
     def count(self, query: Query) -> int:
-        """Exact hit count (IndexSearcher.count / TotalHitCountCollector)."""
+        """Exact hit count (IndexSearcher.count / TotalHitCountCollector),
+        with the reference's sub-linear shortcuts (IndexSearcher.kt:282 /
+        Weight#count): a pure TermQuery answers from the global df and
+        MatchAllDocsQuery from docCount — WITHOUT decoding postings — when
+        no segment carries deletions (tombstones force the exact walk,
+        exactly like liveDocs do in Lucene)."""
         query = self.rewrite(query)
+        no_deletes = all(sr.tombstones is None
+                         for sr in self.reader.segment_readers)
+        if no_deletes and isinstance(query, TermQuery):
+            return self.reader.term_stats([query.term],
+                                          query.field)[query.term][0]
+        if no_deletes and isinstance(query, MatchAllDocsQuery):
+            return self.reader.doc_count
         return sum(len(self._score_segment(sr, query, scoring=False)[0])
                    for sr in self.reader.segment_readers)
 

@@ -79,3 +79,21 @@ def test_multimodal_resize_and_frame_sample(ray_session):
     n_videos = sum(1 for mt in t["media_type"].to_pylist() if mt == "video")
     assert len(frames) == n_videos * 3
     assert set(frames["frame_index"]) == {0, 1, 2}
+
+
+def test_audio_features_real_wav_decode(ray_session):
+    """REAL audio decoding (stdlib wave): the extracted dominant frequency
+    must recover each synthesized sine's frequency; RMS tracks amplitude."""
+    import ray.data as rd
+
+    from lucene_kmp_ray.pipelines.multimodal import (audio_features,
+                                                     synthesize_wav_table)
+    t = synthesize_wav_table(16)
+    out = audio_features(rd.from_arrow(t)).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    assert len(out) == 16
+    for i in range(16):
+        exp_f = 200.0 + 37.0 * (i % 20)
+        assert abs(out["dominant_hz"][i] - exp_f) < 4.5, i  # FFT bin width
+        assert 0.1 < out["rms"][i] < 0.75
+        assert abs(out["duration_s"][i] - 0.25) < 1e-9

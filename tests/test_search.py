@@ -443,3 +443,38 @@ def test_random_boolean_equivalence_fuzz(built_index, corpus_texts):
         q = BooleanQuery(tuple(clauses), minimum_should_match=msm)
         got = {h.doc_id for h in s.search(q, k=10_000).score_docs}
         assert got == brute(q), (trial, q)
+
+
+def test_count_fast_paths(built_index, corpus_texts):
+    """Sub-linear count shortcuts (Weight#count role): term count == df
+    from stats, match-all == docCount; deletes force the exact walk."""
+    from lucene_kmp_ray.analysis import tokenize
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.search import (MatchAllDocsQuery, Searcher,
+                                       TermQuery)
+
+    s = Searcher(IndexReader(built_index))
+    exp = sum(1 for t in corpus_texts if "spark" in tokenize(t))
+    assert s.count(TermQuery("spark")) == exp
+    assert s.count(MatchAllDocsQuery()) == len(corpus_texts)
+
+
+def test_count_honors_deletes(ray_session, tmp_path):
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.index.deletes import delete_by_url
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.search import (MatchAllDocsQuery, Searcher,
+                                       TermQuery)
+    from lucene_kmp_ray.sources.corpus import corpus_dataset, corpus_table
+
+    idx = str(tmp_path / "cnt")
+    build_index(corpus_dataset("/root/testdata/sf0.001"), idx,
+                segment_size=100)
+    s = Searcher(IndexReader(idx))
+    before = s.count(TermQuery("spark"))
+    ct = corpus_table("/root/testdata/sf0.001")
+    # delete one doc that contains 'spark' (doc 49, r1's top hit)
+    delete_by_url(idx, [ct["url"][49].as_py()])
+    s2 = Searcher(IndexReader(idx))
+    assert s2.count(TermQuery("spark")) == before - 1
+    assert s2.count(MatchAllDocsQuery()) == 499
