@@ -501,6 +501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing (rows-only; decode stubbed) ---
         "multimodal_features": _multimodal,
         "audio_features": _audio,  # REAL stdlib-wave decode, rows-only
+        "image_features": _image,  # REAL 24-bit BMP decode, rows-only
     }
     return q
 
@@ -520,6 +521,17 @@ def _audio(sf_dir: str):
     from lucene_kmp_ray.pipelines.multimodal import (audio_features,
                                                      synthesize_wav_table)
     return audio_features(rd.from_arrow(synthesize_wav_table(48)))
+
+
+def _image(sf_dir: str):
+    """Image featurization with a REAL decoder (24-bit BMP in pure
+    numpy): deterministic gradient images decode to mean-RGB / luminance
+    stats / histogram features."""
+    import ray.data as rd
+
+    from lucene_kmp_ray.pipelines.multimodal import (image_features,
+                                                     synthesize_bmp_table)
+    return image_features(rd.from_arrow(synthesize_bmp_table(48)))
 
 
 def _multimodal(sf_dir: str):

@@ -97,3 +97,26 @@ def test_audio_features_real_wav_decode(ray_session):
         assert abs(out["dominant_hz"][i] - exp_f) < 4.5, i  # FFT bin width
         assert 0.1 < out["rms"][i] < 0.75
         assert abs(out["duration_s"][i] - 0.25) < 1e-9
+
+
+def test_image_features_real_bmp_decode(ray_session):
+    """REAL image decoding (24-bit BMP, pure numpy): decode must
+    round-trip the synthesized pixels and the mean red channel must
+    recover each image's id-dependent red level."""
+    import numpy as np
+    import ray.data as rd
+
+    from lucene_kmp_ray.pipelines.multimodal import (_bmp_decode,
+                                                     _bmp_encode,
+                                                     image_features,
+                                                     synthesize_bmp_table)
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (17, 33, 3), dtype=np.uint8)  # odd width pad
+    assert np.array_equal(_bmp_decode(_bmp_encode(px)), px)
+
+    t = synthesize_bmp_table(12)
+    out = image_features(rd.from_arrow(t)).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    for i in range(12):
+        assert abs(out["mean_rgb"][i][0] - (10 * i) % 256) < 1e-6, i
+        assert sum(out["luminance_hist"][i]) == 32 * 24
