@@ -28,5 +28,6 @@ from .query import (  # noqa: F401
 from .queryparser import multi_field_parse, parse_query  # noqa: F401
 from .searcher import Searcher, TopDocs  # noqa: F401
 from .spans import (SpanContainingQuery,  # noqa: F401
+                    SpanMultiTermQueryWrapper,
                     SpanFirstQuery, SpanNearQuery, SpanNotQuery,
                     SpanOrQuery, SpanTermQuery, SpanWithinQuery)

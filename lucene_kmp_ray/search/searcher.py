@@ -233,8 +233,14 @@ class Searcher:
                 return docs, np.zeros(len(docs), dtype=self.sim.dtype)
             stats = self.reader.term_stats(query.terms(), query.field)
             dfs = [df for df, _ in stats.values() if df > 0]
-            if not dfs or len(docs) == 0:
+            if len(docs) == 0:
                 return _empty(self.sim.dtype)
+            if not dfs:
+                # no statically-declared terms (e.g. a standalone
+                # SpanMultiTermQueryWrapper): the CONSTANT_SCORE rewrite,
+                # like the MultiTermQuery family
+                dt = self.sim.dtype
+                return docs, np.full(len(docs), dt.type(boost), dtype=dt)
             dc, sttf = self.reader.field_stats(query.field)
             scorer = self.sim.scorer(boost, dc, sttf, dfs)
             return docs, scorer.score(freqs,

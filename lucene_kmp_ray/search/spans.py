@@ -119,6 +119,23 @@ class SpanWithinQuery(SpanQuery):
 
 
 @dataclass(frozen=True)
+class SpanMultiTermQueryWrapper(SpanQuery):
+    """``queries/spans/SpanMultiTermQueryWrapper.kt``: lifts a
+    MultiTermQuery (prefix/wildcard/regexp/fuzzy) into span algebra —
+    per segment the predicate expands against the term dictionary and
+    the spans are the union of the matched terms' occurrence spans (the
+    SpanOr-of-expansion rewrite)."""
+    query: object  # a MultiTermQuery
+
+    @property
+    def field(self):  # type: ignore[override]
+        return getattr(self.query, "field", "text")
+
+    def terms(self):
+        return []  # stats resolve from expansion at scoring time
+
+
+@dataclass(frozen=True)
 class SpanFirstQuery(SpanQuery):
     match: SpanQuery
     end: int
@@ -160,7 +177,22 @@ def _candidates(sr, q: SpanQuery) -> np.ndarray:
         from .searcher import _intersect
         return _intersect(_candidates(sr, q.big),
                           _candidates(sr, q.little))
+    if isinstance(q, SpanMultiTermQueryWrapper):
+        idxs = _expanded_rows(sr, q)
+        return sr.union_docs(idxs) if len(idxs) else np.empty(0, np.int64)
     raise TypeError(f"unsupported span query: {q!r}")
+
+
+def _expanded_rows(sr, q: "SpanMultiTermQueryWrapper") -> np.ndarray:
+    arr, lo = sr.field_terms(q.field)
+    mask = None
+    if hasattr(q.query, "matches_arrow"):
+        hi = lo + len(arr)
+        mask = q.query.matches_arrow(
+            sr.terms_table["term"].slice(lo, hi - lo).combine_chunks())
+    if mask is None:
+        mask = q.query.matches(arr)
+    return np.flatnonzero(mask) + lo
 
 
 def _doc_spans(sr, q: SpanQuery, doc: int) -> list[tuple[int, int, int]]:
@@ -206,6 +238,15 @@ def _doc_spans(sr, q: SpanQuery, doc: int) -> list[tuple[int, int, int]]:
         little = _doc_spans(sr, q.little, doc)
         return [l for l in little
                 if any(b[0] <= l[0] and l[1] <= b[1] for b in big)]
+    if isinstance(q, SpanMultiTermQueryWrapper):
+        arr, lo = sr.field_terms(q.field)
+        out = []
+        for i in _expanded_rows(sr, q):
+            term = str(arr[i - lo])
+            out.extend(_doc_spans(
+                sr, SpanTermQuery(term, q.field), doc))
+        out.sort(key=lambda t: (t[0], t[1]))
+        return out
     raise TypeError(f"unsupported span query: {q!r}")
 
 

@@ -120,3 +120,24 @@ def test_span_containing_within(span_index):
     # little-side: t2 occurrences inside some t1..t3 window
     within = _hits(s, SpanWithinQuery(big, little))
     assert set(within) == set(cont)  # same docs, scored from little side
+
+
+def test_span_multiterm_wrapper(span_index):
+    """SpanMultiTermQueryWrapper: prefix expansion inside span algebra —
+    near(prefix(t), term) behaves like near(or(t1,t2,t3), term)."""
+    from lucene_kmp_ray.search import (PrefixQuery,
+                                       SpanMultiTermQueryWrapper)
+    s = Searcher(IndexReader(span_index))
+    wrapped = SpanMultiTermQueryWrapper(PrefixQuery("t"))
+    explicit = SpanOrQuery((SpanTermQuery("t1"), SpanTermQuery("t2"),
+                            SpanTermQuery("t3")))
+    for probe in (wrapped, explicit):
+        pass
+    q_w = SpanNearQuery((SpanMultiTermQueryWrapper(PrefixQuery("t1")),
+                         SpanTermQuery("t2")), slop=0, in_order=True)
+    q_e = SpanNearQuery((SpanTermQuery("t1"), SpanTermQuery("t2")),
+                        slop=0, in_order=True)
+    assert set(_hits(s, q_w)) == set(_hits(s, q_e))
+    # wrapper standalone: all docs containing any t-prefixed term
+    td = _hits(s, wrapped)
+    assert set(td) == {0, 1, 2, 3, 4}
