@@ -40,7 +40,7 @@ def run_bench() -> dict:
     from lucene_kmp_ray.index.reader import IndexReader
     from lucene_kmp_ray.search import (BooleanQuery, Occur, PhraseQuery,
                                        Searcher, TermQuery)
-    from lucene_kmp_ray.sources.corpus import corpus_dataset, corpus_shards
+    from lucene_kmp_ray.sources.corpus import corpus_shards
 
     timings: dict[str, float] = {}
 
