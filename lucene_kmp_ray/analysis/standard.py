@@ -6,16 +6,26 @@ The reference chain is StandardTokenizer (UAX#29 word break) → LowerCaseFilter
 max token length 255 with over-long tokens split
 (``StandardAnalyzer.kt:67``, ``StandardTokenizer.kt:105``).
 
-We approximate UAX#29 for Latin-script web text with a single regex that is
-expressible both in Python ``re`` and in DuckDB's RE2 (no lookarounds), so the
-driver's SQL oracle can reproduce tokenization exactly:
+We implement the UAX#29 word-break rules with a grammar that is forward-only
+(no lookarounds), hence expressible identically in Python ``re`` and in
+DuckDB's RE2, so the driver's SQL oracle reproduces tokenization exactly:
 
-    token := ALNUM+ ( ( ' | ’ | . ) ALNUM+ )*
+    Lrun  := L M* ( (MidLetter|MidNumLet|SQ) M* L M* )*
+    Drun  := D M* ( (MidNum|MidNumLet|SQ)   M* D M* )*
+    Urun  := ExtendNumLet M*
+    token := ( Lrun | Drun | Urun )+
 
-where ALNUM = letters | digits | underscore (UAX#29 ExtendNumLet joins words
-with '_'; MidNumLet ``.``/``'`` joins runs with alphanumerics on both sides —
-so ``can't``, ``example.com``, ``3.14`` are single tokens, matching the
-reference).
+where L = letters (incl. Nl/No), D = decimal digits (Nd), M = combining
+marks (UAX#29 Extend, WB4-transparent around joiners). This encodes the
+full Mid* rule set of ``StandardTokenizerImpl.kt:11-32``: WB6/7 (MidLetter
+``:`` and MidNumLet ``.``/``’`` and Single_Quote ``'`` join LETTERS on both
+sides), WB11/12 (MidNum ``,``/``;`` and MidNumLet/SQ join NUMERICS on both
+sides), WB5/8/9/10 (letter/digit runs concatenate directly — the ``+``),
+WB13a/b (ExtendNumLet ``_`` bridges any runs). So ``can't``, ``A:B``,
+``example.com``, ``3.14``, ``1,000`` and ``216.239.63.104`` are single
+tokens while ``A::B``, ``1,,2``, ``A.:B`` and ``R2.D2`` split — conformance
+vectors from ``TestStandardAnalyzer.kt`` testMid (line 397) are asserted in
+tests/test_analysis.py.
 
 CJK segmentation follows the reference's StandardTokenizer grammar
 (``StandardTokenizerImpl.kt:11-32`` token types; conformance vectors from
@@ -36,10 +46,11 @@ rule: they continue word runs, Katakana/Hangul runs and even per-char CJK
 singles ("壹゙" stays one token, testCombiningMarks) but never start a
 token. Emoji tokenize per the <EMOJI> grammar (regional-indicator pairs,
 keycaps, pictograph ZWJ/modifier/VS16 chains — reference vectors
-asserted). Remaining deviations from full UAX#29 (documented): ``1,000``
-splits at the comma (MidNum) and ``a:b`` at the colon (MidLetter) — both
-need lookbehind, which RE2 (the oracle mirror) lacks. Tokens are
-lowercased after segmentation (no-op for CJK/emoji).
+asserted). Remaining deviation from full UAX#29 (documented): Format (Cf)
+characters — ZWNJ, soft hyphen — are treated as separators rather than
+WB4-transparent; web text that survives HTML extraction essentially never
+carries them mid-word. Tokens are lowercased after segmentation (no-op for
+CJK/emoji).
 
 The query side MUST use the same functions (QueryBuilder semantics,
 ``/root/reference/core/.../util/QueryBuilder.kt:45``).
@@ -112,32 +123,65 @@ def _emoji_pattern(re2: bool = False) -> str:
             f"|{elem}(?:{zwj}{elem})*")
 
 
+# UAX#29 WordBreak property sets (Unicode 9, the version the reference's
+# JFlex-generated StandardTokenizerImpl targets; WordBreakProperty.txt):
+SINGLE_QUOTE = (0x0027,)                       # WB: Single_Quote
+MIDNUMLET = (0x002E, 0x2019, 0x2024, 0xFE52, 0xFF07, 0xFF0E)
+MIDLETTER = (0x003A, 0x00B7, 0x0387, 0x05F4, 0x2027, 0xFE13, 0xFE55,
+             0xFF1A)
+MIDNUM = (0x002C, 0x003B, 0x037E, 0x060C, 0x060D, 0x066C, 0x07F8,
+          0x2044, 0xFE10, 0xFE14, 0xFE50, 0xFE54, 0xFF0C, 0xFF1B)
+EXTENDNUMLET = (0x005F, 0x203F, 0x2040, 0x2054, 0xFE33, 0xFE34, 0xFE4D,
+                0xFE4E, 0xFE4F, 0xFF3F)
+
+
+def _chars_class(cps, re2: bool = False) -> str:
+    if re2:
+        return "".join(f"\\x{{{c:04X}}}" for c in cps)
+    return "".join(f"\\u{c:04X}" for c in cps)
+
+
 _PY_TOKEN_RE_CACHE: "re.Pattern | None" = None
 
 
+def _word_pattern(re2: bool = False) -> str:
+    """The forward-only UAX#29 word grammar (module docstring): letter
+    runs joined by MidLetter/MidNumLet/SQ, digit runs joined by
+    MidNum/MidNumLet/SQ, ExtendNumLet bridges, marks WB4-transparent.
+    Emitted in Python-`re` or RE2 syntax from the SAME tables so the
+    engine and the DuckDB oracle agree by construction."""
+    cc = lambda cps: _chars_class(cps, re2)
+    if re2:
+        L = r"[\pL\p{Nl}\p{No}]"          # == Python [^\W\d_]
+        D = r"\p{Nd}"                     # == Python \d
+        M = r"\pM*"
+    else:
+        m = _marks_class()
+        L = r"[^\W\d_]"
+        D = r"\d"
+        M = f"[{m}]*"
+    lj = f"[{cc(MIDLETTER + MIDNUMLET + SINGLE_QUOTE)}]"
+    dj = f"[{cc(MIDNUM + MIDNUMLET + SINGLE_QUOTE)}]"
+    enl = f"[{cc(EXTENDNUMLET)}]"
+    lrun = f"{L}{M}(?:{lj}{M}{L}{M})*"
+    drun = f"{D}{M}(?:{dj}{M}{D}{M})*"
+    urun = f"{enl}{M}"
+    return f"(?:{lrun}|{drun}|{urun})+"
+
+
 def _py_token_re() -> "re.Pattern":
-    """Word-token regex: a word char starts, word chars + combining
-    marks continue; MidNumLet joiners need a word char right after."""
     global _PY_TOKEN_RE_CACHE
     if _PY_TOKEN_RE_CACHE is None:
-        m = _marks_class()
-        word = rf"\w[\w{m}]*(?:['’.]\w[\w{m}]*)*"
         _PY_TOKEN_RE_CACHE = re.compile(
-            f"(?:{_emoji_pattern()})|(?:{word})", re.UNICODE)
+            f"(?:{_emoji_pattern()})|(?:{_word_pattern()})", re.UNICODE)
     return _PY_TOKEN_RE_CACHE
 
 
-# Identical language in RE2 (DuckDB regexp_extract_all). \pL/\pN = Unicode
-# letters/numbers; agreement with \w holds for the BMP alphanumerics used
-# here; \pM ≈ Mn+Mc+Me (Me is vanishingly rare in web text — enclosing
-# marks; the engine treats Me as a separator, RE2 extends with it: the
-# deliberate approximation is asserted equal on the conformance vectors).
-SQL_WORD_PATTERN = (r"[\pL\pN_][\pL\pN_\pM]*"
-                    r"(?:['’.][\pL\pN_][\pL\pN_\pM]*)*")
-
-
 def _sql_token_pattern() -> str:
-    return f"(?:{_emoji_pattern(re2=True)})|(?:{SQL_WORD_PATTERN})"
+    # \pM ≈ Mn+Mc+Me (Me is vanishingly rare in web text — enclosing
+    # marks; the engine treats Me as a separator, RE2 extends with it:
+    # the deliberate approximation is asserted equal on the vectors).
+    return f"(?:{_emoji_pattern(re2=True)})|(?:{_word_pattern(re2=True)})"
 
 
 SQL_TOKEN_PATTERN = None  # built lazily via _sql_token_pattern()
@@ -332,27 +376,36 @@ class EnglishAnalyzer:
 
 
 # ---- vectorized batch tokenizer -----------------------------------------
-# Character classes for the numpy scan, derived FROM the regex itself so the
-# two tokenizers agree by construction: 1 = word char (\w), 2 = joiner
-# (' ’ . — token-internal only when flanked by word chars), 4 = Katakana
-# (runs), 5 = Hangul (runs), 6 = Han/Hiragana (one token per char). BMP
-# table built lazily once per process (once-per-actor state, SURVEY §2.3).
+# Character classes for the numpy scan, derived FROM the same tables as the
+# regex so the two tokenizers agree by construction: 1 = letter, 2 = decimal
+# digit (Nd), 3 = ExtendNumLet, 4 = Katakana (runs), 5 = Hangul (runs),
+# 6 = Han/Hiragana (one token per char), 7 = combining mark (Extend),
+# 8 = MidNumLet/Single_Quote (joins letter-letter OR digit-digit),
+# 9 = MidLetter (letter-letter), 10 = MidNum (digit-digit). BMP table built
+# lazily once per process (once-per-actor state, SURVEY §2.3).
 _CLS_LIMIT = 0x10000
 _CLS_TABLE: np.ndarray | None = None
-_JOINERS = {ord("'"), ord("’"), ord(".")}
 
 
 def _cls_table() -> np.ndarray:
     global _CLS_TABLE
     if _CLS_TABLE is None:
-        word_re = re.compile(r"\w", re.UNICODE)
+        letter_re = re.compile(r"[^\W\d_]", re.UNICODE)
+        digit_re = re.compile(r"\d", re.UNICODE)
         t = np.zeros(_CLS_LIMIT + 1, dtype=np.uint8)
         # chr() over the BMP once (~20ms, amortized per worker process)
         t[:_CLS_LIMIT] = np.frombuffer(
-            bytes(1 if word_re.match(chr(c)) else 0
+            bytes(1 if letter_re.match(chr(c)) else
+                  (2 if digit_re.match(chr(c)) else 0)
                   for c in range(_CLS_LIMIT)), dtype=np.uint8)
-        for j in _JOINERS:
-            t[j] = 2
+        for c in EXTENDNUMLET:
+            t[c] = 3
+        for c in MIDNUMLET + SINGLE_QUOTE:
+            t[c] = 8
+        for c in MIDLETTER:
+            t[c] = 9
+        for c in MIDNUM:
+            t[c] = 10
         for cls, ranges in ((4, CJK_KATAKANA_RANGES),
                             (5, CJK_HANGUL_RANGES),
                             (6, CJK_SINGLE_RANGES)):
@@ -438,33 +491,56 @@ def tokenize_flat(texts) -> tuple[np.ndarray, pa.Array]:
     cls = _cls_table()[cps]
     if (cls == 254).any():  # emoji present → regex path (exact sequences)
         return _tokenize_flat_slow(texts)
-    word = cls == 1
-    prev_w = np.empty_like(word)
-    prev_w[0] = False
-    prev_w[1:] = word[:-1]
-    next_w = np.empty_like(word)
-    next_w[-1] = False
-    next_w[:-1] = word[1:]
+    n = len(cls)
+    wordish = (cls >= 1) & (cls <= 3)   # letters, digits, ExtendNumLet
+    # Mid* joiner resolution (WB6/7, WB11/12): a joiner is token-internal
+    # iff its nearest non-mark neighbors (marks are WB4-transparent) have
+    # the classes its rule demands — immediate flanks, exactly the regex's
+    # `L M* J M* L` / `D M* J M* D` structure.
+    join = cls >= 8
+    eff = cls.copy()   # anchor classes for mark inheritance (below)
+    if join.any():
+        idx = np.arange(n, dtype=np.int64)
+        nonmark = cls != 7
+        last_nm = np.maximum.accumulate(np.where(nonmark, idx, -1))
+        pb = np.empty(n, np.int64)
+        pb[0] = -1
+        pb[1:] = last_nm[:-1]          # nearest non-mark strictly before
+        rev_last = np.maximum.accumulate(np.where(nonmark[::-1], idx, -1))
+        nb_at = n - 1 - rev_last[::-1]  # nearest non-mark at-or-after i
+        nb = np.empty(n, np.int64)
+        nb[-1] = n
+        nb[:-1] = nb_at[1:]            # nearest non-mark strictly after
+        pcls = np.where(pb >= 0, cls[np.clip(pb, 0, n - 1)], 0)
+        ncls = np.where(nb < n, cls[np.clip(nb, 0, n - 1)], 0)
+        ll = (pcls == 1) & (ncls == 1)
+        dd = (pcls == 2) & (ncls == 2)
+        join_ok = (((cls == 8) & (ll | dd)) | ((cls == 9) & ll) |
+                   ((cls == 10) & dd))
+        eff[join_ok] = 1
+    else:
+        join_ok = np.zeros(n, dtype=bool)
     # token class per char: 1 = word run (incl. resolved joiners),
     # 4/5 = Katakana/Hangul runs, 6 = per-char CJK singles, and UAX#29
     # Extend chars (class 7 = Mn/Mc) INHERIT the class of the nearest
-    # preceding anchor char (word/kata/hangul/single) — marks continue a
-    # token but never start one
-    tokc = np.where(word | ((cls == 2) & prev_w & next_w),
-                    np.uint8(1), np.uint8(0))
-    cjk = cls >= 4
+    # preceding anchor char (word/kata/hangul/single/resolved joiner) —
+    # marks continue a token but never start one
+    tokc = np.where(wordish | join_ok, np.uint8(1), np.uint8(0))
+    cjk = (cls >= 4) & (cls <= 6)
     if cjk.any():
         tokc = np.where(cls != 7, np.where(cjk, cls, tokc), tokc)
     ext = cls == 7
     if ext.any():
-        n = len(cls)
         base = np.maximum.accumulate(
             np.where(~ext, np.arange(n, dtype=np.int64), -1))
-        anchor = np.isin(cls, (1, 4, 5, 6))
         valid = ext & (base >= 0)
         vb = base[valid]
-        inherit = np.where(anchor[vb], cls[vb], 0).astype(np.uint8)
-        tokc[valid] = np.where(inherit == 1, np.uint8(1), inherit)
+        acls = eff[vb]
+        inh = np.zeros(len(vb), dtype=np.uint8)
+        inh[(acls >= 1) & (acls <= 3)] = 1
+        m456 = (acls >= 4) & (acls <= 6)
+        inh[m456] = acls[m456]
+        tokc[valid] = inh
     tok = tokc > 0
 
     # boundaries: class CHANGE splits (アア|abc|漢); class 6 splits at

@@ -212,3 +212,67 @@ def test_emoji_segmentation_reference_vectors():
         got_sql = con.sql(f"SELECT {expr} AS t FROM (SELECT ? AS t)",
                           params=[text]).fetchone()[0]
         assert got_sql == exp, ("sql", repr(text))
+
+def test_mid_letter_num_reference_vectors():
+    """UAX#29 Mid* conformance (TestStandardAnalyzer.kt testMid:397-441):
+    MidLetter ':' joins letters, MidNum ',' joins numerics, MidNumLet '.'
+    joins either same-class pair; doubled/mixed joiners split; '_'
+    (ExtendNumLet) bridges. All four paths agree."""
+    import duckdb
+
+    from lucene_kmp_ray.analysis.standard import (_tokenize_flat_slow,
+                                                  sql_tokens_expr, tokenize,
+                                                  tokenize_flat)
+    con = duckdb.connect()
+    expr = sql_tokens_expr("t")
+    cases = [
+        ("A:B", ["a:b"]), ("A::B", ["a", "b"]),
+        ("1.2", ["1.2"]), ("A.B", ["a.b"]),
+        ("1..2", ["1", "2"]), ("A..B", ["a", "b"]),
+        ("1,2", ["1,2"]), ("1,,2", ["1", "2"]),
+        ("A.:B", ["a", "b"]), ("A:.B", ["a", "b"]),
+        ("1,.2", ["1", "2"]), ("1.,2", ["1", "2"]),
+        ("A:B_A:B", ["a:b_a:b"]), ("A:B_A::B", ["a:b_a", "b"]),
+        ("1.2_1.2", ["1.2_1.2"]), ("A.B_A.B", ["a.b_a.b"]),
+        ("1.2_1..2", ["1.2_1", "2"]), ("A.B_A..B", ["a.b_a", "b"]),
+        ("1,2_1,2", ["1,2_1,2"]), ("1,2_1,,2", ["1,2_1", "2"]),
+        ("C_A.:B", ["c_a", "b"]), ("C_A:.B", ["c_a", "b"]),
+        ("3_1,.2", ["3_1", "2"]), ("3_1.,2", ["3_1", "2"]),
+        # flank classes must match: letter.digit splits (WB6/WB11)
+        ("R2.D2", ["r2", "d2"]), ("216.239.63.104", ["216.239.63.104"]),
+        ("1,000 items", ["1,000", "items"]),
+        # testApostrophesSA / testNumericSA classics still hold
+        ("O'Reilly's", ["o'reilly's"]), ("21.35", ["21.35"]),
+        ("B2B 2B", ["b2b", "2b"]),
+    ]
+    for text, exp in cases:
+        assert tokenize(text) == exp, text
+        assert tokenize_flat([text])[1].to_pylist() == exp, ("fast", text)
+        assert _tokenize_flat_slow([text])[1].to_pylist() == exp, \
+            ("slow", text)
+        got_sql = con.sql(f"SELECT {expr} AS t FROM (SELECT ? AS t)",
+                          params=[text]).fetchone()[0]
+        assert got_sql == exp, ("sql", text)
+
+
+def test_nfd_mark_before_joiner_parity():
+    """A combining mark between a word char and a joiner (NFD text like
+    "Jose<U+0301>'s") must not break fast/slow/SQL agreement: marks are
+    WB4-transparent around Mid* joiners on every path."""
+    import unicodedata
+
+    import duckdb
+
+    from lucene_kmp_ray.analysis.standard import (_tokenize_flat_slow,
+                                                  sql_tokens_expr, tokenize,
+                                                  tokenize_flat)
+    con = duckdb.connect()
+    expr = sql_tokens_expr("t")
+    nfd = unicodedata.normalize("NFD", "José's and José’s A:É B,1́")
+    py = tokenize(nfd)
+    assert py[0].endswith("'s") and len(py[0]) > 3  # joined through mark
+    assert tokenize_flat([nfd])[1].to_pylist() == py
+    assert _tokenize_flat_slow([nfd])[1].to_pylist() == py
+    got = con.sql(f"SELECT {expr} AS t FROM (SELECT ? AS t)",
+                  params=[nfd]).fetchone()[0]
+    assert got == py

@@ -580,10 +580,11 @@ def test_parser_escaping_regexp_field_ranges():
     # does with an escaped wildcard
     assert parse_query(r"sp\*rk") == BooleanQuery((
         (Occur.SHOULD, TermQuery("sp")), (Occur.SHOULD, TermQuery("rk"))))
-    # escaped ':' prevents field-prefix parsing ('foo' is not a field)
+    # escaped ':' prevents field-prefix parsing ('foo' is not a field);
+    # the analyzer then keeps 'foo:bar' as ONE token (UAX#29 MidLetter
+    # joins letters across ':'), exactly as Lucene's StandardAnalyzer does
     q = parse_query(r"foo\:bar")
-    assert q == BooleanQuery((
-        (Occur.SHOULD, TermQuery("foo")), (Occur.SHOULD, TermQuery("bar"))))
+    assert q == TermQuery("foo:bar")
     # escaped '~' is not fuzzy syntax ('2' analyzes into the token run)
     assert parse_query(r"spark\~2") == BooleanQuery((
         (Occur.SHOULD, TermQuery("spark")), (Occur.SHOULD, TermQuery("2"))))
