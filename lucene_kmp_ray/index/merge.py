@@ -147,9 +147,24 @@ def merge_segments(index_dir: str, segs: list[int], new_seg: int) -> dict:
     # vector sidecars ride the same permutation (KnnVectorsFormat merge)
     vec_paths = [os.path.join(d, "vectors.parquet") for d in dirs]
     vectors_table = None
-    if all(os.path.exists(p) for p in vec_paths):
-        concat_vecs = pa.concat_tables(
-            [pq.read_table(p) for p in vec_paths]).combine_chunks()
+    if any(os.path.exists(p) for p in vec_paths):
+        # Mixed presence (e.g. add_indexes of a vector-less index into a
+        # vector index) must NOT silently drop vectors: vector-less
+        # segments contribute NULL rows (Lucene's docs-without-the-field
+        # case; the reader masks them out of KNN), so existing vectors
+        # survive every merge.
+        have = [pq.read_table(p) if os.path.exists(p) else None
+                for p in vec_paths]
+        vec_type = next(t.schema.field("embedding").type
+                        for t in have if t is not None)
+        parts = []
+        for t, dt in zip(have, doc_tables):
+            if t is None:
+                parts.append(pa.table(
+                    {"embedding": pa.nulls(dt.num_rows, vec_type)}))
+            else:
+                parts.append(t)
+        concat_vecs = pa.concat_tables(parts).combine_chunks()
         if reclaimed:
             concat_vecs = concat_vecs.take(pa.array(live_pos))
         vectors_table = concat_vecs

@@ -50,6 +50,7 @@ class SegmentReader:
         self._postings_cache: dict = {}
         self._tombstones: np.ndarray | None | bool = False  # False=unloaded
         self._vectors: np.ndarray | None | bool = False
+        self._vector_missing: np.ndarray | None = None
 
     @property
     def tombstones(self) -> np.ndarray | None:
@@ -126,12 +127,36 @@ class SegmentReader:
             path = os.path.join(self.dir, "vectors.parquet")
             if not os.path.exists(path):
                 self._vectors = None
+                self._vector_missing = None
             else:
                 t = pq.read_table(path)
-                self._vectors = np.vstack(
-                    t["embedding"].to_numpy(zero_copy_only=False)) \
-                    .astype(np.float64)
+                col = t["embedding"].combine_chunks()
+                if col.null_count:
+                    # sparse field: docs merged in from vector-less
+                    # segments carry null rows (Lucene's docs-without-
+                    # the-vector-field case); they never match KNN
+                    missing = np.asarray(col.is_null())
+                    rows = col.to_numpy(zero_copy_only=False)
+                    dim = next(len(r) for r in rows if r is not None)
+                    mat = np.zeros((len(rows), dim), dtype=np.float64)
+                    for i, r in enumerate(rows):
+                        if r is not None:
+                            mat[i] = r
+                    self._vectors = mat
+                    self._vector_missing = missing
+                else:
+                    self._vectors = np.vstack(
+                        col.to_numpy(zero_copy_only=False)) \
+                        .astype(np.float64)
+                    self._vector_missing = None
         return self._vectors
+
+    @property
+    def vector_missing(self) -> "np.ndarray | None":
+        """Bool mask of local docIDs with NO vector (null sidecar rows —
+        only after merging mixed vector/vector-less segments), or None."""
+        _ = self.vectors  # materialize both
+        return self._vector_missing
 
     @property
     def doc_meta(self) -> pa.Table:

@@ -339,19 +339,24 @@ class SearcherPool:
         class SliceActor:
             def __init__(self, index_dir: str, my_segs: list[int],
                          dtype: str, similarity: str):
+                self.index_dir = index_dir
                 self.reader = IndexReader(index_dir, segments=my_segs)
                 self.searcher = Searcher(self.reader,
                                          make_similarity(similarity, dtype))
                 self.seg_index = {sr.seg: i for i, sr in
                                   enumerate(self.reader.segment_readers)}
 
-            def refresh(self) -> bool:
-                fresh = self.reader.open_if_changed()
-                if fresh is None:
-                    return False
+            def set_slice(self, my_segs: list[int]) -> bool:
+                """Re-open against the latest commit, keeping THIS actor's
+                slice assignment (the pool recomputes stripes driver-side
+                after a commit change — re-opening all segments here would
+                make every actor search everything and the merged top-k
+                duplicate each hit)."""
                 sim = self.searcher.sim
-                self.reader = fresh
-                self.searcher = Searcher(fresh, sim)
+                self.reader = IndexReader(self.index_dir, segments=my_segs)
+                self.searcher = Searcher(self.reader, sim)
+                self.seg_index = {sr.seg: i for i, sr in
+                                  enumerate(self.reader.segment_readers)}
                 return True
 
             def search_batch(self, queries: dict, k: int) -> dict:
@@ -375,6 +380,7 @@ class SearcherPool:
 
         self._actors = []
         self._dir = index_dir
+        self._n = n
         for i in range(n):
             my = segs[i::n]  # round-robin stripe
             if my:
@@ -382,14 +388,32 @@ class SearcherPool:
                     index_dir, my, dtype, similarity))
 
     def refresh(self) -> bool:
+        """SearcherManager.maybeRefresh analog: if the committed manifest
+        changed (flush/merge/delete), re-open the DRIVER's reader and
+        re-stripe the NEW segment set across the existing actors — each
+        actor keeps a disjoint slice, so merged top-k stays duplicate-free
+        after merges change segment ids."""
         import ray as _ray
-        return any(_ray.get([a.refresh.remote() for a in self._actors]))
+        fresh = self._reader.open_if_changed()
+        if fresh is None:
+            return False
+        self._reader = fresh
+        segs = [m["seg"] for m in fresh.manifest["segments"]]
+        n = len(self._actors)
+        _ray.get([a.set_slice.remote(segs[i::n])
+                  for i, a in enumerate(self._actors)])
+        return True
 
     def search(self, queries: dict, k: int = 10) -> pd.DataFrame:
         """Query batch → global top-k rows (query_id, rank, doc_id, url,
-        score) with exact TopDocs.merge ordering."""
+        score) with exact TopDocs.merge ordering. KNN rewrites resolve
+        ONCE here over the whole index (as search_distributed does) —
+        per-slice resolution would give each actor a different 'global'
+        top-k doc set and mis-credit hybrid BM25+KNN scores."""
         import ray as _ray
 
+        pre = Searcher(self._reader)
+        queries = {qid: pre.rewrite(q) for qid, q in queries.items()}
         parts = _ray.get([a.search_batch.remote(queries, k)
                           for a in self._actors])
         frames = []

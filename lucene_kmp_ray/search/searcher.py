@@ -451,12 +451,16 @@ class Searcher:
                 norms = np.linalg.norm(mat, axis=1)
                 norms[norms == 0] = 1.0
                 sims = (mat @ q) / norms
+                miss = sr.vector_missing
+                if miss is not None:
+                    sims[miss] = -np.inf
                 tomb = sr.tombstones
                 if tomb is not None and len(tomb):
                     sims[tomb] = -np.inf
                 nk = min(query.k, len(sims))
                 sel = np.argpartition(-sims, nk - 1)[:nk] if nk < len(sims) \
                     else np.arange(len(sims))
+                sel = sel[np.isfinite(sims[sel])]  # drop deleted/vector-less
                 segs.append(np.full(len(sel), sr.seg, np.int64))
                 docs_l.append(sel.astype(np.int64))
                 sims_l.append(sims[sel])

@@ -289,3 +289,48 @@ def test_delete_merge_bit_equivalent_to_filtered_rebuild(ray_session,
     assert ta.equals(tb), "terms tables diverge after reclaim"
     assert pq.read_table(f"{idx_a}/{da}/docs.parquet").equals(
         pq.read_table(f"{idx_b}/{db}/docs.parquet"))
+
+
+def test_merge_mixed_vector_segments_keeps_vectors(ray_session, tmp_path):
+    """Merging a vector segment with a vector-LESS one (after add_indexes)
+    must not drop the existing vectors: missing rows become nulls, the
+    reader masks them out of KNN, and the original top-k survives the
+    merge."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.index.merge import add_indexes, force_merge
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.search import KnnFloatVectorQuery, Searcher
+
+    rng = np.random.default_rng(5)
+    n, d = 30, 4
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    ds_vec = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "url": pa.array([f"v{i}" for i in range(n)], pa.string()),
+        "text": pa.array([f"spark doc w{i}" for i in range(n)], pa.string()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32()))}))
+    ds_plain = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(100, 120), pa.int64()),
+        "url": pa.array([f"p{i}" for i in range(20)], pa.string()),
+        "text": pa.array(["plain join doc"] * 20, pa.string())}))
+
+    dest = str(tmp_path / "dest")
+    src = str(tmp_path / "src")
+    build_index(ds_vec, dest, segment_size=15, vector_col="embedding")
+    build_index(ds_plain, src, segment_size=10)
+
+    q = KnnFloatVectorQuery(tuple(vecs[3].astype(float).tolist()), k=5)
+    want = [h.doc_id for h in
+            Searcher(IndexReader(dest)).search(q, k=5).score_docs]
+
+    add_indexes(dest, [src])
+    force_merge(dest, max_segments=1)
+    r = IndexReader(dest)
+    assert r.doc_count == n + 20
+    got = [h.doc_id for h in Searcher(r).search(q, k=5).score_docs]
+    assert got == want  # vectors survived; vector-less docs never match

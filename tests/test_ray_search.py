@@ -120,3 +120,80 @@ def test_searcher_pool_matches_distributed(ray_session, built_index):
         assert got2["doc_id"].tolist() == want["doc_id"].tolist()
     finally:
         pool.shutdown()
+
+
+def test_searcher_pool_refresh_after_merge(ray_session, built_index,
+                                           tmp_path):
+    """refresh() after a real commit change must keep slices DISJOINT:
+    re-striping the new segment set across the pool, not re-opening all
+    segments in every actor (which would duplicate every hit N_actors
+    times in the merged top-k)."""
+    import shutil
+
+    from lucene_kmp_ray.index.merge import force_merge
+    from lucene_kmp_ray.search import TermQuery
+    from lucene_kmp_ray.search.ray_search import (SearcherPool,
+                                                  search_distributed)
+
+    idx = str(tmp_path / "idx")
+    shutil.copytree(built_index, idx)
+    pool = SearcherPool(idx, num_actors=2)
+    try:
+        before = pool.search({"t": TermQuery("spark")}, k=10)
+        force_merge(idx, max_segments=2)
+        assert pool.refresh() is True
+        got = pool.search({"t": TermQuery("spark")}, k=10)
+        assert got["doc_id"].is_unique  # no duplicate hits post-merge
+        want = search_distributed(idx, {"t": TermQuery("spark")}, k=10) \
+            .to_pandas().sort_values("rank")
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
+        assert got["doc_id"].tolist() == before["doc_id"].tolist()
+        assert pool.refresh() is False
+    finally:
+        pool.shutdown()
+
+
+def test_searcher_pool_knn_resolved_globally(ray_session, tmp_path):
+    """KNN (and hybrid BM25+KNN) through the pool must equal the local
+    Searcher: the KnnFloatVectorQuery resolves ONCE over the whole index
+    driver-side, not per slice actor (per-slice 'global top-k' would give
+    KNN credit to docs outside the true top-k)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.search import (BooleanQuery, KnnFloatVectorQuery,
+                                       Occur, TermQuery)
+    from lucene_kmp_ray.search.ray_search import SearcherPool
+    from lucene_kmp_ray.similarity.bm25 import BM25Similarity
+
+    rng = np.random.default_rng(11)
+    n, d = 80, 6
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    texts = [f"doc {'spark' if i % 3 == 0 else 'join'} w{i}"
+             for i in range(n)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "url": pa.array([f"u{i}" for i in range(n)], pa.string()),
+        "text": pa.array(texts, pa.string()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32()))}))
+    idx = str(tmp_path / "vecidx")
+    build_index(ds, idx, segment_size=16, vector_col="embedding")
+
+    knn = KnnFloatVectorQuery(tuple(vecs[5].astype(float).tolist()), k=5)
+    hyb = BooleanQuery.build((Occur.SHOULD, TermQuery("spark")),
+                             (Occur.SHOULD, knn))
+    local = Searcher(IndexReader(idx), BM25Similarity(dtype="float32"))
+    pool = SearcherPool(idx, num_actors=3)
+    try:
+        for name, q in [("knn", knn), ("hybrid", hyb)]:
+            want = local.search(q, k=5)
+            got = pool.search({name: q}, k=5)
+            assert got["doc_id"].tolist() == \
+                [h.doc_id for h in want.score_docs], name
+            assert np.allclose(got["score"],
+                               [h.score for h in want.score_docs],
+                               rtol=1e-5), name
+    finally:
+        pool.shutdown()
