@@ -445,28 +445,36 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
 def _star_round(edges, small: bool):
     """One large-star (small=False) or small-star (small=True) round of the
     MapReduce connected-components algorithm (Kiveris et al., "Connected
-    Components in MapReduce and Beyond"): group the directed edge list by
-    node; large-star connects every LARGER neighbor to the group min,
-    small-star connects every smaller-or-equal neighbor to the min. Both
-    are one groupby + flat re-emit — no driver state."""
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        u = int(g["u"].iloc[0])
-        nbrs = np.unique(g["v"].to_numpy())
-        m = min(u, int(nbrs[0]))
-        if small:
-            targets = nbrs[nbrs <= u]
-        else:
-            targets = nbrs[nbrs > u]
-        targets = targets[targets != m]
-        if u != m and small:
-            targets = np.unique(np.append(targets, u))
-            targets = targets[targets != m]
-        if not len(targets):
+    Components in MapReduce and Beyond"): per node, large-star connects
+    every LARGER neighbor to the node's min, small-star every
+    smaller-or-equal neighbor (plus the node itself when it isn't the
+    min). Executed as hash-partition on node + ONE vectorized pass over
+    all groups of each partition (lexsort + run boundaries) — a Python
+    call per partition, not per graph node."""
+    def star_part(df: pd.DataFrame) -> pd.DataFrame:
+        uv = df.drop_duplicates(["u", "v"])
+        u = uv["u"].to_numpy(dtype=np.int64)
+        v = uv["v"].to_numpy(dtype=np.int64)
+        if not len(u):
             return pd.DataFrame({"u": pd.Series([], dtype="int64"),
                                  "v": pd.Series([], dtype="int64")})
-        return pd.DataFrame({"u": targets.astype(np.int64),
-                             "v": np.full(len(targets), m, np.int64)})
-    return edges.groupby("u").map_groups(fn, batch_format="pandas")
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        starts = np.flatnonzero(np.append(True, u[1:] != u[:-1]))
+        counts = np.diff(np.append(starts, len(u)))
+        grp_u = u[starts]
+        m = np.minimum(grp_u, v[starts])     # v asc within group → min nbr
+        m_row = np.repeat(m, counts)
+        mask = (v <= u) if small else (v > u)
+        targets, tmin = v[mask], m_row[mask]
+        if small:
+            extra = grp_u != m               # the node itself re-points
+            targets = np.concatenate([targets, grp_u[extra]])
+            tmin = np.concatenate([tmin, m[extra]])
+        keep = targets != tmin
+        return pd.DataFrame({"u": targets[keep],
+                             "v": tmin[keep]}).drop_duplicates()
+    return _partition_apply(edges, ["u"], star_part)
 
 
 def connected_components(pairs, max_rounds: int = 16):
@@ -631,8 +639,17 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.95,
 
     @ray.remote
     def load_block(lo: int, hi: int):
-        t = pq.read_table(path, columns=["vec_id", "embedding"])
-        t = t.slice(lo, hi - lo)
+        # read ONLY the row groups covering [lo, hi) — a loader task must
+        # not scan the whole file per block (O(blocks × file) IO)
+        pf = pq.ParquetFile(path)
+        md = pf.metadata
+        offs = [0]
+        for g in range(md.num_row_groups):
+            offs.append(offs[-1] + md.row_group(g).num_rows)
+        gsel = [g for g in range(md.num_row_groups)
+                if offs[g] < hi and offs[g + 1] > lo]
+        t = pf.read_row_groups(gsel, columns=["vec_id", "embedding"])
+        t = t.slice(lo - offs[gsel[0]], hi - lo)
         ids = t["vec_id"].to_numpy()
         mat = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)) \
             .astype(np.float64)

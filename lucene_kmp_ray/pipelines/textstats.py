@@ -309,11 +309,15 @@ def stratified_sample(sf_dir: str, rates: dict[str, float] | None = None):
     rates = rates or SAMPLE_RATES
 
     def pick(batch: pa.Table) -> pa.Table:
+        from .dedup import _md5_digests
         ids = batch["doc_id"].to_numpy()
         langs = batch["lang"].to_pylist()
-        h = np.array([int(hashlib.md5(str(int(d)).encode())
-                          .hexdigest()[:8], 16) for d in ids],
-                     dtype=np.uint64)
+        # one digest matrix per batch (md5 itself is per-string, but the
+        # hex parse / int conversion is vectorized): first 4 digest bytes
+        # big-endian == int(hexdigest[:8], 16)
+        d = _md5_digests([str(int(x)) for x in ids])
+        h = np.ascontiguousarray(d[:, :4]).view(">u4").ravel() \
+            .astype(np.uint64)
         thr = np.array([int(rates.get(lg, 0.0) * 2**32) for lg in langs],
                        dtype=np.uint64)
         keep = h < thr

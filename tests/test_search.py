@@ -225,19 +225,48 @@ def test_explain_matches_score(searcher):
     assert searcher.explain(TermQuery("zzz"), 0)["value"] == 0.0
 
 
-def test_ann_ivf_recall(ray_session):
-    """IVF top-k recall@10 vs brute force must be high at nprobe=4/16
-    cells on the synthetic embeddings (approximate by construction)."""
-    from lucene_kmp_ray.pipelines.ann import ann_brute_topk, ann_ivf_topk
-    sf = "/root/testdata/sf0.001"
-    brute = ann_brute_topk(sf).to_pandas()
-    ivf = ann_ivf_topk(sf).to_pandas()
+def _ann_recall(brute, approx) -> float:
     recalls = []
     for qid in brute["query_id"].unique():
         b = set(brute[brute["query_id"] == qid]["vec_id"])
-        v = set(ivf[ivf["query_id"] == qid]["vec_id"])
+        v = set(approx[approx["query_id"] == qid]["vec_id"])
         recalls.append(len(b & v) / len(b))
-    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    return sum(recalls) / len(recalls)
+
+
+def test_ann_ivf_recall(ray_session, tmp_path):
+    """IVF recall@10 vs brute force >= 0.9 at the default nprobe on the
+    sf0.1 embeddings (near-uniform random — the adversarial case), for
+    BOTH the in-stream form and the partitioned cell=N/ layout; the
+    partitioned path must agree with the in-stream path exactly (same
+    quantizer, same probes — only the read is partition-pruned)."""
+    from lucene_kmp_ray.pipelines.ann import (ann_brute_topk,
+                                              ann_ivf_partitioned,
+                                              ann_ivf_topk)
+    sf = "/root/testdata/sf0.1"
+    brute = ann_brute_topk(sf).to_pandas()
+    ivf = ann_ivf_topk(sf).to_pandas()
+    assert _ann_recall(brute, ivf) >= 0.9
+    part = ann_ivf_partitioned(sf, index_dir=str(tmp_path / "ivf")) \
+        .to_pandas()
+    a = ivf.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = part.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a["vec_id"].tolist() == b["vec_id"].tolist()
+    import numpy as np
+    assert np.allclose(a["score"], b["score"])
+
+
+def test_ann_lsh_multiprobe_improves_recall(ray_session):
+    """Multi-probe LSH (Hamming-ring bucket expansion) must recover
+    strictly more of the brute-force top-10 than single-bucket LSH."""
+    from lucene_kmp_ray.pipelines.ann import ann_brute_topk, ann_lsh_topk
+    sf = "/root/testdata/sf0.1"
+    brute = ann_brute_topk(sf).to_pandas()
+    single = ann_lsh_topk(sf, probe_hamming=0).to_pandas()
+    multi = ann_lsh_topk(sf, probe_hamming=2).to_pandas()
+    r1, r2 = _ann_recall(brute, single), _ann_recall(brute, multi)
+    assert r2 > r1
+    assert r2 >= 0.3  # random embeddings: documented approximate tier
 
 
 def test_duplicate_should_terms_score_per_clause(searcher):
