@@ -486,8 +486,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": dedup.minhash_candidate_pairs,
         "near_dup_clusters": dedup.near_dup_clusters,
         "embedding_dup_pairs": lambda sf: dedup.embedding_dup_pairs(sf, 0.4),
-        "simhash_signatures": dedup.simhash_signatures,  # rows-only check
-        "simhash_pairs": dedup.simhash_candidate_pairs,  # rows-only check
+        "simhash_signatures": dedup.simhash_signatures,
+        "simhash_pairs": dedup.simhash_candidate_pairs,
         # --- per-row extraction invariant (input_hint) ---
         "extract_invariant": _extract_invariant,
         # --- windowed aggregates / sessionization (events table) ---
@@ -496,8 +496,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": events.sessionize,
         # --- similarity search ---
         "ann_cosine_top10": _ann_brute,
-        "ann_lsh_top10": lambda sf: ann.ann_lsh_topk(sf),  # rows-only check
-        "ann_ivf_top10": lambda sf: ann.ann_ivf_topk(sf),  # rows-only check
+        "ann_lsh_top10": _ann_lsh,
+        # ann_ivf: quantizer is trained k-means (not SQL-expressible) →
+        # rows-only here; recall ≥ 0.9 + partitioned-layout equivalence
+        # are asserted in tests/test_search.py
+        "ann_ivf_top10": lambda sf: ann.ann_ivf_topk(sf),
         # --- multimodal plumbing (rows-only; decode stubbed) ---
         "multimodal_features": _multimodal,
         "audio_features": _audio,  # REAL stdlib-wave decode, rows-only
@@ -508,6 +511,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def _ann_brute(sf_dir: str):
     df = ann.ann_brute_topk(sf_dir).to_pandas()
+    df["score_r"] = np.round(df["score"], 6)
+    return df[["query_id", "rank", "vec_id", "score_r"]]
+
+
+def _ann_lsh(sf_dir: str):
+    df = ann.ann_lsh_topk(sf_dir).to_pandas()
     df["score_r"] = np.round(df["score"], 6)
     return df[["query_id", "rank", "vec_id", "score_r"]]
 
@@ -594,11 +603,16 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_clusters": oracle.near_dup_clusters(),
         "embedding_dup_pairs": oracle.embedding_dup_pairs(0.4),
         "ann_cosine_top10": oracle.ann_cosine_topk(),
+        "ann_lsh_top10": oracle.ann_lsh_topk(),
+        "simhash_signatures": oracle.simhash_signatures(),
+        "simhash_pairs": oracle.simhash_pairs(),
         "extract_invariant": oracle.extract_invariant(),
         "tumbling_counts": oracle.tumbling_counts(),
         "hopping_counts": oracle.hopping_counts(),
         "sessionize": oracle.sessionize(),
-        # simhash_signatures / ann_lsh_top10 / multimodal_features:
-        # intentionally no SQL (hash bit-twiddling / approximate / stubbed
-        # decode) → driver records rows-only checks.
+        # Intentionally no SQL (driver records rows-only checks):
+        # bm25_english (Porter stemming), span_near / sloppy_phrase
+        # (traversal-order-dependent matchers), ann_ivf (trained k-means
+        # quantizer), multimodal ×3 (binary decode). Each has exact-parity
+        # or recall pytest coverage instead.
     }

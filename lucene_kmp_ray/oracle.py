@@ -973,3 +973,125 @@ FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
 WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
                              CAST(y.embedding AS DOUBLE[])) >= {threshold}
 """
+
+
+# ----------------------------------------------------------- simhash ------
+def _shingle_tf_cte() -> str:
+    """Shingle rows WITH term frequency (the simhash weight) — the
+    non-distinct sibling of ``_shingle_cte``."""
+    n = N_SHINGLE
+    return f"""
+shall AS (
+  SELECT doc_id, shingle, count(*) AS tf FROM (
+    SELECT doc_id, unnest(CASE
+      WHEN len(toks) = 0 THEN []
+      WHEN len(toks) < {n} THEN [array_to_string(toks, ' ')]
+      ELSE list_transform(generate_series(1, len(toks) - {n - 1}),
+                          i -> array_to_string(toks[i:i + {n - 1}], ' '))
+    END) AS shingle FROM toksrc) GROUP BY doc_id, shingle
+)"""
+
+
+def _simhash_sig_ctes() -> str:
+    """doc_id → 64-bit SimHash signature, mirroring simhash_batch exactly:
+    h = first 16 md5 hex chars as uint64, bit i of the signature set iff
+    Σ_shingles tf·(2·bit_i(h)−1) > 0."""
+    return _shingle_tf_cte() + """,
+hsh AS (
+  SELECT doc_id, tf,
+         ('0x' || substr(md5(shingle), 1, 16))::UBIGINT AS h
+  FROM shall
+),
+bitsum AS (
+  SELECT doc_id, bb.b,
+         sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM hsh, (SELECT unnest(generate_series(0, 63)) AS b) bb
+  GROUP BY doc_id, bb.b
+),
+sig0 AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN
+             CAST((1::HUGEINT << b) % 18446744073709551616::HUGEINT
+                  AS UBIGINT)
+             ELSE 0::UBIGINT END) AS UBIGINT) AS sig
+  FROM bitsum GROUP BY doc_id
+),
+sigs AS (
+  SELECT c.doc_id, COALESCE(s.sig, 0::UBIGINT) AS sig
+  FROM corpus c LEFT JOIN sig0 s USING (doc_id)
+)"""
+
+
+def simhash_signatures() -> str:
+    """Mirror of pipelines.dedup.simhash_signatures (bit-twiddling in
+    DuckDB: hex-cast md5 head, shift/mask bit extraction)."""
+    return preamble() + "," + _simhash_sig_ctes() + """
+SELECT doc_id, sig AS simhash FROM sigs
+"""
+
+
+def simhash_pairs(max_bucket: int = MAX_LSH_BUCKET) -> str:
+    """Mirror of pipelines.dedup.simhash_candidate_pairs: 4×16-bit band
+    buckets (pigeonhole for Hamming ≤ 3), over-cap buckets dropped, true
+    Hamming via bit_count(xor), distinct pairs."""
+    return preamble() + "," + _simhash_sig_ctes() + f""",
+bandrow AS (
+  SELECT doc_id, sig, bb.b AS band,
+         CAST((sig >> (16 * bb.b)) & 65535 AS BIGINT) AS band_bits
+  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS b) bb
+),
+bucketok AS (
+  SELECT band, band_bits FROM bandrow
+  GROUP BY band, band_bits HAVING count(*) <= {max_bucket}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
+  FROM bandrow x
+  JOIN bandrow y ON x.band = y.band AND x.band_bits = y.band_bits
+                 AND x.doc_id < y.doc_id
+  JOIN bucketok k ON k.band = x.band AND k.band_bits = x.band_bits
+)
+SELECT a, b, hamming FROM cand WHERE hamming <= 3
+"""
+
+
+# ------------------------------------------------------- LSH multi-probe --
+def ann_lsh_topk(n_queries: int = 5, k: int = 10, radius: int = 2) -> str:
+    """Mirror of pipelines.ann.ann_lsh_topk: signed-random-projection
+    buckets from the SAME deterministic planes (seed 42, embedded as SQL
+    literals — dim 64 per TESTDATA.md), multi-probe = all vectors whose
+    bucket is within Hamming ``radius`` of the query's, cosine top-k."""
+    import numpy as np
+
+    from .pipelines.ann import N_PLANES, _planes
+    planes = _planes(64)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(float(x)) for x in planes[p])}]) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES))
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, CAST({bucket_terms} AS UBIGINT) AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe, bucket AS qb
+  FROM b WHERE vec_id < {n_queries}
+),
+sims AS (
+  SELECT q.query_id, v.vec_id,
+         list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                CAST(v.embedding AS DOUBLE[])) AS cos
+  FROM q JOIN b v ON bit_count(xor(q.qb, v.bucket)) <= {radius}
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM sims
+)
+SELECT query_id, rank, vec_id, round(cos, 6) AS score_r
+FROM ranked WHERE rank <= {k}
+"""
