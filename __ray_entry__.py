@@ -69,6 +69,36 @@ def _english_topk(sf_dir: str):
                               dtype="float64").to_pandas()
 
 
+def _german_topk(sf_dir: str):
+    """Top-10 for the German-analyzed index (GermanAnalyzer chain: stop →
+    normalization → light stem; query analyzed the same way). Oracle:
+    oracle.bm25_german_topk — the whole chain is SQL-expressible."""
+    import os
+
+    from lucene_kmp_ray.analysis.german import GermanAnalyzer
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.sources.corpus import corpus_dataset
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/lucene_kmp_ray_index_de/{tag}"
+    analyzer = GermanAnalyzer()
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(corpus_dataset(sf_dir), idx, segment_size=SEGMENT_SIZE,
+                    analyzer=analyzer)
+    (term,) = analyzer("merge")  # 'merg' — stemming conflates merge/merges
+    return search_distributed(idx, {"q": TermQuery(term)}, k=10,
+                              dtype="float64").to_pandas() \
+        [["doc_id", "url", "score"]]
+
+
+GERMAN_QUERY_WORD = "merge"
+
+
+def _german_query_term() -> str:
+    from lucene_kmp_ray.analysis.german import GermanAnalyzer
+    return GermanAnalyzer()(GERMAN_QUERY_WORD)[0]
+
+
 def _extract_invariant(sf_dir: str):
     from lucene_kmp_ray.pipelines.validate import extract_invariant
     return extract_invariant(sf_dir)
@@ -456,6 +486,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # not SQL-expressible → rows-only; exact Porter vectors + chain
         # parity live in tests/test_english_analyzer.py
         "bm25_english_top10": _english_topk,
+        "bm25_german_top10": _german_topk,
+        "cjk_bigram_counts": textstats.cjk_bigram_counts,
         # span positional algebra (NearSpansOrdered greedy match stream is
         # traversal-order-dependent like the sloppy matcher) → rows-only;
         # conformance vectors incl. the reference's documented double-match
@@ -604,6 +636,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dup_pairs": oracle.embedding_dup_pairs(0.4),
         "ann_cosine_top10": oracle.ann_cosine_topk(),
         "ann_lsh_top10": oracle.ann_lsh_topk(),
+        "bm25_german_top10": oracle.bm25_german_topk(_german_query_term()),
+        "cjk_bigram_counts": oracle.cjk_bigram_counts(),
         "simhash_signatures": oracle.simhash_signatures(),
         "simhash_pairs": oracle.simhash_pairs(),
         "extract_invariant": oracle.extract_invariant(),

@@ -1095,3 +1095,118 @@ ranked AS (
 SELECT query_id, rank, vec_id, round(cos, 6) AS score_r
 FROM ranked WHERE rank <= {k}
 """
+
+
+# ------------------------------------------------------ German analyzer ---
+def _german_stop_list_sql() -> str:
+    from .analysis.german import GERMAN_STOP_WORDS
+    return ", ".join(f"'{w}'" for w in sorted(GERMAN_STOP_WORDS))
+
+
+def german_preamble() -> str:
+    """BM25 CTEs over GERMAN-analyzed text (mirror of GermanAnalyzer:
+    stop → normalization → light stem). The normalization state machine
+    reduces to two sequential global regex replaces — deletions only ever
+    expose 'a'/'o' (already in the excluded context class), so the
+    left-to-right pass and the sequential replaces agree on every input
+    (proof sketch in analysis/german.py; vectors in tests)."""
+    stops = _german_stop_list_sql()
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS (
+  SELECT doc_id, url, {sql_tokens_expr('text')} AS toks FROM corpus
+),
+gtok AS (SELECT doc_id, unnest(toks) AS t0 FROM toksrc),
+gkept AS (SELECT doc_id, t0 FROM gtok WHERE t0 NOT IN ({stops})),
+gx AS (
+  SELECT doc_id, translate(
+    regexp_replace(
+      regexp_replace(replace(t0, 'ß', 'ss'), '([ao])e', '\\1', 'g'),
+      '(^|[^aoueiqyäöü])ue', '\\1u', 'g'),
+    'äàáâöòóôïìíîüùúû', 'aaaaooooiiiiuuuu') AS t1
+  FROM gkept
+),
+gs1 AS (
+  SELECT doc_id, CASE
+    WHEN length(t1) > 5 AND t1 LIKE '%ern' THEN substr(t1, 1, length(t1)-3)
+    WHEN length(t1) > 4 AND regexp_matches(t1, 'e[mnrs]$')
+      THEN substr(t1, 1, length(t1)-2)
+    WHEN length(t1) > 3 AND t1 LIKE '%e' THEN substr(t1, 1, length(t1)-1)
+    WHEN length(t1) > 3 AND regexp_matches(t1, '[bdfghklmnt]s$')
+      THEN substr(t1, 1, length(t1)-1)
+    ELSE t1 END AS t2
+  FROM gx
+),
+gterms AS (
+  SELECT doc_id, CASE
+    WHEN length(t2) > 5 AND t2 LIKE '%est' THEN substr(t2, 1, length(t2)-3)
+    WHEN length(t2) > 4 AND regexp_matches(t2, 'e[rn]$')
+      THEN substr(t2, 1, length(t2)-2)
+    WHEN length(t2) > 4 AND regexp_matches(t2, '[bdfghklmnt]st$')
+      THEN substr(t2, 1, length(t2)-2)
+    ELSE t2 END AS term
+  FROM gs1
+),
+postings AS (
+  SELECT doc_id, term, count(*) AS freq FROM gterms GROUP BY doc_id, term
+),
+doclen AS (
+  SELECT c.doc_id,
+         (SELECT count(*) FROM gkept k WHERE k.doc_id = c.doc_id) AS dl
+  FROM corpus c
+),
+lt(b, v) AS (VALUES {_lt_values()}),
+normd AS (
+  SELECT d.doc_id, d.dl, l.b AS norm_byte, l.v AS dln
+  FROM doclen d
+  JOIN lt l ON l.v = (SELECT max(v) FROM lt l2 WHERE l2.v <= d.dl)
+),
+stats AS (SELECT count(*) AS doc_count, sum(dl) AS sum_ttf FROM doclen),
+tstats AS (
+  SELECT term, count(*) AS df, sum(freq) AS ttf FROM postings GROUP BY term
+),
+av AS (SELECT sum_ttf / CAST(doc_count AS DOUBLE) AS avgdl FROM stats)
+"""
+
+
+def bm25_german_topk(stemmed_term: str, k: int = 10) -> str:
+    """BM25 top-k over the German-analyzed index; ``stemmed_term`` is the
+    query term AFTER the same analysis chain (QueryBuilder symmetry)."""
+    lit = f"'{stemmed_term}'"
+    return german_preamble() + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
+# ------------------------------------------------------ CJK bigrams -------
+def cjk_bigram_counts() -> str:
+    """Per-doc CJK bigram token counts over the SAME deterministic CJK
+    text as token_counts_cjk, segmented per CJKBigramFilter: Han run →
+    overlapping bigrams, Katakana run → bigrams, isolated Hiragana →
+    unigram, Latin word passes through."""
+    return """
+WITH base AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, doc_id % 5 + 2),
+                   i -> chr(CAST(19968 + (doc_id * 7 + i) % 512 AS INTEGER))) AS han,
+    list_transform(generate_series(0, 3),
+                   i -> chr(CAST(12450 + (doc_id + i) % 20 AS INTEGER))) AS kata,
+    chr(CAST(12354 + doc_id % 10 AS INTEGER)) AS hira
+  FROM documents
+),
+toks AS (
+  SELECT doc_id,
+    list_concat(list_concat(list_concat(
+      list_transform(generate_series(1, len(han) - 1),
+                     i -> han[i] || han[i + 1]),
+      list_transform(generate_series(1, len(kata) - 1),
+                     i -> kata[i] || kata[i + 1])),
+      ['doc']), [hira]) AS tk
+  FROM base
+)
+SELECT doc_id, len(tk) AS n_tokens, len(list_distinct(tk)) AS n_unique_tokens
+FROM toks
+"""

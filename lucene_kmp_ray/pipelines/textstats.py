@@ -236,6 +236,37 @@ def token_counts_cjk(sf_dir: str):
     return _docs_ds(sf_dir).map_batches(counts, batch_format="pyarrow")
 
 
+def cjk_bigram_counts(sf_dir: str):
+    """CJK BIGRAM token counts over the same deterministic CJK documents —
+    the CJKAnalyzer/CJKBigramFilter chain end-to-end (Han/Katakana runs →
+    overlapping bigrams, isolated Hiragana → unigram; conformance vectors
+    in tests/test_german_analyzer.py). Oracle: oracle.cjk_bigram_counts."""
+    import pyarrow as pa
+
+    from ..analysis.cjk import CJKAnalyzer
+
+    analyzer = CJKAnalyzer()
+
+    def counts(batch: pa.Table) -> pa.Table:
+        texts = _synth_cjk_text(batch["doc_id"].to_numpy())
+        dl, flat, doc_of, _ = analyzer.analyze_flat(texts)
+        dict_arr = flat.dictionary_encode()
+        codes = dict_arr.indices.to_numpy().astype(np.int64) if len(flat) \
+            else np.empty(0, np.int64)
+        nuniq = np.zeros(batch.num_rows, dtype=np.int64)
+        if len(codes):
+            key = doc_of * max(len(dict_arr.dictionary), 1) + codes
+            urow = np.unique(key) // max(len(dict_arr.dictionary), 1)
+            nuniq = np.bincount(urow, minlength=batch.num_rows)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(dl.astype(np.int64)),
+            "n_unique_tokens": pa.array(nuniq.astype(np.int64)),
+        })
+
+    return _docs_ds(sf_dir).map_batches(counts, batch_format="pyarrow")
+
+
 # ------------------- training-pipeline composition ops ---------------------
 N_PROBE_DOCS = 5  # the simulated "benchmark/test set": first N docs
 
