@@ -99,6 +99,30 @@ def _german_query_term() -> str:
     return GermanAnalyzer()(GERMAN_QUERY_WORD)[0]
 
 
+SYNONYM_RULE = ("fast", "quick")  # fast → quick injected at same position
+
+
+def _synonym_topk(sf_dir: str):
+    """BM25 top-10 for the INJECTED synonym token over a SynonymAnalyzer
+    index — exercises posIncr=0 same-position injection end-to-end.
+    Oracle: oracle.synonym_quick_topk (adjusted-stats mirror)."""
+    import os
+
+    from lucene_kmp_ray.analysis.filters import SynonymAnalyzer
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.sources.corpus import corpus_dataset
+
+    src, syn = SYNONYM_RULE
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/lucene_kmp_ray_index_syn/{tag}"
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(corpus_dataset(sf_dir), idx, segment_size=SEGMENT_SIZE,
+                    analyzer=SynonymAnalyzer({src: (syn,)}))
+    return search_distributed(idx, {"q": TermQuery(syn)}, k=10,
+                              dtype="float64").to_pandas() \
+        [["doc_id", "url", "score"]]
+
+
 def _extract_invariant(sf_dir: str):
     from lucene_kmp_ray.pipelines.validate import extract_invariant
     return extract_invariant(sf_dir)
@@ -488,6 +512,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_english_top10": _english_topk,
         "bm25_german_top10": _german_topk,
         "cjk_bigram_counts": textstats.cjk_bigram_counts,
+        "ascii_fold_tokens": textstats.ascii_fold_tokens,
+        "shingle_counts": textstats.shingle_counts,
+        "synonym_quick_top10": _synonym_topk,
         # span positional algebra (NearSpansOrdered greedy match stream is
         # traversal-order-dependent like the sloppy matcher) → rows-only;
         # conformance vectors incl. the reference's documented double-match
@@ -638,6 +665,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_top10": oracle.ann_lsh_topk(),
         "bm25_german_top10": oracle.bm25_german_topk(_german_query_term()),
         "cjk_bigram_counts": oracle.cjk_bigram_counts(),
+        "ascii_fold_tokens": oracle.ascii_fold_tokens(),
+        "shingle_counts": oracle.shingle_counts(),
+        "synonym_quick_top10": oracle.synonym_quick_topk(*SYNONYM_RULE),
         "simhash_signatures": oracle.simhash_signatures(),
         "simhash_pairs": oracle.simhash_pairs(),
         "extract_invariant": oracle.extract_invariant(),

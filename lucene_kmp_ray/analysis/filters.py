@@ -1,0 +1,209 @@
+"""Misc token filters in the pluggable analyzer slot: ASCIIFolding,
+Shingle, SynonymGraph (single-token subset).
+
+Reference semantics:
+
+- ``ASCIIFoldingFilter`` (``analysis/common/.../miscellaneous/
+  ASCIIFoldingFilter.kt``): fold Unicode Latin variants to their ASCII
+  equivalents. Re-expressed as NFKD-decompose + strip combining marks,
+  plus a supplement table for the non-decomposable mappings the
+  reference's big switch carries (æ→ae, ø→o, ß→ss, œ→oe, đ→d, þ→th,
+  typographic quotes/dashes). Characters with no ASCII mapping pass
+  through unchanged, as in the reference.
+- ``ShingleFilter`` (``analysis/common/.../shingle/ShingleFilter.kt``,
+  defaults min=max=2, separator " ", outputUnigrams=true): per input
+  token emit the unigram then every shingle of sizes min..max STARTING at
+  it (posIncr 0 — shingles share the first token's position; vectors
+  from ``TestShingleAnalyzerWrapper.kt:144``).
+- ``SynonymGraphFilter`` (``analysis/common/.../synonym/
+  SynonymGraphFilter.kt``): SINGLE-TOKEN rules only (a → b, c injected
+  at the SAME position, posIncr=0, original kept when keep_orig) — the
+  posLength>1 multi-word graph side is out of scope and documented.
+  Injected tokens count toward the norm length exactly as the
+  reference's FieldInvertState.length counts every emitted token.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import numpy as np
+import pyarrow as pa
+
+from .standard import StandardAnalyzer
+
+_SUPPLEMENT = {
+    "æ": "ae", "Æ": "AE", "ø": "o", "Ø": "O", "ß": "ss", "œ": "oe",
+    "Œ": "OE", "đ": "d", "Đ": "D", "ð": "d", "Ð": "D", "þ": "th",
+    "Þ": "TH", "ł": "l", "Ł": "L", "ħ": "h", "Ħ": "H", "ı": "i",
+    "ŋ": "n", "Ŋ": "N", "’": "'", "‘": "'", "‚": "'", "‛": "'",
+    "“": '"', "”": '"', "„": '"', "‐": "-", "‑": "-", "–": "-",
+    "—": "-",
+}
+
+
+def fold_to_ascii(s: str) -> str:
+    """ASCIIFoldingFilter fold for one token."""
+    if s.isascii():
+        return s
+    out = []
+    for ch in s:
+        if ord(ch) < 128:
+            out.append(ch)
+            continue
+        sup = _SUPPLEMENT.get(ch)
+        if sup is not None:
+            out.append(sup)
+            continue
+        d = unicodedata.normalize("NFKD", ch)
+        kept = "".join(c for c in d if not unicodedata.combining(c))
+        out.append(kept if kept and kept.isascii() else ch)
+    return "".join(out)
+
+
+def _fold_flat(flat: pa.Array) -> pa.Array:
+    """Fold a flat token array per UNIQUE token (dictionary encode)."""
+    dict_arr = flat.dictionary_encode()
+    folded = pa.array([fold_to_ascii(t) for t in
+                       dict_arr.dictionary.to_pylist()], pa.string())
+    return pa.DictionaryArray.from_arrays(dict_arr.indices, folded) \
+        .cast(pa.string())
+
+
+class ASCIIFoldingAnalyzer:
+    """base analyzer → ASCIIFoldingFilter."""
+
+    def __init__(self, base=None):
+        self.base = base or StandardAnalyzer()
+        self.name = f"asciifold_{self.base.name}"
+
+    def __call__(self, text: str) -> list[str]:
+        return [fold_to_ascii(t) for t in self.base(text)]
+
+    def analyze_flat(self, texts):
+        dl, flat, doc_of, pos = self.base.analyze_flat(texts)
+        if len(flat) == 0:
+            return dl, flat, doc_of, pos
+        return dl, _fold_flat(flat), doc_of, pos
+
+
+class ShingleAnalyzer:
+    """base analyzer → ShingleFilter(min_n, max_n)."""
+
+    def __init__(self, base=None, min_n: int = 2, max_n: int = 2,
+                 output_unigrams: bool = True, sep: str = " "):
+        if not 2 <= min_n <= max_n:
+            raise ValueError("need 2 <= min_n <= max_n")
+        self.base = base or StandardAnalyzer()
+        self.min_n, self.max_n = min_n, max_n
+        self.output_unigrams = output_unigrams
+        self.sep = sep
+        self.name = f"shingle_{min_n}_{max_n}_{self.base.name}"
+
+    def __call__(self, text: str) -> list[str]:
+        toks = self.base(text)
+        out: list[str] = []
+        for i, t in enumerate(toks):
+            if self.output_unigrams:
+                out.append(t)
+            for n in range(self.min_n, self.max_n + 1):
+                if i + n <= len(toks):
+                    out.append(self.sep.join(toks[i:i + n]))
+        return out
+
+    def analyze_flat(self, texts):
+        import pyarrow.compute as pc
+        dl, flat, doc_of, pos = self.base.analyze_flat(texts)
+        n = len(flat)
+        if n == 0:
+            return dl, flat, doc_of, pos
+        parts = [(flat, doc_of, pos)] if self.output_unigrams else []
+        for size in range(self.min_n, self.max_n + 1):
+            m = n - (size - 1)
+            if m <= 0:
+                continue
+            valid = doc_of[:m] == doc_of[size - 1:]
+            # shingles join only tokens at CONSECUTIVE positions of one
+            # doc (the base stream has no gaps for StandardAnalyzer; a
+            # stop-filtered base would need the filler-token rule)
+            valid &= (pos[size - 1:] - pos[:m]) == (size - 1)
+            joined = pc.binary_join_element_wise(
+                *[flat.slice(i, m) for i in range(size)], self.sep)
+            vmask = pa.array(valid)
+            parts.append((joined.filter(vmask), doc_of[:m][valid],
+                          pos[:m][valid]))
+        flat2 = pa.concat_arrays(
+            [p[0].combine_chunks() if isinstance(p[0], pa.ChunkedArray)
+             else p[0] for p in parts])
+        doc2 = np.concatenate([p[1] for p in parts])
+        pos2 = np.concatenate([p[2] for p in parts])
+        order = np.lexsort((pos2, doc2))
+        flat2 = flat2.take(pa.array(order))
+        doc2, pos2 = doc2[order], pos2[order]
+        norm_lengths = np.bincount(doc2, minlength=len(dl)).astype(np.int64)
+        return norm_lengths, flat2, doc2, pos2
+
+
+class SynonymAnalyzer:
+    """base analyzer → SynonymGraphFilter (single-token rules): each rule
+    ``term -> (syn, ...)`` injects the synonyms at the SAME position."""
+
+    def __init__(self, synonyms: dict[str, tuple[str, ...]], base=None,
+                 keep_orig: bool = True):
+        self.base = base or StandardAnalyzer()
+        self.synonyms = {k: tuple(v) for k, v in synonyms.items()}
+        self.keep_orig = keep_orig
+        self.name = f"synonym_{self.base.name}"
+
+    def __call__(self, text: str) -> list[str]:
+        out: list[str] = []
+        for t in self.base(text):
+            syns = self.synonyms.get(t)
+            if syns is None:
+                out.append(t)
+            else:
+                if self.keep_orig:
+                    out.append(t)
+                out.extend(syns)
+        return out
+
+    def analyze_flat(self, texts):
+        import pyarrow.compute as pc
+        dl, flat, doc_of, pos = self.base.analyze_flat(texts)
+        n = len(flat)
+        if n == 0 or not self.synonyms:
+            return dl, flat, doc_of, pos
+        keys = pa.array(sorted(self.synonyms), pa.string())
+        hit = pc.is_in(flat, value_set=keys).to_numpy(zero_copy_only=False)
+        if not hit.any():
+            return dl, flat, doc_of, pos
+        parts_tok: list[pa.Array] = []
+        parts_doc: list[np.ndarray] = []
+        parts_pos: list[np.ndarray] = []
+        if self.keep_orig:
+            parts_tok.append(flat.combine_chunks() if
+                             isinstance(flat, pa.ChunkedArray) else flat)
+            parts_doc.append(doc_of)
+            parts_pos.append(pos)
+        else:
+            keep = pa.array(~hit)
+            parts_tok.append(flat.filter(keep).combine_chunks())
+            parts_doc.append(doc_of[~hit])
+            parts_pos.append(pos[~hit])
+        for term, syns in self.synonyms.items():
+            m = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            if not m.any():
+                continue
+            d, p = doc_of[m], pos[m]
+            for s in syns:  # injected at the SAME position (posIncr 0)
+                parts_tok.append(pa.array([s] * len(d), pa.string()))
+                parts_doc.append(d)
+                parts_pos.append(p)
+        flat2 = pa.concat_arrays(parts_tok)
+        doc2 = np.concatenate(parts_doc)
+        pos2 = np.concatenate(parts_pos)
+        order = np.lexsort((pos2, doc2))
+        flat2 = flat2.take(pa.array(order))
+        doc2, pos2 = doc2[order], pos2[order]
+        norm_lengths = np.bincount(doc2, minlength=len(dl)).astype(np.int64)
+        return norm_lengths, flat2, doc2, pos2

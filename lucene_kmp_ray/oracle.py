@@ -1210,3 +1210,80 @@ toks AS (
 SELECT doc_id, len(tk) AS n_tokens, len(list_distinct(tk)) AS n_unique_tokens
 FROM toks
 """
+
+
+# --------------------------------------------- filter analyzers -----------
+def ascii_fold_tokens() -> str:
+    """Mirror of textstats.ascii_fold_tokens: the same embedded accented
+    word list, strip_accents == NFKD-strip for combining-mark accents
+    (the word list avoids non-decomposable chars by construction)."""
+    from .pipelines.textstats import ACCENT_WORDS
+    vals = ", ".join(f"({i}, '{w}')" for i, w in enumerate(ACCENT_WORDS))
+    n = len(ACCENT_WORDS)
+    return f"""
+WITH w(i, word) AS (VALUES {vals}),
+r AS (
+  SELECT doc_id, gs.i AS pos
+  FROM documents, (SELECT unnest(generate_series(0, 2)) AS i) gs
+)
+SELECT r.doc_id, CAST(r.pos AS BIGINT) AS pos,
+       strip_accents(w.word) AS term
+FROM r JOIN w ON w.i = (r.doc_id + r.pos) % {n}
+"""
+
+
+def shingle_counts() -> str:
+    """Mirror of textstats.shingle_counts: unigrams + word 2-shingles."""
+    from .analysis.standard import sql_tokens_expr
+    return f"""
+WITH toksrc AS (
+  SELECT doc_id, {sql_tokens_expr('text')} AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    list_concat(toks,
+      CASE WHEN len(toks) < 2 THEN []
+           ELSE list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1]) END)
+      AS alltoks
+  FROM toksrc
+)
+SELECT doc_id, len(alltoks) AS n_tokens,
+       len(list_distinct(alltoks)) AS n_unique_tokens
+FROM sh
+"""
+
+
+def synonym_quick_topk(src: str = "fast", syn: str = "quick",
+                       k: int = 10) -> str:
+    """BM25 top-k for the INJECTED synonym term over a SynonymAnalyzer
+    index ({src: (syn,)}, keep_orig): since ``syn`` is absent from the
+    raw vocabulary, its postings equal ``src``'s, every doc's length
+    grows by its ``src`` freq, and sum_ttf grows by ttf(src) — the
+    adjusted-stats mirror, exact."""
+    return preamble() + f""",
+fastp AS (SELECT doc_id, freq FROM postings WHERE term = '{src}'),
+fstat AS (SELECT count(*) AS df, COALESCE(sum(freq), 0) AS ttf FROM fastp),
+sdoclen AS (
+  SELECT d.doc_id, d.dl + COALESCE(f.freq, 0) AS dl
+  FROM doclen d LEFT JOIN fastp f USING (doc_id)
+),
+snormd AS (
+  SELECT d.doc_id, d.dl, l.v AS dln
+  FROM sdoclen d
+  JOIN lt l ON l.v = (SELECT max(v) FROM lt l2 WHERE l2.v <= d.dl)
+),
+sav AS (
+  SELECT ((SELECT sum_ttf FROM stats) + (SELECT ttf FROM fstat))
+         / CAST((SELECT doc_count FROM stats) AS DOUBLE) AS avgdl
+),
+scored AS (
+  SELECT p.doc_id,
+         {score_sql("p.freq", "n.dln",
+                    idf_sql("(SELECT df FROM fstat)"), av="sav")} AS score
+  FROM fastp p JOIN snormd n USING (doc_id)
+)
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""

@@ -397,3 +397,58 @@ def quality_filter(sf_dir: str):
         })
 
     return _docs_ds(sf_dir).map_batches(gate, batch_format="pyarrow")
+
+
+# ------------------------------- filter-analyzer demonstration entries ----
+ACCENT_WORDS = ("café", "naïve", "résumé", "jalapeño", "über", "èspresso")
+
+
+def ascii_fold_tokens(sf_dir: str):
+    """Deterministic accented text per doc → ASCIIFoldingAnalyzer tokens
+    (doc_id, pos, term). Oracle: strip_accents over the same embedded
+    word list (oracle.ascii_fold_tokens)."""
+    from ..analysis.filters import ASCIIFoldingAnalyzer
+
+    analyzer = ASCIIFoldingAnalyzer()
+
+    def rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        texts = [" ".join(ACCENT_WORDS[(int(d) + i) % len(ACCENT_WORDS)]
+                          for i in range(3)) for d in ids]
+        dl, flat, doc_of, pos = analyzer.analyze_flat(texts)
+        return pa.table({
+            "doc_id": pa.array(ids[doc_of], pa.int64()),
+            "pos": pa.array(pos.astype(np.int64)),
+            "term": flat,
+        })
+
+    return _docs_ds(sf_dir).map_batches(rows, batch_format="pyarrow")
+
+
+def shingle_counts(sf_dir: str):
+    """Per-doc token counts through ShingleAnalyzer (unigrams + word
+    2-shingles, ShingleFilter defaults). Oracle: oracle.shingle_counts."""
+    from ..analysis.filters import ShingleAnalyzer
+
+    analyzer = ShingleAnalyzer()
+
+    def counts(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        dl, flat, doc_of, _ = analyzer.analyze_flat(texts)
+        dict_arr = flat.dictionary_encode()
+        codes = dict_arr.indices.to_numpy().astype(np.int64) if len(flat) \
+            else np.empty(0, np.int64)
+        nuniq = np.zeros(batch.num_rows, dtype=np.int64)
+        if len(codes):
+            nc = max(len(dict_arr.dictionary), 1)
+            urow = np.unique(doc_of * nc + codes) // nc
+            nuniq = np.bincount(urow, minlength=batch.num_rows)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(dl.astype(np.int64)),
+            "n_unique_tokens": pa.array(nuniq.astype(np.int64)),
+        })
+
+    from .dedup import _read_docs
+    return _read_docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(counts, batch_format="pyarrow")
