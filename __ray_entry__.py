@@ -101,6 +101,49 @@ def _german_query_term() -> str:
 
 SYNONYM_RULE = ("fast", "quick")  # fast → quick injected at same position
 
+# deterministic synthetic coordinates (geo has no source column; the same
+# arithmetic runs in the SQL oracle): lat ∈ [-90, 90), lon ∈ [-180, 180)
+GEO_BOX = (10.0, 60.0, -30.0, 40.0)      # min_lat, max_lat, min_lon, max_lon
+GEO_CENTER = (0.0, 0.0)
+GEO_RADIUS_M = 5_000_000.0
+
+
+def _ensure_geo_index(sf_dir: str) -> str:
+    """Index with lat/lon doc-meta columns (LatLonPoint role): coordinates
+    derived deterministically from doc_id, stored via meta_cols."""
+    import pyarrow.compute as pc
+
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.sources.corpus import corpus_dataset
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/lucene_kmp_ray_index_geo/{tag}"
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        def add_coords(b: pa.Table) -> pa.Table:
+            d = b["doc_id"].to_numpy()
+            lat = (d * 37 % 18000) / 100.0 - 90.0
+            lon = (d * 73 % 36000) / 100.0 - 180.0
+            return b.append_column("lat", pa.array(lat, pa.float64())) \
+                    .append_column("lon", pa.array(lon, pa.float64()))
+        ds = corpus_dataset(sf_dir, columns=["doc_id", "url", "text"]) \
+            .map_batches(add_coords, batch_format="pyarrow")
+        build_index(ds, idx, segment_size=SEGMENT_SIZE,
+                    meta_cols=("lat", "lon"))
+    return idx
+
+
+def _geo_box_all(sf_dir: str):
+    from lucene_kmp_ray.search import GeoBoxQuery
+    return search_all_matches(_ensure_geo_index(sf_dir),
+                              GeoBoxQuery(*GEO_BOX))
+
+
+def _geo_distance_all(sf_dir: str):
+    from lucene_kmp_ray.search import GeoDistanceQuery
+    return search_all_matches(
+        _ensure_geo_index(sf_dir),
+        GeoDistanceQuery(GEO_CENTER[0], GEO_CENTER[1], GEO_RADIUS_M))
+
 
 def _synonym_topk(sf_dir: str):
     """BM25 top-10 for the INJECTED synonym token over a SynonymAnalyzer
@@ -515,6 +558,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ascii_fold_tokens": textstats.ascii_fold_tokens,
         "shingle_counts": textstats.shingle_counts,
         "synonym_quick_top10": _synonym_topk,
+        "geo_box_all": _geo_box_all,
+        "geo_distance_all": _geo_distance_all,
         # span positional algebra (NearSpansOrdered greedy match stream is
         # traversal-order-dependent like the sloppy matcher) → rows-only;
         # conformance vectors incl. the reference's documented double-match
@@ -668,6 +713,9 @@ def oracle_sql() -> dict[str, str]:
         "ascii_fold_tokens": oracle.ascii_fold_tokens(),
         "shingle_counts": oracle.shingle_counts(),
         "synonym_quick_top10": oracle.synonym_quick_topk(*SYNONYM_RULE),
+        "geo_box_all": oracle.geo_box_all(*GEO_BOX),
+        "geo_distance_all": oracle.geo_distance_all(*GEO_CENTER,
+                                                    GEO_RADIUS_M),
         "simhash_signatures": oracle.simhash_signatures(),
         "simhash_pairs": oracle.simhash_pairs(),
         "extract_invariant": oracle.extract_invariant(),

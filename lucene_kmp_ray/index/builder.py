@@ -64,7 +64,8 @@ def completed_segments(index_dir: str) -> set[int]:
 def build_index(ds, index_dir: str, segment_size: int = DEFAULT_SEGMENT_SIZE,
                 lineage_source: str = "", analyzer=None,
                 fields: tuple[str, ...] = ("text",),
-                vector_col: str | None = None) -> dict:
+                vector_col: str | None = None,
+                meta_cols: tuple[str, ...] = ()) -> dict:
     """Build (or resume) an index from a corpus Dataset with
     ``doc_id, url`` plus one column per indexed field (default just
     ``text``; pass ``fields=("text", "title")`` for fielded documents,
@@ -94,15 +95,16 @@ def build_index(ds, index_dir: str, segment_size: int = DEFAULT_SEGMENT_SIZE,
         lineage = {"source": lineage_source, "segment_size": segment_size,
                    "rows": group.num_rows}
         cols = ["doc_id", "url", *fields] + \
-            ([vector_col] if vector_col else [])
+            ([vector_col] if vector_col else []) + list(meta_cols)
         man = build_and_write_segment(
             group.select(cols), seg, index_dir,
             lineage, analyzer=analyzer, fields=fields,
-            vector_col=vector_col)
+            vector_col=vector_col, meta_cols=meta_cols)
         return pa.table({"manifest": pa.array([json.dumps(man)], pa.string())})
 
     ds = ds.select_columns(["doc_id", "url", *fields] +
-                           ([vector_col] if vector_col else [])) \
+                           ([vector_col] if vector_col else []) +
+                           list(meta_cols)) \
            .map_batches(assign_seg, batch_format="pyarrow")
     out = ds.groupby("seg").map_groups(build_group, batch_format="pyarrow")
     out_df = out.to_pandas()  # one tiny manifest row per segment

@@ -128,7 +128,8 @@ def field_stats_of(doc_lengths: np.ndarray, terms_table: pa.Table) -> dict:
 
 def invert_segment(docs: pa.Table, seg: int, lineage: dict | None = None,
                    analyzer=None,
-                   fields: tuple[str, ...] = ("text",)
+                   fields: tuple[str, ...] = ("text",),
+                   meta_cols: tuple[str, ...] = ()
                    ) -> tuple[pa.Table, pa.Table, dict]:
     """Invert one segment's documents → (terms_table, docs_table, manifest).
 
@@ -166,6 +167,8 @@ def invert_segment(docs: pa.Table, seg: int, lineage: dict | None = None,
         doc_cols[ncol] = pa.array(norms, type=pa.uint8())
         field_stats[f] = field_stats_of(lengths, ft)
 
+    for mc in meta_cols:  # stored doc-values columns (DocValues role:
+        doc_cols[mc] = docs[mc]  # numeric per-doc payload for filters/sort)
     terms_table = pa.concat_tables(per_field_tables) if per_field_tables \
         else _prepend_field(encode_term_table(iter(()), np.empty(0, np.uint8)),
                             "text").slice(0, 0)
@@ -452,11 +455,13 @@ def build_and_write_segment(docs: pa.Table, seg: int, index_dir: str,
                             lineage: dict | None = None,
                             analyzer=None,
                             fields: tuple[str, ...] = ("text",),
-                            vector_col: str | None = None) -> dict:
+                            vector_col: str | None = None,
+                            meta_cols: tuple[str, ...] = ()) -> dict:
     """``vector_col`` names a per-doc vector column of ``docs`` (a
     KnnFloatVectorField, document/KnnFloatVectorField role): it splits
     into the vectors sidecar in local-docID order and never enters the
-    inverted part."""
+    inverted part. ``meta_cols`` pass through into the docs table as
+    filterable/sortable per-doc values (the DocValues role)."""
     vectors_table = None
     if vector_col is not None and vector_col in docs.column_names:
         docs = docs.sort_by("doc_id")
@@ -464,7 +469,8 @@ def build_and_write_segment(docs: pa.Table, seg: int, index_dir: str,
             .rename_columns(["embedding"])
         docs = docs.drop_columns([vector_col])
     terms_table, docs_table, manifest = invert_segment(docs, seg, lineage,
-                                                       analyzer, fields)
+                                                       analyzer, fields,
+                                                       meta_cols)
     if vectors_table is not None:
         d = vectors_table["embedding"][0].as_py() \
             if vectors_table.num_rows else []

@@ -1287,3 +1287,43 @@ SELECT s.doc_id, c.url, s.score
 FROM scored s JOIN corpus c USING (doc_id)
 ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
+
+
+# ----------------------------------------------------------------- geo ----
+def _geo_coords_cte() -> str:
+    """Deterministic doc coordinates — identical integer/float64 ops as
+    the engine's _ensure_geo_index derivation."""
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+geo AS (
+  SELECT doc_id, url,
+         (doc_id * 37 % 18000) / 100.0 - 90.0 AS lat,
+         (doc_id * 73 % 36000) / 100.0 - 180.0 AS lon
+  FROM corpus
+)"""
+
+
+def geo_box_all(min_lat: float, max_lat: float,
+                min_lon: float, max_lon: float) -> str:
+    """LatLonPoint.newBoxQuery mirror: constant-score box filter."""
+    return _geo_coords_cte() + f"""
+SELECT doc_id, url, 1.0 AS score
+FROM geo
+WHERE lat >= {min_lat} AND lat <= {max_lat}
+  AND lon >= {min_lon} AND lon <= {max_lon}
+"""
+
+
+def geo_distance_all(lat: float, lon: float, radius_m: float) -> str:
+    """LatLonPoint.newDistanceQuery mirror: SloppyMath.haversinMeters
+    formula (without the engine's sort-key bit clobber — boundary ULP
+    differences cannot flip the comparison at the synthetic grid's
+    kilometre-scale distance spacing)."""
+    return _geo_coords_cte() + f"""
+SELECT doc_id, url, 1.0 AS score
+FROM geo
+WHERE 6371008.7714 * 2 * asin(least(1.0, sqrt(
+        ((1 - cos(radians(lat - {lat}))) +
+         cos(radians(lat)) * cos(radians({lat})) *
+         (1 - cos(radians(lon - {lon})))) * 0.5))) <= {radius_m}
+"""

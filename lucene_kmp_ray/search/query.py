@@ -384,6 +384,44 @@ class RangeFilterQuery(Query):
 
 
 @dataclass(frozen=True)
+class GeoBoxQuery(Query):
+    """``LatLonPoint.newBoxQuery`` analog (``document/LatLonPoint.kt``)
+    over per-doc lat/lon metadata columns: lat/lon inside the box match
+    with constant score. ``min_lon > max_lon`` wraps across the dateline
+    (reference semantics). Index the columns via
+    ``build_index(..., meta_cols=("lat", "lon"))``."""
+    min_lat: float
+    max_lat: float
+    min_lon: float
+    max_lon: float
+    lat_field: str = "lat"
+    lon_field: str = "lon"
+
+    def terms(self):
+        return []
+
+
+#: mean earth radius used by the reference (SloppyMath.kt:177 TO_METERS)
+EARTH_MEAN_RADIUS_METERS = 6371008.7714
+
+
+@dataclass(frozen=True)
+class GeoDistanceQuery(Query):
+    """``LatLonPoint.newDistanceQuery`` analog: docs within
+    ``radius_meters`` haversine distance of (lat, lon) — the exact
+    SloppyMath.haversinMeters formula (``util/SloppyMath.kt:38-65``)
+    including its sort-key precision clobber."""
+    lat: float
+    lon: float
+    radius_meters: float
+    lat_field: str = "lat"
+    lon_field: str = "lon"
+
+    def terms(self):
+        return []
+
+
+@dataclass(frozen=True)
 class KnnFloatVectorQuery(Query):
     """``search/KnnFloatVectorQuery.kt:33``: the k nearest docs to
     ``vector`` by cosine similarity over the segment vector sidecars.

@@ -33,6 +33,7 @@ from ..index.reader import IndexReader, SegmentReader
 from ..similarity.bm25 import BM25Similarity
 from .query import (BooleanQuery, BoostQuery, ConstantScoreQuery,
                     DisjunctionMaxQuery, FieldExistsQuery,
+                    GeoBoxQuery, GeoDistanceQuery,
                     KnnFloatVectorQuery, MatchAllDocsQuery,
                     MatchNoDocsQuery, MultiPhraseQuery, MultiTermQuery,
                     FeatureQuery, IndexOrDocValuesQuery, NGramPhraseQuery,
@@ -263,6 +264,10 @@ class Searcher:
             return docs, vals.astype(dt)
         if isinstance(query, RangeFilterQuery):
             return self._score_range(sr, query, boost)
+        if isinstance(query, GeoBoxQuery):
+            return self._score_geo_box(sr, query, boost)
+        if isinstance(query, GeoDistanceQuery):
+            return self._score_geo_distance(sr, query, boost)
         if isinstance(query, IndexOrDocValuesQuery):
             # standalone = leading iteration → the index-driven execution
             return self._score_segment_raw(sr, query.index_query, boost,
@@ -349,6 +354,40 @@ class Searcher:
         if q.upper is not None:
             mask &= col <= q.upper
         docs = np.flatnonzero(mask).astype(np.int64)
+        return docs, np.full(len(docs), dt.type(boost), dtype=dt)
+
+    def _score_geo_box(self, sr: SegmentReader, q: "GeoBoxQuery",
+                       boost: float):
+        """LatLonPoint.newBoxQuery over doc-meta lat/lon columns."""
+        dt = self.sim.dtype
+        lat = sr.doc_meta[q.lat_field].to_numpy()
+        lon = sr.doc_meta[q.lon_field].to_numpy()
+        mask = (lat >= q.min_lat) & (lat <= q.max_lat)
+        if q.min_lon <= q.max_lon:
+            mask &= (lon >= q.min_lon) & (lon <= q.max_lon)
+        else:  # dateline crossing: lon >= min OR lon <= max
+            mask &= (lon >= q.min_lon) | (lon <= q.max_lon)
+        docs = np.flatnonzero(mask).astype(np.int64)
+        return docs, np.full(len(docs), dt.type(boost), dtype=dt)
+
+    def _score_geo_distance(self, sr: SegmentReader, q: "GeoDistanceQuery",
+                            boost: float):
+        """SloppyMath.haversinMeters, vectorized — the exact reference
+        formula (SloppyMath.kt:38-65) incl. the sort-key low-bits clobber
+        ('so subsequent rounding does not create ties')."""
+        from .query import EARTH_MEAN_RADIUS_METERS
+        dt = self.sim.dtype
+        lat = sr.doc_meta[q.lat_field].to_numpy().astype(np.float64)
+        lon = sr.doc_meta[q.lon_field].to_numpy().astype(np.float64)
+        x1 = np.radians(lat)
+        x2 = np.radians(q.lat)
+        h1 = 1.0 - np.cos(x1 - x2)
+        h2 = 1.0 - np.cos(np.radians(lon - q.lon))
+        h = h1 + np.cos(x1) * np.cos(x2) * h2
+        h = (h.view(np.int64) & np.int64(-8)).view(np.float64)  # clobber
+        dist = EARTH_MEAN_RADIUS_METERS * 2.0 * \
+            np.arcsin(np.minimum(1.0, np.sqrt(h * 0.5)))
+        docs = np.flatnonzero(dist <= q.radius_meters).astype(np.int64)
         return docs, np.full(len(docs), dt.type(boost), dtype=dt)
 
     def _score_boolean(self, sr: SegmentReader, q: BooleanQuery,

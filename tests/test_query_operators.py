@@ -653,3 +653,47 @@ def test_index_or_docvalues_and_deferred_filter(searcher, toks):
     alone = searcher.search(iodv, k=10_000)
     exp = sorted(i for i, t in enumerate(toks) if 40 <= len(t) <= 60)
     assert _docs_of(alone) == exp
+
+
+def test_geo_box_and_distance_queries(ray_session, tmp_path):
+    """LatLonPoint.newBoxQuery / newDistanceQuery analogs over doc-meta
+    lat/lon columns (meta_cols), incl. the dateline-crossing box."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.search import (BooleanQuery, GeoBoxQuery,
+                                       GeoDistanceQuery, Occur, Searcher,
+                                       TermQuery)
+
+    lats = [0.0, 10.0, 50.0, -40.0, 89.0, 0.5]
+    lons = [0.0, 20.0, 170.0, -170.0, 100.0, 0.5]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "url": pa.array([f"u{i}" for i in range(6)], pa.string()),
+        "text": pa.array(["spark here"] * 6, pa.string()),
+        "lat": pa.array(lats, pa.float64()),
+        "lon": pa.array(lons, pa.float64())}))
+    idx = str(tmp_path / "geo")
+    build_index(ds, idx, segment_size=3, meta_cols=("lat", "lon"))
+    s = Searcher(IndexReader(idx))
+
+    box = GeoBoxQuery(-5.0, 15.0, -5.0, 25.0)
+    assert sorted(h.doc_id for h in s.search(box, k=10).score_docs) == \
+        [0, 1, 5]
+    # dateline wrap: min_lon > max_lon matches lon >= 160 OR lon <= -160
+    wrap = GeoBoxQuery(-90.0, 90.0, 160.0, -160.0)
+    assert sorted(h.doc_id for h in s.search(wrap, k=10).score_docs) == \
+        [2, 3]
+    # ~1200 km around (0,0): docs 0 and 5 only
+    dist = GeoDistanceQuery(0.0, 0.0, 1_200_000.0)
+    assert sorted(h.doc_id for h in s.search(dist, k=10).score_docs) == \
+        [0, 5]
+    # composes with text queries in FILTER position
+    q = BooleanQuery.build((Occur.MUST, TermQuery("spark")),
+                           (Occur.FILTER, dist))
+    td = s.search(q, k=10)
+    assert sorted(h.doc_id for h in td.score_docs) == [0, 5]
+    assert td.score_docs[0].score > 0  # BM25 score, filter adds nothing
