@@ -40,6 +40,7 @@ from ..util import forutil as fu
 from ..util.smallfloat import int_to_byte4_np
 
 TERMS_FILE = "terms.parquet"
+TERMS_ROW_GROUP = 4096  # terms per row group (the reader-side "term block")
 DOCS_FILE = "docs.parquet"
 VECTORS_FILE = "vectors.parquet"
 SEG_MANIFEST = "manifest.json"
@@ -435,7 +436,10 @@ def write_segment(index_dir: str, terms_table: pa.Table, docs_table: pa.Table,
     # keeps crashed attempts invisible to completed_segments' "seg=" scan.
     tmp_dir = tempfile.mkdtemp(prefix="_tmp." + seg_dirname(seg) + ".",
                                dir=seg_root)
-    pq.write_table(terms_table, os.path.join(tmp_dir, TERMS_FILE))
+    # modest row groups = the reader's term blocks: a lookup reads only
+    # the (field,term)-sorted group(s) it touches, never the whole file
+    pq.write_table(terms_table, os.path.join(tmp_dir, TERMS_FILE),
+                   row_group_size=TERMS_ROW_GROUP)
     pq.write_table(docs_table, os.path.join(tmp_dir, DOCS_FILE))
     if vectors_table is not None:
         pq.write_table(vectors_table, os.path.join(tmp_dir, VECTORS_FILE))

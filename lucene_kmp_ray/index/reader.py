@@ -7,10 +7,11 @@ SegmentReader lazily loads its term table and norms and caches them (this is
 the state a query actor holds once per actor, SURVEY §2.3).
 
 Term lookup is a binary search over the sorted term column (the role of the
-FST block-tree index, which we deliberately do not port — SURVEY §1.4). At
-web scale the terms.parquet row groups act as term blocks: Parquet min/max
-stats let a reader load only the row groups covering the queried terms;
-single-node v1 loads the vocabulary-sized table whole.
+FST block-tree index, which we deliberately do not port — SURVEY §1.4). The
+terms.parquet row groups act as term blocks: the reader opens with only the
+(field, term) dictionary columns, and posting payloads (df/ttf/encodings)
+read per touched row group on demand with an LRU of decoded groups — a
+lookup costs one 4096-term block, never the whole postings file.
 """
 
 from __future__ import annotations
@@ -30,6 +31,7 @@ TERM_STATS_FILE = "term_stats.parquet"
 
 
 POSTINGS_CACHE_TERMS = 64  # decoded posting lists kept per segment reader
+PAYLOAD_GROUP_CACHE = 8    # payload row groups kept per segment reader
 
 
 class SegmentReader:
@@ -41,6 +43,9 @@ class SegmentReader:
         self.doc_count = seg_meta["doc_count"]
         self._terms: pa.Table | None = None
         self._term_arr: np.ndarray | None = None
+        self._pf = None
+        self._group_starts: np.ndarray | None = None
+        self._group_cache: dict = {}
         self._field_ranges: dict[str, tuple[int, int]] | None = None
         self._norms: dict[str, np.ndarray] = {}
         self._doc_meta: pa.Table | None = None
@@ -66,8 +71,18 @@ class SegmentReader:
     # --- lazy loads -----------------------------------------------------
     @property
     def terms_table(self) -> pa.Table:
+        """The term DICTIONARY (field + term columns only, sorted by
+        (field, term)). Posting payloads (df/ttf/*_enc) do NOT load here —
+        they read per touched ROW GROUP on demand (``_payload_rows``), so
+        opening a reader costs the vocabulary strings, not the whole
+        segment's postings (VERDICT r2 next #9: the terms file is
+        row-group-chunked and (field,term)-ordered; only groups a lookup
+        touches ever leave disk)."""
         if self._terms is None:
-            self._terms = pq.read_table(os.path.join(self.dir, TERMS_FILE))
+            pf = self._terms_pf()
+            names = pf.schema_arrow.names
+            cols = ["field", "term"] if "field" in names else ["term"]
+            self._terms = pf.read(columns=cols)
             self._term_arr = np.asarray(self._terms["term"].to_pylist(),
                                         dtype=object)
             # (field, term)-sorted dictionary → per-field contiguous row
@@ -88,6 +103,58 @@ class SegmentReader:
             else:
                 self._field_ranges = {"text": (0, len(self._term_arr))}
         return self._terms
+
+    def _terms_pf(self) -> "pq.ParquetFile":
+        if self._pf is None:
+            self._pf = pq.ParquetFile(os.path.join(self.dir, TERMS_FILE))
+            md = self._pf.metadata
+            sizes = [md.row_group(g).num_rows
+                     for g in range(md.num_row_groups)]
+            self._group_starts = np.append(0, np.cumsum(sizes))
+        return self._pf
+
+    def _payload_group(self, g: int) -> pa.Table:
+        """One row group's payload columns (df/ttf/docs_enc/freqs_enc/
+        pos_enc), LRU-cached — the on-demand postings read."""
+        t = self._group_cache.pop(g, None)
+        if t is None:
+            pf = self._terms_pf()
+            cols = [c for c in pf.schema_arrow.names
+                    if c not in ("field", "term")]
+            t = pf.read_row_group(g, columns=cols)
+        self._group_cache[g] = t  # (re-)insert = most recent
+        while len(self._group_cache) > PAYLOAD_GROUP_CACHE:
+            self._group_cache.pop(next(iter(self._group_cache)))
+        return t
+
+    def _payload_cols(self) -> list[str]:
+        return [c for c in self._terms_pf().schema_arrow.names
+                if c not in ("field", "term")]
+
+    def _payload_rows(self, idxs: np.ndarray, columns: list[str]):
+        """Selected columns for GLOBAL term-row indexes ``idxs`` (any
+        order), reading only the row groups they touch."""
+        self._terms_pf()
+        idxs = np.asarray(idxs, dtype=np.int64)
+        groups = np.searchsorted(self._group_starts, idxs, side="right") - 1
+        out_parts = []
+        order = np.argsort(groups, kind="stable")
+        inv = np.empty(len(idxs), dtype=np.int64)
+        inv[order] = np.arange(len(idxs))
+        sg = groups[order]
+        si = idxs[order]
+        pos = 0
+        while pos < len(sg):
+            g = sg[pos]
+            end = pos
+            while end < len(sg) and sg[end] == g:
+                end += 1
+            t = self._payload_group(int(g))
+            local = si[pos:end] - self._group_starts[g]
+            out_parts.append(t.select(columns).take(pa.array(local)))
+            pos = end
+        joined = pa.concat_tables(out_parts)
+        return joined.take(pa.array(inv))  # restore caller order
 
     def field_range(self, field: str) -> tuple[int, int]:
         """Row range [lo, hi) of ``field`` in the sorted term table."""
@@ -180,16 +247,16 @@ class SegmentReader:
         i = self.term_index(term, field)
         if i is None:
             return None
-        t = self.terms_table
-        return {name: t[name][i].as_py() for name in t.column_names}
+        t = self._payload_rows(np.array([i]), self._payload_cols())
+        return {name: t[name][0].as_py() for name in t.column_names}
 
     def union_docs(self, idxs) -> np.ndarray:
         """Ascending union of the docID sets of many term rows — the
         MultiTermQuery expansion path. Decodes ONLY df + docs_enc (the
         full-row path would copy freqs/pos binaries per term, pure waste
         for a constant-score rewrite over thousands of matched terms)."""
-        t = self.terms_table
-        sub = t.select(["df", "docs_enc"]).take(pa.array(idxs))
+        sub = self._payload_rows(np.asarray(idxs, dtype=np.int64),
+                                 ["df", "docs_enc"])
         dfs = sub["df"].to_numpy()
         encs = sub["docs_enc"].to_pylist()
         single = dfs <= fu.BLOCK_SIZE
@@ -217,8 +284,8 @@ class SegmentReader:
     def postings_at(self, i: int, positions: bool = False):
         """Decoded postings of the i-th term in the sorted dictionary —
         the TermsEnum-by-ordinal path used by MultiTermQuery expansion."""
-        t = self.terms_table
-        row = {name: t[name][i].as_py() for name in t.column_names}
+        t = self._payload_rows(np.array([i]), self._payload_cols())
+        row = {name: t[name][0].as_py() for name in t.column_names}
         if positions:
             return decode_postings(row["df"], row["ttf"], row["docs_enc"],
                                    row["freqs_enc"], row["pos_enc"])
