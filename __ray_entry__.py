@@ -399,6 +399,27 @@ def _doc_norms(sf_dir: str):
              .map_batches(decode, batch_format="pyarrow")
 
 
+def _doc_term_stats(sf_dir: str):
+    """Per-doc maxTermFrequency / uniqueTermCount straight from the index
+    docs tables (FieldInvertState.kt:59-62, tracked at invert time and
+    re-verified by CheckIndex against the postings)."""
+    import ray.data as rd
+    index_dir = _ensure_index(sf_dir)
+
+    def out(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "length": pc.cast(b["length"], pa.int64()),
+            "max_tf": pc.cast(b["max_tf"], pa.int64()),
+            "unique_terms": pc.cast(b["unique_terms"], pa.int64()),
+        })
+    seg_root = os.path.join(index_dir, "segments")
+    paths = [os.path.join(seg_root, d, "docs.parquet")
+             for d in sorted(os.listdir(seg_root)) if d.startswith("seg=")]
+    return rd.read_parquet(paths, columns=["doc_id", "length", "max_tf",
+                                           "unique_terms"])              .map_batches(out, batch_format="pyarrow")
+
+
 def _collection_stats(sf_dir: str):
     import json
 
@@ -498,6 +519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- index build stats / norms (SURVEY §2.2, §2.6) ---
         "term_stats": _term_stats,
         "doc_norms": _doc_norms,
+        "doc_term_stats": _doc_term_stats,
         "collection_stats": _collection_stats,
         # --- query operators (SURVEY §2.5) ---
         "bm25_term_spark": lambda sf: _topk(sf, TermQuery(TERM_A)),
@@ -661,6 +683,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_summary": oracle.corpus_summary(),
         "term_stats": oracle.term_stats(),
         "doc_norms": oracle.doc_norms(),
+        "doc_term_stats": oracle.doc_term_stats(),
         "collection_stats": oracle.collection_stats(),
         "bm25_term_spark": oracle.bm25_term_topk(TERM_A),
         "bm25_term_the": oracle.bm25_term_topk(TERM_B),

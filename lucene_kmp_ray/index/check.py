@@ -73,6 +73,11 @@ def check_segment(index_dir: str, seg_dir: str) -> dict:
         errors.append("(field, term) keys not strictly ascending")
 
     per_field_sums: dict[str, list[int]] = {}  # field -> [df, ttf, nterms]
+    # re-derive FieldInvertState.maxTermFrequency / uniqueTermCount
+    exp_maxtf: dict[str, np.ndarray] = {f: np.zeros(n_docs, np.int64)
+                                        for f in field_names}
+    exp_uniq: dict[str, np.ndarray] = {f: np.zeros(n_docs, np.int64)
+                                       for f in field_names}
     dfs = terms_t["df"].to_numpy()
     ttfs = terms_t["ttf"].to_numpy()
     for i in range(terms_t.num_rows):
@@ -126,6 +131,9 @@ def check_segment(index_dir: str, seg_dir: str) -> dict:
         acc[0] += df_i
         acc[1] += ttf_i
         acc[2] += 1
+        if tfields[i] in exp_maxtf:
+            np.maximum.at(exp_maxtf[tfields[i]], docs, freqs)
+            np.add.at(exp_uniq[tfields[i]], docs, 1)
 
     man_fields = man.get("fields") or {"text": {
         "sum_doc_freq": man["sum_doc_freq"],
@@ -141,6 +149,17 @@ def check_segment(index_dir: str, seg_dir: str) -> dict:
                           f"{mf.get('sum_total_term_freq')} != {sum_ttf}")
     if int(lengths.sum()) != man["sum_total_term_freq"]:
         errors.append("Σ length != sum_total_term_freq (text)")
+    for f in field_names:
+        sfx = "" if f == "text" else f"_{f}"
+        mcol, ucol = f"max_tf{sfx}", f"unique_terms{sfx}"
+        if mcol in docs_t.column_names:
+            if not np.array_equal(docs_t[mcol].to_numpy().astype(np.int64),
+                                  exp_maxtf[f]):
+                errors.append(f"field {f}: max_tf disagrees with postings")
+            if not np.array_equal(docs_t[ucol].to_numpy().astype(np.int64),
+                                  exp_uniq[f]):
+                errors.append(
+                    f"field {f}: unique_terms disagrees with postings")
     return {"seg": man["seg"], "ok": not errors, "errors": errors,
             "doc_count": n_docs, "unique_terms": terms_t.num_rows}
 

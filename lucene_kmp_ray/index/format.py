@@ -47,7 +47,10 @@ SEG_MANIFEST = "manifest.json"
 
 
 def invert_field(texts, n_docs: int, analyzer=None):
-    """Invert one field's values → (doc_lengths, norms, field terms table).
+    """Invert one field's values → (doc_lengths, norms, field terms table,
+    per-doc max term frequency, per-doc unique term count) — the last two
+    are FieldInvertState.maxTermFrequency / uniqueTermCount
+    (``index/FieldInvertState.kt:59-62``), tracked per doc at invert time.
 
     The single-field inversion core (IndexingChain.invert /
     FieldInvertState, ``index/IndexingChain.kt:1153-1290``), fully
@@ -111,7 +114,14 @@ def invert_field(texts, n_docs: int, analyzer=None):
     terms_table = encode_term_table_arrays(
         uniques, s_doc, s_freq, pos_delta, term_starts, term_ends,
         pos_bounds, norms)
-    return doc_lengths, norms, terms_table
+    # FieldInvertState.maxTermFrequency / uniqueTermCount per doc — one
+    # bincount + maximum.at over the (term, doc) entry arrays
+    max_tf = np.zeros(n_docs, dtype=np.int64)
+    if n_entries:
+        np.maximum.at(max_tf, s_doc, s_freq)
+    uniq_terms = np.bincount(s_doc, minlength=n_docs).astype(np.int64) \
+        if n_entries else np.zeros(n_docs, dtype=np.int64)
+    return doc_lengths, norms, terms_table, max_tf, uniq_terms
 
 
 def field_stats_of(doc_lengths: np.ndarray, terms_table: pa.Table) -> dict:
@@ -160,12 +170,15 @@ def invert_segment(docs: pa.Table, seg: int, lineage: dict | None = None,
     field_stats: dict = {}
     for f in fields:
         ana = analyzer.get(f) if isinstance(analyzer, dict) else analyzer
-        lengths, norms, ft = invert_field(docs[f], n_docs, ana)
+        lengths, norms, ft, max_tf, uniq = invert_field(docs[f], n_docs,
+                                                        ana)
         per_field_tables.append(_prepend_field(ft, f))
-        lcol, ncol = ("length", "norm") if f == "text" else \
-            (f"length_{f}", f"norm_{f}")
-        doc_cols[lcol] = pa.array(lengths, type=pa.int32())
-        doc_cols[ncol] = pa.array(norms, type=pa.uint8())
+        sfx = "" if f == "text" else f"_{f}"
+        doc_cols[f"length{sfx}"] = pa.array(lengths, type=pa.int32())
+        doc_cols[f"norm{sfx}"] = pa.array(norms, type=pa.uint8())
+        # FieldInvertState extras (per-doc, per-field)
+        doc_cols[f"max_tf{sfx}"] = pa.array(max_tf, type=pa.int32())
+        doc_cols[f"unique_terms{sfx}"] = pa.array(uniq, type=pa.int32())
         field_stats[f] = field_stats_of(lengths, ft)
 
     for mc in meta_cols:  # stored doc-values columns (DocValues role:

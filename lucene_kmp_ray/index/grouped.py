@@ -286,6 +286,12 @@ def make_assembler(index_dir: str, lineage_source: str, segment_size: int):
             p = fu.decode_blocks(subs["pos_enc"][i].as_py(), ttf_i)
             return d, f, p
 
+        # FieldInvertState.maxTermFrequency / uniqueTermCount per doc,
+        # accumulated while the entry stream feeds the encoder (same
+        # values the sharded path computes at invert time)
+        max_tf = np.zeros(n_docs, dtype=np.int64)
+        uniq_terms = np.zeros(n_docs, dtype=np.int64)
+
         def entries():
             i, n = 0, len(terms)
             while i < n:
@@ -293,13 +299,15 @@ def make_assembler(index_dir: str, lineage_source: str, segment_size: int):
                 while j + 1 < n and terms[j + 1] == terms[i]:
                     j += 1
                 if j == i:
-                    yield (terms[i], *_passthrough(i))
+                    d, f, p = _passthrough(i)
                 else:  # head term: salt-order concat + re-encode
                     parts = [sub_arrays(x) for x in range(i, j + 1)]
-                    yield (terms[i],
-                           np.concatenate([p[0] for p in parts]),
-                           np.concatenate([p[1] for p in parts]),
-                           np.concatenate([p[2] for p in parts]))
+                    d = np.concatenate([p[0] for p in parts])
+                    f = np.concatenate([p[1] for p in parts])
+                    p = np.concatenate([p[2] for p in parts])
+                np.maximum.at(max_tf, d, f)
+                np.add.at(uniq_terms, d, 1)
+                yield (terms[i], d, f, p)
                 i = j + 1
 
         def _passthrough(i):
@@ -312,6 +320,8 @@ def make_assembler(index_dir: str, lineage_source: str, segment_size: int):
             "url": docrows["url"],
             "length": pc.cast(docrows["length"], pa.int32()),
             "norm": pc.cast(docrows["norm"], pa.uint8()),
+            "max_tf": pa.array(max_tf.astype(np.int32)),
+            "unique_terms": pa.array(uniq_terms.astype(np.int32)),
         })
         lengths = docrows["length"].to_numpy()
         manifest = {

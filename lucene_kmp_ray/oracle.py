@@ -1327,3 +1327,19 @@ WHERE 6371008.7714 * 2 * asin(least(1.0, sqrt(
          cos(radians(lat)) * cos(radians({lat})) *
          (1 - cos(radians(lon - {lon})))) * 0.5))) <= {radius_m}
 """
+
+
+def doc_term_stats() -> str:
+    """Per-doc FieldInvertState extras (FieldInvertState.kt:59-62):
+    maxTermFrequency = max tf over the doc's terms, uniqueTermCount =
+    distinct terms; zero-token docs carry 0/0."""
+    return preamble() + """,
+mx AS (
+  SELECT doc_id, max(freq) AS m, count(*) AS u
+  FROM postings GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(d.dl AS BIGINT) AS length,
+       CAST(COALESCE(mx.m, 0) AS BIGINT) AS max_tf,
+       CAST(COALESCE(mx.u, 0) AS BIGINT) AS unique_terms
+FROM doclen d LEFT JOIN mx USING (doc_id)
+"""

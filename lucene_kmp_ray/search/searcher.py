@@ -227,13 +227,22 @@ class Searcher:
             scorer = self.sim.scorer(boost, dc, sttf, dfs)
             return docs, scorer.score(freqs,
                                       sr.norms_for(query.field)[docs])
-        from .spans import SpanQuery, span_freqs
+        from .spans import SpanQuery, collect_term_fields, span_freqs
         if isinstance(query, SpanQuery):
             docs, freqs = span_freqs(sr, query)
             if not scoring:
                 return docs, np.zeros(len(docs), dtype=self.sim.dtype)
-            stats = self.reader.term_stats(query.terms(), query.field)
-            dfs = [df for df, _ in stats.values() if df > 0]
+            # term stats resolve per clause against each clause's REAL
+            # field (FieldMaskingSpanQuery masks only the reported field;
+            # collection stats + norms below use query.field — the
+            # reference's documented masking-scoring contract)
+            by_field: dict[str, list[str]] = {}
+            for t, f in collect_term_fields(query):
+                by_field.setdefault(f, []).append(t)
+            dfs = []
+            for f, ts in by_field.items():
+                stats = self.reader.term_stats(ts, f)
+                dfs.extend(df for df, _ in stats.values() if df > 0)
             if len(docs) == 0:
                 return _empty(self.sim.dtype)
             if not dfs:

@@ -148,6 +148,65 @@ class SpanFirstQuery(SpanQuery):
         return self.match.terms()
 
 
+@dataclass(frozen=True)
+class SpanPositionRangeQuery(SpanQuery):
+    """``queries/spans/SpanPositionRangeQuery.kt``: keep matches whose
+    start >= ``start`` and end <= ``end`` (SpanFirstQuery is the
+    start=0 special case)."""
+    match: SpanQuery
+    start: int
+    end: int
+
+    @property
+    def field(self):  # type: ignore[override]
+        return self.match.field
+
+    def terms(self):
+        return self.match.terms()
+
+
+@dataclass(frozen=True)
+class FieldMaskingSpanQuery(SpanQuery):
+    """``queries/spans/FieldMaskingSpanQuery.kt``: evaluates ``masked``
+    on ITS OWN field but reports ``mask_field`` as the query's field, so
+    it can compose inside SpanNear with clauses of another field (the
+    parallel-fields trick of the reference's class comment). Per the
+    reference note, scoring uses the MASK field's collection statistics
+    and norms with the REAL field's term statistics."""
+    masked: SpanQuery
+    mask_field: str
+
+    @property
+    def field(self):  # type: ignore[override]
+        return self.mask_field
+
+    def terms(self):
+        return self.masked.terms()
+
+
+def collect_term_fields(q: SpanQuery) -> list[tuple[str, str]]:
+    """(term, REAL field) pairs of every statically-declared span term —
+    FieldMasking delegates to the masked query's own field (the
+    SpanWeight-per-clause stats resolution)."""
+    if isinstance(q, SpanTermQuery):
+        return [(q.term, q.field)]
+    if isinstance(q, (SpanNearQuery, SpanOrQuery)):
+        return [p for c in q.clauses for p in collect_term_fields(c)]
+    if isinstance(q, SpanNotQuery):
+        return collect_term_fields(q.include)  # exclude never scores
+    if isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery)):
+        return collect_term_fields(q.match)
+    if isinstance(q, SpanContainingQuery):
+        return collect_term_fields(q.big)
+    if isinstance(q, SpanWithinQuery):
+        return collect_term_fields(q.little)
+    if isinstance(q, FieldMaskingSpanQuery):
+        return collect_term_fields(q.masked)
+    if isinstance(q, SpanMultiTermQueryWrapper):
+        return []
+    raise TypeError(f"unsupported span query: {q!r}")
+
+
 # ---------------------------------------------------------------- eval ----
 def _candidates(sr, q: SpanQuery) -> np.ndarray:
     """Vectorized doc-level candidate set (the ConjunctionSpans /
@@ -173,6 +232,10 @@ def _candidates(sr, q: SpanQuery) -> np.ndarray:
         return _candidates(sr, q.include)
     if isinstance(q, SpanFirstQuery):
         return _candidates(sr, q.match)
+    if isinstance(q, SpanPositionRangeQuery):
+        return _candidates(sr, q.match)
+    if isinstance(q, FieldMaskingSpanQuery):
+        return _candidates(sr, q.masked)
     if isinstance(q, (SpanContainingQuery, SpanWithinQuery)):
         from .searcher import _intersect
         return _intersect(_candidates(sr, q.big),
@@ -228,6 +291,11 @@ def _doc_spans(sr, q: SpanQuery, doc: int) -> list[tuple[int, int, int]]:
                 if not any(e[0] < s[1] and s[0] < e[1] for e in exc)]
     if isinstance(q, SpanFirstQuery):
         return [s for s in _doc_spans(sr, q.match, doc) if s[1] <= q.end]
+    if isinstance(q, SpanPositionRangeQuery):
+        return [s for s in _doc_spans(sr, q.match, doc)
+                if s[0] >= q.start and s[1] <= q.end]
+    if isinstance(q, FieldMaskingSpanQuery):
+        return _doc_spans(sr, q.masked, doc)
     if isinstance(q, SpanContainingQuery):
         big = _doc_spans(sr, q.big, doc)
         little = _doc_spans(sr, q.little, doc)

@@ -141,3 +141,58 @@ def test_span_multiterm_wrapper(span_index):
     # wrapper standalone: all docs containing any t-prefixed term
     td = _hits(s, wrapped)
     assert set(td) == {0, 1, 2, 3, 4}
+
+
+def test_span_position_range(span_index):
+    """SpanPositionRangeQuery.kt: matches only within [start, end);
+    SpanFirst is the start=0 case."""
+    from lucene_kmp_ray.search import (Searcher, SpanPositionRangeQuery,
+                                       SpanTermQuery)
+    from lucene_kmp_ray.index.reader import IndexReader
+
+    s = Searcher(IndexReader(span_index))
+    # positions of t1 in doc texts vary; range [1, 3) keeps only spans
+    # starting at 1 or 2 with end <= 3
+    q = SpanPositionRangeQuery(SpanTermQuery("t1"), 1, 3)
+    hits = {h.doc_id for h in s.search(q, k=100).score_docs}
+    # brute check against the span fixture corpus (same texts as fixture)
+    texts = ["t1 t2 t1 t3 t2 t3", "t1 t2 t3", "t3 t2 t1",
+             "t1 x x x t2 t3", "t2 t1 y t3", "z z z z"]
+    exp = {i for i, t in enumerate(texts)
+           if any(p in (1, 2) for p, w in enumerate(t.split())
+                  if w == "t1")}
+    assert hits == exp
+
+
+def test_field_masking_span(ray_session, tmp_path):
+    """FieldMaskingSpanQuery.kt class-comment scenario: parallel fields
+    (first names / surnames at aligned positions); masking surname spans
+    into the firstname field lets SpanNear(slop=0... here -1≈0 adjacency
+    via slop=0 and ordered) pair james+jones by POSITION across fields."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.search import (FieldMaskingSpanQuery, Searcher,
+                                       SpanNearQuery, SpanTermQuery)
+
+    # teacher 1: james jones; teacher 2: james smith, sally jones —
+    # james@0 pairs with jones@0 only for teacher 1
+    first = ["james", "james sally"]
+    sur = ["jones", "smith jones"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "url": pa.array(["t1", "t2"], pa.string()),
+        "text": pa.array(first, pa.string()),
+        "surname": pa.array(sur, pa.string())}))
+    idx = str(tmp_path / "mask")
+    build_index(ds, idx, segment_size=10, fields=("text", "surname"))
+    s = Searcher(IndexReader(idx))
+    q1 = SpanTermQuery("james", "text")
+    q2 = FieldMaskingSpanQuery(SpanTermQuery("jones", "surname"), "text")
+    # same-position pairing: unordered near with slop -1 (the class
+    # comment's exact construction) — only OVERLAPPING spans qualify
+    q = SpanNearQuery((q1, q2), slop=-1, in_order=False)
+    hits = sorted(h.doc_id for h in s.search(q, k=10).score_docs)
+    assert hits == [0]
