@@ -579,6 +579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cjk_bigram_counts": textstats.cjk_bigram_counts,
         "ascii_fold_tokens": textstats.ascii_fold_tokens,
         "shingle_counts": textstats.shingle_counts,
+        "url_email_tokens": textstats.url_email_tokens,
         "synonym_quick_top10": _synonym_topk,
         "geo_box_all": _geo_box_all,
         "geo_distance_all": _geo_distance_all,
@@ -735,6 +736,7 @@ def oracle_sql() -> dict[str, str]:
         "cjk_bigram_counts": oracle.cjk_bigram_counts(),
         "ascii_fold_tokens": oracle.ascii_fold_tokens(),
         "shingle_counts": oracle.shingle_counts(),
+        "url_email_tokens": oracle.url_email_tokens(),
         "synonym_quick_top10": oracle.synonym_quick_topk(*SYNONYM_RULE),
         "geo_box_all": oracle.geo_box_all(*GEO_BOX),
         "geo_distance_all": oracle.geo_distance_all(*GEO_CENTER,

@@ -1343,3 +1343,56 @@ SELECT d.doc_id, CAST(d.dl AS BIGINT) AS length,
        CAST(COALESCE(mx.u, 0) AS BIGINT) AS unique_terms
 FROM doclen d LEFT JOIN mx USING (doc_id)
 """
+
+
+# ------------------------------------------------- URL/email tokenizer ----
+def url_email_tokens() -> str:
+    """Mirror of textstats.url_email_tokens: whitespace chunks classified
+    by ANCHORED RE2 versions of the analyzer's email / no-scheme-URL
+    patterns (anchoring replaces the Python pattern's lookahead), other
+    chunks fall through to the standard word tokenizer."""
+    from .analysis.standard import sql_tokens_expr
+    from .analysis.urlemail import GTLDS
+    tld = "|".join(sorted(GTLDS, key=len, reverse=True)) + "|[A-Za-z]{2}"
+    label = "[A-Za-z0-9]([A-Za-z0-9-]*[A-Za-z0-9])?"
+    email = rf"^[A-Za-z0-9!#$%&'*+/=?^_`{{|}}~.\-]+@({label}\.)+[A-Za-z][A-Za-z]+$"
+    nos = (rf"^({label}\.)+({tld})(:[0-9]+)?"
+           rf"(/([-A-Za-z0-9._~%!$&'()*+,;=:@/]*[-A-Za-z0-9_~%$&'*+=@/])?)?"
+           rf"(\?[^ <>\"#]*)?(#[^ <>\"]*)?$")
+    email_sql = email.replace("'", "''")
+    nos_sql = nos.replace("'", "''")
+    word = sql_tokens_expr("chunks[oi.i]")
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+    ['visit',
+     'example' || (doc_id % 7) || '.com:80' || (doc_id % 9) || '/p' ||
+       (doc_id % 5),
+     (['index.php', 'index2.php', 'example.ph', 'the'])[(doc_id % 4) + 1],
+     'user' || (doc_id % 11) || '@MAIL' || (doc_id % 3) || '.org',
+     'now'] AS chunks
+  FROM documents
+),
+cl AS (
+  SELECT doc_id, oi.i AS ord, chunks[oi.i] AS chunk,
+    CASE
+      WHEN regexp_matches(chunks[oi.i], '{email_sql}')
+        OR regexp_matches(chunks[oi.i], '{nos_sql}')
+      THEN [lower(chunks[oi.i])]
+      ELSE {word}
+    END AS tk
+  FROM src, (SELECT unnest(generate_series(1, 5)) AS i) oi
+),
+flat AS (
+  SELECT doc_id, ord, unnest(tk) AS term,
+         unnest(generate_series(1, len(tk))) AS sub
+  FROM cl
+),
+ordered AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord, sub) - 1
+           AS pos
+  FROM flat
+)
+SELECT doc_id, pos, term FROM ordered
+"""

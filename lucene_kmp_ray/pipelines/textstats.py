@@ -452,3 +452,33 @@ def shingle_counts(sf_dir: str):
     from .dedup import _read_docs
     return _read_docs(sf_dir, ["doc_id", "text"]) \
         .map_batches(counts, batch_format="pyarrow")
+
+
+def url_email_tokens(sf_dir: str):
+    """Deterministic URL/email-bearing text per doc → UAX29URLEmailAnalyzer
+    tokens as (doc_id, pos, term). The chunk set exercises every decision
+    path: scheme-less URL with port+path, a TLD-vs-not pair
+    (example.ph URL vs index.php ALPHANUM vs index2.php split), an email,
+    and plain words. Oracle: oracle.url_email_tokens — the SAME
+    classification run as anchored RE2 per whitespace chunk."""
+    from ..analysis.urlemail import UAX29URLEmailAnalyzer
+
+    analyzer = UAX29URLEmailAnalyzer()
+
+    def rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        texts = []
+        for d in ids:
+            d = int(d)
+            c3 = ("index.php", "index2.php", "example.ph", "the")[d % 4]
+            texts.append(
+                f"visit example{d % 7}.com:80{d % 9}/p{d % 5} {c3} "
+                f"user{d % 11}@MAIL{d % 3}.org now")
+        dl, flat, doc_of, pos = analyzer.analyze_flat(texts)
+        return pa.table({
+            "doc_id": pa.array(ids[doc_of], pa.int64()),
+            "pos": pa.array(pos.astype(np.int64)),
+            "term": flat,
+        })
+
+    return _docs_ds(sf_dir).map_batches(rows, batch_format="pyarrow")
