@@ -213,6 +213,9 @@ class _Parser:
         self.i += 1
         return t
 
+    def _phrase(self, tok: _Tok):
+        return _phrase_to_query(tok, self.analyzer, self.default_field)
+
     def parse(self) -> Query:
         clauses: list[tuple[Occur, Query]] = []
         pending_occur: Occur | None = None
@@ -246,8 +249,7 @@ class _Parser:
             else:
                 nxt_boost = t.boost
                 if t.kind == "phrase":
-                    q = _phrase_to_query(t, self.analyzer,
-                                         self.default_field)
+                    q = self._phrase(t)
                 elif t.kind == "range":
                     q = _range_to_query(t, self.default_field)
                 elif t.kind == "regex":
@@ -320,3 +322,118 @@ def multi_field_parse(s: str, fields: tuple[str, ...] = ("text", "title"),
         return node
 
     return expand(q)
+
+
+# ------------------------------------------------ ComplexPhraseQueryParser
+def _span_element(tok: _Tok, fld: str, analyzer):
+    """One phrase element → a span: plain term → SpanTermQuery,
+    wildcard/prefix/fuzzy/range → SpanMultiTermQueryWrapper."""
+    from .query import MultiTermQuery
+    from .spans import SpanMultiTermQueryWrapper, SpanTermQuery
+
+    if (tok.extra or {}).get("field"):
+        raise ValueError(
+            f"field-scoped element inside complex phrase: {tok.text!r}")
+    if tok.kind == "range":
+        q = _range_to_query(tok, fld)
+    elif tok.kind == "regex":
+        q = RegexpQuery(tok.text.replace("\\/", "/"), field=fld)
+    else:
+        q = _term_to_query(tok, analyzer, fld)
+    if q is None:
+        return None
+    if isinstance(q, TermQuery):
+        return SpanTermQuery(q.term, q.field)
+    if isinstance(q, MultiTermQuery):
+        return SpanMultiTermQueryWrapper(q)
+    raise ValueError(f"unsupported complex-phrase element: {tok.text!r}")
+
+
+def _complex_phrase_to_query(tok: _Tok, analyzer, default_field: str,
+                             in_order: bool):
+    """Quoted phrase with embedded wildcard/fuzzy/range/group syntax →
+    span algebra (the ComplexPhraseQuery rewrite,
+    ``queryparser/complexPhrase/ComplexPhraseQueryParser.kt``):
+    each element contributes one slot; ``(a OR b)`` → SpanOr,
+    ``(jo* -john)`` → SpanNot(SpanOr(positives), SpanOr(negatives));
+    slots combine through SpanNearQuery(slop, in_order)."""
+    from .spans import SpanNearQuery, SpanNotQuery, SpanOrQuery
+
+    fld = (tok.extra or {}).get("field") or default_field
+    body_toks = _lex(tok.text)
+    slots = []
+    i = 0
+    while i < len(body_toks):
+        t = body_toks[i]
+        if t.kind == "lparen":
+            inc, exc = [], []
+            neg = False
+            i += 1
+            while i < len(body_toks) and body_toks[i].kind != "rparen":
+                tj = body_toks[i]
+                if tj.kind in ("minus", "not"):
+                    neg = True
+                elif tj.kind in ("or", "and", "plus"):
+                    pass
+                else:
+                    sq = _span_element(tj, fld, analyzer)
+                    if sq is not None:
+                        (exc if neg else inc).append(sq)
+                    neg = False
+                i += 1
+            i += 1  # consume rparen
+            if not inc:
+                raise ValueError("complex phrase group needs a positive "
+                                 "element")
+            q = inc[0] if len(inc) == 1 else SpanOrQuery(tuple(inc))
+            if exc:
+                e = exc[0] if len(exc) == 1 else SpanOrQuery(tuple(exc))
+                q = SpanNotQuery(q, e)
+            slots.append(q)
+        elif t.kind in ("term", "range", "regex"):
+            sq = _span_element(t, fld, analyzer)
+            if sq is not None:
+                slots.append(sq)
+            i += 1
+        else:
+            raise ValueError(
+                f"unsupported token in complex phrase: {t.kind}")
+    if not slots:
+        return None
+    if len(slots) == 1:
+        return slots[0]
+    return SpanNearQuery(tuple(slots), slop=tok.extra["slop"],
+                         in_order=in_order)
+
+
+_PHRASE_SYNTAX_RE = re.compile(r'(?<!\\)[*?~()\[\{]|\sTO\s|(?<!\\)-')
+
+
+class _ComplexPhraseParser(_Parser):
+    """Phrases with complex syntax route through the span builder; plain
+    phrases keep the exact PhraseQuery path (same matches; keeps BM25
+    phrase scoring parity with the classic parser)."""
+
+    def __init__(self, toks, analyzer=None, default_field="text",
+                 in_order=True):
+        super().__init__(toks, analyzer, default_field)
+        self.in_order = in_order
+
+    def _phrase(self, tok: _Tok):
+        if _PHRASE_SYNTAX_RE.search(tok.text):
+            return _complex_phrase_to_query(tok, self.analyzer,
+                                            self.default_field,
+                                            self.in_order)
+        return _phrase_to_query(tok, self.analyzer, self.default_field)
+
+
+def complex_phrase_parse(s: str, analyzer=None,
+                         default_field: str = "text",
+                         in_order: bool = True) -> Query:
+    """ComplexPhraseQueryParser analog
+    (``queryparser/complexPhrase/ComplexPhraseQueryParser.kt``): classic
+    syntax OUTSIDE quotes; INSIDE quotes, wildcard / prefix / fuzzy /
+    range / grouped-OR / negation elements build a SpanNear over the
+    phrase slots."""
+    return _ComplexPhraseParser(_lex(s), analyzer, default_field,
+                                in_order).parse()
