@@ -94,6 +94,30 @@ def _german_topk(sf_dir: str):
 GERMAN_QUERY_WORD = "merge"
 
 
+def _french_topk(sf_dir: str):
+    """Top-10 for the French-analyzed index (FrenchAnalyzer chain:
+    elision → stop → UniNE light stem; query analyzed the same way).
+    Rows-only: the stemmer's duplicate-letter collapse needs pattern
+    backreferences RE2 lacks; 77 exact stemmer vectors + chain parity
+    live in tests/test_french_analyzer.py."""
+    import os
+
+    from lucene_kmp_ray.analysis.french import FrenchAnalyzer
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.sources.corpus import corpus_dataset
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/lucene_kmp_ray_index_fr/{tag}"
+    analyzer = FrenchAnalyzer()
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(corpus_dataset(sf_dir), idx, segment_size=SEGMENT_SIZE,
+                    analyzer=analyzer)
+    (term,) = analyzer("merge")
+    return search_distributed(idx, {"q": TermQuery(term)}, k=10,
+                              dtype="float64").to_pandas() \
+        [["doc_id", "url", "score"]]
+
+
 def _german_query_term() -> str:
     from lucene_kmp_ray.analysis.german import GermanAnalyzer
     return GermanAnalyzer()(GERMAN_QUERY_WORD)[0]
@@ -576,6 +600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # parity live in tests/test_english_analyzer.py
         "bm25_english_top10": _english_topk,
         "bm25_german_top10": _german_topk,
+        "bm25_french_top10": _french_topk,
         "cjk_bigram_counts": textstats.cjk_bigram_counts,
         "ascii_fold_tokens": textstats.ascii_fold_tokens,
         "shingle_counts": textstats.shingle_counts,
