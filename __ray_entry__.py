@@ -133,10 +133,9 @@ GEO_RADIUS_M = 5_000_000.0
 
 
 def _ensure_geo_index(sf_dir: str) -> str:
-    """Index with lat/lon doc-meta columns (LatLonPoint role): coordinates
-    derived deterministically from doc_id, stored via meta_cols."""
-    import pyarrow.compute as pc
-
+    """Index with lat/lon + lang doc-meta columns (LatLonPoint role +
+    the facet dimension): coordinates derived deterministically from
+    doc_id, stored via meta_cols."""
     from lucene_kmp_ray.index.builder import build_index
     from lucene_kmp_ray.sources.corpus import corpus_dataset
 
@@ -149,11 +148,29 @@ def _ensure_geo_index(sf_dir: str) -> str:
             lon = (d * 73 % 36000) / 100.0 - 180.0
             return b.append_column("lat", pa.array(lat, pa.float64())) \
                     .append_column("lon", pa.array(lon, pa.float64()))
-        ds = corpus_dataset(sf_dir, columns=["doc_id", "url", "text"]) \
+        ds = corpus_dataset(sf_dir, columns=["doc_id", "url", "text",
+                                             "lang"]) \
             .map_batches(add_coords, batch_format="pyarrow")
         build_index(ds, idx, segment_size=SEGMENT_SIZE,
-                    meta_cols=("lat", "lon"))
+                    meta_cols=("lat", "lon", "lang"))
     return idx
+
+
+def _facet_lang_counts(sf_dir: str):
+    """Facet counts over search results (the Lucene facets-module role
+    re-expressed Ray-Data-native): matches of a query grouped by a
+    doc-meta dimension column — no join, the dimension rides the index's
+    docs table (meta_cols) and the shuffle moves only (lang, 1) rows."""
+    import pandas as pd
+
+    matches = search_all_matches(_ensure_geo_index(sf_dir),
+                                 TermQuery(TERM_A), meta_cols=("lang",))
+
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lang": [g["lang"].iloc[0]],
+                             "n": [len(g)]})
+
+    return matches.groupby("lang").map_groups(count, batch_format="pandas")
 
 
 def _geo_box_all(sf_dir: str):
@@ -607,6 +624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_email_tokens": textstats.url_email_tokens,
         "synonym_quick_top10": _synonym_topk,
         "geo_box_all": _geo_box_all,
+        "facet_lang_counts": _facet_lang_counts,
         "geo_distance_all": _geo_distance_all,
         # span positional algebra (NearSpansOrdered greedy match stream is
         # traversal-order-dependent like the sloppy matcher) → rows-only;
@@ -764,6 +782,7 @@ def oracle_sql() -> dict[str, str]:
         "url_email_tokens": oracle.url_email_tokens(),
         "synonym_quick_top10": oracle.synonym_quick_topk(*SYNONYM_RULE),
         "geo_box_all": oracle.geo_box_all(*GEO_BOX),
+        "facet_lang_counts": oracle.facet_lang_counts(TERM_A),
         "geo_distance_all": oracle.geo_distance_all(*GEO_CENTER,
                                                     GEO_RADIUS_M),
         "simhash_signatures": oracle.simhash_signatures(),

@@ -1396,3 +1396,13 @@ ordered AS (
 )
 SELECT doc_id, pos, term FROM ordered
 """
+
+
+def facet_lang_counts(term: str) -> str:
+    """Facet mirror: BM25 matches of ``term`` counted per lang."""
+    return preamble() + f"""
+SELECT c.lang, CAST(count(*) AS BIGINT) AS n
+FROM postings p JOIN corpus c USING (doc_id)
+WHERE p.term = '{term}'
+GROUP BY c.lang
+"""
