@@ -164,6 +164,21 @@ def run_bench() -> dict:
     ann.ann_brute_topk(SF_DIR).count()
     timings["ann_brute_topk"] = round(time.monotonic() - t0, 3)
 
+    # round-3 additions (additive keys — existing lines stay comparable)
+    import shutil as _sh
+
+    from lucene_kmp_ray.pipelines import dedup as _dedup
+    t0 = time.monotonic()
+    _dedup.near_dup_clusters(SF_DIR).count()
+    timings["near_dup_clusters"] = round(time.monotonic() - t0, 3)
+    _sh.rmtree("/tmp/bench_ivf_idx", ignore_errors=True)
+    t0 = time.monotonic()
+    ann.ann_ivf_partitioned(SF_DIR, index_dir="/tmp/bench_ivf_idx").count()
+    timings["ann_ivf_partitioned_cold"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    ann.ann_ivf_partitioned(SF_DIR, index_dir="/tmp/bench_ivf_idx").count()
+    timings["ann_ivf_partitioned_warm"] = round(time.monotonic() - t0, 3)
+
     ray.shutdown()
     return {
         "metric": "index-build sec (headline) + stage timings",
