@@ -20,7 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from lucene_kmp_ray import oracle
-from lucene_kmp_ray.pipelines import ann, dedup, events, textstats
+from lucene_kmp_ray.pipelines import ann, dedup, events, sketches, textstats
 from lucene_kmp_ray.search import (BooleanQuery, DisjunctionMaxQuery,
                                    FuzzyQuery, Occur, PhraseQuery,
                                    PrefixQuery, RangeFilterQuery, Searcher,
@@ -664,6 +664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_counts": events.tumbling_counts,
         "hopping_counts": events.hopping_counts,
         "sessionize": events.sessionize,
+        "hll_user_counts": sketches.hll_user_counts,
         # --- similarity search ---
         "ann_cosine_top10": _ann_brute,
         "ann_lsh_top10": _ann_lsh,
@@ -791,6 +792,7 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_counts": oracle.tumbling_counts(),
         "hopping_counts": oracle.hopping_counts(),
         "sessionize": oracle.sessionize(),
+        "hll_user_counts": oracle.hll_user_counts(),
         # Intentionally no SQL (driver records rows-only checks):
         # bm25_english (Porter stemming), span_near / sloppy_phrase
         # (traversal-order-dependent matchers), ann_ivf (trained k-means

@@ -1406,3 +1406,78 @@ FROM postings p JOIN corpus c USING (doc_id)
 WHERE p.term = '{term}'
 GROUP BY c.lang
 """
+
+
+# -------------------------------------------------- HyperLogLog sketch ----
+def hll_user_counts(window_minutes: int = 15) -> str:
+    """Mirror of pipelines.sketches.hll_user_counts: same md5-head hash,
+    exact integer bit_length (6-step binary-search cascade — no float
+    log), registers summed in integer 2^-56 units (HUGEINT), identical
+    estimator float ops → exact match by construction."""
+    from .pipelines.sketches import _ALPHA, HLL_M, HLL_W
+    w_us = window_minutes * 60 * 1_000_000
+    mask = (1 << HLL_W) - 1
+    shift_units = HLL_W + 1  # 2^-rho in 2^-56 units = 1 << (56 - rho)
+    a = f"CAST({_ALPHA!r} AS DOUBLE)"  # bare decimal literal would be
+    # DECIMAL(16,16) and overflow on * 512; the engine computes in float64
+    num = f"{a} * {HLL_M} * {HLL_M} * {float(1 << shift_units)!r}"
+    return f"""
+WITH ev AS (
+  SELECT DISTINCT (epoch_us(ts) // {w_us}) * {w_us} AS window_us, user_id
+  FROM events
+),
+h0 AS (
+  SELECT window_us,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT
+           AS hv
+  FROM ev
+),
+hb AS (
+  SELECT window_us, CAST(hv >> {HLL_W} AS BIGINT) AS bucket,
+         hv & CAST({mask} AS UBIGINT) AS lo
+  FROM h0
+),
+b1 AS (SELECT window_us, bucket,
+              CASE WHEN lo >= 4294967296 THEN lo >> 32 ELSE lo END AS x,
+              CASE WHEN lo >= 4294967296 THEN 32 ELSE 0 END AS bl FROM hb),
+b2 AS (SELECT window_us, bucket,
+              CASE WHEN x >= 65536 THEN x >> 16 ELSE x END AS x,
+              bl + CASE WHEN x >= 65536 THEN 16 ELSE 0 END AS bl FROM b1),
+b3 AS (SELECT window_us, bucket,
+              CASE WHEN x >= 256 THEN x >> 8 ELSE x END AS x,
+              bl + CASE WHEN x >= 256 THEN 8 ELSE 0 END AS bl FROM b2),
+b4 AS (SELECT window_us, bucket,
+              CASE WHEN x >= 16 THEN x >> 4 ELSE x END AS x,
+              bl + CASE WHEN x >= 16 THEN 4 ELSE 0 END AS bl FROM b3),
+b5 AS (SELECT window_us, bucket,
+              CASE WHEN x >= 4 THEN x >> 2 ELSE x END AS x,
+              bl + CASE WHEN x >= 4 THEN 2 ELSE 0 END AS bl FROM b4),
+b6 AS (SELECT window_us, bucket,
+              CASE WHEN x >= 2 THEN x >> 1 ELSE x END AS x,
+              bl + CASE WHEN x >= 2 THEN 1 ELSE 0 END AS bl FROM b5),
+rho AS (
+  SELECT window_us, bucket,
+         {HLL_W + 1} - (bl + CASE WHEN x = 1 THEN 1 ELSE 0 END) AS rho
+  FROM b6
+),
+regs AS (SELECT window_us, bucket, max(rho) AS m
+         FROM rho GROUP BY window_us, bucket),
+agg AS (
+  SELECT window_us, count(*) AS nset,
+         sum(1::HUGEINT << ({shift_units} - m)) AS units
+  FROM regs GROUP BY window_us
+),
+est AS (
+  SELECT window_us, nset,
+         CAST(CAST(units AS HUGEINT) +
+              CAST({HLL_M} - nset AS HUGEINT) *
+              (1::HUGEINT << {shift_units}) AS DOUBLE) AS total
+  FROM agg
+)
+SELECT window_us, CAST(nset AS BIGINT) AS n_registers,
+       round(CASE WHEN {num} / total <= {2.5 * HLL_M}
+                   AND nset < {HLL_M}
+             THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / ({HLL_M} - nset))
+             ELSE {num} / total END, 6) AS est_users_r
+FROM est
+"""

@@ -120,3 +120,24 @@ def test_image_features_real_bmp_decode(ray_session):
     for i in range(12):
         assert abs(out["mean_rgb"][i][0] - (10 * i) % 256) < 1e-6, i
         assert sum(out["luminance_hist"][i]) == 32 * 24
+
+
+def test_hll_sketch_accuracy_and_merge(ray_session):
+    """HLL distinct-user sketch: estimates within the m=512 error bound
+    (~3/sqrt(512) ≈ 13% at 3σ) of exact per-window cardinalities, and the
+    partial-register merge is order-independent (associative max)."""
+    import duckdb
+
+    from lucene_kmp_ray.pipelines.sketches import hll_user_counts
+
+    sf = "/root/testdata/sf0.001"
+    got = hll_user_counts(sf).to_pandas().set_index("window_us")
+    con = duckdb.connect()
+    exact = con.sql(
+        "SELECT (epoch_us(ts) // 900000000) * 900000000 AS w, "
+        "count(DISTINCT user_id) AS n FROM "
+        f"'{sf}/events.parquet' GROUP BY w").df().set_index("w")
+    assert set(got.index) == set(exact.index)
+    for w in got.index:
+        est, true = got.loc[w, "est_users_r"], int(exact.loc[w, "n"])
+        assert abs(est - true) <= max(3, 0.15 * true), (w, est, true)
