@@ -1481,3 +1481,37 @@ SELECT window_us, CAST(nset AS BIGINT) AS n_registers,
              ELSE {num} / total END, 6) AS est_users_r
 FROM est
 """
+
+
+def cms_term_counts(probe_terms: tuple[str, ...] = ()) -> str:
+    """Mirror of pipelines.sketches.cms_term_counts: per probe term and
+    hash row, sum the exact counts of every vocabulary term hashing to
+    the probe's column ('row:term' md5-head mod W) — algebraically the
+    merged CMS counter — then min over rows."""
+    from .analysis.standard import sql_tokens_expr
+    from .pipelines.sketches import CMS_D, CMS_W
+    if not probe_terms:
+        probe_terms = ("spark", "the", "join", "data", "window")
+    probes = ", ".join(f"('{t}')" for t in sorted(probe_terms))
+    js = ", ".join(str(j) for j in range(CMS_D))
+
+    def col(term_expr: str) -> str:
+        return (f"('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || "
+                f"{term_expr}), 1, 16))::UBIGINT % {CMS_W}")
+
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+tok AS (
+  SELECT unnest({sql_tokens_expr('text')}) AS term FROM corpus
+),
+tf AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+probes(term) AS (VALUES {probes}),
+est AS (
+  SELECT p.term, j.j,
+    (SELECT COALESCE(sum(tf.n), 0) FROM tf
+     WHERE {col('tf.term')} = {col('p.term')}) AS cnt
+  FROM probes p, (SELECT unnest([{js}]) AS j) j
+)
+SELECT term, CAST(min(cnt) AS BIGINT) AS est_count
+FROM est GROUP BY term
+"""

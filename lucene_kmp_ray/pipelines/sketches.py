@@ -107,3 +107,87 @@ def hll_user_counts(sf_dir: str, window_minutes: int = WINDOW_MINUTES):
 
     return partials.groupby("window_us").map_groups(
         estimate, batch_format="pandas")
+
+
+# ------------------------------------------------- Count-Min sketch -------
+CMS_D = 4       # hash rows
+CMS_W = 1024    # counters per row
+
+
+def _cms_cols(terms: list[str], row: int) -> np.ndarray:
+    """Column of each term in hash row ``row``: first 8 md5 bytes of
+    "row:term" mod CMS_W (deterministic, SQL-reproducible)."""
+    from .dedup import _md5_digests
+    d = _md5_digests([f"{row}:{t}" for t in terms])
+    h = d[:, 0].astype(np.uint64)
+    for i in range(1, 8):
+        h = (h << np.uint64(8)) | d[:, i].astype(np.uint64)
+    return (h % np.uint64(CMS_W)).astype(np.int64)
+
+
+def cms_term_counts(sf_dir: str, probe_terms: tuple[str, ...] = ()):
+    """Count-Min Sketch (Cormode & Muthukrishnan 2005) over the corpus
+    token stream: per-batch partial counter matrices (d×w = 4×1024)
+    merge by ADDITION in one bounded groupby — shuffle ≤ 4096 rows per
+    batch regardless of vocabulary. Returns per probe term the CMS
+    estimate est = min_j C[j, h_j(term)] (an over-estimate bounded by
+    ε·N w.p. 1−δ). Deterministic md5 row-hashes → the DuckDB oracle
+    rebuilds the identical counters (oracle.cms_term_counts)."""
+    import ray.data as rd
+
+    from ..analysis.standard import tokenize_flat
+
+    if not probe_terms:
+        probe_terms = ("spark", "the", "join", "data", "window")
+
+    def partial(b: pa.Table) -> pa.Table:
+        _, flat = tokenize_flat(b["text"].to_pylist())
+        dict_arr = flat.dictionary_encode()
+        codes = dict_arr.indices.to_numpy().astype(np.int64) if len(flat) \
+            else np.empty(0, np.int64)
+        vocab = dict_arr.dictionary.to_pylist()
+        tf = np.bincount(codes, minlength=len(vocab)).astype(np.int64)
+        rows, cols, cnts = [], [], []
+        for j in range(CMS_D):
+            c = _cms_cols(vocab, j) if vocab else np.empty(0, np.int64)
+            # several vocab terms may share a column: aggregate locally
+            agg = np.zeros(CMS_W, dtype=np.int64)
+            np.add.at(agg, c, tf)
+            nz = np.flatnonzero(agg)
+            rows.append(np.full(len(nz), j, np.int64))
+            cols.append(nz)
+            cnts.append(agg[nz])
+        return pa.table({
+            "row": pa.array(np.concatenate(rows) if rows else [],
+                            pa.int64()),
+            "col": pa.array(np.concatenate(cols) if cols else [],
+                            pa.int64()),
+            "n": pa.array(np.concatenate(cnts) if cnts else [],
+                          pa.int64()),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"row": [int(g["row"].iloc[0])],
+                             "col": [int(g["col"].iloc[0])],
+                             "n": [int(g["n"].sum())]})
+
+    counters = partials.groupby(["row", "col"]).map_groups(
+        merge, batch_format="pandas").to_pandas()
+    cm = {}
+    for _, r in counters.iterrows():
+        cm[(int(r["row"]), int(r["col"]))] = int(r["n"])
+    out_terms, out_est = [], []
+    probes = sorted(probe_terms)
+    for t in probes:
+        ests = []
+        for j in range(CMS_D):
+            col = int(_cms_cols([t], j)[0])
+            ests.append(cm.get((j, col), 0))
+        out_terms.append(t)
+        out_est.append(min(ests))
+    return pd.DataFrame({"term": out_terms,
+                         "est_count": np.array(out_est, np.int64)})

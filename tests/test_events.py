@@ -141,3 +141,26 @@ def test_hll_sketch_accuracy_and_merge(ray_session):
     for w in got.index:
         est, true = got.loc[w, "est_users_r"], int(exact.loc[w, "n"])
         assert abs(est - true) <= max(3, 0.15 * true), (w, est, true)
+
+
+def test_cms_overestimate_property(ray_session):
+    """Count-Min estimates are >= the exact counts (one-sided error) and
+    tight at this scale (31-term vocab, 4x1024 counters → collisions
+    essentially never)."""
+    import duckdb
+
+    from lucene_kmp_ray.pipelines.sketches import cms_term_counts
+
+    sf = "/root/testdata/sf0.001"
+    got = cms_term_counts(sf).set_index("term")
+    con = duckdb.connect()
+    from lucene_kmp_ray.analysis.standard import sql_tokens_expr
+    exact = con.sql(
+        f"WITH t AS (SELECT unnest({sql_tokens_expr('text')}) AS term "
+        f"FROM '{sf}/documents.parquet') "
+        "SELECT term, count(*) AS n FROM t GROUP BY term").df() \
+        .set_index("term")
+    for t in got.index:
+        est, true = int(got.loc[t, "est_count"]), int(exact.loc[t, "n"])
+        assert est >= true, t          # CMS never under-estimates
+        assert est <= true * 1.5 + 10, t
