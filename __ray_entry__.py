@@ -665,6 +665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_counts": events.hopping_counts,
         "sessionize": events.sessionize,
         "hll_user_counts": sketches.hll_user_counts,
+        "props_stats": events.props_stats,
         "cms_term_counts": lambda sf: sketches.cms_term_counts(sf),
         # --- similarity search ---
         "ann_cosine_top10": _ann_brute,
@@ -794,6 +795,7 @@ def oracle_sql() -> dict[str, str]:
         "hopping_counts": oracle.hopping_counts(),
         "sessionize": oracle.sessionize(),
         "hll_user_counts": oracle.hll_user_counts(),
+        "props_stats": oracle.props_stats(),
         "cms_term_counts": oracle.cms_term_counts(),
         # Intentionally no SQL (driver records rows-only checks):
         # bm25_english (Porter stemming), span_near / sloppy_phrase

@@ -1515,3 +1515,20 @@ est AS (
 SELECT term, CAST(min(cnt) AS BIGINT) AS est_count
 FROM est GROUP BY term
 """
+
+
+def props_stats() -> str:
+    """Mirror of pipelines.events.props_stats: regexp field extraction
+    from the JSON props column, exact integer aggregation per type."""
+    return r"""
+WITH x AS (
+  SELECT event_type,
+         CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+  FROM events
+  WHERE regexp_matches(props, '"k": (\d+)')
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       round(CAST(sum(k) AS DOUBLE) / count(*), 6) AS mean_k_r
+FROM x GROUP BY event_type
+"""

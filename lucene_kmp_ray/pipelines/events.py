@@ -154,3 +154,38 @@ def hopping_counts(sf_dir: str, window_minutes: int = WINDOW_MINUTES,
 
     return partials.groupby(["event_type", "window_us"]).map_groups(
         merge, batch_format="pandas")
+
+
+def props_stats(sf_dir: str):
+    """Semi-structured extraction: pull the numeric ``k`` field out of the
+    JSON ``props`` column with ONE Arrow ``extract_regex`` kernel (no
+    per-row json.loads), then partial count/sum per event_type merged in
+    a tiny groupby. The shape of every log-enrichment stage at 100 TB:
+    vectorized field extraction + associative partial aggregation.
+    Oracle: oracle.props_stats (regexp_extract + exact integer sums)."""
+    import ray.data as rd
+
+    def partial(b: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(b["props"], pattern=r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        t = pa.table({"event_type": b["event_type"], "k": k})
+        g = t.group_by(["event_type"]).aggregate(
+            [("k", "count"), ("k", "sum")])
+        return g.rename_columns(["event_type", "pcount", "psum"])
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["pcount"].sum())
+        s = int(g["psum"].sum())
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_with_k": [n],
+            "sum_k": [s],
+            "mean_k_r": [round(s / n, 6) if n else 0.0],
+        })
+
+    return partials.groupby("event_type").map_groups(
+        merge, batch_format="pandas")
