@@ -620,6 +620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_french_top10": _french_topk,
         "cjk_bigram_counts": textstats.cjk_bigram_counts,
         "ascii_fold_tokens": textstats.ascii_fold_tokens,
+        "word_delimiter_tokens": textstats.word_delimiter_tokens,
         "shingle_counts": textstats.shingle_counts,
         "url_email_tokens": textstats.url_email_tokens,
         "synonym_quick_top10": _synonym_topk,
@@ -781,6 +782,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_german_top10": oracle.bm25_german_topk(_german_query_term()),
         "cjk_bigram_counts": oracle.cjk_bigram_counts(),
         "ascii_fold_tokens": oracle.ascii_fold_tokens(),
+        "word_delimiter_tokens": oracle.word_delimiter_tokens(),
         "shingle_counts": oracle.shingle_counts(),
         "url_email_tokens": oracle.url_email_tokens(),
         "synonym_quick_top10": oracle.synonym_quick_topk(*SYNONYM_RULE),

@@ -1232,6 +1232,50 @@ FROM r JOIN w ON w.i = (r.doc_id + r.pos) % {n}
 """
 
 
+def word_delimiter_tokens() -> str:
+    """Mirror of textstats.word_delimiter_tokens. The default-flag WDGF
+    split (no catenation) over ASCII tokens is a regexp cascade:
+    possessive strip ('s at subword end after a letter), a space at every
+    lower→Upper boundary (UPPER→lower never splits — "ABCDef" stays
+    whole, WordDelimiterIterator.isBreak), a space at letter↔digit
+    boundaries, then the alnum runs are the parts, lowercased; positions
+    are sequential per doc (every part is a generated part for this word
+    list, so each token's span == its part count)."""
+    from .pipelines.textstats import WDGF_WORDS
+    vals = ", ".join(f"({i}, '{w.replace(chr(39), chr(39) * 2)}')"
+                     for i, w in enumerate(WDGF_WORDS))
+    n = len(WDGF_WORDS)
+    return f"""
+WITH w(i, word) AS (VALUES {vals}),
+r AS (
+  SELECT doc_id, gs.i AS j
+  FROM documents, (SELECT unnest(generate_series(0, 2)) AS i) gs
+),
+tok AS (SELECT r.doc_id, r.j, w.word FROM r JOIN w ON w.i = (r.doc_id + r.j) % {n}),
+prep AS (
+  SELECT doc_id, j,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(word,
+            '([A-Za-z])''[sS]($|[^A-Za-z0-9])', '\\1\\2', 'g'),
+          '([a-z])([A-Z])', '\\1 \\2', 'g'),
+        '([A-Za-z])([0-9])', '\\1 \\2', 'g'),
+      '([0-9])([A-Za-z])', '\\1 \\2', 'g') AS s
+  FROM tok
+),
+parts AS (
+  SELECT doc_id, j, generate_subscripts(regexp_extract_all(s, '[A-Za-z0-9]+'), 1) AS k,
+         unnest(regexp_extract_all(s, '[A-Za-z0-9]+')) AS part
+  FROM prep
+)
+SELECT doc_id,
+       row_number() OVER (PARTITION BY doc_id ORDER BY j, k) - 1 AS pos,
+       lower(part) AS term
+FROM parts
+"""
+
+
 def shingle_counts() -> str:
     """Mirror of textstats.shingle_counts: unigrams + word 2-shingles."""
     from .analysis.standard import sql_tokens_expr

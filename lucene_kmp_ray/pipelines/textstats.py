@@ -425,6 +425,35 @@ def ascii_fold_tokens(sf_dir: str):
     return _docs_ds(sf_dir).map_batches(rows, batch_format="pyarrow")
 
 
+WDGF_WORDS = ("PowerShot", "Wi-Fi", "SD500", "O'Neil's", "j2se",
+              "SuperDuperXL500", "TransAM", "iPhone", "half-time",
+              "XY-ZZ-Top", "McKinley", "data2text", "A's", "501st",
+              "beta-max", "basic-split")
+
+
+def word_delimiter_tokens(sf_dir: str):
+    """Deterministic product-code-style text per doc →
+    WordDelimiterAnalyzer tokens (doc_id, pos, term): delimiter / case /
+    letter-digit splits + possessive stemming, default WDGF flags.
+    Oracle: oracle.word_delimiter_tokens (regexp-cascade mirror)."""
+    from ..analysis.worddelim import WordDelimiterAnalyzer
+
+    analyzer = WordDelimiterAnalyzer()
+
+    def rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        texts = [" ".join(WDGF_WORDS[(int(d) + i) % len(WDGF_WORDS)]
+                          for i in range(3)) for d in ids]
+        dl, flat, doc_of, pos = analyzer.analyze_flat(texts)
+        return pa.table({
+            "doc_id": pa.array(ids[doc_of], pa.int64()),
+            "pos": pa.array(pos.astype(np.int64)),
+            "term": flat,
+        })
+
+    return _docs_ds(sf_dir).map_batches(rows, batch_format="pyarrow")
+
+
 def shingle_counts(sf_dir: str):
     """Per-doc token counts through ShingleAnalyzer (unigrams + word
     2-shingles, ShingleFilter defaults). Oracle: oracle.shingle_counts."""
