@@ -315,6 +315,25 @@ def _sorted_by_url(sf_dir: str):
         (SortField("url", descending=True),), k=20)
 
 
+def _sorted_index_scan(sf_dir: str):
+    """Index sort within segments (IndexWriterConfig.setIndexSort role,
+    index/Sorter.kt): segments built with index_sort = url desc, then a
+    sorted search that EARLY-TERMINATES — each segment contributes only
+    its first 20 matches in index order instead of all matches. Oracle:
+    the same full-sort SQL as sorted_by_url_top20 (results must agree)."""
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.search.ray_search import (SortField,
+                                                  search_sorted_by_fields)
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/lucene_kmp_ray_index_sorted/{tag}"
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(corpus_dataset(sf_dir), idx, segment_size=SEGMENT_SIZE,
+                    index_sort=(("url", True),))
+    return search_sorted_by_fields(
+        idx, TermQuery(TERM_A), (SortField("url", descending=True),), k=20)
+
+
 def _sorted_multi(sf_dir: str):
     """Multi-key sort: (length asc, url desc), doc_id tiebreak — the
     compound Sort of TopFieldCollector."""
@@ -607,6 +626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_by_length": lambda sf: search_sorted_by_field(
             _ensure_index(sf), TermQuery(TERM_A), "length", k=20),
         "sorted_by_url_top20": lambda sf: _sorted_by_url(sf),
+        "sorted_index_scan_top20": _sorted_index_scan,
         "knn_vector_top10": _knn_topk,
         "classic_term_top10": _classic_topk,
         "feature_blend_top10": _feature_blend,
@@ -757,6 +777,7 @@ def oracle_sql() -> dict[str, str]:
         "range_filter_all": oracle.range_filter_all(TERM_A, 40, 60),
         "sorted_by_length": oracle.sorted_by_length(TERM_A, 20),
         "sorted_by_url_top20": oracle.sorted_by_url(TERM_A, 20),
+        "sorted_index_scan_top20": oracle.sorted_by_url(TERM_A, 20),
         "knn_vector_top10": oracle.knn_vector_topk(),
         "classic_term_top10": oracle.classic_term_topk(TERM_A),
         "feature_blend_top10": oracle.feature_blend_topk(TERM_A),

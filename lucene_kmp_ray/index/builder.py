@@ -65,7 +65,9 @@ def build_index(ds, index_dir: str, segment_size: int = DEFAULT_SEGMENT_SIZE,
                 lineage_source: str = "", analyzer=None,
                 fields: tuple[str, ...] = ("text",),
                 vector_col: str | None = None,
-                meta_cols: tuple[str, ...] = ()) -> dict:
+                meta_cols: tuple[str, ...] = (),
+                index_sort: tuple[tuple[str, bool], ...] | None = None
+                ) -> dict:
     """Build (or resume) an index from a corpus Dataset with
     ``doc_id, url`` plus one column per indexed field (default just
     ``text``; pass ``fields=("text", "title")`` for fielded documents,
@@ -76,6 +78,10 @@ def build_index(ds, index_dir: str, segment_size: int = DEFAULT_SEGMENT_SIZE,
     """
     t0 = time.monotonic()
     fields = tuple(sorted(fields))
+    if index_sort:  # sort keys must land in the docs table
+        meta_cols = tuple(meta_cols) + tuple(
+            f for f, _ in index_sort
+            if f not in ("doc_id", "url") and f not in meta_cols)
     os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
     done = completed_segments(index_dir)
 
@@ -99,7 +105,8 @@ def build_index(ds, index_dir: str, segment_size: int = DEFAULT_SEGMENT_SIZE,
         man = build_and_write_segment(
             group.select(cols), seg, index_dir,
             lineage, analyzer=analyzer, fields=fields,
-            vector_col=vector_col, meta_cols=meta_cols)
+            vector_col=vector_col, meta_cols=meta_cols,
+            index_sort=index_sort)
         return pa.table({"manifest": pa.array([json.dumps(man)], pa.string())})
 
     ds = ds.select_columns(["doc_id", "url", *fields] +
@@ -127,7 +134,9 @@ def build_index_sharded(shards: list[dict], make_docs, index_dir: str,
                         max_in_flight: int | None = None,
                         analyzer=None,
                         fields: tuple[str, ...] = ("text",),
-                        vector_col: str | None = None) -> dict:
+                        vector_col: str | None = None,
+                        index_sort: tuple[tuple[str, bool], ...] | None =
+                        None) -> dict:
     """Shuffle-free build: one Ray task per shard, segment == shard.
 
     This is the production path (and the Lucene DWPT model: each writer
@@ -163,7 +172,8 @@ def build_index_sharded(shards: list[dict], make_docs, index_dir: str,
         lineage = {"source": lineage_source, **spec}
         man = build_and_write_segment(make_docs(spec), spec["seg"],
                                       index_dir, lineage, analyzer=analyzer,
-                                      fields=fields, vector_col=vector_col)
+                                      fields=fields, vector_col=vector_col,
+                                      index_sort=index_sort)
         return json.dumps(man)
 
     pending: list = []
@@ -213,10 +223,11 @@ def commit_index(index_dir: str, manifests: list[dict],
         "sum_total_term_freq": sum(m["sum_total_term_freq"] for m in manifests),
         "sum_doc_freq": sum(m["sum_doc_freq"] for m in manifests),
         "fields": field_stats,
-        "segments": [{k: m[k] for k in
+        "segments": [{k: m.get(k) for k in
                       ("seg", "doc_count", "sum_total_term_freq",
                        "sum_doc_freq", "unique_terms", "doc_id_min",
-                       "doc_id_max")} | {"dir": f"segments/{seg_dirname(m['seg'])}"}
+                       "doc_id_max", "index_sort")}
+                     | {"dir": f"segments/{seg_dirname(m['seg'])}"}
                      for m in manifests],
         "metrics": {"build_sec": round(build_sec, 3) if build_sec else None},
     }

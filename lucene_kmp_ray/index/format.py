@@ -137,10 +137,25 @@ def field_stats_of(doc_lengths: np.ndarray, terms_table: pa.Table) -> dict:
     }
 
 
+def _sorted_docs(docs: pa.Table,
+                 index_sort: tuple[tuple[str, bool], ...] | None) -> pa.Table:
+    """Order the segment's rows: by the index sort keys (the Sorter /
+    IndexWriterConfig.setIndexSort role, ``index/Sorter.kt``) with doc_id
+    as the deterministic tie-break, else by doc_id (the default dense
+    docID assignment)."""
+    if not index_sort:
+        return docs.sort_by("doc_id")
+    keys = [(f, "descending" if desc else "ascending")
+            for f, desc in index_sort] + [("doc_id", "ascending")]
+    return docs.sort_by(keys)
+
+
 def invert_segment(docs: pa.Table, seg: int, lineage: dict | None = None,
                    analyzer=None,
                    fields: tuple[str, ...] = ("text",),
-                   meta_cols: tuple[str, ...] = ()
+                   meta_cols: tuple[str, ...] = (),
+                   index_sort: tuple[tuple[str, bool], ...] | None = None,
+                   presorted: bool = False
                    ) -> tuple[pa.Table, pa.Table, dict]:
     """Invert one segment's documents → (terms_table, docs_table, manifest).
 
@@ -161,7 +176,8 @@ def invert_segment(docs: pa.Table, seg: int, lineage: dict | None = None,
     names, any other field f gets ``length_{f}``/``norm_{f}``.
     """
     t0 = time.monotonic()
-    docs = docs.sort_by("doc_id")
+    if not presorted:
+        docs = _sorted_docs(docs, index_sort)
     n_docs = docs.num_rows
     fields = tuple(sorted(fields))
 
@@ -191,6 +207,11 @@ def invert_segment(docs: pa.Table, seg: int, lineage: dict | None = None,
     # scored field); per-field stats live under "fields"
     main = field_stats.get("text", next(iter(field_stats.values()), {
         "sum_total_term_freq": 0, "sum_doc_freq": 0, "unique_terms": 0}))
+    if n_docs:
+        ids_np = docs["doc_id"].to_numpy()
+        id_min, id_max = int(ids_np.min()), int(ids_np.max())
+    else:
+        id_min = id_max = None
     manifest = {
         "seg": int(seg),
         "doc_count": int(n_docs),
@@ -198,8 +219,10 @@ def invert_segment(docs: pa.Table, seg: int, lineage: dict | None = None,
         "sum_doc_freq": main["sum_doc_freq"],
         "unique_terms": main["unique_terms"],
         "fields": field_stats,
-        "doc_id_min": int(docs["doc_id"][0].as_py()) if n_docs else None,
-        "doc_id_max": int(docs["doc_id"][n_docs - 1].as_py()) if n_docs else None,
+        "index_sort": [[f, bool(d)] for f, d in index_sort]
+        if index_sort else None,
+        "doc_id_min": id_min,
+        "doc_id_max": id_max,
         "lineage": lineage or {},
         "metrics": {"build_sec": round(time.monotonic() - t0, 4),
                     "tokens": sum(s["sum_total_term_freq"]
@@ -473,21 +496,28 @@ def build_and_write_segment(docs: pa.Table, seg: int, index_dir: str,
                             analyzer=None,
                             fields: tuple[str, ...] = ("text",),
                             vector_col: str | None = None,
-                            meta_cols: tuple[str, ...] = ()) -> dict:
+                            meta_cols: tuple[str, ...] = (),
+                            index_sort: tuple[tuple[str, bool], ...] | None
+                            = None) -> dict:
     """``vector_col`` names a per-doc vector column of ``docs`` (a
     KnnFloatVectorField, document/KnnFloatVectorField role): it splits
     into the vectors sidecar in local-docID order and never enters the
     inverted part. ``meta_cols`` pass through into the docs table as
-    filterable/sortable per-doc values (the DocValues role)."""
+    filterable/sortable per-doc values (the DocValues role).
+    ``index_sort`` orders docs within the segment by the given
+    (field, descending) keys (IndexWriterConfig.setIndexSort role) — the
+    sort fields must be among ``meta_cols``/``url``/``doc_id``."""
+    docs = _sorted_docs(docs, index_sort)  # one sort; vectors ride along
     vectors_table = None
     if vector_col is not None and vector_col in docs.column_names:
-        docs = docs.sort_by("doc_id")
         vectors_table = docs.select([vector_col]) \
             .rename_columns(["embedding"])
         docs = docs.drop_columns([vector_col])
     terms_table, docs_table, manifest = invert_segment(docs, seg, lineage,
                                                        analyzer, fields,
-                                                       meta_cols)
+                                                       meta_cols,
+                                                       index_sort=index_sort,
+                                                       presorted=True)
     if vectors_table is not None:
         d = vectors_table["embedding"][0].as_py() \
             if vectors_table.num_rows else []

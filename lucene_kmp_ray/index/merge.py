@@ -169,8 +169,27 @@ def merge_segments(index_dir: str, segs: list[int], new_seg: int) -> dict:
             concat_vecs = concat_vecs.take(pa.array(live_pos))
         vectors_table = concat_vecs
 
+    # index-sorted segments stay sorted through the merge (Sorter.kt /
+    # MergeState.docMaps: the merged order comes from the sort keys, not
+    # from docID concatenation); all sources must agree on the sort
+    import json as _json
+    sort_specs = []
+    for d in dirs:
+        with open(os.path.join(d, "manifest.json")) as f:
+            sort_specs.append(_json.load(f).get("index_sort"))
+    index_sort = sort_specs[0]
+    if any(s != index_sort for s in sort_specs[1:]):
+        raise ValueError(f"cannot merge segments with differing index "
+                         f"sorts: {sort_specs}")
     doc_ids = concat_docs["doc_id"].to_numpy()
-    perm = np.argsort(doc_ids, kind="stable")
+    if index_sort:
+        import pyarrow.compute as _pc
+        keys = [(f, "descending" if desc else "ascending")
+                for f, desc in index_sort] + [("doc_id", "ascending")]
+        perm = _pc.sort_indices(concat_docs, sort_keys=keys).to_numpy() \
+            .astype(np.int64)
+    else:
+        perm = np.argsort(doc_ids, kind="stable")
     inv_perm_live = np.empty(n_docs, dtype=np.int64)
     inv_perm_live[perm] = np.arange(n_docs)
     # old global concat position → new local id, -1 = reclaimed
@@ -303,8 +322,10 @@ def merge_segments(index_dir: str, segs: list[int], new_seg: int) -> dict:
         "sum_doc_freq": main["sum_doc_freq"],
         "unique_terms": main["unique_terms"],
         "fields": field_stats,
-        "doc_id_min": int(docs_table["doc_id"][0].as_py()) if n_docs else None,
-        "doc_id_max": int(docs_table["doc_id"][n_docs - 1].as_py())
+        "index_sort": index_sort,
+        "doc_id_min": int(docs_table["doc_id"].to_numpy().min())
+        if n_docs else None,
+        "doc_id_max": int(docs_table["doc_id"].to_numpy().max())
         if n_docs else None,
         "lineage": {"merged_from": sorted(int(s) for s in segs),
                     "reclaimed_deletes": reclaimed},

@@ -138,19 +138,28 @@ class SegmentMatchActor:
     downstream field sorts (the SortField fetch, SURVEY §2.7)."""
 
     def __init__(self, index_dir: str, query_ref, dtype: str,
-                 meta_cols: tuple[str, ...] = ()):
+                 meta_cols: tuple[str, ...] = (),
+                 per_seg_limit: int | None = None):
         import ray
         self.reader = IndexReader(index_dir)
         self.searcher = Searcher(self.reader, BM25Similarity(dtype=dtype))
         self.query: Query = self.searcher.rewrite(ray.get(query_ref))
         self.by_seg = {sr.seg: sr for sr in self.reader.segment_readers}
         self.meta_cols = meta_cols
+        self.per_seg_limit = per_seg_limit
 
     def __call__(self, batch) -> pd.DataFrame:
         frames = []
         for seg in batch["seg"].to_pylist():
             sr = self.by_seg[seg]
             docs, scores = self.searcher._score_segment(sr, self.query)
+            if self.per_seg_limit is not None:
+                # early termination on an index-sorted segment: local ids
+                # ascend in index-sort order, so the first k matches are
+                # the segment's top-k (TopFieldCollector early exit,
+                # Sorter.kt / SortField.canEarlyTerminate role)
+                docs = docs[:self.per_seg_limit]
+                scores = scores[:self.per_seg_limit]
             dm = sr.doc_meta
             cols = {
                 "doc_id": dm["doc_id"].take(docs).to_pylist(),
@@ -171,8 +180,13 @@ class SegmentMatchActor:
 
 
 def search_all_matches(index_dir: str, query: Query, dtype: str = "float64",
-                       concurrency: int | None = None, meta_cols: tuple[str, ...] = ()):
-    """All matching docs of ``query`` as a Dataset (doc_id, url, score)."""
+                       concurrency: int | None = None,
+                       meta_cols: tuple[str, ...] = (),
+                       per_seg_limit: int | None = None):
+    """All matching docs of ``query`` as a Dataset (doc_id, url, score).
+    ``per_seg_limit`` truncates each segment to its first N matches in
+    local-id order — only correct when the index sort makes that order
+    the requested sort order (see search_sorted_by_fields)."""
     import pyarrow as pa
     import ray
     import ray.data as rd
@@ -183,7 +197,8 @@ def search_all_matches(index_dir: str, query: Query, dtype: str = "float64",
     ds = _seg_work_items(segs)
     return ds.map_batches(SegmentMatchActor,
                           fn_constructor_args=(index_dir, ray.put(query),
-                                               dtype, meta_cols),
+                                               dtype, meta_cols,
+                                               per_seg_limit),
                           batch_format="pyarrow", batch_size=8,
                           concurrency=_pool_size(concurrency))
 
@@ -234,8 +249,22 @@ def search_sorted_by_fields(index_dir: str, query: Query,
     # doc_id/url always ride along — only extra doc-meta columns fetch
     meta_cols = tuple(dict.fromkeys(sf.field for sf in sort_fields
                                     if sf.field not in ("doc_id", "url")))
+    # early termination (TopFieldCollector + index sort): when every
+    # segment is index-sorted by a prefix matching the requested sort,
+    # each segment's matches arrive already ordered, so only its first k
+    # can reach the global top-k — per-segment work drops from all-matches
+    # to k rows regardless of segment size
+    per_seg_limit = None
+    want = [[sf.field, sf.descending] for sf in sort_fields]
+    seg_sorts = [m.get("index_sort")
+                 for m in IndexReader(index_dir).manifest["segments"]]
+    if (seg_sorts and all(s is not None and s[:len(want)] == want
+                          for s in seg_sorts) and
+            all(sf.missing_last is None for sf in sort_fields)):
+        per_seg_limit = k
     ds = search_all_matches(index_dir, query, concurrency=concurrency,
-                            meta_cols=meta_cols)
+                            meta_cols=meta_cols,
+                            per_seg_limit=per_seg_limit)
 
     keys: list[str] = []
     desc: list[bool] = []

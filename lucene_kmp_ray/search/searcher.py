@@ -766,9 +766,11 @@ class Searcher:
         for si, sr in enumerate(self.reader.segment_readers):
             dm = sr.doc_meta
             ids = dm["doc_id"].to_numpy()
-            pos = np.searchsorted(ids, doc_id)
-            if pos < len(ids) and ids[pos] == doc_id:
-                return self._explain_leaf(sr, query, int(pos))
+            # exact scan, not searchsorted: index-sorted segments order
+            # docs by the sort key, not by doc_id
+            hit = np.flatnonzero(ids == doc_id)
+            if len(hit):
+                return self._explain_leaf(sr, query, int(hit[0]))
         return {"value": 0.0, "description": f"doc {doc_id} not found",
                 "details": []}
 
