@@ -291,6 +291,34 @@ def _knn_topk(sf_dir: str):
     return df
 
 
+def _knn_hnsw_topk(sf_dir: str):
+    """Graph-tier KNN (HnswGraphBuilder.kt / HnswGraphSearcher.kt role):
+    the same query as knn_vector_top10 but over an index whose segments
+    carry per-segment HNSW sidecars — the approximate scale path for
+    10^9+ vectors where the exact scan is the wall. Rows-only by design
+    (graph search is approximate; recall vs the exact scan is asserted in
+    tests/test_hnsw.py)."""
+    from lucene_kmp_ray.index.builder import build_index_sharded
+    from lucene_kmp_ray.search import KnnFloatVectorQuery
+    from lucene_kmp_ray.sources.corpus import corpus_shards
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/lucene_kmp_ray_index_hnsw/{tag}"
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        shards, make_docs = corpus_shards(sf_dir, segment_size=SEGMENT_SIZE,
+                                          fields=INDEX_FIELDS,
+                                          with_vectors=True)
+        build_index_sharded(shards, make_docs, idx, lineage_source=sf_dir,
+                            fields=INDEX_FIELDS, vector_col="embedding",
+                            hnsw={"m": 16, "ef_construction": 100})
+    q = KnnFloatVectorQuery(_query_vector(sf_dir), k=10, ef_search=128)
+    df = search_distributed(idx, {"q": q}, k=10,
+                            dtype="float64").to_pandas()
+    df = df.rename(columns={"score": "score_r"})
+    df["score_r"] = np.round(df["score_r"], 6)
+    return df
+
+
 def _hybrid_topk(sf_dir: str):
     """Hybrid BM25 + vector over ONE index artifact: SHOULD(text:spark)
     + SHOULD(knn(vec0, k=50)); scores sum per doc (the additive hybrid of
@@ -628,6 +656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_by_url_top20": lambda sf: _sorted_by_url(sf),
         "sorted_index_scan_top20": _sorted_index_scan,
         "knn_vector_top10": _knn_topk,
+        "knn_hnsw_top10": _knn_hnsw_topk,
         "classic_term_top10": _classic_topk,
         "feature_blend_top10": _feature_blend,
         "hybrid_bm25_knn_top10": _hybrid_topk,

@@ -43,6 +43,7 @@ TERMS_FILE = "terms.parquet"
 TERMS_ROW_GROUP = 4096  # terms per row group (the reader-side "term block")
 DOCS_FILE = "docs.parquet"
 VECTORS_FILE = "vectors.parquet"
+GRAPH_FILE = "graph.parquet"
 SEG_MANIFEST = "manifest.json"
 
 
@@ -451,12 +452,14 @@ def seg_dirname(seg: int) -> str:
 
 
 def write_segment(index_dir: str, terms_table: pa.Table, docs_table: pa.Table,
-                  manifest: dict, vectors_table: pa.Table | None = None
+                  manifest: dict, vectors_table: pa.Table | None = None,
+                  graph_table: pa.Table | None = None
                   ) -> dict:
     """Atomically persist one segment (write tmp dir, rename) — the
     per-partition two-phase commit (SegmentInfos.kt:35-45 analog).
     ``vectors_table`` is the optional per-doc vector sidecar (row N ==
-    local docID N — the KnnVectorsFormat role, codecs/lucene99)."""
+    local docID N — the KnnVectorsFormat role, codecs/lucene99);
+    ``graph_table`` the optional HNSW neighbor-list sidecar over it."""
     import shutil
     import tempfile
 
@@ -479,6 +482,8 @@ def write_segment(index_dir: str, terms_table: pa.Table, docs_table: pa.Table,
     pq.write_table(docs_table, os.path.join(tmp_dir, DOCS_FILE))
     if vectors_table is not None:
         pq.write_table(vectors_table, os.path.join(tmp_dir, VECTORS_FILE))
+    if graph_table is not None:
+        pq.write_table(graph_table, os.path.join(tmp_dir, GRAPH_FILE))
     with open(os.path.join(tmp_dir, SEG_MANIFEST), "w") as f:
         json.dump(manifest, f)
     try:
@@ -498,7 +503,8 @@ def build_and_write_segment(docs: pa.Table, seg: int, index_dir: str,
                             vector_col: str | None = None,
                             meta_cols: tuple[str, ...] = (),
                             index_sort: tuple[tuple[str, bool], ...] | None
-                            = None) -> dict:
+                            = None,
+                            hnsw: dict | None = None) -> dict:
     """``vector_col`` names a per-doc vector column of ``docs`` (a
     KnnFloatVectorField, document/KnnFloatVectorField role): it splits
     into the vectors sidecar in local-docID order and never enters the
@@ -506,7 +512,10 @@ def build_and_write_segment(docs: pa.Table, seg: int, index_dir: str,
     filterable/sortable per-doc values (the DocValues role).
     ``index_sort`` orders docs within the segment by the given
     (field, descending) keys (IndexWriterConfig.setIndexSort role) — the
-    sort fields must be among ``meta_cols``/``url``/``doc_id``."""
+    sort fields must be among ``meta_cols``/``url``/``doc_id``.
+    ``hnsw`` (e.g. ``{"m": 16, "ef_construction": 100}``) additionally
+    builds a per-segment HNSW graph sidecar over the vector column
+    (HnswGraphBuilder.kt role) for approximate KNN at query time."""
     docs = _sorted_docs(docs, index_sort)  # one sort; vectors ride along
     vectors_table = None
     if vector_col is not None and vector_col in docs.column_names:
@@ -522,8 +531,13 @@ def build_and_write_segment(docs: pa.Table, seg: int, index_dir: str,
         d = vectors_table["embedding"][0].as_py() \
             if vectors_table.num_rows else []
         manifest["vector_dim"] = len(d) if d is not None else 0
+    graph_table = None
+    if hnsw is not None and vectors_table is not None and \
+            vectors_table.num_rows:
+        graph_table, hmeta = build_hnsw_sidecar(vectors_table, hnsw)
+        manifest["hnsw"] = hmeta
     return write_segment(index_dir, terms_table, docs_table, manifest,
-                         vectors_table)
+                         vectors_table, graph_table)
 
 
 def decode_postings(df: int, ttf: int, docs_enc: bytes, freqs_enc: bytes,
@@ -558,3 +572,40 @@ def read_seg_manifest(index_dir: str, seg: int) -> dict | None:
         return None
     with open(p) as f:
         return json.load(f)
+
+
+def build_hnsw_sidecar(vectors_table: pa.Table, hnsw: dict):
+    """Build the per-segment HNSW graph sidecar (HnswGraphBuilder.kt role)
+    over the vectors sidecar → (graph table, manifest metadata). Null
+    vector rows (docs merged in from vector-less segments) are excluded
+    from the graph by giving them no links — search never reaches them."""
+    from ..util.hnsw import build_graph, graph_to_table
+
+    col = vectors_table["embedding"].combine_chunks()
+    rows = col.to_numpy(zero_copy_only=False)
+    dim = next((len(r) for r in rows if r is not None), 0)
+    mat = np.zeros((len(rows), dim), dtype=np.float32)
+    present = np.ones(len(rows), dtype=bool)
+    for i, r in enumerate(rows):
+        if r is None:
+            present[i] = False
+        else:
+            mat[i] = r
+    m = int(hnsw.get("m", 16))
+    efc = int(hnsw.get("ef_construction", 100))
+    seed = int(hnsw.get("seed", 42))
+    if present.all():
+        g = build_graph(mat, m=m, ef_construction=efc, seed=seed)
+    else:
+        # build over present rows only, then remap node ids back
+        ids = np.flatnonzero(present)
+        sub = build_graph(mat[ids], m=m, ef_construction=efc, seed=seed)
+        remap = [{int(ids[n]): [int(ids[x]) for x in lst]
+                  for n, lst in layer.items()}
+                 for layer in sub.neighbors]
+        from ..util.hnsw import HnswGraph
+        g = HnswGraph(remap, int(ids[sub.entry]) if sub.entry >= 0 else -1,
+                      mat, m)
+    meta = {"m": m, "ef_construction": efc, "seed": seed,
+            "entry": int(g.entry), "max_level": g.max_level}
+    return graph_to_table(g), meta

@@ -173,10 +173,11 @@ def merge_segments(index_dir: str, segs: list[int], new_seg: int) -> dict:
     # MergeState.docMaps: the merged order comes from the sort keys, not
     # from docID concatenation); all sources must agree on the sort
     import json as _json
-    sort_specs = []
+    src_manifests = []
     for d in dirs:
         with open(os.path.join(d, "manifest.json")) as f:
-            sort_specs.append(_json.load(f).get("index_sort"))
+            src_manifests.append(_json.load(f))
+    sort_specs = [m.get("index_sort") for m in src_manifests]
     index_sort = sort_specs[0]
     if any(s != index_sort for s in sort_specs[1:]):
         raise ValueError(f"cannot merge segments with differing index "
@@ -331,8 +332,22 @@ def merge_segments(index_dir: str, segs: list[int], new_seg: int) -> dict:
                     "reclaimed_deletes": reclaimed},
         "metrics": {"merge_sec": round(time.monotonic() - t0, 4)},
     }
+    # HNSW sidecars do not merge structurally — the merged segment's
+    # graph REBUILDS over the merged vectors (Lucene's vector-format
+    # merge also reconstructs the graph; params from the first source
+    # that had one)
+    graph_table = None
+    hnsw_params = next((m.get("hnsw") for m in src_manifests
+                        if m.get("hnsw")), None)
+    if hnsw_params and vectors_table is not None and vectors_table.num_rows:
+        from .format import build_hnsw_sidecar
+        graph_table, hmeta = build_hnsw_sidecar(
+            vectors_table, {k: hnsw_params[k]
+                            for k in ("m", "ef_construction", "seed")
+                            if k in hnsw_params})
+        manifest["hnsw"] = hmeta
     return write_segment(index_dir, terms_table, docs_table, manifest,
-                         vectors_table)
+                         vectors_table, graph_table)
 
 
 def _filter_entries(nl: np.ndarray, freqs: np.ndarray, posd: np.ndarray,

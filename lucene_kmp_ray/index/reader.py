@@ -56,6 +56,7 @@ class SegmentReader:
         self._tombstones: np.ndarray | None | bool = False  # False=unloaded
         self._vectors: np.ndarray | None | bool = False
         self._vector_missing: np.ndarray | None = None
+        self._hnsw = False  # False=unloaded, None=no graph sidecar
 
     @property
     def tombstones(self) -> np.ndarray | None:
@@ -217,6 +218,28 @@ class SegmentReader:
                         .astype(np.float64)
                     self._vector_missing = None
         return self._vectors
+
+    @property
+    def hnsw(self):
+        """Per-segment HNSW graph over the vector sidecar
+        (HnswGraphSearcher.kt role), or None when the segment was built
+        without one — callers fall back to the exact scan."""
+        if self._hnsw is False:
+            import json as _json
+
+            from ..util.hnsw import _normalize, graph_from_table
+            path = os.path.join(self.dir, "graph.parquet")
+            man_path = os.path.join(self.dir, "manifest.json")
+            if not os.path.exists(path) or self.vectors is None:
+                self._hnsw = None
+            else:
+                with open(man_path) as f:
+                    hmeta = _json.load(f).get("hnsw") or {}
+                t = pq.read_table(path)
+                self._hnsw = graph_from_table(
+                    t, _normalize(self.vectors),
+                    int(hmeta.get("m", 16)), int(hmeta.get("entry", 0)))
+        return self._hnsw
 
     @property
     def vector_missing(self) -> "np.ndarray | None":

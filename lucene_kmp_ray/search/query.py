@@ -428,10 +428,13 @@ class KnnFloatVectorQuery(Query):
     Like the reference, the query REWRITES to the global top-k doc set
     before scoring (Searcher.rewrite) — so it composes with BooleanQuery
     for hybrid BM25 + vector retrieval. The per-segment scan is exact
-    brute-force (the HNSW graph is deliberately not ported; bucketed
-    IVF/LSH approximations live in pipelines.ann — SURVEY §2.5 KNN)."""
+    brute-force unless the segment carries an HNSW graph sidecar
+    (util/hnsw, HnswGraphBuilder.kt role) — then the approximate graph
+    search runs with beam width ``ef_search`` (None → max(2k, 64));
+    bucketed IVF/LSH approximations live in pipelines.ann."""
     vector: tuple[float, ...]
     k: int = 10
+    ef_search: int | None = None
 
     def terms(self):
         return []

@@ -496,6 +496,30 @@ class Searcher:
                 mat = sr.vectors
                 if mat is None or not len(mat):
                     continue
+                graph = sr.hnsw
+                if graph is not None:
+                    # approximate per-segment top-k via the HNSW sidecar
+                    # (HnswGraphSearcher.search); over-fetch by ef so
+                    # tombstoned / vector-less docs filter out without
+                    # shrinking the candidate set, then re-score the few
+                    # survivors in float64 for exact-path score parity
+                    ef = query.ef_search or max(2 * query.k, 64)
+                    ids, _ = graph.search(np.asarray(query.vector,
+                                                     np.float32),
+                                          k=ef, ef=ef)
+                    miss = sr.vector_missing
+                    if miss is not None:
+                        ids = ids[~miss[ids]]
+                    tomb = sr.tombstones
+                    if tomb is not None and len(tomb):
+                        ids = ids[~np.isin(ids, tomb)]
+                    sel = ids[:min(query.k, len(ids))]
+                    vnorm = np.linalg.norm(mat[sel], axis=1)
+                    vnorm[vnorm == 0] = 1.0
+                    segs.append(np.full(len(sel), sr.seg, np.int64))
+                    docs_l.append(sel.astype(np.int64))
+                    sims_l.append((mat[sel] @ q) / vnorm)
+                    continue
                 norms = np.linalg.norm(mat, axis=1)
                 norms[norms == 0] = 1.0
                 sims = (mat @ q) / norms
