@@ -118,6 +118,40 @@ def _french_topk(sf_dir: str):
         [["doc_id", "url", "score"]]
 
 
+def _romance_topk(sf_dir: str, lang: str):
+    """Top-10 for a Romance-language-analyzed index (SpanishAnalyzer /
+    ItalianAnalyzer / PortugueseAnalyzer chains: [elision →] stop → UniNE
+    light stem; query analyzed the same way). Oracle:
+    oracle.bm25_romance_topk — each chain is SQL-expressible."""
+    import os
+
+    from lucene_kmp_ray.analysis import romance
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.sources.corpus import corpus_dataset
+
+    cls = {"spanish": romance.SpanishAnalyzer,
+           "italian": romance.ItalianAnalyzer,
+           "portuguese": romance.PortugueseAnalyzer}[lang]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/lucene_kmp_ray_index_{lang}/{tag}"
+    analyzer = cls()
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(corpus_dataset(sf_dir), idx, segment_size=SEGMENT_SIZE,
+                    analyzer=analyzer)
+    (term,) = analyzer(GERMAN_QUERY_WORD)
+    return search_distributed(idx, {"q": TermQuery(term)}, k=10,
+                              dtype="float64").to_pandas() \
+        [["doc_id", "url", "score"]]
+
+
+def _romance_query_term(lang: str) -> str:
+    from lucene_kmp_ray.analysis import romance
+    cls = {"spanish": romance.SpanishAnalyzer,
+           "italian": romance.ItalianAnalyzer,
+           "portuguese": romance.PortugueseAnalyzer}[lang]
+    return cls()(GERMAN_QUERY_WORD)[0]
+
+
 def _german_query_term() -> str:
     from lucene_kmp_ray.analysis.german import GermanAnalyzer
     return GermanAnalyzer()(GERMAN_QUERY_WORD)[0]
@@ -666,6 +700,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # parity live in tests/test_english_analyzer.py
         "bm25_english_top10": _english_topk,
         "bm25_german_top10": _german_topk,
+        "bm25_spanish_top10": lambda sf: _romance_topk(sf, "spanish"),
+        "bm25_italian_top10": lambda sf: _romance_topk(sf, "italian"),
+        "bm25_portuguese_top10":
+            lambda sf: _romance_topk(sf, "portuguese"),
         "bm25_french_top10": _french_topk,
         "cjk_bigram_counts": textstats.cjk_bigram_counts,
         "ascii_fold_tokens": textstats.ascii_fold_tokens,
@@ -830,6 +868,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_top10": oracle.ann_cosine_topk(),
         "ann_lsh_top10": oracle.ann_lsh_topk(),
         "bm25_german_top10": oracle.bm25_german_topk(_german_query_term()),
+        "bm25_spanish_top10": oracle.bm25_romance_topk(
+            "spanish", _romance_query_term("spanish")),
+        "bm25_italian_top10": oracle.bm25_romance_topk(
+            "italian", _romance_query_term("italian")),
+        "bm25_portuguese_top10": oracle.bm25_romance_topk(
+            "portuguese", _romance_query_term("portuguese")),
         "cjk_bigram_counts": oracle.cjk_bigram_counts(),
         "ascii_fold_tokens": oracle.ascii_fold_tokens(),
         "word_delimiter_tokens": oracle.word_delimiter_tokens(),

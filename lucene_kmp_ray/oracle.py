@@ -1181,6 +1181,158 @@ ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
 
 
+def _stop_list_sql(words) -> str:
+    return ", ".join(f"'{w}'" for w in sorted(words))
+
+
+_ROMANCE_FOLD = ("'àáâäòóôöèéêëùúûüìíîï'", "'aaaaooooeeeeuuuuiiii'")
+
+
+def _spanish_stem_sql(col: str) -> str:
+    """Exact SQL mirror of romance.spanish_light_stem."""
+    t1 = f"translate({col}, {_ROMANCE_FOLD[0]}, {_ROMANCE_FOLD[1]})"
+    return f"""CASE WHEN length({col}) < 5 THEN {col} ELSE (
+    CASE
+      WHEN regexp_matches({t1}, '[oae]$')
+        THEN substr({t1}, 1, length({t1}) - 1)
+      WHEN {t1} LIKE '%eses' THEN substr({t1}, 1, length({t1}) - 2)
+      WHEN {t1} LIKE '%ces'
+        THEN substr({t1}, 1, length({t1}) - 3) || 'z'
+      WHEN regexp_matches({t1}, '[oae]s$')
+        THEN substr({t1}, 1, length({t1}) - 2)
+      ELSE {t1} END) END"""
+
+
+def _italian_stem_sql(col: str) -> str:
+    """Exact SQL mirror of romance.italian_light_stem."""
+    t1 = f"translate({col}, {_ROMANCE_FOLD[0]}, {_ROMANCE_FOLD[1]})"
+    return f"""CASE WHEN length({col}) < 6 THEN {col} ELSE (
+    CASE
+      WHEN regexp_matches({t1}, '([ih]e|[hi]i|i[ao])$')
+        THEN substr({t1}, 1, length({t1}) - 2)
+      WHEN regexp_matches({t1}, '[eiao]$')
+        THEN substr({t1}, 1, length({t1}) - 1)
+      ELSE {t1} END) END"""
+
+
+_IT_ELISION_RE = ("^(dall|dell|nell|sull|coll|pell|dagl|degl|negl|sugl|"
+                  "agl|all|gl|un|c|l|m|t|s|v|d)[''’](.+)$")
+
+
+def _pt_stages_sql() -> tuple[str, str, str, str]:
+    """The four PortugueseLightStemmer stages as column expressions over
+    (t0 → p1 → p2 → p3 → term); mirror of romance.portuguese_light_stem
+    (suffix removal, feminine norm, final-vowel strip, fold LAST)."""
+    p1 = """CASE WHEN length(t0) < 4 THEN t0
+    WHEN length(t0) > 4 AND regexp_matches(t0, '[rslz]es$')
+      THEN substr(t0, 1, length(t0) - 2)
+    WHEN length(t0) > 3 AND t0 LIKE '%ns'
+      THEN substr(t0, 1, length(t0) - 2) || 'm'
+    WHEN length(t0) > 4 AND (t0 LIKE '%eis' OR t0 LIKE '%éis')
+      THEN substr(t0, 1, length(t0) - 3) || 'el'
+    WHEN length(t0) > 4 AND t0 LIKE '%ais'
+      THEN substr(t0, 1, length(t0) - 3) || 'al'
+    WHEN length(t0) > 4 AND t0 LIKE '%óis'
+      THEN substr(t0, 1, length(t0) - 3) || 'ol'
+    WHEN length(t0) > 4 AND t0 LIKE '%is'
+      THEN substr(t0, 1, length(t0) - 1) || 'l'
+    WHEN length(t0) > 3 AND (t0 LIKE '%ões' OR t0 LIKE '%ães')
+      THEN substr(t0, 1, length(t0) - 3) || 'ão'
+    WHEN length(t0) > 6 AND t0 LIKE '%mente'
+      THEN substr(t0, 1, length(t0) - 5)
+    WHEN length(t0) > 3 AND t0 LIKE '%s'
+      THEN substr(t0, 1, length(t0) - 1)
+    ELSE t0 END"""
+    p2 = """CASE WHEN length(t0) < 4 OR length(p1) <= 3 OR p1 NOT LIKE '%a'
+         THEN p1
+    WHEN length(p1) > 7 AND (p1 LIKE '%inha' OR p1 LIKE '%iaca'
+                             OR p1 LIKE '%eira')
+      THEN substr(p1, 1, length(p1) - 1) || 'o'
+    WHEN length(p1) > 6 AND (p1 LIKE '%osa' OR p1 LIKE '%ica'
+      OR p1 LIKE '%ida' OR p1 LIKE '%ada' OR p1 LIKE '%iva'
+      OR p1 LIKE '%ama')
+      THEN substr(p1, 1, length(p1) - 1) || 'o'
+    WHEN length(p1) > 6 AND p1 LIKE '%ona'
+      THEN substr(p1, 1, length(p1) - 3) || 'ão'
+    WHEN length(p1) > 6 AND p1 LIKE '%ora'
+      THEN substr(p1, 1, length(p1) - 1)
+    WHEN length(p1) > 6 AND p1 LIKE '%esa'
+      THEN substr(p1, 1, length(p1) - 3) || 'ês'
+    WHEN length(p1) > 6 AND p1 LIKE '%na'
+      THEN substr(p1, 1, length(p1) - 1) || 'o'
+    ELSE p1 END"""
+    p3 = """CASE WHEN length(t0) >= 4 AND length(p2) > 4
+              AND regexp_matches(p2, '[eao]$')
+         THEN substr(p2, 1, length(p2) - 1) ELSE p2 END"""
+    fold = ("translate(p3, 'àáâäãòóôöõèéêëùúûüìíîïç', "
+            "'aaaaaoooooeeeeuuuuiiiic')")
+    return p1, p2, p3, fold
+
+
+def romance_preamble(lang: str) -> str:
+    """BM25 CTEs over SPANISH / ITALIAN / PORTUGUESE-analyzed text —
+    mirrors of the romance.py chains ([elision →] stop → light stem)."""
+    from .analysis.romance import (ITALIAN_STOP_WORDS, PORTUGUESE_STOP_WORDS,
+                                   SPANISH_STOP_WORDS)
+    if lang == "spanish":
+        stops = _stop_list_sql(SPANISH_STOP_WORDS)
+        pre_tok = "t0"
+        stem_ctes = f"rterms AS (SELECT doc_id, {_spanish_stem_sql('t0')} AS term FROM rkept)"
+    elif lang == "italian":
+        stops = _stop_list_sql(ITALIAN_STOP_WORDS)
+        pre_tok = (f"regexp_replace(t0, '{_IT_ELISION_RE}', '\\2')")
+        stem_ctes = f"rterms AS (SELECT doc_id, {_italian_stem_sql('t0')} AS term FROM rkept)"
+    elif lang == "portuguese":
+        stops = _stop_list_sql(PORTUGUESE_STOP_WORDS)
+        pre_tok = "t0"
+        p1, p2, p3, fold = _pt_stages_sql()
+        stem_ctes = f"""rp1 AS (SELECT doc_id, t0, {p1} AS p1 FROM rkept),
+rp2 AS (SELECT doc_id, t0, p1, {p2} AS p2 FROM rp1),
+rp3 AS (SELECT doc_id, t0, {p3} AS p3 FROM rp2),
+rterms AS (SELECT doc_id, {fold} AS term FROM rp3)"""
+    else:
+        raise ValueError(lang)
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS (
+  SELECT doc_id, url, {sql_tokens_expr('text')} AS toks FROM corpus
+),
+rtok0 AS (SELECT doc_id, unnest(toks) AS traw FROM toksrc),
+rtok AS (SELECT doc_id, {pre_tok.replace('t0', 'traw')} AS t0 FROM rtok0),
+rkept AS (SELECT doc_id, t0 FROM rtok WHERE t0 NOT IN ({stops})),
+{stem_ctes},
+postings AS (
+  SELECT doc_id, term, count(*) AS freq FROM rterms GROUP BY doc_id, term
+),
+doclen AS (
+  SELECT c.doc_id,
+         (SELECT count(*) FROM rkept k WHERE k.doc_id = c.doc_id) AS dl
+  FROM corpus c
+),
+lt(b, v) AS (VALUES {_lt_values()}),
+normd AS (
+  SELECT d.doc_id, d.dl, l.b AS norm_byte, l.v AS dln
+  FROM doclen d
+  JOIN lt l ON l.v = (SELECT max(v) FROM lt l2 WHERE l2.v <= d.dl)
+),
+stats AS (SELECT count(*) AS doc_count, sum(dl) AS sum_ttf FROM doclen),
+tstats AS (
+  SELECT term, count(*) AS df, sum(freq) AS ttf FROM postings GROUP BY term
+),
+av AS (SELECT sum_ttf / CAST(doc_count AS DOUBLE) AS avgdl FROM stats)
+"""
+
+
+def bm25_romance_topk(lang: str, stemmed_term: str, k: int = 10) -> str:
+    lit = f"'{stemmed_term}'"
+    return romance_preamble(lang) + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
 # ------------------------------------------------------ CJK bigrams -------
 def cjk_bigram_counts() -> str:
     """Per-doc CJK bigram token counts over the SAME deterministic CJK
