@@ -152,6 +152,67 @@ def _romance_query_term(lang: str) -> str:
     return cls()(GERMAN_QUERY_WORD)[0]
 
 
+def _nordic_cls(lang: str):
+    from lucene_kmp_ray.analysis import nordic
+    return {"danish": nordic.DanishAnalyzer,
+            "norwegian": nordic.NorwegianAnalyzer,
+            "swedish": nordic.SwedishAnalyzer}[lang]
+
+
+def _nordic_topk(sf_dir: str, lang: str):
+    """Top-10 for a Scandinavian-snowball-analyzed index (DanishAnalyzer /
+    NorwegianAnalyzer / SwedishAnalyzer: stop → Snowball 2.x stem; query
+    analyzed the same way). Oracle: oracle.bm25_nordic_topk — the SQL
+    stemmer cascade is GENERATED from the same suffix tables."""
+    import os
+
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.sources.corpus import corpus_dataset
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/lucene_kmp_ray_index_{lang}/{tag}"
+    analyzer = _nordic_cls(lang)()
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(corpus_dataset(sf_dir), idx, segment_size=SEGMENT_SIZE,
+                    analyzer=analyzer)
+    (term,) = analyzer(GERMAN_QUERY_WORD)
+    return search_distributed(idx, {"q": TermQuery(term)}, k=10,
+                              dtype="float64").to_pandas() \
+        [["doc_id", "url", "score"]]
+
+
+def _nordic_query_term(lang: str) -> str:
+    return _nordic_cls(lang)()(GERMAN_QUERY_WORD)[0]
+
+
+def _russian_query_term() -> str:
+    from lucene_kmp_ray.analysis.russian import RussianAnalyzer
+    return RussianAnalyzer()(GERMAN_QUERY_WORD)[0]
+
+
+def _russian_topk(sf_dir: str):
+    """Top-10 for a RussianAnalyzer index (stop → Snowball Russian stem;
+    Cyrillic suffix rules no-op on the Latin corpus but the full chain —
+    ё-fold, RV/R2 marking, stop list — runs end to end). Oracle:
+    oracle.bm25_russian_topk with the GENERATED SQL stemmer cascade."""
+    import os
+
+    from lucene_kmp_ray.analysis.russian import RussianAnalyzer
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.sources.corpus import corpus_dataset
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/lucene_kmp_ray_index_russian/{tag}"
+    analyzer = RussianAnalyzer()
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(corpus_dataset(sf_dir), idx, segment_size=SEGMENT_SIZE,
+                    analyzer=analyzer)
+    (term,) = analyzer(GERMAN_QUERY_WORD)
+    return search_distributed(idx, {"q": TermQuery(term)}, k=10,
+                              dtype="float64").to_pandas() \
+        [["doc_id", "url", "score"]]
+
+
 def _german_query_term() -> str:
     from lucene_kmp_ray.analysis.german import GermanAnalyzer
     return GermanAnalyzer()(GERMAN_QUERY_WORD)[0]
@@ -704,6 +765,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_italian_top10": lambda sf: _romance_topk(sf, "italian"),
         "bm25_portuguese_top10":
             lambda sf: _romance_topk(sf, "portuguese"),
+        "bm25_danish_top10": lambda sf: _nordic_topk(sf, "danish"),
+        "bm25_norwegian_top10": lambda sf: _nordic_topk(sf, "norwegian"),
+        "bm25_swedish_top10": lambda sf: _nordic_topk(sf, "swedish"),
+        "bm25_russian_top10": _russian_topk,
         "bm25_french_top10": _french_topk,
         "cjk_bigram_counts": textstats.cjk_bigram_counts,
         "ascii_fold_tokens": textstats.ascii_fold_tokens,
@@ -874,6 +939,14 @@ def oracle_sql() -> dict[str, str]:
             "italian", _romance_query_term("italian")),
         "bm25_portuguese_top10": oracle.bm25_romance_topk(
             "portuguese", _romance_query_term("portuguese")),
+        "bm25_danish_top10": oracle.bm25_nordic_topk(
+            "danish", _nordic_query_term("danish")),
+        "bm25_norwegian_top10": oracle.bm25_nordic_topk(
+            "norwegian", _nordic_query_term("norwegian")),
+        "bm25_swedish_top10": oracle.bm25_nordic_topk(
+            "swedish", _nordic_query_term("swedish")),
+        "bm25_russian_top10": oracle.bm25_russian_topk(
+            _russian_query_term()),
         "cjk_bigram_counts": oracle.cjk_bigram_counts(),
         "ascii_fold_tokens": oracle.ascii_fold_tokens(),
         "word_delimiter_tokens": oracle.word_delimiter_tokens(),

@@ -1333,6 +1333,340 @@ ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
 
 
+# --------------------------------------------- Scandinavian snowball ------
+def _snowball_suffix_case(col: str, table, action_fn) -> str:
+    """Longest-match Snowball ``among`` as an ordered CASE cascade: the
+    table is sorted longest-first, every WHEN requires the suffix to lie
+    wholly inside R1 (start index >= p1), and the first structural match
+    decides — conditional actions no-op inside their THEN, exactly like a
+    failed among action in Snowball."""
+    lines = ["CASE"]
+    for s, a in table:
+        lines.append(
+            f"    WHEN {col} LIKE '%{s}' AND length({col}) - {len(s)} >= p1"
+            f" THEN {action_fn(s, a, col)}")
+    lines.append(f"    ELSE {col} END")
+    return "\n".join(lines)
+
+
+def _snowball_pair_case(col: str, pairs) -> str:
+    plist = ", ".join(f"'{p}'" for p in pairs)
+    return (f"CASE WHEN right({col}, 2) IN ({plist}) AND "
+            f"length({col}) - 2 >= p1 "
+            f"THEN left({col}, length({col}) - 1) ELSE {col} END")
+
+
+def _char_at_from_end(col: str, back: int) -> str:
+    """1-based substr of the char `back` positions before the end
+    (back=1 → second-to-last char)."""
+    return f"substr({col}, length({col}) - {back}, 1)"
+
+
+def _nordic_stem_ctes(lang: str) -> str:
+    """CTE chain rkept(doc_id, t0) → rterms(doc_id, term) implementing the
+    Snowball Danish/Norwegian/Swedish stemmer — GENERATED from the same
+    suffix tables analysis/nordic.py runs, so Ray and SQL agree by
+    construction."""
+    from .analysis import nordic as nd
+
+    def cset(chars):
+        return ", ".join(f"'{c}'" for c in sorted(chars))
+
+    if lang == "danish":
+        vowels, main, pairs = nd.DA_VOWELS, nd.DA_MAIN, nd.DA_PAIRS
+
+        def main_act(s, a, col):
+            if a == 1:
+                return f"left({col}, length({col}) - {len(s)})"
+            prev = _char_at_from_end(col, 1)
+            return (f"CASE WHEN length({col}) >= 2 AND {prev} IN "
+                    f"({cset(nd.DA_S_ENDINGS)}) "
+                    f"THEN left({col}, length({col}) - 1) ELSE {col} END")
+
+        o_len = "CASE\n" + "\n".join(
+            f"    WHEN w2 LIKE '%{s}' AND length(w2) - {len(s)} >= p1"
+            f" THEN {len(s)}" for s, _ in nd.DA_OTHER) + "\n    ELSE 0 END"
+        o_act = "CASE\n" + "\n".join(
+            f"    WHEN w2 LIKE '%{s}' AND length(w2) - {len(s)} >= p1"
+            f" THEN {a}" for s, a in nd.DA_OTHER) + "\n    ELSE 0 END"
+        last = "right(w, 1)"
+        prev = _char_at_from_end("w", 1)
+        undouble = (f"CASE WHEN length(w) >= 2 AND length(w) - 1 >= p1 "
+                    f"AND {last} IN ({cset(nd.DA_DOUBLE_C)}) "
+                    f"AND {prev} = {last} "
+                    f"THEN left(w, length(w) - 1) ELSE w END")
+        return f"""rp AS MATERIALIZED (
+  SELECT doc_id, t0,
+    CASE WHEN m = '' THEN length(t0) ELSE greatest(3, length(m)) END AS p1
+  FROM (SELECT doc_id, t0,
+          regexp_extract(t0, '^[^{''.join(sorted(vowels))}]*[{''.join(sorted(vowels))}]+[^{''.join(sorted(vowels))}]') AS m
+        FROM rkept)
+),
+rm AS MATERIALIZED (SELECT doc_id, p1, {_snowball_suffix_case('t0', main, main_act)} AS w FROM rp),
+rc AS MATERIALIZED (SELECT doc_id, p1, {_snowball_pair_case('w', pairs)} AS w FROM rm),
+ri AS MATERIALIZED (SELECT doc_id, p1,
+         CASE WHEN w LIKE '%igst' THEN left(w, length(w) - 2) ELSE w END AS w2
+       FROM rc),
+ro AS MATERIALIZED (SELECT doc_id, p1, w2, {o_len} AS o_len, {o_act} AS o_act FROM ri),
+ro2 AS MATERIALIZED (SELECT doc_id, p1, o_act,
+          CASE WHEN o_act = 1 THEN left(w2, length(w2) - o_len)
+               WHEN o_act = 2 THEN left(w2, length(w2) - 1)
+               ELSE w2 END AS w
+        FROM ro),
+ro3 AS MATERIALIZED (SELECT doc_id, p1,
+          CASE WHEN o_act = 1 THEN {_snowball_pair_case('w', pairs)} ELSE w END AS w
+        FROM ro2),
+rterms AS MATERIALIZED (SELECT doc_id, {undouble} AS term FROM ro3)"""
+
+    if lang == "norwegian":
+        vowels, main, pairs = nd.NO_VOWELS, nd.NO_MAIN, nd.NO_PAIRS
+
+        def main_act(s, a, col):
+            if a == 1:
+                return f"left({col}, length({col}) - {len(s)})"
+            if a == 3:
+                return f"left({col}, length({col}) - {len(s)}) || 'er'"
+            prev = _char_at_from_end(col, 1)
+            prev2 = _char_at_from_end(col, 2)
+            return (f"CASE WHEN length({col}) >= 2 AND {prev} IN "
+                    f"({cset(nd.NO_S_ENDINGS)}) "
+                    f"THEN left({col}, length({col}) - 1) "
+                    f"WHEN length({col}) >= 3 AND {prev} = 'k' AND "
+                    f"{prev2} NOT IN ({cset(vowels)}) "
+                    f"THEN left({col}, length({col}) - 1) "
+                    f"ELSE {col} END")
+
+        def other_act(s, a, col):
+            return f"left({col}, length({col}) - {len(s)})"
+
+        return f"""rp AS MATERIALIZED (
+  SELECT doc_id, t0,
+    CASE WHEN m = '' THEN length(t0) ELSE greatest(3, length(m)) END AS p1
+  FROM (SELECT doc_id, t0,
+          regexp_extract(t0, '^[^{''.join(sorted(vowels))}]*[{''.join(sorted(vowels))}]+[^{''.join(sorted(vowels))}]') AS m
+        FROM rkept)
+),
+rm AS MATERIALIZED (SELECT doc_id, p1, {_snowball_suffix_case('t0', main, main_act)} AS w FROM rp),
+rc AS MATERIALIZED (SELECT doc_id, p1, {_snowball_pair_case('w', pairs)} AS w FROM rm),
+rterms AS MATERIALIZED (SELECT doc_id, {_snowball_suffix_case('w', nd.NO_OTHER, other_act)} AS term FROM rc)"""
+
+    if lang == "swedish":
+        vowels, main, pairs = nd.SV_VOWELS, nd.SV_MAIN, nd.SV_PAIRS
+
+        def main_act(s, a, col):
+            if a == 1:
+                return f"left({col}, length({col}) - {len(s)})"
+            prev = _char_at_from_end(col, 1)
+            return (f"CASE WHEN length({col}) >= 2 AND {prev} IN "
+                    f"({cset(nd.SV_S_ENDINGS)}) "
+                    f"THEN left({col}, length({col}) - 1) ELSE {col} END")
+
+        def other_act(s, a, col):
+            if a == 1:
+                return f"left({col}, length({col}) - {len(s)})"
+            if a == 3:  # fullt → full
+                return f"left({col}, length({col}) - 1)"
+            prev3 = _char_at_from_end(col, 3)
+            return (f"CASE WHEN length({col}) >= 4 AND {prev3} IN "
+                    f"({cset(nd.SV_OST_ENDINGS)}) "
+                    f"THEN left({col}, length({col}) - 1) ELSE {col} END")
+
+        return f"""rp AS MATERIALIZED (
+  SELECT doc_id, t0,
+    CASE WHEN m = '' THEN length(t0) ELSE greatest(3, length(m)) END AS p1
+  FROM (SELECT doc_id, t0,
+          regexp_extract(t0, '^[^{''.join(sorted(vowels))}]*[{''.join(sorted(vowels))}]+[^{''.join(sorted(vowels))}]') AS m
+        FROM rkept)
+),
+rm AS MATERIALIZED (SELECT doc_id, p1, {_snowball_suffix_case('t0', main, main_act)} AS w FROM rp),
+rc AS MATERIALIZED (SELECT doc_id, p1, {_snowball_pair_case('w', pairs)} AS w FROM rm),
+rterms AS MATERIALIZED (SELECT doc_id, {_snowball_suffix_case('w', nd.SV_OTHER, other_act)} AS term FROM rc)"""
+
+    raise ValueError(lang)
+
+
+def nordic_preamble(lang: str) -> str:
+    """BM25 CTEs over DANISH / NORWEGIAN / SWEDISH-analyzed text —
+    generated mirror of the analysis/nordic.py snowball chains."""
+    from .analysis.nordic import (DANISH_STOP_WORDS, NORWEGIAN_STOP_WORDS,
+                                  SWEDISH_STOP_WORDS)
+    stops = _stop_list_sql({"danish": DANISH_STOP_WORDS,
+                            "norwegian": NORWEGIAN_STOP_WORDS,
+                            "swedish": SWEDISH_STOP_WORDS}[lang])
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, url, {sql_tokens_expr('text')} AS toks FROM corpus
+),
+rtok AS (SELECT doc_id, unnest(toks) AS t0 FROM toksrc),
+rkept AS (SELECT doc_id, t0 FROM rtok WHERE t0 NOT IN ({stops})),
+{_nordic_stem_ctes(lang)},
+postings AS (
+  SELECT doc_id, term, count(*) AS freq FROM rterms GROUP BY doc_id, term
+),
+doclen AS (
+  SELECT c.doc_id,
+         (SELECT count(*) FROM rkept k WHERE k.doc_id = c.doc_id) AS dl
+  FROM corpus c
+),
+lt(b, v) AS (VALUES {_lt_values()}),
+normd AS (
+  SELECT d.doc_id, d.dl, l.b AS norm_byte, l.v AS dln
+  FROM doclen d
+  JOIN lt l ON l.v = (SELECT max(v) FROM lt l2 WHERE l2.v <= d.dl)
+),
+stats AS (SELECT count(*) AS doc_count, sum(dl) AS sum_ttf FROM doclen),
+tstats AS (
+  SELECT term, count(*) AS df, sum(freq) AS ttf FROM postings GROUP BY term
+),
+av AS (SELECT sum_ttf / CAST(doc_count AS DOUBLE) AS avgdl FROM stats)
+"""
+
+
+def bm25_nordic_topk(lang: str, stemmed_term: str, k: int = 10) -> str:
+    lit = f"'{stemmed_term}'"
+    return nordic_preamble(lang) + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
+# ------------------------------------------------------ Russian snowball --
+def _ru_len_case(col: str, table, bound: str = "pv", ay: bool = False,
+                 guard: str = "") -> str:
+    """Deletion-length CASE for a Snowball among: longest entry first,
+    suffix wholly inside the bound region; ay=True makes action-1 entries
+    conditional on a preceding а/я inside RV (returning 0 = the whole
+    step fails, Snowball-style, with no fallback to shorter entries)."""
+    lines = ["CASE"]
+    if guard:
+        lines.append(f"    WHEN {guard} THEN 0")
+    for s, a in table:
+        cond = (f"{col} LIKE '%{s}' AND length({col}) - {len(s)} "
+                f">= {bound}")
+        if ay and a == 1:
+            prev = f"substr({col}, length({col}) - {len(s)}, 1)"
+            inner = (f"CASE WHEN length({col}) - {len(s)} - 1 >= pv "
+                     f"AND {prev} IN ('а', 'я') THEN {len(s)} ELSE 0 END")
+            lines.append(f"    WHEN {cond} THEN {inner}")
+        else:
+            lines.append(f"    WHEN {cond} THEN {len(s)}")
+    lines.append("    ELSE 0 END")
+    return "\n".join(lines)
+
+
+def _russian_stem_ctes() -> str:
+    """CTE chain rkept(doc_id, t0) → rterms(doc_id, term) implementing
+    the Snowball Russian stemmer — GENERATED from the same tables
+    analysis/russian.py runs, so Ray and SQL agree by construction."""
+    from .analysis import russian as ru
+    v = "".join(sorted(ru.RU_VOWELS))
+    pg = _ru_len_case("w", ru.RU_PERF_GERUND, ay=True)
+    refl = _ru_len_case("w", ru.RU_REFLEXIVE, guard="done")
+    adj = _ru_len_case("w", ru.RU_ADJECTIVE, guard="done")
+    part = _ru_len_case("w", ru.RU_PARTICIPLE, ay=True,
+                        guard="done OR NOT adj")
+    verb = _ru_len_case("w", ru.RU_VERB, ay=True, guard="done OR adj")
+    noun = _ru_len_case("w", ru.RU_NOUN, guard="done OR adj OR verbed")
+    deriv = _ru_len_case("w", ru.RU_DERIVATIONAL, bound="p2")
+    t_act = "CASE\n" + "\n".join(
+        f"    WHEN w LIKE '%{s}' AND length(w) - {len(s)} >= pv THEN {a}"
+        for s, a in ru.RU_TIDY) + "\n    ELSE 0 END"
+    t_len = ("CASE WHEN t_act IN (1, 3) THEN "
+             "CASE WHEN t_act = 1 THEN "
+             "CASE WHEN w LIKE '%ейше' THEN 4 ELSE 3 END ELSE 1 END "
+             "WHEN t_act = 2 AND length(w) >= 2 "
+             "AND substr(w, length(w) - 1, 1) = 'н' "
+             "AND length(w) - 2 >= pv THEN 1 ELSE 0 END")
+    return f"""rp AS MATERIALIZED (
+  SELECT doc_id, replace(t0, 'ё', 'е') AS w FROM rkept
+),
+rr AS MATERIALIZED (
+  SELECT doc_id, w,
+    CASE WHEN pvm = '' THEN length(w) ELSE length(pvm) END AS pv,
+    CASE WHEN p2m = '' THEN length(w) ELSE length(p2m) END AS p2
+  FROM (SELECT doc_id, w,
+          regexp_extract(w, '^[^{v}]*[{v}]') AS pvm,
+          regexp_extract(w, '^[^{v}]*[{v}]+[^{v}]+[{v}]+[^{v}]') AS p2m
+        FROM rp)
+),
+spg AS MATERIALIZED (SELECT doc_id, pv, p2, w, {pg} AS pgl FROM rr),
+spg2 AS MATERIALIZED (SELECT doc_id, pv, p2, pgl > 0 AS done,
+           left(w, length(w) - pgl) AS w FROM spg),
+srefl AS MATERIALIZED (SELECT doc_id, pv, p2, done,
+            left(w, length(w) - ({refl})) AS w FROM spg2),
+sadj AS MATERIALIZED (SELECT doc_id, pv, p2, done, w, {adj} AS al FROM srefl),
+sadj2 AS MATERIALIZED (SELECT doc_id, pv, p2, done, al > 0 AS adj,
+            left(w, length(w) - al) AS w FROM sadj),
+spart AS MATERIALIZED (SELECT doc_id, pv, p2, done, adj,
+            left(w, length(w) - ({part})) AS w FROM sadj2),
+sverb AS MATERIALIZED (SELECT doc_id, pv, p2, done, adj, w, {verb} AS vl FROM spart),
+sverb2 AS MATERIALIZED (SELECT doc_id, pv, p2, done, adj, vl > 0 AS verbed,
+             left(w, length(w) - vl) AS w FROM sverb),
+snoun AS MATERIALIZED (SELECT doc_id, pv, p2,
+            left(w, length(w) - ({noun})) AS w FROM sverb2),
+si AS MATERIALIZED (SELECT doc_id, pv, p2,
+         CASE WHEN w LIKE '%и' AND length(w) - 1 >= pv
+              THEN left(w, length(w) - 1) ELSE w END AS w FROM snoun),
+sder AS MATERIALIZED (SELECT doc_id, pv,
+           left(w, length(w) - ({deriv})) AS w FROM si),
+sta AS MATERIALIZED (SELECT doc_id, pv, w, {t_act} AS t_act FROM sder),
+stb AS MATERIALIZED (SELECT doc_id, pv, t_act,
+          left(w, length(w) - ({t_len})) AS w FROM sta),
+rterms AS MATERIALIZED (
+  SELECT doc_id,
+    CASE WHEN t_act = 1 AND w LIKE '%нн' AND length(w) - 2 >= pv
+         THEN left(w, length(w) - 1) ELSE w END AS term
+  FROM stb)"""
+
+
+def russian_preamble() -> str:
+    """BM25 CTEs over RUSSIAN-analyzed text — generated mirror of the
+    analysis/russian.py snowball chain."""
+    from .analysis.russian import RUSSIAN_STOP_WORDS
+    stops = _stop_list_sql(RUSSIAN_STOP_WORDS)
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, url, {sql_tokens_expr('text')} AS toks FROM corpus
+),
+rtok AS (SELECT doc_id, unnest(toks) AS t0 FROM toksrc),
+rkept AS (SELECT doc_id, t0 FROM rtok WHERE t0 NOT IN ({stops})),
+{_russian_stem_ctes()},
+postings AS (
+  SELECT doc_id, term, count(*) AS freq FROM rterms GROUP BY doc_id, term
+),
+doclen AS (
+  SELECT c.doc_id,
+         (SELECT count(*) FROM rkept k WHERE k.doc_id = c.doc_id) AS dl
+  FROM corpus c
+),
+lt(b, v) AS (VALUES {_lt_values()}),
+normd AS (
+  SELECT d.doc_id, d.dl, l.b AS norm_byte, l.v AS dln
+  FROM doclen d
+  JOIN lt l ON l.v = (SELECT max(v) FROM lt l2 WHERE l2.v <= d.dl)
+),
+stats AS (SELECT count(*) AS doc_count, sum(dl) AS sum_ttf FROM doclen),
+tstats AS (
+  SELECT term, count(*) AS df, sum(freq) AS ttf FROM postings GROUP BY term
+),
+av AS (SELECT sum_ttf / CAST(doc_count AS DOUBLE) AS avgdl FROM stats)
+"""
+
+
+def bm25_russian_topk(stemmed_term: str, k: int = 10) -> str:
+    lit = f"'{stemmed_term}'"
+    return russian_preamble() + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
 # ------------------------------------------------------ CJK bigrams -------
 def cjk_bigram_counts() -> str:
     """Per-doc CJK bigram token counts over the SAME deterministic CJK
