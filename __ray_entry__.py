@@ -185,6 +185,34 @@ def _nordic_query_term(lang: str) -> str:
     return _nordic_cls(lang)()(GERMAN_QUERY_WORD)[0]
 
 
+def _dutch_query_term() -> str:
+    from lucene_kmp_ray.analysis.dutch import DutchAnalyzer
+    return DutchAnalyzer()(GERMAN_QUERY_WORD)[0]
+
+
+def _dutch_topk(sf_dir: str):
+    """Top-10 for a DutchAnalyzer index (stop → stem-override dict →
+    snowball Dutch stem with Y/I prelude marking). Oracle:
+    oracle.bm25_dutch_topk — the SQL stemmer (recursive-CTE prelude +
+    staged CASE suffix steps) is GENERATED from the same rules."""
+    import os
+
+    from lucene_kmp_ray.analysis.dutch import DutchAnalyzer
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.sources.corpus import corpus_dataset
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/lucene_kmp_ray_index_dutch/{tag}"
+    analyzer = DutchAnalyzer()
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(corpus_dataset(sf_dir), idx, segment_size=SEGMENT_SIZE,
+                    analyzer=analyzer)
+    (term,) = analyzer(GERMAN_QUERY_WORD)
+    return search_distributed(idx, {"q": TermQuery(term)}, k=10,
+                              dtype="float64").to_pandas() \
+        [["doc_id", "url", "score"]]
+
+
 def _russian_query_term() -> str:
     from lucene_kmp_ray.analysis.russian import RussianAnalyzer
     return RussianAnalyzer()(GERMAN_QUERY_WORD)[0]
@@ -769,6 +797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_norwegian_top10": lambda sf: _nordic_topk(sf, "norwegian"),
         "bm25_swedish_top10": lambda sf: _nordic_topk(sf, "swedish"),
         "bm25_russian_top10": _russian_topk,
+        "bm25_dutch_top10": _dutch_topk,
         "bm25_french_top10": _french_topk,
         "cjk_bigram_counts": textstats.cjk_bigram_counts,
         "ascii_fold_tokens": textstats.ascii_fold_tokens,
@@ -947,6 +976,7 @@ def oracle_sql() -> dict[str, str]:
             "swedish", _nordic_query_term("swedish")),
         "bm25_russian_top10": oracle.bm25_russian_topk(
             _russian_query_term()),
+        "bm25_dutch_top10": oracle.bm25_dutch_topk(_dutch_query_term()),
         "cjk_bigram_counts": oracle.cjk_bigram_counts(),
         "ascii_fold_tokens": oracle.ascii_fold_tokens(),
         "word_delimiter_tokens": oracle.word_delimiter_tokens(),

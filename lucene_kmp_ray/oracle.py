@@ -1667,6 +1667,218 @@ ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
 
 
+# ------------------------------------------------------ Dutch snowball ----
+_NL_V = "aeiouyè"
+
+
+def _nl_in(expr: str, chars: str) -> str:
+    lst = ", ".join(f"'{c}'" for c in sorted(chars))
+    return f"{expr} IN ({lst})"
+
+
+def _nl_und_trunc(w: str, k: int) -> str:
+    """Delete the last k chars of {w} then snowball-undouble (dd/kk/tt
+    lose a letter).  Safe at any length: a position clipped to 0 yields
+    '' which never matches the pair list."""
+    return (f"CASE WHEN length({w}) - {k} >= 2 AND "
+            f"substr({w}, length({w}) - {k} - 1, 2) IN ('dd','kk','tt') "
+            f"THEN left({w}, length({w}) - {k} - 1) "
+            f"ELSE left({w}, length({w}) - {k}) END")
+
+
+def _nl_en_cond(w: str, k: int) -> str:
+    """Valid en-ending for a k-char suffix of {w}: start in R1, preceded
+    by a non-vowel, stem not ending in 'gem'."""
+    return (f"(length({w}) - {k} >= p1 AND length({w}) - {k} >= 1"
+            f" AND NOT {_nl_in(f'substr({w}, length({w}) - {k}, 1)', _NL_V)}"
+            f" AND NOT left({w}, length({w}) - {k}) LIKE '%gem')")
+
+
+def _nl_stem_ctes() -> str:
+    """CTE chain rkept(doc_id, t0) → rterms(doc_id, term) implementing
+    the snowball Dutch stemmer — GENERATED from the same rules
+    analysis/dutch.py runs (prelude Y/I scan as a recursive CTE over
+    DISTINCT tokens, suffix steps as staged CASE columns, stem-override
+    dict applied first), so Ray and SQL agree by construction."""
+    from .analysis.dutch import DUTCH_STEM_DICT
+
+    v = _NL_V
+    re1 = f"^[^{v}]*[{v}]+[^{v}]"
+    re2 = f"^[^{v}]*[{v}]+[^{v}]+[{v}]+[^{v}]"
+    vI = sorted(set(v) | {"I"})
+    vJ = sorted(set(v) | {"j"})
+
+    # step 1 — among {heden, ene, se, en, s}, longest structural match
+    s1 = f"""CASE
+    WHEN pw LIKE '%heden' THEN
+      CASE WHEN length(pw) - 5 >= p1
+           THEN left(pw, length(pw) - 5) || 'heid' ELSE pw END
+    WHEN pw LIKE '%ene' THEN
+      CASE WHEN {_nl_en_cond('pw', 3)} THEN {_nl_und_trunc('pw', 3)}
+           ELSE pw END
+    WHEN pw LIKE '%se' THEN
+      CASE WHEN length(pw) - 2 >= p1 AND length(pw) >= 3
+                AND NOT {_nl_in('substr(pw, length(pw) - 2, 1)', ''.join(vJ))}
+           THEN left(pw, length(pw) - 2) ELSE pw END
+    WHEN pw LIKE '%en' THEN
+      CASE WHEN {_nl_en_cond('pw', 2)} THEN {_nl_und_trunc('pw', 2)}
+           ELSE pw END
+    WHEN pw LIKE '%s' THEN
+      CASE WHEN length(pw) - 1 >= p1 AND length(pw) >= 2
+                AND NOT {_nl_in('substr(pw, length(pw) - 1, 1)', ''.join(vJ))}
+           THEN left(pw, length(pw) - 1) ELSE pw END
+    ELSE pw END"""
+
+    # step 2 — e-ending (also exported as the e_found flag `ef`)
+    cond_e = (f"(s1 LIKE '%e' AND length(s1) - 1 >= p1 AND length(s1) >= 2"
+              f" AND NOT {_nl_in('substr(s1, length(s1) - 1, 1)', v)})")
+    s2 = f"CASE WHEN {cond_e} THEN {_nl_und_trunc('s1', 1)} ELSE s1 END"
+
+    # step 3a — heid (R2, not after c), then a trailing en
+    en_after_heid = (
+        f"(length(s2) - 6 >= p1 AND length(s2) - 6 >= 1"
+        f" AND NOT {_nl_in('substr(s2, length(s2) - 6, 1)', v)}"
+        f" AND NOT left(s2, length(s2) - 6) LIKE '%gem')")
+    s3a = f"""CASE
+    WHEN s2 LIKE '%heid' AND length(s2) - 4 >= p2
+         AND substr(s2, length(s2) - 4, 1) <> 'c' THEN
+      CASE WHEN s2 LIKE '%enheid' AND {en_after_heid} THEN
+        CASE WHEN length(s2) - 6 >= 2 AND
+                  substr(s2, length(s2) - 7, 2) IN ('dd','kk','tt')
+             THEN left(s2, length(s2) - 7)
+             ELSE left(s2, length(s2) - 6) END
+      ELSE left(s2, length(s2) - 4) END
+    ELSE s2 END"""
+
+    # step 3b — among {lijk, baar, end, ing, bar, ig}
+    lijk_e = (f"(s3a LIKE '%elijk' AND length(s3a) - 5 >= p1"
+              f" AND length(s3a) >= 6"
+              f" AND NOT {_nl_in('substr(s3a, length(s3a) - 5, 1)', v)})")
+    s3b = f"""CASE
+    WHEN s3a LIKE '%lijk' THEN
+      CASE WHEN length(s3a) - 4 >= p2 THEN
+        CASE WHEN {lijk_e} THEN
+          CASE WHEN substr(s3a, length(s3a) - 6, 2) IN ('dd','kk','tt')
+               THEN left(s3a, length(s3a) - 6)
+               ELSE left(s3a, length(s3a) - 5) END
+        ELSE left(s3a, length(s3a) - 4) END
+      ELSE s3a END
+    WHEN s3a LIKE '%baar' THEN
+      CASE WHEN length(s3a) - 4 >= p2 THEN left(s3a, length(s3a) - 4)
+           ELSE s3a END
+    WHEN s3a LIKE '%end' OR s3a LIKE '%ing' THEN
+      CASE WHEN length(s3a) - 3 >= p2 THEN
+        CASE WHEN substr(s3a, length(s3a) - 4, 2) = 'ig'
+                  AND length(s3a) - 5 >= p2
+                  AND substr(s3a, length(s3a) - 5, 1) <> 'e'
+             THEN left(s3a, length(s3a) - 5)
+             WHEN substr(s3a, length(s3a) - 4, 2) IN ('dd','kk','tt')
+             THEN left(s3a, length(s3a) - 4)
+             ELSE left(s3a, length(s3a) - 3) END
+      ELSE s3a END
+    WHEN s3a LIKE '%bar' THEN
+      CASE WHEN length(s3a) - 3 >= p2 AND ef
+           THEN left(s3a, length(s3a) - 3) ELSE s3a END
+    WHEN s3a LIKE '%ig' THEN
+      CASE WHEN length(s3a) - 2 >= p2
+                AND substr(s3a, length(s3a) - 2, 1) <> 'e'
+           THEN left(s3a, length(s3a) - 2) ELSE s3a END
+    ELSE s3a END"""
+
+    # step 4 — undouble vowel: C V V D with D ∉ v∪{I}, C ∉ v
+    s4 = f"""CASE
+    WHEN length(s3b) >= 4
+         AND NOT {_nl_in('right(s3b, 1)', ''.join(vI))}
+         AND substr(s3b, length(s3b) - 2, 2) IN ('aa','ee','oo','uu')
+         AND NOT {_nl_in('substr(s3b, length(s3b) - 3, 1)', v)}
+    THEN left(s3b, length(s3b) - 2) || right(s3b, 1) ELSE s3b END"""
+
+    overrides = " ".join(
+        f"WHEN k.t0 = '{src}' THEN '{dst}'"
+        for src, dst in DUTCH_STEM_DICT.items())
+
+    return f"""uniq AS (SELECT DISTINCT t0 FROM rkept),
+praw AS (SELECT t0, translate(t0, 'áäéëíïóöúü', 'aaeeiioouu') AS raw
+         FROM uniq),
+nlscan(t0, raw, pos, acc) AS (
+  SELECT t0, raw, 1, '' FROM praw
+  UNION ALL
+  SELECT t0, raw, pos + 1,
+    acc || CASE
+      WHEN substr(raw, pos, 1) = 'y'
+           AND (pos = 1 OR {_nl_in('right(acc, 1)', v)}) THEN 'Y'
+      WHEN substr(raw, pos, 1) = 'i' AND pos > 1
+           AND {_nl_in('right(acc, 1)', v)}
+           AND {_nl_in('substr(raw, pos + 1, 1)', v)} THEN 'I'
+      ELSE substr(raw, pos, 1) END
+  FROM nlscan WHERE pos <= length(raw)
+),
+pre AS (SELECT t0, acc AS pw FROM nlscan WHERE pos = length(raw) + 1),
+reg AS (
+  SELECT t0, pw,
+    CASE WHEN regexp_extract(pw, '{re1}') = '' THEN length(pw)
+         ELSE greatest(length(regexp_extract(pw, '{re1}')), 3) END AS p1,
+    CASE WHEN regexp_extract(pw, '{re2}') = '' THEN length(pw)
+         ELSE length(regexp_extract(pw, '{re2}')) END AS p2
+  FROM pre
+),
+st1 AS (SELECT t0, p1, p2, {s1} AS s1 FROM reg),
+st2 AS (SELECT t0, p1, p2, {cond_e} AS ef, {s2} AS s2 FROM st1),
+st3a AS (SELECT t0, p1, p2, ef, {s3a} AS s3a FROM st2),
+st3b AS (SELECT t0, p1, p2, {s3b} AS s3b FROM st3a),
+stems AS (SELECT t0, translate({s4}, 'YI', 'yi') AS stem FROM st3b),
+rterms AS (
+  SELECT k.doc_id,
+         CASE {overrides} ELSE s.stem END AS term
+  FROM rkept k JOIN stems s ON s.t0 = k.t0
+)"""
+
+
+def dutch_preamble() -> str:
+    """BM25 CTEs over DUTCH-analyzed text — generated mirror of the
+    analysis/dutch.py snowball chain (stop → override dict → stem)."""
+    from .analysis.dutch import DUTCH_STOP_WORDS
+    stops = _stop_list_sql(DUTCH_STOP_WORDS)
+    return f"""
+WITH RECURSIVE corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, url, {sql_tokens_expr('text')} AS toks FROM corpus
+),
+rtok AS (SELECT doc_id, unnest(toks) AS t0 FROM toksrc),
+rkept AS (SELECT doc_id, t0 FROM rtok WHERE t0 NOT IN ({stops})),
+{_nl_stem_ctes()},
+postings AS (
+  SELECT doc_id, term, count(*) AS freq FROM rterms GROUP BY doc_id, term
+),
+doclen AS (
+  SELECT c.doc_id,
+         (SELECT count(*) FROM rkept k WHERE k.doc_id = c.doc_id) AS dl
+  FROM corpus c
+),
+lt(b, v) AS (VALUES {_lt_values()}),
+normd AS (
+  SELECT d.doc_id, d.dl, l.b AS norm_byte, l.v AS dln
+  FROM doclen d
+  JOIN lt l ON l.v = (SELECT max(v) FROM lt l2 WHERE l2.v <= d.dl)
+),
+stats AS (SELECT count(*) AS doc_count, sum(dl) AS sum_ttf FROM doclen),
+tstats AS (
+  SELECT term, count(*) AS df, sum(freq) AS ttf FROM postings GROUP BY term
+),
+av AS (SELECT sum_ttf / CAST(doc_count AS DOUBLE) AS avgdl FROM stats)
+"""
+
+
+def bm25_dutch_topk(stemmed_term: str, k: int = 10) -> str:
+    lit = f"'{stemmed_term}'"
+    return dutch_preamble() + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
 # ------------------------------------------------------ CJK bigrams -------
 def cjk_bigram_counts() -> str:
     """Per-doc CJK bigram token counts over the SAME deterministic CJK
