@@ -185,6 +185,39 @@ def _nordic_query_term(lang: str) -> str:
     return _nordic_cls(lang)()(GERMAN_QUERY_WORD)[0]
 
 
+def _eastern_cls(lang: str):
+    from lucene_kmp_ray.analysis import eastern
+    return {"czech": eastern.CzechAnalyzer,
+            "bulgarian": eastern.BulgarianAnalyzer,
+            "latvian": eastern.LatvianAnalyzer}[lang]
+
+
+def _eastern_topk(sf_dir: str, lang: str):
+    """Top-10 for a Czech/Bulgarian/Latvian light-stemmer index (stop →
+    light stem; Dolamic-Savoy / Savoy-BUIR / Kreslin-light algorithms).
+    Oracle: oracle.bm25_eastern_topk — the SQL cascades are GENERATED
+    from the same suffix tables."""
+    import os
+
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.sources.corpus import corpus_dataset
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/lucene_kmp_ray_index_{lang}/{tag}"
+    analyzer = _eastern_cls(lang)()
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(corpus_dataset(sf_dir), idx, segment_size=SEGMENT_SIZE,
+                    analyzer=analyzer)
+    (term,) = analyzer(GERMAN_QUERY_WORD)
+    return search_distributed(idx, {"q": TermQuery(term)}, k=10,
+                              dtype="float64").to_pandas() \
+        [["doc_id", "url", "score"]]
+
+
+def _eastern_query_term(lang: str) -> str:
+    return _eastern_cls(lang)()(GERMAN_QUERY_WORD)[0]
+
+
 def _dutch_query_term() -> str:
     from lucene_kmp_ray.analysis.dutch import DutchAnalyzer
     return DutchAnalyzer()(GERMAN_QUERY_WORD)[0]
@@ -798,6 +831,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_swedish_top10": lambda sf: _nordic_topk(sf, "swedish"),
         "bm25_russian_top10": _russian_topk,
         "bm25_dutch_top10": _dutch_topk,
+        "bm25_czech_top10": lambda sf: _eastern_topk(sf, "czech"),
+        "bm25_bulgarian_top10": lambda sf: _eastern_topk(sf, "bulgarian"),
+        "bm25_latvian_top10": lambda sf: _eastern_topk(sf, "latvian"),
         "bm25_french_top10": _french_topk,
         "cjk_bigram_counts": textstats.cjk_bigram_counts,
         "ascii_fold_tokens": textstats.ascii_fold_tokens,
@@ -977,6 +1013,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_russian_top10": oracle.bm25_russian_topk(
             _russian_query_term()),
         "bm25_dutch_top10": oracle.bm25_dutch_topk(_dutch_query_term()),
+        "bm25_czech_top10": oracle.bm25_eastern_topk(
+            "czech", _eastern_query_term("czech")),
+        "bm25_bulgarian_top10": oracle.bm25_eastern_topk(
+            "bulgarian", _eastern_query_term("bulgarian")),
+        "bm25_latvian_top10": oracle.bm25_eastern_topk(
+            "latvian", _eastern_query_term("latvian")),
         "cjk_bigram_counts": oracle.cjk_bigram_counts(),
         "ascii_fold_tokens": oracle.ascii_fold_tokens(),
         "word_delimiter_tokens": oracle.word_delimiter_tokens(),

@@ -1847,7 +1847,7 @@ toksrc AS MATERIALIZED (
 rtok AS (SELECT doc_id, unnest(toks) AS t0 FROM toksrc),
 rkept AS (SELECT doc_id, t0 FROM rtok WHERE t0 NOT IN ({stops})),
 {_nl_stem_ctes()},
-postings AS (
+postings AS MATERIALIZED (
   SELECT doc_id, term, count(*) AS freq FROM rterms GROUP BY doc_id, term
 ),
 doclen AS (
@@ -1872,6 +1872,192 @@ av AS (SELECT sum_ttf / CAST(doc_count AS DOUBLE) AS avgdl FROM stats)
 def bm25_dutch_topk(stemmed_term: str, k: int = 10) -> str:
     lit = f"'{stemmed_term}'"
     return dutch_preamble() + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
+# --------------------------------------- Czech / Bulgarian / Latvian ------
+def _cz_stem_sql() -> str:
+    """Czech light stemmer as staged CASE columns (cz1 case-removal →
+    cz2 possessives → term normalization) GENERATED from
+    analysis/eastern.py's CZ_CASE_TIERS."""
+    from .analysis.eastern import CZ_CASE_TIERS, CZ_FINAL_VOWELS
+
+    tiers = []
+    for min_len, cut, suffixes in CZ_CASE_TIERS:
+        k = len(suffixes[0])
+        lst = ", ".join(f"'{s}'" for s in suffixes)
+        tiers.append(
+            f"    WHEN length(t0) > {min_len} AND right(t0, {k}) IN ({lst})"
+            f" THEN left(t0, length(t0) - {cut})")
+    vlist = ", ".join(f"'{c}'" for c in CZ_FINAL_VOWELS)
+    cz1 = ("CASE\n" + "\n".join(tiers) + f"""
+    WHEN length(t0) > 3 AND right(t0, 1) IN ({vlist})
+         THEN left(t0, length(t0) - 1)
+    ELSE t0 END""")
+    cz2 = ("CASE WHEN length(cz1) > 5 AND right(cz1, 2) IN "
+           "('ov','in','ův') THEN left(cz1, length(cz1) - 2) "
+           "ELSE cz1 END")
+    cz3 = """CASE
+    WHEN cz2 LIKE '%čt' THEN left(cz2, length(cz2) - 2) || 'ck'
+    WHEN cz2 LIKE '%št' THEN left(cz2, length(cz2) - 2) || 'sk'
+    WHEN right(cz2, 1) IN ('c','č') THEN left(cz2, length(cz2) - 1) || 'k'
+    WHEN right(cz2, 1) IN ('z','ž') THEN left(cz2, length(cz2) - 1) || 'h'
+    WHEN length(cz2) > 1 AND substr(cz2, length(cz2) - 1, 1) = 'e'
+         THEN left(cz2, length(cz2) - 2) || right(cz2, 1)
+    WHEN length(cz2) > 2 AND substr(cz2, length(cz2) - 1, 1) = 'ů'
+         THEN left(cz2, length(cz2) - 2) || 'o' || right(cz2, 1)
+    ELSE cz2 END"""
+    return f"""rcz1 AS (SELECT doc_id, {cz1} AS cz1 FROM rkept),
+rcz2 AS (SELECT doc_id, {cz2} AS cz2 FROM rcz1),
+rterms AS MATERIALIZED (SELECT doc_id, {cz3} AS term FROM rcz2)"""
+
+
+def _bg_stem_sql() -> str:
+    """Bulgarian light stemmer as staged CASE columns mirroring
+    analysis/eastern.py's bulgarian_stem (done-flag for the <4 /
+    'ища' fast paths, then article → plural → я/а-о-е strip → ен→н →
+    ъN→N)."""
+    art = """CASE
+    WHEN length(t0) > 6 AND t0 LIKE '%ият' THEN left(t0, length(t0) - 3)
+    WHEN length(t0) > 5 AND right(t0, 2) IN ('ът','то','те','та','ия')
+         THEN left(t0, length(t0) - 2)
+    WHEN length(t0) > 4 AND t0 LIKE '%ят' THEN left(t0, length(t0) - 2)
+    ELSE t0 END"""
+    plu = """CASE
+    WHEN length(ba) > 6 AND ba LIKE '%овци' THEN left(ba, length(ba) - 3)
+    WHEN length(ba) > 6 AND ba LIKE '%ове' THEN left(ba, length(ba) - 3)
+    WHEN length(ba) > 6 AND ba LIKE '%еве'
+         THEN left(ba, length(ba) - 3) || 'й'
+    WHEN length(ba) > 5 AND ba LIKE '%ища' THEN left(ba, length(ba) - 3)
+    WHEN length(ba) > 5 AND ba LIKE '%та' THEN left(ba, length(ba) - 2)
+    WHEN length(ba) > 5 AND ba LIKE '%ци'
+         THEN left(ba, length(ba) - 2) || 'к'
+    WHEN length(ba) > 5 AND ba LIKE '%зи'
+         THEN left(ba, length(ba) - 2) || 'г'
+    WHEN length(ba) > 5 AND substr(ba, length(ba) - 2, 1) = 'е'
+         AND right(ba, 1) = 'и'
+         THEN left(ba, length(ba) - 3) || 'я' || substr(ba, length(ba) - 1, 1)
+    WHEN length(ba) > 4 AND ba LIKE '%си'
+         THEN left(ba, length(ba) - 2) || 'х'
+    WHEN length(ba) > 4 AND ba LIKE '%и' THEN left(ba, length(ba) - 1)
+    ELSE ba END"""
+    # both strips share the ONE pre-strip length guard (reference quirk)
+    bs1 = ("CASE WHEN length(bp) > 3 AND bp LIKE '%я' "
+           "THEN left(bp, length(bp) - 1) ELSE bp END")
+    bs2 = ("CASE WHEN length(bp) > 3 AND right(bs1, 1) IN ('а','о','е') "
+           "THEN left(bs1, length(bs1) - 1) ELSE bs1 END")
+    ben = ("CASE WHEN length(bs2) > 4 AND bs2 LIKE '%ен' "
+           "THEN left(bs2, length(bs2) - 2) || 'н' ELSE bs2 END")
+    bhard = ("CASE WHEN length(ben) > 5 AND "
+             "substr(ben, length(ben) - 1, 1) = 'ъ' "
+             "THEN left(ben, length(ben) - 2) || right(ben, 1) "
+             "ELSE ben END")
+    return f"""rbg0 AS (
+  SELECT doc_id, t0,
+         (length(t0) < 4 OR (length(t0) > 5 AND t0 LIKE '%ища')) AS done,
+         CASE WHEN length(t0) > 5 AND t0 LIKE '%ища'
+              THEN left(t0, length(t0) - 3) ELSE t0 END AS early
+  FROM rkept),
+rba AS (SELECT doc_id, t0, done, early, {art} AS ba FROM rbg0),
+rbp AS (SELECT doc_id, done, early, {plu} AS bp FROM rba),
+rbs AS (SELECT doc_id, done, early, bp, {bs1} AS bs1 FROM rbp),
+rbs2 AS (SELECT doc_id, done, early, {bs2} AS bs2 FROM rbs),
+rben AS (SELECT doc_id, done, early, {ben} AS ben FROM rbs2),
+rterms AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN done THEN early ELSE {bhard} END AS term
+  FROM rben)"""
+
+
+def _lv_stem_sql() -> str:
+    """Latvian light stemmer as one ordered CASE cascade GENERATED from
+    analysis/eastern.py's LV_AFFIXES (first match wins), with the
+    unpalatalization rewrites inlined per palatalizing affix."""
+    from .analysis.eastern import LV_AFFIXES
+
+    def unpal(stem: str, u_initial: bool) -> str:
+        lines = ["CASE"]
+        if u_initial:
+            lines.append(f"      WHEN {stem} LIKE '%kš' THEN "
+                         f"left({stem}, length({stem}) - 1) || 'st'")
+            lines.append(f"      WHEN {stem} LIKE '%ņņ' THEN "
+                         f"left({stem}, length({stem}) - 2) || 'nn'")
+        lines.append(f"      WHEN right({stem}, 2) IN "
+                     f"('pj','bj','mj','vj') THEN "
+                     f"left({stem}, length({stem}) - 1)")
+        for pat, rep in (("šņ", "sn"), ("žņ", "zn"), ("šļ", "sl"),
+                         ("žļ", "zl"), ("ļņ", "ln"), ("ļļ", "ll")):
+            lines.append(f"      WHEN {stem} LIKE '%{pat}' THEN "
+                         f"left({stem}, length({stem}) - 2) || '{rep}'")
+        for pat, rep in (("č", "c"), ("ļ", "l"), ("ņ", "n")):
+            lines.append(f"      WHEN right({stem}, 1) = '{pat}' THEN "
+                         f"left({stem}, length({stem}) - 1) || '{rep}'")
+        lines.append(f"      ELSE {stem} END")
+        return "\n".join(lines)
+
+    branches = []
+    for sfx, vc, pal in LV_AFFIXES:
+        k = len(sfx)
+        stem = f"left(t0, length(t0) - {k})"
+        expr = unpal(stem, sfx[0] == "u") if pal else stem
+        branches.append(
+            f"    WHEN nv > {vc} AND length(t0) >= {k + 3} AND "
+            f"t0 LIKE '%{sfx}' THEN {expr}")
+    case = "CASE\n" + "\n".join(branches) + "\n    ELSE t0 END"
+    return f"""rlv AS (
+  SELECT doc_id, t0,
+         length(t0) - length(translate(t0, 'aeiouāīēū', '')) AS nv
+  FROM rkept),
+rterms AS MATERIALIZED (SELECT doc_id, {case} AS term FROM rlv)"""
+
+
+def eastern_preamble(lang: str) -> str:
+    """BM25 CTEs over CZECH / BULGARIAN / LATVIAN-analyzed text —
+    generated mirrors of the analysis/eastern.py light-stemmer chains."""
+    from .analysis.eastern import (BULGARIAN_STOP_WORDS, CZECH_STOP_WORDS,
+                                   LATVIAN_STOP_WORDS)
+    stops, ctes = {
+        "czech": (CZECH_STOP_WORDS, _cz_stem_sql),
+        "bulgarian": (BULGARIAN_STOP_WORDS, _bg_stem_sql),
+        "latvian": (LATVIAN_STOP_WORDS, _lv_stem_sql),
+    }[lang]
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, url, {sql_tokens_expr('text')} AS toks FROM corpus
+),
+rtok AS (SELECT doc_id, unnest(toks) AS t0 FROM toksrc),
+rkept AS (SELECT doc_id, t0 FROM rtok
+          WHERE t0 NOT IN ({_stop_list_sql(stops)})),
+{ctes()},
+postings AS MATERIALIZED (
+  SELECT doc_id, term, count(*) AS freq FROM rterms GROUP BY doc_id, term
+),
+doclen AS (
+  SELECT c.doc_id,
+         (SELECT count(*) FROM rkept k WHERE k.doc_id = c.doc_id) AS dl
+  FROM corpus c
+),
+lt(b, v) AS (VALUES {_lt_values()}),
+normd AS (
+  SELECT d.doc_id, d.dl, l.b AS norm_byte, l.v AS dln
+  FROM doclen d
+  JOIN lt l ON l.v = (SELECT max(v) FROM lt l2 WHERE l2.v <= d.dl)
+),
+stats AS (SELECT count(*) AS doc_count, sum(dl) AS sum_ttf FROM doclen),
+tstats AS (
+  SELECT term, count(*) AS df, sum(freq) AS ttf FROM postings GROUP BY term
+),
+av AS (SELECT sum_ttf / CAST(doc_count AS DOUBLE) AS avgdl FROM stats)
+"""
+
+
+def bm25_eastern_topk(lang: str, stemmed_term: str, k: int = 10) -> str:
+    lit = f"'{stemmed_term}'"
+    return eastern_preamble(lang) + f""",
 scored AS ({term_scored_cte(lit)})
 SELECT s.doc_id, c.url, s.score
 FROM scored s JOIN corpus c USING (doc_id)
