@@ -185,6 +185,41 @@ def _nordic_query_term(lang: str) -> str:
     return _nordic_cls(lang)()(GERMAN_QUERY_WORD)[0]
 
 
+def _mideast_cls(lang: str):
+    if lang == "hindi":
+        from lucene_kmp_ray.analysis.indic import HindiAnalyzer
+        return HindiAnalyzer
+    from lucene_kmp_ray.analysis import arabic
+    return {"arabic": arabic.ArabicAnalyzer,
+            "persian": arabic.PersianAnalyzer}[lang]
+
+
+def _mideast_topk(sf_dir: str, lang: str):
+    """Top-10 for an Arabic/Persian/Hindi index (normalization chains +
+    light stemmers; chain order per the reference analyzers). Oracle:
+    oracle.bm25_mideast_topk — translate/replace-chain + CASE cascades
+    GENERATED from the same tables."""
+    import os
+
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.sources.corpus import corpus_dataset
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/lucene_kmp_ray_index_{lang}/{tag}"
+    analyzer = _mideast_cls(lang)()
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(corpus_dataset(sf_dir), idx, segment_size=SEGMENT_SIZE,
+                    analyzer=analyzer)
+    (term,) = analyzer(GERMAN_QUERY_WORD)
+    return search_distributed(idx, {"q": TermQuery(term)}, k=10,
+                              dtype="float64").to_pandas() \
+        [["doc_id", "url", "score"]]
+
+
+def _mideast_query_term(lang: str) -> str:
+    return _mideast_cls(lang)()(GERMAN_QUERY_WORD)[0]
+
+
 def _eastern_cls(lang: str):
     from lucene_kmp_ray.analysis import eastern
     return {"czech": eastern.CzechAnalyzer,
@@ -834,6 +869,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_czech_top10": lambda sf: _eastern_topk(sf, "czech"),
         "bm25_bulgarian_top10": lambda sf: _eastern_topk(sf, "bulgarian"),
         "bm25_latvian_top10": lambda sf: _eastern_topk(sf, "latvian"),
+        "bm25_arabic_top10": lambda sf: _mideast_topk(sf, "arabic"),
+        "bm25_persian_top10": lambda sf: _mideast_topk(sf, "persian"),
+        "bm25_hindi_top10": lambda sf: _mideast_topk(sf, "hindi"),
         "bm25_french_top10": _french_topk,
         "cjk_bigram_counts": textstats.cjk_bigram_counts,
         "ascii_fold_tokens": textstats.ascii_fold_tokens,
@@ -1019,6 +1057,12 @@ def oracle_sql() -> dict[str, str]:
             "bulgarian", _eastern_query_term("bulgarian")),
         "bm25_latvian_top10": oracle.bm25_eastern_topk(
             "latvian", _eastern_query_term("latvian")),
+        "bm25_arabic_top10": oracle.bm25_mideast_topk(
+            "arabic", _mideast_query_term("arabic")),
+        "bm25_persian_top10": oracle.bm25_mideast_topk(
+            "persian", _mideast_query_term("persian")),
+        "bm25_hindi_top10": oracle.bm25_mideast_topk(
+            "hindi", _mideast_query_term("hindi")),
         "cjk_bigram_counts": oracle.cjk_bigram_counts(),
         "ascii_fold_tokens": oracle.ascii_fold_tokens(),
         "word_delimiter_tokens": oracle.word_delimiter_tokens(),

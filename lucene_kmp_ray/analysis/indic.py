@@ -1,0 +1,256 @@
+"""Hindi analysis chain (Indic script normalization + light stemmer).
+
+Reference chain (``/root/reference/analysis/common/.../hi/HindiAnalyzer.kt``):
+StandardTokenizer → LowerCase → DecimalDigit → IndicNormalization →
+HindiNormalization → Stop → HindiStem.
+
+- **IndicNormalizer** (``in/IndicNormalizer.kt``): composes two- and
+  three-character sequences (letter + vowel-sign [+ sign/ZWJ]) into
+  their canonical single codepoints across the nine Indic blocks,
+  following Unicode 5.2 ch.6 plus the LDC graphical decompositions.
+  The table below is the same (ch0, ch1, ch2, result, script-flags)
+  data; -1 means a two-char rule and 0xFF means ZWJ as third char.
+- **HindiNormalizer** (``hi/HindiNormalizer.kt``): dead-n (न + virama)
+  → bindu, candrabindu → bindu, nukta deletions and nukta-composed
+  consonant folds, ZWJ/ZWNJ/virama deletion, chandra/short vowel
+  folds, long → short vowel folds.
+- **HindiStemmer** (``hi/HindiStemmer.kt``, Ramanathan & Rao "A
+  Lightweight Stemmer for Hindi"): longest-first suffix tiers (5..1
+  chars) with a strict length guard per tier.
+
+The oracle mirror (``oracle.hindi_preamble``) GENERATES the equivalent
+SQL (replace-chain for the compose table in table order, dead-n
+regexp, translate folds, CASE tiers) from the same data.  Conformance
+vectors from TestHindi{Normalizer,Stemmer}.kt live in
+tests/test_hindi_analyzer.py.
+"""
+
+from __future__ import annotations
+
+from .arabic import fold_digits
+from .romance import _RomanceAnalyzer
+
+HINDI_STOP_WORDS = frozenset("""
+अंदर अत अपना अपनी अपने अभी आदि आप इत्यादि इन इनका इन्हीं इन्हें इन्हों
+इस इसका इसकी इसके इसमें इसी इसे उन उनका उनकी उनके उनको उन्हीं उन्हें
+उन्हों उस उसके उसी उसे एक एवं एस ऐसे और कई कर करता करते करना करने करें
+कहते कहा का काफ़ी कि कितना किन्हें किन्हों किया किर किस किसी किसे की
+कुछ कुल के को कोई कौन कौनसा गया घर जब जहाँ जा जितना जिन जिन्हें
+जिन्हों जिस जिसे जीधर जैसा जैसे जो तक तब तरह तिन तिन्हें तिन्हों तिस
+तिसे तो था थी थे दबारा दिया दुसरा दूसरे दो द्वारा न नहीं ना निहायत
+नीचे ने पर पहले पूरा पे फिर बनी बही बहुत बाद बाला बिलकुल भी भीतर मगर
+मानो मे में यदि यह यहाँ यही या यिह ये रखें रहा रहे ऱ्वासा लिए लिये
+लेकिन व वर्ग वह वहाँ वहीं वाले वुह वे वग़ैरह संग सकता सकते सबसे सभी
+साथ साबुत साभ सारा से सो ही हुआ हुई हुए है हैं हो होता होती होते होना
+होने अपनि जेसे होति सभि तिंहों इंहों दवारा इसि किंहें थि उंहों ओर
+जिंहें वहिं अभि बनि हि उंहिं उंहें हें वगेरह एसे रवासा कोन निचे काफि
+उसि पुरा भितर हे बहि वहां कोइ यहां जिंहों तिंहें किसि कइ यहि इंहिं
+जिधर इंहें अदि इतयादि हुइ कोनसा इसकि दुसरे जहां अप किंहों उनकि भि वरग
+हुअ जेसा नहिं
+""".split())
+
+# script flags
+_DEV, _BEN, _GUR, _GUJ, _ORI, _TAM, _TEL, _KAN, _MAL = \
+    1, 2, 4, 8, 16, 32, 64, 128, 256
+
+_BLOCKS = [
+    (0x0900, 0x097F, _DEV), (0x0980, 0x09FF, _BEN),
+    (0x0A00, 0x0A7F, _GUR), (0x0A80, 0x0AFF, _GUJ),
+    (0x0B00, 0x0B7F, _ORI), (0x0B80, 0x0BFF, _TAM),
+    (0x0C00, 0x0C7F, _TEL), (0x0C80, 0x0CFF, _KAN),
+    (0x0D00, 0x0D7F, _MAL),
+]
+
+# IndicNormalizer.kt decompositions: (ch0, ch1, ch2, result, flags)
+INDIC_DECOMP = [
+    (0x05, 0x3E, 0x45, 0x11, _DEV | _GUJ),
+    (0x05, 0x3E, 0x46, 0x12, _DEV),
+    (0x05, 0x3E, 0x47, 0x13, _DEV | _GUJ),
+    (0x05, 0x3E, 0x48, 0x14, _DEV | _GUJ),
+    (0x05, 0x3E, -1, 0x06, _DEV | _BEN | _GUR | _GUJ | _ORI),
+    (0x05, 0x45, -1, 0x72, _DEV),
+    (0x05, 0x45, -1, 0x0D, _GUJ),
+    (0x05, 0x46, -1, 0x04, _DEV),
+    (0x05, 0x47, -1, 0x0F, _GUJ),
+    (0x05, 0x48, -1, 0x10, _GUR | _GUJ),
+    (0x05, 0x49, -1, 0x11, _DEV | _GUJ),
+    (0x05, 0x4A, -1, 0x12, _DEV),
+    (0x05, 0x4B, -1, 0x13, _DEV | _GUJ),
+    (0x05, 0x4C, -1, 0x14, _DEV | _GUR | _GUJ),
+    (0x06, 0x45, -1, 0x11, _DEV | _GUJ),
+    (0x06, 0x46, -1, 0x12, _DEV),
+    (0x06, 0x47, -1, 0x13, _DEV | _GUJ),
+    (0x06, 0x48, -1, 0x14, _DEV | _GUJ),
+    (0x07, 0x57, -1, 0x08, _MAL),
+    (0x09, 0x41, -1, 0x0A, _DEV),
+    (0x09, 0x57, -1, 0x0A, _TAM | _MAL),
+    (0x0E, 0x46, -1, 0x10, _MAL),
+    (0x0F, 0x45, -1, 0x0D, _DEV),
+    (0x0F, 0x46, -1, 0x0E, _DEV),
+    (0x0F, 0x47, -1, 0x10, _DEV),
+    (0x0F, 0x57, -1, 0x10, _ORI),
+    (0x12, 0x3E, -1, 0x13, _MAL),
+    (0x12, 0x4C, -1, 0x14, _TEL | _KAN),
+    (0x12, 0x55, -1, 0x13, _TEL),
+    (0x12, 0x57, -1, 0x14, _TAM | _MAL),
+    (0x13, 0x57, -1, 0x14, _ORI),
+    (0x15, 0x3C, -1, 0x58, _DEV),
+    (0x16, 0x3C, -1, 0x59, _DEV | _GUR),
+    (0x17, 0x3C, -1, 0x5A, _DEV | _GUR),
+    (0x1C, 0x3C, -1, 0x5B, _DEV | _GUR),
+    (0x21, 0x3C, -1, 0x5C, _DEV | _BEN | _ORI),
+    (0x22, 0x3C, -1, 0x5D, _DEV | _BEN | _ORI),
+    (0x23, 0x4D, 0xFF, 0x7A, _MAL),
+    (0x24, 0x4D, 0xFF, 0x4E, _BEN),
+    (0x28, 0x3C, -1, 0x29, _DEV),
+    (0x28, 0x4D, 0xFF, 0x7B, _MAL),
+    (0x2B, 0x3C, -1, 0x5E, _DEV | _GUR),
+    (0x2F, 0x3C, -1, 0x5F, _DEV | _BEN),
+    (0x2C, 0x41, 0x41, 0x0B, _TEL),
+    (0x30, 0x3C, -1, 0x31, _DEV),
+    (0x30, 0x4D, 0xFF, 0x7C, _MAL),
+    (0x32, 0x4D, 0xFF, 0x7D, _MAL),
+    (0x33, 0x3C, -1, 0x34, _DEV),
+    (0x33, 0x4D, 0xFF, 0x7E, _MAL),
+    (0x35, 0x41, -1, 0x2E, _TEL),
+    (0x3E, 0x45, -1, 0x49, _DEV | _GUJ),
+    (0x3E, 0x46, -1, 0x4A, _DEV),
+    (0x3E, 0x47, -1, 0x4B, _DEV | _GUJ),
+    (0x3E, 0x48, -1, 0x4C, _DEV | _GUJ),
+    (0x3F, 0x55, -1, 0x40, _KAN),
+    (0x41, 0x41, -1, 0x42, _GUR),
+    (0x46, 0x3E, -1, 0x4A, _TAM | _MAL),
+    (0x46, 0x42, 0x55, 0x4B, _KAN),
+    (0x46, 0x42, -1, 0x4A, _KAN),
+    (0x46, 0x46, -1, 0x48, _MAL),
+    (0x46, 0x55, -1, 0x47, _TEL | _KAN),
+    (0x46, 0x56, -1, 0x48, _TEL | _KAN),
+    (0x46, 0x57, -1, 0x4C, _TAM | _MAL),
+    (0x47, 0x3E, -1, 0x4B, _BEN | _ORI | _TAM | _MAL),
+    (0x47, 0x57, -1, 0x4C, _BEN | _ORI),
+    (0x4A, 0x55, -1, 0x4B, _KAN),
+    (0x72, 0x3F, -1, 0x07, _GUR),
+    (0x72, 0x40, -1, 0x08, _GUR),
+    (0x72, 0x47, -1, 0x0F, _GUR),
+    (0x73, 0x41, -1, 0x09, _GUR),
+    (0x73, 0x42, -1, 0x0A, _GUR),
+    (0x73, 0x4B, -1, 0x13, _GUR),
+]
+
+_DECOMP_MASK = {}
+for _b0, _e0, _f in _BLOCKS:
+    _DECOMP_MASK[_f] = {d[0] for d in INDIC_DECOMP if d[4] & _f}
+
+
+def _block_of(cp: int):
+    for base, end, flag in _BLOCKS:
+        if base <= cp <= end:
+            return base, flag
+    return None
+
+
+def indic_normalize(s: str) -> str:
+    buf = list(s)
+    i = 0
+    while i < len(buf):
+        blk = _block_of(ord(buf[i]))
+        if blk is not None:
+            base, flag = blk
+            ch = ord(buf[i]) - base
+            if ch in _DECOMP_MASK[flag]:
+                _compose(buf, i, ch, base, flag)
+        i += 1
+    return "".join(buf)
+
+
+def _compose(buf, pos, ch0, base, flag):
+    if pos + 1 >= len(buf):
+        return
+    b1 = _block_of(ord(buf[pos + 1]))
+    if b1 is None or b1[0] != base:
+        return
+    ch1 = ord(buf[pos + 1]) - base
+    ch2 = -1
+    if pos + 2 < len(buf):
+        if buf[pos + 2] == "‍":
+            ch2 = 0xFF
+        else:
+            b2 = _block_of(ord(buf[pos + 2]))
+            if b2 is not None and b2[0] == base:
+                ch2 = ord(buf[pos + 2]) - base
+    for d0, d1, d2, res, flags in INDIC_DECOMP:
+        if d0 == ch0 and (flags & flag) and d1 == ch1 \
+                and (d2 < 0 or d2 == ch2):
+            buf[pos] = chr(base + res)
+            del buf[pos + 1]
+            if d2 >= 0:
+                del buf[pos + 1]
+            return
+
+
+# HindiNormalizer.kt per-char folds (applied after the dead-n rule)
+HI_NORM_MAP = {
+    "ँ": "ं", "ऩ": "न", "ऱ": "र",
+    "ऴ": "ळ", "क़": "क", "ख़": "ख",
+    "ग़": "ग", "ज़": "ज", "ड़": "ड",
+    "ढ़": "ढ", "फ़": "फ", "य़": "य",
+    "ॅ": "े", "ॆ": "े", "ॉ": "ो",
+    "ॊ": "ो", "ऍ": "ए", "ऎ": "ए",
+    "ऑ": "ओ", "ऒ": "ओ", "ॲ": "अ",
+    "आ": "अ", "ई": "इ", "ऊ": "उ",
+    "ॠ": "ऋ", "ॡ": "ऌ", "ऐ": "ए",
+    "औ": "ओ", "ी": "ि", "ू": "ु",
+    "ॄ": "ृ", "ॣ": "ॢ", "ै": "े",
+    "ौ": "ो",
+}
+HI_NORM_DELETE = frozenset("़‍‌्")
+_HI_TRANS = str.maketrans(
+    HI_NORM_MAP | {c: None for c in HI_NORM_DELETE})
+
+
+def hindi_normalize(s: str) -> str:
+    # dead n (न + virama) → bindu, then the per-char folds/deletes
+    s = s.replace("न्", "ं")
+    return s.translate(_HI_TRANS)
+
+
+# HindiStemmer.kt tiers: (min_len_exclusive, suffixes)
+HI_STEM_TIERS = [
+    (6, ("ाएंगी", "ाएंगे", "ाऊंगी", "ाऊंगा",
+         "ाइयाँ", "ाइयों", "ाइयां")),
+    (5, ("ाएगी", "ाएगा", "ाओगी", "ाओगे",
+         "एंगी", "ेंगी", "एंगे", "ेंगे",
+         "ूंगी", "ूंगा", "ातीं", "नाओं",
+         "नाएं", "ताओं", "ताएं", "ियाँ",
+         "ियों", "ियां")),
+    (4, ("ाकर", "ाइए", "ाईं", "ाया", "ेगी",
+         "ेगा", "ोगी", "ोगे", "ाने", "ाना",
+         "ाते", "ाती", "ाता", "तीं", "ाओं",
+         "ाएं", "ुओं", "ुएं", "ुआं")),
+    (3, ("कर", "ाओ", "िए", "ाई", "ाए", "ने",
+         "नी", "ना", "ते", "ीं", "ती", "ता",
+         "ाँ", "ां", "ों", "ें")),
+    (2, ("ो", "े", "ू", "ु", "ी", "ि", "ा")),
+]
+
+
+def hindi_stem(w: str) -> str:
+    for min_len, suffixes in HI_STEM_TIERS:
+        if len(w) > min_len and w.endswith(suffixes):
+            return w[:-(len(suffixes[0]))]
+    return w
+
+
+def _hi_pre(tok: str) -> str:
+    return hindi_normalize(indic_normalize(fold_digits(tok)))
+
+
+class HindiAnalyzer(_RomanceAnalyzer):
+    """LowerCase → DecimalDigit → indic norm → hindi norm → Stop →
+    hindi stem."""
+    name = "hindi"
+    stop_words = HINDI_STOP_WORDS
+    elide = staticmethod(_hi_pre)
+
+    def _stem(self, tok: str) -> str:
+        return hindi_stem(tok)

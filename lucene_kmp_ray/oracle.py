@@ -2065,6 +2065,215 @@ ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
 
 
+# ------------------------------------- Arabic / Persian / Hindi -----------
+# DecimalDigitFilter mirror for the digit scripts that could plausibly
+# appear with these analyzers (Arabic-Indic, Extended Arabic-Indic,
+# Devanagari); the Python side folds every Unicode Nd.
+_SQL_DIGIT_FOLD = ("translate({col}, '٠١٢٣٤٥٦٧٨٩۰۱۲۳۴۵۶۷۸۹०१२३४५६७८९', "
+                   "'012345678901234567890123456789')")
+
+
+def _ar_norm_sql(col: str) -> str:
+    """ArabicNormalizer as one translate (maps + deletions)."""
+    from .analysis.arabic import AR_NORM_DELETE, AR_NORM_MAP
+    frm = "".join(AR_NORM_MAP) + AR_NORM_DELETE
+    to = "".join(AR_NORM_MAP.values())
+    return f"translate({col}, '{frm}', '{to}')"
+
+
+def _fa_norm_sql(col: str) -> str:
+    from .analysis.arabic import FA_NORM_DELETE, FA_NORM_MAP
+    frm = "".join(FA_NORM_MAP) + FA_NORM_DELETE
+    to = "".join(FA_NORM_MAP.values())
+    return f"translate({col}, '{frm}', '{to}')"
+
+
+def _suffix_stage_ctes(src_cte: str, first: str, suffixes,
+                       prefix: str) -> tuple[str, str]:
+    """Cumulative suffix stripping (each suffix requires >= 2 chars to
+    remain) as one chained CTE per suffix — NOT lateral aliases, whose
+    textual inlining grows 4^n.  Returns (cte_sql, final_cte_name); the
+    final CTE exposes (doc_id, term)."""
+    ctes = []
+    prev_cte, prev_col = src_cte, first
+    for i, sfx in enumerate(suffixes):
+        k = len(sfx)
+        name = f"{prefix}{i}"
+        col = "term" if i == len(suffixes) - 1 else f"s{i}"
+        ctes.append(
+            f"{name} AS (SELECT doc_id, "
+            f"CASE WHEN length({prev_col}) >= {k + 2} AND "
+            f"{prev_col} LIKE '%{sfx}' "
+            f"THEN left({prev_col}, length({prev_col}) - {k}) "
+            f"ELSE {prev_col} END AS {col} FROM {prev_cte})")
+        prev_cte, prev_col = name, col
+    return ",\n".join(ctes), prev_cte
+
+
+def _ar_stem_ctes() -> str:
+    """ArabicAnalyzer tail: normalize → one prefix strip (table order)
+    → cumulative suffix strips — GENERATED from analysis/arabic.py."""
+    from .analysis.arabic import AR_PREFIXES, AR_SUFFIXES
+
+    pref_branches = []
+    for p in AR_PREFIXES:
+        k = len(p)
+        min_len = 4 if k == 1 else k + 2
+        pref_branches.append(
+            f"    WHEN length(an) >= {min_len} AND an LIKE '{p}%'"
+            f" THEN substr(an, {k + 1})")
+    pref = "CASE\n" + "\n".join(pref_branches) + "\n    ELSE an END"
+    stages, last = _suffix_stage_ctes("rpref", "ap", AR_SUFFIXES, "rsfa")
+    return f"""rnorm AS (
+  SELECT doc_id, {_ar_norm_sql(_SQL_DIGIT_FOLD.format(col='t0'))} AS an
+  FROM rkept),
+rpref AS (SELECT doc_id, {pref} AS ap FROM rnorm),
+{stages},
+rterms AS MATERIALIZED (SELECT doc_id, term FROM {last})"""
+
+
+def _fa_stem_ctes() -> str:
+    """PersianAnalyzer: normalization happens BEFORE the stop filter
+    (handled in rkept by the preamble), so only the suffix strip
+    remains here."""
+    from .analysis.arabic import FA_SUFFIXES
+    stages, last = _suffix_stage_ctes("rkept", "t0", FA_SUFFIXES, "rsff")
+    return f"""{stages},
+rterms AS MATERIALIZED (SELECT doc_id, term FROM {last})"""
+
+
+def _indic_compose_sql(col: str) -> str:
+    """IndicNormalizer compose table as a replace() chain in table
+    order (one literal per (row, script) pair) — GENERATED from
+    analysis/indic.py's INDIC_DECOMP."""
+    from .analysis.indic import INDIC_DECOMP, _BLOCKS
+    expr = col
+    for d0, d1, d2, res, flags in INDIC_DECOMP:
+        for base, _end, flag in _BLOCKS:
+            if not (flags & flag):
+                continue
+            pat = chr(base + d0) + chr(base + d1)
+            if d2 == 0xFF:
+                pat += "‍"
+            elif d2 >= 0:
+                pat += chr(base + d2)
+            expr = f"replace({expr}, '{pat}', '{chr(base + res)}')"
+    return expr
+
+
+def _hi_norm_sql(col: str) -> str:
+    """HindiNormalizer: dead-n pair rewrite, then the per-char
+    folds/deletions as one translate."""
+    from .analysis.indic import HI_NORM_DELETE, HI_NORM_MAP
+    frm = "".join(HI_NORM_MAP) + "".join(sorted(HI_NORM_DELETE))
+    to = "".join(HI_NORM_MAP.values())
+    return (f"translate(replace({col}, 'न्', 'ं'), "
+            f"'{frm}', '{to}')")
+
+
+def _hi_stem_sql() -> str:
+    from .analysis.indic import HI_STEM_TIERS
+    branches = []
+    for min_len, suffixes in HI_STEM_TIERS:
+        k = len(suffixes[0])
+        lst = ", ".join(f"'{s}'" for s in suffixes)
+        branches.append(
+            f"    WHEN length(t0) > {min_len} AND right(t0, {k}) IN ({lst})"
+            f" THEN left(t0, length(t0) - {k})")
+    case = "CASE\n" + "\n".join(branches) + "\n    ELSE t0 END"
+    return (f"rterms AS MATERIALIZED "
+            f"(SELECT doc_id, {case} AS term FROM rkept)")
+
+
+def arabic_preamble() -> str:
+    """BM25 CTEs over ARABIC-analyzed text.  Chain order mirrors the
+    reference: stop on RAW lowercased tokens, then normalize + stem."""
+    from .analysis.arabic import ARABIC_STOP_WORDS
+    stops = _stop_list_sql(ARABIC_STOP_WORDS)
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, url, {sql_tokens_expr('text')} AS toks FROM corpus
+),
+rtok AS (SELECT doc_id, unnest(toks) AS t0 FROM toksrc),
+rkept AS (SELECT doc_id, t0 FROM rtok WHERE t0 NOT IN ({stops})),
+{_ar_stem_ctes()},
+{_BM25_TAIL}"""
+
+
+def persian_preamble() -> str:
+    """BM25 CTEs over PERSIAN-analyzed text.  Normalization runs before
+    the (already-normalized) stop list, then the suffix strip."""
+    from .analysis.arabic import PERSIAN_STOP_WORDS
+    stops = _stop_list_sql(PERSIAN_STOP_WORDS)
+    digit = _SQL_DIGIT_FOLD.format(col="traw")
+    norm = _fa_norm_sql(_ar_norm_sql(digit))
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, url, {sql_tokens_expr('text')} AS toks FROM corpus
+),
+rtok0 AS (SELECT doc_id, unnest(toks) AS traw FROM toksrc),
+rtok AS (SELECT doc_id, {norm} AS t0 FROM rtok0),
+rkept AS (SELECT doc_id, t0 FROM rtok WHERE t0 NOT IN ({stops})),
+{_fa_stem_ctes()},
+{_BM25_TAIL}"""
+
+
+def hindi_preamble() -> str:
+    """BM25 CTEs over HINDI-analyzed text (digit fold → indic compose
+    chain → hindi normalize → stop → stem)."""
+    from .analysis.indic import HINDI_STOP_WORDS
+    stops = _stop_list_sql(HINDI_STOP_WORDS)
+    digit = _SQL_DIGIT_FOLD.format(col="traw")
+    norm = _hi_norm_sql(_indic_compose_sql(digit))
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, url, {sql_tokens_expr('text')} AS toks FROM corpus
+),
+rtok0 AS (SELECT doc_id, unnest(toks) AS traw FROM toksrc),
+rtok AS (SELECT doc_id, {norm} AS t0 FROM rtok0),
+rkept AS (SELECT doc_id, t0 FROM rtok WHERE t0 NOT IN ({stops})),
+{_hi_stem_sql()},
+{_BM25_TAIL}"""
+
+
+_BM25_TAIL = """postings AS MATERIALIZED (
+  SELECT doc_id, term, count(*) AS freq FROM rterms GROUP BY doc_id, term
+),
+doclen AS (
+  SELECT c.doc_id,
+         (SELECT count(*) FROM rkept k WHERE k.doc_id = c.doc_id) AS dl
+  FROM corpus c
+),
+lt(b, v) AS (VALUES __LT_VALUES__),
+normd AS (
+  SELECT d.doc_id, d.dl, l.b AS norm_byte, l.v AS dln
+  FROM doclen d
+  JOIN lt l ON l.v = (SELECT max(v) FROM lt l2 WHERE l2.v <= d.dl)
+),
+stats AS (SELECT count(*) AS doc_count, sum(dl) AS sum_ttf FROM doclen),
+tstats AS (
+  SELECT term, count(*) AS df, sum(freq) AS ttf FROM postings GROUP BY term
+),
+av AS (SELECT sum_ttf / CAST(doc_count AS DOUBLE) AS avgdl FROM stats)
+"""
+
+
+def bm25_mideast_topk(lang: str, stemmed_term: str, k: int = 10) -> str:
+    pre = {"arabic": arabic_preamble, "persian": persian_preamble,
+           "hindi": hindi_preamble}[lang]()
+    pre = pre.replace("__LT_VALUES__", _lt_values())
+    lit = f"'{stemmed_term}'"
+    return pre + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
 # ------------------------------------------------------ CJK bigrams -------
 def cjk_bigram_counts() -> str:
     """Per-doc CJK bigram token counts over the SAME deterministic CJK
