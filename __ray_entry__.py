@@ -20,7 +20,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from lucene_kmp_ray import oracle
-from lucene_kmp_ray.pipelines import ann, dedup, events, sketches, textstats
+from lucene_kmp_ray.pipelines import (ann, dedup, events, gopher,
+                                      sketches, textstats)
 from lucene_kmp_ray.search import (BooleanQuery, DisjunctionMaxQuery,
                                    FuzzyQuery, Occur, PhraseQuery,
                                    PrefixQuery, RangeFilterQuery, Searcher,
@@ -923,6 +924,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_user_counts": sketches.hll_user_counts,
         "props_stats": events.props_stats,
         "cms_term_counts": lambda sf: sketches.cms_term_counts(sf),
+        # --- Gopher repetition signals + gate (training-data quality) ---
+        "gopher_repetition": gopher.gopher_repetition,
+        "gopher_gate": gopher.gopher_gate,
         # --- similarity search ---
         "ann_cosine_top10": _ann_brute,
         "ann_lsh_top10": _ann_lsh,
@@ -1082,6 +1086,8 @@ def oracle_sql() -> dict[str, str]:
         "hll_user_counts": oracle.hll_user_counts(),
         "props_stats": oracle.props_stats(),
         "cms_term_counts": oracle.cms_term_counts(),
+        "gopher_repetition": oracle.gopher_repetition(),
+        "gopher_gate": oracle.gopher_gate(),
         # Intentionally no SQL (driver records rows-only checks):
         # bm25_english (Porter stemming), span_near / sloppy_phrase
         # (traversal-order-dependent matchers), ann_ivf (trained k-means

@@ -2274,6 +2274,102 @@ ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
 
 
+# -------------------------------------------- Gopher repetition -----------
+def _gopher_ctes() -> str:
+    """Per-doc Gopher repetition signals — same definitions as
+    pipelines/gopher.py (see its docstring for the occurrence-based
+    accounting notes)."""
+    from .pipelines.gopher import DUP_NS, TOP_NS
+    ng = []
+    joins = []
+    sel = []
+    for n in TOP_NS:
+        ng.append(f"""ngv{n} AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id, i,
+           string_agg(w, ' ') OVER (PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN CURRENT ROW AND {n - 1} FOLLOWING) AS g,
+           count(*) OVER (PARTITION BY doc_id) AS nw
+    FROM wtab) WHERE i <= nw - {n} + 1),
+t{n} AS (
+  SELECT doc_id, max(cnt * length(g)) AS prod
+  FROM (SELECT doc_id, g, count(*) AS cnt,
+               max(count(*)) OVER (PARTITION BY doc_id) AS mx
+        FROM ngv{n} GROUP BY doc_id, g)
+  WHERE cnt = mx GROUP BY doc_id)""")
+        joins.append(f"LEFT JOIN t{n} USING (doc_id)")
+        sel.append(f"coalesce(t{n}.prod, 0) * 1.0 / "
+                   f"greatest(length(c.text), 1) AS top_{n}gram_char_frac")
+    for n in DUP_NS:
+        ng.append(f"""ngd{n} AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id, i,
+           string_agg(w, ' ') OVER (PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN CURRENT ROW AND {n - 1} FOLLOWING) AS g,
+           count(*) OVER (PARTITION BY doc_id) AS nw
+    FROM wtab) WHERE i <= nw - {n} + 1),
+d{n} AS (
+  SELECT doc_id, count(*) AS tot, count(DISTINCT g) AS dst
+  FROM ngd{n} GROUP BY doc_id)""")
+        joins.append(f"LEFT JOIN d{n} USING (doc_id)")
+        sel.append(f"CASE WHEN coalesce(d{n}.tot, 0) > 0 "
+                   f"THEN 1.0 - d{n}.dst * 1.0 / d{n}.tot ELSE 0.0 END "
+                   f"AS dup_{n}gram_frac")
+    ng_sql = ",\n".join(ng)
+    sel_sql = ",\n    ".join(sel)
+    joins_sql = " ".join(joins)
+    return f"""lines AS (
+  SELECT doc_id, l FROM (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM corpus)
+  WHERE l <> ''),
+lgrp AS (
+  SELECT doc_id, l, count(*) AS cnt, length(l) AS ln
+  FROM lines GROUP BY doc_id, l),
+lstat AS (
+  SELECT doc_id, sum(cnt) AS tl, count(*) AS dl, sum(cnt * ln) AS lc,
+         sum(CASE WHEN cnt > 1 THEN (cnt - 1) * ln ELSE 0 END) AS excess
+  FROM lgrp GROUP BY doc_id),
+wtab AS (
+  SELECT doc_id, w,
+         row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS i
+  FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS idx
+    FROM corpus)
+  WHERE w <> ''),
+{ng_sql},
+signals AS (
+  SELECT c.doc_id,
+    CASE WHEN coalesce(lstat.tl, 0) > 0
+         THEN 1.0 - lstat.dl * 1.0 / lstat.tl ELSE 0.0 END
+      AS dup_line_frac,
+    coalesce(lstat.excess, 0) * 1.0 / greatest(coalesce(lstat.lc, 0), 1)
+      AS dup_line_char_frac,
+    {sel_sql}
+  FROM corpus c
+  LEFT JOIN lstat USING (doc_id)
+  {joins_sql})"""
+
+
+def gopher_repetition() -> str:
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+{_gopher_ctes()}
+SELECT * FROM signals ORDER BY doc_id
+"""
+
+
+def gopher_gate() -> str:
+    from .pipelines.gopher import GOPHER_THRESHOLDS
+    conds = " AND ".join(f"{col} <= {thr}"
+                         for col, thr in GOPHER_THRESHOLDS.items())
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+{_gopher_ctes()}
+SELECT doc_id FROM signals WHERE {conds} ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------ CJK bigrams -------
 def cjk_bigram_counts() -> str:
     """Per-doc CJK bigram token counts over the SAME deterministic CJK
