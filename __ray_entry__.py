@@ -221,6 +221,38 @@ def _mideast_query_term(lang: str) -> str:
     return _mideast_cls(lang)()(GERMAN_QUERY_WORD)[0]
 
 
+def _indic_cls(lang: str):
+    from lucene_kmp_ray.analysis import indic
+    return {"bengali": indic.BengaliAnalyzer,
+            "telugu": indic.TeluguAnalyzer}[lang]
+
+
+def _indic_topk(sf_dir: str, lang: str):
+    """Top-10 for a Bengali/Telugu index (digit fold → indic compose →
+    language normalizer → stop → tier stem). Oracle:
+    oracle.bm25_indic_topk — the normalizer fold runs as a
+    recursive-CTE scan GENERATED from the same transition rules."""
+    import os
+
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.sources.corpus import corpus_dataset
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/lucene_kmp_ray_index_{lang}/{tag}"
+    analyzer = _indic_cls(lang)()
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(corpus_dataset(sf_dir), idx, segment_size=SEGMENT_SIZE,
+                    analyzer=analyzer)
+    (term,) = analyzer(GERMAN_QUERY_WORD)
+    return search_distributed(idx, {"q": TermQuery(term)}, k=10,
+                              dtype="float64").to_pandas() \
+        [["doc_id", "url", "score"]]
+
+
+def _indic_query_term(lang: str) -> str:
+    return _indic_cls(lang)()(GERMAN_QUERY_WORD)[0]
+
+
 def _eastern_cls(lang: str):
     from lucene_kmp_ray.analysis import eastern
     return {"czech": eastern.CzechAnalyzer,
@@ -873,6 +905,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_arabic_top10": lambda sf: _mideast_topk(sf, "arabic"),
         "bm25_persian_top10": lambda sf: _mideast_topk(sf, "persian"),
         "bm25_hindi_top10": lambda sf: _mideast_topk(sf, "hindi"),
+        "bm25_bengali_top10": lambda sf: _indic_topk(sf, "bengali"),
+        "bm25_telugu_top10": lambda sf: _indic_topk(sf, "telugu"),
         "bm25_french_top10": _french_topk,
         "cjk_bigram_counts": textstats.cjk_bigram_counts,
         "ascii_fold_tokens": textstats.ascii_fold_tokens,
@@ -1067,6 +1101,10 @@ def oracle_sql() -> dict[str, str]:
             "persian", _mideast_query_term("persian")),
         "bm25_hindi_top10": oracle.bm25_mideast_topk(
             "hindi", _mideast_query_term("hindi")),
+        "bm25_bengali_top10": oracle.bm25_indic_topk(
+            "bengali", _indic_query_term("bengali")),
+        "bm25_telugu_top10": oracle.bm25_indic_topk(
+            "telugu", _indic_query_term("telugu")),
         "cjk_bigram_counts": oracle.cjk_bigram_counts(),
         "ascii_fold_tokens": oracle.ascii_fold_tokens(),
         "word_delimiter_tokens": oracle.word_delimiter_tokens(),

@@ -254,3 +254,204 @@ class HindiAnalyzer(_RomanceAnalyzer):
 
     def _stem(self, tok: str) -> str:
         return hindi_stem(tok)
+
+
+# =================================================================
+# Bengali / Telugu (generated tables — extracted verbatim from the
+# reference {bn,te} analyzers; see module docstring)
+# =================================================================
+
+BENGALI_STOP_WORDS = frozenset("""
+অনেক অন্য অবশ্য আগে আছে আজ আবার আমরা আমাদের আর ই উত্তর উপর উপরে এ এই এক্ এখন এত এব এমন এমনি এর এস এসে ও ওই কমনে করা করে কাছে কাজ কাজে কারণ কি কিছু কে কেউ কেখা কেন কোটি কোনো কয়েক খুব গিয়ে গেল চার চালু চেষ্টা ছিল জানা জ্নজন টি তখন তবে তা তাই তো থাকা থেকে দিন দু দুই দেওয়া ধামার নতুন না নাগাদ নিয়ে নেওয়া নয় পর পরে পাচ পি পেয়্র্ প্রতি প্রথম প্রযন্ত প্রাথমিক প্রায় বক্তব্য বন বলা বলে বলেন বহু বা বি বিভিন্ন বেশ বেশি মতো মধ্যে মনে যখন যদি যা যাওয়া যে র রকম লক্ষ শুধু শুরু সঙ্গে সব সহ সাধারণ সামনে সি সে সেই হতে হাজার হয়
+""".split())
+
+TELUGU_STOP_WORDS = frozenset("""
+అందరూ అందుబాటులో అడగండి అడగడం అడ్డంగా అనుగుణంగా అనుమతించు అనుమతిస్తుంది అయితే ఇప్పటికే ఉన్నారు ఎక్కడైనా ఎప్పుడు ఎవరైనా ఎవరో ఏ ఏదైనా ఏమైనప్పటికి ఒక ఒకరు కనిపిస్తాయి కాదు కూడా గా గురించి చుట్టూ చేయగలిగింది తగిన తర్వాత దాదాపు దూరంగా నిజంగా పై ప్రకారం ప్రక్కన మధ్య మరియు మరొక మళ్ళీ మాత్రమే మెచ్చుకో వద్ద వెంట వేరుగా వ్యతిరేకంగా సంబంధం
+""".split())
+
+# BengaliStemmer.kt tiers: (min_len_exclusive, suffixes) — cut = len(sfx)
+BN_STEM_TIERS = [
+    (9, ('িয়াছিলাম', 'িতেছিলাম', 'িতেছিলেন', 'ইতেছিলেন', 'িয়াছিলেন', 'ইয়াছিলেন')),
+    (8, ('িতেছিলি', 'িতেছিলে', 'িয়াছিলা', 'িয়াছিলে', 'িতেছিলা', 'িয়াছিলি', 'য়েদেরকে')),
+    (7, ('িতেছিস', 'িতেছেন', 'িয়াছিস', 'িয়াছেন', 'েছিলাম', 'েছিলেন', 'েদেরকে')),
+    (6, ('িতেছি', 'িতেছা', 'িতেছে', 'ছিলাম', 'ছিলেন', 'িয়াছি', 'িয়াছা', 'িয়াছে', 'েছিলে', 'েছিলা', 'য়েদের', 'দেরকে')),
+    (5, ('িলাম', 'িলেন', 'িতাম', 'িতেন', 'িবেন', 'ছিলি', 'ছিলে', 'ছিলা', 'তেছে', 'িতেছ', 'খানা', 'খানি', 'গুলো', 'গুলি', 'য়েরা', 'েদের')),
+    (4, ('লাম', 'িলি', 'ইলি', 'িলে', 'ইলে', 'লেন', 'িলা', 'ইলা', 'তাম', 'িতি', 'ইতি', 'িতে', 'ইতে', 'তেন', 'িতা', 'িবা', 'ইবা', 'িবি', 'ইবি', 'বেন', 'িবে', 'ইবে', 'ছেন', 'য়োন', 'য়ের', 'েরা', 'দের')),
+    (3, ('িস', 'েন', 'লি', 'লে', 'লা', 'তি', 'তে', 'তা', 'বি', 'বে', 'বা', 'ছি', 'ছা', 'ছে', 'ুন', 'ুক', 'টা', 'টি', 'নি', 'ের', 'তে', 'রা', 'কে')),
+    (2, ('ি', 'ী', 'া', 'ো', 'ে', 'ব', 'ত')),
+]
+
+# TeluguStemmer.kt tiers
+TE_STEM_TIERS = [
+    (5, ('ళ్ళు', 'డ్లు')),
+    (3, ('డు', 'ము', 'వు', 'లు', 'ని', 'ను', 'చే', 'కై', 'లో', 'డు', 'ది', 'కి', 'సు', 'వై', 'పై')),
+    (2, ('ి', 'ీ', 'ు', 'ూ', 'ె', 'ే', 'ొ', 'ో', 'ా')),
+]
+
+
+def bengali_normalize(s: str) -> str:
+    """``bn/BengaliNormalizer.kt`` — exact port of the in-place buffer
+    scan (Double Metaphone encoding for Bangla paper): chandrabindu
+    delete, long→short kars, Khio composition, nga→anusvara, ja/ba
+    phala folds, visarga handling, sh/na/ra folds."""
+    b = list(s)
+    i = 0
+    while i < len(b):
+        c = b[i]
+        if c == "ঁ":                       # chandrabindu: delete
+            del b[i]
+            i -= 1
+        elif c == "ী":                      # dirgho-i → rossho-i
+            b[i] = "ি"
+        elif c == "ূ":                      # dirgho-u → rossho-u
+            b[i] = "ু"
+        elif c == "ক":                      # khio
+            if i + 2 < len(b) and b[i + 1] == "্" \
+                    and b[i + 2] == "ি":
+                if i == 0:
+                    b[i] = "খ"
+                    del b[i + 2]
+                    del b[i + 1]
+                else:
+                    b[i + 1] = "খ"
+                    del b[i + 2]
+        elif c == "ঙ":                      # nga → anusvara
+            b[i] = "ং"
+        elif c == "য":                      # ja phala
+            if i - 2 == 0 and b[i - 1] == "্":
+                b[i - 1] = "ে"
+                if i + 1 < len(b) and b[i + 1] == "া":
+                    del b[i + 1]
+                del b[i]
+                i -= 1
+            elif i - 1 >= 0 and b[i - 1] == "্":
+                del b[i]
+                del b[i - 1]
+                i -= 2
+        elif c == "ব":                      # ba phala
+            if (i >= 1 and b[i - 1] != "্") or i == 0:
+                pass
+            elif i - 2 == 0:
+                del b[i]
+                del b[i - 1]
+                i -= 2
+            elif i - 5 >= 0 and b[i - 3] == "্":
+                del b[i]
+                del b[i - 1]
+                i -= 2
+            elif i - 2 >= 0:
+                b[i - 1] = b[i - 2]
+                del b[i]
+                i -= 1
+        elif c == "ঃ":                      # visarga
+            if i == len(b) - 1:
+                if len(b) <= 3:
+                    b[i] = "হ"
+                else:
+                    del b[i]
+                    i -= 1
+            else:
+                b[i] = b[i + 1]
+        elif c in ("শ", "ষ"):          # sh → dental s
+            b[i] = "স"
+        elif c == "ণ":                      # murdhanya na → na
+            b[i] = "ন"
+        elif c in ("ড়", "ঢ়"):          # rra → ra
+            b[i] = "র"
+        elif c == "ৎ":                      # khanda-ta → ta
+            b[i] = "ত"
+        i += 1
+    return "".join(b)
+
+
+def telugu_normalize(s: str) -> str:
+    """``te/TeluguNormalizer.kt`` — exact port: candrabindu forms →
+    anusvara, visarga/ZWJ/ZWNJ delete, long→short vowels and matras,
+    two-char vowel compositions."""
+    b = list(s)
+    i = 0
+    while i < len(b):
+        c = b[i]
+        if c in ("ఀ", "ఁ"):
+            b[i] = "ం"
+        elif c == "ః" or c in ("‍", "‌"):
+            del b[i]
+            i -= 1
+        elif c == "ఔ":
+            b[i] = "ఓ"
+        elif c == "ఐ":
+            b[i] = "ఏ"
+        elif c == "ఆ":
+            b[i] = "అ"
+        elif c == "ఈ":
+            b[i] = "ఇ"
+        elif c == "ఊ":
+            b[i] = "ఉ"
+        elif c == "ీ":
+            b[i] = "ి"
+        elif c == "ూ":
+            b[i] = "ు"
+        elif c == "ే":
+            b[i] = "ె"
+        elif c == "ో":
+            b[i] = "ొ"
+        elif c == "ె":
+            if i + 1 < len(b) and b[i + 1] == "ౖ":
+                b[i] = "ై"
+                del b[i + 1]
+        elif c == "ఒ":
+            if i + 1 < len(b) and b[i + 1] == "ౕ":
+                b[i] = "ఓ"
+                del b[i + 1]
+            elif i + 1 < len(b) and b[i + 1] == "ౌ":
+                b[i] = "ఔ"
+                del b[i + 1]
+        i += 1
+    return "".join(b)
+
+
+def _tier_stem(w: str, tiers) -> str:
+    for min_len, suffixes in tiers:
+        if len(w) > min_len and w.endswith(suffixes):
+            return w[:-(len(suffixes[0]))]
+    return w
+
+
+def bengali_stem(w: str) -> str:
+    return _tier_stem(w, BN_STEM_TIERS)
+
+
+def telugu_stem(w: str) -> str:
+    return _tier_stem(w, TE_STEM_TIERS)
+
+
+def _bn_pre(tok: str) -> str:
+    return bengali_normalize(indic_normalize(fold_digits(tok)))
+
+
+def _te_pre(tok: str) -> str:
+    return telugu_normalize(indic_normalize(fold_digits(tok)))
+
+
+class BengaliAnalyzer(_RomanceAnalyzer):
+    """LowerCase → DecimalDigit → indic norm → bengali norm → Stop →
+    bengali stem (``bn/BengaliAnalyzer.kt``)."""
+    name = "bengali"
+    stop_words = BENGALI_STOP_WORDS
+    elide = staticmethod(_bn_pre)
+
+    def _stem(self, tok: str) -> str:
+        return bengali_stem(tok)
+
+
+class TeluguAnalyzer(_RomanceAnalyzer):
+    """DecimalDigit → indic norm → telugu norm → Stop → telugu stem
+    (``te/TeluguAnalyzer.kt``; no lowercase in the reference chain —
+    Telugu has no case, and the standard tokenizer's lowercasing is a
+    no-op on Telugu text)."""
+    name = "telugu"
+    stop_words = TELUGU_STOP_WORDS
+    elide = staticmethod(_te_pre)
+
+    def _stem(self, tok: str) -> str:
+        return telugu_stem(tok)

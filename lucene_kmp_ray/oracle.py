@@ -2274,6 +2274,155 @@ ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
 
 
+# ------------------------------------- Bengali / Telugu -------------------
+def _tier_stem_sql(tiers, col: str = "t0") -> str:
+    branches = []
+    for min_len, suffixes in tiers:
+        k = len(suffixes[0])
+        lst = ", ".join(f"'{s}'" for s in suffixes)
+        branches.append(
+            f"    WHEN length({col}) > {min_len} AND "
+            f"right({col}, {k}) IN ({lst}) "
+            f"THEN left({col}, length({col}) - {k})")
+    return "CASE\n" + "\n".join(branches) + f"\n    ELSE {col} END"
+
+
+def _bn_scan_exprs() -> tuple[str, str]:
+    """Bengali normalizer as a left-to-right fold: (acc_expr, skip_expr)
+    over state (raw, pos, acc, skip) — the exact transition system of
+    analysis/indic.py's bengali_normalize (the kotlin buffer scan's
+    i±k jumps all reduce to continue-with-next-raw-char; buffer length
+    at skip==0 equals length(acc) + remaining raw chars)."""
+    c = "substr(raw, pos, 1)"
+    n1 = "substr(raw, pos + 1, 1)"
+    n2 = "substr(raw, pos + 2, 1)"
+    la = "length(acc)"
+    acc = f"""CASE {c}
+  WHEN 'ঁ' THEN acc
+  WHEN 'ী' THEN acc || 'ি'
+  WHEN 'ূ' THEN acc || 'ু'
+  WHEN 'ক' THEN CASE
+    WHEN pos + 2 <= length(raw) AND {n1} = '্' AND {n2} = 'ি'
+    THEN CASE WHEN {la} = 0 THEN acc || 'খ' ELSE acc || 'কখ' END
+    ELSE acc || 'ক' END
+  WHEN 'ঙ' THEN acc || 'ং'
+  WHEN 'য' THEN CASE
+    WHEN {la} = 2 AND right(acc, 1) = '্'
+    THEN left(acc, {la} - 1) || 'ে'
+    WHEN {la} >= 1 AND right(acc, 1) = '্'
+    THEN left(acc, {la} - 1)
+    ELSE acc || 'য' END
+  WHEN 'ব' THEN CASE
+    WHEN {la} = 0 OR right(acc, 1) <> '্' THEN acc || 'ব'
+    WHEN {la} = 2 THEN left(acc, {la} - 1)
+    WHEN {la} >= 5 AND substr(acc, {la} - 2, 1) = '্'
+    THEN left(acc, {la} - 1)
+    WHEN {la} >= 2 THEN left(acc, {la} - 1) || substr(acc, {la} - 1, 1)
+    ELSE acc || 'ব' END
+  WHEN 'ঃ' THEN CASE
+    WHEN pos = length(raw)
+    THEN CASE WHEN {la} + 1 <= 3 THEN acc || 'হ' ELSE acc END
+    ELSE acc || {n1} END
+  WHEN 'শ' THEN acc || 'স'
+  WHEN 'ষ' THEN acc || 'স'
+  WHEN 'ণ' THEN acc || 'ন'
+  WHEN 'ড়' THEN acc || 'র'
+  WHEN 'ঢ়' THEN acc || 'র'
+  WHEN 'ৎ' THEN acc || 'ত'
+  ELSE acc || {c} END"""
+    skip = f"""CASE
+  WHEN {c} = 'ক' AND pos + 2 <= length(raw)
+       AND {n1} = '্' AND {n2} = 'ি' THEN 2
+  WHEN {c} = 'য' AND {la} = 2 AND right(acc, 1) = '্'
+       AND {n1} = 'া' THEN 1
+  ELSE 0 END"""
+    return acc, skip
+
+
+def _te_scan_exprs() -> tuple[str, str]:
+    """Telugu normalizer fold (no acc edits; lookahead merges skip)."""
+    c = "substr(raw, pos, 1)"
+    n1 = "substr(raw, pos + 1, 1)"
+    acc = f"""CASE {c}
+  WHEN 'ఀ' THEN acc || 'ం'
+  WHEN 'ఁ' THEN acc || 'ం'
+  WHEN 'ః' THEN acc
+  WHEN '‍' THEN acc
+  WHEN '‌' THEN acc
+  WHEN 'ఔ' THEN acc || 'ఓ'
+  WHEN 'ఐ' THEN acc || 'ఏ'
+  WHEN 'ఆ' THEN acc || 'అ'
+  WHEN 'ఈ' THEN acc || 'ఇ'
+  WHEN 'ఊ' THEN acc || 'ఉ'
+  WHEN 'ీ' THEN acc || 'ి'
+  WHEN 'ూ' THEN acc || 'ు'
+  WHEN 'ే' THEN acc || 'ె'
+  WHEN 'ో' THEN acc || 'ొ'
+  WHEN 'ె' THEN CASE WHEN {n1} = 'ౖ' THEN acc || 'ై'
+                      ELSE acc || 'ె' END
+  WHEN 'ఒ' THEN CASE WHEN {n1} = 'ౕ' THEN acc || 'ఓ'
+                      WHEN {n1} = 'ౌ' THEN acc || 'ఔ'
+                      ELSE acc || 'ఒ' END
+  ELSE acc || {c} END"""
+    skip = f"""CASE
+  WHEN {c} = 'ె' AND {n1} = 'ౖ' THEN 1
+  WHEN {c} = 'ఒ' AND {n1} IN ('ౕ', 'ౌ') THEN 1
+  ELSE 0 END"""
+    return acc, skip
+
+
+def _indic_lang_preamble(lang: str) -> str:
+    """BM25 CTEs over BENGALI / TELUGU-analyzed text: digit fold →
+    indic compose chain → recursive-CTE language normalizer fold
+    (exact mirror of the buffer scan) → stop → tier stem."""
+    from .analysis.indic import (BENGALI_STOP_WORDS, BN_STEM_TIERS,
+                                 TE_STEM_TIERS, TELUGU_STOP_WORDS)
+    if lang == "bengali":
+        stops = _stop_list_sql(BENGALI_STOP_WORDS)
+        acc_e, skip_e = _bn_scan_exprs()
+        stem = _tier_stem_sql(BN_STEM_TIERS)
+    else:
+        stops = _stop_list_sql(TELUGU_STOP_WORDS)
+        acc_e, skip_e = _te_scan_exprs()
+        stem = _tier_stem_sql(TE_STEM_TIERS)
+    digit = _SQL_DIGIT_FOLD.format(col="traw")
+    indic = _indic_compose_sql(digit)
+    return f"""
+WITH RECURSIVE corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, url, {sql_tokens_expr('text')} AS toks FROM corpus
+),
+rtok0 AS (SELECT doc_id, unnest(toks) AS traw FROM toksrc),
+uniqr AS (SELECT DISTINCT traw FROM rtok0),
+praw AS (SELECT traw, {indic} AS raw FROM uniqr),
+ilscan(traw, raw, pos, acc, skip) AS (
+  SELECT traw, raw, 1, '', 0 FROM praw
+  UNION ALL
+  SELECT traw, raw, pos + 1,
+    CASE WHEN skip > 0 THEN acc ELSE ({acc_e}) END,
+    CASE WHEN skip > 0 THEN skip - 1 ELSE ({skip_e}) END
+  FROM ilscan WHERE pos <= length(raw)
+),
+normtok AS (SELECT traw, acc AS t0 FROM ilscan
+            WHERE pos = length(raw) + 1),
+rtok AS (SELECT r.doc_id, n.t0 FROM rtok0 r
+         JOIN normtok n USING (traw)),
+rkept AS (SELECT doc_id, t0 FROM rtok WHERE t0 NOT IN ({stops})),
+rterms AS MATERIALIZED (SELECT doc_id, {stem} AS term FROM rkept),
+{_BM25_TAIL}"""
+
+
+def bm25_indic_topk(lang: str, stemmed_term: str, k: int = 10) -> str:
+    pre = _indic_lang_preamble(lang).replace("__LT_VALUES__", _lt_values())
+    lit = f"'{stemmed_term}'"
+    return pre + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
 # -------------------------------------------- Gopher repetition -----------
 def _gopher_ctes() -> str:
     """Per-doc Gopher repetition signals — same definitions as
