@@ -2423,6 +2423,170 @@ ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
 
 
+# -------------------------------------------- Indonesian ------------------
+def _id_suffix_case(w: str, ns: str, flags: str) -> str:
+    """removeSuffix as one CASE over (word, syllables, flags) columns;
+    flag masks: KE|PENG|PE=67, DI|MENG|TER=28, BER|KE|PENG=35."""
+    return f"""CASE
+    WHEN {ns} > 2 AND right({w}, 3) = 'kan' AND ({flags} & 67) = 0
+    THEN left({w}, length({w}) - 3)
+    WHEN {ns} > 2 AND right({w}, 2) = 'an' AND ({flags} & 28) = 0
+    THEN left({w}, length({w}) - 2)
+    WHEN {ns} > 2 AND right({w}, 1) = 'i' AND right({w}, 2) <> 'si'
+         AND ({flags} & 35) = 0
+    THEN left({w}, length({w}) - 1)
+    ELSE {w} END"""
+
+
+def _id_stem_ctes() -> str:
+    """IndonesianStemmer state machine as staged CTE columns — branch
+    codes (fo/so) carry which prefix family was removed; the
+    derivational ordering (suffix-then-so vs so-then-suffix) follows
+    the reference's changed-length branching.  GENERATED against the
+    same rules as analysis/indonesian.py."""
+    V = "('a','e','i','o','u')"
+    fo = f"""CASE
+    WHEN ns2 <= 2 THEN 0
+    WHEN w2 LIKE 'meng%' THEN 1
+    WHEN w2 LIKE 'meny%' AND length(w2) > 4 AND substr(w2, 5, 1) IN {V}
+         THEN 2
+    WHEN w2 LIKE 'men%' THEN 3
+    WHEN w2 LIKE 'mem%' THEN 4
+    WHEN w2 LIKE 'me%' THEN 5
+    WHEN w2 LIKE 'peng%' THEN 6
+    WHEN w2 LIKE 'peny%' AND length(w2) > 4 AND substr(w2, 5, 1) IN {V}
+         THEN 7
+    WHEN w2 LIKE 'peny%' THEN 8
+    WHEN w2 LIKE 'pen%' AND length(w2) > 3 AND substr(w2, 4, 1) IN {V}
+         THEN 9
+    WHEN w2 LIKE 'pen%' THEN 10
+    WHEN w2 LIKE 'pem%' THEN 11
+    WHEN w2 LIKE 'di%' THEN 12
+    WHEN w2 LIKE 'ter%' THEN 13
+    WHEN w2 LIKE 'ke%' THEN 14
+    ELSE 0 END"""
+    w3 = """CASE fo
+    WHEN 0 THEN w2
+    WHEN 1 THEN substr(w2, 5)
+    WHEN 2 THEN 's' || substr(w2, 5)
+    WHEN 3 THEN substr(w2, 4)
+    WHEN 4 THEN substr(w2, 4)
+    WHEN 5 THEN substr(w2, 3)
+    WHEN 6 THEN substr(w2, 5)
+    WHEN 7 THEN 's' || substr(w2, 5)
+    WHEN 8 THEN substr(w2, 5)
+    WHEN 9 THEN 't' || substr(w2, 4)
+    WHEN 10 THEN substr(w2, 4)
+    WHEN 11 THEN substr(w2, 4)
+    WHEN 12 THEN substr(w2, 3)
+    WHEN 13 THEN substr(w2, 4)
+    WHEN 14 THEN substr(w2, 3)
+    END"""
+    fflag = ("CASE WHEN fo BETWEEN 1 AND 5 THEN 8 "
+             "WHEN fo BETWEEN 6 AND 11 THEN 2 "
+             "WHEN fo = 12 THEN 4 WHEN fo = 13 THEN 16 "
+             "WHEN fo = 14 THEN 1 ELSE 0 END")
+
+    def so_case(w: str, ns: str) -> str:
+        return f"""CASE
+    WHEN {ns} <= 2 THEN 0
+    WHEN {w} LIKE 'ber%' THEN 1
+    WHEN {w} = 'belajar' THEN 2
+    WHEN {w} LIKE 'be%' AND length({w}) > 4
+         AND substr({w}, 3, 1) NOT IN {V}
+         AND substr({w}, 4, 1) = 'e' AND substr({w}, 5, 1) = 'r' THEN 3
+    WHEN {w} LIKE 'per%' THEN 4
+    WHEN {w} = 'pelajar' THEN 5
+    WHEN {w} LIKE 'pe%' THEN 6
+    ELSE 0 END"""
+
+    def so_apply(code: str, w: str) -> str:
+        return (f"CASE WHEN {code} IN (1, 2, 4, 5) THEN substr({w}, 4) "
+                f"WHEN {code} IN (3, 6) THEN substr({w}, 3) ELSE {w} END")
+
+    so_flag = ("CASE WHEN sob IN (1, 2, 3) THEN 32 "
+               "WHEN sob = 6 THEN 64 ELSE 0 END")
+
+    return f"""rid0 AS (
+  SELECT doc_id, t0,
+         length(t0) - length(translate(t0, 'aeiou', '')) AS ns0
+  FROM rkept),
+rid1 AS (
+  SELECT doc_id,
+    CASE WHEN ns0 > 2 AND right(t0, 3) IN ('kah','lah','pun')
+         THEN left(t0, length(t0) - 3) ELSE t0 END AS w1,
+    CASE WHEN ns0 > 2 AND right(t0, 3) IN ('kah','lah','pun')
+         THEN ns0 - 1 ELSE ns0 END AS ns1
+  FROM rid0),
+rid2 AS (
+  SELECT doc_id,
+    CASE WHEN ns1 > 2 AND right(w1, 2) IN ('ku','mu')
+         THEN left(w1, length(w1) - 2)
+         WHEN ns1 > 2 AND right(w1, 3) = 'nya'
+         THEN left(w1, length(w1) - 3) ELSE w1 END AS w2,
+    CASE WHEN ns1 > 2 AND (right(w1, 2) IN ('ku','mu')
+                           OR right(w1, 3) = 'nya')
+         THEN ns1 - 1 ELSE ns1 END AS ns2
+  FROM rid1),
+rid3 AS (SELECT doc_id, w2, ns2, {fo} AS fo FROM rid2),
+rid4 AS (
+  SELECT doc_id, fo, {w3} AS w3,
+         CASE WHEN fo = 0 THEN ns2 ELSE ns2 - 1 END AS ns3,
+         {fflag} AS fflag
+  FROM rid3),
+-- both derivational orderings computed in one linear chain;
+-- path A = first-order prefix removed (suffix, then second-order
+-- prefix only if the suffix changed), path B = no first-order prefix
+-- (second-order prefix, then suffix)
+rid5 AS (
+  SELECT doc_id, fo, w3, ns3, fflag,
+         {_id_suffix_case('w3', 'ns3', 'fflag')} AS w4a,
+         {so_case('w3', 'ns3')} AS sob
+  FROM rid4),
+rid6 AS (
+  SELECT doc_id, fo, w3, w4a,
+         CASE WHEN w4a <> w3 THEN ns3 - 1 ELSE ns3 END AS ns4a,
+         {so_apply('sob', 'w3')} AS w4b,
+         CASE WHEN sob = 0 THEN ns3 ELSE ns3 - 1 END AS ns4b,
+         {so_flag} AS sflagb
+  FROM rid5),
+rid7 AS (
+  SELECT doc_id, fo,
+         CASE WHEN w4a <> w3
+              THEN {so_apply(so_case('w4a', 'ns4a'), 'w4a')}
+              ELSE w4a END AS w5a,
+         {_id_suffix_case('w4b', 'ns4b', 'sflagb')} AS w5b
+  FROM rid6),
+rterms AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN fo <> 0 THEN w5a ELSE w5b END AS term
+  FROM rid7)"""
+
+
+def indonesian_preamble() -> str:
+    from .analysis.indonesian import INDONESIAN_STOP_WORDS
+    stops = _stop_list_sql(INDONESIAN_STOP_WORDS)
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, url, {sql_tokens_expr('text')} AS toks FROM corpus
+),
+rtok AS (SELECT doc_id, unnest(toks) AS t0 FROM toksrc),
+rkept AS (SELECT doc_id, t0 FROM rtok WHERE t0 NOT IN ({stops})),
+{_id_stem_ctes()},
+{_BM25_TAIL}"""
+
+
+def bm25_indonesian_topk(stemmed_term: str, k: int = 10) -> str:
+    pre = indonesian_preamble().replace("__LT_VALUES__", _lt_values())
+    lit = f"'{stemmed_term}'"
+    return pre + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
 # -------------------------------------------- Gopher repetition -----------
 def _gopher_ctes() -> str:
     """Per-doc Gopher repetition signals — same definitions as
