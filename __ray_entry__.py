@@ -989,6 +989,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- Gopher repetition signals + gate (training-data quality) ---
         "gopher_repetition": gopher.gopher_repetition,
         "gopher_gate": gopher.gopher_gate,
+        "whitespace_token_counts":
+            lambda sf: textstats.core_analyzer_counts(sf, "whitespace"),
+        "simple_token_counts":
+            lambda sf: textstats.core_analyzer_counts(sf, "simple"),
         # --- similarity search ---
         "ann_cosine_top10": _ann_brute,
         "ann_lsh_top10": _ann_lsh,
@@ -1156,6 +1160,8 @@ def oracle_sql() -> dict[str, str]:
         "cms_term_counts": oracle.cms_term_counts(),
         "gopher_repetition": oracle.gopher_repetition(),
         "gopher_gate": oracle.gopher_gate(),
+        "whitespace_token_counts": oracle.core_token_counts("whitespace"),
+        "simple_token_counts": oracle.core_token_counts("simple"),
         # Intentionally no SQL (driver records rows-only checks):
         # bm25_english (Porter stemming), span_near / sloppy_phrase
         # (traversal-order-dependent matchers), ann_ivf (trained k-means

@@ -3078,3 +3078,34 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_with_k,
        round(CAST(sum(k) AS DOUBLE) / count(*), 6) AS mean_k_r
 FROM x GROUP BY event_type
 """
+
+
+# ------------------------------------------------- core analyzers ---------
+def core_token_counts(which: str) -> str:
+    """Per-doc token + distinct-token counts under the core analyzers —
+    the regex class is the SAME string analysis/core.py compiles (real
+    codepoints, valid in both Python re and RE2)."""
+    from .analysis.core import _JAVA_WS
+    if which == "whitespace":
+        src = "text"
+        cls = f"[{_JAVA_WS}]+"
+    else:  # simple: lowercased letter runs ([\\W\\d_] delimiter class)
+        src = "lower(text)"
+        cls = r"[\W\d_]+"
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toks AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(string_split_regex({src}, '{cls}')) AS t
+    FROM corpus)
+  WHERE t <> ''),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         count(DISTINCT t) AS n_unique_tokens
+  FROM toks GROUP BY doc_id)
+SELECT c.doc_id,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.n_unique_tokens, 0) AS n_unique_tokens
+FROM corpus c LEFT JOIN agg a USING (doc_id)
+ORDER BY c.doc_id
+"""

@@ -511,3 +511,27 @@ def url_email_tokens(sf_dir: str):
         })
 
     return _docs_ds(sf_dir).map_batches(rows, batch_format="pyarrow")
+
+
+def core_analyzer_counts(sf_dir: str, which: str):
+    """(doc_id, n_tokens, n_unique_tokens) under a core analyzer
+    (``analysis/core.py``: 'whitespace' = Character.isWhitespace split,
+    no case fold; 'simple' = lowercased letter runs). Exact SQL mirrors
+    in ``oracle.core_token_counts`` share the regex classes."""
+    from ..analysis import core as core_mod
+
+    cls = {"whitespace": core_mod.WhitespaceAnalyzer,
+           "simple": core_mod.SimpleAnalyzer}[which]
+
+    def batch(b: pa.Table) -> pa.Table:
+        analyzer = cls()
+        lengths, flat, doc_of, _pos = analyzer.analyze_flat(
+            b["text"].to_pylist())
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tokens": pa.array(lengths, pa.int64()),
+            "n_unique_tokens": pa.array(
+                _unique_per_doc(flat, doc_of, len(lengths)), pa.int64()),
+        })
+
+    return _docs_ds(sf_dir).map_batches(batch, batch_format="pyarrow")
