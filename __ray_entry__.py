@@ -20,7 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from lucene_kmp_ray import oracle
-from lucene_kmp_ray.pipelines import (ann, dedup, events, gopher,
+from lucene_kmp_ray.pipelines import (ann, dedup, events, gopher, pii,
                                       sketches, textstats)
 from lucene_kmp_ray.search import (BooleanQuery, DisjunctionMaxQuery,
                                    FuzzyQuery, Occur, PhraseQuery,
@@ -993,6 +993,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: textstats.core_analyzer_counts(sf, "whitespace"),
         "simple_token_counts":
             lambda sf: textstats.core_analyzer_counts(sf, "simple"),
+        # --- PII scrub + URL-host filter (training-data ops) ---
+        "pii_scrub": pii.pii_scrub,
+        "url_host_filter": pii.url_host_filter,
         # --- similarity search ---
         "ann_cosine_top10": _ann_brute,
         "ann_lsh_top10": _ann_lsh,
@@ -1162,6 +1165,8 @@ def oracle_sql() -> dict[str, str]:
         "gopher_gate": oracle.gopher_gate(),
         "whitespace_token_counts": oracle.core_token_counts("whitespace"),
         "simple_token_counts": oracle.core_token_counts("simple"),
+        "pii_scrub": oracle.pii_scrub(),
+        "url_host_filter": oracle.url_host_filter(),
         # Intentionally no SQL (driver records rows-only checks):
         # bm25_english (Porter stemming), span_near / sloppy_phrase
         # (traversal-order-dependent matchers), ann_ivf (trained k-means

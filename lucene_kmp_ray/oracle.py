@@ -3109,3 +3109,44 @@ SELECT c.doc_id,
 FROM corpus c LEFT JOIN agg a USING (doc_id)
 ORDER BY c.doc_id
 """
+
+
+# ------------------------------------------------------- PII --------------
+def pii_scrub() -> str:
+    """Sequential email → IPv4 → phone redaction with per-stage counts;
+    the regex strings are imported from pipelines/pii.py (RE2 on both
+    sides)."""
+    from .pipelines.pii import PII_STAGES
+    (em, em_r), (ip, ip_r), (ph, ph_r) = PII_STAGES
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+s1 AS (
+  SELECT doc_id,
+         length(regexp_extract_all(text, '{em}')) AS n_emails,
+         regexp_replace(text, '{em}', '{em_r}', 'g') AS t1
+  FROM corpus),
+s2 AS (
+  SELECT doc_id, n_emails,
+         length(regexp_extract_all(t1, '{ip}')) AS n_ips,
+         regexp_replace(t1, '{ip}', '{ip_r}', 'g') AS t2
+  FROM s1),
+s3 AS (
+  SELECT doc_id, n_emails, n_ips,
+         length(regexp_extract_all(t2, '{ph}')) AS n_phones,
+         regexp_replace(t2, '{ph}', '{ph_r}', 'g') AS clean_text
+  FROM s2)
+SELECT doc_id, clean_text, n_emails, n_ips, n_phones
+FROM s3 ORDER BY doc_id
+"""
+
+
+def url_host_filter() -> str:
+    from .pipelines.pii import DEFAULT_BLOCKED_HOSTS, HOST_RE
+    blocked = ", ".join(f"'{h}'" for h in sorted(DEFAULT_BLOCKED_HOSTS))
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+h AS (SELECT doc_id, regexp_extract(url, '{HOST_RE}', 1) AS host
+      FROM corpus)
+SELECT doc_id, host FROM h WHERE host NOT IN ({blocked})
+ORDER BY doc_id
+"""
