@@ -3150,3 +3150,92 @@ h AS (SELECT doc_id, regexp_extract(url, '{HOST_RE}', 1) AS host
 SELECT doc_id, host FROM h WHERE host NOT IN ({blocked})
 ORDER BY doc_id
 """
+
+
+# ------------------------------------------------------ Nepali ------------
+def _ne_cat1_case(col: str) -> str:
+    from .analysis.nepali import NE_CAT1
+    lines = ["CASE"]
+    for sfx, act in NE_CAT1:
+        k = len(sfx)
+        base = f"left({col}, length({col}) - {k})"
+        if act == 1:
+            lines.append(f"  WHEN {col} LIKE '%{sfx}' THEN {base}")
+        else:
+            lines.append(
+                f"  WHEN {col} LIKE '%{sfx}' THEN "
+                f"CASE WHEN {base} LIKE '%ए' OR {base} LIKE '%े' "
+                f"THEN {col} ELSE {base} END")
+    lines.append(f"  ELSE {col} END")
+    return "\n".join(lines)
+
+
+def _ne_cat2_case(col: str) -> str:
+    from .analysis.nepali import (NE_CAT2_AI, NE_CAT2_AI_CTX,
+                                  NE_CAT2_NASAL_CTX, NE_CAT2_NASALS)
+    nas = ", ".join(f"'{c}'" for c in NE_CAT2_NASALS)
+    ctx = ", ".join(f"'{c}'" for c in NE_CAT2_NASAL_CTX)
+    ai_ctx = NE_CAT2_AI_CTX
+    return f"""CASE
+  WHEN right({col}, 1) IN ({nas})
+       AND substr({col}, length({col}) - 2, 2) IN ({ctx})
+  THEN left({col}, length({col}) - 1)
+  WHEN right({col}, 1) = '{NE_CAT2_AI}'
+       AND substr({col}, length({col}) - {len(ai_ctx)}, {len(ai_ctx)})
+           = '{ai_ctx}'
+  THEN left({col}, length({col}) - 1)
+  ELSE {col} END"""
+
+
+def _ne_cat3_case(col: str) -> str:
+    from .analysis.nepali import NE_CAT3
+    lines = ["CASE"]
+    for sfx in NE_CAT3:
+        lines.append(f"  WHEN {col} LIKE '%{sfx}' "
+                     f"THEN left({col}, length({col}) - {len(sfx)})")
+    lines.append(f"  ELSE {col} END")
+    return "\n".join(lines)
+
+
+def nepali_preamble() -> str:
+    """BM25 CTEs over NEPALI-analyzed text — digit fold → indic compose
+    → stop → snowball stem (category-1 once, then the category-2/3 loop
+    as a recursive CTE), GENERATED from the same tables as
+    analysis/nepali.py."""
+    from .analysis.nepali import NEPALI_STOP_WORDS
+    stops = _stop_list_sql(NEPALI_STOP_WORDS)
+    digit = _SQL_DIGIT_FOLD.format(col="traw")
+    indic = _indic_compose_sql(digit)
+    cat3 = _ne_cat3_case("w2")
+    return f"""
+WITH RECURSIVE corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, url, {sql_tokens_expr('text')} AS toks FROM corpus
+),
+rtok0 AS (SELECT doc_id, unnest(toks) AS traw FROM toksrc),
+rtok AS (SELECT doc_id, {indic} AS t0 FROM rtok0),
+rkept AS (SELECT doc_id, t0 FROM rtok WHERE t0 NOT IN ({stops})),
+uniq AS (SELECT DISTINCT t0 FROM rkept),
+nsl(t0, w, moved) AS (
+  SELECT t0, {_ne_cat1_case('t0')} AS w, TRUE FROM uniq
+  UNION ALL
+  SELECT t0,
+         CASE WHEN ({cat3}) <> w2 THEN ({cat3}) ELSE w2 END,
+         ({cat3}) <> w2
+  FROM (SELECT t0, {_ne_cat2_case('w')} AS w2 FROM nsl WHERE moved)
+),
+stems AS (SELECT t0, w AS stem FROM nsl WHERE NOT moved),
+rterms AS MATERIALIZED (
+  SELECT k.doc_id, s.stem AS term FROM rkept k JOIN stems s USING (t0)),
+{_BM25_TAIL}"""
+
+
+def bm25_nepali_topk(stemmed_term: str, k: int = 10) -> str:
+    pre = nepali_preamble().replace("__LT_VALUES__", _lt_values())
+    lit = f"'{stemmed_term}'"
+    return pre + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
