@@ -308,6 +308,34 @@ def _nepali_topk(sf_dir: str):
         [["doc_id", "url", "score"]]
 
 
+def _romanian_query_term() -> str:
+    from lucene_kmp_ray.analysis.romanian import RomanianAnalyzer
+    return RomanianAnalyzer()(GERMAN_QUERY_WORD)[0]
+
+
+def _romanian_topk(sf_dir: str):
+    """Top-10 for a RomanianAnalyzer index (stop → cedilla fold →
+    snowball Romanian stem, reference-kmp semantics). Oracle:
+    oracle.bm25_romanian_topk — recursive-CTE prelude + staged CASEs
+    GENERATED from the same tables."""
+    import os
+
+    from lucene_kmp_ray.analysis.romanian import RomanianAnalyzer
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.sources.corpus import corpus_dataset
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/lucene_kmp_ray_index_romanian/{tag}"
+    analyzer = RomanianAnalyzer()
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(corpus_dataset(sf_dir), idx, segment_size=SEGMENT_SIZE,
+                    analyzer=analyzer)
+    (term,) = analyzer(GERMAN_QUERY_WORD)
+    return search_distributed(idx, {"q": TermQuery(term)}, k=10,
+                              dtype="float64").to_pandas() \
+        [["doc_id", "url", "score"]]
+
+
 def _eastern_cls(lang: str):
     from lucene_kmp_ray.analysis import eastern
     return {"czech": eastern.CzechAnalyzer,
@@ -964,6 +992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_telugu_top10": lambda sf: _indic_topk(sf, "telugu"),
         "bm25_indonesian_top10": _indonesian_topk,
         "bm25_nepali_top10": _nepali_topk,
+        "bm25_romanian_top10": _romanian_topk,
         "bm25_french_top10": _french_topk,
         "cjk_bigram_counts": textstats.cjk_bigram_counts,
         "ascii_fold_tokens": textstats.ascii_fold_tokens,
@@ -1173,6 +1202,8 @@ def oracle_sql() -> dict[str, str]:
             _indonesian_query_term()),
         "bm25_nepali_top10": oracle.bm25_nepali_topk(
             _nepali_query_term()),
+        "bm25_romanian_top10": oracle.bm25_romanian_topk(
+            _romanian_query_term()),
         "cjk_bigram_counts": oracle.cjk_bigram_counts(),
         "ascii_fold_tokens": oracle.ascii_fold_tokens(),
         "word_delimiter_tokens": oracle.word_delimiter_tokens(),

@@ -3239,3 +3239,149 @@ SELECT s.doc_id, c.url, s.score
 FROM scored s JOIN corpus c USING (doc_id)
 ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
+
+
+# ------------------------------------------------------ Romanian ----------
+_RO_V = "aeiouâîă"
+
+
+def _ro_repl_case(table, repl_map, region: str, col: str,
+                  out: str, special=None) -> str:
+    """Structural-longest-first among as a CASE: WHEN on the suffix
+    alone; the region check decides inside THEN (failed check = no-op,
+    no fallback) — kt semantics for step_0 / standard / final steps."""
+    lines = ["CASE"]
+    for sfx, act in table:
+        k = len(sfx)
+        base = f"length({col}) - {k}"
+        cond = f"{base} >= {region}"
+        if special and act in special:
+            inner, extra = special[act](col, k)
+            if extra:
+                cond = f"{cond} AND {extra}"
+        else:
+            rep = repl_map[act] if repl_map else ""
+            inner = (f"left({col}, {base}) || '{rep}'" if rep
+                     else f"left({col}, {base})")
+        lines.append(f"  WHEN {col} LIKE '%{sfx}' THEN "
+                     f"CASE WHEN {cond} THEN {inner} ELSE {col} END")
+    lines.append(f"  ELSE {col} END")
+    return "\n".join(lines)
+
+
+def _ro_stem_ctes() -> str:
+    """RomanianStemmer (reference-kmp semantics — see
+    analysis/romanian.py docstring) as recursive-CTE prelude + staged
+    CASE columns, GENERATED from the same tables."""
+    from .analysis.romanian import (RO_COMBO, RO_COMBO_REPL, RO_FINAL_VOWEL,
+                                    RO_STD, RO_STEP0, RO_STEP0_REPL, RO_VERB)
+    v = _RO_V
+    vset = ", ".join(f"'{c}'" for c in sorted(v))
+
+    def step0_sp5(col, k):
+        return (f"left({col}, length({col}) - {k}) || 'i'",
+                f"NOT left({col}, length({col}) - {k}) LIKE '%ab'")
+
+    def std_sp2(col, k):
+        return (f"left({col}, length({col}) - {k + 1}) || 't'",
+                f"substr({col}, length({col}) - {k}, 1) = 'ț'")
+
+    def std_sp3(col, k):
+        return (f"left({col}, length({col}) - {k}) || 'ist'", None)
+
+    st0 = _ro_repl_case(RO_STEP0, RO_STEP0_REPL, "p1", "pw", "w0",
+                        special={5: step0_sp5})
+    stc = _ro_repl_case(RO_COMBO, RO_COMBO_REPL, "p1", "w0", "wc")
+    st4 = _ro_repl_case(RO_STD, {1: ""}, "p2", "wc", "wv",
+                        special={2: std_sp2, 3: std_sp3})
+    fin = _ro_repl_case(RO_FINAL_VOWEL, None, "pv", "wf", "wz")
+
+    vb = ["CASE"]
+    for sfx, act in RO_VERB:
+        k = len(sfx)
+        base = f"length(wv) - {k}"
+        if act == 1:
+            vb.append(
+                f"  WHEN wv LIKE '%{sfx}' AND {base} >= pv THEN "
+                f"CASE WHEN {base} - 1 >= pv AND "
+                f"substr(wv, {base}, 1) = 'u' "
+                f"THEN left(wv, {base}) ELSE wv END")
+        else:
+            vb.append(f"  WHEN wv LIKE '%{sfx}' AND {base} >= pv "
+                      f"THEN left(wv, {base})")
+    vb.append("  ELSE wv END")
+    verb = "\n".join(vb)
+
+    def rex(pat):
+        return (f"CASE WHEN regexp_extract(pw, '{pat}') = '' "
+                f"THEN length(pw) "
+                f"ELSE length(regexp_extract(pw, '{pat}')) END")
+
+    pv = f"""CASE
+  WHEN length(pw) < 2 THEN length(pw)
+  WHEN substr(pw, 1, 1) IN ({vset}) AND
+       substr(pw, 2, 1) NOT IN ({vset})
+  THEN {rex(f'^[{v}][^{v}]+[{v}]')}
+  WHEN substr(pw, 1, 1) IN ({vset})
+  THEN {rex(f'^[{v}][{v}]+[^{v}]')}
+  WHEN substr(pw, 2, 1) NOT IN ({vset})
+  THEN {rex(f'^[^{v}][^{v}]+[{v}]')}
+  ELSE CASE WHEN length(pw) >= 3 THEN 3 ELSE length(pw) END END"""
+    p1 = rex(f"^[^{v}]*[{v}]+[^{v}]")
+    p2 = rex(f"^[^{v}]*[{v}]+[^{v}]+[{v}]+[^{v}]")
+
+    return f"""uniq AS (SELECT DISTINCT t0 FROM rkept),
+pr0 AS (SELECT t0, translate(t0, 'ŞşŢţ', 'ȘșȚț') AS raw FROM uniq),
+roscan(t0, raw, pos, acc) AS (
+  SELECT t0, raw, 1, '' FROM pr0
+  UNION ALL
+  SELECT t0, raw, pos + 1,
+    acc || CASE
+      WHEN substr(raw, pos, 1) = 'u' AND pos > 1
+           AND right(acc, 1) IN ({vset})
+           AND substr(raw, pos + 1, 1) IN ({vset}) THEN 'U'
+      WHEN substr(raw, pos, 1) = 'i' AND pos > 1
+           AND right(acc, 1) IN ({vset})
+           AND substr(raw, pos + 1, 1) IN ({vset}) THEN 'I'
+      ELSE substr(raw, pos, 1) END
+  FROM roscan WHERE pos <= length(raw)
+),
+pre AS (SELECT t0, acc AS pw FROM roscan WHERE pos = length(raw) + 1),
+regs AS (SELECT t0, pw, {pv} AS pv, {p1} AS p1, {p2} AS p2 FROM pre),
+rst0 AS (SELECT t0, pv, p1, p2, {st0} AS w0 FROM regs),
+rstc AS (SELECT t0, pv, p2, {stc} AS wc FROM rst0),
+rst4 AS (SELECT t0, pv, {st4} AS wv FROM rstc),
+rstv AS (SELECT t0, pv, {verb} AS wf FROM rst4),
+rstf AS (SELECT t0, {fin} AS wz FROM rstv),
+stems AS (
+  SELECT t0, CASE WHEN left(wz, 1) = 'I' THEN 'i' || substr(wz, 2)
+                  WHEN left(wz, 1) = 'U' THEN 'u' || substr(wz, 2)
+                  ELSE wz END AS stem
+  FROM rstf),
+rterms AS MATERIALIZED (
+  SELECT k.doc_id, s.stem AS term FROM rkept k JOIN stems s USING (t0))"""
+
+
+def romanian_preamble() -> str:
+    from .analysis.romanian import ROMANIAN_STOP_WORDS
+    stops = _stop_list_sql(ROMANIAN_STOP_WORDS)
+    return f"""
+WITH RECURSIVE corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, url, {sql_tokens_expr('text')} AS toks FROM corpus
+),
+rtok AS (SELECT doc_id, unnest(toks) AS t0 FROM toksrc),
+rkept AS (SELECT doc_id, t0 FROM rtok WHERE t0 NOT IN ({stops})),
+{_ro_stem_ctes()},
+{_BM25_TAIL}"""
+
+
+def bm25_romanian_topk(stemmed_term: str, k: int = 10) -> str:
+    pre = romanian_preamble().replace("__LT_VALUES__", _lt_values())
+    lit = f"'{stemmed_term}'"
+    return pre + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
