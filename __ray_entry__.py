@@ -336,6 +336,40 @@ def _romanian_topk(sf_dir: str):
         [["doc_id", "url", "score"]]
 
 
+def _sc_cls(lang: str):
+    if lang == "serbian":
+        from lucene_kmp_ray.analysis.serbian import SerbianAnalyzer
+        return SerbianAnalyzer
+    from lucene_kmp_ray.analysis.catalan import CatalanAnalyzer
+    return CatalanAnalyzer
+
+
+def _sc_query_term(lang: str) -> str:
+    return _sc_cls(lang)()(GERMAN_QUERY_WORD)[0]
+
+
+def _sc_topk(sf_dir: str, lang: str):
+    """Top-10 for a Serbian/Catalan index (reference simplified rule
+    sets; Serbian stems then normalizes Cyrillic→bald Latin, Catalan
+    elides articles then folds accents). Oracle:
+    oracle.bm25_serbo_catalan_topk (same tables)."""
+    import os
+
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.sources.corpus import corpus_dataset
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/lucene_kmp_ray_index_{lang}/{tag}"
+    analyzer = _sc_cls(lang)()
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(corpus_dataset(sf_dir), idx, segment_size=SEGMENT_SIZE,
+                    analyzer=analyzer)
+    (term,) = analyzer(GERMAN_QUERY_WORD)
+    return search_distributed(idx, {"q": TermQuery(term)}, k=10,
+                              dtype="float64").to_pandas() \
+        [["doc_id", "url", "score"]]
+
+
 def _eastern_cls(lang: str):
     from lucene_kmp_ray.analysis import eastern
     return {"czech": eastern.CzechAnalyzer,
@@ -993,6 +1027,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_indonesian_top10": _indonesian_topk,
         "bm25_nepali_top10": _nepali_topk,
         "bm25_romanian_top10": _romanian_topk,
+        "bm25_serbian_top10": lambda sf: _sc_topk(sf, "serbian"),
+        "bm25_catalan_top10": lambda sf: _sc_topk(sf, "catalan"),
         "bm25_french_top10": _french_topk,
         "cjk_bigram_counts": textstats.cjk_bigram_counts,
         "ascii_fold_tokens": textstats.ascii_fold_tokens,
@@ -1204,6 +1240,10 @@ def oracle_sql() -> dict[str, str]:
             _nepali_query_term()),
         "bm25_romanian_top10": oracle.bm25_romanian_topk(
             _romanian_query_term()),
+        "bm25_serbian_top10": oracle.bm25_serbo_catalan_topk(
+            "serbian", _sc_query_term("serbian")),
+        "bm25_catalan_top10": oracle.bm25_serbo_catalan_topk(
+            "catalan", _sc_query_term("catalan")),
         "cjk_bigram_counts": oracle.cjk_bigram_counts(),
         "ascii_fold_tokens": oracle.ascii_fold_tokens(),
         "word_delimiter_tokens": oracle.word_delimiter_tokens(),

@@ -3385,3 +3385,75 @@ SELECT s.doc_id, c.url, s.score
 FROM scored s JOIN corpus c USING (doc_id)
 ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
+
+
+# ---------------------------------------------- Serbian / Catalan ---------
+def _sr_stem_ctes() -> str:
+    from .analysis.serbian import SR_EXPAND, SR_MAP, SR_RULES
+    branches = []
+    for sfx, min_len, drop in SR_RULES:
+        branches.append(
+            f"    WHEN t0 LIKE '%{sfx}' AND length(t0) > {min_len} "
+            f"THEN left(t0, length(t0) - {drop})")
+    stem = "CASE\n" + "\n".join(branches) + "\n    ELSE t0 END"
+    norm = "st"
+    for src, dst in SR_EXPAND.items():
+        norm = f"replace({norm}, '{src}', '{dst}')"
+    frm = "".join(SR_MAP)
+    to = "".join(SR_MAP.values())
+    norm = f"translate({norm}, '{frm}', '{to}')"
+    return f"""rsr AS (SELECT doc_id, {stem} AS st FROM rkept),
+rterms AS MATERIALIZED (SELECT doc_id, {norm} AS term FROM rsr)"""
+
+
+def _ca_stem_ctes() -> str:
+    from .analysis.catalan import CA_RULES
+    fold = "translate(t0, 'àáèéìíïòóùúü·', 'aaeeiiioouuu.')"
+    branches = []
+    for sfx, min_len, drop in CA_RULES:
+        guard = f" AND length(cf) > {min_len}" if min_len else ""
+        branches.append(
+            f"    WHEN cf LIKE '%{sfx}'{guard} "
+            f"THEN left(cf, length(cf) - {drop})")
+    stem = "CASE\n" + "\n".join(branches) + "\n    ELSE cf END"
+    return f"""rcf AS (SELECT doc_id, {fold} AS cf FROM rkept),
+rterms AS MATERIALIZED (SELECT doc_id, {stem} AS term FROM rcf)"""
+
+
+_CA_ELISION_RE = "^(d|l|m|n|s|t)[''’](.+)$"
+
+
+def serbo_catalan_preamble(lang: str) -> str:
+    if lang == "serbian":
+        from .analysis.serbian import SERBIAN_STOP_WORDS
+        stops = _stop_list_sql(SERBIAN_STOP_WORDS)
+        ctes = _sr_stem_ctes()
+        pre_tok = "traw"
+    else:
+        from .analysis.catalan import CATALAN_STOP_WORDS
+        stops = _stop_list_sql(CATALAN_STOP_WORDS)
+        ctes = _ca_stem_ctes()
+        pre_tok = f"regexp_replace(traw, '{_CA_ELISION_RE}', '\\2')"
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, url, {sql_tokens_expr('text')} AS toks FROM corpus
+),
+rtok0 AS (SELECT doc_id, unnest(toks) AS traw FROM toksrc),
+rtok AS (SELECT doc_id, {pre_tok} AS t0 FROM rtok0),
+rkept AS (SELECT doc_id, t0 FROM rtok WHERE t0 NOT IN ({stops})),
+{ctes},
+{_BM25_TAIL}"""
+
+
+def bm25_serbo_catalan_topk(lang: str, stemmed_term: str,
+                            k: int = 10) -> str:
+    pre = serbo_catalan_preamble(lang).replace("__LT_VALUES__",
+                                               _lt_values())
+    lit = f"'{stemmed_term}'"
+    return pre + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
