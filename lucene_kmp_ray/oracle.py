@@ -1182,7 +1182,7 @@ ORDER BY s.score DESC, s.doc_id LIMIT {k}
 
 
 def _stop_list_sql(words) -> str:
-    return ", ".join(f"'{w}'" for w in sorted(words))
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(words))
 
 
 _ROMANCE_FOLD = ("'àáâäòóôöèéêëùúûüìíîï'", "'aaaaooooeeeeuuuuiiii'")
