@@ -370,6 +370,33 @@ def _sc_topk(sf_dir: str, lang: str):
         [["doc_id", "url", "score"]]
 
 
+def _hungarian_query_term() -> str:
+    from lucene_kmp_ray.analysis.hungarian import HungarianAnalyzer
+    return HungarianAnalyzer()(GERMAN_QUERY_WORD)[0]
+
+
+def _hungarian_topk(sf_dir: str):
+    """Top-10 for a HungarianAnalyzer index (stop → UniNE light stem).
+    Oracle: oracle.bm25_hungarian_topk — the staged CASE cascades share
+    the rules."""
+    import os
+
+    from lucene_kmp_ray.analysis.hungarian import HungarianAnalyzer
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.sources.corpus import corpus_dataset
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/lucene_kmp_ray_index_hungarian/{tag}"
+    analyzer = HungarianAnalyzer()
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(corpus_dataset(sf_dir), idx, segment_size=SEGMENT_SIZE,
+                    analyzer=analyzer)
+    (term,) = analyzer(GERMAN_QUERY_WORD)
+    return search_distributed(idx, {"q": TermQuery(term)}, k=10,
+                              dtype="float64").to_pandas() \
+        [["doc_id", "url", "score"]]
+
+
 def _eastern_cls(lang: str):
     from lucene_kmp_ray.analysis import eastern
     return {"czech": eastern.CzechAnalyzer,
@@ -1029,6 +1056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_romanian_top10": _romanian_topk,
         "bm25_serbian_top10": lambda sf: _sc_topk(sf, "serbian"),
         "bm25_catalan_top10": lambda sf: _sc_topk(sf, "catalan"),
+        "bm25_hungarian_top10": _hungarian_topk,
         "bm25_french_top10": _french_topk,
         "cjk_bigram_counts": textstats.cjk_bigram_counts,
         "ascii_fold_tokens": textstats.ascii_fold_tokens,
@@ -1244,6 +1272,8 @@ def oracle_sql() -> dict[str, str]:
             "serbian", _sc_query_term("serbian")),
         "bm25_catalan_top10": oracle.bm25_serbo_catalan_topk(
             "catalan", _sc_query_term("catalan")),
+        "bm25_hungarian_top10": oracle.bm25_hungarian_topk(
+            _hungarian_query_term()),
         "cjk_bigram_counts": oracle.cjk_bigram_counts(),
         "ascii_fold_tokens": oracle.ascii_fold_tokens(),
         "word_delimiter_tokens": oracle.word_delimiter_tokens(),

@@ -3457,3 +3457,106 @@ SELECT s.doc_id, c.url, s.score
 FROM scored s JOIN corpus c USING (doc_id)
 ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
+
+
+# ------------------------------------------------------ Hungarian ---------
+def _hu_stem_ctes() -> str:
+    """HungarianLightStemmer as staged CASE columns (fold → case →
+    possessive → plural → final-vowel norm) — same rules as
+    analysis/hungarian.py."""
+    V = "('a','e','i','o','u','y')"
+    fold = "translate(t0, 'áëéíóőõöúűũûü', 'aeeioooouuuuu')"
+    case3 = ("'nak','nek','val','vel','ert','rol','ban','ben','bol',"
+             "'nal','nel','hoz','hez','tol'")
+    case2 = "'at','et','ot','va','ve','ra','re','ba','be','ul','ig'"
+    hcase = f"""CASE
+  WHEN length(h0) > 6 AND h0 LIKE '%kent' THEN left(h0, length(h0) - 4)
+  WHEN length(h0) > 5 AND right(h0, 3) IN ({case3})
+    THEN left(h0, length(h0) - 3)
+  WHEN length(h0) > 5 AND right(h0, 2) IN ('al','el')
+       AND substr(h0, length(h0) - 2, 1) NOT IN {V}
+       AND substr(h0, length(h0) - 2, 1) = substr(h0, length(h0) - 3, 1)
+    THEN left(h0, length(h0) - 3)
+  WHEN length(h0) > 4 AND right(h0, 2) IN ({case2})
+    THEN left(h0, length(h0) - 2)
+  WHEN length(h0) > 4 AND right(h0, 2) IN ('on','en')
+       AND substr(h0, length(h0) - 2, 1) NOT IN {V}
+    THEN left(h0, length(h0) - 2)
+  WHEN length(h0) > 4 AND right(h0, 1) IN ('t','n')
+    THEN left(h0, length(h0) - 1)
+  WHEN length(h0) > 4 AND right(h0, 1) IN ('a','e')
+       AND substr(h0, length(h0) - 1, 1) = substr(h0, length(h0) - 2, 1)
+       AND substr(h0, length(h0) - 1, 1) NOT IN {V}
+    THEN left(h0, length(h0) - 2)
+  ELSE h0 END"""
+    hposs = f"""CASE
+  WHEN length(h1) > 6 AND substr(h1, length(h1) - 4, 1) NOT IN {V}
+       AND right(h1, 4) IN ('atok','otok','etek')
+    THEN left(h1, length(h1) - 4)
+  WHEN length(h1) > 6 AND right(h1, 4) IN ('itek','itok')
+    THEN left(h1, length(h1) - 4)
+  WHEN length(h1) > 5 AND substr(h1, length(h1) - 3, 1) NOT IN {V}
+       AND right(h1, 3) IN ('unk','tok','tek')
+    THEN left(h1, length(h1) - 3)
+  WHEN length(h1) > 5 AND substr(h1, length(h1) - 3, 1) IN {V}
+       AND right(h1, 3) = 'juk'
+    THEN left(h1, length(h1) - 3)
+  WHEN length(h1) > 5 AND right(h1, 3) = 'ink'
+    THEN left(h1, length(h1) - 3)
+  WHEN length(h1) > 4 AND substr(h1, length(h1) - 2, 1) NOT IN {V}
+       AND right(h1, 2) IN ('am','em','om','ad','ed','od','uk')
+    THEN left(h1, length(h1) - 2)
+  WHEN length(h1) > 4 AND substr(h1, length(h1) - 2, 1) IN {V}
+       AND right(h1, 2) IN ('nk','ja','je')
+    THEN left(h1, length(h1) - 2)
+  WHEN length(h1) > 4 AND right(h1, 2) IN ('im','id','ik')
+    THEN left(h1, length(h1) - 2)
+  WHEN length(h1) > 3 AND right(h1, 1) IN ('a','e')
+       AND substr(h1, length(h1) - 1, 1) NOT IN {V}
+    THEN left(h1, length(h1) - 1)
+  WHEN length(h1) > 3 AND right(h1, 1) IN ('m','d')
+       AND substr(h1, length(h1) - 1, 1) IN {V}
+    THEN left(h1, length(h1) - 1)
+  WHEN length(h1) > 3 AND right(h1, 1) = 'i'
+    THEN left(h1, length(h1) - 1)
+  ELSE h1 END"""
+    hplur = """CASE
+  WHEN length(h2) > 3 AND right(h2, 1) = 'k' THEN
+    CASE WHEN substr(h2, length(h2) - 1, 1) IN ('a','o','e') THEN
+           CASE WHEN length(h2) > 4 THEN left(h2, length(h2) - 2)
+                ELSE left(h2, length(h2) - 1) END
+         ELSE left(h2, length(h2) - 1) END
+  ELSE h2 END"""
+    hnorm = ("CASE WHEN length(h3) > 3 AND right(h3, 1) IN "
+             "('a','e','i','o') THEN left(h3, length(h3) - 1) "
+             "ELSE h3 END")
+    return f"""rh0 AS (SELECT doc_id, {fold} AS h0 FROM rkept),
+rh1 AS (SELECT doc_id, {hcase} AS h1 FROM rh0),
+rh2 AS (SELECT doc_id, {hposs} AS h2 FROM rh1),
+rh3 AS (SELECT doc_id, {hplur} AS h3 FROM rh2),
+rterms AS MATERIALIZED (SELECT doc_id, {hnorm} AS term FROM rh3)"""
+
+
+def hungarian_preamble() -> str:
+    from .analysis.hungarian import HUNGARIAN_STOP_WORDS
+    stops = _stop_list_sql(HUNGARIAN_STOP_WORDS)
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, url, {sql_tokens_expr('text')} AS toks FROM corpus
+),
+rtok AS (SELECT doc_id, unnest(toks) AS t0 FROM toksrc),
+rkept AS (SELECT doc_id, t0 FROM rtok WHERE t0 NOT IN ({stops})),
+{_hu_stem_ctes()},
+{_BM25_TAIL}"""
+
+
+def bm25_hungarian_topk(stemmed_term: str, k: int = 10) -> str:
+    pre = hungarian_preamble().replace("__LT_VALUES__", _lt_values())
+    lit = f"'{stemmed_term}'"
+    return pre + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
