@@ -486,6 +486,45 @@ def _russian_topk(sf_dir: str):
         [["doc_id", "url", "score"]]
 
 
+# analyzer registry for the round-3 language additions — one generic
+# helper instead of a bespoke function per language
+_LANG_REGISTRY = {
+    "sorani": ("kurdish", "SoraniAnalyzer"),
+}
+
+
+def _lang_cls(lang: str):
+    import importlib
+    mod_name, cls_name = _LANG_REGISTRY[lang]
+    mod = importlib.import_module(f"lucene_kmp_ray.analysis.{mod_name}")
+    return getattr(mod, cls_name)
+
+
+def _lang_query_term(lang: str) -> str:
+    return _lang_cls(lang)()(GERMAN_QUERY_WORD)[0]
+
+
+def _lang_topk(sf_dir: str, lang: str):
+    """Top-10 for a registered language-analyzer index (full chain —
+    normalizers, stop list, stemmer — runs end to end over the Latin
+    corpus). Oracle: the GENERATED oracle.bm25_<lang>_topk mirror."""
+    import os
+
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.sources.corpus import corpus_dataset
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/lucene_kmp_ray_index_{lang}/{tag}"
+    analyzer = _lang_cls(lang)()
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(corpus_dataset(sf_dir), idx, segment_size=SEGMENT_SIZE,
+                    analyzer=analyzer)
+    (term,) = analyzer(GERMAN_QUERY_WORD)
+    return search_distributed(idx, {"q": TermQuery(term)}, k=10,
+                              dtype="float64").to_pandas() \
+        [["doc_id", "url", "score"]]
+
+
 def _german_query_term() -> str:
     from lucene_kmp_ray.analysis.german import GermanAnalyzer
     return GermanAnalyzer()(GERMAN_QUERY_WORD)[0]
@@ -1057,6 +1096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_serbian_top10": lambda sf: _sc_topk(sf, "serbian"),
         "bm25_catalan_top10": lambda sf: _sc_topk(sf, "catalan"),
         "bm25_hungarian_top10": _hungarian_topk,
+        "bm25_sorani_top10": lambda sf: _lang_topk(sf, "sorani"),
         "bm25_french_top10": _french_topk,
         "cjk_bigram_counts": textstats.cjk_bigram_counts,
         "ascii_fold_tokens": textstats.ascii_fold_tokens,
@@ -1274,6 +1314,8 @@ def oracle_sql() -> dict[str, str]:
             "catalan", _sc_query_term("catalan")),
         "bm25_hungarian_top10": oracle.bm25_hungarian_topk(
             _hungarian_query_term()),
+        "bm25_sorani_top10": oracle.bm25_sorani_topk(
+            _lang_query_term("sorani")),
         "cjk_bigram_counts": oracle.cjk_bigram_counts(),
         "ascii_fold_tokens": oracle.ascii_fold_tokens(),
         "word_delimiter_tokens": oracle.word_delimiter_tokens(),

@@ -2274,6 +2274,91 @@ ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
 
 
+# ----------------------------------------------- Sorani Kurdish -----------
+def _ckb_cf_class() -> str:
+    """RE2 char class of every Unicode Cf char except ZWNJ (handled by
+    its own rule), as compact \\x{..} ranges — GENERATED from
+    analysis/kurdish.SORANI_CF."""
+    from .analysis.kurdish import SORANI_CF
+    cps = sorted(ord(c) for c in SORANI_CF if c != "‌")
+    ranges, start, prev = [], cps[0], cps[0]
+    for c in cps[1:]:
+        if c == prev + 1:
+            prev = c
+            continue
+        ranges.append((start, prev))
+        start = prev = c
+    ranges.append((start, prev))
+    parts = [f"\\x{{{a:04X}}}" if a == b
+             else f"\\x{{{a:04X}}}-\\x{{{b:04X}}}" for a, b in ranges]
+    return "[" + "".join(parts) + "]"
+
+
+def _ckb_norm_sql(col: str) -> str:
+    """SoraniNormalizer as staged rewrites that reproduce the scan
+    order: original-final HEH first (any original char after a HEH
+    blocks the rule, deletable or not), then the per-char maps, then
+    deletions, then the HEH+ZWNJ join, then leftover-ZWNJ delete, then
+    the word-initial REH (after leading deletions)."""
+    from .analysis.kurdish import SORANI_DELETE, _SIMPLE_MAP
+    e = f"regexp_replace({col}, 'ه$', 'ە')"
+    frm = "".join(_SIMPLE_MAP)
+    to = "".join(_SIMPLE_MAP.values())
+    e = f"translate({e}, '{frm}', '{to}')"
+    e = (f"regexp_replace({e}, '[{SORANI_DELETE}]|{_ckb_cf_class()}',"
+         f" '', 'g')")
+    e = f"replace({e}, 'ه‌', 'ە')"
+    e = f"replace({e}, '‌', '')"
+    return f"regexp_replace({e}, '^ر', 'ڕ')"
+
+
+def _ckb_stem_ctes() -> str:
+    """SoraniStemmer: two cumulative first-match strips, then a
+    first-match cascade — GENERATED from analysis/kurdish.py."""
+    from .analysis.kurdish import (CKB_CASCADE, CKB_POSSESSIVE,
+                                   CKB_POSTPOSITION)
+
+    def case_of(rules, col):
+        branches = [
+            f"    WHEN length({col}) > {min_len} AND {col} LIKE '%{sfx}' "
+            f"THEN left({col}, length({col}) - {drop})"
+            for sfx, min_len, drop in rules]
+        return "CASE\n" + "\n".join(branches) + f"\n    ELSE {col} END"
+
+    return f"""rpost AS (SELECT doc_id, {case_of(CKB_POSTPOSITION, 't0')} AS p0 FROM rkept),
+rposs AS (SELECT doc_id, {case_of(CKB_POSSESSIVE, 'p0')} AS p1 FROM rpost),
+rterms AS MATERIALIZED (SELECT doc_id, {case_of(CKB_CASCADE, 'p1')} AS term FROM rposs)"""
+
+
+def sorani_preamble() -> str:
+    """BM25 CTEs over SORANI-analyzed text: normalize + digit fold →
+    stop (normalized list) → stem."""
+    from .analysis.kurdish import SORANI_STOP_WORDS
+    stops = _stop_list_sql(SORANI_STOP_WORDS)
+    norm = _SQL_DIGIT_FOLD.format(col=_ckb_norm_sql("traw"))
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, url, {sql_tokens_expr('text')} AS toks FROM corpus
+),
+rtok0 AS (SELECT doc_id, unnest(toks) AS traw FROM toksrc),
+rtok AS (SELECT doc_id, {norm} AS t0 FROM rtok0),
+rkept AS (SELECT doc_id, t0 FROM rtok WHERE t0 NOT IN ({stops})),
+{_ckb_stem_ctes()},
+{_BM25_TAIL}"""
+
+
+def bm25_sorani_topk(stemmed_term: str, k: int = 10) -> str:
+    pre = sorani_preamble().replace("__LT_VALUES__", _lt_values())
+    lit = f"'{stemmed_term}'"
+    return pre + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
 # ------------------------------------- Bengali / Telugu -------------------
 def _tier_stem_sql(tiers, col: str = "t0") -> str:
     branches = []
