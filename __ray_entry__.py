@@ -490,6 +490,7 @@ def _russian_topk(sf_dir: str):
 # helper instead of a bespoke function per language
 _LANG_REGISTRY = {
     "sorani": ("kurdish", "SoraniAnalyzer"),
+    "greek": ("greek", "GreekAnalyzer"),
 }
 
 
@@ -1097,6 +1098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_catalan_top10": lambda sf: _sc_topk(sf, "catalan"),
         "bm25_hungarian_top10": _hungarian_topk,
         "bm25_sorani_top10": lambda sf: _lang_topk(sf, "sorani"),
+        "bm25_greek_top10": lambda sf: _lang_topk(sf, "greek"),
         "bm25_french_top10": _french_topk,
         "cjk_bigram_counts": textstats.cjk_bigram_counts,
         "ascii_fold_tokens": textstats.ascii_fold_tokens,
@@ -1316,6 +1318,8 @@ def oracle_sql() -> dict[str, str]:
             _hungarian_query_term()),
         "bm25_sorani_top10": oracle.bm25_sorani_topk(
             _lang_query_term("sorani")),
+        "bm25_greek_top10": oracle.bm25_greek_topk(
+            _lang_query_term("greek")),
         "cjk_bigram_counts": oracle.cjk_bigram_counts(),
         "ascii_fold_tokens": oracle.ascii_fold_tokens(),
         "word_delimiter_tokens": oracle.word_delimiter_tokens(),

@@ -2359,6 +2359,371 @@ ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
 
 
+# ---------------------------------------------------- Greek ---------------
+def _el_like_any(col: str, suffixes) -> str:
+    return "(" + " OR ".join(f"{col} LIKE '%{x}'" for x in suffixes) + ")"
+
+
+def _el_in(col: str, words) -> str:
+    return f"{col} IN (" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+def _el_strip(col: str, k: int) -> str:
+    return f"left({col}, length({col}) - {k})"
+
+
+_EL_VOWEL = "right({col}, 1) IN ('α','ε','η','ι','ο','υ','ω')"
+_EL_VOWEL_NO_Y = "right({col}, 1) IN ('α','ε','η','ι','ο','ω')"
+
+
+def _el_stem_ctes() -> str:
+    """GreekStemmer as ~30 chained CTE stages — GENERATED from the
+    analysis/greek.py tables, including the upstream precedence quirks
+    in rules 0 and 8 (length guard binds only to the first suffix)."""
+    from .analysis import greek as g
+
+    ctes = []
+    prev = "rkept"
+    col = "t0"
+    n = [0]
+
+    def stage(expr_fn, carry=""):
+        """Append one CTE computing expr_fn(col) as the next column;
+        carries tin (pre-stem token) and n0 (its length).  `carry`
+        optionally forwards an extra aliased expression (e.g. the
+        pre-rule value) for the NEXT stage to reference."""
+        name = f"el{n[0]}"
+        new_col = f"e{n[0]}"
+        n[0] += 1
+        extra = f", {carry}" if carry else ""
+        ctes.append(
+            f"{name} AS (SELECT doc_id, tin, n0, "
+            f"{expr_fn} AS {new_col}{extra} FROM {prev})")
+        return name, new_col
+
+    def strip_addback(c, suffixes, min_len, addback, cond_fn):
+        """CASE: strip first-listed-length suffix when over min_len,
+        add back `addback` when cond_fn(stripped) holds."""
+        k = len(suffixes[0])
+        st = _el_strip(c, k)
+        return (f"CASE WHEN length({c}) > {min_len} AND "
+                f"{_el_like_any(c, suffixes)} THEN "
+                f"(CASE WHEN {cond_fn(st)} THEN {st} || '{addback}' "
+                f"ELSE {st} END) ELSE {c} END")
+
+    # rule 0: first-match cascade (with the quirk branch)
+    r0_branches = [
+        (9, ("καθεστωτοσ", "καθεστωτων"), 4),
+        (8, ("γεγονοτοσ", "γεγονοτων"), 4),
+        (8, ("καθεστωτα",), 3),
+        (7, ("τατογιου", "τατογιων"), 4),
+        (7, ("γεγονοτα",), 3),
+        (7, ("καθεστωσ",), 2),
+        None,  # quirk branch
+        (6, ("τατογια",), 3),
+        (6, ("γεγονοσ",), 2),
+        (5, ("φαγιου", "φαγιων", "σογιου", "σογιων"), 4),
+        (5, ("σκαγια", "ολογια", "κρεατα", "περατα",
+             "τερατα"), 3),
+        (4, ("φαγια", "σογια", "φωτοσ", "φωτων"), 3),
+        (4, ("κρεασ", "περασ", "τερασ"), 2),
+        (3, ("φωτα",), 2),
+        (2, ("φωσ",), 1),
+    ]
+    parts = []
+    for b in r0_branches:
+        if b is None:
+            quirk = ("((length({c}) > 6 AND {c} LIKE '%σκαγιου') OR "
+                     + _el_like_any("{c}", (
+                         "σκαγιων", "ολογιου", "ολογιων",
+                         "κρεατοσ", "κρεατων", "περατοσ",
+                         "περατων", "τερατοσ", "τερατων"))[1:])
+            parts.append(f"WHEN {quirk.format(c=col)} "
+                         f"THEN {_el_strip(col, 4)}")
+            continue
+        min_len, sfx, drop = b
+        parts.append(f"WHEN length({col}) > {min_len} AND "
+                     f"{_el_like_any(col, sfx)} "
+                     f"THEN {_el_strip(col, drop)}")
+    prev, col = stage("CASE " + " ".join(parts) + f" ELSE {col} END")
+
+    # rules 1-3 (prefix-exception add-backs; rule1 adds when NOT hit)
+    for (sfx, exc, add), min_len, invert in (
+            (g.EL_R1, 4, False), (g.EL_R2, 4, True), (g.EL_R3, 5, True)):
+        def cond(st, exc=exc, invert=invert):
+            hit = _el_like_any(st, exc)
+            return hit if invert else f"NOT {hit}"
+        prev, col = stage(strip_addback(col, sfx, min_len, add, cond))
+
+    # rule 4
+    prev, col = stage(strip_addback(
+        col, ("εωσ", "εων"), 3, "ε",
+        lambda st: _el_in(st, g.EL_EXC4)))
+
+    # rule 5: two alternatives, vowel add-back
+    st2, st3 = _el_strip(col, 2), _el_strip(col, 3)
+    prev, col = stage(
+        f"CASE WHEN length({col}) > 2 AND {col} LIKE '%ια' THEN "
+        f"(CASE WHEN {_EL_VOWEL.format(col=st2)} THEN {st2} || 'ι' "
+        f"ELSE {st2} END) "
+        f"WHEN length({col}) > 3 AND "
+        f"{_el_like_any(col, ('ιου', 'ιων'))} THEN "
+        f"(CASE WHEN {_EL_VOWEL.format(col=st3)} THEN {st3} || 'ι' "
+        f"ELSE {st3} END) ELSE {col} END")
+
+    # rule 6
+    st3, st4 = _el_strip(col, 3), _el_strip(col, 4)
+
+    def r6_add(st):
+        return (f"(CASE WHEN {_EL_VOWEL.format(col=st)} OR "
+                f"{_el_in(st, g.EL_EXC6)} THEN {st} || 'ικ' "
+                f"ELSE {st} END)")
+    prev, col = stage(
+        f"CASE WHEN length({col}) > 3 AND "
+        f"{_el_like_any(col, ('ικα', 'ικο'))} THEN {r6_add(st3)} "
+        f"WHEN length({col}) > 4 AND "
+        f"{_el_like_any(col, ('ικου', 'ικων'))} THEN {r6_add(st4)} "
+        f"ELSE {col} END")
+
+    # rule 7: the len==5 'αγαμε' early return yields 'αγαμ', which can
+    # never match the second phase's '%αμε', so no marker is needed
+    prev, col = stage(
+        f"CASE WHEN length({col}) = 5 AND {col} LIKE '%αγαμε' "
+        f"THEN {_el_strip(col, 1)} "
+        f"WHEN length({col}) > 7 AND {col} LIKE '%ηθηκαμε' "
+        f"THEN {_el_strip(col, 7)} "
+        f"WHEN length({col}) > 6 AND {col} LIKE '%ουσαμε' "
+        f"THEN {_el_strip(col, 6)} "
+        f"WHEN length({col}) > 5 AND "
+        f"{_el_like_any(col, ('αγαμε', 'ησαμε', 'ηκαμε'))} "
+        f"THEN {_el_strip(col, 5)} ELSE {col} END")
+    st3 = _el_strip(col, 3)
+    prev, col = stage(
+        f"CASE WHEN length({col}) > 3 AND {col} LIKE '%αμε' THEN "
+        f"(CASE WHEN {_el_in(st3, g.EL_EXC7)} THEN {st3} || 'αμ' "
+        f"ELSE {st3} END) ELSE {col} END")
+
+    # rule 8: quirky strip chains + exc8a 'αγαν' + 'ανε' phase; the
+    # first stage carries the unstripped value (pv8) so the NULL
+    # removed-marker can fall back to it
+    pv8 = col
+    prev, col = stage(
+        f"CASE WHEN length({col}) > 8 AND {col} LIKE '%ιουντανε' "
+        f"THEN {_el_strip(col, 8)} "
+        f"WHEN (length({col}) > 7 AND {col} LIKE '%ιοντανε') OR "
+        f"{col} LIKE '%ουντανε' OR {col} LIKE '%ηθηκανε' "
+        f"THEN {_el_strip(col, 7)} "
+        f"WHEN (length({col}) > 6 AND {col} LIKE '%ιοτανε') OR "
+        f"{col} LIKE '%οντανε' OR {col} LIKE '%ουσανε' "
+        f"THEN {_el_strip(col, 6)} "
+        f"WHEN (length({col}) > 5 AND {col} LIKE '%αγανε') OR "
+        f"{col} LIKE '%ησανε' OR {col} LIKE '%οτανε' OR "
+        f"{col} LIKE '%ηκανε' "
+        f"THEN {_el_strip(col, 5)} ELSE NULL END",
+        carry=f"{pv8} AS pv8")
+    rem8 = col
+    prev, col = stage(
+        f"CASE WHEN {rem8} IS NOT NULL AND "
+        f"{_el_in(rem8, g.EL_EXC8A)} THEN {rem8} || 'αγαν' "
+        f"WHEN {rem8} IS NOT NULL THEN {rem8} ELSE pv8 END")
+    st3 = _el_strip(col, 3)
+    prev, col = stage(
+        f"CASE WHEN length({col}) > 3 AND {col} LIKE '%ανε' THEN "
+        f"(CASE WHEN {_EL_VOWEL_NO_Y.format(col=st3)} OR "
+        f"{_el_in(st3, g.EL_EXC8B)} THEN {st3} || 'αν' ELSE {st3} END) "
+        f"ELSE {col} END")
+
+    # rule 9: optional 'ησετε' strip then 'ετε'
+    prev, col = stage(
+        f"CASE WHEN length({col}) > 5 AND {col} LIKE '%ησετε' "
+        f"THEN {_el_strip(col, 5)} ELSE {col} END")
+    st3 = _el_strip(col, 3)
+    prev, col = stage(
+        f"CASE WHEN length({col}) > 3 AND {col} LIKE '%ετε' THEN "
+        f"(CASE WHEN {_el_in(st3, g.EL_EXC9)} OR "
+        f"{_EL_VOWEL_NO_Y.format(col=st3)} OR "
+        f"{_el_like_any(st3, g.EL_EXC9_SFX)} THEN {st3} || 'ετ' "
+        f"ELSE {st3} END) ELSE {col} END")
+
+    # rule 10
+    st5 = _el_strip(col, 5)
+    inner = (f"(CASE WHEN length({st5}) = 3 AND {st5} LIKE '%αρχ' "
+             f"THEN {st5} || 'οντ' ELSE {st5} END)")
+    prev, col = stage(
+        f"CASE WHEN length({col}) > 5 AND "
+        f"{_el_like_any(col, ('οντασ', 'ωντασ'))} THEN "
+        f"(CASE WHEN {inner} LIKE '%κρε' THEN {inner} || 'ωντ' "
+        f"ELSE {inner} END) ELSE {col} END")
+
+    # rule 11
+    st6, st7 = _el_strip(col, 6), _el_strip(col, 7)
+    prev, col = stage(
+        f"CASE WHEN length({col}) > 6 AND {col} LIKE '%ομαστε' THEN "
+        f"(CASE WHEN {st6} = 'ον' THEN {st6} || 'ομαστ' "
+        f"ELSE {st6} END) "
+        f"WHEN length({col}) > 7 AND {col} LIKE '%ιομαστε' THEN "
+        f"(CASE WHEN {st7} = 'ον' THEN {st7} || 'ομαστ' "
+        f"ELSE {st7} END) ELSE {col} END")
+
+    # rule 12 (two sequential strips)
+    prev, col = stage(strip_addback(
+        col, ("ιεστε",), 5, "ιεστ",
+        lambda st: _el_in(st, g.EL_EXC12A)))
+    prev, col = stage(strip_addback(
+        col, ("εστε",), 4, "εστ",
+        lambda st: _el_in(st, g.EL_EXC12B)))
+
+    # rule 13
+    prev, col = stage(
+        f"CASE WHEN length({col}) > 6 AND {col} LIKE '%ηθηκεσ' "
+        f"THEN {_el_strip(col, 6)} "
+        f"WHEN length({col}) > 5 AND "
+        f"{_el_like_any(col, ('ηθηκα', 'ηθηκε'))} "
+        f"THEN {_el_strip(col, 5)} ELSE {col} END")
+    st4, st3 = _el_strip(col, 4), _el_strip(col, 3)
+
+    def r13_add(st):
+        return (f"(CASE WHEN {_el_in(st, g.EL_EXC13)} OR "
+                f"{_el_like_any(st, g.EL_EXC13_SFX)} THEN {st} || 'ηκ' "
+                f"ELSE {st} END)")
+    prev, col = stage(
+        f"CASE WHEN length({col}) > 4 AND {col} LIKE '%ηκεσ' "
+        f"THEN {r13_add(st4)} "
+        f"WHEN length({col}) > 3 AND "
+        f"{_el_like_any(col, ('ηκα', 'ηκε'))} THEN {r13_add(st3)} "
+        f"ELSE {col} END")
+
+    # rule 14
+    st5, st4 = _el_strip(col, 5), _el_strip(col, 4)
+
+    def r14_add(st):
+        return (f"(CASE WHEN {_el_in(st, g.EL_EXC14)} OR "
+                f"{_EL_VOWEL.format(col=st)} OR "
+                f"{_el_like_any(st, g.EL_EXC14_SFX)} "
+                f"THEN {st} || 'ουσ' ELSE {st} END)")
+    prev, col = stage(
+        f"CASE WHEN length({col}) > 5 AND {col} LIKE '%ουσεσ' "
+        f"THEN {r14_add(st5)} "
+        f"WHEN length({col}) > 4 AND "
+        f"{_el_like_any(col, ('ουσα', 'ουσε'))} THEN {r14_add(st4)} "
+        f"ELSE {col} END")
+
+    # rule 15 (cond1 AND NOT cond2)
+    st4, st3 = _el_strip(col, 4), _el_strip(col, 3)
+
+    def r15_add(st):
+        c1 = (f"({_el_in(st, g.EL_EXC15A)} OR "
+              f"{_el_like_any(st, g.EL_EXC15A_SFX)})")
+        c2 = (f"({_el_in(st, g.EL_EXC15B)} OR {st} LIKE '%κολλ')")
+        return (f"(CASE WHEN {c1} AND NOT {c2} THEN {st} || 'αγ' "
+                f"ELSE {st} END)")
+    prev, col = stage(
+        f"CASE WHEN length({col}) > 4 AND {col} LIKE '%αγεσ' "
+        f"THEN {r15_add(st4)} "
+        f"WHEN length({col}) > 3 AND "
+        f"{_el_like_any(col, ('αγα', 'αγε'))} THEN {r15_add(st3)} "
+        f"ELSE {col} END")
+
+    # rule 16
+    st4, st3 = _el_strip(col, 4), _el_strip(col, 3)
+
+    def r16_add(st):
+        return (f"(CASE WHEN {_el_in(st, g.EL_EXC16)} THEN {st} || 'ησ' "
+                f"ELSE {st} END)")
+    prev, col = stage(
+        f"CASE WHEN length({col}) > 4 AND {col} LIKE '%ησου' "
+        f"THEN {r16_add(st4)} "
+        f"WHEN length({col}) > 3 AND "
+        f"{_el_like_any(col, ('ησε', 'ησα'))} THEN {r16_add(st3)} "
+        f"ELSE {col} END")
+
+    # rule 17
+    prev, col = stage(strip_addback(
+        col, ("ηστε",), 4, "ηστ",
+        lambda st: _el_in(st, g.EL_EXC17)))
+
+    # rules 18/19
+    for long_sfx, short_sfx, add, exc in (
+            (("ησουνε", "ηθουνε"), "ουνε", "ουν", g.EL_EXC18),
+            (("ησουμε", "ηθουμε"), "ουμε", "ουμ", g.EL_EXC19)):
+        st6, st4 = _el_strip(col, 6), _el_strip(col, 4)
+
+        def r18_add(st, exc=exc, add=add):
+            return (f"(CASE WHEN {_el_in(st, exc)} THEN {st} || '{add}' "
+                    f"ELSE {st} END)")
+        prev, col = stage(
+            f"CASE WHEN length({col}) > 6 AND "
+            f"{_el_like_any(col, long_sfx)} THEN {r18_add(st6)} "
+            f"WHEN length({col}) > 4 AND {col} LIKE '%{short_sfx}' "
+            f"THEN {r18_add(st4)} ELSE {col} END")
+
+    # rule 20
+    prev, col = stage(
+        f"CASE WHEN length({col}) > 5 AND "
+        f"{_el_like_any(col, ('ματων', 'ματοσ'))} "
+        f"THEN {_el_strip(col, 3)} "
+        f"WHEN length({col}) > 4 AND {col} LIKE '%ματα' "
+        f"THEN {_el_strip(col, 2)} ELSE {col} END")
+
+    # rule 21 (only when rules 0-20 left the length unchanged)
+    parts = []
+    for min_len, sfx, drop in g.EL_R21:
+        parts.append(f"WHEN length({col}) > {min_len} AND "
+                     f"{_el_like_any(col, sfx)} "
+                     f"THEN {_el_strip(col, drop)}")
+    parts.append(f"WHEN length({col}) > 1 AND "
+                 f"{_EL_VOWEL.format(col=col)} "
+                 f"THEN {_el_strip(col, 1)}")
+    r21 = "CASE " + " ".join(parts) + f" ELSE {col} END"
+    prev, col = stage(
+        f"CASE WHEN length({col}) = n0 THEN {r21} ELSE {col} END")
+
+    # rule 22 (always)
+    prev, col = stage(
+        f"CASE WHEN {_el_like_any(col, g.EL_R22_5)} "
+        f"THEN {_el_strip(col, 5)} "
+        f"WHEN {_el_like_any(col, g.EL_R22_4)} "
+        f"THEN {_el_strip(col, 4)} ELSE {col} END")
+
+    body = ",\n".join(ctes)
+    return (f"""elin AS (SELECT doc_id, t0 AS tin, length(t0) AS n0,
+  t0 FROM rkept),
+{body.replace('FROM rkept', 'FROM elin', 1)},
+rterms AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN length(tin) < 4 THEN tin ELSE {col} END
+  AS term FROM {prev})""")
+
+
+def greek_preamble() -> str:
+    """BM25 CTEs over GREEK-analyzed text (fold → stop → Ntais stem)."""
+    from .analysis.greek import GREEK_FOLD, GREEK_STOP_WORDS
+    stops = _stop_list_sql(GREEK_STOP_WORDS)
+    frm = "".join(GREEK_FOLD)
+    to = "".join(GREEK_FOLD.values())
+    fold = f"translate(traw, '{frm}', '{to}')"
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, url, {sql_tokens_expr('text')} AS toks FROM corpus
+),
+rtok0 AS (SELECT doc_id, unnest(toks) AS traw FROM toksrc),
+rtok AS (SELECT doc_id, {fold} AS t0 FROM rtok0),
+rkept AS (SELECT doc_id, t0 FROM rtok WHERE t0 NOT IN ({stops})),
+{_el_stem_ctes()},
+{_BM25_TAIL}"""
+
+
+def bm25_greek_topk(stemmed_term: str, k: int = 10) -> str:
+    pre = greek_preamble().replace("__LT_VALUES__", _lt_values())
+    lit = f"'{stemmed_term}'"
+    return pre + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
 # ------------------------------------- Bengali / Telugu -------------------
 def _tier_stem_sql(tiers, col: str = "t0") -> str:
     branches = []
