@@ -491,6 +491,7 @@ def _russian_topk(sf_dir: str):
 _LANG_REGISTRY = {
     "sorani": ("kurdish", "SoraniAnalyzer"),
     "greek": ("greek", "GreekAnalyzer"),
+    "irish": ("irish", "IrishAnalyzer"),
 }
 
 
@@ -1099,6 +1100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_hungarian_top10": _hungarian_topk,
         "bm25_sorani_top10": lambda sf: _lang_topk(sf, "sorani"),
         "bm25_greek_top10": lambda sf: _lang_topk(sf, "greek"),
+        "bm25_irish_top10": lambda sf: _lang_topk(sf, "irish"),
         "bm25_french_top10": _french_topk,
         "cjk_bigram_counts": textstats.cjk_bigram_counts,
         "ascii_fold_tokens": textstats.ascii_fold_tokens,
@@ -1320,6 +1322,8 @@ def oracle_sql() -> dict[str, str]:
             _lang_query_term("sorani")),
         "bm25_greek_top10": oracle.bm25_greek_topk(
             _lang_query_term("greek")),
+        "bm25_irish_top10": oracle.bm25_irish_topk(
+            _lang_query_term("irish")),
         "cjk_bigram_counts": oracle.cjk_bigram_counts(),
         "ascii_fold_tokens": oracle.ascii_fold_tokens(),
         "word_delimiter_tokens": oracle.word_delimiter_tokens(),

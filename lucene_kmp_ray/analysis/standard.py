@@ -259,6 +259,14 @@ def sql_tokens_expr(col: str = "text") -> str:
             f"t -> lower(t))")
 
 
+def sql_tokens_expr_raw(col: str = "text") -> str:
+    """Raw-case variant of sql_tokens_expr, for chains whose filters are
+    case-sensitive (IrishLowerCaseFilter) and lowercase mid-chain."""
+    expr = sql_tokens_expr(col)
+    assert expr.endswith(", t -> lower(t))")
+    return expr[len("list_transform("):-len(", t -> lower(t))")]
+
+
 def fold_case(s: str) -> str:
     """The index's case mapping for one string (Arrow utf8_lower — simple
     Unicode case mapping, NOT Python str.lower; see tokenize())."""
@@ -428,7 +436,7 @@ def _cls_table() -> np.ndarray:
     return _CLS_TABLE
 
 
-def _tokenize_flat_slow(texts) -> tuple[np.ndarray, pa.Array]:
+def _tokenize_flat_slow(texts, lower=True) -> tuple[np.ndarray, pa.Array]:
     """Per-doc regex fallback (exact reference of the fast path)."""
     import pyarrow.compute as pc
     doc_lengths = np.empty(len(texts), dtype=np.int64)
@@ -446,10 +454,11 @@ def _tokenize_flat_slow(texts) -> tuple[np.ndarray, pa.Array]:
                      [t[j:j + maxlen] for j in range(0, len(t), maxlen)])]
         doc_lengths[i] = len(toks)
         flat.extend(toks)
-    return doc_lengths, pc.utf8_lower(pa.array(flat, type=pa.string()))
+    arr = pa.array(flat, type=pa.string())
+    return doc_lengths, (pc.utf8_lower(arr) if lower else arr)
 
 
-def tokenize_flat(texts) -> tuple[np.ndarray, pa.Array]:
+def tokenize_flat(texts, lower=True) -> tuple[np.ndarray, pa.Array]:
     """Tokenize a batch into (doc_lengths, flat lowercased token array).
 
     Vectorized scan (the reference's tokenizer DFA, StandardTokenizerImpl,
@@ -472,9 +481,9 @@ def tokenize_flat(texts) -> tuple[np.ndarray, pa.Array]:
     try:
         s = "\x00".join(t or "" for t in texts)
     except TypeError:
-        return _tokenize_flat_slow(texts)
+        return _tokenize_flat_slow(texts, lower)
     if s.count("\x00") != len(texts) - 1:  # NUL inside a text → slow path
-        return _tokenize_flat_slow(texts)
+        return _tokenize_flat_slow(texts, lower)
 
     # ASCII batches (the common web-text case after html stripping) stay in
     # uint8 — 4× less memory traffic than the utf-32 view; with many
@@ -487,10 +496,10 @@ def tokenize_flat(texts) -> tuple[np.ndarray, pa.Array]:
         cps = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
     mx = int(cps.max(initial=0))
     if mx >= _CLS_LIMIT:  # astral chars present
-        return _tokenize_flat_slow(texts)
+        return _tokenize_flat_slow(texts, lower)
     cls = _cls_table()[cps]
     if (cls == 254).any():  # emoji present → regex path (exact sequences)
-        return _tokenize_flat_slow(texts)
+        return _tokenize_flat_slow(texts, lower)
     n = len(cls)
     wordish = (cls >= 1) & (cls <= 3)   # letters, digits, ExtendNumLet
     # Mid* joiner resolution (WB6/7, WB11/12): a joiner is token-internal
@@ -564,7 +573,7 @@ def tokenize_flat(texts) -> tuple[np.ndarray, pa.Array]:
     ends = tok & ((tokc != next_tc) | ((next_tc == 6) & ~next_ext))
     end_idx = np.flatnonzero(ends)
     if int((end_idx - start_idx).max()) + 1 > MAX_TOKEN_LENGTH:
-        return _tokenize_flat_slow(texts)
+        return _tokenize_flat_slow(texts, lower)
 
     # doc of each token = number of NUL separators before its start — a
     # searchsorted against the (tiny) separator index, not a full cumsum
@@ -591,7 +600,7 @@ def tokenize_flat(texts) -> tuple[np.ndarray, pa.Array]:
     arr = pa.StringArray.from_buffers(
         n_tok, pa.py_buffer(offsets.tobytes()),
         pa.py_buffer(tok_bytes.tobytes()))
-    return doc_lengths, pc.utf8_lower(arr)
+    return doc_lengths, (pc.utf8_lower(arr) if lower else arr)
 
 
 def term_freqs(text: str) -> Counter:

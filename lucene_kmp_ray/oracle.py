@@ -2724,6 +2724,110 @@ ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
 
 
+# ---------------------------------------------------- Irish ---------------
+def _ga_among_sql(col: str, table) -> tuple[str, str]:
+    """Two parallel CASEs (longest-first): matched-suffix length and its
+    1-based rule index — snowball find_among_b commits to the longest
+    match before checking its region condition."""
+    klen = "CASE " + " ".join(
+        f"WHEN {col} LIKE '%{sfx}' THEN {len(sfx)}"
+        for sfx, _, _ in table) + " ELSE 0 END"
+    ridx = "CASE " + " ".join(
+        f"WHEN {col} LIKE '%{sfx}' THEN {i + 1}"
+        for i, (sfx, _, _) in enumerate(table)) + " ELSE 0 END"
+    return klen, ridx
+
+
+def _ga_step_sql(col: str, table, prefix: str) -> str:
+    """One suffix step as two CTE stages (match, then apply)."""
+    klen, ridx = _ga_among_sql(col, table)
+    bounds = {"rv": "pv", "r1": "p1", "r2": "p2", None: "0"}
+    apply_branches = []
+    for i, (sfx, region, repl) in enumerate(table):
+        cond = (f"length({col}) - {len(sfx)} >= {bounds[region]}"
+                if region else "TRUE")
+        rep = f" || '{repl}'" if repl else ""
+        apply_branches.append(
+            f"WHEN ridx_{prefix} = {i + 1} AND {cond} "
+            f"THEN left({col}, length({col}) - {len(sfx)}){rep}")
+    return f"""{prefix}m AS (SELECT doc_id, pv, p1, p2, {col},
+    {klen} AS klen_{prefix}, {ridx} AS ridx_{prefix} FROM __PREV__),
+{prefix}a AS (SELECT doc_id, pv, p1, p2,
+    CASE {' '.join(apply_branches)} ELSE {col} END AS __OUT__ FROM {prefix}m)"""
+
+
+def _ga_stem_ctes() -> str:
+    """IrishStemmer: prefix morph → region marks → noun/deriv/verb
+    suffix steps — GENERATED from analysis/irish.py tables."""
+    from .analysis.irish import (GA_DERIV, GA_NOUN_SFX, GA_PREFIXES,
+                                 GA_VERB_SFX, GA_VOWELS)
+    v = GA_VOWELS
+    pfx = "CASE " + " ".join(
+        f"WHEN t0 LIKE '{p.replace(chr(39), chr(39) * 2)}%' THEN " +
+        (f"'{r}' || substr(t0, {len(p) + 1})" if r
+         else f"substr(t0, {len(p) + 1})")
+        for p, r in GA_PREFIXES) + " ELSE t0 END"
+    noun = _ga_step_sql("w0", GA_NOUN_SFX, "gn") \
+        .replace("__PREV__", "gr").replace("__OUT__", "w1")
+    deriv = _ga_step_sql("w1", GA_DERIV, "gd") \
+        .replace("__PREV__", "gna").replace("__OUT__", "w2")
+    verb = _ga_step_sql("w2", GA_VERB_SFX, "gv") \
+        .replace("__PREV__", "gda").replace("__OUT__", "term")
+    return f"""gp AS (SELECT doc_id, {pfx} AS w0 FROM rkept),
+gr AS (SELECT doc_id, w0,
+    CASE WHEN pvm = '' THEN length(w0) ELSE length(pvm) END AS pv,
+    CASE WHEN p1m = '' THEN length(w0) ELSE length(p1m) END AS p1,
+    CASE WHEN p2m = '' THEN length(w0) ELSE length(p2m) END AS p2
+  FROM (SELECT doc_id, w0,
+          regexp_extract(w0, '^[^{v}]*[{v}]') AS pvm,
+          regexp_extract(w0, '^[^{v}]*[{v}]+[^{v}]') AS p1m,
+          regexp_extract(w0, '^[^{v}]*[{v}]+[^{v}]+[{v}]+[^{v}]') AS p2m
+        FROM gp)),
+{noun},
+{deriv},
+{verb},
+rterms AS MATERIALIZED (SELECT doc_id, term FROM gva)"""
+
+
+def irish_preamble() -> str:
+    """BM25 CTEs over IRISH-analyzed text: RAW-case tokens →
+    hyphenation stop → elision → Irish lowercase → stop → stem."""
+    from .analysis.irish import IRISH_STOP_WORDS
+    from .analysis.standard import sql_tokens_expr_raw
+    stops = _stop_list_sql(IRISH_STOP_WORDS)
+    # (.+) keeps bare "b'"/"d'"/"m'" un-elided (they are stop words)
+    elide = "regexp_replace(traw, '^[dDmMbB][''’](.+)$', '\\1')"
+    ga_lower = (f"lower(CASE WHEN length({elide}) > 1 AND "
+                f"substr({elide}, 1, 1) IN ('n', 't') AND "
+                f"substr({elide}, 2, 1) IN "
+                f"('A','E','I','O','U','Á','É','Í','Ó','Ú') "
+                f"THEN substr({elide}, 1, 1) || '-' || substr({elide}, 2) "
+                f"ELSE {elide} END)")
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, url, {sql_tokens_expr_raw('text')} AS toks FROM corpus
+),
+rtok0 AS (SELECT doc_id, unnest(toks) AS traw FROM toksrc),
+rtok1 AS (SELECT doc_id, traw FROM rtok0
+          WHERE lower(traw) NOT IN ('h', 'n', 't')),
+rtok AS (SELECT doc_id, {ga_lower} AS t0 FROM rtok1),
+rkept AS (SELECT doc_id, t0 FROM rtok WHERE t0 NOT IN ({stops})),
+{_ga_stem_ctes()},
+{_BM25_TAIL}"""
+
+
+def bm25_irish_topk(stemmed_term: str, k: int = 10) -> str:
+    pre = irish_preamble().replace("__LT_VALUES__", _lt_values())
+    lit = f"'{stemmed_term}'"
+    return pre + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
 # ------------------------------------- Bengali / Telugu -------------------
 def _tier_stem_sql(tiers, col: str = "t0") -> str:
     branches = []
