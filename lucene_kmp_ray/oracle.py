@@ -2828,6 +2828,95 @@ ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
 
 
+# -------------------------------------------------- Galician --------------
+def _gl_esc(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _gl_step_case(col: str, step) -> str:
+    """One RSLP step as a CASE cascade (file-order first-match; a rule
+    blocked by its exceptions falls through to the NEXT rule, exactly
+    the engine's scan) — GENERATED from the parsed galician.rslp."""
+    branches = []
+    for r in step.rules:
+        k = len(r.suffix)
+        conds = [f"length({col}) - {k} >= {r.min}",
+                 f"{col} LIKE '%{_gl_esc(r.suffix)}'"]
+        if r.exc_words:
+            lst = ", ".join(f"'{_gl_esc(w)}'" for w in sorted(r.exc_words))
+            conds.append(f"{col} NOT IN ({lst})")
+        if r.exc_suffixes:
+            ors = " OR ".join(f"{col} LIKE '%{_gl_esc(e)}'"
+                              for e in r.exc_suffixes)
+            conds.append(f"NOT ({ors})")
+        rep = f" || '{_gl_esc(r.replacement)}'" if r.replacement else ""
+        branches.append(f"WHEN {' AND '.join(conds)} "
+                        f"THEN left({col}, length({col}) - {k}){rep}")
+    inner = "CASE " + " ".join(branches) + f" ELSE {col} END"
+    guards = [f"length({col}) >= {step.min_word_size}"]
+    if step.cond_suffixes:
+        ors = " OR ".join(f"{col} LIKE '%{_gl_esc(s)}'"
+                          for s in step.cond_suffixes)
+        guards.append(f"({ors})")
+    return (f"CASE WHEN {' AND '.join(guards)} THEN {inner} "
+            f"ELSE {col} END")
+
+
+def _gl_stem_ctes() -> str:
+    """GalicianStemmer over DISTINCT tokens: staged plural/unification/
+    adverb, augmentative as a recursive do-while (loop while the LENGTH
+    changes), noun-else-verb on length compare, vowel, accent fold."""
+    from .analysis.rslp import _gl_steps
+    s = _gl_steps()
+    aug = _gl_step_case("w", s["Augmentative"])
+    return f"""uniq AS (SELECT DISTINCT t0 FROM rkept),
+glp AS (SELECT t0, {_gl_step_case('t0', s['Plural'])} AS w FROM uniq),
+glu AS (SELECT t0, {_gl_step_case('w', s['Unification'])} AS w FROM glp),
+gla AS (SELECT t0, {_gl_step_case('w', s['Adverb'])} AS w FROM glu),
+gaug(t0, w, moved) AS (
+  SELECT t0, w, TRUE FROM gla
+  UNION ALL
+  SELECT t0, w2, length(w2) <> length(w)
+  FROM (SELECT t0, w, {aug} AS w2 FROM gaug WHERE moved)
+),
+gfix AS (SELECT t0, w FROM gaug WHERE NOT moved),
+gn AS (SELECT t0, w, {_gl_step_case('w', s['Noun'])} AS wn FROM gfix),
+gv AS (SELECT t0, CASE WHEN length(wn) <> length(w) THEN wn
+                       ELSE {_gl_step_case('w', s['Verb'])} END AS w
+       FROM gn),
+gw AS (SELECT t0, {_gl_step_case('w', s['Vowel'])} AS w FROM gv),
+stems AS (SELECT t0, translate(w, 'áéêíóú', 'aeeiou') AS stem
+          FROM gw),
+rterms AS MATERIALIZED (
+  SELECT k.doc_id, s.stem AS term FROM rkept k JOIN stems s USING (t0))"""
+
+
+def galician_preamble() -> str:
+    """BM25 CTEs over GALICIAN-analyzed text (stop → full RSLP stem)."""
+    from .analysis.rslp import GALICIAN_STOP_WORDS
+    stops = _stop_list_sql(GALICIAN_STOP_WORDS)
+    return f"""
+WITH RECURSIVE corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, url, {sql_tokens_expr('text')} AS toks FROM corpus
+),
+rtok AS (SELECT doc_id, unnest(toks) AS t0 FROM toksrc),
+rkept AS (SELECT doc_id, t0 FROM rtok WHERE t0 NOT IN ({stops})),
+{_gl_stem_ctes()},
+{_BM25_TAIL}"""
+
+
+def bm25_galician_topk(stemmed_term: str, k: int = 10) -> str:
+    pre = galician_preamble().replace("__LT_VALUES__", _lt_values())
+    lit = f"'{stemmed_term}'"
+    return pre + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
 # ------------------------------------- Bengali / Telugu -------------------
 def _tier_stem_sql(tiers, col: str = "t0") -> str:
     branches = []
