@@ -493,6 +493,7 @@ _LANG_REGISTRY = {
     "greek": ("greek", "GreekAnalyzer"),
     "irish": ("irish", "IrishAnalyzer"),
     "galician": ("rslp", "GalicianAnalyzer"),
+    "finnish": ("finnish", "FinnishAnalyzer"),
 }
 
 
@@ -1103,6 +1104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_greek_top10": lambda sf: _lang_topk(sf, "greek"),
         "bm25_irish_top10": lambda sf: _lang_topk(sf, "irish"),
         "bm25_galician_top10": lambda sf: _lang_topk(sf, "galician"),
+        "bm25_finnish_top10": lambda sf: _lang_topk(sf, "finnish"),
         "bm25_french_top10": _french_topk,
         "cjk_bigram_counts": textstats.cjk_bigram_counts,
         "ascii_fold_tokens": textstats.ascii_fold_tokens,
@@ -1328,6 +1330,8 @@ def oracle_sql() -> dict[str, str]:
             _lang_query_term("irish")),
         "bm25_galician_top10": oracle.bm25_galician_topk(
             _lang_query_term("galician")),
+        "bm25_finnish_top10": oracle.bm25_finnish_topk(
+            _lang_query_term("finnish")),
         "cjk_bigram_counts": oracle.cjk_bigram_counts(),
         "ascii_fold_tokens": oracle.ascii_fold_tokens(),
         "word_delimiter_tokens": oracle.word_delimiter_tokens(),

@@ -2917,6 +2917,202 @@ ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
 
 
+# --------------------------------------------------- Finnish --------------
+def _fi_in(chars) -> str:
+    return "(" + ", ".join(f"'{c}'" for c in sorted(chars)) + ")"
+
+
+def _fi_stem_ctes() -> str:
+    """FinnishStemmer as staged CTEs over DISTINCT tokens — GENERATED
+    from the analysis/finnish.py tables; every among search bounds the
+    suffix start to R1/R2 and a committed match with a failed condition
+    leaves the word unchanged (snowball semantics)."""
+    from .analysis import finnish as f
+
+    V1 = _fi_in(f.FI_V1)
+    V2 = _fi_in(f.FI_V2)
+    C = _fi_in(f.FI_C)
+    AEI = _fi_in(f.FI_AEI)
+    PEND = _fi_in(f.FI_PARTICLE_END)
+    LONG = "(" + ", ".join(f"'{x}'" for x in f.FI_LONG) + ")"
+
+    def strip(col, k, extra=0):
+        return f"left({col}, length({col}) - {k + extra})"
+
+    # particle_etc
+    parts = []
+    for sfx, act in f.FI_PARTICLES:
+        k = len(sfx)
+        m = f"length(w) - {k} >= p1 AND w LIKE '%{sfx}'"
+        if act == 1:
+            cond = (f"length(w) - {k} >= 1 AND "
+                    f"substr(w, length(w) - {k}, 1) IN {PEND}")
+        else:
+            cond = f"length(w) - {k} >= p2"
+        parts.append(f"WHEN {m} THEN (CASE WHEN {cond} "
+                     f"THEN {strip('w', k)} ELSE w END)")
+    particle = "CASE " + " ".join(parts) + " ELSE w END"
+
+    # possessive
+    parts = []
+    for sfx, act in f.FI_POSS:
+        k = len(sfx)
+        m = f"length(w) - {k} >= p1 AND w LIKE '%{sfx}'"
+        st = strip("w", k)
+        if act == 1:
+            inner = (f"CASE WHEN length(w) - {k} >= 1 AND "
+                     f"substr(w, length(w) - {k}, 1) = 'k' "
+                     f"THEN w ELSE {st} END")
+        elif act == 2:
+            inner = (f"CASE WHEN {st} LIKE '%kse' "
+                     f"THEN left(w, length(w) - {k + 3}) || 'ksi' "
+                     f"ELSE {st} END")
+        elif act == 3:
+            inner = st
+        else:
+            pre = {4: f.FI_CASE_A1, 5: f.FI_CASE_A2,
+                   6: f.FI_CASE_A3}[act]
+            ors = " OR ".join(f"{st} LIKE '%{x}'" for x in pre)
+            inner = f"CASE WHEN {ors} THEN {st} ELSE w END"
+        parts.append(f"WHEN {m} THEN ({inner})")
+    poss = "CASE " + " ".join(parts) + " ELSE w END"
+
+    # case_ending: emit (new word, removed flag) — conditions shared
+    w_parts, r_parts = [], []
+    harmony = {1: "a", 2: "e", 3: "i", 4: "o", 5: "ä", 6: "ö"}
+    for sfx, act in f.FI_CASE:
+        k = len(sfx)
+        m = f"length(w) - {k} >= p1 AND w LIKE '%{sfx}'"
+        st = strip("w", k)
+        if act in harmony:
+            cond = f"{st} LIKE '%{harmony[act]}'"
+            new = st
+        elif act == 7:
+            cond = "TRUE"
+            new = (f"CASE WHEN (right({st}, 2) IN {LONG} OR "
+                   f"{st} LIKE '%ie') AND length(w) - {k} >= 1 "
+                   f"THEN {strip('w', k, 1)} ELSE {st} END")
+        elif act == 8:
+            cond = (f"length(w) - {k} >= 2 AND "
+                    f"substr(w, length(w) - {k}, 1) IN {V1} AND "
+                    f"substr(w, length(w) - {k} - 1, 1) IN {C}")
+            new = st
+        elif act == 9:
+            cond = (f"{st} LIKE '%i' AND length(w) - {k} >= 2 AND "
+                    f"substr(w, length(w) - {k} - 1, 1) IN {V2}")
+            new = st
+        elif act == 10:
+            cond = f"right({st}, 2) IN {LONG}"
+            new = st
+        else:
+            cond = "TRUE"
+            new = st
+        w_parts.append(f"WHEN {m} THEN (CASE WHEN {cond} THEN {new} "
+                       f"ELSE w END)")
+        r_parts.append(f"WHEN {m} THEN ({cond})")
+    case_w = "CASE " + " ".join(w_parts) + " ELSE w END"
+    case_r = "CASE " + " ".join(r_parts) + " ELSE FALSE END"
+
+    # other_endings (R2)
+    parts = []
+    for sfx, act in f.FI_OTHER:
+        k = len(sfx)
+        m = f"length(w) - {k} >= p2 AND w LIKE '%{sfx}'"
+        st = strip("w", k)
+        if act == 1:
+            parts.append(f"WHEN {m} THEN (CASE WHEN {st} LIKE '%po' "
+                         f"THEN w ELSE {st} END)")
+        else:
+            parts.append(f"WHEN {m} THEN {st}")
+    other = "CASE " + " ".join(parts) + " ELSE w END"
+
+    # i_plural / t_plural fused on the removed flag; tw = word after
+    # the t strip (the a_9 search then runs against the ORIGINAL p2)
+    tw = "left(w, length(w) - 1)"
+    tp_mma = (f"CASE WHEN length({tw}) - 4 >= p2 AND {tw} LIKE '%imma' "
+              f"THEN left({tw}, length({tw}) - 4) "
+              f"WHEN length({tw}) - 3 >= p2 AND {tw} LIKE '%mma' THEN "
+              f"(CASE WHEN left({tw}, length({tw}) - 3) LIKE '%po' "
+              f"THEN {tw} "
+              f"ELSE left({tw}, length({tw}) - 3) END) ELSE {tw} END")
+    plural = f"""CASE
+      WHEN rem THEN (CASE WHEN length(w) - 1 >= p1 AND
+        (w LIKE '%i' OR w LIKE '%j') THEN left(w, length(w) - 1)
+        ELSE w END)
+      WHEN length(w) - 1 >= p1 AND w LIKE '%t' AND
+           length(w) - 2 >= p1 AND
+           substr(w, length(w) - 1, 1) IN {V1}
+        THEN ({tp_mma})
+      ELSE w END"""
+
+    # tidy stages
+    t1 = (f"CASE WHEN length(w) - 2 >= p1 AND right(w, 2) IN {LONG} "
+          f"THEN left(w, length(w) - 1) ELSE w END")
+    t2 = (f"CASE WHEN length(w) - 2 >= p1 AND right(w, 1) IN {AEI} "
+          f"AND substr(w, length(w) - 1, 1) IN {C} "
+          f"THEN left(w, length(w) - 1) ELSE w END")
+    t3 = (f"CASE WHEN length(w) - 2 >= p1 AND "
+          f"(w LIKE '%oj' OR w LIKE '%uj') "
+          f"THEN left(w, length(w) - 1) ELSE w END")
+    t4 = (f"CASE WHEN length(w) - 2 >= p1 AND w LIKE '%jo' "
+          f"THEN left(w, length(w) - 1) ELSE w END")
+    vclass = "".join(sorted(f.FI_V1))
+    undouble = f"""CASE WHEN ci > 0 AND substr(w, ci, 1) IN {C}
+           AND ci >= 2 AND substr(w, ci - 1, 1) = substr(w, ci, 1)
+      THEN left(w, ci - 1) || substr(w, ci + 1) ELSE w END"""
+
+    v = vclass
+    return f"""uniq AS (SELECT DISTINCT t0 FROM rkept),
+fr AS (SELECT t0, t0 AS w,
+    CASE WHEN p1m = '' THEN length(t0) ELSE length(p1m) END AS p1,
+    CASE WHEN p2m = '' THEN length(t0) ELSE length(p2m) END AS p2
+  FROM (SELECT t0,
+          regexp_extract(t0, '^[^{v}]*[{v}]+[^{v}]') AS p1m,
+          regexp_extract(t0, '^[^{v}]*[{v}]+[^{v}]+[{v}]+[^{v}]') AS p2m
+        FROM uniq)),
+fpa AS (SELECT t0, p1, p2, {particle} AS w FROM fr),
+fpo AS (SELECT t0, p1, p2, {poss} AS w FROM fpa),
+fce AS (SELECT t0, p1, p2, {case_w} AS w, {case_r} AS rem FROM fpo),
+fot AS (SELECT t0, p1, p2, rem, {other} AS w FROM fce),
+fpl AS (SELECT t0, p1, p2, {plural} AS w FROM fot),
+ft1 AS (SELECT t0, p1, {t1} AS w FROM fpl),
+ft2 AS (SELECT t0, p1, {t2} AS w FROM ft1),
+ft3 AS (SELECT t0, p1, {t3} AS w FROM ft2),
+ft4 AS (SELECT t0, p1, {t4} AS w FROM ft3),
+ftu AS (SELECT t0, w,
+    length(w) - length(regexp_extract(w, '[{vclass}]*$')) AS ci
+  FROM ft4),
+stems AS (SELECT t0, {undouble} AS stem FROM ftu),
+rterms AS MATERIALIZED (
+  SELECT k.doc_id, s.stem AS term FROM rkept k JOIN stems s USING (t0))"""
+
+
+def finnish_preamble() -> str:
+    """BM25 CTEs over FINNISH-analyzed text (stop → snowball stem)."""
+    from .analysis.finnish import FINNISH_STOP_WORDS
+    stops = _stop_list_sql(FINNISH_STOP_WORDS)
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, url, {sql_tokens_expr('text')} AS toks FROM corpus
+),
+rtok AS (SELECT doc_id, unnest(toks) AS t0 FROM toksrc),
+rkept AS (SELECT doc_id, t0 FROM rtok WHERE t0 NOT IN ({stops})),
+{_fi_stem_ctes()},
+{_BM25_TAIL}"""
+
+
+def bm25_finnish_topk(stemmed_term: str, k: int = 10) -> str:
+    pre = finnish_preamble().replace("__LT_VALUES__", _lt_values())
+    lit = f"'{stemmed_term}'"
+    return pre + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
 # ------------------------------------- Bengali / Telugu -------------------
 def _tier_stem_sql(tiers, col: str = "t0") -> str:
     branches = []
