@@ -3113,6 +3113,74 @@ ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
 
 
+# -------------------------------------------------- Armenian --------------
+def _snowdel_case(col: str, table, bound: str,
+                  extra_bound: str | None = None) -> str:
+    """Longest-suffix-delete CASE: suffixes longest-first, each bounded
+    to start >= `bound`; with `extra_bound`, a committed match whose
+    start is below it deletes nothing (nested CASE, no fallback)."""
+    parts = []
+    for sfx in table:
+        k = len(sfx)
+        m = f"length({col}) - {k} >= {bound} AND {col} LIKE '%{sfx}'"
+        st = f"left({col}, length({col}) - {k})"
+        if extra_bound:
+            st = (f"(CASE WHEN length({col}) - {k} >= {extra_bound} "
+                  f"THEN {st} ELSE {col} END)")
+        parts.append(f"WHEN {m} THEN {st}")
+    return "CASE " + " ".join(parts) + f" ELSE {col} END"
+
+
+def _hy_stem_ctes() -> str:
+    """ArmenianStemmer: pV/R2 marks, then ending(R2)/verb/adjective/
+    noun bounded deletes — GENERATED from analysis/armenian.py."""
+    from .analysis.armenian import (HY_ADJECTIVE, HY_ENDING, HY_NOUN,
+                                    HY_VERB, HY_VOWELS)
+    v = "".join(sorted(HY_VOWELS))
+    return f"""uniq AS (SELECT DISTINCT t0 FROM rkept),
+hr AS (SELECT t0, t0 AS w,
+    CASE WHEN pvm = '' THEN length(t0) ELSE length(pvm) END AS pv,
+    CASE WHEN p2m = '' THEN length(t0) ELSE length(p2m) END AS p2
+  FROM (SELECT t0,
+          regexp_extract(t0, '^[^{v}]*[{v}]') AS pvm,
+          regexp_extract(t0, '^[^{v}]*[{v}]+[^{v}]+[{v}]+[^{v}]') AS p2m
+        FROM uniq)),
+he AS (SELECT t0, pv, {_snowdel_case('w', HY_ENDING, 'pv', 'p2')} AS w
+       FROM hr),
+hv AS (SELECT t0, pv, {_snowdel_case('w', HY_VERB, 'pv')} AS w FROM he),
+ha AS (SELECT t0, pv, {_snowdel_case('w', HY_ADJECTIVE, 'pv')} AS w
+       FROM hv),
+stems AS (SELECT t0, {_snowdel_case('w', HY_NOUN, 'pv')} AS stem
+          FROM ha),
+rterms AS MATERIALIZED (
+  SELECT k.doc_id, s.stem AS term FROM rkept k JOIN stems s USING (t0))"""
+
+
+def armenian_preamble() -> str:
+    from .analysis.armenian import ARMENIAN_STOP_WORDS
+    stops = _stop_list_sql(ARMENIAN_STOP_WORDS)
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, url, {sql_tokens_expr('text')} AS toks FROM corpus
+),
+rtok AS (SELECT doc_id, unnest(toks) AS t0 FROM toksrc),
+rkept AS (SELECT doc_id, t0 FROM rtok WHERE t0 NOT IN ({stops})),
+{_hy_stem_ctes()},
+{_BM25_TAIL}"""
+
+
+def bm25_armenian_topk(stemmed_term: str, k: int = 10) -> str:
+    pre = armenian_preamble().replace("__LT_VALUES__", _lt_values())
+    lit = f"'{stemmed_term}'"
+    return pre + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
 # ------------------------------------- Bengali / Telugu -------------------
 def _tier_stem_sql(tiers, col: str = "t0") -> str:
     branches = []
