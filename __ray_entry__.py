@@ -495,6 +495,7 @@ _LANG_REGISTRY = {
     "galician": ("rslp", "GalicianAnalyzer"),
     "finnish": ("finnish", "FinnishAnalyzer"),
     "armenian": ("armenian", "ArmenianAnalyzer"),
+    "lithuanian": ("lithuanian", "LithuanianAnalyzer"),
 }
 
 
@@ -1107,6 +1108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_galician_top10": lambda sf: _lang_topk(sf, "galician"),
         "bm25_finnish_top10": lambda sf: _lang_topk(sf, "finnish"),
         "bm25_armenian_top10": lambda sf: _lang_topk(sf, "armenian"),
+        "bm25_lithuanian_top10": lambda sf: _lang_topk(sf, "lithuanian"),
         "bm25_french_top10": _french_topk,
         "cjk_bigram_counts": textstats.cjk_bigram_counts,
         "ascii_fold_tokens": textstats.ascii_fold_tokens,
@@ -1336,6 +1338,8 @@ def oracle_sql() -> dict[str, str]:
             _lang_query_term("finnish")),
         "bm25_armenian_top10": oracle.bm25_armenian_topk(
             _lang_query_term("armenian")),
+        "bm25_lithuanian_top10": oracle.bm25_lithuanian_topk(
+            _lang_query_term("lithuanian")),
         "cjk_bigram_counts": oracle.cjk_bigram_counts(),
         "ascii_fold_tokens": oracle.ascii_fold_tokens(),
         "word_delimiter_tokens": oracle.word_delimiter_tokens(),

@@ -3181,6 +3181,81 @@ ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
 
 
+# ------------------------------------------------ Lithuanian --------------
+def _lt_stem_ctes() -> str:
+    """LithuanianStemmer: conditional-offset R1, fix_conflicts rewrite,
+    one step1 delete, fix_chdz, REPEATED step2 deletes (recursive CTE),
+    fix_chdz, fix_gd — GENERATED from analysis/lithuanian.py."""
+    from .analysis.lithuanian import (LT_CONFLICTS, LT_STEP1, LT_STEP2,
+                                      LT_VOWELS)
+    v = "".join(sorted(LT_VOWELS))
+    conf = "CASE " + " ".join(
+        f"WHEN w LIKE '%{sfx}' THEN left(w, length(w) - {len(sfx)}) "
+        f"|| '{repl}'" for sfx, repl in LT_CONFLICTS) + " ELSE w END"
+    step1 = _snowdel_case("w", LT_STEP1, "p1")
+    step2_or_null = "CASE " + " ".join(
+        f"WHEN length(w) - {len(sfx)} >= p1 AND w LIKE '%{sfx}' "
+        f"THEN left(w, length(w) - {len(sfx)})"
+        for sfx in LT_STEP2) + " ELSE NULL END"
+    chdz = ("CASE WHEN w LIKE '%dž' "
+            "THEN left(w, length(w) - 2) || 'd' "
+            "WHEN w LIKE '%č' THEN left(w, length(w) - 1) || 't' "
+            "ELSE w END")
+    gd = ("CASE WHEN w LIKE '%gd' THEN left(w, length(w) - 2) || 'g' "
+          "ELSE w END")
+    return f"""uniq AS (SELECT DISTINCT t0 FROM rkept),
+ltr AS (SELECT t0,
+    CASE WHEN m = '' THEN length(t0) ELSE base + length(m) END AS p1
+  FROM (SELECT t0, base,
+          regexp_extract(substr(t0, base + 1),
+                         '^[^{v}]*[{v}]+[^{v}]') AS m
+        FROM (SELECT t0,
+                CASE WHEN t0 LIKE 'a%' AND length(t0) > 6
+                     THEN 1 ELSE 0 END AS base
+              FROM uniq))),
+ltc AS (SELECT t0, p1, {conf} AS w
+        FROM (SELECT t0, p1, t0 AS w FROM ltr)),
+lt1 AS (SELECT t0, p1, {step1} AS w FROM ltc),
+ltz1 AS (SELECT t0, p1, {chdz} AS w FROM lt1),
+lt2(t0, p1, w, moved) AS (
+  SELECT t0, p1, w, TRUE FROM ltz1
+  UNION ALL
+  SELECT t0, p1, coalesce(d, w), d IS NOT NULL
+  FROM (SELECT t0, p1, w, {step2_or_null} AS d
+        FROM lt2 WHERE moved)
+),
+ltf AS (SELECT t0, p1, w FROM lt2 WHERE NOT moved),
+ltz2 AS (SELECT t0, {chdz} AS w FROM ltf),
+stems AS (SELECT t0, {gd} AS stem FROM ltz2),
+rterms AS MATERIALIZED (
+  SELECT k.doc_id, s.stem AS term FROM rkept k JOIN stems s USING (t0))"""
+
+
+def lithuanian_preamble() -> str:
+    from .analysis.lithuanian import LITHUANIAN_STOP_WORDS
+    stops = _stop_list_sql(LITHUANIAN_STOP_WORDS)
+    return f"""
+WITH RECURSIVE corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, url, {sql_tokens_expr('text')} AS toks FROM corpus
+),
+rtok AS (SELECT doc_id, unnest(toks) AS t0 FROM toksrc),
+rkept AS (SELECT doc_id, t0 FROM rtok WHERE t0 NOT IN ({stops})),
+{_lt_stem_ctes()},
+{_BM25_TAIL}"""
+
+
+def bm25_lithuanian_topk(stemmed_term: str, k: int = 10) -> str:
+    pre = lithuanian_preamble().replace("__LT_VALUES__", _lt_values())
+    lit = f"'{stemmed_term}'"
+    return pre + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
 # ------------------------------------- Bengali / Telugu -------------------
 def _tier_stem_sql(tiers, col: str = "t0") -> str:
     branches = []
