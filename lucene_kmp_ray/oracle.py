@@ -3256,6 +3256,119 @@ ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
 
 
+# ---------------------------------------------------- Basque --------------
+def _eu_match_cols(table) -> tuple[str, str, str]:
+    """Longest-suffix-of-w[:c] match as three parallel CASEs:
+    (matched length, region tag, replacement)."""
+    conds = [(f"c >= {len(s)} AND "
+              f"substr(w, c - {len(s) - 1}, {len(s)}) = '{s}'", s, r, p)
+             for s, r, p in table]
+    mlen = "CASE " + " ".join(f"WHEN {c} THEN {len(s)}"
+                              for c, s, r, p in conds) + " ELSE 0 END"
+    mreg = "CASE " + " ".join(f"WHEN {c} THEN '{r}'"
+                              for c, s, r, p in conds) + " ELSE '' END"
+    mrep = "CASE " + " ".join(f"WHEN {c} THEN '{p}'"
+                              for c, s, r, p in conds) + " ELSE '' END"
+    return mlen, mrep, mreg
+
+
+def _eu_loop_cte(name: str, src: str, table) -> str:
+    """snowball `repeat` over a cursor-carrying among table: each
+    iteration matches a suffix ENDING at cursor c, edits [s, c) and
+    moves c to s; a miss or failed region check stops the loop."""
+    mlen, mrep, mreg = _eu_match_cols(table)
+    return f"""{name}(t0, pv, p1, p2, w, c, moved) AS (
+  SELECT t0, pv, p1, p2, w, c, TRUE FROM {src}
+  UNION ALL
+  SELECT t0, pv, p1, p2,
+    CASE WHEN ok THEN left(w, c - mlen) || mrep || substr(w, c + 1)
+         ELSE w END,
+    CASE WHEN ok THEN c - mlen ELSE c END,
+    ok
+  FROM (SELECT t0, pv, p1, p2, w, c, mlen, mrep,
+          mlen > 0 AND (mreg = '' OR c - mlen >=
+            CASE mreg WHEN 'rv' THEN pv WHEN 'r1' THEN p1
+                      ELSE p2 END) AS ok
+        FROM (SELECT t0, pv, p1, p2, w, c, {mlen} AS mlen,
+                {mrep} AS mrep, {mreg} AS mreg
+              FROM {name} WHERE moved))
+),
+{name}f AS (SELECT t0, pv, p1, p2, w, c FROM {name} WHERE NOT moved)"""
+
+
+def _eu_stem_ctes() -> str:
+    """BasqueStemmer: RV/R1/R2 marks, aditzak + izenak repeat loops,
+    adjetiboak once — GENERATED from analysis/basque.py."""
+    from .analysis.basque import (EU_ADITZAK, EU_ADJETIBOAK, EU_IZENAK,
+                                  EU_VOWELS)
+    v = "".join(sorted(EU_VOWELS))
+    vin = "(" + ", ".join(f"'{c}'" for c in sorted(EU_VOWELS)) + ")"
+    mlen, mrep, mreg = _eu_match_cols(EU_ADJETIBOAK)
+    adj = f"""CASE WHEN mlen > 0 AND (mreg = '' OR c - mlen >=
+      CASE mreg WHEN 'rv' THEN pv WHEN 'r1' THEN p1 ELSE p2 END)
+    THEN left(w, c - mlen) || mrep || substr(w, c + 1) ELSE w END"""
+    tail = "substr(t0, 3)"
+    pv_expr = f"""CASE
+    WHEN length(t0) < 2 THEN length(t0)
+    WHEN substr(t0, 1, 1) IN {vin} AND substr(t0, 2, 1) NOT IN {vin}
+      THEN CASE WHEN regexp_extract({tail}, '^[^{v}]*[{v}]') = ''
+                THEN length(t0)
+                ELSE 2 + length(regexp_extract({tail}, '^[^{v}]*[{v}]'))
+           END
+    WHEN substr(t0, 1, 1) IN {vin}
+      THEN CASE WHEN regexp_extract({tail}, '^[{v}]*[^{v}]') = ''
+                THEN length(t0)
+                ELSE 2 + length(regexp_extract({tail}, '^[{v}]*[^{v}]'))
+           END
+    WHEN substr(t0, 2, 1) NOT IN {vin}
+      THEN CASE WHEN regexp_extract({tail}, '^[^{v}]*[{v}]') = ''
+                THEN length(t0)
+                ELSE 2 + length(regexp_extract({tail}, '^[^{v}]*[{v}]'))
+           END
+    ELSE CASE WHEN length(t0) > 2 THEN 3 ELSE length(t0) END END"""
+    return f"""uniq AS (SELECT DISTINCT t0 FROM rkept),
+eur AS (SELECT t0, {pv_expr} AS pv,
+    CASE WHEN p1m = '' THEN length(t0) ELSE length(p1m) END AS p1,
+    CASE WHEN p2m = '' THEN length(t0) ELSE length(p2m) END AS p2,
+    t0 AS w, length(t0) AS c
+  FROM (SELECT t0,
+          regexp_extract(t0, '^[^{v}]*[{v}]+[^{v}]') AS p1m,
+          regexp_extract(t0, '^[^{v}]*[{v}]+[^{v}]+[{v}]+[^{v}]') AS p2m
+        FROM uniq)),
+{_eu_loop_cte('eua', 'eur', EU_ADITZAK)},
+{_eu_loop_cte('eui', 'euaf', EU_IZENAK)},
+stems AS (SELECT t0, {adj} AS stem
+  FROM (SELECT t0, pv, p1, p2, w, c, {mlen} AS mlen, {mrep} AS mrep,
+          {mreg} AS mreg FROM euif)),
+rterms AS MATERIALIZED (
+  SELECT k.doc_id, s.stem AS term FROM rkept k JOIN stems s USING (t0))"""
+
+
+def basque_preamble() -> str:
+    from .analysis.basque import BASQUE_STOP_WORDS
+    stops = _stop_list_sql(BASQUE_STOP_WORDS)
+    return f"""
+WITH RECURSIVE corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, url, {sql_tokens_expr('text')} AS toks FROM corpus
+),
+rtok AS (SELECT doc_id, unnest(toks) AS t0 FROM toksrc),
+rkept AS (SELECT doc_id, t0 FROM rtok WHERE t0 NOT IN ({stops})),
+{_eu_stem_ctes()},
+{_BM25_TAIL}"""
+
+
+def bm25_basque_topk(stemmed_term: str, k: int = 10) -> str:
+    pre = basque_preamble().replace("__LT_VALUES__", _lt_values())
+    lit = f"'{stemmed_term}'"
+    return pre + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
 # ------------------------------------- Bengali / Telugu -------------------
 def _tier_stem_sql(tiers, col: str = "t0") -> str:
     branches = []
