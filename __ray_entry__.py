@@ -497,6 +497,7 @@ _LANG_REGISTRY = {
     "armenian": ("armenian", "ArmenianAnalyzer"),
     "lithuanian": ("lithuanian", "LithuanianAnalyzer"),
     "basque": ("basque", "BasqueAnalyzer"),
+    "estonian": ("estonian", "EstonianAnalyzer"),
 }
 
 
@@ -1111,6 +1112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_armenian_top10": lambda sf: _lang_topk(sf, "armenian"),
         "bm25_lithuanian_top10": lambda sf: _lang_topk(sf, "lithuanian"),
         "bm25_basque_top10": lambda sf: _lang_topk(sf, "basque"),
+        "bm25_estonian_top10": lambda sf: _lang_topk(sf, "estonian"),
         "bm25_french_top10": _french_topk,
         "cjk_bigram_counts": textstats.cjk_bigram_counts,
         "ascii_fold_tokens": textstats.ascii_fold_tokens,
@@ -1344,6 +1346,8 @@ def oracle_sql() -> dict[str, str]:
             _lang_query_term("lithuanian")),
         "bm25_basque_top10": oracle.bm25_basque_topk(
             _lang_query_term("basque")),
+        "bm25_estonian_top10": oracle.bm25_estonian_topk(
+            _lang_query_term("estonian")),
         "cjk_bigram_counts": oracle.cjk_bigram_counts(),
         "ascii_fold_tokens": oracle.ascii_fold_tokens(),
         "word_delimiter_tokens": oracle.word_delimiter_tokens(),

@@ -3369,6 +3369,184 @@ ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
 
 
+# --------------------------------------------------- Estonian -------------
+def _et_stem_ctes() -> str:
+    """EstonianStemmer: verb-exception dict, emphasis, verb-else-
+    substantive pipeline, kk/pp/tt undouble — GENERATED from
+    analysis/estonian.py."""
+    from .analysis import estonian as e
+
+    def inset(chars):
+        return "(" + ", ".join(f"'{c}'" for c in sorted(chars)) + ")"
+
+    V1, RV = inset(e.ET_V1), inset(e.ET_RV)
+    KI, GI = inset(e.ET_KI), inset(e.ET_GI)
+    LONG = "(" + ", ".join(f"'{x}'" for x in e.ET_LONGV) + ")"
+
+    def longv_at(col, off):
+        """two chars ending at length-off form a long vowel"""
+        return (f"(length({col}) - {off} >= 2 AND "
+                f"substr({col}, length({col}) - {off + 1}, 2) IN {LONG})")
+
+    exc = "CASE " + " ".join(
+        f"WHEN t0 = '{w}' THEN '{s}'"
+        for w, s in sorted(e.ET_VERB_EXCEPTIONS.items())) + " ELSE NULL END"
+
+    emph = f"""CASE
+      WHEN length(w) - 2 >= p1 AND w LIKE '%gi' THEN
+        (CASE WHEN length(w) - 2 >= 4 AND
+          substr(w, length(w) - 2, 1) IN {GI} AND
+          NOT {longv_at('w', 2)}
+          THEN left(w, length(w) - 2) ELSE w END)
+      WHEN length(w) - 2 >= p1 AND w LIKE '%ki' THEN
+        (CASE WHEN length(w) - 2 >= 4 AND
+          substr(w, length(w) - 2, 1) IN {KI}
+          THEN left(w, length(w) - 2) ELSE w END)
+      ELSE w END"""
+
+    vparts_w, vparts_f = [], []
+    for sfx, act in e.ET_VERB:
+        k = len(sfx)
+        m = f"length(w) - {k} >= p1 AND w LIKE '%{sfx}'"
+        st = f"left(w, length(w) - {k})"
+        if act == 1:
+            new, flag = st, "TRUE"
+        elif act == 2:
+            new, flag = f"{st} || 'a'", "TRUE"
+        else:
+            cond = (f"length(w) - {k} >= 1 AND "
+                    f"substr(w, length(w) - {k}, 1) IN {V1}")
+            new = f"(CASE WHEN {cond} THEN {st} ELSE w END)"
+            flag = f"({cond})"
+        vparts_w.append(f"WHEN {m} THEN {new}")
+        vparts_f.append(f"WHEN {m} THEN {flag}")
+    verb_w = "CASE " + " ".join(vparts_w) + " ELSE w END"
+    verb_f = "CASE " + " ".join(vparts_f) + " ELSE FALSE END"
+
+    special = "CASE " + " ".join(
+        f"WHEN length(w) - {len(s)} >= p1 AND w LIKE '%{s}' "
+        f"THEN left(w, length(w) - {len(s)}) || '{r}'"
+        for s, r in e.ET_SPECIAL) + " ELSE w END"
+
+    cparts = []
+    for sfx, act in e.ET_CASE:
+        k = len(sfx)
+        m = f"length(w) - {k} >= p1 AND w LIKE '%{sfx}'"
+        st = f"left(w, length(w) - {k})"
+        if act == 1:
+            cond = (f"(length(w) - {k} >= 1 AND "
+                    f"substr(w, length(w) - {k}, 1) IN {RV}) OR "
+                    f"{longv_at('w', k)}")
+        else:
+            cond = f"length(w) - {k} >= 4"
+        cparts.append(f"WHEN {m} THEN (CASE WHEN {cond} THEN {st} "
+                      f"ELSE w END)")
+    case_e = "CASE " + " ".join(cparts) + " ELSE w END"
+
+    pparts = []
+    for sfx, act in e.ET_PLURAL:
+        k = len(sfx)
+        m = f"length(w) - {k} >= p1 AND w LIKE '%{sfx}'"
+        st = f"left(w, length(w) - {k})"
+        if act == 1:
+            new = f"{st} || 'iku'"
+        elif act == 2:
+            new = (f"(CASE WHEN {longv_at('w', k)} THEN w "
+                   f"ELSE {st} END)")
+        elif act == 3:
+            new = (f"(CASE WHEN length(w) - {k} >= 4 THEN "
+                   f"(CASE WHEN {st} LIKE '%las' OR {st} LIKE '%lis' "
+                   f"OR {st} LIKE '%mis' THEN {st} || 'e' "
+                   f"WHEN {st} LIKE '%t' THEN w ELSE {st} END) "
+                   f"ELSE {st} || 't' END)")
+        else:
+            cond = (f"(length(w) - {k} >= 1 AND "
+                    f"substr(w, length(w) - {k}, 1) IN {RV}) OR "
+                    f"{longv_at('w', k)}")
+            new = f"(CASE WHEN {cond} THEN {st} ELSE w END)"
+        pparts.append(f"WHEN {m} THEN {new}")
+    plural = "CASE " + " ".join(pparts) + " ELSE w END"
+
+    dparts = []
+    for sfx, act in e.ET_DEGREES:
+        k = len(sfx)
+        m = f"length(w) - {k} >= p1 AND w LIKE '%{sfx}'"
+        st = f"left(w, length(w) - {k})"
+        if act == 1:
+            cond = (f"length(w) - {k} >= 1 AND "
+                    f"substr(w, length(w) - {k}, 1) IN {RV}")
+            dparts.append(f"WHEN {m} THEN (CASE WHEN {cond} THEN {st} "
+                          f"ELSE w END)")
+        else:
+            dparts.append(f"WHEN {m} THEN {st}")
+    degrees = "CASE " + " ".join(dparts) + " ELSE w END"
+
+    ipl = (f"CASE WHEN length(w) - 1 >= p1 AND w LIKE '%i' AND "
+           f"length(w) >= 2 AND substr(w, length(w) - 1, 1) IN {RV} "
+           f"THEN left(w, length(w) - 1) ELSE w END")
+    nu = "CASE " + " ".join(
+        f"WHEN length(w) - 2 >= p1 AND w LIKE '%{s}' "
+        f"THEN left(w, length(w) - 2)" for s in e.ET_NU) + " ELSE w END"
+    undouble = f"""CASE WHEN length(w) >= 1 AND right(w, 1) IN {V1}
+      AND p1 <= length(w) - 1 AND length(w) >= 3 AND
+      substr(w, length(w) - 2, 2) IN ('kk', 'pp', 'tt')
+    THEN left(w, length(w) - 3) ||
+         substr(w, length(w) - 2, 1) || right(w, 1)
+    ELSE w END"""
+
+    v = "".join(sorted(e.ET_V1))
+    return f"""uniq AS (SELECT DISTINCT t0 FROM rkept),
+etx AS (SELECT t0, {exc} AS exc,
+    CASE WHEN m = '' THEN length(t0) ELSE length(m) END AS p1
+  FROM (SELECT t0,
+          regexp_extract(t0, '^[^{v}]*[{v}]+[^{v}]') AS m
+        FROM uniq)),
+ete AS (SELECT t0, exc, p1, {emph} AS w
+        FROM (SELECT t0, exc, p1, t0 AS w FROM etx)),
+etv AS (SELECT t0, exc, p1, {verb_w} AS wv, {verb_f} AS verbed, w
+        FROM ete),
+ets1 AS (SELECT t0, exc, p1, wv, verbed,
+         CASE WHEN verbed THEN w ELSE {special} END AS w FROM etv),
+ets2 AS (SELECT t0, exc, p1, wv, verbed,
+         CASE WHEN verbed THEN w ELSE {case_e} END AS w FROM ets1),
+ets3 AS (SELECT t0, exc, p1, wv, verbed,
+         CASE WHEN verbed THEN w ELSE {plural} END AS w FROM ets2),
+ets4 AS (SELECT t0, exc, p1, wv, verbed,
+         CASE WHEN verbed THEN w ELSE {degrees} END AS w FROM ets3),
+ets5 AS (SELECT t0, exc, p1, wv, verbed,
+         CASE WHEN verbed THEN w ELSE {ipl} END AS w FROM ets4),
+ets6 AS (SELECT t0, exc, p1,
+         CASE WHEN verbed THEN wv ELSE {nu} END AS w FROM ets5),
+stems AS (SELECT t0, coalesce(exc, {undouble}) AS stem FROM ets6),
+rterms AS MATERIALIZED (
+  SELECT k.doc_id, s.stem AS term FROM rkept k JOIN stems s USING (t0))"""
+
+
+def estonian_preamble() -> str:
+    from .analysis.estonian import ESTONIAN_STOP_WORDS
+    stops = _stop_list_sql(ESTONIAN_STOP_WORDS)
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, url, {sql_tokens_expr('text')} AS toks FROM corpus
+),
+rtok AS (SELECT doc_id, unnest(toks) AS t0 FROM toksrc),
+rkept AS (SELECT doc_id, t0 FROM rtok WHERE t0 NOT IN ({stops})),
+{_et_stem_ctes()},
+{_BM25_TAIL}"""
+
+
+def bm25_estonian_topk(stemmed_term: str, k: int = 10) -> str:
+    pre = estonian_preamble().replace("__LT_VALUES__", _lt_values())
+    lit = f"'{stemmed_term}'"
+    return pre + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
 # ------------------------------------- Bengali / Telugu -------------------
 def _tier_stem_sql(tiers, col: str = "t0") -> str:
     branches = []
