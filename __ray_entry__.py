@@ -498,6 +498,7 @@ _LANG_REGISTRY = {
     "lithuanian": ("lithuanian", "LithuanianAnalyzer"),
     "basque": ("basque", "BasqueAnalyzer"),
     "estonian": ("estonian", "EstonianAnalyzer"),
+    "brazilian": ("brazilian", "BrazilianAnalyzer"),
 }
 
 
@@ -1113,6 +1114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_lithuanian_top10": lambda sf: _lang_topk(sf, "lithuanian"),
         "bm25_basque_top10": lambda sf: _lang_topk(sf, "basque"),
         "bm25_estonian_top10": lambda sf: _lang_topk(sf, "estonian"),
+        "bm25_brazilian_top10": lambda sf: _lang_topk(sf, "brazilian"),
         "bm25_french_top10": _french_topk,
         "cjk_bigram_counts": textstats.cjk_bigram_counts,
         "ascii_fold_tokens": textstats.ascii_fold_tokens,
@@ -1348,6 +1350,8 @@ def oracle_sql() -> dict[str, str]:
             _lang_query_term("basque")),
         "bm25_estonian_top10": oracle.bm25_estonian_topk(
             _lang_query_term("estonian")),
+        "bm25_brazilian_top10": oracle.bm25_brazilian_topk(
+            _lang_query_term("brazilian")),
         "cjk_bigram_counts": oracle.cjk_bigram_counts(),
         "ascii_fold_tokens": oracle.ascii_fold_tokens(),
         "word_delimiter_tokens": oracle.word_delimiter_tokens(),

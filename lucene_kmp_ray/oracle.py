@@ -3547,6 +3547,167 @@ ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
 
 
+# -------------------------------------------------- Brazilian -------------
+def _br_stem_ctes() -> str:
+    """BrazilianStemmer: fold → suffix-string regions (computed on the
+    PRE-step ct; steps 3-5 test the ORIGINAL RV tail while editing the
+    evolving ct) → step1-else-step2 → step3-else-step4 → step5 —
+    GENERATED from analysis/brazilian.py."""
+    from .analysis.brazilian import BR_STEP1, BR_STEP2
+
+    v = "aeiou"
+    fold = "translate(t0, 'áâãéêíóôõúüçñ', 'aaaeeiooouucn')"
+    punct = "('\"', '''', '-', ',', ';', '.', '?', '!')"
+    strip1 = (f"CASE WHEN length({fold}) >= 2 AND "
+              f"substr({fold}, 1, 1) IN {punct} "
+              f"THEN substr({fold}, 2) ELSE {fold} END")
+    ct0 = (f"CASE WHEN length({strip1}) >= 2 AND "
+           f"right({strip1}, 1) IN {punct} "
+           f"THEN left({strip1}, length({strip1}) - 1) "
+           f"ELSE {strip1} END")
+
+    # getR1 as a length: the vowel→non-vowel boundary must sit before
+    # the last char
+    def r1len_of(col):
+        m = f"regexp_extract({col}, '^[^{v}]*[{v}]+[^{v}]')"
+        return (f"CASE WHEN {m} <> '' AND length({m}) <= "
+                f"length({col}) - 1 THEN length({col}) - length({m}) "
+                f"ELSE NULL END")
+
+    rv_b1m = f"regexp_extract(substr(ct0, 3), '^[^{v}]*[{v}]')"
+    rv_b2m = f"regexp_extract(substr(ct0, 3), '^[{v}]*[^{v}]')"
+    rvlen = f"""CASE
+      WHEN length(ct0) >= 2 AND substr(ct0, 2, 1) NOT IN
+           ('a','e','i','o','u') THEN
+        CASE WHEN {rv_b1m} <> '' AND 2 + length({rv_b1m}) <=
+               length(ct0) - 1
+             THEN length(ct0) - 2 - length({rv_b1m})
+             WHEN length(ct0) > 3 THEN length(ct0) - 3
+             ELSE NULL END
+      WHEN length(ct0) >= 3 AND substr(ct0, 1, 1) IN
+           ('a','e','i','o','u') AND substr(ct0, 2, 1) IN
+           ('a','e','i','o','u') THEN
+        CASE WHEN {rv_b2m} <> '' AND 2 + length({rv_b2m}) <=
+               length(ct0) - 1
+             THEN length(ct0) - 2 - length({rv_b2m})
+             WHEN length(ct0) > 3 THEN length(ct0) - 3
+             ELSE NULL END
+      WHEN length(ct0) > 3 THEN length(ct0) - 3
+      ELSE NULL END"""
+
+    # step1: two parallel CASEs (result, fired) over shared conditions
+    w_parts, f_parts = [], []
+    for sfx, reg, preceded, act, repl in BR_STEP1:
+        k = len(sfx)
+        rcol = {"r1": "r1len", "r2": "r2len", "rv": "rvlen"}[reg]
+        cond = (f"ct0 LIKE '%{sfx}' AND {rcol} IS NOT NULL AND "
+                f"{rcol} >= {k}")
+        if preceded:
+            cond += (f" AND left(ct0, length(ct0) - {k}) "
+                     f"LIKE '%{preceded}'")
+        if act == "remove":
+            new = f"left(ct0, length(ct0) - {k})"
+        elif act == "replace":
+            new = f"left(ct0, length(ct0) - {k}) || '{repl}'"
+        else:            # discard: altered but unchanged
+            new = "ct0"
+        w_parts.append(f"WHEN {cond} THEN {new}")
+        f_parts.append(f"WHEN {cond} THEN TRUE")
+    s1_w = "CASE " + " ".join(w_parts) + " ELSE ct0 END"
+    s1_f = "CASE " + " ".join(f_parts) + " ELSE FALSE END"
+
+    w_parts, f_parts = [], []
+    for sfx in BR_STEP2:
+        k = len(sfx)
+        cond = (f"ct0 LIKE '%{sfx}' AND rvlen IS NOT NULL AND "
+                f"rvlen >= {k}")
+        w_parts.append(f"WHEN {cond} THEN left(w, length(w) - {k})")
+        f_parts.append(f"WHEN {cond} THEN TRUE")
+    s2_w = "CASE " + " ".join(w_parts) + " ELSE w END"
+    s2_f = "CASE " + " ".join(f_parts) + " ELSE FALSE END"
+
+    s34 = """CASE
+      WHEN alt THEN
+        (CASE WHEN rvlen IS NOT NULL AND rvlen >= 2 AND
+              ct0 LIKE '%ci' AND w LIKE '%i'
+         THEN left(w, length(w) - 1) ELSE w END)
+      WHEN rvlen IS NULL THEN w
+      WHEN rvlen >= 2 AND ct0 LIKE '%os' THEN
+        (CASE WHEN w LIKE '%os' THEN left(w, length(w) - 2) ELSE w END)
+      WHEN rvlen >= 1 AND ct0 LIKE '%a' THEN
+        (CASE WHEN w LIKE '%a' THEN left(w, length(w) - 1) ELSE w END)
+      WHEN rvlen >= 1 AND ct0 LIKE '%i' THEN
+        (CASE WHEN w LIKE '%i' THEN left(w, length(w) - 1) ELSE w END)
+      WHEN rvlen >= 1 AND ct0 LIKE '%o' THEN
+        (CASE WHEN w LIKE '%o' THEN left(w, length(w) - 1) ELSE w END)
+      ELSE w END"""
+
+    e1 = "CASE WHEN w LIKE '%e' THEN left(w, length(w) - 1) ELSE w END"
+    s5 = f"""CASE
+      WHEN rvlen IS NULL OR rvlen < 1 OR ct0 NOT LIKE '%e' THEN w
+      WHEN rvlen >= 3 AND ct0 LIKE '%gue' THEN
+        (CASE WHEN ({e1}) LIKE '%u'
+              THEN left(({e1}), length(({e1})) - 1) ELSE ({e1}) END)
+      WHEN rvlen >= 3 AND ct0 LIKE '%cie' THEN
+        (CASE WHEN ({e1}) LIKE '%i'
+              THEN left(({e1}), length(({e1})) - 1) ELSE ({e1}) END)
+      ELSE ({e1}) END"""
+
+    return f"""uniq AS (SELECT DISTINCT t0 FROM rkept),
+brc AS (SELECT t0, ct0,
+    length(ct0) > 2 AND length(ct0) < 30 AS idx,
+    regexp_full_match(ct0, '\\pL+') AS alpha
+  FROM (SELECT t0, {ct0} AS ct0 FROM uniq)),
+brr AS (SELECT t0, ct0, idx, alpha,
+    {r1len_of('ct0')} AS r1len, {rvlen} AS rvlen
+  FROM brc),
+brr2 AS (SELECT t0, ct0, idx, alpha, rvlen,
+    r1len,
+    CASE WHEN r1len IS NULL THEN NULL
+         ELSE {r1len_of('right(ct0, r1len)')} END AS r2len
+  FROM brr),
+br1 AS (SELECT t0, ct0, idx, alpha, rvlen,
+    {s1_w} AS w, {s1_f} AS alt1 FROM brr2),
+br2 AS (SELECT t0, ct0, idx, alpha, rvlen,
+    CASE WHEN alt1 THEN w ELSE {s2_w} END AS w,
+    alt1 OR (NOT alt1 AND ({s2_f})) AS alt FROM br1),
+br3 AS (SELECT t0, ct0, idx, alpha, rvlen, {s34} AS w FROM br2),
+br5 AS (SELECT t0, ct0, idx, alpha, {s5} AS w FROM br3),
+stems AS (SELECT t0,
+    CASE WHEN NOT idx THEN t0
+         WHEN NOT alpha THEN ct0
+         ELSE w END AS stem FROM br5),
+rterms AS MATERIALIZED (
+  SELECT k.doc_id, s.stem AS term FROM rkept k JOIN stems s USING (t0))"""
+
+
+def brazilian_preamble() -> str:
+    """BM25 CTEs over BRAZILIAN-analyzed text (stop on the raw
+    lowercased token, then the full stemmer)."""
+    from .analysis.brazilian import BRAZILIAN_STOP_WORDS
+    stops = _stop_list_sql(BRAZILIAN_STOP_WORDS)
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, url, {sql_tokens_expr('text')} AS toks FROM corpus
+),
+rtok AS (SELECT doc_id, unnest(toks) AS t0 FROM toksrc),
+rkept AS (SELECT doc_id, t0 FROM rtok WHERE t0 NOT IN ({stops})),
+{_br_stem_ctes()},
+{_BM25_TAIL}"""
+
+
+def bm25_brazilian_topk(stemmed_term: str, k: int = 10) -> str:
+    pre = brazilian_preamble().replace("__LT_VALUES__", _lt_values())
+    lit = f"'{stemmed_term}'"
+    return pre + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
 # ------------------------------------- Bengali / Telugu -------------------
 def _tier_stem_sql(tiers, col: str = "t0") -> str:
     branches = []
