@@ -499,6 +499,11 @@ _LANG_REGISTRY = {
     "basque": ("basque", "BasqueAnalyzer"),
     "estonian": ("estonian", "EstonianAnalyzer"),
     "brazilian": ("brazilian", "BrazilianAnalyzer"),
+    "hausa": ("african", "HausaAnalyzer"),
+    "swahili": ("african", "SwahiliAnalyzer"),
+    "yoruba": ("african", "YorubaAnalyzer"),
+    "igbo": ("african", "IgboAnalyzer"),
+    "tigrinya": ("african", "TigrinyaAnalyzer"),
 }
 
 
@@ -1115,6 +1120,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_basque_top10": lambda sf: _lang_topk(sf, "basque"),
         "bm25_estonian_top10": lambda sf: _lang_topk(sf, "estonian"),
         "bm25_brazilian_top10": lambda sf: _lang_topk(sf, "brazilian"),
+        "bm25_hausa_top10": lambda sf: _lang_topk(sf, "hausa"),
+        "bm25_swahili_top10": lambda sf: _lang_topk(sf, "swahili"),
+        "bm25_yoruba_top10": lambda sf: _lang_topk(sf, "yoruba"),
+        "bm25_igbo_top10": lambda sf: _lang_topk(sf, "igbo"),
+        "bm25_tigrinya_top10": lambda sf: _lang_topk(sf, "tigrinya"),
         "bm25_french_top10": _french_topk,
         "cjk_bigram_counts": textstats.cjk_bigram_counts,
         "ascii_fold_tokens": textstats.ascii_fold_tokens,
@@ -1352,6 +1362,16 @@ def oracle_sql() -> dict[str, str]:
             _lang_query_term("estonian")),
         "bm25_brazilian_top10": oracle.bm25_brazilian_topk(
             _lang_query_term("brazilian")),
+        "bm25_hausa_top10": oracle.bm25_extra_topk(
+            "hausa", _lang_query_term("hausa")),
+        "bm25_swahili_top10": oracle.bm25_extra_topk(
+            "swahili", _lang_query_term("swahili")),
+        "bm25_yoruba_top10": oracle.bm25_extra_topk(
+            "yoruba", _lang_query_term("yoruba")),
+        "bm25_igbo_top10": oracle.bm25_extra_topk(
+            "igbo", _lang_query_term("igbo")),
+        "bm25_tigrinya_top10": oracle.bm25_extra_topk(
+            "tigrinya", _lang_query_term("tigrinya")),
         "cjk_bigram_counts": oracle.cjk_bigram_counts(),
         "ascii_fold_tokens": oracle.ascii_fold_tokens(),
         "word_delimiter_tokens": oracle.word_delimiter_tokens(),

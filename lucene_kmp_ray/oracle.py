@@ -3708,6 +3708,136 @@ ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
 
 
+# ---------------------------------- extra-module simple chains ------------
+def _map_translate_sql(col: str, mapping: dict) -> str:
+    """translate() for a char→char|None fold map (deletes last)."""
+    kept = [(k, v) for k, v in mapping.items() if v]
+    dels = [k for k, v in mapping.items() if not v]
+    frm = "".join(k for k, _ in kept) + "".join(dels)
+    to = "".join(v for _, v in kept)
+    frm = frm.replace("'", "''")
+    to = to.replace("'", "''")
+    return f"translate({col}, '{frm}', '{to}')"
+
+
+def _pfx_case(col: str, prefixes, extra: int) -> str:
+    parts = [f"WHEN length({col}) > {len(p) + extra} AND "
+             f"{col} LIKE '{p}%' THEN substr({col}, {len(p) + 1})"
+             for p in prefixes]
+    return "CASE " + " ".join(parts) + f" ELSE {col} END"
+
+
+def _sfx_case(col: str, suffixes, extra: int) -> str:
+    parts = [f"WHEN length({col}) >= {len(s) + extra} AND "
+             f"{col} LIKE '%{s}' "
+             f"THEN left({col}, length({col}) - {len(s)})"
+             for s in suffixes]
+    return "CASE " + " ".join(parts) + f" ELSE {col} END"
+
+
+def _extra_stem_stages(lang: str) -> list[str]:
+    """The per-language stem pipeline as CASE expressions over column
+    w (already guarded by the ≤3-char skip) — GENERATED from
+    analysis/african.py tables."""
+    from .analysis import african as af
+    if lang == "hausa":
+        return [_pfx_case("w", af.HA_PREFIXES, 3),
+                _sfx_case("w", af.HA_SUFFIXES, 3)]
+    if lang == "swahili":
+        return [_pfx_case("w", af.SW_VERB_PREFIXES, 3),
+                _pfx_case("w", af.SW_NOUN_PREFIXES, 3),
+                _sfx_case("w", af.SW_SUFFIXES, 3),
+                _sfx_case("w", af.SW_SUFFIXES, 3)]
+    if lang == "yoruba":
+        contr = ("CASE WHEN length(w) > 2 AND w LIKE '%''n' "
+                 "THEN left(w, length(w) - 2) ELSE w END")
+        redup = """CASE WHEN strpos(w, '-') >= 2
+       AND strpos(w, '-') <= length(w) - 1
+       AND left(w, strpos(w, '-') - 1) = substr(w, strpos(w, '-') + 1)
+       AND strpos(w, '-') - 1 >= 3
+      THEN left(w, strpos(w, '-') - 1) ELSE w END"""
+        vows = "('a','e','i','o','u')"
+        pfx = " ".join(
+            f"WHEN length(w) > {len(p) + 3} AND w LIKE '{p}%' AND "
+            f"substr(w, {len(p) + 1}, 1) BETWEEN 'a' AND 'z' AND "
+            f"substr(w, {len(p) + 1}, 1) NOT IN {vows} "
+            f"THEN substr(w, {len(p) + 1})"
+            for p in af.YO_PREFIXES)
+        return [contr, redup, "CASE " + pfx + " ELSE w END"]
+    if lang == "igbo":
+        vows = "(" + ", ".join(f"'{c}'" for c in sorted(af.IG_VOWELS)) + ")"
+        pfx = f"""CASE
+      WHEN length(w) > 5 AND w LIKE 'na%' THEN substr(w, 3)
+      WHEN length(w) >= 4 AND w LIKE 'ị%' AND
+           substr(w, 2, 1) NOT IN {vows} THEN substr(w, 2)
+      WHEN length(w) >= 4 AND w LIKE 'i%' AND
+           substr(w, 2, 1) NOT IN {vows} THEN substr(w, 2)
+      WHEN length(w) >= 5 AND w LIKE 'n%' AND
+           substr(w, 2, 1) NOT IN {vows} THEN substr(w, 2)
+      WHEN length(w) >= 5 AND w LIKE 'm%' AND
+           substr(w, 2, 1) NOT IN {vows} THEN substr(w, 2)
+      ELSE w END"""
+        return [pfx, _sfx_case("w", af.IG_SUFFIXES, 3)]
+    if lang == "tigrinya":
+        return [_sfx_case("w", af.TI_SUFFIXES, 3)]
+    raise KeyError(lang)
+
+
+_EXTRA_REGISTRY = {
+    "hausa": ("african", "HAUSA_STOP_WORDS", "HAUSA_NORM"),
+    "swahili": ("african", "SWAHILI_STOP_WORDS", "SWAHILI_NORM"),
+    "yoruba": ("african", "YORUBA_STOP_WORDS", "YORUBA_NORM"),
+    "igbo": ("african", "IGBO_STOP_WORDS", "IGBO_NORM"),
+    "tigrinya": ("african", "TIGRINYA_STOP_WORDS", "TIGRINYA_NORM"),
+}
+
+
+def extra_preamble(lang: str) -> str:
+    """BM25 CTEs for an extra-module simple chain: digit fold →
+    normalize translate → stop → guarded stem stages."""
+    import importlib
+    mod_name, stop_name, norm_name = _EXTRA_REGISTRY[lang]
+    mod = importlib.import_module(f".analysis.{mod_name}",
+                                  package=__package__)
+    stops = _stop_list_sql(getattr(mod, stop_name))
+    norm = _map_translate_sql(_SQL_DIGIT_FOLD.format(col="traw"),
+                              getattr(mod, norm_name))
+    stages = _extra_stem_stages(lang)
+    ctes, prev = [], "rg"
+    for i, expr in enumerate(stages):
+        name = f"xs{i}"
+        ctes.append(f"{name} AS (SELECT t0, g, CASE WHEN g THEN "
+                    f"({expr}) ELSE w END AS w FROM {prev})")
+        prev = name
+    body = ",\n".join(ctes)
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, url, {sql_tokens_expr('text')} AS toks FROM corpus
+),
+rtok0 AS (SELECT doc_id, unnest(toks) AS traw FROM toksrc),
+rtok AS (SELECT doc_id, {norm} AS t0 FROM rtok0),
+rkept AS (SELECT doc_id, t0 FROM rtok WHERE t0 NOT IN ({stops})),
+uniq AS (SELECT DISTINCT t0 FROM rkept),
+rg AS (SELECT t0, length(t0) > 3 AS g, t0 AS w FROM uniq),
+{body},
+stems AS (SELECT t0, w AS stem FROM {prev}),
+rterms AS MATERIALIZED (
+  SELECT k.doc_id, s.stem AS term FROM rkept k JOIN stems s USING (t0)),
+{_BM25_TAIL}"""
+
+
+def bm25_extra_topk(lang: str, stemmed_term: str, k: int = 10) -> str:
+    pre = extra_preamble(lang).replace("__LT_VALUES__", _lt_values())
+    lit = f"'{stemmed_term}'"
+    return pre + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
 # ------------------------------------- Bengali / Telugu -------------------
 def _tier_stem_sql(tiers, col: str = "t0") -> str:
     branches = []
