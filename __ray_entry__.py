@@ -504,6 +504,9 @@ _LANG_REGISTRY = {
     "yoruba": ("african", "YorubaAnalyzer"),
     "igbo": ("african", "IgboAnalyzer"),
     "tigrinya": ("african", "TigrinyaAnalyzer"),
+    "tagalog": ("philippine", "TagalogAnalyzer"),
+    "cebuano": ("philippine", "CebuanoAnalyzer"),
+    "ilocano": ("philippine", "IlocanoAnalyzer"),
 }
 
 
@@ -1125,6 +1128,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_yoruba_top10": lambda sf: _lang_topk(sf, "yoruba"),
         "bm25_igbo_top10": lambda sf: _lang_topk(sf, "igbo"),
         "bm25_tigrinya_top10": lambda sf: _lang_topk(sf, "tigrinya"),
+        "bm25_tagalog_top10": lambda sf: _lang_topk(sf, "tagalog"),
+        "bm25_cebuano_top10": lambda sf: _lang_topk(sf, "cebuano"),
+        "bm25_ilocano_top10": lambda sf: _lang_topk(sf, "ilocano"),
         "bm25_french_top10": _french_topk,
         "cjk_bigram_counts": textstats.cjk_bigram_counts,
         "ascii_fold_tokens": textstats.ascii_fold_tokens,
@@ -1372,6 +1378,12 @@ def oracle_sql() -> dict[str, str]:
             "igbo", _lang_query_term("igbo")),
         "bm25_tigrinya_top10": oracle.bm25_extra_topk(
             "tigrinya", _lang_query_term("tigrinya")),
+        "bm25_tagalog_top10": oracle.bm25_extra_topk(
+            "tagalog", _lang_query_term("tagalog")),
+        "bm25_cebuano_top10": oracle.bm25_extra_topk(
+            "cebuano", _lang_query_term("cebuano")),
+        "bm25_ilocano_top10": oracle.bm25_extra_topk(
+            "ilocano", _lang_query_term("ilocano")),
         "cjk_bigram_counts": oracle.cjk_bigram_counts(),
         "ascii_fold_tokens": oracle.ascii_fold_tokens(),
         "word_delimiter_tokens": oracle.word_delimiter_tokens(),

@@ -3780,15 +3780,110 @@ def _extra_stem_stages(lang: str) -> list[str]:
         return [pfx, _sfx_case("w", af.IG_SUFFIXES, 3)]
     if lang == "tigrinya":
         return [_sfx_case("w", af.TI_SUFFIXES, 3)]
+    from .analysis import philippine as ph
+    _CONS = ("substr({w}, {i}, 1) BETWEEN 'a' AND 'z' AND "
+             "substr({w}, {i}, 1) NOT IN ('a','e','i','o','u')")
+    infix = ("""CASE WHEN length(w) <= 4 THEN w
+      WHEN w LIKE 'um%' OR w LIKE 'in%' THEN substr(w, 3)
+      WHEN """ + _CONS.format(w="w", i=1) +
+             """ AND length(w) > 5 AND
+           substr(w, 2, 2) IN ('um', 'in')
+      THEN left(w, 1) || substr(w, 4) ELSE w END""")
+    hyphen_redup = """strpos(w, '-') >= 2
+       AND strpos(w, '-') <= length(w) - 1
+       AND left(w, strpos(w, '-') - 1) = substr(w, strpos(w, '-') + 1)"""
+    cvcv = (_CONS.format(w="w", i=1) +
+            " AND substr(w, 2, 1) IN ('a','e','i','o','u') AND "
+            "length(w) >= 4 AND substr(w, 1, 1) = substr(w, 3, 1) "
+            "AND substr(w, 2, 1) = substr(w, 4, 1)")
+    redup = (f"CASE WHEN {hyphen_redup} THEN left(w, strpos(w, '-') - 1) "
+             f"WHEN {cvcv} THEN substr(w, 3) ELSE w END")
+    if lang == "tagalog":
+        contr = ("CASE WHEN length(w) > 2 AND "
+                 "(w LIKE '%''t' OR w LIKE '%''y') "
+                 "THEN left(w, length(w) - 2) ELSE w END")
+        vdup = ("CASE WHEN length(w) > 2 AND "
+                "substr(w, 1, 1) = substr(w, 2, 1) AND "
+                "substr(w, 1, 1) IN ('a','e','i','o','u') "
+                "THEN substr(w, 2) ELSE w END")
+        pparts = []
+        for p in ph.TL_PREFIXES:
+            k = len(p)
+            if p in ("ma", "pa", "ka"):
+                # conditional branch; a failed condition falls through
+                # to LATER prefixes (shorter ones can't match after
+                # these, so CASE fall-through is equivalent)
+                pparts.append(
+                    f"WHEN length(w) > {k + 2} AND w LIKE '{p}%' AND "
+                    + _CONS.format(w="w", i=k + 1) +
+                    f" AND length(w) > {k + 3} THEN substr(w, {k + 1})")
+            else:
+                pparts.append(f"WHEN length(w) > {k + 2} AND "
+                              f"w LIKE '{p}%' THEN substr(w, {k + 1})")
+        pfx = "CASE " + " ".join(pparts) + " ELSE w END"
+        tl_infix = ("""CASE WHEN length(w) <= 3 THEN w
+      WHEN w LIKE 'um%' AND length(w) > 4 THEN substr(w, 3)
+      WHEN w LIKE 'in%' AND length(w) > 4 THEN substr(w, 3)
+      WHEN """ + _CONS.format(w="w", i=1) +
+                    """ AND length(w) > 4 AND
+           substr(w, 2, 2) IN ('um', 'in')
+      THEN left(w, 1) || substr(w, 4) ELSE w END""")
+        sfx = " ".join(
+            f"WHEN length(w) > {len(s) + 2} AND w LIKE '%{s}' "
+            f"THEN left(w, length(w) - {len(s)})"
+            for s in ph.TL_SUFFIXES)
+        return [contr, vdup, pfx, tl_infix, redup,
+                "CASE " + sfx + " ELSE w END"]
+    if lang == "cebuano":
+        contr = ("""CASE WHEN length(w) > 3 AND
+      (w LIKE '%''g' OR w LIKE '%''y')
+      THEN left(w, length(w) - 2)
+      WHEN length(w) > 4 AND w LIKE '%''ng'
+      THEN left(w, length(w) - 3) ELSE w END""")
+        reg = " ".join(
+            f"WHEN length(w) > {len(p) + 3} AND w LIKE '{p}%' "
+            f"THEN substr(w, {len(p) + 1})" for p in ph.CEB_PREFIXES)
+        pfx = f"""CASE
+      WHEN length(w) >= 6 AND (w LIKE 'mang%' OR w LIKE 'pang%')
+        THEN substr(w, 5)
+      WHEN length(w) >= 5 AND (w LIKE 'man%' OR w LIKE 'pan%')
+        THEN 't' || substr(w, 4)
+      WHEN length(w) >= 5 AND (w LIKE 'mam%' OR w LIKE 'pam%')
+        THEN 'p' || substr(w, 4)
+      {reg} ELSE w END"""
+        sfx = "CASE " + " ".join(
+            f"WHEN length(w) > {len(s) + 3} AND w LIKE '%{s}' "
+            f"THEN left(w, length(w) - {len(s)})"
+            for s in ph.CEB_SUFFIXES) + " ELSE w END"
+        return [contr, pfx, infix, redup, sfx, sfx]
+    if lang == "ilocano":
+        pfx = "CASE " + " ".join(
+            f"WHEN length(w) >= {len(p) + 3} AND w LIKE '{p}%' "
+            f"THEN substr(w, {len(p) + 1})"
+            for p in ph.ILO_PREFIXES) + " ELSE w END"
+        triple = ("length(w) >= 6 AND substr(w, 1, 3) = "
+                  "substr(w, 4, 3)")
+        redup3 = (f"CASE WHEN {hyphen_redup} "
+                  f"THEN left(w, strpos(w, '-') - 1) "
+                  f"WHEN {triple} THEN substr(w, 4) "
+                  f"WHEN {cvcv} THEN substr(w, 3) ELSE w END")
+        sfx = "CASE " + " ".join(
+            f"WHEN length(w) > {len(s) + 3} AND w LIKE '%{s}' "
+            f"THEN left(w, length(w) - {len(s)})"
+            for s in ph.ILO_SUFFIXES) + " ELSE w END"
+        return [pfx, infix, redup3, sfx]
     raise KeyError(lang)
 
 
 _EXTRA_REGISTRY = {
-    "hausa": ("african", "HAUSA_STOP_WORDS", "HAUSA_NORM"),
-    "swahili": ("african", "SWAHILI_STOP_WORDS", "SWAHILI_NORM"),
-    "yoruba": ("african", "YORUBA_STOP_WORDS", "YORUBA_NORM"),
-    "igbo": ("african", "IGBO_STOP_WORDS", "IGBO_NORM"),
-    "tigrinya": ("african", "TIGRINYA_STOP_WORDS", "TIGRINYA_NORM"),
+    "hausa": ("african", "HAUSA_STOP_WORDS", "HAUSA_NORM", 3),
+    "swahili": ("african", "SWAHILI_STOP_WORDS", "SWAHILI_NORM", 3),
+    "yoruba": ("african", "YORUBA_STOP_WORDS", "YORUBA_NORM", 3),
+    "igbo": ("african", "IGBO_STOP_WORDS", "IGBO_NORM", 3),
+    "tigrinya": ("african", "TIGRINYA_STOP_WORDS", "TIGRINYA_NORM", 3),
+    "tagalog": ("philippine", "TAGALOG_STOP_WORDS", None, 2),
+    "cebuano": ("philippine", "CEBUANO_STOP_WORDS", None, 3),
+    "ilocano": ("philippine", "ILOCANO_STOP_WORDS", None, 3),
 }
 
 
@@ -3796,12 +3891,16 @@ def extra_preamble(lang: str) -> str:
     """BM25 CTEs for an extra-module simple chain: digit fold →
     normalize translate → stop → guarded stem stages."""
     import importlib
-    mod_name, stop_name, norm_name = _EXTRA_REGISTRY[lang]
+    mod_name, stop_name, norm_name, guard = _EXTRA_REGISTRY[lang]
     mod = importlib.import_module(f".analysis.{mod_name}",
                                   package=__package__)
     stops = _stop_list_sql(getattr(mod, stop_name))
+    if norm_name is None:
+        from .analysis.african import _LATIN_CORE as norm_map
+    else:
+        norm_map = getattr(mod, norm_name)
     norm = _map_translate_sql(_SQL_DIGIT_FOLD.format(col="traw"),
-                              getattr(mod, norm_name))
+                              norm_map)
     stages = _extra_stem_stages(lang)
     ctes, prev = [], "rg"
     for i, expr in enumerate(stages):
@@ -3819,7 +3918,7 @@ rtok0 AS (SELECT doc_id, unnest(toks) AS traw FROM toksrc),
 rtok AS (SELECT doc_id, {norm} AS t0 FROM rtok0),
 rkept AS (SELECT doc_id, t0 FROM rtok WHERE t0 NOT IN ({stops})),
 uniq AS (SELECT DISTINCT t0 FROM rkept),
-rg AS (SELECT t0, length(t0) > 3 AS g, t0 AS w FROM uniq),
+rg AS (SELECT t0, length(t0) > {guard} AS g, t0 AS w FROM uniq),
 {body},
 stems AS (SELECT t0, w AS stem FROM {prev}),
 rterms AS MATERIALIZED (
