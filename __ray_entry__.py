@@ -507,6 +507,14 @@ _LANG_REGISTRY = {
     "tagalog": ("philippine", "TagalogAnalyzer"),
     "cebuano": ("philippine", "CebuanoAnalyzer"),
     "ilocano": ("philippine", "IlocanoAnalyzer"),
+    "assamese": ("indic_extra", "AssameseAnalyzer"),
+    "gujarati": ("indic_extra", "GujaratiAnalyzer"),
+    "kannada": ("indic_extra", "KannadaAnalyzer"),
+    "malayalam": ("indic_extra", "MalayalamAnalyzer"),
+    "marathi": ("indic_extra", "MarathiAnalyzer"),
+    "odia": ("indic_extra", "OdiaAnalyzer"),
+    "punjabi": ("indic_extra", "PunjabiAnalyzer"),
+    "sinhala": ("indic_extra", "SinhalaAnalyzer"),
 }
 
 
@@ -1131,6 +1139,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_tagalog_top10": lambda sf: _lang_topk(sf, "tagalog"),
         "bm25_cebuano_top10": lambda sf: _lang_topk(sf, "cebuano"),
         "bm25_ilocano_top10": lambda sf: _lang_topk(sf, "ilocano"),
+        "bm25_assamese_top10": lambda sf: _lang_topk(sf, "assamese"),
+        "bm25_gujarati_top10": lambda sf: _lang_topk(sf, "gujarati"),
+        "bm25_kannada_top10": lambda sf: _lang_topk(sf, "kannada"),
+        "bm25_malayalam_top10": lambda sf: _lang_topk(sf, "malayalam"),
+        "bm25_marathi_top10": lambda sf: _lang_topk(sf, "marathi"),
+        "bm25_odia_top10": lambda sf: _lang_topk(sf, "odia"),
+        "bm25_punjabi_top10": lambda sf: _lang_topk(sf, "punjabi"),
+        "bm25_sinhala_top10": lambda sf: _lang_topk(sf, "sinhala"),
         "bm25_french_top10": _french_topk,
         "cjk_bigram_counts": textstats.cjk_bigram_counts,
         "ascii_fold_tokens": textstats.ascii_fold_tokens,
@@ -1384,6 +1400,22 @@ def oracle_sql() -> dict[str, str]:
             "cebuano", _lang_query_term("cebuano")),
         "bm25_ilocano_top10": oracle.bm25_extra_topk(
             "ilocano", _lang_query_term("ilocano")),
+        "bm25_assamese_top10": oracle.bm25_indic_extra_topk(
+            "as", _lang_query_term("assamese")),
+        "bm25_gujarati_top10": oracle.bm25_indic_extra_topk(
+            "gu", _lang_query_term("gujarati")),
+        "bm25_kannada_top10": oracle.bm25_indic_extra_topk(
+            "kn", _lang_query_term("kannada")),
+        "bm25_malayalam_top10": oracle.bm25_indic_extra_topk(
+            "ml", _lang_query_term("malayalam")),
+        "bm25_marathi_top10": oracle.bm25_indic_extra_topk(
+            "mr", _lang_query_term("marathi")),
+        "bm25_odia_top10": oracle.bm25_indic_extra_topk(
+            "or", _lang_query_term("odia")),
+        "bm25_punjabi_top10": oracle.bm25_indic_extra_topk(
+            "pa", _lang_query_term("punjabi")),
+        "bm25_sinhala_top10": oracle.bm25_indic_extra_topk(
+            "si", _lang_query_term("sinhala")),
         "cjk_bigram_counts": oracle.cjk_bigram_counts(),
         "ascii_fold_tokens": oracle.ascii_fold_tokens(),
         "word_delimiter_tokens": oracle.word_delimiter_tokens(),

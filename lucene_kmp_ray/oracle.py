@@ -2069,8 +2069,23 @@ ORDER BY s.score DESC, s.doc_id LIMIT {k}
 # DecimalDigitFilter mirror for the digit scripts that could plausibly
 # appear with these analyzers (Arabic-Indic, Extended Arabic-Indic,
 # Devanagari); the Python side folds every Unicode Nd.
-_SQL_DIGIT_FOLD = ("translate({col}, '٠١٢٣٤٥٦٧٨٩۰۱۲۳۴۵۶۷۸۹०१२३४५६७८९', "
-                   "'012345678901234567890123456789')")
+def _digit_fold_tables() -> tuple[str, str]:
+    """All BMP Nd digits → ASCII (generated from unicodedata, the same
+    source as analysis.arabic.fold_digits)."""
+    import unicodedata
+    frm, to = [], []
+    for cp in range(0x10000):
+        c = chr(cp)
+        if c.isascii():
+            continue
+        if unicodedata.category(c) == "Nd":
+            frm.append(c)
+            to.append(chr(48 + unicodedata.decimal(c)))
+    return "".join(frm), "".join(to)
+
+
+_DF_FROM, _DF_TO = _digit_fold_tables()
+_SQL_DIGIT_FOLD = "translate({col}, '" + _DF_FROM + "', '" + _DF_TO + "')"
 
 
 def _ar_norm_sql(col: str) -> str:
@@ -3928,6 +3943,125 @@ rterms AS MATERIALIZED (
 
 def bm25_extra_topk(lang: str, stemmed_term: str, k: int = 10) -> str:
     pre = extra_preamble(lang).replace("__LT_VALUES__", _lt_values())
+    lit = f"'{stemmed_term}'"
+    return pre + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
+# ------------------------------------ Indic extra languages ---------------
+# per-language: (translate map incl. deletes, colon-visarga block or
+# None, stem kind).  The ':' rule is a single-pass regex — exact for
+# tokenizer output, whose MidLetter grammar admits only single colons.
+_ZWS = {"‌": None, "‍": None}
+
+
+def _indic_extra_norm_sql(col: str, lang: str) -> str:
+    maps = {
+        "as": ({"৷": "।", "র": "ৰ"} | _ZWS,
+               (0x0980, 0x09FF, "ঃ")),
+        "gu": ({"૤": "।", "૥": "॥"},
+               (0x0A80, 0x0AFF, "ઃ")),
+        "kn": ({"೤": "।", "೥": "॥"} | _ZWS,
+               (0x0C80, 0x0CFF, "ಃ")),
+        "ml": ({"൤": "।", "൥": "॥"} | _ZWS,
+               None),
+        "or": ({"୤": "।", "୥": "॥"} | _ZWS,
+               (0x0B00, 0x0B7F, "ଃ")),
+        "pa": ({"੤": "।", "੥": "॥",
+                "ਁ": "ਂ", "੍": None} | _ZWS,
+               None),
+        "si": ({"෴": "।"} | _ZWS, None),
+    }
+    mp, colon = maps[lang]
+    e = _map_translate_sql(col, mp)
+    if colon:
+        lo, hi, vis = colon
+        e = (f"regexp_replace({e}, "
+             f"'([\\x{{{lo:04X}}}-\\x{{{hi:04X}}}]):', "
+             f"'\\1{vis}', 'g')")
+    return e
+
+
+def _mr_norm_sql(col: str) -> str:
+    """MarathiNormalizer: न्→ं on ORIGINAL adjacency, then the
+    nukta/ZW/virama deletes, then the single-char fold table."""
+    from .analysis.indic_extra import _MR_TRANS
+    mp = {chr(k): v for k, v in _MR_TRANS.items()}
+    mp |= {"़": None, "्": None} | _ZWS
+    return _map_translate_sql(
+        f"replace({col}, 'न्', 'ं')", mp)
+
+
+def _indic_extra_stem_sql(lang: str) -> str:
+    """One guarded CASE over w — GENERATED from indic_extra tables."""
+    from .analysis import indic_extra as ie
+    if lang == "pa":
+        parts = []
+        for match, strip, add in ie.PA_RULES:
+            res = f"left(w, length(w) - {len(strip)}) || '{add}'" \
+                if add else f"left(w, length(w) - {len(strip)})"
+            parts.append(
+                f"WHEN length(w) > {len(match) + 1} AND "
+                f"w LIKE '%{match}' THEN "
+                f"(CASE WHEN length({res}) < 2 THEN w ELSE {res} END)")
+        case = "CASE " + " ".join(parts) + " ELSE w END"
+        return f"CASE WHEN length(w) <= 2 THEN w ELSE ({case}) END"
+    if lang == "mr":
+        parts = []
+        for min_len, suffixes, drop in ie.MR_TIERS:
+            ors = " OR ".join(f"w LIKE '%{s}'" for s in suffixes)
+            parts.append(f"WHEN length(w) > {min_len} AND ({ors}) "
+                         f"THEN left(w, length(w) - {drop})")
+        return "CASE " + " ".join(parts) + " ELSE w END"
+    table = {"as": ie.AS_SUFFIXES, "gu": ie.GU_SUFFIXES,
+             "kn": ie.KN_SUFFIXES, "ml": ie.ML_SUFFIXES,
+             "or": ie.OR_SUFFIXES, "si": ie.SI_SUFFIXES}[lang]
+    parts = [f"WHEN length(w) >= {len(s) + 2} AND w LIKE '%{s}' "
+             f"THEN left(w, length(w) - {len(s)})" for s in table]
+    case = "CASE " + " ".join(parts) + " ELSE w END"
+    return f"CASE WHEN length(w) <= 2 THEN w ELSE ({case}) END"
+
+
+_INDIC_EXTRA_STOPS = {
+    "as": "ASSAMESE_STOP_WORDS", "gu": "GUJARATI_STOP_WORDS",
+    "kn": "KANNADA_STOP_WORDS", "ml": "MALAYALAM_STOP_WORDS",
+    "mr": "MARATHI_STOP_WORDS", "or": "ODIA_STOP_WORDS",
+    "pa": "PUNJABI_STOP_WORDS", "si": "SINHALA_STOP_WORDS",
+}
+
+
+def indic_extra_preamble(lang: str) -> str:
+    from .analysis import indic_extra as ie
+    stops = _stop_list_sql(getattr(ie, _INDIC_EXTRA_STOPS[lang]))
+    digit = _SQL_DIGIT_FOLD.format(col="traw")
+    composed = _indic_compose_sql(digit)
+    norm = (_mr_norm_sql(composed) if lang == "mr"
+            else _indic_extra_norm_sql(composed, lang))
+    stem = _indic_extra_stem_sql(lang)
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, url, {sql_tokens_expr('text')} AS toks FROM corpus
+),
+rtok0 AS (SELECT doc_id, unnest(toks) AS traw FROM toksrc),
+rtok AS (SELECT doc_id, {norm} AS t0 FROM rtok0),
+rkept AS (SELECT doc_id, t0 FROM rtok WHERE t0 NOT IN ({stops})),
+uniq AS (SELECT DISTINCT t0 FROM rkept),
+stems AS (SELECT t0, {stem} AS stem
+          FROM (SELECT t0, t0 AS w FROM uniq)),
+rterms AS MATERIALIZED (
+  SELECT k.doc_id, s.stem AS term FROM rkept k JOIN stems s USING (t0)),
+{_BM25_TAIL}"""
+
+
+def bm25_indic_extra_topk(lang: str, stemmed_term: str,
+                          k: int = 10) -> str:
+    pre = indic_extra_preamble(lang).replace("__LT_VALUES__",
+                                             _lt_values())
     lit = f"'{stemmed_term}'"
     return pre + f""",
 scored AS ({term_scored_cte(lit)})
