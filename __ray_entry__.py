@@ -515,6 +515,9 @@ _LANG_REGISTRY = {
     "odia": ("indic_extra", "OdiaAnalyzer"),
     "punjabi": ("indic_extra", "PunjabiAnalyzer"),
     "sinhala": ("indic_extra", "SinhalaAnalyzer"),
+    "javanese": ("sea", "JavaneseAnalyzer"),
+    "sundanese": ("sea", "SundaneseAnalyzer"),
+    "malay": ("sea", "MalayAnalyzer"),
 }
 
 
@@ -1147,6 +1150,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_odia_top10": lambda sf: _lang_topk(sf, "odia"),
         "bm25_punjabi_top10": lambda sf: _lang_topk(sf, "punjabi"),
         "bm25_sinhala_top10": lambda sf: _lang_topk(sf, "sinhala"),
+        "bm25_javanese_top10": lambda sf: _lang_topk(sf, "javanese"),
+        "bm25_sundanese_top10": lambda sf: _lang_topk(sf, "sundanese"),
+        "bm25_malay_top10": lambda sf: _lang_topk(sf, "malay"),
         "bm25_french_top10": _french_topk,
         "cjk_bigram_counts": textstats.cjk_bigram_counts,
         "ascii_fold_tokens": textstats.ascii_fold_tokens,
@@ -1416,6 +1422,12 @@ def oracle_sql() -> dict[str, str]:
             "pa", _lang_query_term("punjabi")),
         "bm25_sinhala_top10": oracle.bm25_indic_extra_topk(
             "si", _lang_query_term("sinhala")),
+        "bm25_javanese_top10": oracle.bm25_extra_topk(
+            "javanese", _lang_query_term("javanese")),
+        "bm25_sundanese_top10": oracle.bm25_extra_topk(
+            "sundanese", _lang_query_term("sundanese")),
+        "bm25_malay_top10": oracle.bm25_malay_topk(
+            _lang_query_term("malay")),
         "cjk_bigram_counts": oracle.cjk_bigram_counts(),
         "ascii_fold_tokens": oracle.ascii_fold_tokens(),
         "word_delimiter_tokens": oracle.word_delimiter_tokens(),

@@ -3871,6 +3871,25 @@ def _extra_stem_stages(lang: str) -> list[str]:
             f"THEN left(w, length(w) - {len(s)})"
             for s in ph.CEB_SUFFIXES) + " ELSE w END"
         return [contr, pfx, infix, redup, sfx, sfx]
+    from .analysis import sea
+    nasal = """CASE
+      WHEN length(w) >= 5 AND w LIKE 'ny%' THEN 's' || substr(w, 3)
+      WHEN length(w) >= 5 AND w LIKE 'ng%' THEN substr(w, 3)
+      WHEN length(w) > 4 AND w LIKE 'n%' THEN 't' || substr(w, 2)
+      WHEN length(w) > 4 AND w LIKE 'm%' THEN 'p' || substr(w, 2)"""
+    if lang == "javanese":
+        reg = " ".join(
+            f"WHEN length(w) > {len(p) + 3} AND w LIKE '{p}%' "
+            f"THEN substr(w, {len(p) + 1})" for p in sea.JV_PREFIXES)
+        sfx = _sfx_case("w", sea.JV_SUFFIXES, 3)
+        return [f"{nasal} {reg} ELSE w END", sfx, sfx]
+    if lang == "sundanese":
+        reg = " ".join(
+            f"WHEN length(w) > {len(p) + 3} AND w LIKE '{p}%' "
+            f"THEN substr(w, {len(p) + 1})" for p in sea.SU_PREFIXES)
+        nasal_tail = nasal.split("CASE\n", 1)[1]
+        return [f"CASE {reg}\n{nasal_tail} ELSE w END",
+                _sfx_case("w", sea.SU_SUFFIXES, 3)]
     if lang == "ilocano":
         pfx = "CASE " + " ".join(
             f"WHEN length(w) >= {len(p) + 3} AND w LIKE '{p}%' "
@@ -3899,6 +3918,8 @@ _EXTRA_REGISTRY = {
     "tagalog": ("philippine", "TAGALOG_STOP_WORDS", None, 2),
     "cebuano": ("philippine", "CEBUANO_STOP_WORDS", None, 3),
     "ilocano": ("philippine", "ILOCANO_STOP_WORDS", None, 3),
+    "javanese": ("sea", "JAVANESE_STOP_WORDS", None, 3),
+    "sundanese": ("sea", "SUNDANESE_STOP_WORDS", None, 3),
 }
 
 
@@ -4062,6 +4083,150 @@ def bm25_indic_extra_topk(lang: str, stemmed_term: str,
                           k: int = 10) -> str:
     pre = indic_extra_preamble(lang).replace("__LT_VALUES__",
                                              _lt_values())
+    lit = f"'{stemmed_term}'"
+    return pre + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
+# ----------------------------------------------------- Malay --------------
+def _ms_stem_ctes() -> str:
+    """MalayStemmer: syllable-counted particle/possessive strips, then
+    the flag-gated first-order-prefix → suffix → second-order-prefix
+    control flow — GENERATED structure mirror of analysis/sea.py."""
+    V = "('a','e','i','o','u')"
+    KE, PENG, DI, MENG, TER, BER, PE = 1, 2, 4, 8, 16, 32, 64
+
+    fo_rows = [
+        ("w LIKE 'meng%'", "substr(w, 5)", MENG),
+        (f"w LIKE 'meny%' AND length(w) > 4 AND substr(w, 5, 1) IN {V}",
+         "'s' || substr(w, 5)", MENG),
+        (f"w LIKE 'men%' AND length(w) > 3 AND substr(w, 4, 1) IN {V}",
+         "'t' || substr(w, 4)", MENG),
+        ("w LIKE 'men%'", "substr(w, 4)", MENG),
+        (f"w LIKE 'mem%' AND length(w) > 3 AND substr(w, 4, 1) IN {V}",
+         "'p' || substr(w, 4)", MENG),
+        ("w LIKE 'mem%'", "substr(w, 4)", MENG),
+        ("w LIKE 'me%'", "substr(w, 3)", MENG),
+        ("w LIKE 'peng%'", "substr(w, 5)", PENG),
+        (f"w LIKE 'peny%' AND length(w) > 4 AND substr(w, 5, 1) IN {V}",
+         "'s' || substr(w, 5)", PENG),
+        ("w LIKE 'peny%'", "substr(w, 5)", PENG),
+        (f"w LIKE 'pen%' AND length(w) > 3 AND substr(w, 4, 1) IN {V}",
+         "'t' || substr(w, 4)", PENG),
+        ("w LIKE 'pen%'", "substr(w, 4)", PENG),
+        (f"w LIKE 'pem%' AND length(w) > 3 AND substr(w, 4, 1) IN {V}",
+         "'p' || substr(w, 4)", PENG),
+        ("w LIKE 'pem%'", "substr(w, 4)", PENG),
+        ("w LIKE 'di%'", "substr(w, 3)", DI),
+        ("w LIKE 'ter%'", "substr(w, 4)", TER),
+        ("w LIKE 'ke%'", "substr(w, 3)", KE),
+    ]
+    fo_w = "CASE " + " ".join(f"WHEN {c} THEN {e}"
+                              for c, e, _ in fo_rows) + " ELSE w END"
+    fo_f = "CASE " + " ".join(f"WHEN {c} THEN {f}"
+                              for c, _, f in fo_rows) + " ELSE 0 END"
+
+    so_rows = [
+        ("w LIKE 'ber%'", "substr(w, 4)", BER),
+        ("w = 'belajar'", "substr(w, 4)", BER),
+        (f"length(w) > 4 AND w LIKE 'be%' AND "
+         f"substr(w, 3, 1) NOT IN {V} AND substr(w, 4, 1) = 'e' AND "
+         f"substr(w, 5, 1) = 'r'", "substr(w, 3)", BER),
+        ("w LIKE 'per%'", "substr(w, 4)", 0),
+        ("w = 'pelajar'", "substr(w, 4)", 0),
+        ("w LIKE 'pe%'", "substr(w, 3)", PE),
+    ]
+    so_w = "CASE " + " ".join(f"WHEN {c} THEN {e}"
+                              for c, e, _ in so_rows) + " ELSE w END"
+    so_f = "CASE " + " ".join(f"WHEN {c} THEN {f}"
+                              for c, _, f in so_rows) + " ELSE 0 END"
+
+    def suf_w(fl):
+        return f"""CASE
+      WHEN w LIKE '%kan' AND ({fl} & {KE | PENG | PE}) = 0
+        THEN left(w, length(w) - 3)
+      WHEN w LIKE '%an' AND ({fl} & {DI | MENG | TER}) = 0
+        THEN left(w, length(w) - 2)
+      WHEN w LIKE '%i' AND w NOT LIKE '%si' AND
+           ({fl} & {BER | KE | PENG}) = 0
+        THEN left(w, length(w) - 1)
+      ELSE w END"""
+
+    def suf_hit(fl):
+        return f"""((w LIKE '%kan' AND ({fl} & {KE | PENG | PE}) = 0)
+      OR (w LIKE '%an' AND ({fl} & {DI | MENG | TER}) = 0)
+      OR (w LIKE '%i' AND w NOT LIKE '%si' AND
+          ({fl} & {BER | KE | PENG}) = 0))"""
+
+    return f"""uniq AS (SELECT DISTINCT t0 FROM rkept),
+m0 AS (SELECT t0, length(t0) > 3 AS g, t0 AS w,
+         length(t0) - length(replace(replace(replace(replace(replace(
+           t0, 'a', ''), 'e', ''), 'i', ''), 'o', ''), 'u', '')) AS ns
+       FROM uniq),
+m1 AS (SELECT t0, g,
+    CASE WHEN g AND ns > 2 AND (w LIKE '%kah' OR w LIKE '%lah'
+      OR w LIKE '%pun') THEN left(w, length(w) - 3) ELSE w END AS w,
+    CASE WHEN g AND ns > 2 AND (w LIKE '%kah' OR w LIKE '%lah'
+      OR w LIKE '%pun') THEN ns - 1 ELSE ns END AS ns FROM m0),
+m2 AS (SELECT t0, g,
+    CASE WHEN g AND ns > 2 AND (w LIKE '%ku' OR w LIKE '%mu')
+      THEN left(w, length(w) - 2)
+      WHEN g AND ns > 2 AND w LIKE '%nya'
+      THEN left(w, length(w) - 3) ELSE w END AS w,
+    CASE WHEN g AND ns > 2 AND (w LIKE '%ku' OR w LIKE '%mu'
+      OR w LIKE '%nya') THEN ns - 1 ELSE ns END AS ns FROM m1),
+m3 AS (SELECT t0, g,
+    CASE WHEN g AND ns > 2 THEN {fo_w} ELSE w END AS w,
+    CASE WHEN g AND ns > 2 THEN {fo_f} ELSE 0 END AS fl,
+    CASE WHEN g AND ns > 2 AND ({fo_f}) <> 0 THEN ns - 1 ELSE ns
+    END AS ns,
+    g AND ns > 2 AND ({fo_f}) <> 0 AS foch FROM m2),
+m4 AS (SELECT t0, g, fl, foch,
+    CASE WHEN foch AND ns > 2 THEN {suf_w('fl')}
+         WHEN NOT foch AND g AND ns > 2 THEN {so_w}
+         ELSE w END AS w,
+    CASE WHEN foch AND ns > 2 AND {suf_hit('fl')} THEN ns - 1
+         WHEN NOT foch AND g AND ns > 2 AND ({so_f}) <> 0 OR
+              (NOT foch AND g AND ns > 2 AND
+               (w LIKE 'per%' OR w = 'pelajar')) THEN ns - 1
+         ELSE ns END AS ns,
+    CASE WHEN foch AND ns > 2 AND {suf_hit('fl')} THEN TRUE
+         ELSE FALSE END AS sufch,
+    CASE WHEN NOT foch AND g AND ns > 2 THEN fl | ({so_f})
+         ELSE fl END AS fl2 FROM m3),
+m5 AS (SELECT t0,
+    CASE WHEN foch AND sufch AND ns > 2 THEN {so_w}
+         WHEN NOT foch AND g AND ns > 2 THEN {suf_w('fl2')}
+         ELSE w END AS stem FROM m4),
+stems AS (SELECT t0, stem FROM m5),
+rterms AS MATERIALIZED (
+  SELECT k.doc_id, s.stem AS term FROM rkept k JOIN stems s USING (t0))"""
+
+
+def malay_preamble() -> str:
+    from .analysis.sea import MALAY_STOP_WORDS
+    stops = _stop_list_sql(MALAY_STOP_WORDS)
+    from .analysis.african import _LATIN_CORE
+    norm = _map_translate_sql(_SQL_DIGIT_FOLD.format(col="traw"),
+                              _LATIN_CORE)
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, url, {sql_tokens_expr('text')} AS toks FROM corpus
+),
+rtok0 AS (SELECT doc_id, unnest(toks) AS traw FROM toksrc),
+rtok AS (SELECT doc_id, {norm} AS t0 FROM rtok0),
+rkept AS (SELECT doc_id, t0 FROM rtok WHERE t0 NOT IN ({stops})),
+{_ms_stem_ctes()},
+{_BM25_TAIL}"""
+
+
+def bm25_malay_topk(stemmed_term: str, k: int = 10) -> str:
+    pre = malay_preamble().replace("__LT_VALUES__", _lt_values())
     lit = f"'{stemmed_term}'"
     return pre + f""",
 scored AS ({term_scored_cte(lit)})
