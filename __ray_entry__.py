@@ -518,6 +518,10 @@ _LANG_REGISTRY = {
     "javanese": ("sea", "JavaneseAnalyzer"),
     "sundanese": ("sea", "SundaneseAnalyzer"),
     "malay": ("sea", "MalayAnalyzer"),
+    "belarusian": ("extra_misc", "BelarusianAnalyzer"),
+    "haitian": ("extra_misc", "HaitianAnalyzer"),
+    "uzbek": ("extra_misc", "UzbekAnalyzer"),
+    "urdu": ("extra_misc", "UrduAnalyzer"),
 }
 
 
@@ -1153,6 +1157,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_javanese_top10": lambda sf: _lang_topk(sf, "javanese"),
         "bm25_sundanese_top10": lambda sf: _lang_topk(sf, "sundanese"),
         "bm25_malay_top10": lambda sf: _lang_topk(sf, "malay"),
+        "bm25_belarusian_top10": lambda sf: _lang_topk(sf, "belarusian"),
+        "bm25_haitian_top10": lambda sf: _lang_topk(sf, "haitian"),
+        "bm25_uzbek_top10": lambda sf: _lang_topk(sf, "uzbek"),
+        "bm25_urdu_top10": lambda sf: _lang_topk(sf, "urdu"),
         "bm25_french_top10": _french_topk,
         "cjk_bigram_counts": textstats.cjk_bigram_counts,
         "ascii_fold_tokens": textstats.ascii_fold_tokens,
@@ -1428,6 +1436,14 @@ def oracle_sql() -> dict[str, str]:
             "sundanese", _lang_query_term("sundanese")),
         "bm25_malay_top10": oracle.bm25_malay_topk(
             _lang_query_term("malay")),
+        "bm25_belarusian_top10": oracle.bm25_misc_extra_topk(
+            "be", _lang_query_term("belarusian")),
+        "bm25_haitian_top10": oracle.bm25_misc_extra_topk(
+            "ht", _lang_query_term("haitian")),
+        "bm25_uzbek_top10": oracle.bm25_misc_extra_topk(
+            "uz", _lang_query_term("uzbek")),
+        "bm25_urdu_top10": oracle.bm25_misc_extra_topk(
+            "ur", _lang_query_term("urdu")),
         "cjk_bigram_counts": oracle.cjk_bigram_counts(),
         "ascii_fold_tokens": oracle.ascii_fold_tokens(),
         "word_delimiter_tokens": oracle.word_delimiter_tokens(),

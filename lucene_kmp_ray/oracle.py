@@ -4236,6 +4236,151 @@ ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
 
 
+# -------------------------- Belarusian / Haitian / Uzbek / Urdu -----------
+def _misc_extra_sql(lang: str) -> tuple[str, str]:
+    """(normalize expr over traw, stem expr over w) — GENERATED from
+    analysis/extra_misc.py."""
+    from .analysis import extra_misc as em
+    from .analysis.african import _LATIN_CORE
+    digit = _SQL_DIGIT_FOLD.format(col="traw")
+    if lang == "be":
+        u_breve = "\u0443\u0306"
+        e_diaer = "\u0435\u0308"
+        e = (f"replace(replace({digit}, '{u_breve}', '\u045e'), "
+             f"'{e_diaer}', '\u0451')")
+        norm = _map_translate_sql(e, {"и": "і", **{c: "'" for c in "’‘‛ʹʼ`´"},
+                                      **{c: "-" for c in "‐‑‒–—―"}})
+        parts = [f"WHEN length(w) >= {len(s) + 4} AND w LIKE '%{s}' "
+                 f"THEN left(w, length(w) - {len(s)})"
+                 for s in em.BE_SUFFIXES]
+        stem = ("CASE WHEN length(w) <= 4 THEN w ELSE (CASE "
+                + " ".join(parts) + " ELSE w END) END")
+        return norm, stem
+    if lang == "ht":
+        t = _map_translate_sql(digit, dict(_LATIN_CORE))
+        # apostrophes in clitics need SQL escaping; build explicitly
+        pparts = [f"WHEN length(x) > {len(p) + 1} AND "
+                  f"x LIKE '{p.replace(chr(39), chr(39)*2)}%' "
+                  f"THEN substr(x, {len(p) + 1})"
+                  for p in em.HT_PREFIX_CLITICS]
+        sparts = [f"WHEN length(x) > {len(s) + 1} AND "
+                  f"x LIKE '%{s.replace(chr(39), chr(39)*2)}' "
+                  f"THEN left(x, length(x) - {len(s)})"
+                  for s in em.HT_SUFFIX_CLITICS]
+        clitic = ("CASE " + " ".join(pparts + sparts) + " ELSE x END") \
+            .replace("x", "(" + t + ")")
+        stem = ("CASE WHEN length(w) > 6 AND w LIKE '%man' "
+                "THEN left(w, length(w) - 3) ELSE w END")
+        stem = f"CASE WHEN length(w) <= 4 THEN w ELSE ({stem}) END"
+        return clitic, stem
+    if lang == "uz":
+        norm = _map_translate_sql(digit, em._UZ_MAP)
+        one = "CASE " + " ".join(
+            f"WHEN length(w) >= {len(s) + 2} AND w LIKE '%{s}' "
+            f"THEN left(w, length(w) - {len(s)})"
+            for s in em.UZ_SUFFIXES) + " ELSE w END"
+        return norm, one   # MAX_STRIPS=3 unrolled in the preamble
+    if lang == "ur":
+        e = digit
+        for pair, res in em.UR_COMBOS.items():
+            e = f"replace({e}, '{pair}', '{res}')"
+        multi = {v: t for v, t in em.UR_CHAR_MAP.items()
+                 if len(t) > 1}
+        single = {v: t for v, t in em.UR_CHAR_MAP.items()
+                  if len(t) <= 1}
+        for v, t in multi.items():
+            e = f"replace({e}, '{v}', '{t}')"
+        dele = {c: None for c in em.UR_DIACRITICS}
+        norm = _map_translate_sql(
+            e, {**{k: (v or None) for k, v in single.items()}, **dele})
+        pfx = "CASE " + " ".join(
+            f"WHEN length(w) > {len(p) + 2} AND w LIKE '{p}%' "
+            f"THEN substr(w, {len(p) + 1})"
+            for p in em.UR_PREFIXES) + " ELSE w END"
+        r3 = "".join(sorted(em.UR_RULE3))
+        r2 = "".join(sorted(em.UR_RULE2))
+        infix = f"""CASE
+      WHEN w LIKE 'ا%' AND length(w) = 5 AND substr(w, 2, 1) = 'ت'
+        THEN translate(w, '{r3}', '')
+      WHEN w LIKE 'ا%' AND length(w) = 5
+        THEN replace(w, 'ا', '')
+      WHEN w LIKE 'ا%' AND length(w) > 5
+        THEN translate(w, '{r2}', '')
+      WHEN length(w) = 5 AND w LIKE 'م%' AND
+           substr(w, 4, 1) = 'و'
+        THEN replace(replace(w, 'م', ''), 'و', '')
+      ELSE w END"""
+        sfx = "CASE " + " ".join(
+            f"WHEN length(w) > {len(s) + 2} AND w LIKE '%{s}' "
+            f"THEN left(w, length(w) - {len(s)})"
+            for s in em.UR_SUFFIXES) + " ELSE w END"
+        return norm, f"__UR_STAGES__{pfx}|||{infix}|||{sfx}"
+    raise KeyError(lang)
+
+
+def misc_extra_preamble(lang: str) -> str:
+    from .analysis import extra_misc as em
+    stops_map = {"be": em.BELARUSIAN_STOP_WORDS,
+                 "ht": em.HAITIAN_STOP_WORDS,
+                 "uz": em.UZBEK_STOP_WORDS,
+                 "ur": em.URDU_STOP_WORDS}
+    stops = _stop_list_sql(stops_map[lang])
+    norm, stem = _misc_extra_sql(lang)
+    if lang == "uz":
+        stem_ctes = """uniq AS (SELECT DISTINCT t0 FROM rkept),
+u0 AS (SELECT t0, CASE WHEN length(t0) <= 2 THEN NULL ELSE t0 END
+       AS w FROM uniq),
+u1 AS (SELECT t0, CASE WHEN w IS NULL THEN NULL ELSE (__ONE__)
+       END AS w FROM u0),
+u2 AS (SELECT t0, CASE WHEN w IS NULL THEN NULL ELSE (__ONE__)
+       END AS w FROM u1),
+u3 AS (SELECT t0, CASE WHEN w IS NULL THEN NULL ELSE (__ONE__)
+       END AS w FROM u2),
+stems AS (SELECT t0, coalesce(w, t0) AS stem FROM u3)""" \
+            .replace("__ONE__", stem)
+    elif lang == "ur":
+        pfx, infix, sfx = stem.removeprefix("__UR_STAGES__").split("|||")
+        stem_ctes = f"""uniq AS (SELECT DISTINCT t0 FROM rkept),
+u0 AS (SELECT t0, CASE WHEN length(t0) <= 3 THEN NULL ELSE t0 END
+       AS w FROM uniq),
+u1 AS (SELECT t0, CASE WHEN w IS NULL THEN NULL ELSE ({pfx}) END
+       AS w FROM u0),
+u2 AS (SELECT t0, CASE WHEN w IS NULL THEN NULL ELSE ({infix}) END
+       AS w FROM u1),
+u3 AS (SELECT t0, CASE WHEN w IS NULL THEN NULL ELSE ({sfx}) END
+       AS w FROM u2),
+stems AS (SELECT t0, coalesce(w, t0) AS stem FROM u3)"""
+    else:
+        stem_ctes = f"""uniq AS (SELECT DISTINCT t0 FROM rkept),
+stems AS (SELECT t0, {stem} AS stem
+          FROM (SELECT t0, t0 AS w FROM uniq))"""
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, url, {sql_tokens_expr('text')} AS toks FROM corpus
+),
+rtok0 AS (SELECT doc_id, unnest(toks) AS traw FROM toksrc),
+rtok AS (SELECT doc_id, {norm} AS t0 FROM rtok0),
+rkept AS (SELECT doc_id, t0 FROM rtok WHERE t0 NOT IN ({stops})),
+{stem_ctes},
+rterms AS MATERIALIZED (
+  SELECT k.doc_id, s.stem AS term FROM rkept k JOIN stems s USING (t0)),
+{_BM25_TAIL}"""
+
+
+def bm25_misc_extra_topk(lang: str, stemmed_term: str,
+                         k: int = 10) -> str:
+    pre = misc_extra_preamble(lang).replace("__LT_VALUES__",
+                                            _lt_values())
+    lit = f"'{stemmed_term}'"
+    return pre + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
 # ------------------------------------- Bengali / Telugu -------------------
 def _tier_stem_sql(tiers, col: str = "t0") -> str:
     branches = []
