@@ -522,6 +522,7 @@ _LANG_REGISTRY = {
     "haitian": ("extra_misc", "HaitianAnalyzer"),
     "uzbek": ("extra_misc", "UzbekAnalyzer"),
     "urdu": ("extra_misc", "UrduAnalyzer"),
+    "burmese": ("burmese", "BurmeseAnalyzer"),
 }
 
 
@@ -1161,6 +1162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_haitian_top10": lambda sf: _lang_topk(sf, "haitian"),
         "bm25_uzbek_top10": lambda sf: _lang_topk(sf, "uzbek"),
         "bm25_urdu_top10": lambda sf: _lang_topk(sf, "urdu"),
+        "bm25_burmese_top10": lambda sf: _lang_topk(sf, "burmese"),
         "bm25_french_top10": _french_topk,
         "cjk_bigram_counts": textstats.cjk_bigram_counts,
         "ascii_fold_tokens": textstats.ascii_fold_tokens,
@@ -1444,6 +1446,8 @@ def oracle_sql() -> dict[str, str]:
             "uz", _lang_query_term("uzbek")),
         "bm25_urdu_top10": oracle.bm25_misc_extra_topk(
             "ur", _lang_query_term("urdu")),
+        "bm25_burmese_top10": oracle.bm25_burmese_topk(
+            _lang_query_term("burmese")),
         "cjk_bigram_counts": oracle.cjk_bigram_counts(),
         "ascii_fold_tokens": oracle.ascii_fold_tokens(),
         "word_delimiter_tokens": oracle.word_delimiter_tokens(),

@@ -4381,6 +4381,113 @@ ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
 
 
+# --------------------------------------------------- Burmese --------------
+def _my_token_pattern() -> str:
+    """BurmeseTokenizer as one RE2 pattern: Myanmar digit runs |
+    particles (longest-first) | syllables (ordered alternation
+    ``virama+base | base+asat | non-base`` encodes the break rule) |
+    letter/digit runs that START outside Myanmar (the reference's
+    Latin-absorbs-Myanmar quirk kept by the `\\pL\\p{Nd}*` tail)."""
+    from .analysis.burmese import (_MY_BASE, _MY_DIGITS, _MY_RANGES,
+                                   BURMESE_PARTICLES)
+
+    def cls(ranges):
+        return "".join(f"\\x{{{a:04X}}}-\\x{{{b:04X}}}" if b > a
+                       else f"\\x{{{a:04X}}}" for a, b in ranges)
+
+    M, D, B = cls(_MY_RANGES), cls(_MY_DIGITS), cls(_MY_BASE)
+    V, A = "\\x{1039}", "\\x{103A}"
+    # non-base Myanmar chars: M minus B — enumerate the complement
+    base_set = set()
+    for a, b in _MY_BASE:
+        base_set.update(range(a, b + 1))
+    nb_ranges, lo, prev = [], None, None
+    for a, b in _MY_RANGES:
+        for cp in range(a, b + 1):
+            if cp in base_set:
+                if lo is not None:
+                    nb_ranges.append((lo, prev))
+                    lo = None
+                continue
+            if lo is None:
+                lo = cp
+            prev = cp
+        if lo is not None:
+            nb_ranges.append((lo, prev))
+            lo = None
+    NB = cls(nb_ranges)
+    particles = "|".join(sorted(BURMESE_PARTICLES, key=len,
+                                reverse=True))
+    # head: a virama+base pair counts as "preceded by virama";
+    # run-start digit runs are space-isolated by _my_pre_sql so the
+    # syllable alternative consumes them whole like the scanner
+    syllable = (f"(?:{V}[{B}]|[{M}])(?:{V}[{B}]|[{B}]{A}|[{NB}])*")
+    token = (f"{particles}"
+             f"|{syllable}"
+             f"|[^{M}\\P{{L}}][\\pL\\p{{Nd}}]*"
+             f"|\\p{{Nd}}[\\pL\\p{{Nd}}]*")
+    return token
+
+
+def _my_pre_sql(col: str) -> str:
+    """Space-isolate Myanmar digit runs that START a Myanmar run (the
+    scanner's outer-loop digit branch only fires there)."""
+    from .analysis.burmese import _MY_DIGITS, _MY_RANGES
+
+    def cls(ranges):
+        return "".join(f"\\x{{{a:04X}}}-\\x{{{b:04X}}}" if b > a
+                       else f"\\x{{{a:04X}}}" for a, b in ranges)
+
+    M, D = cls(_MY_RANGES), cls(_MY_DIGITS)
+    # a digit-run start is preceded by start-of-text or a char that is
+    # neither Myanmar nor letterOrDigit (after an alnum run the scanner
+    # absorbs Myanmar; inside a Myanmar run digits join syllables)
+    return (f"regexp_replace({col}, "
+            f"'(^|[^{M}\\pL\\p{{Nd}}])([{D}]+)', "
+            f"'\\1 \\2 ', 'g')")
+
+
+def burmese_preamble() -> str:
+    from .analysis.burmese import (_NORM_MAP, BURMESE_STOP_WORDS,
+                                   BURMESE_SUFFIXES)
+    stops = _stop_list_sql(BURMESE_STOP_WORDS)
+    pat = _my_token_pattern().replace("'", "''")
+    toks = (f"list_transform(regexp_extract_all("
+            f"{_my_pre_sql('text')}, '{pat}'), t -> lower(t))")
+    norm = _map_translate_sql("traw", dict(_NORM_MAP))
+    stem = "CASE " + " ".join(
+        f"WHEN length(w) > {len(s) + 1} AND w LIKE '%{s}' "
+        f"THEN left(w, length(w) - {len(s)})"
+        for s in BURMESE_SUFFIXES) + " ELSE w END"
+    stem = f"CASE WHEN length(w) <= 1 THEN w ELSE ({stem}) END"
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, url, {toks} AS toks FROM corpus
+),
+rtok0 AS (SELECT doc_id, unnest(toks) AS traw FROM toksrc),
+rtok AS (SELECT doc_id, {norm} AS t0 FROM rtok0),
+rkept AS (SELECT doc_id, t0 FROM rtok
+          WHERE t0 <> '' AND t0 NOT IN ({stops})),
+uniq AS (SELECT DISTINCT t0 FROM rkept),
+stems AS (SELECT t0, {stem} AS stem
+          FROM (SELECT t0, t0 AS w FROM uniq)),
+rterms AS MATERIALIZED (
+  SELECT k.doc_id, s.stem AS term FROM rkept k JOIN stems s USING (t0)),
+{_BM25_TAIL}"""
+
+
+def bm25_burmese_topk(stemmed_term: str, k: int = 10) -> str:
+    pre = burmese_preamble().replace("__LT_VALUES__", _lt_values())
+    lit = f"'{stemmed_term}'"
+    return pre + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
 # ------------------------------------- Bengali / Telugu -------------------
 def _tier_stem_sql(tiers, col: str = "t0") -> str:
     branches = []
