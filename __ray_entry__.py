@@ -613,6 +613,46 @@ def _facet_lang_counts(sf_dir: str):
     return matches.groupby("lang").map_groups(count, batch_format="pandas")
 
 
+
+# deterministic synthetic Khmer column (the corpus has no Khmer text;
+# same list indexing runs in the SQL oracle) — syllables chosen to
+# exercise the char filter, reorder/upshift and corrections
+KHMER_SYLLABLES = ["ខ្ញុំ", "សើុ", "ប្តី", "កេា",
+                   "១២៣", "ផ្តើម", "ស៉"]
+
+
+def _khmer_token_counts(sf_dir: str):
+    """Global (term, count) over the FULL Khmer chain (char filter →
+    grapheme tokenizer → reorder) applied to the synthesized per-doc
+    Khmer string. Oracle: oracle.khmer_token_counts (same synthesis +
+    the GENERATED SQL chain)."""
+    import pyarrow as pa
+    import ray
+
+    from lucene_kmp_ray.analysis.khmer import KhmerAnalyzer
+
+    a = KhmerAnalyzer()
+    k = len(KHMER_SYLLABLES)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        import collections
+        counts: collections.Counter = collections.Counter()
+        for doc_id in batch.column("doc_id").to_pylist():
+            text = (KHMER_SYLLABLES[doc_id % k] + " " +
+                    KHMER_SYLLABLES[(doc_id // 3) % k] +
+                    KHMER_SYLLABLES[(doc_id // 2) % k])
+            counts.update(a(text))
+        return pa.table({"term": list(counts.keys()),
+                         "cnt": list(counts.values())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    agg = ds.map_batches(derive, batch_format="pyarrow") \
+        .groupby("term").sum("cnt")
+    df = agg.to_pandas().rename(columns={"sum(cnt)": "cnt"})
+    return df.sort_values(["term"]).reset_index(drop=True)
+
+
 def _geo_box_all(sf_dir: str):
     from lucene_kmp_ray.search import GeoBoxQuery
     return search_all_matches(_ensure_geo_index(sf_dir),
@@ -1163,6 +1203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_uzbek_top10": lambda sf: _lang_topk(sf, "uzbek"),
         "bm25_urdu_top10": lambda sf: _lang_topk(sf, "urdu"),
         "bm25_burmese_top10": lambda sf: _lang_topk(sf, "burmese"),
+        "khmer_token_counts": _khmer_token_counts,
         "bm25_french_top10": _french_topk,
         "cjk_bigram_counts": textstats.cjk_bigram_counts,
         "ascii_fold_tokens": textstats.ascii_fold_tokens,
@@ -1448,6 +1489,8 @@ def oracle_sql() -> dict[str, str]:
             "ur", _lang_query_term("urdu")),
         "bm25_burmese_top10": oracle.bm25_burmese_topk(
             _lang_query_term("burmese")),
+        "khmer_token_counts": oracle.khmer_token_counts(
+            KHMER_SYLLABLES),
         "cjk_bigram_counts": oracle.cjk_bigram_counts(),
         "ascii_fold_tokens": oracle.ascii_fold_tokens(),
         "word_delimiter_tokens": oracle.word_delimiter_tokens(),

@@ -4488,6 +4488,106 @@ ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
 
 
+# ---------------------------------------------------- Khmer ---------------
+def _km_charfilter_sql(col: str) -> str:
+    """level-1 NormalizeCharMap as chained replaces (the rule outputs
+    never recreate rule inputs, so chained == single-pass
+    longest-match — fuzz-asserted in tests)."""
+    from .analysis.khmer import KM_CHARFILTER_RULES
+    e = col
+    for pat, rep in sorted(KM_CHARFILTER_RULES, key=lambda r: -len(r[0])):
+        e = f"replace({e}, '{pat}', '{rep}')"
+    return e
+
+
+def _km_token_pattern() -> str:
+    D = "\\x{17E0}-\\x{17F9}0-9"
+    B = "\\x{1780}-\\x{17B3}"
+    C = "\\x{17D2}"
+    Ip = ("\\x{17B6}-\\x{17D1}\\x{17D3}\\x{17DD}"
+          "\\x{200C}\\x{200D}")
+    syllable = f"[{B}](?:[{Ip}]|[{C}]+[{B}{Ip}])*[{C}]*"
+    return f"[{D}]+|{syllable}|[{C}{Ip}]+"
+
+
+def _km_reorder_sql(col: str) -> str:
+    """CharReorderFilter: stable category sort via list_sort over
+    (cat, index, char) structs, then the published rewrite chain."""
+    from .analysis.khmer import (KM_CORRECTIONS, _BNB, _SF, _SNF, _SS,
+                                 _VA)
+    C = f"substr({col}, p, 1)"
+    cat = f"""CASE
+      WHEN {C} = '\u17d2' THEN 3
+      WHEN {C} BETWEEN '\u1780' AND '\u17b3' THEN
+        (CASE WHEN p > 1 AND regexp_matches(left({col}, p - 1),
+              '\\x{{17D2}}[\\x{{1780}}-\\x{{17B3}}]*$')
+         THEN 3 ELSE 1 END)
+      WHEN {C} = '\u17cc' THEN 2
+      WHEN {C} IN ('\u200c', '\u200d') THEN 4
+      WHEN {C} IN ('\u17c9', '\u17ca') THEN 5
+      WHEN {C} BETWEEN '\u17b4' AND '\u17c5' THEN 6
+      WHEN {C} = '\u17c6' OR {C} = '\u17cb' OR
+           ({C} BETWEEN '\u17cd' AND '\u17d1') OR {C} = '\u17d3'
+           OR {C} = '\u17dd' THEN 7
+      WHEN {C} IN ('\u17c7', '\u17c8') THEN 8
+      ELSE 0 END"""
+    sort_expr = f"""array_to_string(list_transform(list_sort(
+      list_transform(range(1, length({col}) + 1),
+        p -> struct_pack(cat := {cat}, p := p, c := {C}))),
+      x -> x.c), '')"""
+
+    def rr(e, pat, rep):
+        return f"regexp_replace({e}, '{pat}', '{rep}', 'g')"
+
+    e = sort_expr
+    e = rr(e, "([\\x{200C}\\x{200D}])[\\x{200C}\\x{200D}]+",
+           "\\1")
+    e = rr(e, "\\x{17D2}\\x{17D2}+", "\u17d2")
+    e = rr(e, "\u17c1(\u17bb?)\u17b8", "\\1\u17be")
+    e = rr(e, "\u17c1(\u17bb?)\u17b6", "\\1\u17c4")
+    e = rr(e, "\u17b8(\u17bb?)\u17c1", "\\1\u17be")
+    e = rr(e, "\u17b6(\u17bb?)\u17c1", "\\1\u17c4")
+    e = rr(e, f"({_VA})(\u17bb)", "\\2\\1")
+    tri = (f"({_SF}(?:\u17d2{_BNB}){{0,2}}|{_BNB}(?:\u17d2{_SF}"
+           f"(?:\u17d2{_BNB})?|\u17d2{_BNB}\u17d2{_SF}))"
+           f"\u17bb({_VA})")
+    muu = (f"({_SS}(?:\u17d2{_SNF}){{0,2}}|{_SNF}(?:\u17d2{_SS}"
+           f"(?:\u17d2{_SNF})?|\u17d2{_SNF}\u17d2{_SS}))"
+           f"\u17bb({_VA})")
+    e = rr(e, tri, "\\1\u17ca\\2")
+    e = rr(e, muu, "\\1\u17c9\\2")
+    e = rr(e, "(\u17d2\u179a)(\u17d2[\u1780-\u17b3])",
+           "\\2\\1")
+    e = rr(e, "(\u17d2)\u178a", "\\1\u178f")
+    for bad, good in KM_CORRECTIONS:
+        e = f"replace({e}, '{bad}', '{good}')"
+    guard = (f"length({col}) >= 2 AND length({col}) <= 30 AND "
+             f"substr({col}, 1, 1) BETWEEN '\u1780' AND '\u17b3'")
+    return f"CASE WHEN {guard} THEN ({e}) ELSE {col} END"
+
+
+def khmer_token_counts(syllables: list[str]) -> str:
+    """Global (term, cnt) over the synthesized per-doc Khmer string
+    run through the GENERATED char-filter/tokenizer/reorder chain."""
+    k = len(syllables)
+    arr = "[" + ", ".join(f"'{s}'" for s in syllables) + "]"
+    synth = (f"({arr})[(doc_id % {k}) + 1] || ' ' || "
+             f"({arr})[((doc_id // 3) % {k}) + 1] || "
+             f"({arr})[((doc_id // 2) % {k}) + 1]")
+    pat = _km_token_pattern().replace("'", "''")
+    toks = (f"regexp_extract_all({_km_charfilter_sql(synth)}, '{pat}')")
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS (SELECT doc_id, {toks} AS toks FROM corpus),
+rkept AS (SELECT doc_id, unnest(toks) AS t0 FROM toksrc),
+uniq AS (SELECT DISTINCT t0 FROM rkept),
+stems AS (SELECT t0, {_km_reorder_sql('t0')} AS stem FROM uniq),
+rterms AS (SELECT k.doc_id, s.stem AS term
+           FROM rkept k JOIN stems s USING (t0))
+SELECT term, count(*) AS cnt FROM rterms GROUP BY term ORDER BY term
+"""
+
+
 # ------------------------------------- Bengali / Telugu -------------------
 def _tier_stem_sql(tiers, col: str = "t0") -> str:
     branches = []
