@@ -621,6 +621,35 @@ KHMER_SYLLABLES = ["ខ្ញុំ", "សើុ", "ប្តី", "កេា",
                    "១២៣", "ផ្តើម", "ស៉"]
 
 
+
+def _vietnamese_token_counts(sf_dir: str):
+    """Global (term, cnt) over the Vietnamese chain (URL-aware
+    bigram-merging tokenizer → stop → diacritic fold) applied to the
+    corpus text. Oracle: oracle.vietnamese_token_counts (recursive-CTE
+    pairing mirror)."""
+    import pyarrow as pa
+    import ray
+
+    from lucene_kmp_ray.analysis.vietnamese import VietnameseAnalyzer
+
+    a = VietnameseAnalyzer()
+
+    def derive(batch: pa.Table) -> pa.Table:
+        import collections
+        counts: collections.Counter = collections.Counter()
+        for text in batch.column("text").to_pylist():
+            counts.update(a(text or ""))
+        return pa.table({"term": list(counts.keys()),
+                         "cnt": list(counts.values())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    agg = ds.map_batches(derive, batch_format="pyarrow") \
+        .groupby("term").sum("cnt")
+    df = agg.to_pandas().rename(columns={"sum(cnt)": "cnt"})
+    return df.sort_values(["term"]).reset_index(drop=True)
+
+
 def _khmer_token_counts(sf_dir: str):
     """Global (term, count) over the FULL Khmer chain (char filter →
     grapheme tokenizer → reorder) applied to the synthesized per-doc
@@ -1204,6 +1233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_urdu_top10": lambda sf: _lang_topk(sf, "urdu"),
         "bm25_burmese_top10": lambda sf: _lang_topk(sf, "burmese"),
         "khmer_token_counts": _khmer_token_counts,
+        "vietnamese_token_counts": _vietnamese_token_counts,
         "bm25_french_top10": _french_topk,
         "cjk_bigram_counts": textstats.cjk_bigram_counts,
         "ascii_fold_tokens": textstats.ascii_fold_tokens,
@@ -1491,6 +1521,7 @@ def oracle_sql() -> dict[str, str]:
             _lang_query_term("burmese")),
         "khmer_token_counts": oracle.khmer_token_counts(
             KHMER_SYLLABLES),
+        "vietnamese_token_counts": oracle.vietnamese_token_counts(),
         "cjk_bigram_counts": oracle.cjk_bigram_counts(),
         "ascii_fold_tokens": oracle.ascii_fold_tokens(),
         "word_delimiter_tokens": oracle.word_delimiter_tokens(),

@@ -4588,6 +4588,70 @@ SELECT term, count(*) AS cnt FROM rterms GROUP BY term ORDER BY term
 """
 
 
+# ------------------------------------------------- Vietnamese -------------
+def vietnamese_token_counts() -> str:
+    """Global (term, cnt) over the Vietnamese chain: URL isolation,
+    word extraction, greedy non-overlapping bigram pairing (recursive
+    CTE over word indexes), stop filter, diacritic fold."""
+    from .analysis.vietnamese import VI_FOLD, VIETNAMESE_STOP_WORDS
+    stops = _stop_list_sql(VIETNAMESE_STOP_WORDS)
+    fold = _map_translate_sql("tok", VI_FOLD)
+    url_pat = "(?i)https?://[^\\s]*"
+    w_pat = "[\\pL\\p{Nd}]+"
+    return f"""
+WITH RECURSIVE corpus AS ({CORPUS_SQL}),
+-- URL tokens: alnum runs inside each url span (never bigram-merged)
+uurl AS (
+  SELECT doc_id, lower(unnest(regexp_extract_all(u, '{w_pat}'))) AS tok
+  FROM (SELECT doc_id,
+          unnest(regexp_extract_all(text, '{url_pat}')) AS u
+        FROM corpus)
+),
+-- word stream with URL spans replaced by a non-whitespace sentinel
+vrest AS (
+  SELECT doc_id,
+    regexp_replace(text, '{url_pat}', chr(1), 'g') AS rest
+  FROM corpus
+),
+vw AS (
+  SELECT doc_id,
+    list_transform(regexp_extract_all(rest, '{w_pat}'),
+                   t -> lower(t)) AS ws,
+    string_split_regex(rest, '{w_pat}') AS seps,
+    length(regexp_extract_all(rest, '{w_pat}')) AS n
+  FROM vrest
+),
+vr(doc_id, idx) AS (
+  SELECT doc_id, 1 FROM vw WHERE n >= 1
+  UNION ALL
+  SELECT vr.doc_id,
+    idx + CASE WHEN idx < n AND seps[idx + 1] <> '' AND
+                regexp_matches(seps[idx + 1], '^\\s+$')
+          THEN 2 ELSE 1 END
+  FROM vr JOIN vw USING (doc_id)
+  WHERE idx + CASE WHEN idx < n AND seps[idx + 1] <> '' AND
+                    regexp_matches(seps[idx + 1], '^\\s+$')
+              THEN 2 ELSE 1 END <= n
+),
+vtok AS (
+  SELECT vr.doc_id,
+    CASE WHEN idx < n AND seps[idx + 1] <> '' AND
+              regexp_matches(seps[idx + 1], '^\\s+$')
+         THEN ws[idx] || ' ' || ws[idx + 1]
+         ELSE ws[idx] END AS tok
+  FROM vr JOIN vw USING (doc_id)
+),
+alltok AS (
+  SELECT doc_id, tok FROM vtok
+  UNION ALL
+  SELECT doc_id, tok FROM uurl
+),
+kept AS (SELECT {fold} AS term FROM alltok
+         WHERE tok NOT IN ({stops}))
+SELECT term, count(*) AS cnt FROM kept GROUP BY term ORDER BY term
+"""
+
+
 # ------------------------------------- Bengali / Telugu -------------------
 def _tier_stem_sql(tiers, col: str = "t0") -> str:
     branches = []
