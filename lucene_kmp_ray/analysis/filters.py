@@ -207,3 +207,62 @@ class SynonymAnalyzer:
         doc2, pos2 = doc2[order], pos2[order]
         norm_lengths = np.bincount(doc2, minlength=len(dl)).astype(np.int64)
         return norm_lengths, flat2, doc2, pos2
+
+
+class CommonGramsAnalyzer:
+    """base analyzer → CommonGramsFilter: alongside every unigram, a
+    '_'-joined bigram is emitted (at the LEFT token's position,
+    positionLength 2) whenever either side is a common word — the
+    reference's stop-word-preserving phrase-speedup filter
+    (``analysis/common/.../commongrams/CommonGramsFilter.kt``; common
+    words stay in the stream, unlike StopFilter)."""
+
+    SEPARATOR = "_"
+
+    def __init__(self, base=None, common_words=None):
+        from .standard import ENGLISH_STOP_WORDS, StandardAnalyzer
+        self.base = base or StandardAnalyzer()
+        self.common = frozenset(common_words
+                                if common_words is not None
+                                else ENGLISH_STOP_WORDS)
+        self.name = f"commongrams_{self.base.name}"
+
+    def __call__(self, text: str) -> list[str]:
+        toks = self.base(text)
+        out: list[str] = []
+        for i, t in enumerate(toks):
+            if i > 0 and (toks[i - 1] in self.common
+                          or t in self.common):
+                out.append(toks[i - 1] + self.SEPARATOR + t)
+            out.append(t)
+        return out
+
+    def analyze_flat(self, texts):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        dl, flat, doc_of, pos = self.base.analyze_flat(texts)
+        n = len(flat)
+        if n == 0:
+            return dl, flat, doc_of, pos
+        same_doc = doc_of[1:] == doc_of[:-1]
+        is_common = pc.is_in(flat, value_set=pa.array(
+            sorted(self.common), pa.string())).to_numpy(
+                zero_copy_only=False)
+        gram_at = same_doc & (is_common[:-1] | is_common[1:])
+        left = pc.binary_join_element_wise(
+            flat.slice(0, n - 1), flat.slice(1, n),
+            self.SEPARATOR)
+        g_idx = np.flatnonzero(gram_at)
+        grams = left.take(pa.array(g_idx))
+        # grams sit at the LEFT token's position
+        out_flat = pa.concat_arrays([flat.combine_chunks()
+                                     if isinstance(flat, pa.ChunkedArray)
+                                     else flat, grams])
+        out_doc = np.concatenate([doc_of, doc_of[g_idx]])
+        out_pos = np.concatenate([pos, pos[g_idx]])
+        order = np.lexsort((out_pos, out_doc))
+        out_flat = out_flat.take(pa.array(order))
+        new_dl = dl + np.bincount(doc_of[g_idx], minlength=len(dl))
+        return (new_dl.astype(np.int64), out_flat,
+                out_doc[order], out_pos[order])

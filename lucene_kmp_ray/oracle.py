@@ -5178,6 +5178,33 @@ FROM sh
 """
 
 
+def common_grams_counts() -> str:
+    """Mirror of textstats.common_grams_counts: unigrams plus a
+    '_' bigram wherever either neighbor is a common (stop) word."""
+    from .analysis.standard import ENGLISH_STOP_WORDS, sql_tokens_expr
+    stops = _stop_list_sql(ENGLISH_STOP_WORDS)
+    return f"""
+WITH toksrc AS (
+  SELECT doc_id, {sql_tokens_expr('text')} AS toks FROM documents
+),
+cg AS (
+  SELECT doc_id,
+    list_concat(toks,
+      CASE WHEN len(toks) < 2 THEN []
+           ELSE list_filter(
+             list_transform(generate_series(1, len(toks) - 1),
+               i -> CASE WHEN toks[i] IN ({stops})
+                           OR toks[i + 1] IN ({stops})
+                    THEN toks[i] || '_' || toks[i + 1] END),
+             g -> g IS NOT NULL) END) AS alltoks
+  FROM toksrc
+)
+SELECT doc_id, len(alltoks) AS n_tokens,
+       len(list_distinct(alltoks)) AS n_unique_tokens
+FROM cg
+"""
+
+
 def synonym_quick_topk(src: str = "fast", syn: str = "quick",
                        k: int = 10) -> str:
     """BM25 top-k for the INJECTED synonym term over a SynonymAnalyzer

@@ -101,3 +101,23 @@ def test_synonym_end_to_end_phrase(ray_session, tmp_path):
     # same position as fast
     td = s.search(PhraseQuery(("quick", "scan")), k=10)
     assert sorted(h.doc_id for h in td.score_docs) == [0, 1]
+
+
+def test_common_grams_analyzer():
+    from lucene_kmp_ray.analysis.filters import CommonGramsAnalyzer
+    a = CommonGramsAnalyzer()
+    # gram emitted (at the left token's position) whenever either
+    # neighbor is a common word; common words stay in the stream
+    assert a("the quick fox is fast") == [
+        "the", "the_quick", "quick", "fox", "fox_is", "is",
+        "is_fast", "fast"]
+    assert a("quick brown fox") == ["quick", "brown", "fox"]
+    # batch path agrees with the per-token path, grams at left position
+    nl, flat, doc_of, pos = a.analyze_flat(
+        ["the quick fox is fast", "quick brown fox"])
+    per_doc = [[] for _ in range(2)]
+    for t, d in zip(flat.to_pylist(), doc_of.tolist()):
+        per_doc[d].append(t)
+    assert per_doc == [a("the quick fox is fast"),
+                       a("quick brown fox")]
+    assert nl.tolist() == [8, 3]
