@@ -1240,6 +1240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_delimiter_tokens": textstats.word_delimiter_tokens,
         "shingle_counts": textstats.shingle_counts,
         "common_grams_counts": textstats.common_grams_counts,
+        "pattern_token_counts": textstats.pattern_token_counts,
         "url_email_tokens": textstats.url_email_tokens,
         "synonym_quick_top10": _synonym_topk,
         "geo_box_all": _geo_box_all,
@@ -1528,6 +1529,7 @@ def oracle_sql() -> dict[str, str]:
         "word_delimiter_tokens": oracle.word_delimiter_tokens(),
         "shingle_counts": oracle.shingle_counts(),
         "common_grams_counts": oracle.common_grams_counts(),
+        "pattern_token_counts": oracle.pattern_token_counts(),
         "url_email_tokens": oracle.url_email_tokens(),
         "synonym_quick_top10": oracle.synonym_quick_topk(*SYNONYM_RULE),
         "geo_box_all": oracle.geo_box_all(*GEO_BOX),

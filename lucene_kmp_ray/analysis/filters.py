@@ -266,3 +266,53 @@ class CommonGramsAnalyzer:
         new_dl = dl + np.bincount(doc_of[g_idx], minlength=len(dl))
         return (new_dl.astype(np.int64), out_flat,
                 out_doc[order], out_pos[order])
+
+
+class PatternTokenizerAnalyzer:
+    """PatternTokenizer (``analysis/common/.../pattern/
+    PatternTokenizer.kt``): group 0 → tokens are the regex MATCHES,
+    group -1 → the text is SPLIT on matches (empty pieces dropped).
+    An optional lowercase mirrors the usual PatternAnalyzer wiring."""
+
+    def __init__(self, pattern: str, group: int = -1,
+                 lowercase: bool = True):
+        import re
+        if group not in (-1, 0):
+            raise ValueError("PatternTokenizer supports group 0 or -1")
+        self.pattern = re.compile(pattern)
+        self.group = group
+        self.lowercase = lowercase
+        self.name = f"pattern_{group}_{pattern!r}"
+
+    def __call__(self, text: str) -> list[str]:
+        if self.group == 0:
+            toks = [m.group(0) for m in self.pattern.finditer(text)
+                    if m.group(0)]
+        else:
+            toks = [t for t in self.pattern.split(text) if t]
+        if self.lowercase:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            if toks:
+                toks = pc.utf8_lower(
+                    pa.array(toks, pa.string())).to_pylist()
+        return toks
+
+    def analyze_flat(self, texts):
+        import numpy as np
+        import pyarrow as pa
+        if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+            texts = texts.to_pylist()
+        doc_lengths = np.empty(len(texts), dtype=np.int64)
+        flat: list[str] = []
+        for i, t in enumerate(texts):
+            toks = self(t or "")
+            flat.extend(toks)
+            doc_lengths[i] = len(toks)
+        doc_of = np.repeat(np.arange(len(doc_lengths), dtype=np.int64),
+                           doc_lengths)
+        starts = np.append(0, np.cumsum(doc_lengths))[:-1]
+        positions = np.arange(len(flat), dtype=np.int64) - \
+            np.repeat(starts, doc_lengths)
+        return (doc_lengths, pa.array(flat, pa.string()), doc_of,
+                positions)

@@ -5205,6 +5205,24 @@ FROM cg
 """
 
 
+def pattern_token_counts() -> str:
+    """Mirror of textstats.pattern_token_counts: split on
+    non-alphanumerics, drop empties, lowercase."""
+    return """
+WITH toksrc AS (
+  SELECT doc_id,
+    list_transform(
+      list_filter(string_split_regex(text, '[^0-9A-Za-z]+'),
+                  t -> t <> ''),
+      t -> lower(t)) AS toks
+  FROM documents
+)
+SELECT doc_id, len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_unique_tokens
+FROM toksrc
+"""
+
+
 def synonym_quick_topk(src: str = "fast", syn: str = "quick",
                        k: int = 10) -> str:
     """BM25 top-k for the INJECTED synonym term over a SynonymAnalyzer

@@ -121,3 +121,18 @@ def test_common_grams_analyzer():
     assert per_doc == [a("the quick fox is fast"),
                        a("quick brown fox")]
     assert nl.tolist() == [8, 3]
+
+
+def test_pattern_tokenizer_analyzer():
+    from lucene_kmp_ray.analysis.filters import PatternTokenizerAnalyzer
+    # split mode (group -1): empties dropped
+    split = PatternTokenizerAnalyzer(r"[^0-9A-Za-z]+", group=-1)
+    assert split("Hello, World! 42") == ["hello", "world", "42"]
+    assert split("--a--b--") == ["a", "b"]
+    # match mode (group 0): tokens are the matches
+    match = PatternTokenizerAnalyzer(r"[A-Za-z]+", group=0)
+    assert match("Hello, World! 42") == ["hello", "world"]
+    # batch path agrees with per-token path
+    nl, flat, doc_of, pos = split.analyze_flat(["a,b", "", "x  y"])
+    assert nl.tolist() == [2, 0, 2]
+    assert flat.to_pylist() == ["a", "b", "x", "y"]
