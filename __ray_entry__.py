@@ -1241,6 +1241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shingle_counts": textstats.shingle_counts,
         "common_grams_counts": textstats.common_grams_counts,
         "pattern_token_counts": textstats.pattern_token_counts,
+        "reverse_token_counts": textstats.reverse_token_counts,
         "url_email_tokens": textstats.url_email_tokens,
         "synonym_quick_top10": _synonym_topk,
         "geo_box_all": _geo_box_all,
@@ -1530,6 +1531,7 @@ def oracle_sql() -> dict[str, str]:
         "shingle_counts": oracle.shingle_counts(),
         "common_grams_counts": oracle.common_grams_counts(),
         "pattern_token_counts": oracle.pattern_token_counts(),
+        "reverse_token_counts": oracle.reverse_token_counts(),
         "url_email_tokens": oracle.url_email_tokens(),
         "synonym_quick_top10": oracle.synonym_quick_topk(*SYNONYM_RULE),
         "geo_box_all": oracle.geo_box_all(*GEO_BOX),

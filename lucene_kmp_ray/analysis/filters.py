@@ -316,3 +316,40 @@ class PatternTokenizerAnalyzer:
             np.repeat(starts, doc_lengths)
         return (doc_lengths, pa.array(flat, pa.string()), doc_of,
                 positions)
+
+
+class ReverseStringAnalyzer:
+    """base analyzer → ReverseStringFilter (``analysis/common/.../
+    reverse/ReverseStringFilter.kt``): every token reversed, with an
+    optional marker char APPENDED before reversal (so it leads the
+    emitted term) — the classic leading-wildcard acceleration trick
+    (index reversed terms, rewrite ``*suffix`` to a reversed-field
+    prefix query)."""
+
+    def __init__(self, base=None, marker: str | None = None):
+        from .standard import StandardAnalyzer
+        if marker is not None and len(marker) != 1:
+            raise ValueError("marker must be one char")
+        self.base = base or StandardAnalyzer()
+        self.marker = marker
+        self.name = f"reverse_{self.base.name}"
+
+    def _rev(self, t: str) -> str:
+        if self.marker is not None:
+            t = t + self.marker
+        return t[::-1]
+
+    def __call__(self, text: str) -> list[str]:
+        return [self._rev(t) for t in self.base(text)]
+
+    def analyze_flat(self, texts):
+        import pyarrow as pa
+        dl, flat, doc_of, pos = self.base.analyze_flat(texts)
+        if len(flat) == 0:
+            return dl, flat, doc_of, pos
+        dict_arr = flat.dictionary_encode()
+        rev = pa.array([self._rev(t) for t in
+                        dict_arr.dictionary.to_pylist()], pa.string())
+        flat = pa.DictionaryArray.from_arrays(dict_arr.indices, rev) \
+            .cast(pa.string())
+        return dl, flat, doc_of, pos

@@ -5223,6 +5223,24 @@ FROM toksrc
 """
 
 
+def reverse_token_counts() -> str:
+    """Mirror of textstats.reverse_token_counts: reverse(term || X01)
+    per token; counts + the first reversed term per doc."""
+    from .analysis.standard import sql_tokens_expr
+    return f"""
+WITH toksrc AS (
+  SELECT doc_id,
+    list_transform({sql_tokens_expr('text')},
+                   t -> reverse(t || chr(1))) AS toks
+  FROM documents
+)
+SELECT doc_id, len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_unique_tokens,
+       CASE WHEN len(toks) = 0 THEN NULL ELSE toks[1] END AS first_term
+FROM toksrc
+"""
+
+
 def synonym_quick_topk(src: str = "fast", syn: str = "quick",
                        k: int = 10) -> str:
     """BM25 top-k for the INJECTED synonym term over a SynonymAnalyzer

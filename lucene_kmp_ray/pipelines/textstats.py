@@ -542,6 +542,45 @@ def pattern_token_counts(sf_dir: str):
         .map_batches(counts, batch_format="pyarrow")
 
 
+def reverse_token_counts(sf_dir: str):
+    """Per-doc token counts through ReverseStringAnalyzer (every term
+    reversed with the U+0001 leading marker — the leading-wildcard
+    index shape). Oracle: oracle.reverse_token_counts."""
+    from ..analysis.filters import ReverseStringAnalyzer
+
+    analyzer = ReverseStringAnalyzer(marker="\u0001")
+
+    def counts(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        dl, flat, doc_of, _ = analyzer.analyze_flat(texts)
+        dict_arr = flat.dictionary_encode()
+        codes = dict_arr.indices.to_numpy().astype(np.int64) if len(flat) \
+            else np.empty(0, np.int64)
+        nuniq = np.zeros(batch.num_rows, dtype=np.int64)
+        if len(codes):
+            nc = max(len(dict_arr.dictionary), 1)
+            urow = np.unique(doc_of * nc + codes) // nc
+            nuniq = np.bincount(urow, minlength=batch.num_rows)
+        # also surface a stable content hash of each doc's FIRST
+        # reversed term so the oracle checks values, not just counts
+        firsts = [None] * batch.num_rows
+        for t, d in zip(dict_arr.dictionary.take(
+                pa.array(codes)).to_pylist() if len(codes) else [],
+                doc_of.tolist()):
+            if firsts[d] is None:
+                firsts[d] = t
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(dl.astype(np.int64)),
+            "n_unique_tokens": pa.array(nuniq.astype(np.int64)),
+            "first_term": pa.array(firsts, pa.string()),
+        })
+
+    from .dedup import _read_docs
+    return _read_docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(counts, batch_format="pyarrow")
+
+
 def url_email_tokens(sf_dir: str):
     """Deterministic URL/email-bearing text per doc → UAX29URLEmailAnalyzer
     tokens as (doc_id, pos, term). The chunk set exercises every decision

@@ -136,3 +136,15 @@ def test_pattern_tokenizer_analyzer():
     nl, flat, doc_of, pos = split.analyze_flat(["a,b", "", "x  y"])
     assert nl.tolist() == [2, 0, 2]
     assert flat.to_pylist() == ["a", "b", "x", "y"]
+
+
+def test_reverse_string_analyzer():
+    from lucene_kmp_ray.analysis.filters import ReverseStringAnalyzer
+    a = ReverseStringAnalyzer()
+    assert a("Hello world") == ["olleh", "dlrow"]
+    m = ReverseStringAnalyzer(marker="\u0001")
+    # marker appended BEFORE reversal leads the emitted term
+    assert m("ab") == ["\u0001ba"]
+    nl, flat, doc_of, pos = m.analyze_flat(["ab cd", ""])
+    assert flat.to_pylist() == ["\u0001ba", "\u0001dc"]
+    assert nl.tolist() == [2, 0]
