@@ -523,6 +523,7 @@ _LANG_REGISTRY = {
     "uzbek": ("extra_misc", "UzbekAnalyzer"),
     "urdu": ("extra_misc", "UrduAnalyzer"),
     "burmese": ("burmese", "BurmeseAnalyzer"),
+    "turkish": ("turkish", "TurkishAnalyzer"),
 }
 
 
@@ -1203,6 +1204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_indonesian_top10": _indonesian_topk,
         "bm25_nepali_top10": _nepali_topk,
         "bm25_romanian_top10": _romanian_topk,
+        "bm25_turkish_top10": lambda sf: _lang_topk(sf, "turkish"),
         "bm25_serbian_top10": lambda sf: _sc_topk(sf, "serbian"),
         "bm25_catalan_top10": lambda sf: _sc_topk(sf, "catalan"),
         "bm25_hungarian_top10": _hungarian_topk,
@@ -1456,6 +1458,8 @@ def oracle_sql() -> dict[str, str]:
             _nepali_query_term()),
         "bm25_romanian_top10": oracle.bm25_romanian_topk(
             _romanian_query_term()),
+        "bm25_turkish_top10": oracle.bm25_turkish_topk(
+            _lang_query_term("turkish")),
         "bm25_serbian_top10": oracle.bm25_serbo_catalan_topk(
             "serbian", _sc_query_term("serbian")),
         "bm25_catalan_top10": oracle.bm25_serbo_catalan_topk(

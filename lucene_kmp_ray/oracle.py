@@ -6001,3 +6001,448 @@ SELECT s.doc_id, c.url, s.score
 FROM scored s JOIN corpus c USING (doc_id)
 ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
+
+
+# ------------------------------------------------------ Turkish -----------
+# Exact SQL mirror of analysis/turkish.turkish_stem (snowball Turkish,
+# TurkishStemmer.kt semantics), GENERATED from the same suffix tables.
+# Staged-CTE design: phase-N (nominal verb) and phase-NS (noun suffixes)
+# are pure CASE cascades over lateral column aliases; the recursive
+# ki-chain runs as 4 sequential single-step stages (each strips >= 2
+# chars, so 4 covers every realistic token) with the branch-C inner
+# recursion instantiated once (depth-1 cap, see _tr_kstep_cols).
+_TR_VS = "aeıioöuü"
+_TR_HARM_SQL = {"a": "aıou", "e": "eiöü", "ı": "aı", "i": "ei",
+                "o": "ou", "ö": "öü", "u": "ou", "ü": "öü"}
+
+
+def _tr_lit_list(chars_or_words) -> str:
+    return ", ".join(f"'{w}'" for w in chars_or_words)
+
+
+def _tr_harmony_sql(o: str) -> str:
+    v = _TR_VS
+    last = f"regexp_extract({o}, '([{v}])[^{v}]*$', 1)"
+    pre = f"regexp_replace({o}, '[{v}][^{v}]*$', '')"
+    br = "\n".join(
+        f"    WHEN '{ch}' THEN regexp_matches({pre}, '[{cls}]')"
+        for ch, cls in _TR_HARM_SQL.items())
+    return (f"(CASE WHEN NOT regexp_matches({o}, '[{v}]') THEN FALSE\n"
+            f"  ELSE CASE {last}\n{br}\n    ELSE FALSE END END)")
+
+
+def _tr_char_at(o: str, back: int) -> str:
+    """Char `back` positions before the end of o ('' when out of range)."""
+    return (f"(CASE WHEN length({o}) >= {back} THEN "
+            f"substr({o}, length({o}) - {back - 1}, 1) ELSE '' END)")
+
+
+def _tr_opt_sql(o: str, k: int, opt: str) -> str:
+    """Extra span of the optional consonant (y/n/s) or U vowel after a
+    k-char suffix match on o: int or NULL (mark fails)."""
+    t1 = _tr_char_at(o, k + 1)
+    t2 = _tr_char_at(o, k + 2)
+    vows = _tr_lit_list(_TR_VS)
+    if opt == "U":
+        us = _tr_lit_list("ıiuü")
+        return (f"CASE WHEN {t1} IN ({us}) AND {t2} <> '' AND "
+                f"{t2} NOT IN ({vows}) THEN 1 "
+                f"WHEN {t1} IN ({us}) THEN NULL "
+                f"WHEN {t2} <> '' AND {t2} NOT IN ({vows}) THEN 0 "
+                f"ELSE NULL END")
+    return (f"CASE WHEN {t1} = '{opt}' AND {t2} IN ({vows}) THEN 1 "
+            f"WHEN {t1} = '{opt}' THEN NULL "
+            f"WHEN {t2} IN ({vows}) THEN 0 ELSE NULL END")
+
+
+def _tr_marks() -> dict:
+    from .analysis import turkish as tr
+    U = ("ı", "i", "u", "ü")
+    return {
+        "poss": (tr.A_POSS, False, "U"), "sU": (U, True, "s"),
+        "lArI": (tr.A_LARI, False, None), "yU": (U, True, "y"),
+        "nU": (tr.A_NU, True, None), "nUn": (tr.A_NUN, True, "n"),
+        "yA": (tr.A_YA, True, "y"), "nA": (tr.A_NA, True, None),
+        "DA": (tr.A_DA, True, None), "ndA": (tr.A_NDA, True, None),
+        "DAn": (tr.A_DAN, True, None), "ndAn": (tr.A_NDAN, True, None),
+        "ylA": (tr.A_YLA, True, "y"), "ncA": (tr.A_NCA, True, "n"),
+        "yUm": (tr.A_YUM, True, "y"), "sUn": (tr.A_SUN, True, None),
+        "yUz": (tr.A_YUZ, True, "y"), "sUnUz": (tr.A_SUNUZ, False, None),
+        "lAr": (tr.A_LAR, True, None), "nUz": (tr.A_NUZ, True, None),
+        "DUr": (tr.A_DUR, True, None), "cAsInA": (tr.A_CASINA, False, None),
+        "yDU": (tr.A_YDU, True, "y"), "ysA": (tr.A_YSA, False, "y"),
+        "ymUs": (tr.A_YMUS, True, "y"), "yken": (("ken",), False, "y"),
+    }
+
+
+def _tr_span_sql(o: str, mark: str) -> str:
+    """Mark span at the end of operand o: INT chars consumed or NULL."""
+    sfxs, harmony, opt = _tr_marks()[mark]
+    by_len: dict[int, list[str]] = {}
+    for s in sfxs:
+        by_len.setdefault(len(s), []).append(s)
+    whens = []
+    for k in sorted(by_len, reverse=True):  # find_among_b: longest wins
+        cond = f"right({o}, {k}) IN ({_tr_lit_list(by_len[k])})"
+        val = f"{k} + ({_tr_opt_sql(o, k, opt)})" if opt else str(k)
+        whens.append(f"WHEN {cond} THEN {val}")
+    core = "CASE " + " ".join(whens) + " ELSE NULL END"
+    if harmony:
+        core = (f"CASE WHEN {_tr_harmony_sql(o)} THEN ({core}) "
+                f"ELSE NULL END")
+    return f"({core})"
+
+
+
+class _TrPipe:
+    """Auto-staged SQL pipeline: each added column lands in the first
+    stage where all the columns it references already exist; stages emit
+    as MATERIALIZED CTEs. This is what keeps the generated stemmer SQL
+    linear — DuckDB inlines lateral aliases, so a single-SELECT version
+    of these dependency chains explodes exponentially in the binder."""
+
+    def __init__(self, base_cols):
+        import re
+        self._re = re
+        self.stages: list[list[tuple[str, str]]] = []
+        self.level: dict[str, int] = {c: -1 for c in base_cols}
+
+    def add(self, name: str, expr: str) -> str:
+        deps = [c for c in self.level
+                if self._re.search(rf"\b{self._re.escape(c)}\b", expr)]
+        lvl = 1 + max((self.level[d] for d in deps), default=-1)
+        while len(self.stages) <= lvl:
+            self.stages.append([])
+        self.stages[lvl].append((name, expr))
+        self.level[name] = lvl
+        return name
+
+    def emit(self, base: str, prefix: str) -> tuple[str, str]:
+        ctes, prev = [], base
+        for i, cols in enumerate(self.stages):
+            if not cols:
+                continue
+            defs = ",\n  ".join(f"{e} AS {n}" for n, e in cols)
+            ctes.append(f"{prefix}{i} AS MATERIALIZED (\n"
+                        f"  SELECT *,\n  {defs}\n  FROM {prev})")
+            prev = f"{prefix}{i}"
+        return ",\n".join(ctes), prev
+
+
+def _tr_kstep(P: "_TrPipe", o: str, p: str, depth: int = 1) -> tuple[str,
+                                                                     str]:
+    """One ki-chain step on word column o → (kw, kc) column names.
+    kw = new word or NULL (step failed); kc = TRUE when the kt code
+    attempts a further end-anchored recursion. Branch C's inner
+    (non-end) recursion instantiates once (depth-1 cap — words needing
+    more levels of mid-word ki do not occur in realistic corpora; the
+    Python implementation is exact and conformance-tested)."""
+    S = _tr_span_sql
+    o2 = P.add(p + "o2", f"(CASE WHEN right({o}, 2) = 'ki' "
+                         f"THEN left({o}, length({o}) - 2) END)")
+    # branch A: DA ; del ; (lAr [K]) | (poss ; del ; (lAr ; del ; [K]))
+    sda = P.add(p + "sda", S(o2, "DA"))
+    wa0 = P.add(p + "wa0", f"left({o2}, length({o2}) - {sda})")
+    slara = P.add(p + "slara", S(wa0, "lAr"))
+    sposa = P.add(p + "sposa", S(wa0, "poss"))
+    wap = P.add(p + "wap", f"left({wa0}, length({wa0}) - {sposa})")
+    slarap = P.add(p + "slarap", S(wap, "lAr"))
+    akw = P.add(p + "akw", f"""CASE
+      WHEN {slara} IS NOT NULL THEN left({wa0}, length({wa0}) - {slara})
+      WHEN {sposa} IS NOT NULL THEN CASE WHEN {slarap} IS NOT NULL
+           THEN left({wap}, length({wap}) - {slarap}) ELSE {wap} END
+      ELSE {wa0} END""")
+    akc = P.add(p + "akc", f"({slara} IS NOT NULL OR "
+                           f"({sposa} IS NOT NULL AND "
+                           f"{slarap} IS NOT NULL))")
+    # branch B: nUn ; del ; lArI-del | (poss|sU ; del ; (lAr ; del ; K)) | K
+    snun = P.add(p + "snun", S(o2, "nUn"))
+    wb0 = P.add(p + "wb0", f"left({o2}, length({o2}) - {snun})")
+    slarib = P.add(p + "slarib", S(wb0, "lArI"))
+    spsb = P.add(p + "spsb", f"COALESCE({S(wb0, 'poss')}, {S(wb0, 'sU')})")
+    wbp = P.add(p + "wbp", f"left({wb0}, length({wb0}) - {spsb})")
+    slarbp = P.add(p + "slarbp", S(wbp, "lAr"))
+    bkw = P.add(p + "bkw", f"""CASE
+      WHEN {slarib} IS NOT NULL THEN left({wb0}, length({wb0}) - {slarib})
+      WHEN {spsb} IS NOT NULL THEN CASE WHEN {slarbp} IS NOT NULL
+           THEN left({wbp}, length({wbp}) - {slarbp}) ELSE {wbp} END
+      ELSE {wb0} END""")
+    bkc = P.add(p + "bkc", f"({slarib} IS NULL AND ({spsb} IS NULL OR "
+                           f"{slarbp} IS NOT NULL))")
+    # branch C: ndA (no direct del) ; lArI-del-to-ket | sU-del-to-ket
+    #           (lAr ; del ; K) | inner-K before the intact [ndA ki] tail
+    snda = P.add(p + "snda", S(o2, "ndA"))
+    oc = P.add(p + "oc", f"left({o2}, length({o2}) - {snda})")
+    slaric = P.add(p + "slaric", S(oc, "lArI"))
+    ssuc = P.add(p + "ssuc", S(oc, "sU"))
+    wcs = P.add(p + "wcs", f"left({oc}, length({oc}) - {ssuc})")
+    slarcs = P.add(p + "slarcs", S(wcs, "lAr"))
+    if depth > 0:
+        ikw, _ikc = _tr_kstep(P, oc, p + "i", depth - 1)
+    else:
+        ikw = P.add(p + "ikw0", "CAST(NULL AS VARCHAR)")
+    ckw = P.add(p + "ckw", f"""CASE
+      WHEN {slaric} IS NOT NULL THEN left({oc}, length({oc}) - {slaric})
+      WHEN {ssuc} IS NOT NULL THEN CASE WHEN {slarcs} IS NOT NULL
+           THEN left({wcs}, length({wcs}) - {slarcs}) ELSE {wcs} END
+      WHEN {ikw} IS NOT NULL THEN {ikw} || right({o}, 2 + {snda})
+      ELSE NULL END""")
+    ckc = P.add(p + "ckc", f"({slaric} IS NULL AND {ssuc} IS NOT NULL "
+                           f"AND {slarcs} IS NOT NULL)")
+    kw = P.add(p + "kw", f"""CASE WHEN {o2} IS NULL THEN NULL
+      WHEN {sda} IS NOT NULL THEN {akw}
+      WHEN {snun} IS NOT NULL THEN {bkw}
+      WHEN {snda} IS NOT NULL THEN {ckw}
+      ELSE NULL END""")
+    kc = P.add(p + "kc", f"""CASE WHEN {o2} IS NULL THEN FALSE
+      WHEN {sda} IS NOT NULL THEN {akc}
+      WHEN {snun} IS NOT NULL THEN {bkc}
+      WHEN {snda} IS NOT NULL THEN {ckc}
+      ELSE FALSE END""")
+    return kw, kc
+
+
+def _tr_phase_n(P: "_TrPipe") -> None:
+    """Phase N (stem_nominal_verb_suffixes) over column w → w1, cont."""
+    S = _tr_span_sql
+    P.add("a1", f"COALESCE({S('w', 'ymUs')}, {S('w', 'yDU')}, "
+                f"{S('w', 'ysA')}, {S('w', 'yken')})")
+    P.add("s_cas", S("w", "cAsInA"))
+    o2 = "left(w, length(w) - 6)"
+    P.add("s_mid", f"COALESCE({S(o2, 'sUnUz')}, {S(o2, 'lAr')}, "
+                   f"{S(o2, 'yUm')}, {S(o2, 'sUn')}, {S(o2, 'yUz')}, 0)")
+    P.add("o_ym2", "left(w, length(w) - 6 - s_mid)")
+    P.add("s_ym2", S("o_ym2", "ymUs"))
+    P.add("s_lar3", S("w", "lAr"))
+    P.add("o_l3", "left(w, length(w) - s_lar3)")
+    P.add("s_l32", f"COALESCE({S('o_l3', 'DUr')}, {S('o_l3', 'yDU')}, "
+                   f"{S('o_l3', 'ysA')}, {S('o_l3', 'ymUs')}, 0)")
+    P.add("s_nuz", S("w", "nUz"))
+    P.add("o_n4", "left(w, length(w) - s_nuz)")
+    P.add("s_n42", f"COALESCE({S('o_n4', 'yDU')}, {S('o_n4', 'ysA')})")
+    P.add("s_5", f"COALESCE({S('w', 'sUnUz')}, {S('w', 'yUz')}, "
+                 f"{S('w', 'sUn')}, {S('w', 'yUm')})")
+    P.add("o_5", "left(w, length(w) - s_5)")
+    P.add("s_52", f"COALESCE({S('o_5', 'ymUs')}, 0)")
+    P.add("s_dur", S("w", "DUr"))
+    P.add("o_6", "left(w, length(w) - s_dur)")
+    P.add("s_mid6", f"COALESCE({S('o_6', 'sUnUz')}, {S('o_6', 'lAr')}, "
+                    f"{S('o_6', 'yUm')}, {S('o_6', 'sUn')}, "
+                    f"{S('o_6', 'yUz')}, 0)")
+    P.add("o_ym6", "left(w, length(w) - s_dur - s_mid6)")
+    P.add("s_ym6", S("o_ym6", "ymUs"))
+    P.add("w1", """CASE
+      WHEN a1 IS NOT NULL THEN left(w, length(w) - a1)
+      WHEN s_cas IS NOT NULL AND s_ym2 IS NOT NULL
+           THEN left(w, length(w) - 6 - s_mid - s_ym2)
+      WHEN s_lar3 IS NOT NULL THEN left(w, length(w) - s_lar3 - s_l32)
+      WHEN s_nuz IS NOT NULL AND s_n42 IS NOT NULL
+           THEN left(w, length(w) - s_nuz - s_n42)
+      WHEN s_5 IS NOT NULL THEN left(w, length(w) - s_5 - s_52)
+      WHEN s_dur IS NOT NULL THEN left(w, length(w) - s_dur -
+           (CASE WHEN s_ym6 IS NOT NULL THEN s_mid6 + s_ym6 ELSE 0 END))
+      ELSE w END""")
+    P.add("cont", """(NOT (a1 IS NULL
+      AND NOT (s_cas IS NOT NULL AND s_ym2 IS NOT NULL)
+      AND s_lar3 IS NOT NULL))""")
+
+
+def _tr_phase_ns(P: "_TrPipe") -> None:
+    """Phase NS (stem_noun_suffixes) over column w1 → w2, kpend."""
+    S = _tr_span_sql
+    P.add("n_lar1", S("w1", "lAr"))
+    P.add("n_nca", S("w1", "ncA"))
+    P.add("n_w20", "left(w1, length(w1) - n_nca)")
+    P.add("n2_lari", S("n_w20", "lArI"))
+    P.add("n2_ps", f"COALESCE({S('n_w20', 'poss')}, {S('n_w20', 'sU')})")
+    P.add("n_w2p", "left(n_w20, length(n_w20) - n2_ps)")
+    P.add("n2_lar", S("n_w2p", "lAr"))
+    P.add("n2_lar0", S("n_w20", "lAr"))
+    P.add("n_s3", f"COALESCE({S('w1', 'ndA')}, {S('w1', 'nA')})")
+    P.add("n_o3c", "left(w1, length(w1) - n_s3)")
+    P.add("n3_lari", S("n_o3c", "lArI"))
+    P.add("n3_su", S("n_o3c", "sU"))
+    P.add("n_w3s", "left(n_o3c, length(n_o3c) - n3_su)")
+    P.add("n3_lar", S("n_w3s", "lAr"))
+    k3w, _ = _tr_kstep(P, "n_o3c", "k3_")
+    P.add("n_s4", f"COALESCE({S('w1', 'ndAn')}, {S('w1', 'nU')})")
+    P.add("n_o4c", "left(w1, length(w1) - n_s4)")
+    P.add("n4_su", S("n_o4c", "sU"))
+    P.add("n_w4s", "left(n_o4c, length(n_o4c) - n4_su)")
+    P.add("n4_lar", S("n_w4s", "lAr"))
+    P.add("n4_lari", S("n_o4c", "lArI"))
+    P.add("n_s5", S("w1", "DAn"))
+    P.add("n_o5", "left(w1, length(w1) - n_s5)")
+    P.add("n5_poss", S("n_o5", "poss"))
+    P.add("n_w5p", "left(n_o5, length(n_o5) - n5_poss)")
+    P.add("n5_plar", S("n_w5p", "lAr"))
+    P.add("n5_lar", S("n_o5", "lAr"))
+    P.add("n_s6", f"COALESCE({S('w1', 'nUn')}, {S('w1', 'ylA')})")
+    P.add("n_o6c", "left(w1, length(w1) - n_s6)")
+    P.add("n6_lar", S("n_o6c", "lAr"))
+    P.add("n_w6l", "left(n_o6c, length(n_o6c) - n6_lar)")
+    k6w, _ = _tr_kstep(P, "n_w6l", "k6_")
+    P.add("n6_ps2", f"COALESCE({S('n_w6l', 'poss')}, {S('n_w6l', 'sU')})")
+    P.add("n_w6p2", "left(n_w6l, length(n_w6l) - n6_ps2)")
+    P.add("n6_lar2", S("n_w6p2", "lAr"))
+    P.add("n6_ps", f"COALESCE({S('n_o6c', 'poss')}, {S('n_o6c', 'sU')})")
+    P.add("n_w6p", "left(n_o6c, length(n_o6c) - n6_ps)")
+    P.add("n6_plar", S("n_w6p", "lAr"))
+    P.add("n_s7", S("w1", "lArI"))
+    k8w, _ = _tr_kstep(P, "w1", "k8_")
+    P.add("n_s9", f"COALESCE({S('w1', 'DA')}, {S('w1', 'yU')}, "
+                  f"{S('w1', 'yA')})")
+    P.add("n_o9", "left(w1, length(w1) - n_s9)")
+    P.add("n9_poss", S("n_o9", "poss"))
+    P.add("n_w9p", "left(n_o9, length(n_o9) - n9_poss)")
+    P.add("n9_plar", S("n_w9p", "lAr"))
+    P.add("n9_lar", S("n_o9", "lAr"))
+    P.add("n_s10", f"COALESCE({S('w1', 'poss')}, {S('w1', 'sU')})")
+    P.add("n_o10", "left(w1, length(w1) - n_s10)")
+    P.add("n10_lar", S("n_o10", "lAr"))
+    P.add("w2", f"""CASE
+      WHEN n_lar1 IS NOT NULL THEN left(w1, length(w1) - n_lar1)
+      WHEN n_nca IS NOT NULL THEN CASE
+        WHEN n2_lari IS NOT NULL
+             THEN left(n_w20, length(n_w20) - n2_lari)
+        WHEN n2_ps IS NOT NULL THEN CASE WHEN n2_lar IS NOT NULL
+             THEN left(n_w2p, length(n_w2p) - n2_lar) ELSE n_w2p END
+        WHEN n2_lar0 IS NOT NULL
+             THEN left(n_w20, length(n_w20) - n2_lar0)
+        ELSE n_w20 END
+      WHEN n_s3 IS NOT NULL AND (n3_lari IS NOT NULL OR n3_su IS NOT NULL
+           OR {k3w} IS NOT NULL) THEN CASE
+        WHEN n3_lari IS NOT NULL
+             THEN left(w1, length(w1) - n_s3 - n3_lari)
+        WHEN n3_su IS NOT NULL THEN CASE WHEN n3_lar IS NOT NULL
+             THEN left(n_w3s, length(n_w3s) - n3_lar) ELSE n_w3s END
+        ELSE {k3w} || right(w1, n_s3) END
+      WHEN n_s4 IS NOT NULL AND (n4_su IS NOT NULL OR n4_lari IS NOT NULL)
+           THEN CASE
+        WHEN n4_su IS NOT NULL THEN CASE WHEN n4_lar IS NOT NULL
+             THEN left(n_w4s, length(n_w4s) - n4_lar) ELSE n_w4s END
+        ELSE w1 END
+      WHEN n_s5 IS NOT NULL THEN CASE
+        WHEN n5_poss IS NOT NULL THEN CASE WHEN n5_plar IS NOT NULL
+             THEN left(n_w5p, length(n_w5p) - n5_plar) ELSE n_w5p END
+        WHEN n5_lar IS NOT NULL THEN left(n_o5, length(n_o5) - n5_lar)
+        ELSE n_o5 END
+      WHEN n_s6 IS NOT NULL THEN CASE
+        WHEN n6_lar IS NOT NULL AND {k6w} IS NOT NULL THEN n_w6l
+        WHEN n6_lar IS NOT NULL THEN CASE
+          WHEN n6_ps2 IS NOT NULL THEN CASE WHEN n6_lar2 IS NOT NULL
+               THEN left(n_w6p2, length(n_w6p2) - n6_lar2) ELSE n_w6p2 END
+          ELSE n_w6l END
+        WHEN n6_ps IS NOT NULL THEN CASE WHEN n6_plar IS NOT NULL
+             THEN left(n_w6p, length(n_w6p) - n6_plar) ELSE n_w6p END
+        ELSE n_o6c END
+      WHEN n_s7 IS NOT NULL THEN left(w1, length(w1) - n_s7)
+      WHEN {k8w} IS NOT NULL THEN w1
+      WHEN n_s9 IS NOT NULL THEN CASE
+        WHEN n9_poss IS NOT NULL THEN CASE WHEN n9_plar IS NOT NULL
+             THEN left(n_w9p, length(n_w9p) - n9_plar) ELSE n_w9p END
+        WHEN n9_lar IS NOT NULL THEN left(n_o9, length(n_o9) - n9_lar)
+        ELSE n_o9 END
+      WHEN n_s10 IS NOT NULL THEN CASE WHEN n10_lar IS NOT NULL
+           THEN left(n_o10, length(n_o10) - n10_lar) ELSE n_o10 END
+      ELSE w1 END""")
+    P.add("kpend", f"""CASE
+      WHEN n_lar1 IS NOT NULL THEN TRUE
+      WHEN n_nca IS NOT NULL THEN
+           (n2_lari IS NULL AND ((n2_ps IS NOT NULL AND n2_lar IS NOT NULL)
+            OR (n2_ps IS NULL AND n2_lar0 IS NOT NULL)))
+      WHEN n_s3 IS NOT NULL AND (n3_lari IS NOT NULL OR n3_su IS NOT NULL
+           OR {k3w} IS NOT NULL) THEN
+           (n3_lari IS NULL AND n3_su IS NOT NULL AND n3_lar IS NOT NULL)
+      WHEN n_s4 IS NOT NULL AND (n4_su IS NOT NULL OR n4_lari IS NOT NULL)
+           THEN (n4_su IS NOT NULL AND n4_lar IS NOT NULL)
+      WHEN n_s5 IS NOT NULL THEN
+           ((n5_poss IS NOT NULL AND n5_plar IS NOT NULL)
+            OR (n5_poss IS NULL AND n5_lar IS NOT NULL)
+            OR (n5_poss IS NULL AND n5_lar IS NULL))
+      WHEN n_s6 IS NOT NULL THEN
+           CASE WHEN n6_lar IS NOT NULL AND {k6w} IS NOT NULL THEN TRUE
+                WHEN n6_lar IS NOT NULL THEN
+                     (n6_ps2 IS NOT NULL AND n6_lar2 IS NOT NULL)
+                     OR n6_ps2 IS NULL
+                WHEN n6_ps IS NOT NULL THEN n6_plar IS NOT NULL
+                ELSE TRUE END
+      WHEN n_s7 IS NOT NULL THEN FALSE
+      WHEN {k8w} IS NOT NULL THEN TRUE
+      WHEN n_s9 IS NOT NULL THEN
+           (n9_poss IS NOT NULL OR n9_lar IS NOT NULL)
+      WHEN n_s10 IS NOT NULL THEN n10_lar IS NOT NULL
+      ELSE FALSE END""")
+
+
+def _tr_stem_ctes() -> str:
+    """turkish_stem as auto-staged MATERIALIZED CTEs over the distinct
+    post-stop tokens (see _TrPipe)."""
+    P = _TrPipe(["t0", "w"])
+    _tr_phase_n(P)
+    _tr_phase_ns(P)
+    # ki chain: 4 end-anchored single-step iterations
+    prev_w, prev_p = "w2", "kpend"
+    for i in range(1, 5):
+        kw, kc = _tr_kstep(P, prev_w, f"q{i}_")
+        P.add(f"w2_{i}", f"CASE WHEN {prev_p} AND {kw} IS NOT NULL "
+                         f"THEN {kw} ELSE {prev_w} END")
+        P.add(f"kp_{i}", f"({prev_p} AND {kw} IS NOT NULL AND {kc})")
+        prev_w, prev_p = f"w2_{i}", f"kp_{i}"
+    # postlude: reserved word, append-U, final devoicing + the guards
+    v = _TR_VS
+    P.add("did", f"(length(regexp_replace(w, '[^{v}]', '', 'g')) >= 2 "
+                 f"AND cont AND {prev_w} NOT IN ('ad', 'soyad'))")
+    P.add("wz", f"CASE WHEN did THEN {prev_w} ELSE w END")
+    lastv = f"regexp_extract(wz, '([{v}])[^{v}]*$', 1)"
+    P.add("wa", f"""CASE WHEN did AND right(wz, 1) IN ('d', 'g')
+         AND regexp_matches(wz, '[{v}]') THEN
+      wz || CASE WHEN {lastv} IN ('a', 'ı') THEN 'ı'
+                 WHEN {lastv} IN ('e', 'i') THEN 'i'
+                 WHEN {lastv} IN ('o', 'u') THEN 'u'
+                 ELSE 'ü' END
+      ELSE wz END""")
+    P.add("stem", """CASE WHEN NOT did THEN wa
+      WHEN right(wa, 1) = 'b' THEN left(wa, length(wa) - 1) || 'p'
+      WHEN right(wa, 1) = 'c' THEN left(wa, length(wa) - 1) || 'ç'
+      WHEN right(wa, 1) = 'd' THEN left(wa, length(wa) - 1) || 't'
+      WHEN right(wa, 1) = 'ğ' THEN left(wa, length(wa) - 1) || 'k'
+      ELSE wa END""")
+    ctes, last = P.emit("uniq", "trs")
+    return f"""uniq AS (SELECT DISTINCT t0, t0 AS w FROM rkept),
+{ctes},
+rterms AS MATERIALIZED (
+  SELECT k.doc_id, s.stem AS term FROM rkept k JOIN {last} s USING (t0))"""
+
+_TR_APOS = "regexp_replace(traw, '[''’].*', '')"
+_TR_LOWER = ("lower(replace(regexp_replace(replace(ta, 'İ', 'i'), "
+             "'I' || chr(775), 'i', 'g'), 'I', 'ı'))")
+
+
+def turkish_preamble() -> str:
+    from .analysis.standard import sql_tokens_expr_raw
+    from .analysis.turkish import TURKISH_STOP_WORDS
+    stops = _stop_list_sql(TURKISH_STOP_WORDS)
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, url, {sql_tokens_expr_raw('text')} AS toks FROM corpus
+),
+rtok0 AS (SELECT doc_id, unnest(toks) AS traw FROM toksrc),
+rtok1 AS (SELECT doc_id, {_TR_APOS} AS ta FROM rtok0),
+rtok AS (SELECT doc_id, {_TR_LOWER} AS t0 FROM rtok1),
+rkept AS (SELECT doc_id, t0 FROM rtok
+          WHERE t0 <> '' AND t0 NOT IN ({stops})),
+{_tr_stem_ctes()},
+{_BM25_TAIL}"""
+
+
+def bm25_turkish_topk(stemmed_term: str, k: int = 10) -> str:
+    pre = turkish_preamble().replace("__LT_VALUES__", _lt_values())
+    lit = f"'{stemmed_term}'"
+    return pre + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
