@@ -524,6 +524,7 @@ _LANG_REGISTRY = {
     "urdu": ("extra_misc", "UrduAnalyzer"),
     "burmese": ("burmese", "BurmeseAnalyzer"),
     "turkish": ("turkish", "TurkishAnalyzer"),
+    "tamil": ("tamil", "TamilAnalyzer"),
 }
 
 
@@ -1205,6 +1206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_nepali_top10": _nepali_topk,
         "bm25_romanian_top10": _romanian_topk,
         "bm25_turkish_top10": lambda sf: _lang_topk(sf, "turkish"),
+        "bm25_tamil_top10": lambda sf: _lang_topk(sf, "tamil"),
         "bm25_serbian_top10": lambda sf: _sc_topk(sf, "serbian"),
         "bm25_catalan_top10": lambda sf: _sc_topk(sf, "catalan"),
         "bm25_hungarian_top10": _hungarian_topk,
@@ -1460,6 +1462,8 @@ def oracle_sql() -> dict[str, str]:
             _romanian_query_term()),
         "bm25_turkish_top10": oracle.bm25_turkish_topk(
             _lang_query_term("turkish")),
+        "bm25_tamil_top10": oracle.bm25_tamil_topk(
+            _lang_query_term("tamil")),
         "bm25_serbian_top10": oracle.bm25_serbo_catalan_topk(
             "serbian", _sc_query_term("serbian")),
         "bm25_catalan_top10": oracle.bm25_serbo_catalan_topk(

@@ -6446,3 +6446,299 @@ SELECT s.doc_id, c.url, s.score
 FROM scored s JOIN corpus c USING (doc_id)
 ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
+
+
+# ------------------------------------------------------ Tamil -------------
+# Exact SQL mirror of analysis/tamil.tamil_stem (snowball Tamil), staged
+# through _TrPipe. Loops (fix_endings, tense passes) unroll to fixed
+# depths — each iteration strips at least one char, so the caps cover
+# every realistic token; the Python implementation is exact and
+# conformance-tested against the reference vectors.
+_TA_FE_LOOP = 3
+_TA_TENSE_PASSES = 3
+
+
+def _ta_in(ch_expr: str, chars) -> str:
+    return f"{ch_expr} IN ({_tr_lit_list(c for c, _ in chars)})"
+
+
+def _ta_at(w: str, back: int) -> str:
+    """Char `back` positions before the end (1 = last char)."""
+    return (f"(CASE WHEN length({w}) >= {back} THEN "
+            f"substr({w}, length({w}) - {back - 1}, 1) ELSE '' END)")
+
+
+def _ta_fe_sql(w: str, vet: str) -> str:
+    """One r_fix_ending application: word → word (unchanged = no match).
+    ``vet`` is the B_found_vetrumai_urupu SQL expression."""
+    from .analysis import tamil as ta
+    strip = "left({w}, length({w}) - {k})"
+
+    def st(k):
+        return strip.format(w=w, k=k)
+
+    whens = []
+    by_len: dict[int, list] = {}
+    for s, a in ta.A5:
+        by_len.setdefault(len(s), []).append((s, a))
+    for k in sorted(by_len, reverse=True):
+        for s, a in by_len[k]:
+            cond = f"right({w}, {k}) = '{s}'"
+            b1 = _ta_at(w, k + 1)  # char just before the suffix
+            if a == 1:
+                val = st(k)
+            elif a == 2:
+                val = (f"CASE WHEN {_ta_in(b1, ta.A2)} THEN {st(k)} "
+                       f"ELSE NULL END")
+            elif a == 3:
+                val = f"{st(k)} || 'ள்'"
+            elif a == 4:
+                val = f"{st(k)} || 'ல்'"
+            elif a == 5:
+                val = f"{st(k)} || 'டு'"
+            elif a == 6:
+                val = (f"CASE WHEN ({vet}) AND {b1} <> 'ை' "
+                       f"THEN {st(k)} || 'ம்' ELSE NULL END")
+            elif a == 7:
+                val = f"{st(k)} || '்'"
+            elif a == 8:
+                val = (f"CASE WHEN NOT {_ta_in(b1, ta.A3)} THEN {st(k)} "
+                       f"ELSE NULL END")
+            else:  # a == 9: ங் → deleted after ை/், else → ம்
+                val = (f"CASE WHEN {b1} IN ('ை', '்') THEN {st(k)} "
+                       f"ELSE {st(k)} || 'ம்' END")
+            whens.append(f"WHEN {cond} THEN {val}")
+    a5 = "CASE " + " ".join(whens) + " ELSE NULL END"
+    c1, c2, c3 = _ta_at(w, 2), _ta_at(w, 3), _ta_at(w, 4)
+    pulli = f"""CASE WHEN right({w}, 1) <> '்' THEN NULL
+      WHEN {_ta_in(c1, ta.A6)} THEN
+        CASE WHEN {c2} = '்' AND {_ta_in(c3, ta.A7)}
+             THEN {st(4)} ELSE {st(2)} END
+      WHEN {_ta_in(c1, ta.A8)} AND {c2} = '்' THEN {st(2)}
+      WHEN {_ta_in(c1, ta.A9)} THEN {st(1)}
+      ELSE NULL END"""
+    return (f"(CASE WHEN length({w}) <= 3 THEN {w} "
+            f"ELSE COALESCE({a5}, {pulli}, {w}) END)")
+
+
+def _ta_fe_loop(P: "_TrPipe", w: str, vet: str, p: str) -> str:
+    """r_fix_endings: repeat fix_ending to a fixpoint (unrolled)."""
+    cur = w
+    for i in range(_TA_FE_LOOP):
+        cur = P.add(f"{p}f{i}", _ta_fe_sql(cur, vet))
+    return cur
+
+
+def _ta_vastart(x: str) -> str:
+    return (f"CASE WHEN left({x}, 2) = 'வோ' THEN 'ஓ' || substr({x}, 3) "
+            f"WHEN left({x}, 2) = 'வொ' THEN 'ஒ' || substr({x}, 3) "
+            f"WHEN left({x}, 2) = 'வு' THEN 'உ' || substr({x}, 3) "
+            f"WHEN left({x}, 2) = 'வூ' THEN 'ஊ' || substr({x}, 3) "
+            f"ELSE {x} END")
+
+
+def _ta_stem_pipe() -> tuple[str, str]:
+    """Full tamil_stem over column w → (CTE chain, final stage name).
+    Final stage exposes ``stem``."""
+    from .analysis import tamil as ta
+    P = _TrPipe(["t0", "w"])
+    f0 = P.add("taf0", _ta_fe_sql("w", "FALSE"))
+    # question prefixes (எC் + va-start), pronoun prefixes ([அஇஉ]C்)
+    cons = "கஙசஞதநபமயவ"
+    qp = P.add("taqp", f"CASE WHEN length({f0}) > 4 AND "
+                       f"regexp_matches({f0}, '^எ[{cons}]்') THEN "
+                       f"{_ta_vastart(f'substr({f0}, 4)')} ELSE {f0} END")
+    pp = P.add("tapp", f"CASE WHEN regexp_matches({qp}, "
+                       f"'^[அஇஉ][{cons}]்') THEN "
+                       f"{_ta_vastart(f'substr({qp}, 4)')} ELSE {qp} END")
+    # question suffixes (ா/ே/ோ → ்) + fix_endings
+    qs0 = P.add("taqs0", f"CASE WHEN length({pp}) > 4 AND "
+                         f"right({pp}, 1) IN ('ா', 'ே', 'ோ') THEN "
+                         f"left({pp}, length({pp}) - 1) || '்' "
+                         f"ELSE {pp} END")
+    qs1 = _ta_fe_loop(P, qs0, "FALSE", "taqs")
+    qs = P.add("taqs", f"CASE WHEN length({pp}) > 4 THEN {qs1} "
+                       f"ELSE {pp} END")
+    # um (ும் → ்) + single fix_ending
+    um0 = P.add("taum0", f"CASE WHEN length({qs}) > 4 AND "
+                         f"right({qs}, 3) = 'ும்' THEN "
+                         f"left({qs}, length({qs}) - 3) || '்' END")
+    um1 = P.add("taum1", _ta_fe_sql(um0, "FALSE"))
+    um = P.add("taum", f"COALESCE({um1}, {qs})")
+    # common word endings (a_17) + fix_endings on success
+    by_len: dict[int, list] = {}
+    for s, a in ta.A17:
+        by_len.setdefault(len(s), []).append((s, a))
+    whens = []
+    for k in sorted(by_len, reverse=True):
+        for s, a in by_len[k]:
+            cond = f"right({um}, {k}) = '{s}'"
+            b1 = _ta_at(um, k + 1)
+            stripped = f"left({um}, length({um}) - {k})"
+            if a == 1:
+                val = f"{stripped} || '்'"
+            elif a == 2:  # ல்ல: a_16 vowel sign before → whole routine fails
+                val = (f"CASE WHEN {_ta_in(b1, ta.A16)} THEN NULL "
+                       f"ELSE {stripped} || '்' END")
+            else:
+                val = stripped
+            whens.append(f"WHEN {cond} THEN {val}")
+    cwe0 = P.add("tacwe0", f"CASE WHEN length({um}) <= 4 THEN NULL "
+                           + " ".join(whens) + " ELSE NULL END")
+    cwe1 = _ta_fe_loop(P, cwe0, "FALSE", "tacwe")
+    cwe = P.add("tacwe", f"COALESCE({cwe1}, {um})")
+    # vetrumai urupukal (a_20 / ai branch) + ின் strip + fix_endings(vet)
+    by_len = {}
+    for s, a in ta.A20:
+        by_len.setdefault(len(s), []).append((s, a))
+    whens = []
+    for k in sorted(by_len, reverse=True):
+        for s, a in by_len[k]:
+            cond = f"right({cwe}, {k}) = '{s}'"
+            b1 = _ta_at(cwe, k + 1)
+            stripped = f"left({cwe}, length({cwe}) - {k})"
+            if a == 1:
+                val = stripped
+            elif a == 2:
+                val = f"{stripped} || '்'"
+            elif a == 3:
+                val = (f"CASE WHEN {b1} = 'ம' THEN NULL "
+                       f"ELSE {stripped} || '்' END")
+            elif a == 4:
+                val = (f"CASE WHEN length({cwe}) >= 7 "
+                       f"THEN {stripped} || '்' ELSE NULL END")
+            elif a == 5:
+                val = (f"CASE WHEN {_ta_in(b1, ta.A18)} THEN NULL "
+                       f"ELSE {stripped} || '்' END")
+            elif a == 6:
+                val = (f"CASE WHEN {_ta_in(b1, ta.A19)} THEN NULL "
+                       f"ELSE {stripped} END")
+            else:  # 7: ீ → ி
+                val = f"{stripped} || 'ி'"
+            whens.append(f"WHEN {cond} THEN {val}")
+    v20 = P.add("tav20", "CASE " + " ".join(whens) + " ELSE NULL END")
+    vc1, vc2 = _ta_at(cwe, 2), _ta_at(cwe, 3)
+    vai = P.add("tavai", f"""CASE WHEN right({cwe}, 1) <> 'ை' THEN NULL
+      WHEN {_ta_in(vc1, ta.A21)} THEN
+        CASE WHEN {vc2} = '்'
+             THEN left({cwe}, length({cwe}) - 1) || '்' ELSE NULL END
+      ELSE left({cwe}, length({cwe}) - 1) || '்' END""")
+    vet0 = P.add("tavet0", f"CASE WHEN length({cwe}) > 4 "
+                           f"THEN COALESCE({v20}, {vai}) END")
+    vfound = P.add("tavfound", f"({vet0} IS NOT NULL)")
+    vin = P.add("tavin", f"CASE WHEN right({vet0}, 3) = 'ின்' THEN "
+                         f"left({vet0}, length({vet0}) - 3) || '்' "
+                         f"ELSE {vet0} END")
+    vfe = _ta_fe_loop(P, vin, vfound, "tavet")
+    vet = P.add("tavet", f"COALESCE({vfe}, {cwe})")
+    # plural suffix (a_13, no length gate)
+    pl = P.add("tapl", f"""CASE
+      WHEN right({vet}, 6) = 'ுங்கள்' THEN
+        CASE WHEN {_ta_in(_ta_at(vet, 7), ta.A12)}
+             THEN left({vet}, length({vet}) - 6) || 'ுங்'
+             ELSE left({vet}, length({vet}) - 6) || '்' END
+      WHEN right({vet}, 5) = 'ட்கள்'
+           THEN left({vet}, length({vet}) - 5) || 'ள்'
+      WHEN right({vet}, 5) = 'ற்கள்'
+           THEN left({vet}, length({vet}) - 5) || 'ல்'
+      WHEN right({vet}, 3) = 'கள்'
+           THEN left({vet}, length({vet}) - 3)
+      ELSE {vet} END""")
+    # command suffixes (பி / வி)
+    cmd = P.add("tacmd", f"CASE WHEN length({pl}) > 4 AND "
+                         f"right({pl}, 2) IN ('பி', 'வி') THEN "
+                         f"left({pl}, length({pl}) - 2) ELSE {pl} END")
+    # tense passes (a_25 / a_26 halves, each followed by fix_endings)
+    cur = cmd
+    for t in range(_TA_TENSE_PASSES):
+        by_len = {}
+        for s, a in ta.A25:
+            by_len.setdefault(len(s), []).append((s, a))
+        whens = []
+        for k in sorted(by_len, reverse=True):
+            for s, a in by_len[k]:
+                cond = f"right({cur}, {k}) = '{s}'"
+                b1 = _ta_at(cur, k + 1)
+                stripped = f"left({cur}, length({cur}) - {k})"
+                if a == 1:
+                    val = stripped
+                elif a == 2:
+                    val = (f"CASE WHEN {_ta_in(b1, ta.A23)} THEN NULL "
+                           f"ELSE {stripped} END")
+                elif a == 3:
+                    val = (f"CASE WHEN {_ta_in(b1, ta.A24)} THEN NULL "
+                           f"ELSE {stripped} END")
+                elif a == 4:
+                    val = (f"CASE WHEN {b1} = 'ச' THEN NULL "
+                           f"ELSE {stripped} || '்' END")
+                elif a == 5:
+                    val = f"{stripped} || '்'"
+                else:  # 6: கு needs a pulli before
+                    val = (f"CASE WHEN {b1} = '்' THEN {stripped} "
+                           f"ELSE NULL END")
+                whens.append(f"WHEN {cond} THEN {val}")
+        h1 = P.add(f"tat{t}h1", "CASE " + " ".join(whens)
+                                + " ELSE NULL END")
+        w1 = P.add(f"tat{t}w1", f"COALESCE({h1}, {cur})")
+        by_len = {}
+        for s, a in ta.A26:
+            by_len.setdefault(len(s), []).append((s, a))
+        whens = []
+        for k in sorted(by_len, reverse=True):
+            for s, _a in by_len[k]:
+                whens.append(f"WHEN right({w1}, {k}) = '{s}' THEN "
+                             f"left({w1}, length({w1}) - {k})")
+        h2 = P.add(f"tat{t}h2", "CASE " + " ".join(whens)
+                                + " ELSE NULL END")
+        w2 = P.add(f"tat{t}w2", f"COALESCE({h2}, {w1})")
+        found = P.add(f"tat{t}f", f"({h1} IS NOT NULL OR "
+                                  f"{h2} IS NOT NULL)")
+        fe = _ta_fe_loop(P, w2, vfound, f"tat{t}")
+        gated = P.add(f"tat{t}g",
+                      f"CASE WHEN length({cur}) > 4 THEN {fe} "
+                      f"ELSE {cur} END")
+        if t == 0:
+            cur = gated
+            prev_found = found
+        else:
+            cur = P.add(f"tat{t}out",
+                        f"CASE WHEN {prev_found} THEN {gated} "
+                        f"ELSE {cur} END")
+            prev_found = P.add(f"tat{t}pf", f"({prev_found} AND {found})")
+    # length gate: <= 4 chars after the first fix_ending → original token
+    P.add("stem", f"CASE WHEN length({f0}) <= 4 THEN w ELSE {cur} END")
+    return P.emit("uniq", "tas")
+
+
+def tamil_preamble() -> str:
+    from .analysis.tamil import TAMIL_STOP_WORDS
+    stops = _stop_list_sql(TAMIL_STOP_WORDS)
+    digit = _SQL_DIGIT_FOLD.format(col="traw")
+    indic = _indic_compose_sql(digit)
+    ctes, last = _ta_stem_pipe()
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, url, {sql_tokens_expr('text')} AS toks FROM corpus
+),
+rtok0 AS (SELECT doc_id, unnest(toks) AS traw FROM toksrc),
+uniqr AS (SELECT DISTINCT traw FROM rtok0),
+pnorm AS (SELECT traw, {indic} AS t0 FROM uniqr),
+rtok AS (SELECT r.doc_id, n.t0 FROM rtok0 r JOIN pnorm n USING (traw)),
+rkept AS (SELECT doc_id, t0 FROM rtok WHERE t0 NOT IN ({stops})),
+uniq AS (SELECT DISTINCT t0, t0 AS w FROM rkept),
+{ctes},
+rterms AS MATERIALIZED (
+  SELECT k.doc_id, s.stem AS term FROM rkept k JOIN {last} s USING (t0)),
+{_BM25_TAIL}"""
+
+
+def bm25_tamil_topk(stemmed_term: str, k: int = 10) -> str:
+    pre = tamil_preamble().replace("__LT_VALUES__", _lt_values())
+    lit = f"'{stemmed_term}'"
+    return pre + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
