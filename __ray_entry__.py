@@ -525,6 +525,7 @@ _LANG_REGISTRY = {
     "burmese": ("burmese", "BurmeseAnalyzer"),
     "turkish": ("turkish", "TurkishAnalyzer"),
     "tamil": ("tamil", "TamilAnalyzer"),
+    "thai": ("thai", "ThaiAnalyzer"),
 }
 
 
@@ -646,6 +647,43 @@ def _vietnamese_token_counts(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["text"])
+    agg = ds.map_batches(derive, batch_format="pyarrow") \
+        .groupby("term").sum("cnt")
+    df = agg.to_pandas().rename(columns={"sum(cnt)": "cnt"})
+    return df.sort_values(["term"]).reset_index(drop=True)
+
+
+THAI_WORDS = ["ภาษาไทย", "การทดสอบ", "เป็นการ", "ไม่",
+              "ที่สุด", "ความเร็ว", "ประเทศไทย", "เรียนรู้",
+              "สํานักงาน", "ต่างๆ", "๑๒๓", "กรุงเทพฯ"]
+
+
+def _thai_token_counts(sf_dir: str):
+    """Global (term, count) over the Thai chain (syllable state-machine
+    tokenizer → lowercase → digit fold → stop) applied to a synthesized
+    per-doc Thai string. Oracle: oracle.thai_token_counts (same
+    synthesis + the recursive-CTE scan mirror)."""
+    import pyarrow as pa
+    import ray
+
+    from lucene_kmp_ray.analysis.thai import ThaiAnalyzer
+
+    a = ThaiAnalyzer()
+    k = len(THAI_WORDS)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        import collections
+        counts: collections.Counter = collections.Counter()
+        for doc_id in batch.column("doc_id").to_pylist():
+            text = (THAI_WORDS[doc_id % k] + " " +
+                    THAI_WORDS[(doc_id // 3) % k] +
+                    THAI_WORDS[(doc_id // 2) % k])
+            counts.update(a(text))
+        return pa.table({"term": list(counts.keys()),
+                         "cnt": list(counts.values())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
     agg = ds.map_batches(derive, batch_format="pyarrow") \
         .groupby("term").sum("cnt")
     df = agg.to_pandas().rename(columns={"sum(cnt)": "cnt"})
@@ -1207,6 +1245,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_romanian_top10": _romanian_topk,
         "bm25_turkish_top10": lambda sf: _lang_topk(sf, "turkish"),
         "bm25_tamil_top10": lambda sf: _lang_topk(sf, "tamil"),
+        "bm25_thai_top10": lambda sf: _lang_topk(sf, "thai"),
+        "thai_token_counts": _thai_token_counts,
         "bm25_serbian_top10": lambda sf: _sc_topk(sf, "serbian"),
         "bm25_catalan_top10": lambda sf: _sc_topk(sf, "catalan"),
         "bm25_hungarian_top10": _hungarian_topk,
@@ -1464,6 +1504,9 @@ def oracle_sql() -> dict[str, str]:
             _lang_query_term("turkish")),
         "bm25_tamil_top10": oracle.bm25_tamil_topk(
             _lang_query_term("tamil")),
+        "bm25_thai_top10": oracle.bm25_thai_topk(
+            _lang_query_term("thai")),
+        "thai_token_counts": oracle.thai_token_counts(THAI_WORDS),
         "bm25_serbian_top10": oracle.bm25_serbo_catalan_topk(
             "serbian", _sc_query_term("serbian")),
         "bm25_catalan_top10": oracle.bm25_serbo_catalan_topk(

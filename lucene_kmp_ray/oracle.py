@@ -6742,3 +6742,134 @@ SELECT s.doc_id, c.url, s.score
 FROM scored s JOIN corpus c USING (doc_id)
 ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
+
+
+# ------------------------------------------------------ Thai --------------
+# Recursive-CTE mirror of analysis/thai.thai_segments: the syllable
+# state machine (states E/P/O/F/X/D, action codes 1-9) scans char by
+# char with one-char lookahead; emitted tokens accumulate into a
+# chr(31)-separated string that splits back into the token list.
+def _th_act_sql(c: str, nc: str, st: str) -> str:
+    dep = (f"({c} = 'ั' OR ({c} BETWEEN 'ำ' AND 'ฺ') "
+           f"OR ({c} BETWEEN '็' AND '๎'))")
+    ndep = (f"({nc} = 'ั' OR ({nc} BETWEEN 'ำ' AND 'ฺ') "
+            f"OR ({nc} BETWEEN '็' AND '๎') "
+            f"OR {nc} IN ('ะ', 'า', 'ๅ'))")
+    return f"""CASE
+      WHEN {c} BETWEEN '๐' AND '๙' THEN
+           CASE WHEN {st} = 'D' THEN 1 ELSE 5 END
+      WHEN {c} IN ('ฯ', 'ๆ') THEN 6
+      WHEN {c} BETWEEN 'เ' AND 'ไ' THEN 7
+      WHEN {c} BETWEEN 'ก' AND 'ฮ' THEN
+           CASE WHEN {st} = 'P' THEN 2
+                WHEN {st} = 'O' AND NOT {ndep} THEN 3
+                ELSE 8 END
+      WHEN {dep} THEN CASE WHEN {st} IN ('P', 'O', 'F') THEN 1 ELSE 9 END
+      WHEN {c} IN ('ะ', 'า', 'ๅ') THEN
+           CASE WHEN {st} = 'P' THEN 2 WHEN {st} = 'O' THEN 1 ELSE 9 END
+      ELSE CASE WHEN {st} = 'X' THEN 1 ELSE 4 END
+      END"""
+
+
+def _th_scan_ctes(src: str) -> str:
+    """CTEs turning ``{src}(traw)`` (distinct raw Thai-bearing tokens)
+    into ``thsegs(traw, seg)``. Call within WITH RECURSIVE."""
+    act = _th_act_sql("c", "nc", "st")
+    flush = "CASE WHEN cur <> '' THEN cur || chr(31) ELSE '' END"
+    return f"""thscan(traw, pos, st, cur, outp) AS (
+  SELECT traw, 1, 'E', '', '' FROM {src}
+  UNION ALL
+  SELECT traw, pos + 1,
+    CASE WHEN act = 2 OR act = 8 THEN 'O' WHEN act = 3 THEN 'F'
+         WHEN act = 4 THEN 'X' WHEN act = 5 THEN 'D'
+         WHEN act = 6 THEN 'E' WHEN act = 7 THEN 'P' ELSE st END,
+    CASE WHEN act IN (1, 2, 3) THEN cur || c
+         WHEN act IN (4, 5, 7, 8) THEN c
+         WHEN act = 6 THEN '' ELSE cur END,
+    CASE WHEN act IN (4, 5, 7, 8) THEN outp || {flush}
+         WHEN act = 6 THEN outp || {flush} || c || chr(31)
+         ELSE outp END
+  FROM (SELECT traw, pos, st, cur, outp,
+          substr(traw, pos, 1) AS c, substr(traw, pos + 1, 1) AS nc,
+          ({act}) AS act
+        FROM thscan WHERE pos <= length(traw))
+),
+thdone AS (SELECT traw, outp || {flush} AS toks
+           FROM thscan WHERE pos = length(traw) + 1),
+thsegs AS (SELECT traw, seg FROM (
+  SELECT traw, unnest(string_split(toks, chr(31))) AS seg FROM thdone)
+  WHERE seg <> '')"""
+
+
+def _th_post(col: str) -> str:
+    """LowerCase + DecimalDigit on one token column."""
+    return _SQL_DIGIT_FOLD.format(col=f"lower({col})")
+
+
+def thai_preamble() -> str:
+    from .analysis.standard import sql_tokens_expr_raw
+    from .analysis.thai import THAI_STOP_WORDS
+    stops = _stop_list_sql(THAI_STOP_WORDS)
+    return f"""
+WITH RECURSIVE corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, url, {sql_tokens_expr_raw('text')} AS toks FROM corpus
+),
+rtok0 AS (SELECT doc_id, unnest(toks) AS traw FROM toksrc),
+thsrc AS (SELECT DISTINCT traw FROM rtok0
+          WHERE regexp_matches(traw, '[\\x{{0E00}}-\\x{{0E7F}}]')),
+{_th_scan_ctes('thsrc')},
+rsegs AS (
+  SELECT r.doc_id, s.seg FROM rtok0 r JOIN thsegs s USING (traw)
+  UNION ALL
+  SELECT doc_id, traw AS seg FROM rtok0
+  WHERE NOT regexp_matches(traw, '[\\x{{0E00}}-\\x{{0E7F}}]')),
+rtok AS (SELECT doc_id, {_th_post('seg')} AS t0 FROM rsegs),
+rkept AS (SELECT doc_id, t0 FROM rtok
+          WHERE t0 <> '' AND t0 NOT IN ({stops})),
+rterms AS MATERIALIZED (SELECT doc_id, t0 AS term FROM rkept),
+{_BM25_TAIL}"""
+
+
+def bm25_thai_topk(term: str, k: int = 10) -> str:
+    pre = thai_preamble().replace("__LT_VALUES__", _lt_values())
+    lit = f"'{term}'"
+    return pre + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
+def thai_token_counts(words: list[str]) -> str:
+    """Global (term, cnt) over the Thai chain applied to a synthesized
+    per-doc Thai string (same synthesis in the queries() entry)."""
+    from .analysis.thai import THAI_STOP_WORDS
+    stops = _stop_list_sql(THAI_STOP_WORDS)
+    kn = len(words)
+    arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    synth = (f"({arr})[(doc_id % {kn}) + 1] || ' ' || "
+             f"({arr})[((doc_id // 3) % {kn}) + 1] || "
+             f"({arr})[((doc_id // 2) % {kn}) + 1]")
+    from .analysis.standard import sql_tokens_expr_raw
+    toks = sql_tokens_expr_raw("synth")
+    return f"""
+WITH RECURSIVE corpus AS ({CORPUS_SQL}),
+synthsrc AS (SELECT doc_id, {synth} AS synth FROM corpus),
+toksrc AS (SELECT doc_id, {toks} AS toks FROM synthsrc),
+rtok0 AS (SELECT doc_id, unnest(toks) AS traw FROM toksrc),
+thsrc AS (SELECT DISTINCT traw FROM rtok0
+          WHERE regexp_matches(traw, '[\\x{{0E00}}-\\x{{0E7F}}]')),
+{_th_scan_ctes('thsrc')},
+rsegs AS (
+  SELECT r.doc_id, s.seg FROM rtok0 r JOIN thsegs s USING (traw)
+  UNION ALL
+  SELECT doc_id, traw AS seg FROM rtok0
+  WHERE NOT regexp_matches(traw, '[\\x{{0E00}}-\\x{{0E7F}}]')),
+rtok AS (SELECT doc_id, {_th_post('seg')} AS t0 FROM rsegs),
+rkept AS (SELECT doc_id, t0 FROM rtok
+          WHERE t0 <> '' AND t0 NOT IN ({stops}))
+SELECT t0 AS term, count(*) AS cnt FROM rkept
+GROUP BY t0 ORDER BY t0
+"""
