@@ -526,6 +526,7 @@ _LANG_REGISTRY = {
     "turkish": ("turkish", "TurkishAnalyzer"),
     "tamil": ("tamil", "TamilAnalyzer"),
     "thai": ("thai", "ThaiAnalyzer"),
+    "japanese": ("japanese", "JapaneseAnalyzer"),
 }
 
 
@@ -685,6 +686,62 @@ def _thai_token_counts(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id"])
     agg = ds.map_batches(derive, batch_format="pyarrow") \
+        .groupby("term").sum("cnt")
+    df = agg.to_pandas().rename(columns={"sum(cnt)": "cnt"})
+    return df.sort_values(["term"]).reset_index(drop=True)
+
+
+# Japanese vectors: (phrase, expected analyzer output). Expectations are
+# the REFERENCE's own published test vectors (TestJapaneseAnalyzer.kt
+# testBasics/testDecomposition + TestSearchMode.kt SEGMENTATION_TESTS) —
+# independent ground truth for the kuromoji Viterbi lattice chain.
+JA_VECTORS = [
+    ("多くの学生が試験に落ちた。", ["多く", "学生", "試験", "落ちる"]),
+    ("シニアソフトウェアエンジニア", ["シニア", "ソフトウェア", "エンジニア"]),
+    ("シニアプロジェクトマネージャー", ["シニア", "プロジェクト", "マネージャ"]),
+    ("関西国際空港", ["関西", "国際", "空港"]),
+    ("コニカミノルタホールディングス",
+     ["コニカ", "ミノルタ", "ホールディングス"]),
+    ("成田空港", ["成田", "空港"]),
+    ("京都大学硬式野球部", ["京都大", "学", "硬式", "野球", "部"]),
+    ("東京大学", ["東京", "大学"]),
+    ("ソフトバンクモバイル", ["ソフトバンク", "モバイル"]),
+    ("マイケルジャクソン", ["マイケル", "ジャクソン"]),
+    ("ダウンロードファイル", ["ダウンロード", "ファイル"]),
+    ("クリスマスショッピング", ["クリスマス", "ショッピング"]),
+]
+
+
+def _ja_token_counts(sf_dir: str):
+    """Global (term, count) over the FULL kuromoji chain (CJK width fold →
+    Viterbi lattice w/ search-mode decomposition → baseform → POS stop →
+    stop → katakana stem → lowercase) applied to a synthesized per-doc
+    Japanese phrase (phrase = JA_VECTORS[doc_id % k]). Oracle:
+    oracle.ja_token_counts — expected tokens straight from the reference's
+    test vectors, independent of this engine."""
+    import pyarrow as pa
+    import ray
+
+    from lucene_kmp_ray.analysis.japanese import JapaneseAnalyzer
+
+    k = len(JA_VECTORS)
+    phrases = [p for p, _ in JA_VECTORS]
+
+    class Derive:
+        def __init__(self):
+            self.a = JapaneseAnalyzer()  # dictionary loads once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import collections
+            counts: collections.Counter = collections.Counter()
+            for doc_id in batch.column("doc_id").to_pylist():
+                counts.update(self.a(phrases[doc_id % k]))
+            return pa.table({"term": list(counts.keys()),
+                             "cnt": list(counts.values())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    agg = ds.map_batches(Derive, batch_format="pyarrow", concurrency=2) \
         .groupby("term").sum("cnt")
     df = agg.to_pandas().rename(columns={"sum(cnt)": "cnt"})
     return df.sort_values(["term"]).reset_index(drop=True)
@@ -1218,6 +1275,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_blend_top10": _feature_blend,
         "hybrid_bm25_knn_top10": _hybrid_topk,
         "sorted_multi_key_top20": lambda sf: _sorted_multi(sf),
+        # --- round-4 families (kept inside the driver's first-50 window) —
+        # kuromoji Japanese lattice chain ---
+        "ja_token_counts": _ja_token_counts,
+        "bm25_japanese_top10": lambda sf: _lang_topk(sf, "japanese"),
         # English analysis chain (possessive → stop → Porter): stemming is
         # not SQL-expressible → rows-only; exact Porter vectors + chain
         # parity live in tests/test_english_analyzer.py
@@ -1507,6 +1568,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_thai_top10": oracle.bm25_thai_topk(
             _lang_query_term("thai")),
         "thai_token_counts": oracle.thai_token_counts(THAI_WORDS),
+        "bm25_japanese_top10": oracle.bm25_japanese_topk(
+            _lang_query_term("japanese")),
+        "ja_token_counts": oracle.ja_token_counts(JA_VECTORS),
         "bm25_serbian_top10": oracle.bm25_serbo_catalan_topk(
             "serbian", _sc_query_term("serbian")),
         "bm25_catalan_top10": oracle.bm25_serbo_catalan_topk(

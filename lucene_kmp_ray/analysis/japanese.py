@@ -1,0 +1,636 @@
+"""Japanese morphological analysis (kuromoji semantics) on a compact
+dictionary.
+
+Faithful port of the reference's lattice tokenizer semantics:
+
+- ``JapaneseTokenizer`` / ``KuromojiViterbiNBest``
+  [ref: analysis/kuromoji/.../ja/JapaneseTokenizer.kt:35,
+        analysis/kuromoji/.../ja/KuromojiViterbiNBest.kt:19-496,
+        analysis/common/.../morph/Viterbi.kt:50-330]:
+  Viterbi over a character lattice; known words from a dictionary,
+  unknown words per character class (grouped per char.def), bigram
+  connection costs; SEARCH mode decomposes long tokens during backtrace
+  via pruneAndRescore with penalties (kanji>2: 3000/extra char,
+  other>7: 1700/extra char).
+- ``JapaneseAnalyzer`` chain [ref: ja/JapaneseAnalyzer.kt:31-39]:
+  CJKWidthCharFilter -> JapaneseTokenizer(SEARCH) -> BaseFormFilter ->
+  PartOfSpeechStopFilter -> StopFilter -> KatakanaStemFilter ->
+  LowerCaseFilter.
+
+Runtime data (``analysis/data/kuromoji_runtime.npz``) is decoded from the
+public mecab-ipadic-derived assets the reference distributes (connection
+cost matrix, character definition, unknown-word dictionary) — see
+``scripts/build_kuromoji_assets.py``.  The reference distribution does
+not include the known-word cost buffer (``TokenInfoDictionary$buffer``),
+so the known-word lexicon here is a curated compact TSV
+(``kuromoji_lexicon.tsv``) with authentic IPADIC connection ids (resolved
+from ``TokenInfoDictionary$posDict``) and a hand-assigned cost model.
+Segmentation is validated against the reference's own test vectors
+(TestJapaneseAnalyzer.kt, TestSearchMode.kt) in
+``tests/test_japanese_analyzer.py``; sentences relying on IPADIC entries
+outside the compact lexicon may segment differently.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import unicodedata
+from functools import lru_cache
+
+import numpy as np
+
+_DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+
+# character classes [ref: ja/dict/CharacterDefinition.kt CharacterClass]
+NGRAM, DEFAULT, SPACE, SYMBOL, NUMERIC, ALPHA = 0, 1, 2, 3, 4, 5
+CYRILLIC, GREEK, HIRAGANA, KATAKANA, KANJI, KANJINUMERIC = 6, 7, 8, 9, 10, 11
+
+KNOWN, UNKNOWN = 0, 1
+
+# search-mode constants [ref: ja/KuromojiViterbiNBest.kt:43-46]
+SEARCH_MODE_KANJI_LENGTH = 2
+SEARCH_MODE_OTHER_LENGTH = 7
+SEARCH_MODE_KANJI_PENALTY = 3000
+SEARCH_MODE_OTHER_PENALTY = 1700
+
+MAX_UNKNOWN_WORD_LENGTH = 1024
+
+# [ref: ja/KuromojiViterbiNBest.kt isPunctuation — JDK char categories]
+_PUNCT_CATS = frozenset([
+    "Zs", "Zl", "Zp", "Cc", "Cf", "Pd", "Ps", "Pe", "Pc", "Po",
+    "Sm", "Sc", "Sk", "So", "Pi", "Pf",
+])
+
+
+def _is_punct(ch: str) -> bool:
+    return unicodedata.category(ch) in _PUNCT_CATS
+
+
+class _Runtime:
+    """Shared immutable dictionary state (loaded once per process)."""
+
+    def __init__(self):
+        d = np.load(os.path.join(_DATA_DIR, "kuromoji_runtime.npz"))
+        self.char_cat = d["char_category"]          # uint8[65536]
+        self.invoke = d["invoke"]                   # bool[12]
+        self.group = d["group"]                     # bool[12]
+        # cost(forwardId=prev rightId, backwardId=next leftId)
+        #   = conn[backwardId, forwardId]
+        self.conn = d["conn_costs"]                 # int16[1316,1316]
+        self.unk_class_off = d["unk_class_offsets"]  # int32[13]
+        self.unk_left = d["unk_left_ids"]           # == rightId for unk
+        self.unk_cost = d["unk_word_costs"]
+        with open(os.path.join(_DATA_DIR, "kuromoji_unk_pos.json")) as f:
+            self.unk_pos = json.load(f)
+        with open(os.path.join(_DATA_DIR, "kuromoji_pos_ids.json")) as f:
+            pos_ids = json.load(f)
+
+        # resolve the curated lexicon against the authentic id table
+        by_triple: dict[tuple, list[int]] = {}
+        for i, (p, t, f_) in enumerate(pos_ids):
+            by_triple.setdefault((p, t, f_), []).append(i)
+
+        surfaces: dict[str, list[int]] = {}
+        left, right, cost, pos, base = [], [], [], [], []
+        path = os.path.join(_DATA_DIR, "kuromoji_lexicon.tsv")
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line or line.startswith("#"):
+                    continue
+                fields = line.split("\t")
+                # surface, pos, infl_type, infl_form, base_form, cost[, conn]
+                surface, p, t, fo, bf, c = fields[:6]
+                if len(fields) > 6 and fields[6]:
+                    cid = int(fields[6])
+                else:
+                    ids = by_triple.get((p, t, fo))
+                    if not ids:
+                        raise ValueError(
+                            f"kuromoji_lexicon: no IPADIC id for {p},{t},{fo}")
+                    cid = ids[0]
+                wid = len(left)
+                left.append(cid)
+                right.append(cid)
+                cost.append(int(c))
+                pos.append(p)
+                base.append(bf or None)
+                surfaces.setdefault(surface, []).append(wid)
+        self.lex_left = left
+        self.lex_right = right
+        self.lex_cost = cost
+        self.lex_pos = pos
+        self.lex_base = base
+        self.surfaces = surfaces
+        # all proper prefixes of lexicon surfaces, for the scan cutoff
+        prefixes = set()
+        for s in surfaces:
+            for i in range(1, len(s)):
+                prefixes.add(s[:i])
+        self.prefixes = prefixes
+        self.max_len = max((len(s) for s in surfaces), default=0)
+
+    def char_class(self, ch: str) -> int:
+        o = ord(ch)
+        return int(self.char_cat[o]) if o < 0x10000 else DEFAULT
+
+    def is_kanji(self, ch: str) -> bool:
+        c = self.char_class(ch)
+        return c == KANJI or c == KANJINUMERIC
+
+
+@lru_cache(maxsize=1)
+def _runtime() -> _Runtime:
+    return _Runtime()
+
+
+# ---------------------------------------------------------------------------
+# CJKWidthCharFilter [ref: analysis/common/.../cjk/CJKWidthCharFilter.kt]
+# ---------------------------------------------------------------------------
+
+_KANA_NORM = [
+    0x30FB, 0x30F2, 0x30A1, 0x30A3, 0x30A5, 0x30A7, 0x30A9, 0x30E3, 0x30E5,
+    0x30E7, 0x30C3, 0x30FC, 0x30A2, 0x30A4, 0x30A6, 0x30A8, 0x30AA, 0x30AB,
+    0x30AD, 0x30AF, 0x30B1, 0x30B3, 0x30B5, 0x30B7, 0x30B9, 0x30BB, 0x30BD,
+    0x30BF, 0x30C1, 0x30C4, 0x30C6, 0x30C8, 0x30CA, 0x30CB, 0x30CC, 0x30CD,
+    0x30CE, 0x30CF, 0x30D2, 0x30D5, 0x30D8, 0x30DB, 0x30DE, 0x30DF, 0x30E0,
+    0x30E1, 0x30E2, 0x30E4, 0x30E6, 0x30E8, 0x30E9, 0x30EA, 0x30EB, 0x30EC,
+    0x30ED, 0x30EF, 0x30F3, 0x3099, 0x309A,
+]
+_KANA_VOICED = [
+    78, 0, 0, 0, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1,
+    0, 1, 0, 1, 0, 0, 1, 0, 1, 0, 1, 0, 0, 0, 0, 0, 0, 1, 0, 0, 1, 0, 0, 1,
+    0, 0, 1, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 8, 8, 8, 8, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1,
+]
+_KANA_SEMI_VOICED = [
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 2, 0, 0, 2, 0, 0, 2,
+    0, 0, 2, 0, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+]
+
+
+def cjk_width_fold_offsets(text: str) -> tuple[str, list[int]]:
+    """Fold widths; return (folded, origin-index per output char)."""
+    out: list[str] = []
+    origin: list[int] = []
+    for i, ch in enumerate(text):
+        o = ord(ch)
+        if o in (0xFF9E, 0xFF9F) and out:
+            prev = ord(out[-1])
+            if 0x30A6 <= prev <= 0x30FD:
+                diff = (_KANA_SEMI_VOICED if o == 0xFF9F
+                        else _KANA_VOICED)[prev - 0x30A6]
+                if diff:
+                    out[-1] = chr(prev + diff)
+                    continue
+        if 0xFF01 <= o <= 0xFF5E:
+            ch = chr(o - 0xFEE0)
+        elif 0xFF65 <= o <= 0xFF9F:
+            ch = chr(_KANA_NORM[o - 0xFF65])
+        out.append(ch)
+        origin.append(i)
+    return "".join(out), origin
+
+
+# ---------------------------------------------------------------------------
+# Viterbi lattice
+# ---------------------------------------------------------------------------
+
+class _Position:
+    __slots__ = ("pos", "count", "costs", "lastRightID", "backPos",
+                 "backWordPos", "backIndex", "backID", "backType",
+                 "forwardCount", "forwardPos", "forwardIndex", "forwardID",
+                 "forwardType")
+
+    def __init__(self, pos: int):
+        self.pos = pos
+        self.count = 0
+        self.costs: list[int] = []
+        self.lastRightID: list[int] = []
+        self.backPos: list[int] = []
+        self.backWordPos: list[int] = []
+        self.backIndex: list[int] = []
+        self.backID: list[int] = []
+        self.backType: list[int] = []
+        self.forwardCount = 0
+        self.forwardPos: list[int] = []
+        self.forwardIndex: list[int] = []
+        self.forwardID: list[int] = []
+        self.forwardType: list[int] = []
+
+    def add(self, cost, lastRightID, backPos, backWordPos, backIndex,
+            backID, backType):
+        if self.count == len(self.costs):
+            self.costs.append(cost)
+            self.lastRightID.append(lastRightID)
+            self.backPos.append(backPos)
+            self.backWordPos.append(backWordPos)
+            self.backIndex.append(backIndex)
+            self.backID.append(backID)
+            self.backType.append(backType)
+        else:
+            i = self.count
+            self.costs[i] = cost
+            self.lastRightID[i] = lastRightID
+            self.backPos[i] = backPos
+            self.backWordPos[i] = backWordPos
+            self.backIndex[i] = backIndex
+            self.backID[i] = backID
+            self.backType[i] = backType
+        self.count += 1
+
+    def add_forward(self, forwardPos, forwardIndex, forwardID, forwardType):
+        i = self.forwardCount
+        if i == len(self.forwardPos):
+            self.forwardPos.append(forwardPos)
+            self.forwardIndex.append(forwardIndex)
+            self.forwardID.append(forwardID)
+            self.forwardType.append(forwardType)
+        else:
+            self.forwardPos[i] = forwardPos
+            self.forwardIndex[i] = forwardIndex
+            self.forwardID[i] = forwardID
+            self.forwardType[i] = forwardType
+        self.forwardCount += 1
+
+
+class Token:
+    __slots__ = ("surface", "start", "end", "pos_tag", "base_form")
+
+    def __init__(self, surface, start, end, pos_tag, base_form=None):
+        self.surface = surface
+        self.start = start
+        self.end = end
+        self.pos_tag = pos_tag
+        self.base_form = base_form
+
+    def __repr__(self):  # pragma: no cover
+        return f"Token({self.surface!r},{self.start},{self.end},{self.pos_tag})"
+
+
+class JapaneseTokenizer:
+    """Lattice tokenizer: dictionary + unknown words + Viterbi decode.
+
+    mode: "normal" or "search" (decompounding heuristic, the analyzer
+    default).  Punctuation tokens are discarded (the analyzer default).
+    """
+
+    def __init__(self, mode: str = "search",
+                 discard_punctuation: bool = True):
+        self.rt = _runtime()
+        self.search_mode = mode == "search"
+        self.discard_punctuation = discard_punctuation
+
+    # -- dictionary accessors (wordID -> attrs), type-dispatched ---------
+    def _left(self, wid: int, typ: int) -> int:
+        return (self.rt.lex_left[wid] if typ == KNOWN
+                else int(self.rt.unk_left[wid]))
+
+    def _right(self, wid: int, typ: int) -> int:
+        return (self.rt.lex_right[wid] if typ == KNOWN
+                else int(self.rt.unk_left[wid]))
+
+    def _wcost(self, wid: int, typ: int) -> int:
+        return (self.rt.lex_cost[wid] if typ == KNOWN
+                else int(self.rt.unk_cost[wid]))
+
+    def _pos_tag(self, wid: int, typ: int) -> str:
+        return (self.rt.lex_pos[wid] if typ == KNOWN
+                else self.rt.unk_pos[wid])
+
+    def _base(self, wid: int, typ: int):
+        return self.rt.lex_base[wid] if typ == KNOWN else None
+
+    def _compute_penalty(self, text: str, pos: int, length: int) -> int:
+        # [ref: KuromojiViterbiNBest.kt computePenalty]
+        if length > SEARCH_MODE_KANJI_LENGTH:
+            if all(self.rt.is_kanji(text[p])
+                   for p in range(pos, pos + length)):
+                return ((length - SEARCH_MODE_KANJI_LENGTH)
+                        * SEARCH_MODE_KANJI_PENALTY)
+            if length > SEARCH_MODE_OTHER_LENGTH:
+                return ((length - SEARCH_MODE_OTHER_LENGTH)
+                        * SEARCH_MODE_OTHER_PENALTY)
+        return 0
+
+    def _add(self, positions, from_pos_data: _Position, word_pos: int,
+             end_pos: int, wid: int, typ: int, text: str,
+             add_penalty: bool) -> None:
+        # [ref: morph/Viterbi.kt add()]
+        conn = self.rt.conn
+        left_id = self._left(wid, typ)
+        least_cost, least_idx = 2**62, -1
+        for idx in range(from_pos_data.count):
+            c = (from_pos_data.costs[idx]
+                 + int(conn[left_id, from_pos_data.lastRightID[idx]]))
+            if c < least_cost:
+                least_cost, least_idx = c, idx
+        least_cost += self._wcost(wid, typ)
+        if add_penalty:
+            least_cost += self._compute_penalty(
+                text, from_pos_data.pos, end_pos - from_pos_data.pos)
+        self._pos_at(positions, end_pos).add(
+            least_cost, self._right(wid, typ), from_pos_data.pos, word_pos,
+            least_idx, wid, typ)
+
+    @staticmethod
+    def _pos_at(positions: dict, pos: int) -> _Position:
+        p = positions.get(pos)
+        if p is None:
+            p = positions[pos] = _Position(pos)
+        return p
+
+    def tokenize(self, text: str) -> list[Token]:
+        if not text:
+            return []
+        rt = self.rt
+        n = len(text)
+        positions: dict[int, _Position] = {}
+        self._pos_at(positions, 0).add(0, 0, -1, -1, -1, -1, -1)  # BOS
+
+        unknown_word_end = -1
+        pos = 0
+        while pos < n:
+            pos_data = positions.get(pos)
+            if pos_data is None or pos_data.count == 0:
+                pos += 1
+                continue
+
+            # known-word dictionary scan from `pos`
+            any_matches = False
+            limit = min(n, pos + rt.max_len)
+            end = pos
+            while end < limit:
+                frag = text[pos:end + 1]
+                wids = rt.surfaces.get(frag)
+                if wids is not None:
+                    for wid in wids:
+                        self._add(positions, pos_data, pos, end + 1, wid,
+                                  KNOWN, text, False)
+                        any_matches = True
+                elif frag not in rt.prefixes:
+                    break
+                end += 1
+
+            # unknown word [ref: KuromojiViterbiNBest.kt processUnknownWord;
+            #   in search mode it is never skipped]
+            if self.search_mode or unknown_word_end <= pos:
+                first = text[pos]
+                if not any_matches or rt.invoke[rt.char_class(first)]:
+                    cls = rt.char_class(first)
+                    is_punct = _is_punct(first)
+                    if not rt.group[cls]:
+                        ulen = 1
+                    else:
+                        ulen = 1
+                        ahead = pos + 1
+                        while (ulen < MAX_UNKNOWN_WORD_LENGTH and ahead < n
+                               and rt.char_class(text[ahead]) == cls
+                               and _is_punct(text[ahead]) == is_punct):
+                            ulen += 1
+                            ahead += 1
+                    lo = int(rt.unk_class_off[cls])
+                    hi = int(rt.unk_class_off[cls + 1])
+                    for wid in range(lo, hi):
+                        self._add(positions, pos_data, pos, pos + ulen, wid,
+                                  UNKNOWN, text, False)
+                    unknown_word_end = pos + ulen
+            pos += 1
+
+        # EOS [ref: morph/Viterbi.kt forward() tail]
+        end_pos_data = positions.get(n)
+        if end_pos_data is None or end_pos_data.count == 0:
+            return []
+        conn = self.rt.conn
+        least_cost, least_idx = 2**62, -1
+        for idx in range(end_pos_data.count):
+            c = (end_pos_data.costs[idx]
+                 + int(conn[0, end_pos_data.lastRightID[idx]]))
+            if c < least_cost:
+                least_cost, least_idx = c, idx
+        pending = self._backtrace(positions, text, end_pos_data, least_idx)
+        pending.reverse()
+        return pending
+
+    def _backtrace(self, positions, text, end_pos_data: _Position,
+                   from_idx: int) -> list[Token]:
+        # [ref: KuromojiViterbiNBest.kt backtrace(); outputCompounds=false]
+        conn = self.rt.conn
+        pending: list[Token] = []
+        pos = end_pos_data.pos
+        best_idx = from_idx
+        alt_token_start = None  # start offset of suppressed compound token
+        last_left_word_id = -1
+
+        while pos > 0:
+            pos_data = positions[pos]
+            back_pos = pos_data.backPos[best_idx]
+            length = pos - back_pos
+            back_type = pos_data.backType[best_idx]
+            back_id = pos_data.backID[best_idx]
+            next_best_idx = pos_data.backIndex[best_idx]
+
+            if (self.search_mode and alt_token_start is None):
+                penalty = self._compute_penalty(text, back_pos, length)
+                if penalty > 0:
+                    max_cost = pos_data.costs[best_idx] + penalty
+                    if last_left_word_id != -1:
+                        max_cost += int(conn[
+                            last_left_word_id,
+                            self._right(back_id, back_type)])
+                    self._prune_and_rescore(
+                        positions, text, back_pos, pos,
+                        pos_data.backIndex[best_idx])
+                    least_cost, least_idx = 2**62, -1
+                    for idx in range(pos_data.count):
+                        c = pos_data.costs[idx]
+                        if last_left_word_id != -1:
+                            c += int(conn[
+                                last_left_word_id,
+                                self._right(pos_data.backID[idx],
+                                            pos_data.backType[idx])])
+                        if c < least_cost:
+                            least_cost, least_idx = c, idx
+                    if (least_idx != -1 and least_cost <= max_cost
+                            and pos_data.backPos[least_idx] != back_pos):
+                        # decompose: switch to the second-best path;
+                        # the compound itself is not emitted
+                        alt_token_start = back_pos
+                        best_idx = least_idx
+                        next_best_idx = pos_data.backIndex[best_idx]
+                        back_pos = pos_data.backPos[best_idx]
+                        length = pos - back_pos
+                        back_type = pos_data.backType[best_idx]
+                        back_id = pos_data.backID[best_idx]
+
+            if alt_token_start is not None and alt_token_start >= back_pos:
+                alt_token_start = None
+
+            if (not self.discard_punctuation or length == 0
+                    or not _is_punct(text[back_pos])):
+                pending.append(Token(
+                    text[back_pos:back_pos + length], back_pos,
+                    back_pos + length, self._pos_tag(back_id, back_type),
+                    self._base(back_id, back_type)))
+
+            last_left_word_id = self._left(back_id, back_type)
+            pos = back_pos
+            best_idx = next_best_idx
+        return pending
+
+    def _prune_and_rescore(self, positions, text, start_pos: int,
+                           end_pos: int, best_start_idx: int) -> None:
+        # [ref: KuromojiViterbiNBest.kt pruneAndRescore()]
+        for pos in range(end_pos, start_pos, -1):
+            pos_data = positions.get(pos)
+            if pos_data is None:
+                continue
+            for arc in range(pos_data.count):
+                back_pos = pos_data.backPos[arc]
+                if back_pos >= start_pos:
+                    self._pos_at(positions, back_pos).add_forward(
+                        pos, arc, pos_data.backID[arc],
+                        pos_data.backType[arc])
+            pos_data.count = 0
+
+        conn = self.rt.conn
+        for pos2 in range(start_pos, end_pos):
+            pos_data = positions.get(pos2)
+            if pos_data is None:
+                continue
+            if pos_data.count == 0:
+                pos_data.forwardCount = 0
+                continue
+            if pos2 == start_pos:
+                if start_pos == 0:
+                    right_id = 0
+                else:
+                    right_id = self._right(pos_data.backID[best_start_idx],
+                                           pos_data.backType[best_start_idx])
+                path_cost = pos_data.costs[best_start_idx]
+                for f in range(pos_data.forwardCount):
+                    typ = pos_data.forwardType[f]
+                    wid = pos_data.forwardID[f]
+                    to_pos = pos_data.forwardPos[f]
+                    new_cost = (path_cost + self._wcost(wid, typ)
+                                + int(conn[self._left(wid, typ), right_id])
+                                + self._compute_penalty(
+                                    text, pos2, to_pos - pos2))
+                    self._pos_at(positions, to_pos).add(
+                        new_cost, self._right(wid, typ), pos2, -1,
+                        best_start_idx, wid, typ)
+            else:
+                for f in range(pos_data.forwardCount):
+                    typ = pos_data.forwardType[f]
+                    to_pos = pos_data.forwardPos[f]
+                    self._add(positions, pos_data, pos2, to_pos,
+                              pos_data.forwardID[f], typ, text, True)
+            pos_data.forwardCount = 0
+
+
+# ---------------------------------------------------------------------------
+# Analyzer chain
+# ---------------------------------------------------------------------------
+
+# [ref: ja/JapaneseAnalyzer.kt DefaultSetHolder.DEFAULT_STOP_SET]
+JA_STOP_WORDS = frozenset("""
+の に は を た が で て と し れ さ ある いる も する から な こと として い
+や れる など なっ ない この ため その あっ よう また もの という あり まで
+られ なる へ か だ これ によって により おり より による ず なり られる
+において ば なかっ なく しかし について せ だっ その後 できる それ う ので
+なお のみ でき き つ における および いう さらに でも ら たり その他
+に関する たち ます ん なら に対して 特に せる 及び これら とき では にて
+ほか ながら うち そして とともに ただし かつて それぞれ または お ほど
+ものの に対する ほとんど と共に といった です とも ところ ここ
+""".split())
+
+# [ref: ja/JapaneseAnalyzer.kt DefaultSetHolder.DEFAULT_STOP_TAGS]
+JA_STOP_TAGS = frozenset("""
+接続詞 助詞 助詞-格助詞 助詞-格助詞-一般 助詞-格助詞-引用 助詞-格助詞-連語
+助詞-接続助詞 助詞-係助詞 助詞-副助詞 助詞-間投助詞 助詞-並立助詞
+助詞-終助詞 助詞-副助詞／並立助詞／終助詞 助詞-連体化 助詞-副詞化
+助詞-特殊 助動詞 記号 記号-一般 記号-読点 記号-句点 記号-空白 記号-括弧開
+記号-括弧閉 その他-間投 フィラー 非言語音
+""".split())
+
+_KATAKANA_STEM_MIN = 4  # [ref: ja/JapaneseKatakanaStemFilter.kt]
+
+
+def _katakana_stem(term: str) -> str:
+    if len(term) < _KATAKANA_STEM_MIN:
+        return term
+    if all("゠" <= c <= "ヿ" for c in term):
+        if term.endswith("ー"):
+            return term[:-1]
+    return term
+
+
+class JapaneseAnalyzer:
+    """Full kuromoji chain; callable ``text -> list[str]`` like the other
+    analyzers; ``analyze_tokens`` keeps offsets/posinc for conformance
+    tests. [ref: ja/JapaneseAnalyzer.kt createComponents]"""
+
+    def __init__(self, mode: str = "search",
+                 stop_words=JA_STOP_WORDS, stop_tags=JA_STOP_TAGS):
+        self.tokenizer = JapaneseTokenizer(mode=mode)
+        self.stop_words = stop_words
+        self.stop_tags = stop_tags
+
+    def analyze_tokens(self, text: str):
+        """Returns [(term, start, end, pos_inc)] over the original text."""
+        folded, origin = cjk_width_fold_offsets(text)
+        out = []
+        pos_inc = 1
+        for tok in self.tokenizer.tokenize(folded):
+            term = tok.base_form or tok.surface  # JapaneseBaseFormFilter
+            if tok.pos_tag in self.stop_tags:    # JapanesePartOfSpeechStop
+                pos_inc += 1
+                continue
+            if term.lower() in self.stop_words:  # StopFilter
+                pos_inc += 1
+                continue
+            term = _katakana_stem(term)          # JapaneseKatakanaStemFilter
+            term = term.lower()                  # LowerCaseFilter
+            start = origin[tok.start]
+            end = origin[tok.end - 1] + 1
+            out.append((term, start, end, pos_inc))
+            pos_inc = 1
+        return out
+
+    def __call__(self, text: str) -> list[str]:
+        return [t for t, _, _, _ in self.analyze_tokens(text)]
+
+    def analyze_flat(self, texts):
+        """Vectorized indexing interface (same contract as the other
+        analyzer chains): per-doc lengths + flat token/doc/pos arrays.
+        Latin-only fast path: over ASCII text the lattice reduces exactly
+        to character-class-run tokenization (see oracle.japanese_preamble
+        and the corpus sweep in tests/test_japanese_entry.py), so pure-
+        ASCII batches skip the per-char Viterbi."""
+        import re
+
+        import pyarrow as pa
+
+        if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+            texts = texts.to_pylist()
+        ascii_runs = re.compile(r"[A-Za-z]+|[0-9]+")
+        doc_lengths = np.empty(len(texts), dtype=np.int64)
+        flat: list[str] = []
+        doc_of_l: list[int] = []
+        pos_l: list[int] = []
+        for i, text in enumerate(texts):
+            text = text or ""
+            if text.isascii():
+                toks = [m.lower() for m in ascii_runs.findall(text)]
+            else:
+                toks = self(text)
+            flat.extend(toks)
+            doc_of_l.extend([i] * len(toks))
+            pos_l.extend(range(len(toks)))
+            doc_lengths[i] = len(toks)
+        return (doc_lengths, pa.array(flat, pa.string()),
+                np.array(doc_of_l, dtype=np.int64),
+                np.array(pos_l, dtype=np.int64))

@@ -6873,3 +6873,62 @@ rkept AS (SELECT doc_id, t0 FROM rtok
 SELECT t0 AS term, count(*) AS cnt FROM rkept
 GROUP BY t0 ORDER BY t0
 """
+
+
+# ------------------------------------------------------ Japanese ----------
+# Kuromoji-semantics chain (analysis/japanese.py). Over the Latin corpus
+# the lattice reduces exactly to character-class-run tokenization: ASCII
+# letters/digits group per char.def (ALPHA/NUMERIC, group=true), unknown
+# POS tags are not stoptags, the Japanese stop list never matches Latin
+# tokens, and the katakana stem is a no-op — verified by an exhaustive
+# corpus sweep in tests/test_japanese_entry.py. The lattice itself
+# (dictionary paths, connection costs, search-mode decomposition) is
+# covered by ja_token_counts whose expectations come from the REFERENCE's
+# own test vectors (TestJapaneseAnalyzer.kt / TestSearchMode.kt), not
+# from this engine.
+
+def japanese_preamble() -> str:
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+rtok AS (
+  SELECT doc_id,
+         lower(unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+'))) AS t0
+  FROM corpus
+),
+rkept AS (SELECT doc_id, t0 FROM rtok),
+rterms AS MATERIALIZED (SELECT doc_id, t0 AS term FROM rkept),
+{_BM25_TAIL}"""
+
+
+def bm25_japanese_topk(term: str, k: int = 10) -> str:
+    pre = japanese_preamble().replace("__LT_VALUES__", _lt_values())
+    lit = f"'{term}'"
+    return pre + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
+def ja_token_counts(phrase_tokens: list[tuple[str, list[str]]]) -> str:
+    """Global (term, cnt) over the full kuromoji lattice chain applied to
+    a synthesized per-doc Japanese phrase (phrase = vectors[doc_id % k]).
+    The expected token lists are the REFERENCE's published test vectors
+    (TestJapaneseAnalyzer.kt testBasics/testDecomposition,
+    TestSearchMode.kt SEGMENTATION_TESTS) — an independent ground truth
+    for the Viterbi segmentation, not an echo of the engine."""
+    k = len(phrase_tokens)
+    rows = []
+    for i, (_, toks) in enumerate(phrase_tokens):
+        for t in toks:
+            rows.append(f"({i}, '{t}')")
+    values = ", ".join(rows)
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+expected(pidx, term) AS (VALUES {values}),
+assigned AS (SELECT doc_id % {k} AS pidx FROM corpus)
+SELECT e.term, count(*) AS cnt
+FROM assigned a JOIN expected e USING (pidx)
+GROUP BY e.term ORDER BY e.term
+"""

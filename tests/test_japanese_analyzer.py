@@ -1,0 +1,149 @@
+"""Kuromoji-semantics Japanese analyzer conformance.
+
+Vectors from the reference's own test suite:
+- TestJapaneseAnalyzer.kt testBasics / testDecomposition
+- TestSearchMode.kt SEGMENTATION_TESTS (the subset whose vocabulary is in
+  the compact curated lexicon; lines relying on IPADIC entries outside it
+  are not asserted)
+No Ray needed — pure analysis chain.
+"""
+
+import pytest
+
+from lucene_kmp_ray.analysis.japanese import (
+    JapaneseAnalyzer,
+    JapaneseTokenizer,
+    cjk_width_fold_offsets,
+)
+
+
+@pytest.fixture(scope="module")
+def analyzer():
+    return JapaneseAnalyzer()
+
+
+@pytest.fixture(scope="module")
+def search_tok():
+    return JapaneseTokenizer(mode="search")
+
+
+# --- TestJapaneseAnalyzer.kt testBasics -------------------------------
+
+
+def test_basics_terms_offsets_posinc(analyzer):
+    toks = analyzer.analyze_tokens("多くの学生が試験に落ちた。")
+    assert [t[0] for t in toks] == ["多く", "学生", "試験", "落ちる"]
+    assert [t[1] for t in toks] == [0, 3, 6, 9]
+    assert [t[2] for t in toks] == [2, 5, 8, 11]
+    assert [t[3] for t in toks] == [1, 2, 2, 2]
+
+
+# --- TestJapaneseAnalyzer.kt testDecomposition ------------------------
+
+DECOMPOSITION = [
+    ("シニアソフトウェアエンジニア", ["シニア", "ソフトウェア", "エンジニア"]),
+    # katakana stem: マネージャー -> マネージャ
+    ("シニアプロジェクトマネージャー", ["シニア", "プロジェクト", "マネージャ"]),
+    ("関西国際空港", ["関西", "国際", "空港"]),
+    ("コニカミノルタホールディングス", ["コニカ", "ミノルタ", "ホールディングス"]),
+    ("成田空港", ["成田", "空港"]),
+    ("京都大学硬式野球部", ["京都大", "学", "硬式", "野球", "部"]),
+]
+
+
+@pytest.mark.parametrize("text,expected", DECOMPOSITION)
+def test_decomposition(analyzer, text, expected):
+    assert analyzer(text) == expected
+
+
+# --- TestSearchMode.kt SEGMENTATION_TESTS (lexicon-covered subset) ----
+
+SEARCH_SEGMENTATION = [
+    ("関西国際空港", ["関西", "国際", "空港"]),
+    ("成田空港", ["成田", "空港"]),
+    ("羽田空港", ["羽田", "空港"]),
+    ("東京大学", ["東京", "大学"]),
+    ("京都大学", ["京都", "大学"]),
+    ("京都大学硬式野球部", ["京都大", "学", "硬式", "野球", "部"]),
+    ("ソフトウェアエンジニア", ["ソフトウェア", "エンジニア"]),
+    ("シニアソフトウェアエンジニア", ["シニア", "ソフトウェア", "エンジニア"]),
+    ("システムアーキテクト", ["システム", "アーキテクト"]),
+    ("シニアシステムアーキテクト", ["シニア", "システム", "アーキテクト"]),
+    ("ソフトバンクモバイル", ["ソフトバンク", "モバイル"]),
+    ("マイケルジャクソン", ["マイケル", "ジャクソン"]),
+    ("ホールディングス", ["ホールディングス"]),
+    ("ソフトウェアエンジニアリング", ["ソフトウェア", "エンジニアリング"]),
+    ("クリスマスショッピング", ["クリスマス", "ショッピング"]),
+    ("ダウンロードファイル", ["ダウンロード", "ファイル"]),
+    ("リレハンメルオリンピック", ["リレハンメル", "オリンピック"]),
+]
+
+
+@pytest.mark.parametrize("text,expected", SEARCH_SEGMENTATION)
+def test_search_segmentation(search_tok, text, expected):
+    assert [t.surface for t in search_tok.tokenize(text)] == expected
+
+
+def test_normal_mode_keeps_compounds():
+    t = JapaneseTokenizer(mode="normal")
+    assert [x.surface for x in t.tokenize("関西国際空港")] == ["関西国際空港"]
+    assert [x.surface for x in t.tokenize("東京大学")] == ["東京大学"]
+
+
+# --- chain pieces ------------------------------------------------------
+
+
+def test_base_form_filter(analyzer):
+    # 落ち (一段 連用形) lemmatized to 落ちる
+    assert analyzer("試験に落ちた") == ["試験", "落ちる"]
+
+
+def test_pos_and_stopword_removal(analyzer):
+    # は (係助詞) dropped by POS; これ dropped by stopword list
+    assert analyzer("これは学生です") == ["学生"]
+
+
+def test_katakana_stem_min_length(analyzer):
+    # マネージャー(>=4 katakana, trailing ー) stemmed; センター also
+    toks = analyzer("マネージャーのセンター")
+    assert toks == ["マネージャ", "センタ"]
+
+
+def test_cjk_width_fold():
+    folded, origin = cjk_width_fold_offsets("ＡＢＣ")
+    assert folded == "ABC" and origin == [0, 1, 2]
+    # halfwidth katakana with voice marks combine (shrinks)
+    folded, origin = cjk_width_fold_offsets("ﾏﾈｰｼﾞｬｰ")
+    assert folded == "マネージャー"
+    assert origin[0] == 0 and origin[-1] == 6
+
+
+def test_halfwidth_katakana_roundtrip(analyzer):
+    assert analyzer("ﾏﾈｰｼﾞｬｰ") == ["マネージャ"]
+
+
+def test_fullwidth_ascii_lowercased(analyzer):
+    assert analyzer("ＦＵＬＬＷＩＤＴＨ　ｔｅｘｔ") == ["fullwidth", "text"]
+
+
+def test_unknown_words(analyzer):
+    # unknown katakana run groups into one token; latin stays whole
+    out = analyzer("Lucene ライブラリ")
+    assert out == ["lucene", "ライブラリ"]
+
+
+def test_punctuation_discarded(analyzer):
+    assert analyzer("。、！？") == []
+    assert analyzer("") == []
+
+
+def test_offsets_cover_original_text(analyzer):
+    text = "多くの学生が試験に落ちた。"
+    for term, start, end, _ in analyzer.analyze_tokens(text):
+        assert 0 <= start < end <= len(text)
+
+
+def test_mixed_numeric(analyzer):
+    # numeric runs group per char.def (NUMERIC group=true)
+    out = analyzer("2024年")
+    assert "2024" in out
