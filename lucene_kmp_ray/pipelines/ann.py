@@ -328,7 +328,13 @@ def ann_ivf_build(sf_dir: str, index_dir: str,
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
+    # range-shuffle on the cell id before the partitioned write: without
+    # it every (input block × cell) pair becomes its own tiny file (.44
+    # files/vector observed at sf0.1 — per-file open cost then dominates
+    # the probed read). sort() keeps block sizes bounded, so huge cells
+    # still split into multiple target-sized files at 100 TB.
     ds.map_batches(assign, batch_format="pyarrow") \
+        .sort("cell") \
         .write_parquet(index_dir, partition_cols=["cell"])
     os.makedirs(index_dir, exist_ok=True)
     np.save(marker, cent)
@@ -379,6 +385,7 @@ def ann_ivf_partitioned(sf_dir: str, n_queries: int = 5, k: int = 10,
     ds = rd.read_parquet(paths, columns=["vec_id", "embedding", "c"])
     partial = ds.map_batches(CellScorer, batch_format="pyarrow",
                              batch_size=1024,
-                             concurrency=_pool_size(concurrency))
+                             concurrency=_pool_size(concurrency,
+                                                    work_items=len(paths)))
     return partial.groupby("query_id").map_groups(
         _merge_topk_factory(k), batch_format="pandas")
