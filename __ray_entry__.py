@@ -527,6 +527,7 @@ _LANG_REGISTRY = {
     "tamil": ("tamil", "TamilAnalyzer"),
     "thai": ("thai", "ThaiAnalyzer"),
     "japanese": ("japanese", "JapaneseAnalyzer"),
+    "korean": ("korean", "KoreanAnalyzer"),
 }
 
 
@@ -710,6 +711,50 @@ JA_VECTORS = [
     ("ダウンロードファイル", ["ダウンロード", "ファイル"]),
     ("クリスマスショッピング", ["クリスマス", "ショッピング"]),
 ]
+
+
+# Korean vectors: first two straight from the reference's tests
+# (TestKoreanAnalyzer.kt testBasics, TestKoreanTokenizer.kt), the rest
+# curated over the same lexicon.
+KO_VECTORS = [
+    ("한국은 대단한 나라입니다.", ["한국", "대단", "나라", "이"]),
+    ("2018 평창 동계올림픽대회", ["2018", "평창", "동계", "올림픽", "대회"]),
+    ("서울의 올림픽대회", ["서울", "올림픽", "대회"]),
+    ("한국 검색 엔진 입니다", ["한국", "검색", "엔진", "이"]),
+]
+
+
+def _ko_token_counts(sf_dir: str):
+    """Global (term, count) over the FULL nori chain (lattice w/ space
+    penalty + dictionary decompounding → POS stop → reading form →
+    lowercase) applied to a synthesized per-doc Korean phrase. Oracle:
+    oracle.ko_token_counts (reference-vector expectations)."""
+    import pyarrow as pa
+    import ray
+
+    from lucene_kmp_ray.analysis.korean import KoreanAnalyzer
+
+    k = len(KO_VECTORS)
+    phrases = [p for p, _ in KO_VECTORS]
+
+    class Derive:
+        def __init__(self):
+            self.a = KoreanAnalyzer()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import collections
+            counts: collections.Counter = collections.Counter()
+            for doc_id in batch.column("doc_id").to_pylist():
+                counts.update(self.a(phrases[doc_id % k]))
+            return pa.table({"term": list(counts.keys()),
+                             "cnt": list(counts.values())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    agg = ds.map_batches(Derive, batch_format="pyarrow", concurrency=2) \
+        .groupby("term").sum("cnt")
+    df = agg.to_pandas().rename(columns={"sum(cnt)": "cnt"})
+    return df.sort_values(["term"]).reset_index(drop=True)
 
 
 def _ja_token_counts(sf_dir: str):
@@ -1279,6 +1324,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # kuromoji Japanese lattice chain ---
         "ja_token_counts": _ja_token_counts,
         "bm25_japanese_top10": lambda sf: _lang_topk(sf, "japanese"),
+        # nori Korean lattice chain
+        "ko_token_counts": _ko_token_counts,
+        "bm25_korean_top10": lambda sf: _lang_topk(sf, "korean"),
         # English analysis chain (possessive → stop → Porter): stemming is
         # not SQL-expressible → rows-only; exact Porter vectors + chain
         # parity live in tests/test_english_analyzer.py
@@ -1571,6 +1619,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_japanese_top10": oracle.bm25_japanese_topk(
             _lang_query_term("japanese")),
         "ja_token_counts": oracle.ja_token_counts(JA_VECTORS),
+        "bm25_korean_top10": oracle.bm25_korean_topk(
+            _lang_query_term("korean")),
+        "ko_token_counts": oracle.ko_token_counts(KO_VECTORS),
         "bm25_serbian_top10": oracle.bm25_serbo_catalan_topk(
             "serbian", _sc_query_term("serbian")),
         "bm25_catalan_top10": oracle.bm25_serbo_catalan_topk(

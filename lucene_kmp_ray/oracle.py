@@ -6932,3 +6932,34 @@ SELECT e.term, count(*) AS cnt
 FROM assigned a JOIN expected e USING (pidx)
 GROUP BY e.term ORDER BY e.term
 """
+
+
+# ------------------------------------------------------ Korean ------------
+# Nori-semantics chain (analysis/korean.py). Same Latin-corpus reduction
+# as Japanese: ASCII letter/digit runs group per char.def (SL/SN, not
+# stop tags), punctuation dropped, lowercase — swept in
+# tests/test_korean_analyzer.py.
+
+def bm25_korean_topk(term: str, k: int = 10) -> str:
+    return bm25_japanese_topk(term, k)  # identical class-run reduction
+
+
+def ko_token_counts(phrase_tokens: list[tuple[str, list[str]]]) -> str:
+    """Global (term, cnt) over the full nori lattice chain applied to a
+    synthesized per-doc Korean phrase (phrase = vectors[doc_id % k]).
+    The first expectations are the REFERENCE's published vectors
+    (TestKoreanAnalyzer.kt / TestKoreanTokenizer.kt)."""
+    k = len(phrase_tokens)
+    rows = []
+    for i, (_, toks) in enumerate(phrase_tokens):
+        for t in toks:
+            rows.append(f"({i}, '{t}')")
+    values = ", ".join(rows)
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+expected(pidx, term) AS (VALUES {values}),
+assigned AS (SELECT doc_id % {k} AS pidx FROM corpus)
+SELECT e.term, count(*) AS cnt
+FROM assigned a JOIN expected e USING (pidx)
+GROUP BY e.term ORDER BY e.term
+"""
