@@ -528,6 +528,7 @@ _LANG_REGISTRY = {
     "thai": ("thai", "ThaiAnalyzer"),
     "japanese": ("japanese", "JapaneseAnalyzer"),
     "korean": ("korean", "KoreanAnalyzer"),
+    "chinese": ("chinese", "SmartChineseAnalyzer"),
 }
 
 
@@ -711,6 +712,54 @@ JA_VECTORS = [
     ("ダウンロードファイル", ["ダウンロード", "ファイル"]),
     ("クリスマスショッピング", ["クリスマス", "ショッピング"]),
 ]
+
+
+# Chinese vectors: straight from the reference's tests
+# (TestSmartChineseAnalyzer.kt) — the decoded real coredict makes the
+# full published vector set reproducible.
+ZH_VECTORS = [
+    ("我购买了道具和服装。", ["我", "购买", "了", "道具", "和", "服装"]),
+    ("我购买 Tests 了道具和服装",
+     ["我", "购买", "test", "了", "道具", "和", "服装"]),
+    ("我购买 Tests 了道具和服装1234",
+     ["我", "购买", "test", "了", "道具", "和", "服装", "1234"]),
+    ("我购买 Ｔｅｓｔｓ 了道具和服装１２３４",
+     ["我", "购买", "test", "了", "道具", "和", "服装", "1234"]),
+    ("Title:San", ["titl", "san"]),
+]
+
+
+def _zh_token_counts(sf_dir: str):
+    """Global (term, count) over the FULL smartcn chain (HHMM shortest
+    path on the real coredict → porter → punctuation stop) applied to a
+    synthesized per-doc Chinese phrase. Oracle: oracle.zh_token_counts
+    (reference-vector expectations)."""
+    import pyarrow as pa
+    import ray
+
+    from lucene_kmp_ray.analysis.chinese import SmartChineseAnalyzer
+
+    k = len(ZH_VECTORS)
+    phrases = [p for p, _ in ZH_VECTORS]
+
+    class Derive:
+        def __init__(self):
+            self.a = SmartChineseAnalyzer()  # dict loads once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import collections
+            counts: collections.Counter = collections.Counter()
+            for doc_id in batch.column("doc_id").to_pylist():
+                counts.update(self.a(phrases[doc_id % k]))
+            return pa.table({"term": list(counts.keys()),
+                             "cnt": list(counts.values())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    agg = ds.map_batches(Derive, batch_format="pyarrow", concurrency=2) \
+        .groupby("term").sum("cnt")
+    df = agg.to_pandas().rename(columns={"sum(cnt)": "cnt"})
+    return df.sort_values(["term"]).reset_index(drop=True)
 
 
 # Korean vectors: first two straight from the reference's tests
@@ -1327,6 +1376,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # nori Korean lattice chain
         "ko_token_counts": _ko_token_counts,
         "bm25_korean_top10": lambda sf: _lang_topk(sf, "korean"),
+        # smartcn Chinese HHMM chain (bm25_chinese is rows-only until the
+        # Porter SQL mirror lands — the Latin reduction stems via porter)
+        "zh_token_counts": _zh_token_counts,
+        "bm25_chinese_top10": lambda sf: _lang_topk(sf, "chinese"),
         # English analysis chain (possessive → stop → Porter): stemming is
         # not SQL-expressible → rows-only; exact Porter vectors + chain
         # parity live in tests/test_english_analyzer.py
@@ -1622,6 +1675,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_korean_top10": oracle.bm25_korean_topk(
             _lang_query_term("korean")),
         "ko_token_counts": oracle.ko_token_counts(KO_VECTORS),
+        "zh_token_counts": oracle.zh_token_counts(ZH_VECTORS),
         "bm25_serbian_top10": oracle.bm25_serbo_catalan_topk(
             "serbian", _sc_query_term("serbian")),
         "bm25_catalan_top10": oracle.bm25_serbo_catalan_topk(

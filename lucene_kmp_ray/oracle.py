@@ -6963,3 +6963,24 @@ SELECT e.term, count(*) AS cnt
 FROM assigned a JOIN expected e USING (pidx)
 GROUP BY e.term ORDER BY e.term
 """
+
+
+# ------------------------------------------------------ Chinese -----------
+def zh_token_counts(phrase_tokens: list[tuple[str, list[str]]]) -> str:
+    """Global (term, cnt) over the full smartcn HHMM chain applied to a
+    synthesized per-doc Chinese phrase. Expectations are the REFERENCE's
+    published vectors (TestSmartChineseAnalyzer.kt)."""
+    k = len(phrase_tokens)
+    rows = []
+    for i, (_, toks) in enumerate(phrase_tokens):
+        for t in toks:
+            rows.append(f"({i}, '{t}')")
+    values = ", ".join(rows)
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+expected(pidx, term) AS (VALUES {values}),
+assigned AS (SELECT doc_id % {k} AS pidx FROM corpus)
+SELECT e.term, count(*) AS cnt
+FROM assigned a JOIN expected e USING (pidx)
+GROUP BY e.term ORDER BY e.term
+"""
