@@ -67,7 +67,13 @@ def _english_topk(sf_dir: str):
     analyzer = EnglishAnalyzer()
     (term,) = analyzer("queries")
     return search_distributed(idx, {"q": TermQuery(term)}, k=10,
-                              dtype="float64").to_pandas()
+                              dtype="float64").to_pandas() \
+        [["doc_id", "url", "score"]]
+
+
+def _english_query_term() -> str:
+    from lucene_kmp_ray.analysis.standard import EnglishAnalyzer
+    return EnglishAnalyzer()("queries")[0]
 
 
 def _german_topk(sf_dir: str):
@@ -1781,9 +1787,18 @@ def oracle_sql() -> dict[str, str]:
         "simple_token_counts": oracle.core_token_counts("simple"),
         "pii_scrub": oracle.pii_scrub(),
         "url_host_filter": oracle.url_host_filter(),
+        # round 4: Porter staged-SQL mirror closes bm25_english and
+        # bm25_chinese to hash oracles (validated against the Python
+        # Porter over the full repo-docs vocabulary in
+        # tests/test_porter_sql.py)
+        "bm25_english_top10": oracle.bm25_english_topk(
+            _english_query_term()),
+        "bm25_chinese_top10": oracle.bm25_chinese_topk(
+            _lang_query_term("chinese")),
         # Intentionally no SQL (driver records rows-only checks):
-        # bm25_english (Porter stemming), span_near / sloppy_phrase
-        # (traversal-order-dependent matchers), ann_ivf (trained k-means
-        # quantizer), multimodal ×3 (binary decode). Each has exact-parity
-        # or recall pytest coverage instead.
+        # span_near / sloppy_phrase (traversal-order-dependent matchers),
+        # ann_ivf (trained k-means quantizer), multimodal ×3 (binary
+        # decode), ja/ko token lattices over non-Latin synth text beyond
+        # the reference-vector oracles. Each has exact-parity or recall
+        # pytest coverage instead.
     }

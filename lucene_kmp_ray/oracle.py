@@ -6984,3 +6984,209 @@ SELECT e.term, count(*) AS cnt
 FROM assigned a JOIN expected e USING (pidx)
 GROUP BY e.term ORDER BY e.term
 """
+
+
+# ------------------------------------------------------ Porter (en) -------
+# Exact SQL mirror of analysis/porter.py (Porter 1980 + the two Lucene
+# additions), via the staged pipe. The consonant/vowel mask is computed
+# once per word version as a positional string ('c'/'v' per char): the
+# y-as-consonant rule resolves left-to-right, so a prefix's mask is the
+# mask's prefix — every measure()/vowel-in-stem/cvc test becomes a
+# substr over it.
+
+def _po_mask(P: "_TrPipe", w: str, name: str) -> str:
+    # uppercase placeholders: literal 'c'/'v' in the word must not
+    # collide with mask letters (e.g. 'giv' -> 'CVC', not 'cvv')
+    m0 = P.add(f"{name}_r0",
+               f"regexp_replace(regexp_replace({w}, '[aeiou]', 'V', 'g'), "
+               f"'[^Vy]', 'C', 'g')")
+    cur = P.add(f"{name}_r1", f"regexp_replace({m0}, '^y', 'C')")
+    for i in range(3):  # each double-pass resolves 2 chars of a y-run
+        a = P.add(f"{name}_r2{i}", f"regexp_replace({cur}, 'Cy', 'CV', 'g')")
+        cur = P.add(f"{name}_r3{i}",
+                    f"regexp_replace({a}, 'Vy', 'VC', 'g')")
+    return P.add(name, f"lower(replace({cur}, 'y', 'C'))")
+
+
+def _po_m(mask_expr: str) -> str:
+    """measure m = count of v+c+ groups in the (prefix) mask."""
+    return f"len(regexp_extract_all({mask_expr}, 'v+c+'))"
+
+
+def _po_pre(mask: str, w: str, k: int) -> str:
+    """mask of the stem with a k-char suffix stripped."""
+    return f"substr({mask}, 1, length({w}) - {k})"
+
+
+def _porter_cols(P: "_TrPipe", t0: str) -> str:
+    """Emit the full Porter cascade over column ``t0``; returns the final
+    stem column. Mirrors analysis/porter.py step for step."""
+    L = f"length({t0})"
+    # ---- step 1a: plurals
+    s1a = P.add("po_s1a", f"""CASE
+      WHEN {t0} LIKE '%sses' THEN left({t0}, {L} - 2)
+      WHEN {t0} LIKE '%ies' THEN left({t0}, {L} - 2)
+      WHEN {t0} LIKE '%s' AND substr({t0}, {L} - 1, 1) <> 's'
+        THEN left({t0}, {L} - 1)
+      ELSE {t0} END""")
+    mk1 = _po_mask(P, s1a, "po_mk1")
+    La = f"length({s1a})"
+    # ---- step 1b: -eed / -ed / -ing
+    f_eed = P.add("po_feed", f"({s1a} LIKE '%eed')")
+    f_ed = P.add("po_fed", f"({s1a} LIKE '%ed' AND "
+                           f"{_po_pre(mk1, s1a, 2)} LIKE '%v%')")
+    f_ing = P.add("po_fing", f"({s1a} LIKE '%ing' AND "
+                             f"{_po_pre(mk1, s1a, 3)} LIKE '%v%')")
+    base = P.add("po_b1", f"""CASE
+      WHEN {f_eed} THEN CASE
+        WHEN {_po_m(_po_pre(mk1, s1a, 3))} > 0 THEN left({s1a}, {La} - 1)
+        ELSE {s1a} END
+      WHEN {f_ed} THEN left({s1a}, {La} - 2)
+      WHEN {f_ing} THEN left({s1a}, {La} - 3)
+      ELSE {s1a} END""")
+    f2 = P.add("po_f2", f"(NOT {f_eed} AND ({f_ed} OR {f_ing}))")
+    mkb = _po_mask(P, base, "po_mkb")
+    Lb = f"length({base})"
+    dbl = (f"({Lb} >= 2 AND right({base}, 1) = substr({base}, {Lb} - 1, 1) "
+           f"AND right({mkb}, 1) = 'c')")
+    cvc_end = (f"(right({mkb}, 3) = 'cvc' AND right({base}, 1) "
+               f"NOT IN ('w', 'x', 'y'))")
+    w1b = P.add("po_w1b", f"""CASE WHEN NOT {f2} THEN {base}
+      WHEN {base} LIKE '%at' OR {base} LIKE '%bl' OR {base} LIKE '%iz'
+        THEN {base} || 'e'
+      WHEN {dbl} AND right({base}, 1) NOT IN ('l', 's', 'z')
+        THEN left({base}, {Lb} - 1)
+      WHEN {_po_m(mkb)} = 1 AND {cvc_end} THEN {base} || 'e'
+      ELSE {base} END""")
+    # ---- step: terminal y -> i when a vowel is in the stem
+    mky = _po_mask(P, w1b, "po_mky")
+    wy = P.add("po_wy", f"""CASE
+      WHEN {w1b} LIKE '%y' AND {_po_pre(mky, w1b, 1)} LIKE '%v%'
+        THEN left({w1b}, length({w1b}) - 1) || 'i'
+      ELSE {w1b} END""")
+
+    def suffix_map_step(src: str, mask: str, pairs, min_m: int,
+                        name: str, ion_special: bool = False) -> str:
+        Ls = f"length({src})"
+        branches = []
+        if ion_special:
+            pre3 = f"left({src}, {Ls} - 3)"
+            branches.append(
+                f"WHEN {src} LIKE '%ion' THEN CASE WHEN {Ls} >= 4 "
+                f"AND substr({src}, {Ls} - 3, 1) IN ('s', 't') "
+                f"AND {_po_m(_po_pre(mask, src, 3))} > {min_m} "
+                f"THEN {pre3} ELSE {src} END")
+        for suf, rep in pairs:
+            k = len(suf)
+            pre = f"left({src}, {Ls} - {k})"
+            out = f"{pre} || '{rep}'" if rep else pre
+            branches.append(
+                f"WHEN {src} LIKE '%{suf}' THEN CASE "
+                f"WHEN {_po_m(_po_pre(mask, src, k))} > {min_m} "
+                f"THEN {out} ELSE {src} END")
+        body = "\n      ".join(branches)
+        return P.add(name, f"""CASE WHEN {Ls} <= 1 THEN {src}
+      {body}
+      ELSE {src} END""")
+
+    from .analysis.porter import PorterStemmer
+    mk2 = _po_mask(P, wy, "po_mk2")
+    w2 = suffix_map_step(wy, mk2, PorterStemmer._STEP2, 0, "po_w2")
+    mk3 = _po_mask(P, w2, "po_mk3")
+    w3 = suffix_map_step(w2, mk3, PorterStemmer._STEP3, 0, "po_w3")
+    mk4 = _po_mask(P, w3, "po_mk4")
+    w4 = suffix_map_step(w3, mk4, [(s, "") for s in PorterStemmer._STEP4],
+                         1, "po_w4", ion_special=True)
+    # ---- step 5: final -e, then -ll (m over the PRE-strip word — the
+    # reference keeps j at the original end for both checks)
+    mk5 = _po_mask(P, w4, "po_mk5")
+    L4 = f"length({w4})"
+    a5 = P.add("po_a5", _po_m(mk5))
+    cvc_km1 = (f"(right({_po_pre(mk5, w4, 1)}, 3) = 'cvc' AND "
+               f"substr({w4}, {L4} - 1, 1) NOT IN ('w', 'x', 'y'))")
+    w5 = P.add("po_w5", f"""CASE
+      WHEN {w4} LIKE '%e' AND ({a5} > 1 OR ({a5} = 1 AND NOT {cvc_km1}))
+        THEN left({w4}, {L4} - 1)
+      ELSE {w4} END""")
+    L5 = f"length({w5})"
+    w6 = P.add("po_w6", f"""CASE
+      WHEN right({w5}, 1) = 'l' AND {L5} >= 2
+        AND substr({w5}, {L5} - 1, 1) = 'l' AND {a5} > 1
+        THEN left({w5}, {L5} - 1)
+      ELSE {w5} END""")
+    return P.add("po_stem",
+                 f"CASE WHEN length({t0}) <= 2 THEN {t0} ELSE {w6} END")
+
+
+def _porter_stem_ctes(token_filter_sql: str = "") -> str:
+    """CTE chain: distinct kept tokens -> staged Porter -> rterms.
+    ``token_filter_sql`` optionally guards which tokens get stemmed
+    (others pass through), e.g. digits in the smartcn chain."""
+    P = _TrPipe(["t0"])
+    stem = _porter_cols(P, "t0")
+    ctes, last = P.emit("uniq", "pos")
+    if token_filter_sql:
+        final = (f"CASE WHEN {token_filter_sql} THEN s.{stem} "
+                 f"ELSE s.t0 END")
+    else:
+        final = f"s.{stem}"
+    return f"""uniq AS (SELECT DISTINCT t0 FROM rkept),
+{ctes},
+rterms AS MATERIALIZED (
+  SELECT k.doc_id, {final} AS term FROM rkept k JOIN {last} s USING (t0))"""
+
+
+def english_preamble() -> str:
+    from .analysis.standard import ENGLISH_STOP_WORDS, sql_tokens_expr
+    stops = _stop_list_sql(ENGLISH_STOP_WORDS)
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, url, {sql_tokens_expr('text')} AS toks FROM corpus
+),
+rtok0 AS (SELECT doc_id, unnest(toks) AS traw FROM toksrc),
+rtok AS (SELECT doc_id,
+                regexp_replace(traw, '[''’]s$', '') AS t0 FROM rtok0),
+rkept AS (SELECT doc_id, t0 FROM rtok
+          WHERE t0 <> '' AND t0 NOT IN ({stops})),
+{_porter_stem_ctes()},
+{_BM25_TAIL}"""
+
+
+def bm25_english_topk(stemmed_term: str, k: int = 10) -> str:
+    pre = english_preamble().replace("__LT_VALUES__", _lt_values())
+    lit = f"'{stemmed_term}'"
+    return pre + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
+def chinese_preamble() -> str:
+    """smartcn over the Latin corpus: letter runs (lower+porter) and
+    digit runs; ASCII punctuation collapses to the ',' delimiter which
+    the stop list removes (tests/test_chinese_analyzer.py sweeps the
+    reduction)."""
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+rtok0 AS (
+  SELECT doc_id,
+         lower(unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+'))) AS t0
+  FROM corpus
+),
+rkept AS (SELECT doc_id, t0 FROM rtok0),
+{_porter_stem_ctes("NOT regexp_matches(s.t0, '^[0-9]')")},
+{_BM25_TAIL}"""
+
+
+def bm25_chinese_topk(stemmed_term: str, k: int = 10) -> str:
+    pre = chinese_preamble().replace("__LT_VALUES__", _lt_values())
+    lit = f"'{stemmed_term}'"
+    return pre + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
