@@ -76,6 +76,11 @@ def _english_query_term() -> str:
     return EnglishAnalyzer()("queries")[0]
 
 
+def _french_query_term() -> str:
+    from lucene_kmp_ray.analysis.french import FrenchAnalyzer
+    return FrenchAnalyzer()("merge")[0]
+
+
 def _german_topk(sf_dir: str):
     """Top-10 for the German-analyzed index (GermanAnalyzer chain: stop →
     normalization → light stem; query analyzed the same way). Oracle:
@@ -104,9 +109,9 @@ GERMAN_QUERY_WORD = "merge"
 def _french_topk(sf_dir: str):
     """Top-10 for the French-analyzed index (FrenchAnalyzer chain:
     elision → stop → UniNE light stem; query analyzed the same way).
-    Rows-only: the stemmer's duplicate-letter collapse needs pattern
-    backreferences RE2 lacks; 77 exact stemmer vectors + chain parity
-    live in tests/test_french_analyzer.py."""
+    Oracle: oracle.bm25_french_topk — the staged-SQL stemmer mirror
+    (duplicate-letter collapse unrolled per letter since RE2 lacks
+    backreferences; equivalence swept in tests/test_french_sql.py)."""
     import os
 
     from lucene_kmp_ray.analysis.french import FrenchAnalyzer
@@ -1793,6 +1798,8 @@ def oracle_sql() -> dict[str, str]:
         # tests/test_porter_sql.py)
         "bm25_english_top10": oracle.bm25_english_topk(
             _english_query_term()),
+        "bm25_french_top10": oracle.bm25_french_topk(
+            _french_query_term()),
         "bm25_chinese_top10": oracle.bm25_chinese_topk(
             _lang_query_term("chinese")),
         # Intentionally no SQL (driver records rows-only checks):

@@ -7190,3 +7190,161 @@ SELECT s.doc_id, c.url, s.score
 FROM scored s JOIN corpus c USING (doc_id)
 ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
+
+
+# ------------------------------------------------------ French ------------
+# Exact SQL mirror of analysis/french.py french_light_stem (UniNE light
+# stemmer): plural -x/-s with the -aux special case, the ordered branch
+# cascade (three branches fall through with a mutated word), then the
+# normalization pass. ASCII scope note: the duplicate-letter collapse
+# enumerates [a-z] (RE2 has no backreferences); the corpus tokens are
+# ASCII post-fold, and equivalence is swept in tests/test_french_sql.py.
+
+_FR_FOLD_FROM = "àáâôèéêùûîç"
+_FR_FOLD_TO = "aaaoeeeuuic"
+
+
+def _fr_norm_cols(P: "_TrPipe", w: str, tag: str) -> str:
+    L = f"length({w})"
+    g1 = P.add(f"{tag}_g1", f"({L} > 4)")
+    dup = f"translate({w}, '{_FR_FOLD_FROM}', '{_FR_FOLD_TO}')"
+    for ch in "abcdefghijklmnopqrstuvwxyz":
+        dup = f"regexp_replace({dup}, '{ch}{{2,}}', '{ch}', 'g')"
+    n1 = P.add(f"{tag}_n1", f"CASE WHEN {g1} THEN {dup} ELSE {w} END")
+    n2 = P.add(f"{tag}_n2",
+               f"CASE WHEN length({n1}) > 4 AND {n1} LIKE '%ie' "
+               f"THEN left({n1}, length({n1}) - 2) ELSE {n1} END")
+    g2 = P.add(f"{tag}_g2", f"(length({n2}) > 4)")
+    n3 = P.add(f"{tag}_n3", f"CASE WHEN {g2} AND {n2} LIKE '%r' "
+                            f"THEN left({n2}, length({n2}) - 1) "
+                            f"ELSE {n2} END")
+    n4 = P.add(f"{tag}_n4", f"CASE WHEN {g2} AND {n3} LIKE '%e' "
+                            f"THEN left({n3}, length({n3}) - 1) "
+                            f"ELSE {n3} END")
+    n5 = P.add(f"{tag}_n5", f"CASE WHEN {g2} AND {n4} LIKE '%e' "
+                            f"THEN left({n4}, length({n4}) - 1) "
+                            f"ELSE {n4} END")
+    L5 = f"length({n5})"
+    return P.add(f"{tag}_n6", f"""CASE WHEN {g2} AND {L5} >= 2
+      AND right({n5}, 1) = substr({n5}, {L5} - 1, 1)
+      AND regexp_matches(right({n5}, 1), '[a-zà-ÿ]')
+      THEN left({n5}, {L5} - 1) ELSE {n5} END""")
+
+
+# (min_len, suffix, result_expr(n, w), returns) — result_expr uses n for
+# length({w}); None result = strip len(suffix)
+_FR_BRANCHES: list = [
+    (9, "issement", "left({w}, {n} - 7) || 'r'", True),
+    (8, "issant",   "left({w}, {n} - 5) || 'r'", True),
+    (6, "ement",    "__EMENT__", True),
+    (11, "ficatrice", "left({w}, {n} - 7) || 'er'", True),
+    (10, "ficateur", "left({w}, {n} - 6) || 'er'", True),
+    (9, "catrice",  "left({w}, {n} - 7) || 'quer'", True),
+    (8, "cateur",   "left({w}, {n} - 6) || 'quer'", True),
+    (8, "atrice",   "left({w}, {n} - 6) || 'er'", True),
+    (7, "ateur",    "left({w}, {n} - 5) || 'er'", True),
+    (6, "trice",    "left({w}, {n} - 4) || 'eur'", False),
+    (5, "ième",     "left({w}, {n} - 4)", True),
+    (7, "teuse",    "left({w}, {n} - 3) || 'r'", True),
+    (6, "teur",     "left({w}, {n} - 2) || 'r'", True),
+    (5, "euse",     "left({w}, {n} - 2)", True),
+    (8, "ère",      "left({w}, {n} - 3) || 'er'", True),
+    (7, "ive",      "left({w}, {n} - 2) || 'f'", True),
+    (4, "folle",    "left({w}, {n} - 3) || 'u'", True),
+    (4, "molle",    "left({w}, {n} - 3) || 'u'", True),
+    (9, "nnelle",   "left({w}, {n} - 5)", True),
+    (9, "nnel",     "left({w}, {n} - 3)", True),
+    (4, "ète",      "left({w}, {n} - 3) || 'et'", False),
+    (8, "ique",     "left({w}, {n} - 4)", False),
+    (8, "esse",     "left({w}, {n} - 3)", True),
+    (7, "inage",    "left({w}, {n} - 3)", True),
+    (9, "isation",  "__ISATION__", True),
+    (9, "isateur",  "left({w}, {n} - 7)", True),
+    (8, "ation",    "left({w}, {n} - 5)", True),
+    (8, "ition",    "left({w}, {n} - 5)", True),
+]
+
+
+def _fr_stem_cols(P: "_TrPipe", t0: str) -> str:
+    L0 = f"length({t0})"
+    # plural -x / -s (with -aux -> -al)
+    aux = (f"({L0} > 5 AND {t0} LIKE '%x' "
+           f"AND substr({t0}, {L0} - 2, 1) = 'a' "
+           f"AND substr({t0}, {L0} - 1, 1) = 'u' "
+           f"AND substr({t0}, {L0} - 3, 1) <> 'e')")
+    wp1 = P.add("fr_wp1", f"""CASE
+      WHEN {aux} THEN left({t0}, {L0} - 2) || 'l'
+      WHEN {L0} > 5 AND {t0} LIKE '%x' THEN left({t0}, {L0} - 1)
+      ELSE {t0} END""")
+    wp2 = P.add("fr_wp2", f"CASE WHEN length({wp1}) > 3 AND {wp1} "
+                          f"LIKE '%x' THEN left({wp1}, length({wp1}) - 1) "
+                          f"ELSE {wp1} END")
+    w = P.add("fr_wp3", f"CASE WHEN length({wp2}) > 3 AND {wp2} "
+                        f"LIKE '%s' THEN left({wp2}, length({wp2}) - 1) "
+                        f"ELSE {wp2} END")
+    done = P.add("fr_d0", "FALSE")
+    for i, (min_len, suf, res, returns) in enumerate(_FR_BRANCHES):
+        n = f"length({w})"
+        if res == "__EMENT__":
+            t = f"left({w}, {n} - 4)"
+            expr = (f"CASE WHEN length({t}) > 3 AND {t} LIKE '%ive' "
+                    f"THEN left({t}, length({t}) - 2) || 'f' "
+                    f"ELSE {t} END")
+        elif res == "__ISATION__":
+            t = f"left({w}, {n} - 7)"
+            expr = (f"CASE WHEN length({t}) > 5 AND {t} LIKE '%ual' "
+                    f"THEN left({t}, length({t}) - 2) || 'el' "
+                    f"ELSE {t} END")
+        else:
+            expr = res.format(w=w, n=n)
+        cond = (f"(NOT {done} AND {n} > {min_len} "
+                f"AND {w} LIKE '%{suf}')")
+        new_w = P.add(f"fr_w{i}",
+                      f"CASE WHEN {cond} THEN {expr} ELSE {w} END")
+        if returns:
+            done = P.add(f"fr_d{i + 1}", f"({done} OR {cond})")
+        w = new_w
+    return _fr_norm_cols(P, w, "fr_nm")
+
+
+def _fr_elide_sql(col: str) -> str:
+    arts = "|".join(sorted(
+        "l m t qu n s j d c jusqu quoiqu lorsqu puisqu".split()))
+    return (f"CASE WHEN regexp_matches({col}, '^({arts})''.') "
+            f"THEN regexp_replace({col}, '^[^'']*''', '') "
+            f"WHEN regexp_matches({col}, '^({arts})’.') "
+            f"THEN regexp_replace({col}, '^[^’]*’', '') "
+            f"ELSE {col} END")
+
+
+def french_preamble() -> str:
+    from .analysis.french import FRENCH_STOP_WORDS
+    from .analysis.standard import sql_tokens_expr
+    stops = _stop_list_sql(FRENCH_STOP_WORDS)
+    P = _TrPipe(["t0"])
+    stem = _fr_stem_cols(P, "t0")
+    ctes, last = P.emit("uniq", "frs")
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, url, {sql_tokens_expr('text')} AS toks FROM corpus
+),
+rtok0 AS (SELECT doc_id, unnest(toks) AS traw FROM toksrc),
+rtok AS (SELECT doc_id, {_fr_elide_sql('traw')} AS t0 FROM rtok0),
+rkept AS (SELECT doc_id, t0 FROM rtok WHERE t0 NOT IN ({stops})),
+uniq AS (SELECT DISTINCT t0 FROM rkept),
+{ctes},
+rterms AS MATERIALIZED (
+  SELECT k.doc_id, s.{stem} AS term FROM rkept k JOIN {last} s USING (t0)),
+{_BM25_TAIL}"""
+
+
+def bm25_french_topk(stemmed_term: str, k: int = 10) -> str:
+    pre = french_preamble().replace("__LT_VALUES__", _lt_values())
+    lit = f"'{stemmed_term}'"
+    return pre + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
