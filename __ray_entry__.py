@@ -897,6 +897,21 @@ def _geo_distance_all(sf_dir: str):
         GeoDistanceQuery(GEO_CENTER[0], GEO_CENTER[1], GEO_RADIUS_M))
 
 
+# concave pentagon with a rectangular hole; vertices off the synthetic
+# 0.01-degree coordinate grid so boundary semantics can't flip a doc
+GEO_POLYGON = ((-20.005, -40.005), (35.005, -30.005), (60.005, 10.005),
+               (20.005, 5.005), (30.005, 55.005), (-25.005, 30.005))
+GEO_POLYGON_HOLES = (((0.005, -10.005), (12.005, -10.005),
+                      (12.005, 8.005), (0.005, 8.005)),)
+
+
+def _geo_polygon_all(sf_dir: str):
+    from lucene_kmp_ray.search import GeoPolygonQuery
+    return search_all_matches(
+        _ensure_geo_index(sf_dir),
+        GeoPolygonQuery(GEO_POLYGON, GEO_POLYGON_HOLES))
+
+
 def _synonym_topk(sf_dir: str):
     """BM25 top-10 for the INJECTED synonym token over a SynonymAnalyzer
     index — exercises posIncr=0 same-position injection end-to-end.
@@ -1387,10 +1402,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # nori Korean lattice chain
         "ko_token_counts": _ko_token_counts,
         "bm25_korean_top10": lambda sf: _lang_topk(sf, "korean"),
-        # smartcn Chinese HHMM chain (bm25_chinese is rows-only until the
-        # Porter SQL mirror lands — the Latin reduction stems via porter)
+        # smartcn Chinese HHMM chain
         "zh_token_counts": _zh_token_counts,
         "bm25_chinese_top10": lambda sf: _lang_topk(sf, "chinese"),
+        # geo polygon (LatLonShape/Polygon2D role)
+        "geo_polygon_all": _geo_polygon_all,
         # English analysis chain (possessive → stop → Porter): stemming is
         # not SQL-expressible → rows-only; exact Porter vectors + chain
         # parity live in tests/test_english_analyzer.py
@@ -1774,6 +1790,8 @@ def oracle_sql() -> dict[str, str]:
         "url_email_tokens": oracle.url_email_tokens(),
         "synonym_quick_top10": oracle.synonym_quick_topk(*SYNONYM_RULE),
         "geo_box_all": oracle.geo_box_all(*GEO_BOX),
+        "geo_polygon_all": oracle.geo_polygon_all(GEO_POLYGON,
+                                                  GEO_POLYGON_HOLES),
         "facet_lang_counts": oracle.facet_lang_counts(TERM_A),
         "geo_distance_all": oracle.geo_distance_all(*GEO_CENTER,
                                                     GEO_RADIUS_M),

@@ -7348,3 +7348,31 @@ SELECT s.doc_id, c.url, s.score
 FROM scored s JOIN corpus c USING (doc_id)
 ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
+
+
+def geo_polygon_all(polygon: tuple, holes: tuple = ()) -> str:
+    """LatLonPoint.newPolygonQuery mirror: crossing-number ray cast
+    unrolled per edge (horizontal edges contribute nothing), holes
+    subtract. Same arithmetic as Searcher._ring_contains."""
+    def ring_sql(ring) -> str:
+        terms = []
+        n = len(ring)
+        for i in range(n):
+            y1, x1 = ring[i]
+            y2, x2 = ring[(i + 1) % n]
+            if y1 == y2:
+                continue
+            terms.append(
+                f"(CASE WHEN (({y1} > lat) <> ({y2} > lat)) AND "
+                f"lon < ({x2} - ({x1})) * (lat - ({y1})) / "
+                f"({y2} - ({y1})) + ({x1}) THEN 1 ELSE 0 END)")
+        return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+    cond = ring_sql(polygon)
+    for hole in holes:
+        cond += f" AND NOT {ring_sql(hole)}"
+    return _geo_coords_cte() + f"""
+SELECT doc_id, url, 1.0 AS score
+FROM geo
+WHERE {cond}
+"""

@@ -422,6 +422,28 @@ class GeoDistanceQuery(Query):
 
 
 @dataclass(frozen=True)
+class GeoPolygonQuery(Query):
+    """``LatLonPoint.newPolygonQuery`` analog (``geo/Polygon.kt`` +
+    ``geo/Polygon2D`` contains semantics for simple polygons, optional
+    holes): docs whose (lat, lon) metadata falls inside the polygon
+    match with constant score. Point-in-polygon is the crossing-number
+    ray cast, vectorized; holes subtract. The reference's tessellated
+    triangle-tree (``geo/Tessellator.kt``) is an acceleration structure
+    over the same predicate — at this engine's scale the vectorized ray
+    cast over the segment's metadata column is the equivalent plan.
+
+    ``polygon``: ((lat, lon), ...) — closed implicitly (last→first edge
+    is added); ``holes``: tuple of such rings."""
+    polygon: tuple
+    holes: tuple = ()
+    lat_field: str = "lat"
+    lon_field: str = "lon"
+
+    def terms(self):
+        return []
+
+
+@dataclass(frozen=True)
 class KnnFloatVectorQuery(Query):
     """``search/KnnFloatVectorQuery.kt:33``: the k nearest docs to
     ``vector`` by cosine similarity over the segment vector sidecars.

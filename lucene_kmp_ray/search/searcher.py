@@ -33,7 +33,7 @@ from ..index.reader import IndexReader, SegmentReader
 from ..similarity.bm25 import BM25Similarity
 from .query import (BooleanQuery, BoostQuery, ConstantScoreQuery,
                     DisjunctionMaxQuery, FieldExistsQuery,
-                    GeoBoxQuery, GeoDistanceQuery,
+                    GeoBoxQuery, GeoDistanceQuery, GeoPolygonQuery,
                     KnnFloatVectorQuery, MatchAllDocsQuery,
                     MatchNoDocsQuery, MultiPhraseQuery, MultiTermQuery,
                     FeatureQuery, IndexOrDocValuesQuery, NGramPhraseQuery,
@@ -277,6 +277,8 @@ class Searcher:
             return self._score_geo_box(sr, query, boost)
         if isinstance(query, GeoDistanceQuery):
             return self._score_geo_distance(sr, query, boost)
+        if isinstance(query, GeoPolygonQuery):
+            return self._score_geo_polygon(sr, query, boost)
         if isinstance(query, IndexOrDocValuesQuery):
             # standalone = leading iteration → the index-driven execution
             return self._score_segment_raw(sr, query.index_query, boost,
@@ -397,6 +399,36 @@ class Searcher:
         dist = EARTH_MEAN_RADIUS_METERS * 2.0 * \
             np.arcsin(np.minimum(1.0, np.sqrt(h * 0.5)))
         docs = np.flatnonzero(dist <= q.radius_meters).astype(np.int64)
+        return docs, np.full(len(docs), dt.type(boost), dtype=dt)
+
+    @staticmethod
+    def _ring_contains(lat: np.ndarray, lon: np.ndarray,
+                       ring: tuple) -> np.ndarray:
+        """Crossing-number ray cast (eastward ray), vectorized over all
+        docs of the segment; the implicit closing edge is included."""
+        inside = np.zeros(len(lat), dtype=bool)
+        n = len(ring)
+        for i in range(n):
+            y1, x1 = ring[i]
+            y2, x2 = ring[(i + 1) % n]
+            if y1 == y2:
+                continue  # horizontal edge never crosses the ray test
+            crosses = (y1 > lat) != (y2 > lat)
+            xi = (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+            inside ^= crosses & (lon < xi)
+        return inside
+
+    def _score_geo_polygon(self, sr: SegmentReader, q: "GeoPolygonQuery",
+                           boost: float):
+        """LatLonPoint.newPolygonQuery over doc-meta lat/lon columns:
+        crossing-number containment minus holes."""
+        dt = self.sim.dtype
+        lat = sr.doc_meta[q.lat_field].to_numpy().astype(np.float64)
+        lon = sr.doc_meta[q.lon_field].to_numpy().astype(np.float64)
+        mask = self._ring_contains(lat, lon, tuple(q.polygon))
+        for hole in q.holes:
+            mask &= ~self._ring_contains(lat, lon, tuple(hole))
+        docs = np.flatnonzero(mask).astype(np.int64)
         return docs, np.full(len(docs), dt.type(boost), dtype=dt)
 
     def _score_boolean(self, sr: SegmentReader, q: BooleanQuery,
