@@ -725,6 +725,83 @@ JA_VECTORS = [
 ]
 
 
+ICU_FOLD_WORDS = ["Café", "Ångström", "Über", "naïve", "Résumé",
+                  "Façade", "Niño", "Zürich", "São", "crème", "Noël",
+                  "Tübingen", "François", "Montréal", "piñata"]
+
+# (word, primary, alternate) — commons-codec DoubleMetaphone published
+# vectors (independent ground truth for the encoder)
+METAPHONE_VECTORS = [
+    ("smith", "SM0", "XMT"), ("schmidt", "XMT", "SMT"),
+    ("snider", "SNTR", "XNTR"), ("fisher", "FXR", "FXR"),
+    ("school", "SKL", "SKL"), ("thomas", "TMS", "TMS"),
+    ("lewis", "LS", "LS"), ("jose", "HS", "HS"),
+    ("otto", "AT", "AT"), ("lincoln", "LNKL", "LNKL"),
+    ("xavier", "SF", "SFR"), ("gough", "KF", "KF"),
+    ("dumb", "TM", "TM"), ("campbell", "KMPL", "KMPL"),
+    ("michael", "MKL", "MXL"), ("knox", "NKS", "NKS"),
+]
+
+
+def _icu_fold_token_counts(sf_dir: str):
+    """Global (term, count) over the ICU-folding chain (NFKD → strip
+    marks → casefold → NFKC per token) on synthesized accented text.
+    Oracle: oracle.icu_fold_token_counts (strip_accents+lower mirror,
+    per-word equality verified in tests/test_foldphon.py)."""
+    import pyarrow as pa
+    import ray
+
+    from lucene_kmp_ray.analysis.foldphon import icu_fold
+
+    k = len(ICU_FOLD_WORDS)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        import collections
+        counts: collections.Counter = collections.Counter()
+        for doc_id in batch.column("doc_id").to_pylist():
+            s = (ICU_FOLD_WORDS[doc_id % k] + " "
+                 + ICU_FOLD_WORDS[(doc_id // 2) % k].upper())
+            counts.update(icu_fold(t) for t in s.split(" "))
+        return pa.table({"term": list(counts.keys()),
+                         "cnt": list(counts.values())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    agg = ds.map_batches(derive, batch_format="pyarrow") \
+        .groupby("term").sum("cnt")
+    df = agg.to_pandas().rename(columns={"sum(cnt)": "cnt"})
+    return df.sort_values(["term"]).reset_index(drop=True)
+
+
+def _metaphone_token_counts(sf_dir: str):
+    """Global (term, count) over the PhoneticFilter(inject=true) chain:
+    word + Double Metaphone code(s). Oracle: the published commons-codec
+    vectors (oracle.metaphone_token_counts)."""
+    import pyarrow as pa
+    import ray
+
+    from lucene_kmp_ray.analysis.foldphon import PhoneticAnalyzer
+
+    k = len(METAPHONE_VECTORS)
+    words = [w for w, _, _ in METAPHONE_VECTORS]
+    a = PhoneticAnalyzer()
+
+    def derive(batch: pa.Table) -> pa.Table:
+        import collections
+        counts: collections.Counter = collections.Counter()
+        for doc_id in batch.column("doc_id").to_pylist():
+            counts.update(a(words[doc_id % k]))
+        return pa.table({"term": list(counts.keys()),
+                         "cnt": list(counts.values())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    agg = ds.map_batches(derive, batch_format="pyarrow") \
+        .groupby("term").sum("cnt")
+    df = agg.to_pandas().rename(columns={"sum(cnt)": "cnt"})
+    return df.sort_values(["term"]).reset_index(drop=True)
+
+
 # Chinese vectors: straight from the reference's tests
 # (TestSmartChineseAnalyzer.kt) — the decoded real coredict makes the
 # full published vector set reproducible.
@@ -1015,6 +1092,20 @@ def _knn_topk(sf_dir: str):
     df = df.rename(columns={"score": "score_r"})
     df["score_r"] = np.round(df["score_r"], 6)
     return df
+
+
+def _knn_hnsw_recall(sf_dir: str):
+    """Machine-checked recall gate for graph ANN: recall@10 of the HNSW
+    sidecar search vs the exact scan (knn_vector_top10), same query.
+    Returns one row {recall_ge_090: 1 | 0}; the oracle expects the
+    constant 1, so the driver hash-check fails iff recall drops below
+    0.9 (VERDICT r3 #10)."""
+    import pandas as pd
+
+    exact = set(_knn_topk(sf_dir)["doc_id"].tolist())
+    approx = set(_knn_hnsw_topk(sf_dir)["doc_id"].tolist())
+    recall = len(exact & approx) / max(1, len(exact))
+    return pd.DataFrame({"recall_ge_090": [1 if recall >= 0.9 else 0]})
 
 
 def _knn_hnsw_topk(sf_dir: str):
@@ -1391,6 +1482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_index_scan_top20": _sorted_index_scan,
         "knn_vector_top10": _knn_topk,
         "knn_hnsw_top10": _knn_hnsw_topk,
+        "knn_hnsw_recall": _knn_hnsw_recall,
         "classic_term_top10": _classic_topk,
         "feature_blend_top10": _feature_blend,
         "hybrid_bm25_knn_top10": _hybrid_topk,
@@ -1407,6 +1499,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_chinese_top10": lambda sf: _lang_topk(sf, "chinese"),
         # geo polygon (LatLonShape/Polygon2D role)
         "geo_polygon_all": _geo_polygon_all,
+        # ICU folding + phonetic (analysis/icu, analysis/phonetic roles)
+        "icu_fold_token_counts": _icu_fold_token_counts,
+        "metaphone_token_counts": _metaphone_token_counts,
         # English analysis chain (possessive → stop → Porter): stemming is
         # not SQL-expressible → rows-only; exact Porter vectors + chain
         # parity live in tests/test_english_analyzer.py
@@ -1633,6 +1728,9 @@ def oracle_sql() -> dict[str, str]:
         "classic_term_top10": oracle.classic_term_topk(TERM_A),
         "feature_blend_top10": oracle.feature_blend_topk(TERM_A),
         "hybrid_bm25_knn_top10": oracle.hybrid_bm25_knn_topk(TERM_A),
+        # graph-ANN recall gate: constant oracle — hash mismatches iff
+        # HNSW recall@10 vs the exact scan drops below 0.9
+        "knn_hnsw_recall": "SELECT 1 AS recall_ge_090",
         "sorted_multi_key_top20": oracle.sorted_multi_key(TERM_A, 20),
         "token_counts": oracle.token_counts(),
         "token_counts_cjk": oracle.token_counts_cjk(),
@@ -1703,6 +1801,10 @@ def oracle_sql() -> dict[str, str]:
             _lang_query_term("korean")),
         "ko_token_counts": oracle.ko_token_counts(KO_VECTORS),
         "zh_token_counts": oracle.zh_token_counts(ZH_VECTORS),
+        "icu_fold_token_counts":
+            oracle.icu_fold_token_counts(ICU_FOLD_WORDS),
+        "metaphone_token_counts":
+            oracle.metaphone_token_counts(METAPHONE_VECTORS),
         "bm25_serbian_top10": oracle.bm25_serbo_catalan_topk(
             "serbian", _sc_query_term("serbian")),
         "bm25_catalan_top10": oracle.bm25_serbo_catalan_topk(

@@ -7376,3 +7376,46 @@ SELECT doc_id, url, 1.0 AS score
 FROM geo
 WHERE {cond}
 """
+
+
+# --------------------------------------------- ICU folding / phonetic -----
+def icu_fold_token_counts(words: list[str]) -> str:
+    """Global (term, cnt) over the ICU-folding chain applied to a
+    synthesized per-doc accented string (word = words[doc_id % k] twice,
+    second occurrence uppercased). SQL mirror: strip_accents + lower —
+    equal to the NFKD/casefold/NFKC fold on this vocabulary (verified
+    per word in tests/test_foldphon.py)."""
+    k = len(words)
+    arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    synth = (f"({arr})[(doc_id % {k}) + 1] || ' ' || "
+             f"upper(({arr})[((doc_id // 2) % {k}) + 1])")
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+synth AS (SELECT doc_id, {synth} AS s FROM corpus),
+toks AS (SELECT doc_id,
+                strip_accents(lower(unnest(string_split(s, ' ')))) AS term
+         FROM synth)
+SELECT term, count(*) AS cnt FROM toks GROUP BY term ORDER BY term
+"""
+
+
+def metaphone_token_counts(vectors: list[tuple[str, str, str]]) -> str:
+    """Global (term, cnt) over the PhoneticFilter(inject=true) chain:
+    token + Double Metaphone primary (+ alternate when distinct). The
+    expected codes are commons-codec's PUBLISHED test vectors — an
+    independent ground truth for the encoder."""
+    k = len(vectors)
+    rows = []
+    for i, (word, pri, alt) in enumerate(vectors):
+        toks = [word, pri] + ([alt] if alt != pri else [])
+        for t in toks:
+            rows.append(f"({i}, '{t}')")
+    values = ", ".join(rows)
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+expected(pidx, term) AS (VALUES {values}),
+assigned AS (SELECT doc_id % {k} AS pidx FROM corpus)
+SELECT e.term, count(*) AS cnt
+FROM assigned a JOIN expected e USING (pidx)
+GROUP BY e.term ORDER BY e.term
+"""
