@@ -540,6 +540,7 @@ _LANG_REGISTRY = {
     "japanese": ("japanese", "JapaneseAnalyzer"),
     "korean": ("korean", "KoreanAnalyzer"),
     "chinese": ("chinese", "SmartChineseAnalyzer"),
+    "polish": ("polish", "MorfologikAnalyzer"),
 }
 
 
@@ -723,6 +724,51 @@ JA_VECTORS = [
     ("ダウンロードファイル", ["ダウンロード", "ファイル"]),
     ("クリスマスショッピング", ["クリスマス", "ショッピング"]),
 ]
+
+
+# (inflected phrase, expected lemma tokens) — published PoliMorf
+# inflection->lemma pairs (independent dictionary ground truth)
+PL_VECTORS = [
+    ("żołnierzami samochodami", ["żołnierz", "samochód"]),
+    ("książki domy", ["książka", "dom"]),
+    ("kotów miastach", ["kot", "miasto"]),
+    ("jestem", ["być"]),
+    # multi-reading form: both PoliMorf lemmas emitted
+    ("polskie", ["polski", "polskie"]),
+]
+
+
+def _pl_token_counts(sf_dir: str):
+    """Global (term, count) over the Morfologik chain (CFSA2 dictionary
+    lookup -> lemma(s), pass-through when absent) applied to a
+    synthesized per-doc Polish phrase. Oracle: oracle.pl_token_counts
+    (published PoliMorf pairs)."""
+    import pyarrow as pa
+    import ray
+
+    from lucene_kmp_ray.analysis.polish import MorfologikAnalyzer
+
+    k = len(PL_VECTORS)
+    phrases = [p for p, _ in PL_VECTORS]
+
+    class Derive:
+        def __init__(self):
+            self.a = MorfologikAnalyzer()  # FSA loads once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import collections
+            counts: collections.Counter = collections.Counter()
+            for doc_id in batch.column("doc_id").to_pylist():
+                counts.update(self.a(phrases[doc_id % k]))
+            return pa.table({"term": list(counts.keys()),
+                             "cnt": list(counts.values())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    agg = ds.map_batches(Derive, batch_format="pyarrow", concurrency=2) \
+        .groupby("term").sum("cnt")
+    df = agg.to_pandas().rename(columns={"sum(cnt)": "cnt"})
+    return df.sort_values(["term"]).reset_index(drop=True)
 
 
 ICU_FOLD_WORDS = ["Café", "Ångström", "Über", "naïve", "Résumé",
@@ -1502,6 +1548,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ICU folding + phonetic (analysis/icu, analysis/phonetic roles)
         "icu_fold_token_counts": _icu_fold_token_counts,
         "metaphone_token_counts": _metaphone_token_counts,
+        # Morfologik Polish (CFSA2 dictionary lemmatizer)
+        "pl_token_counts": _pl_token_counts,
+        "bm25_polish_top10": lambda sf: _lang_topk(sf, "polish"),
         # English analysis chain (possessive → stop → Porter): stemming is
         # not SQL-expressible → rows-only; exact Porter vectors + chain
         # parity live in tests/test_english_analyzer.py
@@ -1805,6 +1854,9 @@ def oracle_sql() -> dict[str, str]:
             oracle.icu_fold_token_counts(ICU_FOLD_WORDS),
         "metaphone_token_counts":
             oracle.metaphone_token_counts(METAPHONE_VECTORS),
+        "pl_token_counts": oracle.pl_token_counts(PL_VECTORS),
+        "bm25_polish_top10": oracle.bm25_polish_topk(
+            _lang_query_term("polish")),
         "bm25_serbian_top10": oracle.bm25_serbo_catalan_topk(
             "serbian", _sc_query_term("serbian")),
         "bm25_catalan_top10": oracle.bm25_serbo_catalan_topk(

