@@ -541,6 +541,7 @@ _LANG_REGISTRY = {
     "korean": ("korean", "KoreanAnalyzer"),
     "chinese": ("chinese", "SmartChineseAnalyzer"),
     "polish": ("polish", "MorfologikAnalyzer"),
+    "hebrew": ("hebrew", "HebrewAnalyzer"),
 }
 
 
@@ -724,6 +725,50 @@ JA_VECTORS = [
     ("ダウンロードファイル", ["ダウンロード", "ファイル"]),
     ("クリスマスショッピング", ["クリスマス", "ショッピング"]),
 ]
+
+
+# (inflected phrase, expected lemma tokens) — standard Hebrew
+# morphology carried by the public hspell dictionary: plural -> singular,
+# prefix stripping (ה/ב/וה), verb lemmatization
+HE_VECTORS = [
+    ("ספרים ילדים", ["ספר", "ילד"]),
+    ("הספרים בבית", ["ספר", "בית"]),
+    ("והילדים", ["ילד"]),
+    ("כתבתי", ["כתב", "כתבה"]),   # both dictionary readings
+    ("שלום", ["שלום"]),
+]
+
+
+def _he_token_counts(sf_dir: str):
+    """Global (term, count) over the HebMorph chain (niqqud strip ->
+    dictionary lemmatization with legal-prefix stripping and mask
+    checks). Oracle: oracle.he_token_counts (morphology-fact VALUES)."""
+    import pyarrow as pa
+    import ray
+
+    from lucene_kmp_ray.analysis.hebrew import HebrewAnalyzer
+
+    k = len(HE_VECTORS)
+    phrases = [p for p, _ in HE_VECTORS]
+
+    class Derive:
+        def __init__(self):
+            self.a = HebrewAnalyzer()  # hspell dict loads once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import collections
+            counts: collections.Counter = collections.Counter()
+            for doc_id in batch.column("doc_id").to_pylist():
+                counts.update(self.a(phrases[doc_id % k]))
+            return pa.table({"term": list(counts.keys()),
+                             "cnt": list(counts.values())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    agg = ds.map_batches(Derive, batch_format="pyarrow", concurrency=2) \
+        .groupby("term").sum("cnt")
+    df = agg.to_pandas().rename(columns={"sum(cnt)": "cnt"})
+    return df.sort_values(["term"]).reset_index(drop=True)
 
 
 # (inflected phrase, expected lemma tokens) — published PoliMorf
@@ -1551,6 +1596,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Morfologik Polish (CFSA2 dictionary lemmatizer)
         "pl_token_counts": _pl_token_counts,
         "bm25_polish_top10": lambda sf: _lang_topk(sf, "polish"),
+        # HebMorph Hebrew (hspell dictionary lemmatizer)
+        "he_token_counts": _he_token_counts,
+        "bm25_hebrew_top10": lambda sf: _lang_topk(sf, "hebrew"),
         # English analysis chain (possessive → stop → Porter): stemming is
         # not SQL-expressible → rows-only; exact Porter vectors + chain
         # parity live in tests/test_english_analyzer.py
@@ -1857,6 +1905,9 @@ def oracle_sql() -> dict[str, str]:
         "pl_token_counts": oracle.pl_token_counts(PL_VECTORS),
         "bm25_polish_top10": oracle.bm25_polish_topk(
             _lang_query_term("polish")),
+        "he_token_counts": oracle.he_token_counts(HE_VECTORS),
+        "bm25_hebrew_top10": oracle.bm25_hebrew_topk(
+            _lang_query_term("hebrew")),
         "bm25_serbian_top10": oracle.bm25_serbo_catalan_topk(
             "serbian", _sc_query_term("serbian")),
         "bm25_catalan_top10": oracle.bm25_serbo_catalan_topk(

@@ -7484,3 +7484,33 @@ SELECT e.term, count(*) AS cnt
 FROM assigned a JOIN expected e USING (pidx)
 GROUP BY e.term ORDER BY e.term
 """
+
+
+# ------------------------------------------------------ Hebrew ------------
+def bm25_hebrew_topk(term: str, k: int = 10) -> str:
+    """HebMorph chain over the Latin corpus: ASCII tokens pass through
+    the lemmatizer untouched (no Hebrew letters), so the chain reduces
+    exactly to the standard preamble (tests/test_hebrew_analyzer.py
+    sweeps the reduction)."""
+    return bm25_term_topk(term, k)
+
+
+def he_token_counts(phrase_tokens: list[tuple[str, list[str]]]) -> str:
+    """Global (term, cnt) over the HebMorph chain applied to a
+    synthesized per-doc Hebrew phrase. Expectations are standard Hebrew
+    morphology facts carried by the public hspell dictionary
+    (plural/prefix/verb lemmatization — independently checkable)."""
+    k = len(phrase_tokens)
+    rows = []
+    for i, (_, toks) in enumerate(phrase_tokens):
+        for t in toks:
+            rows.append(f"({i}, '{t}')")
+    values = ", ".join(rows)
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+expected(pidx, term) AS (VALUES {values}),
+assigned AS (SELECT doc_id % {k} AS pidx FROM corpus)
+SELECT e.term, count(*) AS cnt
+FROM assigned a JOIN expected e USING (pidx)
+GROUP BY e.term ORDER BY e.term
+"""
