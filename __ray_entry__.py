@@ -1770,14 +1770,21 @@ def _audio(sf_dir: str):
 
 
 def _image(sf_dir: str):
-    """Image featurization with a REAL decoder (24-bit BMP in pure
-    numpy): deterministic gradient images decode to mean-RGB / luminance
-    stats / histogram features."""
+    """Image featurization with REAL decoders (24-bit BMP in pure numpy
+    AND 8-bit PNG via stdlib zlib, magic-dispatched): the same
+    deterministic gradient pixels arrive through BOTH containers and
+    decode to identical mean-RGB / luminance / histogram features."""
+    import pyarrow as pa
     import ray.data as rd
 
     from lucene_kmp_ray.pipelines.multimodal import (image_features,
-                                                     synthesize_bmp_table)
-    return image_features(rd.from_arrow(synthesize_bmp_table(48)))
+                                                     synthesize_bmp_table,
+                                                     synthesize_png_table)
+    bmp = synthesize_bmp_table(24)
+    png = synthesize_png_table(24)
+    png = png.set_column(0, "media_id",
+                         pa.array(range(24, 48), pa.int64()))
+    return image_features(rd.from_arrow(pa.concat_tables([bmp, png])))
 
 
 def _multimodal(sf_dir: str):
