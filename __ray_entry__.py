@@ -542,6 +542,8 @@ _LANG_REGISTRY = {
     "chinese": ("chinese", "SmartChineseAnalyzer"),
     "polish": ("polish", "MorfologikAnalyzer"),
     "hebrew": ("hebrew", "HebrewAnalyzer"),
+    "amharic": ("horn", "AmharicAnalyzer"),
+    "oromo": ("horn", "OromoAnalyzer"),
 }
 
 
@@ -725,6 +727,56 @@ JA_VECTORS = [
     ("ダウンロードファイル", ["ダウンロード", "ファイル"]),
     ("クリスマスショッピング", ["クリスマス", "ショッピング"]),
 ]
+
+
+# (phrase, expected tokens) — the reference's own stemmer vectors
+# (TestAmharicStemmer.kt / TestOromoStemmer.kt; stopwords interleaved to
+# exercise the stop filter)
+AM_VECTORS = [
+    ("የማያስፈልጋትስ ነው", ["አስፈለገ"]),          # ነው is a stopword
+    # the chain normalizes Ethiopic variants BEFORE the stemmer
+    # (ጽ->ፅ, ሐ->ሀ), so the stemmer vector surfaces normalized
+    ("ይመጣሉ መጽሐፎችን", ["መጣ", "መፅሀፍ"]),
+    ("ለዘመዶቻችንም ሀገር", ["ዘመድ", "hager"]),
+    ("አይደለችም", ["ነው"]),
+]
+OM_VECTORS = [
+    ("afeeramaniiru kan dubbanne", ["afeeramuu", "dubbachuu"]),
+    ("namoota manaan", ["nama", "mana"]),
+    ("fedhi ameerikaatti", ["fedh", "ameerikaa"]),
+    ("ameerikaanummaa", ["ameerikaanummaa"]),
+]
+
+
+def _horn_token_counts(sf_dir: str, lang: str):
+    """Global (term, count) over a Horn chain (normalize -> stop ->
+    lexicon/light stem) applied to synthesized per-doc phrases. Oracle:
+    oracle.horn_token_counts (reference stemmer vectors)."""
+    import pyarrow as pa
+    import ray
+
+    vectors = AM_VECTORS if lang == "amharic" else OM_VECTORS
+    k = len(vectors)
+    phrases = [p for p, _ in vectors]
+
+    class Derive:
+        def __init__(self):
+            self.a = _lang_cls(lang)()  # lexicons load once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import collections
+            counts: collections.Counter = collections.Counter()
+            for doc_id in batch.column("doc_id").to_pylist():
+                counts.update(self.a(phrases[doc_id % k]))
+            return pa.table({"term": list(counts.keys()),
+                             "cnt": list(counts.values())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    agg = ds.map_batches(Derive, batch_format="pyarrow", concurrency=2) \
+        .groupby("term").sum("cnt")
+    df = agg.to_pandas().rename(columns={"sum(cnt)": "cnt"})
+    return df.sort_values(["term"]).reset_index(drop=True)
 
 
 # (inflected phrase, expected lemma tokens) — standard Hebrew
@@ -1599,6 +1651,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HebMorph Hebrew (hspell dictionary lemmatizer)
         "he_token_counts": _he_token_counts,
         "bm25_hebrew_top10": lambda sf: _lang_topk(sf, "hebrew"),
+        # Horn module: Amharic + Oromo (HornMorpho lexicon chains)
+        "am_token_counts": lambda sf: _horn_token_counts(sf, "amharic"),
+        "om_token_counts": lambda sf: _horn_token_counts(sf, "oromo"),
+        "bm25_amharic_top10": lambda sf: _lang_topk(sf, "amharic"),
+        "bm25_oromo_top10": lambda sf: _lang_topk(sf, "oromo"),
         # English analysis chain (possessive → stop → Porter): stemming is
         # not SQL-expressible → rows-only; exact Porter vectors + chain
         # parity live in tests/test_english_analyzer.py
@@ -1915,6 +1972,12 @@ def oracle_sql() -> dict[str, str]:
         "he_token_counts": oracle.he_token_counts(HE_VECTORS),
         "bm25_hebrew_top10": oracle.bm25_hebrew_topk(
             _lang_query_term("hebrew")),
+        "am_token_counts": oracle.horn_token_counts(AM_VECTORS),
+        "om_token_counts": oracle.horn_token_counts(OM_VECTORS),
+        "bm25_amharic_top10": oracle.bm25_amharic_topk(
+            _lang_query_term("amharic")),
+        "bm25_oromo_top10": oracle.bm25_oromo_topk(
+            _lang_query_term("oromo")),
         "bm25_serbian_top10": oracle.bm25_serbo_catalan_topk(
             "serbian", _sc_query_term("serbian")),
         "bm25_catalan_top10": oracle.bm25_serbo_catalan_topk(

