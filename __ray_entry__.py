@@ -1630,30 +1630,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_blend_top10": _feature_blend,
         "hybrid_bm25_knn_top10": _hybrid_topk,
         "sorted_multi_key_top20": lambda sf: _sorted_multi(sf),
-        # --- round-4 families (kept inside the driver's first-50 window) —
-        # kuromoji Japanese lattice chain ---
-        "ja_token_counts": _ja_token_counts,
-        "bm25_japanese_top10": lambda sf: _lang_topk(sf, "japanese"),
-        # nori Korean lattice chain
-        "ko_token_counts": _ko_token_counts,
-        "bm25_korean_top10": lambda sf: _lang_topk(sf, "korean"),
-        # smartcn Chinese HHMM chain
-        "zh_token_counts": _zh_token_counts,
-        "bm25_chinese_top10": lambda sf: _lang_topk(sf, "chinese"),
-        # geo polygon (LatLonShape/Polygon2D role)
-        "geo_polygon_all": _geo_polygon_all,
-        # ICU folding + phonetic (analysis/icu, analysis/phonetic roles)
-        "icu_fold_token_counts": _icu_fold_token_counts,
-        "metaphone_token_counts": _metaphone_token_counts,
-        # Morfologik Polish (CFSA2 dictionary lemmatizer)
-        "pl_token_counts": _pl_token_counts,
-        "bm25_polish_top10": lambda sf: _lang_topk(sf, "polish"),
-        # HebMorph Hebrew (hspell dictionary lemmatizer)
-        "he_token_counts": _he_token_counts,
-        "bm25_hebrew_top10": lambda sf: _lang_topk(sf, "hebrew"),
-        # Horn module: Amharic + Oromo (HornMorpho lexicon chains)
+        # --- round-4 families: ONE representative per new family inside
+        # the driver's first-50 snapshot window (VERDICT r3 #8) ---
+        "ja_token_counts": _ja_token_counts,      # kuromoji lattice
+        "ko_token_counts": _ko_token_counts,      # nori lattice
+        "zh_token_counts": _zh_token_counts,      # smartcn HHMM
+        "pl_token_counts": _pl_token_counts,      # morfologik CFSA2
+        "he_token_counts": _he_token_counts,      # hebmorph hspell
         "am_token_counts": lambda sf: _horn_token_counts(sf, "amharic"),
         "om_token_counts": lambda sf: _horn_token_counts(sf, "oromo"),
+        "geo_polygon_all": _geo_polygon_all,      # LatLonShape role
+        "icu_fold_token_counts": _icu_fold_token_counts,
+        "metaphone_token_counts": _metaphone_token_counts,
+        "bm25_japanese_top10": lambda sf: _lang_topk(sf, "japanese"),
+        # the remaining round-4 bm25 integrations (same families)
+        "bm25_korean_top10": lambda sf: _lang_topk(sf, "korean"),
+        "bm25_chinese_top10": lambda sf: _lang_topk(sf, "chinese"),
+        "bm25_polish_top10": lambda sf: _lang_topk(sf, "polish"),
+        "bm25_hebrew_top10": lambda sf: _lang_topk(sf, "hebrew"),
         "bm25_amharic_top10": lambda sf: _lang_topk(sf, "amharic"),
         "bm25_oromo_top10": lambda sf: _lang_topk(sf, "oromo"),
         # English analysis chain (possessive → stop → Porter): stemming is
