@@ -1037,6 +1037,57 @@ def _ko_token_counts(sf_dir: str):
     return df.sort_values(["term"]).reset_index(drop=True)
 
 
+# (numeral phrase, normalized value) — the reference's own
+# TestJapaneseNumberFilter.kt vectors
+JA_NUMBER_VECTORS = [
+    ("〇〇七", ["7"]), ("一〇〇〇", ["1000"]), ("三千2百２十三", ["3223"]),
+    ("十万二千五百", ["102500"]), ("１０万", ["100000"]),
+    ("６００万", ["6000000"]), ("3.2千", ["3200"]),
+    ("1.2万345.67", ["12345.67"]), ("4,647.100", ["4647.1"]),
+    ("15,7", ["157"]),
+]
+
+
+def _ja_number_counts(sf_dir: str):
+    """Global (term, count) over the kuromoji tokenizer + number filter
+    (kansuji/fullwidth-digit runs -> plain decimals). Oracle:
+    oracle.horn_token_counts-shaped VALUES from the reference's own
+    TestJapaneseNumberFilter vectors."""
+    import pyarrow as pa
+    import ray
+
+    from lucene_kmp_ray.analysis.japanese import (JapaneseTokenizer,
+                                                  ja_number_filter)
+
+    k = len(JA_NUMBER_VECTORS)
+    phrases = [p for p, _ in JA_NUMBER_VECTORS]
+
+    class Derive:
+        def __init__(self):
+            # discardPunctuation=false, as in the reference's number-
+            # filter test analyzer: decimal points / thousand separators
+            # must reach the filter
+            self.t = JapaneseTokenizer(mode="search",
+                                       discard_punctuation=False)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import collections
+            counts: collections.Counter = collections.Counter()
+            for doc_id in batch.column("doc_id").to_pylist():
+                toks = ja_number_filter(
+                    self.t.tokenize(phrases[doc_id % k]))
+                counts.update(x.surface for x in toks)
+            return pa.table({"term": list(counts.keys()),
+                             "cnt": list(counts.values())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    agg = ds.map_batches(Derive, batch_format="pyarrow", concurrency=2) \
+        .groupby("term").sum("cnt")
+    df = agg.to_pandas().rename(columns={"sum(cnt)": "cnt"})
+    return df.sort_values(["term"]).reset_index(drop=True)
+
+
 def _ja_token_counts(sf_dir: str):
     """Global (term, count) over the FULL kuromoji chain (CJK width fold →
     Viterbi lattice w/ search-mode decomposition → baseform → POS stop →
@@ -1642,6 +1693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_polygon_all": _geo_polygon_all,      # LatLonShape role
         "icu_fold_token_counts": _icu_fold_token_counts,
         "metaphone_token_counts": _metaphone_token_counts,
+        "ja_number_counts": _ja_number_counts,  # JapaneseNumberFilter
         "bm25_japanese_top10": lambda sf: _lang_topk(sf, "japanese"),
         # the remaining round-4 bm25 integrations (same families)
         "bm25_korean_top10": lambda sf: _lang_topk(sf, "korean"),
@@ -1952,6 +2004,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_japanese_top10": oracle.bm25_japanese_topk(
             _lang_query_term("japanese")),
         "ja_token_counts": oracle.ja_token_counts(JA_VECTORS),
+        "ja_number_counts": oracle.horn_token_counts(JA_NUMBER_VECTORS),
         "bm25_korean_top10": oracle.bm25_korean_topk(
             _lang_query_term("korean")),
         "ko_token_counts": oracle.ko_token_counts(KO_VECTORS),

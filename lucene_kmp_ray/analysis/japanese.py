@@ -634,3 +634,164 @@ class JapaneseAnalyzer:
         return (doc_lengths, pa.array(flat, pa.string()),
                 np.array(doc_of_l, dtype=np.int64),
                 np.array(pos_l, dtype=np.int64))
+
+
+# ---------------------------------------------------------------------------
+# JapaneseNumberFilter [ref: ja/JapaneseNumberFilter.kt] — normalizes
+# kansuji + Arabic/fullwidth digit runs to plain decimal numbers.
+# ---------------------------------------------------------------------------
+
+_JA_DIGITS = {"〇": 0, "一": 1, "二": 2, "三": 3, "四": 4, "五": 5,
+              "六": 6, "七": 7, "八": 8, "九": 9}
+_JA_EXponents = {"十": 1, "百": 2, "千": 3, "万": 4, "億": 8, "兆": 12,
+                 "京": 16, "垓": 20}
+
+
+def _ja_is_arabic(c: str) -> bool:
+    return "0" <= c <= "9" or "０" <= c <= "９"
+
+
+def _ja_arabic_value(c: str) -> int:
+    return ord(c) - (ord("0") if "0" <= c <= "9" else ord("０"))
+
+
+def _ja_is_numeral_char(c: str) -> bool:
+    return (_ja_is_arabic(c) or c in _JA_DIGITS
+            or _JA_EXponents.get(c, 0) > 0)
+
+
+def _ja_is_punct_char(c: str) -> bool:
+    return c in ".．,，"
+
+
+def ja_is_numeral(s: str) -> bool:
+    return bool(s) and all(_ja_is_numeral_char(c) for c in s)
+
+
+def ja_is_numeral_punctuation(s: str) -> bool:
+    return bool(s) and all(_ja_is_punct_char(c) for c in s)
+
+
+class _NumBuf:
+    __slots__ = ("s", "pos")
+
+    def __init__(self, s: str):
+        self.s = s
+        self.pos = 0
+
+
+def _parse_basic(b: _NumBuf):
+    from decimal import Decimal
+    out = []
+    while b.pos < len(b.s):
+        c = b.s[b.pos]
+        if _ja_is_arabic(c):
+            out.append(str(_ja_arabic_value(c)))
+        elif c in _JA_DIGITS:
+            out.append(str(_JA_DIGITS[c]))
+        elif c in ".．":
+            out.append(".")
+        elif c in ",，":
+            pass
+        else:
+            break
+        b.pos += 1
+    if not out:
+        return None
+    return Decimal("".join(out))
+
+
+def _parse_kanji_exp(b: _NumBuf, lo: int, hi: int):
+    from decimal import Decimal
+    if b.pos >= len(b.s):
+        return None
+    power = _JA_EXponents.get(b.s[b.pos], 0)
+    if lo <= power <= hi:
+        b.pos += 1
+        return Decimal(10) ** power
+    return None
+
+
+def _parse_medium_pair(b: _NumBuf):
+    first = _parse_basic(b)
+    second = _parse_kanji_exp(b, 1, 3)
+    if first is None and second is None:
+        return None
+    if second is None:
+        return first
+    if first is None:
+        return second
+    return first * second
+
+
+def _parse_medium(b: _NumBuf):
+    from decimal import Decimal
+    total = Decimal(0)
+    r = _parse_medium_pair(b)
+    if r is None:
+        return None
+    while r is not None:
+        total += r
+        r = _parse_medium_pair(b)
+    return total
+
+
+def _parse_large_pair(b: _NumBuf):
+    first = _parse_medium(b)
+    second = _parse_kanji_exp(b, 4, 99)
+    if first is None and second is None:
+        return None
+    if second is None:
+        return first
+    if first is None:
+        return second
+    return first * second
+
+
+def ja_normalize_number(s: str) -> str:
+    """[ref: JapaneseNumberFilter.normalizeNumber] — plain-string
+    decimal value; the input returned unchanged when unparseable."""
+    from decimal import Decimal, InvalidOperation
+    try:
+        b = _NumBuf(s)
+        total = Decimal(0)
+        r = _parse_large_pair(b)
+        if r is None:
+            return s
+        while r is not None:
+            total += r
+            r = _parse_large_pair(b)
+        return format(total.normalize(), "f")
+    except (InvalidOperation, OverflowError, ValueError):
+        return s
+
+
+def ja_number_filter(tokens: list) -> list:
+    """Token-stream composition [ref: JapaneseNumberFilter
+    incrementToken]: consecutive numeral tokens (numeral punctuation
+    allowed after the first) merge into one token holding the
+    normalized number, spanning the composed offsets."""
+    out = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if not ja_is_numeral(t.surface):
+            out.append(t)
+            i += 1
+            continue
+        start, end = t.start, t.end
+        parts = []
+        j = i
+        while j < n and (ja_is_numeral(tokens[j].surface)
+                         or (j > i
+                             and ja_is_numeral_punctuation(
+                                 tokens[j].surface))):
+            parts.append(tokens[j].surface)
+            end = tokens[j].end
+            j += 1
+        merged = Token(ja_normalize_number("".join(parts)), start, end,
+                       t.pos_tag, None)
+        out.append(merged)
+        i = j
+    return out

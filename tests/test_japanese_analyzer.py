@@ -147,3 +147,55 @@ def test_mixed_numeric(analyzer):
     # numeric runs group per char.def (NUMERIC group=true)
     out = analyzer("2024年")
     assert "2024" in out
+
+
+# --- TestJapaneseNumberFilter.kt --------------------------------------
+
+NUMBER_VECTORS = [
+    ("〇〇七", "7"), ("一〇〇〇", "1000"), ("三千2百２十三", "3223"),
+    ("兆", "1000000000000"), ("十万二千五百", "102500"),
+    ("１０万", "100000"), ("６００万", "6000000"),
+    ("3", "3"), ("３", "3"), ("三", "3"),
+    ("03", "3"), ("０３", "3"), ("〇三", "3"),
+    ("003", "3"), ("００３", "3"), ("〇〇三", "3"),
+    ("千", "1000"), ("1千", "1000"), ("3.2千", "3200"),
+    ("1.2万345.67", "12345.67"), ("4,647.100", "4647.1"), ("15,7", "157"),
+]
+
+
+@pytest.mark.parametrize("text,expected", NUMBER_VECTORS)
+def test_number_normalization(text, expected):
+    from lucene_kmp_ray.analysis.japanese import ja_normalize_number
+    assert ja_normalize_number(text) == expected
+
+
+def test_number_filter_sentence():
+    from lucene_kmp_ray.analysis.japanese import ja_number_filter
+    t = JapaneseTokenizer(mode="search")
+    toks = ja_number_filter(t.tokenize("本日十万二千五百円のワインを買った"))
+    assert [(x.surface, x.start, x.end) for x in toks] == [
+        ("本日", 0, 2), ("102500", 2, 8), ("円", 8, 9), ("の", 9, 10),
+        ("ワイン", 10, 13), ("を", 13, 14), ("買っ", 14, 16), ("た", 16, 17)]
+
+
+def test_number_filter_fullwidth_digits():
+    from lucene_kmp_ray.analysis.japanese import ja_number_filter
+    t = JapaneseTokenizer(mode="search", discard_punctuation=False)
+    toks = ja_number_filter(t.tokenize("昨日のお寿司は１０万円でした。"))
+    assert [(x.surface, x.start, x.end) for x in toks] == [
+        ("昨日", 0, 2), ("の", 2, 3), ("お", 3, 4), ("寿司", 4, 6),
+        ("は", 6, 7), ("100000", 7, 10), ("円", 10, 11), ("でし", 11, 13),
+        ("た", 13, 14), ("。", 14, 15)]
+
+
+def test_number_filter_mixed():
+    from lucene_kmp_ray.analysis.japanese import ja_number_filter
+    t = JapaneseTokenizer(mode="search")
+    toks = ja_number_filter(t.tokenize("アティリカの資本金は６００万円です"))
+    assert [x.surface for x in toks] == [
+        "アティリカ", "の", "資本", "金", "は", "6000000", "円", "です"]
+
+
+def test_unparseable_number_unchanged():
+    from lucene_kmp_ray.analysis.japanese import ja_normalize_number
+    assert ja_normalize_number("abc") == "abc"
