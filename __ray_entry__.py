@@ -993,6 +993,48 @@ def _zh_token_counts(sf_dir: str):
     return df.sort_values(["term"]).reset_index(drop=True)
 
 
+# (numeral phrase, normalized value) — TestKoreanNumberFilter.kt vectors
+KO_NUMBER_VECTORS = [
+    ("삼", ["3"]), ("영삼", ["3"]), ("십만이천오백", ["102500"]),
+    ("600만", ["6000000"]), ("천", ["1000"]), ("10만", ["100000"]),
+    ("일조", ["1000000000000"]), ("００３", ["3"]),
+]
+
+
+def _ko_number_counts(sf_dir: str):
+    """Global (term, count) over the nori tokenizer + Korean number
+    filter. Oracle: VALUES from the reference's own vectors."""
+    import pyarrow as pa
+    import ray
+
+    from lucene_kmp_ray.analysis.korean import (KoreanTokenizer,
+                                                ko_number_filter)
+
+    k = len(KO_NUMBER_VECTORS)
+    phrases = [p for p, _ in KO_NUMBER_VECTORS]
+
+    class Derive:
+        def __init__(self):
+            self.t = KoreanTokenizer()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import collections
+            counts: collections.Counter = collections.Counter()
+            for doc_id in batch.column("doc_id").to_pylist():
+                toks = ko_number_filter(
+                    self.t.tokenize(phrases[doc_id % k]))
+                counts.update(x.surface for x in toks)
+            return pa.table({"term": list(counts.keys()),
+                             "cnt": list(counts.values())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    agg = ds.map_batches(Derive, batch_format="pyarrow", concurrency=2) \
+        .groupby("term").sum("cnt")
+    df = agg.to_pandas().rename(columns={"sum(cnt)": "cnt"})
+    return df.sort_values(["term"]).reset_index(drop=True)
+
+
 # Korean vectors: first two straight from the reference's tests
 # (TestKoreanAnalyzer.kt testBasics, TestKoreanTokenizer.kt), the rest
 # curated over the same lexicon.
@@ -1694,6 +1736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "icu_fold_token_counts": _icu_fold_token_counts,
         "metaphone_token_counts": _metaphone_token_counts,
         "ja_number_counts": _ja_number_counts,  # JapaneseNumberFilter
+        "ko_number_counts": _ko_number_counts,  # KoreanNumberFilter
         "bm25_japanese_top10": lambda sf: _lang_topk(sf, "japanese"),
         # the remaining round-4 bm25 integrations (same families)
         "bm25_korean_top10": lambda sf: _lang_topk(sf, "korean"),
@@ -2005,6 +2048,7 @@ def oracle_sql() -> dict[str, str]:
             _lang_query_term("japanese")),
         "ja_token_counts": oracle.ja_token_counts(JA_VECTORS),
         "ja_number_counts": oracle.horn_token_counts(JA_NUMBER_VECTORS),
+        "ko_number_counts": oracle.horn_token_counts(KO_NUMBER_VECTORS),
         "bm25_korean_top10": oracle.bm25_korean_topk(
             _lang_query_term("korean")),
         "ko_token_counts": oracle.ko_token_counts(KO_VECTORS),

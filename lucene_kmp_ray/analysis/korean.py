@@ -393,3 +393,136 @@ class KoreanAnalyzer:
         return (doc_lengths, pa.array(flat, pa.string()),
                 np.array(doc_of_l, dtype=np.int64),
                 np.array(pos_l, dtype=np.int64))
+
+
+# ---------------------------------------------------------------------------
+# KoreanNumberFilter [ref: ko/KoreanNumberFilter.kt] — same recursive-
+# descent composition as the Japanese filter with Hangul numerals and
+# powers; reuses the shared parser with Korean tables.
+# ---------------------------------------------------------------------------
+
+_KO_DIGITS = {"영": 0, "일": 1, "이": 2, "삼": 3, "사": 4, "오": 5,
+              "육": 6, "칠": 7, "팔": 8, "구": 9}
+_KO_EXPONENTS = {"십": 1, "백": 2, "천": 3, "만": 4, "억": 8, "조": 12,
+                 "경": 16, "해": 20}
+
+
+def _ko_is_arabic(c: str) -> bool:
+    return "0" <= c <= "9" or "０" <= c <= "９"
+
+
+def _ko_is_numeral_char(c: str) -> bool:
+    return (_ko_is_arabic(c) or c in _KO_DIGITS
+            or _KO_EXPONENTS.get(c, 0) > 0)
+
+
+def ko_is_numeral(s: str) -> bool:
+    return bool(s) and all(_ko_is_numeral_char(c) for c in s)
+
+
+def ko_is_numeral_punctuation(s: str) -> bool:
+    return bool(s) and all(c in ".．,，" for c in s)
+
+
+def ko_normalize_number(s: str) -> str:
+    """[ref: KoreanNumberFilter.normalizeNumber]"""
+    from decimal import Decimal, InvalidOperation
+
+    def basic(b):
+        out = []
+        while b[0] < len(s_loc):
+            c = s_loc[b[0]]
+            if _ko_is_arabic(c):
+                out.append(str(ord(c) - (ord("0") if "0" <= c <= "9"
+                                         else ord("０"))))
+            elif c in _KO_DIGITS:
+                out.append(str(_KO_DIGITS[c]))
+            elif c in ".．":
+                out.append(".")
+            elif c in ",，":
+                pass
+            else:
+                break
+            b[0] += 1
+        return Decimal("".join(out)) if out else None
+
+    def kexp(b, lo, hi):
+        if b[0] >= len(s_loc):
+            return None
+        power = _KO_EXPONENTS.get(s_loc[b[0]], 0)
+        if lo <= power <= hi:
+            b[0] += 1
+            return Decimal(10) ** power
+        return None
+
+    def medium_pair(b):
+        first = basic(b)
+        second = kexp(b, 1, 3)
+        if first is None and second is None:
+            return None
+        if second is None:
+            return first
+        if first is None:
+            return second
+        return first * second
+
+    def medium(b):
+        total = Decimal(0)
+        r = medium_pair(b)
+        if r is None:
+            return None
+        while r is not None:
+            total += r
+            r = medium_pair(b)
+        return total
+
+    def large_pair(b):
+        first = medium(b)
+        second = kexp(b, 4, 99)
+        if first is None and second is None:
+            return None
+        if second is None:
+            return first
+        if first is None:
+            return second
+        return first * second
+
+    s_loc = s
+    try:
+        b = [0]
+        total = Decimal(0)
+        r = large_pair(b)
+        if r is None:
+            return s
+        while r is not None:
+            total += r
+            r = large_pair(b)
+        return format(total.normalize(), "f")
+    except (InvalidOperation, OverflowError, ValueError):
+        return s
+
+
+def ko_number_filter(tokens: list) -> list:
+    """Token-stream composition, same rule as the Japanese filter."""
+    out = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if not ko_is_numeral(t.surface):
+            out.append(t)
+            i += 1
+            continue
+        start, end = t.start, t.end
+        parts = []
+        j = i
+        while j < n and (ko_is_numeral(tokens[j].surface)
+                         or (j > i and ko_is_numeral_punctuation(
+                             tokens[j].surface))):
+            parts.append(tokens[j].surface)
+            end = tokens[j].end
+            j += 1
+        out.append(KoToken(ko_normalize_number("".join(parts)),
+                           start, end, t.tag))
+        i = j
+    return out

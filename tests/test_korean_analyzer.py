@@ -114,3 +114,33 @@ def test_ko_vectors_reproduce(analyzer):
     from __ray_entry__ import KO_VECTORS
     for phrase, expected in KO_VECTORS:
         assert analyzer(phrase) == expected, phrase
+
+
+# --- TestKoreanNumberFilter.kt ----------------------------------------
+
+
+def test_number_normalization():
+    from lucene_kmp_ray.analysis.korean import ko_normalize_number as nn
+    vecs = [("삼", "3"), ("영삼", "3"), ("십만이천오백", "102500"),
+            ("600만", "6000000"), ("천", "1000"), ("10만", "100000"),
+            ("일조", "1000000000000"), ("３", "3"), ("００３", "3")]
+    for s, e in vecs:
+        assert nn(s) == e, s
+
+
+def test_number_filter_sentence():
+    from lucene_kmp_ray.analysis.korean import (KoreanTokenizer,
+                                                ko_number_filter)
+    t = KoreanTokenizer()
+    toks = ko_number_filter(t.tokenize("오늘 십만이천오백원의 와인 구입"))
+    assert [(x.surface, x.start, x.end) for x in toks] == [
+        ("오늘", 0, 2), ("102500", 3, 9), ("원", 9, 10), ("의", 10, 11),
+        ("와인", 12, 14), ("구입", 15, 17)]
+
+
+def test_number_filter_compound():
+    from lucene_kmp_ray.analysis.korean import (KoreanTokenizer,
+                                                ko_number_filter)
+    t = KoreanTokenizer()
+    toks = ko_number_filter(t.tokenize("자본금 600만 원"))
+    assert [x.surface for x in toks] == ["자본", "금", "6000000", "원"]
