@@ -795,3 +795,105 @@ def ja_number_filter(tokens: list) -> list:
         out.append(merged)
         i = j
     return out
+
+
+# ---------------------------------------------------------------------------
+# JapaneseIterationMarkCharFilter [ref: ja/JapaneseIterationMarkCharFilter
+# .kt] — expands odoriji (々 ゝ ゞ ヽ ヾ) to the repeated source chars,
+# with dakuten voicing/devoicing for the kana marks.
+# ---------------------------------------------------------------------------
+
+_H2D = {}
+_h2d_targets = [
+    "が", "が", "ぎ", "ぎ", "ぐ", "ぐ", "げ",
+    "げ", "ご", "ご", "ざ", "ざ", "じ", "じ",
+    "ず", "ず", "ぜ", "ぜ", "ぞ", "ぞ", "だ",
+    "だ", "ぢ", "ぢ", "っ", "づ", "づ", "で",
+    "で", "ど", "ど", "な", "に", "ぬ", "ね",
+    "の", "ば", "ば", "ぱ", "び", "び", "ぴ",
+    "ぶ", "ぶ", "ぷ", "べ", "べ", "ぺ", "ぼ",
+    "ぼ",
+]
+for _i, _t in enumerate(_h2d_targets):
+    _H2D[chr(0x304B + _i)] = _t
+_K2D = {chr(ord(k) + 0x60): chr(ord(v) + 0x60) for k, v in _H2D.items()}
+
+_KANJI_ITER = "々"
+_HIRA_ITER, _HIRA_V_ITER = "ゝ", "ゞ"
+_KATA_ITER, _KATA_V_ITER = "ヽ", "ヾ"
+
+
+def _iter_normalize(c: str, m: str) -> str:
+    def dakuten(ch, table):
+        return table.get(ch, ch)
+
+    def is_dakuten(ch, table):
+        return ch in table and table[ch] == ch
+
+    if m in (_HIRA_ITER, _HIRA_V_ITER):
+        if m == _HIRA_ITER:
+            return chr(ord(c) - 1) if is_dakuten(c, _H2D) else c
+        return dakuten(c, _H2D)
+    if m in (_KATA_ITER, _KATA_V_ITER):
+        if m == _KATA_ITER:
+            return chr(ord(c) - 1) if is_dakuten(c, _K2D) else c
+        return dakuten(c, _K2D)
+    return c
+
+
+def iteration_mark_fold(text: str, normalize_kanji: bool = True,
+                        normalize_kana: bool = True) -> str:
+    """Char-filter transform (1:1, offsets unchanged)."""
+    def is_mark(c: str) -> bool:
+        if normalize_kanji and c == _KANJI_ITER:
+            return True
+        if normalize_kana and c in (_HIRA_ITER, _HIRA_V_ITER,
+                                    _KATA_ITER, _KATA_V_ITER):
+            return True
+        return False
+
+    out = []
+    n = len(text)
+    span_end = 0      # iterationMarkSpanEndPosition
+    span_size = 0
+    i = 0
+    while i < n:
+        c = text[i]
+        if c == "。" or ord(c) > 0xFFFF:
+            span_end = i + 1
+        if is_mark(c):
+            if i < span_end:
+                c = _iter_normalize(text[i - span_size], c)
+            elif i == span_end:
+                span_end += 1
+            else:
+                j = i
+                size = 0
+                while j < n and is_mark(text[j]):
+                    size += 1
+                    j += 1
+                if i - size < span_end:
+                    size = i - span_end
+                span_size = size
+                span_end = i + size
+                c = _iter_normalize(text[i - size], c)
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+# [ref: ja/JapaneseHiraganaUppercaseFilter.kt]
+_HIRA_UPPER = str.maketrans("ぁぃぅぇぉっゃゅょゎゕゖ", "あいうえおつやゆよわかけ")
+# [ref: ja/JapaneseKatakanaUppercaseFilter.kt]
+_KATA_UPPER = str.maketrans(
+    "ァィゥェォヵㇰヶㇱㇲッㇳㇴㇵㇶㇷㇸㇹㇺャュョㇻㇼㇽㇾㇿヮ",
+    "アイウエオカクケシスツトヌハヒフヘホムヤユヨラリルレロワ")
+
+
+def hiragana_uppercase(term: str) -> str:
+    return term.translate(_HIRA_UPPER)
+
+
+def katakana_uppercase(term: str) -> str:
+    # small-pu digraph folds before the char map
+    return term.replace("ㇷ゚", "プ").translate(_KATA_UPPER)

@@ -199,3 +199,34 @@ def test_number_filter_mixed():
 def test_unparseable_number_unchanged():
     from lucene_kmp_ray.analysis.japanese import ja_normalize_number
     assert ja_normalize_number("abc") == "abc"
+
+
+# --- TestJapaneseIterationMarkCharFilter.kt + kana uppercase ----------
+
+ITERATION_VECTORS = [
+    ("時々", "時時"), ("馬鹿々々しい", "馬鹿馬鹿しい"),
+    ("ミスヾ", "ミスズ"), ("おゝの", "おおの"), ("みすゞ", "みすず"),
+    ("じゞ", "じじ"), ("こゝろ", "こころ"), ("学問のすゝめ", "学問のすすめ"),
+    ("々", "々"),            # no source char: mark passes through
+    ("時々。時々", "時時。時時"),  # full stop resets the span
+]
+
+
+@pytest.mark.parametrize("text,expected", ITERATION_VECTORS)
+def test_iteration_mark_fold(text, expected):
+    from lucene_kmp_ray.analysis.japanese import iteration_mark_fold
+    assert iteration_mark_fold(text) == expected
+
+
+def test_iteration_mark_flags():
+    from lucene_kmp_ray.analysis.japanese import iteration_mark_fold
+    assert iteration_mark_fold("時々", normalize_kanji=False) == "時々"
+    assert iteration_mark_fold("おゝの", normalize_kana=False) == "おゝの"
+
+
+def test_kana_uppercase():
+    from lucene_kmp_ray.analysis.japanese import (hiragana_uppercase,
+                                                  katakana_uppercase)
+    assert hiragana_uppercase("ちょっとまって") == "ちよつとまつて"
+    assert katakana_uppercase("ストップウォッチ") == "ストツプウオツチ"
+    assert katakana_uppercase("セㇷ゚テンバー") == "セプテンバー"
