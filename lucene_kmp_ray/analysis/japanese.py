@@ -281,7 +281,10 @@ class JapaneseTokenizer:
     def __init__(self, mode: str = "search",
                  discard_punctuation: bool = True):
         self.rt = _runtime()
-        self.search_mode = mode == "search"
+        # EXTENDED = SEARCH + unknown tokens split into unigrams
+        # [ref: ja/JapaneseTokenizer.kt Mode]
+        self.search_mode = mode in ("search", "extended")
+        self.extended_mode = mode == "extended"
         self.discard_punctuation = discard_punctuation
 
     # -- dictionary accessors (wordID -> attrs), type-dispatched ---------
@@ -469,7 +472,17 @@ class JapaneseTokenizer:
             if alt_token_start is not None and alt_token_start >= back_pos:
                 alt_token_start = None
 
-            if (not self.discard_punctuation or length == 0
+            if self.extended_mode and back_type == UNKNOWN:
+                # [ref: KuromojiViterbiNBest.kt backtrace extendedMode
+                # branch]: unknown tokens emit per-character unigrams
+                for k in range(length - 1, -1, -1):
+                    ch = text[back_pos + k]
+                    if self.discard_punctuation and _is_punct(ch):
+                        continue
+                    pending.append(Token(
+                        ch, back_pos + k, back_pos + k + 1,
+                        self._pos_tag(back_id, back_type), None))
+            elif (not self.discard_punctuation or length == 0
                     or not _is_punct(text[back_pos])):
                 pending.append(Token(
                     text[back_pos:back_pos + length], back_pos,

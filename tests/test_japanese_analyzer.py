@@ -230,3 +230,26 @@ def test_kana_uppercase():
     assert hiragana_uppercase("ちょっとまって") == "ちよつとまつて"
     assert katakana_uppercase("ストップウォッチ") == "ストツプウオツチ"
     assert katakana_uppercase("セㇷ゚テンバー") == "セプテンバー"
+
+
+# --- TestExtendedMode.kt -----------------------------------------------
+
+
+def test_extended_mode_unknown_unigrams():
+    t = JapaneseTokenizer(mode="extended")
+    # rare kanji (incl. a surrogate-pair char) split into unigrams
+    got = [x.surface for x in t.tokenize("𩬅艱鍟䇹愯瀛")]
+    assert got == ["𩬅", "艱", "鍟", "䇹", "愯", "瀛"]
+
+
+def test_extended_mode_known_words_intact():
+    t = JapaneseTokenizer(mode="extended")
+    got = [x.surface for x in t.tokenize("関西国際空港")]
+    assert got == ["関西", "国際", "空港"]
+
+
+def test_extended_mode_katakana_unigrams():
+    t = JapaneseTokenizer(mode="extended")
+    # unknown katakana run splits; known katakana stays whole
+    got = [x.surface for x in t.tokenize("ヌレグチェ")]
+    assert got == ["ヌ", "レ", "グ", "チ", "ェ"]
