@@ -92,7 +92,7 @@ class _Runtime:
             by_triple.setdefault((p, t, f_), []).append(i)
 
         surfaces: dict[str, list[int]] = {}
-        left, right, cost, pos, base = [], [], [], [], []
+        left, right, cost, pos, base, readings = [], [], [], [], [], []
         path = os.path.join(_DATA_DIR, "kuromoji_lexicon.tsv")
         with open(path, encoding="utf-8") as f:
             for line in f:
@@ -100,7 +100,8 @@ class _Runtime:
                 if not line or line.startswith("#"):
                     continue
                 fields = line.split("\t")
-                # surface, pos, infl_type, infl_form, base_form, cost[, conn]
+                # surface, pos, infl_type, infl_form, base_form, cost
+                #   [, conn] [, reading]
                 surface, p, t, fo, bf, c = fields[:6]
                 if len(fields) > 6 and fields[6]:
                     cid = int(fields[6])
@@ -116,12 +117,15 @@ class _Runtime:
                 cost.append(int(c))
                 pos.append(p)
                 base.append(bf or None)
+                readings.append(fields[7] if len(fields) > 7
+                                and fields[7] else None)
                 surfaces.setdefault(surface, []).append(wid)
         self.lex_left = left
         self.lex_right = right
         self.lex_cost = cost
         self.lex_pos = pos
         self.lex_base = base
+        self.lex_reading = readings
         self.surfaces = surfaces
         # all proper prefixes of lexicon surfaces, for the scan cutoff
         prefixes = set()
@@ -258,14 +262,17 @@ class _Position:
 
 
 class Token:
-    __slots__ = ("surface", "start", "end", "pos_tag", "base_form")
+    __slots__ = ("surface", "start", "end", "pos_tag", "base_form",
+                 "reading")
 
-    def __init__(self, surface, start, end, pos_tag, base_form=None):
+    def __init__(self, surface, start, end, pos_tag, base_form=None,
+                 reading=None):
         self.surface = surface
         self.start = start
         self.end = end
         self.pos_tag = pos_tag
         self.base_form = base_form
+        self.reading = reading
 
     def __repr__(self):  # pragma: no cover
         return f"Token({self.surface!r},{self.start},{self.end},{self.pos_tag})"
@@ -484,10 +491,12 @@ class JapaneseTokenizer:
                         self._pos_tag(back_id, back_type), None))
             elif (not self.discard_punctuation or length == 0
                     or not _is_punct(text[back_pos])):
+                reading = (self.rt.lex_reading[back_id]
+                           if back_type == KNOWN else None)
                 pending.append(Token(
                     text[back_pos:back_pos + length], back_pos,
                     back_pos + length, self._pos_tag(back_id, back_type),
-                    self._base(back_id, back_type)))
+                    self._base(back_id, back_type), reading))
 
             last_left_word_id = self._left(back_id, back_type)
             pos = back_pos
@@ -910,3 +919,191 @@ def hiragana_uppercase(term: str) -> str:
 def katakana_uppercase(term: str) -> str:
     # small-pu digraph folds before the char map
     return term.replace("ㇷ゚", "プ").translate(_KATA_UPPER)
+
+
+# ---------------------------------------------------------------------------
+# Modified-Hepburn romanization [ref: ja/dict/ToStringUtil.kt
+# getRomanization] and JapaneseReadingFormFilter.
+# ---------------------------------------------------------------------------
+
+# simple single-kana outputs
+_ROMA_BASE = {
+    "ア": "a", "エ": "e", "カ": "ka", "ケ": "ke", "サ": "sa", "セ": "se",
+    "タ": "ta", "ナ": "na", "ヌ": "nu", "ネ": "ne", "ハ": "ha", "ヘ": "he",
+    "マ": "ma", "ム": "mu", "メ": "me", "ヤ": "ya", "ユ": "yu", "ワ": "wa",
+    "ヰ": "i", "ヱ": "e", "ヲ": "o", "ガ": "ga", "ゲ": "ge", "ザ": "za",
+    "ゼ": "ze", "ダ": "da", "ヅ": "zu", "バ": "ba", "ブ": "bu", "ベ": "be",
+    "パ": "pa", "プ": "pu", "ペ": "pe", "ヷ": "va", "ヸ": "vi", "ヹ": "ve",
+    "ヺ": "vo", "ァ": "a", "ィ": "i", "ゥ": "u", "ェ": "e", "ォ": "o",
+    "ヮ": "wa", "ャ": "ya", "ュ": "yu", "ョ": "yo",
+}
+# y-row palatalized onsets: kana -> romaji stem taking ャュョェ(+ウ)
+_ROMA_Y = {
+    "キ": "ky", "シ": "sh", "チ": "ch", "ニ": "ny", "ヒ": "hy", "ミ": "my",
+    "リ": "ry", "ギ": "gy", "ジ": "j", "ヂ": "j", "ビ": "by", "ピ": "py",
+}
+_ROMA_Y_BASE = {
+    "キ": "ki", "シ": "shi", "チ": "chi", "ニ": "ni", "ヒ": "hi",
+    "ミ": "mi", "リ": "ri", "ギ": "gi", "ジ": "ji", "ヂ": "ji",
+    "ビ": "bi", "ピ": "pi",
+}
+_ROMA_Y_VOWEL = {"ャ": "a", "ョ": "o", "ュ": "u", "ェ": "e"}
+# o-row kana whose ウ lengthens to ō (and u-variants)
+_ROMA_OU = {
+    "オ": "ō", "コ": "kō", "ソ": "sō", "ト": "tō", "ノ": "nō", "ホ": "hō",
+    "モ": "mō", "ヨ": "yō", "ロ": "rō", "ゴ": "gō", "ゾ": "zō", "ド": "dō",
+    "ボ": "bō", "ポ": "pō",
+}
+_ROMA_OU_BASE = {
+    "オ": "o", "コ": "ko", "ソ": "so", "ト": "to", "ノ": "no", "ホ": "ho",
+    "モ": "mo", "ヨ": "yo", "ロ": "ro", "ゴ": "go", "ゾ": "zo", "ド": "do",
+    "ボ": "bo", "ポ": "po",
+}
+_SOKUON_CONS = {}
+for _g, _c in [("カキクケコ", "k"), ("サシスセソ", "s"), ("タチツテト", "t"),
+               ("パピプペポ", "p")]:
+    for _ch in _g:
+        _SOKUON_CONS[_ch] = _c
+_N_TO_M = set("バビブベボパピプペポマミムメモ")
+_N_APOS = set("ヤユヨアイウエオ")
+_L_ROW = {"ラ": ("ra", "la"), "リ": ("ri", "li"), "ル": ("ru", "lu"),
+          "レ": ("re", "le"), "ロ": ("ro", "lo")}
+
+
+def romanize_katakana(s: str) -> str:
+    """Exact ToStringUtil.getRomanization port (modified Hepburn)."""
+    out = []
+    n = len(s)
+    i = 0
+    while i < n:
+        ch = s[i]
+        c2 = s[i + 1] if i + 1 < n else "\x00"
+        c3 = s[i + 2] if i + 2 < n else "\x00"
+        if ch == "ッ":
+            cons = _SOKUON_CONS.get(c2)
+            if cons:
+                out.append(cons)
+        elif ch == "イ":
+            if c2 == "ィ":
+                out.append("yi"); i += 1
+            elif c2 == "ェ":
+                out.append("ye"); i += 1
+            else:
+                out.append("i")
+        elif ch == "ウ":
+            w = {"ァ": "wa", "ィ": "wi", "ゥ": "wu", "ェ": "we",
+                 "ォ": "wo", "ュ": "wyu"}.get(c2)
+            if w:
+                out.append(w); i += 1
+            else:
+                out.append("u")
+        elif ch in _ROMA_Y:
+            if c2 == "ョ" and c3 == "ウ":
+                out.append(_ROMA_Y[ch] + "ō"); i += 2
+            elif c2 == "ュ" and c3 == "ウ":
+                out.append(_ROMA_Y[ch] + "ū"); i += 2
+            elif c2 in _ROMA_Y_VOWEL:
+                out.append(_ROMA_Y[ch] + _ROMA_Y_VOWEL[c2]); i += 1
+            elif ch == "リ" and c2 == "゜":
+                out.append("li"); i += 1
+            else:
+                out.append(_ROMA_Y_BASE[ch])
+        elif ch in ("ク", "グ"):
+            g = "k" if ch == "ク" else "g"
+            w = {"ァ": "wa", "ィ": "wi", "ェ": "we", "ォ": "wo",
+                 "ヮ": "wa"}.get(c2)
+            if w:
+                out.append(g + w); i += 1
+            else:
+                out.append(g + "u")
+        elif ch in ("ス", "ズ"):
+            if c2 == "ィ":
+                out.append(("si" if ch == "ス" else "zi")); i += 1
+            else:
+                out.append("su" if ch == "ス" else "zu")
+        elif ch == "ツ":
+            w = {"ァ": "tsa", "ィ": "tsi", "ェ": "tse", "ォ": "tso",
+                 "ュ": "tsyu"}.get(c2)
+            if w:
+                out.append(w); i += 1
+            else:
+                out.append("tsu")
+        elif ch == "テ":
+            w = {"ィ": "ti", "ゥ": "tu", "ュ": "tyu"}.get(c2)
+            if w:
+                out.append(w); i += 1
+            else:
+                out.append("te")
+        elif ch == "デ":
+            w = {"ィ": "di", "ュ": "dyu"}.get(c2)
+            if w:
+                out.append(w); i += 1
+            else:
+                out.append("de")
+        elif ch in ("ト", "ド", "ホ") and c2 == "ゥ":
+            out.append({"ト": "tu", "ド": "du", "ホ": "hu"}[ch]); i += 1
+        elif ch == "フ":
+            w = {"ャ": "fya", "ュ": "fyu", "ョ": "fyo", "ァ": "fa",
+                 "ィ": "fi", "ェ": "fe", "ォ": "fo"}.get(c2)
+            if c2 == "ィ" and c3 == "ェ":
+                out.append("fye"); i += 2
+            elif w:
+                out.append(w); i += 1
+            else:
+                out.append("fu")
+        elif ch in _L_ROW:
+            ra, la = _L_ROW[ch]
+            if ch == "リ" and (c2 == "ョ" or c2 == "ュ" or c2 == "ャ"
+                               or c2 == "ェ"):
+                pass  # unreachable: リ handled in _ROMA_Y above
+            if c2 == "゜":
+                out.append(la); i += 1
+            elif ch == "ロ" and c2 == "ウ":
+                out.append("rō"); i += 1
+            else:
+                out.append(ra)
+        elif ch == "ン":
+            if c2 in _N_TO_M:
+                out.append("m")
+            elif c2 in _N_APOS:
+                out.append("n'")
+            else:
+                out.append("n")
+        elif ch == "ヴ":
+            if c2 == "ィ" and c3 == "ェ":
+                out.append("vye"); i += 2
+            else:
+                out.append("v")
+        elif ch in _ROMA_OU:
+            if c2 == "ウ":
+                out.append(_ROMA_OU[ch]); i += 1
+            else:
+                out.append(_ROMA_OU_BASE[ch])
+        elif ch == "ー":
+            pass
+        else:
+            out.append(_ROMA_BASE.get(ch, ch))
+        i += 1
+    return "".join(out)
+
+
+def reading_form(tokens: list, use_romaji: bool = False) -> list:
+    """JapaneseReadingFormFilter [ref: ja/JapaneseReadingFormFilter.kt]:
+    term -> reading (katakana, or modified-Hepburn romaji); OOV terms
+    containing hiragana are katakana-ized first; other OOV terms keep
+    (or romanize) their surface."""
+    out = []
+    for t in tokens:
+        reading = getattr(t, "reading", None)
+        term = t.surface
+        if reading is None and any("ぁ" <= c <= "ゖ" for c in term):
+            reading = "".join(
+                chr(ord(c) + 0x60) if "ぁ" <= c <= "ゖ" else c
+                for c in term)
+        if use_romaji:
+            new = romanize_katakana(reading if reading is not None
+                                    else term)
+        else:
+            new = reading if reading is not None else term
+        out.append(Token(new, t.start, t.end, t.pos_tag, t.base_form))
+    return out

@@ -253,3 +253,46 @@ def test_extended_mode_katakana_unigrams():
     # unknown katakana run splits; known katakana stays whole
     got = [x.surface for x in t.tokenize("ヌレグチェ")]
     assert got == ["ヌ", "レ", "グ", "チ", "ェ"]
+
+
+# --- TestJapaneseReadingFormFilter.kt + ToStringUtil Hepburn ----------
+
+HEPBURN_VECTORS = [
+    ("マージャン", "majan"), ("ウーロンチャ", "uroncha"),
+    ("チャーハン", "chahan"), ("チャーシュー", "chashu"),
+    ("シューマイ", "shumai"), ("コンヤ", "kon'ya"),
+    ("センセイ", "sensei"), ("キョウ", "kyō"), ("シンバシ", "shimbashi"),
+]
+
+
+@pytest.mark.parametrize("kana,expected", HEPBURN_VECTORS)
+def test_hepburn_romanization(kana, expected):
+    from lucene_kmp_ray.analysis.japanese import romanize_katakana
+    assert romanize_katakana(kana) == expected
+
+
+def test_reading_form_katakana():
+    from lucene_kmp_ray.analysis.japanese import reading_form
+    t = JapaneseTokenizer(mode="search")
+    toks = reading_form(t.tokenize("今夜はロバート先生と話した"))
+    assert [x.surface for x in toks] == [
+        "コンヤ", "ハ", "ロバート", "センセイ", "ト", "ハナシ", "タ"]
+
+
+def test_reading_form_romaji():
+    from lucene_kmp_ray.analysis.japanese import reading_form
+    t = JapaneseTokenizer(mode="search")
+    toks = reading_form(t.tokenize("今夜はロバート先生と話した"),
+                        use_romaji=True)
+    assert [x.surface for x in toks] == [
+        "kon'ya", "ha", "robato", "sensei", "to", "hanashi", "ta"]
+
+
+def test_reading_form_halfwidth_input():
+    from lucene_kmp_ray.analysis.japanese import (cjk_width_fold_offsets,
+                                                  reading_form)
+    folded, _ = cjk_width_fold_offsets("今夜はﾛﾊﾞｰﾄ先生と話した")
+    t = JapaneseTokenizer(mode="search")
+    toks = reading_form(t.tokenize(folded))
+    assert [x.surface for x in toks] == [
+        "コンヤ", "ハ", "ロバート", "センセイ", "ト", "ハナシ", "タ"]
