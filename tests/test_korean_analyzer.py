@@ -144,3 +144,8 @@ def test_number_filter_compound():
     t = KoreanTokenizer()
     toks = ko_number_filter(t.tokenize("자본금 600만 원"))
     assert [x.surface for x in toks] == ["자본", "금", "6000000", "원"]
+
+
+def test_reading_form_hanja(analyzer):
+    # TestKoreanReadingFormFilter.kt: hanja folds to its hangul reading
+    assert analyzer("車丞相") == ["차", "승상"]
