@@ -63,6 +63,7 @@ _PUNCT_CATS = frozenset([
 ])
 
 
+@lru_cache(maxsize=4096)
 def _is_punct(ch: str) -> bool:
     return unicodedata.category(ch) in _PUNCT_CATS
 
@@ -77,7 +78,10 @@ class _Runtime:
         self.group = d["group"]                     # bool[12]
         # cost(forwardId=prev rightId, backwardId=next leftId)
         #   = conn[backwardId, forwardId]
-        self.conn = d["conn_costs"]                 # int16[1316,1316]
+        # int16[1316,1316] -> nested Python lists: the Viterbi inner
+        # loops index single cells, and plain-int rows are ~3x faster
+        # than numpy scalar extraction there (~7 MB per process)
+        self.conn = d["conn_costs"].tolist()
         self.unk_class_off = d["unk_class_offsets"]  # int32[13]
         self.unk_left = d["unk_left_ids"]           # == rightId for unk
         self.unk_cost = d["unk_word_costs"]
@@ -315,10 +319,11 @@ class JapaneseTokenizer:
         return self.rt.lex_base[wid] if typ == KNOWN else None
 
     def _compute_penalty(self, text: str, pos: int, length: int) -> int:
-        # [ref: KuromojiViterbiNBest.kt computePenalty]
+        # [ref: KuromojiViterbiNBest.kt computePenalty] — kanji flags
+        # precomputed per text in tokenize()
         if length > SEARCH_MODE_KANJI_LENGTH:
-            if all(self.rt.is_kanji(text[p])
-                   for p in range(pos, pos + length)):
+            kan = self._kanji
+            if all(kan[p] for p in range(pos, pos + length)):
                 return ((length - SEARCH_MODE_KANJI_LENGTH)
                         * SEARCH_MODE_KANJI_PENALTY)
             if length > SEARCH_MODE_OTHER_LENGTH:
@@ -335,7 +340,7 @@ class JapaneseTokenizer:
         least_cost, least_idx = 2**62, -1
         for idx in range(from_pos_data.count):
             c = (from_pos_data.costs[idx]
-                 + int(conn[left_id, from_pos_data.lastRightID[idx]]))
+                 + conn[left_id][from_pos_data.lastRightID[idx]])
             if c < least_cost:
                 least_cost, least_idx = c, idx
         least_cost += self._wcost(wid, typ)
@@ -358,6 +363,13 @@ class JapaneseTokenizer:
             return []
         rt = self.rt
         n = len(text)
+        # one pass of per-char metadata: the unknown-word scan and the
+        # kanji penalty re-query these many times per character
+        cc = rt.char_cat
+        ctypes = [int(cc[o]) if (o := ord(ch)) < 0x10000 else DEFAULT
+                  for ch in text]
+        self._ctypes = ctypes
+        self._kanji = [t == KANJI or t == KANJINUMERIC for t in ctypes]
         positions: dict[int, _Position] = {}
         self._pos_at(positions, 0).add(0, 0, -1, -1, -1, -1, -1)  # BOS
 
@@ -389,8 +401,8 @@ class JapaneseTokenizer:
             #   in search mode it is never skipped]
             if self.search_mode or unknown_word_end <= pos:
                 first = text[pos]
-                if not any_matches or rt.invoke[rt.char_class(first)]:
-                    cls = rt.char_class(first)
+                cls = ctypes[pos]
+                if not any_matches or rt.invoke[cls]:
                     is_punct = _is_punct(first)
                     if not rt.group[cls]:
                         ulen = 1
@@ -398,7 +410,7 @@ class JapaneseTokenizer:
                         ulen = 1
                         ahead = pos + 1
                         while (ulen < MAX_UNKNOWN_WORD_LENGTH and ahead < n
-                               and rt.char_class(text[ahead]) == cls
+                               and ctypes[ahead] == cls
                                and _is_punct(text[ahead]) == is_punct):
                             ulen += 1
                             ahead += 1
@@ -418,7 +430,7 @@ class JapaneseTokenizer:
         least_cost, least_idx = 2**62, -1
         for idx in range(end_pos_data.count):
             c = (end_pos_data.costs[idx]
-                 + int(conn[0, end_pos_data.lastRightID[idx]]))
+                 + conn[0][end_pos_data.lastRightID[idx]])
             if c < least_cost:
                 least_cost, least_idx = c, idx
         pending = self._backtrace(positions, text, end_pos_data, least_idx)
@@ -448,9 +460,8 @@ class JapaneseTokenizer:
                 if penalty > 0:
                     max_cost = pos_data.costs[best_idx] + penalty
                     if last_left_word_id != -1:
-                        max_cost += int(conn[
-                            last_left_word_id,
-                            self._right(back_id, back_type)])
+                        max_cost += conn[last_left_word_id][
+                            self._right(back_id, back_type)]
                     self._prune_and_rescore(
                         positions, text, back_pos, pos,
                         pos_data.backIndex[best_idx])
@@ -458,10 +469,9 @@ class JapaneseTokenizer:
                     for idx in range(pos_data.count):
                         c = pos_data.costs[idx]
                         if last_left_word_id != -1:
-                            c += int(conn[
-                                last_left_word_id,
+                            c += conn[last_left_word_id][
                                 self._right(pos_data.backID[idx],
-                                            pos_data.backType[idx])])
+                                            pos_data.backType[idx])]
                         if c < least_cost:
                             least_cost, least_idx = c, idx
                     if (least_idx != -1 and least_cost <= max_cost
@@ -538,7 +548,7 @@ class JapaneseTokenizer:
                     wid = pos_data.forwardID[f]
                     to_pos = pos_data.forwardPos[f]
                     new_cost = (path_cost + self._wcost(wid, typ)
-                                + int(conn[self._left(wid, typ), right_id])
+                                + conn[self._left(wid, typ)][right_id]
                                 + self._compute_penalty(
                                     text, pos2, to_pos - pos2))
                     self._pos_at(positions, to_pos).add(

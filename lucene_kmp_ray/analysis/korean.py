@@ -189,6 +189,9 @@ class KoreanTokenizer:
             return []
         rt = self.rt
         n = len(text)
+        cc = rt.char_cat
+        ctypes = [int(cc[o]) if (o := ord(ch)) < 0x10000 else 1
+                  for ch in text]
         positions: dict[int, _Position] = {}
         positions[0] = _Position(0)
         positions[0].add(0, 0, -1, -1, -1, -1, -1)  # BOS
@@ -228,7 +231,7 @@ class KoreanTokenizer:
 
             if unknown_word_end <= ws:
                 first = text[ws]
-                cls = rt.char_class(first)
+                cls = ctypes[ws]
                 if not any_matches or rt.invoke[cls]:
                     is_punct = _is_punct(first)
                     if not rt.group[cls]:
@@ -237,7 +240,7 @@ class KoreanTokenizer:
                         ulen = 1
                         ahead = ws + 1
                         while (ulen < MAX_UNKNOWN_WORD_LENGTH and ahead < n
-                               and rt.char_class(text[ahead]) == cls
+                               and ctypes[ahead] == cls
                                and _is_punct(text[ahead]) == is_punct):
                             ulen += 1
                             ahead += 1
