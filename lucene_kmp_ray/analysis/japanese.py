@@ -290,28 +290,38 @@ class JapaneseTokenizer:
     """
 
     def __init__(self, mode: str = "search",
-                 discard_punctuation: bool = True):
+                 discard_punctuation: bool = True,
+                 user_dict: "UserDictionary | None" = None):
         self.rt = _runtime()
         # EXTENDED = SEARCH + unknown tokens split into unigrams
         # [ref: ja/JapaneseTokenizer.kt Mode]
         self.search_mode = mode in ("search", "extended")
         self.extended_mode = mode == "extended"
         self.discard_punctuation = discard_punctuation
+        self.user_dict = user_dict
 
     # -- dictionary accessors (wordID -> attrs), type-dispatched ---------
     def _left(self, wid: int, typ: int) -> int:
+        if typ == USER:
+            return _USER_CONN_ID
         return (self.rt.lex_left[wid] if typ == KNOWN
                 else int(self.rt.unk_left[wid]))
 
     def _right(self, wid: int, typ: int) -> int:
+        if typ == USER:
+            return _USER_CONN_ID
         return (self.rt.lex_right[wid] if typ == KNOWN
                 else int(self.rt.unk_left[wid]))
 
     def _wcost(self, wid: int, typ: int) -> int:
+        if typ == USER:
+            return _USER_WORD_COST
         return (self.rt.lex_cost[wid] if typ == KNOWN
                 else int(self.rt.unk_cost[wid]))
 
     def _pos_tag(self, wid: int, typ: int) -> str:
+        if typ == USER:
+            return self.user_dict.entries[wid][3]
         return (self.rt.lex_pos[wid] if typ == KNOWN
                 else self.rt.unk_pos[wid])
 
@@ -381,21 +391,38 @@ class JapaneseTokenizer:
                 pos += 1
                 continue
 
-            # known-word dictionary scan from `pos`
+            # user-dictionary scan first: matches suppress the system
+            # dictionary at this position [ref: morph/Viterbi.kt forward]
             any_matches = False
-            limit = min(n, pos + rt.max_len)
-            end = pos
-            while end < limit:
-                frag = text[pos:end + 1]
-                wids = rt.surfaces.get(frag)
-                if wids is not None:
-                    for wid in wids:
-                        self._add(positions, pos_data, pos, end + 1, wid,
-                                  KNOWN, text, False)
+            ud = self.user_dict
+            if ud is not None and ud.max_len:
+                limit = min(n, pos + ud.max_len)
+                end = pos
+                while end < limit:
+                    frag = text[pos:end + 1]
+                    uid = ud.surfaces.get(frag)
+                    if uid is not None:
+                        self._add(positions, pos_data, pos, end + 1, uid,
+                                  USER, text, False)
                         any_matches = True
-                elif frag not in rt.prefixes:
-                    break
-                end += 1
+                    elif frag not in ud.prefixes:
+                        break
+                    end += 1
+            if not any_matches:
+                # known-word dictionary scan from `pos`
+                limit = min(n, pos + rt.max_len)
+                end = pos
+                while end < limit:
+                    frag = text[pos:end + 1]
+                    wids = rt.surfaces.get(frag)
+                    if wids is not None:
+                        for wid in wids:
+                            self._add(positions, pos_data, pos, end + 1,
+                                      wid, KNOWN, text, False)
+                            any_matches = True
+                    elif frag not in rt.prefixes:
+                        break
+                    end += 1
 
             # unknown word [ref: KuromojiViterbiNBest.kt processUnknownWord;
             #   in search mode it is never skipped]
@@ -455,7 +482,8 @@ class JapaneseTokenizer:
             back_id = pos_data.backID[best_idx]
             next_best_idx = pos_data.backIndex[best_idx]
 
-            if (self.search_mode and alt_token_start is None):
+            if (self.search_mode and alt_token_start is None
+                    and back_type != USER):
                 penalty = self._compute_penalty(text, back_pos, length)
                 if penalty > 0:
                     max_cost = pos_data.costs[best_idx] + penalty
@@ -489,7 +517,20 @@ class JapaneseTokenizer:
             if alt_token_start is not None and alt_token_start >= back_pos:
                 alt_token_start = None
 
-            if self.extended_mode and back_type == UNKNOWN:
+            if back_type == USER:
+                # forced segmentation [ref: KuromojiViterbiNBest.kt
+                # backtrace USER branch]: emit the entry's parts with
+                # per-part readings; final list reversal restores order
+                surface, lens, readings, pos_tag = \
+                    self.user_dict.entries[back_id]
+                cur = back_pos + length
+                for k in range(len(lens) - 1, -1, -1):
+                    cur -= lens[k]
+                    pending.append(Token(
+                        text[cur:cur + lens[k]], cur, cur + lens[k],
+                        pos_tag, None,
+                        readings[k] if k < len(readings) else None))
+            elif self.extended_mode and back_type == UNKNOWN:
                 # [ref: KuromojiViterbiNBest.kt backtrace extendedMode
                 # branch]: unknown tokens emit per-character unigrams
                 for k in range(length - 1, -1, -1):
@@ -1117,3 +1158,43 @@ def reading_form(tokens: list, use_romaji: bool = False) -> list:
             new = reading if reading is not None else term
         out.append(Token(new, t.start, t.end, t.pos_tag, t.base_form))
     return out
+
+
+# ---------------------------------------------------------------------------
+# UserDictionary [ref: ja/dict/UserDictionary.kt, ja/dict/UserMorphData.kt]
+# — caller-provided entries with forced segmentation; matches suppress
+# the system dictionary at that position and win via WORD_COST=-100000.
+# ---------------------------------------------------------------------------
+
+USER = 2
+_USER_WORD_COST = -100000
+_USER_CONN_ID = 5
+
+
+class UserDictionary:
+    """Parses the reference's CSV format:
+    ``surface,seg1 seg2 ...,reading1 reading2 ...,pos`` ('#' comments)."""
+
+    def __init__(self, text: str):
+        self.entries = []      # (surface, [part_len...], [reading...], pos)
+        self.surfaces: dict[str, int] = {}
+        for raw in text.splitlines():
+            line = raw.split("#")[0].strip()
+            if not line:
+                continue
+            parts = line.split(",")
+            surface = parts[0].replace(" ", "")
+            segs = parts[1].split()
+            readings = parts[2].split() if len(parts) > 2 else []
+            pos = parts[3] if len(parts) > 3 else ""
+            if "".join(segs) != surface:
+                raise ValueError(f"user dict segmentation mismatch: {raw}")
+            self.surfaces[surface] = len(self.entries)
+            self.entries.append((surface, [len(p) for p in segs],
+                                 readings, pos))
+        prefixes = set()
+        for s in self.surfaces:
+            for i in range(1, len(s)):
+                prefixes.add(s[:i])
+        self.prefixes = prefixes
+        self.max_len = max((len(s) for s in self.surfaces), default=0)

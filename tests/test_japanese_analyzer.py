@@ -296,3 +296,45 @@ def test_reading_form_halfwidth_input():
     toks = reading_form(t.tokenize(folded))
     assert [x.surface for x in toks] == [
         "コンヤ", "ハ", "ロバート", "センセイ", "ト", "ハナシ", "タ"]
+
+
+# --- TestJapaneseTokenizer.kt user-dictionary vectors ------------------
+
+
+@pytest.fixture(scope="module")
+def user_dict():
+    from lucene_kmp_ray.analysis.japanese import UserDictionary
+    return UserDictionary("""
+# Custom segmentation for long entries
+日本経済新聞,日本 経済 新聞,ニホン ケイザイ シンブン,カスタム名詞
+関西国際空港,関西 国際 空港,カンサイ コクサイ クウコウ,テスト名詞
+朝青龍,朝青龍,アサショウリュウ,カスタム人名
+abcd,a b cd,foo1 foo2 foo3,bar
+abcdefg,ab cd efg,foo1 foo2 foo4,bar
+""")
+
+
+def test_user_dict_segmentation(user_dict):
+    t = JapaneseTokenizer(mode="search", user_dict=user_dict)
+    got = [(x.surface, x.start, x.end)
+           for x in t.tokenize("関西国際空港に行った")]
+    assert got == [("関西", 0, 2), ("国際", 2, 4), ("空港", 4, 6),
+                   ("に", 6, 7), ("行っ", 7, 9), ("た", 9, 10)]
+
+
+def test_user_dict_whole_word(user_dict):
+    t = JapaneseTokenizer(mode="search", user_dict=user_dict)
+    # 朝青龍 stays whole (search-mode penalty rescore skips USER tokens)
+    assert [x.surface for x in t.tokenize("朝青龍")] == ["朝青龍"]
+
+
+def test_user_dict_ascii_split(user_dict):
+    t = JapaneseTokenizer(mode="search", user_dict=user_dict)
+    assert [x.surface for x in t.tokenize("abcd")] == ["a", "b", "cd"]
+
+
+def test_user_dict_readings(user_dict):
+    from lucene_kmp_ray.analysis.japanese import reading_form
+    t = JapaneseTokenizer(mode="search", user_dict=user_dict)
+    toks = reading_form(t.tokenize("日本経済新聞"))
+    assert [x.surface for x in toks] == ["ニホン", "ケイザイ", "シンブン"]
