@@ -43,8 +43,9 @@ from .japanese import _is_punct, _Position
 
 _DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
 
-KNOWN, UNKNOWN = 0, 1
+KNOWN, UNKNOWN, USER = 0, 1, 2
 MORPHEME, COMPOUND, INFLECT = "M", "C", "I"
+_USER_WORD_COST = -100000
 
 MAX_UNKNOWN_WORD_LENGTH = 1024
 
@@ -149,17 +150,45 @@ class KoreanTokenizer:
 
     def __init__(self, mode: str = "discard",
                  discard_punctuation: bool = True,
-                 output_unknown_unigrams: bool = False):
+                 output_unknown_unigrams: bool = False,
+                 user_dict: str | None = None):
         self.rt = _runtime()
         self.mode = mode
         self.discard_punctuation = discard_punctuation
         self.output_unknown_unigrams = output_unknown_unigrams
+        # [ref: ko/dict/UserDictionary.kt] space-separated lines:
+        # "surface [seg1 seg2 ...]" — NNG tag, COMPOUND when segmented
+        self.user_entries = []
+        self.user_surfaces: dict[str, int] = {}
+        user_prefixes: set[str] = set()
+        if user_dict:
+            for raw in user_dict.splitlines():
+                line = raw.split("#")[0].strip()
+                if not line:
+                    continue
+                parts = line.split()
+                surface = parts[0]
+                segs = parts[1:]
+                if segs and "".join(segs) != surface:
+                    raise ValueError(f"user dict mismatch: {raw}")
+                morphs = [(p, "NNG") for p in segs] if segs else None
+                self.user_surfaces[surface] = len(self.user_entries)
+                self.user_entries.append((surface, morphs))
+                for i in range(1, len(surface)):
+                    user_prefixes.add(surface[:i])
+        self.user_prefixes = user_prefixes
+        self.user_max_len = max((len(s) for s in self.user_surfaces),
+                                default=0)
 
     def _wcost(self, wid: int, typ: int) -> int:
+        if typ == USER:
+            return _USER_WORD_COST
         return (self.rt.lex_cost[wid] if typ == KNOWN
                 else int(self.rt.unk_cost[wid]))
 
     def _tag(self, wid: int, typ: int) -> str:
+        if typ == USER:
+            return "NNG"
         return (self.rt.lex_tag[wid] if typ == KNOWN
                 else self.rt.unk_tag[wid])
 
@@ -215,19 +244,33 @@ class KoreanTokenizer:
                 break
 
             any_matches = False
-            limit = min(n, ws + rt.max_len)
-            end = ws
-            while end < limit:
-                frag = text[ws:end + 1]
-                wids = rt.surfaces.get(frag)
-                if wids is not None:
-                    for wid in wids:
-                        self._add(positions, pos_data, ws, end + 1, wid,
-                                  KNOWN)
+            if self.user_max_len:
+                limit = min(n, ws + self.user_max_len)
+                end = ws
+                while end < limit:
+                    frag = text[ws:end + 1]
+                    uid = self.user_surfaces.get(frag)
+                    if uid is not None:
+                        self._add(positions, pos_data, ws, end + 1, uid,
+                                  USER)
                         any_matches = True
-                elif frag not in rt.prefixes:
-                    break
-                end += 1
+                    elif frag not in self.user_prefixes:
+                        break
+                    end += 1
+            if not any_matches:
+                limit = min(n, ws + rt.max_len)
+                end = ws
+                while end < limit:
+                    frag = text[ws:end + 1]
+                    wids = rt.surfaces.get(frag)
+                    if wids is not None:
+                        for wid in wids:
+                            self._add(positions, pos_data, ws, end + 1,
+                                      wid, KNOWN)
+                            any_matches = True
+                    elif frag not in rt.prefixes:
+                        break
+                    end += 1
 
             if unknown_word_end <= ws:
                 first = text[ws]
@@ -298,7 +341,24 @@ class KoreanTokenizer:
             length = pos - back_word_pos
             surface = text[back_word_pos:back_word_pos + length]
 
-            if (self.discard_punctuation and length > 0
+            if back_type == USER:
+                _, morphs = self.user_entries[back_id]
+                if morphs is None or self.mode == "none":
+                    pending.append(KoToken(
+                        surface, back_word_pos, back_word_pos + length,
+                        "NNG"))
+                else:
+                    end_off = back_word_pos + length
+                    for m_surface, m_tag in reversed(morphs):
+                        pending.append(KoToken(
+                            m_surface, end_off - len(m_surface), end_off,
+                            m_tag))
+                        end_off -= len(m_surface)
+                    if self.mode == "mixed":
+                        pending.append(KoToken(
+                            surface, back_word_pos,
+                            back_word_pos + length, "NNG"))
+            elif (self.discard_punctuation and length > 0
                     and _is_punct(surface[0])):
                 pass  # punctuation dropped
             elif self.output_unknown_unigrams and back_type == UNKNOWN:

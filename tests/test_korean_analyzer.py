@@ -149,3 +149,24 @@ def test_number_filter_compound():
 def test_reading_form_hanja(analyzer):
     # TestKoreanReadingFormFilter.kt: hanja folds to its hangul reading
     assert analyzer("車丞相") == ["차", "승상"]
+
+
+# --- TestKoreanTokenizer.kt user-dictionary vectors --------------------
+
+
+def test_user_dict_cpp():
+    from lucene_kmp_ray.analysis.korean import KoreanTokenizer
+    t = KoreanTokenizer(user_dict="c++\nC샤프\n세종\n세종시 세종 시")
+    got = [(x.surface, x.start, x.end)
+           for x in t.tokenize("c++ 프로그래밍 언어")]
+    assert got == [("c++", 0, 3), ("프로그래밍", 4, 9), ("언어", 10, 12)]
+
+
+def test_user_dict_segmented_compound():
+    from lucene_kmp_ray.analysis.korean import KoreanTokenizer
+    t = KoreanTokenizer(user_dict="세종시 세종 시")
+    assert [(x.surface, x.start, x.end) for x in t.tokenize("세종시")] == \
+        [("세종", 0, 2), ("시", 2, 3)]
+    # NONE mode keeps the user compound whole
+    t2 = KoreanTokenizer(mode="none", user_dict="세종시 세종 시")
+    assert [x.surface for x in t2.tokenize("세종시")] == ["세종시"]
