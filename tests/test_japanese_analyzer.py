@@ -76,6 +76,14 @@ SEARCH_SEGMENTATION = [
     ("クリスマスショッピング", ["クリスマス", "ショッピング"]),
     ("ダウンロードファイル", ["ダウンロード", "ファイル"]),
     ("リレハンメルオリンピック", ["リレハンメル", "オリンピック"]),
+    # the 13-char NAIST compound fully decomposes via stacked penalties
+    ("奈良先端科学技術大学院大学",
+     ["奈良", "先端", "科学", "技術", "大学院", "大学"]),
+    ("シニアセールスエンジニア", ["シニア", "セールス", "エンジニア"]),
+    ("プロジェクトマネジャー", ["プロジェクト", "マネジャー"]),
+    ("シニアプロジェクトマネジャー",
+     ["シニア", "プロジェクト", "マネジャー"]),
+    ("サッポロホールディングス", ["サッポロ", "ホールディングス"]),
 ]
 
 
