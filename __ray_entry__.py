@@ -1130,6 +1130,42 @@ def _ja_number_counts(sf_dir: str):
     return df.sort_values(["term"]).reset_index(drop=True)
 
 
+def _native_cjk_topk(sf_dir: str, lang: str, vectors, term: str):
+    """BM25 top-10 over NATIVE CJK documents: per-doc text synthesized
+    from two reference-vector phrases, indexed through the full lattice
+    chain, searched for a native term. Oracle: oracle.bm25_native_cjk_topk
+    (ranking recomputed from the REFERENCE's expected tokens — a full
+    hash check of lattice segmentation + BM25 over CJK text)."""
+    import pyarrow as pa
+
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.sources.corpus import corpus_dataset
+
+    k = len(vectors)
+    phrases = [p for p, _ in vectors]
+
+    def synth_text(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        # '。' separator: a punctuation lattice node that both sides'
+        # optimal sub-paths pass through, so segmentation equals the
+        # two phrases' independent segmentations
+        texts = [phrases[d % k] + "。" + phrases[(d // 3) % k]
+                 for d in ids]
+        idx = batch.schema.get_field_index("text")
+        return batch.set_column(idx, "text", pa.array(texts, pa.string()))
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx_dir = f"/tmp/lucene_kmp_ray_index_native_{lang}/{tag}"
+    if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
+        ds = corpus_dataset(sf_dir).map_batches(synth_text,
+                                                batch_format="pyarrow")
+        build_index(ds, idx_dir, segment_size=SEGMENT_SIZE,
+                    analyzer=_lang_cls(lang)())
+    return search_distributed(idx_dir, {"q": TermQuery(term)}, k=10,
+                              dtype="float64").to_pandas() \
+        [["doc_id", "url", "score"]]
+
+
 def _ja_token_counts(sf_dir: str):
     """Global (term, count) over the FULL kuromoji chain (CJK width fold →
     Viterbi lattice w/ search-mode decomposition → baseform → POS stop →
@@ -1737,6 +1773,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "metaphone_token_counts": _metaphone_token_counts,
         "ja_number_counts": _ja_number_counts,  # JapaneseNumberFilter
         "ko_number_counts": _ko_number_counts,  # KoreanNumberFilter
+        # native-CJK BM25: lattice segmentation + ranking hash-checked
+        # against the reference vectors' expected tokens
+        "bm25_ja_native_top10": lambda sf: _native_cjk_topk(
+            sf, "japanese", JA_VECTORS, "学生"),
+        "bm25_ko_native_top10": lambda sf: _native_cjk_topk(
+            sf, "korean", KO_VECTORS, "한국"),
         "bm25_japanese_top10": lambda sf: _lang_topk(sf, "japanese"),
         # the remaining round-4 bm25 integrations (same families)
         "bm25_korean_top10": lambda sf: _lang_topk(sf, "korean"),
@@ -2049,6 +2091,10 @@ def oracle_sql() -> dict[str, str]:
         "ja_token_counts": oracle.ja_token_counts(JA_VECTORS),
         "ja_number_counts": oracle.horn_token_counts(JA_NUMBER_VECTORS),
         "ko_number_counts": oracle.horn_token_counts(KO_NUMBER_VECTORS),
+        "bm25_ja_native_top10": oracle.bm25_native_cjk_topk(
+            JA_VECTORS, "学生"),
+        "bm25_ko_native_top10": oracle.bm25_native_cjk_topk(
+            KO_VECTORS, "한국"),
         "bm25_korean_top10": oracle.bm25_korean_topk(
             _lang_query_term("korean")),
         "ko_token_counts": oracle.ko_token_counts(KO_VECTORS),

@@ -7581,3 +7581,38 @@ SELECT e.term, count(*) AS cnt
 FROM assigned a JOIN expected e USING (pidx)
 GROUP BY e.term ORDER BY e.term
 """
+
+
+def bm25_native_cjk_topk(phrase_tokens: list[tuple[str, list[str]]],
+                         term: str, k: int = 10) -> str:
+    """Full float64 BM25 over NATIVE CJK text: each doc's token list is
+    the concatenation of two reference-vector phrases' expected tokens
+    (phrase_a = vectors[doc_id % k], phrase_b = vectors[(doc_id//3) % k])
+    — the lattice segmentation itself is pinned by the REFERENCE's
+    published vectors, and the ranking math is recomputed from those
+    expected tokens."""
+    kn = len(phrase_tokens)
+    rows = []
+    for i, (_, toks) in enumerate(phrase_tokens):
+        for j, t in enumerate(toks):
+            rows.append(f"({i}, {j}, '{t}')")
+    values = ", ".join(rows)
+    pre = f"""
+WITH corpus AS ({CORPUS_SQL}),
+expected(pidx, ord, term) AS (VALUES {values}),
+assigned AS (SELECT doc_id, doc_id % {kn} AS pa,
+                    (doc_id // 3) % {kn} AS pb FROM corpus),
+rkept AS (
+  SELECT a.doc_id, e.term AS t0 FROM assigned a
+  JOIN expected e ON e.pidx = a.pa
+  UNION ALL
+  SELECT a.doc_id, e.term FROM assigned a
+  JOIN expected e ON e.pidx = a.pb),
+rterms AS MATERIALIZED (SELECT doc_id, t0 AS term FROM rkept),
+{_BM25_TAIL}""".replace("__LT_VALUES__", _lt_values())
+    return pre + f""",
+scored AS ({term_scored_cte(f"'{term}'")})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
