@@ -1779,6 +1779,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, "japanese", JA_VECTORS, "学生"),
         "bm25_ko_native_top10": lambda sf: _native_cjk_topk(
             sf, "korean", KO_VECTORS, "한국"),
+        "bm25_zh_native_top10": lambda sf: _native_cjk_topk(
+            sf, "chinese", ZH_VECTORS, "购买"),
         "bm25_japanese_top10": lambda sf: _lang_topk(sf, "japanese"),
         # the remaining round-4 bm25 integrations (same families)
         "bm25_korean_top10": lambda sf: _lang_topk(sf, "korean"),
@@ -2095,6 +2097,8 @@ def oracle_sql() -> dict[str, str]:
             JA_VECTORS, "学生"),
         "bm25_ko_native_top10": oracle.bm25_native_cjk_topk(
             KO_VECTORS, "한국"),
+        "bm25_zh_native_top10": oracle.bm25_native_cjk_topk(
+            ZH_VECTORS, "购买"),
         "bm25_korean_top10": oracle.bm25_korean_topk(
             _lang_query_term("korean")),
         "ko_token_counts": oracle.ko_token_counts(KO_VECTORS),
