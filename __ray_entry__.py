@@ -868,6 +868,82 @@ def _pl_token_counts(sf_dir: str):
     return df.sort_values(["term"]).reset_index(drop=True)
 
 
+# (word, normalized, folded) — the reference's published Scandinavian
+# equivalence examples
+SCAN_VECTORS = [
+    ("blåbærsyltetøj", "blåbærsyltetøj", "blabarsyltetoj"),
+    ("blåbärsyltetöj", "blåbærsyltetøj", "blabarsyltetoj"),
+    ("blaabaersyltetoej", "blåbærsyltetøj", "blabarsyltetoj"),
+    ("räksmörgås", "ræksmørgås", "raksmorgas"),
+    ("ræksmørgås", "ræksmørgås", "raksmorgas"),
+    ("raeksmoergaas", "ræksmørgås", "raksmorgas"),
+]
+
+
+def _misc_filter_counts(sf_dir: str):
+    """(filter, term, count) over three misc token filters (LengthFilter
+    3..6, TruncateTokenFilter 4, CapitalizationFilter) applied to the
+    standard corpus tokens. Oracle computes each transform in SQL."""
+    import pyarrow as pa
+    import ray
+
+    from lucene_kmp_ray.analysis.filters_misc import (
+        capitalization_filter, length_filter, truncate_filter)
+    from lucene_kmp_ray.analysis.standard import tokenize
+
+    def derive(batch: pa.Table) -> pa.Table:
+        import collections
+        counts: collections.Counter = collections.Counter()
+        for text in batch.column("text").to_pylist():
+            toks = tokenize(text or "")
+            counts.update(("len3_6", t) for t in length_filter(toks, 3, 6))
+            counts.update(("trunc4", t) for t in truncate_filter(toks, 4))
+            counts.update(("cap", t)
+                          for t in capitalization_filter(toks))
+        return pa.table({
+            "filter": [k[0] for k in counts],
+            "term": [k[1] for k in counts],
+            "cnt": list(counts.values())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    agg = ds.map_batches(derive, batch_format="pyarrow") \
+        .groupby(["filter", "term"]).sum("cnt")
+    df = agg.to_pandas().rename(columns={"sum(cnt)": "cnt"})
+    return df.sort_values(["filter", "term"]).reset_index(drop=True)
+
+
+def _scandinavian_counts(sf_dir: str):
+    """(term, count) for the Scandinavian normalize + fold filters over
+    a synthesized per-doc word; expectations from the reference's
+    published equivalence examples (oracle.scandinavian_counts)."""
+    import pyarrow as pa
+    import ray
+
+    from lucene_kmp_ray.analysis.filters_misc import (
+        scandinavian_fold, scandinavian_normalize)
+
+    k = len(SCAN_VECTORS)
+    words = [w for w, _, _ in SCAN_VECTORS]
+
+    def derive(batch: pa.Table) -> pa.Table:
+        import collections
+        counts: collections.Counter = collections.Counter()
+        for doc_id in batch.column("doc_id").to_pylist():
+            w = words[doc_id % k]
+            counts.update(["N:" + scandinavian_normalize(w),
+                           "F:" + scandinavian_fold(w)])
+        return pa.table({"term": list(counts.keys()),
+                         "cnt": list(counts.values())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    agg = ds.map_batches(derive, batch_format="pyarrow") \
+        .groupby("term").sum("cnt")
+    df = agg.to_pandas().rename(columns={"sum(cnt)": "cnt"})
+    return df.sort_values(["term"]).reset_index(drop=True)
+
+
 ICU_FOLD_WORDS = ["Café", "Ångström", "Über", "naïve", "Résumé",
                   "Façade", "Niño", "Zürich", "São", "crème", "Noël",
                   "Tübingen", "François", "Montréal", "piñata"]
@@ -1771,6 +1847,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_polygon_all": _geo_polygon_all,      # LatLonShape role
         "icu_fold_token_counts": _icu_fold_token_counts,
         "metaphone_token_counts": _metaphone_token_counts,
+        "misc_filter_counts": _misc_filter_counts,
+        "scandinavian_counts": _scandinavian_counts,
         "ja_number_counts": _ja_number_counts,  # JapaneseNumberFilter
         "ko_number_counts": _ko_number_counts,  # KoreanNumberFilter
         # native-CJK BM25: lattice segmentation + ranking hash-checked
@@ -2092,6 +2170,8 @@ def oracle_sql() -> dict[str, str]:
             _lang_query_term("japanese")),
         "ja_token_counts": oracle.ja_token_counts(JA_VECTORS),
         "ja_number_counts": oracle.horn_token_counts(JA_NUMBER_VECTORS),
+        "misc_filter_counts": oracle.misc_filter_counts(),
+        "scandinavian_counts": oracle.scandinavian_counts(SCAN_VECTORS),
         "ko_number_counts": oracle.horn_token_counts(KO_NUMBER_VECTORS),
         "bm25_ja_native_top10": oracle.bm25_native_cjk_topk(
             JA_VECTORS, "学生"),

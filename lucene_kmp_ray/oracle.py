@@ -7616,3 +7616,47 @@ SELECT s.doc_id, c.url, s.score
 FROM scored s JOIN corpus c USING (doc_id)
 ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
+
+
+# ------------------------------------------------ misc token filters ------
+def misc_filter_counts() -> str:
+    """(filter, term, cnt) over three misc filters applied to the
+    standard corpus tokens — the SQL computes each transform directly
+    (LengthFilter 3..6, TruncateTokenFilter 4, CapitalizationFilter)."""
+    from .analysis.standard import sql_tokens_expr
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS (SELECT doc_id, {sql_tokens_expr('text')} AS toks FROM corpus),
+tok AS (SELECT unnest(toks) AS t FROM toksrc),
+rows_ AS (
+  SELECT 'len3_6' AS filter, t AS term FROM tok
+  WHERE length(t) BETWEEN 3 AND 6
+  UNION ALL
+  SELECT 'trunc4', left(t, 4) FROM tok
+  UNION ALL
+  SELECT 'cap', upper(left(t, 1)) || lower(substr(t, 2)) FROM tok
+)
+SELECT filter, term, count(*) AS cnt FROM rows_
+GROUP BY filter, term ORDER BY filter, term
+"""
+
+
+def scandinavian_counts(vectors: list[tuple[str, str, str]]) -> str:
+    """(term, cnt) over the Scandinavian normalize+fold filters applied
+    to a synthesized per-doc word. Expectations are the reference's OWN
+    published equivalence examples (ScandinavianFoldingFilter.kt /
+    ScandinavianNormalizationFilter docs)."""
+    k = len(vectors)
+    rows = []
+    for i, (_, norm, fold) in enumerate(vectors):
+        rows.append(f"({i}, 'N:' || '{norm}')")
+        rows.append(f"({i}, 'F:' || '{fold}')")
+    values = ", ".join(rows)
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+expected(pidx, term) AS (VALUES {values}),
+assigned AS (SELECT doc_id % {k} AS pidx FROM corpus)
+SELECT e.term, count(*) AS cnt
+FROM assigned a JOIN expected e USING (pidx)
+GROUP BY e.term ORDER BY e.term
+"""

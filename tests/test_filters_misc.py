@@ -1,0 +1,72 @@
+"""Miscellaneous filter conformance (LengthFilter, Truncate, Trim,
+KeepWord, Capitalization, Scandinavian normalize/fold, Fingerprint,
+KeywordRepeat+RemoveDuplicates, StemmerOverride)."""
+
+from lucene_kmp_ray.analysis.filters_misc import (
+    capitalization_filter,
+    codepoint_count_filter,
+    fingerprint_filter,
+    keep_word_filter,
+    keyword_repeat_stems,
+    length_filter,
+    scandinavian_fold,
+    scandinavian_normalize,
+    stemmer_override,
+    trim_filter,
+    truncate_filter,
+)
+
+
+def test_length_and_codepoint():
+    toks = ["a", "abc", "abcdef", "abcdefgh"]
+    assert length_filter(toks, 2, 6) == ["abc", "abcdef"]
+    assert codepoint_count_filter(toks, 2, 6) == ["abc", "abcdef"]
+
+
+def test_truncate_and_trim():
+    assert truncate_filter(["abcdefgh", "ab"], 4) == ["abcd", "ab"]
+    assert trim_filter(["  x ", "y"]) == ["x", "y"]
+
+
+def test_keep_word():
+    assert keep_word_filter(["a", "b", "c"], {"b"}) == ["b"]
+
+
+def test_capitalization():
+    assert capitalization_filter(["kiTTEN", "x"]) == ["Kitten", "X"]
+
+
+def test_scandinavian_fold_published_classes():
+    # ScandinavianFoldingFilter.kt doc: all these must collide
+    cls1 = ["blåbærsyltetøj", "blåbärsyltetöj", "blaabaarsyltetoej",
+            "blabarsyltetoj"]
+    assert len({scandinavian_fold(w) for w in cls1}) == 1
+    cls2 = ["räksmörgås", "ræksmørgås", "ræksmörgaos", "raeksmoergaas",
+            "raksmorgas"]
+    assert len({scandinavian_fold(w) for w in cls2}) == 1
+    assert scandinavian_fold("räksmörgås") == "raksmorgas"
+
+
+def test_scandinavian_normalize_published_classes():
+    cls = ["blåbærsyltetøj", "blåbärsyltetöj", "blaabaersyltetoej"]
+    assert {scandinavian_normalize(w) for w in cls} == {"blåbærsyltetøj"}
+    # fold-only collisions must NOT collide under normalization
+    assert scandinavian_normalize("blabarsyltetoj") != "blåbærsyltetøj"
+
+
+def test_fingerprint():
+    assert fingerprint_filter(["b", "a", "b"]) == ["a b"]
+    assert fingerprint_filter([]) == []
+
+
+def test_keyword_repeat_stems():
+    from lucene_kmp_ray.analysis.porter import porter_stem
+    assert keyword_repeat_stems(["running", "run"], porter_stem) == \
+        ["running", "run", "run"]
+
+
+def test_stemmer_override():
+    from lucene_kmp_ray.analysis.porter import porter_stem
+    out = stemmer_override(["running", "happened"],
+                           {"happened": "happen!"}, porter_stem)
+    assert out == ["run", "happen!"]
