@@ -1850,11 +1850,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "misc_filter_counts": _misc_filter_counts,
         "scandinavian_counts": _scandinavian_counts,
         "ja_number_counts": _ja_number_counts,  # JapaneseNumberFilter
-        "ko_number_counts": _ko_number_counts,  # KoreanNumberFilter
         # native-CJK BM25: lattice segmentation + ranking hash-checked
         # against the reference vectors' expected tokens
         "bm25_ja_native_top10": lambda sf: _native_cjk_topk(
             sf, "japanese", JA_VECTORS, "学生"),
+        "ko_number_counts": _ko_number_counts,  # KoreanNumberFilter
         "bm25_ko_native_top10": lambda sf: _native_cjk_topk(
             sf, "korean", KO_VECTORS, "한국"),
         "bm25_zh_native_top10": lambda sf: _native_cjk_topk(
