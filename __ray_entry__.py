@@ -880,6 +880,28 @@ SCAN_VECTORS = [
 ]
 
 
+def _perfield_title_topk(sf_dir: str):
+    """PerFieldAnalyzerWrapper role: one index, text under the standard
+    chain and title under the ENGLISH chain ({field: analyzer} dict on
+    build_index); query the English-analyzed title field. Oracle:
+    oracle.bm25_perfield_title_topk."""
+    from lucene_kmp_ray.analysis.standard import EnglishAnalyzer
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.sources.corpus import corpus_dataset
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/lucene_kmp_ray_index_perfield/{tag}"
+    analyzer = EnglishAnalyzer()
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(corpus_dataset(sf_dir), idx, segment_size=SEGMENT_SIZE,
+                    fields=INDEX_FIELDS,
+                    analyzer={"text": None, "title": analyzer})
+    (term,) = analyzer("queries")
+    return search_distributed(idx, {"q": TermQuery(term, "title")}, k=10,
+                              dtype="float64").to_pandas() \
+        [["doc_id", "url", "score"]]
+
+
 def _misc_filter_counts(sf_dir: str):
     """(filter, term, count) over three misc token filters (LengthFilter
     3..6, TruncateTokenFilter 4, CapitalizationFilter) applied to the
@@ -1849,6 +1871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "metaphone_token_counts": _metaphone_token_counts,
         "misc_filter_counts": _misc_filter_counts,
         "scandinavian_counts": _scandinavian_counts,
+        "bm25_perfield_title_top10": _perfield_title_topk,
         "ja_number_counts": _ja_number_counts,  # JapaneseNumberFilter
         # native-CJK BM25: lattice segmentation + ranking hash-checked
         # against the reference vectors' expected tokens
@@ -2172,6 +2195,8 @@ def oracle_sql() -> dict[str, str]:
         "ja_number_counts": oracle.horn_token_counts(JA_NUMBER_VECTORS),
         "misc_filter_counts": oracle.misc_filter_counts(),
         "scandinavian_counts": oracle.scandinavian_counts(SCAN_VECTORS),
+        "bm25_perfield_title_top10": oracle.bm25_perfield_title_topk(
+            _english_query_term()),
         "ko_number_counts": oracle.horn_token_counts(KO_NUMBER_VECTORS),
         "bm25_ja_native_top10": oracle.bm25_native_cjk_topk(
             JA_VECTORS, "学生"),

@@ -7660,3 +7660,35 @@ SELECT e.term, count(*) AS cnt
 FROM assigned a JOIN expected e USING (pidx)
 GROUP BY e.term ORDER BY e.term
 """
+
+
+# ------------------------------------------- per-field analyzers ----------
+def bm25_perfield_title_topk(stemmed_term: str, k: int = 10) -> str:
+    """PerFieldAnalyzerWrapper role: the index carries text (standard
+    chain) and title (ENGLISH chain — possessive/stop/porter); this
+    scores the English-analyzed TITLE field. Per-field stats: docCount
+    counts docs with >= 1 title term (Terms.getDocCount), like the
+    bm25_title oracle."""
+    from .analysis.standard import ENGLISH_STOP_WORDS, sql_tokens_expr
+    stops = _stop_list_sql(ENGLISH_STOP_WORDS)
+    tail = _BM25_TAIL.replace(
+        "stats AS (SELECT count(*) AS doc_count",
+        "stats AS (SELECT count(*) FILTER (WHERE dl > 0) AS doc_count")
+    pre = f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, url, {sql_tokens_expr('title')} AS toks FROM corpus
+),
+rtok0 AS (SELECT doc_id, unnest(toks) AS traw FROM toksrc),
+rtok AS (SELECT doc_id,
+                regexp_replace(traw, '[''’]s$', '') AS t0 FROM rtok0),
+rkept AS (SELECT doc_id, t0 FROM rtok
+          WHERE t0 <> '' AND t0 NOT IN ({stops})),
+{_porter_stem_ctes()},
+{tail}""".replace("__LT_VALUES__", _lt_values())
+    return pre + f""",
+scored AS ({term_scored_cte(f"'{stemmed_term}'")})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
