@@ -142,3 +142,57 @@ def stemmer_override(tokens: list[str], overrides: dict,
     """Dictionary overrides win and bypass the stemmer."""
     return [overrides.get(t) if t in overrides else stem_fn(t)
             for t in tokens]
+
+
+def mapping_char_filter(text: str, mapping: dict) -> str:
+    """MappingCharFilter [ref: charfilter/MappingCharFilter.kt +
+    NormalizeCharMap.kt]: greedy longest-match string replacement,
+    scanning left to right."""
+    if not mapping:
+        return text
+    max_len = max(len(k) for k in mapping)
+    out = []
+    i = 0
+    n = len(text)
+    while i < n:
+        hit = None
+        for ln in range(min(max_len, n - i), 0, -1):
+            rep = mapping.get(text[i:i + ln])
+            if rep is not None:
+                hit = (ln, rep)
+                break
+        if hit:
+            out.append(hit[1])
+            i += hit[0]
+        else:
+            out.append(text[i])
+            i += 1
+    return "".join(out)
+
+
+def hyphenated_words_filter(tokens: list[str]) -> list[str]:
+    """HyphenatedWordsFilter [ref: miscellaneous/HyphenatedWordsFilter
+    .kt]: a token ending with '-' joins the following token (line-break
+    hyphenation repair); a trailing unpaired hyphen token keeps the
+    hyphen stripped."""
+    out = []
+    pending = None
+    for t in tokens:
+        if pending is not None:
+            out.append(pending + t)
+            pending = None
+        elif t.endswith("-") and len(t) > 1:
+            pending = t[:-1]
+        else:
+            out.append(t)
+    if pending is not None:
+        out.append(pending)
+    return out
+
+
+def protected_term_filter(tokens: list[str], protected,
+                          inner_fn) -> list[str]:
+    """ProtectedTermFilter [ref: miscellaneous/ProtectedTermFilter.kt]:
+    tokens in the protected set bypass the wrapped filter."""
+    ps = frozenset(protected)
+    return [t if t in ps else inner_fn(t) for t in tokens]

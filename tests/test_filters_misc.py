@@ -70,3 +70,28 @@ def test_stemmer_override():
     out = stemmer_override(["running", "happened"],
                            {"happened": "happen!"}, porter_stem)
     assert out == ["run", "happen!"]
+
+
+def test_mapping_char_filter():
+    from lucene_kmp_ray.analysis.filters_misc import mapping_char_filter
+    m = {"ph": "f", "qu": "kw", "x": "ks"}
+    assert mapping_char_filter("phonequix", m) == "fonekwiks"
+    # longest match wins
+    m2 = {"a": "1", "ab": "2"}
+    assert mapping_char_filter("abab", m2) == "22"
+
+
+def test_hyphenated_words():
+    from lucene_kmp_ray.analysis.filters_misc import (
+        hyphenated_words_filter)
+    assert hyphenated_words_filter(["hyphen-", "ated", "word"]) == \
+        ["hyphenated", "word"]
+    assert hyphenated_words_filter(["trailing-"]) == ["trailing"]
+
+
+def test_protected_term():
+    from lucene_kmp_ray.analysis.filters_misc import protected_term_filter
+    from lucene_kmp_ray.analysis.porter import porter_stem
+    out = protected_term_filter(["running", "jumping"], {"running"},
+                                porter_stem)
+    assert out == ["running", "jump"]
