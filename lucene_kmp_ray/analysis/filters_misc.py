@@ -196,3 +196,38 @@ def protected_term_filter(tokens: list[str], protected,
     tokens in the protected set bypass the wrapped filter."""
     ps = frozenset(protected)
     return [t if t in ps else inner_fn(t) for t in tokens]
+
+
+def dictionary_compound_filter(tokens: list[str], dictionary,
+                               min_word_size: int = 5,
+                               min_subword_size: int = 2,
+                               max_subword_size: int = 15,
+                               only_longest_match: bool = False
+                               ) -> list[str]:
+    """DictionaryCompoundWordTokenFilter [ref: compound/
+    DictionaryCompoundWordTokenFilter.kt + CompoundWordTokenFilterBase
+    .kt]: Germanic decompounding — the original token is kept and every
+    dictionary subword found by the brute-force (i, j) scan follows at
+    the same position; onlyLongestMatch keeps one per start offset."""
+    d = frozenset(dictionary)
+    out = []
+    for t in tokens:
+        out.append(t)
+        if len(t) < min_word_size:
+            continue
+        i = 0
+        while i <= len(t) - min_subword_size:
+            longest = None
+            for j in range(min_subword_size, max_subword_size + 1):
+                if i + j > len(t):
+                    break
+                if t[i:i + j] in d:
+                    if only_longest_match:
+                        if longest is None or len(longest) < j:
+                            longest = t[i:i + j]
+                    else:
+                        out.append(t[i:i + j])
+            if only_longest_match and longest is not None:
+                out.append(longest)
+            i += 1
+    return out

@@ -95,3 +95,20 @@ def test_protected_term():
     out = protected_term_filter(["running", "jumping"], {"running"},
                                 porter_stem)
     assert out == ["running", "jump"]
+
+
+def test_dictionary_compound():
+    from lucene_kmp_ray.analysis.filters_misc import (
+        dictionary_compound_filter)
+    d = {"donau", "dampf", "schiff", "wein", "schwein"}
+    out = dictionary_compound_filter(["donaudampfschiff"], d)
+    assert out == ["donaudampfschiff", "donau", "dampf", "schiff"]
+    # reuseChars default: schwein also yields wein
+    out2 = dictionary_compound_filter(["hausschwein"], d | {"haus"})
+    assert out2 == ["hausschwein", "haus", "schwein", "wein"]
+    # onlyLongestMatch keeps one match per start
+    out3 = dictionary_compound_filter(["hausschwein"], d | {"haus"},
+                                      only_longest_match=True)
+    assert out3 == ["hausschwein", "haus", "schwein", "wein"]
+    # short tokens pass through untouched
+    assert dictionary_compound_filter(["haus"], d) == ["haus"]
