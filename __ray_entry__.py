@@ -880,6 +880,63 @@ SCAN_VECTORS = [
 ]
 
 
+# TestClassicAnalyzer.kt vectors (classic jflex grammar + ClassicFilter)
+CLASSIC_VECTORS = [
+    ("O'Reilly's", ["o'reilly"]), ("AT&T", ["at&t"]),
+    ("U.S.A.", ["usa"]), ("www.nutch.org.", ["www.nutch.org"]),
+    ("first.lastname@example.com", ["first.lastname@example.com"]),
+    ("a1-b-c3 21.35", ["a1-b-c3", "21.35"]),
+    ("s-class", ["s", "class"]),
+]
+
+
+def _classic_token_counts(sf_dir: str):
+    """Global (term, count) over the ClassicAnalyzer (pre-UAX#29
+    grammar: acronyms, company names, emails, hosts, digit-joined NUM
+    runs, possessive strip). Oracle: reference-vector VALUES."""
+    import pyarrow as pa
+    import ray
+
+    from lucene_kmp_ray.analysis.classic import ClassicAnalyzer
+
+    k = len(CLASSIC_VECTORS)
+    phrases = [p for p, _ in CLASSIC_VECTORS]
+    a = ClassicAnalyzer()
+
+    def derive(batch: pa.Table) -> pa.Table:
+        import collections
+        counts: collections.Counter = collections.Counter()
+        for doc_id in batch.column("doc_id").to_pylist():
+            counts.update(a(phrases[doc_id % k]))
+        return pa.table({"term": list(counts.keys()),
+                         "cnt": list(counts.values())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    agg = ds.map_batches(derive, batch_format="pyarrow") \
+        .groupby("term").sum("cnt")
+    df = agg.to_pandas().rename(columns={"sum(cnt)": "cnt"})
+    return df.sort_values(["term"]).reset_index(drop=True)
+
+
+def _classic_analyzer_topk(sf_dir: str):
+    """BM25 top-10 over a ClassicAnalyzer index (no stop set — the
+    Latin corpus reduces classic tokens to the standard chain, swept in
+    tests/test_classic_analyzer.py). Oracle: the standard preamble."""
+    from lucene_kmp_ray.analysis.classic import ClassicAnalyzer
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.sources.corpus import corpus_dataset
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/lucene_kmp_ray_index_classic_an/{tag}"
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(corpus_dataset(sf_dir), idx, segment_size=SEGMENT_SIZE,
+                    analyzer=ClassicAnalyzer(stop_words=frozenset()))
+    return search_distributed(idx, {"q": TermQuery(TERM_A)}, k=10,
+                              dtype="float64").to_pandas() \
+        [["doc_id", "url", "score"]]
+
+
 def _perfield_title_topk(sf_dir: str):
     """PerFieldAnalyzerWrapper role: one index, text under the standard
     chain and title under the ENGLISH chain ({field: analyzer} dict on
@@ -1872,6 +1929,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "misc_filter_counts": _misc_filter_counts,
         "scandinavian_counts": _scandinavian_counts,
         "bm25_perfield_title_top10": _perfield_title_topk,
+        "classic_token_counts": _classic_token_counts,
+        "bm25_classic_analyzer_top10": _classic_analyzer_topk,
         "ja_number_counts": _ja_number_counts,  # JapaneseNumberFilter
         # native-CJK BM25: lattice segmentation + ranking hash-checked
         # against the reference vectors' expected tokens
@@ -2197,6 +2256,9 @@ def oracle_sql() -> dict[str, str]:
         "scandinavian_counts": oracle.scandinavian_counts(SCAN_VECTORS),
         "bm25_perfield_title_top10": oracle.bm25_perfield_title_topk(
             _english_query_term()),
+        "classic_token_counts": oracle.horn_token_counts(CLASSIC_VECTORS),
+        "bm25_classic_analyzer_top10":
+            oracle.bm25_classic_analyzer_topk(TERM_A),
         "ko_number_counts": oracle.horn_token_counts(KO_NUMBER_VECTORS),
         "bm25_ja_native_top10": oracle.bm25_native_cjk_topk(
             JA_VECTORS, "学生"),

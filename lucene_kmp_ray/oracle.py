@@ -6922,7 +6922,7 @@ def ja_token_counts(phrase_tokens: list[tuple[str, list[str]]]) -> str:
     rows = []
     for i, (_, toks) in enumerate(phrase_tokens):
         for t in toks:
-            rows.append(f"({i}, '{t}')")
+            rows.append("({}, '{}')".format(i, t.replace("'", "''")))
     values = ", ".join(rows)
     return f"""
 WITH corpus AS ({CORPUS_SQL}),
@@ -6953,7 +6953,7 @@ def ko_token_counts(phrase_tokens: list[tuple[str, list[str]]]) -> str:
     rows = []
     for i, (_, toks) in enumerate(phrase_tokens):
         for t in toks:
-            rows.append(f"({i}, '{t}')")
+            rows.append("({}, '{}')".format(i, t.replace("'", "''")))
     values = ", ".join(rows)
     return f"""
 WITH corpus AS ({CORPUS_SQL}),
@@ -6974,7 +6974,7 @@ def zh_token_counts(phrase_tokens: list[tuple[str, list[str]]]) -> str:
     rows = []
     for i, (_, toks) in enumerate(phrase_tokens):
         for t in toks:
-            rows.append(f"({i}, '{t}')")
+            rows.append("({}, '{}')".format(i, t.replace("'", "''")))
     values = ", ".join(rows)
     return f"""
 WITH corpus AS ({CORPUS_SQL}),
@@ -7409,7 +7409,7 @@ def metaphone_token_counts(vectors: list[tuple[str, str, str]]) -> str:
     for i, (word, pri, alt) in enumerate(vectors):
         toks = [word, pri] + ([alt] if alt != pri else [])
         for t in toks:
-            rows.append(f"({i}, '{t}')")
+            rows.append("({}, '{}')".format(i, t.replace("'", "''")))
     values = ", ".join(rows)
     return f"""
 WITH corpus AS ({CORPUS_SQL}),
@@ -7474,7 +7474,7 @@ def pl_token_counts(phrase_tokens: list[tuple[str, list[str]]]) -> str:
     rows = []
     for i, (_, toks) in enumerate(phrase_tokens):
         for t in toks:
-            rows.append(f"({i}, '{t}')")
+            rows.append("({}, '{}')".format(i, t.replace("'", "''")))
     values = ", ".join(rows)
     return f"""
 WITH corpus AS ({CORPUS_SQL}),
@@ -7504,7 +7504,7 @@ def he_token_counts(phrase_tokens: list[tuple[str, list[str]]]) -> str:
     rows = []
     for i, (_, toks) in enumerate(phrase_tokens):
         for t in toks:
-            rows.append(f"({i}, '{t}')")
+            rows.append("({}, '{}')".format(i, t.replace("'", "''")))
     values = ", ".join(rows)
     return f"""
 WITH corpus AS ({CORPUS_SQL}),
@@ -7571,7 +7571,7 @@ def horn_token_counts(phrase_tokens: list[tuple[str, list[str]]]) -> str:
     rows = []
     for i, (_, toks) in enumerate(phrase_tokens):
         for t in toks:
-            rows.append(f"({i}, '{t}')")
+            rows.append("({}, '{}')".format(i, t.replace("'", "''")))
     values = ", ".join(rows)
     return f"""
 WITH corpus AS ({CORPUS_SQL}),
@@ -7692,3 +7692,13 @@ SELECT s.doc_id, c.url, s.score
 FROM scored s JOIN corpus c USING (doc_id)
 ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
+
+
+def bm25_classic_analyzer_topk(term: str, k: int = 10) -> str:
+    """ClassicAnalyzer over the Latin corpus: plain word tokens reduce
+    to the standard chain (swept in tests/test_classic_entry... — the
+    corpus has no classic-specific constructs), so the standard BM25
+    preamble is the exact mirror. ClassicAnalyzer keeps stopwords? No —
+    it applies the same English stop set only when constructed with
+    one; the entry builds WITHOUT stops to match the standard chain."""
+    return bm25_term_topk(term, k)
