@@ -231,3 +231,20 @@ def dictionary_compound_filter(tokens: list[str], dictionary,
                 out.append(longest)
             i += 1
     return out
+
+
+def english_minimal_stem(term: str) -> str:
+    """EnglishMinimalStemmer [ref: en/EnglishMinimalStemmer.kt] — the
+    Harman S-stemmer (plural-only)."""
+    n = len(term)
+    if n < 3 or term[-1] != "s":
+        return term
+    c2 = term[-2]
+    if c2 in ("u", "s"):
+        return term
+    if c2 == "e":
+        if n > 3 and term[-3] == "i" and term[-4] not in ("a", "e"):
+            return term[:-3] + "y"
+        if term[-3] in ("i", "a", "o", "e"):
+            return term
+    return term[:-1]

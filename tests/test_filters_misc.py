@@ -112,3 +112,13 @@ def test_dictionary_compound():
     assert out3 == ["hausschwein", "haus", "schwein", "wein"]
     # short tokens pass through untouched
     assert dictionary_compound_filter(["haus"], d) == ["haus"]
+
+
+def test_english_minimal_stem():
+    from lucene_kmp_ray.analysis.filters_misc import english_minimal_stem
+    vecs = {"queries": "query", "phrases": "phrase", "corpus": "corpus",
+            "stress": "stress", "kittens": "kitten", "foxes": "foxe",
+            "dies": "dy", "aies": "aies", "is": "is", "ties": "ty",
+            "gas": "ga"}
+    for w, e in vecs.items():
+        assert english_minimal_stem(w) == e, w
