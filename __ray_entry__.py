@@ -1863,7 +1863,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collection_stats": _collection_stats,
         # --- query operators (SURVEY §2.5) ---
         "bm25_term_spark": lambda sf: _topk(sf, TermQuery(TERM_A)),
-        "bm25_term_the": lambda sf: _topk(sf, TermQuery(TERM_B)),
         "bm25_page2_top10": _page2,
         "bm25_or_top10": lambda sf: _topk(sf, BooleanQuery.build(
             *[(Occur.SHOULD, TermQuery(t)) for t in OR_TERMS])),
@@ -1873,8 +1872,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ensure_index(sf), BooleanQuery.build(
                 (Occur.MUST, TermQuery(NOT_PAIR[0])),
                 (Occur.MUST_NOT, TermQuery(NOT_PAIR[1])))),
-        "phrase_counts": lambda sf: phrase_freqs_distributed(
-            _ensure_index(sf), PHRASE_2),
         "phrase_top10": lambda sf: _topk(sf, PhraseQuery(tuple(PHRASE_3))),
         "count_term_the": lambda sf: _count_term(sf, TERM_B),
         # --- multi-term expansion family (SURVEY §2.5 MultiTermQuery) ---
@@ -1886,8 +1883,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ensure_index(sf), TermRangeQuery("order", "spark")),
         "term_in_set_all": lambda sf: search_all_matches(
             _ensure_index(sf), TermInSetQuery(("spark", "window", "zzz"))),
-        "fuzzy_all": lambda sf: search_all_matches(
-            _ensure_index(sf), FuzzyQuery("scan", max_edits=1)),
         # --- synonym / dismax / filter / field sort ---
         "synonym_top10": lambda sf: _topk(sf, SynonymQuery(AND_SORTED)),
         "dismax_top10": _dismax,
@@ -1895,9 +1890,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "field_stats": _field_stats,
         "term_stats_fields": _term_stats_fields,
         "bm25_title_top10": lambda sf: _topk(sf, TermQuery(TERM_A, "title")),
-        "bm25_multifield_top10": lambda sf: _topk(sf, BooleanQuery.build(
-            (Occur.SHOULD, TermQuery(TERM_A, "text")),
-            (Occur.SHOULD, TermQuery(TERM_A, "title")))),
         "delete_by_url_search": _delete_by_url_search,
         "range_filter_all": lambda sf: search_all_matches(
             _ensure_index(sf), BooleanQuery.build(
@@ -1937,6 +1929,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_ja_native_top10": lambda sf: _native_cjk_topk(
             sf, "japanese", JA_VECTORS, "学生"),
         "ko_number_counts": _ko_number_counts,  # KoreanNumberFilter
+        # displaced from the first-50 window (families already
+        # represented there; recorded in CORRECTNESS_r03)
+        "bm25_term_the": lambda sf: _topk(sf, TermQuery(TERM_B)),
+        "phrase_counts": lambda sf: phrase_freqs_distributed(
+            _ensure_index(sf), PHRASE_2),
+        "fuzzy_all": lambda sf: search_all_matches(
+            _ensure_index(sf), FuzzyQuery("scan", max_edits=1)),
+        "bm25_multifield_top10": lambda sf: _topk(sf, BooleanQuery.build(
+            (Occur.SHOULD, TermQuery(TERM_A, "text")),
+            (Occur.SHOULD, TermQuery(TERM_A, "title")))),
         "bm25_ko_native_top10": lambda sf: _native_cjk_topk(
             sf, "korean", KO_VECTORS, "한국"),
         "bm25_zh_native_top10": lambda sf: _native_cjk_topk(
