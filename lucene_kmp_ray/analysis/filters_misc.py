@@ -248,3 +248,26 @@ def english_minimal_stem(term: str) -> str:
         if term[-3] in ("i", "a", "o", "e"):
             return term
     return term[:-1]
+
+
+def type_token_filter(token_types: list[tuple[str, str]], types,
+                      use_whitelist: bool = False) -> list[str]:
+    """TypeTokenFilter [ref: core/TypeTokenFilter.kt]: drop (or, with
+    useWhitelist, keep only) tokens whose type is in the set. Operates
+    on (token, type) pairs such as classic_tokenize's output."""
+    ts = frozenset(types)
+    if use_whitelist:
+        return [t for t, typ in token_types if typ in ts]
+    return [t for t, typ in token_types if typ not in ts]
+
+
+def type_as_synonym_filter(token_types: list[tuple[str, str]],
+                           prefix: str = "") -> list[str]:
+    """TypeAsSynonymFilter [ref: miscellaneous/TypeAsSynonymFilter.kt]:
+    each token is followed by its type (same position), optionally
+    prefixed."""
+    out = []
+    for t, typ in token_types:
+        out.append(t)
+        out.append(prefix + typ)
+    return out

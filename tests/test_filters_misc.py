@@ -122,3 +122,18 @@ def test_english_minimal_stem():
             "gas": "ga"}
     for w, e in vecs.items():
         assert english_minimal_stem(w) == e, w
+
+
+def test_type_token_filter():
+    from lucene_kmp_ray.analysis.classic import classic_tokenize
+    from lucene_kmp_ray.analysis.filters_misc import type_token_filter
+    tt = classic_tokenize("AT&T sells 21.35 shares")
+    assert type_token_filter(tt, {"<NUM>"}) == ["AT&T", "sells", "shares"]
+    assert type_token_filter(tt, {"<COMPANY>"}, use_whitelist=True) == \
+        ["AT&T"]
+
+
+def test_type_as_synonym():
+    from lucene_kmp_ray.analysis.filters_misc import type_as_synonym_filter
+    out = type_as_synonym_filter([("at&t", "<COMPANY>")], prefix="_type_")
+    assert out == ["at&t", "_type_<COMPANY>"]
