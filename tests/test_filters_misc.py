@@ -127,7 +127,7 @@ def test_english_minimal_stem():
 def test_type_token_filter():
     from lucene_kmp_ray.analysis.classic import classic_tokenize
     from lucene_kmp_ray.analysis.filters_misc import type_token_filter
-    tt = classic_tokenize("AT&T sells 21.35 shares")
+    tt = classic_tokenize("AT&T sells 1-2-3 shares")
     assert type_token_filter(tt, {"<NUM>"}) == ["AT&T", "sells", "shares"]
     assert type_token_filter(tt, {"<COMPANY>"}, use_whitelist=True) == \
         ["AT&T"]
