@@ -198,6 +198,38 @@ def run_bench() -> dict:
     ann.ann_brute_topk(SF_DIR).count()
     timings["ann_brute_topk"] = round(time.monotonic() - t0, 3)
 
+    # round-4 addition: native-Japanese index build through the kuromoji
+    # Viterbi lattice (per-token Python — the actor-pool parallelism is
+    # what scales it; this measures the real CJK ingest rate)
+    import pyarrow as _pa
+
+    from lucene_kmp_ray.index.builder import build_index as _build_index
+    from lucene_kmp_ray.sources.corpus import corpus_dataset as _cds
+
+    def _ja_text(batch: _pa.Table) -> _pa.Table:
+        from __ray_entry__ import JA_VECTORS
+        phrases = [p for p, _ in JA_VECTORS]
+        k = len(phrases)
+        ids = batch.column("doc_id").to_pylist()
+        texts = [(phrases[d % k] + "。" + phrases[(d // 3) % k]) * 3
+                 for d in ids]
+        i = batch.schema.get_field_index("text")
+        return batch.set_column(i, "text", _pa.array(texts, _pa.string()))
+
+    from lucene_kmp_ray.analysis.japanese import JapaneseAnalyzer
+    ja_idx = "/tmp/bench_ja_idx"
+    shutil.rmtree(ja_idx, ignore_errors=True)
+    # 30k docs / 1k-doc segments = 30 parallel invert tasks (the 2-task
+    # version measured scheduler idling, not the lattice)
+    ja_ds = _cds(SF_DIR, expand=6).map_batches(_ja_text,
+                                               batch_format="pyarrow")
+    t0 = time.monotonic()
+    ja_man = _build_index(ja_ds, ja_idx, segment_size=1_000,
+                          analyzer=JapaneseAnalyzer())
+    t_ja = time.monotonic() - t0
+    timings["build_native_ja"] = round(t_ja, 3)
+    timings["native_ja_docs_per_sec"] = round(ja_man["doc_count"] / t_ja, 1)
+
     # round-3 additions (additive keys — existing lines stay comparable)
     import shutil as _sh
 
