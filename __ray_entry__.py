@@ -890,6 +890,34 @@ CLASSIC_VECTORS = [
 ]
 
 
+def _doc_fingerprint_counts(sf_dir: str):
+    """(fingerprint, doc count) via the FingerprintFilter over each
+    doc's standard tokens — the Solr-style dedup key as a first-class
+    operator. Oracle: oracle.doc_fingerprint_counts (string_agg
+    DISTINCT mirror)."""
+    import pyarrow as pa
+    import ray
+
+    from lucene_kmp_ray.analysis.filters_misc import fingerprint_filter
+    from lucene_kmp_ray.analysis.standard import tokenize
+
+    def derive(batch: pa.Table) -> pa.Table:
+        import collections
+        counts: collections.Counter = collections.Counter()
+        for text in batch.column("text").to_pylist():
+            fps = fingerprint_filter(tokenize(text or ""))
+            counts.update(fps)
+        return pa.table({"fingerprint": list(counts.keys()),
+                         "cnt": list(counts.values())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    agg = ds.map_batches(derive, batch_format="pyarrow") \
+        .groupby("fingerprint").sum("cnt")
+    df = agg.to_pandas().rename(columns={"sum(cnt)": "cnt"})
+    return df.sort_values(["fingerprint"]).reset_index(drop=True)
+
+
 def _classic_token_counts(sf_dir: str):
     """Global (term, count) over the ClassicAnalyzer (pre-UAX#29
     grammar: acronyms, company names, emails, hosts, digit-joined NUM
@@ -1923,6 +1951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_perfield_title_top10": _perfield_title_topk,
         "classic_token_counts": _classic_token_counts,
         "bm25_classic_analyzer_top10": _classic_analyzer_topk,
+        "doc_fingerprint_counts": _doc_fingerprint_counts,
         "ja_number_counts": _ja_number_counts,  # JapaneseNumberFilter
         # native-CJK BM25: lattice segmentation + ranking hash-checked
         # against the reference vectors' expected tokens
@@ -2261,6 +2290,7 @@ def oracle_sql() -> dict[str, str]:
         "classic_token_counts": oracle.horn_token_counts(CLASSIC_VECTORS),
         "bm25_classic_analyzer_top10":
             oracle.bm25_classic_analyzer_topk(TERM_A),
+        "doc_fingerprint_counts": oracle.doc_fingerprint_counts(),
         "ko_number_counts": oracle.horn_token_counts(KO_NUMBER_VECTORS),
         "bm25_ja_native_top10": oracle.bm25_native_cjk_topk(
             JA_VECTORS, "学生"),

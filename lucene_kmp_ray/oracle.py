@@ -7702,3 +7702,20 @@ def bm25_classic_analyzer_topk(term: str, k: int = 10) -> str:
     it applies the same English stop set only when constructed with
     one; the entry builds WITHOUT stops to match the standard chain."""
     return bm25_term_topk(term, k)
+
+
+def doc_fingerprint_counts() -> str:
+    """FingerprintFilter [ref: miscellaneous/FingerprintFilter.kt] over
+    each document: one token = the sorted DISTINCT terms joined by a
+    space (the Solr-style dedup key); output = (fingerprint, doc count).
+    SQL computes the same with string_agg(DISTINCT ... ORDER BY)."""
+    from .analysis.standard import sql_tokens_expr
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS (SELECT doc_id, {sql_tokens_expr('text')} AS toks FROM corpus),
+tok AS (SELECT doc_id, unnest(toks) AS t FROM toksrc),
+fp AS (SELECT doc_id, string_agg(DISTINCT t, ' ' ORDER BY t) AS fingerprint
+       FROM tok GROUP BY doc_id)
+SELECT fingerprint, count(*) AS cnt FROM fp
+GROUP BY fingerprint ORDER BY fingerprint
+"""
