@@ -68,3 +68,27 @@ def test_he_vectors_reproduce():
     a = HebrewAnalyzer()
     for phrase, expected in HE_VECTORS:
         assert a(phrase) == expected, phrase
+
+
+# --- BasicHebrewTest.kt recall assertions ------------------------------
+# assertFoundInText(doc, query) holds iff the lemma sets intersect
+
+def _terms(w):
+    lem = lemmatize(w)
+    return set(lem) if lem else {w}
+
+
+@pytest.mark.parametrize("doc,query", [
+    ("בת", "בת"), ("שבתו", "שבתו"), ("אנציקלופדיה", "אנציקלופדיה"),
+    ("שבתו", "בת"),    # prefix + suffix reading
+    ("שבתו", "תו"),    # prefix reading
+    ("שבתו", "ישב"),   # verb inflection reading
+    ("שבתו", "שבתנו"),
+])
+def test_reference_recall_found(doc, query):
+    assert _terms(doc) & _terms(query), (doc, query)
+
+
+def test_reference_recall_not_found():
+    # "too much of a tolerance" case must NOT match
+    assert not (_terms("שבתו") & _terms("שיבה"))
