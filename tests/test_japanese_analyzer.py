@@ -346,3 +346,16 @@ def test_user_dict_readings(user_dict):
     t = JapaneseTokenizer(mode="search", user_dict=user_dict)
     toks = reading_form(t.tokenize("日本経済新聞"))
     assert [x.surface for x in toks] == ["ニホン", "ケイザイ", "シンブン"]
+
+
+# --- TestJapaneseBaseFormFilter.kt --------------------------------------
+
+
+def test_base_form_sentence():
+    t = JapaneseTokenizer(mode="search")
+    toks = t.tokenize("それはまだ実験段階にあります")
+    assert [x.base_form or x.surface for x in toks] == \
+        ["それ", "は", "まだ", "実験", "段階", "に", "ある", "ます"]
+    # without the filter the inflected surfaces pass through
+    assert [x.surface for x in toks] == \
+        ["それ", "は", "まだ", "実験", "段階", "に", "あり", "ます"]
