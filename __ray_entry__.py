@@ -1418,15 +1418,15 @@ def _khmer_token_counts(sf_dir: str):
 
 def _geo_box_all(sf_dir: str):
     from lucene_kmp_ray.search import GeoBoxQuery
-    return search_all_matches(_ensure_geo_index(sf_dir),
-                              GeoBoxQuery(*GEO_BOX))
+    return _all_sorted(search_all_matches(_ensure_geo_index(sf_dir),
+                                          GeoBoxQuery(*GEO_BOX)))
 
 
 def _geo_distance_all(sf_dir: str):
     from lucene_kmp_ray.search import GeoDistanceQuery
-    return search_all_matches(
+    return _all_sorted(search_all_matches(
         _ensure_geo_index(sf_dir),
-        GeoDistanceQuery(GEO_CENTER[0], GEO_CENTER[1], GEO_RADIUS_M))
+        GeoDistanceQuery(GEO_CENTER[0], GEO_CENTER[1], GEO_RADIUS_M)))
 
 
 # concave pentagon with a rectangular hole; vertices off the synthetic
@@ -1439,9 +1439,9 @@ GEO_POLYGON_HOLES = (((0.005, -10.005), (12.005, -10.005),
 
 def _geo_polygon_all(sf_dir: str):
     from lucene_kmp_ray.search import GeoPolygonQuery
-    return search_all_matches(
+    return _all_sorted(search_all_matches(
         _ensure_geo_index(sf_dir),
-        GeoPolygonQuery(GEO_POLYGON, GEO_POLYGON_HOLES))
+        GeoPolygonQuery(GEO_POLYGON, GEO_POLYGON_HOLES)))
 
 
 def _synonym_topk(sf_dir: str):
@@ -1567,9 +1567,13 @@ def _knn_hnsw_topk(sf_dir: str):
     """Graph-tier KNN (HnswGraphBuilder.kt / HnswGraphSearcher.kt role):
     the same query as knn_vector_top10 but over an index whose segments
     carry per-segment HNSW sidecars — the approximate scale path for
-    10^9+ vectors where the exact scan is the wall. Rows-only by design
-    (graph search is approximate; recall vs the exact scan is asserted in
-    tests/test_hnsw.py)."""
+    10^9+ vectors where the exact scan is the wall. HNSW candidate scores
+    are EXACT cosines (the approximation is which nodes get visited, not
+    their scores), and ef_search=128 over segment_size-200 graphs makes
+    the candidate pool effectively exhaustive per segment, so top-10 ==
+    brute top-10 and the entry carries the brute-force oracle
+    (knn_vector_topk); the knn_hnsw_recall gate still guards the
+    approximation independently (tests/test_hnsw.py)."""
     from lucene_kmp_ray.index.builder import build_index_sharded
     from lucene_kmp_ray.search import KnnFloatVectorQuery
     from lucene_kmp_ray.sources.corpus import corpus_shards
@@ -1588,7 +1592,7 @@ def _knn_hnsw_topk(sf_dir: str):
                             dtype="float64").to_pandas()
     df = df.rename(columns={"score": "score_r"})
     df["score_r"] = np.round(df["score_r"], 6)
-    return df
+    return df[["doc_id", "url", "score_r"]]
 
 
 def _hybrid_topk(sf_dir: str):
@@ -1667,7 +1671,7 @@ def _delete_by_url_search(sf_dir: str):
             f"'{sf_dir}/documents.parquet' WHERE doc_id % 10 = 0"
         ).fetchall()]
         delete_by_url(del_idx, urls)
-    return search_all_matches(del_idx, TermQuery(TERM_A))
+    return _all_sorted(search_all_matches(del_idx, TermQuery(TERM_A)))
 
 
 def _span_near():
@@ -1805,6 +1809,20 @@ def _collection_stats(sf_dir: str):
     })
 
 
+def _all_sorted(ds):
+    """Deterministic form of a search_all_matches result: pandas sorted by
+    doc_id. Actor-pool arrival order is nondeterministic, so an unsorted
+    full-match set hash-diverges from the oracle run-to-run even when the
+    row SETS are identical (the r4 geo_polygon_all red); every *_all oracle
+    mirrors with ORDER BY doc_id."""
+    df = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
+    df = df.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+    # concat over empty per-segment batches upcasts int64 → float64
+    if df["doc_id"].dtype != "int64":
+        df["doc_id"] = df["doc_id"].astype("int64")
+    return df
+
+
 def _topk(sf_dir: str, query, k: int = 10):
     import pandas as pd
     index_dir = _ensure_index(sf_dir)
@@ -1896,21 +1914,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             *[(Occur.SHOULD, TermQuery(t)) for t in OR_TERMS])),
         "bm25_and_top10": lambda sf: _topk(sf, BooleanQuery.build(
             *[(Occur.MUST, TermQuery(t)) for t in AND_TERMS])),
-        "bool_not_all": lambda sf: search_all_matches(
+        "bool_not_all": lambda sf: _all_sorted(search_all_matches(
             _ensure_index(sf), BooleanQuery.build(
                 (Occur.MUST, TermQuery(NOT_PAIR[0])),
-                (Occur.MUST_NOT, TermQuery(NOT_PAIR[1])))),
+                (Occur.MUST_NOT, TermQuery(NOT_PAIR[1]))))),
         "phrase_top10": lambda sf: _topk(sf, PhraseQuery(tuple(PHRASE_3))),
         "count_term_the": lambda sf: _count_term(sf, TERM_B),
         # --- multi-term expansion family (SURVEY §2.5 MultiTermQuery) ---
-        "prefix_all": lambda sf: search_all_matches(
-            _ensure_index(sf), PrefixQuery("sp")),
-        "wildcard_all": lambda sf: search_all_matches(
-            _ensure_index(sf), WildcardQuery("s*k")),
-        "term_range_all": lambda sf: search_all_matches(
-            _ensure_index(sf), TermRangeQuery("order", "spark")),
-        "term_in_set_all": lambda sf: search_all_matches(
-            _ensure_index(sf), TermInSetQuery(("spark", "window", "zzz"))),
+        "prefix_all": lambda sf: _all_sorted(search_all_matches(
+            _ensure_index(sf), PrefixQuery("sp"))),
+        "wildcard_all": lambda sf: _all_sorted(search_all_matches(
+            _ensure_index(sf), WildcardQuery("s*k"))),
+        "term_range_all": lambda sf: _all_sorted(search_all_matches(
+            _ensure_index(sf), TermRangeQuery("order", "spark"))),
+        "term_in_set_all": lambda sf: _all_sorted(search_all_matches(
+            _ensure_index(sf), TermInSetQuery(("spark", "window", "zzz")))),
         # --- synonym / dismax / filter / field sort ---
         "synonym_top10": lambda sf: _topk(sf, SynonymQuery(AND_SORTED)),
         "dismax_top10": _dismax,
@@ -1919,10 +1937,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_stats_fields": _term_stats_fields,
         "bm25_title_top10": lambda sf: _topk(sf, TermQuery(TERM_A, "title")),
         "delete_by_url_search": _delete_by_url_search,
-        "range_filter_all": lambda sf: search_all_matches(
+        "range_filter_all": lambda sf: _all_sorted(search_all_matches(
             _ensure_index(sf), BooleanQuery.build(
                 (Occur.MUST, TermQuery(TERM_A)),
-                (Occur.FILTER, RangeFilterQuery("length", 40, 60)))),
+                (Occur.FILTER, RangeFilterQuery("length", 40, 60))))),
         "sorted_by_length": lambda sf: search_sorted_by_field(
             _ensure_index(sf), TermQuery(TERM_A), "length", k=20),
         "sorted_by_url_top20": lambda sf: _sorted_by_url(sf),
@@ -1963,8 +1981,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_term_the": lambda sf: _topk(sf, TermQuery(TERM_B)),
         "phrase_counts": lambda sf: phrase_freqs_distributed(
             _ensure_index(sf), PHRASE_2),
-        "fuzzy_all": lambda sf: search_all_matches(
-            _ensure_index(sf), FuzzyQuery("scan", max_edits=1)),
+        "fuzzy_all": lambda sf: _all_sorted(search_all_matches(
+            _ensure_index(sf), FuzzyQuery("scan", max_edits=1))),
         "bm25_multifield_top10": lambda sf: _topk(sf, BooleanQuery.build(
             (Occur.SHOULD, TermQuery(TERM_A, "text")),
             (Occur.SHOULD, TermQuery(TERM_A, "title")))),
@@ -2065,14 +2083,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # traversal-order-dependent like the sloppy matcher) → rows-only;
         # conformance vectors incl. the reference's documented double-match
         # live in tests/test_spans.py
-        "span_near_all": lambda sf: search_all_matches(
-            _ensure_index(sf), _span_near()),
+        "span_near_all": lambda sf: _all_sorted(search_all_matches(
+            _ensure_index(sf), _span_near())),
         # sloppy phrase: greedy minimal-window matcher (SloppyPhraseMatcher)
         # is deliberately traversal-order-dependent → not SQL-expressible;
         # rows-only check here, exact-parity unit tests in
         # tests/test_query_operators.py
-        "sloppy_phrase_all": lambda sf: search_all_matches(
-            _ensure_index(sf), PhraseQuery(tuple(PHRASE_3), slop=2)),
+        "sloppy_phrase_all": lambda sf: _all_sorted(search_all_matches(
+            _ensure_index(sf), PhraseQuery(tuple(PHRASE_3), slop=2))),
         # --- training-data ops: text analysis ---
         "token_counts": textstats.token_counts,
         "token_counts_cjk": textstats.token_counts_cjk,
@@ -2210,6 +2228,10 @@ def oracle_sql() -> dict[str, str]:
         "sorted_by_url_top20": oracle.sorted_by_url(TERM_A, 20),
         "sorted_index_scan_top20": oracle.sorted_by_url(TERM_A, 20),
         "knn_vector_top10": oracle.knn_vector_topk(),
+        # HNSW candidate scores are exact cosines and ef_search covers the
+        # per-segment graphs, so the graph path reproduces the brute top-10
+        # bit-for-bit; the knn_hnsw_recall gate guards the approximation
+        "knn_hnsw_top10": oracle.knn_vector_topk(),
         "classic_term_top10": oracle.classic_term_topk(TERM_A),
         "feature_blend_top10": oracle.feature_blend_topk(TERM_A),
         "hybrid_bm25_knn_top10": oracle.hybrid_bm25_knn_topk(TERM_A),

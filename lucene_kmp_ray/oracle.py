@@ -247,6 +247,7 @@ scored AS ({term_scored_cte(repr(must_term))})
 SELECT s.doc_id, c.url, s.score
 FROM scored s JOIN corpus c USING (doc_id)
 WHERE s.doc_id NOT IN (SELECT doc_id FROM postings WHERE term = '{not_term}')
+ORDER BY s.doc_id
 """
 
 
@@ -603,9 +604,10 @@ def _multiterm_all(term_pred: str) -> str:
     """Constant-score expansion: docs containing any term matching the
     predicate (MultiTermQuery CONSTANT_SCORE rewrite)."""
     return preamble() + f"""
-SELECT DISTINCT p.doc_id, c.url, 1.0 AS score
+SELECT DISTINCT p.doc_id, c.url, CAST(1.0 AS DOUBLE) AS score
 FROM postings p JOIN corpus c USING (doc_id)
 WHERE {term_pred}
+ORDER BY p.doc_id
 """
 
 
@@ -680,6 +682,7 @@ scored AS ({term_scored_cte(repr(term))})
 SELECT s.doc_id, c.url, s.score
 FROM scored s JOIN corpus c USING (doc_id)
 WHERE s.doc_id % 10 != 0
+ORDER BY s.doc_id
 """
 
 
@@ -691,6 +694,7 @@ scored AS ({term_scored_cte(repr(term))})
 SELECT s.doc_id, c.url, s.score
 FROM scored s JOIN doclen d USING (doc_id) JOIN corpus c USING (doc_id)
 WHERE d.dl BETWEEN {lo} AND {hi}
+ORDER BY s.doc_id
 """
 
 
@@ -5294,10 +5298,11 @@ def geo_box_all(min_lat: float, max_lat: float,
                 min_lon: float, max_lon: float) -> str:
     """LatLonPoint.newBoxQuery mirror: constant-score box filter."""
     return _geo_coords_cte() + f"""
-SELECT doc_id, url, 1.0 AS score
+SELECT doc_id, url, CAST(1.0 AS DOUBLE) AS score
 FROM geo
 WHERE lat >= {min_lat} AND lat <= {max_lat}
   AND lon >= {min_lon} AND lon <= {max_lon}
+ORDER BY doc_id
 """
 
 
@@ -5307,12 +5312,13 @@ def geo_distance_all(lat: float, lon: float, radius_m: float) -> str:
     differences cannot flip the comparison at the synthetic grid's
     kilometre-scale distance spacing)."""
     return _geo_coords_cte() + f"""
-SELECT doc_id, url, 1.0 AS score
+SELECT doc_id, url, CAST(1.0 AS DOUBLE) AS score
 FROM geo
 WHERE 6371008.7714 * 2 * asin(least(1.0, sqrt(
         ((1 - cos(radians(lat - {lat}))) +
          cos(radians(lat)) * cos(radians({lat})) *
          (1 - cos(radians(lon - {lon})))) * 0.5))) <= {radius_m}
+ORDER BY doc_id
 """
 
 
@@ -7372,9 +7378,10 @@ def geo_polygon_all(polygon: tuple, holes: tuple = ()) -> str:
     for hole in holes:
         cond += f" AND NOT {ring_sql(hole)}"
     return _geo_coords_cte() + f"""
-SELECT doc_id, url, 1.0 AS score
+SELECT doc_id, url, CAST(1.0 AS DOUBLE) AS score
 FROM geo
 WHERE {cond}
+ORDER BY doc_id
 """
 
 
