@@ -76,6 +76,88 @@ def _english_query_term() -> str:
     return EnglishAnalyzer()("queries")[0]
 
 
+def _kstem_topk(sf_dir: str):
+    """Top-10 for the KStem-analyzed index (KStemmer.kt cascade over the
+    EnglishAnalyzer chain shape; query analyzed the same way). Oracle:
+    oracle.bm25_kstem_topk — KStem is the identity on the corpus
+    vocabulary (every kept token is a KStem dictionary head word or
+    non-alpha; asserted in tests/test_kstem.py), so the mirror indexes
+    the unstemmed kept tokens."""
+    import os
+
+    from lucene_kmp_ray.analysis.kstem import KStemAnalyzer
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.sources.corpus import corpus_dataset
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/lucene_kmp_ray_index_kstem/{tag}"
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(corpus_dataset(sf_dir), idx, segment_size=SEGMENT_SIZE,
+                    analyzer=KStemAnalyzer())
+    (term,) = KStemAnalyzer()("spark")  # head word -> itself
+    return search_distributed(idx, {"q": TermQuery(term)}, k=10,
+                              dtype="float64").to_pandas() \
+        [["doc_id", "url", "score"]]
+
+
+# KStem conformance vectors: reference live test vector + shipped
+# conflation/exception-table pairs + single-lookup plural/suffix
+# derivations over shipped KStemData head words (see
+# oracle.kstem_token_counts docstring for the independence argument).
+KSTEM_VECTORS = [
+    ("bricks", ["brick"]),                    # TestKStemFilterFactory.kt:23
+    ("aging goes lying", ["age", "go", "lie"]),          # directConflations
+    ("used doing fled", ["use", "do", "flee"]),
+    ("mathematical political", ["mathematics", "politics"]),
+    ("ambiguity generosity", ["ambiguous", "generous"]),
+    ("miscarriage", ["miscarry"]),
+    ("italian japanese", ["italy", "japan"]),          # countryNationality
+    ("brazilian portuguese", ["brazil", "portugal"]),
+    ("aide aides", ["aide", "aide"]),          # exception word + -s plural
+    ("steppe steppes", ["steppe", "steppe"]),
+    ("studies", ["study"]),                   # -ies -> -y, head-word hit
+    ("computers windows", ["computer", "window"]),      # -s plural
+    ("boxes churches", ["box", "church"]),              # -es plural
+    ("abilities happiness running",           # head words: dict identity
+     ["abilities", "happiness", "running"]),
+    ("nationally divisional", ["national", "division"]),  # -ly / -al
+    ("amazement", ["amaze"]),                             # -ment
+    ("the spark's window", ["spark", "window"]),  # stop + possessive
+    ("go ab 2024 spark", ["go", "ab", "2024", "spark"]),  # length/alpha gates
+]
+
+
+def _kstem_token_counts(sf_dir: str):
+    """Global (term, count) over the KStem chain applied to a synthesized
+    per-doc English phrase (phrase = KSTEM_VECTORS[doc_id % k]). Oracle:
+    oracle.kstem_token_counts."""
+    import pyarrow as pa
+    import ray
+
+    k = len(KSTEM_VECTORS)
+    phrases = [p for p, _ in KSTEM_VECTORS]
+
+    class Derive:
+        def __init__(self):
+            from lucene_kmp_ray.analysis.kstem import KStemAnalyzer
+            self.a = KStemAnalyzer()  # lexicon loads once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import collections
+            counts: collections.Counter = collections.Counter()
+            for doc_id in batch.column("doc_id").to_pylist():
+                counts.update(self.a(phrases[doc_id % k]))
+            return pa.table({"term": list(counts.keys()),
+                             "cnt": list(counts.values())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    agg = ds.map_batches(Derive, batch_format="pyarrow", concurrency=2) \
+        .groupby("term").sum("cnt")
+    df = agg.to_pandas().rename(columns={"sum(cnt)": "cnt"})
+    return df.sort_values(["term"]).reset_index(drop=True)
+
+
 def _french_query_term() -> str:
     from lucene_kmp_ray.analysis.french import FrenchAnalyzer
     return FrenchAnalyzer()("merge")[0]
@@ -2002,6 +2084,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # not SQL-expressible → rows-only; exact Porter vectors + chain
         # parity live in tests/test_english_analyzer.py
         "bm25_english_top10": _english_topk,
+        # round 5: KStem (dictionary-validated English stemmer)
+        "bm25_kstem_top10": _kstem_topk,
+        "kstem_token_counts": _kstem_token_counts,
         "bm25_german_top10": _german_topk,
         "bm25_spanish_top10": lambda sf: _romance_topk(sf, "spanish"),
         "bm25_italian_top10": lambda sf: _romance_topk(sf, "italian"),
@@ -2453,6 +2538,9 @@ def oracle_sql() -> dict[str, str]:
         # tests/test_porter_sql.py)
         "bm25_english_top10": oracle.bm25_english_topk(
             _english_query_term()),
+        # round 5: KStem — identity on the corpus vocab (tests/test_kstem)
+        "bm25_kstem_top10": oracle.bm25_kstem_topk("spark"),
+        "kstem_token_counts": oracle.kstem_token_counts(KSTEM_VECTORS),
         "bm25_french_top10": oracle.bm25_french_topk(
             _french_query_term()),
         "bm25_chinese_top10": oracle.bm25_chinese_topk(

@@ -7170,6 +7170,65 @@ ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
 
 
+def kstem_preamble() -> str:
+    """English chain with KStem in the stemmer slot (analysis/kstem.py,
+    ref KStemFilter.kt). On the synthetic corpus KStem is the IDENTITY:
+    every kept token either is a KStem dictionary head word (dict hit
+    with null root returns the word unchanged, KStemmer.kt:717-724) —
+    verified per vocabulary word at all SFs in tests/test_kstem.py — or
+    contains a non a-z character and passes the filter's alpha gate
+    (KStemmer.kt:728-731). So rterms = rkept; the cascade itself is
+    exercised by the kstem_token_counts vectors."""
+    from .analysis.standard import ENGLISH_STOP_WORDS
+    stops = _stop_list_sql(ENGLISH_STOP_WORDS)
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, url, {sql_tokens_expr('text')} AS toks FROM corpus
+),
+rtok0 AS (SELECT doc_id, unnest(toks) AS traw FROM toksrc),
+rtok AS (SELECT doc_id,
+                regexp_replace(traw, '[''’]s$', '') AS t0 FROM rtok0),
+rkept AS (SELECT doc_id, t0 FROM rtok
+          WHERE t0 <> '' AND t0 NOT IN ({stops})),
+rterms AS MATERIALIZED (SELECT doc_id, t0 AS term FROM rkept),
+{_BM25_TAIL}"""
+
+
+def bm25_kstem_topk(term: str, k: int = 10) -> str:
+    pre = kstem_preamble().replace("__LT_VALUES__", _lt_values())
+    return pre + f""",
+scored AS ({term_scored_cte(repr(term))})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
+def kstem_token_counts(phrase_tokens: list[tuple[str, list[str]]]) -> str:
+    """Global (term, cnt) over the KStem chain applied to a synthesized
+    per-doc English phrase (phrase = vectors[doc_id % k]). The expected
+    stems are INDEPENDENT ground truth: the reference's live test vector
+    (TestKStemFilterFactory.kt:23-30 "bricks"->"brick"), exact pairs from
+    the shipped conflation/exception tables (KStemmer.kt:786-1299), and
+    single-lookup derivations whose dictionary membership is the shipped
+    KStemData — not an echo of the engine."""
+    k = len(phrase_tokens)
+    rows = []
+    for i, (_, toks) in enumerate(phrase_tokens):
+        for t in toks:
+            rows.append("({}, '{}')".format(i, t.replace("'", "''")))
+    values = ", ".join(rows)
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+expected(pidx, term) AS (VALUES {values}),
+assigned AS (SELECT doc_id % {k} AS pidx FROM corpus)
+SELECT e.term, count(*) AS cnt
+FROM assigned a JOIN expected e USING (pidx)
+GROUP BY e.term ORDER BY e.term
+"""
+
+
 def chinese_preamble() -> str:
     """smartcn over the Latin corpus: letter runs (lower+porter) and
     digit runs; ASCII punctuation collapses to the ',' delimiter which
