@@ -917,6 +917,58 @@ PL_VECTORS = [
 ]
 
 
+# The reference's own published Ukrainian vectors, verbatim
+# (TestUkrainianAnalyzer.kt:24-100): apostrophe/accent normalization,
+# stop removal (shipped 1269-word list), multi-lemma morfologik fan-out.
+UK_VECTORS = [
+    ("text 1000", ["text", "1000"]),
+    ("Ця п'єса, у свою чергу, рухається по емоційно-напруженому колу "
+     "за ритм-енд-блюзом.",
+     ["п'єса", "черга", "рухатися", "емоційно", "напружений",
+      "кола", "коло", "кіл", "ритм", "енд", "блюз"]),
+    ("м'яса м'я́са мʼяса м’яса м‘яса м`яса",
+     ["м'ясо"] * 6),
+    ("Цих Чайковського і Ґете.", ["Чайковське", "Чайковський", "Гете"]),
+    ("Ґюмрі та Гюмрі.", ["Гюмрі", "Гюмрі"]),
+    ("Це — проект генерування словника з тегами частин мови для "
+     "української мови.",
+     ["проект", "генерування", "словник", "тег", "частина", "мова",
+      "українська", "український", "Українська", "мова"]),
+]
+
+
+def _uk_token_counts(sf_dir: str):
+    """Global (term, count) over the Ukrainian chain (char normalization
+    -> tokenize -> stop -> curated-morfologik lemma fan-out) applied to a
+    synthesized per-doc phrase (phrase = UK_VECTORS[doc_id % k]). Oracle:
+    oracle.uk_token_counts — the reference's published vectors."""
+    import pyarrow as pa
+    import ray
+
+    k = len(UK_VECTORS)
+    phrases = [p for p, _ in UK_VECTORS]
+
+    class Derive:
+        def __init__(self):
+            from lucene_kmp_ray.analysis.ukrainian import UkrainianAnalyzer
+            self.a = UkrainianAnalyzer()  # stop set loads once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import collections
+            counts: collections.Counter = collections.Counter()
+            for doc_id in batch.column("doc_id").to_pylist():
+                counts.update(self.a(phrases[doc_id % k]))
+            return pa.table({"term": list(counts.keys()),
+                             "cnt": list(counts.values())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    agg = ds.map_batches(Derive, batch_format="pyarrow", concurrency=2) \
+        .groupby("term").sum("cnt")
+    df = agg.to_pandas().rename(columns={"sum(cnt)": "cnt"})
+    return df.sort_values(["term"]).reset_index(drop=True)
+
+
 def _pl_token_counts(sf_dir: str):
     """Global (term, count) over the Morfologik chain (CFSA2 dictionary
     lookup -> lemma(s), pass-through when absent) applied to a
@@ -2040,6 +2092,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ko_token_counts": _ko_token_counts,      # nori lattice
         "zh_token_counts": _zh_token_counts,      # smartcn HHMM
         "pl_token_counts": _pl_token_counts,      # morfologik CFSA2
+        # round 5: Ukrainian (curated morfologik; dict binary absent
+        # from the reference distribution — nori-lexicon precedent)
+        "uk_token_counts": _uk_token_counts,
         "he_token_counts": _he_token_counts,      # hebmorph hspell
         "am_token_counts": lambda sf: _horn_token_counts(sf, "amharic"),
         "om_token_counts": lambda sf: _horn_token_counts(sf, "oromo"),
@@ -2414,6 +2469,7 @@ def oracle_sql() -> dict[str, str]:
         "metaphone_token_counts":
             oracle.metaphone_token_counts(METAPHONE_VECTORS),
         "pl_token_counts": oracle.pl_token_counts(PL_VECTORS),
+        "uk_token_counts": oracle.uk_token_counts(UK_VECTORS),
         "bm25_polish_top10": oracle.bm25_polish_topk(
             _lang_query_term("polish")),
         "he_token_counts": oracle.he_token_counts(HE_VECTORS),

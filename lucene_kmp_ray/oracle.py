@@ -7552,6 +7552,27 @@ GROUP BY e.term ORDER BY e.term
 """
 
 
+def uk_token_counts(phrase_tokens: list[tuple[str, list[str]]]) -> str:
+    """Global (term, cnt) over the Ukrainian chain applied to a
+    synthesized per-doc phrase. Expectations are the REFERENCE's own
+    published vectors (TestUkrainianAnalyzer.kt:24-100) — an independent
+    ground truth for the normalization + stop + lemma chain."""
+    k = len(phrase_tokens)
+    rows = []
+    for i, (_, toks) in enumerate(phrase_tokens):
+        for t in toks:
+            rows.append("({}, '{}')".format(i, t.replace("'", "''")))
+    values = ", ".join(rows)
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+expected(pidx, term) AS (VALUES {values}),
+assigned AS (SELECT doc_id % {k} AS pidx FROM corpus)
+SELECT e.term, count(*) AS cnt
+FROM assigned a JOIN expected e USING (pidx)
+GROUP BY e.term ORDER BY e.term
+"""
+
+
 # ------------------------------------------------------ Hebrew ------------
 def bm25_hebrew_topk(term: str, k: int = 10) -> str:
     """HebMorph chain over the Latin corpus: ASCII tokens pass through
