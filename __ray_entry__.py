@@ -1578,6 +1578,49 @@ def _geo_polygon_all(sf_dir: str):
         GeoPolygonQuery(GEO_POLYGON, GEO_POLYGON_HOLES)))
 
 
+# long diagonal polyline, vertices off the 0.01-degree synthetic grid
+GEO_LINE = ((-60.005, -120.005), (-10.005, -40.005), (20.005, 30.005),
+            (70.005, 140.005))
+GEO_LINE_BUFFER = 4.0
+
+# two disjoint quads exercised via the WKT round-trip (MULTIPOLYGON ->
+# BooleanQuery SHOULD of GeoPolygonQuery)
+GEO_WKT_POLYGONS = (
+    (((-50.005, -120.005), (-50.005, -60.005), (-15.005, -60.005),
+      (-15.005, -120.005), (-50.005, -120.005)), ()),
+    (((30.005, 40.005), (30.005, 120.005), (75.005, 120.005),
+      (75.005, 40.005), (30.005, 40.005)), ()),
+)
+
+
+def _geo_line_all(sf_dir: str):
+    """GeoLineQuery (geo/Line.kt + Line2D.kt planar proximity) over the
+    synthetic lat/lon metadata. Oracle: oracle.geo_line_all — identical
+    clamped point-to-segment arithmetic."""
+    from lucene_kmp_ray.search import GeoLineQuery
+    return _all_sorted(search_all_matches(
+        _ensure_geo_index(sf_dir),
+        GeoLineQuery(GEO_LINE, GEO_LINE_BUFFER)))
+
+
+def _wkt_multipolygon() -> str:
+    rings = []
+    for shell, _holes in GEO_WKT_POLYGONS:
+        pts = ", ".join(f"{lon} {lat}" for lat, lon in shell)
+        rings.append(f"(({pts}))")
+    return "MULTIPOLYGON(" + ", ".join(rings) + ")"
+
+
+def _geo_wkt_all(sf_dir: str):
+    """End-to-end WKT path (geo/SimpleWKTShapeParser.kt): parse a
+    MULTIPOLYGON string -> SHOULD-of-GeoPolygonQuery -> search. Members
+    are disjoint so every match scores 1.0. Oracle:
+    oracle.geo_multipolygon_all over the same rings."""
+    from lucene_kmp_ray.search.wkt import to_query
+    return _all_sorted(search_all_matches(
+        _ensure_geo_index(sf_dir), to_query(_wkt_multipolygon())))
+
+
 def _synonym_topk(sf_dir: str):
     """BM25 top-10 for the INJECTED synonym token over a SynonymAnalyzer
     index — exercises posIncr=0 same-position injection end-to-end.
@@ -2217,6 +2260,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_email_tokens": textstats.url_email_tokens,
         "synonym_quick_top10": _synonym_topk,
         "geo_box_all": _geo_box_all,
+        # round 5: LatLonShape line proximity + the WKT parser path
+        "geo_line_all": _geo_line_all,
+        "geo_wkt_multipolygon_all": _geo_wkt_all,
         "facet_lang_counts": _facet_lang_counts,
         "geo_distance_all": _geo_distance_all,
         # span positional algebra (NearSpansOrdered greedy match stream is
@@ -2568,6 +2614,9 @@ def oracle_sql() -> dict[str, str]:
         "url_email_tokens": oracle.url_email_tokens(),
         "synonym_quick_top10": oracle.synonym_quick_topk(*SYNONYM_RULE),
         "geo_box_all": oracle.geo_box_all(*GEO_BOX),
+        "geo_line_all": oracle.geo_line_all(GEO_LINE, GEO_LINE_BUFFER),
+        "geo_wkt_multipolygon_all":
+            oracle.geo_multipolygon_all(GEO_WKT_POLYGONS),
         "geo_polygon_all": oracle.geo_polygon_all(GEO_POLYGON,
                                                   GEO_POLYGON_HOLES),
         "facet_lang_counts": oracle.facet_lang_counts(TERM_A),

@@ -7444,6 +7444,74 @@ ORDER BY doc_id
 """
 
 
+def geo_line_all(line: tuple, buffer_deg: float) -> str:
+    """GeoLineQuery mirror (``geo/Line.kt`` + ``geo/Line2D.kt`` planar
+    proximity): min over edges of clamped point-to-segment squared
+    distance <= buffer^2. Same expression tree and the same precomputed
+    float64 edge constants as Searcher._score_geo_line, so DuckDB and
+    numpy agree bit-for-bit; line vertices sit off the synthetic
+    coordinate grid so no doc lands on the decision boundary."""
+    edges = []
+    pts = tuple(line)
+    for i in range(len(pts) - 1):
+        y1, x1 = pts[i]
+        y2, x2 = pts[i + 1]
+        dy, dx = y2 - y1, x2 - x1
+        ll = dy * dy + dx * dx
+        if ll == 0.0:  # degenerate edge = point
+            edges.append(f"((lat - ({y1!r})) * (lat - ({y1!r})) + "
+                         f"(lon - ({x1!r})) * (lon - ({x1!r})))")
+            continue
+        t = (f"least(1.0, greatest(0.0, "
+             f"((lat - ({y1!r})) * ({dy!r}) + "
+             f"(lon - ({x1!r})) * ({dx!r})) / ({ll!r})))")
+        edges.append(
+            f"((lat - (({y1!r}) + {t} * ({dy!r}))) * "
+            f"(lat - (({y1!r}) + {t} * ({dy!r}))) + "
+            f"(lon - (({x1!r}) + {t} * ({dx!r}))) * "
+            f"(lon - (({x1!r}) + {t} * ({dx!r}))))")
+    best = "least(" + ", ".join(edges) + ")" if len(edges) > 1 else edges[0]
+    return _geo_coords_cte() + f"""
+SELECT doc_id, url, CAST(1.0 AS DOUBLE) AS score
+FROM geo
+WHERE {best} <= {buffer_deg * buffer_deg!r}
+ORDER BY doc_id
+"""
+
+
+def geo_multipolygon_all(polygons: tuple) -> str:
+    """WKT MULTIPOLYGON -> SHOULD-of-polygons mirror: crossing-number
+    containment in ANY member (members are disjoint, so the boolean
+    SHOULD sum stays 1.0). Same per-ring arithmetic as
+    geo_polygon_all."""
+    def ring_sql(ring) -> str:
+        terms = []
+        n = len(ring)
+        for i in range(n):
+            y1, x1 = ring[i]
+            y2, x2 = ring[(i + 1) % n]
+            if y1 == y2:
+                continue
+            terms.append(
+                f"(CASE WHEN (({y1} > lat) <> ({y2} > lat)) AND "
+                f"lon < ({x2} - ({x1})) * (lat - ({y1})) / "
+                f"({y2} - ({y1})) + ({x1}) THEN 1 ELSE 0 END)")
+        return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+    conds = []
+    for shell, holes in polygons:
+        cond = ring_sql(shell)
+        for hole in holes:
+            cond += f" AND NOT {ring_sql(hole)}"
+        conds.append(f"({cond})")
+    return _geo_coords_cte() + f"""
+SELECT doc_id, url, CAST(1.0 AS DOUBLE) AS score
+FROM geo
+WHERE {" OR ".join(conds)}
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------- ICU folding / phonetic -----
 def icu_fold_token_counts(words: list[str]) -> str:
     """Global (term, cnt) over the ICU-folding chain applied to a

@@ -8,6 +8,7 @@ from .query import (  # noqa: F401
     FuzzyQuery,
     GeoBoxQuery,
     GeoDistanceQuery,
+    GeoLineQuery,
     GeoPolygonQuery,
     IndexOrDocValuesQuery,
     KnnFloatVectorQuery,
@@ -29,6 +30,7 @@ from .query import (  # noqa: F401
     WildcardQuery,
 )
 from .queryparser import multi_field_parse, parse_query  # noqa: F401
+from .wkt import parse as parse_wkt, to_query as wkt_to_query  # noqa: F401
 from .searcher import Searcher, TopDocs  # noqa: F401
 from .spans import (SpanContainingQuery,  # noqa: F401
                     FieldMaskingSpanQuery,

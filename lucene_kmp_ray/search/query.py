@@ -444,6 +444,29 @@ class GeoPolygonQuery(Query):
 
 
 @dataclass(frozen=True)
+class GeoLineQuery(Query):
+    """Line-proximity query (``geo/Line.kt`` + ``geo/Line2D.kt`` planar
+    edge-tree semantics, the XYGeometry cartesian model of
+    ``geo/XYLine.kt``): docs whose (lat, lon) lies within
+    ``buffer_deg`` planar degrees of the polyline — point-to-segment
+    distance with endpoints clamped, minimized over the line's edges.
+    ``buffer_deg = 0`` matches only points exactly on a segment (the
+    reference's Component2D contains/intersectsLine predicate); a
+    positive buffer is the practical point-index form. Vectorized per
+    segment over the metadata columns.
+
+    ``line``: ((lat, lon), ...) — NOT implicitly closed (a line, not a
+    ring; Line.kt keeps the vertex sequence open)."""
+    line: tuple
+    buffer_deg: float = 0.0
+    lat_field: str = "lat"
+    lon_field: str = "lon"
+
+    def terms(self):
+        return []
+
+
+@dataclass(frozen=True)
 class KnnFloatVectorQuery(Query):
     """``search/KnnFloatVectorQuery.kt:33``: the k nearest docs to
     ``vector`` by cosine similarity over the segment vector sidecars.

@@ -33,7 +33,8 @@ from ..index.reader import IndexReader, SegmentReader
 from ..similarity.bm25 import BM25Similarity
 from .query import (BooleanQuery, BoostQuery, ConstantScoreQuery,
                     DisjunctionMaxQuery, FieldExistsQuery,
-                    GeoBoxQuery, GeoDistanceQuery, GeoPolygonQuery,
+                    GeoBoxQuery, GeoDistanceQuery, GeoLineQuery,
+                    GeoPolygonQuery,
                     KnnFloatVectorQuery, MatchAllDocsQuery,
                     MatchNoDocsQuery, MultiPhraseQuery, MultiTermQuery,
                     FeatureQuery, IndexOrDocValuesQuery, NGramPhraseQuery,
@@ -279,6 +280,8 @@ class Searcher:
             return self._score_geo_distance(sr, query, boost)
         if isinstance(query, GeoPolygonQuery):
             return self._score_geo_polygon(sr, query, boost)
+        if isinstance(query, GeoLineQuery):
+            return self._score_geo_line(sr, query, boost)
         if isinstance(query, IndexOrDocValuesQuery):
             # standalone = leading iteration → the index-driven execution
             return self._score_segment_raw(sr, query.index_query, boost,
@@ -428,6 +431,33 @@ class Searcher:
         mask = self._ring_contains(lat, lon, tuple(q.polygon))
         for hole in q.holes:
             mask &= ~self._ring_contains(lat, lon, tuple(hole))
+        docs = np.flatnonzero(mask).astype(np.int64)
+        return docs, np.full(len(docs), dt.type(boost), dtype=dt)
+
+    def _score_geo_line(self, sr: SegmentReader, q: "GeoLineQuery",
+                        boost: float):
+        """Line.kt/Line2D.kt planar proximity: per-doc minimum
+        point-to-segment distance over the polyline's edges (endpoint
+        clamp via t in [0,1]), compared against buffer_deg. One
+        vectorized pass per edge over the segment's metadata columns."""
+        dt = self.sim.dtype
+        lat = sr.doc_meta[q.lat_field].to_numpy().astype(np.float64)
+        lon = sr.doc_meta[q.lon_field].to_numpy().astype(np.float64)
+        best = np.full(len(lat), np.inf)
+        pts = tuple(q.line)
+        for i in range(len(pts) - 1):
+            y1, x1 = pts[i]
+            y2, x2 = pts[i + 1]
+            dy, dx = y2 - y1, x2 - x1
+            ll = dy * dy + dx * dx
+            if ll == 0.0:  # degenerate edge = point
+                d2 = (lat - y1) ** 2 + (lon - x1) ** 2
+            else:
+                t = np.clip(((lat - y1) * dy + (lon - x1) * dx) / ll,
+                            0.0, 1.0)
+                d2 = (lat - (y1 + t * dy)) ** 2 + (lon - (x1 + t * dx)) ** 2
+            np.minimum(best, d2, out=best)
+        mask = best <= q.buffer_deg * q.buffer_deg
         docs = np.flatnonzero(mask).astype(np.int64)
         return docs, np.full(len(docs), dt.type(boost), dtype=dt)
 
