@@ -82,6 +82,9 @@ class _Runtime:
         # loops index single cells, and plain-int rows are ~3x faster
         # than numpy scalar extraction there (~7 MB per process)
         self.conn = d["conn_costs"].tolist()
+        # contiguous int16 view for the compiled lattice core
+        self.conn_np = np.ascontiguousarray(d["conn_costs"],
+                                            dtype=np.int16)
         self.unk_class_off = d["unk_class_offsets"]  # int32[13]
         self.unk_left = d["unk_left_ids"]           # == rightId for unk
         self.unk_cost = d["unk_word_costs"]
@@ -139,6 +142,32 @@ class _Runtime:
         self.prefixes = prefixes
         self.max_len = max((len(s) for s in surfaces), default=0)
 
+    def c_tables(self) -> dict:
+        """Lazily staged static arrays for the compiled lattice core
+        (lexicon trie + int32 attribute tables), built once per
+        process."""
+        t = getattr(self, "_c_tables", None)
+        if t is None:
+            from .cviterbi import build_trie
+            arrays = (build_trie(self.surfaces) + (
+                np.array(self.lex_left, dtype=np.int32),
+                np.array(self.lex_right, dtype=np.int32),
+                np.array(self.lex_cost, dtype=np.int32),
+                np.ascontiguousarray(self.unk_class_off, dtype=np.int32),
+                np.ascontiguousarray(self.unk_left, dtype=np.int32),
+                np.ascontiguousarray(self.unk_cost, dtype=np.int32),
+                np.ascontiguousarray(self.invoke, dtype=np.uint8),
+                np.ascontiguousarray(self.group, dtype=np.uint8),
+            ))
+            t = {
+                "arrays": arrays,  # keep-alive for the raw pointers
+                "ptrs": tuple(a.ctypes.data for a in arrays),
+                "conn_ptr": self.conn_np.ctypes.data,
+                "conn_dim": int(self.conn_np.shape[1]),
+            }
+            self._c_tables = t
+        return t
+
     def char_class(self, ch: str) -> int:
         o = ord(ch)
         return int(self.char_cat[o]) if o < 0x10000 else DEFAULT
@@ -180,8 +209,13 @@ _KANA_SEMI_VOICED = [
 ]
 
 
-def cjk_width_fold_offsets(text: str) -> tuple[str, list[int]]:
-    """Fold widths; return (folded, origin-index per output char)."""
+def cjk_width_fold_offsets(text: str) -> "tuple[str, list[int] | None]":
+    """Fold widths; return (folded, origin-index per output char).
+    ``origin`` is None when the text needed no folding (identity
+    mapping) — every affected codepoint lives in U+FF01..U+FF9F, so a
+    single scan decides the fast path."""
+    if not any("！" <= ch <= "ﾟ" for ch in text):
+        return text, None
     out: list[str] = []
     origin: list[int] = []
     for i, ch in enumerate(text):
@@ -299,6 +333,7 @@ class JapaneseTokenizer:
         self.extended_mode = mode == "extended"
         self.discard_punctuation = discard_punctuation
         self.user_dict = user_dict
+        self._obuf = None  # reusable output buffers for the C core
 
     # -- dictionary accessors (wordID -> attrs), type-dispatched ---------
     def _left(self, wid: int, typ: int) -> int:
@@ -371,6 +406,13 @@ class JapaneseTokenizer:
     def tokenize(self, text: str) -> list[Token]:
         if not text:
             return []
+        if self.user_dict is None:
+            from .cviterbi import lib as _cvlib
+            clib = _cvlib()
+            if clib is not None:
+                toks = self._tokenize_c(clib, text)
+                if toks is not None:
+                    return toks
         rt = self.rt
         n = len(text)
         # one pass of per-char metadata: the unknown-word scan and the
@@ -462,6 +504,76 @@ class JapaneseTokenizer:
                 least_cost, least_idx = c, idx
         pending = self._backtrace(positions, text, end_pos_data, least_idx)
         pending.reverse()
+        return pending
+
+    def _tokenize_c(self, clib, text: str) -> "list[Token] | None":
+        """Compiled-lattice path (no user dictionary; both modes).
+
+        Preps vectorized per-char codepoint / char-class / punctuation /
+        kanji arrays and hands the whole forward scan (trie dictionary
+        matches + unknown-word grouping), relaxation and search-mode
+        decompound backtrace to ``_cviterbi.c``.  Token shaping
+        (punctuation discard, extended-mode unigrams, base forms)
+        happens here, in document order, mirroring _backtrace's
+        emission rules.  Returns None on any C-side failure so
+        tokenize() falls back to the Python lattice."""
+        from .cviterbi import punct_table
+
+        rt = self.rt
+        n = len(text)
+        cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+        if (cp >= 0x10000).any():
+            bmp = cp < 0x10000
+            cpb = np.where(bmp, cp, 0)
+            cls = np.where(bmp, rt.char_cat[cpb],
+                           DEFAULT).astype(np.uint8)
+            punct = np.where(bmp, punct_table()[cpb],
+                             0).astype(np.uint8)
+            for i in np.flatnonzero(~bmp):
+                punct[i] = 1 if _is_punct(text[i]) else 0
+        else:
+            cls = np.ascontiguousarray(rt.char_cat[cp])
+            punct = np.ascontiguousarray(punct_table()[cp])
+        kanji = ((cls == KANJI) | (cls == KANJINUMERIC)).astype(np.uint8)
+
+        t = rt.c_tables()
+        ob = self._obuf
+        if ob is None or len(ob[0]) < n:
+            size = max(256, n)
+            ob = (np.empty(size, dtype=np.int32),
+                  np.empty(size, dtype=np.int32),
+                  np.empty(size, dtype=np.int32),
+                  np.empty(size, dtype=np.int8))
+            self._obuf = ob
+            self._obuf_ptrs = tuple(a.ctypes.data for a in ob)
+        out_start, out_end, out_wid, out_typ = ob
+
+        ntok = clib.viterbi_analyze(
+            n, cp.ctypes.data, cls.ctypes.data, punct.ctypes.data,
+            kanji.ctypes.data, *t["ptrs"], t["conn_ptr"], t["conn_dim"],
+            1 if self.search_mode else 0, *self._obuf_ptrs)
+        if ntok < 0:  # pragma: no cover - allocation failure
+            return None
+
+        pending: list[Token] = []
+        for i in range(ntok):
+            s = int(out_start[i])
+            e = int(out_end[i])
+            wid = int(out_wid[i])
+            typ = int(out_typ[i])
+            if self.extended_mode and typ == UNKNOWN:
+                tag = self._pos_tag(wid, typ)
+                for k in range(s, e):
+                    ch = text[k]
+                    if self.discard_punctuation and _is_punct(ch):
+                        continue
+                    pending.append(Token(ch, k, k + 1, tag, None))
+            elif not self.discard_punctuation or e == s \
+                    or not _is_punct(text[s]):
+                reading = rt.lex_reading[wid] if typ == KNOWN else None
+                pending.append(Token(text[s:e], s, e,
+                                     self._pos_tag(wid, typ),
+                                     self._base(wid, typ), reading))
         return pending
 
     def _backtrace(self, positions, text, end_pos_data: _Position,
@@ -667,8 +779,11 @@ class JapaneseAnalyzer:
                 continue
             term = _katakana_stem(term)          # JapaneseKatakanaStemFilter
             term = term.lower()                  # LowerCaseFilter
-            start = origin[tok.start]
-            end = origin[tok.end - 1] + 1
+            if origin is None:
+                start, end = tok.start, tok.end
+            else:
+                start = origin[tok.start]
+                end = origin[tok.end - 1] + 1
             out.append((term, start, end, pos_inc))
             pos_inc = 1
         return out
