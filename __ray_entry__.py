@@ -2077,60 +2077,40 @@ def _dedup_fp(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {
+        # ===== driver first-50 snapshot window (rotated per round —
+        # VERDICT r4 #7: r5 promotes 16 entries the driver has never
+        # independently checked; the displaced r1-era entries move
+        # below and stay covered by scripts/check_oracle.py) =====
         # --- sources / schema (SURVEY §2.1) ---
         "corpus_summary": _corpus_summary,
         # --- index build stats / norms (SURVEY §2.2, §2.6) ---
         "term_stats": _term_stats,
         "doc_norms": _doc_norms,
-        "doc_term_stats": _doc_term_stats,
         "collection_stats": _collection_stats,
         # --- query operators (SURVEY §2.5) ---
         "bm25_term_spark": lambda sf: _topk(sf, TermQuery(TERM_A)),
-        "bm25_page2_top10": _page2,
         "bm25_or_top10": lambda sf: _topk(sf, BooleanQuery.build(
             *[(Occur.SHOULD, TermQuery(t)) for t in OR_TERMS])),
         "bm25_and_top10": lambda sf: _topk(sf, BooleanQuery.build(
             *[(Occur.MUST, TermQuery(t)) for t in AND_TERMS])),
-        "bool_not_all": lambda sf: _all_sorted(search_all_matches(
-            _ensure_index(sf), BooleanQuery.build(
-                (Occur.MUST, TermQuery(NOT_PAIR[0])),
-                (Occur.MUST_NOT, TermQuery(NOT_PAIR[1]))))),
         "phrase_top10": lambda sf: _topk(sf, PhraseQuery(tuple(PHRASE_3))),
-        "count_term_the": lambda sf: _count_term(sf, TERM_B),
-        # --- multi-term expansion family (SURVEY §2.5 MultiTermQuery) ---
         "prefix_all": lambda sf: _all_sorted(search_all_matches(
             _ensure_index(sf), PrefixQuery("sp"))),
-        "wildcard_all": lambda sf: _all_sorted(search_all_matches(
-            _ensure_index(sf), WildcardQuery("s*k"))),
-        "term_range_all": lambda sf: _all_sorted(search_all_matches(
-            _ensure_index(sf), TermRangeQuery("order", "spark"))),
-        "term_in_set_all": lambda sf: _all_sorted(search_all_matches(
-            _ensure_index(sf), TermInSetQuery(("spark", "window", "zzz")))),
-        # --- synonym / dismax / filter / field sort ---
         "synonym_top10": lambda sf: _topk(sf, SynonymQuery(AND_SORTED)),
-        "dismax_top10": _dismax,
-        # --- multi-field documents (title + text, Document.kt:20) ---
         "field_stats": _field_stats,
-        "term_stats_fields": _term_stats_fields,
-        "bm25_title_top10": lambda sf: _topk(sf, TermQuery(TERM_A, "title")),
         "delete_by_url_search": _delete_by_url_search,
         "range_filter_all": lambda sf: _all_sorted(search_all_matches(
             _ensure_index(sf), BooleanQuery.build(
                 (Occur.MUST, TermQuery(TERM_A)),
                 (Occur.FILTER, RangeFilterQuery("length", 40, 60))))),
-        "sorted_by_length": lambda sf: search_sorted_by_field(
-            _ensure_index(sf), TermQuery(TERM_A), "length", k=20),
-        "sorted_by_url_top20": lambda sf: _sorted_by_url(sf),
         "sorted_index_scan_top20": _sorted_index_scan,
         "knn_vector_top10": _knn_topk,
+        # r5 fix under driver review: HNSW candidates exact-reranked so
+        # top-10 == brute top-10 (oracle = brute SQL)
         "knn_hnsw_top10": _knn_hnsw_topk,
         "knn_hnsw_recall": _knn_hnsw_recall,
-        "classic_term_top10": _classic_topk,
-        "feature_blend_top10": _feature_blend,
         "hybrid_bm25_knn_top10": _hybrid_topk,
-        "sorted_multi_key_top20": lambda sf: _sorted_multi(sf),
-        # --- round-4 families: ONE representative per new family inside
-        # the driver's first-50 snapshot window (VERDICT r3 #8) ---
+        # --- round-4 families: ONE representative per family ---
         "ja_token_counts": _ja_token_counts,      # kuromoji lattice
         "ko_token_counts": _ko_token_counts,      # nori lattice
         "zh_token_counts": _zh_token_counts,      # smartcn HHMM
@@ -2141,6 +2121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "he_token_counts": _he_token_counts,      # hebmorph hspell
         "am_token_counts": lambda sf: _horn_token_counts(sf, "amharic"),
         "om_token_counts": lambda sf: _horn_token_counts(sf, "oromo"),
+        # r5 fix under driver review: deterministic ORDER BY + DOUBLE
+        # score on both sides (was the r4 hash-red row)
         "geo_polygon_all": _geo_polygon_all,      # LatLonShape role
         "icu_fold_token_counts": _icu_fold_token_counts,
         "metaphone_token_counts": _metaphone_token_counts,
@@ -2150,14 +2132,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classic_token_counts": _classic_token_counts,
         "doc_fingerprint_counts": _doc_fingerprint_counts,
         "ja_number_counts": _ja_number_counts,  # JapaneseNumberFilter
+        # --- round-5 promotions: never driver-checked before ---
+        "kstem_token_counts": _kstem_token_counts,  # KStem (r5)
+        "bm25_kstem_top10": _kstem_topk,
+        # round 5: LatLonShape line proximity + the WKT parser path
+        "geo_line_all": _geo_line_all,
+        "geo_wkt_multipolygon_all": _geo_wkt_all,
+        "bm25_french_top10": _french_topk,          # elision chain
+        "bm25_turkish_top10": lambda sf: _lang_topk(sf, "turkish"),
+        "thai_token_counts": _thai_token_counts,    # Thai break rules
+        "cjk_bigram_counts": textstats.cjk_bigram_counts,
+        "shingle_counts": textstats.shingle_counts,
+        "url_email_tokens": textstats.url_email_tokens,
+        "pii_scrub": pii.pii_scrub,
+        "gopher_gate": gopher.gopher_gate,
+        "hll_user_counts": sketches.hll_user_counts,
         # native-CJK BM25: lattice segmentation + ranking hash-checked
         # against the reference vectors' expected tokens
+        "bm25_ko_native_top10": lambda sf: _native_cjk_topk(
+            sf, "korean", KO_VECTORS, "한국"),
+        "facet_lang_counts": _facet_lang_counts,
+        # ===== end of first-50 window =====
+        # displaced from the window (driver-green r1–r4 and/or families
+        # already represented above; every entry below remains in the
+        # repo's full per-round oracle sweep)
+        "doc_term_stats": _doc_term_stats,
+        "bm25_page2_top10": _page2,
+        "bool_not_all": lambda sf: _all_sorted(search_all_matches(
+            _ensure_index(sf), BooleanQuery.build(
+                (Occur.MUST, TermQuery(NOT_PAIR[0])),
+                (Occur.MUST_NOT, TermQuery(NOT_PAIR[1]))))),
+        "count_term_the": lambda sf: _count_term(sf, TERM_B),
+        "wildcard_all": lambda sf: _all_sorted(search_all_matches(
+            _ensure_index(sf), WildcardQuery("s*k"))),
+        "term_range_all": lambda sf: _all_sorted(search_all_matches(
+            _ensure_index(sf), TermRangeQuery("order", "spark"))),
+        "term_in_set_all": lambda sf: _all_sorted(search_all_matches(
+            _ensure_index(sf), TermInSetQuery(("spark", "window", "zzz")))),
+        "dismax_top10": _dismax,
+        "term_stats_fields": _term_stats_fields,
+        "bm25_title_top10": lambda sf: _topk(sf, TermQuery(TERM_A, "title")),
+        "sorted_by_length": lambda sf: search_sorted_by_field(
+            _ensure_index(sf), TermQuery(TERM_A), "length", k=20),
+        "sorted_by_url_top20": lambda sf: _sorted_by_url(sf),
+        "sorted_multi_key_top20": lambda sf: _sorted_multi(sf),
+        "classic_term_top10": _classic_topk,
+        "feature_blend_top10": _feature_blend,
         "bm25_ja_native_top10": lambda sf: _native_cjk_topk(
             sf, "japanese", JA_VECTORS, "学生"),
         "ko_number_counts": _ko_number_counts,  # KoreanNumberFilter
         "bm25_classic_analyzer_top10": _classic_analyzer_topk,
-        # displaced from the first-50 window (families already
-        # represented there; recorded in CORRECTNESS_r03)
         "bm25_term_the": lambda sf: _topk(sf, TermQuery(TERM_B)),
         "phrase_counts": lambda sf: phrase_freqs_distributed(
             _ensure_index(sf), PHRASE_2),
@@ -2166,8 +2190,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_multifield_top10": lambda sf: _topk(sf, BooleanQuery.build(
             (Occur.SHOULD, TermQuery(TERM_A, "text")),
             (Occur.SHOULD, TermQuery(TERM_A, "title")))),
-        "bm25_ko_native_top10": lambda sf: _native_cjk_topk(
-            sf, "korean", KO_VECTORS, "한국"),
         "bm25_zh_native_top10": lambda sf: _native_cjk_topk(
             sf, "chinese", ZH_VECTORS, "购买"),
         "bm25_japanese_top10": lambda sf: _lang_topk(sf, "japanese"),
@@ -2182,9 +2204,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # not SQL-expressible → rows-only; exact Porter vectors + chain
         # parity live in tests/test_english_analyzer.py
         "bm25_english_top10": _english_topk,
-        # round 5: KStem (dictionary-validated English stemmer)
-        "bm25_kstem_top10": _kstem_topk,
-        "kstem_token_counts": _kstem_token_counts,
         "bm25_german_top10": _german_topk,
         "bm25_spanish_top10": lambda sf: _romance_topk(sf, "spanish"),
         "bm25_italian_top10": lambda sf: _romance_topk(sf, "italian"),
@@ -2206,10 +2225,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_indonesian_top10": _indonesian_topk,
         "bm25_nepali_top10": _nepali_topk,
         "bm25_romanian_top10": _romanian_topk,
-        "bm25_turkish_top10": lambda sf: _lang_topk(sf, "turkish"),
         "bm25_tamil_top10": lambda sf: _lang_topk(sf, "tamil"),
         "bm25_thai_top10": lambda sf: _lang_topk(sf, "thai"),
-        "thai_token_counts": _thai_token_counts,
         "bm25_serbian_top10": lambda sf: _sc_topk(sf, "serbian"),
         "bm25_catalan_top10": lambda sf: _sc_topk(sf, "catalan"),
         "bm25_hungarian_top10": _hungarian_topk,
@@ -2249,21 +2266,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_burmese_top10": lambda sf: _lang_topk(sf, "burmese"),
         "khmer_token_counts": _khmer_token_counts,
         "vietnamese_token_counts": _vietnamese_token_counts,
-        "bm25_french_top10": _french_topk,
-        "cjk_bigram_counts": textstats.cjk_bigram_counts,
         "ascii_fold_tokens": textstats.ascii_fold_tokens,
         "word_delimiter_tokens": textstats.word_delimiter_tokens,
-        "shingle_counts": textstats.shingle_counts,
         "common_grams_counts": textstats.common_grams_counts,
         "pattern_token_counts": textstats.pattern_token_counts,
         "reverse_token_counts": textstats.reverse_token_counts,
-        "url_email_tokens": textstats.url_email_tokens,
         "synonym_quick_top10": _synonym_topk,
         "geo_box_all": _geo_box_all,
-        # round 5: LatLonShape line proximity + the WKT parser path
-        "geo_line_all": _geo_line_all,
-        "geo_wkt_multipolygon_all": _geo_wkt_all,
-        "facet_lang_counts": _facet_lang_counts,
         "geo_distance_all": _geo_distance_all,
         # span positional algebra (NearSpansOrdered greedy match stream is
         # traversal-order-dependent like the sloppy matcher) → rows-only;
@@ -2303,18 +2312,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_counts": events.tumbling_counts,
         "hopping_counts": events.hopping_counts,
         "sessionize": events.sessionize,
-        "hll_user_counts": sketches.hll_user_counts,
         "props_stats": events.props_stats,
         "cms_term_counts": lambda sf: sketches.cms_term_counts(sf),
-        # --- Gopher repetition signals + gate (training-data quality) ---
+        # --- Gopher repetition signals (training-data quality) ---
         "gopher_repetition": gopher.gopher_repetition,
-        "gopher_gate": gopher.gopher_gate,
         "whitespace_token_counts":
             lambda sf: textstats.core_analyzer_counts(sf, "whitespace"),
         "simple_token_counts":
             lambda sf: textstats.core_analyzer_counts(sf, "simple"),
-        # --- PII scrub + URL-host filter (training-data ops) ---
-        "pii_scrub": pii.pii_scrub,
+        # --- URL-host filter (training-data ops) ---
         "url_host_filter": pii.url_host_filter,
         # --- similarity search ---
         "ann_cosine_top10": _ann_brute,
