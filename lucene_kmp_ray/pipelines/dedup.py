@@ -343,10 +343,13 @@ def _bucket_pairs_vectorized(key_cols: list[str], max_bucket: int,
     return fn
 
 
-def minhash_candidate_pairs(sf_dir: str, max_bucket: int = MAX_LSH_BUCKET):
+def minhash_candidate_pairs(sf_dir: str, max_bucket: int = MAX_LSH_BUCKET,
+                            distinct: bool = True):
     """Near-dup candidate pairs (a < b) sharing any LSH band bucket.
     Buckets larger than ``max_bucket`` docs are dropped whole (mirrored in
-    the SQL oracle)."""
+    the SQL oracle). ``distinct=False`` skips the final dedupe shuffle for
+    consumers that tolerate a pair appearing once per shared band
+    (connected_components dedups on entry anyway)."""
     bands = _read_docs(sf_dir, ["doc_id", "text"]) \
         .map_batches(minhash_batch, batch_format="pyarrow")
     hint = _doc_rows(sf_dir) * LSH_BANDS
@@ -354,6 +357,8 @@ def minhash_candidate_pairs(sf_dir: str, max_bucket: int = MAX_LSH_BUCKET):
         bands, ["band", "band_hash"],
         _bucket_pairs_vectorized(["band", "band_hash"], max_bucket),
         key_is_str=True, approx_rows=hint)
+    if not distinct:
+        return cand
     # dedupe pairs found in multiple bands
     return _distinct_pairs(cand, approx_rows=hint)
 
@@ -517,28 +522,30 @@ def connected_components(pairs, max_rounds: int = 16):
     edges = pairs.map_batches(to_directed, batch_format="pyarrow") \
         .materialize()
 
-    def fingerprint(ds) -> tuple:
-        import pyarrow.compute as pc
-        n = su = sv = 0
-        for b in ds.iter_batches(batch_format="pyarrow"):
-            n += b.num_rows
-            su += int(pc.sum(b["u"]).as_py() or 0)
-            sv += int(pc.sum(b["v"]).as_py() or 0)
-        return n, su, sv
-
     prev = None
     for _ in range(max_rounds):
-        # large-star then small-star; re-symmetrize + dedupe between rounds
-        # (materialize checkpoints the round so the fingerprint pass and
-        # the next groupby don't both re-run the whole lineage)
+        # one fused large-star → small-star round, ONE dedup shuffle and
+        # ONE materialization per round (VERDICT r4 #8): the intermediate
+        # dedup between the stars is redundant — star_part drop_duplicates
+        # on entry and the hash partition co-locates duplicate edges, and
+        # symmetrization bounds duplication at 2x — while the end-of-round
+        # dedup keeps the convergence fingerprint on the canonical edge
+        # set. The materialize checkpoints the round so the fingerprint
+        # aggregates and the next round don't both re-run the lineage.
         stars = _star_round(edges, small=False)
-        edges = _dedup_uv(stars.map_batches(
-            to_directed_pairs, batch_format="pyarrow")).materialize()
-        stars2 = _star_round(edges, small=True)
+        sym = stars.map_batches(to_directed_pairs, batch_format="pyarrow")
+        stars2 = _star_round(sym, small=True)
         edges = _dedup_uv(stars2.map_batches(
             to_directed_pairs, batch_format="pyarrow")).materialize()
-        fp = fingerprint(edges)
-        if fp == prev or fp[0] == 0:
+        # fingerprint = (rows, Σu, Σv): rows from block metadata (free on
+        # a materialized ds), sums as one tiny distributed aggregate — the
+        # driver never pulls the edge list
+        n = edges.count()
+        if n == 0:
+            break
+        s = edges.sum(["u", "v"])
+        fp = (n, int(s["sum(u)"]), int(s["sum(v)"]))
+        if fp == prev:
             break
         prev = fp
 
@@ -647,7 +654,7 @@ def near_dup_clusters(sf_dir: str):
     ``to_pandas`` of the edge list. Docs in no pair are not emitted (their
     cluster is themselves).
     """
-    pairs = minhash_candidate_pairs(sf_dir)
+    pairs = minhash_candidate_pairs(sf_dir, distinct=False)
     return connected_components(pairs)
 
 
