@@ -676,26 +676,31 @@ GEO_RADIUS_M = 5_000_000.0
 
 
 def _ensure_geo_index(sf_dir: str) -> str:
-    """Index with lat/lon + lang doc-meta columns (LatLonPoint role +
-    the facet dimension): coordinates derived deterministically from
-    doc_id, stored via meta_cols."""
+    """Index with lat/lon + cartesian x/y + lang doc-meta columns
+    (LatLonPoint + XYPointField roles + the facet dimension):
+    coordinates derived deterministically from doc_id, stored via
+    meta_cols. x/y are float32 like XYEncodingUtils' encoding domain."""
     from lucene_kmp_ray.index.builder import build_index
     from lucene_kmp_ray.sources.corpus import corpus_dataset
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    idx = f"/tmp/lucene_kmp_ray_index_geo/{tag}"
+    idx = f"/tmp/lucene_kmp_ray_index_geo2/{tag}"
     if not os.path.exists(os.path.join(idx, "manifest.json")):
         def add_coords(b: pa.Table) -> pa.Table:
             d = b["doc_id"].to_numpy()
             lat = (d * 37 % 18000) / 100.0 - 90.0
             lon = (d * 73 % 36000) / 100.0 - 180.0
+            x = ((d * 13 % 2000) / 10.0 - 100.0).astype(np.float32)
+            y = ((d * 29 % 2000) / 10.0 - 100.0).astype(np.float32)
             return b.append_column("lat", pa.array(lat, pa.float64())) \
-                    .append_column("lon", pa.array(lon, pa.float64()))
+                    .append_column("lon", pa.array(lon, pa.float64())) \
+                    .append_column("x", pa.array(x, pa.float32())) \
+                    .append_column("y", pa.array(y, pa.float32()))
         ds = corpus_dataset(sf_dir, columns=["doc_id", "url", "text",
                                              "lang"]) \
             .map_batches(add_coords, batch_format="pyarrow")
         build_index(ds, idx, segment_size=SEGMENT_SIZE,
-                    meta_cols=("lat", "lon", "lang"))
+                    meta_cols=("lat", "lon", "x", "y", "lang"))
     return idx
 
 
@@ -1621,6 +1626,163 @@ def _geo_wkt_all(sf_dir: str):
         _ensure_geo_index(sf_dir), to_query(_wkt_multipolygon())))
 
 
+# cartesian (XYPointField) shapes over the synthetic float32 x/y grid;
+# bounds off the 0.1 lattice so float32 snapping can't flip a doc
+XY_BOX = (-50.05, 30.05, -20.05, 80.05)      # min_x, max_x, min_y, max_y
+XY_CIRCLE = (10.05, -5.05, 40.0)             # cx, cy, radius
+
+
+def _geo_xy_box_all(sf_dir: str):
+    """XYPointField.newBoxQuery (geo/XYRectangle.kt + XYPoint.kt
+    cartesian model) over the float32 x/y metadata. Oracle:
+    oracle.geo_xy_box_all (same REAL-cast arithmetic)."""
+    from lucene_kmp_ray.search import XYBoxQuery
+    return _all_sorted(search_all_matches(_ensure_geo_index(sf_dir),
+                                          XYBoxQuery(*XY_BOX)))
+
+
+def _geo_xy_circle_all(sf_dir: str):
+    """XYPointField.newDistanceQuery (geo/XYCircle.kt +
+    Circle2D.kt:285-300 cartesian contains) over float32 x/y. Oracle:
+    oracle.geo_xy_circle_all."""
+    from lucene_kmp_ray.search import XYCircleQuery
+    return _all_sorted(search_all_matches(_ensure_geo_index(sf_dir),
+                                          XYCircleQuery(*XY_CIRCLE)))
+
+
+# DateTools entries (document/DateTools.kt): sortable-prefix strings
+# over the events timestamps — the indexing form of date fields
+DATE_RANGE_DAYS = ("20240105", "20240128")   # inclusive day-string range
+
+
+def _date_resolution_counts(sf_dir: str):
+    """Events per DateTools DAY bucket (timeToString(ts, DAY) ==
+    the yyyyMMdd sortable prefix, DateTools.kt:53-57). Vectorized
+    numpy datetime64 field extraction per batch; oracle mirrors with
+    strftime. Columns: (bucket, n)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from lucene_kmp_ray.util.datetools import Resolution, times_to_strings
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def buckets(b: pa.Table) -> pa.Table:
+        # sub-ms precision truncates toward epoch (all post-1970 here),
+        # which cannot move a DAY bucket
+        ms = b["ts"].to_numpy().astype("datetime64[ms]").astype(np.int64)
+        s = times_to_strings(ms, Resolution.DAY)
+        return pa.table({"bucket": pa.array(s, pa.string())})
+
+    rows = ds.map_batches(buckets, batch_format="pyarrow")
+
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"bucket": [g["bucket"].iloc[0]],
+                             "n": [len(g)]})
+
+    return rows.groupby("bucket").map_groups(count, batch_format="pandas")
+
+
+def _date_range_day_all(sf_dir: str):
+    """Day-resolution TermRangeQuery role over DateTools strings
+    (DateTools.kt class doc: 'suitable for use as search terms'):
+    events whose yyyyMMdd prefix falls in DATE_RANGE_DAYS, inclusive —
+    string compare IS chronological compare. Columns: (event_id, day)."""
+    import ray.data as rd
+
+    from lucene_kmp_ray.util.datetools import Resolution, times_to_strings
+
+    lo, hi = DATE_RANGE_DAYS
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts"])
+
+    def in_range(b: pa.Table) -> pa.Table:
+        ms = b["ts"].to_numpy().astype("datetime64[ms]").astype(np.int64)
+        s = times_to_strings(ms, Resolution.DAY)
+        mask = (s >= lo) & (s <= hi)
+        return pa.table({
+            "event_id": b["event_id"].filter(pa.array(mask)),
+            "day": pa.array(s[mask], pa.string())})
+
+    out = ds.map_batches(in_range, batch_format="pyarrow").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+# InetAddressPoint entries (document/InetAddressPoint.kt): IPs derived
+# deterministically from user_id as 10.a.b.c with spreading multipliers
+# (user ids are dense small ints; same arithmetic in SQL)
+IP_RANGE = ("10.32.0.0", "10.159.255.255")   # inclusive range query
+IP_CIDR = ("10.64.0.0", 10)                  # newPrefixQuery(value, 10)
+
+
+def _derived_ip_hex(b: pa.Table) -> tuple:
+    """user_id → 10.(u*7%256).(u*13%256).(u*29%256) as the encoded
+    sortable hex key (vectorized; InetAddressPoint.kt:140-153)."""
+    from lucene_kmp_ray.util.ippoint import encode_v4_ints
+    u = b["user_id"].to_numpy().astype(np.uint64)
+    ipv4 = ((np.uint64(10) << np.uint64(24)) |
+            (u * np.uint64(7) % np.uint64(256)) << np.uint64(16) |
+            (u * np.uint64(13) % np.uint64(256)) << np.uint64(8) |
+            (u * np.uint64(29) % np.uint64(256)))
+    return u, encode_v4_ints(ipv4)
+
+
+_EMPTY_IP = {"user_id": "int64", "ip_hex": "object"}
+
+
+def _ip_frame(out):
+    import pandas as pd
+    if out.empty:
+        return pd.DataFrame({c: pd.Series(dtype=t)
+                             for c, t in _EMPTY_IP.items()})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _ip_range_all(sf_dir: str):
+    """InetAddressPoint.newRangeQuery (InetAddressPoint.kt:230-236):
+    distinct users whose derived IP falls in IP_RANGE, inclusive, via
+    the 16-byte sortable hex keys. Columns: (user_id, ip_hex)."""
+    import ray.data as rd
+
+    from lucene_kmp_ray.util.ippoint import range_hex
+
+    lo, hi = range_hex(*IP_RANGE)
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def in_range(b: pa.Table) -> pa.Table:
+        u, hexs = _derived_ip_hex(b)
+        mask = (hexs >= lo) & (hexs <= hi)
+        return pa.table({"user_id": pa.array(u[mask].astype(np.int64)),
+                         "ip_hex": pa.array(hexs[mask], pa.string())})
+
+    out = ds.map_batches(in_range, batch_format="pyarrow").to_pandas()
+    return _ip_frame(out.drop_duplicates("user_id")
+                     if not out.empty else out)
+
+
+def _ip_prefix_all(sf_dir: str):
+    """InetAddressPoint.newPrefixQuery (InetAddressPoint.kt:187-208):
+    CIDR 10.2.0.0/15 as the host-bits-zeroed/filled inclusive range.
+    Columns: (user_id, ip_hex)."""
+    import ray.data as rd
+
+    from lucene_kmp_ray.util.ippoint import prefix_range
+
+    lo_b, hi_b = prefix_range(*IP_CIDR)
+    lo, hi = lo_b.hex(), hi_b.hex()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def in_range(b: pa.Table) -> pa.Table:
+        u, hexs = _derived_ip_hex(b)
+        mask = (hexs >= lo) & (hexs <= hi)
+        return pa.table({"user_id": pa.array(u[mask].astype(np.int64)),
+                         "ip_hex": pa.array(hexs[mask], pa.string())})
+
+    out = ds.map_batches(in_range, batch_format="pyarrow").to_pandas()
+    return _ip_frame(out.drop_duplicates("user_id")
+                     if not out.empty else out)
+
+
 def _synonym_topk(sf_dir: str):
     """BM25 top-10 for the INJECTED synonym token over a SynonymAnalyzer
     index — exercises posIncr=0 same-position injection end-to-end.
@@ -2274,6 +2436,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synonym_quick_top10": _synonym_topk,
         "geo_box_all": _geo_box_all,
         "geo_distance_all": _geo_distance_all,
+        # round 5: cartesian XYPointField shapes (float32 coords)
+        "geo_xy_box_all": _geo_xy_box_all,
+        "geo_xy_circle_all": _geo_xy_circle_all,
+        # round 5: DateTools sortable strings + InetAddressPoint ranges
+        "date_resolution_counts": _date_resolution_counts,
+        "date_range_day_all": _date_range_day_all,
+        "ip_range_all": _ip_range_all,
+        "ip_prefix_all": _ip_prefix_all,
         # span positional algebra (NearSpansOrdered greedy match stream is
         # traversal-order-dependent like the sloppy matcher) → rows-only;
         # conformance vectors incl. the reference's documented double-match
@@ -2628,6 +2798,12 @@ def oracle_sql() -> dict[str, str]:
         "facet_lang_counts": oracle.facet_lang_counts(TERM_A),
         "geo_distance_all": oracle.geo_distance_all(*GEO_CENTER,
                                                     GEO_RADIUS_M),
+        "geo_xy_box_all": oracle.geo_xy_box_all(*XY_BOX),
+        "geo_xy_circle_all": oracle.geo_xy_circle_all(*XY_CIRCLE),
+        "date_resolution_counts": oracle.date_resolution_counts(),
+        "date_range_day_all": oracle.date_range_day_all(*DATE_RANGE_DAYS),
+        "ip_range_all": oracle.ip_range_all(*IP_RANGE),
+        "ip_prefix_all": oracle.ip_prefix_all(*IP_CIDR),
         "simhash_signatures": oracle.simhash_signatures(),
         "simhash_pairs": oracle.simhash_pairs(),
         "extract_invariant": oracle.extract_invariant(),

@@ -5322,6 +5322,118 @@ ORDER BY doc_id
 """
 
 
+def _xy_coords_cte() -> str:
+    """Deterministic cartesian float32 coordinates — identical
+    derivation as the engine's _ensure_geo_index (value computed in
+    float64, snapped to REAL like XYEncodingUtils' float domain)."""
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+xy AS (
+  SELECT doc_id, url,
+         CAST(CAST((doc_id * 13 % 2000) / 10.0 - 100.0 AS REAL)
+              AS DOUBLE) AS x,
+         CAST(CAST((doc_id * 29 % 2000) / 10.0 - 100.0 AS REAL)
+              AS DOUBLE) AS y
+  FROM corpus
+)"""
+
+
+def geo_xy_box_all(min_x: float, max_x: float,
+                   min_y: float, max_y: float) -> str:
+    """XYPointField.newBoxQuery mirror (geo/XYRectangle.kt): inclusive
+    planar box, bounds snapped to float32 on both sides."""
+    return _xy_coords_cte() + f"""
+SELECT doc_id, url, CAST(1.0 AS DOUBLE) AS score
+FROM xy
+WHERE x >= CAST(CAST({min_x} AS REAL) AS DOUBLE)
+  AND x <= CAST(CAST({max_x} AS REAL) AS DOUBLE)
+  AND y >= CAST(CAST({min_y} AS REAL) AS DOUBLE)
+  AND y <= CAST(CAST({max_y} AS REAL) AS DOUBLE)
+ORDER BY doc_id
+"""
+
+
+def geo_xy_circle_all(cx: float, cy: float, radius: float) -> str:
+    """XYPointField.newDistanceQuery mirror (Circle2D.kt:285-300):
+    cartesian (x-cx)^2 + (y-cy)^2 <= r^2 in DOUBLE over float32
+    values."""
+    return _xy_coords_cte() + f"""
+SELECT doc_id, url, CAST(1.0 AS DOUBLE) AS score
+FROM xy
+WHERE (x - CAST(CAST({cx} AS REAL) AS DOUBLE))
+      * (x - CAST(CAST({cx} AS REAL) AS DOUBLE))
+    + (y - CAST(CAST({cy} AS REAL) AS DOUBLE))
+      * (y - CAST(CAST({cy} AS REAL) AS DOUBLE))
+   <= CAST(CAST({radius} AS REAL) AS DOUBLE)
+      * CAST(CAST({radius} AS REAL) AS DOUBLE)
+ORDER BY doc_id
+"""
+
+
+def date_resolution_counts() -> str:
+    """DateTools DAY-resolution buckets (DateTools.kt:53-57
+    timeToString prefix = yyyyMMdd): events per bucket."""
+    return """
+SELECT strftime(ts, '%Y%m%d') AS bucket, COUNT(*) AS n
+FROM events GROUP BY bucket ORDER BY bucket
+"""
+
+
+def date_range_day_all(lo: str, hi: str) -> str:
+    """Day-string TermRangeQuery role: lexicographic compare over the
+    sortable DateTools form IS chronological compare."""
+    return f"""
+SELECT event_id, strftime(ts, '%Y%m%d') AS day
+FROM events
+WHERE strftime(ts, '%Y%m%d') >= '{lo}'
+  AND strftime(ts, '%Y%m%d') <= '{hi}'
+ORDER BY event_id
+"""
+
+
+def _ip_int_sql() -> str:
+    """Derived IPv4 integer for the synthetic
+    10.(u*7%256).(u*13%256).(u*29%256) address."""
+    return ("(CAST(10 AS BIGINT) << 24) | "
+            "((user_id * 7 % 256) << 16) | "
+            "((user_id * 13 % 256) << 8) | (user_id * 29 % 256)")
+
+
+_IP_HEX_SQL = ("'00000000000000000000ffff' || "
+               f"lower(lpad(to_hex({_ip_int_sql()}), 8, '0'))")
+
+
+def ip_range_all(lo_ip: str, hi_ip: str) -> str:
+    """InetAddressPoint.newRangeQuery mirror: inclusive integer range
+    over the derived IPv4; bounds folded independently with plain int
+    arithmetic (not the engine's encoder)."""
+    import ipaddress
+    lo = int(ipaddress.IPv4Address(lo_ip))
+    hi = int(ipaddress.IPv4Address(hi_ip))
+    return f"""
+SELECT DISTINCT user_id, {_IP_HEX_SQL} AS ip_hex
+FROM events
+WHERE {_ip_int_sql()} BETWEEN {lo} AND {hi}
+ORDER BY user_id
+"""
+
+
+def ip_prefix_all(base_ip: str, prefix_len: int) -> str:
+    """InetAddressPoint.newPrefixQuery mirror
+    (InetAddressPoint.kt:187-208): host bits zeroed / filled — folded
+    here with mask arithmetic, independent of the engine's encoder."""
+    import ipaddress
+    base = int(ipaddress.IPv4Address(base_ip))
+    host = (1 << (32 - prefix_len)) - 1
+    lo, hi = base & ~host, base | host
+    return f"""
+SELECT DISTINCT user_id, {_IP_HEX_SQL} AS ip_hex
+FROM events
+WHERE {_ip_int_sql()} BETWEEN {lo} AND {hi}
+ORDER BY user_id
+"""
+
+
 def doc_term_stats() -> str:
     """Per-doc FieldInvertState extras (FieldInvertState.kt:59-62):
     maxTermFrequency = max tf over the doc's terms, uniqueTermCount =

@@ -467,6 +467,42 @@ class GeoLineQuery(Query):
 
 
 @dataclass(frozen=True)
+class XYBoxQuery(Query):
+    """``XYPointField.newBoxQuery`` analog (``geo/XYRectangle.kt`` +
+    Rectangle2D contains over the cartesian model ``geo/XYPoint.kt``):
+    planar float32 box over per-doc x/y metadata columns — inclusive
+    bounds, no dateline semantics. Bounds snap to float32 like
+    ``XYEncodingUtils.checkVal`` (XYRectangle.kt:28-31); the compare
+    itself runs in float64 over the float32 values (Component2D
+    containsPoint double math)."""
+    min_x: float
+    max_x: float
+    min_y: float
+    max_y: float
+    x_field: str = "x"
+    y_field: str = "y"
+
+    def terms(self):
+        return []
+
+
+@dataclass(frozen=True)
+class XYCircleQuery(Query):
+    """``XYPointField.newDistanceQuery`` analog (``geo/XYCircle.kt`` +
+    ``geo/Circle2D.kt:285-300`` XYCircle2D.contains): docs whose (x, y)
+    satisfies ``(x-cx)² + (y-cy)² <= r²`` in float64 over the float32
+    coordinates — cartesian distance, not haversine."""
+    x: float
+    y: float
+    radius: float
+    x_field: str = "x"
+    y_field: str = "y"
+
+    def terms(self):
+        return []
+
+
+@dataclass(frozen=True)
 class KnnFloatVectorQuery(Query):
     """``search/KnnFloatVectorQuery.kt:33``: the k nearest docs to
     ``vector`` by cosine similarity over the segment vector sidecars.

@@ -39,7 +39,7 @@ from .query import (BooleanQuery, BoostQuery, ConstantScoreQuery,
                     MatchNoDocsQuery, MultiPhraseQuery, MultiTermQuery,
                     FeatureQuery, IndexOrDocValuesQuery, NGramPhraseQuery,
                     Occur, PhraseQuery, Query, RangeFilterQuery,
-                    SynonymQuery, TermQuery)
+                    SynonymQuery, TermQuery, XYBoxQuery, XYCircleQuery)
 
 
 class _KnnScoredQuery(Query):
@@ -282,6 +282,10 @@ class Searcher:
             return self._score_geo_polygon(sr, query, boost)
         if isinstance(query, GeoLineQuery):
             return self._score_geo_line(sr, query, boost)
+        if isinstance(query, XYBoxQuery):
+            return self._score_xy_box(sr, query, boost)
+        if isinstance(query, XYCircleQuery):
+            return self._score_xy_circle(sr, query, boost)
         if isinstance(query, IndexOrDocValuesQuery):
             # standalone = leading iteration → the index-driven execution
             return self._score_segment_raw(sr, query.index_query, boost,
@@ -458,6 +462,36 @@ class Searcher:
                 d2 = (lat - (y1 + t * dy)) ** 2 + (lon - (x1 + t * dx)) ** 2
             np.minimum(best, d2, out=best)
         mask = best <= q.buffer_deg * q.buffer_deg
+        docs = np.flatnonzero(mask).astype(np.int64)
+        return docs, np.full(len(docs), dt.type(boost), dtype=dt)
+
+    def _score_xy_box(self, sr: SegmentReader, q: "XYBoxQuery",
+                      boost: float):
+        """XYPointField.newBoxQuery: inclusive planar box, float64
+        compare over float32 coords and float32-snapped bounds
+        (XYRectangle.kt:28-31, Rectangle2D containsPoint)."""
+        dt = self.sim.dtype
+        x = sr.doc_meta[q.x_field].to_numpy().astype(np.float64)
+        y = sr.doc_meta[q.y_field].to_numpy().astype(np.float64)
+        lo_x, hi_x = np.float32(q.min_x), np.float32(q.max_x)
+        lo_y, hi_y = np.float32(q.min_y), np.float32(q.max_y)
+        mask = (x >= lo_x) & (x <= hi_x) & (y >= lo_y) & (y <= hi_y)
+        docs = np.flatnonzero(mask).astype(np.int64)
+        return docs, np.full(len(docs), dt.type(boost), dtype=dt)
+
+    def _score_xy_circle(self, sr: SegmentReader, q: "XYCircleQuery",
+                         boost: float):
+        """XYPointField.newDistanceQuery: cartesian
+        (x-cx)² + (y-cy)² <= r² in float64 over float32 coords
+        (Circle2D.kt:285-300 XYCircle2D.contains)."""
+        dt = self.sim.dtype
+        x = sr.doc_meta[q.x_field].to_numpy().astype(np.float64)
+        y = sr.doc_meta[q.y_field].to_numpy().astype(np.float64)
+        cx = float(np.float32(q.x))
+        cy = float(np.float32(q.y))
+        r = float(np.float32(q.radius))
+        dx, dy = x - cx, y - cy
+        mask = dx * dx + dy * dy <= r * r
         docs = np.flatnonzero(mask).astype(np.int64)
         return docs, np.full(len(docs), dt.type(boost), dtype=dt)
 
