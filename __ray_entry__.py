@@ -1630,6 +1630,14 @@ def _geo_wkt_all(sf_dir: str):
 # bounds off the 0.1 lattice so float32 snapping can't flip a doc
 XY_BOX = (-50.05, 30.05, -20.05, 80.05)      # min_x, max_x, min_y, max_y
 XY_CIRCLE = (10.05, -5.05, 40.0)             # cx, cy, radius
+# concave pentagon with a square hole, (x, y) vertices off-lattice
+XY_POLYGON = ((-60.05, -40.05), (20.05, -70.05), (70.05, 10.05),
+              (5.05, 25.05), (-30.05, 80.05))
+XY_POLYGON_HOLES = (((-20.05, -20.05), (10.05, -20.05),
+                     (10.05, 5.05), (-20.05, 5.05)),)
+XY_LINE = ((-90.05, -80.05), (-20.05, 10.05), (40.05, -30.05),
+           (90.05, 60.05))
+XY_LINE_BUFFER = 8.0
 
 
 def _geo_xy_box_all(sf_dir: str):
@@ -1648,6 +1656,25 @@ def _geo_xy_circle_all(sf_dir: str):
     from lucene_kmp_ray.search import XYCircleQuery
     return _all_sorted(search_all_matches(_ensure_geo_index(sf_dir),
                                           XYCircleQuery(*XY_CIRCLE)))
+
+
+def _geo_xy_polygon_all(sf_dir: str):
+    """XYPointField.newGeometryQuery(XYPolygon) (geo/XYPolygon.kt):
+    crossing-number containment minus the hole, cartesian float32
+    domain. Oracle: oracle.geo_xy_polygon_all."""
+    from lucene_kmp_ray.search import XYPolygonQuery
+    return _all_sorted(search_all_matches(
+        _ensure_geo_index(sf_dir),
+        XYPolygonQuery(XY_POLYGON, XY_POLYGON_HOLES)))
+
+
+def _geo_xy_line_all(sf_dir: str):
+    """XYPointField.newGeometryQuery(XYLine) (geo/XYLine.kt + Line2D):
+    clamped point-to-segment proximity in the cartesian domain.
+    Oracle: oracle.geo_xy_line_all."""
+    from lucene_kmp_ray.search import XYLineQuery
+    return _all_sorted(search_all_matches(
+        _ensure_geo_index(sf_dir), XYLineQuery(XY_LINE, XY_LINE_BUFFER)))
 
 
 # DateTools entries (document/DateTools.kt): sortable-prefix strings
@@ -2439,6 +2466,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5: cartesian XYPointField shapes (float32 coords)
         "geo_xy_box_all": _geo_xy_box_all,
         "geo_xy_circle_all": _geo_xy_circle_all,
+        "geo_xy_polygon_all": _geo_xy_polygon_all,
+        "geo_xy_line_all": _geo_xy_line_all,
         # round 5: DateTools sortable strings + InetAddressPoint ranges
         "date_resolution_counts": _date_resolution_counts,
         "date_range_day_all": _date_range_day_all,
@@ -2800,6 +2829,10 @@ def oracle_sql() -> dict[str, str]:
                                                     GEO_RADIUS_M),
         "geo_xy_box_all": oracle.geo_xy_box_all(*XY_BOX),
         "geo_xy_circle_all": oracle.geo_xy_circle_all(*XY_CIRCLE),
+        "geo_xy_polygon_all": oracle.geo_xy_polygon_all(XY_POLYGON,
+                                                        XY_POLYGON_HOLES),
+        "geo_xy_line_all": oracle.geo_xy_line_all(XY_LINE,
+                                                  XY_LINE_BUFFER),
         "date_resolution_counts": oracle.date_resolution_counts(),
         "date_range_day_all": oracle.date_range_day_all(*DATE_RANGE_DAYS),
         "ip_range_all": oracle.ip_range_all(*IP_RANGE),

@@ -5370,6 +5370,78 @@ ORDER BY doc_id
 """
 
 
+def geo_xy_polygon_all(polygon: tuple, holes: tuple = ()) -> str:
+    """XYPolygon mirror: the lat/lon crossing-number SQL with (x, y)
+    mapped onto the ray-cast axes (y = scan axis, x = ray axis) and
+    vertices snapped to float32 exactly like the engine
+    (Searcher._score_xy_polygon)."""
+    import numpy as np
+
+    def snap(ring):
+        return tuple((float(np.float32(py)), float(np.float32(px)))
+                     for px, py in ring)
+
+    def ring_sql(ring) -> str:
+        terms = []
+        n = len(ring)
+        for i in range(n):
+            y1, x1 = ring[i]
+            y2, x2 = ring[(i + 1) % n]
+            if y1 == y2:
+                continue
+            terms.append(
+                f"(CASE WHEN (({y1!r} > y) <> ({y2!r} > y)) AND "
+                f"x < ({x2!r} - ({x1!r})) * (y - ({y1!r})) / "
+                f"({y2!r} - ({y1!r})) + ({x1!r}) THEN 1 ELSE 0 END)")
+        return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+    cond = ring_sql(snap(polygon))
+    for hole in holes:
+        cond += f" AND NOT {ring_sql(snap(hole))}"
+    return _xy_coords_cte() + f"""
+SELECT doc_id, url, CAST(1.0 AS DOUBLE) AS score
+FROM xy
+WHERE {cond}
+ORDER BY doc_id
+"""
+
+
+def geo_xy_line_all(line: tuple, buffer: float) -> str:
+    """XYLine mirror: min over edges of clamped point-to-segment
+    squared distance <= buffer^2, same float64 edge constants from
+    float32-snapped vertices as Searcher._score_xy_line."""
+    import numpy as np
+
+    pts = [(float(np.float32(px)), float(np.float32(py)))
+           for px, py in line]
+    edges = []
+    for i in range(len(pts) - 1):
+        x1, y1 = pts[i]
+        x2, y2 = pts[i + 1]
+        dx, dy = x2 - x1, y2 - y1
+        ll = dx * dx + dy * dy
+        if ll == 0.0:
+            edges.append(f"((x - ({x1!r})) * (x - ({x1!r})) + "
+                         f"(y - ({y1!r})) * (y - ({y1!r})))")
+            continue
+        t = (f"least(1.0, greatest(0.0, "
+             f"((x - ({x1!r})) * ({dx!r}) + "
+             f"(y - ({y1!r})) * ({dy!r})) / ({ll!r})))")
+        edges.append(
+            f"((x - (({x1!r}) + {t} * ({dx!r}))) * "
+            f"(x - (({x1!r}) + {t} * ({dx!r}))) + "
+            f"(y - (({y1!r}) + {t} * ({dy!r}))) * "
+            f"(y - (({y1!r}) + {t} * ({dy!r}))))")
+    best = "least(" + ", ".join(edges) + ")" if len(edges) > 1 else edges[0]
+    r = float(np.float32(buffer))
+    return _xy_coords_cte() + f"""
+SELECT doc_id, url, CAST(1.0 AS DOUBLE) AS score
+FROM xy
+WHERE {best} <= {r * r!r}
+ORDER BY doc_id
+"""
+
+
 def date_resolution_counts() -> str:
     """DateTools DAY-resolution buckets (DateTools.kt:53-57
     timeToString prefix = yyyyMMdd): events per bucket."""

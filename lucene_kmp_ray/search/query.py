@@ -503,6 +503,39 @@ class XYCircleQuery(Query):
 
 
 @dataclass(frozen=True)
+class XYPolygonQuery(Query):
+    """``XYPointField.newGeometryQuery(XYPolygon)`` analog
+    (``geo/XYPolygon.kt`` + Polygon2D contains over the cartesian
+    model): crossing-number containment with optional holes, float64
+    math over float32 coordinates and float32-snapped vertices.
+    ``polygon``: ((x, y), ...) closed implicitly; ``holes``: tuple of
+    such rings."""
+    polygon: tuple
+    holes: tuple = ()
+    x_field: str = "x"
+    y_field: str = "y"
+
+    def terms(self):
+        return []
+
+
+@dataclass(frozen=True)
+class XYLineQuery(Query):
+    """``XYPointField.newGeometryQuery(XYLine)`` analog
+    (``geo/XYLine.kt`` + Line2D planar edge distance): docs whose
+    (x, y) lies within ``buffer`` planar units of the open polyline —
+    identical clamped point-to-segment arithmetic as GeoLineQuery, in
+    the cartesian float32 domain."""
+    line: tuple
+    buffer: float = 0.0
+    x_field: str = "x"
+    y_field: str = "y"
+
+    def terms(self):
+        return []
+
+
+@dataclass(frozen=True)
 class KnnFloatVectorQuery(Query):
     """``search/KnnFloatVectorQuery.kt:33``: the k nearest docs to
     ``vector`` by cosine similarity over the segment vector sidecars.

@@ -39,7 +39,8 @@ from .query import (BooleanQuery, BoostQuery, ConstantScoreQuery,
                     MatchNoDocsQuery, MultiPhraseQuery, MultiTermQuery,
                     FeatureQuery, IndexOrDocValuesQuery, NGramPhraseQuery,
                     Occur, PhraseQuery, Query, RangeFilterQuery,
-                    SynonymQuery, TermQuery, XYBoxQuery, XYCircleQuery)
+                    SynonymQuery, TermQuery, XYBoxQuery, XYCircleQuery,
+                    XYLineQuery, XYPolygonQuery)
 
 
 class _KnnScoredQuery(Query):
@@ -286,6 +287,10 @@ class Searcher:
             return self._score_xy_box(sr, query, boost)
         if isinstance(query, XYCircleQuery):
             return self._score_xy_circle(sr, query, boost)
+        if isinstance(query, XYPolygonQuery):
+            return self._score_xy_polygon(sr, query, boost)
+        if isinstance(query, XYLineQuery):
+            return self._score_xy_line(sr, query, boost)
         if isinstance(query, IndexOrDocValuesQuery):
             # standalone = leading iteration → the index-driven execution
             return self._score_segment_raw(sr, query.index_query, boost,
@@ -493,6 +498,51 @@ class Searcher:
         dx, dy = x - cx, y - cy
         mask = dx * dx + dy * dy <= r * r
         docs = np.flatnonzero(mask).astype(np.int64)
+        return docs, np.full(len(docs), dt.type(boost), dtype=dt)
+
+    def _score_xy_polygon(self, sr: SegmentReader, q: "XYPolygonQuery",
+                          boost: float):
+        """XYPolygon containment (geo/XYPolygon.kt): the shared
+        crossing-number ray cast with (x, y) mapped onto the helper's
+        (lon, lat) axes; vertices snap to float32 like
+        XYEncodingUtils.checkVal."""
+        dt = self.sim.dtype
+        x = sr.doc_meta[q.x_field].to_numpy().astype(np.float64)
+        y = sr.doc_meta[q.y_field].to_numpy().astype(np.float64)
+
+        def snap(ring):
+            return tuple((float(np.float32(py)), float(np.float32(px)))
+                         for px, py in ring)
+
+        mask = self._ring_contains(y, x, snap(q.polygon))
+        for hole in q.holes:
+            mask &= ~self._ring_contains(y, x, snap(hole))
+        docs = np.flatnonzero(mask).astype(np.int64)
+        return docs, np.full(len(docs), dt.type(boost), dtype=dt)
+
+    def _score_xy_line(self, sr: SegmentReader, q: "XYLineQuery",
+                       boost: float):
+        """XYLine proximity (geo/XYLine.kt + Line2D): clamped
+        point-to-segment distance over float32-snapped vertices."""
+        dt = self.sim.dtype
+        x = sr.doc_meta[q.x_field].to_numpy().astype(np.float64)
+        y = sr.doc_meta[q.y_field].to_numpy().astype(np.float64)
+        best = np.full(len(x), np.inf)
+        pts = [(float(np.float32(px)), float(np.float32(py)))
+               for px, py in q.line]
+        for i in range(len(pts) - 1):
+            x1, y1 = pts[i]
+            x2, y2 = pts[i + 1]
+            dx, dy = x2 - x1, y2 - y1
+            ll = dx * dx + dy * dy
+            if ll == 0.0:
+                d2 = (x - x1) ** 2 + (y - y1) ** 2
+            else:
+                t = np.clip(((x - x1) * dx + (y - y1) * dy) / ll, 0.0, 1.0)
+                d2 = (x - (x1 + t * dx)) ** 2 + (y - (y1 + t * dy)) ** 2
+            np.minimum(best, d2, out=best)
+        r = float(np.float32(q.buffer))
+        docs = np.flatnonzero(best <= r * r).astype(np.int64)
         return docs, np.full(len(docs), dt.type(boost), dtype=dt)
 
     def _score_boolean(self, sr: SegmentReader, q: BooleanQuery,
