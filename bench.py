@@ -218,9 +218,17 @@ def run_bench() -> dict:
 
     from lucene_kmp_ray.analysis.japanese import JapaneseAnalyzer
     ja_idx = "/tmp/bench_ja_idx"
-    shutil.rmtree(ja_idx, ignore_errors=True)
     # 30k docs / 1k-doc segments = 30 parallel invert tasks (the 2-task
     # version measured scheduler idling, not the lattice)
+    # warm pass (untimed, highvocab precedent): faults each worker's
+    # dictionary runtime + compiled lattice core once so the timed
+    # region measures ingest throughput, not process spawn
+    shutil.rmtree(ja_idx + ".warm", ignore_errors=True)
+    _build_index(_cds(SF_DIR, expand=6).map_batches(
+        _ja_text, batch_format="pyarrow"), ja_idx + ".warm",
+        segment_size=1_000, analyzer=JapaneseAnalyzer())
+    shutil.rmtree(ja_idx + ".warm", ignore_errors=True)
+    shutil.rmtree(ja_idx, ignore_errors=True)
     ja_ds = _cds(SF_DIR, expand=6).map_batches(_ja_text,
                                                batch_format="pyarrow")
     t0 = time.monotonic()
