@@ -1884,16 +1884,42 @@ def _feature_blend(sf_dir: str):
 def _classic_topk(sf_dir: str):
     """ClassicSimilarity (TF-IDF) top-10 — the pluggable Similarity slot
     (ClassicSimilarity.kt / TFIDFSimilarity.kt scorer, float64 mode)."""
+    return _similarity_topk(sf_dir, "classic")
+
+
+def _similarity_topk(sf_dir: str, similarity: str):
     import pandas as pd
     index_dir = _ensure_index(sf_dir)
     df = search_distributed(index_dir, {"q": TermQuery(TERM_A)}, k=10,
                             dtype="float64",
-                            similarity="classic").to_pandas()
+                            similarity=similarity).to_pandas()
     if df.empty:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "url": pd.Series([], dtype="string"),
                              "score": pd.Series([], dtype="float64")})
     return df[["doc_id", "url", "score"]]
+
+
+def _lmdirichlet_topk(sf_dir: str):
+    """LMDirichletSimilarity top-10 (LMDirichletSimilarity.kt:51-61,
+    mu=2000, float64 mode). Scores rounded to 6dp (ANN precedent):
+    numpy and DuckDB libm ln() differ by 1 ULP on some arguments.
+    Oracle: oracle.lm_dirichlet_term_topk."""
+    return _round_score(_similarity_topk(sf_dir, "lmdirichlet"))
+
+
+def _lmjelinekmercer_topk(sf_dir: str):
+    """LMJelinekMercerSimilarity top-10
+    (LMJelinekMercerSimilarity.kt:44-46, lambda=0.1, float64 mode,
+    6dp-rounded like the Dirichlet entry).
+    Oracle: oracle.lm_jelinek_mercer_term_topk."""
+    return _round_score(_similarity_topk(sf_dir, "lmjelinekmercer"))
+
+
+def _round_score(df):
+    df = df.copy()
+    df["score_r"] = np.round(df.pop("score"), 6)
+    return df
 
 
 def _query_vector(sf_dir: str) -> tuple:
@@ -2366,6 +2392,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_by_url_top20": lambda sf: _sorted_by_url(sf),
         "sorted_multi_key_top20": lambda sf: _sorted_multi(sf),
         "classic_term_top10": _classic_topk,
+        # round 5: language-model similarities (LMSimilarity.kt family)
+        "lmdirichlet_term_top10": _lmdirichlet_topk,
+        "lmjelinekmercer_term_top10": _lmjelinekmercer_topk,
         "feature_blend_top10": _feature_blend,
         "bm25_ja_native_top10": lambda sf: _native_cjk_topk(
             sf, "japanese", JA_VECTORS, "学生"),
@@ -2624,6 +2653,9 @@ def oracle_sql() -> dict[str, str]:
         # bit-for-bit; the knn_hnsw_recall gate guards the approximation
         "knn_hnsw_top10": oracle.knn_vector_topk(),
         "classic_term_top10": oracle.classic_term_topk(TERM_A),
+        "lmdirichlet_term_top10": oracle.lm_dirichlet_term_topk(TERM_A),
+        "lmjelinekmercer_term_top10":
+            oracle.lm_jelinek_mercer_term_topk(TERM_A),
         "feature_blend_top10": oracle.feature_blend_topk(TERM_A),
         "hybrid_bm25_knn_top10": oracle.hybrid_bm25_knn_topk(TERM_A),
         # graph-ANN recall gate: constant oracle — hash mismatches iff

@@ -795,6 +795,51 @@ ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
 
 
+def lm_dirichlet_term_topk(term: str, mu: float = 2000.0,
+                           k: int = 10) -> str:
+    """LMDirichletSimilarity mirror (LMDirichletSimilarity.kt:51-61):
+    P = (ttf+1)/(sum_ttf+1), score = ln(1 + freq/(mu*P)) +
+    ln(mu/(dln+mu)) clipped at 0, float64, boost 1."""
+    p = (f"((CAST((SELECT ttf FROM tstats WHERE term = '{term}') "
+         f"AS DOUBLE) + 1.0) / "
+         f"(CAST((SELECT sum_ttf FROM stats) AS DOUBLE) + 1.0))")
+    return preamble() + f""",
+scored AS (
+  SELECT p2.doc_id,
+         greatest(ln(1.0 + CAST(p2.freq AS DOUBLE) / ({mu!r} * {p})) +
+                  ln({mu!r} / (CAST(n.dln AS DOUBLE) + {mu!r})),
+                  0.0) AS score
+  FROM postings p2 JOIN normd n USING (doc_id)
+  WHERE p2.term = '{term}'
+)
+SELECT s.doc_id, c.url, round(s.score, 6) AS score_r
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
+def lm_jelinek_mercer_term_topk(term: str, lam: float = 0.1,
+                                k: int = 10) -> str:
+    """LMJelinekMercerSimilarity mirror
+    (LMJelinekMercerSimilarity.kt:44-46): score = ln(1 +
+    ((1-lambda)*freq/dln) / (lambda*P)), float64, boost 1."""
+    p = (f"((CAST((SELECT ttf FROM tstats WHERE term = '{term}') "
+         f"AS DOUBLE) + 1.0) / "
+         f"(CAST((SELECT sum_ttf FROM stats) AS DOUBLE) + 1.0))")
+    return preamble() + f""",
+scored AS (
+  SELECT p2.doc_id,
+         ln(1.0 + ({1.0 - lam!r} * CAST(p2.freq AS DOUBLE) /
+                   CAST(n.dln AS DOUBLE)) / ({lam!r} * {p})) AS score
+  FROM postings p2 JOIN normd n USING (doc_id)
+  WHERE p2.term = '{term}'
+)
+SELECT s.doc_id, c.url, round(s.score, 6) AS score_r
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
 def sorted_by_url(term: str, k: int = 20) -> str:
     """STRING-typed field sort: url descending, doc_id tiebreak."""
     return preamble() + f"""

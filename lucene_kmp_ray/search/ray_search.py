@@ -30,13 +30,20 @@ from .searcher import Searcher, _topk_idx
 
 def make_similarity(name: str, dtype: str):
     """Similarity registry (the Similarity extension surface, SURVEY
-    §2.11): 'bm25' (default), 'classic' (TF-IDF), 'boolean'."""
+    §2.11): 'bm25' (default), 'classic' (TF-IDF), 'boolean',
+    'lmdirichlet', 'lmjelinekmercer'."""
     if name == "classic":
         from ..similarity.classic import ClassicSimilarity
         return ClassicSimilarity(dtype=dtype)
     if name == "boolean":
         from ..similarity.classic import BooleanSimilarity
         return BooleanSimilarity(dtype=dtype)
+    if name == "lmdirichlet":
+        from ..similarity.lm import LMDirichletSimilarity
+        return LMDirichletSimilarity(dtype=dtype)
+    if name == "lmjelinekmercer":
+        from ..similarity.lm import LMJelinekMercerSimilarity
+        return LMJelinekMercerSimilarity(dtype=dtype)
     return BM25Similarity(dtype=dtype)
 
 

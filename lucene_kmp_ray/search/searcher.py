@@ -113,7 +113,8 @@ class Searcher:
             # a phrase containing an unknown term matches nothing
             return None, stats
         dc, sttf = self.reader.field_stats(field)
-        return self.sim.scorer(boost, dc, sttf, dfs), stats
+        ttfs = [stats[t][1] for t in terms]
+        return self.sim.scorer(boost, dc, sttf, dfs, ttfs), stats
 
     # ----- per-segment match+score: returns (docs asc, scores) ---------
     def _score_segment(self, sr: SegmentReader, query: Query,
@@ -223,10 +224,12 @@ class Searcher:
             stats = self.reader.term_stats(query.terms(), query.field)
             dfs = [stats[t][0] for slot in query.slots for t in slot
                    if stats[t][0] > 0]
+            ttfs = [stats[t][1] for slot in query.slots for t in slot
+                    if stats[t][0] > 0]
             if not dfs or len(docs) == 0:
                 return _empty(self.sim.dtype)
             dc, sttf = self.reader.field_stats(query.field)
-            scorer = self.sim.scorer(boost, dc, sttf, dfs)
+            scorer = self.sim.scorer(boost, dc, sttf, dfs, ttfs)
             return docs, scorer.score(freqs,
                                       sr.norms_for(query.field)[docs])
         from .spans import SpanQuery, collect_term_fields, span_freqs
@@ -241,10 +244,11 @@ class Searcher:
             by_field: dict[str, list[str]] = {}
             for t, f in collect_term_fields(query):
                 by_field.setdefault(f, []).append(t)
-            dfs = []
+            dfs, ttfs = [], []
             for f, ts in by_field.items():
                 stats = self.reader.term_stats(ts, f)
                 dfs.extend(df for df, _ in stats.values() if df > 0)
+                ttfs.extend(ttf for df, ttf in stats.values() if df > 0)
             if len(docs) == 0:
                 return _empty(self.sim.dtype)
             if not dfs:
@@ -254,7 +258,7 @@ class Searcher:
                 dt = self.sim.dtype
                 return docs, np.full(len(docs), dt.type(boost), dtype=dt)
             dc, sttf = self.reader.field_stats(query.field)
-            scorer = self.sim.scorer(boost, dc, sttf, dfs)
+            scorer = self.sim.scorer(boost, dc, sttf, dfs, ttfs)
             return docs, scorer.score(freqs,
                                       sr.norms_for(query.field)[docs])
         if isinstance(query, SynonymQuery):
@@ -306,6 +310,7 @@ class Searcher:
         dt = self.sim.dtype
         stats = self.reader.term_stats(list(q.synonym_terms), q.field)
         df_blend = max((stats[t][0] for t in q.synonym_terms), default=0)
+        ttf_blend = sum(stats[t][1] for t in q.synonym_terms)
         if df_blend == 0:
             return _empty(dt)
         parts = [p for t in set(q.synonym_terms)
@@ -320,7 +325,7 @@ class Searcher:
         if not scoring:
             return docs, np.zeros(len(docs), dtype=dt)
         dc, sttf = self.reader.field_stats(q.field)
-        scorer = self.sim.scorer(boost, dc, sttf, [df_blend])
+        scorer = self.sim.scorer(boost, dc, sttf, [df_blend], [ttf_blend])
         return docs, scorer.score(freq_sum, sr.norms_for(q.field)[docs])
 
     def _score_dismax(self, sr: SegmentReader, q: DisjunctionMaxQuery,
@@ -854,7 +859,8 @@ class Searcher:
         stats = self.reader.term_stats(terms, field)
         live = [t for t in terms if stats[t][0] > 0]
         dc, sttf = self.reader.field_stats(field)
-        scorers = {t: self.sim.scorer(1.0, dc, sttf, [stats[t][0]])
+        scorers = {t: self.sim.scorer(1.0, dc, sttf, [stats[t][0]],
+                                      [stats[t][1]])
                    for t in live}
         top_scores = np.empty(0, dtype=dt)
         hits_seen = 0
@@ -962,7 +968,7 @@ class Searcher:
                     "details": []}
         term = query.term
         stats = self.reader.term_stats([term], query.field)
-        df, _ = stats[term]
+        df, term_ttf = stats[term]
         p = sr.postings(term, field=query.field)
         if p is None or df == 0:
             return {"value": 0.0,
@@ -977,7 +983,7 @@ class Searcher:
         n, sttf = self.reader.field_stats(query.field)
         idf = self.sim.idf(df, n)
         avgdl = self.sim.avgdl(sttf, n)
-        scorer = self.sim.scorer(1.0, n, sttf, [df])
+        scorer = self.sim.scorer(1.0, n, sttf, [df], [term_ttf])
         score = float(scorer.score(np.array([freq]),
                                    np.array([norm], np.uint8))[0])
         from ..util.smallfloat import LENGTH_TABLE_INT

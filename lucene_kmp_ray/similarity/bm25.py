@@ -67,7 +67,8 @@ class BM25Similarity:
         return v
 
     def scorer(self, boost: float, doc_count: int, sum_total_term_freq: int,
-               doc_freqs: list[int]) -> "BM25Scorer":
+               doc_freqs: list[int],
+               total_term_freqs=None) -> "BM25Scorer":
         idf = self.idf_sum(doc_freqs, doc_count) if len(doc_freqs) != 1 \
             else self.idf(doc_freqs[0], doc_count)
         return BM25Scorer(self, boost, idf,

@@ -51,7 +51,8 @@ class ClassicSimilarity:
         return total
 
     def scorer(self, boost: float, doc_count: int, sum_total_term_freq: int,
-               doc_freqs: list[int]) -> "ClassicScorer":
+               doc_freqs: list[int],
+               total_term_freqs=None) -> "ClassicScorer":
         idf = self.idf_sum(doc_freqs, doc_count) if len(doc_freqs) != 1 \
             else self.idf(doc_freqs[0], doc_count)
         return ClassicScorer(self, boost, idf)
@@ -94,7 +95,8 @@ class BooleanSimilarity:
         return 1.0
 
     def scorer(self, boost: float, doc_count: int, sum_total_term_freq: int,
-               doc_freqs: list[int]) -> "BooleanScorer_":
+               doc_freqs: list[int],
+               total_term_freqs=None) -> "BooleanScorer_":
         return BooleanScorer_(self, boost)
 
 
