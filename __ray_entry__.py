@@ -2395,6 +2395,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5: language-model similarities (LMSimilarity.kt family)
         "lmdirichlet_term_top10": _lmdirichlet_topk,
         "lmjelinekmercer_term_top10": _lmjelinekmercer_topk,
+        # round 5: randomness family (DFR / IB / DFI, SimilarityBase.kt)
+        "dfr_ineb2_term_top10":
+            lambda sf: _round_score(_similarity_topk(sf, "dfr_ineb2")),
+        "ib_spl_term_top10":
+            lambda sf: _round_score(_similarity_topk(sf, "ib_spl")),
+        "dfi_chisq_term_top10":
+            lambda sf: _round_score(_similarity_topk(sf,
+                                                     "dfi_chisquared")),
         "feature_blend_top10": _feature_blend,
         "bm25_ja_native_top10": lambda sf: _native_cjk_topk(
             sf, "japanese", JA_VECTORS, "学生"),
@@ -2656,6 +2664,9 @@ def oracle_sql() -> dict[str, str]:
         "lmdirichlet_term_top10": oracle.lm_dirichlet_term_topk(TERM_A),
         "lmjelinekmercer_term_top10":
             oracle.lm_jelinek_mercer_term_topk(TERM_A),
+        "dfr_ineb2_term_top10": oracle.dfr_ineb2_term_topk(TERM_A),
+        "ib_spl_term_top10": oracle.ib_spl_term_topk(TERM_A),
+        "dfi_chisq_term_top10": oracle.dfi_chisq_term_topk(TERM_A),
         "feature_blend_top10": oracle.feature_blend_topk(TERM_A),
         "hybrid_bm25_knn_top10": oracle.hybrid_bm25_knn_topk(TERM_A),
         # graph-ANN recall gate: constant oracle — hash mismatches iff

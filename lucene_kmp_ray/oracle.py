@@ -840,6 +840,90 @@ ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
 
 
+def dfr_ineb2_term_topk(term: str, k: int = 10) -> str:
+    """DFRSimilarity(Ine, B, H2) mirror (BasicModelIne.kt:32-44,
+    AfterEffectB.kt:31-35, NormalizationH2.kt:52-54), float64, 6dp:
+    tfn = freq·log2(1+avgdl/dln), ae = (F+2)/(n+1),
+    ne = N·(1-((N-1)/N)^F), score = log2((N+1)/(ne+0.5))·ae·
+    (1 - 1/(1+tfn))."""
+    return preamble() + f""",
+consts AS (
+  SELECT t.term, t.df, t.ttf,
+         CAST((SELECT doc_count FROM stats) AS DOUBLE) AS N,
+         (SELECT sum_ttf FROM stats) /
+           CAST((SELECT doc_count FROM stats) AS DOUBLE) AS avgdl
+  FROM tstats t WHERE t.term = '{term}'
+),
+scored AS (
+  SELECT p2.doc_id,
+         (ln((c.N + 1.0) /
+             (c.N * (1.0 - pow((c.N - 1.0) / c.N, CAST(c.ttf AS DOUBLE)))
+              + 0.5)) / ln(2.0))
+         * ((c.ttf + 2.0) / (c.df + 1.0))
+         * (1.0 - 1.0 / (1.0 + CAST(p2.freq AS DOUBLE) *
+            (ln(1.0 + c.avgdl / CAST(n.dln AS DOUBLE)) / ln(2.0))))
+           AS score
+  FROM postings p2 JOIN normd n USING (doc_id), consts c
+  WHERE p2.term = '{term}'
+)
+SELECT s.doc_id, c2.url, round(s.score, 6) AS score_r
+FROM scored s JOIN corpus c2 USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
+def ib_spl_term_topk(term: str, k: int = 10) -> str:
+    """IBSimilarity(SPL, LambdaDF, H2) mirror (DistributionSPL.kt:20-43,
+    LambdaDF.kt:13-19 float32 lambda), float64, 6dp: q = 1-1/(tfn+1),
+    score = -ln((lambda^q - lambda)/(1 - lambda))."""
+    lam = ("CAST(CAST((c.df + 1.0) / (c.N + 1.0) AS REAL) AS DOUBLE)")
+    tfn = ("CAST(p2.freq AS DOUBLE) * "
+           "(ln(1.0 + c.avgdl / CAST(n.dln AS DOUBLE)) / ln(2.0))")
+    return preamble() + f""",
+consts AS (
+  SELECT t.term, t.df,
+         CAST((SELECT doc_count FROM stats) AS DOUBLE) AS N,
+         (SELECT sum_ttf FROM stats) /
+           CAST((SELECT doc_count FROM stats) AS DOUBLE) AS avgdl
+  FROM tstats t WHERE t.term = '{term}'
+),
+scored AS (
+  SELECT p2.doc_id,
+         -ln((pow({lam}, 1.0 - 1.0 / ({tfn} + 1.0)) - {lam})
+             / (1.0 - {lam})) AS score
+  FROM postings p2 JOIN normd n USING (doc_id), consts c
+  WHERE p2.term = '{term}'
+)
+SELECT s.doc_id, c2.url, round(s.score, 6) AS score_r
+FROM scored s JOIN corpus c2 USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
+def dfi_chisq_term_topk(term: str, k: int = 10) -> str:
+    """DFISimilarity(ChiSquared) mirror (DFISimilarity.kt:31-41,
+    IndependenceChiSquared.kt:13-15), float64, 6dp: expected =
+    (F+1)·dln/(T+1); 0 at/below expected else
+    log2((freq-expected)²/expected + 1)."""
+    exp = ("((CAST((SELECT ttf FROM tstats WHERE term = '" + term +
+           "') AS DOUBLE) + 1.0) * CAST(n.dln AS DOUBLE) / "
+           "(CAST((SELECT sum_ttf FROM stats) AS DOUBLE) + 1.0))")
+    return preamble() + f""",
+scored AS (
+  SELECT p2.doc_id,
+         CASE WHEN CAST(p2.freq AS DOUBLE) <= {exp} THEN 0.0
+              ELSE ln((CAST(p2.freq AS DOUBLE) - {exp}) *
+                      (CAST(p2.freq AS DOUBLE) - {exp}) / {exp} + 1.0)
+                   / ln(2.0) END AS score
+  FROM postings p2 JOIN normd n USING (doc_id)
+  WHERE p2.term = '{term}'
+)
+SELECT s.doc_id, c2.url, round(s.score, 6) AS score_r
+FROM scored s JOIN corpus c2 USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
 def sorted_by_url(term: str, k: int = 20) -> str:
     """STRING-typed field sort: url descending, doc_id tiebreak."""
     return preamble() + f"""

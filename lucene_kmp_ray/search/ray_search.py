@@ -44,6 +44,20 @@ def make_similarity(name: str, dtype: str):
     if name == "lmjelinekmercer":
         from ..similarity.lm import LMJelinekMercerSimilarity
         return LMJelinekMercerSimilarity(dtype=dtype)
+    if name == "dfr_ineb2":       # the classic DFR default (IneB2)
+        from ..similarity.dfr import (AfterEffectB, BasicModelIne,
+                                      DFRSimilarity, NormalizationH2)
+        return DFRSimilarity(BasicModelIne(), AfterEffectB(),
+                             NormalizationH2(), dtype=dtype)
+    if name == "ib_spl":
+        from ..similarity.dfr import (DistributionSPL, IBSimilarity,
+                                      LambdaDF, NormalizationH2)
+        return IBSimilarity(DistributionSPL(), LambdaDF(),
+                            NormalizationH2(), dtype=dtype)
+    if name == "dfi_chisquared":
+        from ..similarity.dfr import (DFISimilarity,
+                                      IndependenceChiSquared)
+        return DFISimilarity(IndependenceChiSquared(), dtype=dtype)
     return BM25Similarity(dtype=dtype)
 
 

@@ -982,7 +982,10 @@ class Searcher:
         norm = int(sr.norms_for(query.field)[local_doc])
         n, sttf = self.reader.field_stats(query.field)
         idf = self.sim.idf(df, n)
-        avgdl = self.sim.avgdl(sttf, n)
+        # avgdl is a BM25-family stat; other similarities (Classic, LM)
+        # have no notion of it — Explanation shows sumTotalTermFreq/N
+        avgdl = self.sim.avgdl(sttf, n) if hasattr(self.sim, "avgdl") \
+            else sttf / n
         scorer = self.sim.scorer(1.0, n, sttf, [df], [term_ttf])
         score = float(scorer.score(np.array([freq]),
                                    np.array([norm], np.uint8))[0])
@@ -990,7 +993,8 @@ class Searcher:
         dl = int(LENGTH_TABLE_INT[norm])
         return {
             "value": score,
-            "description": f"weight({query.field}:{term}) [BM25Similarity]",
+            "description": (f"weight({query.field}:{term}) "
+                            f"[{type(self.sim).__name__}]"),
             "details": [
                 {"value": idf,
                  "description": f"idf, ln(1+(N-n+0.5)/(n+0.5)) with n={df}, "
