@@ -2403,6 +2403,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dfi_chisq_term_top10":
             lambda sf: _round_score(_similarity_topk(sf,
                                                      "dfi_chisquared")),
+        # round 5: axiomatic + Indri (the last similarities-module
+        # members; Axiomatic.kt / IndriDirichletSimilarity.kt)
+        "axiomatic_f2exp_term_top10":
+            lambda sf: _round_score(_similarity_topk(sf,
+                                                     "axiomatic_f2exp")),
+        "indri_dirichlet_term_top10":
+            lambda sf: _round_score(_similarity_topk(sf,
+                                                     "indri_dirichlet")),
         "feature_blend_top10": _feature_blend,
         "bm25_ja_native_top10": lambda sf: _native_cjk_topk(
             sf, "japanese", JA_VECTORS, "学生"),
@@ -2667,6 +2675,10 @@ def oracle_sql() -> dict[str, str]:
         "dfr_ineb2_term_top10": oracle.dfr_ineb2_term_topk(TERM_A),
         "ib_spl_term_top10": oracle.ib_spl_term_topk(TERM_A),
         "dfi_chisq_term_top10": oracle.dfi_chisq_term_topk(TERM_A),
+        "axiomatic_f2exp_term_top10":
+            oracle.axiomatic_f2exp_term_topk(TERM_A),
+        "indri_dirichlet_term_top10":
+            oracle.indri_dirichlet_term_topk(TERM_A),
         "feature_blend_top10": oracle.feature_blend_topk(TERM_A),
         "hybrid_bm25_knn_top10": oracle.hybrid_bm25_knn_topk(TERM_A),
         # graph-ANN recall gate: constant oracle — hash mismatches iff

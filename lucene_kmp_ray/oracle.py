@@ -924,6 +924,59 @@ ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
 
 
+def axiomatic_f2exp_term_topk(term: str, k: int = 10) -> str:
+    """AxiomaticF2EXP mirror (AxiomaticF2EXP.kt: tf=1, ln=1,
+    tfln=freq/(freq+s+s·dl/avgdl), idf=((N+1)/df)^k, gamma=0;
+    defaults s=0.25, k=float32(0.35)), float64, 6dp."""
+    import numpy as np
+    s = float(np.float32(0.25))
+    kk = float(np.float32(0.35))
+    return preamble() + f""",
+consts AS (
+  SELECT t.df,
+         CAST((SELECT doc_count FROM stats) AS DOUBLE) AS N,
+         (SELECT sum_ttf FROM stats) /
+           CAST((SELECT doc_count FROM stats) AS DOUBLE) AS avgdl
+  FROM tstats t WHERE t.term = '{term}'
+),
+scored AS (
+  SELECT p2.doc_id,
+         greatest(0.0,
+           (CAST(p2.freq AS DOUBLE) /
+            (CAST(p2.freq AS DOUBLE) + {s!r} +
+             {s!r} * CAST(n.dln AS DOUBLE) / c.avgdl))
+           * pow((c.N + 1.0) / c.df, {kk!r})) AS score
+  FROM postings p2 JOIN normd n USING (doc_id), consts c
+  WHERE p2.term = '{term}'
+)
+SELECT s.doc_id, c2.url, round(s.score, 6) AS score_r
+FROM scored s JOIN corpus c2 USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
+def indri_dirichlet_term_topk(term: str, mu: float = 2000.0,
+                              k: int = 10) -> str:
+    """IndriDirichletSimilarity mirror
+    (IndriDirichletSimilarity.kt:51-60): ln((freq + mu·ttf/sum_ttf) /
+    (dln + mu)) — negative log-probabilities ranked descending,
+    float64, 6dp."""
+    p = (f"(CAST((SELECT ttf FROM tstats WHERE term = '{term}') "
+         f"AS DOUBLE) / CAST((SELECT sum_ttf FROM stats) AS DOUBLE))")
+    return preamble() + f""",
+scored AS (
+  SELECT p2.doc_id,
+         ln((CAST(p2.freq AS DOUBLE) + {mu!r} * {p}) /
+            (CAST(n.dln AS DOUBLE) + {mu!r})) AS score
+  FROM postings p2 JOIN normd n USING (doc_id)
+  WHERE p2.term = '{term}'
+)
+SELECT s.doc_id, c2.url, round(s.score, 6) AS score_r
+FROM scored s JOIN corpus c2 USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
 def sorted_by_url(term: str, k: int = 20) -> str:
     """STRING-typed field sort: url descending, doc_id tiebreak."""
     return preamble() + f"""

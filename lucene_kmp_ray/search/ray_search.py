@@ -58,6 +58,16 @@ def make_similarity(name: str, dtype: str):
         from ..similarity.dfr import (DFISimilarity,
                                       IndependenceChiSquared)
         return DFISimilarity(IndependenceChiSquared(), dtype=dtype)
+    if name.startswith("axiomatic_"):
+        from ..similarity import axiomatic as ax
+        cls = {"f1exp": ax.AxiomaticF1EXP, "f1log": ax.AxiomaticF1LOG,
+               "f2exp": ax.AxiomaticF2EXP, "f2log": ax.AxiomaticF2LOG,
+               "f3exp": ax.AxiomaticF3EXP, "f3log": ax.AxiomaticF3LOG,
+               }[name[len("axiomatic_"):]]
+        return cls(dtype=dtype)
+    if name == "indri_dirichlet":
+        from ..similarity.axiomatic import IndriDirichletSimilarity
+        return IndriDirichletSimilarity(dtype=dtype)
     return BM25Similarity(dtype=dtype)
 
 
