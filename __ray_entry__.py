@@ -1900,6 +1900,36 @@ def _similarity_topk(sf_dir: str, similarity: str):
     return df[["doc_id", "url", "score"]]
 
 
+def _combined_field_topk(sf_dir: str):
+    """CombinedFieldQuery (BM25F, CombinedFieldQuery.kt) over
+    text(w=1) + title(w=2): one pseudo-term score per doc from merged
+    freqs/norms/stats. Oracle: oracle.combined_field_topk."""
+    import pandas as pd
+    from lucene_kmp_ray.search import CombinedFieldQuery
+    q = CombinedFieldQuery((TERM_A,), (("text", 1.0), ("title", 2.0)))
+    df = search_distributed(_ensure_index(sf_dir), {"q": q}, k=10,
+                            dtype="float64").to_pandas()
+    return df[["doc_id", "url", "score"]] if not df.empty else \
+        pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                      "url": pd.Series([], dtype="string"),
+                      "score": pd.Series([], dtype="float64")})
+
+
+def _blended_term_topk(sf_dir: str):
+    """BlendedTermQuery (BlendedTermQuery.kt) over the same term in
+    text + title with blended df = max, dismax tie 0.01. Oracle:
+    oracle.blended_term_topk."""
+    import pandas as pd
+    from lucene_kmp_ray.search import BlendedTermQuery
+    q = BlendedTermQuery(((TERM_A, "text", 1.0), (TERM_A, "title", 1.0)))
+    df = search_distributed(_ensure_index(sf_dir), {"q": q}, k=10,
+                            dtype="float64").to_pandas()
+    return df[["doc_id", "url", "score"]] if not df.empty else \
+        pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                      "url": pd.Series([], dtype="string"),
+                      "score": pd.Series([], dtype="float64")})
+
+
 def _lmdirichlet_topk(sf_dir: str):
     """LMDirichletSimilarity top-10 (LMDirichletSimilarity.kt:51-61,
     mu=2000, float64 mode). Scores rounded to 6dp (ANN precedent):
@@ -2411,6 +2441,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "indri_dirichlet_term_top10":
             lambda sf: _round_score(_similarity_topk(sf,
                                                      "indri_dirichlet")),
+        # round 5: cross-field scoring (CombinedFieldQuery = BM25F,
+        # BlendedTermQuery = blended-stats dismax)
+        "combined_field_top10": _combined_field_topk,
+        "blended_term_top10": _blended_term_topk,
         "feature_blend_top10": _feature_blend,
         "bm25_ja_native_top10": lambda sf: _native_cjk_topk(
             sf, "japanese", JA_VECTORS, "学生"),
@@ -2679,6 +2713,8 @@ def oracle_sql() -> dict[str, str]:
             oracle.axiomatic_f2exp_term_topk(TERM_A),
         "indri_dirichlet_term_top10":
             oracle.indri_dirichlet_term_topk(TERM_A),
+        "combined_field_top10": oracle.combined_field_topk(TERM_A),
+        "blended_term_top10": oracle.blended_term_topk(TERM_A),
         "feature_blend_top10": oracle.feature_blend_topk(TERM_A),
         "hybrid_bm25_knn_top10": oracle.hybrid_bm25_knn_topk(TERM_A),
         # graph-ANN recall gate: constant oracle — hash mismatches iff

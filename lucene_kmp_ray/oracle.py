@@ -977,6 +977,92 @@ ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
 
 
+def combined_field_topk(term: str, w_text: float = 1.0,
+                        w_title: float = 2.0, k: int = 10) -> str:
+    """CombinedFieldQuery (BM25F) mirror (CombinedFieldQuery.kt +
+    MultiNormsLeafSimScorer.kt): pseudo stats dc = max, sttf =
+    Σ trunc(w·sttf_f), df = max over fields, per-doc freq =
+    Σ w_f·freq_f, combined norm = encode(floor(Σ w_f·dln_f + 0.5))
+    via the lt VALUES table, then the exact BM25 float64 kernel."""
+    lit = f"'{term}'"
+    idf = idf_sql("(SELECT df FROM pdf)", dc="(SELECT dc FROM pstats)")
+    score = score_sql("m.freq", "m.dln", idf, av="pav")
+    return preamble() + f""",
+pstats AS (
+  SELECT greatest((SELECT doc_count FROM stats),
+                  (SELECT doc_count FROM tfstats)) AS dc,
+         CAST(trunc({w_text!r} * (SELECT sum_ttf FROM stats)) AS BIGINT)
+         + CAST(trunc({w_title!r} * (SELECT sum_ttf FROM tfstats))
+                AS BIGINT) AS sttf
+),
+pav AS (SELECT sttf / CAST(dc AS DOUBLE) AS avgdl FROM pstats),
+pdf AS (
+  SELECT greatest(
+    COALESCE((SELECT df FROM tstats WHERE term = {lit}), 0),
+    COALESCE((SELECT df FROM ttstats WHERE term = {lit}), 0)) AS df
+),
+mergedf AS (
+  SELECT doc_id,
+         {w_text!r} * COALESCE(a.freq, 0) +
+         {w_title!r} * COALESCE(b.freq, 0) AS freq
+  FROM (SELECT doc_id, freq FROM postings WHERE term = {lit}) a
+  FULL OUTER JOIN
+       (SELECT doc_id, freq FROM tpostings WHERE term = {lit}) b
+  USING (doc_id)
+),
+m AS (
+  SELECT mf.doc_id, mf.freq,
+         (SELECT max(v) FROM lt l2
+          WHERE l2.v <= floor({w_text!r} * n1.dln +
+                              {w_title!r} * n2.dln + 0.5)) AS dln
+  FROM mergedf mf JOIN normd n1 USING (doc_id)
+       JOIN tnormd n2 USING (doc_id)
+)
+SELECT m.doc_id, c.url, {score} AS score
+FROM m JOIN corpus c USING (doc_id)
+ORDER BY score DESC, m.doc_id LIMIT {k}
+"""
+
+
+def blended_term_topk(term: str, tie: float = 0.01, k: int = 10) -> str:
+    """BlendedTermQuery mirror (BlendedTermQuery.kt:214-236 + :273):
+    per-field BM25 with the ARTIFICIAL blended df (max over fields;
+    BM25 ignores ttf), dismax-combined with the 0.01 tie breaker."""
+    lit = f"'{term}'"
+    dfb = ("greatest(COALESCE((SELECT df FROM tstats WHERE term = "
+           f"{lit}), 0), COALESCE((SELECT df FROM ttstats WHERE term = "
+           f"{lit}), 0))")
+    s_text = score_sql("a.freq", "n1.dln", idf_sql(dfb))
+    s_title = score_sql("b.freq", "n2.dln",
+                        idf_sql(dfb, dc="(SELECT doc_count FROM tfstats)"),
+                        av="tav")
+    return preamble() + f""",
+sct AS (
+  SELECT a.doc_id, {s_text} AS s
+  FROM (SELECT doc_id, freq FROM postings WHERE term = {lit}) a
+  JOIN normd n1 USING (doc_id)
+),
+scti AS (
+  SELECT b.doc_id, {s_title} AS s
+  FROM (SELECT doc_id, freq FROM tpostings WHERE term = {lit}) b
+  JOIN tnormd n2 USING (doc_id)
+),
+merged AS (
+  SELECT doc_id, COALESCE(t.s, 0.0) AS st, COALESCE(i.s, 0.0) AS si
+  FROM sct t FULL OUTER JOIN scti i USING (doc_id)
+),
+dm AS (
+  SELECT doc_id,
+         greatest(st, si) + {tie!r} * (st + si - greatest(st, si))
+           AS score
+  FROM merged
+)
+SELECT d.doc_id, c.url, d.score
+FROM dm d JOIN corpus c USING (doc_id)
+ORDER BY d.score DESC, d.doc_id LIMIT {k}
+"""
+
+
 def sorted_by_url(term: str, k: int = 20) -> str:
     """STRING-typed field sort: url descending, doc_id tiebreak."""
     return preamble() + f"""

@@ -467,6 +467,43 @@ class GeoLineQuery(Query):
 
 
 @dataclass(frozen=True)
+class CombinedFieldQuery(Query):
+    """BM25F over weighted fields (``search/CombinedFieldQuery.kt``):
+    all (term, field) postings merge into ONE pseudo-term scored once
+    per doc — freq = Σ weight_f·freq(term,f) (:365-397), norm =
+    ``intToByte4(round(Σ weight_f·LENGTH_TABLE[norm_f]))``
+    (MultiNormsLeafSimScorer.kt:110-123), pseudo term stats df = max,
+    ttf = Σ long(weight_f·ttf) (:236-252), pseudo collection stats
+    docCount = max over fields, sumTotalTermFreq = Σ long(weight_f·
+    sttf_f) (:259-281). Field weights must be ≥ 1 (:98-101)."""
+    query_terms: tuple    # term strings
+    fields: tuple         # ((field, weight), ...)
+
+    def __post_init__(self):
+        for _, w in self.fields:
+            if w < 1.0:
+                raise ValueError("weight must be greater or equal to 1")
+
+    def terms(self):
+        return list(self.query_terms)
+
+
+@dataclass(frozen=True)
+class BlendedTermQuery(Query):
+    """``search/BlendedTermQuery.kt``: per-term scorers over ARTIFICIAL
+    blended stats — df = max over terms, ttf = Σ (:226-236
+    ``rewrite``) — combined by the DisjunctionMaxRewrite (tie breaker
+    0.01, :273) or BOOLEAN_REWRITE (sum, :262-268). ``blend_terms``:
+    ((term, field, boost), ...)."""
+    blend_terms: tuple
+    tie_breaker: float = 0.01
+    boolean_rewrite: bool = False
+
+    def terms(self):
+        return [t for t, _, _ in self.blend_terms]
+
+
+@dataclass(frozen=True)
 class XYBoxQuery(Query):
     """``XYPointField.newBoxQuery`` analog (``geo/XYRectangle.kt`` +
     Rectangle2D contains over the cartesian model ``geo/XYPoint.kt``):

@@ -31,7 +31,8 @@ import numpy as np
 
 from ..index.reader import IndexReader, SegmentReader
 from ..similarity.bm25 import BM25Similarity
-from .query import (BooleanQuery, BoostQuery, ConstantScoreQuery,
+from .query import (BlendedTermQuery, BooleanQuery, BoostQuery,
+                    CombinedFieldQuery, ConstantScoreQuery,
                     DisjunctionMaxQuery, FieldExistsQuery,
                     GeoBoxQuery, GeoDistanceQuery, GeoLineQuery,
                     GeoPolygonQuery,
@@ -263,6 +264,10 @@ class Searcher:
                                       sr.norms_for(query.field)[docs])
         if isinstance(query, SynonymQuery):
             return self._score_synonym(sr, query, boost, scoring)
+        if isinstance(query, CombinedFieldQuery):
+            return self._score_combined_field(sr, query, boost, scoring)
+        if isinstance(query, BlendedTermQuery):
+            return self._score_blended(sr, query, boost, scoring)
         if isinstance(query, DisjunctionMaxQuery):
             return self._score_dismax(sr, query, boost, scoring)
         if isinstance(query, MultiTermQuery):
@@ -327,6 +332,109 @@ class Searcher:
         dc, sttf = self.reader.field_stats(q.field)
         scorer = self.sim.scorer(boost, dc, sttf, [df_blend], [ttf_blend])
         return docs, scorer.score(freq_sum, sr.norms_for(q.field)[docs])
+
+    def _score_combined_field(self, sr: SegmentReader,
+                              q: CombinedFieldQuery, boost: float,
+                              scoring: bool):
+        """CombinedFieldQuery.kt (BM25F): one pseudo-term score per doc
+        over weighted fields — freq = Σ w_f·freq (:365-397), norm
+        re-encoded from the weighted sum of decoded lengths
+        (MultiNormsLeafSimScorer.kt:110-123), stats merged per the
+        class docstring."""
+        from ..util.smallfloat import LENGTH_TABLE, int_to_byte4_np
+        dt = self.sim.dtype
+        # pseudo collection stats (CombinedFieldQuery.kt:259-281)
+        doc_count, sttf_pseudo = 0, 0
+        for f, w in q.fields:
+            dc_f, sttf_f = self.reader.field_stats(f)
+            doc_count = max(doc_count, dc_f)
+            sttf_pseudo += int(w * float(sttf_f))
+        # pseudo term stats (:236-252): df = max, ttf = Σ long(w·ttf)
+        df = 0
+        ttf_pseudo = 0
+        per_field_stats = {}
+        for f, w in q.fields:
+            st = self.reader.term_stats(list(q.query_terms), f)
+            per_field_stats[f] = st
+            for t in q.query_terms:
+                if st[t][0] > 0:
+                    df = max(df, st[t][0])
+                    ttf_pseudo += int(w * float(st[t][1]))
+        if df == 0:
+            return _empty(dt)
+        # union of matching docs + weighted freq (float accumulation)
+        alldocs, allfreqs = [], []
+        for f, w in q.fields:
+            for t in q.query_terms:
+                p = sr.postings(t, field=f)
+                if p is None:
+                    continue
+                d, fr = p
+                alldocs.append(d)
+                allfreqs.append(np.float32(w) * fr.astype(np.float32))
+        if not alldocs:
+            return _empty(dt)
+        cat = np.concatenate(alldocs)
+        docs, inv = np.unique(cat, return_inverse=True)
+        freq = np.zeros(len(docs), dtype=np.float32)
+        np.add.at(freq, inv, np.concatenate(allfreqs))
+        if not scoring:
+            return docs, np.zeros(len(docs), dtype=dt)
+        # combined norm: float32 accumulation of w·decoded length in
+        # field order, rounded half-up, re-encoded to a byte
+        normv = np.zeros(len(docs), dtype=np.float32)
+        for f, w in q.fields:
+            nb = sr.norms_for(f)[docs]
+            normv += np.float32(w) * LENGTH_TABLE[nb]
+        norm_byte = int_to_byte4_np(
+            np.floor(normv.astype(np.float64) + 0.5).astype(np.int64))
+        scorer = self.sim.scorer(boost, doc_count, sttf_pseudo, [df],
+                                 [max(1, ttf_pseudo)])
+        return docs, scorer.score(freq, norm_byte).astype(dt)
+
+    def _score_blended(self, sr: SegmentReader, q: BlendedTermQuery,
+                       boost: float, scoring: bool):
+        """BlendedTermQuery.kt:214-236: per-term scorers over blended
+        stats (df = max, ttf = Σ), merged by dismax with tie breaker
+        (:273 default 0.01) or SHOULD-sum (:262-268)."""
+        dt = self.sim.dtype
+        per = []
+        df_blend, ttf_blend = 0, 0
+        for t, f, b in q.blend_terms:
+            st = self.reader.term_stats([t], f)
+            df_blend = max(df_blend, st[t][0])
+            ttf_blend += st[t][1]
+        if df_blend == 0:
+            return _empty(dt)
+        for t, f, b in q.blend_terms:
+            p = sr.postings(t, field=f)
+            if p is None:
+                continue
+            docs_t, freqs_t = p
+            dc, sttf = self.reader.field_stats(f)
+            scorer = self.sim.scorer(boost * b, dc, sttf, [df_blend],
+                                     [ttf_blend])
+            sc = scorer.score(freqs_t, sr.norms_for(f)[docs_t])
+            per.append((docs_t, sc))
+        if not per:
+            return _empty(dt)
+        docs = np.unique(np.concatenate([d for d, _ in per]))
+        if not scoring:
+            return docs, np.zeros(len(docs), dtype=dt)
+        mx = np.zeros(len(docs), dtype=np.float64)
+        total = np.zeros(len(docs), dtype=np.float64)
+        for d, sc in per:
+            idx = np.searchsorted(docs, d)
+            vals = np.zeros(len(docs), dtype=np.float64)
+            vals[idx] = sc.astype(np.float64)
+            np.maximum(mx, vals, out=mx)
+            total += vals
+        if q.boolean_rewrite:
+            out = total
+        else:
+            tie = float(q.tie_breaker)
+            out = mx + tie * (total - mx)
+        return docs, out.astype(dt)
 
     def _score_dismax(self, sr: SegmentReader, q: DisjunctionMaxQuery,
                       boost: float, scoring: bool):
