@@ -1900,6 +1900,53 @@ def _similarity_topk(sf_dir: str, similarity: str):
     return df[["doc_id", "url", "score"]]
 
 
+VECTOR_SIM_THRESHOLD = 0.2
+POINT_SET_LENGTHS = (42, 47, 53, 58)
+
+
+def _indri_and_topk(sf_dir: str):
+    """IndriAndQuery over two text terms with IndriDirichletSimilarity
+    (IndriAndScorer.kt mean-with-smoothing): union of matches, each
+    clause contributing its LM score or the background smoothing score.
+    Oracle: oracle.indri_and_topk (6dp — libm ln ULP)."""
+    import pandas as pd
+    from lucene_kmp_ray.search import IndriAndQuery
+    q = IndriAndQuery(((AND_TERMS[0], "text", 1.0),
+                       (AND_TERMS[1], "text", 1.0)))
+    df = search_distributed(_ensure_index(sf_dir), {"q": q}, k=10,
+                            dtype="float64",
+                            similarity="indri_dirichlet").to_pandas()
+    if df.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "url": pd.Series([], dtype="string"),
+                             "score_r": pd.Series([], dtype="float64")})
+    return _round_score(df[["doc_id", "url", "score"]])
+
+
+def _point_in_set_all(sf_dir: str):
+    """PointInSetQuery (PointInSetQuery.kt role): MUST(term) ∧
+    FILTER(length ∈ set) — full match set, deterministic order.
+    Oracle: oracle.point_in_set_all."""
+    from lucene_kmp_ray.search import PointInSetQuery
+    return _all_sorted(search_all_matches(
+        _ensure_index(sf_dir), BooleanQuery.build(
+            (Occur.MUST, TermQuery(TERM_A)),
+            (Occur.FILTER, PointInSetQuery("length", POINT_SET_LENGTHS)))))
+
+
+def _vector_similarity_all(sf_dir: str):
+    """FloatVectorSimilarityQuery (AbstractVectorSimilarityQuery.kt):
+    ALL vectors with cosine >= result threshold, exact scan, score =
+    cosine (6dp — both sides compute float64 cosines with different
+    op order). Oracle: oracle.vector_similarity_all."""
+    from lucene_kmp_ray.search import VectorSimilarityQuery
+    df = _all_sorted(search_all_matches(
+        _ensure_index(sf_dir),
+        VectorSimilarityQuery(_query_vector(sf_dir),
+                              VECTOR_SIM_THRESHOLD)))
+    return _round_score(df)
+
+
 def _combined_field_topk(sf_dir: str):
     """CombinedFieldQuery (BM25F, CombinedFieldQuery.kt) over
     text(w=1) + title(w=2): one pseudo-term score per doc from merged
@@ -2445,6 +2492,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BlendedTermQuery = blended-stats dismax)
         "combined_field_top10": _combined_field_topk,
         "blended_term_top10": _blended_term_topk,
+        # round 5: numeric set filter + threshold vector matching
+        "point_in_set_all": _point_in_set_all,
+        "vector_similarity_all": _vector_similarity_all,
+        "indri_and_top10": _indri_and_topk,
         "feature_blend_top10": _feature_blend,
         "bm25_ja_native_top10": lambda sf: _native_cjk_topk(
             sf, "japanese", JA_VECTORS, "学生"),
@@ -2715,6 +2766,11 @@ def oracle_sql() -> dict[str, str]:
             oracle.indri_dirichlet_term_topk(TERM_A),
         "combined_field_top10": oracle.combined_field_topk(TERM_A),
         "blended_term_top10": oracle.blended_term_topk(TERM_A),
+        "point_in_set_all": oracle.point_in_set_all(TERM_A,
+                                                    POINT_SET_LENGTHS),
+        "vector_similarity_all":
+            oracle.vector_similarity_all(VECTOR_SIM_THRESHOLD),
+        "indri_and_top10": oracle.indri_and_topk(*AND_TERMS[:2]),
         "feature_blend_top10": oracle.feature_blend_topk(TERM_A),
         "hybrid_bm25_knn_top10": oracle.hybrid_bm25_knn_topk(TERM_A),
         # graph-ANN recall gate: constant oracle — hash mismatches iff

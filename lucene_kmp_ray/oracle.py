@@ -1063,6 +1063,66 @@ ORDER BY d.score DESC, d.doc_id LIMIT {k}
 """
 
 
+def indri_and_topk(t1: str, t2: str, mu: float = 2000.0,
+                   k: int = 10) -> str:
+    """IndriAndQuery + IndriDirichlet mirror (IndriAndScorer.kt:21-46):
+    union of matches; per clause score ln((freq + mu·ttf_t/sum_ttf) /
+    (dln + mu)) with freq = 0 for the non-matching clause (the
+    smoothing score); final = mean over the two equal-boost clauses."""
+    def sterm(t, fr):
+        p = (f"(CAST((SELECT ttf FROM tstats WHERE term = '{t}') "
+             f"AS DOUBLE) / CAST((SELECT sum_ttf FROM stats) AS DOUBLE))")
+        return (f"ln((CAST({fr} AS DOUBLE) + {mu!r} * {p}) / "
+                f"(CAST(n.dln AS DOUBLE) + {mu!r}))")
+    return preamble() + f""",
+uni AS (
+  SELECT doc_id, COALESCE(a.freq, 0) AS f1, COALESCE(b.freq, 0) AS f2
+  FROM (SELECT doc_id, freq FROM postings WHERE term = '{t1}') a
+  FULL OUTER JOIN
+       (SELECT doc_id, freq FROM postings WHERE term = '{t2}') b
+  USING (doc_id)
+),
+scored AS (
+  SELECT u.doc_id,
+         ({sterm(t1, 'u.f1')} + {sterm(t2, 'u.f2')}) / 2.0 AS score
+  FROM uni u JOIN normd n USING (doc_id)
+)
+SELECT s.doc_id, c.url, round(s.score, 6) AS score_r
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
+def point_in_set_all(term: str, values: tuple) -> str:
+    """PointInSetQuery mirror: MUST(term) ∧ FILTER(doc length ∈ set)."""
+    vals = ", ".join(str(int(v)) for v in values)
+    return preamble() + f""",
+scored AS ({term_scored_cte(repr(term))})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN doclen d USING (doc_id) JOIN corpus c USING (doc_id)
+WHERE d.dl IN ({vals})
+ORDER BY s.doc_id
+"""
+
+
+def vector_similarity_all(threshold: float) -> str:
+    """FloatVectorSimilarityQuery mirror: every vector with cosine >=
+    threshold against query vector 0, score = cosine at 6dp."""
+    return preamble() + f""",
+qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT e.vec_id AS doc_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             CAST((SELECT embedding FROM qv) AS DOUBLE[])) AS cos
+  FROM embeddings e
+)
+SELECT s.doc_id, c.url, round(s.cos, 6) AS score_r
+FROM sims s JOIN corpus c USING (doc_id)
+WHERE s.cos >= {threshold!r}
+ORDER BY s.doc_id
+"""
+
+
 def sorted_by_url(term: str, k: int = 20) -> str:
     """STRING-typed field sort: url descending, doc_id tiebreak."""
     return preamble() + f"""

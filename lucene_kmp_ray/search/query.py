@@ -384,6 +384,59 @@ class RangeFilterQuery(Query):
 
 
 @dataclass(frozen=True)
+class IndriAndQuery(Query):
+    """``search/IndriAndQuery.kt`` + ``IndriAndScorer.kt:21-46``: the
+    union of clause matches scored by the BOOST-WEIGHTED MEAN of clause
+    scores, where a clause that does not match the doc contributes its
+    smoothing score ``sim.score(freq=0, norm)`` (TermScorer.kt:86-92) —
+    the collection background model acting as an idf. Meaningful with
+    the LM similarities (IndriDirichletSimilarity pairs with it in the
+    reference). ``clauses``: ((term, field, boost), ...)."""
+    clauses: tuple
+
+    def terms(self):
+        return [t for t, _, _ in self.clauses]
+
+
+@dataclass(frozen=True)
+class PointInSetQuery(Query):
+    """``search/PointInSetQuery.kt`` analog: numeric membership over a
+    per-doc metadata column (the LongPoint/IntPoint ``newSetQuery``
+    role — InetAddressPoint.newSetQuery shares it). Matches score a
+    constant (FILTER position for pure filtering); values compare
+    exactly, like the BKD set visitor."""
+    field: str
+    values: tuple
+
+    def terms(self):
+        return []
+
+
+@dataclass(frozen=True)
+class VectorSimilarityQuery(Query):
+    """``search/FloatVectorSimilarityQuery.kt`` /
+    ``AbstractVectorSimilarityQuery.kt``: ALL vectors whose similarity
+    to the target meets ``result_similarity`` (the collection
+    threshold); ``traversal_similarity`` (≤ result, validated like the
+    reference) is the graph-traversal bound — this engine's exact scan
+    makes it a no-op, kept for API parity and future HNSW pruning.
+    Scores are the raw cosine similarities, like the engine's
+    KnnFloatVectorQuery."""
+    vector: tuple
+    result_similarity: float
+    traversal_similarity: float | None = None
+
+    def __post_init__(self):
+        t = self.traversal_similarity
+        if t is not None and t > self.result_similarity:
+            raise ValueError(
+                "traversalSimilarity should be <= resultSimilarity")
+
+    def terms(self):
+        return []
+
+
+@dataclass(frozen=True)
 class GeoBoxQuery(Query):
     """``LatLonPoint.newBoxQuery`` analog (``document/LatLonPoint.kt``)
     over per-doc lat/lon metadata columns: lat/lon inside the box match

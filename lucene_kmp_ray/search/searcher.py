@@ -32,15 +32,16 @@ import numpy as np
 from ..index.reader import IndexReader, SegmentReader
 from ..similarity.bm25 import BM25Similarity
 from .query import (BlendedTermQuery, BooleanQuery, BoostQuery,
-                    CombinedFieldQuery, ConstantScoreQuery,
+                    CombinedFieldQuery, ConstantScoreQuery, IndriAndQuery,
                     DisjunctionMaxQuery, FieldExistsQuery,
                     GeoBoxQuery, GeoDistanceQuery, GeoLineQuery,
                     GeoPolygonQuery,
                     KnnFloatVectorQuery, MatchAllDocsQuery,
                     MatchNoDocsQuery, MultiPhraseQuery, MultiTermQuery,
                     FeatureQuery, IndexOrDocValuesQuery, NGramPhraseQuery,
-                    Occur, PhraseQuery, Query, RangeFilterQuery,
-                    SynonymQuery, TermQuery, XYBoxQuery, XYCircleQuery,
+                    Occur, PhraseQuery, PointInSetQuery, Query,
+                    RangeFilterQuery, SynonymQuery, TermQuery,
+                    VectorSimilarityQuery, XYBoxQuery, XYCircleQuery,
                     XYLineQuery, XYPolygonQuery)
 
 
@@ -268,6 +269,8 @@ class Searcher:
             return self._score_combined_field(sr, query, boost, scoring)
         if isinstance(query, BlendedTermQuery):
             return self._score_blended(sr, query, boost, scoring)
+        if isinstance(query, IndriAndQuery):
+            return self._score_indri_and(sr, query, boost, scoring)
         if isinstance(query, DisjunctionMaxQuery):
             return self._score_dismax(sr, query, boost, scoring)
         if isinstance(query, MultiTermQuery):
@@ -284,6 +287,12 @@ class Searcher:
             return docs, vals.astype(dt)
         if isinstance(query, RangeFilterQuery):
             return self._score_range(sr, query, boost)
+        if isinstance(query, PointInSetQuery):
+            dt = self.sim.dtype
+            col = sr.doc_meta[query.field].to_numpy()
+            mask = np.isin(col, np.asarray(list(query.values)))
+            docs = np.flatnonzero(mask).astype(np.int64)
+            return docs, np.full(len(docs), dt.type(boost), dtype=dt)
         if isinstance(query, GeoBoxQuery):
             return self._score_geo_box(sr, query, boost)
         if isinstance(query, GeoDistanceQuery):
@@ -435,6 +444,48 @@ class Searcher:
             tie = float(q.tie_breaker)
             out = mx + tie * (total - mx)
         return docs, out.astype(dt)
+
+    def _score_indri_and(self, sr: SegmentReader, q: IndriAndQuery,
+                         boost: float, scoring: bool):
+        """IndriAndScorer.kt:21-46: union of clause matches, score =
+        Σ b_i·score_i / Σ b_i where a non-matching clause contributes
+        sim.score(0, norm) (the smoothing/background score,
+        TermScorer.kt:86-92)."""
+        dt = self.sim.dtype
+        resolved = []
+        for t, f, b in q.clauses:
+            st = self.reader.term_stats([t], f)
+            df, ttf = st[t]
+            if df == 0:
+                continue
+            dc, sttf = self.reader.field_stats(f)
+            scorer = self.sim.scorer(boost, dc, sttf, [df], [ttf])
+            resolved.append((t, f, float(b), scorer))
+        if not resolved:
+            return _empty(dt)
+        parts = []
+        for t, f, b, scorer in resolved:
+            p = sr.postings(t, field=f)
+            parts.append((f, b, scorer, p))
+        alld = [p[0] for _, _, _, p in parts if p is not None]
+        if not alld:
+            return _empty(dt)
+        docs = np.unique(np.concatenate(alld))
+        if not scoring:
+            return docs, np.zeros(len(docs), dtype=dt)
+        total = np.zeros(len(docs), dtype=np.float64)
+        boost_sum = 0.0
+        for f, b, scorer, p in parts:
+            freq = np.zeros(len(docs), dtype=np.int64)
+            if p is not None:
+                d_t, f_t = p
+                freq[np.searchsorted(docs, d_t)] = f_t
+            sc = scorer.score(freq, sr.norms_for(f)[docs])
+            total += b * sc.astype(np.float64)
+            boost_sum += b
+        if boost_sum == 0.0:
+            return docs, np.zeros(len(docs), dtype=dt)
+        return docs, (total / boost_sum).astype(dt)
 
     def _score_dismax(self, sr: SegmentReader, q: DisjunctionMaxQuery,
                       boost: float, scoring: bool):
@@ -810,6 +861,37 @@ class Searcher:
                 hits.sort()
                 resolved[s] = (np.array([d for d, _ in hits], np.int64),
                                np.array([v for _, v in hits], np.float64))
+            return _KnnScoredQuery(resolved)
+        if isinstance(query, VectorSimilarityQuery):
+            # AbstractVectorSimilarityQuery: ALL vectors at/above the
+            # result threshold — exact per-segment scan (the HNSW
+            # traversal bound is an acceleration in the reference; the
+            # exact scan is its fixed point)
+            q = np.asarray(query.vector, dtype=np.float64)
+            qn = np.linalg.norm(q)
+            if qn == 0:
+                return MatchNoDocsQuery("zero query vector")
+            q = q / qn
+            resolved = {}
+            for sr in self.reader.segment_readers:
+                mat = sr.vectors
+                if mat is None or not len(mat):
+                    continue
+                norms = np.linalg.norm(mat, axis=1)
+                norms[norms == 0] = 1.0
+                sims = (mat @ q) / norms
+                miss = sr.vector_missing
+                if miss is not None:
+                    sims[miss] = -np.inf
+                tomb = sr.tombstones
+                if tomb is not None and len(tomb):
+                    sims[tomb] = -np.inf
+                sel = np.flatnonzero(sims >= query.result_similarity)
+                if len(sel):
+                    resolved[sr.seg] = (sel.astype(np.int64),
+                                        sims[sel].astype(np.float64))
+            if not resolved:
+                return MatchNoDocsQuery("no vectors above threshold")
             return _KnnScoredQuery(resolved)
         if isinstance(query, BooleanQuery):
             return BooleanQuery(
