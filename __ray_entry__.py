@@ -684,7 +684,7 @@ def _ensure_geo_index(sf_dir: str) -> str:
     from lucene_kmp_ray.sources.corpus import corpus_dataset
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    idx = f"/tmp/lucene_kmp_ray_index_geo2/{tag}"
+    idx = f"/tmp/lucene_kmp_ray_index_geo3/{tag}"
     if not os.path.exists(os.path.join(idx, "manifest.json")):
         def add_coords(b: pa.Table) -> pa.Table:
             d = b["doc_id"].to_numpy()
@@ -692,15 +692,21 @@ def _ensure_geo_index(sf_dir: str) -> str:
             lon = (d * 73 % 36000) / 100.0 - 180.0
             x = ((d * 13 % 2000) / 10.0 - 100.0).astype(np.float32)
             y = ((d * 29 % 2000) / 10.0 - 100.0).astype(np.float32)
+            # range-valued field (RangeFieldQuery role): [rlo, rhi]
+            rlo = d * 17 % 1000
+            rhi = rlo + d * 7 % 120
             return b.append_column("lat", pa.array(lat, pa.float64())) \
                     .append_column("lon", pa.array(lon, pa.float64())) \
                     .append_column("x", pa.array(x, pa.float32())) \
-                    .append_column("y", pa.array(y, pa.float32()))
+                    .append_column("y", pa.array(y, pa.float32())) \
+                    .append_column("rlo", pa.array(rlo, pa.int64())) \
+                    .append_column("rhi", pa.array(rhi, pa.int64()))
         ds = corpus_dataset(sf_dir, columns=["doc_id", "url", "text",
                                              "lang"]) \
             .map_batches(add_coords, batch_format="pyarrow")
         build_index(ds, idx, segment_size=SEGMENT_SIZE,
-                    meta_cols=("lat", "lon", "x", "y", "lang"))
+                    meta_cols=("lat", "lon", "x", "y", "rlo", "rhi",
+                               "lang"))
     return idx
 
 
@@ -1904,6 +1910,22 @@ VECTOR_SIM_THRESHOLD = 0.2
 POINT_SET_LENGTHS = (42, 47, 53, 58)
 
 
+# query interval narrower than the max doc-interval width (119) so all
+# four relations (incl. contains) have non-empty match sets
+RANGE_FIELD_QUERY = (300, 390)
+
+
+def _range_field_all(sf_dir: str, relation: str):
+    """RangeFieldQuery (document/RangeFieldQuery.kt QueryType) over the
+    synthetic per-doc [rlo, rhi] interval metadata — full match set per
+    relation. Oracle: oracle.range_field_all."""
+    from lucene_kmp_ray.search import RangeFieldQuery
+    lo, hi = RANGE_FIELD_QUERY
+    return _all_sorted(search_all_matches(
+        _ensure_geo_index(sf_dir),
+        RangeFieldQuery("rlo", "rhi", lo, hi, relation)))
+
+
 def _indri_and_topk(sf_dir: str):
     """IndriAndQuery over two text terms with IndriDirichletSimilarity
     (IndriAndScorer.kt mean-with-smoothing): union of matches, each
@@ -2284,7 +2306,12 @@ def _all_sorted(ds):
     full-match set hash-diverges from the oracle run-to-run even when the
     row SETS are identical (the r4 geo_polygon_all red); every *_all oracle
     mirrors with ORDER BY doc_id."""
+    import pandas as pd
     df = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
+    if df.empty:  # empty Datasets lose their schema through to_pandas
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "url": pd.Series([], dtype="string"),
+                             "score": pd.Series([], dtype="float64")})
     df = df.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
     # concat over empty per-segment batches upcasts int64 → float64
     if df["doc_id"].dtype != "int64":
@@ -2496,6 +2523,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "point_in_set_all": _point_in_set_all,
         "vector_similarity_all": _vector_similarity_all,
         "indri_and_top10": _indri_and_topk,
+        # round 5: range-valued fields (Int/Double/InetAddressRange role)
+        "range_intersects_all":
+            lambda sf: _range_field_all(sf, "intersects"),
+        "range_within_all": lambda sf: _range_field_all(sf, "within"),
+        "range_contains_all": lambda sf: _range_field_all(sf, "contains"),
+        "range_crosses_all": lambda sf: _range_field_all(sf, "crosses"),
         "feature_blend_top10": _feature_blend,
         "bm25_ja_native_top10": lambda sf: _native_cjk_topk(
             sf, "japanese", JA_VECTORS, "学生"),
@@ -2771,6 +2804,14 @@ def oracle_sql() -> dict[str, str]:
         "vector_similarity_all":
             oracle.vector_similarity_all(VECTOR_SIM_THRESHOLD),
         "indri_and_top10": oracle.indri_and_topk(*AND_TERMS[:2]),
+        "range_intersects_all":
+            oracle.range_field_all(*RANGE_FIELD_QUERY, "intersects"),
+        "range_within_all":
+            oracle.range_field_all(*RANGE_FIELD_QUERY, "within"),
+        "range_contains_all":
+            oracle.range_field_all(*RANGE_FIELD_QUERY, "contains"),
+        "range_crosses_all":
+            oracle.range_field_all(*RANGE_FIELD_QUERY, "crosses"),
         "feature_blend_top10": oracle.feature_blend_topk(TERM_A),
         "hybrid_bm25_knn_top10": oracle.hybrid_bm25_knn_topk(TERM_A),
         # graph-ANN recall gate: constant oracle — hash mismatches iff

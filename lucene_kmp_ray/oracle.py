@@ -1093,6 +1093,34 @@ ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
 
 
+def range_field_all(lo: int, hi: int, relation: str) -> str:
+    """RangeFieldQuery mirror over the synthetic [rlo, rhi] interval
+    (same doc_id derivation as the engine's geo index):
+    intersects / within / contains / crosses per
+    document/RangeFieldQuery.kt QueryType (crosses = intersects ∧
+    ¬within)."""
+    preds = {
+        "intersects": f"(rlo <= {hi} AND rhi >= {lo})",
+        "within": f"(rlo >= {lo} AND rhi <= {hi})",
+        "contains": f"(rlo <= {lo} AND rhi >= {hi})",
+        "crosses": (f"(rlo <= {hi} AND rhi >= {lo}) AND NOT "
+                    f"(rlo >= {lo} AND rhi <= {hi})"),
+    }
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+ranges AS (
+  SELECT doc_id, url,
+         doc_id * 17 % 1000 AS rlo,
+         doc_id * 17 % 1000 + doc_id * 7 % 120 AS rhi
+  FROM corpus
+)
+SELECT doc_id, url, CAST(1.0 AS DOUBLE) AS score
+FROM ranges
+WHERE {preds[relation]}
+ORDER BY doc_id
+"""
+
+
 def point_in_set_all(term: str, values: tuple) -> str:
     """PointInSetQuery mirror: MUST(term) ∧ FILTER(doc length ∈ set)."""
     vals = ", ".join(str(int(v)) for v in values)

@@ -399,6 +399,32 @@ class IndriAndQuery(Query):
 
 
 @dataclass(frozen=True)
+class RangeFieldQuery(Query):
+    """Range-valued field queries (``document/RangeFieldQuery.kt`` —
+    the Int/Long/Float/DoubleRange field family): each doc stores an
+    interval [lo, hi]; the query relates it to [lower, upper] with
+    - intersects: doc.lo ≤ upper ∧ doc.hi ≥ lower (QueryType.kt:59-108)
+    - within:     doc.lo ≥ lower ∧ doc.hi ≤ upper (:104-147)
+    - contains:   doc.lo ≤ lower ∧ doc.hi ≥ upper (:149-192)
+    - crosses:    intersects ∧ ¬within (:251-261 matches())
+    Constant score; single dimension (the reference packs up to 4 —
+    compose multiple RangeFieldQuerys in FILTER position for that)."""
+    lo_field: str
+    hi_field: str
+    lower: float
+    upper: float
+    relation: str = "intersects"
+
+    def __post_init__(self):
+        if self.relation not in ("intersects", "within", "contains",
+                                 "crosses"):
+            raise ValueError(f"unknown relation: {self.relation}")
+
+    def terms(self):
+        return []
+
+
+@dataclass(frozen=True)
 class PointInSetQuery(Query):
     """``search/PointInSetQuery.kt`` analog: numeric membership over a
     per-doc metadata column (the LongPoint/IntPoint ``newSetQuery``

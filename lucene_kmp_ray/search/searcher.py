@@ -40,6 +40,7 @@ from .query import (BlendedTermQuery, BooleanQuery, BoostQuery,
                     MatchNoDocsQuery, MultiPhraseQuery, MultiTermQuery,
                     FeatureQuery, IndexOrDocValuesQuery, NGramPhraseQuery,
                     Occur, PhraseQuery, PointInSetQuery, Query,
+                    RangeFieldQuery,
                     RangeFilterQuery, SynonymQuery, TermQuery,
                     VectorSimilarityQuery, XYBoxQuery, XYCircleQuery,
                     XYLineQuery, XYPolygonQuery)
@@ -291,6 +292,18 @@ class Searcher:
             dt = self.sim.dtype
             col = sr.doc_meta[query.field].to_numpy()
             mask = np.isin(col, np.asarray(list(query.values)))
+            docs = np.flatnonzero(mask).astype(np.int64)
+            return docs, np.full(len(docs), dt.type(boost), dtype=dt)
+        if isinstance(query, RangeFieldQuery):
+            dt = self.sim.dtype
+            lo = sr.doc_meta[query.lo_field].to_numpy()
+            hi = sr.doc_meta[query.hi_field].to_numpy()
+            inter = (lo <= query.upper) & (hi >= query.lower)
+            within = (lo >= query.lower) & (hi <= query.upper)
+            mask = {"intersects": inter,
+                    "within": within,
+                    "contains": (lo <= query.lower) & (hi >= query.upper),
+                    "crosses": inter & ~within}[query.relation]
             docs = np.flatnonzero(mask).astype(np.int64)
             return docs, np.full(len(docs), dt.type(boost), dtype=dt)
         if isinstance(query, GeoBoxQuery):
