@@ -2086,6 +2086,83 @@ def _knn_hnsw_topk(sf_dir: str):
     return df[["doc_id", "url", "score_r"]]
 
 
+def _quantized_env(sf_dir: str):
+    """Shared setup of the byte-vector entries: the scalar-quantized
+    index (int8 sidecars, Lucene99ScalarQuantizedVectorsFormat role) and
+    the quantized query vector (vector 0). Bounds are the exact global
+    component min/max (ScalarQuantizer.kt confidenceInterval == 1f
+    branch at 347-357), computed by a streaming map_batches pass —
+    nothing materializes on the driver. Returns (index_dir, query_bytes,
+    quantizer)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lucene_kmp_ray.index.builder import build_index_sharded
+    from lucene_kmp_ray.sources.corpus import corpus_shards
+    from lucene_kmp_ray.util.quantize import (ScalarQuantizer,
+                                              global_vector_bounds)
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/lucene_kmp_ray_index_q/{tag}"
+    lo, hi = global_vector_bounds(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["embedding"]))
+    sq = ScalarQuantizer(lo, hi, 7)
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        shards, make_docs = corpus_shards(sf_dir, segment_size=SEGMENT_SIZE,
+                                          fields=INDEX_FIELDS,
+                                          with_vectors=True)
+        build_index_sharded(shards, make_docs, idx, lineage_source=sf_dir,
+                            fields=INDEX_FIELDS, vector_col="embedding",
+                            quantize={"lo": lo, "hi": hi, "bits": 7})
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).sort_by("vec_id")
+    qmat = np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+    qb, _ = sq.quantize(qmat[None, :])
+    return idx, tuple(int(x) for x in qb[0]), sq
+
+
+def _knn_int8_topk(sf_dir: str):
+    """KnnByteVectorQuery (search/KnnByteVectorQuery.kt role): top-10 by
+    the byte DOT_PRODUCT score 0.5 + dot/(dim * 2^15)
+    (VectorUtil.kt:281-285) over int8 scalar-quantized sidecars — pure
+    integer ranking, bit-exact against the SQL mirror that recomputes
+    the quantization (oracle.knn_int8_topk)."""
+    from lucene_kmp_ray.search import KnnByteVectorQuery
+
+    idx, qbytes, _sq = _quantized_env(sf_dir)
+    q = KnnByteVectorQuery(qbytes, k=10)
+    df = search_distributed(idx, {"q": q}, k=10,
+                            dtype="float64").to_pandas()
+    df = df.rename(columns={"score": "score_r"})
+    df["score_r"] = np.round(df["score_r"], 6)
+    return df[["doc_id", "url", "score_r"]]
+
+
+def _byte_vector_similarity_all(sf_dir: str):
+    """ByteVectorSimilarityQuery (search/ByteVectorSimilarityQuery.kt
+    role): every doc whose byte score vs the quantized query meets the
+    threshold. The threshold is the byte score of vector 1 — data-derived
+    on both sides, so the entry stays meaningful at every SF."""
+    import pyarrow.parquet as pq
+
+    from lucene_kmp_ray.search import ByteVectorSimilarityQuery
+    from lucene_kmp_ray.util.quantize import dot_product_score
+
+    idx, qbytes, sq = _quantized_env(sf_dir)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).sort_by("vec_id")
+    v1 = np.asarray(t["embedding"][1].as_py(), dtype=np.float64)
+    q1, _ = sq.quantize(v1[None, :])
+    thr = float(dot_product_score(np.asarray(qbytes, np.int64),
+                                  q1.astype(np.int64))[0])
+    df = _all_sorted(search_all_matches(
+        idx, ByteVectorSimilarityQuery(qbytes, result_similarity=thr)))
+    df = df.rename(columns={"score": "score_r"})
+    df["score_r"] = np.round(df["score_r"], 6)
+    return df[["doc_id", "url", "score_r"]]
+
+
 def _hybrid_topk(sf_dir: str):
     """Hybrid BM25 + vector over ONE index artifact: SHOULD(text:spark)
     + SHOULD(knn(vec0, k=50)); scores sum per doc (the additive hybrid of
@@ -2427,6 +2504,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r5 fix under driver review: HNSW candidates exact-reranked so
         # top-10 == brute top-10 (oracle = brute SQL)
         "knn_hnsw_top10": _knn_hnsw_topk,
+        "knn_int8_top10": _knn_int8_topk,
+        "byte_vector_similarity_all": _byte_vector_similarity_all,
         "knn_hnsw_recall": _knn_hnsw_recall,
         "hybrid_bm25_knn_top10": _hybrid_topk,
         # --- round-4 families: ONE representative per family ---
@@ -2786,6 +2865,8 @@ def oracle_sql() -> dict[str, str]:
         # per-segment graphs, so the graph path reproduces the brute top-10
         # bit-for-bit; the knn_hnsw_recall gate guards the approximation
         "knn_hnsw_top10": oracle.knn_vector_topk(),
+        "knn_int8_top10": oracle.knn_int8_topk(),
+        "byte_vector_similarity_all": oracle.byte_vector_similarity_all(),
         "classic_term_top10": oracle.classic_term_topk(TERM_A),
         "lmdirichlet_term_top10": oracle.lm_dirichlet_term_topk(TERM_A),
         "lmjelinekmercer_term_top10":

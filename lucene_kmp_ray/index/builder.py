@@ -86,7 +86,8 @@ def build_index(ds, index_dir: str, segment_size: int = DEFAULT_SEGMENT_SIZE,
                 vector_col: str | None = None,
                 meta_cols: tuple[str, ...] = (),
                 index_sort: tuple[tuple[str, bool], ...] | None = None,
-                hnsw: dict | None = None) -> dict:
+                hnsw: dict | None = None,
+                quantize: dict | None = None) -> dict:
     """Build (or resume) an index from a corpus Dataset with
     ``doc_id, url`` plus one column per indexed field (default just
     ``text``; pass ``fields=("text", "title")`` for fielded documents,
@@ -125,7 +126,7 @@ def build_index(ds, index_dir: str, segment_size: int = DEFAULT_SEGMENT_SIZE,
             group.select(cols), seg, index_dir,
             lineage, analyzer=analyzer, fields=fields,
             vector_col=vector_col, meta_cols=meta_cols,
-            index_sort=index_sort, hnsw=hnsw)
+            index_sort=index_sort, hnsw=hnsw, quantize=quantize)
         return pa.table({"manifest": pa.array([json.dumps(man)], pa.string())})
 
     ds = ds.select_columns(["doc_id", "url", *fields] +
@@ -156,7 +157,8 @@ def build_index_sharded(shards: list[dict], make_docs, index_dir: str,
                         vector_col: str | None = None,
                         index_sort: tuple[tuple[str, bool], ...] | None =
                         None,
-                        hnsw: dict | None = None) -> dict:
+                        hnsw: dict | None = None,
+                        quantize: dict | None = None) -> dict:
     """Shuffle-free build: one Ray task per shard, segment == shard.
 
     This is the production path (and the Lucene DWPT model: each writer
@@ -193,7 +195,8 @@ def build_index_sharded(shards: list[dict], make_docs, index_dir: str,
         man = build_and_write_segment(make_docs(spec), spec["seg"],
                                       index_dir, lineage, analyzer=analyzer,
                                       fields=fields, vector_col=vector_col,
-                                      index_sort=index_sort, hnsw=hnsw)
+                                      index_sort=index_sort, hnsw=hnsw,
+                                      quantize=quantize)
         return json.dumps(man)
 
     pending: list = []

@@ -34,6 +34,7 @@ import time
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..util import forutil as fu
@@ -43,6 +44,7 @@ TERMS_FILE = "terms.parquet"
 TERMS_ROW_GROUP = 4096  # terms per row group (the reader-side "term block")
 DOCS_FILE = "docs.parquet"
 VECTORS_FILE = "vectors.parquet"
+VECTORS_Q_FILE = "vectors_q.parquet"
 GRAPH_FILE = "graph.parquet"
 SEG_MANIFEST = "manifest.json"
 
@@ -453,13 +455,16 @@ def seg_dirname(seg: int) -> str:
 
 def write_segment(index_dir: str, terms_table: pa.Table, docs_table: pa.Table,
                   manifest: dict, vectors_table: pa.Table | None = None,
-                  graph_table: pa.Table | None = None
+                  graph_table: pa.Table | None = None,
+                  qvectors_table: pa.Table | None = None
                   ) -> dict:
     """Atomically persist one segment (write tmp dir, rename) — the
     per-partition two-phase commit (SegmentInfos.kt:35-45 analog).
     ``vectors_table`` is the optional per-doc vector sidecar (row N ==
     local docID N — the KnnVectorsFormat role, codecs/lucene99);
-    ``graph_table`` the optional HNSW neighbor-list sidecar over it."""
+    ``graph_table`` the optional HNSW neighbor-list sidecar over it;
+    ``qvectors_table`` the optional int8 scalar-quantized sidecar
+    (Lucene99ScalarQuantizedVectorsFormat role)."""
     import shutil
     import tempfile
 
@@ -484,6 +489,8 @@ def write_segment(index_dir: str, terms_table: pa.Table, docs_table: pa.Table,
         pq.write_table(vectors_table, os.path.join(tmp_dir, VECTORS_FILE))
     if graph_table is not None:
         pq.write_table(graph_table, os.path.join(tmp_dir, GRAPH_FILE))
+    if qvectors_table is not None:
+        pq.write_table(qvectors_table, os.path.join(tmp_dir, VECTORS_Q_FILE))
     with open(os.path.join(tmp_dir, SEG_MANIFEST), "w") as f:
         json.dump(manifest, f)
     try:
@@ -504,7 +511,8 @@ def build_and_write_segment(docs: pa.Table, seg: int, index_dir: str,
                             meta_cols: tuple[str, ...] = (),
                             index_sort: tuple[tuple[str, bool], ...] | None
                             = None,
-                            hnsw: dict | None = None) -> dict:
+                            hnsw: dict | None = None,
+                            quantize: dict | None = None) -> dict:
     """``vector_col`` names a per-doc vector column of ``docs`` (a
     KnnFloatVectorField, document/KnnFloatVectorField role): it splits
     into the vectors sidecar in local-docID order and never enters the
@@ -515,7 +523,12 @@ def build_and_write_segment(docs: pa.Table, seg: int, index_dir: str,
     sort fields must be among ``meta_cols``/``url``/``doc_id``.
     ``hnsw`` (e.g. ``{"m": 16, "ef_construction": 100}``) additionally
     builds a per-segment HNSW graph sidecar over the vector column
-    (HnswGraphBuilder.kt role) for approximate KNN at query time."""
+    (HnswGraphBuilder.kt role) for approximate KNN at query time.
+    ``quantize`` (``{"lo": float, "hi": float, "bits": 7}`` — GLOBAL
+    corpus bounds, see util/quantize.py) additionally writes an int8
+    scalar-quantized sidecar (Lucene99ScalarQuantizedVectorsFormat
+    role) that KnnByteVectorQuery / ByteVectorSimilarityQuery scan with
+    pure integer dot products."""
     docs = _sorted_docs(docs, index_sort)  # one sort; vectors ride along
     vectors_table = None
     if vector_col is not None and vector_col in docs.column_names:
@@ -536,8 +549,61 @@ def build_and_write_segment(docs: pa.Table, seg: int, index_dir: str,
             vectors_table.num_rows:
         graph_table, hmeta = build_hnsw_sidecar(vectors_table, hnsw)
         manifest["hnsw"] = hmeta
+    qvectors_table = None
+    if quantize is not None and vectors_table is not None and \
+            vectors_table.num_rows:
+        qvectors_table, qmeta = build_quantized_sidecar(vectors_table,
+                                                        quantize)
+        manifest["quantize"] = qmeta
     return write_segment(index_dir, terms_table, docs_table, manifest,
-                         vectors_table, graph_table)
+                         vectors_table, graph_table, qvectors_table)
+
+
+def build_quantized_sidecar(vectors_table: pa.Table,
+                            quantize: dict) -> tuple[pa.Table, dict]:
+    """int8 scalar-quantized copy of the vector sidecar (flush-time
+    quantization, Lucene99ScalarQuantizedVectorsWriter role): ``qvec``
+    int8 bytes + ``qcorr`` the per-vector corrective offset
+    (ScalarQuantizer.kt:79-121), null rows (vector-less docs) preserved.
+    ``quantize`` carries the GLOBAL (lo, hi, bits) so all segments share
+    one byte space (divergence from Lucene's per-segment quantiles,
+    documented in util/quantize.py)."""
+    from ..util.quantize import ScalarQuantizer
+    sq = ScalarQuantizer(float(quantize["lo"]), float(quantize["hi"]),
+                         int(quantize.get("bits", 7)))
+    col = vectors_table["embedding"].combine_chunks()
+    n = len(col)
+    if col.null_count:
+        valid = ~np.asarray(col.is_null())
+        rows = col.to_numpy(zero_copy_only=False)
+        dim = next(len(r) for r in rows if r is not None)
+        dense = np.zeros((int(valid.sum()), dim), dtype=np.float64)
+        for j, i in enumerate(np.flatnonzero(valid)):
+            dense[j] = rows[i]
+    else:
+        valid = np.ones(n, dtype=bool)
+        dense = np.vstack(col.to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        dim = dense.shape[1] if dense.size else 0
+    qb, corr = sq.quantize(dense)
+    qcorr = np.full(n, np.nan, dtype=np.float64)
+    qcorr[valid] = corr
+    if valid.all():
+        lists = pa.FixedSizeListArray.from_arrays(
+            pa.array(qb.ravel(), type=pa.int8()), dim)
+    else:
+        # sparse field: null rows ride as null lists (Parquet cannot
+        # store fixed-size lists with null slots)
+        lengths = np.where(valid, dim, 0)
+        offs = np.append(0, np.cumsum(lengths)).astype(np.int64)
+        offsets = pa.array(
+            [None if i < n and not valid[i] else int(offs[i])
+             for i in range(n + 1)], type=pa.int32())
+        lists = pa.ListArray.from_arrays(
+            offsets, pa.array(qb.ravel(), type=pa.int8()))
+    qmeta = {"lo": sq.lo, "hi": sq.hi, "bits": sq.bits}
+    return pa.table({"qvec": lists,
+                     "qcorr": pa.array(qcorr, type=pa.float64())}), qmeta
 
 
 def decode_postings(df: int, ttf: int, docs_enc: bytes, freqs_enc: bytes,

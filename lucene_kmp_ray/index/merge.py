@@ -346,8 +346,21 @@ def merge_segments(index_dir: str, segs: list[int], new_seg: int) -> dict:
                             for k in ("m", "ef_construction", "seed")
                             if k in hnsw_params})
         manifest["hnsw"] = hmeta
+    # int8 quantized sidecars REBUILD over the merged vectors with the
+    # (global, so shared) quantize params of the first source that had
+    # them — Lucene's quantized-format merge also requantizes (the
+    # recalculateCorrectiveOffset path, ScalarQuantizer.kt:124-141);
+    # with engine-global bounds the requantization is byte-identical
+    qvectors_table = None
+    q_params = next((m.get("quantize") for m in src_manifests
+                     if m.get("quantize")), None)
+    if q_params and vectors_table is not None and vectors_table.num_rows:
+        from .format import build_quantized_sidecar
+        qvectors_table, qmeta = build_quantized_sidecar(vectors_table,
+                                                        q_params)
+        manifest["quantize"] = qmeta
     return write_segment(index_dir, terms_table, docs_table, manifest,
-                         vectors_table, graph_table)
+                         vectors_table, graph_table, qvectors_table)
 
 
 def _filter_entries(nl: np.ndarray, freqs: np.ndarray, posd: np.ndarray,

@@ -57,6 +57,7 @@ class SegmentReader:
         self._vectors: np.ndarray | None | bool = False
         self._vector_missing: np.ndarray | None = None
         self._hnsw = False  # False=unloaded, None=no graph sidecar
+        self._quantized: tuple | None | bool = False  # int8 sidecar
 
     @property
     def tombstones(self) -> np.ndarray | None:
@@ -218,6 +219,51 @@ class SegmentReader:
                         .astype(np.float64)
                     self._vector_missing = None
         return self._vectors
+
+    @property
+    def quantized(self):
+        """int8 scalar-quantized vector sidecar
+        (Lucene99ScalarQuantizedVectorsFormat reader role): returns
+        ``(bytes_i64 [n, dim], corrections [n], missing mask | None,
+        ScalarQuantizer)`` or None when the segment was built without
+        ``quantize``. Bytes cache as int64 so the per-query integer
+        matmul never re-casts. Loaded lazily once per reader — the byte
+        path never touches the float sidecar."""
+        if self._quantized is False:
+            import json as _json
+
+            from ..util.quantize import ScalarQuantizer
+            path = os.path.join(self.dir, "vectors_q.parquet")
+            if not os.path.exists(path):
+                self._quantized = None
+            else:
+                with open(os.path.join(self.dir, "manifest.json")) as f:
+                    qmeta = _json.load(f).get("quantize") or {}
+                sq = ScalarQuantizer(float(qmeta["lo"]), float(qmeta["hi"]),
+                                     int(qmeta.get("bits", 7)))
+                t = pq.read_table(path)
+                col = t["qvec"].combine_chunks()
+                corr = t["qcorr"].to_numpy(zero_copy_only=False) \
+                    .astype(np.float64)
+                if col.null_count:
+                    missing = np.asarray(col.is_null())
+                    rows = col.to_numpy(zero_copy_only=False)
+                    dim = next(len(r) for r in rows if r is not None)
+                    mat = np.zeros((len(rows), dim), dtype=np.int64)
+                    for i, r in enumerate(rows):
+                        if r is not None:
+                            mat[i] = r
+                else:
+                    missing = None
+                    if pa.types.is_fixed_size_list(col.type):
+                        dim = col.type.list_size
+                        mat = np.asarray(col.flatten()).astype(np.int64) \
+                            .reshape(len(col), dim)
+                    else:
+                        mat = np.vstack(col.to_numpy(zero_copy_only=False)) \
+                            .astype(np.int64)
+                self._quantized = (mat, corr, missing, sq)
+        return self._quantized
 
     @property
     def hnsw(self):

@@ -728,6 +728,60 @@ ORDER BY s.cos DESC, s.doc_id LIMIT {k}
 """
 
 
+_QUANTIZE_CTES = """
+bounds AS (
+  SELECT min(c) AS lo, max(c) AS hi
+  FROM (SELECT unnest(CAST(embedding AS DOUBLE[])) AS c FROM embeddings)
+),
+params AS (SELECT lo, hi, 127.0 / (hi - lo) AS scale FROM bounds),
+qb AS (
+  SELECT list_transform(CAST(e.embedding AS DOUBLE[]),
+           x -> floor((least(greatest(x, p.lo), p.hi) - p.lo) * p.scale
+                      + 0.5)) AS q
+  FROM embeddings e, params p WHERE e.vec_id = 0
+),
+db AS (
+  SELECT e.vec_id AS doc_id,
+         list_transform(CAST(e.embedding AS DOUBLE[]),
+           x -> floor((least(greatest(x, p.lo), p.hi) - p.lo) * p.scale
+                      + 0.5)) AS b
+  FROM embeddings e, params p
+),
+bsims AS (
+  SELECT d.doc_id,
+         0.5 + list_inner_product(d.b, (SELECT q FROM qb))
+             / (len(d.b) * 32768.0) AS s
+  FROM db d
+)"""
+
+
+def knn_int8_topk(k: int = 10) -> str:
+    """KnnByteVectorQuery mirror: the engine's flush-time scalar
+    quantization (util/quantize.ScalarQuantizer, ScalarQuantizer.kt:92-115
+    with confidenceInterval = 1.0 → exact global min/max bounds) is
+    recomputed in SQL — floor(+0.5) bucketing into [0,127] — then the
+    byte DOT_PRODUCT score 0.5 + dot/(dim * 2^15)
+    (VectorUtil.kt:281-285), top-k by (score desc, doc_id)."""
+    return preamble() + "," + _QUANTIZE_CTES + f"""
+SELECT s.doc_id, c.url, round(s.s, 6) AS score_r
+FROM bsims s JOIN corpus c USING (doc_id)
+ORDER BY s.s DESC, s.doc_id LIMIT {k}
+"""
+
+
+def byte_vector_similarity_all() -> str:
+    """ByteVectorSimilarityQuery mirror: every doc whose byte DOT_PRODUCT
+    score meets the threshold — the threshold is itself the byte score of
+    vector 1 against the query (vector 0), so it is data-derived and
+    exact at every scale. Deterministic ORDER BY doc_id."""
+    return preamble() + "," + _QUANTIZE_CTES + """
+SELECT s.doc_id, c.url, round(s.s, 6) AS score_r
+FROM bsims s JOIN corpus c USING (doc_id)
+WHERE s.s >= (SELECT s FROM bsims WHERE doc_id = 1)
+ORDER BY s.doc_id
+"""
+
+
 def hybrid_bm25_knn_topk(term: str, k: int = 10, knn_k: int = 50) -> str:
     """Hybrid retrieval: SHOULD(text term BM25) + SHOULD(global top-knn_k
     cosine) — scores sum per doc in the engine's float64 clause order."""

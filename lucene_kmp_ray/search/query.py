@@ -671,6 +671,53 @@ class KnnFloatVectorQuery(Query):
 
 
 @dataclass(frozen=True)
+class KnnByteVectorQuery(Query):
+    """``search/KnnByteVectorQuery.kt``: the k nearest docs to an int8
+    ``vector`` over the segment's scalar-quantized sidecars
+    (Lucene99ScalarQuantizedVectorsFormat role — byte vectors here are
+    produced by util/quantize.ScalarQuantizer at flush). Similarity is
+    the byte DOT_PRODUCT score ``0.5 + dot / (dim * 2^15)``
+    (``util/VectorUtil.kt:281-285`` dotProductScore via
+    ``index/VectorSimilarityFunction.kt:34-43``) — pure integer math,
+    so ranking is exactly reproducible. Rewrites to the global top-k
+    doc set like KnnFloatVectorQuery, composing with BooleanQuery."""
+    vector: tuple[int, ...]
+    k: int = 10
+
+    def __post_init__(self):
+        for v in self.vector:
+            if not -128 <= int(v) <= 127:
+                raise ValueError(f"byte vector component out of range: {v}")
+
+    def terms(self):
+        return []
+
+
+@dataclass(frozen=True)
+class ByteVectorSimilarityQuery(Query):
+    """``search/ByteVectorSimilarityQuery.kt`` /
+    ``AbstractVectorSimilarityQuery.kt``: ALL byte vectors whose
+    DOT_PRODUCT score meets ``result_similarity``; the traversal bound
+    is validated like the float variant and is a no-op under the exact
+    scan."""
+    vector: tuple[int, ...]
+    result_similarity: float
+    traversal_similarity: float | None = None
+
+    def __post_init__(self):
+        t = self.traversal_similarity
+        if t is not None and t > self.result_similarity:
+            raise ValueError(
+                "traversalSimilarity should be <= resultSimilarity")
+        for v in self.vector:
+            if not -128 <= int(v) <= 127:
+                raise ValueError(f"byte vector component out of range: {v}")
+
+    def terms(self):
+        return []
+
+
+@dataclass(frozen=True)
 class FeatureQuery(Query):
     """Static ranking signal over a per-doc numeric metadata column —
     the ``FeatureField.newLogQuery`` role (document/FeatureField: features

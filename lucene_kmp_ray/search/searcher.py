@@ -36,6 +36,7 @@ from .query import (BlendedTermQuery, BooleanQuery, BoostQuery,
                     DisjunctionMaxQuery, FieldExistsQuery,
                     GeoBoxQuery, GeoDistanceQuery, GeoLineQuery,
                     GeoPolygonQuery,
+                    KnnByteVectorQuery, ByteVectorSimilarityQuery,
                     KnnFloatVectorQuery, MatchAllDocsQuery,
                     MatchNoDocsQuery, MultiPhraseQuery, MultiTermQuery,
                     FeatureQuery, IndexOrDocValuesQuery, NGramPhraseQuery,
@@ -905,6 +906,57 @@ class Searcher:
                                         sims[sel].astype(np.float64))
             if not resolved:
                 return MatchNoDocsQuery("no vectors above threshold")
+            return _KnnScoredQuery(resolved)
+        if isinstance(query, (KnnByteVectorQuery, ByteVectorSimilarityQuery)):
+            # byte-vector queries over the int8 scalar-quantized sidecar
+            # (KnnByteVectorQuery.kt / ByteVectorSimilarityQuery.kt):
+            # integer dot products, score = 0.5 + dot/(dim*2^15)
+            # (VectorUtil.dotProductScore) — exact integer ranking, so
+            # the global top-k / threshold set is deterministic
+            from ..util.quantize import dot_product_score
+            qv = np.asarray(query.vector, dtype=np.int64)
+            segs, docs_l, sims_l = [], [], []
+            for sr in self.reader.segment_readers:
+                qz = sr.quantized
+                if qz is None:
+                    continue
+                mat, _corr, miss, _sq = qz
+                if not len(mat):
+                    continue
+                sims = dot_product_score(qv, mat)
+                if miss is not None:
+                    sims[miss] = -np.inf
+                tomb = sr.tombstones
+                if tomb is not None and len(tomb):
+                    sims[tomb] = -np.inf
+                if isinstance(query, KnnByteVectorQuery):
+                    nk = min(query.k, len(sims))
+                    sel = np.argpartition(-sims, nk - 1)[:nk] \
+                        if nk < len(sims) else np.arange(len(sims))
+                    sel = sel[np.isfinite(sims[sel])]
+                else:
+                    sel = np.flatnonzero(sims >= query.result_similarity)
+                if len(sel):
+                    segs.append(np.full(len(sel), sr.seg, np.int64))
+                    docs_l.append(sel.astype(np.int64))
+                    sims_l.append(sims[sel])
+            if not segs:
+                return MatchNoDocsQuery("no quantized vector sidecars")
+            seg_a = np.concatenate(segs)
+            doc_a = np.concatenate(docs_l)
+            sim_a = np.concatenate(sims_l)
+            order = np.lexsort((doc_a, seg_a, -sim_a))
+            if isinstance(query, KnnByteVectorQuery):
+                order = order[:query.k]
+            resolved = {}
+            for i in order:
+                resolved.setdefault(int(seg_a[i]), [[], []])
+                resolved[int(seg_a[i])][0].append(int(doc_a[i]))
+                resolved[int(seg_a[i])][1].append(float(sim_a[i]))
+            for s, (dl, vl) in list(resolved.items()):
+                o = np.argsort(np.asarray(dl, np.int64))
+                resolved[s] = (np.asarray(dl, np.int64)[o],
+                               np.asarray(vl, np.float64)[o])
             return _KnnScoredQuery(resolved)
         if isinstance(query, BooleanQuery):
             return BooleanQuery(

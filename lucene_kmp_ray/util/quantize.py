@@ -1,0 +1,173 @@
+"""Scalar quantization of float vectors to 7-bit int8 bytes.
+
+The byte-vector production path of the reference's
+``util/quantization/ScalarQuantizer.kt`` (quantize at 64-121, the
+confidenceInterval == 1f min/max branch at 334-360) as used by
+``codecs/lucene99/Lucene99ScalarQuantizedVectorsFormat.kt`` — floats are
+linearly bucketed into [0, 127] between a lower and upper quantile, and
+byte vectors are then compared with pure integer dot products
+(``util/VectorUtil.kt:281-285`` ``dotProductScore``,
+``index/VectorSimilarityFunction.kt:34-43`` byte DOT_PRODUCT).
+
+Engine choices, documented divergences:
+
+* **Global quantiles, not per-segment.** Lucene trains one quantizer per
+  segment and re-corrects scores at merge
+  (``ScalarQuantizer.recalculateCorrectiveOffset``, 124-141). We compute
+  ONE (lo, hi) pair over the whole corpus in a streaming min/max
+  pre-pass, so every segment shares a byte space and a byte query
+  compares across segments with no per-segment correction — the same
+  "global statistics are better-defined than per-shard" argument the
+  index already applies to collection stats (SURVEY §2.4).
+* **confidence_interval = 1.0 by default** (the reference's exact
+  min/max branch): the bounds are exact stream aggregates, reproducible
+  bit-for-bit by any SQL engine, which keeps the byte pipeline
+  hash-exact against its DuckDB oracle. Quantile-interval training
+  (numpy ``quantile``) is available for the recall-oriented use.
+* Rounding is ``floor(x + 0.5)`` (Kotlin/Java ``Math.round``), NOT
+  numpy's banker's rounding.
+
+Everything is vectorized numpy over [n, dim] matrices — this module is
+called inside ``map_batches`` / segment-build tasks, never per row.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class ScalarQuantizer:
+    """(lo, hi, bits) → linear bucketing of floats into [0, 2^bits - 1].
+
+    ``ScalarQuantizer.kt:64-77`` ctor: ``scale = ((1<<bits)-1)/(hi-lo)``,
+    ``alpha = 1/scale``; the degenerate lo == hi case widens the range by
+    the divisor on each side (ctor at 173-190) so alpha == scale == 1.
+    """
+
+    lo: float
+    hi: float
+    bits: int = 7
+
+    def __post_init__(self):
+        if not (0 < self.bits <= 8):
+            raise ValueError(f"bits must be in (0, 8]: {self.bits}")
+        if np.isnan(self.lo) or np.isnan(self.hi) or \
+                np.isinf(self.lo) or np.isinf(self.hi):
+            raise ValueError("quantizer does not support NaN/Inf bounds")
+        if self.hi < self.lo:
+            raise ValueError(f"hi < lo: {self.hi} < {self.lo}")
+        if self.hi == self.lo:  # widen like the reference ctor
+            div = float((1 << self.bits) - 1)
+            object.__setattr__(self, "lo", self.lo - div)
+            object.__setattr__(self, "hi", self.hi + div)
+
+    @property
+    def divisor(self) -> float:
+        return float((1 << self.bits) - 1)
+
+    @property
+    def scale(self) -> float:
+        return self.divisor / (self.hi - self.lo)
+
+    @property
+    def alpha(self) -> float:
+        return (self.hi - self.lo) / self.divisor
+
+    @property
+    def constant_multiplier(self) -> float:
+        """alpha² — the quantized-dot-product rescale factor
+        (``ScalarQuantizer.kt:154-155``)."""
+        return self.alpha * self.alpha
+
+    def quantize(self, m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """[n, dim] float64 → (int8 bytes [n, dim], float64 corrections [n]).
+
+        byte = floor((clip(x, lo, hi) - lo) * scale + 0.5)  — the
+        ``quantizeFloat`` body (``ScalarQuantizer.kt:92-115``) with
+        Math.round spelled as floor(+0.5). The per-vector correction is
+        the summed ``lowerQuantile*(v - lowerQuantile/2) + (dx - dxq)*dxq``
+        offset that makes ``dot_q*alpha² + corr_a + corr_b`` approximate
+        the float dot product (class doc equation at 44-50).
+        """
+        m = np.asarray(m, dtype=np.float64)
+        dx = m - self.lo
+        dxc = np.minimum(np.maximum(m, self.lo), self.hi) - self.lo
+        dxs = self.scale * dxc
+        q = np.floor(dxs + 0.5)
+        dxq = q * self.alpha
+        corr = (self.lo * (m - self.lo / 2.0) + (dx - dxq) * dxq).sum(axis=1)
+        return q.astype(np.int8), corr
+
+    def dequantize(self, q: np.ndarray) -> np.ndarray:
+        """bytes → alpha * byte + lo (``ScalarQuantizer.kt:148-151``)."""
+        return np.asarray(q, dtype=np.float64) * self.alpha + self.lo
+
+
+def dot_product_score(q: np.ndarray, m: np.ndarray) -> np.ndarray:
+    """Byte-vector DOT_PRODUCT similarity of query ``q`` [dim] against
+    every row of ``m`` [n, dim]: ``0.5 + dot / (dim * 2^15)``
+    (``VectorUtil.kt:281-285`` dotProductScore — the score
+    ``KnnByteVectorQuery`` / ``ByteVectorSimilarityQuery`` rank by).
+    Integer matmul in int64 (dim * 127² never overflows), then one f64
+    affine — bit-reproducible by any engine doing the same integer sum.
+    """
+    q = np.asarray(q, dtype=np.int64)
+    m = np.asarray(m, dtype=np.int64)
+    denom = float(m.shape[-1] * (1 << 15))
+    return 0.5 + (m @ q) / denom
+
+
+def quantized_dot_scores(qbytes: np.ndarray, qcorr: float,
+                         mbytes: np.ndarray, mcorr: np.ndarray,
+                         const_mult: float) -> np.ndarray:
+    """Corrected quantized approximation of the FLOAT dot product
+    (``ScalarQuantizedVectorSimilarity.kt`` DotProduct.score):
+    ``max((1 + dot*alpha² + qOff + vOff) / 2, 0)``."""
+    adj = (np.asarray(mbytes, np.int64) @ np.asarray(qbytes, np.int64)) \
+        * const_mult + qcorr + mcorr
+    return np.maximum((1.0 + adj) / 2.0, 0.0)
+
+
+def train_bounds(sample: np.ndarray, confidence_interval: float | None = None,
+                 bits: int = 7) -> ScalarQuantizer:
+    """Train a quantizer from a component sample (``fromVectors``,
+    ``ScalarQuantizer.kt:318-412``). ``confidence_interval=None`` or 1.0
+    → exact min/max (the ci == 1f branch); otherwise the symmetric
+    (1±ci)/2 quantiles of the component distribution."""
+    vals = np.asarray(sample, dtype=np.float64).ravel()
+    if not len(vals):
+        return ScalarQuantizer(0.0, 0.0, bits)
+    if confidence_interval is None or confidence_interval >= 1.0:
+        return ScalarQuantizer(float(vals.min()), float(vals.max()), bits)
+    if not 0.9 <= confidence_interval < 1.0:
+        raise ValueError("confidence_interval must be in [0.9, 1.0]")
+    tail = (1.0 - confidence_interval) / 2.0
+    lo, hi = np.quantile(vals, [tail, 1.0 - tail])
+    return ScalarQuantizer(float(lo), float(hi), bits)
+
+
+def global_vector_bounds(ds, column: str = "embedding") -> tuple[float, float]:
+    """Streaming global (min, max) over every component of a vector
+    column — the quantile pre-pass at corpus scale. One ``map_batches``
+    emitting a (lo, hi) row per batch; the driver folds the tiny result
+    (O(#batches) rows), so nothing materializes."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(batch[column])
+        if not len(flat):
+            return pa.table({"lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        return pa.table({
+            "lo": pa.array([pc.min(flat).as_py()], pa.float64()),
+            "hi": pa.array([pc.max(flat).as_py()], pa.float64())})
+
+    parts = ds.select_columns([column]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return 0.0, 0.0
+    return float(parts["lo"].min()), float(parts["hi"].max())
