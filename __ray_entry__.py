@@ -2086,6 +2086,30 @@ def _knn_hnsw_topk(sf_dir: str):
     return df[["doc_id", "url", "score_r"]]
 
 
+def _knn_seeded_topk(sf_dir: str):
+    """SeededKnnVectorQuery (search/SeededKnnVectorQuery.kt role,
+    KnnSearchStrategy.Seeded): same query as knn_hnsw_top10 but the
+    graph search enters layer 0 from the seed query's top matches
+    (seed = text:spark) instead of descending the hierarchy — the
+    SIGIR'23 lexically-accelerated dense retrieval pattern. Candidate
+    scores are exact cosines and ef_search=128 over segment_size-200
+    graphs is effectively exhaustive (the knn_hnsw_top10 argument), so
+    the entry carries the brute-force oracle; the seeded/unseeded
+    equivalence is additionally pytest-locked (tests/test_hnsw.py)."""
+    from lucene_kmp_ray.search import SeededKnnVectorQuery, TermQuery
+
+    _knn_hnsw_topk(sf_dir)  # ensure the HNSW index exists (cached)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/lucene_kmp_ray_index_hnsw/{tag}"
+    q = SeededKnnVectorQuery(_query_vector(sf_dir), k=10,
+                             seed=TermQuery(TERM_A), ef_search=128)
+    df = search_distributed(idx, {"q": q}, k=10,
+                            dtype="float64").to_pandas()
+    df = df.rename(columns={"score": "score_r"})
+    df["score_r"] = np.round(df["score_r"], 6)
+    return df[["doc_id", "url", "score_r"]]
+
+
 def _quantized_env(sf_dir: str):
     """Shared setup of the byte-vector entries: the scalar-quantized
     index (int8 sidecars, Lucene99ScalarQuantizedVectorsFormat role) and
@@ -2204,6 +2228,33 @@ def _sorted_index_scan(sf_dir: str):
                     index_sort=(("url", True),))
     return search_sorted_by_fields(
         idx, TermQuery(TERM_A), (SortField("url", descending=True),), k=20)
+
+
+def _index_sort_range_all(sf_dir: str):
+    """IndexSortSortedNumericDocValuesRangeQuery (reference :39-56):
+    segments are index-sorted by n_chars asc, so the range [200, 400]
+    resolves per segment to ONE binary-searched contiguous docID run —
+    O(log n) instead of the column scan; scan-fallback equivalence is
+    pytest-locked (tests/test_index_sort_range.py). Oracle: length(text)
+    BETWEEN, ORDER BY doc_id."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.search import IndexSortRangeQuery
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/lucene_kmp_ray_index_nsorted/{tag}"
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        def add_n_chars(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "n_chars", pc.cast(pc.utf8_length(b["text"]), pa.int64()))
+        ds = corpus_dataset(sf_dir).map_batches(add_n_chars,
+                                                batch_format="pyarrow")
+        build_index(ds, idx, segment_size=SEGMENT_SIZE,
+                    index_sort=(("n_chars", False),))
+    return _all_sorted(search_all_matches(
+        idx, IndexSortRangeQuery("n_chars", lower=200, upper=400)))
 
 
 def _sorted_multi(sf_dir: str):
@@ -2504,6 +2555,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r5 fix under driver review: HNSW candidates exact-reranked so
         # top-10 == brute top-10 (oracle = brute SQL)
         "knn_hnsw_top10": _knn_hnsw_topk,
+        "index_sort_range_all": _index_sort_range_all,
+        "knn_seeded_top10": _knn_seeded_topk,
         "knn_int8_top10": _knn_int8_topk,
         "byte_vector_similarity_all": _byte_vector_similarity_all,
         "knn_hnsw_recall": _knn_hnsw_recall,
@@ -2865,6 +2918,8 @@ def oracle_sql() -> dict[str, str]:
         # per-segment graphs, so the graph path reproduces the brute top-10
         # bit-for-bit; the knn_hnsw_recall gate guards the approximation
         "knn_hnsw_top10": oracle.knn_vector_topk(),
+        "index_sort_range_all": oracle.index_sort_range_all(),
+        "knn_seeded_top10": oracle.knn_vector_topk(),
         "knn_int8_top10": oracle.knn_int8_topk(),
         "byte_vector_similarity_all": oracle.byte_vector_similarity_all(),
         "classic_term_top10": oracle.classic_term_topk(TERM_A),

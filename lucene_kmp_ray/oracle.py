@@ -755,6 +755,18 @@ bsims AS (
 )"""
 
 
+def index_sort_range_all(lower: int = 200, upper: int = 400) -> str:
+    """IndexSortSortedNumericDocValuesRangeQuery mirror: the engine
+    binary-searches the n_chars-sorted segments; the relation is a plain
+    BETWEEN over length(text) (n_chars == codepoint count on both
+    sides). Constant score, deterministic ORDER BY doc_id."""
+    return preamble() + f"""
+SELECT doc_id, url, CAST(1.0 AS DOUBLE) AS score
+FROM corpus WHERE length(text) BETWEEN {lower} AND {upper}
+ORDER BY doc_id
+"""
+
+
 def knn_int8_topk(k: int = 10) -> str:
     """KnnByteVectorQuery mirror: the engine's flush-time scalar
     quantization (util/quantize.ScalarQuantizer, ScalarQuantizer.kt:92-115

@@ -384,6 +384,22 @@ class RangeFilterQuery(Query):
 
 
 @dataclass(frozen=True)
+class IndexSortRangeQuery(Query):
+    """``search/IndexSortSortedNumericDocValuesRangeQuery.kt:39-56``:
+    numeric range over a doc-meta column that exploits the segment's
+    index sort — when the sort LEADS with this field, the matching docs
+    are one contiguous local-docID run found by binary search
+    (O(log n) per segment instead of the O(n) column scan); segments
+    whose index sort does not match delegate to the fallback execution
+    (the reference wraps an explicit ``fallbackQuery``; here the
+    fallback is the RangeFilterQuery column scan, so results are
+    identical either way). Constant score 1.0 like RangeFilterQuery."""
+    field: str
+    lower: float | None = None
+    upper: float | None = None
+
+
+@dataclass(frozen=True)
 class IndriAndQuery(Query):
     """``search/IndriAndQuery.kt`` + ``IndriAndScorer.kt:21-46``: the
     union of clause matches scored by the BOOST-WEIGHTED MEAN of clause
@@ -664,6 +680,27 @@ class KnnFloatVectorQuery(Query):
     bucketed IVF/LSH approximations live in pipelines.ann."""
     vector: tuple[float, ...]
     k: int = 10
+    ef_search: int | None = None
+
+    def terms(self):
+        return []
+
+
+@dataclass(frozen=True)
+class SeededKnnVectorQuery(Query):
+    """``search/SeededKnnVectorQuery.kt``: KNN whose per-segment graph
+    search starts from the top matches of a ``seed`` query instead of
+    the hierarchy's global entry point (KnnSearchStrategy.Seeded,
+    search/knn/KnnSearchStrategy.kt:75-90 — the SIGIR'23
+    lexically-accelerated dense retrieval pattern). Per segment the
+    seed's top-k docs (by seed score) that carry vectors become the
+    bottom-layer beam entry points; a seed with no matches falls back
+    to the normal descent (the reference's documented contract: the
+    underlying format is free to ignore the seed). On segments without
+    a graph sidecar the exact scan runs and the seed is a no-op."""
+    vector: tuple[float, ...]
+    k: int = 10
+    seed: "Query | None" = None
     ef_search: int | None = None
 
     def terms(self):

@@ -37,9 +37,11 @@ from .query import (BlendedTermQuery, BooleanQuery, BoostQuery,
                     GeoBoxQuery, GeoDistanceQuery, GeoLineQuery,
                     GeoPolygonQuery,
                     KnnByteVectorQuery, ByteVectorSimilarityQuery,
-                    KnnFloatVectorQuery, MatchAllDocsQuery,
+                    KnnFloatVectorQuery, SeededKnnVectorQuery,
+                    MatchAllDocsQuery,
                     MatchNoDocsQuery, MultiPhraseQuery, MultiTermQuery,
-                    FeatureQuery, IndexOrDocValuesQuery, NGramPhraseQuery,
+                    FeatureQuery, IndexOrDocValuesQuery,
+                    IndexSortRangeQuery, NGramPhraseQuery,
                     Occur, PhraseQuery, PointInSetQuery, Query,
                     RangeFieldQuery,
                     RangeFilterQuery, SynonymQuery, TermQuery,
@@ -145,7 +147,8 @@ class Searcher:
             return docs, np.full(len(docs), dt.type(boost), dtype=dt)
         if isinstance(query, MatchNoDocsQuery):
             return _empty(self.sim.dtype)
-        if isinstance(query, KnnFloatVectorQuery):
+        if isinstance(query, (KnnFloatVectorQuery, SeededKnnVectorQuery,
+                              KnnByteVectorQuery, ByteVectorSimilarityQuery)):
             return self._score_segment_raw(sr, self.rewrite(query), boost,
                                            scoring)
         if isinstance(query, _KnnScoredQuery):
@@ -289,6 +292,8 @@ class Searcher:
             return docs, vals.astype(dt)
         if isinstance(query, RangeFilterQuery):
             return self._score_range(sr, query, boost)
+        if isinstance(query, IndexSortRangeQuery):
+            return self._score_index_sort_range(sr, query, boost)
         if isinstance(query, PointInSetQuery):
             dt = self.sim.dtype
             col = sr.doc_meta[query.field].to_numpy()
@@ -557,6 +562,30 @@ class Searcher:
         docs = np.flatnonzero(mask).astype(np.int64)
         return docs, np.full(len(docs), dt.type(boost), dtype=dt)
 
+    def _score_index_sort_range(self, sr: SegmentReader,
+                                q: "IndexSortRangeQuery", boost: float):
+        """IndexSortSortedNumericDocValuesRangeQuery.kt: binary-search
+        the contiguous doc run when the segment's index sort leads with
+        the query field; otherwise fall back to the column scan (the
+        reference's fallbackQuery delegation)."""
+        dt = self.sim.dtype
+        isort = (sr.meta or {}).get("index_sort") or []
+        if isort and isort[0][0] == q.field:
+            col = sr.doc_meta[q.field].to_numpy()
+            n = len(col)
+            desc = bool(isort[0][1])
+            a = col[::-1] if desc else col
+            lo_i = 0 if q.lower is None else int(np.searchsorted(
+                a, q.lower, side="left"))
+            hi_i = n if q.upper is None else int(np.searchsorted(
+                a, q.upper, side="right"))
+            if desc:  # positions in the reversed view map back mirrored
+                lo_i, hi_i = n - hi_i, n - lo_i
+            docs = np.arange(lo_i, max(lo_i, hi_i), dtype=np.int64)
+            return docs, np.full(len(docs), dt.type(boost), dtype=dt)
+        return self._score_range(
+            sr, RangeFilterQuery(q.field, q.lower, q.upper), boost)
+
     def _score_geo_box(self, sr: SegmentReader, q: "GeoBoxQuery",
                        boost: float):
         """LatLonPoint.newBoxQuery over doc-meta lat/lon columns."""
@@ -809,12 +838,13 @@ class Searcher:
         IndexSearcher.kt:699): per segment an exact cosine scan over the
         vector sidecar (tombstoned docs masked), then one global top-k by
         (similarity desc, seg asc, doc asc)."""
-        if isinstance(query, KnnFloatVectorQuery):
+        if isinstance(query, (KnnFloatVectorQuery, SeededKnnVectorQuery)):
             q = np.asarray(query.vector, dtype=np.float64)
             qn = np.linalg.norm(q)
             if qn == 0:
                 return MatchNoDocsQuery("zero query vector")
             q = q / qn
+            seed_q = getattr(query, "seed", None)
             segs, docs_l, sims_l = [], [], []
             for si, sr in enumerate(self.reader.segment_readers):
                 mat = sr.vectors
@@ -828,9 +858,24 @@ class Searcher:
                     # shrinking the candidate set, then re-score the few
                     # survivors in float64 for exact-path score parity
                     ef = query.ef_search or max(2 * query.k, 64)
+                    eps = None
+                    if seed_q is not None:
+                        # SeededKnnVectorQuery.kt: the seed's per-leaf
+                        # top-k (by seed score, tie doc asc) become the
+                        # layer-0 entry points; vector-less seeds drop
+                        sdocs, sscores = self._score_segment(
+                            sr, self.rewrite(seed_q))
+                        if len(sdocs):
+                            topn = np.lexsort((sdocs, -sscores))
+                            topn = topn[:min(query.k, len(topn))]
+                            cand_eps = sdocs[topn]
+                            smiss = sr.vector_missing
+                            if smiss is not None:
+                                cand_eps = cand_eps[~smiss[cand_eps]]
+                            eps = [int(e) for e in cand_eps]
                     ids, _ = graph.search(np.asarray(query.vector,
                                                      np.float32),
-                                          k=ef, ef=ef)
+                                          k=ef, ef=ef, entry_points=eps)
                     miss = sr.vector_missing
                     if miss is not None:
                         ids = ids[~miss[ids]]

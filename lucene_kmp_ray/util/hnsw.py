@@ -80,9 +80,18 @@ class HnswGraph:
                     worst = -res[0][0]
         return sorted((-d, e) for d, e in res)
 
-    def search(self, query: np.ndarray, k: int, ef: int | None = None
+    def search(self, query: np.ndarray, k: int, ef: int | None = None,
+               entry_points: "list[int] | None" = None
                ) -> tuple[np.ndarray, np.ndarray]:
-        """→ (node ids, cosine similarities), best-first, ≤k rows."""
+        """→ (node ids, cosine similarities), best-first, ≤k rows.
+
+        ``entry_points`` seeds the bottom-layer beam directly from the
+        given node ids instead of descending the hierarchy from the
+        global entry — the KnnSearchStrategy.Seeded role
+        (search/knn/KnnSearchStrategy.kt:75-90, used by
+        SeededKnnVectorQuery.kt; the lexically-accelerated dense
+        retrieval pattern). Empty/None falls back to the normal descent.
+        """
         if self.entry < 0 or not len(self.v):
             return np.empty(0, np.int64), np.empty(0, np.float64)
         q = np.asarray(query, dtype=np.float32)
@@ -90,9 +99,15 @@ class HnswGraph:
         if qn:
             q = q / qn
         ef = max(ef or k, k)
-        ep = [self.entry]
-        for lvl in range(self.max_level, 0, -1):
-            ep = [self._search_layer(q, ep, 1, self.neighbors[lvl])[0][1]]
+        if entry_points:
+            ep = list(dict.fromkeys(
+                int(e) for e in entry_points if 0 <= e < len(self.v)))
+        else:
+            ep = []
+        if not ep:
+            ep = [self.entry]
+            for lvl in range(self.max_level, 0, -1):
+                ep = [self._search_layer(q, ep, 1, self.neighbors[lvl])[0][1]]
         hits = self._search_layer(q, ep, ef, self.neighbors[0])[:k]
         ids = np.array([e for _, e in hits], np.int64)
         sims = 1.0 - np.array([d for d, _ in hits], np.float64)

@@ -135,3 +135,50 @@ def test_merge_rebuilds_graph(hnsw_idx, tmp_path):
         KnnFloatVectorQuery(q, k=10, ef_search=200), k=10)
     assert sorted(h.doc_id for h in before.score_docs) == \
         sorted(h.doc_id for h in after.score_docs)
+
+
+def test_seeded_knn_matches_exact_with_generous_ef(hnsw_idx, exact_idx):
+    # SeededKnnVectorQuery.kt: seed's top matches become layer-0 entry
+    # points; with exhaustive ef the result equals the exact scan
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.search import (KnnFloatVectorQuery, Searcher,
+                                       SeededKnnVectorQuery, TermQuery)
+    q = _qvec()
+    td_s = Searcher(IndexReader(hnsw_idx)).search(
+        SeededKnnVectorQuery(q, k=10, seed=TermQuery("spark"),
+                             ef_search=200), k=10)
+    td_e = Searcher(IndexReader(exact_idx)).search(
+        KnnFloatVectorQuery(q, k=10), k=10)
+    assert [h.doc_id for h in td_s.score_docs] == \
+        [h.doc_id for h in td_e.score_docs]
+    np.testing.assert_allclose(
+        [h.score for h in td_s.score_docs],
+        [h.score for h in td_e.score_docs], rtol=1e-6)
+
+
+def test_seeded_knn_empty_seed_falls_back_to_descent(hnsw_idx):
+    # a seed with no matches must behave exactly like the unseeded query
+    # (the reference contract: the format is free to ignore the seed)
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.search import (KnnFloatVectorQuery, Searcher,
+                                       SeededKnnVectorQuery, TermQuery)
+    q = _qvec()
+    s = Searcher(IndexReader(hnsw_idx))
+    td_s = s.search(SeededKnnVectorQuery(q, k=10,
+                                         seed=TermQuery("zzz_nope"),
+                                         ef_search=64), k=10)
+    td_u = s.search(KnnFloatVectorQuery(q, k=10, ef_search=64), k=10)
+    assert [h.doc_id for h in td_s.score_docs] == \
+        [h.doc_id for h in td_u.score_docs]
+
+
+def test_seeded_entry_points_reach_result_without_descent():
+    # unit level: seeding from the true nearest node returns it first
+    # even with a tiny beam
+    vecs = RNG.standard_normal((400, 16)).astype(np.float32)
+    g = build_graph(vecs)
+    v = _normalize(vecs)
+    q = vecs[123] + 0.01 * RNG.standard_normal(16).astype(np.float32)
+    ids, _ = g.search(q, 1, ef=1, entry_points=[123])
+    exact = int(np.argmax(v @ (q / np.linalg.norm(q))))
+    assert ids[0] == exact == 123
