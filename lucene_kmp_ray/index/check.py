@@ -160,8 +160,67 @@ def check_segment(index_dir: str, seg_dir: str) -> dict:
                                   exp_uniq[f]):
                 errors.append(
                     f"field {f}: unique_terms disagrees with postings")
+    _check_quantized_sidecar(d, man, n_docs, errors)
     return {"seg": man["seg"], "ok": not errors, "errors": errors,
             "doc_count": n_docs, "unique_terms": terms_t.num_rows}
+
+
+def _check_quantized_sidecar(seg_dir: str, man: dict, n_docs: int,
+                             errors: list[str]) -> None:
+    """int8 scalar-quantized sidecar integrity: manifest params present,
+    row count matches, bytes within [0, 2^bits − 1], null mask agrees
+    with the float sidecar, and requantizing the floats with the
+    manifest's (lo, hi, bits) reproduces the stored bytes and
+    corrections exactly (flush determinism — the CheckIndex spirit of
+    re-deriving what the files claim)."""
+    qpath = os.path.join(seg_dir, "vectors_q.parquet")
+    if not os.path.exists(qpath):
+        return
+    from ..util.quantize import ScalarQuantizer
+    qmeta = man.get("quantize")
+    if not qmeta:
+        errors.append("vectors_q.parquet present but manifest lacks "
+                      "quantize params")
+        return
+    qt = pq.read_table(qpath)
+    if qt.num_rows != n_docs:
+        errors.append(f"quantized sidecar rows {qt.num_rows} != {n_docs}")
+        return
+    col = qt["qvec"].combine_chunks()
+    qnull = np.asarray(col.is_null()) if col.null_count \
+        else np.zeros(n_docs, bool)
+    rows = col.to_numpy(zero_copy_only=False)
+    hi_byte = (1 << int(qmeta.get("bits", 7))) - 1
+    for i, r in enumerate(rows):
+        if r is None:
+            continue
+        a = np.asarray(r, np.int64)
+        if a.min() < 0 or a.max() > hi_byte:
+            errors.append(f"quantized bytes out of [0,{hi_byte}] at doc {i}")
+            break
+    vpath = os.path.join(seg_dir, "vectors.parquet")
+    if not os.path.exists(vpath):
+        errors.append("quantized sidecar without float vector sidecar")
+        return
+    vcol = pq.read_table(vpath)["embedding"].combine_chunks()
+    vnull = np.asarray(vcol.is_null()) if vcol.null_count \
+        else np.zeros(n_docs, bool)
+    if not np.array_equal(qnull, vnull):
+        errors.append("quantized/float sidecar null masks disagree")
+        return
+    sq = ScalarQuantizer(float(qmeta["lo"]), float(qmeta["hi"]),
+                         int(qmeta.get("bits", 7)))
+    vrows = vcol.to_numpy(zero_copy_only=False)
+    corr = qt["qcorr"].to_numpy(zero_copy_only=False)
+    for i in np.flatnonzero(~qnull):
+        qb, c = sq.quantize(np.asarray(vrows[i], np.float64)[None, :])
+        if not np.array_equal(qb[0], np.asarray(rows[i], np.int8)):
+            errors.append(f"requantization disagrees with stored bytes "
+                          f"at doc {i}")
+            return
+        if abs(float(c[0]) - float(corr[i])) > 1e-9:
+            errors.append(f"stored correction disagrees at doc {i}")
+            return
 
 
 def check_index(index_dir: str, parallel: bool = True) -> dict:

@@ -201,6 +201,47 @@ def test_merge_rebuilds_quantized_sidecar_byte_identical(quantized_idx,
     assert after == before
 
 
+def test_check_index_validates_quantized_sidecar(quantized_idx, tmp_path):
+    # clean quantized index passes; a flipped byte and a wrong manifest
+    # bound are both detected (CheckIndex re-derivation)
+    import json
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from lucene_kmp_ray.index.check import check_index, check_segment
+
+    src, _sq = quantized_idx
+    rep = check_index(src)
+    assert rep["ok"], rep["errors"]
+
+    work = str(tmp_path / "corruptq")
+    shutil.copytree(src, work)
+    seg = "segments/seg=00000"
+    qp = f"{work}/{seg}/vectors_q.parquet"
+    t = pq.read_table(qp)
+    rows = t["qvec"].combine_chunks().to_pylist()
+    rows[0] = list(rows[0])
+    rows[0][0] = (rows[0][0] + 1) % 128  # flip one byte
+    import pyarrow as pa
+    pq.write_table(pa.table({"qvec": pa.array(rows,
+                                              type=pa.list_(pa.int8())),
+                             "qcorr": t["qcorr"]}), qp)
+    bad = check_segment(work, seg)
+    assert not bad["ok"]
+    assert any("requantization" in e for e in bad["errors"])
+
+    work2 = str(tmp_path / "corruptq2")
+    shutil.copytree(src, work2)
+    with open(f"{work2}/{seg}/manifest.json") as f:
+        man = json.load(f)
+    man["quantize"]["hi"] += 0.25
+    with open(f"{work2}/{seg}/manifest.json", "w") as f:
+        json.dump(man, f)
+    bad2 = check_segment(work2, seg)
+    assert not bad2["ok"]
+
+
 def test_sparse_null_vectors_survive_quantized_sidecar(ray_session,
                                                        tmp_path):
     # docs without the vector field: null sidecar rows must stay null
