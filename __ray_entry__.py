@@ -2086,6 +2086,29 @@ def _knn_hnsw_topk(sf_dir: str):
     return df[["doc_id", "url", "score_r"]]
 
 
+def _rescore_topk(sf_dir: str):
+    """QueryRescorer (search/QueryRescorer.kt role): BM25 first pass
+    (text:spark, top-50) re-scored by a second query (text:the) with
+    combined = first + 2.0 × second-when-matched, then top-10 by
+    (combined desc, doc asc). The second pass touches ONLY the segments
+    holding first-pass hits — at scale rescoring cost is O(topN), not
+    O(corpus). float64 end-to-end; oracle = the same two-stage SQL."""
+    import pandas as pd
+
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.search.searcher import Searcher
+    from lucene_kmp_ray.similarity.bm25 import BM25Similarity
+
+    s = Searcher(IndexReader(_ensure_index(sf_dir)),
+                 BM25Similarity(dtype="float64"))
+    first = s.search(TermQuery(TERM_A), k=50)
+    td = s.rescore(first, TermQuery(TERM_B), weight=2.0, top_n=10)
+    return pd.DataFrame({
+        "doc_id": [h.doc_id for h in td.score_docs],
+        "url": [h.url for h in td.score_docs],
+        "score_r": np.round([h.score for h in td.score_docs], 6)})
+
+
 def _knn_seeded_topk(sf_dir: str):
     """SeededKnnVectorQuery (search/SeededKnnVectorQuery.kt role,
     KnnSearchStrategy.Seeded): same query as knn_hnsw_top10 but the
@@ -2556,6 +2579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # top-10 == brute top-10 (oracle = brute SQL)
         "knn_hnsw_top10": _knn_hnsw_topk,
         "index_sort_range_all": _index_sort_range_all,
+        "rescore_top10": _rescore_topk,
         "knn_seeded_top10": _knn_seeded_topk,
         "knn_int8_top10": _knn_int8_topk,
         "byte_vector_similarity_all": _byte_vector_similarity_all,
@@ -2919,6 +2943,7 @@ def oracle_sql() -> dict[str, str]:
         # bit-for-bit; the knn_hnsw_recall gate guards the approximation
         "knn_hnsw_top10": oracle.knn_vector_topk(),
         "index_sort_range_all": oracle.index_sort_range_all(),
+        "rescore_top10": oracle.rescore_topk("spark", "the"),
         "knn_seeded_top10": oracle.knn_vector_topk(),
         "knn_int8_top10": oracle.knn_int8_topk(),
         "byte_vector_similarity_all": oracle.byte_vector_similarity_all(),

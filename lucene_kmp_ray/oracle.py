@@ -755,6 +755,25 @@ bsims AS (
 )"""
 
 
+def rescore_topk(first_term: str, second_term: str, weight: float = 2.0,
+                 first_k: int = 50, k: int = 10) -> str:
+    """QueryRescorer mirror: first-pass BM25 top-first_k by (score desc,
+    doc), then combined = first + weight × second-query score when it
+    matches (COALESCE 0 adds exactly nothing in float64), top-k by
+    (combined desc, doc)."""
+    return preamble() + f""",
+sc1 AS ({term_scored_cte(repr(first_term))}),
+firstp AS (SELECT doc_id, score FROM sc1
+           ORDER BY score DESC, doc_id LIMIT {first_k}),
+sc2 AS ({term_scored_cte(repr(second_term))})
+SELECT f.doc_id, c.url,
+       round(f.score + {weight} * COALESCE(s.score, 0), 6) AS score_r
+FROM firstp f LEFT JOIN sc2 s USING (doc_id) JOIN corpus c USING (doc_id)
+ORDER BY (f.score + {weight} * COALESCE(s.score, 0)) DESC, f.doc_id
+LIMIT {k}
+"""
+
+
 def index_sort_range_all(lower: int = 200, upper: int = 400) -> str:
     """IndexSortSortedNumericDocValuesRangeQuery mirror: the engine
     binary-searches the n_chars-sorted segments; the relation is a plain

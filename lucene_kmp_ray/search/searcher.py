@@ -1235,6 +1235,38 @@ class Searcher:
         self._resolve(hits)
         return TopDocs(int(total), relation, hits)
 
+    def rescore(self, first_pass: TopDocs, query: Query,
+                weight: float = 1.0, top_n: int = 10) -> TopDocs:
+        """``search/QueryRescorer.kt`` two-pass retrieval: re-score the
+        first pass's hits with a second query — combined score =
+        firstPassScore + weight × secondPassScore when the second query
+        matches the doc, else the first-pass score alone (the static
+        ``QueryRescorer.rescore`` combine). The reference merge-walks a
+        doc-at-a-time scorer over the hits sorted by docID; here the
+        second pass evaluates once per TOUCHED segment (vectorized) and
+        binary-searches the hit docs into its match list — same
+        contract, no iterator plumbing. Final order (score desc, global
+        doc asc) and the preserved first-pass totalHits match
+        ``QueryRescorer.kt`` (sort + topN at :82-93)."""
+        q = self.rewrite(query)
+        by_seg: dict[int, list[ScoreDoc]] = {}
+        for h in first_pass.score_docs:
+            by_seg.setdefault(h.seg, []).append(h)
+        new_hits: list[ScoreDoc] = []
+        for si, hs in by_seg.items():
+            sr = self.reader.segment_readers[si]
+            docs, scores = self._score_segment(sr, q)
+            tgt = np.array([h.doc for h in hs], np.int64)
+            pos = np.searchsorted(docs, tgt)
+            for h, p in zip(hs, pos):
+                s = float(h.score)
+                if p < len(docs) and docs[p] == h.doc:
+                    s += weight * float(scores[p])
+                new_hits.append(ScoreDoc(s, h.seg, h.doc, h.doc_id, h.url))
+        new_hits.sort(key=lambda h: (-h.score, h.seg, h.doc))
+        return TopDocs(first_pass.total_hits, first_pass.relation,
+                       new_hits[:top_n])
+
     def explain(self, query: Query, doc_id: int) -> dict:
         """Explanation tree for one doc (``Weight.explain`` /
         ``BM25Similarity.explain`` shape): nested {value, description,

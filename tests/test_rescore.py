@@ -1,0 +1,54 @@
+"""QueryRescorer (search/QueryRescorer.kt role): two-pass rescoring
+semantics against brute recomputation over the first-pass hits."""
+
+import numpy as np
+import pytest
+
+from lucene_kmp_ray.index.reader import IndexReader
+from lucene_kmp_ray.search import Searcher, TermQuery
+from lucene_kmp_ray.similarity.bm25 import BM25Similarity
+
+
+@pytest.fixture(scope="module")
+def searcher(built_index):
+    return Searcher(IndexReader(built_index),
+                    BM25Similarity(dtype="float64"))
+
+
+def _scores(searcher, q, k=100000):
+    return {h.doc_id: h.score
+            for h in searcher.search(q, k=k).score_docs}
+
+
+def test_rescore_combines_first_plus_weighted_second(searcher):
+    first = searcher.search(TermQuery("spark"), k=50)
+    td = searcher.rescore(first, TermQuery("the"), weight=2.0, top_n=10)
+    s2 = _scores(searcher, TermQuery("the"))
+    want = sorted(
+        ((h.score + 2.0 * s2.get(h.doc_id, 0.0), h.doc_id)
+         for h in first.score_docs),
+        key=lambda t: (-t[0], t[1]))[:10]
+    got = [(h.score, h.doc_id) for h in td.score_docs]
+    assert [d for _, d in got] == [d for _, d in want]
+    np.testing.assert_allclose([s for s, _ in got], [s for s, _ in want],
+                               rtol=0, atol=0)
+    # first-pass totalHits preserved (QueryRescorer returns the original
+    # TotalHits with re-sorted hits)
+    assert td.total_hits == first.total_hits
+
+
+def test_rescore_nonmatching_second_is_identity_reorder(searcher):
+    first = searcher.search(TermQuery("spark"), k=20)
+    td = searcher.rescore(first, TermQuery("zzz_nope"), weight=5.0,
+                          top_n=20)
+    assert [(h.doc_id, h.score) for h in td.score_docs] == \
+        [(h.doc_id, h.score) for h in first.score_docs]
+
+
+def test_rescore_can_promote_lower_first_pass_hits(searcher):
+    # with a large weight the second query dominates the final order
+    first = searcher.search(TermQuery("spark"), k=50)
+    td = searcher.rescore(first, TermQuery("join"), weight=100.0,
+                          top_n=10)
+    s2 = _scores(searcher, TermQuery("join"))
+    assert all(s2.get(h.doc_id, 0.0) > 0 for h in td.score_docs[:3])
