@@ -224,11 +224,13 @@ class SegmentReader:
     def quantized(self):
         """int8 scalar-quantized vector sidecar
         (Lucene99ScalarQuantizedVectorsFormat reader role): returns
-        ``(bytes_i64 [n, dim], corrections [n], missing mask | None,
+        ``(bytes_i8 [n, dim], corrections [n], missing mask | None,
         ScalarQuantizer)`` or None when the segment was built without
-        ``quantize``. Bytes cache as int64 so the per-query integer
-        matmul never re-casts. Loaded lazily once per reader — the byte
-        path never touches the float sidecar."""
+        ``quantize``. Bytes cache as int8 — 1 byte/component is the
+        bandwidth point of byte vectors; scoring casts per block to
+        float32 (EXACT for 7-bit components, see
+        util/quantize.dot_product_score). Loaded lazily once per
+        reader — the byte path never touches the float sidecar."""
         if self._quantized is False:
             import json as _json
 
@@ -249,7 +251,7 @@ class SegmentReader:
                     missing = np.asarray(col.is_null())
                     rows = col.to_numpy(zero_copy_only=False)
                     dim = next(len(r) for r in rows if r is not None)
-                    mat = np.zeros((len(rows), dim), dtype=np.int64)
+                    mat = np.zeros((len(rows), dim), dtype=np.int8)
                     for i, r in enumerate(rows):
                         if r is not None:
                             mat[i] = r
@@ -257,11 +259,11 @@ class SegmentReader:
                     missing = None
                     if pa.types.is_fixed_size_list(col.type):
                         dim = col.type.list_size
-                        mat = np.asarray(col.flatten()).astype(np.int64) \
+                        mat = np.asarray(col.flatten()).astype(np.int8) \
                             .reshape(len(col), dim)
                     else:
                         mat = np.vstack(col.to_numpy(zero_copy_only=False)) \
-                            .astype(np.int64)
+                            .astype(np.int8)
                 self._quantized = (mat, corr, missing, sq)
         return self._quantized
 

@@ -68,6 +68,21 @@ def test_corrected_quantized_dot_approximates_float_dot():
     assert err.mean() < 5e-3
 
 
+def test_blocked_float32_dot_is_integer_exact():
+    # the scoring path casts int8 blocks to float32: every 7-bit product
+    # <= 127^2 and every dot <= dim*127^2 < 2^24 is exactly representable,
+    # so the BLAS path must equal a pure int64 evaluation bit-for-bit —
+    # checked across the block boundary (n > DOT_BLOCK_ROWS)
+    from lucene_kmp_ray.util.quantize import DOT_BLOCK_ROWS
+    rng = np.random.default_rng(3)
+    n, dim = DOT_BLOCK_ROWS + 513, 64
+    m = rng.integers(0, 128, size=(n, dim), dtype=np.int8)
+    q = rng.integers(0, 128, size=dim, dtype=np.int8)
+    got = dot_product_score(q, m)
+    want = 0.5 + (m.astype(np.int64) @ q.astype(np.int64)) / float(dim << 15)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_dot_product_score_formula():
     a = np.array([1, 2, 3], np.int64)
     b = np.array([[4, 5, 6]], np.int64)
