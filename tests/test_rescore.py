@@ -45,6 +45,38 @@ def test_rescore_nonmatching_second_is_identity_reorder(searcher):
         [(h.doc_id, h.score) for h in first.score_docs]
 
 
+def test_rescore_with_spans_reference_vector(ray_session, tmp_path):
+    """TestQueryRescorerWithSpans.kt testBasic: boolean(wizard OR oz)
+    ranks doc 0 first; rescoring with SpanNear(wizard, oz, slop=0,
+    ordered) weight 2.0 flips the order — doc 1 has the adjacent pair,
+    doc 0's gap of 5 gets no span match."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.search import BooleanQuery, Occur
+    from lucene_kmp_ray.search.spans import SpanNearQuery, SpanTermQuery
+
+    idx = str(tmp_path / "wiz")
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "url": pa.array(["u0", "u1"]),
+        "text": pa.array(["wizard the the the the the oz",
+                          "wizard oz the the the the the the"])}))
+    build_index(ds, idx, segment_size=10)
+    s = Searcher(IndexReader(idx), BM25Similarity(dtype="float64"))
+    bq = BooleanQuery.build(
+        (Occur.SHOULD, TermQuery("wizard")),
+        (Occur.SHOULD, TermQuery("oz")))
+    first = s.search(bq, k=10)
+    assert first.total_hits == 2
+    snq = SpanNearQuery((SpanTermQuery("wizard"), SpanTermQuery("oz")),
+                        slop=0, in_order=True)
+    td = s.rescore(first, snq, weight=2.0, top_n=10)
+    assert td.total_hits == 2
+    assert [h.doc_id for h in td.score_docs] == [1, 0]
+
+
 def test_rescore_can_promote_lower_first_pass_hits(searcher):
     # with a large weight the second query dominates the final order
     first = searcher.search(TermQuery("spark"), k=50)
