@@ -106,9 +106,43 @@ def _lookup_scores(cand: np.ndarray, docs: np.ndarray,
 
 class Searcher:
     def __init__(self, reader: IndexReader,
-                 similarity: BM25Similarity | None = None):
+                 similarity: BM25Similarity | None = None,
+                 query_cache=None, query_caching_policy=None):
+        """``query_cache`` defaults to a fresh LRUQueryCache (the
+        IndexSearcher default, IndexSearcher.kt DEFAULT_QUERY_CACHE
+        role): FILTER / MUST_NOT sub-query doc sets cache per (query,
+        segment) once the usage-tracking policy has seen the query
+        enough times — pass ``query_cache=False`` to disable."""
+        from .querycache import LRUQueryCache, UsageTrackingQueryCachingPolicy
         self.reader = reader
         self.sim = similarity or BM25Similarity()
+        self.query_cache = None if query_cache is False else \
+            (query_cache or LRUQueryCache())
+        self.caching_policy = query_caching_policy or \
+            UsageTrackingQueryCachingPolicy()
+
+    def _filter_docs(self, sr: SegmentReader, sub: Query, boost: float):
+        """Non-scoring (FILTER / MUST_NOT) sub-query evaluation through
+        the LRUQueryCache (LRUQueryCache.kt createWeight wrap): cached
+        arrays are read-only and keyed by the frozen query dataclass;
+        unhashable rewrite products and small leaves fall through."""
+        cache = self.query_cache
+        if cache is None or not cache.leaf_cacheable(sr):
+            return self._score_segment_raw(sr, sub, boost, False)
+        key = sub
+        while isinstance(key, (BoostQuery, ConstantScoreQuery)):
+            key = key.query  # Lucene unwraps before onUse (asserts)
+        try:
+            hash(key)
+        except TypeError:
+            return self._score_segment_raw(sr, sub, boost, False)
+        self.caching_policy.on_use(key)
+        docs = cache.get(key, sr.seg)
+        if docs is None:
+            docs, _ = self._score_segment_raw(sr, key, 1.0, False)
+            if self.caching_policy.should_cache(key):
+                cache.put(key, sr.seg, docs)
+        return docs, np.zeros(len(docs), dtype=self.sim.dtype)
 
     # ----- stats resolution (precedes scoring, TermQuery.kt:269) --------
     def _scorer_for_terms(self, terms: list[str], boost: float = 1.0,
@@ -770,16 +804,15 @@ class Searcher:
                 if has_must and isinstance(dv, RangeFilterQuery):
                     deferred.append(dv)
                 elif isinstance(sub, IndexOrDocValuesQuery):
-                    filters.append(self._score_segment_raw(
-                        sr, sub.index_query, boost, False))
+                    filters.append(self._filter_docs(sr, sub.index_query,
+                                                     boost))
                 else:
-                    filters.append(self._score_segment_raw(sr, sub, boost,
-                                                           False))
+                    filters.append(self._filter_docs(sr, sub, boost))
             elif occ == Occur.SHOULD:
                 shoulds.append(self._score_segment_raw(sr, sub, boost,
                                                        scoring))
             else:
-                nots.append(self._score_segment_raw(sr, sub, boost, False))
+                nots.append(self._filter_docs(sr, sub, boost))
 
         msm = q.minimum_should_match
         if msm > len(shoulds):
