@@ -2086,6 +2086,22 @@ def _knn_hnsw_topk(sf_dir: str):
     return df[["doc_id", "url", "score_r"]]
 
 
+def _knn_filtered_topk(sf_dir: str):
+    """Pre-filtered KNN (AbstractKnnVectorQuery.kt:26-31 role): cosine
+    top-10 restricted to docs matching text:spark — the filter runs per
+    leaf first and only accepted docs enter the vector search (exact
+    scan here; the filtered-graph + exact-fallback paths are
+    pytest-locked in tests/test_hnsw.py)."""
+    from lucene_kmp_ray.search import KnnFloatVectorQuery
+
+    q = KnnFloatVectorQuery(_query_vector(sf_dir), k=10,
+                            filter=TermQuery(TERM_A))
+    df = _topk(sf_dir, q)
+    df = df.rename(columns={"score": "score_r"})
+    df["score_r"] = np.round(df["score_r"], 6)
+    return df
+
+
 def _rescore_topk(sf_dir: str):
     """QueryRescorer (search/QueryRescorer.kt role): BM25 first pass
     (text:spark, top-50) re-scored by a second query (text:the) with
@@ -2581,6 +2597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_sort_range_all": _index_sort_range_all,
         "rescore_top10": _rescore_topk,
         "knn_seeded_top10": _knn_seeded_topk,
+        "knn_filtered_top10": _knn_filtered_topk,
         "knn_int8_top10": _knn_int8_topk,
         "byte_vector_similarity_all": _byte_vector_similarity_all,
         "knn_hnsw_recall": _knn_hnsw_recall,
@@ -2945,6 +2962,7 @@ def oracle_sql() -> dict[str, str]:
         "index_sort_range_all": oracle.index_sort_range_all(),
         "rescore_top10": oracle.rescore_topk("spark", "the"),
         "knn_seeded_top10": oracle.knn_vector_topk(),
+        "knn_filtered_top10": oracle.knn_filtered_topk("spark"),
         "knn_int8_top10": oracle.knn_int8_topk(),
         "byte_vector_similarity_all": oracle.byte_vector_similarity_all(),
         "classic_term_top10": oracle.classic_term_topk(TERM_A),

@@ -755,6 +755,24 @@ bsims AS (
 )"""
 
 
+def knn_filtered_topk(term: str, k: int = 10) -> str:
+    """Pre-filtered KNN mirror: cosine of every doc's vector vs vector 0,
+    restricted to docs containing ``term``, top-k by (cos desc, doc)."""
+    return preamble() + f""",
+qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT e.vec_id AS doc_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             CAST((SELECT embedding FROM qv) AS DOUBLE[])) AS cos
+  FROM embeddings e
+),
+accepted AS (SELECT DISTINCT doc_id FROM postings WHERE term = '{term}')
+SELECT s.doc_id, c.url, round(s.cos, 6) AS score_r
+FROM sims s JOIN accepted USING (doc_id) JOIN corpus c USING (doc_id)
+ORDER BY s.cos DESC, s.doc_id LIMIT {k}
+"""
+
+
 def rescore_topk(first_term: str, second_term: str, weight: float = 2.0,
                  first_k: int = 50, k: int = 10) -> str:
     """QueryRescorer mirror: first-pass BM25 top-first_k by (score desc,

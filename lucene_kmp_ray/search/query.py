@@ -681,6 +681,7 @@ class KnnFloatVectorQuery(Query):
     vector: tuple[float, ...]
     k: int = 10
     ef_search: int | None = None
+    filter: "Query | None" = None  # pre-filter (AbstractKnnVectorQuery)
 
     def terms(self):
         return []
@@ -702,6 +703,7 @@ class SeededKnnVectorQuery(Query):
     k: int = 10
     seed: "Query | None" = None
     ef_search: int | None = None
+    filter: "Query | None" = None  # pre-filter (AbstractKnnVectorQuery)
 
     def terms(self):
         return []
@@ -720,6 +722,7 @@ class KnnByteVectorQuery(Query):
     doc set like KnnFloatVectorQuery, composing with BooleanQuery."""
     vector: tuple[int, ...]
     k: int = 10
+    filter: "Query | None" = None  # pre-filter (AbstractKnnVectorQuery)
 
     def __post_init__(self):
         for v in self.vector:

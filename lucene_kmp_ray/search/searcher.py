@@ -878,12 +878,66 @@ class Searcher:
                 return MatchNoDocsQuery("zero query vector")
             q = q / qn
             seed_q = getattr(query, "seed", None)
+            flt = self.rewrite(query.filter) if query.filter is not None \
+                else None
             segs, docs_l, sims_l = [], [], []
             for si, sr in enumerate(self.reader.segment_readers):
                 mat = sr.vectors
                 if mat is None or not len(mat):
                     continue
+                allowed = None  # sorted local ids the pre-filter accepts
+                if flt is not None:
+                    # AbstractKnnVectorQuery.kt:26-31: run the filter per
+                    # leaf first; only accepted docs enter the KNN
+                    allowed, _ = self._filter_docs(sr, flt, 1.0)
+                    if not len(allowed):
+                        continue
                 graph = sr.hnsw
+                if graph is not None and allowed is not None:
+                    ef = query.ef_search or max(2 * query.k, 64)
+                    if len(allowed) <= max(query.k, ef):
+                        # filter cost ≤ k/ef → exact search over the
+                        # accepted docs (the reference's exactSearch path)
+                        sub = mat[allowed]
+                        vnorm = np.linalg.norm(sub, axis=1)
+                        vnorm[vnorm == 0] = 1.0
+                        sims = (sub @ q) / vnorm
+                        tomb = sr.tombstones
+                        if tomb is not None and len(tomb):
+                            sims[np.isin(allowed, tomb)] = -np.inf
+                        miss = sr.vector_missing
+                        if miss is not None:
+                            sims[miss[allowed]] = -np.inf
+                        nk = min(query.k, len(sims))
+                        sel = np.argpartition(-sims, nk - 1)[:nk] \
+                            if nk < len(sims) else np.arange(len(sims))
+                        sel = sel[np.isfinite(sims[sel])]
+                        segs.append(np.full(len(sel), sr.seg, np.int64))
+                        docs_l.append(allowed[sel].astype(np.int64))
+                        sims_l.append(sims[sel])
+                        continue
+                    # filtered graph search: over-fetch, intersect with
+                    # accepted, exact-fallback if the pool collapses
+                    ids, _ = graph.search(np.asarray(query.vector,
+                                                     np.float32),
+                                          k=ef, ef=ef)
+                    ids = ids[_isin_sorted(ids, allowed)]
+                    if len(ids) < query.k:
+                        graph = None  # fall through to the exact scan
+                    else:
+                        miss = sr.vector_missing
+                        if miss is not None:
+                            ids = ids[~miss[ids]]
+                        tomb = sr.tombstones
+                        if tomb is not None and len(tomb):
+                            ids = ids[~np.isin(ids, tomb)]
+                        sel = ids[:min(query.k, len(ids))]
+                        vnorm = np.linalg.norm(mat[sel], axis=1)
+                        vnorm[vnorm == 0] = 1.0
+                        segs.append(np.full(len(sel), sr.seg, np.int64))
+                        docs_l.append(sel.astype(np.int64))
+                        sims_l.append((mat[sel] @ q) / vnorm)
+                        continue
                 if graph is not None:
                     # approximate per-segment top-k via the HNSW sidecar
                     # (HnswGraphSearcher.search); over-fetch by ef so
@@ -925,6 +979,10 @@ class Searcher:
                 norms = np.linalg.norm(mat, axis=1)
                 norms[norms == 0] = 1.0
                 sims = (mat @ q) / norms
+                if allowed is not None:
+                    gate = np.full(len(sims), -np.inf)
+                    gate[allowed] = sims[allowed]
+                    sims = gate
                 miss = sr.vector_missing
                 if miss is not None:
                     sims[miss] = -np.inf
@@ -993,6 +1051,9 @@ class Searcher:
             # the global top-k / threshold set is deterministic
             from ..util.quantize import dot_product_score
             qv = np.asarray(query.vector, dtype=np.int64)
+            flt = None
+            if getattr(query, "filter", None) is not None:
+                flt = self.rewrite(query.filter)
             segs, docs_l, sims_l = [], [], []
             for sr in self.reader.segment_readers:
                 qz = sr.quantized
@@ -1002,6 +1063,11 @@ class Searcher:
                 if not len(mat):
                     continue
                 sims = dot_product_score(qv, mat)
+                if flt is not None:
+                    allowed, _ = self._filter_docs(sr, flt, 1.0)
+                    gate = np.full(len(sims), -np.inf)
+                    gate[allowed] = sims[allowed]
+                    sims = gate
                 if miss is not None:
                     sims[miss] = -np.inf
                 tomb = sr.tombstones

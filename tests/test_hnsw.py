@@ -182,3 +182,83 @@ def test_seeded_entry_points_reach_result_without_descent():
     ids, _ = g.search(q, 1, ef=1, entry_points=[123])
     exact = int(np.argmax(v @ (q / np.linalg.norm(q))))
     assert ids[0] == exact == 123
+
+
+def test_filtered_knn_exact_equals_graph_paths(hnsw_idx, exact_idx):
+    # AbstractKnnVectorQuery.kt:26-31: the filter runs per leaf first.
+    # With a generous ef the filtered graph result equals the filtered
+    # exact scan; both must only return docs matching the filter.
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.search import (KnnFloatVectorQuery, Searcher,
+                                       TermQuery)
+    q = _qvec()
+    flt = TermQuery("spark")
+    td_g = Searcher(IndexReader(hnsw_idx)).search(
+        KnnFloatVectorQuery(q, k=10, ef_search=200, filter=flt), k=10)
+    se = Searcher(IndexReader(exact_idx))
+    td_e = se.search(KnnFloatVectorQuery(q, k=10, filter=flt), k=10)
+    assert [h.doc_id for h in td_g.score_docs] == \
+        [h.doc_id for h in td_e.score_docs]
+    matching = {h.doc_id
+                for h in se.search(TermQuery("spark"), k=10_000).score_docs}
+    assert all(h.doc_id in matching for h in td_e.score_docs)
+    # and the filtered top-10 differs from the unfiltered one whenever
+    # the unfiltered top-10 contains non-matching docs
+    td_u = se.search(KnnFloatVectorQuery(q, k=10), k=10)
+    if any(h.doc_id not in matching for h in td_u.score_docs):
+        assert [h.doc_id for h in td_u.score_docs] != \
+            [h.doc_id for h in td_e.score_docs]
+
+
+def test_filtered_knn_small_filter_takes_exact_path(hnsw_idx, exact_idx):
+    # a filter matching fewer docs than k → the exactSearch branch; the
+    # result is exactly the filter's doc set ranked by cosine
+    import pyarrow.parquet as pq
+
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.search import (KnnFloatVectorQuery,
+                                       RangeFilterQuery, Searcher)
+    q = _qvec()
+    flt = RangeFilterQuery("doc_id", 100, 104)  # 5 docs < k=10
+    td = Searcher(IndexReader(hnsw_idx)).search(
+        KnnFloatVectorQuery(q, k=10, ef_search=16, filter=flt), k=10)
+    assert sorted(h.doc_id for h in td.score_docs) == [100, 101, 102,
+                                                       103, 104]
+    td_e = Searcher(IndexReader(exact_idx)).search(
+        KnnFloatVectorQuery(q, k=10, filter=flt), k=10)
+    assert [(h.doc_id, round(h.score, 9)) for h in td.score_docs] == \
+        [(h.doc_id, round(h.score, 9)) for h in td_e.score_docs]
+
+
+def test_filtered_byte_knn(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from lucene_kmp_ray.index.builder import build_index_sharded
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.search import (KnnByteVectorQuery, Searcher,
+                                       TermQuery)
+    from lucene_kmp_ray.sources.corpus import corpus_shards
+    from lucene_kmp_ray.util.quantize import (ScalarQuantizer,
+                                              dot_product_score)
+    idx = str(tmp_path / "bq")
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).sort_by("vec_id")
+    mat = np.vstack(t["embedding"].combine_chunks()
+                    .to_numpy(zero_copy_only=False)).astype(np.float64)
+    sq = ScalarQuantizer(float(mat.min()), float(mat.max()), 7)
+    shards, make_docs = corpus_shards(SF, segment_size=100,
+                                      with_vectors=True)
+    build_index_sharded(shards, make_docs, idx, vector_col="embedding",
+                        quantize={"lo": sq.lo, "hi": sq.hi, "bits": 7})
+    qall, _ = sq.quantize(mat)
+    s = Searcher(IndexReader(idx))
+    matching = {h.doc_id
+                for h in s.search(TermQuery("spark"), k=10_000).score_docs}
+    td = s.search(KnnByteVectorQuery(tuple(int(x) for x in qall[0]), k=10,
+                                     filter=TermQuery("spark")), k=10)
+    assert all(h.doc_id in matching for h in td.score_docs)
+    sims = dot_product_score(qall[0], qall)
+    ok = np.array(sorted(matching))
+    order = ok[np.lexsort((ok, -sims[ok]))][:10]
+    assert [h.doc_id for h in td.score_docs] == [int(i) for i in order]
