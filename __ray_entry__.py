@@ -1893,6 +1893,31 @@ def _classic_topk(sf_dir: str):
     return _similarity_topk(sf_dir, "classic")
 
 
+def _rawtf_topk(sf_dir: str):
+    """RawTFSimilarity (RawTFSimilarity.kt): score = boost · freq, the
+    norm-free SimScorer."""
+    return _similarity_topk(sf_dir, "rawtf")
+
+
+def _perfield_similarity_topk(sf_dir: str):
+    """PerFieldSimilarityWrapper (search/similarities/
+    PerFieldSimilarityWrapper.kt): one query, two similarities — the
+    text clause scores under BM25, the title clause under
+    ClassicSimilarity, dispatched per field by the wrapper's
+    get(collectionStats.field). SHOULD sum per doc."""
+    import pandas as pd
+    q = BooleanQuery.build(
+        (Occur.SHOULD, TermQuery(TERM_A)),
+        (Occur.SHOULD, TermQuery(TERM_A, "title")))
+    index_dir = _ensure_index(sf_dir)
+    df = search_distributed(
+        index_dir, {"q": q}, k=10, dtype="float64",
+        similarity={"title": "classic", "*": "bm25"}).to_pandas()
+    df = df[["doc_id", "url", "score"]].rename(columns={"score": "score_r"})
+    df["score_r"] = np.round(df["score_r"], 6)
+    return df
+
+
 def _similarity_topk(sf_dir: str, similarity: str):
     import pandas as pd
     index_dir = _ensure_index(sf_dir)
@@ -2669,6 +2694,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_by_url_top20": lambda sf: _sorted_by_url(sf),
         "sorted_multi_key_top20": lambda sf: _sorted_multi(sf),
         "classic_term_top10": _classic_topk,
+        "rawtf_term_top10": _rawtf_topk,
+        "perfield_similarity_top10": _perfield_similarity_topk,
         # round 5: language-model similarities (LMSimilarity.kt family)
         "lmdirichlet_term_top10": _lmdirichlet_topk,
         "lmjelinekmercer_term_top10": _lmjelinekmercer_topk,
@@ -2966,6 +2993,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_int8_top10": oracle.knn_int8_topk(),
         "byte_vector_similarity_all": oracle.byte_vector_similarity_all(),
         "classic_term_top10": oracle.classic_term_topk(TERM_A),
+        "rawtf_term_top10": oracle.rawtf_term_topk(TERM_A),
+        "perfield_similarity_top10": oracle.perfield_similarity_topk(TERM_A),
         "lmdirichlet_term_top10": oracle.lm_dirichlet_term_topk(TERM_A),
         "lmjelinekmercer_term_top10":
             oracle.lm_jelinek_mercer_term_topk(TERM_A),

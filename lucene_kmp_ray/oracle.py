@@ -879,6 +879,51 @@ ORDER BY ((0 + COALESCE(sc0.score, 0)) + COALESCE(feat.score, 0)) DESC,
 """
 
 
+def rawtf_term_topk(term: str, k: int = 10) -> str:
+    """RawTFSimilarity mirror (RawTFSimilarity.kt: score = boost·freq,
+    norm ignored; boost 1)."""
+    return preamble() + f""",
+scored AS (
+  SELECT doc_id, CAST(freq AS DOUBLE) AS score
+  FROM postings WHERE term = '{term}'
+)
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
+def perfield_similarity_topk(term: str, k: int = 10) -> str:
+    """PerFieldSimilarityWrapper mirror: SHOULD(text:term) under BM25 +
+    SHOULD(title:term) under ClassicSimilarity (TF-IDF), per-doc clause
+    sum in engine clause order — one query, two similarities keyed by
+    field (PerFieldSimilarityWrapper.kt get(field))."""
+    lit = f"'{term}'"
+    classic_idf = (f"(ln((CAST((SELECT doc_count FROM tfstats) AS DOUBLE)"
+                   f" + 1) / ((SELECT df FROM ttstats WHERE term = {lit})"
+                   f" + 1)) + 1.0)")
+    return preamble() + f""",
+sc0 AS ({term_scored_cte(lit)}),
+sc1 AS (
+  SELECT p.doc_id,
+         (sqrt(CAST(p.freq AS DOUBLE)) * {classic_idf}) *
+         (1.0/sqrt(n.dln)) AS score
+  FROM tpostings p JOIN tnormd n USING (doc_id)
+  WHERE p.term = {lit}
+),
+docs AS (SELECT doc_id FROM sc0 UNION SELECT doc_id FROM sc1),
+summed AS (
+  SELECT d.doc_id,
+         ((0 + COALESCE(sc0.score, 0)) + COALESCE(sc1.score, 0)) AS score
+  FROM docs d LEFT JOIN sc0 ON sc0.doc_id = d.doc_id
+              LEFT JOIN sc1 ON sc1.doc_id = d.doc_id
+)
+SELECT s.doc_id, c.url, round(s.score, 6) AS score_r
+FROM summed s JOIN corpus c USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
 def classic_term_topk(term: str, k: int = 10) -> str:
     """ClassicSimilarity (TF-IDF) mirror: idf = ln((N+1)/(df+1)) + 1,
     score = (sqrt(freq) * idf) * (1/sqrt(decoded_length)) — the exact

@@ -28,10 +28,22 @@ from .query import Query
 from .searcher import Searcher, _topk_idx
 
 
-def make_similarity(name: str, dtype: str):
+def make_similarity(name, dtype: str):
     """Similarity registry (the Similarity extension surface, SURVEY
-    §2.11): 'bm25' (default), 'classic' (TF-IDF), 'boolean',
-    'lmdirichlet', 'lmjelinekmercer'."""
+    §2.11): 'bm25' (default), 'classic' (TF-IDF), 'boolean', 'rawtf',
+    'lmdirichlet', 'lmjelinekmercer', …. A DICT spec
+    ``{"title": "classic", "*": "bm25"}`` builds a PerFieldSimilarity
+    ('*' = default, PerFieldSimilarityWrapper.kt role) — dict specs stay
+    msgpack-serializable for the actor-pool search path."""
+    if isinstance(name, dict):
+        from ..similarity.perfield import PerFieldSimilarity
+        default = make_similarity(name.get("*", "bm25"), dtype)
+        per = {f: make_similarity(n, dtype) for f, n in name.items()
+               if f != "*"}
+        return PerFieldSimilarity(default, per)
+    if name == "rawtf":
+        from ..similarity.classic import RawTFSimilarity
+        return RawTFSimilarity(dtype=dtype)
     if name == "classic":
         from ..similarity.classic import ClassicSimilarity
         return ClassicSimilarity(dtype=dtype)

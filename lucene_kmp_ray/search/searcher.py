@@ -144,6 +144,13 @@ class Searcher:
                 cache.put(key, sr.seg, docs)
         return docs, np.zeros(len(docs), dtype=self.sim.dtype)
 
+    def _sim(self, field: str):
+        """Per-field similarity dispatch (PerFieldSimilarityWrapper.kt:
+        ``scorer`` delegates to ``get(collectionStats.field)``); a plain
+        similarity dispatches to itself."""
+        get = getattr(self.sim, "get", None)
+        return get(field) if get is not None else self.sim
+
     # ----- stats resolution (precedes scoring, TermQuery.kt:269) --------
     def _scorer_for_terms(self, terms: list[str], boost: float = 1.0,
                           field: str = "text"):
@@ -154,7 +161,7 @@ class Searcher:
             return None, stats
         dc, sttf = self.reader.field_stats(field)
         ttfs = [stats[t][1] for t in terms]
-        return self.sim.scorer(boost, dc, sttf, dfs, ttfs), stats
+        return self._sim(field).scorer(boost, dc, sttf, dfs, ttfs), stats
 
     # ----- per-segment match+score: returns (docs asc, scores) ---------
     def _score_segment(self, sr: SegmentReader, query: Query,
@@ -270,7 +277,8 @@ class Searcher:
             if not dfs or len(docs) == 0:
                 return _empty(self.sim.dtype)
             dc, sttf = self.reader.field_stats(query.field)
-            scorer = self.sim.scorer(boost, dc, sttf, dfs, ttfs)
+            scorer = self._sim(query.field).scorer(boost, dc, sttf, dfs,
+                                                   ttfs)
             return docs, scorer.score(freqs,
                                       sr.norms_for(query.field)[docs])
         from .spans import SpanQuery, collect_term_fields, span_freqs
@@ -299,7 +307,8 @@ class Searcher:
                 dt = self.sim.dtype
                 return docs, np.full(len(docs), dt.type(boost), dtype=dt)
             dc, sttf = self.reader.field_stats(query.field)
-            scorer = self.sim.scorer(boost, dc, sttf, dfs, ttfs)
+            scorer = self._sim(query.field).scorer(boost, dc, sttf, dfs,
+                                                   ttfs)
             return docs, scorer.score(freqs,
                                       sr.norms_for(query.field)[docs])
         if isinstance(query, SynonymQuery):
@@ -392,7 +401,8 @@ class Searcher:
         if not scoring:
             return docs, np.zeros(len(docs), dtype=dt)
         dc, sttf = self.reader.field_stats(q.field)
-        scorer = self.sim.scorer(boost, dc, sttf, [df_blend], [ttf_blend])
+        scorer = self._sim(q.field).scorer(boost, dc, sttf, [df_blend],
+                                           [ttf_blend])
         return docs, scorer.score(freq_sum, sr.norms_for(q.field)[docs])
 
     def _score_combined_field(self, sr: SegmentReader,
@@ -474,8 +484,8 @@ class Searcher:
                 continue
             docs_t, freqs_t = p
             dc, sttf = self.reader.field_stats(f)
-            scorer = self.sim.scorer(boost * b, dc, sttf, [df_blend],
-                                     [ttf_blend])
+            scorer = self._sim(f).scorer(boost * b, dc, sttf, [df_blend],
+                                         [ttf_blend])
             sc = scorer.score(freqs_t, sr.norms_for(f)[docs_t])
             per.append((docs_t, sc))
         if not per:
@@ -512,7 +522,7 @@ class Searcher:
             if df == 0:
                 continue
             dc, sttf = self.reader.field_stats(f)
-            scorer = self.sim.scorer(boost, dc, sttf, [df], [ttf])
+            scorer = self._sim(f).scorer(boost, dc, sttf, [df], [ttf])
             resolved.append((t, f, float(b), scorer))
         if not resolved:
             return _empty(dt)
@@ -1258,8 +1268,8 @@ class Searcher:
         stats = self.reader.term_stats(terms, field)
         live = [t for t in terms if stats[t][0] > 0]
         dc, sttf = self.reader.field_stats(field)
-        scorers = {t: self.sim.scorer(1.0, dc, sttf, [stats[t][0]],
-                                      [stats[t][1]])
+        scorers = {t: self._sim(field).scorer(1.0, dc, sttf, [stats[t][0]],
+                                              [stats[t][1]])
                    for t in live}
         top_scores = np.empty(0, dtype=dt)
         hits_seen = 0
@@ -1412,12 +1422,13 @@ class Searcher:
         freq = int(freqs[i])
         norm = int(sr.norms_for(query.field)[local_doc])
         n, sttf = self.reader.field_stats(query.field)
-        idf = self.sim.idf(df, n)
+        sim = self._sim(query.field)
+        idf = sim.idf(df, n)
         # avgdl is a BM25-family stat; other similarities (Classic, LM)
         # have no notion of it — Explanation shows sumTotalTermFreq/N
-        avgdl = self.sim.avgdl(sttf, n) if hasattr(self.sim, "avgdl") \
+        avgdl = sim.avgdl(sttf, n) if hasattr(sim, "avgdl") \
             else sttf / n
-        scorer = self.sim.scorer(1.0, n, sttf, [df], [term_ttf])
+        scorer = sim.scorer(1.0, n, sttf, [df], [term_ttf])
         score = float(scorer.score(np.array([freq]),
                                    np.array([norm], np.uint8))[0])
         from ..util.smallfloat import LENGTH_TABLE_INT

@@ -110,3 +110,37 @@ class BooleanScorer_:
 
     def max_score(self, max_freq: int, min_norm_byte: int) -> float:
         return float(self.boost)
+
+
+class RawTFSimilarity:
+    """Raw term-frequency similarity (``search/similarities/
+    RawTFSimilarity.kt``): ``score(freq, norm) = boost * freq`` — the
+    norm is ignored entirely. Used by the reference as the simplest
+    SimScorer (e.g. feature-style fields where freq IS the payload)."""
+
+    def __init__(self, dtype: str = "float32"):
+        self.dtype = np.dtype(dtype)
+
+    def idf(self, doc_freq: int, doc_count: int) -> float:
+        return 1.0
+
+    def idf_sum(self, doc_freqs, doc_count) -> float:
+        return 1.0
+
+    def scorer(self, boost: float, doc_count: int, sum_total_term_freq: int,
+               doc_freqs: list[int],
+               total_term_freqs=None) -> "RawTFScorer":
+        return RawTFScorer(self, boost)
+
+
+class RawTFScorer:
+    def __init__(self, sim: RawTFSimilarity, boost: float):
+        self.dtype = sim.dtype
+        self.boost = self.dtype.type(boost)
+
+    def score(self, freq: np.ndarray, norm_byte: np.ndarray) -> np.ndarray:
+        return (self.boost *
+                np.asarray(freq).astype(self.dtype))
+
+    def max_score(self, max_freq: int, min_norm_byte: int) -> float:
+        return float(self.boost * self.dtype.type(max_freq))

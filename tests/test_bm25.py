@@ -120,3 +120,64 @@ def test_classic_and_boolean_similarity(built_index, corpus_texts):
     pruned = s.search(TermQuery("the"), k=10, prune=True)
     assert [h.doc_id for h in exhaustive.score_docs] == \
         [h.doc_id for h in pruned.score_docs]
+
+
+def test_rawtf_similarity(built_index, corpus_texts):
+    """RawTFSimilarity (RawTFSimilarity.kt): score = boost * freq,
+    norm ignored."""
+    from lucene_kmp_ray.analysis import tokenize
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.search import Searcher, TermQuery
+    from lucene_kmp_ray.similarity.classic import RawTFSimilarity
+
+    s = Searcher(IndexReader(built_index), RawTFSimilarity(dtype="float64"))
+    td = s.search(TermQuery("the"), k=8)
+    toks = [tokenize(t) for t in corpus_texts]
+    for h in td.score_docs:
+        assert h.score == float(toks[h.doc_id].count("the"))
+    # boost scales linearly through a BoostQuery
+    from lucene_kmp_ray.search import BoostQuery
+    tb = s.search(BoostQuery(TermQuery("the"), 2.5), k=8)
+    assert [h.doc_id for h in tb.score_docs] == \
+        [h.doc_id for h in td.score_docs]
+    assert all(abs(b.score - 2.5 * a.score) < 1e-12
+               for a, b in zip(td.score_docs, tb.score_docs))
+
+
+def test_perfield_similarity_dispatch(built_index):
+    """PerFieldSimilarityWrapper.kt: get(field) picks the similarity —
+    a field in the map scores under its own similarity, everything else
+    under the default; mixed dtypes are rejected."""
+    import pytest
+
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.search import Searcher, TermQuery
+    from lucene_kmp_ray.search.ray_search import make_similarity
+    from lucene_kmp_ray.similarity.bm25 import BM25Similarity
+    from lucene_kmp_ray.similarity.classic import ClassicSimilarity
+    from lucene_kmp_ray.similarity.perfield import PerFieldSimilarity
+
+    reader = IndexReader(built_index)
+    per = PerFieldSimilarity(BM25Similarity(dtype="float64"),
+                             {"text": ClassicSimilarity(dtype="float64")})
+    got = Searcher(reader, per).search(TermQuery("spark"), k=5)
+    want = Searcher(reader, ClassicSimilarity(dtype="float64")).search(
+        TermQuery("spark"), k=5)
+    assert [(h.doc_id, h.score) for h in got.score_docs] == \
+        [(h.doc_id, h.score) for h in want.score_docs]
+    # a field NOT in the map falls back to the default similarity
+    per2 = PerFieldSimilarity(BM25Similarity(dtype="float64"),
+                              {"title": ClassicSimilarity(dtype="float64")})
+    got2 = Searcher(reader, per2).search(TermQuery("spark"), k=5)
+    want2 = Searcher(reader, BM25Similarity(dtype="float64")).search(
+        TermQuery("spark"), k=5)
+    assert [(h.doc_id, h.score) for h in got2.score_docs] == \
+        [(h.doc_id, h.score) for h in want2.score_docs]
+    with pytest.raises(ValueError):
+        PerFieldSimilarity(BM25Similarity(dtype="float64"),
+                           {"text": ClassicSimilarity(dtype="float32")})
+    # the dict registry spec builds the same wrapper
+    sim = make_similarity({"text": "classic", "*": "bm25"}, "float64")
+    got3 = Searcher(reader, sim).search(TermQuery("spark"), k=5)
+    assert [(h.doc_id, h.score) for h in got3.score_docs] == \
+        [(h.doc_id, h.score) for h in want.score_docs]
