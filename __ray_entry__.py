@@ -2127,6 +2127,28 @@ def _knn_filtered_topk(sf_dir: str):
     return df
 
 
+def _rescore_sort_topk(sf_dir: str):
+    """SortRescorer (search/SortRescorer.kt): BM25 first pass
+    (text:spark, top-50) re-SORTED by document length descending
+    (docID-ascending tiebreak); the returned scores stay the original
+    first-pass BM25 scores (kt:77-84 copies them back)."""
+    import pandas as pd
+
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.search.ray_search import SortField
+    from lucene_kmp_ray.similarity.bm25 import BM25Similarity
+
+    s = Searcher(IndexReader(_ensure_index(sf_dir)),
+                 BM25Similarity(dtype="float64"))
+    fp = s.search(TermQuery(TERM_A), k=50)
+    td = s.rescore_by_sort(fp, (SortField("length", descending=True),),
+                           top_n=10)
+    return pd.DataFrame({
+        "doc_id": [h.doc_id for h in td.score_docs],
+        "url": [h.url for h in td.score_docs],
+        "score_r": [round(h.score, 6) for h in td.score_docs]})
+
+
 def _rescore_topk(sf_dir: str):
     """QueryRescorer (search/QueryRescorer.kt role): BM25 first pass
     (text:spark, top-50) re-scored by a second query (text:the) with
@@ -2621,6 +2643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_hnsw_top10": _knn_hnsw_topk,
         "index_sort_range_all": _index_sort_range_all,
         "rescore_top10": _rescore_topk,
+        "rescore_sort_top10": _rescore_sort_topk,
         "knn_seeded_top10": _knn_seeded_topk,
         "knn_filtered_top10": _knn_filtered_topk,
         "knn_int8_top10": _knn_int8_topk,
@@ -2988,6 +3011,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_hnsw_top10": oracle.knn_vector_topk(),
         "index_sort_range_all": oracle.index_sort_range_all(),
         "rescore_top10": oracle.rescore_topk("spark", "the"),
+        "rescore_sort_top10": oracle.rescore_sort_topk("spark"),
         "knn_seeded_top10": oracle.knn_vector_topk(),
         "knn_filtered_top10": oracle.knn_filtered_topk("spark"),
         "knn_int8_top10": oracle.knn_int8_topk(),

@@ -792,6 +792,20 @@ LIMIT {k}
 """
 
 
+def rescore_sort_topk(term: str, first_k: int = 50, k: int = 10) -> str:
+    """SortRescorer mirror: first-pass BM25 top-first_k by (score desc,
+    doc), re-ORDERED by token length descending with docID tiebreak;
+    scores stay the first-pass scores (SortRescorer.kt:77-84)."""
+    return preamble() + f""",
+sc1 AS ({term_scored_cte(repr(term))}),
+firstp AS (SELECT doc_id, score FROM sc1
+           ORDER BY score DESC, doc_id LIMIT {first_k})
+SELECT f.doc_id, c.url, round(f.score, 6) AS score_r
+FROM firstp f JOIN doclen d USING (doc_id) JOIN corpus c USING (doc_id)
+ORDER BY d.dl DESC, f.doc_id LIMIT {k}
+"""
+
+
 def index_sort_range_all(lower: int = 200, upper: int = 400) -> str:
     """IndexSortSortedNumericDocValuesRangeQuery mirror: the engine
     binary-searches the n_chars-sorted segments; the relation is a plain

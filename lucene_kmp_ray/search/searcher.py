@@ -1376,6 +1376,49 @@ class Searcher:
         return TopDocs(first_pass.total_hits, first_pass.relation,
                        new_hits[:top_n])
 
+    def rescore_by_sort(self, first_pass: TopDocs, sort_fields,
+                        top_n: int = 10) -> TopDocs:
+        """``search/SortRescorer.kt``: re-sort the first-pass hit set by
+        a Sort — the reference replays the hits through a
+        TopFieldCollector (docID-ascending merge walk, kt:42-72) and then
+        copies the ORIGINAL first-pass scores back onto the re-sorted
+        docs (kt:77-84). Here the sort keys gather per touched segment
+        from the doc-meta sidecar (one Arrow ``take`` per segment) and a
+        stable multi-key sort with the global-docID tiebreak reproduces
+        the collector order. ``sort_fields``: SortField-likes with
+        ``.field`` / ``.descending`` / ``.missing_last`` (None = Lucene's
+        missing-sorts-smallest default)."""
+        import pandas as pd
+        hits = list(first_pass.score_docs)
+        if not hits:
+            return first_pass
+        fields = [sf.field for sf in sort_fields]
+        cols: dict[str, list] = {f: [None] * len(hits) for f in fields}
+        by_seg: dict[int, list[int]] = {}
+        for i, h in enumerate(hits):
+            by_seg.setdefault(h.seg, []).append(i)
+        for si, idxs in by_seg.items():
+            dm = self.reader.segment_readers[si].doc_meta
+            local = [hits[i].doc for i in idxs]
+            for f in fields:
+                taken = dm[f].take(local).to_pylist()
+                for i, v in zip(idxs, taken):
+                    cols[f][i] = v
+        df = pd.DataFrame({"_i": np.arange(len(hits)),
+                           "_seg": [h.seg for h in hits],
+                           "_doc": [h.doc for h in hits], **cols})
+        # last key first, stable sorts — per-key direction + null policy
+        df = df.sort_values(["_seg", "_doc"], kind="mergesort")
+        for sf in reversed(list(sort_fields)):
+            last = sf.missing_last if sf.missing_last is not None \
+                else sf.descending  # missing = smallest → last when desc
+            df = df.sort_values(sf.field, ascending=not sf.descending,
+                                kind="mergesort",
+                                na_position="last" if last else "first")
+        order = df["_i"].to_numpy()[:top_n]
+        return TopDocs(first_pass.total_hits, first_pass.relation,
+                       [hits[i] for i in order])
+
     def explain(self, query: Query, doc_id: int) -> dict:
         """Explanation tree for one doc (``Weight.explain`` /
         ``BM25Similarity.explain`` shape): nested {value, description,

@@ -84,3 +84,45 @@ def test_rescore_can_promote_lower_first_pass_hits(searcher):
                           top_n=10)
     s2 = _scores(searcher, TermQuery("join"))
     assert all(s2.get(h.doc_id, 0.0) > 0 for h in td.score_docs[:3])
+
+
+def test_sort_rescorer_reorders_keeping_scores(searcher):
+    """SortRescorer.kt: hits re-sorted by the Sort, original first-pass
+    scores preserved on the re-sorted docs (kt:77-84)."""
+    from lucene_kmp_ray.search.ray_search import SortField
+    first = searcher.search(TermQuery("spark"), k=30)
+    td = searcher.rescore_by_sort(
+        first, (SortField("length", descending=True),), top_n=10)
+    lens = {h.doc_id: int(searcher.reader.segment_readers[h.seg]
+                          .doc_meta["length"][h.doc].as_py())
+            for h in first.score_docs}
+    want = sorted(first.score_docs,
+                  key=lambda h: (-lens[h.doc_id], h.doc_id))[:10]
+    assert [(h.doc_id, h.score) for h in td.score_docs] == \
+        [(h.doc_id, h.score) for h in want]
+    assert td.total_hits == first.total_hits
+
+
+def test_sort_rescorer_multi_key_and_ascending(searcher):
+    from lucene_kmp_ray.search.ray_search import SortField
+    first = searcher.search(TermQuery("the"), k=40)
+    td = searcher.rescore_by_sort(
+        first, (SortField("max_tf", descending=True),
+                SortField("length", descending=False)), top_n=15)
+    meta = {}
+    for h in first.score_docs:
+        dm = searcher.reader.segment_readers[h.seg].doc_meta
+        meta[h.doc_id] = (int(dm["max_tf"][h.doc].as_py()),
+                          int(dm["length"][h.doc].as_py()))
+    want = sorted(first.score_docs,
+                  key=lambda h: (-meta[h.doc_id][0], meta[h.doc_id][1],
+                                 h.doc_id))[:15]
+    assert [h.doc_id for h in td.score_docs] == [h.doc_id for h in want]
+
+
+def test_sort_rescorer_empty_first_pass(searcher):
+    from lucene_kmp_ray.search.ray_search import SortField
+    first = searcher.search(TermQuery("zzznotaterm"), k=10)
+    td = searcher.rescore_by_sort(
+        first, (SortField("length", descending=True),), top_n=10)
+    assert td.score_docs == [] or td.score_docs == first.score_docs
