@@ -684,7 +684,7 @@ def _ensure_geo_index(sf_dir: str) -> str:
     from lucene_kmp_ray.sources.corpus import corpus_dataset
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    idx = f"/tmp/lucene_kmp_ray_index_geo3/{tag}"
+    idx = f"/tmp/lucene_kmp_ray_index_geo4/{tag}"
     if not os.path.exists(os.path.join(idx, "manifest.json")):
         def add_coords(b: pa.Table) -> pa.Table:
             d = b["doc_id"].to_numpy()
@@ -695,19 +695,64 @@ def _ensure_geo_index(sf_dir: str) -> str:
             # range-valued field (RangeFieldQuery role): [rlo, rhi]
             rlo = d * 17 % 1000
             rhi = rlo + d * 7 % 120
+            # multi-valued fields (SortedNumericDocValuesField /
+            # SortedSetDocValuesField roles): 0-3 ints, 0-4 tag strings
+            # (t0-t2, so 4-value docs repeat a tag — set dedup territory)
+            cnt_v = d % 4
+            rows_v = np.repeat(np.arange(len(d)), cnt_v)
+            j_v = np.arange(int(cnt_v.sum())) - \
+                np.repeat(np.cumsum(cnt_v) - cnt_v, cnt_v)
+            vals = pa.ListArray.from_arrays(
+                np.r_[0, np.cumsum(cnt_v)].astype(np.int32),
+                pa.array((d[rows_v] * 31 + j_v * 57) % 1000, pa.int64()))
+            cnt_t = d % 5
+            rows_t = np.repeat(np.arange(len(d)), cnt_t)
+            j_t = np.arange(int(cnt_t.sum())) - \
+                np.repeat(np.cumsum(cnt_t) - cnt_t, cnt_t)
+            tags = pa.ListArray.from_arrays(
+                np.r_[0, np.cumsum(cnt_t)].astype(np.int32),
+                pa.array(np.char.add(
+                    "t", ((d[rows_t] * 7 + j_t * 11) % 3).astype("U1"))))
             return b.append_column("lat", pa.array(lat, pa.float64())) \
                     .append_column("lon", pa.array(lon, pa.float64())) \
                     .append_column("x", pa.array(x, pa.float32())) \
                     .append_column("y", pa.array(y, pa.float32())) \
                     .append_column("rlo", pa.array(rlo, pa.int64())) \
-                    .append_column("rhi", pa.array(rhi, pa.int64()))
+                    .append_column("rhi", pa.array(rhi, pa.int64())) \
+                    .append_column("vals", vals) \
+                    .append_column("tags", tags)
         ds = corpus_dataset(sf_dir, columns=["doc_id", "url", "text",
                                              "lang"]) \
             .map_batches(add_coords, batch_format="pyarrow")
         build_index(ds, idx, segment_size=SEGMENT_SIZE,
                     meta_cols=("lat", "lon", "x", "y", "rlo", "rhi",
-                               "lang"))
+                               "lang", "vals", "tags"))
     return idx
+
+
+def _sorted_numeric_max(sf_dir: str):
+    """SortedNumericSortField (SortedNumericSelector.kt MAX): matches of
+    text:spark sorted by the MAX of the multi-valued int field ``vals``
+    descending, docs with no values last, docID tiebreak."""
+    from lucene_kmp_ray.search.ray_search import (SortField,
+                                                  search_sorted_by_fields)
+    return search_sorted_by_fields(
+        _ensure_geo_index(sf_dir), TermQuery(TERM_A),
+        (SortField("vals", descending=True, missing_last=True,
+                   selector="max"),), k=20)
+
+
+def _sorted_set_middle(sf_dir: str):
+    """SortedSetSortField (SortedSetSelector.kt MIDDLE_MIN): matches of
+    text:spark sorted by the middle-min ordinal of the multi-valued
+    string field ``tags`` ascending (per-doc sorted value SET —
+    duplicates collapse), missing last, docID tiebreak."""
+    from lucene_kmp_ray.search.ray_search import (SortField,
+                                                  search_sorted_by_fields)
+    return search_sorted_by_fields(
+        _ensure_geo_index(sf_dir), TermQuery(TERM_A),
+        (SortField("tags", descending=False, missing_last=True,
+                   selector="middle_min"),), k=20)
 
 
 def _facet_lang_counts(sf_dir: str):
@@ -2716,6 +2761,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ensure_index(sf), TermQuery(TERM_A), "length", k=20),
         "sorted_by_url_top20": lambda sf: _sorted_by_url(sf),
         "sorted_multi_key_top20": lambda sf: _sorted_multi(sf),
+        "sorted_numeric_max_top20": _sorted_numeric_max,
+        "sorted_set_middle_top20": _sorted_set_middle,
         "classic_term_top10": _classic_topk,
         "rawtf_term_top10": _rawtf_topk,
         "perfield_similarity_top10": _perfield_similarity_topk,
@@ -3050,6 +3097,8 @@ def oracle_sql() -> dict[str, str]:
         # HNSW recall@10 vs the exact scan drops below 0.9
         "knn_hnsw_recall": "SELECT 1 AS recall_ge_090",
         "sorted_multi_key_top20": oracle.sorted_multi_key(TERM_A, 20),
+        "sorted_numeric_max_top20": oracle.sorted_numeric_max(TERM_A),
+        "sorted_set_middle_top20": oracle.sorted_set_middle(TERM_A),
         "token_counts": oracle.token_counts(),
         "token_counts_cjk": oracle.token_counts_cjk(),
         "quality": oracle.quality(),

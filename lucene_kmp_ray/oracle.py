@@ -1335,6 +1335,47 @@ ORDER BY d.dl, c.url DESC, p.doc_id LIMIT {k}
 """
 
 
+def sorted_numeric_max(term: str, k: int = 20) -> str:
+    """SortedNumericSortField MAX mirror: the multi-valued int field is
+    the deterministic derivation the entry indexes (count = doc_id % 4,
+    value_j = (doc_id·31 + j·57) % 1000); sort by its max DESC NULLS
+    LAST, docID tiebreak."""
+    sel = ("list_aggregate(list_transform("
+           "generate_series(0, CAST(p.doc_id % 4 AS INT) - 1), "
+           "j -> (p.doc_id*31 + j*57) % 1000), 'max')")
+    return preamble() + f""",
+m AS (
+  SELECT p.doc_id, c.url, {sel} AS vals
+  FROM postings p JOIN corpus c USING (doc_id)
+  WHERE p.term = '{term}'
+)
+SELECT row_number() OVER (ORDER BY vals DESC NULLS LAST, doc_id) AS rank,
+       doc_id, url, vals
+FROM m ORDER BY vals DESC NULLS LAST, doc_id LIMIT {k}
+"""
+
+
+def sorted_set_middle(term: str, k: int = 20) -> str:
+    """SortedSetSortField MIDDLE_MIN mirror: tags count = doc_id % 5,
+    tag_j = 't' || (doc_id·7 + j·11) % 3; the selector indexes the
+    SORTED DISTINCT set at (n-1)//2 (SortedSetSelector.kt
+    MiddleMinValue), ASC NULLS LAST, docID tiebreak."""
+    mk = ("list_sort(list_distinct(list_transform("
+          "generate_series(0, CAST(p.doc_id % 5 AS INT) - 1), "
+          "j -> 't' || CAST((p.doc_id*7 + j*11) % 3 AS VARCHAR))))")
+    return preamble() + f""",
+m AS (
+  SELECT p.doc_id, c.url,
+         (SELECT l[(len(l)-1)//2 + 1] FROM (SELECT {mk} AS l)) AS tags
+  FROM postings p JOIN corpus c USING (doc_id)
+  WHERE p.term = '{term}'
+)
+SELECT row_number() OVER (ORDER BY tags ASC NULLS LAST, doc_id) AS rank,
+       doc_id, url, tags
+FROM m ORDER BY tags ASC NULLS LAST, doc_id LIMIT {k}
+"""
+
+
 # ------------------------------ events ------------------------------------
 def tumbling_counts(window_minutes: int = 60) -> str:
     w_us = window_minutes * 60 * 1_000_000

@@ -275,10 +275,58 @@ class SortField:
     """One sort key (``search/SortField.kt:54-80``): any doc-meta column
     (INT/LONG via int64, FLOAT/DOUBLE via float64, STRING via utf8),
     per-key direction, per-key missing-value policy (``missing_last`` —
-    None means missing sorts as smallest, Lucene's default)."""
+    None means missing sorts as smallest, Lucene's default).
+
+    ``selector`` sorts a MULTI-VALUED (list-typed) doc-meta column by a
+    per-doc representative value — ``SortedNumericSortField`` /
+    ``SortedSetSortField``: 'min' | 'max' (SortedNumericSelector.kt), plus
+    'middle_min' | 'middle_max' over the doc's sorted value SET
+    (SortedSetSelector.kt — set semantics: duplicates collapse to one
+    ordinal). A doc with no values is missing (the missing policy
+    applies)."""
     field: str
     descending: bool = False
     missing_last: bool | None = None
+    selector: str | None = None
+
+
+def _select_from_lists(col, selector: str):
+    """Vectorized SortedNumericSelector/SortedSetSelector.wrap: explode
+    the list column via value counts, stable-sort (row, value), collapse
+    duplicates for the set selectors, then pick per-row by index
+    arithmetic — no per-row Python. Returns a pyarrow array with null
+    for docs with no values."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    counts = pc.fill_null(pc.list_value_length(arr), 0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    values = arr.flatten().to_numpy(zero_copy_only=False)
+    rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+    if len(values):
+        order = pd.Series(values).sort_values(kind="mergesort").index
+        order = order.to_numpy()[np.argsort(rows[order], kind="stable")]
+        # ^ stable two-pass: by value, then by row — (row, value) asc
+        rows_s, vals_s = rows[order], values[order]
+        if selector in ("middle_min", "middle_max"):
+            # SortedSet ordinal semantics: per-doc DISTINCT sorted values
+            keep = np.ones(len(vals_s), bool)
+            keep[1:] = (rows_s[1:] != rows_s[:-1]) | (vals_s[1:] != vals_s[:-1])
+            rows_s, vals_s = rows_s[keep], vals_s[keep]
+        starts = np.flatnonzero(np.r_[True, rows_s[1:] != rows_s[:-1]])
+        sizes = np.diff(np.r_[starts, len(rows_s)])
+        pick = {"min": starts,
+                "max": starts + sizes - 1,
+                "middle_min": starts + (sizes - 1) // 2,
+                "middle_max": starts + sizes // 2}[selector]
+        out = np.full(n, None, dtype=object)
+        out[rows_s[starts]] = vals_s[pick]
+    else:
+        out = np.full(n, None, dtype=object)
+    return pa.array(out.tolist(), type=arr.type.value_type)
 
 
 def search_sorted_by_fields(index_dir: str, query: Query,
@@ -310,6 +358,21 @@ def search_sorted_by_fields(index_dir: str, query: Query,
     ds = search_all_matches(index_dir, query, concurrency=concurrency,
                             meta_cols=meta_cols,
                             per_seg_limit=per_seg_limit)
+
+    sels = [sf for sf in sort_fields if sf.selector is not None]
+    if sels:
+        # SortedNumericSortField / SortedSetSortField: reduce each
+        # multi-valued column to its selected representative BEFORE the
+        # distributed sort (only matching rows' key columns move)
+        def select_keys(t):
+            import pyarrow as pa
+            for sf in sels:
+                i = t.schema.get_field_index(sf.field)
+                t = t.set_column(i, sf.field,
+                                 _select_from_lists(t[sf.field],
+                                                    sf.selector))
+            return t
+        ds = ds.map_batches(select_keys, batch_format="pyarrow")
 
     keys: list[str] = []
     desc: list[bool] = []

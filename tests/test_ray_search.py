@@ -197,3 +197,57 @@ def test_searcher_pool_knn_resolved_globally(ray_session, tmp_path):
                                rtol=1e-5), name
     finally:
         pool.shutdown()
+
+
+def test_sorted_selector_kernel():
+    """SortedNumericSelector.kt MIN/MAX + SortedSetSelector.kt
+    MIDDLE_MIN/MIDDLE_MAX semantics, incl. empty lists (missing) and
+    set-dedup for the middle selectors."""
+    import pyarrow as pa
+
+    from lucene_kmp_ray.search.ray_search import _select_from_lists
+
+    ints = pa.array([[5, 1, 9], [], [7], [3, 3, 2]],
+                    type=pa.list_(pa.int64()))
+    assert _select_from_lists(ints, "min").to_pylist() == [1, None, 7, 2]
+    assert _select_from_lists(ints, "max").to_pylist() == [9, None, 7, 3]
+    # SortedSet ordinals: per-doc sorted DISTINCT values
+    tags = pa.array([["b", "d", "a", "c"], ["x", "x", "x"], [],
+                     ["t2", "t0", "t2", "t1"]],
+                    type=pa.list_(pa.string()))
+    # {'a','b','c','d'}: middle_min = ord[(4-1)//2]='b', middle_max='c'
+    assert _select_from_lists(tags, "middle_min").to_pylist() == \
+        ["b", "x", None, "t1"]
+    assert _select_from_lists(tags, "middle_max").to_pylist() == \
+        ["c", "x", None, "t1"]
+    # all-empty batch
+    empty = pa.array([[], []], type=pa.list_(pa.int64()))
+    assert _select_from_lists(empty, "max").to_pylist() == [None, None]
+
+
+def test_sorted_numeric_sort_end_to_end(built_meta_index=None):
+    """Multi-valued sort through search_sorted_by_fields: MAX desc,
+    missing (no-value docs) last, docID tiebreak."""
+    import shutil
+
+    import pyarrow as pa
+
+    import ray.data as rd
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.search import TermQuery
+    from lucene_kmp_ray.search.ray_search import (SortField,
+                                                  search_sorted_by_fields)
+
+    idx = "/tmp/test_sortednumeric_idx"
+    shutil.rmtree(idx, ignore_errors=True)
+    rows = [{"doc_id": i, "url": f"u{i}", "text": "alpha beta",
+             "vals": [[7, 2], [], [9], [5, 5, 5], []][i]}
+            for i in range(5)]
+    build_index(rd.from_items(rows), idx, segment_size=2,
+                meta_cols=("vals",))
+    out = search_sorted_by_fields(
+        idx, TermQuery("alpha"),
+        (SortField("vals", descending=True, missing_last=True,
+                   selector="max"),), k=10)
+    assert out["doc_id"].tolist() == [2, 0, 3, 1, 4]
+    assert out["vals"].tolist()[:3] == [9, 7, 5]
