@@ -2172,6 +2172,28 @@ def _knn_filtered_topk(sf_dir: str):
     return df
 
 
+def _match_positions_phrase(sf_dir: str):
+    """Matches API (Weight.matches / search/TermMatchesIterator.kt):
+    every (doc, start_pos, end_pos) occurrence of the exact phrase
+    'the spark' — matches() is a single-doc API (like explain), driven
+    here over each matching doc of the phrase search."""
+    import pandas as pd
+
+    from lucene_kmp_ray.index.reader import IndexReader
+
+    q = PhraseQuery(("the", "spark"))
+    s = Searcher(IndexReader(_ensure_index(sf_dir)))
+    td = s.search(q, k=1_000_000)
+    rows = []
+    for h in td.score_docs:
+        for st, en, _label in s.matches(q, h.doc_id)["text"]:
+            rows.append((h.doc_id, st, en))
+    rows.sort()
+    return pd.DataFrame(rows or None,
+                        columns=["doc_id", "start_pos", "end_pos"]) \
+        .astype("int64")
+
+
 def _rescore_sort_topk(sf_dir: str):
     """SortRescorer (search/SortRescorer.kt): BM25 first pass
     (text:spark, top-50) re-SORTED by document length descending
@@ -2689,6 +2711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_sort_range_all": _index_sort_range_all,
         "rescore_top10": _rescore_topk,
         "rescore_sort_top10": _rescore_sort_topk,
+        "match_positions_phrase": _match_positions_phrase,
         "knn_seeded_top10": _knn_seeded_topk,
         "knn_filtered_top10": _knn_filtered_topk,
         "knn_int8_top10": _knn_int8_topk,
@@ -3059,6 +3082,8 @@ def oracle_sql() -> dict[str, str]:
         "index_sort_range_all": oracle.index_sort_range_all(),
         "rescore_top10": oracle.rescore_topk("spark", "the"),
         "rescore_sort_top10": oracle.rescore_sort_topk("spark"),
+        "match_positions_phrase": oracle.match_positions_phrase("the",
+                                                                "spark"),
         "knn_seeded_top10": oracle.knn_vector_topk(),
         "knn_filtered_top10": oracle.knn_filtered_topk("spark"),
         "knn_int8_top10": oracle.knn_int8_topk(),

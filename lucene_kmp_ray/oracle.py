@@ -792,6 +792,18 @@ LIMIT {k}
 """
 
 
+def match_positions_phrase(t1: str, t2: str) -> str:
+    """Matches-API mirror: every adjacent (t1, t2) token pair —
+    (doc_id, start_pos, end_pos) per occurrence."""
+    return preamble() + f"""
+SELECT a.doc_id, a.pos AS start_pos, b.pos AS end_pos
+FROM tokens a JOIN tokens b
+  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+WHERE a.term = '{t1}' AND b.term = '{t2}'
+ORDER BY a.doc_id, a.pos
+"""
+
+
 def rescore_sort_topk(term: str, first_k: int = 50, k: int = 10) -> str:
     """SortRescorer mirror: first-pass BM25 top-first_k by (score desc,
     doc), re-ORDERED by token length descending with docID tiebreak;

@@ -44,7 +44,8 @@ from .query import (BlendedTermQuery, BooleanQuery, BoostQuery,
                     IndexSortRangeQuery, NGramPhraseQuery,
                     Occur, PhraseQuery, PointInSetQuery, Query,
                     RangeFieldQuery,
-                    RangeFilterQuery, SynonymQuery, TermQuery,
+                    RangeFilterQuery, SynonymQuery, TermInSetQuery,
+                    TermQuery,
                     VectorSimilarityQuery, XYBoxQuery, XYCircleQuery,
                     XYLineQuery, XYPolygonQuery)
 
@@ -1418,6 +1419,110 @@ class Searcher:
         order = df["_i"].to_numpy()[:top_n]
         return TopDocs(first_pass.total_hits, first_pass.relation,
                        [hits[i] for i in order])
+
+    # ----- Matches API (Weight.matches / TermMatchesIterator) -----------
+    def matches(self, query: Query, doc_id: int):
+        """``Weight.matches`` analog (``search/Matches.kt`` /
+        ``TermMatchesIterator.kt``): the per-field matched POSITIONS of
+        one doc — ``{field: [(start_pos, end_pos, label), ...]}`` sorted
+        by (start, end) — or ``None`` when the query does not match the
+        doc. A matching query with no positional terms (ranges,
+        MatchAll, sloppy phrases) reports ``{}`` —
+        ``MatchesUtils.MATCH_WITH_NO_TERMS``. BooleanQuery follows
+        ``BooleanWeight.matches`` (BooleanWeight.kt:100-130): a matching
+        prohibited clause → None, a missing required clause → None,
+        SHOULD matches count toward minimumNumberShouldMatch, and
+        required + matching-SHOULD sub-matches union. Term positions
+        decode only the touched posting entries
+        (``positions_for_entries`` — the positional skip-read)."""
+        q = self.rewrite(query)
+        for sr in self.reader.segment_readers:
+            ids = sr.doc_meta["doc_id"].to_numpy()
+            hit = np.flatnonzero(ids == doc_id)
+            if len(hit):
+                local = int(hit[0])
+                tomb = sr.tombstones
+                if tomb is not None and len(tomb) and \
+                        local in set(tomb.tolist()):
+                    return None
+                return self._matches_leaf(sr, q, local)
+        return None
+
+    def _term_positions(self, sr: SegmentReader, term: str, field: str,
+                        local: int):
+        p = sr.postings(term, field=field)
+        if p is None:
+            return None
+        docs, _ = p
+        i = int(np.searchsorted(docs, local))
+        if i >= len(docs) or docs[i] != local:
+            return None
+        _, flat = sr.positions_for_entries(term, np.array([i], np.int64),
+                                           field)
+        return flat
+
+    def _matches_leaf(self, sr: SegmentReader, q: Query, local: int):
+        while isinstance(q, (BoostQuery, ConstantScoreQuery)):
+            q = q.query
+        if isinstance(q, TermQuery):
+            pos = self._term_positions(sr, q.term, q.field, local)
+            if pos is None:
+                return None
+            return {q.field: [(int(p), int(p), q.term) for p in pos]}
+        if isinstance(q, (SynonymQuery, TermInSetQuery)):
+            # DisjunctionMatchesIterator over the term set
+            terms = q.synonym_terms if isinstance(q, SynonymQuery) \
+                else q.term_set
+            out = []
+            for t in dict.fromkeys(terms):
+                pos = self._term_positions(sr, t, q.field, local)
+                if pos is not None:
+                    out.extend((int(p), int(p), t) for p in pos)
+            if not out:
+                return None
+            return {q.field: sorted(out)}
+        if isinstance(q, PhraseQuery) and q.slop == 0 \
+                and len(q.phrase_terms):
+            plists = []
+            for j, t in enumerate(q.phrase_terms):
+                pos = self._term_positions(sr, t, q.field, local)
+                if pos is None:
+                    return None
+                plists.append(np.asarray(pos, np.int64) - j)
+            starts = plists[0]
+            for pl in plists[1:]:
+                starts = np.intersect1d(starts, pl)
+            if not len(starts):
+                return None
+            label = " ".join(q.phrase_terms)
+            w = len(q.phrase_terms) - 1
+            return {q.field: [(int(s), int(s) + w, label) for s in starts]}
+        if isinstance(q, BooleanQuery):
+            subs, should_hits = [], 0
+            for occ, sub in q.clauses:
+                m = self._matches_leaf(sr, self.rewrite(sub), local)
+                if occ == Occur.MUST_NOT:
+                    if m is not None:
+                        return None
+                    continue
+                if occ in (Occur.MUST, Occur.FILTER):
+                    if m is None:
+                        return None
+                    subs.append(m)
+                elif occ == Occur.SHOULD and m is not None:
+                    subs.append(m)
+                    should_hits += 1
+            if should_hits < q.minimum_should_match:
+                return None
+            merged: dict[str, list] = {}
+            for m in subs:
+                for f, lst in m.items():
+                    merged.setdefault(f, []).extend(lst)
+            return {f: sorted(lst) for f, lst in merged.items()}
+        # generic: membership only — MATCH_WITH_NO_TERMS (Weight.kt:62)
+        docs, _ = self._score_segment(sr, q, scoring=False)
+        return {} if np.searchsorted(docs, local) < len(docs) and \
+            docs[np.searchsorted(docs, local)] == local else None
 
     def explain(self, query: Query, doc_id: int) -> dict:
         """Explanation tree for one doc (``Weight.explain`` /
