@@ -107,6 +107,82 @@ def find_merges(segments: list[dict],
         live.append((-len(merges), merged_size))  # placeholder id
 
 
+LEVEL_LOG_SPAN = 0.75  # LogMergePolicy.kt:699
+
+
+def find_merges_log(segments: list[dict], merge_factor: int = 10,
+                    min_merge_size: int = 1000,
+                    max_merge_size: int | None = None,
+                    size_key: str = "doc_count") -> list[list[int]]:
+    """``LogMergePolicy.findMerges`` analog (LogMergePolicy.kt:490-658):
+    quantize log_mergeFactor(size) into levels over segments in INDEX
+    ORDER (adjacent merges preserve docID order — the Log policies'
+    defining property vs Tiered), then record every run of mergeFactor
+    same-level segments as one merge; under-min-size full windows keep
+    packing (kt:633-648); an oversize segment becomes a skipped
+    singleton (kt:616-625). ``size_key``: 'doc_count' =
+    LogDocMergePolicy (DEFAULT_MIN_MERGE_DOCS=1000,
+    LogDocMergePolicy.kt:47), 'sum_total_term_freq' = postings-volume
+    size, the LogByteSizeMergePolicy role over this format."""
+    import math
+
+    if merge_factor < 2:
+        raise ValueError("mergeFactor cannot be less than 2")
+    if max_merge_size is None:
+        max_merge_size = 2**31 - 1
+    infos = [(m["seg"], max(int(m[size_key]), 1)) for m in segments]
+    n = len(infos)
+    norm = math.log(merge_factor)
+    levels = [math.log(sz) / norm for _, sz in infos]
+    level_floor = 0.0 if min_merge_size <= 0 \
+        else math.log(min_merge_size) / norm
+    max_levels = [0.0] * (n + 1)
+    max_levels[n] = -1.0
+    for i in range(n - 1, -1, -1):
+        max_levels[i] = max(levels[i], max_levels[i + 1])
+
+    merges: list[list[int]] = []
+    start = 0
+    while start < n:
+        max_level = max_levels[start]
+        if max_level > level_floor:
+            level_bottom = max_level - LEVEL_LOG_SPAN
+        else:
+            level_bottom = max_level - 2 * LEVEL_LOG_SPAN
+        upto = n - 1
+        while upto >= start and levels[upto] < level_bottom:
+            upto -= 1
+        end = start + merge_factor
+        while end <= 1 + upto:
+            merge_size = 0
+            i = start
+            while i < end:
+                sz = infos[i][1]
+                if merge_size + sz > max_merge_size:
+                    # kt:616-625 — singleton too large is skipped; else
+                    # close the merge before this segment
+                    end = i + 1 if i == start else i
+                    break
+                merge_size += sz
+                i += 1
+            if end - start >= merge_factor and \
+                    min_merge_size < max_merge_size and \
+                    merge_size < min_merge_size:
+                # full window still under the floor: keep packing
+                while end < 1 + upto:
+                    sz = infos[end][1]
+                    if merge_size + sz > min_merge_size:
+                        break
+                    merge_size += sz
+                    end += 1
+            if end - start > 1:  # no singleton merges (kt:652)
+                merges.append([seg for seg, _ in infos[start:end]])
+            start = end
+            end = start + merge_factor
+        start = 1 + upto
+    return merges
+
+
 def merge_segments(index_dir: str, segs: list[int], new_seg: int) -> dict:
     """k-way merge ``segs`` → one new segment ``new_seg`` (pure, no Ray).
 
@@ -378,14 +454,26 @@ def _filter_entries(nl: np.ndarray, freqs: np.ndarray, posd: np.ndarray,
     return nl[keep], lens, posd[gather]
 
 
-def run_merges(index_dir: str, merges: list[list[int]] | None = None,
-               delete_merged: bool = True, **policy_kw) -> dict:
-    """Execute one round of tiered merges (parallel Ray tasks) + commit.
+MERGE_POLICIES = {
+    "tiered": find_merges,                       # TieredMergePolicy
+    "log_doc": find_merges_log,                  # LogDocMergePolicy
+    "log_size": lambda segs, **kw: find_merges_log(
+        segs, size_key="sum_total_term_freq", **kw),  # LogByteSize role
+    "none": lambda segs, **kw: [],               # NoMergePolicy.kt
+}
 
-    ``merges=None`` plans via :func:`find_merges` on the current manifest.
-    New segments get ids above the current max. Returns the new global
-    manifest; source segment dirs are removed after the commit (the
-    IndexFileDeleter role — files unreferenced by the live manifest).
+
+def run_merges(index_dir: str, merges: list[list[int]] | None = None,
+               delete_merged: bool = True, policy: str = "tiered",
+               **policy_kw) -> dict:
+    """Execute one round of merges (parallel Ray tasks) + commit.
+
+    ``merges=None`` plans via the named ``policy`` (MERGE_POLICIES:
+    'tiered' | 'log_doc' | 'log_size' | 'none' — the MergePolicy
+    extension surface) on the current manifest. New segments get ids
+    above the current max. Returns the new global manifest; source
+    segment dirs are removed after the commit (the IndexFileDeleter
+    role — files unreferenced by the live manifest).
     """
     import json
 
@@ -395,7 +483,7 @@ def run_merges(index_dir: str, merges: list[list[int]] | None = None,
         manifest = json.load(f)
     seg_metas = {m["seg"]: m for m in manifest["segments"]}
     if merges is None:
-        merges = find_merges(manifest["segments"], **policy_kw)
+        merges = MERGE_POLICIES[policy](manifest["segments"], **policy_kw)
     if not merges:
         return manifest
     next_seg = max(seg_metas) + 1

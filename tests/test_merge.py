@@ -335,3 +335,34 @@ def test_merge_mixed_vector_segments_keeps_vectors(ray_session, tmp_path):
     assert r.doc_count == n + 20
     got = [h.doc_id for h in Searcher(r).search(q, k=5).score_docs]
     assert got == want  # vectors survived; vector-less docs never match
+
+
+def test_run_merges_log_policy_end_to_end(built):
+    """MergePolicy extension surface: run_merges(policy='log_doc') plans
+    adjacent-window merges (docID order preserved) and the merged index
+    returns float-identical scores; policy='none' is a no-op."""
+    from lucene_kmp_ray.index.merge import find_merges_log
+
+    many, _ = built
+    work = many + "_logpol"
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(many, work)
+    before, n0 = _topk(work, TermQuery("spark"), k=1000)
+
+    man0 = run_merges(work, policy="none")
+    assert len(man0["segments"]) == 10  # NoMergePolicy: nothing planned
+
+    import json
+    with open(f"{work}/manifest.json") as f:
+        segs = json.load(f)["segments"]
+    planned = find_merges_log(segs, merge_factor=5, min_merge_size=10)
+    assert planned and all(m == list(range(m[0], m[-1] + 1))
+                           for m in planned)
+    man = run_merges(work, policy="log_doc", merge_factor=5,
+                     min_merge_size=10)
+    assert len(man["segments"]) == 10 - sum(len(m) for m in planned) + \
+        len(planned)
+    after, n1 = _topk(work, TermQuery("spark"), k=1000)
+    assert n0 == n1
+    key = lambda h: sorted((-s, d) for d, s in h)  # noqa: E731
+    assert key(before) == key(after)
