@@ -255,6 +255,10 @@ def commit_index(index_dir: str, manifests: list[dict],
                      for m in manifests],
         "metrics": {"build_sec": round(build_sec, 3) if build_sec else None},
     }
+    # commit-point generation (segments_N role, index/commits.py): the
+    # immutable generation file lands BEFORE the manifest pointer flips
+    from .commits import record_commit
+    record_commit(index_dir, manifest)
     tmp = os.path.join(index_dir, INDEX_MANIFEST + ".tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)

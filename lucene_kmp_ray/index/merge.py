@@ -465,7 +465,7 @@ MERGE_POLICIES = {
 
 def run_merges(index_dir: str, merges: list[list[int]] | None = None,
                delete_merged: bool = True, policy: str = "tiered",
-               **policy_kw) -> dict:
+               deletion_policy=None, **policy_kw) -> dict:
     """Execute one round of merges (parallel Ray tasks) + commit.
 
     ``merges=None`` plans via the named ``policy`` (MERGE_POLICIES:
@@ -506,9 +506,12 @@ def run_merges(index_dir: str, merges: list[list[int]] | None = None,
     out = commit_index(index_dir, all_metas,
                        analyzer_name=manifest.get("analyzer", "standard"))
     if delete_merged:
-        for s in sorted(merged_away):
-            shutil.rmtree(os.path.join(index_dir, "segments",
-                                       seg_dirname(s)), ignore_errors=True)
+        # IndexFileDeleter semantics: only segment dirs referenced by NO
+        # retained commit die — with the default KeepOnlyLastCommit
+        # policy that is exactly the merged-away set; a KeepLastN /
+        # Snapshot policy keeps them reachable for point-in-time readers
+        from .commits import apply_deletion_policy
+        apply_deletion_policy(index_dir, deletion_policy)
     return out
 
 

@@ -479,10 +479,18 @@ def _decode_selected_blocks(row: dict, mask: np.ndarray):
 class IndexReader:
     """Open an index directory: global stats + one SegmentReader per segment."""
 
-    def __init__(self, index_dir: str, segments: list[int] | None = None):
+    def __init__(self, index_dir: str, segments: list[int] | None = None,
+                 commit: int | None = None):
+        """``commit``: open a RETAINED commit generation instead of the
+        latest (``DirectoryReader.open(IndexCommit)`` role — see
+        index/commits.py; generations survive per the deletion policy)."""
         self.index_dir = index_dir
-        with open(os.path.join(index_dir, INDEX_MANIFEST)) as f:
-            self.manifest = json.load(f)
+        if commit is not None:
+            from .commits import read_commit
+            self.manifest = read_commit(index_dir, commit)
+        else:
+            with open(os.path.join(index_dir, INDEX_MANIFEST)) as f:
+                self.manifest = json.load(f)
         metas = self.manifest["segments"]
         if segments is not None:
             metas = [m for m in metas if m["seg"] in set(segments)]
