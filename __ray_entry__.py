@@ -2354,6 +2354,41 @@ def _hybrid_topk(sf_dir: str):
     return df
 
 
+def _rrf_hybrid_topk(sf_dir: str):
+    """Reciprocal Rank Fusion hybrid (TopDocs.rrf, TopDocs.kt:339-392):
+    fuse the BM25 top-50 of 'spark' and the exact-cosine top-50 of query
+    vector 0 by rank — score = Σ 1/(60 + rank) per doc, summed in float64
+    and cast to float32 exactly as the reference. Unlike the additive
+    hybrid (hybrid_bm25_knn_top10), RRF never compares the raw scores,
+    so it is the fusion a user reaches for when BM25 and cosine
+    distributions aren't calibrated against each other."""
+    import pandas as pd
+
+    from lucene_kmp_ray.search import KnnFloatVectorQuery, rrf
+    from lucene_kmp_ray.search.searcher import ScoreDoc, TopDocs
+
+    def ranked_list(df) -> TopDocs:
+        # per-list rank order = (score desc, doc_id asc) — the engine's
+        # (score, seg, doc) merge tie-break, doc_id monotone in (seg, doc).
+        # seg == -1 keys fusion identity by global doc_id alone
+        # (the reference's "shardIndex unset" mode, TopDocs.kt:344-351).
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True])
+        sds = [ScoreDoc(score=float(s), seg=-1, doc=int(d), doc_id=int(d),
+                        url=u)
+               for s, d, u in zip(df["score"], df["doc_id"], df["url"])]
+        return TopDocs(len(sds), "EQUAL_TO", sds)
+
+    bm = ranked_list(_topk(sf_dir, TermQuery(TERM_A), k=50))
+    kn = ranked_list(_topk(
+        sf_dir, KnnFloatVectorQuery(_query_vector(sf_dir), k=50), k=50))
+    fused = rrf(10, 60, [bm, kn])
+    return pd.DataFrame({
+        "doc_id": [h.doc_id for h in fused.score_docs],
+        "url": [h.url for h in fused.score_docs],
+        "score_r": np.round(np.asarray(
+            [h.score for h in fused.score_docs], dtype=np.float64), 6)})
+
+
 def _sorted_by_url(sf_dir: str):
     """STRING SortField: matches ordered by url descending (SortField.kt
     STRING type; bytewise UTF-8 order == DuckDB's binary collation)."""
@@ -2718,6 +2753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "byte_vector_similarity_all": _byte_vector_similarity_all,
         "knn_hnsw_recall": _knn_hnsw_recall,
         "hybrid_bm25_knn_top10": _hybrid_topk,
+        "rrf_hybrid_top10": _rrf_hybrid_topk,
         # --- round-4 families: ONE representative per family ---
         "ja_token_counts": _ja_token_counts,      # kuromoji lattice
         "ko_token_counts": _ko_token_counts,      # nori lattice
@@ -3118,6 +3154,7 @@ def oracle_sql() -> dict[str, str]:
             oracle.range_field_all(*RANGE_FIELD_QUERY, "crosses"),
         "feature_blend_top10": oracle.feature_blend_topk(TERM_A),
         "hybrid_bm25_knn_top10": oracle.hybrid_bm25_knn_topk(TERM_A),
+        "rrf_hybrid_top10": oracle.rrf_hybrid_topk(TERM_A),
         # graph-ANN recall gate: constant oracle — hash mismatches iff
         # HNSW recall@10 vs the exact scan drops below 0.9
         "knn_hnsw_recall": "SELECT 1 AS recall_ge_090",

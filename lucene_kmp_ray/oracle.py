@@ -905,6 +905,43 @@ ORDER BY ((0 + COALESCE(sc0.score, 0)) + COALESCE(feat.score, 0)) DESC,
 """
 
 
+def rrf_hybrid_topk(term: str, k: int = 10, list_k: int = 50,
+                    rrf_k: int = 60) -> str:
+    """TopDocs.rrf mirror (TopDocs.kt:339-392): fuse the BM25 top-list_k
+    of `term` and the exact-cosine top-list_k of query vector 0 by
+    summing 1/(rrf_k + rank) per doc_id. Both per-list rank orders are
+    (score desc, doc_id asc) — the engine's (score, seg, doc) tie-break,
+    since doc_id is monotone in (seg, local doc). The fused double sum is
+    cast to REAL to reproduce the reference's `toFloat()` (TopDocs.kt:385),
+    then rounded; final order (score desc, doc asc) = TopDocs.kt:372-375."""
+    return preamble() + f""",
+sc0 AS ({term_scored_cte(repr(term))}),
+bm AS (SELECT doc_id, rnk FROM (
+         SELECT doc_id,
+                ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+         FROM sc0) WHERE rnk <= {list_k}),
+qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT e.vec_id AS doc_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             CAST((SELECT embedding FROM qv) AS DOUBLE[])) AS cos
+  FROM embeddings e
+),
+knn AS (SELECT doc_id, rnk FROM (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rnk
+          FROM sims) WHERE rnk <= {list_k}),
+fused AS (
+  SELECT doc_id,
+         CAST(SUM(1.0 / ({rrf_k} + rnk)) AS REAL) AS score
+  FROM (SELECT * FROM bm UNION ALL SELECT * FROM knn)
+  GROUP BY doc_id)
+SELECT f.doc_id, c.url, round(CAST(f.score AS DOUBLE), 6) AS score_r
+FROM fused f JOIN corpus c USING (doc_id)
+ORDER BY f.score DESC, f.doc_id LIMIT {k}
+"""
+
+
 def rawtf_term_topk(term: str, k: int = 10) -> str:
     """RawTFSimilarity mirror (RawTFSimilarity.kt: score = boost·freq,
     norm ignored; boost 1)."""

@@ -80,6 +80,51 @@ class TopDocs:
     score_docs: list[ScoreDoc]
 
 
+def rrf(top_n: int, k: int, hits: list[TopDocs]) -> TopDocs:
+    """Reciprocal Rank Fusion (ref: search/TopDocs.kt:339-392): combine
+    ranked lists whose score distributions aren't comparable (e.g. BM25 +
+    vector cosine) by summing ``1/(k + rank)`` per document.
+
+    Semantics kept exactly: the sum accumulates in float64 and the final
+    score is cast to float32 (``rrfScore`` double map + ``toFloat()``,
+    TopDocs.kt:354,385); identity is (shardIndex, doc) — here
+    ``(seg, doc)`` with ``seg == -1`` meaning "shardIndex unset", and
+    mixing set/unset raises (TopDocs.kt:344-351); tie-break is
+    (score desc, doc asc, seg asc) (TopDocs.kt:372-375); total hits =
+    max over the inputs with relation GREATER_THAN_OR_EQUAL_TO
+    (TopDocs.kt:359,388)."""
+    if top_n < 1:
+        raise ValueError(f"topN must be >= 1, got {top_n}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    shard_set: bool | None = None
+    for td in hits:
+        for sd in td.score_docs:
+            this_set = sd.seg != -1
+            if shard_set is None:
+                shard_set = this_set
+            elif shard_set != this_set:
+                raise ValueError(
+                    "All hits must either have their ScoreDoc#shardIndex "
+                    "set, or unset (-1), not a mix of both.")
+    score: dict[tuple[int, int], float] = {}
+    proto: dict[tuple[int, int], ScoreDoc] = {}
+    total = 0
+    for td in hits:
+        total = max(total, td.total_hits)
+        for rank, sd in enumerate(td.score_docs, start=1):
+            key = (sd.seg, sd.doc)
+            score[key] = score.get(key, 0.0) + 1.0 / (k + rank)
+            proto.setdefault(key, sd)
+    order = sorted(score.items(), key=lambda e: (-e[1], e[0][1], e[0][0]))
+    out = []
+    for (seg, doc), s in order[:top_n]:
+        p = proto[(seg, doc)]
+        out.append(ScoreDoc(score=float(np.float32(s)), seg=seg, doc=doc,
+                            doc_id=p.doc_id, url=p.url))
+    return TopDocs(total, "GREATER_THAN_OR_EQUAL_TO", out)
+
+
 def _intersect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Intersection of two ascending unique docID arrays: binary-search the
     shorter into the longer (galloping ConjunctionDISI analog) — avoids
