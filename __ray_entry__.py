@@ -1619,6 +1619,27 @@ def _geo_distance_all(sf_dir: str):
         GeoDistanceQuery(GEO_CENTER[0], GEO_CENTER[1], GEO_RADIUS_M)))
 
 
+# off the synthetic 0.01-degree grid so no doc sits exactly on the query
+# point (distances stay km-spaced, rounding can't create ties)
+GEO_NEAREST_POINT = (40.005, 50.005)
+
+
+def _geo_nearest_topk(sf_dir: str):
+    """LatLonPoint.nearest (LatLonPoint.kt:417-457): the 10 closest docs
+    to a fixed point by haversine meters, (distance asc, doc asc)."""
+    import pandas as pd
+
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.search.searcher import Searcher
+    s = Searcher(IndexReader(_ensure_geo_index(sf_dir)))
+    td = s.nearest(*GEO_NEAREST_POINT, 10)
+    return pd.DataFrame({
+        "doc_id": [h.doc_id for h in td.score_docs],
+        "url": [h.url for h in td.score_docs],
+        "dist_m": np.round(np.asarray(
+            [h.score for h in td.score_docs], dtype=np.float64), 2)})
+
+
 # concave pentagon with a rectangular hole; vertices off the synthetic
 # 0.01-degree coordinate grid so boundary semantics can't flip a doc
 GEO_POLYGON = ((-20.005, -40.005), (35.005, -30.005), (60.005, 10.005),
@@ -2955,6 +2976,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synonym_quick_top10": _synonym_topk,
         "geo_box_all": _geo_box_all,
         "geo_distance_all": _geo_distance_all,
+        "geo_nearest_top10": _geo_nearest_topk,
         # round 5: cartesian XYPointField shapes (float32 coords)
         "geo_xy_box_all": _geo_xy_box_all,
         "geo_xy_circle_all": _geo_xy_circle_all,
@@ -3358,6 +3380,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_lang_counts": oracle.facet_lang_counts(TERM_A),
         "geo_distance_all": oracle.geo_distance_all(*GEO_CENTER,
                                                     GEO_RADIUS_M),
+        "geo_nearest_top10": oracle.geo_nearest_topk(*GEO_NEAREST_POINT),
         "geo_xy_box_all": oracle.geo_xy_box_all(*XY_BOX),
         "geo_xy_circle_all": oracle.geo_xy_circle_all(*XY_CIRCLE),
         "geo_xy_polygon_all": oracle.geo_xy_polygon_all(XY_POLYGON,

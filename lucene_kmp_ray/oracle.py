@@ -5930,6 +5930,23 @@ ORDER BY doc_id
 """
 
 
+def geo_nearest_topk(lat: float, lon: float, k: int = 10) -> str:
+    """LatLonPoint.nearest mirror (LatLonPoint.kt:417-457): the k docs
+    with smallest SloppyMath.haversinMeters distance, docID tie-break
+    (NearestNeighbor.kt:37-42). The engine's sort-key bit clobber moves
+    distances by ~1e-8 m, so rounding to cm and ranking on the raw
+    double cannot diverge at the synthetic grid's km-scale spacing."""
+    dist = f"""6371008.7714 * 2 * asin(least(1.0, sqrt(
+        ((1 - cos(radians(lat - {lat}))) +
+         cos(radians(lat)) * cos(radians({lat})) *
+         (1 - cos(radians(lon - {lon})))) * 0.5)))"""
+    return _geo_coords_cte() + f"""
+SELECT doc_id, url, round({dist}, 2) AS dist_m
+FROM geo
+ORDER BY {dist} ASC, doc_id LIMIT {k}
+"""
+
+
 def _xy_coords_cte() -> str:
     """Deterministic cartesian float32 coordinates — identical
     derivation as the engine's _ensure_geo_index (value computed in

@@ -710,6 +710,73 @@ class Searcher:
         docs = np.flatnonzero(dist <= q.radius_meters).astype(np.int64)
         return docs, np.full(len(docs), dt.type(boost), dtype=dt)
 
+    def nearest(self, lat: float, lon: float, n: int,
+                lat_field: str = "lat", lon_field: str = "lon") -> TopDocs:
+        """``LatLonPoint.nearest`` (document/LatLonPoint.kt:417-457 over
+        document/NearestNeighbor.kt): the n nearest live docs to
+        (lat, lon) by haversine distance. ``ScoreDoc.score`` carries the
+        distance in METERS, converted from the bit-clobbered haversin
+        sort key exactly as the reference converts ``hit.distanceSortKey``
+        (LatLonPoint.kt:449); order is (distance asc, doc asc) — equal
+        sort keys break toward the smaller docID
+        (NearestNeighbor.kt:37-42). ``total_hits`` counts docs carrying
+        coordinates WITHOUT subtracting deletes (``points.docCount`` at
+        LatLonPoint.kt:434), though deleted docs never appear as hits.
+
+        The reference's BKD best-first cell walk is an index-structure
+        optimization this engine designs out (SURVEY §2.9): per segment
+        the evaluation is one vectorized kernel over the lat/lon doc-meta
+        columns, embarrassingly parallel across segments — the 100-TB
+        path shards segments over an actor pool and merges n-sized lists."""
+        if n < 1:
+            raise ValueError(f"n must be at least 1; got {n}")
+        if not -90.0 <= lat <= 90.0:  # GeoUtils.checkLatitude
+            raise ValueError(f"invalid latitude {lat}")
+        if not -180.0 <= lon <= 180.0:  # GeoUtils.checkLongitude
+            raise ValueError(f"invalid longitude {lon}")
+        from .query import EARTH_MEAN_RADIUS_METERS
+        x2 = np.radians(np.float64(lat))
+        total = 0
+        parts = []  # (dist, seg, docs)
+        for si, sr in enumerate(self.reader.segment_readers):
+            if lat_field not in sr.doc_meta.column_names:
+                continue
+            la = sr.doc_meta[lat_field].to_numpy().astype(np.float64)
+            lo = sr.doc_meta[lon_field].to_numpy().astype(np.float64)
+            valid = np.isfinite(la) & np.isfinite(lo)
+            total += int(valid.sum())  # points.docCount analog
+            tomb = sr.tombstones
+            if tomb is not None and len(tomb):
+                valid[tomb] = False
+            docs = np.flatnonzero(valid).astype(np.int64)
+            if not len(docs):
+                continue
+            la, lo = la[docs], lo[docs]
+            # SloppyMath.haversinSortKey + low-bits clobber, then meters
+            # (SloppyMath.kt:38-65) — identical to _score_geo_distance
+            h1 = 1.0 - np.cos(np.radians(la) - x2)
+            h2 = 1.0 - np.cos(np.radians(lo - lon))
+            h = h1 + np.cos(np.radians(la)) * np.cos(x2) * h2
+            h = (h.view(np.int64) & np.int64(-8)).view(np.float64)
+            dist = EARTH_MEAN_RADIUS_METERS * 2.0 * \
+                np.arcsin(np.minimum(1.0, np.sqrt(h * 0.5)))
+            if len(docs) > n:  # per-leaf top-n before the merge
+                sel = np.lexsort((docs, dist))[:n]
+                docs, dist = docs[sel], dist[sel]
+            parts.append((dist, np.full(len(docs), si), docs))
+        if parts:
+            dist = np.concatenate([p[0] for p in parts])
+            segs = np.concatenate([p[1] for p in parts]).astype(np.int64)
+            docs = np.concatenate([p[2] for p in parts])
+        else:
+            dist = np.empty(0, np.float64)
+            segs = docs = np.empty(0, np.int64)
+        order = np.lexsort((docs, segs, dist))[:n]
+        hits = [ScoreDoc(float(dist[i]), int(segs[i]), int(docs[i]))
+                for i in order]
+        self._resolve(hits)
+        return TopDocs(total, "EQUAL_TO", hits)
+
     @staticmethod
     def _ring_contains(lat: np.ndarray, lon: np.ndarray,
                        ring: tuple) -> np.ndarray:
