@@ -2375,6 +2375,20 @@ def _hybrid_topk(sf_dir: str):
     return df
 
 
+def _phrase_prefix_topk(sf_dir: str):
+    """Phrase-prefix (TestPhrasePrefixQuery.kt pattern): "the s*" — the
+    prefix slot expands against the union term dictionary
+    (Searcher.expand_prefix = the MultiTerms.seekCeil walk), then scores
+    as a MultiPhraseQuery (union-per-slot positional join, idf over all
+    present terms of both slots)."""
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.search import MultiPhraseQuery
+
+    s = Searcher(IndexReader(_ensure_index(sf_dir)))
+    expanded = s.expand_prefix("s")
+    return _topk(sf_dir, MultiPhraseQuery(slots=(("the",), expanded)))
+
+
 def _rrf_hybrid_topk(sf_dir: str):
     """Reciprocal Rank Fusion hybrid (TopDocs.rrf, TopDocs.kt:339-392):
     fuse the BM25 top-50 of 'spark' and the exact-cosine top-50 of query
@@ -2750,6 +2764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_and_top10": lambda sf: _topk(sf, BooleanQuery.build(
             *[(Occur.MUST, TermQuery(t)) for t in AND_TERMS])),
         "phrase_top10": lambda sf: _topk(sf, PhraseQuery(tuple(PHRASE_3))),
+        "phrase_prefix_top10": _phrase_prefix_topk,
         "prefix_all": lambda sf: _all_sorted(search_all_matches(
             _ensure_index(sf), PrefixQuery("sp"))),
         "synonym_top10": lambda sf: _topk(sf, SynonymQuery(AND_SORTED)),
@@ -3115,6 +3130,7 @@ def oracle_sql() -> dict[str, str]:
         "bool_not_all": oracle.bool_not_all(*NOT_PAIR),
         "phrase_counts": oracle.phrase_counts(PHRASE_2),
         "phrase_top10": oracle.phrase_topk(PHRASE_3),
+        "phrase_prefix_top10": oracle.phrase_prefix_topk("the", "s"),
         "count_term_the": oracle.count_term(TERM_B),
         "prefix_all": oracle.prefix_all("sp"),
         "wildcard_all": oracle.wildcard_all("s.*k"),

@@ -804,6 +804,46 @@ ORDER BY a.doc_id, a.pos
 """
 
 
+# the synthetic generator's fixed vocabulary (TESTDATA.md) — phrase-prefix
+# oracles enumerate prefix candidates statically from it so the idf chain
+# can stay deterministically ordered (float64 sums are order-sensitive)
+_GEN_VOCAB = ("a", "agg", "batch", "big", "column", "customer", "data",
+              "dup", "fast", "filter", "group", "hash", "join", "key",
+              "line", "merge", "order", "part", "query", "row", "scan",
+              "slow", "small", "sort", "spark", "stream", "table", "the",
+              "value", "vector", "window")
+
+
+def phrase_prefix_topk(t0: str, prefix: str, k: int = 10) -> str:
+    """MultiPhraseQuery phrase-prefix mirror (TestPhrasePrefixQuery.kt
+    pattern over MultiPhraseQuery.kt): slot0 = t0 exactly, slot1 = any
+    index term starting with `prefix`; freq = aligned start positions;
+    idf sums over all PRESENT terms of both slots. The candidate set is
+    static (fixed generator vocabulary) and sorted, matching the
+    engine's sorted expand_prefix; COALESCE(+0.0) reproduces the skip of
+    index-absent terms and the explicit left-assoc chain reproduces
+    idf_sum's sequential float64 adds (BM25Similarity.kt:138-146)."""
+    cands = sorted(t for t in _GEN_VOCAB if t.startswith(prefix))
+    in_list = ", ".join(f"'{t}'" for t in cands)
+    chain = " + ".join(
+        ["0"] +
+        [f"COALESCE({idf_sql(f'(SELECT df FROM tstats WHERE term = {t!r})')}, 0)"
+         for t in [t0] + cands])
+    score = score_sql("p.freq", "n.dln", f"({chain})")
+    return preamble() + f""",
+pfreq AS (
+SELECT t0.doc_id, count(*) AS freq
+FROM tokens t0 JOIN tokens t1
+  ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+WHERE t0.term = '{t0}' AND t1.term IN ({in_list})
+GROUP BY t0.doc_id
+)
+SELECT p.doc_id, c.url, {score} AS score
+FROM pfreq p JOIN normd n USING (doc_id) JOIN corpus c USING (doc_id)
+ORDER BY score DESC, p.doc_id LIMIT {k}
+"""
+
+
 def rescore_sort_topk(term: str, first_k: int = 50, k: int = 10) -> str:
     """SortRescorer mirror: first-pass BM25 top-first_k by (score desc,
     doc), re-ORDERED by token length descending with docID tiebreak;

@@ -619,6 +619,24 @@ class Searcher:
         np.add.at(total, inv, allscores.astype(np.float64))
         return docs, (mx + tb * (total - mx)).astype(dt)
 
+    def expand_prefix(self, prefix: str, field: str = "text",
+                      max_expansions: int | None = None) -> tuple[str, ...]:
+        """TermsEnum.seekCeil prefix walk over the union term dictionary
+        (the MultiTerms.getTerms(reader, field) iteration of
+        TestPhrasePrefixQuery.kt:68-80): sorted unique index terms
+        starting with ``prefix`` across all segments. Feed the result
+        into a MultiPhraseQuery slot for phrase-prefix search."""
+        out: set[str] = set()
+        for sr in self.reader.segment_readers:
+            arr, _ = sr.field_terms(field)
+            lo = int(np.searchsorted(arr, prefix))
+            hi = int(np.searchsorted(arr, prefix + "\U0010ffff"))
+            out.update(arr[lo:hi].tolist())
+        terms = tuple(sorted(out))
+        if max_expansions is not None:
+            terms = terms[:max_expansions]
+        return terms
+
     def _score_multiterm(self, sr: SegmentReader, q: MultiTermQuery,
                          boost: float):
         """CONSTANT_SCORE rewrite: union of matching terms' postings; every
