@@ -2375,6 +2375,38 @@ def _hybrid_topk(sf_dir: str):
     return df
 
 
+# urls of these doc_ids get pinned (priority = listing order)
+ELEVATED_DOC_IDS = (100, 7)
+
+
+def _elevated_topk(sf_dir: str):
+    """Query elevation (TestElevationComparator.kt): the urls of two
+    fixed doc_ids pin to the top in priority order; the organic
+    remainder ranks by BM25. Elevated non-matches surface with score 0
+    (the reference's zero-boost SHOULD clause)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.similarity.bm25 import BM25Similarity
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "source"],
+                      filters=[("doc_id", "in", list(ELEVATED_DOC_IDS))])
+    by_id = {d: f"https://{s}.example.com/doc/{d}"  # the corpus url rule
+             for d, s in zip(t["doc_id"].to_pylist(),
+                             t["source"].to_pylist())}
+    urls = [by_id[i] for i in ELEVATED_DOC_IDS]
+    s = Searcher(IndexReader(_ensure_index(sf_dir)),
+                 BM25Similarity(dtype="float64"))
+    td = s.search_elevated(TermQuery(TERM_A), urls, k=10)
+    return pd.DataFrame({
+        "doc_id": [h.doc_id for h in td.score_docs],
+        "url": [h.url for h in td.score_docs],
+        "score_r": np.round(np.asarray(
+            [h.score for h in td.score_docs], dtype=np.float64), 6)})
+
+
 def _phrase_prefix_topk(sf_dir: str):
     """Phrase-prefix (TestPhrasePrefixQuery.kt pattern): "the s*" — the
     prefix slot expands against the union term dictionary
@@ -2765,6 +2797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             *[(Occur.MUST, TermQuery(t)) for t in AND_TERMS])),
         "phrase_top10": lambda sf: _topk(sf, PhraseQuery(tuple(PHRASE_3))),
         "phrase_prefix_top10": _phrase_prefix_topk,
+        "elevated_top10": _elevated_topk,
         "prefix_all": lambda sf: _all_sorted(search_all_matches(
             _ensure_index(sf), PrefixQuery("sp"))),
         "synonym_top10": lambda sf: _topk(sf, SynonymQuery(AND_SORTED)),
@@ -3131,6 +3164,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_counts": oracle.phrase_counts(PHRASE_2),
         "phrase_top10": oracle.phrase_topk(PHRASE_3),
         "phrase_prefix_top10": oracle.phrase_prefix_topk("the", "s"),
+        "elevated_top10": oracle.elevated_topk(TERM_A, ELEVATED_DOC_IDS),
         "count_term_the": oracle.count_term(TERM_B),
         "prefix_all": oracle.prefix_all("sp"),
         "wildcard_all": oracle.wildcard_all("s.*k"),

@@ -844,6 +844,25 @@ ORDER BY score DESC, p.doc_id LIMIT {k}
 """
 
 
+def elevated_topk(term: str, elevated_doc_ids: tuple, k: int = 10) -> str:
+    """Query-elevation mirror (TestElevationComparator.kt): elevated
+    doc_ids first in listing-priority order, remainder by BM25 score
+    desc with docID tie-break; elevated non-matches carry score 0 (the
+    zero-boost SHOULD union)."""
+    prio = " ".join(f"WHEN i.doc_id = {d} THEN {len(elevated_doc_ids) - j}"
+                    for j, d in enumerate(elevated_doc_ids))
+    id_list = ", ".join(str(d) for d in elevated_doc_ids)
+    return preamble() + f""",
+sc AS ({term_scored_cte(repr(term))}),
+ids AS (SELECT doc_id FROM sc
+        UNION SELECT doc_id FROM corpus WHERE doc_id IN ({id_list}))
+SELECT i.doc_id, c.url, round(COALESCE(sc.score, 0), 6) AS score_r
+FROM ids i LEFT JOIN sc USING (doc_id) JOIN corpus c ON c.doc_id = i.doc_id
+ORDER BY (CASE {prio} ELSE 0 END) DESC,
+         COALESCE(sc.score, 0) DESC, i.doc_id LIMIT {k}
+"""
+
+
 def rescore_sort_topk(term: str, first_k: int = 50, k: int = 10) -> str:
     """SortRescorer mirror: first-pass BM25 top-first_k by (score desc,
     doc), re-ORDERED by token length descending with docID tiebreak;

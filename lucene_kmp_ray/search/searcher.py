@@ -619,6 +619,59 @@ class Searcher:
         np.add.at(total, inv, allscores.astype(np.float64))
         return docs, (mx + tb * (total - mx)).astype(dt)
 
+    def search_elevated(self, query: Query, elevated: "list[str]",
+                        k: int = 10, id_field: str = "url",
+                        score_reversed: bool = False) -> TopDocs:
+        """Query elevation (TestElevationComparator.kt over a custom
+        FieldComparatorSource): pin sponsored/editorial docs to the top.
+        Sort = (elevation priority desc, score desc — asc when
+        ``score_reversed`` — then seg, doc); priority = position in
+        ``elevated`` (earlier = higher, the ``max--`` assignment of
+        TestElevationComparator.kt:126-131), 0 for everything else.
+        Elevated docs are unioned into the match set with a zero score
+        contribution — the reference's SHOULD(BoostQuery(ids, 0f))
+        clause (TestElevationComparator.kt:124-134) — so they surface
+        even when the organic query misses them."""
+        q = self.rewrite(query)
+        prio = {v: len(elevated) - i for i, v in enumerate(elevated)}
+        keys = np.array(list(prio), dtype=object)
+        parts = []  # (prio, score, seg, docs)
+        total = 0
+        for si, sr in enumerate(self.reader.segment_readers):
+            docs, scores = self._score_segment(sr, q)
+            ids = np.asarray(sr.doc_meta[id_field].to_pylist(), dtype=object)
+            elev = np.flatnonzero(np.isin(ids, keys)).astype(np.int64)
+            tomb = sr.tombstones
+            if tomb is not None and len(tomb) and len(elev):
+                elev = elev[~_isin_sorted(elev, tomb)]
+            extra = elev[~_isin_sorted(elev, docs)]
+            if len(extra):  # elevated non-matches join with score 0
+                docs = np.concatenate([docs, extra])
+                scores = np.concatenate(
+                    [scores, np.zeros(len(extra), dtype=scores.dtype)])
+                order = np.argsort(docs, kind="mergesort")
+                docs, scores = docs[order], scores[order]
+            if not len(docs):
+                continue
+            pr = np.array([prio.get(ids[d], 0) for d in docs], np.int64)
+            total += len(docs)
+            parts.append((pr, scores.astype(np.float64),
+                          np.full(len(docs), si, np.int64), docs))
+        if parts:
+            pr = np.concatenate([p[0] for p in parts])
+            sc = np.concatenate([p[1] for p in parts])
+            segs = np.concatenate([p[2] for p in parts])
+            docs = np.concatenate([p[3] for p in parts])
+        else:
+            pr = sc = np.empty(0, np.float64)
+            segs = docs = np.empty(0, np.int64)
+        sc_key = sc if score_reversed else -sc
+        order = np.lexsort((docs, segs, sc_key, -pr))[:k]
+        hits = [ScoreDoc(float(sc[i]), int(segs[i]), int(docs[i]))
+                for i in order]
+        self._resolve(hits)
+        return TopDocs(total, "EQUAL_TO", hits)
+
     def expand_prefix(self, prefix: str, field: str = "text",
                       max_expansions: int | None = None) -> tuple[str, ...]:
         """TermsEnum.seekCeil prefix walk over the union term dictionary
