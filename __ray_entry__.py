@@ -2375,6 +2375,40 @@ def _hybrid_topk(sf_dir: str):
     return df
 
 
+SORTED_NUMERIC_RANGE = (200, 600)
+
+
+def _sorted_numeric_range_all(sf_dir: str):
+    """SortedNumericDocValuesField.newSlowRangeQuery
+    (TestDocValuesQueries role): every doc where ANY value of the
+    multi-valued ``vals`` field falls in [200, 600], constant score,
+    ORDER BY doc_id."""
+    from lucene_kmp_ray.search import SortedNumericRangeQuery
+    return _all_sorted(search_all_matches(
+        _ensure_geo_index(sf_dir),
+        SortedNumericRangeQuery("vals", *SORTED_NUMERIC_RANGE)))
+
+
+XY_NEAREST_POINT = (12.345, -45.678)  # off the 0.1-unit synthetic grid
+
+
+def _xy_nearest_topk(sf_dir: str):
+    """XYDocValuesField.newDistanceSort (TestXYPointDistanceSort.kt):
+    all docs sorted by planar euclidean distance to a fixed point asc,
+    docID tie-break; distance as double over float32-snapped coords."""
+    import pandas as pd
+
+    from lucene_kmp_ray.index.reader import IndexReader
+
+    s = Searcher(IndexReader(_ensure_geo_index(sf_dir)))
+    td = s.nearest_xy(*XY_NEAREST_POINT, 10)
+    return pd.DataFrame({
+        "doc_id": [h.doc_id for h in td.score_docs],
+        "url": [h.url for h in td.score_docs],
+        "dist": np.round(np.asarray(
+            [h.score for h in td.score_docs], dtype=np.float64), 6)})
+
+
 # urls of these doc_ids get pinned (priority = listing order)
 ELEVATED_DOC_IDS = (100, 7)
 
@@ -3025,6 +3059,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_box_all": _geo_box_all,
         "geo_distance_all": _geo_distance_all,
         "geo_nearest_top10": _geo_nearest_topk,
+        "xy_nearest_top10": _xy_nearest_topk,
+        "sorted_numeric_range_all": _sorted_numeric_range_all,
         # round 5: cartesian XYPointField shapes (float32 coords)
         "geo_xy_box_all": _geo_xy_box_all,
         "geo_xy_circle_all": _geo_xy_circle_all,
@@ -3431,6 +3467,8 @@ def oracle_sql() -> dict[str, str]:
         "geo_distance_all": oracle.geo_distance_all(*GEO_CENTER,
                                                     GEO_RADIUS_M),
         "geo_nearest_top10": oracle.geo_nearest_topk(*GEO_NEAREST_POINT),
+        "xy_nearest_top10": oracle.xy_nearest_topk(*XY_NEAREST_POINT),
+        "sorted_numeric_range_all": oracle.sorted_numeric_range_all(*SORTED_NUMERIC_RANGE),
         "geo_xy_box_all": oracle.geo_xy_box_all(*XY_BOX),
         "geo_xy_circle_all": oracle.geo_xy_circle_all(*XY_CIRCLE),
         "geo_xy_polygon_all": oracle.geo_xy_polygon_all(XY_POLYGON,

@@ -6037,6 +6037,39 @@ ORDER BY doc_id
 """
 
 
+def sorted_numeric_range_all(lower: int, upper: int) -> str:
+    """SortedNumericDocValuesField.newSlowRangeQuery mirror: ANY value of
+    the multi-valued int derivation (count = doc_id % 4,
+    value_j = (doc_id·31 + j·57) % 1000 — the entry's indexed field) in
+    [lower, upper]; constant score, ORDER BY doc_id."""
+    return f"""
+WITH corpus AS ({CORPUS_SQL})
+SELECT doc_id, url, CAST(1.0 AS DOUBLE) AS score
+FROM corpus
+WHERE len(list_filter(
+        list_transform(generate_series(0, CAST(doc_id % 4 AS INT) - 1),
+                       j -> (doc_id*31 + j*57) % 1000),
+        v -> v BETWEEN {lower} AND {upper})) > 0
+ORDER BY doc_id
+"""
+
+
+def xy_nearest_topk(x: float, y: float, k: int = 10) -> str:
+    """XYDocValuesField.newDistanceSort mirror (XYPointSortField /
+    TestXYPointDistanceSort.kt): planar euclidean distance ascending
+    with docID tie-break, double math over float32-snapped coords —
+    the expression tree matches the engine's (dx·dx + dy·dy) → sqrt,
+    so the doubles are bit-identical."""
+    qx = f"CAST(CAST({x} AS REAL) AS DOUBLE)"
+    qy = f"CAST(CAST({y} AS REAL) AS DOUBLE)"
+    dist = f"sqrt((x - {qx}) * (x - {qx}) + (y - {qy}) * (y - {qy}))"
+    return _xy_coords_cte() + f"""
+SELECT doc_id, url, round({dist}, 6) AS dist
+FROM xy
+ORDER BY {dist} ASC, doc_id LIMIT {k}
+"""
+
+
 def geo_xy_circle_all(cx: float, cy: float, radius: float) -> str:
     """XYPointField.newDistanceQuery mirror (Circle2D.kt:285-300):
     cartesian (x-cx)^2 + (y-cy)^2 <= r^2 in DOUBLE over float32

@@ -384,6 +384,21 @@ class RangeFilterQuery(Query):
 
 
 @dataclass(frozen=True)
+class SortedNumericRangeQuery(Query):
+    """``SortedNumericDocValuesField.newSlowRangeQuery``
+    (document/SortedNumericDocValuesField.kt, exercised by
+    TestDocValuesQueries): matches docs where ANY value of the
+    MULTI-VALUED numeric doc-values field falls in [lower, upper]
+    (None = open bound). Constant score; the reference documents this
+    as the "slow" per-doc verification query meant to pair with a
+    points range inside IndexOrDocValuesQuery — here the list column
+    is already columnar, so the scan is one flatten + compare kernel."""
+    field: str  # a list<numeric> doc-meta column
+    lower: float | None = None
+    upper: float | None = None
+
+
+@dataclass(frozen=True)
 class IndexSortRangeQuery(Query):
     """``search/IndexSortSortedNumericDocValuesRangeQuery.kt:39-56``:
     numeric range over a doc-meta column that exploits the segment's

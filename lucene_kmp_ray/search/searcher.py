@@ -44,7 +44,8 @@ from .query import (BlendedTermQuery, BooleanQuery, BoostQuery,
                     IndexSortRangeQuery, NGramPhraseQuery,
                     Occur, PhraseQuery, PointInSetQuery, Query,
                     RangeFieldQuery,
-                    RangeFilterQuery, SynonymQuery, TermInSetQuery,
+                    RangeFilterQuery, SortedNumericRangeQuery,
+                    SynonymQuery, TermInSetQuery,
                     TermQuery,
                     VectorSimilarityQuery, XYBoxQuery, XYCircleQuery,
                     XYLineQuery, XYPolygonQuery)
@@ -381,6 +382,8 @@ class Searcher:
             return docs, vals.astype(dt)
         if isinstance(query, RangeFilterQuery):
             return self._score_range(sr, query, boost)
+        if isinstance(query, SortedNumericRangeQuery):
+            return self._score_sorted_numeric_range(sr, query, boost)
         if isinstance(query, IndexSortRangeQuery):
             return self._score_index_sort_range(sr, query, boost)
         if isinstance(query, PointInSetQuery):
@@ -619,6 +622,56 @@ class Searcher:
         np.add.at(total, inv, allscores.astype(np.float64))
         return docs, (mx + tb * (total - mx)).astype(dt)
 
+    def nearest_xy(self, x: float, y: float, n: int,
+                   x_field: str = "x", y_field: str = "y") -> TopDocs:
+        """``XYDocValuesField.newDistanceSort`` (XYPointSortField role,
+        TestXYPointDistanceSort.kt): all live docs sorted by planar
+        euclidean distance to (x, y) ascending, docID tie-break;
+        ``ScoreDoc.score`` carries the distance as a double over the
+        float32-snapped coordinates (the XY domain), and docs missing
+        coordinates sort POSITIVE_INFINITY last (the missing-last
+        contract of testMissingLast)."""
+        if n < 1:
+            raise ValueError(f"n must be at least 1; got {n}")
+        qx = np.float64(np.float32(x))
+        qy = np.float64(np.float32(y))
+        total = 0
+        parts = []
+        for si, sr in enumerate(self.reader.segment_readers):
+            if x_field not in sr.doc_meta.column_names:
+                continue
+            xs = sr.doc_meta[x_field].to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            ys = sr.doc_meta[y_field].to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            docs = np.arange(len(xs), dtype=np.int64)
+            tomb = sr.tombstones
+            if tomb is not None and len(tomb):
+                keep = np.ones(len(xs), dtype=bool)
+                keep[tomb] = False
+                docs = docs[keep]
+                xs, ys = xs[docs], ys[docs]
+            total += len(docs)
+            dx, dy = xs - qx, ys - qy
+            dist = np.sqrt(dx * dx + dy * dy)
+            dist[~np.isfinite(dist)] = np.inf  # missing → +inf, last
+            if len(docs) > n:
+                sel = np.lexsort((docs, dist))[:n]
+                docs, dist = docs[sel], dist[sel]
+            parts.append((dist, np.full(len(docs), si), docs))
+        if parts:
+            dist = np.concatenate([p[0] for p in parts])
+            segs = np.concatenate([p[1] for p in parts]).astype(np.int64)
+            docs = np.concatenate([p[2] for p in parts])
+        else:
+            dist = np.empty(0, np.float64)
+            segs = docs = np.empty(0, np.int64)
+        order = np.lexsort((docs, segs, dist))[:n]
+        hits = [ScoreDoc(float(dist[i]), int(segs[i]), int(docs[i]))
+                for i in order]
+        self._resolve(hits)
+        return TopDocs(total, "EQUAL_TO", hits)
+
     def search_elevated(self, query: Query, elevated: "list[str]",
                         k: int = 10, id_field: str = "url",
                         score_reversed: bool = False) -> TopDocs:
@@ -721,6 +774,30 @@ class Searcher:
         if q.upper is not None:
             mask &= col <= q.upper
         docs = np.flatnonzero(mask).astype(np.int64)
+        return docs, np.full(len(docs), dt.type(boost), dtype=dt)
+
+    def _score_sorted_numeric_range(self, sr: SegmentReader,
+                                    q: "SortedNumericRangeQuery",
+                                    boost: float):
+        """SortedNumericDocValuesField.newSlowRangeQuery: ANY-value-in-
+        range over a list<numeric> doc-meta column — one flatten +
+        compare kernel, parent rows recovered by repeat(counts)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        dt = self.sim.dtype
+        col = sr.doc_meta[q.field]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        counts = pc.fill_null(pc.list_value_length(arr), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        values = arr.flatten().to_numpy(zero_copy_only=False)
+        rows = np.repeat(np.arange(len(arr), dtype=np.int64), counts)
+        mask = np.ones(len(values), dtype=bool)
+        if q.lower is not None:
+            mask &= values >= q.lower
+        if q.upper is not None:
+            mask &= values <= q.upper
+        docs = np.unique(rows[mask])
         return docs, np.full(len(docs), dt.type(boost), dtype=dt)
 
     def _score_index_sort_range(self, sr: SegmentReader,

@@ -1,0 +1,50 @@
+"""SortedNumericDocValuesField.newSlowRangeQuery analog.
+
+ref: document/SortedNumericDocValuesField.kt newSlowRangeQuery (ANY
+multi-value in range), exercised by TestDocValuesQueries — matches if
+any of the doc's values lies in [lower, upper]; docs without values
+never match.
+"""
+import pyarrow as pa
+
+
+def _index(tmp_path):
+    import ray.data as rd
+
+    from lucene_kmp_ray.index.builder import build_index
+    vals = pa.array([[5, 100], [], [50], [1, 2, 3], None],
+                    type=pa.list_(pa.int64()))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "url": pa.array([f"u{i}" for i in range(5)], pa.string()),
+        "text": pa.array(["spark"] * 5, pa.string()),
+        "vals": vals}))
+    idx = str(tmp_path / "snr")
+    build_index(ds, idx, segment_size=2, meta_cols=("vals",))
+    return idx
+
+
+def test_any_value_in_range(ray_session, tmp_path):
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.search import (BooleanQuery, Occur,
+                                       SortedNumericRangeQuery, TermQuery)
+    from lucene_kmp_ray.search.searcher import Searcher
+
+    s = Searcher(IndexReader(_index(tmp_path)))
+
+    def docs(q):
+        return sorted(h.doc_id for h in s.search(q, k=100).score_docs)
+
+    # [4, 60]: doc0 via 5, doc2 via 50; doc3's 1-3 all below
+    assert docs(SortedNumericRangeQuery("vals", 4, 60)) == [0, 2]
+    # open lower bound: anything ≤ 3 → doc3 only
+    assert docs(SortedNumericRangeQuery("vals", None, 3)) == [3]
+    # open upper: ≥ 100 → doc0 via 100
+    assert docs(SortedNumericRangeQuery("vals", 100, None)) == [0]
+    # empty / null lists never match even on an unbounded range
+    assert docs(SortedNumericRangeQuery("vals", None, None)) == [0, 2, 3]
+    # composes in FILTER position (the IndexOrDocValuesQuery pairing)
+    q = BooleanQuery.build(
+        (Occur.MUST, TermQuery("spark")),
+        (Occur.FILTER, SortedNumericRangeQuery("vals", 4, 60)))
+    assert docs(q) == [0, 2]
