@@ -2375,6 +2375,50 @@ def _hybrid_topk(sf_dir: str):
     return df
 
 
+LDF_ORIGIN, LDF_PIVOT, LDF_WEIGHT = 300, 50, 0.5
+GDF_PIVOT_M, GDF_WEIGHT = 500_000.0, 0.5
+
+
+def _recency_boost_topk(sf_dir: str):
+    """LongField.newDistanceFeatureQuery in SHOULD position
+    (LongDistanceFeatureQuery.kt): BM25(text:spark) + 0.5·pivot/(pivot +
+    |length − 300|) — the recency/affinity-boost composition the
+    reference documents as the query's intended use."""
+    from lucene_kmp_ray.search import LongDistanceFeatureQuery
+    q = BooleanQuery.build(
+        (Occur.SHOULD, TermQuery(TERM_A)),
+        (Occur.SHOULD, LongDistanceFeatureQuery(
+            "length", LDF_ORIGIN, LDF_PIVOT, weight=LDF_WEIGHT)))
+    df = _topk(sf_dir, q)
+    df = df.rename(columns={"score": "score_r"})
+    df["score_r"] = np.round(df["score_r"], 6)
+    return df
+
+
+def _geo_proximity_boost_topk(sf_dir: str):
+    """LatLonPoint.newDistanceFeatureQuery in SHOULD position
+    (LatLonPointDistanceFeatureQuery.kt:113): BM25(text:spark) +
+    0.5·pivot/(pivot + haversine_m to the fixed origin)."""
+    import pandas as pd
+
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.search import GeoDistanceFeatureQuery
+    from lucene_kmp_ray.similarity.bm25 import BM25Similarity
+
+    s = Searcher(IndexReader(_ensure_geo_index(sf_dir)),
+                 BM25Similarity(dtype="float64"))
+    q = BooleanQuery.build(
+        (Occur.SHOULD, TermQuery(TERM_A)),
+        (Occur.SHOULD, GeoDistanceFeatureQuery(
+            *GEO_NEAREST_POINT, GDF_PIVOT_M, weight=GDF_WEIGHT)))
+    td = s.search(q, k=10)
+    return pd.DataFrame({
+        "doc_id": [h.doc_id for h in td.score_docs],
+        "url": [h.url for h in td.score_docs],
+        "score_r": np.round(np.asarray(
+            [h.score for h in td.score_docs], dtype=np.float64), 6)})
+
+
 SORTED_NUMERIC_RANGE = (200, 600)
 
 
@@ -3061,6 +3105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_nearest_top10": _geo_nearest_topk,
         "xy_nearest_top10": _xy_nearest_topk,
         "sorted_numeric_range_all": _sorted_numeric_range_all,
+        "recency_boost_top10": _recency_boost_topk,
+        "geo_proximity_boost_top10": _geo_proximity_boost_topk,
         # round 5: cartesian XYPointField shapes (float32 coords)
         "geo_xy_box_all": _geo_xy_box_all,
         "geo_xy_circle_all": _geo_xy_circle_all,
@@ -3469,6 +3515,8 @@ def oracle_sql() -> dict[str, str]:
         "geo_nearest_top10": oracle.geo_nearest_topk(*GEO_NEAREST_POINT),
         "xy_nearest_top10": oracle.xy_nearest_topk(*XY_NEAREST_POINT),
         "sorted_numeric_range_all": oracle.sorted_numeric_range_all(*SORTED_NUMERIC_RANGE),
+        "recency_boost_top10": oracle.recency_boost_topk(TERM_A, LDF_ORIGIN, LDF_PIVOT, LDF_WEIGHT),
+        "geo_proximity_boost_top10": oracle.geo_proximity_boost_topk(TERM_A, *GEO_NEAREST_POINT, GDF_PIVOT_M, GDF_WEIGHT),
         "geo_xy_box_all": oracle.geo_xy_box_all(*XY_BOX),
         "geo_xy_circle_all": oracle.geo_xy_circle_all(*XY_CIRCLE),
         "geo_xy_polygon_all": oracle.geo_xy_polygon_all(XY_POLYGON,

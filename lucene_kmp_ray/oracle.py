@@ -6037,6 +6037,71 @@ ORDER BY doc_id
 """
 
 
+def recency_boost_topk(term: str, origin: int, pivot: int,
+                       weight: float, k: int = 10) -> str:
+    """LongField.newDistanceFeatureQuery mirror
+    (LongDistanceFeatureQuery.kt): SHOULD(BM25 term) + SHOULD(weight ·
+    pivot/(pivot + |dl − origin|)) — per-doc float64 clause sum in
+    engine clause order; every doc has a length, so the feature clause
+    matches all docs."""
+    return preamble() + f""",
+sc0 AS ({term_scored_cte(repr(term))}),
+feat AS (
+  SELECT doc_id,
+         {weight} * (CAST({pivot} AS DOUBLE) /
+                     (CAST({pivot} AS DOUBLE) + abs(dl - {origin}))) AS score
+  FROM doclen
+),
+ids AS (SELECT doc_id FROM sc0 UNION SELECT doc_id FROM feat)
+SELECT d.doc_id, c.url,
+       round((0 + COALESCE(sc0.score, 0)) + COALESCE(feat.score, 0), 6)
+         AS score_r
+FROM ids d LEFT JOIN sc0 ON sc0.doc_id = d.doc_id
+           LEFT JOIN feat ON feat.doc_id = d.doc_id
+           JOIN corpus c ON c.doc_id = d.doc_id
+ORDER BY ((0 + COALESCE(sc0.score, 0)) + COALESCE(feat.score, 0)) DESC,
+         d.doc_id LIMIT {k}
+"""
+
+
+def geo_proximity_boost_topk(term: str, lat: float, lon: float,
+                             pivot_m: float, weight: float,
+                             k: int = 10) -> str:
+    """LatLonPoint.newDistanceFeatureQuery mirror
+    (LatLonPointDistanceFeatureQuery.kt:113): SHOULD(BM25 term) +
+    SHOULD(weight · pivot/(pivot + haversinMeters)) over the entry's
+    deterministic lat/lon derivation. The engine's sort-key bit clobber
+    shifts the distance ~1e-8 m → score shifts ~1e-14, far inside the
+    1e-6 rounding."""
+    dist = f"""6371008.7714 * 2 * asin(least(1.0, sqrt(
+        ((1 - cos(radians(lat - {lat}))) +
+         cos(radians(lat)) * cos(radians({lat})) *
+         (1 - cos(radians(lon - {lon})))) * 0.5)))"""
+    return preamble() + f""",
+geo AS (
+  SELECT doc_id,
+         (doc_id * 37 % 18000) / 100.0 - 90.0 AS lat,
+         (doc_id * 73 % 36000) / 100.0 - 180.0 AS lon
+  FROM corpus
+),
+sc0 AS ({term_scored_cte(repr(term))}),
+feat AS (
+  SELECT doc_id,
+         {weight} * ({pivot_m} / ({pivot_m} + {dist})) AS score
+  FROM geo
+),
+ids AS (SELECT doc_id FROM sc0 UNION SELECT doc_id FROM feat)
+SELECT d.doc_id, c.url,
+       round((0 + COALESCE(sc0.score, 0)) + COALESCE(feat.score, 0), 6)
+         AS score_r
+FROM ids d LEFT JOIN sc0 ON sc0.doc_id = d.doc_id
+           LEFT JOIN feat ON feat.doc_id = d.doc_id
+           JOIN corpus c ON c.doc_id = d.doc_id
+ORDER BY ((0 + COALESCE(sc0.score, 0)) + COALESCE(feat.score, 0)) DESC,
+         d.doc_id LIMIT {k}
+"""
+
+
 def sorted_numeric_range_all(lower: int, upper: int) -> str:
     """SortedNumericDocValuesField.newSlowRangeQuery mirror: ANY value of
     the multi-valued int derivation (count = doc_id % 4,

@@ -384,6 +384,45 @@ class RangeFilterQuery(Query):
 
 
 @dataclass(frozen=True)
+class LongDistanceFeatureQuery(Query):
+    """``LongField.newDistanceFeatureQuery``
+    (document/LongDistanceFeatureQuery.kt): a SCORING query — every doc
+    with a value matches, scored ``weight · pivot / (pivot + |v − origin|)``
+    in float64 (the recency/affinity boost; put it in SHOULD next to the
+    text query). ``pivot`` is the distance at which the score halves;
+    must be > 0 (LongDistanceFeatureQuery.kt ctor check)."""
+    field: str
+    origin: int
+    pivot: int
+    weight: float = 1.0
+
+    def __post_init__(self):
+        if self.pivot <= 0:
+            raise ValueError(
+                f"pivotDistance must be > 0, got {self.pivot}")
+
+
+@dataclass(frozen=True)
+class GeoDistanceFeatureQuery(Query):
+    """``LatLonPoint.newDistanceFeatureQuery``
+    (document/LatLonPointDistanceFeatureQuery.kt:113): proximity boost —
+    score = ``weight · pivot_m / (pivot_m + haversinMeters(origin, doc))``
+    over the lat/lon doc-meta columns (same clobbered sort-key distance
+    as GeoDistanceQuery)."""
+    lat: float
+    lon: float
+    pivot_m: float
+    lat_field: str = "lat"
+    lon_field: str = "lon"
+    weight: float = 1.0
+
+    def __post_init__(self):
+        if self.pivot_m <= 0:
+            raise ValueError(
+                f"pivotDistance must be > 0, got {self.pivot_m}")
+
+
+@dataclass(frozen=True)
 class SortedNumericRangeQuery(Query):
     """``SortedNumericDocValuesField.newSlowRangeQuery``
     (document/SortedNumericDocValuesField.kt, exercised by

@@ -32,6 +32,7 @@ import numpy as np
 from ..index.reader import IndexReader, SegmentReader
 from ..similarity.bm25 import BM25Similarity
 from .query import (BlendedTermQuery, BooleanQuery, BoostQuery,
+                    GeoDistanceFeatureQuery, LongDistanceFeatureQuery,
                     CombinedFieldQuery, ConstantScoreQuery, IndriAndQuery,
                     DisjunctionMaxQuery, FieldExistsQuery,
                     GeoBoxQuery, GeoDistanceQuery, GeoLineQuery,
@@ -384,6 +385,46 @@ class Searcher:
             return self._score_range(sr, query, boost)
         if isinstance(query, SortedNumericRangeQuery):
             return self._score_sorted_numeric_range(sr, query, boost)
+        if isinstance(query, LongDistanceFeatureQuery):
+            # LongDistanceFeatureQuery.kt: score = w·pivot/(pivot+|v−o|),
+            # double math, every valued doc matches; uint64 diff keeps
+            # the distance exact across the full int64 domain (the
+            # testOverUnderFlow saturation contract)
+            dt = self.sim.dtype
+            col = sr.doc_meta[query.field]
+            vals = col.to_numpy(zero_copy_only=False)
+            ok = ~np.isnan(vals.astype(np.float64)) \
+                if vals.dtype.kind == "f" else np.ones(len(vals), bool)
+            docs = np.flatnonzero(ok).astype(np.int64)
+            v = vals[docs].astype(np.int64)
+            o = np.int64(query.origin)
+            d = np.where(v >= o,
+                         v.astype(np.uint64) - np.uint64(o),
+                         np.uint64(o) - v.astype(np.uint64))
+            p = np.float64(query.pivot)
+            sc = (boost * query.weight) * (p / (p + d.astype(np.float64)))
+            return docs, sc.astype(dt)
+        if isinstance(query, GeoDistanceFeatureQuery):
+            # LatLonPointDistanceFeatureQuery.kt:113: the same clobbered
+            # haversine distance as GeoDistanceQuery feeding the
+            # pivot/(pivot+distance) saturation
+            from .query import EARTH_MEAN_RADIUS_METERS
+            dt = self.sim.dtype
+            la = sr.doc_meta[query.lat_field].to_numpy().astype(np.float64)
+            lo = sr.doc_meta[query.lon_field].to_numpy().astype(np.float64)
+            valid = np.isfinite(la) & np.isfinite(lo)
+            docs = np.flatnonzero(valid).astype(np.int64)
+            la, lo = la[docs], lo[docs]
+            x2 = np.radians(query.lat)
+            h = (1.0 - np.cos(np.radians(la) - x2)) + \
+                np.cos(np.radians(la)) * np.cos(x2) * \
+                (1.0 - np.cos(np.radians(lo - query.lon)))
+            h = (h.view(np.int64) & np.int64(-8)).view(np.float64)
+            dist = EARTH_MEAN_RADIUS_METERS * 2.0 * \
+                np.arcsin(np.minimum(1.0, np.sqrt(h * 0.5)))
+            p = np.float64(query.pivot_m)
+            sc = (boost * query.weight) * (p / (p + dist))
+            return docs, sc.astype(dt)
         if isinstance(query, IndexSortRangeQuery):
             return self._score_index_sort_range(sr, query, boost)
         if isinstance(query, PointInSetQuery):
