@@ -2419,6 +2419,19 @@ def _geo_proximity_boost_topk(sf_dir: str):
             [h.score for h in td.score_docs], dtype=np.float64), 6)})
 
 
+TAGS_SET = ("t1",)
+
+
+def _tags_set_all(sf_dir: str):
+    """SortedSetDocValuesField.newSlowSetQuery role
+    (SortedNumericDocValuesSetQuery.kt analog over strings): every doc
+    whose multi-valued ``tags`` field contains 't1'; constant score,
+    ORDER BY doc_id."""
+    from lucene_kmp_ray.search import DocValuesSetQuery
+    return _all_sorted(search_all_matches(
+        _ensure_geo_index(sf_dir), DocValuesSetQuery("tags", TAGS_SET)))
+
+
 SORTED_NUMERIC_RANGE = (200, 600)
 
 
@@ -3105,6 +3118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_nearest_top10": _geo_nearest_topk,
         "xy_nearest_top10": _xy_nearest_topk,
         "sorted_numeric_range_all": _sorted_numeric_range_all,
+        "tags_set_all": _tags_set_all,
         "recency_boost_top10": _recency_boost_topk,
         "geo_proximity_boost_top10": _geo_proximity_boost_topk,
         # round 5: cartesian XYPointField shapes (float32 coords)
@@ -3515,6 +3529,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_nearest_top10": oracle.geo_nearest_topk(*GEO_NEAREST_POINT),
         "xy_nearest_top10": oracle.xy_nearest_topk(*XY_NEAREST_POINT),
         "sorted_numeric_range_all": oracle.sorted_numeric_range_all(*SORTED_NUMERIC_RANGE),
+        "tags_set_all": oracle.tags_set_all(TAGS_SET),
         "recency_boost_top10": oracle.recency_boost_topk(TERM_A, LDF_ORIGIN, LDF_PIVOT, LDF_WEIGHT),
         "geo_proximity_boost_top10": oracle.geo_proximity_boost_topk(TERM_A, *GEO_NEAREST_POINT, GDF_PIVOT_M, GDF_WEIGHT),
         "geo_xy_box_all": oracle.geo_xy_box_all(*XY_BOX),

@@ -6102,6 +6102,23 @@ ORDER BY ((0 + COALESCE(sc0.score, 0)) + COALESCE(feat.score, 0)) DESC,
 """
 
 
+def tags_set_all(tags: tuple) -> str:
+    """newSlowSetQuery mirror over the multi-valued string derivation
+    (count = doc_id % 5, tag_j = 't' || (doc_id·7 + j·11) % 3): ANY tag
+    in the set; constant score, ORDER BY doc_id."""
+    tag_list = ", ".join(f"'{t}'" for t in tags)
+    return f"""
+WITH corpus AS ({CORPUS_SQL})
+SELECT doc_id, url, CAST(1.0 AS DOUBLE) AS score
+FROM corpus
+WHERE len(list_filter(
+        list_transform(generate_series(0, CAST(doc_id % 5 AS INT) - 1),
+                       j -> 't' || CAST((doc_id*7 + j*11) % 3 AS VARCHAR)),
+        v -> v IN ({tag_list}))) > 0
+ORDER BY doc_id
+"""
+
+
 def sorted_numeric_range_all(lower: int, upper: int) -> str:
     """SortedNumericDocValuesField.newSlowRangeQuery mirror: ANY value of
     the multi-valued int derivation (count = doc_id % 4,

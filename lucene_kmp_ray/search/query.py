@@ -384,6 +384,21 @@ class RangeFilterQuery(Query):
 
 
 @dataclass(frozen=True)
+class DocValuesSetQuery(Query):
+    """``SortedNumericDocValuesSetQuery`` /
+    ``SortedSetDocValuesField.newSlowSetQuery`` (document/
+    SortedNumericDocValuesSetQuery.kt:24, TestSortedSetDocValuesSetQuery):
+    matches docs where ANY value of the MULTI-VALUED doc-values field is
+    in ``values`` — the set-membership semi-join over a list column
+    (numeric or string). Constant score."""
+    field: str
+    values: tuple
+
+    def terms(self):
+        return []
+
+
+@dataclass(frozen=True)
 class LongDistanceFeatureQuery(Query):
     """``LongField.newDistanceFeatureQuery``
     (document/LongDistanceFeatureQuery.kt): a SCORING query — every doc

@@ -32,6 +32,7 @@ import numpy as np
 from ..index.reader import IndexReader, SegmentReader
 from ..similarity.bm25 import BM25Similarity
 from .query import (BlendedTermQuery, BooleanQuery, BoostQuery,
+                    DocValuesSetQuery,
                     GeoDistanceFeatureQuery, LongDistanceFeatureQuery,
                     CombinedFieldQuery, ConstantScoreQuery, IndriAndQuery,
                     DisjunctionMaxQuery, FieldExistsQuery,
@@ -385,6 +386,22 @@ class Searcher:
             return self._score_range(sr, query, boost)
         if isinstance(query, SortedNumericRangeQuery):
             return self._score_sorted_numeric_range(sr, query, boost)
+        if isinstance(query, DocValuesSetQuery):
+            # SortedNumericDocValuesSetQuery.kt / newSlowSetQuery: ANY
+            # multi-value in the set — flatten + isin, parents by repeat
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            dt = self.sim.dtype
+            col = sr.doc_meta[query.field]
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+                else col
+            counts = pc.fill_null(pc.list_value_length(arr), 0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            values = arr.flatten().to_numpy(zero_copy_only=False)
+            rows = np.repeat(np.arange(len(arr), dtype=np.int64), counts)
+            mask = np.isin(values, np.asarray(list(query.values)))
+            docs = np.unique(rows[mask])
+            return docs, np.full(len(docs), dt.type(boost), dtype=dt)
         if isinstance(query, LongDistanceFeatureQuery):
             # LongDistanceFeatureQuery.kt: score = w·pivot/(pivot+|v−o|),
             # double math, every valued doc matches; uint64 diff keeps

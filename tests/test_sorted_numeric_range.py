@@ -48,3 +48,34 @@ def test_any_value_in_range(ray_session, tmp_path):
         (Occur.MUST, TermQuery("spark")),
         (Occur.FILTER, SortedNumericRangeQuery("vals", 4, 60)))
     assert docs(q) == [0, 2]
+
+
+def test_doc_values_set_query(ray_session, tmp_path):
+    # SortedNumericDocValuesSetQuery.kt / newSlowSetQuery: ANY value in
+    # set; works for numeric and string list columns alike
+    import ray.data as rd
+
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.search import DocValuesSetQuery
+    from lucene_kmp_ray.search.searcher import Searcher
+
+    tags = pa.array([["red", "blue"], [], ["green"], ["blue"], None],
+                    type=pa.list_(pa.string()))
+    nums = pa.array([[1, 9], [4], [], [9], [2]], type=pa.list_(pa.int64()))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "url": pa.array([f"u{i}" for i in range(5)], pa.string()),
+        "text": pa.array(["spark"] * 5, pa.string()),
+        "tags": tags, "nums": nums}))
+    idx = str(tmp_path / "dvset")
+    build_index(ds, idx, segment_size=2, meta_cols=("tags", "nums"))
+    s = Searcher(IndexReader(idx))
+
+    def docs(q):
+        return sorted(h.doc_id for h in s.search(q, k=100).score_docs)
+
+    assert docs(DocValuesSetQuery("tags", ("blue",))) == [0, 3]
+    assert docs(DocValuesSetQuery("tags", ("green", "red"))) == [0, 2]
+    assert docs(DocValuesSetQuery("tags", ("violet",))) == []
+    assert docs(DocValuesSetQuery("nums", (9, 4))) == [0, 1, 3]
