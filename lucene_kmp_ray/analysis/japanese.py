@@ -147,6 +147,12 @@ class _Runtime:
         (lexicon trie + int32 attribute tables), built once per
         process."""
         t = getattr(self, "_c_tables", None)
+        # "ptrs" are RAW ADDRESSES valid only in the process that built
+        # them: a runtime tokenized in the Ray driver then pickled into
+        # a worker would otherwise hand the C core dangling driver
+        # pointers (the build_group segfault) — rebuild on pid change
+        if t is not None and t.get("pid") != os.getpid():
+            t = None
         if t is None:
             from .cviterbi import build_trie
             arrays = (build_trie(self.surfaces) + (
@@ -164,6 +170,7 @@ class _Runtime:
                 "ptrs": tuple(a.ctypes.data for a in arrays),
                 "conn_ptr": self.conn_np.ctypes.data,
                 "conn_dim": int(self.conn_np.shape[1]),
+                "pid": os.getpid(),  # addresses die with this process
             }
             self._c_tables = t
         return t
@@ -538,7 +545,11 @@ class JapaneseTokenizer:
 
         t = rt.c_tables()
         ob = self._obuf
-        if ob is None or len(ob[0]) < n:
+        # _obuf_ptrs are raw addresses — stale after an unpickle into
+        # another process (same hazard as c_tables "ptrs"): re-allocate
+        # when the owning pid changed
+        if ob is None or len(ob[0]) < n \
+                or getattr(self, "_obuf_pid", None) != os.getpid():
             size = max(256, n)
             ob = (np.empty(size, dtype=np.int32),
                   np.empty(size, dtype=np.int32),
@@ -546,6 +557,7 @@ class JapaneseTokenizer:
                   np.empty(size, dtype=np.int8))
             self._obuf = ob
             self._obuf_ptrs = tuple(a.ctypes.data for a in ob)
+            self._obuf_pid = os.getpid()
         out_start, out_end, out_wid, out_typ = ob
 
         ntok = clib.viterbi_analyze(
