@@ -2419,6 +2419,35 @@ def _geo_proximity_boost_topk(sf_dir: str):
             [h.score for h in td.score_docs], dtype=np.float64), 6)})
 
 
+def _dv_update_search_all(sf_dir: str):
+    """Numeric doc-values update then search (IndexWriter.
+    updateNumericDocValue, index/dvupdates.py): docs with doc_id %% 97
+    == 0 get length set to 100000 by url WITHOUT reindexing; a range
+    query over the updated field must see exactly those docs."""
+    import shutil
+
+    import duckdb
+
+    from lucene_kmp_ray.index.dvupdates import update_numeric_doc_values
+    from lucene_kmp_ray.search import RangeFilterQuery
+
+    src_idx = _ensure_index(sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    upd_idx = f"/tmp/lucene_kmp_ray_index_dvu/{tag}"
+    if not os.path.exists(os.path.join(upd_idx, "manifest.json")):
+        shutil.copytree(src_idx, upd_idx, dirs_exist_ok=True)
+        con = duckdb.connect()
+        urls = [r[0] for r in con.sql(
+            f"SELECT 'https://' || source || '.example.com/doc/' || "
+            f"CAST(doc_id AS VARCHAR) FROM "
+            f"'{sf_dir}/documents.parquet' WHERE doc_id % 97 = 0"
+        ).fetchall()]
+        update_numeric_doc_values(upd_idx, "length",
+                                  {u: 100_000 for u in urls})
+    return _all_sorted(search_all_matches(
+        upd_idx, RangeFilterQuery("length", 100_000, None)))
+
+
 TAGS_SET = ("t1",)
 
 
@@ -3119,6 +3148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "xy_nearest_top10": _xy_nearest_topk,
         "sorted_numeric_range_all": _sorted_numeric_range_all,
         "tags_set_all": _tags_set_all,
+        "dv_update_search_all": _dv_update_search_all,
         "recency_boost_top10": _recency_boost_topk,
         "geo_proximity_boost_top10": _geo_proximity_boost_topk,
         # round 5: cartesian XYPointField shapes (float32 coords)
@@ -3530,6 +3560,7 @@ def oracle_sql() -> dict[str, str]:
         "xy_nearest_top10": oracle.xy_nearest_topk(*XY_NEAREST_POINT),
         "sorted_numeric_range_all": oracle.sorted_numeric_range_all(*SORTED_NUMERIC_RANGE),
         "tags_set_all": oracle.tags_set_all(TAGS_SET),
+        "dv_update_search_all": oracle.dv_update_search_all(),
         "recency_boost_top10": oracle.recency_boost_topk(TERM_A, LDF_ORIGIN, LDF_PIVOT, LDF_WEIGHT),
         "geo_proximity_boost_top10": oracle.geo_proximity_boost_topk(TERM_A, *GEO_NEAREST_POINT, GDF_PIVOT_M, GDF_WEIGHT),
         "geo_xy_box_all": oracle.geo_xy_box_all(*XY_BOX),

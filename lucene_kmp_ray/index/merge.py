@@ -194,7 +194,11 @@ def merge_segments(index_dir: str, segs: list[int], new_seg: int) -> dict:
     t0 = time.monotonic()
     segs = sorted(segs)
     dirs = [os.path.join(index_dir, "segments", seg_dirname(s)) for s in segs]
-    doc_tables = [pq.read_table(os.path.join(d, DOCS_FILE)) for d in dirs]
+    from .dvupdates import apply_updates
+    doc_tables = [apply_updates(d, pq.read_table(os.path.join(d, DOCS_FILE)))
+                  for d in dirs]
+    # ^ doc-values update generations bake into the merged segment and
+    # the dv_* files die with the old dirs (Lucene's merge resolution)
     bases = np.append(0, np.cumsum([t.num_rows for t in doc_tables]))[:-1]
     concat_all = pa.concat_tables(doc_tables).combine_chunks()
     n_all = concat_all.num_rows

@@ -299,7 +299,12 @@ class SegmentReader:
     @property
     def doc_meta(self) -> pa.Table:
         if self._doc_meta is None:
-            self._doc_meta = pq.read_table(os.path.join(self.dir, DOCS_FILE))
+            from .dvupdates import apply_updates
+            self._doc_meta = apply_updates(
+                self.dir, pq.read_table(os.path.join(self.dir, DOCS_FILE)))
+            # ^ doc-values update generations overlay newest-wins
+            # (IndexWriter.updateNumericDocValue role, dvupdates.py);
+            # like tombstones, the reader pins the state it first loads
         return self._doc_meta
 
     # --- term access ----------------------------------------------------

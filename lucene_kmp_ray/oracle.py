@@ -6102,6 +6102,19 @@ ORDER BY ((0 + COALESCE(sc0.score, 0)) + COALESCE(feat.score, 0)) DESC,
 """
 
 
+def dv_update_search_all(modulus: int = 97) -> str:
+    """updateNumericDocValue mirror: after the entry sets length=100000
+    for every doc with doc_id % modulus == 0, the ≥100000 range query
+    returns exactly those docs (no original length reaches 100000)."""
+    return f"""
+WITH corpus AS ({CORPUS_SQL})
+SELECT doc_id, url, CAST(1.0 AS DOUBLE) AS score
+FROM corpus
+WHERE doc_id % {modulus} = 0
+ORDER BY doc_id
+"""
+
+
 def tags_set_all(tags: tuple) -> str:
     """newSlowSetQuery mirror over the multi-valued string derivation
     (count = doc_id % 5, tag_j = 't' || (doc_id·7 + j·11) % 3): ANY tag
