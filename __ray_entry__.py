@@ -2943,6 +2943,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_hnsw_recall": _knn_hnsw_recall,
         "hybrid_bm25_knn_top10": _hybrid_topk,
         "rrf_hybrid_top10": _rrf_hybrid_topk,
+        "geo_nearest_top10": _geo_nearest_topk,
+        "dv_update_search_all": _dv_update_search_all,
+        "recency_boost_top10": _recency_boost_topk,
+        "sorted_numeric_range_all": _sorted_numeric_range_all,
         # --- round-4 families: ONE representative per family ---
         "ja_token_counts": _ja_token_counts,      # kuromoji lattice
         "ko_token_counts": _ko_token_counts,      # nori lattice
@@ -3144,12 +3148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synonym_quick_top10": _synonym_topk,
         "geo_box_all": _geo_box_all,
         "geo_distance_all": _geo_distance_all,
-        "geo_nearest_top10": _geo_nearest_topk,
         "xy_nearest_top10": _xy_nearest_topk,
-        "sorted_numeric_range_all": _sorted_numeric_range_all,
         "tags_set_all": _tags_set_all,
-        "dv_update_search_all": _dv_update_search_all,
-        "recency_boost_top10": _recency_boost_topk,
         "geo_proximity_boost_top10": _geo_proximity_boost_topk,
         # round 5: cartesian XYPointField shapes (float32 coords)
         "geo_xy_box_all": _geo_xy_box_all,
