@@ -2495,6 +2495,23 @@ def _xy_nearest_topk(sf_dir: str):
             [h.score for h in td.score_docs], dtype=np.float64), 6)})
 
 
+def _geo_sorted_by_distance_topk(sf_dir: str):
+    """LatLonPoint.newDistanceSort role (LatLonPointSortField,
+    TestLatLonPointDistanceSort): the matches of text:spark ordered by
+    haversine distance to the fixed origin ascending, docID tie-break."""
+    import pandas as pd
+
+    from lucene_kmp_ray.index.reader import IndexReader
+
+    s = Searcher(IndexReader(_ensure_geo_index(sf_dir)))
+    td = s.nearest(*GEO_NEAREST_POINT, 10, query=TermQuery(TERM_A))
+    return pd.DataFrame({
+        "doc_id": [h.doc_id for h in td.score_docs],
+        "url": [h.url for h in td.score_docs],
+        "dist_m": np.round(np.asarray(
+            [h.score for h in td.score_docs], dtype=np.float64), 2)})
+
+
 # urls of these doc_ids get pinned (priority = listing order)
 ELEVATED_DOC_IDS = (100, 7)
 
@@ -2944,6 +2961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_bm25_knn_top10": _hybrid_topk,
         "rrf_hybrid_top10": _rrf_hybrid_topk,
         "geo_nearest_top10": _geo_nearest_topk,
+        "geo_sorted_by_distance_top10": _geo_sorted_by_distance_topk,
         "dv_update_search_all": _dv_update_search_all,
         "recency_boost_top10": _recency_boost_topk,
         "sorted_numeric_range_all": _sorted_numeric_range_all,
@@ -3557,6 +3575,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_distance_all": oracle.geo_distance_all(*GEO_CENTER,
                                                     GEO_RADIUS_M),
         "geo_nearest_top10": oracle.geo_nearest_topk(*GEO_NEAREST_POINT),
+        "geo_sorted_by_distance_top10": oracle.geo_sorted_by_distance_topk(TERM_A, *GEO_NEAREST_POINT),
         "xy_nearest_top10": oracle.xy_nearest_topk(*XY_NEAREST_POINT),
         "sorted_numeric_range_all": oracle.sorted_numeric_range_all(*SORTED_NUMERIC_RANGE),
         "tags_set_all": oracle.tags_set_all(TAGS_SET),

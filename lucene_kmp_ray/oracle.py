@@ -6006,6 +6006,29 @@ ORDER BY {dist} ASC, doc_id LIMIT {k}
 """
 
 
+def geo_sorted_by_distance_topk(term: str, lat: float, lon: float,
+                                k: int = 10) -> str:
+    """LatLonPoint.newDistanceSort mirror (LatLonPointSortField): the
+    matches of `term` ordered by SloppyMath.haversinMeters ascending,
+    docID tie-break; distances rounded to cm (clobber shifts ~1e-8 m)."""
+    dist = f"""6371008.7714 * 2 * asin(least(1.0, sqrt(
+        ((1 - cos(radians(g.lat - {lat}))) +
+         cos(radians(g.lat)) * cos(radians({lat})) *
+         (1 - cos(radians(g.lon - {lon})))) * 0.5)))"""
+    return preamble() + f""",
+geo AS (
+  SELECT doc_id,
+         (doc_id * 37 % 18000) / 100.0 - 90.0 AS lat,
+         (doc_id * 73 % 36000) / 100.0 - 180.0 AS lon
+  FROM corpus
+),
+m AS (SELECT DISTINCT doc_id FROM postings WHERE term = '{term}')
+SELECT m.doc_id, c.url, round({dist}, 2) AS dist_m
+FROM m JOIN geo g USING (doc_id) JOIN corpus c USING (doc_id)
+ORDER BY {dist} ASC, m.doc_id LIMIT {k}
+"""
+
+
 def _xy_coords_cte() -> str:
     """Deterministic cartesian float32 coordinates — identical
     derivation as the engine's _ensure_geo_index (value computed in

@@ -917,7 +917,8 @@ class Searcher:
         return docs, np.full(len(docs), dt.type(boost), dtype=dt)
 
     def nearest(self, lat: float, lon: float, n: int,
-                lat_field: str = "lat", lon_field: str = "lon") -> TopDocs:
+                lat_field: str = "lat", lon_field: str = "lon",
+                query: Query | None = None) -> TopDocs:
         """``LatLonPoint.nearest`` (document/LatLonPoint.kt:417-457 over
         document/NearestNeighbor.kt): the n nearest live docs to
         (lat, lon) by haversine distance. ``ScoreDoc.score`` carries the
@@ -928,6 +929,13 @@ class Searcher:
         (NearestNeighbor.kt:37-42). ``total_hits`` counts docs carrying
         coordinates WITHOUT subtracting deletes (``points.docCount`` at
         LatLonPoint.kt:434), though deleted docs never appear as hits.
+
+        With ``query`` set this becomes the DISTANCE SORT instead
+        (``LatLonPoint.newDistanceSort`` / LatLonPointSortField role,
+        TestLatLonPointDistanceSort): the n closest MATCHES of the
+        query, docs missing coordinates kept and sorted
+        POSITIVE_INFINITY last (the sort field's missing-value
+        default); ``total_hits`` is then the match count.
 
         The reference's BKD best-first cell walk is an index-structure
         optimization this engine designs out (SURVEY §2.9): per segment
@@ -941,6 +949,7 @@ class Searcher:
         if not -180.0 <= lon <= 180.0:  # GeoUtils.checkLongitude
             raise ValueError(f"invalid longitude {lon}")
         from .query import EARTH_MEAN_RADIUS_METERS
+        q = self.rewrite(query) if query is not None else None
         x2 = np.radians(np.float64(lat))
         total = 0
         parts = []  # (dist, seg, docs)
@@ -949,12 +958,17 @@ class Searcher:
                 continue
             la = sr.doc_meta[lat_field].to_numpy().astype(np.float64)
             lo = sr.doc_meta[lon_field].to_numpy().astype(np.float64)
-            valid = np.isfinite(la) & np.isfinite(lo)
-            total += int(valid.sum())  # points.docCount analog
-            tomb = sr.tombstones
-            if tomb is not None and len(tomb):
-                valid[tomb] = False
-            docs = np.flatnonzero(valid).astype(np.int64)
+            if q is not None:  # distance SORT over the query's matches
+                docs, _ = self._score_segment(sr, q)
+                docs = docs.astype(np.int64)
+                total += len(docs)
+            else:
+                valid = np.isfinite(la) & np.isfinite(lo)
+                total += int(valid.sum())  # points.docCount analog
+                tomb = sr.tombstones
+                if tomb is not None and len(tomb):
+                    valid[tomb] = False
+                docs = np.flatnonzero(valid).astype(np.int64)
             if not len(docs):
                 continue
             la, lo = la[docs], lo[docs]
@@ -966,6 +980,8 @@ class Searcher:
             h = (h.view(np.int64) & np.int64(-8)).view(np.float64)
             dist = EARTH_MEAN_RADIUS_METERS * 2.0 * \
                 np.arcsin(np.minimum(1.0, np.sqrt(h * 0.5)))
+            if q is not None:
+                dist[~np.isfinite(dist)] = np.inf  # missing → last
             if len(docs) > n:  # per-leaf top-n before the merge
                 sel = np.lexsort((docs, dist))[:n]
                 docs, dist = docs[sel], dist[sel]

@@ -110,3 +110,27 @@ def test_random_differential(ray_session, tmp_path):
     assert [h_.doc_id for h_ in td.score_docs] == exp.tolist()
     got = np.array([h_.score for h_ in td.score_docs])
     assert np.allclose(got, dist[exp], rtol=0, atol=0)
+
+
+def test_distance_sort_over_query_matches(ray_session, tmp_path):
+    # LatLonPoint.newDistanceSort role (TestLatLonPointDistanceSort):
+    # matches of a query ordered by distance; missing coords +inf last
+    import ray.data as rd
+
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.search import TermQuery
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "url": pa.array([f"u{i}" for i in range(5)], pa.string()),
+        "text": pa.array(["spark", "spark", "other", "spark", "spark"],
+                         pa.string()),
+        "lat": pa.array([10.0, 0.1, 0.0, None, 50.0], pa.float64()),
+        "lon": pa.array([10.0, 0.1, 0.0, None, 50.0], pa.float64())}))
+    idx = str(tmp_path / "dsort")
+    build_index(ds, idx, segment_size=2, meta_cols=("lat", "lon"))
+    td = _searcher(idx).nearest(0.0, 0.0, 10, query=TermQuery("spark"))
+    # doc2 is closest but doesn't match; doc3 matches but has no coords
+    assert [h.doc_id for h in td.score_docs] == [1, 0, 4, 3]
+    assert td.score_docs[-1].score == float("inf")
+    assert td.total_hits == 4
