@@ -2448,6 +2448,15 @@ def _dv_update_search_all(sf_dir: str):
         upd_idx, RangeFilterQuery("length", 100_000, None)))
 
 
+def _tags_range_all(sf_dir: str):
+    """SortedSetDocValuesField.newSlowRangeQuery role: every doc with
+    ANY tag in the byte range ['t1', 't2']; constant score, ORDER BY
+    doc_id."""
+    from lucene_kmp_ray.search import SortedSetRangeQuery
+    return _all_sorted(search_all_matches(
+        _ensure_geo_index(sf_dir), SortedSetRangeQuery("tags", "t1", "t2")))
+
+
 TAGS_SET = ("t1",)
 
 
@@ -3168,6 +3177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_distance_all": _geo_distance_all,
         "xy_nearest_top10": _xy_nearest_topk,
         "tags_set_all": _tags_set_all,
+        "tags_range_all": _tags_range_all,
         "geo_proximity_boost_top10": _geo_proximity_boost_topk,
         # round 5: cartesian XYPointField shapes (float32 coords)
         "geo_xy_box_all": _geo_xy_box_all,
@@ -3579,6 +3589,7 @@ def oracle_sql() -> dict[str, str]:
         "xy_nearest_top10": oracle.xy_nearest_topk(*XY_NEAREST_POINT),
         "sorted_numeric_range_all": oracle.sorted_numeric_range_all(*SORTED_NUMERIC_RANGE),
         "tags_set_all": oracle.tags_set_all(TAGS_SET),
+        "tags_range_all": oracle.tags_range_all("t1", "t2"),
         "dv_update_search_all": oracle.dv_update_search_all(),
         "recency_boost_top10": oracle.recency_boost_topk(TERM_A, LDF_ORIGIN, LDF_PIVOT, LDF_WEIGHT),
         "geo_proximity_boost_top10": oracle.geo_proximity_boost_topk(TERM_A, *GEO_NEAREST_POINT, GDF_PIVOT_M, GDF_WEIGHT),

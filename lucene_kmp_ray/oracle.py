@@ -6138,6 +6138,22 @@ ORDER BY doc_id
 """
 
 
+def tags_range_all(lower: str, upper: str) -> str:
+    """SortedSetDocValuesField.newSlowRangeQuery mirror over the
+    multi-valued tag derivation: ANY tag in [lower, upper] byte range;
+    constant score, ORDER BY doc_id."""
+    return f"""
+WITH corpus AS ({CORPUS_SQL})
+SELECT doc_id, url, CAST(1.0 AS DOUBLE) AS score
+FROM corpus
+WHERE len(list_filter(
+        list_transform(generate_series(0, CAST(doc_id % 5 AS INT) - 1),
+                       j -> 't' || CAST((doc_id*7 + j*11) % 3 AS VARCHAR)),
+        v -> v >= '{lower}' AND v <= '{upper}')) > 0
+ORDER BY doc_id
+"""
+
+
 def tags_set_all(tags: tuple) -> str:
     """newSlowSetQuery mirror over the multi-valued string derivation
     (count = doc_id % 5, tag_j = 't' || (doc_id·7 + j·11) % 3): ANY tag

@@ -384,6 +384,23 @@ class RangeFilterQuery(Query):
 
 
 @dataclass(frozen=True)
+class SortedSetRangeQuery(Query):
+    """``SortedSetDocValuesField.newSlowRangeQuery`` (document/
+    SortedSetDocValuesField.kt, TestDocValuesQueries): matches docs
+    where ANY value of the MULTI-VALUED STRING doc-values field falls
+    in the [lower, upper] byte range (None = open; bounds inclusive by
+    default, matching the BytesRef range contract). Constant score."""
+    field: str
+    lower: str | None = None
+    upper: str | None = None
+    include_lower: bool = True
+    include_upper: bool = True
+
+    def terms(self):
+        return []
+
+
+@dataclass(frozen=True)
 class DocValuesSetQuery(Query):
     """``SortedNumericDocValuesSetQuery`` /
     ``SortedSetDocValuesField.newSlowSetQuery`` (document/

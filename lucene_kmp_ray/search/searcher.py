@@ -32,7 +32,7 @@ import numpy as np
 from ..index.reader import IndexReader, SegmentReader
 from ..similarity.bm25 import BM25Similarity
 from .query import (BlendedTermQuery, BooleanQuery, BoostQuery,
-                    DocValuesSetQuery,
+                    DocValuesSetQuery, SortedSetRangeQuery,
                     GeoDistanceFeatureQuery, LongDistanceFeatureQuery,
                     CombinedFieldQuery, ConstantScoreQuery, IndriAndQuery,
                     DisjunctionMaxQuery, FieldExistsQuery,
@@ -386,6 +386,30 @@ class Searcher:
             return self._score_range(sr, query, boost)
         if isinstance(query, SortedNumericRangeQuery):
             return self._score_sorted_numeric_range(sr, query, boost)
+        if isinstance(query, SortedSetRangeQuery):
+            # SortedSetDocValuesField.newSlowRangeQuery: ANY string value
+            # in the byte range — flatten once, range-compare, parents by
+            # repeat (Arrow utf8 comparison == unsigned byte order here:
+            # UTF-8 lexicographic == code-point order)
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            dt = self.sim.dtype
+            col = sr.doc_meta[query.field]
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+                else col
+            counts = pc.fill_null(pc.list_value_length(arr), 0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = arr.flatten()
+            mask = np.ones(len(flat), dtype=bool)
+            if query.lower is not None:
+                op = pc.greater_equal if query.include_lower else pc.greater
+                mask &= op(flat, query.lower).to_numpy(zero_copy_only=False)
+            if query.upper is not None:
+                op = pc.less_equal if query.include_upper else pc.less
+                mask &= op(flat, query.upper).to_numpy(zero_copy_only=False)
+            rows = np.repeat(np.arange(len(arr), dtype=np.int64), counts)
+            docs = np.unique(rows[mask])
+            return docs, np.full(len(docs), dt.type(boost), dtype=dt)
         if isinstance(query, DocValuesSetQuery):
             # SortedNumericDocValuesSetQuery.kt / newSlowSetQuery: ANY
             # multi-value in the set — flatten + isin, parents by repeat

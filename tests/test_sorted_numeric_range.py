@@ -79,3 +79,34 @@ def test_doc_values_set_query(ray_session, tmp_path):
     assert docs(DocValuesSetQuery("tags", ("green", "red"))) == [0, 2]
     assert docs(DocValuesSetQuery("tags", ("violet",))) == []
     assert docs(DocValuesSetQuery("nums", (9, 4))) == [0, 1, 3]
+
+
+def test_sorted_set_range_query(ray_session, tmp_path):
+    # SortedSetDocValuesField.newSlowRangeQuery: ANY string value in the
+    # byte range; open/exclusive bounds
+    import ray.data as rd
+
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.search import SortedSetRangeQuery
+    from lucene_kmp_ray.search.searcher import Searcher
+
+    tags = pa.array([["apple", "pear"], [], ["banana"], ["cherry"], None],
+                    type=pa.list_(pa.string()))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "url": pa.array([f"u{i}" for i in range(5)], pa.string()),
+        "text": pa.array(["spark"] * 5, pa.string()),
+        "tags": tags}))
+    idx = str(tmp_path / "ssr")
+    build_index(ds, idx, segment_size=2, meta_cols=("tags",))
+    s = Searcher(IndexReader(idx))
+
+    def docs(q):
+        return sorted(h.doc_id for h in s.search(q, k=100).score_docs)
+
+    assert docs(SortedSetRangeQuery("tags", "b", "d")) == [2, 3]
+    assert docs(SortedSetRangeQuery("tags", None, "banana")) == [0, 2]
+    assert docs(SortedSetRangeQuery("tags", "banana", None,
+                                    include_lower=False)) == [0, 3]
+    assert docs(SortedSetRangeQuery("tags", None, None)) == [0, 2, 3]
