@@ -2504,6 +2504,22 @@ def _xy_nearest_topk(sf_dir: str):
             [h.score for h in td.score_docs], dtype=np.float64), 6)})
 
 
+def _sorted_page2(sf_dir: str):
+    """searchAfter with a FieldDoc cursor (IndexSearcher.searchAfter +
+    Sort, TestSearchAfter's sorted cases): page 2 of the
+    length-descending ranking — page 1's last row becomes the strict
+    cursor; the rank column restarts at 1 per page (each page is its
+    own TopFieldDocs)."""
+    from lucene_kmp_ray.search.ray_search import (SortField,
+                                                  search_sorted_by_fields)
+    idx = _ensure_index(sf_dir)
+    sfields = (SortField("length", descending=True),)
+    p1 = search_sorted_by_fields(idx, TermQuery(TERM_A), sfields, k=20)
+    cursor = p1.iloc[-1].to_dict()
+    return search_sorted_by_fields(idx, TermQuery(TERM_A), sfields, k=20,
+                                   after=cursor)
+
+
 def _geo_sorted_by_distance_topk(sf_dir: str):
     """LatLonPoint.newDistanceSort role (LatLonPointSortField,
     TestLatLonPointDistanceSort): the matches of text:spark ordered by
@@ -3038,6 +3054,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_title_top10": lambda sf: _topk(sf, TermQuery(TERM_A, "title")),
         "sorted_by_length": lambda sf: search_sorted_by_field(
             _ensure_index(sf), TermQuery(TERM_A), "length", k=20),
+        "sorted_page2_top20": _sorted_page2,
         "sorted_by_url_top20": lambda sf: _sorted_by_url(sf),
         "sorted_multi_key_top20": lambda sf: _sorted_multi(sf),
         "sorted_numeric_max_top20": _sorted_numeric_max,
@@ -3334,6 +3351,7 @@ def oracle_sql() -> dict[str, str]:
         "delete_by_url_search": oracle.delete_by_url_search(TERM_A),
         "range_filter_all": oracle.range_filter_all(TERM_A, 40, 60),
         "sorted_by_length": oracle.sorted_by_length(TERM_A, 20),
+        "sorted_page2_top20": oracle.sorted_page2(TERM_A, 20),
         "sorted_by_url_top20": oracle.sorted_by_url(TERM_A, 20),
         "sorted_index_scan_top20": oracle.sorted_by_url(TERM_A, 20),
         "knn_vector_top10": oracle.knn_vector_topk(),

@@ -698,6 +698,23 @@ ORDER BY s.doc_id
 """
 
 
+def sorted_page2(term: str, k: int = 20) -> str:
+    """searchAfter + Sort mirror: with a deterministic total order
+    (length desc, doc_id), strictly-after page 2 == OFFSET k; the rank
+    column restarts per page."""
+    return preamble() + f""",
+m AS (
+  SELECT p.doc_id, c.url, d.dl AS length
+  FROM postings p JOIN doclen d USING (doc_id) JOIN corpus c USING (doc_id)
+  WHERE p.term = '{term}'
+  ORDER BY d.dl DESC, p.doc_id LIMIT {k} OFFSET {k}
+)
+SELECT row_number() OVER (ORDER BY length DESC, doc_id) AS rank,
+       doc_id, url, length
+FROM m ORDER BY length DESC, doc_id
+"""
+
+
 def sorted_by_length(term: str, k: int = 20) -> str:
     """TopFieldCollector: matches of ``term`` ordered by doc length desc,
     tie-break doc_id asc."""

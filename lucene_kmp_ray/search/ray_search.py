@@ -331,14 +331,24 @@ def _select_from_lists(col, selector: str):
 
 def search_sorted_by_fields(index_dir: str, query: Query,
                             sort_fields: tuple[SortField, ...], k: int = 20,
-                            concurrency: int | None = None):
+                            concurrency: int | None = None,
+                            after: "dict | None" = None):
     """TopFieldCollector / Sort analog over MULTIPLE typed keys: matches of
     ``query`` ordered by the sort-field tuple, final tie-break doc_id
     ascending, global top-k. Per-segment matches stream through the actor
     pool; the distributed sort moves only matching rows' key columns.
     Missing values order via a 0/1 null-rank helper column per nullable
     key (Ray's sort has no null placement policy of its own). Returns a
-    pandas DataFrame with a ``rank`` column (deterministic)."""
+    pandas DataFrame with a ``rank`` column (deterministic).
+
+    ``after`` pages a sorted result (IndexSearcher.searchAfter with a
+    FieldDoc, TestSearchAfter's sorted cases): a dict holding the
+    previous page's last row — every sort field plus ``doc_id`` — and
+    only rows STRICTLY after that cursor in the sort order survive.
+    The strictly-after filter runs per batch BEFORE the distributed
+    sort, so deeper pages ship fewer rows, not more; index-sort early
+    termination is disabled under ``after`` (a segment's first k rows
+    may all precede the cursor)."""
     # doc_id/url always ride along — only extra doc-meta columns fetch
     meta_cols = tuple(dict.fromkeys(sf.field for sf in sort_fields
                                     if sf.field not in ("doc_id", "url")))
@@ -351,8 +361,9 @@ def search_sorted_by_fields(index_dir: str, query: Query,
     want = [[sf.field, sf.descending] for sf in sort_fields]
     seg_sorts = [m.get("index_sort")
                  for m in IndexReader(index_dir).manifest["segments"]]
-    if (seg_sorts and all(s is not None and s[:len(want)] == want
-                          for s in seg_sorts) and
+    if (after is None and seg_sorts and
+            all(s is not None and s[:len(want)] == want
+                for s in seg_sorts) and
             all(sf.missing_last is None for sf in sort_fields)):
         per_seg_limit = k
     ds = search_all_matches(index_dir, query, concurrency=concurrency,
@@ -393,7 +404,43 @@ def search_sorted_by_fields(index_dir: str, query: Query,
         desc.append(sf.descending)
     keys.append("doc_id")
     desc.append(False)
+    if after is not None:
+        # cursor tuple in key order; helper keys derive from the cursor
+        # field's null-ness (pandas NaN == missing)
+        cvals = []
+        for key in keys:
+            if key.startswith("_null_"):
+                v = after.get(key[len("_null_"):])
+                cvals.append(1 if v is None or
+                             (isinstance(v, float) and np.isnan(v)) else 0)
+            else:
+                cvals.append(after[key])  # KeyError = incomplete cursor
+
+        def strictly_after(df: pd.DataFrame) -> pd.DataFrame:
+            n = len(df)
+            won = np.zeros(n, dtype=bool)   # strictly after, decided
+            tied = np.ones(n, dtype=bool)   # equal so far
+            for key, d, cv in zip(keys, desc, cvals):
+                col = df[key]
+                if cv is None or (isinstance(cv, float) and np.isnan(cv)):
+                    eq = col.isna().to_numpy()
+                    gt = np.zeros(n, dtype=bool)  # helper key decides
+                else:
+                    arr = col.to_numpy()
+                    with np.errstate(invalid="ignore"):
+                        gt = (arr < cv) if d else (arr > cv)
+                        eq = arr == cv
+                    gt = np.nan_to_num(gt.astype(bool), copy=False)
+                won |= tied & gt
+                tied &= eq
+            return df[won]
+        ds = ds.map_batches(strictly_after, batch_format="pandas")
     out = ds.sort(keys, descending=desc).limit(k).to_pandas()
+    if out.empty:  # fully-filtered pages lose their schema to_pandas
+        out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                            "url": pd.Series([], dtype="string"),
+                            **{c: pd.Series([], dtype="object")
+                               for c in meta_cols}})
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
     return out[["rank", "doc_id", "url", *meta_cols]]
 
