@@ -684,7 +684,7 @@ def _ensure_geo_index(sf_dir: str) -> str:
     from lucene_kmp_ray.sources.corpus import corpus_dataset
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    idx = f"/tmp/lucene_kmp_ray_index_geo4/{tag}"
+    idx = f"/tmp/lucene_kmp_ray_index_geo5/{tag}"
     if not os.path.exists(os.path.join(idx, "manifest.json")):
         def add_coords(b: pa.Table) -> pa.Table:
             d = b["doc_id"].to_numpy()
@@ -692,9 +692,12 @@ def _ensure_geo_index(sf_dir: str) -> str:
             lon = (d * 73 % 36000) / 100.0 - 180.0
             x = ((d * 13 % 2000) / 10.0 - 100.0).astype(np.float32)
             y = ((d * 29 % 2000) / 10.0 - 100.0).astype(np.float32)
-            # range-valued field (RangeFieldQuery role): [rlo, rhi]
+            # range-valued field (RangeFieldQuery role): [rlo, rhi];
+            # second dimension [slo, shi] for the multi-dim box family
             rlo = d * 17 % 1000
             rhi = rlo + d * 7 % 120
+            slo = d * 19 % 500
+            shi = slo + d * 3 % 80
             # multi-valued fields (SortedNumericDocValuesField /
             # SortedSetDocValuesField roles): 0-3 ints, 0-4 tag strings
             # (t0-t2, so 4-value docs repeat a tag — set dedup territory)
@@ -719,13 +722,15 @@ def _ensure_geo_index(sf_dir: str) -> str:
                     .append_column("y", pa.array(y, pa.float32())) \
                     .append_column("rlo", pa.array(rlo, pa.int64())) \
                     .append_column("rhi", pa.array(rhi, pa.int64())) \
+                    .append_column("slo", pa.array(slo, pa.int64())) \
+                    .append_column("shi", pa.array(shi, pa.int64())) \
                     .append_column("vals", vals) \
                     .append_column("tags", tags)
         ds = corpus_dataset(sf_dir, columns=["doc_id", "url", "text",
                                              "lang"]) \
             .map_batches(add_coords, batch_format="pyarrow")
         build_index(ds, idx, segment_size=SEGMENT_SIZE,
-                    meta_cols=("lat", "lon", "x", "y", "rlo", "rhi",
+                    meta_cols=("lat", "lon", "x", "y", "rlo", "rhi", "slo", "shi",
                                "lang", "vals", "tags"))
     return idx
 
@@ -2017,6 +2022,21 @@ def _range_field_all(sf_dir: str, relation: str):
         RangeFieldQuery("rlo", "rhi", lo, hi, relation)))
 
 
+BOX2D_QUERY = ((300, 390), (120, 260))  # ((lower1,upper1),(lower2,upper2))
+
+
+def _box2d_all(sf_dir: str, relation: str):
+    """Multi-dimensional RangeFieldQuery (RangeFieldQuery.kt QueryType
+    with numDims=2 — the 2-dim DoubleRange / LatLonBoundingBox family)
+    over per-doc boxes ([rlo,rhi]×[slo,shi]): intersects/within AND per
+    dimension; crosses = whole-box intersects ∧ ¬within."""
+    from lucene_kmp_ray.search import MultiRangeFieldQuery
+    return _all_sorted(search_all_matches(
+        _ensure_geo_index(sf_dir),
+        MultiRangeFieldQuery((("rlo", "rhi"), ("slo", "shi")),
+                             BOX2D_QUERY, relation)))
+
+
 def _indri_and_topk(sf_dir: str):
     """IndriAndQuery over two text terms with IndriDirichletSimilarity
     (IndriAndScorer.kt mean-with-smoothing): union of matches, each
@@ -3095,6 +3115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_within_all": lambda sf: _range_field_all(sf, "within"),
         "range_contains_all": lambda sf: _range_field_all(sf, "contains"),
         "range_crosses_all": lambda sf: _range_field_all(sf, "crosses"),
+        "box2d_intersects_all": lambda sf: _box2d_all(sf, "intersects"),
+        "box2d_crosses_all": lambda sf: _box2d_all(sf, "crosses"),
         "feature_blend_top10": _feature_blend,
         "bm25_ja_native_top10": lambda sf: _native_cjk_topk(
             sf, "japanese", JA_VECTORS, "学生"),
@@ -3396,6 +3418,8 @@ def oracle_sql() -> dict[str, str]:
             oracle.range_field_all(*RANGE_FIELD_QUERY, "contains"),
         "range_crosses_all":
             oracle.range_field_all(*RANGE_FIELD_QUERY, "crosses"),
+        "box2d_intersects_all": oracle.box2d_all(*BOX2D_QUERY, "intersects"),
+        "box2d_crosses_all": oracle.box2d_all(*BOX2D_QUERY, "crosses"),
         "feature_blend_top10": oracle.feature_blend_topk(TERM_A),
         "hybrid_bm25_knn_top10": oracle.hybrid_bm25_knn_topk(TERM_A),
         "rrf_hybrid_top10": oracle.rrf_hybrid_topk(TERM_A),

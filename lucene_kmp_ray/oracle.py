@@ -1380,6 +1380,37 @@ ORDER BY s.score DESC, s.doc_id LIMIT {k}
 """
 
 
+def box2d_all(q1: tuple, q2: tuple, relation: str) -> str:
+    """Multi-dim RangeFieldQuery mirror (RangeFieldQuery.kt QueryType,
+    numDims=2): per-doc box [rlo,rhi]×[slo,shi] from the entry's
+    derivation; intersects/within/contains AND across dims, crosses =
+    whole-box intersects ∧ ¬within."""
+    (lo1, hi1), (lo2, hi2) = q1, q2
+    inter = (f"(rlo <= {hi1} AND rhi >= {lo1} AND "
+             f"slo <= {hi2} AND shi >= {lo2})")
+    within = (f"(rlo >= {lo1} AND rhi <= {hi1} AND "
+              f"slo >= {lo2} AND shi <= {hi2})")
+    contains = (f"(rlo <= {lo1} AND rhi >= {hi1} AND "
+                f"slo <= {lo2} AND shi >= {hi2})")
+    preds = {"intersects": inter, "within": within, "contains": contains,
+             "crosses": f"{inter} AND NOT {within}"}
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+boxes AS (
+  SELECT doc_id, url,
+         doc_id * 17 % 1000 AS rlo,
+         doc_id * 17 % 1000 + doc_id * 7 % 120 AS rhi,
+         doc_id * 19 % 500 AS slo,
+         doc_id * 19 % 500 + doc_id * 3 % 80 AS shi
+  FROM corpus
+)
+SELECT doc_id, url, CAST(1.0 AS DOUBLE) AS score
+FROM boxes
+WHERE {preds[relation]}
+ORDER BY doc_id
+"""
+
+
 def range_field_all(lo: int, hi: int, relation: str) -> str:
     """RangeFieldQuery mirror over the synthetic [rlo, rhi] interval
     (same doc_id derivation as the engine's geo index):

@@ -527,6 +527,34 @@ class RangeFieldQuery(Query):
 
 
 @dataclass(frozen=True)
+class MultiRangeFieldQuery(Query):
+    """MULTI-DIMENSIONAL range-valued fields (``document/
+    RangeFieldQuery.kt`` QueryType with numDims > 1 — the 2-4-dim
+    Int/Long/Float/DoubleRange constructors and LatLonBoundingBox):
+    each doc stores a box (one [lo, hi] per dimension), the query box
+    relates with
+    - intersects / within / contains: the 1-D relation must hold in
+      EVERY dimension (QueryType.matches ANDs over dims);
+    - crosses: whole-box intersects ∧ NOT whole-box within
+      (QueryType.kt CROSSES compare — per-dim crosses would be wrong).
+    ``dims`` = ((lo_field, hi_field), …), ``ranges`` = ((lower, upper),
+    …) in the same dimension order. Constant score."""
+    dims: tuple
+    ranges: tuple
+    relation: str = "intersects"
+
+    def __post_init__(self):
+        if self.relation not in ("intersects", "within", "contains",
+                                 "crosses"):
+            raise ValueError(f"unknown relation: {self.relation}")
+        if len(self.dims) != len(self.ranges):
+            raise ValueError("dims and ranges must align")
+
+    def terms(self):
+        return []
+
+
+@dataclass(frozen=True)
 class PointInSetQuery(Query):
     """``search/PointInSetQuery.kt`` analog: numeric membership over a
     per-doc metadata column (the LongPoint/IntPoint ``newSetQuery``

@@ -45,7 +45,7 @@ from .query import (BlendedTermQuery, BooleanQuery, BoostQuery,
                     FeatureQuery, IndexOrDocValuesQuery,
                     IndexSortRangeQuery, NGramPhraseQuery,
                     Occur, PhraseQuery, PointInSetQuery, Query,
-                    RangeFieldQuery,
+                    MultiRangeFieldQuery, RangeFieldQuery,
                     RangeFilterQuery, SortedNumericRangeQuery,
                     SynonymQuery, TermInSetQuery,
                     TermQuery,
@@ -483,6 +483,28 @@ class Searcher:
             mask = {"intersects": inter,
                     "within": within,
                     "contains": (lo <= query.lower) & (hi >= query.upper),
+                    "crosses": inter & ~within}[query.relation]
+            docs = np.flatnonzero(mask).astype(np.int64)
+            return docs, np.full(len(docs), dt.type(boost), dtype=dt)
+        if isinstance(query, MultiRangeFieldQuery):
+            # RangeFieldQuery.kt QueryType over numDims > 1: intersects/
+            # within/contains AND per dimension; crosses is whole-box
+            # (intersects-all ∧ ¬within-all — NOT per-dim crosses)
+            dt = self.sim.dtype
+            n = sr.doc_count
+            inter = np.ones(n, dtype=bool)
+            within = np.ones(n, dtype=bool)
+            contains = np.ones(n, dtype=bool)
+            for (lo_f, hi_f), (lower, upper) in zip(query.dims,
+                                                    query.ranges):
+                lo = sr.doc_meta[lo_f].to_numpy()
+                hi = sr.doc_meta[hi_f].to_numpy()
+                inter &= (lo <= upper) & (hi >= lower)
+                within &= (lo >= lower) & (hi <= upper)
+                contains &= (lo <= lower) & (hi >= upper)
+            mask = {"intersects": inter,
+                    "within": within,
+                    "contains": contains,
                     "crosses": inter & ~within}[query.relation]
             docs = np.flatnonzero(mask).astype(np.int64)
             return docs, np.full(len(docs), dt.type(boost), dtype=dt)

@@ -110,3 +110,45 @@ def test_sorted_set_range_query(ray_session, tmp_path):
     assert docs(SortedSetRangeQuery("tags", "banana", None,
                                     include_lower=False)) == [0, 3]
     assert docs(SortedSetRangeQuery("tags", None, None)) == [0, 2, 3]
+
+
+def test_multi_range_field_crosses_is_whole_box(ray_session, tmp_path):
+    # RangeFieldQuery.kt CROSSES over numDims=2: whole-box intersects
+    # AND NOT whole-box within — a box within in dim1 but crossing in
+    # dim2 CROSSES the query (per-dim crosses would miss it)
+    import ray.data as rd
+
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.search import MultiRangeFieldQuery
+    from lucene_kmp_ray.search.searcher import Searcher
+
+    # query box: [10,20] x [10,20]
+    boxes = [((12, 18), (12, 18)),   # within both dims → within
+             ((12, 18), (5, 15)),    # within dim1, crosses dim2 → crosses
+             ((0, 5), (12, 18)),     # disjoint dim1 → outside
+             ((5, 25), (5, 25)),     # contains both dims → contains+crosses
+             ((15, 30), (15, 30))]   # crosses both dims → crosses
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "url": pa.array([f"u{i}" for i in range(5)], pa.string()),
+        "text": pa.array(["spark"] * 5, pa.string()),
+        "alo": pa.array([b[0][0] for b in boxes], pa.int64()),
+        "ahi": pa.array([b[0][1] for b in boxes], pa.int64()),
+        "blo": pa.array([b[1][0] for b in boxes], pa.int64()),
+        "bhi": pa.array([b[1][1] for b in boxes], pa.int64())}))
+    idx = str(tmp_path / "mrf")
+    build_index(ds, idx, segment_size=2,
+                meta_cols=("alo", "ahi", "blo", "bhi"))
+    s = Searcher(IndexReader(idx))
+    dims = (("alo", "ahi"), ("blo", "bhi"))
+    q = ((10, 20), (10, 20))
+
+    def docs(rel):
+        td = s.search(MultiRangeFieldQuery(dims, q, rel), k=100)
+        return sorted(h.doc_id for h in td.score_docs)
+
+    assert docs("intersects") == [0, 1, 3, 4]
+    assert docs("within") == [0]
+    assert docs("contains") == [3]
+    assert docs("crosses") == [1, 3, 4]
