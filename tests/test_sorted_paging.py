@@ -44,3 +44,39 @@ def test_sorted_paging_pages_concatenate(ray_session, tmp_path):
     tail = search_sorted_by_fields(idx, TermQuery("spark"), sf, k=15,
                                    after=last)
     assert len(tail) == 0
+
+
+def test_sorted_paging_with_missing_values(ray_session, tmp_path):
+    # cursor paging across the null boundary: missing_last=True puts
+    # null-key docs at the end; pages must still concatenate exactly
+    import ray.data as rd
+
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.search import TermQuery
+    from lucene_kmp_ray.search.ray_search import (SortField,
+                                                  search_sorted_by_fields)
+
+    rng = np.random.default_rng(9)
+    n = 40
+    w = [None if rng.random() < 0.3 else int(rng.integers(0, 6))
+         for _ in range(n)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "url": pa.array([f"u{i}" for i in range(n)], pa.string()),
+        "text": pa.array(["spark"] * n, pa.string()),
+        "w": pa.array(w, pa.int64())}))
+    idx = str(tmp_path / "pgnull")
+    build_index(ds, idx, segment_size=9, meta_cols=("w",))
+    sf = (SortField("w", descending=True, missing_last=True),)
+
+    full = search_sorted_by_fields(idx, TermQuery("spark"), sf, k=n)
+    pages, cursor = [], None
+    while True:
+        page = search_sorted_by_fields(idx, TermQuery("spark"), sf, k=7,
+                                       after=cursor)
+        if page.empty:
+            break
+        pages.append(page)
+        cursor = page.iloc[-1].to_dict()
+    got = [int(r) for p in pages for r in p["doc_id"]]
+    assert got == [int(r) for r in full["doc_id"]]
