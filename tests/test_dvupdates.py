@@ -72,3 +72,14 @@ def test_update_by_term_and_merge_bakes(ray_session, tmp_path):
     run_merges(idx, merges=[segs])
     assert _range_docs(idx, 7, 7) == [0, 1, 2, 3, 4, 5]
     assert not glob.glob(os.path.join(idx, "segments", "*", "dv_*.parquet"))
+
+
+def test_check_index_clean_after_updates(ray_session, tmp_path):
+    # CheckIndex must stay clean with dv update generations present
+    # (they overlay doc-meta values; postings/stats are untouched)
+    from lucene_kmp_ray.index.check import check_index
+    from lucene_kmp_ray.index.dvupdates import update_numeric_doc_values
+    idx = _index(tmp_path)
+    update_numeric_doc_values(idx, "score_dv", {"u0": 999, "u5": -1})
+    rep = check_index(idx, parallel=False)
+    assert rep["ok"], rep["errors"]

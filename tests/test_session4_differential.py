@@ -133,3 +133,42 @@ def test_elevation_differential(rand_index):
     if "u7" not in organic:
         assert len(got) == len(organic) + 1
     assert got == exp
+
+
+def test_multi_range_field_differential(rand_index, tmp_path):
+    # random per-doc boxes vs brute-force relation evaluation
+    import ray.data as rd
+
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.search import MultiRangeFieldQuery
+    from lucene_kmp_ray.search.searcher import Searcher
+
+    rng = np.random.default_rng(17)
+    n = 200
+    alo = rng.integers(0, 90, n); ahi = alo + rng.integers(0, 30, n)
+    blo = rng.integers(0, 90, n); bhi = blo + rng.integers(0, 30, n)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "url": pa.array([f"u{i}" for i in range(n)], pa.string()),
+        "text": pa.array(["spark"] * n, pa.string()),
+        "alo": pa.array(alo, pa.int64()), "ahi": pa.array(ahi, pa.int64()),
+        "blo": pa.array(blo, pa.int64()), "bhi": pa.array(bhi, pa.int64())}))
+    idx = str(tmp_path / "mrfdiff")
+    build_index(ds, idx, segment_size=31,
+                meta_cols=("alo", "ahi", "blo", "bhi"))
+    s = Searcher(IndexReader(idx))
+    dims = (("alo", "ahi"), ("blo", "bhi"))
+    for _ in range(5):
+        l1 = int(rng.integers(0, 80)); u1 = l1 + int(rng.integers(0, 40))
+        l2 = int(rng.integers(0, 80)); u2 = l2 + int(rng.integers(0, 40))
+        inter = (alo <= u1) & (ahi >= l1) & (blo <= u2) & (bhi >= l2)
+        within = (alo >= l1) & (ahi <= u1) & (blo >= l2) & (bhi <= u2)
+        contains = (alo <= l1) & (ahi >= u1) & (blo <= l2) & (bhi >= u2)
+        exp = {"intersects": inter, "within": within,
+               "contains": contains, "crosses": inter & ~within}
+        for rel, mask in exp.items():
+            td = s.search(MultiRangeFieldQuery(dims, ((l1, u1), (l2, u2)),
+                                               rel), k=1000)
+            assert sorted(h.doc_id for h in td.score_docs) == \
+                np.flatnonzero(mask).tolist(), rel
