@@ -2736,6 +2736,39 @@ def _span_near():
                          slop=2, in_order=True)
 
 
+def _span_near_match_set(sf_dir: str):
+    """The ordered-near MATCH SET with constant score — exactly
+    SQL-expressible (width-minimal greedy chain, NearSpansOrdered.kt),
+    complementing the rows-only scored entry."""
+    import pandas as pd
+    df = _all_sorted(search_all_matches(_ensure_index(sf_dir),
+                                        _span_near()))
+    df["score"] = 1.0
+    return df
+
+
+def _ann_ivf_recall(sf_dir: str):
+    """Machine-checked recall gate for partitioned IVF ANN (the
+    knn_hnsw_recall pattern): mean recall@10 of the nprobe-limited IVF
+    search vs the brute exact scan over the same 5 queries must be
+    ≥ 0.9 — the oracle expects the constant 1, so the driver hash-check
+    fails iff IVF quality regresses."""
+    import pandas as pd
+
+    from lucene_kmp_ray.pipelines import ann
+    ivf = ann.ann_ivf_topk(sf_dir)
+    brute = ann.ann_brute_topk(sf_dir)
+    ivf = ivf.to_pandas() if hasattr(ivf, "to_pandas") else ivf
+    brute = brute.to_pandas() if hasattr(brute, "to_pandas") else brute
+    recalls = []
+    for qid, g in brute.groupby("query_id"):
+        exact = set(g["vec_id"])
+        approx = set(ivf[ivf["query_id"] == qid]["vec_id"])
+        recalls.append(len(exact & approx) / max(1, len(exact)))
+    mean = sum(recalls) / max(1, len(recalls))
+    return pd.DataFrame({"recall_ge_090": [1 if mean >= 0.9 else 0]})
+
+
 def entry() -> Any:
     """Flagship: build index over sf0.001 web corpus, run distributed BM25
     top-10 for a query set, return the merged hits table."""
@@ -3234,6 +3267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # live in tests/test_spans.py
         "span_near_all": lambda sf: _all_sorted(search_all_matches(
             _ensure_index(sf), _span_near())),
+        "span_near_match_set": _span_near_match_set,
         # sloppy phrase: greedy minimal-window matcher (SloppyPhraseMatcher)
         # is deliberately traversal-order-dependent → not SQL-expressible;
         # rows-only check here, exact-parity unit tests in
@@ -3283,6 +3317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only here; recall ≥ 0.9 + partitioned-layout equivalence
         # are asserted in tests/test_search.py
         "ann_ivf_top10": lambda sf: ann.ann_ivf_topk(sf),
+        "ann_ivf_recall": _ann_ivf_recall,
         # --- multimodal plumbing (rows-only; decode stubbed) ---
         "multimodal_features": _multimodal,
         "audio_features": _audio,  # REAL stdlib-wave decode, rows-only
@@ -3426,6 +3461,8 @@ def oracle_sql() -> dict[str, str]:
         # graph-ANN recall gate: constant oracle — hash mismatches iff
         # HNSW recall@10 vs the exact scan drops below 0.9
         "knn_hnsw_recall": "SELECT 1 AS recall_ge_090",
+        "ann_ivf_recall": "SELECT 1 AS recall_ge_090",
+        "span_near_match_set": oracle.span_near_match_set("big", "scan", 2),
         "sorted_multi_key_top20": oracle.sorted_multi_key(TERM_A, 20),
         "sorted_numeric_max_top20": oracle.sorted_numeric_max(TERM_A),
         "sorted_set_middle_top20": oracle.sorted_set_middle(TERM_A),

@@ -880,6 +880,24 @@ ORDER BY (CASE {prio} ELSE 0 END) DESC,
 """
 
 
+def span_near_match_set(t1: str, t2: str, slop: int) -> str:
+    """SpanNearQuery ordered MATCH SET mirror (NearSpansOrdered.kt): for
+    two single-term clauses the greedy stretchToOrder chain is
+    width-minimal, so a doc matches iff ∃ p1 < p2 with
+    p2 − p1 − 1 ≤ slop. Constant score, ORDER BY doc_id — the scored
+    entry stays rows-only (freq = Σ 1/(1+width) is traversal-paired),
+    but the MATCH SET is exactly SQL-expressible."""
+    return preamble() + f"""
+SELECT DISTINCT a.doc_id, c.url, CAST(1.0 AS DOUBLE) AS score
+FROM tokens a JOIN tokens b
+  ON b.doc_id = a.doc_id AND b.pos > a.pos
+ AND b.pos - a.pos - 1 <= {slop}
+JOIN corpus c ON c.doc_id = a.doc_id
+WHERE a.term = '{t1}' AND b.term = '{t2}'
+ORDER BY a.doc_id
+"""
+
+
 def rescore_sort_topk(term: str, first_k: int = 50, k: int = 10) -> str:
     """SortRescorer mirror: first-pass BM25 top-first_k by (score desc,
     doc), re-ORDERED by token length descending with docID tiebreak;
