@@ -2736,6 +2736,11 @@ def _span_near():
                          slop=2, in_order=True)
 
 
+def _constant_score(df):
+    df["score"] = 1.0
+    return df
+
+
 def _span_near_match_set(sf_dir: str):
     """The ordered-near MATCH SET with constant score — exactly
     SQL-expressible (width-minimal greedy chain, NearSpansOrdered.kt),
@@ -3268,6 +3273,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_near_all": lambda sf: _all_sorted(search_all_matches(
             _ensure_index(sf), _span_near())),
         "span_near_match_set": _span_near_match_set,
+        "sloppy_pair_match_set": lambda sf: _constant_score(_all_sorted(
+            search_all_matches(_ensure_index(sf),
+                               PhraseQuery(("big", "scan"), slop=2)))),
         # sloppy phrase: greedy minimal-window matcher (SloppyPhraseMatcher)
         # is deliberately traversal-order-dependent → not SQL-expressible;
         # rows-only check here, exact-parity unit tests in
@@ -3463,6 +3471,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_hnsw_recall": "SELECT 1 AS recall_ge_090",
         "ann_ivf_recall": "SELECT 1 AS recall_ge_090",
         "span_near_match_set": oracle.span_near_match_set("big", "scan", 2),
+        "sloppy_pair_match_set": oracle.sloppy_pair_match_set("big", "scan", 2),
         "sorted_multi_key_top20": oracle.sorted_multi_key(TERM_A, 20),
         "sorted_numeric_max_top20": oracle.sorted_numeric_max(TERM_A),
         "sorted_set_middle_top20": oracle.sorted_set_middle(TERM_A),

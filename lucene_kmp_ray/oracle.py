@@ -898,6 +898,23 @@ ORDER BY a.doc_id
 """
 
 
+def sloppy_pair_match_set(t1: str, t2: str, slop: int) -> str:
+    """Two-term sloppy-phrase MATCH SET mirror (SloppyPhraseMatcher):
+    with expected offsets 0,1 the per-pair distance is |p2 − p1 − 1|
+    (covers the out-of-order transposition), so a doc matches iff some
+    pair satisfies it ≤ slop. Constant score, ORDER BY doc_id — the
+    3-term scored entry stays rows-only (traversal-paired freqs), but
+    the pair MATCH SET is exactly SQL-expressible."""
+    return preamble() + f"""
+SELECT DISTINCT a.doc_id, c.url, CAST(1.0 AS DOUBLE) AS score
+FROM tokens a JOIN tokens b
+  ON b.doc_id = a.doc_id AND abs(b.pos - a.pos - 1) <= {slop}
+JOIN corpus c ON c.doc_id = a.doc_id
+WHERE a.term = '{t1}' AND b.term = '{t2}'
+ORDER BY a.doc_id
+"""
+
+
 def rescore_sort_topk(term: str, first_k: int = 50, k: int = 10) -> str:
     """SortRescorer mirror: first-pass BM25 top-first_k by (score desc,
     doc), re-ORDERED by token length descending with docID tiebreak;
