@@ -2235,6 +2235,43 @@ def _match_positions_phrase(sf_dir: str):
         .astype("int64")
 
 
+def _term_vectors_sample(sf_dir: str, mod: int = 97):
+    """Term vectors (index/TermVectors.kt, TermVectorsConsumerPerField.kt;
+    readable reference layout codecs/simpletext/SimpleTextTermVectorsWriter
+    .kt): the doc-major transpose of the inverted index, stored as an
+    opt-in doc_id-sorted sidecar (``store_term_vectors=True``) and read
+    back with ``IndexReader.term_vectors`` — segment routing by manifest
+    doc_id range, then Parquet row-group pruning, so a point get touches
+    one row group, never a file. Both fields (text + title). The sample is
+    every ``mod``-th doc; positions are exploded to one row per occurrence
+    (doc_id, field, term, freq, pos) for the order-insensitive hash."""
+    import pyarrow.compute as _pc
+
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.sources.corpus import corpus_dataset
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/lucene_kmp_ray_index_tv/{tag}"
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(corpus_dataset(sf_dir), idx, segment_size=SEGMENT_SIZE,
+                    fields=INDEX_FIELDS, store_term_vectors=True)
+    import pyarrow.parquet as _pq
+    ids = _pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])["doc_id"].to_numpy()
+    sample = ids[ids % mod == 0]
+    tv = IndexReader(idx).term_vectors(sample)
+    pos = tv["positions"].combine_chunks()
+    parent = _pc.list_parent_indices(pos)
+    return pa.table({
+        "doc_id": tv["doc_id"].take(parent),
+        "field": tv["field"].take(parent),
+        "term": tv["term"].take(parent),
+        "freq": tv["freq"].take(parent),
+        "pos": _pc.list_flatten(pos),
+    })
+
+
 def _rescore_sort_topk(sf_dir: str):
     """SortRescorer (search/SortRescorer.kt): BM25 first pass
     (text:spark, top-50) re-SORTED by document length descending
@@ -3036,6 +3073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rescore_top10": _rescore_topk,
         "rescore_sort_top10": _rescore_sort_topk,
         "match_positions_phrase": _match_positions_phrase,
+        "term_vectors_sample": _term_vectors_sample,
         "knn_seeded_top10": _knn_seeded_topk,
         "knn_filtered_top10": _knn_filtered_topk,
         "knn_int8_top10": _knn_int8_topk,
@@ -3429,6 +3467,7 @@ def oracle_sql() -> dict[str, str]:
         "rescore_sort_top10": oracle.rescore_sort_topk("spark"),
         "match_positions_phrase": oracle.match_positions_phrase("the",
                                                                 "spark"),
+        "term_vectors_sample": oracle.term_vectors_sample(),
         "knn_seeded_top10": oracle.knn_vector_topk(),
         "knn_filtered_top10": oracle.knn_filtered_topk("spark"),
         "knn_int8_top10": oracle.knn_int8_topk(),

@@ -87,7 +87,8 @@ def build_index(ds, index_dir: str, segment_size: int = DEFAULT_SEGMENT_SIZE,
                 meta_cols: tuple[str, ...] = (),
                 index_sort: tuple[tuple[str, bool], ...] | None = None,
                 hnsw: dict | None = None,
-                quantize: dict | None = None) -> dict:
+                quantize: dict | None = None,
+                store_term_vectors: bool = False) -> dict:
     """Build (or resume) an index from a corpus Dataset with
     ``doc_id, url`` plus one column per indexed field (default just
     ``text``; pass ``fields=("text", "title")`` for fielded documents,
@@ -126,7 +127,8 @@ def build_index(ds, index_dir: str, segment_size: int = DEFAULT_SEGMENT_SIZE,
             group.select(cols), seg, index_dir,
             lineage, analyzer=analyzer, fields=fields,
             vector_col=vector_col, meta_cols=meta_cols,
-            index_sort=index_sort, hnsw=hnsw, quantize=quantize)
+            index_sort=index_sort, hnsw=hnsw, quantize=quantize,
+            store_term_vectors=store_term_vectors)
         return pa.table({"manifest": pa.array([json.dumps(man)], pa.string())})
 
     ds = ds.select_columns(["doc_id", "url", *fields] +
@@ -158,7 +160,8 @@ def build_index_sharded(shards: list[dict], make_docs, index_dir: str,
                         index_sort: tuple[tuple[str, bool], ...] | None =
                         None,
                         hnsw: dict | None = None,
-                        quantize: dict | None = None) -> dict:
+                        quantize: dict | None = None,
+                        store_term_vectors: bool = False) -> dict:
     """Shuffle-free build: one Ray task per shard, segment == shard.
 
     This is the production path (and the Lucene DWPT model: each writer
@@ -196,7 +199,8 @@ def build_index_sharded(shards: list[dict], make_docs, index_dir: str,
                                       index_dir, lineage, analyzer=analyzer,
                                       fields=fields, vector_col=vector_col,
                                       index_sort=index_sort, hnsw=hnsw,
-                                      quantize=quantize)
+                                      quantize=quantize,
+                                      store_term_vectors=store_term_vectors)
         return json.dumps(man)
 
     pending: list = []
@@ -250,7 +254,7 @@ def commit_index(index_dir: str, manifests: list[dict],
         "segments": [{k: m.get(k) for k in
                       ("seg", "doc_count", "sum_total_term_freq",
                        "sum_doc_freq", "unique_terms", "doc_id_min",
-                       "doc_id_max", "index_sort")}
+                       "doc_id_max", "index_sort", "term_vectors")}
                      | {"dir": f"segments/{seg_dirname(m['seg'])}"}
                      for m in manifests],
         "metrics": {"build_sec": round(build_sec, 3) if build_sec else None},

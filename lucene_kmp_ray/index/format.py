@@ -46,6 +46,8 @@ DOCS_FILE = "docs.parquet"
 VECTORS_FILE = "vectors.parquet"
 VECTORS_Q_FILE = "vectors_q.parquet"
 GRAPH_FILE = "graph.parquet"
+TVECTORS_FILE = "tvectors.parquet"
+TV_ROW_GROUP = 16384  # tv rows per row group (~100-300 docs → pruned gets)
 SEG_MANIFEST = "manifest.json"
 
 
@@ -449,6 +451,92 @@ def encode_term_table(entries, norms: np.ndarray) -> pa.Table:
     })
 
 
+def term_vectors_of(texts, doc_ids: np.ndarray, field: str,
+                    analyzer=None) -> pa.Table:
+    """Per-document term vectors for one field — the doc-major transpose
+    of the inverted index (``index/TermVectorsConsumerPerField.kt``: each
+    doc's terms in BytesRef order with freq and positions;
+    ``codecs/simpletext/SimpleTextTermVectorsWriter.kt`` is the readable
+    reference layout). Fully vectorized: one ``analyze_flat`` pass, one
+    dictionary-encode, one stable argsort by (doc, term-rank) — positions
+    stay ascending within each (doc, term) entry.
+
+    Returns ``doc_id (GLOBAL), field, term, freq, positions`` sorted by
+    (doc_id, term); ``doc_ids[i]`` is the global id of local doc i.
+    Offsets are designed out: the engine's analyzers track positions only
+    (what phrase/span semantics need); chars offsets would force a second
+    per-token pass for a field nothing consumes.
+    """
+    if analyzer is None:
+        from ..analysis.standard import StandardAnalyzer
+        analyzer = StandardAnalyzer()
+    _, flat_tokens, doc_of, positions = analyzer.analyze_flat(texts)
+    total = len(flat_tokens)
+    empty = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "field": pa.array([], pa.string()),
+        "term": pa.array([], pa.string()),
+        "freq": pa.array([], pa.int32()),
+        "positions": pa.array([], pa.list_(pa.int32())),
+    })
+    if not total:
+        return empty
+    dict_arr = flat_tokens.dictionary_encode()
+    codes = dict_arr.indices.to_numpy().astype(np.int64)
+    vocab = np.asarray(dict_arr.dictionary.to_pylist(), dtype=object)
+    vorder = np.argsort(vocab)
+    uniques = vocab[vorder]
+    rank = np.empty(len(vocab), dtype=np.int64)
+    rank[vorder] = np.arange(len(vocab))
+    scodes = rank[codes]
+
+    nt = len(uniques)
+    key = doc_of * nt + scodes  # doc-major, term-minor
+    order = np.argsort(key, kind="stable")
+    okey = key[order]
+    pos_sorted = positions[order].astype(np.int32)
+
+    entry_mask = np.empty(total, dtype=bool)
+    entry_mask[0] = True
+    np.not_equal(okey[1:], okey[:-1], out=entry_mask[1:])
+    entry_starts = np.flatnonzero(entry_mask)
+    freqs = np.diff(np.append(entry_starts, total)).astype(np.int32)
+    ekey = okey[entry_starts]
+    e_doc = ekey // nt
+    e_term = ekey % nt
+
+    offsets = np.append(entry_starts, total).astype(np.int32)
+    pos_col = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                       pa.array(pos_sorted, pa.int32()))
+    return pa.table({
+        "doc_id": pa.array(np.asarray(doc_ids)[e_doc], pa.int64()),
+        "field": pa.array(np.full(len(ekey), field, dtype=object),
+                          pa.string()),
+        "term": pa.array(uniques[e_term], pa.string()),
+        "freq": pa.array(freqs, pa.int32()),
+        "positions": pos_col,
+    })
+
+
+def build_term_vectors(docs: pa.Table, fields=("text",),
+                       analyzer=None) -> pa.Table:
+    """All-fields term vectors for one segment's (already doc_id-sorted)
+    docs table — one ``term_vectors_of`` per field, concatenated in field
+    order within doc order (the per-doc Fields enumeration of
+    ``index/TermVectors.kt``). Sorted by (doc_id, field, term) so the
+    sidecar's row-group doc_id stats prune point lookups."""
+    doc_ids = docs["doc_id"].to_numpy()
+    parts = []
+    for f in sorted(fields):
+        ana = analyzer.get(f) if isinstance(analyzer, dict) else analyzer
+        parts.append(term_vectors_of(docs[f], doc_ids, f, ana))
+    tv = pa.concat_tables(parts)
+    if len(parts) > 1 and tv.num_rows:
+        tv = tv.sort_by([("doc_id", "ascending"), ("field", "ascending"),
+                         ("term", "ascending")])
+    return tv
+
+
 def seg_dirname(seg: int) -> str:
     return f"seg={seg:05d}"
 
@@ -456,7 +544,8 @@ def seg_dirname(seg: int) -> str:
 def write_segment(index_dir: str, terms_table: pa.Table, docs_table: pa.Table,
                   manifest: dict, vectors_table: pa.Table | None = None,
                   graph_table: pa.Table | None = None,
-                  qvectors_table: pa.Table | None = None
+                  qvectors_table: pa.Table | None = None,
+                  tvectors_table: pa.Table | None = None
                   ) -> dict:
     """Atomically persist one segment (write tmp dir, rename) — the
     per-partition two-phase commit (SegmentInfos.kt:35-45 analog).
@@ -491,6 +580,12 @@ def write_segment(index_dir: str, terms_table: pa.Table, docs_table: pa.Table,
         pq.write_table(graph_table, os.path.join(tmp_dir, GRAPH_FILE))
     if qvectors_table is not None:
         pq.write_table(qvectors_table, os.path.join(tmp_dir, VECTORS_Q_FILE))
+    if tvectors_table is not None:
+        # doc_id-sorted rows + modest row groups: a per-doc get reads only
+        # the group(s) whose doc_id stats cover it (TermVectorsReader's
+        # random-access contract, re-expressed as row-group pruning)
+        pq.write_table(tvectors_table, os.path.join(tmp_dir, TVECTORS_FILE),
+                       row_group_size=TV_ROW_GROUP)
     with open(os.path.join(tmp_dir, SEG_MANIFEST), "w") as f:
         json.dump(manifest, f)
     try:
@@ -512,7 +607,8 @@ def build_and_write_segment(docs: pa.Table, seg: int, index_dir: str,
                             index_sort: tuple[tuple[str, bool], ...] | None
                             = None,
                             hnsw: dict | None = None,
-                            quantize: dict | None = None) -> dict:
+                            quantize: dict | None = None,
+                            store_term_vectors: bool = False) -> dict:
     """``vector_col`` names a per-doc vector column of ``docs`` (a
     KnnFloatVectorField, document/KnnFloatVectorField role): it splits
     into the vectors sidecar in local-docID order and never enters the
@@ -555,8 +651,15 @@ def build_and_write_segment(docs: pa.Table, seg: int, index_dir: str,
         qvectors_table, qmeta = build_quantized_sidecar(vectors_table,
                                                         quantize)
         manifest["quantize"] = qmeta
+    tvectors_table = None
+    if store_term_vectors:
+        # FieldType.setStoreTermVectors(true) role: an opt-in per-index
+        # sidecar (costs a second analysis pass at build; reads are O(doc))
+        tvectors_table = build_term_vectors(docs, fields, analyzer)
+        manifest["term_vectors"] = True
     return write_segment(index_dir, terms_table, docs_table, manifest,
-                         vectors_table, graph_table, qvectors_table)
+                         vectors_table, graph_table, qvectors_table,
+                         tvectors_table)
 
 
 def build_quantized_sidecar(vectors_table: pa.Table,

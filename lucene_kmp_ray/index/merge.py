@@ -439,8 +439,30 @@ def merge_segments(index_dir: str, segs: list[int], new_seg: int) -> dict:
         qvectors_table, qmeta = build_quantized_sidecar(vectors_table,
                                                         q_params)
         manifest["quantize"] = qmeta
+    # term-vector sidecars CONCAT through the merge: rows carry GLOBAL
+    # doc ids (merge-stable), so the merged sidecar is the live-doc
+    # union re-sorted by doc_id (SegmentMerger.mergeTermVectors role —
+    # per-doc payloads copy over; deleted docs' rows drop). Sources
+    # without the sidecar contribute nothing (per-doc FieldType
+    # variation: term vectors exist only for docs indexed with them).
+    tvectors_table = None
+    from .format import TVECTORS_FILE
+    tv_paths = [os.path.join(d, TVECTORS_FILE) for d in dirs]
+    tv_have = [pq.read_table(p) for p in tv_paths if os.path.exists(p)]
+    if tv_have:
+        import pyarrow.compute as _pc
+        tvectors_table = pa.concat_tables(tv_have).combine_chunks()
+        if reclaimed:
+            live_ids = docs_table["doc_id"].combine_chunks()
+            tvectors_table = tvectors_table.filter(
+                _pc.is_in(tvectors_table["doc_id"], value_set=live_ids))
+        tvectors_table = tvectors_table.sort_by(
+            [("doc_id", "ascending"), ("field", "ascending"),
+             ("term", "ascending")])
+        manifest["term_vectors"] = True
     return write_segment(index_dir, terms_table, docs_table, manifest,
-                         vectors_table, graph_table, qvectors_table)
+                         vectors_table, graph_table, qvectors_table,
+                         tvectors_table)
 
 
 def _filter_entries(nl: np.ndarray, freqs: np.ndarray, posd: np.ndarray,

@@ -24,7 +24,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..util import forutil as fu
-from .format import DOCS_FILE, TERMS_FILE, decode_postings
+from .format import DOCS_FILE, TERMS_FILE, TVECTORS_FILE, decode_postings
 
 INDEX_MANIFEST = "manifest.json"
 TERM_STATS_FILE = "term_stats.parquet"
@@ -296,6 +296,47 @@ class SegmentReader:
         _ = self.vectors  # materialize both
         return self._vector_missing
 
+    def term_vectors(self, doc_ids, field: str | None = None) -> pa.Table:
+        """Per-doc term vectors for GLOBAL ``doc_ids`` in this segment —
+        ``TermVectors.get(docID)`` (index/TermVectors.kt; stored only when
+        the index was built with ``store_term_vectors=True``). Random
+        access re-expressed for Parquet: rows are doc_id-sorted, so only
+        the row groups whose doc_id min/max stats overlap the request are
+        read; a point get touches one group, never the file."""
+        path = os.path.join(self.dir, TVECTORS_FILE)
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "field": pa.array([], pa.string()),
+            "term": pa.array([], pa.string()),
+            "freq": pa.array([], pa.int32()),
+            "positions": pa.array([], pa.list_(pa.int32())),
+        })
+        if not os.path.exists(path):
+            return empty
+        want = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+        if not len(want):
+            return empty
+        pf = pq.ParquetFile(path)
+        md = pf.metadata
+        groups = []
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(0).statistics  # doc_id is col 0
+            if st is None or st.min is None:
+                groups.append(g)
+                continue
+            # overlap test against the sorted request
+            i = int(np.searchsorted(want, st.min))
+            if i < len(want) and want[i] <= st.max:
+                groups.append(g)
+        if not groups:
+            return empty
+        import pyarrow.compute as pc
+        t = pf.read_row_groups(groups)
+        mask = pc.is_in(t["doc_id"], value_set=pa.array(want, pa.int64()))
+        if field is not None:
+            mask = pc.and_(mask, pc.equal(t["field"], field))
+        return t.filter(mask)
+
     @property
     def doc_meta(self) -> pa.Table:
         if self._doc_meta is None:
@@ -538,6 +579,32 @@ class IndexReader:
         if s is None:
             return 0, 0
         return s["doc_count"], s["sum_total_term_freq"]
+
+    def term_vectors(self, doc_ids, field: str | None = None) -> pa.Table:
+        """``IndexReader.termVectors()`` surface: per-doc term vectors for
+        GLOBAL doc ids, routed to segments by the manifests' doc_id
+        min/max lineage (no segment whose id range misses the request is
+        even opened) and row-group-pruned inside each. Returns
+        ``doc_id, field, term, freq, positions`` sorted by
+        (doc_id, field, term)."""
+        want = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+        parts = []
+        for sr in self.segment_readers:
+            lo = sr.meta.get("doc_id_min")
+            hi = sr.meta.get("doc_id_max")
+            if lo is not None and hi is not None:
+                i = int(np.searchsorted(want, lo))
+                if i >= len(want) or want[i] > hi:
+                    continue
+            t = sr.term_vectors(want, field)
+            if t.num_rows:
+                parts.append(t)
+        if not parts:
+            return sr.term_vectors([], field) if self.segment_readers else \
+                pa.table({})
+        out = pa.concat_tables(parts)
+        return out.sort_by([("doc_id", "ascending"), ("field", "ascending"),
+                            ("term", "ascending")])
 
     def term_stats(self, terms: list[str],
                    field: str = "text") -> dict[str, tuple[int, int]]:

@@ -6509,6 +6509,31 @@ SELECT doc_id, pos, term FROM ordered
 """
 
 
+def term_vectors_sample(mod: int = 97) -> str:
+    """Mirror of _term_vectors_sample: per-doc term vectors over BOTH
+    fields for every ``mod``-th doc, positions exploded to one row per
+    occurrence. Freq is the (doc, field, term) occurrence count; pos the
+    0-based token position within the field."""
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+tx AS (SELECT doc_id, {sql_tokens_expr('text')} AS toks FROM corpus
+       WHERE doc_id % {mod} = 0),
+tt AS (SELECT doc_id, {sql_tokens_expr('title')} AS toks FROM corpus
+       WHERE doc_id % {mod} = 0),
+ftx AS (SELECT doc_id, 'text' AS field, unnest(toks) AS term,
+               unnest(generate_series(1, len(toks))) - 1 AS pos FROM tx),
+ftt AS (SELECT doc_id, 'title' AS field, unnest(toks) AS term,
+               unnest(generate_series(1, len(toks))) - 1 AS pos FROM tt),
+allp AS (SELECT * FROM ftx UNION ALL SELECT * FROM ftt),
+fr AS (SELECT doc_id, field, term, count(*) AS freq FROM allp
+       GROUP BY doc_id, field, term)
+SELECT a.doc_id, a.field, a.term, CAST(fr.freq AS INTEGER) AS freq,
+       CAST(a.pos AS INTEGER) AS pos
+FROM allp a JOIN fr USING (doc_id, field, term)
+ORDER BY a.doc_id, a.field, a.term, a.pos
+"""
+
+
 def facet_lang_counts(term: str) -> str:
     """Facet mirror: BM25 matches of ``term`` counted per lang."""
     return preamble() + f"""
