@@ -2767,6 +2767,70 @@ def _delete_by_url_search(sf_dir: str):
     return _all_sorted(search_all_matches(del_idx, TermQuery(TERM_A)))
 
 
+def _soft_urls(sf_dir: str, mod: int) -> list[str]:
+    import duckdb
+    con = duckdb.connect()
+    return [r[0] for r in con.sql(
+        f"SELECT 'https://' || source || '.example.com/doc/' || "
+        f"CAST(doc_id AS VARCHAR) FROM "
+        f"'{sf_dir}/documents.parquet' WHERE doc_id % {mod} = 0"
+    ).fetchall()]
+
+
+def _soft_delete_search(sf_dir: str, mod: int = 9):
+    """Soft deletes (SoftDeletesDirectoryReaderWrapper.kt +
+    IndexWriter.softUpdateDocument role, index/softdeletes.py): docs with
+    doc_id %% 9 == 0 get a value in the soft-deletes DV field (one tiny
+    dv-generation write per touched segment, never a rewrite); readers
+    opened with the field hide them while BM25 stats still count them —
+    the exact stats contract of hard tombstones before reclaim."""
+    import shutil
+
+    from lucene_kmp_ray.index.softdeletes import (DEFAULT_SOFT_FIELD,
+                                                  soft_delete_by_url)
+
+    src_idx = _ensure_index(sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/lucene_kmp_ray_index_softdel/{tag}"
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        shutil.copytree(src_idx, idx, dirs_exist_ok=True)
+        soft_delete_by_url(idx, _soft_urls(sf_dir, mod))
+    return _all_sorted(search_all_matches(
+        idx, TermQuery(TERM_A), soft_deletes_field=DEFAULT_SOFT_FIELD))
+
+
+def _soft_retention_merge_search(sf_dir: str, mod: int = 9):
+    """SoftDeletesRetentionMergePolicy.kt: force-merge with a retention
+    predicate keeping doc_id %% 18 == 0 alive — non-retained soft deletes
+    RECLAIM (leave the stats corpus), retained ones carry their marker
+    into the merged segment (still hidden from the wrapped reader, still
+    counted in stats). Scores must reflect the post-reclaim statistics."""
+    import shutil
+
+    from lucene_kmp_ray.index.merge import run_merges
+    from lucene_kmp_ray.index.softdeletes import (DEFAULT_SOFT_FIELD,
+                                                  soft_delete_by_url)
+
+    src_idx = _ensure_index(sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/lucene_kmp_ray_index_softret/{tag}"
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        shutil.copytree(src_idx, idx, dirs_exist_ok=True)
+        soft_delete_by_url(idx, _soft_urls(sf_dir, mod))
+        import json as _json
+        with open(os.path.join(idx, "manifest.json")) as f:
+            segs = [m["seg"] for m in _json.load(f)["segments"]]
+
+        def retention(docs_table):
+            return (docs_table["doc_id"].to_numpy() % (2 * mod)) == 0
+
+        run_merges(idx, merges=[segs],
+                   soft_deletes_field=DEFAULT_SOFT_FIELD,
+                   retention=retention)
+    return _all_sorted(search_all_matches(
+        idx, TermQuery(TERM_A), soft_deletes_field=DEFAULT_SOFT_FIELD))
+
+
 def _span_near():
     from lucene_kmp_ray.search import SpanNearQuery, SpanTermQuery
     return SpanNearQuery((SpanTermQuery("big"), SpanTermQuery("scan")),
@@ -3060,6 +3124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synonym_top10": lambda sf: _topk(sf, SynonymQuery(AND_SORTED)),
         "field_stats": _field_stats,
         "delete_by_url_search": _delete_by_url_search,
+        "soft_delete_search": _soft_delete_search,
+        "soft_retention_merge_search": _soft_retention_merge_search,
         "range_filter_all": lambda sf: _all_sorted(search_all_matches(
             _ensure_index(sf), BooleanQuery.build(
                 (Occur.MUST, TermQuery(TERM_A)),
@@ -3452,6 +3518,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_title_top10": oracle.bm25_title_topk(TERM_A),
         "bm25_multifield_top10": oracle.bm25_multifield_topk(TERM_A),
         "delete_by_url_search": oracle.delete_by_url_search(TERM_A),
+        "soft_delete_search": oracle.soft_delete_search(TERM_A),
+        "soft_retention_merge_search":
+            oracle.soft_retention_merge_search(TERM_A),
         "range_filter_all": oracle.range_filter_all(TERM_A, 40, 60),
         "sorted_by_length": oracle.sorted_by_length(TERM_A, 20),
         "sorted_page2_top20": oracle.sorted_page2(TERM_A, 20),

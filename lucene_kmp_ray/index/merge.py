@@ -183,13 +183,23 @@ def find_merges_log(segments: list[dict], merge_factor: int = 10,
     return merges
 
 
-def merge_segments(index_dir: str, segs: list[int], new_seg: int) -> dict:
+def merge_segments(index_dir: str, segs: list[int], new_seg: int,
+                   soft_deletes_field: str | None = None,
+                   retention=None) -> dict:
     """k-way merge ``segs`` → one new segment ``new_seg`` (pure, no Ray).
 
     Reads the source segments' term + doc tables, rebases local docIDs by
     cumulative doc bases (segment order = ascending seg id, the addIndexes
     ordering), re-encodes every posting list, recomputes skip/impact
     metadata, and atomically writes the new segment directory.
+
+    ``soft_deletes_field``: treat docs with a value in that field as
+    deleted for reclaim purposes (PendingSoftDeletes.kt — merges reclaim
+    soft deletes like hard ones). ``retention`` (a vectorized predicate
+    ``docs_table -> bool ndarray``, the batch form of the retention
+    Query) exempts matching soft-deleted docs from reclaim and carries
+    their marker into the merged segment —
+    SoftDeletesRetentionMergePolicy.kt's applyRetentionQuery contract.
     """
     t0 = time.monotonic()
     segs = sorted(segs)
@@ -209,11 +219,29 @@ def merge_segments(index_dir: str, segs: list[int], new_seg: int) -> dict:
     from .deletes import read_tombstones
     keep_concat = np.ones(n_all, dtype=bool)
     reclaimed = 0
+    # (concat position, marker value) of retention-exempt soft deletes:
+    # they survive the merge still soft-deleted
+    soft_carry: list[tuple[int, int]] = []
     for si, d in enumerate(dirs):
         tomb = read_tombstones(d)
         if tomb is not None and len(tomb):
             keep_concat[tomb + bases[si]] = False
             reclaimed += len(tomb)
+        if soft_deletes_field:
+            from .softdeletes import soft_deleted_values
+            soft, svals = soft_deleted_values(d, soft_deletes_field)
+            if len(soft):
+                if retention is not None:
+                    keep = np.asarray(retention(doc_tables[si]), dtype=bool)
+                    exempt = keep[soft]
+                else:
+                    exempt = np.zeros(len(soft), dtype=bool)
+                drop = soft[~exempt]
+                newly = keep_concat[drop + bases[si]].sum()
+                keep_concat[drop + bases[si]] = False
+                reclaimed += int(newly)
+                for lid, v in zip(soft[exempt], svals[exempt]):
+                    soft_carry.append((int(lid + bases[si]), int(v)))
     live_pos = np.flatnonzero(keep_concat)
     concat_docs = concat_all.take(pa.array(live_pos)) \
         if reclaimed else concat_all
@@ -460,9 +488,23 @@ def merge_segments(index_dir: str, segs: list[int], new_seg: int) -> dict:
             [("doc_id", "ascending"), ("field", "ascending"),
              ("term", "ascending")])
         manifest["term_vectors"] = True
-    return write_segment(index_dir, terms_table, docs_table, manifest,
-                         vectors_table, graph_table, qvectors_table,
-                         tvectors_table)
+    out = write_segment(index_dir, terms_table, docs_table, manifest,
+                        vectors_table, graph_table, qvectors_table,
+                        tvectors_table)
+    if soft_carry:
+        # retention-exempt docs re-mark in the NEW segment (their concat
+        # positions map through the docID permutation); idempotent on
+        # retry — a duplicate generation re-asserts the same values
+        from .dvupdates import _write_gen
+        new_dir = os.path.join(index_dir, "segments", seg_dirname(new_seg))
+        pos = np.array([p for p, _ in soft_carry], dtype=np.int64)
+        new_ids = inv_perm[pos]
+        vals = np.array([v for _, v in soft_carry], dtype=np.int64)
+        live = new_ids >= 0
+        order = np.argsort(new_ids[live])
+        _write_gen(new_dir, soft_deletes_field, new_ids[live][order],
+                   vals[live][order])
+    return out
 
 
 def _filter_entries(nl: np.ndarray, freqs: np.ndarray, posd: np.ndarray,
@@ -491,7 +533,8 @@ MERGE_POLICIES = {
 
 def run_merges(index_dir: str, merges: list[list[int]] | None = None,
                delete_merged: bool = True, policy: str = "tiered",
-               deletion_policy=None, **policy_kw) -> dict:
+               deletion_policy=None, soft_deletes_field: str | None = None,
+               retention=None, **policy_kw) -> dict:
     """Execute one round of merges (parallel Ray tasks) + commit.
 
     ``merges=None`` plans via the named ``policy`` (MERGE_POLICIES:
@@ -516,7 +559,8 @@ def run_merges(index_dir: str, merges: list[list[int]] | None = None,
 
     @ray.remote
     def do_merge(segs: list[int], new_seg: int) -> str:
-        return json.dumps(merge_segments(index_dir, segs, new_seg))
+        return json.dumps(merge_segments(index_dir, segs, new_seg,
+                                         soft_deletes_field, retention))
 
     jobs = [(group, next_seg + i) for i, group in enumerate(merges)]
     new_manifests = [json.loads(s) for s in ray.get(

@@ -35,12 +35,14 @@ PAYLOAD_GROUP_CACHE = 8    # payload row groups kept per segment reader
 
 
 class SegmentReader:
-    def __init__(self, index_dir: str, seg_meta: dict):
+    def __init__(self, index_dir: str, seg_meta: dict,
+                 soft_deletes_field: str | None = None):
         self.index_dir = index_dir
         self.meta = seg_meta
         self.seg = seg_meta["seg"]
         self.dir = os.path.join(index_dir, seg_meta["dir"])
         self.doc_count = seg_meta["doc_count"]
+        self.soft_deletes_field = soft_deletes_field
         self._terms: pa.Table | None = None
         self._term_arr: np.ndarray | None = None
         self._pf = None
@@ -64,10 +66,19 @@ class SegmentReader:
         """Sorted local ids of deleted docs (live-docs bitset role,
         Lucene90LiveDocsFormat.kt:22-35) or None. Loaded once per reader;
         index files are immutable between manifest generations, so a
-        reader pins the deletion state it opened with."""
+        reader pins the deletion state it opened with. When the reader
+        was opened with a ``soft_deletes_field``, docs with a value in
+        that field join the set (SoftDeletesDirectoryReaderWrapper.kt:
+        hard live-docs AND-ed with the no-value-in-field bits)."""
         if self._tombstones is False:
             from .deletes import read_tombstones
-            self._tombstones = read_tombstones(self.dir)
+            t = read_tombstones(self.dir)
+            if self.soft_deletes_field:
+                from .softdeletes import soft_deleted_docs
+                soft = soft_deleted_docs(self.dir, self.soft_deletes_field)
+                if len(soft):
+                    t = soft if t is None else np.union1d(t, soft)
+            self._tombstones = t
         return self._tombstones
 
     # --- lazy loads -----------------------------------------------------
@@ -526,10 +537,14 @@ class IndexReader:
     """Open an index directory: global stats + one SegmentReader per segment."""
 
     def __init__(self, index_dir: str, segments: list[int] | None = None,
-                 commit: int | None = None):
+                 commit: int | None = None,
+                 soft_deletes_field: str | None = None):
         """``commit``: open a RETAINED commit generation instead of the
         latest (``DirectoryReader.open(IndexCommit)`` role — see
-        index/commits.py; generations survive per the deletion policy)."""
+        index/commits.py; generations survive per the deletion policy).
+        ``soft_deletes_field``: open through the
+        SoftDeletesDirectoryReaderWrapper — docs with a value in that
+        doc-values field read as deleted (index/softdeletes.py)."""
         self.index_dir = index_dir
         if commit is not None:
             from .commits import read_commit
@@ -540,7 +555,8 @@ class IndexReader:
         metas = self.manifest["segments"]
         if segments is not None:
             metas = [m for m in metas if m["seg"] in set(segments)]
-        self.segment_readers = [SegmentReader(index_dir, m) for m in metas]
+        self.segment_readers = [
+            SegmentReader(index_dir, m, soft_deletes_field) for m in metas]
         self.doc_count = self.manifest["doc_count"]
         self.sum_total_term_freq = self.manifest["sum_total_term_freq"]
         # term-stats layout: sharded dir (shard = crc32(term) % n, written

@@ -31,9 +31,14 @@ def _lt_values() -> str:
 
 # Shared CTE preamble: corpus → tokens → postings → doc lengths → lossy
 # norms → collection stats → term stats. Every oracle query starts here.
-def preamble() -> str:
+def preamble(corpus_where: str = "") -> str:
+    """``corpus_where`` restricts the statistics corpus — the
+    merged-index view after deletions RECLAIM (reclaimed docs leave the
+    stats; un-reclaimed tombstones/soft-deletes do not)."""
+    corpus = CORPUS_SQL if not corpus_where else \
+        f"SELECT * FROM ({CORPUS_SQL}) WHERE {corpus_where}"
     return f"""
-WITH corpus AS ({CORPUS_SQL}),
+WITH corpus AS ({corpus}),
 toksrc AS (
   SELECT doc_id, url, {sql_tokens_expr('text')} AS toks FROM corpus
 ),
@@ -682,6 +687,38 @@ scored AS ({term_scored_cte(repr(term))})
 SELECT s.doc_id, c.url, s.score
 FROM scored s JOIN corpus c USING (doc_id)
 WHERE s.doc_id % 10 != 0
+ORDER BY s.doc_id
+"""
+
+
+def soft_delete_search(term: str, mod: int = 9) -> str:
+    """Matches of ``term`` through the soft-deletes wrapper: docs with
+    doc_id %% mod == 0 soft-deleted (a value in the soft-deletes DV
+    field) read as deleted, but statistics stay FULL-corpus until a
+    merge reclaims — identical stats semantics to hard tombstones
+    (SoftDeletesDirectoryReaderWrapper.kt + PendingSoftDeletes.kt)."""
+    return preamble() + f""",
+scored AS ({term_scored_cte(repr(term))})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+WHERE s.doc_id % {mod} != 0
+ORDER BY s.doc_id
+"""
+
+
+def soft_retention_merge_search(term: str, mod: int = 9) -> str:
+    """After a retention merge (SoftDeletesRetentionMergePolicy.kt):
+    soft-deleted docs (doc_id %% mod == 0) whose retention predicate
+    fails (doc_id %% (2*mod) != 0) are RECLAIMED — they leave the
+    statistics corpus; retained ones stay in stats but remain hidden
+    from the wrapped reader. Scores therefore use the reclaimed-corpus
+    stats while the match set excludes every soft-deleted doc."""
+    reclaim = f"(doc_id % {mod} = 0 AND doc_id % {2 * mod} != 0)"
+    return preamble(corpus_where=f"NOT {reclaim}") + f""",
+scored AS ({term_scored_cte(repr(term))})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+WHERE s.doc_id % {mod} != 0
 ORDER BY s.doc_id
 """
 

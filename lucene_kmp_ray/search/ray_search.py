@@ -183,9 +183,11 @@ class SegmentMatchActor:
 
     def __init__(self, index_dir: str, query_ref, dtype: str,
                  meta_cols: tuple[str, ...] = (),
-                 per_seg_limit: int | None = None):
+                 per_seg_limit: int | None = None,
+                 soft_deletes_field: str | None = None):
         import ray
-        self.reader = IndexReader(index_dir)
+        self.reader = IndexReader(index_dir,
+                                  soft_deletes_field=soft_deletes_field)
         self.searcher = Searcher(self.reader, BM25Similarity(dtype=dtype))
         self.query: Query = self.searcher.rewrite(ray.get(query_ref))
         self.by_seg = {sr.seg: sr for sr in self.reader.segment_readers}
@@ -226,11 +228,14 @@ class SegmentMatchActor:
 def search_all_matches(index_dir: str, query: Query, dtype: str = "float64",
                        concurrency: int | None = None,
                        meta_cols: tuple[str, ...] = (),
-                       per_seg_limit: int | None = None):
+                       per_seg_limit: int | None = None,
+                       soft_deletes_field: str | None = None):
     """All matching docs of ``query`` as a Dataset (doc_id, url, score).
     ``per_seg_limit`` truncates each segment to its first N matches in
     local-id order — only correct when the index sort makes that order
-    the requested sort order (see search_sorted_by_fields)."""
+    the requested sort order (see search_sorted_by_fields).
+    ``soft_deletes_field`` opens every per-actor reader through the
+    soft-deletes wrapper (index/softdeletes.py)."""
     import pyarrow as pa
     import ray
     import ray.data as rd
@@ -242,7 +247,8 @@ def search_all_matches(index_dir: str, query: Query, dtype: str = "float64",
     return ds.map_batches(SegmentMatchActor,
                           fn_constructor_args=(index_dir, ray.put(query),
                                                dtype, meta_cols,
-                                               per_seg_limit),
+                                               per_seg_limit,
+                                               soft_deletes_field),
                           batch_format="pyarrow", batch_size=8,
                           concurrency=_pool_size(
                               concurrency, work_items=(len(segs) + 7) // 8))
