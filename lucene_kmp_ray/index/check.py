@@ -161,8 +161,46 @@ def check_segment(index_dir: str, seg_dir: str) -> dict:
                 errors.append(
                     f"field {f}: unique_terms disagrees with postings")
     _check_quantized_sidecar(d, man, n_docs, errors)
+    _check_term_vectors_sidecar(d, docs_t, errors)
     return {"seg": man["seg"], "ok": not errors, "errors": errors,
             "doc_count": n_docs, "unique_terms": terms_t.num_rows}
+
+
+def _check_term_vectors_sidecar(seg_dir: str, docs_t, errors: list[str]
+                                ) -> None:
+    """Term-vectors sidecar integrity (the 'test: term vectors...'
+    CheckIndex section): rows sorted by (doc_id, field, term), every
+    doc_id belongs to this segment, freq == len(positions), positions
+    strictly ascending and non-negative."""
+    path = os.path.join(seg_dir, "tvectors.parquet")
+    if not os.path.exists(path):
+        return
+    tv = pq.read_table(path)
+    if tv.num_rows == 0:
+        return
+    ids = tv["doc_id"].to_numpy()
+    seg_ids = set(docs_t["doc_id"].to_numpy().tolist())
+    if not set(np.unique(ids).tolist()) <= seg_ids:
+        errors.append("term vectors reference doc_ids outside the segment")
+    keys = list(zip(ids.tolist(), tv["field"].to_pylist(),
+                    tv["term"].to_pylist()))
+    if keys != sorted(keys):
+        errors.append("term vectors not sorted by (doc_id, field, term)")
+    freqs = tv["freq"].to_numpy()
+    pos = tv["positions"].combine_chunks()
+    lens = np.diff(pos.offsets.to_numpy())
+    if not np.array_equal(freqs.astype(np.int64), lens.astype(np.int64)):
+        errors.append("term vector freq != len(positions)")
+    flat = pos.flatten().to_numpy()
+    if len(flat) and flat.min() < 0:
+        errors.append("negative term vector position")
+    starts = pos.offsets.to_numpy()[:-1]
+    if len(flat) > 1:
+        rising = np.ones(len(flat), bool)
+        rising[1:] = flat[1:] > flat[:-1]
+        rising[starts] = True  # list boundaries restart
+        if not rising.all():
+            errors.append("term vector positions not strictly ascending")
 
 
 def _check_quantized_sidecar(seg_dir: str, man: dict, n_docs: int,

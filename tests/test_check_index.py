@@ -44,3 +44,30 @@ def test_corrupt_postings_detected(built_index, tmp_path):
     pq.write_table(t, p)
     rep = check_segment(work, "segments/seg=00001")
     assert not rep["ok"]
+
+
+def test_corrupt_term_vectors_detected(tmp_path):
+    """CheckIndex's 'test: term vectors...' section: a freq that
+    disagrees with its positions list is caught."""
+    import pyarrow as pa
+
+    from lucene_kmp_ray.index.builder import commit_index
+    from lucene_kmp_ray.index.check import check_segment
+    from lucene_kmp_ray.index.format import build_and_write_segment
+
+    idx = str(tmp_path / "tvidx")
+    docs = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                     "url": ["u0", "u1"],
+                     "text": ["a b a", "c"]})
+    man = build_and_write_segment(docs, 0, idx, store_term_vectors=True)
+    commit_index(idx, [man])
+    p = f"{idx}/segments/seg=00000/tvectors.parquet"
+    t = pq.read_table(p)
+    freqs = t["freq"].to_pylist()
+    freqs[0] += 1
+    t = t.set_column(t.schema.get_field_index("freq"), "freq",
+                     pa.array(freqs, pa.int32()))
+    pq.write_table(t, p)
+    rep = check_segment(idx, "segments/seg=00000")
+    assert not rep["ok"]
+    assert any("freq != len(positions)" in e for e in rep["errors"])
