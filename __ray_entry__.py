@@ -1887,6 +1887,65 @@ def _ip_prefix_all(sf_dir: str):
                      if not out.empty else out)
 
 
+# InetAddressRange (document/InetAddressRange.kt): per-doc IP RANGES
+# [lo, hi] derived from doc_id, all overlapping one dense span so every
+# QueryRelation is rich (at sf0.001: intersects 399, within 85,
+# contains 30, crosses 314)
+IP_RANGE_QUERY = ("10.0.0.60", "10.0.0.170")
+
+
+def _doc_ip_range_ints(d: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    lo = (np.int64(10) << 24) + d * 29 % 200
+    return lo, lo + d * 53 % 180
+
+
+def _ip_range_relations_all(sf_dir: str):
+    """InetAddressRange: 16-byte paired min/max encoding (hex sortable
+    keys, util/ippoint.py) stored as per-doc meta columns, queried with
+    RangeFieldQuery (document/RangeFieldQuery.kt QueryType) — string
+    byte order == numeric IP order is exactly the InetAddressPoint
+    encoding claim. One row per (relation, matching doc)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.search import RangeFieldQuery
+    from lucene_kmp_ray.sources.corpus import corpus_dataset
+    from lucene_kmp_ray.util.ippoint import encode_v4_ints, range_hex
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/lucene_kmp_ray_index_iprange/{tag}"
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        def add_ranges(b: pa.Table) -> pa.Table:
+            d = b["doc_id"].to_numpy()
+            lo, hi = _doc_ip_range_ints(d)
+            return b.append_column(
+                "ip_lo", pa.array(encode_v4_ints(lo), pa.string())) \
+                .append_column(
+                "ip_hi", pa.array(encode_v4_ints(hi), pa.string()))
+
+        ds = corpus_dataset(sf_dir).map_batches(add_ranges,
+                                                batch_format="pyarrow")
+        build_index(ds, idx, segment_size=SEGMENT_SIZE,
+                    meta_cols=("ip_lo", "ip_hi"))
+    lo_hex, hi_hex = range_hex(*IP_RANGE_QUERY)
+    frames = []
+    for rel in ("intersects", "within", "contains", "crosses"):
+        q = RangeFieldQuery("ip_lo", "ip_hi", lower=lo_hex, upper=hi_hex,
+                            relation=rel)
+        df = search_all_matches(idx, q, meta_cols=("ip_lo", "ip_hi")) \
+            .to_pandas()
+        if df.empty:  # a relation with no matches still needs the schema
+            df = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                               "ip_lo": pd.Series(dtype="object"),
+                               "ip_hi": pd.Series(dtype="object")})
+        df = df[["doc_id", "ip_lo", "ip_hi"]]
+        df.insert(0, "relation", rel)
+        frames.append(df)
+    out = pd.concat(frames, ignore_index=True)
+    return out.sort_values(["relation", "doc_id"]).reset_index(drop=True)
+
+
 def _synonym_topk(sf_dir: str):
     """BM25 top-10 for the INJECTED synonym token over a SynonymAnalyzer
     index — exercises posIncr=0 same-position injection end-to-end.
@@ -3126,6 +3185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delete_by_url_search": _delete_by_url_search,
         "soft_delete_search": _soft_delete_search,
         "soft_retention_merge_search": _soft_retention_merge_search,
+        "ip_range_relations_all": _ip_range_relations_all,
         "range_filter_all": lambda sf: _all_sorted(search_all_matches(
             _ensure_index(sf), BooleanQuery.build(
                 (Occur.MUST, TermQuery(TERM_A)),
@@ -3521,6 +3581,8 @@ def oracle_sql() -> dict[str, str]:
         "soft_delete_search": oracle.soft_delete_search(TERM_A),
         "soft_retention_merge_search":
             oracle.soft_retention_merge_search(TERM_A),
+        "ip_range_relations_all":
+            oracle.ip_range_relations_all(*IP_RANGE_QUERY),
         "range_filter_all": oracle.range_filter_all(TERM_A, 40, 60),
         "sorted_by_length": oracle.sorted_by_length(TERM_A, 20),
         "sorted_page2_top20": oracle.sorted_page2(TERM_A, 20),

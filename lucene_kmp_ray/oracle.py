@@ -6477,6 +6477,49 @@ ORDER BY user_id
 """
 
 
+def ip_range_relations_all(lo_ip: str, hi_ip: str) -> str:
+    """InetAddressRange mirror (document/InetAddressRange.kt): per-doc
+    [lo, hi] IP ranges derived from doc_id (lo = 10.0.0.0 + d*29%200,
+    width d*53%180 — one dense overlapping span), related to the query
+    range with the RangeFieldQuery.kt QueryType predicates in plain
+    integer arithmetic; the hex keys rebuild with lpad(to_hex(...)) —
+    independent of the engine's encoder."""
+    import ipaddress
+    lo = int(ipaddress.IPv4Address(lo_ip))
+    hi = int(ipaddress.IPv4Address(hi_ip))
+
+    def hex_sql(col: str) -> str:
+        return (f"'00000000000000000000ffff' || "
+                f"lower(lpad(to_hex({col}), 8, '0'))")
+
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+    (CAST(10 AS BIGINT) << 24) + (doc_id * 29 % 200) AS lo_i,
+    (CAST(10 AS BIGINT) << 24) + (doc_id * 29 % 200)
+      + (doc_id * 53 % 180) AS hi_i
+  FROM documents
+),
+rel AS (
+  SELECT 'intersects' AS relation, doc_id, lo_i, hi_i FROM d
+  WHERE lo_i <= {hi} AND hi_i >= {lo}
+  UNION ALL
+  SELECT 'within', doc_id, lo_i, hi_i FROM d
+  WHERE lo_i >= {lo} AND hi_i <= {hi}
+  UNION ALL
+  SELECT 'contains', doc_id, lo_i, hi_i FROM d
+  WHERE lo_i <= {lo} AND hi_i >= {hi}
+  UNION ALL
+  SELECT 'crosses', doc_id, lo_i, hi_i FROM d
+  WHERE (lo_i <= {hi} AND hi_i >= {lo})
+    AND NOT (lo_i >= {lo} AND hi_i <= {hi})
+)
+SELECT relation, doc_id, {hex_sql('lo_i')} AS ip_lo,
+       {hex_sql('hi_i')} AS ip_hi
+FROM rel ORDER BY relation, doc_id
+"""
+
+
 def doc_term_stats() -> str:
     """Per-doc FieldInvertState extras (FieldInvertState.kt:59-62):
     maxTermFrequency = max tf over the doc's terms, uniqueTermCount =
