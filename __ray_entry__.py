@@ -3082,6 +3082,42 @@ def _all_sorted(ds):
     return df
 
 
+def _multireader_topk(sf_dir: str):
+    """MultiReader (index/MultiReader.kt): the corpus split by doc_id
+    parity into two PHYSICALLY separate indexes (each with its own term
+    stats); a MultiReader composite over both must reproduce the
+    full-corpus BM25 ranking exactly, because df/ttf/docCount SUM across
+    sub-readers (BaseCompositeReader stats aggregation). Oracle = the
+    plain full-corpus top-10 SQL."""
+    import pandas as pd
+
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.index.reader import MultiReader
+    from lucene_kmp_ray.sources.corpus import corpus_dataset
+    from lucene_kmp_ray.similarity.bm25 import BM25Similarity
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    dirs = []
+    for half in (0, 1):
+        idx = f"/tmp/lucene_kmp_ray_index_mr{half}/{tag}"
+        dirs.append(idx)
+        if os.path.exists(os.path.join(idx, "manifest.json")):
+            continue
+
+        def keep(b: pa.Table, h=half) -> pa.Table:
+            return b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 1), h))
+
+        ds = corpus_dataset(sf_dir).map_batches(keep,
+                                                batch_format="pyarrow")
+        build_index(ds, idx, segment_size=SEGMENT_SIZE)
+    s = Searcher(MultiReader.open(dirs), BM25Similarity(dtype="float64"))
+    td = s.search(TermQuery(TERM_A), k=10)
+    return pd.DataFrame({
+        "doc_id": [h.doc_id for h in td.score_docs],
+        "url": [h.url for h in td.score_docs],
+        "score": [h.score for h in td.score_docs]})
+
+
 def _topk(sf_dir: str, query, k: int = 10):
     import pandas as pd
     index_dir = _ensure_index(sf_dir)
@@ -3186,6 +3222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "soft_delete_search": _soft_delete_search,
         "soft_retention_merge_search": _soft_retention_merge_search,
         "ip_range_relations_all": _ip_range_relations_all,
+        "multireader_top10": _multireader_topk,
         "range_filter_all": lambda sf: _all_sorted(search_all_matches(
             _ensure_index(sf), BooleanQuery.build(
                 (Occur.MUST, TermQuery(TERM_A)),
@@ -3583,6 +3620,7 @@ def oracle_sql() -> dict[str, str]:
             oracle.soft_retention_merge_search(TERM_A),
         "ip_range_relations_all":
             oracle.ip_range_relations_all(*IP_RANGE_QUERY),
+        "multireader_top10": oracle.bm25_term_topk(TERM_A),
         "range_filter_all": oracle.range_filter_all(TERM_A, 40, 60),
         "sorted_by_length": oracle.sorted_by_length(TERM_A, 20),
         "sorted_page2_top20": oracle.sorted_page2(TERM_A, 20),

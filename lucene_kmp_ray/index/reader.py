@@ -668,3 +668,47 @@ class IndexReader:
             for term in missing:
                 self._stats_cache[(field, term)] = found.get(term, (0, 0))
         return {term: self._stats_cache[(field, term)] for term in terms}
+
+
+class MultiReader:
+    """``index/MultiReader.kt``: a composite view over several open
+    readers, appending their content — searches see the UNION of all
+    sub-readers' docs with SUMMED collection/term statistics (the
+    BaseCompositeReader docFreq/totalTermFreq aggregation), without
+    copying a byte. The physical counterpart is ``merge.add_indexes``;
+    this is the zero-cost virtual one. Works anywhere a reader works
+    (Searcher needs only segment_readers / term_stats / field_stats /
+    doc_count). Sub-readers keep their own tombstone/soft-delete state.
+
+    Doc ids are the engine's GLOBAL corpus keys, so unlike Lucene there
+    is no docBase rebase — callers composing indexes with overlapping
+    key spaces get exactly the duplicates they asked for (same contract
+    as add_indexes)."""
+
+    def __init__(self, readers):
+        self.readers = list(readers)
+        self.segment_readers = [sr for r in self.readers
+                                for sr in r.segment_readers]
+        self.doc_count = sum(r.doc_count for r in self.readers)
+        self.sum_total_term_freq = sum(r.sum_total_term_freq
+                                       for r in self.readers)
+
+    @classmethod
+    def open(cls, index_dirs, **reader_kw) -> "MultiReader":
+        return cls([IndexReader(d, **reader_kw) for d in index_dirs])
+
+    def field_stats(self, field: str) -> tuple[int, int]:
+        dc = ttf = 0
+        for r in self.readers:
+            a, b = r.field_stats(field)
+            dc += a
+            ttf += b
+        return dc, ttf
+
+    def term_stats(self, terms: list[str],
+                   field: str = "text") -> dict[str, tuple[int, int]]:
+        out = {t: (0, 0) for t in terms}
+        for r in self.readers:
+            for t, (df, ttf) in r.term_stats(terms, field).items():
+                out[t] = (out[t][0] + df, out[t][1] + ttf)
+        return out
