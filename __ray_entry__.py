@@ -1946,6 +1946,66 @@ def _ip_range_relations_all(sf_dir: str):
     return out.sort_values(["relation", "doc_id"]).reset_index(drop=True)
 
 
+# ShapeBoxQuery (LatLonShapeBoundingBoxQuery / ShapeDocValues): per-doc
+# DIAMOND rings (the L1 ball — non-axis-aligned edges exercise the
+# generic crossing-number + segment-intersection kernel) with centers /
+# radii derived from doc_id; bounds chosen so every relation is
+# non-empty (intersects 107 / within 2 / contains 2 / disjoint 393 at
+# 500 docs) and no coordinate ever ties a boundary (.3/.4 offsets vs
+# integer vertices)
+SHAPE_BOX = dict(min_lat=-35.7, max_lat=-15.7, min_lon=-13.6, max_lon=6.4)
+
+
+def _doc_diamonds(d: np.ndarray):
+    clat = (d * 11 % 80) - 40.0
+    clon = (d * 13 % 100) - 50.0
+    w = 3.0 + d * 7 % 25
+    lats = np.stack([clat - w, clat, clat + w, clat], axis=1)
+    lons = np.stack([clon, clon + w, clon, clon - w], axis=1)
+    return lats, lons
+
+
+def _shape_box_relations_all(sf_dir: str):
+    """Shape-valued docs vs a box, every ShapeField.QueryRelation: the
+    generic flat-ring kernel (searcher._score_shape_box) over list<double>
+    doc-values columns; the oracle reduces the SAME diamonds to exact L1
+    arithmetic (a diamond is the L1 ball, so box relations are separable
+    per axis). One row per (relation, matching doc)."""
+    import pandas as pd
+
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.search import ShapeBoxQuery
+    from lucene_kmp_ray.sources.corpus import corpus_dataset
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/lucene_kmp_ray_index_shape/{tag}"
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        def add_rings(b: pa.Table) -> pa.Table:
+            d = b["doc_id"].to_numpy()
+            lats, lons = _doc_diamonds(d)
+            return b.append_column(
+                "ring_lats", pa.array(lats.tolist(),
+                                      pa.list_(pa.float64()))) \
+                .append_column(
+                "ring_lons", pa.array(lons.tolist(),
+                                      pa.list_(pa.float64())))
+
+        ds = corpus_dataset(sf_dir).map_batches(add_rings,
+                                                batch_format="pyarrow")
+        build_index(ds, idx, segment_size=SEGMENT_SIZE,
+                    meta_cols=("ring_lats", "ring_lons"))
+    frames = []
+    for rel in ("intersects", "within", "contains", "disjoint"):
+        q = ShapeBoxQuery("ring_lats", "ring_lons", relation=rel,
+                          **SHAPE_BOX)
+        df = search_all_matches(idx, q).to_pandas()
+        ids = df["doc_id"] if not df.empty else \
+            pd.Series(dtype="int64")
+        frames.append(pd.DataFrame({"relation": rel, "doc_id": ids}))
+    out = pd.concat(frames, ignore_index=True)
+    return out.sort_values(["relation", "doc_id"]).reset_index(drop=True)
+
+
 def _synonym_topk(sf_dir: str):
     """BM25 top-10 for the INJECTED synonym token over a SynonymAnalyzer
     index — exercises posIncr=0 same-position injection end-to-end.
@@ -3223,6 +3283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "soft_retention_merge_search": _soft_retention_merge_search,
         "ip_range_relations_all": _ip_range_relations_all,
         "multireader_top10": _multireader_topk,
+        "shape_box_relations_all": _shape_box_relations_all,
         "range_filter_all": lambda sf: _all_sorted(search_all_matches(
             _ensure_index(sf), BooleanQuery.build(
                 (Occur.MUST, TermQuery(TERM_A)),
@@ -3621,6 +3682,8 @@ def oracle_sql() -> dict[str, str]:
         "ip_range_relations_all":
             oracle.ip_range_relations_all(*IP_RANGE_QUERY),
         "multireader_top10": oracle.bm25_term_topk(TERM_A),
+        "shape_box_relations_all":
+            oracle.shape_box_relations_all(**SHAPE_BOX),
         "range_filter_all": oracle.range_filter_all(TERM_A, 40, 60),
         "sorted_by_length": oracle.sorted_by_length(TERM_A, 20),
         "sorted_page2_top20": oracle.sorted_page2(TERM_A, 20),

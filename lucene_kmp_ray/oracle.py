@@ -6520,6 +6520,48 @@ FROM rel ORDER BY relation, doc_id
 """
 
 
+def shape_box_relations_all(min_lat: float, max_lat: float,
+                            min_lon: float, max_lon: float) -> str:
+    """ShapeBoxQuery mirror (LatLonShapeBoundingBoxQuery relations over
+    diamond rings): a diamond with center (clat, clon) and radius w is
+    the L1 ball |dlat|+|dlon| <= w, so every box relation reduces to
+    exact per-axis arithmetic —
+    intersects: clamped per-axis distance to the box sums <= w;
+    within: center +/- w inside the bounds on both axes;
+    contains: the FARTHEST box corner's L1 distance <= w;
+    disjoint: not intersects."""
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+    CAST((doc_id * 11 % 80) - 40 AS DOUBLE) AS clat,
+    CAST((doc_id * 13 % 100) - 50 AS DOUBLE) AS clon,
+    CAST(3 + doc_id * 7 % 25 AS DOUBLE) AS w
+  FROM documents
+),
+m AS (
+  SELECT doc_id, w,
+    greatest(0, {min_lat} - clat, clat - {max_lat}) AS dy,
+    greatest(0, {min_lon} - clon, clon - {max_lon}) AS dx,
+    greatest(abs({min_lat} - clat), abs({max_lat} - clat)) AS fy,
+    greatest(abs({min_lon} - clon), abs({max_lon} - clon)) AS fx,
+    clat, clon
+  FROM d
+),
+rel AS (
+  SELECT 'intersects' AS relation, doc_id FROM m WHERE dy + dx <= w
+  UNION ALL
+  SELECT 'within', doc_id FROM m
+  WHERE clat - w >= {min_lat} AND clat + w <= {max_lat}
+    AND clon - w >= {min_lon} AND clon + w <= {max_lon}
+  UNION ALL
+  SELECT 'contains', doc_id FROM m WHERE fy + fx <= w
+  UNION ALL
+  SELECT 'disjoint', doc_id FROM m WHERE dy + dx > w
+)
+SELECT relation, doc_id FROM rel ORDER BY relation, doc_id
+"""
+
+
 def doc_term_stats() -> str:
     """Per-doc FieldInvertState extras (FieldInvertState.kt:59-62):
     maxTermFrequency = max tf over the doc's terms, uniqueTermCount =

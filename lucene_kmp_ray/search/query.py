@@ -631,6 +631,47 @@ class GeoDistanceQuery(Query):
 
 
 @dataclass(frozen=True)
+class ShapeBoxQuery(Query):
+    """Shape-VALUED documents vs a query box —
+    ``LatLonShapeBoundingBoxQuery.kt`` over the doc-values path
+    (``document/ShapeDocValues.kt`` / ``BaseShapeDocValuesQuery.kt``):
+    each doc stores one simple closed ring (two ``list<double>`` meta
+    columns, lats + lons in vertex order, last→first edge implicit) and
+    relates to the box with ShapeField.QueryRelation semantics:
+
+    - intersects: any ring vertex in box ∨ any box corner in ring ∨ any
+      ring edge properly crossing a box edge
+    - within (shape WITHIN box): every ring vertex in box (sufficient
+      for a convex box)
+    - contains (shape CONTAINS box): all four box corners in ring ∧ no
+      ring vertex strictly inside the box ∧ no edge crossing (a segment
+      meeting the open box either ends inside it or crosses its
+      boundary)
+    - disjoint: ¬intersects
+
+    The reference's tessellated triangle encoding (geo/Tessellator.kt)
+    is an acceleration structure over these predicates; here the
+    vectorized flat-ring kernel over the segment's list columns is the
+    equivalent plan (one pass over all docs' edges via offsets +
+    reduceat — no per-doc Python). Constant score."""
+    lats_field: str
+    lons_field: str
+    min_lat: float
+    max_lat: float
+    min_lon: float
+    max_lon: float
+    relation: str = "intersects"
+
+    def __post_init__(self):
+        if self.relation not in ("intersects", "within", "contains",
+                                 "disjoint"):
+            raise ValueError(f"unknown relation: {self.relation}")
+
+    def terms(self):
+        return []
+
+
+@dataclass(frozen=True)
 class GeoPolygonQuery(Query):
     """``LatLonPoint.newPolygonQuery`` analog (``geo/Polygon.kt`` +
     ``geo/Polygon2D`` contains semantics for simple polygons, optional

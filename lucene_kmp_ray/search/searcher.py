@@ -46,7 +46,8 @@ from .query import (BlendedTermQuery, BooleanQuery, BoostQuery,
                     IndexSortRangeQuery, NGramPhraseQuery,
                     Occur, PhraseQuery, PointInSetQuery, Query,
                     MultiRangeFieldQuery, RangeFieldQuery,
-                    RangeFilterQuery, SortedNumericRangeQuery,
+                    RangeFilterQuery, ShapeBoxQuery,
+                    SortedNumericRangeQuery,
                     SynonymQuery, TermInSetQuery,
                     TermQuery,
                     VectorSimilarityQuery, XYBoxQuery, XYCircleQuery,
@@ -514,6 +515,8 @@ class Searcher:
             return self._score_geo_distance(sr, query, boost)
         if isinstance(query, GeoPolygonQuery):
             return self._score_geo_polygon(sr, query, boost)
+        if isinstance(query, ShapeBoxQuery):
+            return self._score_shape_box(sr, query, boost)
         if isinstance(query, GeoLineQuery):
             return self._score_geo_line(sr, query, boost)
         if isinstance(query, XYBoxQuery):
@@ -1072,6 +1075,93 @@ class Searcher:
         mask = self._ring_contains(lat, lon, tuple(q.polygon))
         for hole in q.holes:
             mask &= ~self._ring_contains(lat, lon, tuple(hole))
+        docs = np.flatnonzero(mask).astype(np.int64)
+        return docs, np.full(len(docs), dt.type(boost), dtype=dt)
+
+    def _score_shape_box(self, sr: SegmentReader, q: "ShapeBoxQuery",
+                         boost: float):
+        """LatLonShapeBoundingBoxQuery over shape doc-values: one flat
+        pass over ALL docs' ring vertices/edges (Arrow list offsets +
+        np reduceat — no per-doc loop), relating each ring to the box
+        with the ShapeField.QueryRelation predicates (see ShapeBoxQuery
+        docstring for the exact formulation)."""
+        dt = self.sim.dtype
+        lats = sr.doc_meta[q.lats_field].combine_chunks()
+        lons = sr.doc_meta[q.lons_field].combine_chunks()
+        off = lats.offsets.to_numpy().astype(np.int64)
+        y = lats.flatten().to_numpy().astype(np.float64)
+        x = lons.flatten().to_numpy().astype(np.float64)
+        n = sr.doc_count
+        counts = np.diff(off)
+        starts = off[:-1]
+        if not len(y):  # no shapes at all
+            docs = np.empty(0, np.int64)
+            return docs, np.empty(0, dtype=dt)
+
+        safe_starts = np.minimum(starts, len(y) - 1)  # reduceat bounds:
+        # trailing shape-less docs clamp to the last vertex and zero below
+
+        def per_doc_count(flags: np.ndarray) -> np.ndarray:
+            s = np.add.reduceat(flags.astype(np.int64), safe_starts)
+            s[counts == 0] = 0
+            return s
+
+        def per_doc_any(flags: np.ndarray) -> np.ndarray:
+            return per_doc_count(flags) > 0
+
+        # vertices in box (inclusive bounds)
+        vin = (y >= q.min_lat) & (y <= q.max_lat) & \
+              (x >= q.min_lon) & (x <= q.max_lon)
+        any_vin = per_doc_any(vin)
+        all_vin = per_doc_count(vin) == counts
+        vin_strict = (y > q.min_lat) & (y < q.max_lat) & \
+                     (x > q.min_lon) & (x < q.max_lon)
+        any_vin_strict = per_doc_any(vin_strict)
+
+        # ring edges: vertex i → next vertex within the same ring
+        nxt = np.arange(len(y)) + 1
+        ends = off[1:] - 1
+        nxt[ends[counts > 0]] = starts[counts > 0]
+        y2, x2 = y[nxt], x[nxt]
+
+        # box corners inside ring: crossing-number parity per corner
+        corners = ((q.min_lat, q.min_lon), (q.min_lat, q.max_lon),
+                   (q.max_lat, q.max_lon), (q.max_lat, q.min_lon))
+        corner_in = []
+        for cy, cx in corners:
+            crossing = ((y > cy) != (y2 > cy)) & \
+                (cx < (x2 - x) * (cy - y) / (y2 - y + ((y2 - y) == 0)) + x)
+            corner_in.append(per_doc_count(crossing) % 2 == 1)
+        any_corner_in = corner_in[0] | corner_in[1] | corner_in[2] | \
+            corner_in[3]
+        all4_in = corner_in[0] & corner_in[1] & corner_in[2] & corner_in[3]
+
+        # ring edge properly crossing a box edge (ccw orientation test)
+        def cross(ax, ay, bx, by, px, py):
+            return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+
+        box_edges = (((q.min_lon, q.min_lat), (q.max_lon, q.min_lat)),
+                     ((q.max_lon, q.min_lat), (q.max_lon, q.max_lat)),
+                     ((q.max_lon, q.max_lat), (q.min_lon, q.max_lat)),
+                     ((q.min_lon, q.max_lat), (q.min_lon, q.min_lat)))
+        edge_hits = np.zeros(len(y), dtype=bool)
+        for (bx1, by1), (bx2, by2) in box_edges:
+            d1 = cross(bx1, by1, bx2, by2, x, y)
+            d2 = cross(bx1, by1, bx2, by2, x2, y2)
+            d3 = cross(x, y, x2, y2, bx1, by1)
+            d4 = cross(x, y, x2, y2, bx2, by2)
+            edge_hits |= ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+        any_edge_cross = per_doc_any(edge_hits)
+
+        inter = any_vin | any_corner_in | any_edge_cross
+        has = counts > 0  # docs without a shape match nothing
+        masks = {
+            "intersects": inter,
+            "within": all_vin,
+            "contains": all4_in & ~any_vin_strict & ~any_edge_cross,
+            "disjoint": ~inter,
+        }
+        mask = masks[q.relation] & has
         docs = np.flatnonzero(mask).astype(np.int64)
         return docs, np.full(len(docs), dt.type(boost), dtype=dt)
 
