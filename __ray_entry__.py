@@ -2006,6 +2006,39 @@ def _shape_box_relations_all(sf_dir: str):
     return out.sort_values(["relation", "doc_id"]).reset_index(drop=True)
 
 
+# ShapePolygonQuery: a diamond QUERY ring vs the diamond docs — both
+# sides are L1 balls, so the oracle is pure center-distance arithmetic
+# (counts at 500 docs: intersects 104 / within 6 / contains 6 /
+# disjoint 396; .3/.4 center offsets prevent boundary ties)
+SHAPE_QPOLY = dict(clat=-5.7, clon=-39.6, w=16.0)
+
+
+def _shape_polygon_relations_all(sf_dir: str):
+    """Shape docs vs a query POLYGON (LatLonShapeQuery with Polygon over
+    the doc-values path): the generic ring-ring kernel
+    (searcher._score_shape_polygon); for two L1 balls each relation
+    reduces to |c_doc − c_query|_1 vs the radii — the oracle's exact
+    arithmetic. Reuses _shape_box_relations_all's index."""
+    import pandas as pd
+
+    from lucene_kmp_ray.search import ShapePolygonQuery
+
+    _shape_box_relations_all(sf_dir)  # ensure the shape index exists
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/lucene_kmp_ray_index_shape/{tag}"
+    cy, cx, w = (SHAPE_QPOLY["clat"], SHAPE_QPOLY["clon"],
+                 SHAPE_QPOLY["w"])
+    ring = ((cy - w, cx), (cy, cx + w), (cy + w, cx), (cy, cx - w))
+    frames = []
+    for rel in ("intersects", "within", "contains", "disjoint"):
+        q = ShapePolygonQuery("ring_lats", "ring_lons", ring, relation=rel)
+        df = search_all_matches(idx, q).to_pandas()
+        ids = df["doc_id"] if not df.empty else pd.Series(dtype="int64")
+        frames.append(pd.DataFrame({"relation": rel, "doc_id": ids}))
+    out = pd.concat(frames, ignore_index=True)
+    return out.sort_values(["relation", "doc_id"]).reset_index(drop=True)
+
+
 def _synonym_topk(sf_dir: str):
     """BM25 top-10 for the INJECTED synonym token over a SynonymAnalyzer
     index — exercises posIncr=0 same-position injection end-to-end.
@@ -3284,6 +3317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ip_range_relations_all": _ip_range_relations_all,
         "multireader_top10": _multireader_topk,
         "shape_box_relations_all": _shape_box_relations_all,
+        "shape_polygon_relations_all": _shape_polygon_relations_all,
         "range_filter_all": lambda sf: _all_sorted(search_all_matches(
             _ensure_index(sf), BooleanQuery.build(
                 (Occur.MUST, TermQuery(TERM_A)),
@@ -3684,6 +3718,8 @@ def oracle_sql() -> dict[str, str]:
         "multireader_top10": oracle.bm25_term_topk(TERM_A),
         "shape_box_relations_all":
             oracle.shape_box_relations_all(**SHAPE_BOX),
+        "shape_polygon_relations_all":
+            oracle.shape_polygon_relations_all(**SHAPE_QPOLY),
         "range_filter_all": oracle.range_filter_all(TERM_A, 40, 60),
         "sorted_by_length": oracle.sorted_by_length(TERM_A, 20),
         "sorted_page2_top20": oracle.sorted_page2(TERM_A, 20),

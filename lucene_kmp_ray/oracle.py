@@ -6562,6 +6562,38 @@ SELECT relation, doc_id FROM rel ORDER BY relation, doc_id
 """
 
 
+def shape_polygon_relations_all(clat: float, clon: float, w: float) -> str:
+    """ShapePolygonQuery mirror: both sides are L1 balls (diamonds), so
+    with L1 = |c_doc − c_query|_1: intersects ⇔ L1 <= w_doc + w;
+    within (doc ⊆ query) ⇔ L1 + w_doc <= w; contains (doc ⊇ query) ⇔
+    L1 + w <= w_doc; disjoint otherwise — exact arithmetic, fully
+    independent of the engine's ring kernel."""
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+    CAST((doc_id * 11 % 80) - 40 AS DOUBLE) AS dlat,
+    CAST((doc_id * 13 % 100) - 50 AS DOUBLE) AS dlon,
+    CAST(3 + doc_id * 7 % 25 AS DOUBLE) AS wd
+  FROM documents
+),
+m AS (
+  SELECT doc_id, wd,
+    abs(dlat - ({clat})) + abs(dlon - ({clon})) AS l1
+  FROM d
+),
+rel AS (
+  SELECT 'intersects' AS relation, doc_id FROM m WHERE l1 <= wd + {w}
+  UNION ALL
+  SELECT 'within', doc_id FROM m WHERE l1 + wd <= {w}
+  UNION ALL
+  SELECT 'contains', doc_id FROM m WHERE l1 + {w} <= wd
+  UNION ALL
+  SELECT 'disjoint', doc_id FROM m WHERE l1 > wd + {w}
+)
+SELECT relation, doc_id FROM rel ORDER BY relation, doc_id
+"""
+
+
 def doc_term_stats() -> str:
     """Per-doc FieldInvertState extras (FieldInvertState.kt:59-62):
     maxTermFrequency = max tf over the doc's terms, uniqueTermCount =

@@ -672,6 +672,41 @@ class ShapeBoxQuery(Query):
 
 
 @dataclass(frozen=True)
+class ShapePolygonQuery(Query):
+    """Shape-valued documents vs a query POLYGON —
+    ``LatLonShapeQuery.kt`` with a Polygon geometry over the doc-values
+    path (``BaseShapeDocValuesQuery.kt``), completing ShapeBoxQuery's
+    relation surface for non-rectangular query geometry. For SIMPLE
+    rings on both sides:
+
+    - intersects: any doc vertex in query ring ∨ any query vertex in
+      doc ring ∨ any proper edge crossing
+    - within (doc ⊆ query): every doc vertex in query ring ∧ no edge
+      crossing (a simple ring with all vertices inside and a
+      non-crossing boundary is entirely inside — holds for concave
+      query rings too, unlike the all-vertices-in-box shortcut)
+    - contains (doc ⊇ query): every query vertex in doc ring ∧ no edge
+      crossing
+    - disjoint: ¬intersects
+
+    ``polygon``: ((lat, lon), ...) closed implicitly. Constant score."""
+    lats_field: str
+    lons_field: str
+    polygon: tuple
+    relation: str = "intersects"
+
+    def __post_init__(self):
+        if self.relation not in ("intersects", "within", "contains",
+                                 "disjoint"):
+            raise ValueError(f"unknown relation: {self.relation}")
+        if len(self.polygon) < 3:
+            raise ValueError("query polygon needs >= 3 vertices")
+
+    def terms(self):
+        return []
+
+
+@dataclass(frozen=True)
 class GeoPolygonQuery(Query):
     """``LatLonPoint.newPolygonQuery`` analog (``geo/Polygon.kt`` +
     ``geo/Polygon2D`` contains semantics for simple polygons, optional

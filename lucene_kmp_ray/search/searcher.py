@@ -46,7 +46,7 @@ from .query import (BlendedTermQuery, BooleanQuery, BoostQuery,
                     IndexSortRangeQuery, NGramPhraseQuery,
                     Occur, PhraseQuery, PointInSetQuery, Query,
                     MultiRangeFieldQuery, RangeFieldQuery,
-                    RangeFilterQuery, ShapeBoxQuery,
+                    RangeFilterQuery, ShapeBoxQuery, ShapePolygonQuery,
                     SortedNumericRangeQuery,
                     SynonymQuery, TermInSetQuery,
                     TermQuery,
@@ -517,6 +517,8 @@ class Searcher:
             return self._score_geo_polygon(sr, query, boost)
         if isinstance(query, ShapeBoxQuery):
             return self._score_shape_box(sr, query, boost)
+        if isinstance(query, ShapePolygonQuery):
+            return self._score_shape_polygon(sr, query, boost)
         if isinstance(query, GeoLineQuery):
             return self._score_geo_line(sr, query, boost)
         if isinstance(query, XYBoxQuery):
@@ -1159,6 +1161,88 @@ class Searcher:
             "intersects": inter,
             "within": all_vin,
             "contains": all4_in & ~any_vin_strict & ~any_edge_cross,
+            "disjoint": ~inter,
+        }
+        mask = masks[q.relation] & has
+        docs = np.flatnonzero(mask).astype(np.int64)
+        return docs, np.full(len(docs), dt.type(boost), dtype=dt)
+
+    def _score_shape_polygon(self, sr: SegmentReader,
+                             q: "ShapePolygonQuery", boost: float):
+        """LatLonShapeQuery(Polygon) over shape doc-values: the same
+        flat-ring pass as _score_shape_box, with the box replaced by a
+        query ring — parity accumulates per query edge (XOR), crossings
+        test doc edges against each query edge. Cost: O(query edges ×
+        total doc vertices), vectorized across all docs at once."""
+        dt = self.sim.dtype
+        lats = sr.doc_meta[q.lats_field].combine_chunks()
+        lons = sr.doc_meta[q.lons_field].combine_chunks()
+        off = lats.offsets.to_numpy().astype(np.int64)
+        y = lats.flatten().to_numpy().astype(np.float64)
+        x = lons.flatten().to_numpy().astype(np.float64)
+        n = sr.doc_count
+        counts = np.diff(off)
+        starts = off[:-1]
+        if not len(y):
+            return np.empty(0, np.int64), np.empty(0, dtype=dt)
+        safe_starts = np.minimum(starts, len(y) - 1)
+
+        def per_doc_count(flags):
+            s = np.add.reduceat(flags.astype(np.int64), safe_starts)
+            s[counts == 0] = 0
+            return s
+
+        ring = tuple(q.polygon)
+        m = len(ring)
+        q_edges = [(ring[i][0], ring[i][1],
+                    ring[(i + 1) % m][0], ring[(i + 1) % m][1])
+                   for i in range(m)]
+
+        # doc vertices inside the query ring (parity over query edges)
+        vin = np.zeros(len(y), dtype=bool)
+        for qy1, qx1, qy2, qx2 in q_edges:
+            dy = qy2 - qy1
+            cond = ((qy1 > y) != (qy2 > y)) & \
+                (x < (qx2 - qx1) * (y - qy1) / (dy + (dy == 0)) + qx1)
+            vin ^= cond
+        any_vin = per_doc_count(vin) > 0
+        all_vin = per_doc_count(vin) == counts
+
+        # doc ring edges
+        nxt = np.arange(len(y)) + 1
+        ends = off[1:] - 1
+        nxt[ends[counts > 0]] = starts[counts > 0]
+        y2, x2 = y[nxt], x[nxt]
+
+        # query vertices inside each doc ring (parity over doc edges)
+        all_qv_in = np.ones(n, dtype=bool)
+        any_qv_in = np.zeros(n, dtype=bool)
+        for qy, qx in ring:
+            crossing = ((y > qy) != (y2 > qy)) & \
+                (qx < (x2 - x) * (qy - y) / (y2 - y + ((y2 - y) == 0)) + x)
+            inside = per_doc_count(crossing) % 2 == 1
+            all_qv_in &= inside
+            any_qv_in |= inside
+
+        # proper edge crossings (doc edges × query edges)
+        def cross(ax, ay, bx, by, px, py):
+            return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+
+        edge_hits = np.zeros(len(y), dtype=bool)
+        for qy1, qx1, qy2, qx2 in q_edges:
+            d1 = cross(qx1, qy1, qx2, qy2, x, y)
+            d2 = cross(qx1, qy1, qx2, qy2, x2, y2)
+            d3 = cross(x, y, x2, y2, qx1, qy1)
+            d4 = cross(x, y, x2, y2, qx2, qy2)
+            edge_hits |= ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+        any_cross = per_doc_count(edge_hits) > 0
+
+        inter = any_vin | any_qv_in | any_cross
+        has = counts > 0
+        masks = {
+            "intersects": inter,
+            "within": all_vin & ~any_cross,
+            "contains": all_qv_in & ~any_cross,
             "disjoint": ~inter,
         }
         mask = masks[q.relation] & has

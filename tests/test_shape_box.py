@@ -150,3 +150,39 @@ def test_shape_box_brute_differential(tmp_path):
             if ok:
                 want.append(i)
         assert got == want, relation
+
+
+# ---- ShapePolygonQuery (LatLonShapeQuery with Polygon geometry) ----
+
+def test_shape_polygon_equals_box_for_rectangle_ring(shape_index):
+    """A rectangular query ring must reproduce ShapeBoxQuery exactly —
+    the generic ring-ring kernel degenerates to the box kernel."""
+    from lucene_kmp_ray.search import ShapePolygonQuery
+
+    s = Searcher(IndexReader(shape_index))
+    rect = ((BOX["min_lat"], BOX["min_lon"]), (BOX["min_lat"], BOX["max_lon"]),
+            (BOX["max_lat"], BOX["max_lon"]), (BOX["max_lat"], BOX["min_lon"]))
+    for rel in EXPECT:
+        got = sorted(h.doc_id for h in s.search(
+            ShapePolygonQuery("ring_lats", "ring_lons", rect, relation=rel),
+            k=100).score_docs)
+        assert got == EXPECT[rel], rel
+
+
+def test_shape_polygon_concave_query(shape_index):
+    """Concave query ring (an L): doc 0 (square at lat 2-4, lon 2-4) sits
+    in the L's lower arm → within; doc 3 (square 5-15 × 5-15) pokes into
+    the notch region boundary → intersects, not within."""
+    from lucene_kmp_ray.search import ShapePolygonQuery
+
+    s = Searcher(IndexReader(shape_index))
+    # L-shape: big square [0,12]² minus the upper-right quadrant
+    ell = ((0, 0), (0, 12), (6, 12), (6, 6), (12, 6), (12, 0))
+    got = {rel: sorted(h.doc_id for h in s.search(
+        ShapePolygonQuery("ring_lats", "ring_lons", ell, relation=rel),
+        k=100).score_docs) for rel in ("intersects", "within", "disjoint")}
+    assert 0 in got["within"]
+    assert 3 in got["intersects"] and 3 not in got["within"]
+    # doc 4's arms live at lon 8-20, lat 3-7: crosses the L's lon=12 edge
+    assert 4 in got["intersects"]
+    assert 2 in got["disjoint"]
