@@ -104,10 +104,12 @@ class SegmentSearchActor:
     """
 
     def __init__(self, index_dir: str, queries_ref, k: int, dtype: str,
-                 similarity: str = "bm25"):
+                 similarity: str = "bm25",
+                 soft_deletes_field: str | None = None):
         import ray
         self.k = k
-        self.reader = IndexReader(index_dir)
+        self.reader = IndexReader(index_dir,
+                                  soft_deletes_field=soft_deletes_field)
         self.searcher = Searcher(self.reader,
                                  make_similarity(similarity, dtype))
         # KNN queries resolve to their global top-k ONCE per actor
@@ -139,9 +141,12 @@ class SegmentSearchActor:
 
 def search_distributed(index_dir: str, queries: dict[str, Query], k: int = 10,
                        concurrency: int | None = None, dtype: str = "float32",
-                       similarity: str = "bm25"):
+                       similarity: str = "bm25",
+                       soft_deletes_field: str | None = None):
     """Run many queries over all segments → Dataset of global top-k rows
-    with columns (query_id, doc_id, url, score, rank)."""
+    with columns (query_id, doc_id, url, score, rank).
+    ``soft_deletes_field`` opens every per-actor reader through the
+    soft-deletes wrapper (index/softdeletes.py)."""
     import pyarrow as pa
     import ray
     import ray.data as rd
@@ -158,7 +163,8 @@ def search_distributed(index_dir: str, queries: dict[str, Query], k: int = 10,
     ds = _seg_work_items(segs)
     per_seg = ds.map_batches(
         SegmentSearchActor,
-        fn_constructor_args=(index_dir, queries_ref, k, dtype, similarity),
+        fn_constructor_args=(index_dir, queries_ref, k, dtype, similarity,
+                             soft_deletes_field),
         batch_format="pyarrow", batch_size=8,
         concurrency=_pool_size(concurrency,
                                work_items=(len(segs) + 7) // 8))

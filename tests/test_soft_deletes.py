@@ -149,3 +149,16 @@ def test_undelete_document(tmp_path, ray_session):
     # ANY value in the field counts as soft-deleted (FieldExistsQuery
     # contract), even 0
     assert _hits(idx, "z", soft_deletes_field=F) == [1]
+
+
+def test_soft_deletes_distributed_topk(tmp_path, ray_session):
+    """search_distributed honors the wrapper: per-actor readers open with
+    the soft-deletes field and the hidden doc leaves the top-k."""
+    from lucene_kmp_ray.search.ray_search import search_distributed
+    from lucene_kmp_ray.search import TermQuery
+
+    idx = _mk_index(tmp_path, [["w a", "w b"], ["w c", "w d"]])
+    soft_delete_by_url(idx, ["u2"], parallel=False)
+    df = search_distributed(idx, {"q": TermQuery("w")}, k=10,
+                            soft_deletes_field=F).to_pandas()
+    assert sorted(df["doc_id"]) == [0, 1, 3]

@@ -185,3 +185,21 @@ def test_no_sidecar_returns_empty(tmp_path):
     tv = r.term_vectors([0])
     assert tv.num_rows == 0
     assert "term" in tv.column_names  # stable empty schema
+
+
+def test_merge_mixed_tv_presence(tmp_path):
+    """addIndexes-style mixed sources: only one side has term vectors —
+    the merged segment keeps that side's rows (per-doc FieldType
+    variation), and docs from the vector-less side simply have none."""
+    from lucene_kmp_ray.index.merge import run_merges
+
+    idx = str(tmp_path / "idx")
+    m0 = build_and_write_segment(_docs(["a b"], base=0), 0, idx,
+                                 store_term_vectors=True)
+    m1 = build_and_write_segment(_docs(["c d"], base=1), 1, idx)
+    commit_index(idx, [m0, m1])
+    run_merges(idx, merges=[[0, 1]])
+    r = IndexReader(idx)
+    tv = r.term_vectors([0, 1])
+    d = _tv_dict(tv)
+    assert set(d) == {(0, "text", "a"), (0, "text", "b")}
