@@ -186,3 +186,64 @@ def test_shape_polygon_concave_query(shape_index):
     # doc 4's arms live at lon 8-20, lat 3-7: crosses the L's lon=12 edge
     assert 4 in got["intersects"]
     assert 2 in got["disjoint"]
+
+
+def test_shape_relations_properties(tmp_path):
+    """Property (hypothesis): for random diamonds vs random boxes —
+    within ⊆ intersects, contains ⊆ intersects, disjoint = complement of
+    intersects, and the engine agrees with exact L1 arithmetic."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(-20, 20), st.integers(-20, 20),
+           st.integers(1, 15), st.integers(2, 18), st.integers(2, 18))
+    def run(by, bx, w_seed, bh, bw):
+        import tempfile
+        d = np.arange(40)
+        clat = ((d * 11 + w_seed) % 60 - 30).astype(np.float64)
+        clon = ((d * 13 + w_seed * 3) % 60 - 30).astype(np.float64)
+        w = (1.0 + (d * 7 + w_seed) % 12)
+        box = dict(min_lat=by + 0.3, max_lat=by + bh + 0.3,
+                   min_lon=bx + 0.4, max_lon=bx + bw + 0.4)
+        lats = np.stack([clat - w, clat, clat + w, clat], axis=1)
+        lons = np.stack([clon, clon + w, clon, clon - w], axis=1)
+        idx = tempfile.mkdtemp()
+        docs = pa.table({
+            "doc_id": pa.array(range(40), pa.int64()),
+            "url": [f"u{i}" for i in range(40)],
+            "text": ["x"] * 40,
+            "ring_lats": pa.array(lats.tolist(), pa.list_(pa.float64())),
+            "ring_lons": pa.array(lons.tolist(), pa.list_(pa.float64())),
+        })
+        man = build_and_write_segment(docs, 0, idx,
+                                      meta_cols=("ring_lats", "ring_lons"))
+        commit_index(idx, [man])
+        s = Searcher(IndexReader(idx))
+        got = {}
+        for rel in ("intersects", "within", "contains", "disjoint"):
+            q = ShapeBoxQuery("ring_lats", "ring_lons", relation=rel, **box)
+            got[rel] = set(h.doc_id for h in s.search(q, k=100).score_docs)
+        # exact L1 reference
+        dy = np.maximum(0, np.maximum(box["min_lat"] - clat,
+                                      clat - box["max_lat"]))
+        dx = np.maximum(0, np.maximum(box["min_lon"] - clon,
+                                      clon - box["max_lon"]))
+        inter = set(np.flatnonzero(dy + dx <= w).tolist())
+        within = set(np.flatnonzero(
+            (clat - w >= box["min_lat"]) & (clat + w <= box["max_lat"]) &
+            (clon - w >= box["min_lon"]) & (clon + w <= box["max_lon"])
+        ).tolist())
+        fy = np.maximum(np.abs(box["min_lat"] - clat),
+                        np.abs(box["max_lat"] - clat))
+        fx = np.maximum(np.abs(box["min_lon"] - clon),
+                        np.abs(box["max_lon"] - clon))
+        contains = set(np.flatnonzero(fy + fx <= w).tolist())
+        assert got["intersects"] == inter
+        assert got["within"] == within
+        assert got["contains"] == contains
+        assert got["disjoint"] == set(range(40)) - inter
+        assert got["within"] <= got["intersects"]
+        assert got["contains"] <= got["intersects"]
+
+    run()

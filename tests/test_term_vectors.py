@@ -203,3 +203,46 @@ def test_merge_mixed_tv_presence(tmp_path):
     tv = r.term_vectors([0, 1])
     d = _tv_dict(tv)
     assert set(d) == {(0, "text", "a"), (0, "text", "b")}
+
+
+def test_term_vectors_property_transpose():
+    """Property (hypothesis): for arbitrary token streams, term_vectors_of
+    equals a brute Python per-doc Counter+positions transpose."""
+    from collections import defaultdict
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    token = st.sampled_from(["a", "b", "ab", "xyz", "Z"])
+    doc = st.lists(token, min_size=0, max_size=12)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=8))
+    def run(docs_tokens):
+        texts = pa.array([" ".join(ts) for ts in docs_tokens])
+
+        class WS:  # whitespace analyzer: keeps case, no filtering
+            def analyze_flat(self, texts):
+                toks = [t.as_py().split() for t in texts]
+                lens = np.array([len(t) for t in toks], dtype=np.int64)
+                flat = pa.array([x for ts in toks for x in ts],
+                                pa.string())
+                doc_of = np.repeat(np.arange(len(toks)), lens)
+                starts = np.append(0, np.cumsum(lens))[:-1]
+                positions = np.arange(int(lens.sum()), dtype=np.int64) - \
+                    np.repeat(starts, lens)
+                return lens, flat, doc_of, positions
+
+        tv = term_vectors_of(texts, np.arange(len(docs_tokens)), "text",
+                             analyzer=WS())
+        got = _tv_dict(tv)
+        want = {}
+        for i, ts in enumerate(docs_tokens):
+            by = defaultdict(list)
+            for p, t in enumerate(ts):
+                by[t].append(p)
+            for t, ps in by.items():
+                want[(i, "text", t)] = (len(ps), ps)
+        assert got == want
+
+    run()
