@@ -32,6 +32,7 @@ TERM_STATS_FILE = "term_stats.parquet"
 
 POSTINGS_CACHE_TERMS = 64  # decoded posting lists kept per segment reader
 PAYLOAD_GROUP_CACHE = 8    # payload row groups kept per segment reader
+TERM_ROW_CACHE = 64        # raw term payload rows kept per segment reader
 
 
 class SegmentReader:
@@ -55,6 +56,12 @@ class SegmentReader:
         # decoded-block cache role, SURVEY §2.3): repeated terms across a
         # query batch decode once per actor, capacity-bounded
         self._postings_cache: dict = {}
+        # raw payload rows (encoded blobs + block metadata): a phrase query
+        # fetches each term's row twice (doc intersection, then the
+        # positional skip-read) and block-pruned scoring refetches per
+        # search — rows are immutable, so share one copy via a small LRU
+        self._term_row_cache: dict = {}
+        self._pcols: list[str] | None = None
         self._tombstones: np.ndarray | None | bool = False  # False=unloaded
         self._vectors: np.ndarray | None | bool = False
         self._vector_missing: np.ndarray | None = None
@@ -141,8 +148,10 @@ class SegmentReader:
         return t
 
     def _payload_cols(self) -> list[str]:
-        return [c for c in self._terms_pf().schema_arrow.names
-                if c not in ("field", "term")]
+        if self._pcols is None:  # schema_arrow rebuilds per access — cache
+            self._pcols = [c for c in self._terms_pf().schema_arrow.names
+                           if c not in ("field", "term")]
+        return self._pcols
 
     def _payload_rows(self, idxs: np.ndarray, columns: list[str]):
         """Selected columns for GLOBAL term-row indexes ``idxs`` (any
@@ -372,11 +381,20 @@ class SegmentReader:
         return None
 
     def term_row(self, term: str, field: str = "text") -> dict | None:
+        key = (field, term)
+        row = self._term_row_cache.pop(key, None)
+        if row is not None:
+            self._term_row_cache[key] = row  # re-insert = most recent
+            return row
         i = self.term_index(term, field)
         if i is None:
             return None
         t = self._payload_rows(np.array([i]), self._payload_cols())
-        return {name: t[name][0].as_py() for name in t.column_names}
+        row = {name: t[name][0].as_py() for name in t.column_names}
+        self._term_row_cache[key] = row
+        while len(self._term_row_cache) > TERM_ROW_CACHE:
+            self._term_row_cache.pop(next(iter(self._term_row_cache)))
+        return row
 
     def union_docs(self, idxs) -> np.ndarray:
         """Ascending union of the docID sets of many term rows — the
