@@ -2578,10 +2578,22 @@ def _sloppy_phrase(sr: SegmentReader, terms: list[str], slop: int,
 
     two_distinct = len(terms) == 2 and terms[0] != terms[1]
     if two_distinct:
-        a_flat, a_starts, _ = runs[terms[0]]
-        b_flat, b_starts, _ = runs[terms[1]]
+        a_flat, a_starts, a_cnt = runs[terms[0]]
+        b_flat, b_starts, b_cnt = runs[terms[1]]
+        b_norm = b_flat - 1
         passed = _sloppy_screen_2((a_flat, a_starts),
-                                  (b_flat - 1, b_starts), slop)
+                                  (b_norm, b_starts), slop)
+        walk_idx = np.flatnonzero(passed)
+        # batched C walk (csloppy): same greedy state machine, no Python
+        # dispatch per doc — falls through to the per-doc loop when no C
+        # compiler is available
+        from .csloppy import sloppy2_batch
+        freqs_c = sloppy2_batch(a_flat, a_starts, a_cnt,
+                                b_norm, b_starts, b_cnt, walk_idx, slop)
+        if freqs_c is not None:
+            keep = freqs_c > 0.0
+            return (cand[walk_idx[keep]].astype(np.int64),
+                    freqs_c[keep])
     else:
         # necessary window-overlap screen over per-slot min/max
         mins, maxs = [], []
