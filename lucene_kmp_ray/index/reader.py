@@ -487,7 +487,11 @@ class SegmentReader:
         np.add.at(delta, np.minimum((e - 1) // fu.BLOCK_SIZE + 1, nblocks),
                   -1)
         mask = np.cumsum(delta[:-1]) > 0
-        posd = fu.decode_blocks_masked(row["pos_enc"], n_pos, mask)
+        pm = row.get("_pos_meta")  # stream layout parsed once per cached row
+        if pm is None:
+            pm = row["_pos_meta"] = fu.block_stream_meta(row["pos_enc"],
+                                                         n_pos)
+        posd = fu.decode_blocks_masked(row["pos_enc"], n_pos, mask, meta=pm)
         # gather selected occurrence deltas (entry-major order)
         sel_freqs = (e - s).astype(np.int64)
         total = int(sel_freqs.sum())
@@ -535,8 +539,14 @@ def _decode_selected_blocks(row: dict, mask: np.ndarray):
     """
     df = row["df"]
     last = row["block_last_doc"]
-    dmv, dmeta = fu.block_stream_meta(row["docs_enc"], df)
-    fmv, fmeta = fu.block_stream_meta(row["freqs_enc"], df)
+    dm = row.get("_docs_meta")  # stream layout parsed once per cached row
+    if dm is None:
+        dm = row["_docs_meta"] = fu.block_stream_meta(row["docs_enc"], df)
+    fm = row.get("_freqs_meta")
+    if fm is None:
+        fm = row["_freqs_meta"] = fu.block_stream_meta(row["freqs_enc"], df)
+    dmv, dmeta = dm
+    fmv, fmeta = fm
     out_docs, out_freqs = [], []
     for b in np.flatnonzero(mask):
         cnt = min(fu.BLOCK_SIZE, df - b * fu.BLOCK_SIZE)

@@ -369,13 +369,16 @@ def _apply_patches(out: np.ndarray, mv: np.ndarray, meta: np.ndarray,
     out[idxs] |= mv[src + 1].astype(np.int64) << meta[block_of, 1]
 
 
-def decode_blocks_masked(buf, n: int, mask: np.ndarray) -> np.ndarray:
+def decode_blocks_masked(buf, n: int, mask: np.ndarray,
+                         meta=None) -> np.ndarray:
     """Decode only the blocks selected by ``mask`` (bool per block); the
     output has length n with zeros in unselected regions. Same vectorized
-    per-width unpacking as decode_blocks — the positional skip-read path."""
+    per-width unpacking as decode_blocks — the positional skip-read path.
+    ``meta`` = a precomputed ``block_stream_meta(buf, n)`` result (callers
+    holding a cached term row parse the stream layout once)."""
     if n == 0:
         return np.empty(0, dtype=np.int64)
-    mv, meta = block_stream_meta(buf, n)
+    mv, meta = block_stream_meta(buf, n) if meta is None else meta
     nblocks = meta.shape[0]
     out = np.zeros(n, dtype=np.int64)
     pstarts, widths, nexcs = meta[:, 0], meta[:, 1], meta[:, 2]
