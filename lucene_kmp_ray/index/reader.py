@@ -23,6 +23,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from ..util import cfor
 from ..util import forutil as fu
 from .format import DOCS_FILE, TERMS_FILE, TVECTORS_FILE, decode_postings
 
@@ -491,12 +492,18 @@ class SegmentReader:
         if pm is None:
             pm = row["_pos_meta"] = fu.block_stream_meta(row["pos_enc"],
                                                          n_pos)
-        posd = fu.decode_blocks_masked(row["pos_enc"], n_pos, mask, meta=pm)
-        # gather selected occurrence deltas (entry-major order)
         sel_freqs = (e - s).astype(np.int64)
         total = int(sel_freqs.sum())
         if total == 0:
             return sel_freqs, np.empty(0, np.int64)
+        # fused C path: masked decode + gather/cumsum in one stream pass
+        # (util/cfor.py; numpy below stays the fallback + reference)
+        flat_c = cfor.positions_select(row["pos_enc"], pm, n_pos, mask,
+                                       s, e, total)
+        if flat_c is not None:
+            return sel_freqs, flat_c
+        posd = fu.decode_blocks_masked(row["pos_enc"], n_pos, mask, meta=pm)
+        # gather selected occurrence deltas (entry-major order)
         ends = np.cumsum(sel_freqs)
         starts_out = ends - sel_freqs
         idx = np.arange(total, dtype=np.int64) - \

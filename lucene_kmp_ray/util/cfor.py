@@ -1,0 +1,79 @@
+"""On-demand compiled C core for the fused positional skip-read.
+
+``_cfor.c`` fuses ``decode_blocks_masked`` + the per-entry position
+gather/cumsum of ``SegmentReader.positions_for_entries`` into one C
+pass over the encoded stream — the numpy path stays as the fallback
+and the semantic reference (tests/test_cfor.py fuzzes both against
+each other over random posting shapes, widths and PFor exceptions).
+Same compile-once-per-source-hash pattern as ``analysis/cviterbi.py``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "_cfor.c")
+_CACHED: "ctypes.CDLL | None | bool" = False
+_CACHED_PID = -1
+
+
+def _compile() -> "ctypes.CDLL | None":
+    with open(_SRC, "rb") as f:
+        src = f.read()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    so = os.path.join(tempfile.gettempdir(), f"lkr_cfor_{tag}.so")
+    if not os.path.exists(so):
+        tmp = f"{so}.{os.getpid()}.tmp"
+        subprocess.run(
+            ["cc", "-O2", "-shared", "-fPIC", "-o", tmp, _SRC],
+            check=True, capture_output=True, timeout=120)
+        os.replace(tmp, so)
+    lib = ctypes.CDLL(so)
+    vp = ctypes.c_void_p
+    i64 = ctypes.c_int64
+    lib.positions_select.restype = i64
+    lib.positions_select.argtypes = [vp, i64, vp, i64, i64, vp,
+                                     vp, vp, i64, vp, vp]
+    return lib
+
+
+def lib() -> "ctypes.CDLL | None":
+    global _CACHED, _CACHED_PID
+    if _CACHED is False or _CACHED_PID != os.getpid():
+        try:
+            _CACHED = _compile()
+        except Exception:
+            _CACHED = None
+        _CACHED_PID = os.getpid()
+    return _CACHED
+
+
+def positions_select(buf: bytes, meta_pair, n: int, mask: np.ndarray,
+                     s: np.ndarray, e: np.ndarray,
+                     total: int) -> np.ndarray | None:
+    """Absolute positions for the occurrence ranges ``[s,e)`` (entry
+    order), or None when no C library is available.  ``meta_pair`` =
+    ``block_stream_meta(buf, n)``; ``total`` = ``(e - s).sum()``."""
+    L = lib()
+    if L is None:
+        return None
+    mv, meta = meta_pair
+    mv = np.ascontiguousarray(mv, dtype=np.uint8)
+    meta = np.ascontiguousarray(meta, dtype=np.int64)
+    mask8 = np.ascontiguousarray(mask, dtype=np.uint8)
+    s = np.ascontiguousarray(s, dtype=np.int64)
+    e = np.ascontiguousarray(e, dtype=np.int64)
+    scratch = np.empty(max(n, 1), dtype=np.int64)
+    out = np.empty(total, dtype=np.int64)
+    wrote = L.positions_select(
+        mv.ctypes.data, len(mv), meta.ctypes.data, meta.shape[0], n,
+        mask8.ctypes.data, s.ctypes.data, e.ctypes.data, len(s),
+        scratch.ctypes.data, out.ctypes.data)
+    assert wrote == total
+    return out
