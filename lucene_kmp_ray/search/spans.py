@@ -391,10 +391,47 @@ def _unordered_matches(subs, slop: int):
     return out
 
 
+def _span_near_term_freqs(sr, q: SpanNearQuery, cand: np.ndarray):
+    """Batched C walk for the all-SpanTermQuery near shape (cspans.py):
+    gather each clause's candidate position runs vectorized, then one
+    call
+    walks every doc. Returns None (caller falls back to the per-doc
+    Python matchers) when no C library is available."""
+    from .cspans import span_near_batch
+    flats, starts, cnts = [], [], []
+    for c in q.clauses:
+        p = sr.postings(c.term, positions=True, field=c.field)
+        if p is None:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        docs, freqs, flat = p
+        offs = np.append(0, np.cumsum(freqs))
+        idx = np.searchsorted(docs, cand)
+        cnt = freqs[idx]
+        st = np.cumsum(cnt) - cnt
+        total = int(cnt.sum())
+        gidx = np.arange(total, dtype=np.int64) - \
+            np.repeat(st, cnt) + np.repeat(offs[idx], cnt)
+        flats.append(flat[gidx])
+        starts.append(st)
+        cnts.append(cnt)
+    out = span_near_batch(flats, starts, cnts, len(cand), q.slop,
+                          q.in_order)
+    if out is None:
+        return None
+    keep = out > 0.0
+    return cand[keep].astype(np.int64), out[keep]
+
+
 def span_freqs(sr, q: SpanQuery):
     """(docs asc, float freqs) for one segment: freq = Σ 1/(1+width) per
     doc (SpanScorer.kt:82, float32 accumulation like the reference)."""
     cand = _candidates(sr, q)
+    if (isinstance(q, SpanNearQuery) and len(cand)
+            and all(isinstance(c, SpanTermQuery) for c in q.clauses)
+            and len({c.field for c in q.clauses}) == 1):
+        fast = _span_near_term_freqs(sr, q, cand)
+        if fast is not None:
+            return fast
     out_docs, out_freqs = [], []
     one = np.float32(1.0)
     for d in cand:
