@@ -118,6 +118,19 @@ def run_bench() -> dict:
         timings[name] = round(float(np.median(lat)), 4)
         timings[name + "_p95"] = round(float(np.percentile(lat, 95)), 4)
 
+    # span-near (timed separately — the distributed stage stays 9q for
+    # bar continuity with earlier rounds)
+    from lucene_kmp_ray.search.spans import SpanNearQuery, SpanTermQuery
+    q_span = SpanNearQuery((SpanTermQuery("big"), SpanTermQuery("scan")),
+                           slop=3, in_order=True)
+    searcher.search(q_span, k=10)
+    lat = []
+    for _ in range(5):
+        tq = time.monotonic()
+        searcher.search(q_span, k=10)
+        lat.append(time.monotonic() - tq)
+    timings["q_span_near"] = round(float(np.median(lat)), 4)
+
     # ---- distributed query path (actor pool over segments) ----
     from lucene_kmp_ray.search.ray_search import search_distributed
     search_distributed(idx, qset, k=10).count()  # warm actors
