@@ -685,8 +685,8 @@ def build_quantized_sidecar(vectors_table: pa.Table,
             dense[j] = rows[i]
     else:
         valid = np.ones(n, dtype=bool)
-        dense = np.vstack(col.to_numpy(zero_copy_only=False)) \
-            .astype(np.float64)
+        from ..util.vecs import matrix_from_list_column
+        dense = matrix_from_list_column(col)
         dim = dense.shape[1] if dense.size else 0
     qb, corr = sq.quantize(dense)
     qcorr = np.full(n, np.nan, dtype=np.float64)

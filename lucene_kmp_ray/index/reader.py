@@ -235,9 +235,8 @@ class SegmentReader:
                     self._vectors = mat
                     self._vector_missing = missing
                 else:
-                    self._vectors = np.vstack(
-                        col.to_numpy(zero_copy_only=False)) \
-                        .astype(np.float64)
+                    from ..util.vecs import matrix_from_list_column
+                    self._vectors = matrix_from_list_column(col)
                     self._vector_missing = None
         return self._vectors
 

@@ -31,6 +31,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..util.pool import pool_size as _pool_size
+from ..util.vecs import matrix_from_list_column as _dense
 
 
 def _norm_rows(m: np.ndarray) -> np.ndarray:
@@ -78,8 +79,7 @@ class BruteForceScorer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vec_ids = batch["vec_id"].to_numpy()
-        mat = np.vstack(batch["embedding"].to_numpy(zero_copy_only=False)) \
-            .astype(np.float64)
+        mat = _dense(batch["embedding"])
         sims = _norm_rows(mat) @ self.q.T  # (batch, nq)
         out = {"query_id": [], "vec_id": [], "score": []}
         k = min(self.k, len(vec_ids))
@@ -166,7 +166,7 @@ def ann_lsh_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
     queries_ref = ray.put((qids, qmat, probes))
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        mat = np.vstack(batch["embedding"].to_numpy(zero_copy_only=False))
+        mat = _dense(batch["embedding"])
         b = ((mat @ planes.T) > 0) @ (1 << np.arange(N_PLANES))
         return batch.append_column("bucket", pa.array(b, pa.int64()))
 
@@ -179,9 +179,7 @@ def ann_lsh_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
         def __call__(self, batch: pa.Table) -> pa.Table:
             vec_ids = batch["vec_id"].to_numpy()
             buckets = batch["bucket"].to_numpy()
-            mat = _norm_rows(np.vstack(
-                batch["embedding"].to_numpy(zero_copy_only=False))
-                .astype(np.float64))
+            mat = _norm_rows(_dense(batch["embedding"]))
             out = {"query_id": [], "vec_id": [], "score": []}
             for j, qid in enumerate(self.qids):
                 mask = np.isin(buckets, self.probes[j])
@@ -288,9 +286,7 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             vec_ids = batch["vec_id"].to_numpy()
-            mat = _norm_rows(np.vstack(
-                batch["embedding"].to_numpy(zero_copy_only=False))
-                .astype(np.float64))
+            mat = _norm_rows(_dense(batch["embedding"]))
             cells = np.argmax(mat @ self.cent.T, axis=1)
             return self.score(vec_ids, mat, cells)
 
@@ -317,9 +313,7 @@ def ann_ivf_build(sf_dir: str, index_dir: str,
     cent = _train_centroids(sf_dir)
 
     def assign(batch: pa.Table) -> pa.Table:
-        mat = _norm_rows(np.vstack(
-            batch["embedding"].to_numpy(zero_copy_only=False))
-            .astype(np.float64))
+        mat = _norm_rows(_dense(batch["embedding"]))
         cells = np.argmax(mat @ cent.T, axis=1)
         # 'cell' becomes the hive partition key (dropped from the files);
         # 'c' keeps the id readable in-file without re-deriving partitions
@@ -373,9 +367,7 @@ def ann_ivf_partitioned(sf_dir: str, n_queries: int = 5, k: int = 10,
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             vec_ids = batch["vec_id"].to_numpy()
-            mat = _norm_rows(np.vstack(
-                batch["embedding"].to_numpy(zero_copy_only=False))
-                .astype(np.float64))
+            mat = _norm_rows(_dense(batch["embedding"]))
             return self.score(vec_ids, mat, batch["c"].to_numpy())
 
     # path-level pruning: only probed cell dirs are even listed

@@ -696,8 +696,8 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.95,
         t = pf.read_row_groups(gsel, columns=["vec_id", "embedding"])
         t = t.slice(lo - offs[gsel[0]], hi - lo)
         ids = t["vec_id"].to_numpy()
-        mat = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)) \
-            .astype(np.float64)
+        from ..util.vecs import matrix_from_list_column
+        mat = matrix_from_list_column(t["embedding"])
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         return ids, mat / norms
