@@ -74,11 +74,15 @@ def invert_field(texts, n_docs: int, analyzer=None):
     dict_arr = flat_tokens.dictionary_encode()
     codes = dict_arr.indices.to_numpy().astype(np.int64) if total else \
         np.empty(0, np.int64)
-    vocab = np.asarray(dict_arr.dictionary.to_pylist(), dtype=object)
-    vorder = np.argsort(vocab)
-    uniques = vocab[vorder]
-    rank = np.empty(len(vocab), dtype=np.int64)
-    rank[vorder] = np.arange(len(vocab))
+    # sorted-term rank via Arrow's C++ string sort (bytewise on UTF-8 ==
+    # code-point order, the BytesRef term order of
+    # TermsHashPerField.sortTerms) — no Python string objects
+    import pyarrow.compute as pc
+    dictionary = dict_arr.dictionary
+    vorder = pc.sort_indices(dictionary).to_numpy().astype(np.int64)
+    uniques = pc.take(dictionary, pa.array(vorder))
+    rank = np.empty(len(dictionary), dtype=np.int64)
+    rank[vorder] = np.arange(len(dictionary))
     scodes = rank[codes]
 
     # sort occurrences by (term, doc); stable keeps positions ascending
@@ -297,20 +301,44 @@ def encode_term_table_arrays(uniques, s_doc, s_freq, pos_delta,
     The r1 per-term Python loop (one generator step + ~10 numpy calls per
     term) is invisible on a 31-term synthetic vocabulary and dominant on a
     real web vocabulary (millions of terms/segment, mostly df=1). Here
-    every term whose three streams fit one 128-value block — at web scale
-    the overwhelming majority — encodes via ONE call each to
-    ``for_blocks_matrix`` / ``pfor_blocks_matrix`` (terms stacked as rows;
-    blocks are independent in the stream so the bytes are identical to the
-    per-term path, asserted in tests), and the output Arrow buffers are
-    assembled by fancy indexing. Multi-block terms (the Zipf head) fall
-    back to the per-term path and are stitched into the same columns.
+    EVERY term — single-block majority and multi-block Zipf head alike —
+    encodes through ONE call each to ``for_blocks_matrix`` /
+    ``pfor_blocks_matrix``: each term contributes ``ceil(len/128)``
+    consecutive matrix rows, and since blocks are independent in the
+    stream the concatenated bytes are identical to the per-term path
+    (asserted in tests). The per-term binary columns are then plain
+    offset slices of the single shared stream (terms tile the rows in
+    term order), and the skip/impact metadata falls out of one global
+    ``reduceat`` over the entry arrays (block starts tile them exactly).
     """
     n_terms = len(uniques)
+    BS = fu.BLOCK_SIZE
     df = (term_ends - term_starts).astype(np.int64)
     ttf = (pos_bounds[term_ends] - pos_bounds[term_starts]).astype(np.int64)
-    single = (df <= fu.BLOCK_SIZE) & (ttf <= fu.BLOCK_SIZE)
-    sgl_idx = np.flatnonzero(single)
-    multi_idx = np.flatnonzero(~single)
+
+    # The block/row layout below assumes the kept terms TILE the entry and
+    # position arrays. Merge passes gapped views when a term's postings
+    # were fully reclaimed (index/merge.py drops df==0 codes), so compact
+    # the gaps out first — also makes the block max-freq / min-norm
+    # reduceats exact instead of conservatively spanning dropped entries.
+    contiguous = n_terms == 0 or (
+        int(term_starts[0]) == 0 and int(term_ends[-1]) == len(s_doc)
+        and np.array_equal(term_starts[1:], term_ends[:-1]))
+    if not contiguous:
+        total = int(df.sum())
+        out_start = np.cumsum(df) - df
+        within = np.arange(total, dtype=np.int64) - np.repeat(out_start, df)
+        gather = np.repeat(term_starts, df) + within
+        ptotal = int(ttf.sum())
+        pout = np.cumsum(ttf) - ttf
+        pwithin = np.arange(ptotal, dtype=np.int64) - np.repeat(pout, ttf)
+        pgather = np.repeat(pos_bounds[term_starts], ttf) + pwithin
+        s_doc = s_doc[gather]
+        s_freq = s_freq[gather]
+        pos_delta = pos_delta[pgather]
+        term_starts = out_start
+        term_ends = out_start + df
+        pos_bounds = np.append(0, np.cumsum(s_freq))
 
     # docs delta chain restarts at every term: one global diff + absolute
     # first-of-term fix (no per-term delta_encode calls)
@@ -320,92 +348,100 @@ def encode_term_table_arrays(uniques, s_doc, s_freq, pos_delta,
         np.subtract(s_doc[1:], s_doc[:-1], out=d_delta[1:])
         d_delta[term_starts] = s_doc[term_starts]
 
-    # ---- bulk single-block path: stack terms as matrix rows ----
-    k = len(sgl_idx)
-    st = term_starts[sgl_idx]
-    cnt = df[sgl_idx]
-    D = np.zeros((k, fu.BLOCK_SIZE), np.uint64)
-    F = np.zeros((k, fu.BLOCK_SIZE), np.uint64)
-    P = np.zeros((k, fu.BLOCK_SIZE), np.uint64)
-    if k:
-        total = int(cnt.sum())
-        out_start = np.cumsum(cnt) - cnt
-        within = np.arange(total, dtype=np.int64) - np.repeat(out_start, cnt)
-        gather = np.repeat(st, cnt) + within
-        rows = np.repeat(np.arange(k), cnt)
-        D[rows, within] = d_delta[gather].astype(np.uint64)
-        F[rows, within] = s_freq[gather].astype(np.uint64)
-        pst = pos_bounds[st]
-        pcnt = ttf[sgl_idx]
-        ptotal = int(pcnt.sum())
-        pout = np.cumsum(pcnt) - pcnt
-        pwithin = np.arange(ptotal, dtype=np.int64) - np.repeat(pout, pcnt)
-        pgather = np.repeat(pst, pcnt) + pwithin
-        prows = np.repeat(np.arange(k), pcnt)
-        P[prows, pwithin] = pos_delta[pgather].astype(np.uint64)
+    nb_d = (df + BS - 1) // BS   # doc/freq blocks per term (df >= 1)
+    nb_p = (ttf + BS - 1) // BS  # position blocks per term (ttf >= df)
+    Rd = int(nb_d.sum())
+    Rp = int(nb_p.sum())
+    drow = np.cumsum(nb_d) - nb_d
+    prow = np.cumsum(nb_p) - nb_p
+    # block starts tile the entry / position arrays exactly (terms tile
+    # them, each term's blocks tile the term) — shared by the CSR encoder
+    # row_ptrs and the skip/impact reduceats below
+    blk_start = (np.repeat(term_starts, nb_d)
+                 + (np.arange(Rd) - np.repeat(drow, nb_d)) * BS) \
+        if Rd else np.empty(0, np.int64)
+    pblk_start = (np.repeat(pos_bounds[term_starts], nb_p)
+                  + (np.arange(Rp) - np.repeat(prow, nb_p)) * BS) \
+        if Rp else np.empty(0, np.int64)
+
+    from ..util.cfor import encode_csr
+    row_ptr_d = np.append(blk_start, len(s_doc))
+    enc_d = encode_csr(d_delta, row_ptr_d, pfor=False)
+    if enc_d is not None:
+        # C path: encode straight off the flat entry arrays
+        d_stream, d_starts = enc_d
+        f_stream, f_starts = encode_csr(s_freq, row_ptr_d, pfor=True)
+        p_stream, p_starts = encode_csr(
+            pos_delta, np.append(pblk_start, len(pos_delta)), pfor=True)
     else:
-        pcnt = np.empty(0, np.int64)
-    d_stream, d_starts = fu.for_blocks_matrix(D, cnt)
-    f_stream, f_starts = fu.pfor_blocks_matrix(F, cnt)
-    p_stream, p_starts = fu.pfor_blocks_matrix(P, pcnt)
+        # numpy fallback: stack each term's values into zero-padded
+        # (R, 128) matrix rows and run the vectorized matrix encoders
+        def _layout(seg_starts, seg_lens, nb, row_off, R):
+            total = int(seg_lens.sum())
+            out_start = np.cumsum(seg_lens) - seg_lens
+            within = np.arange(total, dtype=np.int64) \
+                - np.repeat(out_start, seg_lens)
+            gather = np.repeat(seg_starts, seg_lens) + within
+            rows = np.repeat(row_off, seg_lens) + within // BS
+            cols = within % BS
+            counts = np.full(R, BS, np.int64)
+            if R:
+                counts[row_off + nb - 1] = seg_lens - (nb - 1) * BS
+            return gather, rows, cols, counts
 
-    # ---- multi-block (head) terms: per-term fallback ----
-    m_docs, m_freqs, m_pos = [], [], []
-    m_last, m_maxf, m_minn = [], [], []
-    for t in multi_idx:
-        d = s_doc[term_starts[t]:term_ends[t]]
-        f = s_freq[term_starts[t]:term_ends[t]]
-        posd = pos_delta[pos_bounds[term_starts[t]]:pos_bounds[term_ends[t]]]
-        m_docs.append(fu.encode_blocks(fu.delta_encode(d)))
-        m_freqs.append(fu.encode_blocks_pfor(f))
-        m_pos.append(fu.encode_blocks_pfor(posd))
-        idx = np.arange(0, len(d), fu.BLOCK_SIZE)
-        m_last.append(d[np.minimum(idx + fu.BLOCK_SIZE - 1, len(d) - 1)]
-                      .astype(np.int32))
-        m_maxf.append(np.maximum.reduceat(f, idx).astype(np.int32))
-        m_minn.append(np.minimum.reduceat(
-            norms[d].astype(np.int64), idx).astype(np.int32))
+        g_d, r_d, c_d, dcnt = _layout(term_starts, df, nb_d, drow, Rd)
+        D = np.zeros((Rd, BS), np.uint64)
+        F = np.zeros((Rd, BS), np.uint64)
+        if Rd:
+            D[r_d, c_d] = d_delta[g_d].astype(np.uint64)
+            F[r_d, c_d] = s_freq[g_d].astype(np.uint64)
+        g_p, r_p, c_p, pcnt = _layout(pos_bounds[term_starts], ttf,
+                                      nb_p, prow, Rp)
+        P = np.zeros((Rp, BS), np.uint64)
+        if Rp:
+            P[r_p, c_p] = pos_delta[g_p].astype(np.uint64)
+        d_stream, d_starts = fu.for_blocks_matrix(D, dcnt)
+        f_stream, f_starts = fu.pfor_blocks_matrix(F, dcnt)
+        p_stream, p_starts = fu.pfor_blocks_matrix(P, pcnt)
 
-    # ---- skip/impact metadata: one reduceat across ALL terms for the
-    # single-block majority (each such term is exactly one block) ----
-    if n_terms:
-        per_term_maxf = np.maximum.reduceat(s_freq, term_starts) \
-            if len(s_freq) else np.empty(0, np.int64)
-        per_term_minn = np.minimum.reduceat(
-            norms[s_doc].astype(np.int64), term_starts) \
-            if len(s_doc) else np.empty(0, np.int64)
-        last_doc = s_doc[term_ends - 1]
-    blk_counts = np.ones(n_terms, np.int64)
-    for j, i in enumerate(multi_idx):
-        blk_counts[i] = len(m_last[j])
-    total_blocks = int(blk_counts.sum())
-    v_last = np.empty(total_blocks, np.int64)
-    v_maxf = np.empty(total_blocks, np.int64)
-    v_minn = np.empty(total_blocks, np.int64)
-    boff = np.cumsum(blk_counts) - blk_counts
-    if n_terms:
-        v_last[boff[sgl_idx]] = last_doc[sgl_idx]
-        v_maxf[boff[sgl_idx]] = per_term_maxf[sgl_idx]
-        v_minn[boff[sgl_idx]] = per_term_minn[sgl_idx]
-    for j, i in enumerate(multi_idx):
-        o = int(boff[i])
-        v_last[o:o + blk_counts[i]] = m_last[j]
-        v_maxf[o:o + blk_counts[i]] = m_maxf[j]
-        v_minn[o:o + blk_counts[i]] = m_minn[j]
+    def _contig_binary(stream: np.ndarray, starts: np.ndarray,
+                       row_off: np.ndarray) -> pa.Array:
+        """Per-term binary column as offset slices of the shared stream
+        (terms tile the block rows contiguously in term order)."""
+        offs = np.empty(n_terms + 1, np.int64)
+        if n_terms:
+            offs[:n_terms] = starts[row_off]
+        offs[n_terms] = len(stream)
+        return pa.Array.from_buffers(
+            pa.binary(), n_terms,
+            [None, pa.py_buffer(offs.astype(np.int32).tobytes()),
+             pa.py_buffer(stream.tobytes())])
 
+    # ---- skip/impact metadata: doc-block starts tile the entry arrays
+    # exactly (each term's blocks cover its entries, terms tile the
+    # array), so one reduceat per stat covers every block of every term ----
+    if Rd:
+        term_of_block = np.repeat(np.arange(n_terms), nb_d)
+        blk_end = np.minimum(blk_start + BS, term_ends[term_of_block])
+        v_last = s_doc[blk_end - 1]
+        v_maxf = np.maximum.reduceat(s_freq, blk_start)
+        v_minn = np.minimum.reduceat(norms[s_doc].astype(np.int64),
+                                     blk_start)
+    else:
+        v_last = v_maxf = v_minn = np.empty(0, np.int64)
+
+    term_col = uniques if isinstance(uniques, (pa.Array, pa.ChunkedArray)) \
+        else pa.array(uniques, type=pa.string())
     return pa.table({
-        "term": pa.array(uniques, type=pa.string()),
+        "term": term_col,
         "df": pa.array(df, type=pa.int64()),
         "ttf": pa.array(ttf, type=pa.int64()),
-        "docs_enc": _binary_column(n_terms, sgl_idx, d_stream, d_starts,
-                                   multi_idx, m_docs),
-        "freqs_enc": _binary_column(n_terms, sgl_idx, f_stream, f_starts,
-                                    multi_idx, m_freqs),
-        "pos_enc": _binary_column(n_terms, sgl_idx, p_stream, p_starts,
-                                  multi_idx, m_pos),
-        "block_last_doc": _list_column(n_terms, blk_counts, v_last),
-        "block_max_freq": _list_column(n_terms, blk_counts, v_maxf),
-        "block_min_norm": _list_column(n_terms, blk_counts, v_minn),
+        "docs_enc": _contig_binary(d_stream, d_starts, drow),
+        "freqs_enc": _contig_binary(f_stream, f_starts, drow),
+        "pos_enc": _contig_binary(p_stream, p_starts, prow),
+        "block_last_doc": _list_column(n_terms, nb_d, v_last),
+        "block_max_freq": _list_column(n_terms, nb_d, v_maxf),
+        "block_min_norm": _list_column(n_terms, nb_d, v_minn),
     })
 
 

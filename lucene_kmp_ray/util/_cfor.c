@@ -94,3 +94,186 @@ int64_t positions_select(const uint8_t *mv, int64_t mvlen,
     }
     return j;
 }
+
+/* ---- bulk block ENCODE (for_blocks_matrix / pfor_blocks_matrix core) ----
+ *
+ * The numpy encoders in util/forutil.py remain the fallback and the
+ * semantic reference (tests/test_cfor.py fuzzes byte-identity).  Width and
+ * exception selection reproduce pfor_blocks_matrix exactly:
+ *   cand_w[e] = (e+1)-th largest bit length in the row (multiplicity kept),
+ *   nexc[e]   = count(bl > cand_w[e]) over all 128 columns,
+ *   valid     = (max_bl - cand_w[e]) <= 8 && nexc[e] <= 7,
+ *   cost      = (cnt*w + 7)/8 + (nexc ? 1 + 2*nexc : 0),  first minimum wins.
+ */
+
+static inline int bitlen_u64(uint64_t v) {
+    return v ? 64 - __builtin_clzll(v) : 0;
+}
+
+/* pass 1: per-row width + exception count.  pfor=0 -> plain FOR. */
+void encode_meta(const uint64_t *resh, int64_t R, int pfor,
+                 const int64_t *counts, int64_t *widths, int64_t *nexc) {
+    for (int64_t r = 0; r < R; r++) {
+        const uint64_t *row = resh + r * BLOCK_SIZE;
+        int hist[65];
+        int maxw = 0;
+        if (pfor) memset(hist, 0, sizeof hist);
+        for (int i = 0; i < BLOCK_SIZE; i++) {
+            int b = bitlen_u64(row[i]);
+            if (b > maxw) maxw = b;
+            if (pfor) hist[b]++;
+        }
+        if (!pfor) { widths[r] = maxw; nexc[r] = 0; continue; }
+        /* top-8 bit lengths descending, with multiplicity */
+        int cand[8], k = 0;
+        for (int w = 64; w >= 0 && k < 8; w--)
+            for (int c = hist[w]; c > 0 && k < 8; c--)
+                cand[k++] = w;
+        while (k < 8) cand[k++] = 0;   /* BLOCK_SIZE >= 8, never hit */
+        /* suffix counts: gt[w] = #values with bl > w */
+        int gt[66];
+        gt[64] = 0;
+        for (int w = 63; w >= 0; w--) gt[w] = gt[w + 1] + hist[w + 1];
+        int64_t cnt = counts[r];
+        int64_t best_cost = -1; int best_w = maxw, best_ne = 0;
+        for (int e = 0; e < 8; e++) {
+            int w = cand[e];
+            int ne = gt[w];
+            if (maxw - w > 8 || ne > 7) continue;
+            int64_t cost = (cnt * w + 7) / 8 + (ne ? 1 + 2 * ne : 0);
+            if (best_cost < 0 || cost < best_cost) {
+                best_cost = cost; best_w = w; best_ne = ne;
+            }
+        }
+        widths[r] = best_w; nexc[r] = best_ne;
+    }
+}
+
+/* pass 2: write headers, packed payloads and exception pairs at the
+ * caller-computed per-row starts (out must be zero-initialised). */
+void encode_pack(const uint64_t *resh, int64_t R, const int64_t *counts,
+                 const int64_t *widths, const int64_t *nexc,
+                 const int64_t *starts, uint8_t *out) {
+    for (int64_t r = 0; r < R; r++) {
+        const uint64_t *row = resh + r * BLOCK_SIZE;
+        int64_t w = widths[r], ne = nexc[r], cnt = counts[r];
+        uint8_t *h = out + starts[r];
+        uint8_t *p;
+        if (ne) { h[0] = (uint8_t)(0x80 | w); h[1] = (uint8_t)ne; p = h + 2; }
+        else    { h[0] = (uint8_t)w;          p = h + 1; }
+        int64_t paybytes = (cnt * w + 7) / 8;
+        uint64_t mask = (w >= 64) ? ~0ULL : ((1ULL << w) - 1);
+        if (w) {
+            for (int64_t i = 0; i < cnt; i++) {
+                uint64_t v = row[i] & mask;
+                if (!v) continue;
+                int64_t bito = i * w;
+                int64_t byo = bito >> 3;
+                int sh = (int)(bito & 7);
+                uint64_t lo = v << sh;
+                int64_t lim = paybytes - byo;
+                for (int b = 0; b < 8 && b < lim; b++)
+                    p[byo + b] |= (uint8_t)(lo >> (8 * b));
+                if (sh && w + sh > 64 && lim > 8)
+                    p[byo + 8] |= (uint8_t)(v >> (64 - sh));
+            }
+        }
+        if (ne) {
+            uint8_t *exc = p + paybytes;
+            int64_t j = 0;
+            for (int i = 0; i < BLOCK_SIZE && j < ne; i++) {
+                if (bitlen_u64(row[i]) > w) {
+                    exc[2 * j] = (uint8_t)i;
+                    exc[2 * j + 1] = (uint8_t)(row[i] >> w);
+                    j++;
+                }
+            }
+        }
+    }
+}
+
+/* ---- CSR encode variants: row r's values are vals[row_ptr[r] ..
+ * row_ptr[r+1]) (0 <= count <= 128), no padded matrix needed.  Width /
+ * exception selection is identical to encode_meta: the numpy reference
+ * pads rows with zeros, which contribute bit length 0 and can never be
+ * exceptions, so top-8 slots beyond the row's values are 0 — reproduced
+ * here by padding the candidate list with zeros. */
+
+void encode_meta_csr(const int64_t *vals, const int64_t *row_ptr,
+                     int64_t R, int pfor, int64_t *widths, int64_t *nexc) {
+    for (int64_t r = 0; r < R; r++) {
+        const int64_t *v = vals + row_ptr[r];
+        int64_t cnt = row_ptr[r + 1] - row_ptr[r];
+        int hist[65];
+        int maxw = 0;
+        if (pfor) memset(hist, 0, sizeof hist);
+        for (int64_t i = 0; i < cnt; i++) {
+            int b = bitlen_u64((uint64_t)v[i]);
+            if (b > maxw) maxw = b;
+            if (pfor) hist[b]++;
+        }
+        if (!pfor) { widths[r] = maxw; nexc[r] = 0; continue; }
+        int cand[8], k = 0;
+        for (int w = 64; w >= 0 && k < 8; w--)
+            for (int c = hist[w]; c > 0 && k < 8; c--)
+                cand[k++] = w;
+        while (k < 8) cand[k++] = 0;   /* zero-padding's bit lengths */
+        int gt[66];
+        gt[64] = 0;
+        for (int w = 63; w >= 0; w--) gt[w] = gt[w + 1] + hist[w + 1];
+        int64_t best_cost = -1; int best_w = maxw, best_ne = 0;
+        for (int e = 0; e < 8; e++) {
+            int w = cand[e];
+            int ne = gt[w];
+            if (maxw - w > 8 || ne > 7) continue;
+            int64_t cost = (cnt * w + 7) / 8 + (ne ? 1 + 2 * ne : 0);
+            if (best_cost < 0 || cost < best_cost) {
+                best_cost = cost; best_w = w; best_ne = ne;
+            }
+        }
+        widths[r] = best_w; nexc[r] = best_ne;
+    }
+}
+
+void encode_pack_csr(const int64_t *vals, const int64_t *row_ptr,
+                     int64_t R, const int64_t *widths, const int64_t *nexc,
+                     const int64_t *starts, uint8_t *out) {
+    for (int64_t r = 0; r < R; r++) {
+        const int64_t *row = vals + row_ptr[r];
+        int64_t cnt = row_ptr[r + 1] - row_ptr[r];
+        int64_t w = widths[r], ne = nexc[r];
+        uint8_t *h = out + starts[r];
+        uint8_t *p;
+        if (ne) { h[0] = (uint8_t)(0x80 | w); h[1] = (uint8_t)ne; p = h + 2; }
+        else    { h[0] = (uint8_t)w;          p = h + 1; }
+        int64_t paybytes = (cnt * w + 7) / 8;
+        uint64_t mask = (w >= 64) ? ~0ULL : ((1ULL << w) - 1);
+        if (w) {
+            for (int64_t i = 0; i < cnt; i++) {
+                uint64_t x = (uint64_t)row[i] & mask;
+                if (!x) continue;
+                int64_t bito = i * w;
+                int64_t byo = bito >> 3;
+                int sh = (int)(bito & 7);
+                uint64_t lo = x << sh;
+                int64_t lim = paybytes - byo;
+                for (int b = 0; b < 8 && b < lim; b++)
+                    p[byo + b] |= (uint8_t)(lo >> (8 * b));
+                if (sh && w + sh > 64 && lim > 8)
+                    p[byo + 8] |= (uint8_t)(((uint64_t)row[i] & mask)
+                                            >> (64 - sh));
+            }
+        }
+        if (ne) {
+            uint8_t *exc = p + paybytes;
+            int64_t j = 0;
+            for (int64_t i = 0; i < cnt && j < ne; i++) {
+                if (bitlen_u64((uint64_t)row[i]) > w) {
+                    exc[2 * j] = (uint8_t)i;
+                    exc[2 * j + 1] = (uint8_t)((uint64_t)row[i] >> w);
+                    j++;
+                }
+            }
+        }
+    }
+}

@@ -37,9 +37,18 @@ def _compile() -> "ctypes.CDLL | None":
     lib = ctypes.CDLL(so)
     vp = ctypes.c_void_p
     i64 = ctypes.c_int64
+    i32 = ctypes.c_int
     lib.positions_select.restype = i64
     lib.positions_select.argtypes = [vp, i64, vp, i64, i64, vp,
                                      vp, vp, i64, vp, vp]
+    lib.encode_meta.restype = None
+    lib.encode_meta.argtypes = [vp, i64, i32, vp, vp, vp]
+    lib.encode_pack.restype = None
+    lib.encode_pack.argtypes = [vp, i64, vp, vp, vp, vp, vp]
+    lib.encode_meta_csr.restype = None
+    lib.encode_meta_csr.argtypes = [vp, vp, i64, i32, vp, vp]
+    lib.encode_pack_csr.restype = None
+    lib.encode_pack_csr.argtypes = [vp, vp, i64, vp, vp, vp, vp]
     return lib
 
 
@@ -77,3 +86,58 @@ def positions_select(buf: bytes, meta_pair, n: int, mask: np.ndarray,
         scratch.ctypes.data, out.ctypes.data)
     assert wrote == total
     return out
+
+
+def encode_matrix(resh: np.ndarray, counts: np.ndarray,
+                  pfor: bool):
+    """C bulk block encode — the for_blocks_matrix / pfor_blocks_matrix
+    core (byte-identical, fuzz-asserted).  Returns ``(stream_uint8,
+    block_starts)`` or None when no C library is available."""
+    L = lib()
+    if L is None:
+        return None
+    R = resh.shape[0]
+    resh = np.ascontiguousarray(resh, dtype=np.uint64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    widths = np.empty(R, dtype=np.int64)
+    nexc = np.empty(R, dtype=np.int64)
+    L.encode_meta(resh.ctypes.data, R, 1 if pfor else 0,
+                  counts.ctypes.data, widths.ctypes.data, nexc.ctypes.data)
+    payload = (counts * widths + 7) // 8
+    block_bytes = 1 + np.where(nexc > 0, 1 + 2 * nexc, 0) + payload
+    ends = np.cumsum(block_bytes)
+    starts = np.ascontiguousarray(ends - block_bytes)
+    out = np.zeros(int(ends[-1]) if R else 0, dtype=np.uint8)
+    L.encode_pack(resh.ctypes.data, R, counts.ctypes.data,
+                  widths.ctypes.data, nexc.ctypes.data,
+                  starts.ctypes.data, out.ctypes.data)
+    return out, starts
+
+
+def encode_csr(vals: np.ndarray, row_ptr: np.ndarray, pfor: bool):
+    """C bulk block encode over a CSR layout — row ``r``'s (<= 128)
+    values are ``vals[row_ptr[r]:row_ptr[r+1]]``.  Byte-identical to
+    ``encode_matrix`` over the equivalent zero-padded matrix (the
+    padding contributes bit length 0 and can never be an exception).
+    Returns ``(stream_uint8, block_starts)`` or None without a C lib."""
+    L = lib()
+    if L is None:
+        return None
+    R = len(row_ptr) - 1
+    vals = np.ascontiguousarray(vals, dtype=np.int64)
+    row_ptr = np.ascontiguousarray(row_ptr, dtype=np.int64)
+    widths = np.empty(R, dtype=np.int64)
+    nexc = np.empty(R, dtype=np.int64)
+    L.encode_meta_csr(vals.ctypes.data, row_ptr.ctypes.data, R,
+                      1 if pfor else 0,
+                      widths.ctypes.data, nexc.ctypes.data)
+    counts = np.diff(row_ptr)
+    payload = (counts * widths + 7) // 8
+    block_bytes = 1 + np.where(nexc > 0, 1 + 2 * nexc, 0) + payload
+    ends = np.cumsum(block_bytes)
+    starts = np.ascontiguousarray(ends - block_bytes)
+    out = np.zeros(int(ends[-1]) if R else 0, dtype=np.uint8)
+    L.encode_pack_csr(vals.ctypes.data, row_ptr.ctypes.data, R,
+                      widths.ctypes.data, nexc.ctypes.data,
+                      starts.ctypes.data, out.ctypes.data)
+    return out, starts

@@ -141,6 +141,16 @@ def for_blocks_matrix(resh: np.ndarray,
     are identical either way. Returns ``(stream_uint8, block_starts)``
     (block b's bytes are ``stream[starts[b]:starts[b+1] or end]``).
     """
+    from .cfor import encode_matrix as _c_encode
+    c = _c_encode(resh, counts, pfor=False)
+    if c is not None:
+        return c
+    return _for_blocks_matrix_np(resh, counts)
+
+
+def _for_blocks_matrix_np(resh: np.ndarray, counts: np.ndarray):
+    """Numpy reference implementation of for_blocks_matrix (the C
+    fallback; byte-identity fuzz-asserted in tests/test_cfor.py)."""
     nblocks = resh.shape[0]
     widths = _bit_length_np(resh.max(axis=1).astype(np.int64))
     payload = (counts * widths + 7) // 8
@@ -215,6 +225,16 @@ def pfor_blocks_matrix(resh: np.ndarray,
     vectorized core of encode_blocks_pfor, shared with the bulk
     single-block-term path (see for_blocks_matrix on block independence).
     Returns ``(stream_uint8, block_starts)``."""
+    from .cfor import encode_matrix as _c_encode
+    c = _c_encode(resh, counts, pfor=True)
+    if c is not None:
+        return c
+    return _pfor_blocks_matrix_np(resh, counts)
+
+
+def _pfor_blocks_matrix_np(resh: np.ndarray, counts: np.ndarray):
+    """Numpy reference implementation of pfor_blocks_matrix (the C
+    fallback; byte-identity fuzz-asserted in tests/test_cfor.py)."""
     nblocks = resh.shape[0]
     bl = _bit_length_np(resh.reshape(-1).astype(np.int64)) \
         .reshape(nblocks, BLOCK_SIZE)

@@ -91,3 +91,64 @@ def test_cfor_wide_width_tail():
     got = positions_select(enc, fu.block_stream_meta(enc, n), n, mask,
                            s, e, int((e - s).sum()))
     assert np.array_equal(got, want)
+
+
+def test_c_encode_matrix_fuzz_vs_numpy():
+    """The C bulk block encoder must be byte-identical to the numpy
+    for/pfor matrix encoders over random widths, counts and exception
+    patterns (incl. all-zero rows, width-64 values, partial tails)."""
+    _require_lib()
+    rng = np.random.default_rng(41)
+    for trial in range(300):
+        R = int(rng.integers(1, 40))
+        wbits = int(rng.integers(1, 64))
+        m = rng.integers(0, 1 << wbits, size=(R, fu.BLOCK_SIZE),
+                         dtype=np.int64).astype(np.uint64)
+        if trial % 7 == 0:      # exception bait: a few huge outliers
+            m[rng.integers(0, R), rng.integers(0, fu.BLOCK_SIZE)] = \
+                np.uint64((1 << 62) + 5)
+        if trial % 11 == 0:     # all-zero rows
+            m[rng.integers(0, R)] = 0
+        counts = rng.integers(1, fu.BLOCK_SIZE + 1, R)
+        for r in range(R):
+            m[r, counts[r]:] = 0
+        for pub, ref in ((fu.for_blocks_matrix, fu._for_blocks_matrix_np),
+                         (fu.pfor_blocks_matrix, fu._pfor_blocks_matrix_np)):
+            a, sa = pub(m, counts)
+            b, sb = ref(m, counts)
+            assert np.array_equal(a, b) and np.array_equal(sa, sb), \
+                (trial, pub.__name__)
+        # and the stream must round-trip through the decoder per row
+        stream, starts = fu.pfor_blocks_matrix(m, counts)
+        ends = np.append(starts[1:], len(stream))
+        for r in range(R):
+            dec = fu.decode_blocks(stream[starts[r]:ends[r]].tobytes(),
+                                   int(counts[r]))
+            assert np.array_equal(dec, m[r, :counts[r]].astype(np.int64)), r
+
+
+def test_c_encode_csr_fuzz_vs_matrix():
+    """encode_csr over flat values + row_ptr must be byte-identical to the
+    matrix encoders over the equivalent zero-padded rows (padding has bit
+    length 0 and can never be an exception)."""
+    _require_lib()
+    from lucene_kmp_ray.util.cfor import encode_csr
+    rng = np.random.default_rng(97)
+    for trial in range(200):
+        R = int(rng.integers(1, 40))
+        counts = rng.integers(1, fu.BLOCK_SIZE + 1, R)
+        wbits = int(rng.integers(1, 60))
+        vals = rng.integers(0, 1 << wbits, size=int(counts.sum()),
+                            dtype=np.int64)
+        if trial % 5 == 0:
+            vals[rng.integers(0, len(vals))] = (1 << 61) + 3
+        row_ptr = np.append(0, np.cumsum(counts))
+        m = np.zeros((R, fu.BLOCK_SIZE), np.uint64)
+        for r in range(R):
+            m[r, :counts[r]] = vals[row_ptr[r]:row_ptr[r + 1]]
+        for pfor in (False, True):
+            a, sa = encode_csr(vals, row_ptr, pfor)
+            ref = fu._pfor_blocks_matrix_np(m, counts) if pfor \
+                else fu._for_blocks_matrix_np(m, counts)
+            assert np.array_equal(a, ref[0]) and np.array_equal(sa, ref[1]), \
+                (trial, pfor)

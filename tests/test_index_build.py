@@ -210,3 +210,47 @@ def test_encode_term_table_arrays_matches_loop_path():
                              pos_bounds[term_ends[t]]])
     slow = encode_term_table(gen(), norms)
     assert fast.equals(slow), "bulk path diverges from per-term path"
+
+
+def test_encode_term_table_arrays_gapped_views():
+    """Merge passes GAPPED entry views when a term's postings were fully
+    reclaimed (index/merge.py drops df==0 codes): term_starts/term_ends
+    need not tile the arrays. The bulk encoder must compact and still
+    match the per-term path exactly."""
+    import numpy as np
+
+    from lucene_kmp_ray.index.format import (encode_term_table,
+                                             encode_term_table_arrays)
+    rng = np.random.default_rng(23)
+    n_docs = 300
+    norms = rng.integers(1, 255, n_docs).astype(np.uint8)
+    # build contiguous arrays for 40 terms, then DROP every 5th term from
+    # the kept set (its entries stay in the arrays as gaps)
+    terms = []
+    for i in range(40):
+        df = int(rng.integers(1, 200))
+        docs = np.sort(rng.choice(n_docs, min(df, n_docs), replace=False))
+        freqs = rng.integers(1, 30, len(docs))
+        terms.append((f"t{i:03d}", docs, freqs))
+    s_doc = np.concatenate([d for _, d, _ in terms])
+    s_freq = np.concatenate([f for _, _, f in terms])
+    dfs = np.array([len(d) for _, d, _ in terms])
+    all_ends = np.cumsum(dfs)
+    all_starts = all_ends - dfs
+    pos_bounds = np.append(0, np.cumsum(s_freq))
+    pos_delta = rng.integers(1, 15, int(s_freq.sum()))
+
+    keep = np.array([i for i in range(40) if i % 5 != 0])
+    uniques = np.array([terms[i][0] for i in keep], dtype=object)
+    fast = encode_term_table_arrays(
+        uniques, s_doc, s_freq, pos_delta,
+        all_starts[keep], all_ends[keep], pos_bounds, norms)
+
+    def gen():
+        for i in keep:
+            yield (terms[i][0], s_doc[all_starts[i]:all_ends[i]],
+                   s_freq[all_starts[i]:all_ends[i]],
+                   pos_delta[pos_bounds[all_starts[i]]:
+                             pos_bounds[all_ends[i]]])
+    slow = encode_term_table(gen(), norms)
+    assert fast.equals(slow), "gapped bulk path diverges from per-term path"
