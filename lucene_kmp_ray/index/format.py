@@ -77,7 +77,6 @@ def invert_field(texts, n_docs: int, analyzer=None):
     # sorted-term rank via Arrow's C++ string sort (bytewise on UTF-8 ==
     # code-point order, the BytesRef term order of
     # TermsHashPerField.sortTerms) — no Python string objects
-    import pyarrow.compute as pc
     dictionary = dict_arr.dictionary
     vorder = pc.sort_indices(dictionary).to_numpy().astype(np.int64)
     uniques = pc.take(dictionary, pa.array(vorder))
@@ -245,41 +244,6 @@ def _prepend_field(terms_table: pa.Table, field: str) -> pa.Table:
     n = terms_table.num_rows
     return terms_table.add_column(
         0, "field", pa.array([field] * n, type=pa.string()))
-
-
-def _binary_column(n_terms: int, sgl_idx: np.ndarray, stream: np.ndarray,
-                   block_starts: np.ndarray, multi_idx: np.ndarray,
-                   multi_bytes: list[bytes]) -> pa.Array:
-    """Assemble one per-term binary column: single-block terms slice out
-    of the shared block stream with ONE fancy-index copy; the (rare)
-    multi-block terms fill from their per-term bytes. Output is built
-    straight into an Arrow binary buffer — zero per-term Python objects
-    on the bulk path."""
-    block_ends = np.append(block_starts[1:], len(stream)) \
-        if len(block_starts) else np.empty(0, np.int64)
-    sl = (block_ends - block_starts).astype(np.int64)
-    lengths = np.zeros(n_terms, np.int64)
-    lengths[sgl_idx] = sl
-    for j, i in enumerate(multi_idx):
-        lengths[i] = len(multi_bytes[j])
-    offsets = np.zeros(n_terms + 1, np.int64)
-    np.cumsum(lengths, out=offsets[1:])
-    data = np.empty(int(offsets[-1]), np.uint8)
-    total = int(sl.sum())
-    if total:
-        out_start = np.cumsum(sl) - sl
-        within = np.arange(total, dtype=np.int64) - np.repeat(out_start, sl)
-        src = np.repeat(block_starts, sl) + within
-        dest = np.repeat(offsets[sgl_idx], sl) + within
-        data[dest] = stream[src]
-    for j, i in enumerate(multi_idx):
-        o = int(offsets[i])
-        b = multi_bytes[j]
-        data[o:o + len(b)] = np.frombuffer(b, np.uint8)
-    return pa.Array.from_buffers(
-        pa.binary(), n_terms,
-        [None, pa.py_buffer(offsets.astype(np.int32).tobytes()),
-         pa.py_buffer(data.tobytes())])
 
 
 def _list_column(n_terms: int, counts: np.ndarray,
@@ -517,13 +481,16 @@ def term_vectors_of(texts, doc_ids: np.ndarray, field: str,
     })
     if not total:
         return empty
+    import pyarrow.compute as pc
     dict_arr = flat_tokens.dictionary_encode()
     codes = dict_arr.indices.to_numpy().astype(np.int64)
-    vocab = np.asarray(dict_arr.dictionary.to_pylist(), dtype=object)
-    vorder = np.argsort(vocab)
-    uniques = vocab[vorder]
-    rank = np.empty(len(vocab), dtype=np.int64)
-    rank[vorder] = np.arange(len(vocab))
+    # Arrow C++ string sort (bytewise UTF-8 == code-point order), no
+    # Python string objects — same as invert_field
+    dictionary = dict_arr.dictionary
+    vorder = pc.sort_indices(dictionary).to_numpy().astype(np.int64)
+    uniques = pc.take(dictionary, pa.array(vorder))
+    rank = np.empty(len(dictionary), dtype=np.int64)
+    rank[vorder] = np.arange(len(dictionary))
     scodes = rank[codes]
 
     nt = len(uniques)
@@ -548,7 +515,7 @@ def term_vectors_of(texts, doc_ids: np.ndarray, field: str,
         "doc_id": pa.array(np.asarray(doc_ids)[e_doc], pa.int64()),
         "field": pa.array(np.full(len(ekey), field, dtype=object),
                           pa.string()),
-        "term": pa.array(uniques[e_term], pa.string()),
+        "term": pc.take(uniques, pa.array(e_term)),
         "freq": pa.array(freqs, pa.int32()),
         "positions": pos_col,
     })
