@@ -51,11 +51,17 @@ TV_ROW_GROUP = 16384  # tv rows per row group (~100-300 docs → pruned gets)
 SEG_MANIFEST = "manifest.json"
 
 
-def invert_field(texts, n_docs: int, analyzer=None):
+def invert_field(texts, n_docs: int, analyzer=None,
+                 entries_out: dict | None = None):
     """Invert one field's values → (doc_lengths, norms, field terms table,
     per-doc max term frequency, per-doc unique term count) — the last two
     are FieldInvertState.maxTermFrequency / uniqueTermCount
     (``index/FieldInvertState.kt:59-62``), tracked per doc at invert time.
+
+    ``entries_out`` (optional dict) receives the intermediate entry arrays
+    (term dictionary, per-entry doc/term/freq, absolute sorted positions)
+    so the term-vectors sidecar can be derived WITHOUT a second analysis
+    pass (term_vectors_from_entries).
 
     The single-field inversion core (IndexingChain.invert /
     FieldInvertState, ``index/IndexingChain.kt:1153-1290``), fully
@@ -119,6 +125,10 @@ def invert_field(texts, n_docs: int, analyzer=None):
     term_ends = np.append(term_starts[1:], n_entries)
     pos_bounds = np.append(0, np.cumsum(s_freq))
 
+    if entries_out is not None:
+        entries_out.update(
+            uniques=uniques, s_doc=s_doc, e_term=entry_term,
+            s_freq=s_freq, pos_sorted=pos_sorted, pos_bounds=pos_bounds)
     terms_table = encode_term_table_arrays(
         uniques, s_doc, s_freq, pos_delta, term_starts, term_ends,
         pos_bounds, norms)
@@ -163,7 +173,8 @@ def invert_segment(docs: pa.Table, seg: int, lineage: dict | None = None,
                    fields: tuple[str, ...] = ("text",),
                    meta_cols: tuple[str, ...] = (),
                    index_sort: tuple[tuple[str, bool], ...] | None = None,
-                   presorted: bool = False
+                   presorted: bool = False,
+                   tv_out: dict | None = None
                    ) -> tuple[pa.Table, pa.Table, dict]:
     """Invert one segment's documents → (terms_table, docs_table, manifest).
 
@@ -194,8 +205,11 @@ def invert_segment(docs: pa.Table, seg: int, lineage: dict | None = None,
     field_stats: dict = {}
     for f in fields:
         ana = analyzer.get(f) if isinstance(analyzer, dict) else analyzer
+        ent = {} if tv_out is not None else None
         lengths, norms, ft, max_tf, uniq = invert_field(docs[f], n_docs,
-                                                        ana)
+                                                        ana, entries_out=ent)
+        if tv_out is not None:
+            tv_out[f] = ent
         per_field_tables.append(_prepend_field(ft, f))
         sfx = "" if f == "text" else f"_{f}"
         doc_cols[f"length{sfx}"] = pa.array(lengths, type=pa.int32())
@@ -521,6 +535,42 @@ def term_vectors_of(texts, doc_ids: np.ndarray, field: str,
     })
 
 
+def term_vectors_from_entries(entries: dict, doc_ids: np.ndarray,
+                              field: str) -> pa.Table:
+    """Term vectors derived from invert_field's entry arrays — the
+    doc-major transpose WITHOUT a second analysis pass (the entry arrays
+    already hold (term, doc, freq) plus the absolute sorted positions).
+    Identical output to ``term_vectors_of`` (asserted in
+    tests/test_term_vectors.py): entries re-sort doc-major by
+    (doc, term-rank) and the per-entry position lists ride along via one
+    Arrow list-take."""
+    s_doc = entries["s_doc"]
+    if len(s_doc) == 0:
+        return pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "field": pa.array([], pa.string()),
+            "term": pa.array([], pa.string()),
+            "freq": pa.array([], pa.int32()),
+            "positions": pa.array([], pa.list_(pa.int32())),
+        })
+    e_term = entries["e_term"]
+    s_freq = entries["s_freq"]
+    uniques = entries["uniques"]
+    nt = len(uniques)
+    order = np.argsort(s_doc * nt + e_term)  # entries unique → no ties
+    pos_list = pa.ListArray.from_arrays(
+        pa.array(entries["pos_bounds"].astype(np.int32), pa.int32()),
+        pa.array(entries["pos_sorted"].astype(np.int32), pa.int32()))
+    return pa.table({
+        "doc_id": pa.array(np.asarray(doc_ids)[s_doc[order]], pa.int64()),
+        "field": pa.array(np.full(len(order), field, dtype=object),
+                          pa.string()),
+        "term": pc.take(uniques, pa.array(e_term[order])),
+        "freq": pa.array(s_freq[order].astype(np.int32), pa.int32()),
+        "positions": pos_list.take(pa.array(order)),
+    })
+
+
 def build_term_vectors(docs: pa.Table, fields=("text",),
                        analyzer=None) -> pa.Table:
     """All-fields term vectors for one segment's (already doc_id-sorted)
@@ -634,11 +684,13 @@ def build_and_write_segment(docs: pa.Table, seg: int, index_dir: str,
         vectors_table = docs.select([vector_col]) \
             .rename_columns(["embedding"])
         docs = docs.drop_columns([vector_col])
+    tv_entries: dict | None = {} if store_term_vectors else None
     terms_table, docs_table, manifest = invert_segment(docs, seg, lineage,
                                                        analyzer, fields,
                                                        meta_cols,
                                                        index_sort=index_sort,
-                                                       presorted=True)
+                                                       presorted=True,
+                                                       tv_out=tv_entries)
     if vectors_table is not None:
         d = vectors_table["embedding"][0].as_py() \
             if vectors_table.num_rows else []
@@ -657,8 +709,16 @@ def build_and_write_segment(docs: pa.Table, seg: int, index_dir: str,
     tvectors_table = None
     if store_term_vectors:
         # FieldType.setStoreTermVectors(true) role: an opt-in per-index
-        # sidecar (costs a second analysis pass at build; reads are O(doc))
-        tvectors_table = build_term_vectors(docs, fields, analyzer)
+        # sidecar derived from the SAME inversion entry arrays (no second
+        # analysis pass; reads are O(doc))
+        doc_ids_np = docs_table["doc_id"].to_numpy()
+        parts = [term_vectors_from_entries(tv_entries[f], doc_ids_np, f)
+                 for f in sorted(fields)]
+        tvectors_table = pa.concat_tables(parts)
+        if len(parts) > 1 and tvectors_table.num_rows:
+            tvectors_table = tvectors_table.sort_by(
+                [("doc_id", "ascending"), ("field", "ascending"),
+                 ("term", "ascending")])
         manifest["term_vectors"] = True
     return write_segment(index_dir, terms_table, docs_table, manifest,
                          vectors_table, graph_table, qvectors_table,

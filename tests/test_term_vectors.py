@@ -246,3 +246,29 @@ def test_term_vectors_property_transpose():
         assert got == want
 
     run()
+
+
+def test_term_vectors_from_entries_matches_reanalysis():
+    """The entries-derived TV path (no second analysis pass) must emit
+    exactly what the re-analyzing term_vectors_of path emits, including
+    position lists, on random multi-doc text."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_kmp_ray.index.format import (invert_field,
+                                             term_vectors_from_entries,
+                                             term_vectors_of)
+    rng = np.random.default_rng(11)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "spark", "join", "scan", "the"]
+    texts = [" ".join(rng.choice(words, rng.integers(0, 40)))
+             for _ in range(60)]
+    texts[7] = ""          # empty doc
+    col = pa.array(texts, pa.string())
+    doc_ids = np.arange(1000, 1000 + len(texts))
+
+    ent: dict = {}
+    invert_field(col, len(texts), entries_out=ent)
+    fast = term_vectors_from_entries(ent, doc_ids, "text")
+    slow = term_vectors_of(col, doc_ids, "text")
+    assert fast.equals(slow), "entries-derived TV diverges from reanalysis"
