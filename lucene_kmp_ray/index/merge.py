@@ -330,60 +330,120 @@ def merge_segments(index_dir: str, segs: list[int], new_seg: int,
     for c, k in enumerate(uniq):
         vocab[k] = c
 
-    parts = []  # (code, first_doc, last_doc, nl, freqs, posd)
-    for si, tt in enumerate(source_tables):
-        terms = tt["term"].to_pylist()
-        fcol = tt["field"].to_pylist() if "field" in tt.column_names \
-            else ["text"] * len(terms)
-        dfs = tt["df"].to_numpy()
-        ttfs = tt["ttf"].to_numpy()
-        de = tt["docs_enc"].to_pylist()
-        fe = tt["freqs_enc"].to_pylist()
-        pe = tt["pos_enc"].to_pylist()
-        for i, term in enumerate(terms):
-            docs = fu.delta_decode(fu.decode_blocks(de[i], int(dfs[i])))
-            freqs = fu.decode_blocks(fe[i], int(dfs[i]))
-            posd = fu.decode_blocks(pe[i], int(ttfs[i]))
-            nl = inv_perm[docs + bases[si]]
+    from ..util.cfor import decode_streams_bulk, lib as _cfor_lib
+    if _cfor_lib() is not None:
+        # bulk path: every source stream decodes in one C pass per column
+        # (the per-term Python decode loop below dominated merge profile:
+        # 3 decode_blocks calls x |vocab| x |segments|)
+        seg_parts = []
+        for si, tt in enumerate(source_tables):
+            terms = tt["term"].to_pylist()
+            fcol = tt["field"].to_pylist() if "field" in tt.column_names \
+                else ["text"] * len(terms)
+            dfs = tt["df"].to_numpy().astype(np.int64)
+            ttfs = tt["ttf"].to_numpy().astype(np.int64)
+            term_codes = np.fromiter(
+                (vocab[k] for k in zip(fcol, terms)), np.int64,
+                count=len(terms))
+            d_flat, d_offs = decode_streams_bulk(tt["docs_enc"], dfs)
+            freqs, _ = decode_streams_bulk(tt["freqs_enc"], dfs)
+            posd, _ = decode_streams_bulk(tt["pos_enc"], ttfs)
+            # per-stream delta decode with restart: global cumsum minus
+            # each stream's carried prefix
+            if len(d_flat):
+                cs = np.cumsum(d_flat)
+                st = d_offs[:-1]
+                carried = cs[st] - d_flat[st]
+                docs_abs = cs - np.repeat(carried, dfs)
+            else:
+                docs_abs = d_flat
+            nl = inv_perm[docs_abs + bases[si]]
+            codes = np.repeat(term_codes, dfs)
             if reclaimed:
                 keep = nl >= 0
                 if not keep.all():
-                    nl, freqs, posd = _filter_entries(nl, freqs, posd, keep)
-                    if len(nl) == 0:
-                        continue  # term survives only in other segments
-            parts.append((vocab[(fcol[i], term)], int(nl[0]), int(nl[-1]),
-                          nl, freqs, posd))
-
-    # concatenate parts in (code, first_doc) order: when per-code doc
-    # ranges do not interleave (the common case — source segments cover
-    # disjoint docID ranges) the result is already (code, doc)-sorted and
-    # the O(total positions) global sort+gather is skipped entirely (the
-    # DocIDMerger sequential-ranges fast path)
-    parts.sort(key=lambda p: (p[0], p[1]))
-    interleaved = any(parts[i][0] == parts[i + 1][0] and
-                      parts[i][2] >= parts[i + 1][1]
-                      for i in range(len(parts) - 1))
-    if parts:
-        e_code = np.concatenate(
-            [np.full(len(p[3]), p[0], np.int64) for p in parts])
-        e_doc = np.concatenate([p[3] for p in parts])
-        e_freq = np.concatenate([p[4] for p in parts])
-        posd_all = np.concatenate([p[5] for p in parts])
+                    posd = posd[np.repeat(keep, freqs)]
+                    nl, codes, freqs = nl[keep], codes[keep], freqs[keep]
+            seg_parts.append((codes, nl, freqs, posd))
+        if seg_parts:
+            e_code = np.concatenate([a[0] for a in seg_parts])
+            e_doc = np.concatenate([a[1] for a in seg_parts])
+            e_freq = np.concatenate([a[2] for a in seg_parts])
+            posd_all = np.concatenate([a[3] for a in seg_parts])
+        else:
+            e_code = e_doc = e_freq = posd_all = np.empty(0, np.int64)
+        if len(e_code):
+            # one global entry sort by (code, docID) — pairs are unique,
+            # position runs restart per entry so they gather along; skip
+            # the O(total positions) gather when already in order (the
+            # DocIDMerger sequential-ranges case)
+            order = np.lexsort((e_doc, e_code))
+            if not np.array_equal(order, np.arange(len(order))):
+                bounds = np.cumsum(e_freq) - e_freq
+                lens = e_freq[order]
+                total = int(lens.sum())
+                out_start = np.cumsum(lens) - lens
+                gather = np.arange(total, dtype=np.int64) - \
+                    np.repeat(out_start, lens) + np.repeat(bounds[order],
+                                                           lens)
+                e_code, e_doc, e_freq = e_code[order], e_doc[order], lens
+                posd_all = posd_all[gather]
     else:
-        e_code = e_doc = e_freq = posd_all = np.empty(0, np.int64)
-    if interleaved:
-        # true interleave (post-merge doc ranges overlap): one global
-        # entry sort by (code, docID); (code, doc) pairs are unique, and
-        # position-delta runs restart per entry so they gather along
-        order = np.lexsort((e_doc, e_code))
-        bounds = np.cumsum(e_freq) - e_freq
-        lens = e_freq[order]
-        total = int(lens.sum())
-        out_start = np.cumsum(lens) - lens
-        gather = np.arange(total, dtype=np.int64) - \
-            np.repeat(out_start, lens) + np.repeat(bounds[order], lens)
-        e_code, e_doc, e_freq = e_code[order], e_doc[order], lens
-        posd_all = posd_all[gather]
+        parts = []  # (code, first_doc, last_doc, nl, freqs, posd)
+        for si, tt in enumerate(source_tables):
+            terms = tt["term"].to_pylist()
+            fcol = tt["field"].to_pylist() if "field" in tt.column_names \
+                else ["text"] * len(terms)
+            dfs = tt["df"].to_numpy()
+            ttfs = tt["ttf"].to_numpy()
+            de = tt["docs_enc"].to_pylist()
+            fe = tt["freqs_enc"].to_pylist()
+            pe = tt["pos_enc"].to_pylist()
+            for i, term in enumerate(terms):
+                docs = fu.delta_decode(fu.decode_blocks(de[i], int(dfs[i])))
+                freqs = fu.decode_blocks(fe[i], int(dfs[i]))
+                posd = fu.decode_blocks(pe[i], int(ttfs[i]))
+                nl = inv_perm[docs + bases[si]]
+                if reclaimed:
+                    keep = nl >= 0
+                    if not keep.all():
+                        nl, freqs, posd = _filter_entries(nl, freqs, posd,
+                                                          keep)
+                        if len(nl) == 0:
+                            continue  # survives only in other segments
+                parts.append((vocab[(fcol[i], term)], int(nl[0]),
+                              int(nl[-1]), nl, freqs, posd))
+
+        # concatenate parts in (code, first_doc) order: when per-code doc
+        # ranges do not interleave (the common case — source segments
+        # cover disjoint docID ranges) the result is already
+        # (code, doc)-sorted and the O(total positions) global sort+gather
+        # is skipped entirely (the DocIDMerger sequential-ranges fast path)
+        parts.sort(key=lambda p: (p[0], p[1]))
+        interleaved = any(parts[i][0] == parts[i + 1][0] and
+                          parts[i][2] >= parts[i + 1][1]
+                          for i in range(len(parts) - 1))
+        if parts:
+            e_code = np.concatenate(
+                [np.full(len(p[3]), p[0], np.int64) for p in parts])
+            e_doc = np.concatenate([p[3] for p in parts])
+            e_freq = np.concatenate([p[4] for p in parts])
+            posd_all = np.concatenate([p[5] for p in parts])
+        else:
+            e_code = e_doc = e_freq = posd_all = np.empty(0, np.int64)
+        if interleaved:
+            # true interleave (post-merge doc ranges overlap): one global
+            # entry sort by (code, docID); (code, doc) pairs are unique,
+            # and position-delta runs restart per entry so they gather
+            order = np.lexsort((e_doc, e_code))
+            bounds = np.cumsum(e_freq) - e_freq
+            lens = e_freq[order]
+            total = int(lens.sum())
+            out_start = np.cumsum(lens) - lens
+            gather = np.arange(total, dtype=np.int64) - \
+                np.repeat(out_start, lens) + np.repeat(bounds[order], lens)
+            e_code, e_doc, e_freq = e_code[order], e_doc[order], lens
+            posd_all = posd_all[gather]
 
     # per-field slices of the (field, term)-sorted code space
     from .format import encode_term_table_arrays

@@ -277,3 +277,40 @@ void encode_pack_csr(const int64_t *vals, const int64_t *row_ptr,
         }
     }
 }
+
+/* ---- bulk stream decode: many independent FOR/PFor streams in one call
+ * (the k-way merge reads every source posting list; per-term Python
+ * decode_blocks calls dominated merge profile).  Stream s's bytes start
+ * at buf + sstarts[s] and hold counts[s] values in self-describing
+ * 128-value blocks; decoded values land at out + out_offs[s].  The
+ * 8-byte fast window may read past a stream's end into the next stream's
+ * bytes — those bits are masked off, matching decode_block's contract
+ * (only reads past BUFLEN fall back to byte assembly). */
+void decode_streams(const uint8_t *buf, int64_t buflen,
+                    const int64_t *sstarts, const int64_t *counts,
+                    int64_t ns, const int64_t *out_offs, int64_t *out) {
+    for (int64_t s = 0; s < ns; s++) {
+        const uint8_t *mv = buf + sstarts[s];
+        int64_t mvlen = buflen - sstarts[s];
+        int64_t n = counts[s];
+        int64_t *o = out + out_offs[s];
+        int64_t nblocks = (n + BLOCK_SIZE - 1) / BLOCK_SIZE;
+        int64_t pos = 0;
+        for (int64_t b = 0; b < nblocks; b++) {
+            int64_t cnt = (b == nblocks - 1) ? n - b * BLOCK_SIZE
+                                             : BLOCK_SIZE;
+            int64_t h = mv[pos];
+            int64_t meta[5];
+            if (h & 0x80) {
+                meta[1] = h & 0x7F;          /* width */
+                meta[2] = mv[pos + 1];       /* n_exc */
+                meta[0] = pos + 2;           /* payload start */
+            } else {
+                meta[1] = h; meta[2] = 0; meta[0] = pos + 1;
+            }
+            meta[3] = (cnt * meta[1] + 7) / 8;   /* payload bytes */
+            decode_block(mv, mvlen, meta, cnt, o + b * BLOCK_SIZE);
+            pos = meta[0] + meta[3] + 2 * meta[2];
+        }
+    }
+}

@@ -49,6 +49,8 @@ def _compile() -> "ctypes.CDLL | None":
     lib.encode_meta_csr.argtypes = [vp, vp, i64, i32, vp, vp]
     lib.encode_pack_csr.restype = None
     lib.encode_pack_csr.argtypes = [vp, vp, i64, vp, vp, vp, vp]
+    lib.decode_streams.restype = None
+    lib.decode_streams.argtypes = [vp, i64, vp, vp, i64, vp, vp]
     return lib
 
 
@@ -141,3 +143,32 @@ def encode_csr(vals: np.ndarray, row_ptr: np.ndarray, pfor: bool):
                       widths.ctypes.data, nexc.ctypes.data,
                       starts.ctypes.data, out.ctypes.data)
     return out, starts
+
+
+def decode_streams_bulk(col, counts: np.ndarray):
+    """Decode MANY independent FOR/PFor streams (one per row of an Arrow
+    binary column) in one C pass — the k-way merge's read side.  Returns
+    ``(values_flat int64, value_offsets)`` (stream s's values are
+    ``values[offs[s]:offs[s+1]]``) or None without a C lib."""
+    L = lib()
+    if L is None:
+        return None
+    import pyarrow as pa
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    bufs = col.buffers()
+    offsets = np.frombuffer(bufs[1], np.int32)[
+        col.offset:col.offset + len(col) + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None         else np.empty(0, np.uint8)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    voffs = np.empty(len(counts) + 1, np.int64)
+    voffs[0] = 0
+    np.cumsum(counts, out=voffs[1:])
+    out = np.empty(total, np.int64)
+    sstarts = np.ascontiguousarray(offsets[:-1])
+    out_offs = np.ascontiguousarray(voffs[:-1])
+    L.decode_streams(data.ctypes.data, len(data), sstarts.ctypes.data,
+                     counts.ctypes.data, len(counts),
+                     out_offs.ctypes.data, out.ctypes.data)
+    return out, voffs

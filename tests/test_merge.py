@@ -366,3 +366,38 @@ def test_run_merges_log_policy_end_to_end(built):
     assert n0 == n1
     key = lambda h: sorted((-s, d) for d, s in h)  # noqa: E731
     assert key(before) == key(after)
+
+
+def test_bulk_merge_bit_equivalent_to_python_fallback(built, tmp_path):
+    """The C bulk-decode merge path must produce byte-identical segment
+    tables to the per-term Python decode fallback (same index, same
+    merge set), including with deletes to exercise the entry filter."""
+    import os
+    import shutil as _sh
+
+    import lucene_kmp_ray.util.cfor as cf
+    from lucene_kmp_ray.index.deletes import delete_by_url
+    from lucene_kmp_ray.index.format import seg_dirname
+    from lucene_kmp_ray.index.merge import merge_segments
+
+    if cf.lib() is None:
+        pytest.skip("no C compiler in environment")
+    many, _ = built
+    idx = str(tmp_path / "bulkeq")
+    _sh.copytree(many, idx)
+    r = IndexReader(idx)
+    urls = [sr.doc_meta["url"][0].as_py() for sr in r.segment_readers[:3]]
+    delete_by_url(idx, urls, parallel=False)
+    segs = [sr.seg for sr in r.segment_readers[:4]]
+
+    merge_segments(idx, segs, 900)          # C bulk path
+    cached, pid = cf._CACHED, cf._CACHED_PID
+    try:
+        cf._CACHED, cf._CACHED_PID = None, os.getpid()  # force fallback
+        merge_segments(idx, segs, 901)
+    finally:
+        cf._CACHED, cf._CACHED_PID = cached, pid
+    for f in ("terms.parquet", "docs.parquet"):
+        a = pq.read_table(f"{idx}/segments/{seg_dirname(900)}/{f}")
+        b = pq.read_table(f"{idx}/segments/{seg_dirname(901)}/{f}")
+        assert a.equals(b), f
