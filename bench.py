@@ -88,6 +88,22 @@ def run_bench() -> dict:
             "docs_per_sec": round(n_docs / t_build, 1),
         }
 
+    # ---- k-way segment merge (the tiered-merge unit of work): 10 of the
+    # headline segments (50k docs) into one, on an isolated copy so the
+    # query stages below see the committed 100-segment index ----
+    from lucene_kmp_ray.index.format import seg_dirname
+    from lucene_kmp_ray.index.merge import merge_segments
+    merge_dir = "/tmp/bench_merge_idx"
+    shutil.rmtree(merge_dir, ignore_errors=True)
+    os.makedirs(os.path.join(merge_dir, "segments"))
+    msegs = sorted(m["seg"] for m in man["segments"])[:10]
+    for s in msegs:
+        shutil.copytree(os.path.join(idx, "segments", seg_dirname(s)),
+                        os.path.join(merge_dir, "segments", seg_dirname(s)))
+    t0 = time.monotonic()
+    merge_segments(merge_dir, msegs, max(msegs) + 1)
+    timings["merge_10seg_50k"] = round(time.monotonic() - t0, 3)
+
     # ---- query latency (driver-side searcher, float32 prod path) ----
     searcher = Searcher(IndexReader(idx))
     from lucene_kmp_ray.search import (DisjunctionMaxQuery, PrefixQuery,
