@@ -403,7 +403,20 @@ class SegmentReader:
         for a constant-score rewrite over thousands of matched terms)."""
         sub = self._payload_rows(np.asarray(idxs, dtype=np.int64),
                                  ["df", "docs_enc"])
-        dfs = sub["df"].to_numpy()
+        dfs = sub["df"].to_numpy().astype(np.int64)
+        from ..util.cfor import decode_streams_bulk
+        dec = decode_streams_bulk(sub["docs_enc"], dfs)
+        if dec is not None:
+            # C path: every stream (single- and multi-block, FOR or PFor)
+            # decodes in one call; delta→absolute via per-stream-restart
+            # cumsum
+            deltas, voffs = dec
+            if not len(deltas):
+                return np.empty(0, np.int64)
+            cs = np.cumsum(deltas)
+            st = voffs[:-1]
+            base = cs[st] - deltas[st]
+            return np.unique(cs - np.repeat(base, dfs))
         encs = sub["docs_enc"].to_pylist()
         single = dfs <= fu.BLOCK_SIZE
         parts = []

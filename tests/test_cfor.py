@@ -152,3 +152,39 @@ def test_c_encode_csr_fuzz_vs_matrix():
                 else fu._for_blocks_matrix_np(m, counts)
             assert np.array_equal(a, ref[0]) and np.array_equal(sa, ref[1]), \
                 (trial, pfor)
+
+
+def test_union_docs_c_path_matches_numpy(tmp_path):
+    """union_docs through decode_streams_bulk must equal the numpy
+    single-block-bulk + per-term fallback path on a real segment."""
+    _require_lib()
+    import os
+
+    import pyarrow as pa
+
+    import lucene_kmp_ray.util.cfor as cf
+    from lucene_kmp_ray.index.format import build_and_write_segment
+    from lucene_kmp_ray.index.reader import SegmentReader
+
+    rng = np.random.default_rng(19)
+    words = ["w%04d" % i for i in range(800)]
+    texts = [" ".join(rng.choice(words, rng.integers(1, 120)))
+             for _ in range(600)]   # head terms exceed one block
+    docs = pa.table({"doc_id": pa.array(np.arange(600), pa.int64()),
+                     "url": pa.array([f"u{i}" for i in range(600)]),
+                     "text": pa.array(texts, pa.string())})
+    build_and_write_segment(docs, 0, str(tmp_path))
+    import json
+    meta = json.load(open(tmp_path / "segments" / "seg=00000"
+                          / "manifest.json"))
+    meta["dir"] = "segments/seg=00000"
+    sr = SegmentReader(str(tmp_path), meta)
+    idxs = np.arange(sr.terms_table.num_rows)
+    a = sr.union_docs(idxs)
+    cached, pid = cf._CACHED, cf._CACHED_PID
+    try:
+        cf._CACHED, cf._CACHED_PID = None, os.getpid()
+        b = sr.union_docs(idxs)
+    finally:
+        cf._CACHED, cf._CACHED_PID = cached, pid
+    assert np.array_equal(a, b)
