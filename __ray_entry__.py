@@ -1703,6 +1703,25 @@ def _geo_wkt_all(sf_dir: str):
         _ensure_geo_index(sf_dir), to_query(_wkt_multipolygon())))
 
 
+def _geojson_multipolygon() -> str:
+    members = []
+    for shell, _holes in GEO_WKT_POLYGONS:
+        pts = ", ".join(f"[{lon}, {lat}]" for lat, lon in shell)
+        members.append(f"[ [ {pts} ] ]")
+    return ('{ "type": "MultiPolygon", "coordinates": [ '
+            + ", ".join(members) + " ] }")
+
+
+def _geo_geojson_all(sf_dir: str):
+    """End-to-end GeoJSON path (geo/SimpleGeoJSONPolygonParser.kt /
+    Polygon.fromGeoJSON): parse a MultiPolygon geometry ->
+    SHOULD-of-GeoPolygonQuery -> search. Same rings as the WKT entry, so
+    the same oracle (oracle.geo_multipolygon_all) covers it."""
+    from lucene_kmp_ray.search.geojson import to_query
+    return _all_sorted(search_all_matches(
+        _ensure_geo_index(sf_dir), to_query(_geojson_multipolygon())))
+
+
 # cartesian (XYPointField) shapes over the synthetic float32 x/y grid;
 # bounds off the 0.1 lattice so float32 snapping can't flip a doc
 XY_BOX = (-50.05, 30.05, -20.05, 80.05)      # min_x, max_x, min_y, max_y
@@ -3372,6 +3391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5: LatLonShape line proximity + the WKT parser path
         "geo_line_all": _geo_line_all,
         "geo_wkt_multipolygon_all": _geo_wkt_all,
+        "geo_geojson_multipolygon_all": _geo_geojson_all,
         "bm25_french_top10": _french_topk,          # elision chain
         "bm25_turkish_top10": lambda sf: _lang_topk(sf, "turkish"),
         "thai_token_counts": _thai_token_counts,    # Thai break rules
@@ -3973,6 +3993,8 @@ def oracle_sql() -> dict[str, str]:
         "geo_box_all": oracle.geo_box_all(*GEO_BOX),
         "geo_line_all": oracle.geo_line_all(GEO_LINE, GEO_LINE_BUFFER),
         "geo_wkt_multipolygon_all":
+            oracle.geo_multipolygon_all(GEO_WKT_POLYGONS),
+        "geo_geojson_multipolygon_all":
             oracle.geo_multipolygon_all(GEO_WKT_POLYGONS),
         "geo_polygon_all": oracle.geo_polygon_all(GEO_POLYGON,
                                                   GEO_POLYGON_HOLES),
