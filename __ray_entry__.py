@@ -3326,8 +3326,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_top10": lambda sf: _topk(sf, PhraseQuery(tuple(PHRASE_3))),
         "phrase_prefix_top10": _phrase_prefix_topk,
         "elevated_top10": _elevated_topk,
-        "prefix_all": lambda sf: _all_sorted(search_all_matches(
-            _ensure_index(sf), PrefixQuery("sp"))),
+        # geojson sits in the driver window (new this round); prefix_all
+        # — driver-green r1-r4 — rotated out to make room (still oracle-
+        # checked by scripts/check_oracle.py sweeps from its later slot)
+        "geo_geojson_multipolygon_all": _geo_geojson_all,
         "synonym_top10": lambda sf: _topk(sf, SynonymQuery(AND_SORTED)),
         "field_stats": _field_stats,
         "delete_by_url_search": _delete_by_url_search,
@@ -3391,7 +3393,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5: LatLonShape line proximity + the WKT parser path
         "geo_line_all": _geo_line_all,
         "geo_wkt_multipolygon_all": _geo_wkt_all,
-        "geo_geojson_multipolygon_all": _geo_geojson_all,
+        "prefix_all": lambda sf: _all_sorted(search_all_matches(
+            _ensure_index(sf), PrefixQuery("sp"))),
         "bm25_french_top10": _french_topk,          # elision chain
         "bm25_turkish_top10": lambda sf: _lang_topk(sf, "turkish"),
         "thai_token_counts": _thai_token_counts,    # Thai break rules
