@@ -85,15 +85,17 @@ def make_similarity(name, dtype: str):
 
 def _seg_work_items(segs, per_block: int = 8):
     """Segment ids as a Dataset with one BLOCK per ~per_block segments —
-    ``from_arrow`` yields a single block, which would feed the whole actor
-    pool through one task (observed in ds.stats(): 1 task used). One block
-    per batch lets every actor pull work concurrently."""
+    ``from_arrow`` with a single table yields a single block, which would
+    feed the whole actor pool through one task (observed in ds.stats():
+    1 task used). Passing a LIST of tables gives one block each directly
+    — no Repartition all-to-all (which cost more wall than the actual
+    search compute on a 100-row work list)."""
     import pyarrow as pa
     import ray.data as rd
 
-    nblocks = max(1, (len(segs) + per_block - 1) // per_block)
-    return rd.from_arrow(pa.table({"seg": pa.array(segs, pa.int64())})) \
-        .repartition(nblocks)
+    tables = [pa.table({"seg": pa.array(segs[i:i + per_block], pa.int64())})
+              for i in range(0, max(len(segs), 1), per_block)]
+    return rd.from_arrow(tables)
 
 
 class SegmentSearchActor:
