@@ -188,3 +188,55 @@ def test_union_docs_c_path_matches_numpy(tmp_path):
     finally:
         cf._CACHED, cf._CACHED_PID = cached, pid
     assert np.array_equal(a, b)
+
+
+# --- hypothesis properties: the C kernels and numpy references are a
+# round-trip-identical codec for ANY non-negative int64 payload ---------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_vals = st.lists(st.integers(0, (1 << 62) - 1), min_size=1, max_size=600)
+
+
+@settings(max_examples=60, deadline=None)
+@given(vals=_vals, pfor=st.booleans())
+def test_hypothesis_encode_decode_roundtrip(vals, pfor):
+    v = np.asarray(vals, dtype=np.int64)
+    enc = fu.encode_blocks_pfor(v) if pfor else fu.encode_blocks(v)
+    out = fu.decode_blocks(enc, len(v))
+    assert np.array_equal(out, v)
+
+
+@settings(max_examples=40, deadline=None)
+@given(vals=_vals, pfor=st.booleans())
+def test_hypothesis_c_encode_matches_numpy(vals, pfor):
+    _require_lib()
+    v = np.asarray(vals, dtype=np.int64)
+    n = len(v)
+    nblocks = (n + fu.BLOCK_SIZE - 1) // fu.BLOCK_SIZE
+    padded = np.zeros(nblocks * fu.BLOCK_SIZE, dtype=np.uint64)
+    padded[:n] = v.astype(np.uint64)
+    counts = np.full(nblocks, fu.BLOCK_SIZE, dtype=np.int64)
+    counts[-1] = n - (nblocks - 1) * fu.BLOCK_SIZE
+    m = padded.reshape(nblocks, fu.BLOCK_SIZE)
+    pub = fu.pfor_blocks_matrix if pfor else fu.for_blocks_matrix
+    ref = fu._pfor_blocks_matrix_np if pfor else fu._for_blocks_matrix_np
+    a, sa = pub(m, counts)
+    b, sb = ref(m, counts)
+    assert np.array_equal(a, b) and np.array_equal(sa, sb)
+
+
+@settings(max_examples=40, deadline=None)
+@given(lists=st.lists(_vals, min_size=1, max_size=12), pfor=st.booleans())
+def test_hypothesis_bulk_stream_decode(lists, pfor):
+    _require_lib()
+    import pyarrow as pa
+
+    from lucene_kmp_ray.util.cfor import decode_streams_bulk
+    enc = fu.encode_blocks_pfor if pfor else fu.encode_blocks
+    bufs = [enc(np.asarray(v, np.int64)) for v in lists]
+    counts = np.array([len(v) for v in lists], np.int64)
+    out, voffs = decode_streams_bulk(pa.array(bufs, pa.binary()), counts)
+    for i, v in enumerate(lists):
+        assert np.array_equal(out[voffs[i]:voffs[i + 1]],
+                              np.asarray(v, np.int64))
