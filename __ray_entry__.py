@@ -3677,21 +3677,26 @@ def _audio(sf_dir: str):
 
 
 def _image(sf_dir: str):
-    """Image featurization with REAL decoders (24-bit BMP in pure numpy
-    AND 8-bit PNG via stdlib zlib, magic-dispatched): the same
-    deterministic gradient pixels arrive through BOTH containers and
-    decode to identical mean-RGB / luminance / histogram features."""
+    """Image featurization with REAL decoders (24-bit BMP in pure numpy,
+    8-bit PNG via stdlib zlib, AND baseline grayscale JPEG via the numpy
+    JFIF codec — magic-dispatched): the same deterministic gradient
+    pixels arrive through all three containers; BMP and PNG decode to
+    identical features, JPEG to lossy-close ones."""
     import pyarrow as pa
     import ray.data as rd
 
     from lucene_kmp_ray.pipelines.multimodal import (image_features,
                                                      synthesize_bmp_table,
+                                                     synthesize_jpeg_table,
                                                      synthesize_png_table)
     bmp = synthesize_bmp_table(24)
     png = synthesize_png_table(24)
     png = png.set_column(0, "media_id",
                          pa.array(range(24, 48), pa.int64()))
-    return image_features(rd.from_arrow(pa.concat_tables([bmp, png])))
+    jpg = synthesize_jpeg_table(24)
+    jpg = jpg.set_column(0, "media_id",
+                         pa.array(range(48, 72), pa.int64()))
+    return image_features(rd.from_arrow(pa.concat_tables([bmp, png, jpg])))
 
 
 def _multimodal(sf_dir: str):

@@ -2,12 +2,14 @@
 
 Binary payloads ride as opaque ``binary`` columns with typed metadata.
 REAL decoders (no external libraries): WAV audio (stdlib ``wave``),
-24-bit BMP (numpy) and 8-bit PNG — gray/RGB/palette/RGBA, all five
-scanline filters — via stdlib ``zlib``. JPEG and video codecs remain
-deterministic declared fakes (``_fake_decode``/``_fake_resize``) because
-no codec libraries exist in this container; the Ray-side plumbing
-(schema, small batches for large payloads, actor-pool stage shape,
-output layout) is real and tested either way."""
+24-bit BMP (numpy), 8-bit PNG — gray/RGB/palette/RGBA, all five
+scanline filters — via stdlib ``zlib``, and baseline grayscale JPEG
+(pipelines/jpegcodec.py: numpy DCT + table-driven Huffman decode).
+Video codecs remain deterministic declared fakes
+(``_fake_decode``/``_fake_resize``) because no video libraries exist in
+this container; the Ray-side plumbing (schema, small batches for large
+payloads, actor-pool stage shape, output layout) is real and tested
+either way."""
 
 from __future__ import annotations
 
@@ -432,11 +434,17 @@ def _png_decode(payload: bytes) -> np.ndarray:
 
 
 def _image_decode(payload: bytes) -> np.ndarray:
-    """Magic-dispatched REAL image decode (PNG or 24-bit BMP)."""
+    """Magic-dispatched REAL image decode (PNG, 24-bit BMP, or baseline
+    grayscale JPEG — gray expands to (h, w, 3) so downstream feature
+    stages see one shape)."""
     if payload[:8] == _PNG_SIG:
         return _png_decode(payload)
     if payload[:2] == b"BM":
         return _bmp_decode(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpegcodec import jpeg_decode
+        gray = jpeg_decode(payload)
+        return np.repeat(gray[:, :, None], 3, axis=2)
     raise ValueError("unsupported image container")
 
 
@@ -450,6 +458,28 @@ def synthesize_png_table(n: int = 24, w: int = 32, h: int = 24) -> pa.Table:
         px[:, :, 1] = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
         px[: h // 2, :, 2] = 200
         payloads.append(_png_encode(px))
+    return pa.table({
+        "media_id": pa.array(range(n), pa.int64()),
+        "media_type": pa.array(["image"] * n, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "width": pa.array([w] * n, pa.int32()),
+        "height": pa.array([h] * n, pa.int32()),
+        "duration_ms": pa.array([0] * n, pa.int32()),
+    })
+
+
+def synthesize_jpeg_table(n: int = 24, w: int = 32, h: int = 24) -> pa.Table:
+    """Deterministic REAL baseline JPEGs (same pixel recipe as the
+    BMP/PNG tables, luma-converted by the encoder) — exercises the
+    numpy JFIF codec end-to-end in the image feature pipeline."""
+    from .jpegcodec import jpeg_encode
+    payloads = []
+    for i in range(n):
+        px = np.zeros((h, w, 3), np.uint8)
+        px[:, :, 0] = (10 * i) % 256
+        px[:, :, 1] = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
+        px[: h // 2, :, 2] = 200
+        payloads.append(jpeg_encode(px, quality=90))
     return pa.table({
         "media_id": pa.array(range(n), pa.int64()),
         "media_type": pa.array(["image"] * n, pa.string()),
