@@ -263,7 +263,9 @@ def _bmp_encode(pixels: np.ndarray) -> bytes:
 def _bmp_decode(payload: bytes) -> np.ndarray:
     """Parse a 24-bit uncompressed BMP → (h, w, 3) RGB uint8 array — a
     REAL image decode in pure numpy (no codec libraries needed for this
-    format; PNG/JPEG remain declared stubs in this container)."""
+    format; PNG and baseline grayscale JPEG are real too — see
+    ``_png_decode`` / ``pipelines/jpegcodec.py``; video remains the one
+    declared stub in this container)."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     off = int.from_bytes(payload[10:14], "little")
@@ -358,8 +360,9 @@ def _png_decode(payload: bytes) -> np.ndarray:
     """Parse a PNG → (h, w, c) uint8 array: bit depth 8, color types
     0 (gray), 2 (RGB), 3 (palette), 6 (RGBA), non-interlaced, all five
     scanline filters (None/Sub/Up/Average/Paeth) — a REAL decode in
-    stdlib zlib + numpy. Interlaced/16-bit PNGs and JPEG/video remain
-    out of scope in this container (declared stubs)."""
+    stdlib zlib + numpy. Baseline grayscale JPEG is real as well
+    (``pipelines/jpegcodec.py``); interlaced/16-bit PNGs, color JPEG
+    and video remain out of scope in this container (declared stubs)."""
     import struct
     import zlib
 
