@@ -871,6 +871,20 @@ JA_VECTORS = [
     ("クリスマスショッピング", ["クリスマス", "ショッピング"]),
 ]
 
+# (phrase, expected completion tokens), INDEX mode — the reference's own
+# auto-suggest vectors (analysis/kuromoji TestJapaneseCompletionFilter.kt
+# testCompletionIndex, lines 99-178): each surface token followed at the
+# same position by every keystroke romanization of its reading.
+JA_COMPLETION_VECTORS = [
+    ("東京", ["東京", "toukyou"]),
+    ("東京都", ["東京", "toukyou", "都", "to"]),
+    ("ドラえもん", ["ドラえもん", "doraemon", "doraemonn"]),
+    ("ソースコード", ["ソース", "soーsu", "コード", "koーdo"]),
+    ("々", ["々"]),
+    ("是々", ["是", "ze", "々"]),
+    ("是々の", ["是", "ze", "々", "の", "no"]),
+]
+
 
 # (phrase, expected tokens) — the reference's own stemmer vectors
 # (TestAmharicStemmer.kt / TestOromoStemmer.kt; stopwords interleaved to
@@ -1562,6 +1576,45 @@ def _ja_token_counts(sf_dir: str):
     class Derive:
         def __init__(self):
             self.a = JapaneseAnalyzer()  # dictionary loads once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import collections
+            counts: collections.Counter = collections.Counter()
+            for doc_id in batch.column("doc_id").to_pylist():
+                counts.update(self.a(phrases[doc_id % k]))
+            return pa.table({"term": list(counts.keys()),
+                             "cnt": list(counts.values())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    agg = ds.map_batches(Derive, batch_format="pyarrow", concurrency=2) \
+        .groupby("term").sum("cnt")
+    df = agg.to_pandas().rename(columns={"sum(cnt)": "cnt"})
+    return df.sort_values(["term"]).reset_index(drop=True)
+
+
+def _ja_completion_counts(sf_dir: str):
+    """Global (term, count) over the kuromoji COMPLETION chain
+    (JapaneseCompletionAnalyzer, INDEX mode: lattice tokens + same-
+    position keystroke romanizations of each reading — the auto-suggest
+    field analyzer, analysis/kuromoji JapaneseCompletionFilter.kt /
+    KatakanaRomanizer.kt) applied to a synthesized per-doc phrase
+    (phrase = JA_COMPLETION_VECTORS[doc_id % k]). Oracle:
+    oracle.horn_token_counts-shaped VALUES straight from the reference's
+    TestJapaneseCompletionFilter.kt testCompletionIndex vectors —
+    independent ground truth for the romanization expansion."""
+    import pyarrow as pa
+    import ray
+
+    from lucene_kmp_ray.analysis.completion import (
+        JapaneseCompletionAnalyzer)
+
+    k = len(JA_COMPLETION_VECTORS)
+    phrases = [p for p, _ in JA_COMPLETION_VECTORS]
+
+    class Derive:
+        def __init__(self):
+            self.a = JapaneseCompletionAnalyzer(mode="index")
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             import collections
@@ -3330,7 +3383,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # — driver-green r1-r4 — rotated out to make room (still oracle-
         # checked by scripts/check_oracle.py sweeps from its later slot)
         "geo_geojson_multipolygon_all": _geo_geojson_all,
-        "synonym_top10": lambda sf: _topk(sf, SynonymQuery(AND_SORTED)),
+        # completion (auto-suggest) chain sits in the window (new this
+        # round); synonym_top10 — driver-green r1-r4 — rotated out to
+        # make room (still oracle-checked from its later slot)
+        "ja_completion_counts": _ja_completion_counts,
         "field_stats": _field_stats,
         "delete_by_url_search": _delete_by_url_search,
         "soft_delete_search": _soft_delete_search,
@@ -3387,6 +3443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classic_token_counts": _classic_token_counts,
         "doc_fingerprint_counts": _doc_fingerprint_counts,
         "ja_number_counts": _ja_number_counts,  # JapaneseNumberFilter
+        "synonym_top10": lambda sf: _topk(sf, SynonymQuery(AND_SORTED)),
         # --- round-5 promotions: never driver-checked before ---
         "kstem_token_counts": _kstem_token_counts,  # KStem (r5)
         "bm25_kstem_top10": _kstem_topk,
@@ -3876,6 +3933,8 @@ def oracle_sql() -> dict[str, str]:
             _lang_query_term("japanese")),
         "ja_token_counts": oracle.ja_token_counts(JA_VECTORS),
         "ja_number_counts": oracle.horn_token_counts(JA_NUMBER_VECTORS),
+        "ja_completion_counts":
+            oracle.horn_token_counts(JA_COMPLETION_VECTORS),
         "misc_filter_counts": oracle.misc_filter_counts(),
         "scandinavian_counts": oracle.scandinavian_counts(SCAN_VECTORS),
         "bm25_perfield_title_top10": oracle.bm25_perfield_title_topk(
