@@ -3295,6 +3295,48 @@ def _topk(sf_dir: str, query, k: int = 10):
     return df[["doc_id", "url", "score"]]
 
 
+def _explain_term_components(sf_dir: str):
+    """``IndexSearcher.explain`` driven through the driver gate: for the
+    top-10 TermQuery hits, flatten the explanation tree (Searcher.explain,
+    searcher.py; BM25Similarity.kt:161-198 shape) into one row per doc —
+    score + idf + freq + lossy-decoded dl + avgdl. Oracle:
+    oracle.explain_term_components recomputes every leaf from the
+    corpus."""
+    import pandas as pd
+
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.similarity.bm25 import BM25Similarity
+
+    top = _topk(sf_dir, TermQuery(TERM_A))
+    s = Searcher(IndexReader(_ensure_index(sf_dir)),
+                 BM25Similarity(dtype="float64"))
+    rows = []
+    for doc_id in top["doc_id"]:
+        e = s.explain(TermQuery(TERM_A), int(doc_id))
+        idf, freq, dl, avgdl = (d["value"] for d in e["details"])
+        rows.append({"doc_id": int(doc_id), "score": float(e["value"]),
+                     "idf": float(idf), "freq": int(freq), "dl": int(dl),
+                     "avgdl": float(avgdl)})
+    return pd.DataFrame(rows).sort_values("doc_id").reset_index(drop=True)
+
+
+# classic-syntax string parsed by the entry; constants interpolated so the
+# engine and the SQL mirror stay in lockstep
+QP_STRING = f'{TERM_A} AND ({AND_TERMS[0]} OR "{" ".join(PHRASE_3)}") NOT window'
+
+
+def _queryparser_topk(sf_dir: str):
+    """Classic QueryParser end-to-end (queryparser.py parse_query;
+    queryparser/classic syntax subset): parse
+    ``spark AND (join OR "big order scan") NOT window`` and run the
+    resulting tree — MUST(term) + MUST(SHOULD-group of term|phrase) +
+    MUST_NOT(term). Oracle: oracle.queryparser_topk mirrors the parsed
+    semantics, not the string."""
+    from lucene_kmp_ray.search.queryparser import parse_query
+
+    return _topk(sf_dir, parse_query(QP_STRING))
+
+
 def _page2(sf_dir: str):
     """searchAfter pagination (IndexSearcher.searchAfter): page 2 of the
     'the' ranking — re-query with page 1's last hit as the cursor."""
@@ -3387,8 +3429,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round); synonym_top10 — driver-green r1-r4 — rotated out to
         # make room (still oracle-checked from its later slot)
         "ja_completion_counts": _ja_completion_counts,
-        "field_stats": _field_stats,
-        "delete_by_url_search": _delete_by_url_search,
+        # explain() + classic QueryParser join the window this round;
+        # field_stats / delete_by_url_search (driver-green r2-r4) rotate
+        # to later slots, still swept by scripts/check_oracle.py
+        "explain_term_top10": _explain_term_components,
+        "queryparser_top10": _queryparser_topk,
         "soft_delete_search": _soft_delete_search,
         "soft_retention_merge_search": _soft_retention_merge_search,
         "ip_range_relations_all": _ip_range_relations_all,
@@ -3444,6 +3489,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint_counts": _doc_fingerprint_counts,
         "ja_number_counts": _ja_number_counts,  # JapaneseNumberFilter
         "synonym_top10": lambda sf: _topk(sf, SynonymQuery(AND_SORTED)),
+        "field_stats": _field_stats,
+        "delete_by_url_search": _delete_by_url_search,
         # --- round-5 promotions: never driver-checked before ---
         "kstem_token_counts": _kstem_token_counts,  # KStem (r5)
         "bm25_kstem_top10": _kstem_topk,
@@ -3782,6 +3829,9 @@ def oracle_sql() -> dict[str, str]:
         "phrase_top10": oracle.phrase_topk(PHRASE_3),
         "phrase_prefix_top10": oracle.phrase_prefix_topk("the", "s"),
         "elevated_top10": oracle.elevated_topk(TERM_A, ELEVATED_DOC_IDS),
+        "explain_term_top10": oracle.explain_term_components(TERM_A),
+        "queryparser_top10": oracle.queryparser_topk(
+            TERM_A, AND_TERMS[0], PHRASE_3, "window"),
         "count_term_the": oracle.count_term(TERM_B),
         "prefix_all": oracle.prefix_all("sp"),
         "wildcard_all": oracle.wildcard_all("s.*k"),

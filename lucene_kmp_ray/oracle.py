@@ -291,6 +291,75 @@ ORDER BY score DESC, p.doc_id LIMIT {k}
 """
 
 
+def explain_term_components(term: str, k: int = 10) -> str:
+    """Flattened ``Weight.explain`` tree (searcher.py Searcher.explain;
+    BM25Similarity.kt:161-198 explain shape) for the top-k docs of a
+    TermQuery: the score plus every leaf value of the explanation —
+    idf, raw freq, lossy-decoded field length (SmallFloat norm byte
+    round-trip) and avgdl — each recomputed independently from the
+    corpus."""
+    lit = f"'{term}'"
+    idf = idf_sql(f"(SELECT df FROM tstats WHERE term = {lit})")
+    return preamble() + f""",
+scored AS ({term_scored_cte(lit)}),
+top AS (SELECT doc_id, score FROM scored
+        ORDER BY score DESC, doc_id LIMIT {k})
+SELECT t.doc_id, t.score, {idf} AS idf,
+       CAST(p.freq AS BIGINT) AS freq,
+       CAST(n.dln AS BIGINT) AS dl,
+       (SELECT avgdl FROM av) AS avgdl
+FROM top t
+JOIN postings p ON p.doc_id = t.doc_id AND p.term = {lit}
+JOIN normd n ON n.doc_id = t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+def queryparser_topk(must_term: str, or_term: str, phrase: list[str],
+                     not_term: str, k: int = 10) -> str:
+    """Mirror of the classic-QueryParser entry: the parsed tree of
+    ``{must} AND ({or} OR "{phrase}") NOT {not}`` is
+    MUST(term) + MUST(SHOULD(term) SHOULD(phrase)) + MUST_NOT(term);
+    score = must score + sum of the matching SHOULD scores (engine
+    clause order: or_term then phrase), docs matching the NOT term
+    excluded."""
+    s_must = term_scored_cte(repr(must_term))
+    s_or = term_scored_cte(repr(or_term))
+    idf_sum = " + ".join(
+        idf_sql(f"(SELECT df FROM tstats WHERE term = {t!r})")
+        for t in phrase)
+    pscore = score_sql("p.freq", "n.dln", f"({idf_sum})")
+    conds = " AND ".join(
+        f"t{i}.term = '{t}' AND t{i}.doc_id = t0.doc_id AND "
+        f"t{i}.pos = t0.pos + {i}" for i, t in enumerate(phrase) if i > 0)
+    tables = ", ".join(f"tokens t{i}" for i in range(len(phrase)))
+    return preamble() + f""",
+sm AS ({s_must}),
+so AS ({s_or}),
+pfreq AS (
+  SELECT t0.doc_id, count(*) AS freq
+  FROM {tables}
+  WHERE t0.term = '{phrase[0]}' {"AND " + conds if conds else ""}
+  GROUP BY t0.doc_id
+),
+sp AS (
+  SELECT p.doc_id, {pscore} AS score
+  FROM pfreq p JOIN normd n USING (doc_id)
+)
+SELECT sm.doc_id, c.url,
+       (sm.score + (coalesce(so.score, 0) + coalesce(sp.score, 0)))
+           AS score
+FROM sm
+LEFT JOIN so USING (doc_id)
+LEFT JOIN sp USING (doc_id)
+JOIN corpus c ON c.doc_id = sm.doc_id
+WHERE (so.doc_id IS NOT NULL OR sp.doc_id IS NOT NULL)
+  AND sm.doc_id NOT IN (SELECT doc_id FROM postings
+                        WHERE term = '{not_term}')
+ORDER BY score DESC, sm.doc_id LIMIT {k}
+"""
+
+
 def corpus_summary() -> str:
     return preamble() + """
 SELECT doc_id, url, warc_ts, lang, length(text) AS text_len,
