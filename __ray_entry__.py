@@ -2169,6 +2169,53 @@ def _ensure_index(sf_dir: str) -> str:
     return index_dir
 
 
+def _check_index_stats(sf_dir: str):
+    """CheckIndex driven through the driver gate (index/check.py: parallel
+    per-segment re-derivation of postings/norms/stats + manifest
+    cross-checks, the CheckIndex.kt role): returns the report's global
+    row. ``ok`` flips to 0 iff ANY internal inconsistency is found, so
+    the hash check fails if index integrity regresses; doc_count and the
+    segment count are recomputed by the oracle from the corpus."""
+    import pandas as pd
+
+    from lucene_kmp_ray.index.check import check_index
+
+    rep = check_index(_ensure_index(sf_dir))
+    return pd.DataFrame({
+        "ok": [1 if rep["ok"] else 0],
+        "doc_count": [int(rep["doc_count"])],
+        "n_segments": [len(rep["segments"])],
+        "n_errors": [len(rep["errors"])],
+    })
+
+
+def _term_stats_grouped(sf_dir: str):
+    """Text-field (term, df, ttf) built through the FULL-SHUFFLE path
+    (index/grouped.py build_index_grouped: explode to postings rows →
+    groupby(seg, term) with head-term salt splitting — the groupby-term
+    shuffle of SURVEY §2.3). Oracle: the same SQL as term_stats — the
+    two build paths must agree exactly, now driver-checked rather than
+    pytest-only."""
+    import ray.data as rd
+
+    from lucene_kmp_ray.index.builder import term_stats_location
+    from lucene_kmp_ray.index.grouped import build_index_grouped
+    from lucene_kmp_ray.sources.corpus import corpus_dataset
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    index_dir = f"/tmp/lucene_kmp_ray_index_grouped/{tag}"
+    if not os.path.exists(os.path.join(index_dir, "manifest.json")):
+        build_index_grouped(corpus_dataset(sf_dir), index_dir,
+                            segment_size=SEGMENT_SIZE,
+                            lineage_source=sf_dir)
+
+    def text_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["field"], "text")) \
+                .select(["term", "df", "ttf"])
+    return rd.read_parquet(term_stats_location(index_dir)) \
+             .map_batches(text_only, batch_format="pyarrow")
+
+
 def _feature_blend(sf_dir: str):
     """FeatureField blend: BM25(text term) + weight*ln(1 + length/100) —
     a static quality signal in SHOULD position (FeatureField role)."""
@@ -3409,8 +3456,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- sources / schema (SURVEY §2.1) ---
         "corpus_summary": _corpus_summary,
         # --- index build stats / norms (SURVEY §2.2, §2.6) ---
-        "term_stats": _term_stats,
-        "doc_norms": _doc_norms,
+        # r5 window: the full-shuffle build path (same oracle as
+        # term_stats — the two paths must agree) and CheckIndex; the
+        # r1-green term_stats / doc_norms rotate to later slots
+        "term_stats_grouped": _term_stats_grouped,
+        "check_index_stats": _check_index_stats,
         "collection_stats": _collection_stats,
         # --- query operators (SURVEY §2.5) ---
         "bm25_term_spark": lambda sf: _topk(sf, TermQuery(TERM_A)),
@@ -3491,6 +3541,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synonym_top10": lambda sf: _topk(sf, SynonymQuery(AND_SORTED)),
         "field_stats": _field_stats,
         "delete_by_url_search": _delete_by_url_search,
+        "term_stats": _term_stats,
+        "doc_norms": _doc_norms,
         # --- round-5 promotions: never driver-checked before ---
         "kstem_token_counts": _kstem_token_counts,  # KStem (r5)
         "bm25_kstem_top10": _kstem_topk,
@@ -3816,6 +3868,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "corpus_summary": oracle.corpus_summary(),
         "term_stats": oracle.term_stats(),
+        "term_stats_grouped": oracle.term_stats(),
+        "check_index_stats": oracle.check_index_stats(SEGMENT_SIZE),
         "doc_norms": oracle.doc_norms(),
         "doc_term_stats": oracle.doc_term_stats(),
         "collection_stats": oracle.collection_stats(),

@@ -360,6 +360,21 @@ ORDER BY score DESC, sm.doc_id LIMIT {k}
 """
 
 
+def check_index_stats(segment_size: int) -> str:
+    """CheckIndex global row: the engine re-derives every segment's
+    postings/norms/stats and cross-checks the manifest (index/check.py);
+    ok=1 / n_errors=0 iff nothing disagrees. doc_count and the segment
+    count (docID-range sharding: seg = doc_id // segment_size) are
+    recomputed here from the corpus."""
+    return f"""
+WITH corpus AS ({CORPUS_SQL})
+SELECT 1 AS ok, count(*) AS doc_count,
+       count(DISTINCT doc_id // {segment_size}) AS n_segments,
+       0 AS n_errors
+FROM corpus
+"""
+
+
 def corpus_summary() -> str:
     return preamble() + """
 SELECT doc_id, url, warc_ts, lang, length(text) AS text_len,
