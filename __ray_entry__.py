@@ -3102,6 +3102,31 @@ def _soft_retention_merge_search(sf_dir: str, mod: int = 9):
         idx, TermQuery(TERM_A), soft_deletes_field=DEFAULT_SOFT_FIELD))
 
 
+def _merged_index_search(sf_dir: str):
+    """Tiered merge driven through the driver gate (index/merge.py
+    run_merges: k-way postings merge + docID rebase + stats
+    preservation, SURVEY §2.8): force-merge a COPY of the index down to
+    one segment and re-run the headline TermQuery — the ranking must be
+    bit-identical to the unmerged index, so the oracle is the SAME SQL
+    as bm25_term_spark."""
+    import shutil
+
+    from lucene_kmp_ray.index.merge import run_merges
+
+    src_idx = _ensure_index(sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/lucene_kmp_ray_index_merged/{tag}"
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        shutil.copytree(src_idx, idx, dirs_exist_ok=True)
+        import json as _json
+        with open(os.path.join(idx, "manifest.json")) as f:
+            segs = [m["seg"] for m in _json.load(f)["segments"]]
+        run_merges(idx, merges=[segs])
+    df = search_distributed(idx, {"q": TermQuery(TERM_A)}, k=10,
+                            dtype="float64").to_pandas()
+    return df[["doc_id", "url", "score"]]
+
+
 def _span_near():
     from lucene_kmp_ray.search import SpanNearQuery, SpanTermQuery
     return SpanNearQuery((SpanTermQuery("big"), SpanTermQuery("scan")),
@@ -3461,7 +3486,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r1-green term_stats / doc_norms rotate to later slots
         "term_stats_grouped": _term_stats_grouped,
         "check_index_stats": _check_index_stats,
-        "collection_stats": _collection_stats,
         # --- query operators (SURVEY §2.5) ---
         "bm25_term_spark": lambda sf: _topk(sf, TermQuery(TERM_A)),
         "bm25_or_top10": lambda sf: _topk(sf, BooleanQuery.build(
@@ -3486,6 +3510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "queryparser_top10": _queryparser_topk,
         "soft_delete_search": _soft_delete_search,
         "soft_retention_merge_search": _soft_retention_merge_search,
+        "merged_index_search": _merged_index_search,
         "ip_range_relations_all": _ip_range_relations_all,
         "multireader_top10": _multireader_topk,
         "shape_box_relations_all": _shape_box_relations_all,
@@ -3543,6 +3568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delete_by_url_search": _delete_by_url_search,
         "term_stats": _term_stats,
         "doc_norms": _doc_norms,
+        "collection_stats": _collection_stats,
         # --- round-5 promotions: never driver-checked before ---
         "kstem_token_counts": _kstem_token_counts,  # KStem (r5)
         "bm25_kstem_top10": _kstem_topk,
@@ -3874,6 +3900,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_term_stats": oracle.doc_term_stats(),
         "collection_stats": oracle.collection_stats(),
         "bm25_term_spark": oracle.bm25_term_topk(TERM_A),
+        # merged index must rank bit-identically to the unmerged one
+        "merged_index_search": oracle.bm25_term_topk(TERM_A),
         "bm25_term_the": oracle.bm25_term_topk(TERM_B),
         "bm25_page2_top10": oracle.bm25_term_page(TERM_B, 10, 10),
         "bm25_or_top10": oracle.bm25_or_topk(OR_TERMS),
