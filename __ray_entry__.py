@@ -3127,6 +3127,49 @@ def _merged_index_search(sf_dir: str):
     return df[["doc_id", "url", "score"]]
 
 
+def _snapshot_search_all(sf_dir: str):
+    """Point-in-time reader driven through the driver gate
+    (index/commits.py: commit generations + SnapshotDeletionPolicy,
+    the DirectoryReader.open(IndexCommit) role): snapshot gen 1, then
+    force-merge to gen 2 AND tombstone-delete every doc_id % 10 == 0 url
+    on the current segments. A DISTRIBUTED search opened at commit=1
+    (search_all_matches(commit=...)) must still see the original
+    pre-merge, pre-delete view; oracle = the plain full-corpus term
+    match set."""
+    import shutil
+
+    from lucene_kmp_ray.index.commits import SnapshotDeletionPolicy
+    from lucene_kmp_ray.index.deletes import delete_by_url
+    from lucene_kmp_ray.index.merge import run_merges
+
+    src_idx = _ensure_index(sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/lucene_kmp_ray_index_snap/{tag}"
+    marker = os.path.join(idx, "_SNAP_READY")
+    if not os.path.exists(marker):
+        shutil.rmtree(idx, ignore_errors=True)
+        shutil.copytree(src_idx, idx)
+        sdp = SnapshotDeletionPolicy()
+        gen1 = sdp.snapshot(idx)
+        assert gen1 == 1
+        import json as _json
+        with open(os.path.join(idx, "manifest.json")) as f:
+            segs = [m["seg"] for m in _json.load(f)["segments"]]
+        run_merges(idx, merges=[segs], deletion_policy=sdp)
+        import duckdb
+        con = duckdb.connect()
+        urls = [r[0] for r in con.sql(
+            f"SELECT 'https://' || source || '.example.com/doc/' || "
+            f"CAST(doc_id AS VARCHAR) FROM "
+            f"'{sf_dir}/documents.parquet' WHERE doc_id % 10 = 0"
+        ).fetchall()]
+        delete_by_url(idx, urls)
+        with open(marker, "w") as f:
+            f.write("1")
+    return _all_sorted(search_all_matches(idx, TermQuery(TERM_A),
+                                          commit=1))
+
+
 def _span_near():
     from lucene_kmp_ray.search import SpanNearQuery, SpanTermQuery
     return SpanNearQuery((SpanTermQuery("big"), SpanTermQuery("scan")),
@@ -3511,14 +3554,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "soft_delete_search": _soft_delete_search,
         "soft_retention_merge_search": _soft_retention_merge_search,
         "merged_index_search": _merged_index_search,
+        # point-in-time snapshot search joins the window; range_filter_all
+        # (driver-green r1-r4) rotates to a later slot
+        "snapshot_search_all": _snapshot_search_all,
         "ip_range_relations_all": _ip_range_relations_all,
         "multireader_top10": _multireader_topk,
         "shape_box_relations_all": _shape_box_relations_all,
         "shape_polygon_relations_all": _shape_polygon_relations_all,
-        "range_filter_all": lambda sf: _all_sorted(search_all_matches(
-            _ensure_index(sf), BooleanQuery.build(
-                (Occur.MUST, TermQuery(TERM_A)),
-                (Occur.FILTER, RangeFilterQuery("length", 40, 60))))),
         "sorted_index_scan_top20": _sorted_index_scan,
         "knn_vector_top10": _knn_topk,
         # r5 fix under driver review: HNSW candidates exact-reranked so
@@ -3569,6 +3611,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_stats": _term_stats,
         "doc_norms": _doc_norms,
         "collection_stats": _collection_stats,
+        "range_filter_all": lambda sf: _all_sorted(search_all_matches(
+            _ensure_index(sf), BooleanQuery.build(
+                (Occur.MUST, TermQuery(TERM_A)),
+                (Occur.FILTER, RangeFilterQuery("length", 40, 60))))),
         # --- round-5 promotions: never driver-checked before ---
         "kstem_token_counts": _kstem_token_counts,  # KStem (r5)
         "bm25_kstem_top10": _kstem_topk,
@@ -3902,6 +3948,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_term_spark": oracle.bm25_term_topk(TERM_A),
         # merged index must rank bit-identically to the unmerged one
         "merged_index_search": oracle.bm25_term_topk(TERM_A),
+        # snapshot reader must see the pre-merge, pre-delete corpus
+        "snapshot_search_all": oracle.term_match_all(TERM_A),
         "bm25_term_the": oracle.bm25_term_topk(TERM_B),
         "bm25_page2_top10": oracle.bm25_term_page(TERM_B, 10, 10),
         "bm25_or_top10": oracle.bm25_or_topk(OR_TERMS),

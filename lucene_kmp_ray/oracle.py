@@ -360,6 +360,19 @@ ORDER BY score DESC, sm.doc_id LIMIT {k}
 """
 
 
+def term_match_all(term: str) -> str:
+    """Full scored match set of one term over the ORIGINAL corpus — the
+    point-in-time view a snapshot-retained commit must reproduce after
+    later merges and deletes (index/commits.py SnapshotDeletionPolicy +
+    IndexReader(commit=...))."""
+    return preamble() + f""",
+scored AS ({term_scored_cte(repr(term))})
+SELECT s.doc_id, c.url, s.score
+FROM scored s JOIN corpus c USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+
 def check_index_stats(segment_size: int) -> str:
     """CheckIndex global row: the engine re-derives every segment's
     postings/norms/stats and cross-checks the manifest (index/check.py);

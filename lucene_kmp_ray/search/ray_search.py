@@ -192,10 +192,12 @@ class SegmentMatchActor:
     def __init__(self, index_dir: str, query_ref, dtype: str,
                  meta_cols: tuple[str, ...] = (),
                  per_seg_limit: int | None = None,
-                 soft_deletes_field: str | None = None):
+                 soft_deletes_field: str | None = None,
+                 commit: int | None = None):
         import ray
         self.reader = IndexReader(index_dir,
-                                  soft_deletes_field=soft_deletes_field)
+                                  soft_deletes_field=soft_deletes_field,
+                                  commit=commit)
         self.searcher = Searcher(self.reader, BM25Similarity(dtype=dtype))
         self.query: Query = self.searcher.rewrite(ray.get(query_ref))
         self.by_seg = {sr.seg: sr for sr in self.reader.segment_readers}
@@ -237,18 +239,21 @@ def search_all_matches(index_dir: str, query: Query, dtype: str = "float64",
                        concurrency: int | None = None,
                        meta_cols: tuple[str, ...] = (),
                        per_seg_limit: int | None = None,
-                       soft_deletes_field: str | None = None):
+                       soft_deletes_field: str | None = None,
+                       commit: int | None = None):
     """All matching docs of ``query`` as a Dataset (doc_id, url, score).
     ``per_seg_limit`` truncates each segment to its first N matches in
     local-id order — only correct when the index sort makes that order
     the requested sort order (see search_sorted_by_fields).
     ``soft_deletes_field`` opens every per-actor reader through the
-    soft-deletes wrapper (index/softdeletes.py)."""
+    soft-deletes wrapper (index/softdeletes.py). ``commit`` opens every
+    reader at that commit generation (point-in-time search over a
+    snapshot-retained commit, index/commits.py SnapshotDeletionPolicy)."""
     import pyarrow as pa
     import ray
     import ray.data as rd
 
-    reader = IndexReader(index_dir)
+    reader = IndexReader(index_dir, commit=commit)
     segs = [m["seg"] for m in reader.manifest["segments"]]
     query = Searcher(reader).rewrite(query)  # resolve KNN once, broadcast
     ds = _seg_work_items(segs)
@@ -256,7 +261,8 @@ def search_all_matches(index_dir: str, query: Query, dtype: str = "float64",
                           fn_constructor_args=(index_dir, ray.put(query),
                                                dtype, meta_cols,
                                                per_seg_limit,
-                                               soft_deletes_field),
+                                               soft_deletes_field,
+                                               commit),
                           batch_format="pyarrow", batch_size=8,
                           concurrency=_pool_size(
                               concurrency, work_items=(len(segs) + 7) // 8))
