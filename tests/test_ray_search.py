@@ -251,3 +251,44 @@ def test_sorted_numeric_sort_end_to_end(built_meta_index=None):
                    selector="max"),), k=10)
     assert out["doc_id"].tolist() == [2, 0, 3, 1, 4]
     assert out["vals"].tolist()[:3] == [9, 7, 5]
+
+
+def test_commit_pinned_distributed_search(built_index, local64, ray_session,
+                                          tmp_path):
+    """search_all_matches(commit=1) sees the pre-merge, pre-delete view
+    (DirectoryReader.open(IndexCommit) role): snapshot gen 1, force-merge
+    to gen 2, tombstone-delete some urls on the merged segments — the
+    commit-pinned distributed result still equals the original corpus."""
+    import shutil
+
+    from lucene_kmp_ray.index.commits import SnapshotDeletionPolicy
+    from lucene_kmp_ray.index.deletes import delete_by_url
+    from lucene_kmp_ray.index.merge import run_merges
+    from lucene_kmp_ray.index.reader import IndexReader as IR
+
+    idx = str(tmp_path / "snap_idx")
+    shutil.copytree(built_index, idx)
+    sdp = SnapshotDeletionPolicy()
+    assert sdp.snapshot(idx) == 1
+    import json
+    with open(f"{idx}/manifest.json") as f:
+        segs = [m["seg"] for m in json.load(f)["segments"]]
+    run_merges(idx, merges=[segs], deletion_policy=sdp)
+    urls = [sr.doc_meta["url"][0].as_py()
+            for sr in IR(idx).segment_readers][:1]
+    delete_by_url(idx, urls)
+
+    q = TermQuery("spark")
+    pinned = search_all_matches(built_index, q, commit=None).to_pandas()
+    snap = search_all_matches(idx, q, commit=1).to_pandas()
+    assert sorted(snap["doc_id"]) == sorted(pinned["doc_id"])
+    np.testing.assert_array_equal(
+        snap.sort_values("doc_id")["score"].to_numpy(),
+        pinned.sort_values("doc_id")["score"].to_numpy())
+    # the CURRENT view never returns docs the snapshot view lacks, and
+    # loses any deleted doc that matched the query
+    cur = search_all_matches(idx, q).to_pandas()
+    assert not set(cur["doc_id"]) - set(snap["doc_id"])
+    deleted_matching = {int(u.rsplit("/", 1)[1]) for u in urls} \
+        & set(snap["doc_id"])
+    assert deleted_matching.isdisjoint(set(cur["doc_id"]))
