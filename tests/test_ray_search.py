@@ -255,10 +255,12 @@ def test_sorted_numeric_sort_end_to_end(built_meta_index=None):
 
 def test_commit_pinned_distributed_search(built_index, local64, ray_session,
                                           tmp_path):
-    """search_all_matches(commit=1) sees the pre-merge, pre-delete view
-    (DirectoryReader.open(IndexCommit) role): snapshot gen 1, force-merge
-    to gen 2, tombstone-delete some urls on the merged segments — the
-    commit-pinned distributed result still equals the original corpus."""
+    """search_all_matches(commit=gen) sees the pre-merge, pre-delete view
+    (DirectoryReader.open(IndexCommit) role): snapshot the current gen,
+    force-merge to a later gen, tombstone-delete some urls on the merged
+    segments — the commit-pinned distributed result still equals the
+    original corpus. (The snapshot gen is whatever the session-scoped
+    index is at — earlier tests may have re-committed it.)"""
     import shutil
 
     from lucene_kmp_ray.index.commits import SnapshotDeletionPolicy
@@ -269,7 +271,8 @@ def test_commit_pinned_distributed_search(built_index, local64, ray_session,
     idx = str(tmp_path / "snap_idx")
     shutil.copytree(built_index, idx)
     sdp = SnapshotDeletionPolicy()
-    assert sdp.snapshot(idx) == 1
+    snap_gen = sdp.snapshot(idx)
+    assert snap_gen >= 1
     import json
     with open(f"{idx}/manifest.json") as f:
         segs = [m["seg"] for m in json.load(f)["segments"]]
@@ -280,7 +283,7 @@ def test_commit_pinned_distributed_search(built_index, local64, ray_session,
 
     q = TermQuery("spark")
     pinned = search_all_matches(built_index, q, commit=None).to_pandas()
-    snap = search_all_matches(idx, q, commit=1).to_pandas()
+    snap = search_all_matches(idx, q, commit=snap_gen).to_pandas()
     assert sorted(snap["doc_id"]) == sorted(pinned["doc_id"])
     np.testing.assert_array_equal(
         snap.sort_values("doc_id")["score"].to_numpy(),
