@@ -1229,6 +1229,71 @@ def _misc_filter_counts(sf_dir: str):
     return df.sort_values(["filter", "term"]).reset_index(drop=True)
 
 
+def _misc_filter_counts_v2(sf_dir: str):
+    """(filter, term, cnt) over the r5 session-8 misc filters — the last
+    live-tested miscellaneous components: DateRecognizerFilter
+    (PatternDateRecognizer MM/dd/yyyy over synthesized per-doc date
+    strings; the oracle validates with TRY_STRPTIME, a genuinely
+    independent calendar check), DelimitedTermFrequencyTokenFilter,
+    LimitTokenPositionFilter(3), Set KeywordMarker + capitalization,
+    ConditionalTokenFilter (truncate-4 unless the token contains 'x'),
+    ConcatenateGraphFilter over the first 5 tokens, and
+    DropIfFlaggedFilter with flags = len(term) % 8, dropFlags = 5."""
+    import pyarrow as pa
+    import ray
+
+    from lucene_kmp_ray.analysis.filters_misc import (
+        apply_unless_keyword, concatenate_graph_filter,
+        conditional_filter, date_recognizer_filter,
+        delimited_term_frequency, drop_if_flagged,
+        limit_token_position_filter, pattern_date_recognizer,
+        set_keyword_marks, truncate_filter)
+    from lucene_kmp_ray.analysis.standard import tokenize
+
+    rec = pattern_date_recognizer("MM/dd/yyyy")
+    kw = frozenset({"the", "spark"})
+
+    def cap(w: str) -> str:
+        return w[:1].upper() + w[1:].lower() if w else w
+
+    def derive(batch: pa.Table) -> pa.Table:
+        import collections
+        counts: collections.Counter = collections.Counter()
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            toks = tokenize(text or "")
+            dates = [f"{doc_id % 14 + 1}/{doc_id % 31 + 1}/2006",
+                     f"{doc_id % 12 + 1}/{doc_id % 28 + 1}/2006"]
+            counts.update(("date", t)
+                          for t in date_recognizer_filter(dates, rec))
+            dtf = delimited_term_frequency(
+                [f"w{doc_id % 7}|{doc_id % 5 + 1}", "plain"])
+            counts.update(("dtf", f"{t}:{tf}") for t, tf in dtf)
+            counts.update(("limitpos3", t)
+                          for t in limit_token_position_filter(toks, 3))
+            marks = set_keyword_marks(toks, kw)
+            counts.update(("kwcap", t)
+                          for t in apply_unless_keyword(toks, marks, cap))
+            counts.update(("condtrunc", t) for t in conditional_filter(
+                toks, lambda t: "x" not in t,
+                lambda ts: truncate_filter(ts, 4)))
+            counts.update(("concat5", t) for t in
+                          concatenate_graph_filter(toks[:5], sep="-"))
+            counts.update(("dropflag", t) for t, _ in drop_if_flagged(
+                [(t, len(t) % 8) for t in toks], 5))
+        return pa.table({
+            "filter": [k[0] for k in counts],
+            "term": [k[1] for k in counts],
+            "cnt": list(counts.values())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    agg = ds.map_batches(derive, batch_format="pyarrow") \
+        .groupby(["filter", "term"]).sum("cnt")
+    df = agg.to_pandas().rename(columns={"sum(cnt)": "cnt"})
+    return df.sort_values(["filter", "term"]).reset_index(drop=True)
+
+
 def _scandinavian_counts(sf_dir: str):
     """(term, count) for the Scandinavian normalize + fold filters over
     a synthesized per-doc word; expectations from the reference's
@@ -3600,12 +3665,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "icu_fold_token_counts": _icu_fold_token_counts,
         "metaphone_token_counts": _metaphone_token_counts,
         "misc_filter_counts": _misc_filter_counts,
+        # r5 session 8: the LAST live-tested misc filters (DateRecognizer,
+        # DelimitedTermFrequency, LimitTokenPosition, KeywordMarker,
+        # ConditionalTokenFilter, ConcatenateGraph, DropIfFlagged) join
+        # the window; synonym_top10 (driver-green r1-r4) rotates out
+        "misc_filter_counts_v2": _misc_filter_counts_v2,
         "scandinavian_counts": _scandinavian_counts,
         "bm25_perfield_title_top10": _perfield_title_topk,
         "classic_token_counts": _classic_token_counts,
         "doc_fingerprint_counts": _doc_fingerprint_counts,
         "ja_number_counts": _ja_number_counts,  # JapaneseNumberFilter
-        "synonym_top10": lambda sf: _topk(sf, SynonymQuery(AND_SORTED)),
         "field_stats": _field_stats,
         "delete_by_url_search": _delete_by_url_search,
         "term_stats": _term_stats,
@@ -3641,6 +3710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # displaced from the window (driver-green r1–r4 and/or families
         # already represented above; every entry below remains in the
         # repo's full per-round oracle sweep)
+        "synonym_top10": lambda sf: _topk(sf, SynonymQuery(AND_SORTED)),
         "doc_term_stats": _doc_term_stats,
         "bm25_page2_top10": _page2,
         "bool_not_all": lambda sf: _all_sorted(search_all_matches(
@@ -4116,6 +4186,7 @@ def oracle_sql() -> dict[str, str]:
         "ja_completion_counts":
             oracle.horn_token_counts(JA_COMPLETION_VECTORS),
         "misc_filter_counts": oracle.misc_filter_counts(),
+        "misc_filter_counts_v2": oracle.misc_filter_counts_v2(),
         "scandinavian_counts": oracle.scandinavian_counts(SCAN_VECTORS),
         "bm25_perfield_title_top10": oracle.bm25_perfield_title_topk(
             _english_query_term()),

@@ -271,3 +271,259 @@ def type_as_synonym_filter(token_types: list[tuple[str, str]],
         out.append(t)
         out.append(prefix + typ)
     return out
+
+
+# ===================================================================
+# r5 session-8 additions: the last live-tested miscellaneous filters.
+# Offsets note: FixBrokenOffsetsFilter is designed out — the engine's
+# analyzers track positions only (offsets are not indexed, SURVEY §2.2),
+# so there are no broken offsets to fix.
+# ===================================================================
+
+# ConcatenateGraphFilter.SEP_LABEL = TokenStreamToAutomaton.POS_SEP
+# [ref: core/analysis/TokenStreamToAutomaton.kt:249 = 0x001f]
+CONCAT_SEP = "\u001f"
+
+
+def concatenate_graph_filter(tokens, sep=CONCAT_SEP,
+                             preserve_pos_inc: bool = True,
+                             max_graph_expansions: int = 10000
+                             ) -> list[str]:
+    """ConcatenateGraphFilter [ref: miscellaneous/ConcatenateGraphFilter
+    .kt]: concatenates the token graph into one output token per path.
+
+    ``tokens`` is either a plain ``list[str]`` (posinc 1 each) or a list
+    of ``(term, posinc)`` where posinc 0 marks a same-position
+    alternative (the engine's SynonymGraph shape) and posinc > 1 records
+    holes left by stop removal. ``sep=None`` emits no separators (the
+    preserveSep=false ctor); otherwise each position joins with ``sep``
+    and, when ``preserve_pos_inc``, each hole contributes one extra
+    ``sep`` (TestConcatenateGraphFilter: "A B C D E F J H" minus stops
+    {A,D,E,J} with sep '-' -> "-B-C---F--H"). Paths are emitted in
+    sorted order, matching the automaton's finite-strings enumeration;
+    more than ``max_graph_expansions`` paths raises (the
+    TooComplexToDeterminizeException role)."""
+    pairs = [(t, 1) if isinstance(t, str) else (t[0], int(t[1]))
+             for t in tokens]
+    positions: list[tuple[int, list[str]]] = []  # (holes, alternatives)
+    for term, inc in pairs:
+        if inc == 0 and positions:
+            positions[-1][1].append(term)
+        else:
+            positions.append((max(inc, 1) - 1, [term]))
+    if not positions:
+        return []
+    n_paths = 1
+    for _, alts in positions:
+        n_paths *= len(alts)
+        if n_paths > max_graph_expansions:
+            raise ValueError(
+                f"graph expands to more than {max_graph_expansions} paths")
+    paths = [""]
+    for j, (holes, alts) in enumerate(positions):
+        prefix = ""
+        if sep is not None:
+            if preserve_pos_inc:
+                prefix += sep * holes
+            if j > 0:
+                prefix += sep
+        paths = [p + prefix + a for p in paths for a in alts]
+    return sorted(paths)
+
+
+_MONTH_NAMES = {
+    "jan": 1, "january": 1, "feb": 2, "february": 2, "mar": 3,
+    "march": 3, "apr": 4, "april": 4, "may": 5, "jun": 6, "june": 6,
+    "jul": 7, "july": 7, "aug": 8, "august": 8, "sep": 9, "sept": 9,
+    "september": 9, "oct": 10, "october": 10, "nov": 11, "november": 11,
+    "dec": 12, "december": 12,
+}
+
+
+def _is_valid_date(year: int, month: int, day: int) -> bool:
+    import datetime
+    try:
+        datetime.date(year, month, day)
+        return True
+    except ValueError:
+        return False
+
+
+def english_default_date_recognizer(text: str) -> bool:
+    """EnglishDefaultDateRecognizer [ref: miscellaneous/DateRecognizer
+    .kt:9]: ISO yyyy-MM-dd (LocalDate.parse) or 'Month d, yyyy'."""
+    import datetime
+    import re
+    s = text.strip()
+    try:
+        datetime.date.fromisoformat(s)
+        return True
+    except ValueError:
+        pass
+    m = re.fullmatch(r"([A-Za-z]+)\s+(\d{1,2}),\s*(\d{4})", s)
+    if not m:
+        return False
+    month = _MONTH_NAMES.get(m.group(1).lower())
+    if month is None:
+        return False
+    return _is_valid_date(int(m.group(3)), month, int(m.group(2)))
+
+
+def pattern_date_recognizer(date_pattern: str):
+    """PatternDateRecognizer [ref: DateRecognizer.kt:61]: the four
+    numeric patterns the reference supports."""
+    import re
+    month_first = date_pattern in ("MM/dd/yyyy", "MM-dd-yyyy")
+    year_first = date_pattern in ("yyyy/MM/dd", "yyyy-MM-dd")
+    if not (month_first or year_first):
+        raise ValueError(f"Unsupported datePattern: {date_pattern}")
+    sep = re.escape(date_pattern[4] if year_first else date_pattern[2])
+    if month_first:
+        rx = re.compile(r"(\d{1,2})%s(\d{1,2})%s(\d{4})" % (sep, sep))
+    else:
+        rx = re.compile(r"(\d{4})%s(\d{1,2})%s(\d{1,2})" % (sep, sep))
+
+    def recognize(text: str) -> bool:
+        m = rx.fullmatch(text.strip())
+        if not m:
+            return False
+        a, b, c = (int(g) for g in m.groups())
+        return (_is_valid_date(c, a, b) if month_first
+                else _is_valid_date(a, b, c))
+    return recognize
+
+
+def date_recognizer_filter(tokens: list[str],
+                           recognizer=None) -> list[str]:
+    """DateRecognizerFilter [ref: miscellaneous/DateRecognizerFilter
+    .kt]: keeps only tokens the recognizer accepts as dates."""
+    rec = recognizer or english_default_date_recognizer
+    return [t for t in tokens if rec(t)]
+
+
+def delimited_term_frequency(tokens: list[str], delimiter: str = "|"
+                             ) -> list[tuple[str, int]]:
+    """DelimitedTermFrequencyTokenFilter [ref: miscellaneous/
+    DelimitedTermFrequencyTokenFilter.kt]: 'term|tf' -> (term, tf);
+    no delimiter -> tf 1. First delimiter occurrence splits (the
+    reference scans the buffer left to right). Negative tf raises with
+    the reference's message; a non-integer tf raises ValueError (the
+    NumberFormatException role)."""
+    out = []
+    for t in tokens:
+        i = t.find(delimiter)
+        if i < 0:
+            out.append((t, 1))
+            continue
+        tf = int(t[i + 1:])  # ValueError = NumberFormatException role
+        if tf < 1:
+            raise ValueError(
+                f"Term frequency must be 1 or greater; got {tf}")
+        out.append((t[:i], tf))
+    return out
+
+
+def drop_if_flagged(tokens_with_flags, drop_flags: int) -> list:
+    """DropIfFlaggedFilter [ref: miscellaneous/DropIfFlaggedFilter.kt]:
+    drop a (term, flags) token when ALL bits of drop_flags are set."""
+    return [(t, f) for t, f in tokens_with_flags
+            if (f & drop_flags) != drop_flags]
+
+
+def set_keyword_marks(tokens: list[str], keyword_set,
+                      ignore_case: bool = False,
+                      prior=None) -> list[bool]:
+    """SetKeywordMarkerFilter [ref: miscellaneous/SetKeywordMarkerFilter
+    .kt]: mark tokens in the set as keywords (KeywordAttribute role).
+    ``prior`` composes marks from an earlier marker (marks OR together,
+    the LUCENE-2901 composition)."""
+    if ignore_case:
+        ks = frozenset(w.lower() for w in keyword_set)
+        marks = [t.lower() in ks for t in tokens]
+    else:
+        ks = frozenset(keyword_set)
+        marks = [t in ks for t in tokens]
+    if prior is not None:
+        marks = [a or b for a, b in zip(marks, prior)]
+    return marks
+
+
+def pattern_keyword_marks(tokens: list[str], pattern,
+                          prior=None) -> list[bool]:
+    """PatternKeywordMarkerFilter [ref: miscellaneous/
+    PatternKeywordMarkerFilter.kt]: mark tokens fully matching the
+    regex."""
+    import re
+    rx = re.compile(pattern) if isinstance(pattern, str) else pattern
+    marks = [rx.fullmatch(t) is not None for t in tokens]
+    if prior is not None:
+        marks = [a or b for a, b in zip(marks, prior)]
+    return marks
+
+
+def apply_unless_keyword(tokens: list[str], marks: list[bool],
+                         fn) -> list[str]:
+    """Downstream-of-KeywordMarker application: keyword-marked tokens
+    bypass the transform (the stemmer/LowerCaseFilterMock contract in
+    TestKeywordMarkerFilter.kt)."""
+    return [t if m else fn(t) for t, m in zip(tokens, marks)]
+
+
+def limit_token_offset_filter(tokens_with_offsets,
+                              max_start_offset: int) -> list:
+    """LimitTokenOffsetFilter [ref: miscellaneous/LimitTokenOffsetFilter
+    .kt]: pass (term, start_offset) tokens while start <= max, then end
+    the stream (consumeAllTokens only affects stream exhaustion, which
+    the list model has no analog of)."""
+    if max_start_offset < 0:
+        raise ValueError("maxStartOffset must be >= zero")
+    out = []
+    for t, start in tokens_with_offsets:
+        if start > max_start_offset:
+            break
+        out.append((t, start))
+    return out
+
+
+def limit_token_position_filter(tokens, max_token_position: int) -> list:
+    """LimitTokenPositionFilter [ref: miscellaneous/
+    LimitTokenPositionFilter.kt]: emit tokens while position (cumsum of
+    posinc, first token = 1) <= max. Accepts list[str] (posinc 1 each)
+    or (term, posinc) pairs."""
+    if max_token_position < 1:
+        raise ValueError("maxTokenPosition must be greater than zero")
+    out = []
+    pos = 0
+    for t in tokens:
+        inc = 1 if isinstance(t, str) else t[1]
+        pos += inc
+        if pos > max_token_position:
+            break
+        out.append(t)
+    return out
+
+
+def conditional_filter(tokens: list[str], should_filter,
+                       inner) -> list[str]:
+    """ConditionalTokenFilter [ref: miscellaneous/ConditionalTokenFilter
+    .kt]: tokens for which ``should_filter`` is true are fed through
+    ``inner`` (a list transform) as ONE stream; the rest bypass
+    unchanged. The list model supports length-preserving inners (the
+    lowercase/stem/normalize family — TestConditionalTokenFilter
+    testSimple); dropping/graph inners compose via protected_term_filter
+    instead."""
+    sel = [i for i, t in enumerate(tokens) if should_filter(t)]
+    sub = inner([tokens[i] for i in sel])
+    if len(sub) != len(sel):
+        raise ValueError("conditional_filter requires a "
+                         "length-preserving inner transform")
+    out = list(tokens)
+    for i, t in zip(sel, sub):
+        out[i] = t
+    return out
+
+
+def concatenating_token_stream(*token_lists) -> list:
+    """ConcatenatingTokenStream [ref: miscellaneous/
+    ConcatenatingTokenStream.kt]: the token streams back to back."""
+    return [t for lst in token_lists for t in lst]

@@ -9190,6 +9190,53 @@ GROUP BY filter, term ORDER BY filter, term
 """
 
 
+def misc_filter_counts_v2() -> str:
+    """(filter, term, cnt) over the r5 session-8 misc filters. Each
+    transform is recomputed in SQL: date validity via TRY_STRPTIME (an
+    independent calendar check against PatternDateRecognizer),
+    delimited term-frequency parsing, list slicing for
+    LimitTokenPosition, CASE mirrors of KeywordMarker+capitalization and
+    ConditionalTokenFilter, array_to_string for ConcatenateGraph, and
+    the DropIfFlagged bit test."""
+    from .analysis.standard import sql_tokens_expr
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, {sql_tokens_expr('text')} AS toks FROM corpus),
+tok AS (SELECT doc_id, unnest(toks) AS t FROM toksrc),
+rows_ AS (
+  SELECT 'date' AS filter, d AS term FROM (
+    SELECT unnest([
+      (doc_id % 14 + 1)::VARCHAR || '/' || (doc_id % 31 + 1)::VARCHAR
+        || '/2006',
+      (doc_id % 12 + 1)::VARCHAR || '/' || (doc_id % 28 + 1)::VARCHAR
+        || '/2006']) AS d
+    FROM corpus) WHERE TRY_STRPTIME(d, '%m/%d/%Y') IS NOT NULL
+  UNION ALL
+  SELECT 'dtf', 'w' || (doc_id % 7)::VARCHAR || ':'
+                || (doc_id % 5 + 1)::VARCHAR FROM corpus
+  UNION ALL
+  SELECT 'dtf', 'plain:1' FROM corpus
+  UNION ALL
+  SELECT 'limitpos3', unnest(toks[1:3]) FROM toksrc
+  UNION ALL
+  SELECT 'kwcap', CASE WHEN t IN ('the', 'spark') THEN t
+                       ELSE upper(left(t, 1)) || lower(substr(t, 2)) END
+  FROM tok
+  UNION ALL
+  SELECT 'condtrunc', CASE WHEN t LIKE '%x%' THEN t
+                           ELSE left(t, 4) END FROM tok
+  UNION ALL
+  SELECT 'concat5', array_to_string(toks[1:5], '-') FROM toksrc
+  WHERE len(toks) > 0
+  UNION ALL
+  SELECT 'dropflag', t FROM tok WHERE ((length(t) % 8) & 5) <> 5
+)
+SELECT filter, term, count(*) AS cnt FROM rows_
+GROUP BY filter, term ORDER BY filter, term
+"""
+
+
 def scandinavian_counts(vectors: list[tuple[str, str, str]]) -> str:
     """(term, cnt) over the Scandinavian normalize+fold filters applied
     to a synthesized per-doc word. Expectations are the reference's OWN
