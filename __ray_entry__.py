@@ -1294,6 +1294,66 @@ def _misc_filter_counts_v2(sf_dir: str):
     return df.sort_values(["filter", "term"]).reset_index(drop=True)
 
 
+def _payload_filter_counts(sf_dir: str):
+    """(filter, term, cnt) over the payload token filters
+    (analysis/common/payloads): DelimitedPayloadTokenFilter under all
+    three encoders (identity / float / integer — payloads rendered as
+    decoded values so the DuckDB mirror recomputes them from the raw
+    strings), TokenOffsetPayloadTokenFilter (start/end int pairs),
+    NumericPayloadTokenFilter (float payload on type 'D' = the token
+    'spark') and TypeAsPayloadTokenFilter."""
+    import pyarrow as pa
+    import ray
+
+    from lucene_kmp_ray.analysis.payloads import (
+        decode_float, decode_int, delimited_payload_filter,
+        float_encoder, integer_encoder, numeric_payload_filter,
+        token_offset_payload_filter, type_as_payload_filter,
+        whitespace_offsets)
+    from lucene_kmp_ray.analysis.standard import tokenize
+
+    def derive(batch: pa.Table) -> pa.Table:
+        import collections
+        counts: collections.Counter = collections.Counter()
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            for t, pay in delimited_payload_filter(
+                    [f"t{doc_id % 5}|P{doc_id % 3}", "bare"]):
+                counts[("dpf_id",
+                        f"{t}:{pay.decode() if pay else '-'}")] += 1
+            for t, pay in delimited_payload_filter(
+                    [f"w{doc_id % 7}|{doc_id % 9}.5"],
+                    encoder=float_encoder):
+                counts[("dpf_float", f"{t}:{decode_float(pay)}")] += 1
+            for t, pay in delimited_payload_filter(
+                    [f"n{doc_id % 4}|{doc_id % 100}"],
+                    encoder=integer_encoder):
+                counts[("dpf_int", f"{t}:{decode_int(pay)}")] += 1
+            for t, pay in token_offset_payload_filter(
+                    whitespace_offsets(f"w{doc_id % 5} yy")):
+                counts[("offsets",
+                        f"{t}:{decode_int(pay, 0)}:{decode_int(pay, 4)}"
+                        )] += 1
+            toks = tokenize(text or "")
+            tt = [(t, "D" if t == "spark" else "word") for t in toks]
+            for t, _typ, pay in numeric_payload_filter(tt, 3.0, "D"):
+                counts[("numpay",
+                        f"{t}:{decode_float(pay) if pay else '-'}")] += 1
+            for t, pay in type_as_payload_filter(tt):
+                counts[("typepay", f"{t}:{pay.decode()}")] += 1
+        return pa.table({
+            "filter": [k[0] for k in counts],
+            "term": [k[1] for k in counts],
+            "cnt": list(counts.values())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    agg = ds.map_batches(derive, batch_format="pyarrow") \
+        .groupby(["filter", "term"]).sum("cnt")
+    df = agg.to_pandas().rename(columns={"sum(cnt)": "cnt"})
+    return df.sort_values(["filter", "term"]).reset_index(drop=True)
+
+
 def _scandinavian_counts(sf_dir: str):
     """(term, count) for the Scandinavian normalize + fold filters over
     a synthesized per-doc word; expectations from the reference's
@@ -3651,31 +3711,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-4 families: ONE representative per family ---
         "ja_token_counts": _ja_token_counts,      # kuromoji lattice
         "ko_token_counts": _ko_token_counts,      # nori lattice
-        "zh_token_counts": _zh_token_counts,      # smartcn HHMM
-        "pl_token_counts": _pl_token_counts,      # morfologik CFSA2
         # round 5: Ukrainian (curated morfologik; dict binary absent
         # from the reference distribution — nori-lexicon precedent)
         "uk_token_counts": _uk_token_counts,
         "he_token_counts": _he_token_counts,      # hebmorph hspell
         "am_token_counts": lambda sf: _horn_token_counts(sf, "amharic"),
         "om_token_counts": lambda sf: _horn_token_counts(sf, "oromo"),
+        # r5 session 8: the last live-tested misc + payload filters join
+        # the true first-50 window; zh/pl_token_counts (driver-green r4,
+        # family represented by ja/ko above) rotate to later slots
+        "misc_filter_counts_v2": _misc_filter_counts_v2,
+        "payload_filter_counts": _payload_filter_counts,
         # r5 fix under driver review: deterministic ORDER BY + DOUBLE
         # score on both sides (was the r4 hash-red row)
         "geo_polygon_all": _geo_polygon_all,      # LatLonShape role
+        # ===== end of the driver's first-50 snapshot window =====
         "icu_fold_token_counts": _icu_fold_token_counts,
         "metaphone_token_counts": _metaphone_token_counts,
         "misc_filter_counts": _misc_filter_counts,
-        # r5 session 8: the LAST live-tested misc filters (DateRecognizer,
-        # DelimitedTermFrequency, LimitTokenPosition, KeywordMarker,
-        # ConditionalTokenFilter, ConcatenateGraph, DropIfFlagged) join
-        # the window; synonym_top10 (driver-green r1-r4) rotates out
-        "misc_filter_counts_v2": _misc_filter_counts_v2,
         "scandinavian_counts": _scandinavian_counts,
         "bm25_perfield_title_top10": _perfield_title_topk,
         "classic_token_counts": _classic_token_counts,
         "doc_fingerprint_counts": _doc_fingerprint_counts,
         "ja_number_counts": _ja_number_counts,  # JapaneseNumberFilter
-        "field_stats": _field_stats,
         "delete_by_url_search": _delete_by_url_search,
         "term_stats": _term_stats,
         "doc_norms": _doc_norms,
@@ -3706,11 +3764,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_ko_native_top10": lambda sf: _native_cjk_topk(
             sf, "korean", KO_VECTORS, "한국"),
         "facet_lang_counts": _facet_lang_counts,
-        # ===== end of first-50 window =====
         # displaced from the window (driver-green r1–r4 and/or families
         # already represented above; every entry below remains in the
         # repo's full per-round oracle sweep)
         "synonym_top10": lambda sf: _topk(sf, SynonymQuery(AND_SORTED)),
+        "field_stats": _field_stats,
+        "zh_token_counts": _zh_token_counts,      # smartcn HHMM
+        "pl_token_counts": _pl_token_counts,      # morfologik CFSA2
         "doc_term_stats": _doc_term_stats,
         "bm25_page2_top10": _page2,
         "bool_not_all": lambda sf: _all_sorted(search_all_matches(
@@ -4187,6 +4247,7 @@ def oracle_sql() -> dict[str, str]:
             oracle.horn_token_counts(JA_COMPLETION_VECTORS),
         "misc_filter_counts": oracle.misc_filter_counts(),
         "misc_filter_counts_v2": oracle.misc_filter_counts_v2(),
+        "payload_filter_counts": oracle.payload_filter_counts(),
         "scandinavian_counts": oracle.scandinavian_counts(SCAN_VECTORS),
         "bm25_perfield_title_top10": oracle.bm25_perfield_title_topk(
             _english_query_term()),

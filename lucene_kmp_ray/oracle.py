@@ -9237,6 +9237,46 @@ GROUP BY filter, term ORDER BY filter, term
 """
 
 
+def payload_filter_counts() -> str:
+    """(filter, term, cnt) mirror of the payload token filters. Every
+    payload is recomputed from the raw delimited string / offsets /
+    type rule in SQL, so the engine's encode->decode round-trip
+    (PayloadHelper big-endian float32/int32) is independently checked
+    at the value level."""
+    from .analysis.standard import sql_tokens_expr
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS MATERIALIZED (
+  SELECT doc_id, {sql_tokens_expr('text')} AS toks FROM corpus),
+tok AS (SELECT doc_id, unnest(toks) AS t FROM toksrc),
+rows_ AS (
+  SELECT 'dpf_id' AS filter,
+         't' || (doc_id % 5)::VARCHAR || ':P' || (doc_id % 3)::VARCHAR
+           AS term FROM corpus
+  UNION ALL
+  SELECT 'dpf_id', 'bare:-' FROM corpus
+  UNION ALL
+  SELECT 'dpf_float', 'w' || (doc_id % 7)::VARCHAR || ':'
+                       || (doc_id % 9)::VARCHAR || '.5' FROM corpus
+  UNION ALL
+  SELECT 'dpf_int', 'n' || (doc_id % 4)::VARCHAR || ':'
+                    || (doc_id % 100)::VARCHAR FROM corpus
+  UNION ALL
+  SELECT 'offsets', 'w' || (doc_id % 5)::VARCHAR || ':0:2' FROM corpus
+  UNION ALL
+  SELECT 'offsets', 'yy:3:5' FROM corpus
+  UNION ALL
+  SELECT 'numpay', t || CASE WHEN t = 'spark' THEN ':3.0'
+                             ELSE ':-' END FROM tok
+  UNION ALL
+  SELECT 'typepay', t || CASE WHEN t = 'spark' THEN ':D'
+                              ELSE ':word' END FROM tok
+)
+SELECT filter, term, count(*) AS cnt FROM rows_
+GROUP BY filter, term ORDER BY filter, term
+"""
+
+
 def scandinavian_counts(vectors: list[tuple[str, str, str]]) -> str:
     """(term, cnt) over the Scandinavian normalize+fold filters applied
     to a synthesized per-doc word. Expectations are the reference's OWN
