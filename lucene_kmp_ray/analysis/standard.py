@@ -658,6 +658,33 @@ class NGramAnalyzer:
         return norm_lengths, flat_grams, doc_of2, positions2
 
 
+class EdgeNGramAnalyzer(NGramAnalyzer):
+    """EdgeNGramTokenFilter role (``analysis/common/.../ngram/
+    EdgeNGramTokenFilter.kt``): per word token, front grams of length
+    min_n..max_n (capped at the token length); tokens shorter than
+    min_n are dropped. With ``preserve_original``, a token outside the
+    [min_n, max_n] length range additionally emits itself
+    (TestEdgeNGramTokenFilter testPreserveOriginal: "a bcd efghi jk"
+    with (2, 3, true) -> a, bc, bcd, ef, efg, efghi, jk). Grams of one
+    word share the word's position (first gram inherits the posinc,
+    the rest are posinc-0), inherited from NGramAnalyzer's model."""
+
+    def __init__(self, min_n: int = 2, max_n: int = 3,
+                 preserve_original: bool = False):
+        super().__init__(min_n, max_n)
+        self.preserve_original = preserve_original
+        self.name = f"edge_ngram_{min_n}_{max_n}" + \
+            ("_orig" if preserve_original else "")
+
+    def _grams(self, tok: str) -> list[str]:
+        out = [tok[:n]
+               for n in range(self.min_n, min(self.max_n, len(tok)) + 1)]
+        if self.preserve_original and not \
+                (self.min_n <= len(tok) <= self.max_n):
+            out.append(tok)
+        return out
+
+
 class NGramTokenizerAnalyzer(NGramAnalyzer):
     """The NGramTokenizer model (``analysis/common/.../ngram/
     NGramTokenizer``): each gram is its own token at its own POSITION

@@ -9237,6 +9237,24 @@ GROUP BY filter, term ORDER BY filter, term
 """
 
 
+def edge_ngram_counts() -> str:
+    """(term, cnt) mirror of EdgeNGramAnalyzer(2, 3): per standard
+    token, left(t, 2) when length >= 2 and left(t, 3) when length >= 3
+    (tokens shorter than min_n drop — TestEdgeNGramTokenFilter)."""
+    from .analysis.standard import sql_tokens_expr
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS (SELECT doc_id, {sql_tokens_expr('text')} AS toks FROM corpus),
+tok AS (SELECT unnest(toks) AS t FROM toksrc),
+grams AS (
+  SELECT left(t, 2) AS term FROM tok WHERE length(t) >= 2
+  UNION ALL
+  SELECT left(t, 3) FROM tok WHERE length(t) >= 3
+)
+SELECT term, count(*) AS cnt FROM grams GROUP BY term ORDER BY term
+"""
+
+
 def payload_filter_counts() -> str:
     """(filter, term, cnt) mirror of the payload token filters. Every
     payload is recomputed from the raw delimited string / offsets /
