@@ -1294,6 +1294,34 @@ def _misc_filter_counts_v2(sf_dir: str):
     return df.sort_values(["filter", "term"]).reset_index(drop=True)
 
 
+def _common_grams_query_counts(sf_dir: str):
+    """(term, cnt) of the CommonGramsQueryFilter chain (standard tokens
+    + English stop set as the common words) over the corpus — the
+    query-side bigram-only optimization. The oracle replays the
+    keep/drop rules with lead/lag window functions."""
+    import pyarrow as pa
+    import ray
+
+    from lucene_kmp_ray.analysis.filters import CommonGramsQueryAnalyzer
+
+    ana = CommonGramsQueryAnalyzer()
+
+    def derive(batch: pa.Table) -> pa.Table:
+        import collections
+        counts: collections.Counter = collections.Counter()
+        for text in batch.column("text").to_pylist():
+            counts.update(ana(text or ""))
+        return pa.table({"term": list(counts.keys()),
+                         "cnt": list(counts.values())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    agg = ds.map_batches(derive, batch_format="pyarrow") \
+        .groupby("term").sum("cnt")
+    df = agg.to_pandas().rename(columns={"sum(cnt)": "cnt"})
+    return df.sort_values("term").reset_index(drop=True)
+
+
 def _edge_ngram_counts(sf_dir: str):
     """(term, cnt) of EdgeNGramAnalyzer(2, 3) over the corpus text —
     front grams of 2..3 chars per standard token, short tokens dropped
@@ -3800,6 +3828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zh_token_counts": _zh_token_counts,      # smartcn HHMM
         "pl_token_counts": _pl_token_counts,      # morfologik CFSA2
         "edge_ngram_counts": _edge_ngram_counts,  # r5 session 8
+        "common_grams_query_counts": _common_grams_query_counts,
         "doc_term_stats": _doc_term_stats,
         "bm25_page2_top10": _page2,
         "bool_not_all": lambda sf: _all_sorted(search_all_matches(
@@ -4278,6 +4307,7 @@ def oracle_sql() -> dict[str, str]:
         "misc_filter_counts_v2": oracle.misc_filter_counts_v2(),
         "payload_filter_counts": oracle.payload_filter_counts(),
         "edge_ngram_counts": oracle.edge_ngram_counts(),
+        "common_grams_query_counts": oracle.common_grams_query_counts(),
         "scandinavian_counts": oracle.scandinavian_counts(SCAN_VECTORS),
         "bm25_perfield_title_top10": oracle.bm25_perfield_title_topk(
             _english_query_term()),

@@ -268,6 +268,44 @@ class CommonGramsAnalyzer:
                 out_doc[order], out_pos[order])
 
 
+def common_grams_query_filter(tokens: list[str], common_words,
+                              separator: str = "_") -> list[str]:
+    """CommonGramsQueryFilter [ref: commongrams/CommonGramsQueryFilter
+    .kt]: the query-side of CommonGrams — output bigrams whenever
+    possible; a unigram survives only when it is NOT followed by its
+    own bigram and is not the trailing member of the final bigram
+    (TestCommonGramsFilter.testCommonGramsQueryFilter's full s/n
+    vector table: "the fox" -> [the_fox]; "the quick brown" ->
+    [the_quick, quick, brown]; "n s n" -> [n_s, s_n])."""
+    cw = frozenset(common_words)
+    n = len(tokens)
+    out: list[str] = []
+    for i, t in enumerate(tokens):
+        gram_after = i + 1 < n and (t in cw or tokens[i + 1] in cw)
+        gram_before = i > 0 and (tokens[i - 1] in cw or t in cw)
+        if not gram_after and not (i == n - 1 and gram_before):
+            out.append(t)
+        if gram_after:
+            out.append(t + separator + tokens[i + 1])
+    return out
+
+
+class CommonGramsQueryAnalyzer:
+    """base analyzer → CommonGramsFilter → CommonGramsQueryFilter (the
+    query-time pairing of CommonGramsAnalyzer)."""
+
+    def __init__(self, base=None, common_words=None):
+        from .standard import ENGLISH_STOP_WORDS, StandardAnalyzer
+        self.base = base or StandardAnalyzer()
+        self.common = frozenset(common_words
+                                if common_words is not None
+                                else ENGLISH_STOP_WORDS)
+        self.name = f"commongrams_query_{self.base.name}"
+
+    def __call__(self, text: str) -> list[str]:
+        return common_grams_query_filter(self.base(text), self.common)
+
+
 class PatternTokenizerAnalyzer:
     """PatternTokenizer (``analysis/common/.../pattern/
     PatternTokenizer.kt``): group 0 → tokens are the regex MATCHES,

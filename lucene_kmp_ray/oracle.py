@@ -9237,6 +9237,40 @@ GROUP BY filter, term ORDER BY filter, term
 """
 
 
+def common_grams_query_counts() -> str:
+    """(term, cnt) mirror of CommonGramsQueryFilter over the standard
+    tokens with the English stop set as common words: a bigram is
+    emitted at every adjacent pair touching a common word; a unigram
+    survives only when not followed by its own bigram and not the
+    trailing member of the final bigram."""
+    from .analysis.standard import ENGLISH_STOP_WORDS, sql_tokens_expr
+    stops = _stop_list_sql(ENGLISH_STOP_WORDS)
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toksrc AS (SELECT doc_id, {sql_tokens_expr('text')} AS toks FROM corpus),
+tok AS (SELECT doc_id, unnest(toks) AS t,
+               unnest(range(1, len(toks) + 1)) AS ord, len(toks) AS n
+        FROM toksrc WHERE len(toks) > 0),
+marked AS (
+  SELECT doc_id, t, ord, n,
+         lead(t) OVER w AS nxt, lag(t) OVER w AS prv
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY ord)),
+f AS (SELECT *,
+        (nxt IS NOT NULL AND (t IN ({stops}) OR nxt IN ({stops})))
+          AS gram_after,
+        (prv IS NOT NULL AND (prv IN ({stops}) OR t IN ({stops})))
+          AS gram_before
+      FROM marked),
+out_ AS (
+  SELECT t || '_' || nxt AS term FROM f WHERE gram_after
+  UNION ALL
+  SELECT t FROM f
+  WHERE NOT gram_after AND NOT (ord = n AND gram_before)
+)
+SELECT term, count(*) AS cnt FROM out_ GROUP BY term ORDER BY term
+"""
+
+
 def edge_ngram_counts() -> str:
     """(term, cnt) mirror of EdgeNGramAnalyzer(2, 3): per standard
     token, left(t, 2) when length >= 2 and left(t, 3) when length >= 3
