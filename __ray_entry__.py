@@ -1294,6 +1294,36 @@ def _misc_filter_counts_v2(sf_dir: str):
     return df.sort_values(["filter", "term"]).reset_index(drop=True)
 
 
+def _parallel_reader_title_topk(sf_dir: str):
+    """ParallelLeafReader/ParallelCompositeReader role: a text-only
+    index and a title-only index built separately over the same corpus,
+    composed by ParallelReader into one field-union view — the title
+    query must rank EXACTLY like the single two-field index (oracle =
+    the bm25_title SQL, same as bm25_title_top10)."""
+    import pandas as pd
+
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.index.parallel import ParallelReader
+    from lucene_kmp_ray.similarity.bm25 import BM25Similarity
+    from lucene_kmp_ray.sources.corpus import corpus_dataset
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = f"/tmp/lucene_kmp_ray_index_parallel/{tag}"
+    dirs = {"text": f"{root}/text_idx", "title": f"{root}/title_idx"}
+    for field, d in dirs.items():
+        if not os.path.exists(os.path.join(d, "manifest.json")):
+            build_index(corpus_dataset(sf_dir), d,
+                        segment_size=SEGMENT_SIZE, fields=(field,))
+    s = Searcher(ParallelReader.open([dirs["text"], dirs["title"]]),
+                 BM25Similarity(dtype="float64"))
+    td = s.search(TermQuery(TERM_A, "title"), k=10)
+    return pd.DataFrame({
+        "doc_id": [h.doc_id for h in td.score_docs],
+        "url": [h.url for h in td.score_docs],
+        "score": np.asarray([h.score for h in td.score_docs],
+                            dtype=np.float64)})
+
+
 def _common_grams_query_counts(sf_dir: str):
     """(term, cnt) of the CommonGramsQueryFilter chain (standard tokens
     + English stop set as the common words) over the corpus — the
@@ -3829,6 +3859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pl_token_counts": _pl_token_counts,      # morfologik CFSA2
         "edge_ngram_counts": _edge_ngram_counts,  # r5 session 8
         "common_grams_query_counts": _common_grams_query_counts,
+        "parallel_reader_title_top10": _parallel_reader_title_topk,
         "doc_term_stats": _doc_term_stats,
         "bm25_page2_top10": _page2,
         "bool_not_all": lambda sf: _all_sorted(search_all_matches(
@@ -4308,6 +4339,7 @@ def oracle_sql() -> dict[str, str]:
         "payload_filter_counts": oracle.payload_filter_counts(),
         "edge_ngram_counts": oracle.edge_ngram_counts(),
         "common_grams_query_counts": oracle.common_grams_query_counts(),
+        "parallel_reader_title_top10": oracle.bm25_title_topk(TERM_A),
         "scandinavian_counts": oracle.scandinavian_counts(SCAN_VECTORS),
         "bm25_perfield_title_top10": oracle.bm25_perfield_title_topk(
             _english_query_term()),
