@@ -21,7 +21,7 @@ import pyarrow.compute as pc
 
 from lucene_kmp_ray import oracle
 from lucene_kmp_ray.pipelines import (ann, dedup, events, gopher, pii,
-                                      sketches, textstats)
+                                      scrub, sketches, textstats)
 from lucene_kmp_ray.search import (BooleanQuery, DisjunctionMaxQuery,
                                    FuzzyQuery, Occur, PhraseQuery,
                                    PrefixQuery, RangeFilterQuery, Searcher,
@@ -3787,7 +3787,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_int8_top10": _knn_int8_topk,
         "byte_vector_similarity_all": _byte_vector_similarity_all,
         "knn_hnsw_recall": _knn_hnsw_recall,
-        "hybrid_bm25_knn_top10": _hybrid_topk,
         "rrf_hybrid_top10": _rrf_hybrid_topk,
         "geo_nearest_top10": _geo_nearest_topk,
         "geo_sorted_by_distance_top10": _geo_sorted_by_distance_topk,
@@ -3800,18 +3799,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5: Ukrainian (curated morfologik; dict binary absent
         # from the reference distribution — nori-lexicon precedent)
         "uk_token_counts": _uk_token_counts,
-        "he_token_counts": _he_token_counts,      # hebmorph hspell
         "am_token_counts": lambda sf: _horn_token_counts(sf, "amharic"),
-        "om_token_counts": lambda sf: _horn_token_counts(sf, "oromo"),
         # r5 session 8: the last live-tested misc + payload filters join
         # the true first-50 window; zh/pl_token_counts (driver-green r4,
         # family represented by ja/ko above) rotate to later slots
         "misc_filter_counts_v2": _misc_filter_counts_v2,
         "payload_filter_counts": _payload_filter_counts,
+        # r5 session 8: corpus-scrub family, never driver-checked —
+        # C4-style duplicate-span removal, the embedder chunking
+        # flat_map, and bucketed SemDeDup (semantic dedup); displaces
+        # hybrid_bm25_knn / he / om _token_counts (driver-green r4,
+        # families still represented in-window by knn_* and ja/ko/uk/am)
+        "c4_span_scrub": scrub.c4_span_scrub,
+        "doc_chunks": scrub.chunk_documents,
+        "semdedup_pairs": scrub.semdedup_pairs,
         # r5 fix under driver review: deterministic ORDER BY + DOUBLE
         # score on both sides (was the r4 hash-red row)
         "geo_polygon_all": _geo_polygon_all,      # LatLonShape role
         # ===== end of the driver's first-50 snapshot window =====
+        "hybrid_bm25_knn_top10": _hybrid_topk,
+        "he_token_counts": _he_token_counts,      # hebmorph hspell
+        "om_token_counts": lambda sf: _horn_token_counts(sf, "oromo"),
         "icu_fold_token_counts": _icu_fold_token_counts,
         "metaphone_token_counts": _metaphone_token_counts,
         "misc_filter_counts": _misc_filter_counts,
@@ -4281,6 +4289,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": oracle.minhash_pairs(),
         "near_dup_clusters": oracle.near_dup_clusters(),
         "embedding_dup_pairs": oracle.embedding_dup_pairs(0.4),
+        "c4_span_scrub": oracle.c4_span_scrub(),
+        "doc_chunks": oracle.chunk_documents(),
+        "semdedup_pairs": oracle.semdedup_pairs(),
         "ann_cosine_top10": oracle.ann_cosine_topk(),
         "ann_lsh_top10": oracle.ann_lsh_topk(),
         "bm25_german_top10": oracle.bm25_german_topk(_german_query_term()),

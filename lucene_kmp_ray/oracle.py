@@ -1863,6 +1863,104 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
 """
 
 
+# ------------------------------------------------------- corpus scrub -----
+def c4_span_scrub(window: int = 10) -> str:
+    """Mirror of pipelines.scrub.c4_span_scrub: non-overlapping
+    ``window``-token spans, global first occurrence (min (doc_id,
+    win_id)) kept, every other occurrence of a repeated span scrubbed;
+    per-doc (n_spans, n_scrubbed) report. Same md5-16 span keys."""
+    w = window
+    return preamble() + f""",
+winsrc AS (
+  SELECT doc_id, CAST(floor(len(toks) / {w}) AS BIGINT) AS n_spans, toks
+  FROM toksrc),
+sprow AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, CAST(n_spans AS INT) - 1)) AS win_id
+  FROM winsrc WHERE n_spans > 0),
+spans AS (
+  SELECT doc_id, win_id,
+         substr(md5(array_to_string(
+             toks[(CAST(win_id AS INT) * {w} + 1):
+                  (CAST(win_id AS INT) * {w} + {w})], ' ')), 1, 16) AS span
+  FROM sprow),
+ranked AS (
+  SELECT doc_id, span,
+         row_number() OVER (PARTITION BY span
+                            ORDER BY doc_id, win_id) AS rn
+  FROM spans),
+scrub AS (SELECT doc_id, count(*) AS n_scrubbed
+          FROM ranked WHERE rn > 1 GROUP BY doc_id)
+SELECT w.doc_id, w.n_spans,
+       CAST(COALESCE(s.n_scrubbed, 0) AS BIGINT) AS n_scrubbed
+FROM winsrc w LEFT JOIN scrub s USING (doc_id)
+ORDER BY w.doc_id
+"""
+
+
+def chunk_documents(chunk: int = 64, stride: int = 48) -> str:
+    """Mirror of pipelines.scrub.chunk_documents: chunk starts at 0,
+    stride, 2·stride, …; last chunk ragged; a zero-token doc yields one
+    empty chunk (md5 of '')."""
+    c, s = chunk, stride
+    return preamble() + f""",
+nch AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) <= {c} THEN 1
+              ELSE 1 + CAST(ceil((len(toks) - {c}) / {s}.0) AS BIGINT)
+         END AS n_chunks
+  FROM toksrc),
+ch AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(0, CAST(n_chunks AS INT) - 1)) AS chunk_id
+  FROM nch)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(least(n - chunk_id * {s}, {c}) AS BIGINT) AS n_tokens,
+       md5(array_to_string(
+           toks[(CAST(chunk_id AS INT) * {s} + 1):
+                (CAST(chunk_id AS INT) * {s} +
+                 CAST(least(n - chunk_id * {s}, {c}) AS INT))], ' '))
+         AS chunk_md5
+FROM ch ORDER BY doc_id, chunk_id
+"""
+
+
+def semdedup_pairs(threshold: float = 0.4, n_planes: int = 4,
+                   max_bucket: int = 4096) -> str:
+    """Mirror of pipelines.scrub.semdedup_pairs: signed-random-projection
+    buckets from the SAME fixed-seed planes (seed 42, first ``n_planes``
+    rows, dim 64 per TESTDATA.md), within-bucket duplicate = some smaller
+    vec_id at cosine ≥ threshold, representative = min such id; buckets
+    over ``max_bucket`` vectors generate nothing (cap never binds at sf
+    scale)."""
+    from .pipelines.ann import _planes
+    planes = _planes(64)[:n_planes]
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(float(x)) for x in planes[p])}]) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes))
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, CAST({bucket_terms} AS BIGINT) AS bucket
+  FROM embeddings
+),
+bok AS (SELECT bucket FROM b GROUP BY bucket
+        HAVING count(*) <= {max_bucket}),
+dups AS (
+  SELECT y.vec_id AS vec_id, y.bucket AS bucket, min(x.vec_id) AS dup_of
+  FROM b x
+  JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  JOIN bok k ON k.bucket = y.bucket
+  WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                               CAST(y.embedding AS DOUBLE[]))
+        >= {threshold}
+  GROUP BY y.vec_id, y.bucket
+)
+SELECT vec_id, bucket, dup_of FROM dups ORDER BY vec_id
+"""
+
+
 # ----------------------------------------------------------- simhash ------
 def _shingle_tf_cte() -> str:
     """Shingle rows WITH term frequency (the simhash weight) — the
