@@ -3742,10 +3742,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "check_index_stats": _check_index_stats,
         # --- query operators (SURVEY §2.5) ---
         "bm25_term_spark": lambda sf: _topk(sf, TermQuery(TERM_A)),
-        "bm25_or_top10": lambda sf: _topk(sf, BooleanQuery.build(
-            *[(Occur.SHOULD, TermQuery(t)) for t in OR_TERMS])),
-        "bm25_and_top10": lambda sf: _topk(sf, BooleanQuery.build(
-            *[(Occur.MUST, TermQuery(t)) for t in AND_TERMS])),
         "phrase_top10": lambda sf: _topk(sf, PhraseQuery(tuple(PHRASE_3))),
         "phrase_prefix_top10": _phrase_prefix_topk,
         "elevated_top10": _elevated_topk,
@@ -3813,6 +3809,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_span_scrub": scrub.c4_span_scrub,
         "doc_chunks": scrub.chunk_documents,
         "semdedup_pairs": scrub.semdedup_pairs,
+        # r5 session 8: BPE-ish pre-tokenizer budget counts + crawl URL
+        # canonical dedup; displaces bm25_or/and_top10 (driver-green
+        # r1-r4; BM25 scoring still in-window via bm25_term_spark /
+        # phrase / rescore entries, booleans swept from later slots)
+        "bpe_token_counts": textstats.bpe_token_counts,
+        "url_dedup": dedup.url_dedup,
         # r5 fix under driver review: deterministic ORDER BY + DOUBLE
         # score on both sides (was the r4 hash-red row)
         "geo_polygon_all": _geo_polygon_all,      # LatLonShape role
@@ -3820,6 +3822,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_bm25_knn_top10": _hybrid_topk,
         "he_token_counts": _he_token_counts,      # hebmorph hspell
         "om_token_counts": lambda sf: _horn_token_counts(sf, "oromo"),
+        "bm25_or_top10": lambda sf: _topk(sf, BooleanQuery.build(
+            *[(Occur.SHOULD, TermQuery(t)) for t in OR_TERMS])),
+        "bm25_and_top10": lambda sf: _topk(sf, BooleanQuery.build(
+            *[(Occur.MUST, TermQuery(t)) for t in AND_TERMS])),
         "icu_fold_token_counts": _icu_fold_token_counts,
         "metaphone_token_counts": _metaphone_token_counts,
         "misc_filter_counts": _misc_filter_counts,
@@ -4292,6 +4298,8 @@ def oracle_sql() -> dict[str, str]:
         "c4_span_scrub": oracle.c4_span_scrub(),
         "doc_chunks": oracle.chunk_documents(),
         "semdedup_pairs": oracle.semdedup_pairs(),
+        "bpe_token_counts": oracle.bpe_token_counts(),
+        "url_dedup": oracle.url_dedup(),
         "ann_cosine_top10": oracle.ann_cosine_topk(),
         "ann_lsh_top10": oracle.ann_lsh_topk(),
         "bm25_german_top10": oracle.bm25_german_topk(_german_query_term()),

@@ -1961,6 +1961,53 @@ SELECT vec_id, bucket, dup_of FROM dups ORDER BY vec_id
 """
 
 
+def bpe_token_counts() -> str:
+    """Mirror of pipelines.textstats.bpe_token_counts: the RE2-compatible
+    GPT-2-ish pre-tokenizer over the raw page text, global counts."""
+    from .pipelines.textstats import BPE_PRETOKEN_PATTERN
+    pat = BPE_PRETOKEN_PATTERN.replace("'", "''")
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+toks AS (
+  SELECT unnest(regexp_extract_all(text, '{pat}')) AS token FROM corpus)
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM toks GROUP BY token ORDER BY token
+"""
+
+
+def url_dedup() -> str:
+    """Mirror of pipelines.dedup.url_dedup: the same deterministic messy
+    URL synthesis (scheme flip, www./case noise, trailing slash, utm
+    query over a shared doc_id % 397 base) and the same RE2
+    canonicalization chain, then keep-min-doc_id per canonical URL."""
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+raw AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 1 THEN 'http' ELSE 'https' END) || '://' ||
+    (CASE WHEN doc_id % 3 = 0 THEN 'www.example.com'
+          WHEN doc_id % 11 = 0 THEN 'EXAMPLE.com'
+          ELSE 'example.com' END) ||
+    '/doc/' || CAST(doc_id % 397 AS VARCHAR) ||
+    (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+    (CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed' ELSE '' END)
+      AS url_raw
+  FROM corpus),
+canon AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      lower(url_raw),
+      '^http://', 'https://'),
+      '^https://www\\.', 'https://'),
+      '\\?utm_[a-z_]+=[^&#]*$', ''),
+      '/$', '') AS url_canon
+  FROM raw)
+SELECT url_canon, min(doc_id) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM canon GROUP BY url_canon ORDER BY url_canon
+"""
+
+
 # ----------------------------------------------------------- simhash ------
 def _shingle_tf_cte() -> str:
     """Shingle rows WITH term frequency (the simhash weight) — the

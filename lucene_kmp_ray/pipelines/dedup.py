@@ -810,3 +810,54 @@ def simhash_candidate_pairs(sf_dir: str, max_bucket: int = MAX_LSH_BUCKET):
 
     cand = _partition_apply(rows, ["band", "band_bits"], pairs_part)
     return _distinct_pairs(cand, extra="hamming")
+
+
+# ------------------------------------------------- URL canonical dedup ----
+def url_dedup(sf_dir: str):
+    """Crawl-frontier URL dedup: canonicalize messy URL variants and keep
+    the smallest doc_id per canonical URL. The variants are synthesized
+    deterministically from doc_id (scheme flip, www./case noise, trailing
+    slash, utm query) over a shared base key so canonical groups really
+    collide; canonicalization is the classic chain — lowercase, scheme
+    fold to https, strip leading www., drop trailing utm_* query, strip
+    trailing slash — done with Arrow RE2 kernels so the DuckDB mirror
+    (also RE2) matches span-for-span. Shuffle = one exchange on the
+    canonical URL. Output: (url_canon, keep_doc_id, n_dups).
+    Oracle: oracle.url_dedup."""
+    import pyarrow.compute as pc
+
+    def canon(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy()
+        scheme = np.where(d % 2 == 1, "http", "https")
+        host = np.where(d % 3 == 0, "www.example.com",
+                        np.where(d % 11 == 0, "EXAMPLE.com", "example.com"))
+        slash = np.where(d % 5 == 0, "/", "")
+        query = np.where(d % 7 == 0, "?utm_source=feed", "")
+        base = (d % 397).astype(str)
+        raw = pa.array(np.char.add(np.char.add(np.char.add(np.char.add(
+            np.char.add(np.char.add(scheme, "://"), host), "/doc/"),
+            base), slash), query).astype(object), pa.string())
+        u = pc.utf8_lower(raw)
+        u = pc.replace_substring_regex(u, pattern=r"^http://",
+                                       replacement="https://")
+        u = pc.replace_substring_regex(u, pattern=r"^https://www\.",
+                                       replacement="https://")
+        u = pc.replace_substring_regex(u, pattern=r"\?utm_[a-z_]+=[^&#]*$",
+                                       replacement="")
+        u = pc.replace_substring_regex(u, pattern=r"/$", replacement="")
+        return pa.table({"url_canon": u,
+                         "doc_id": pa.array(d, pa.int64())})
+
+    rows = _read_docs(sf_dir, ["doc_id"]).map_batches(
+        canon, batch_format="pyarrow")
+
+    def keep_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("url_canon", sort=False)["doc_id"] \
+            .agg(["min", "size"]).reset_index()
+        return pd.DataFrame({
+            "url_canon": g["url_canon"].to_numpy(),
+            "keep_doc_id": g["min"].to_numpy().astype(np.int64),
+            "n_dups": g["size"].to_numpy().astype(np.int64)})
+
+    return _partition_apply(rows, ["url_canon"], keep_part,
+                            key_is_str=True)

@@ -633,3 +633,49 @@ def core_analyzer_counts(sf_dir: str, which: str):
         })
 
     return _docs_ds(sf_dir).map_batches(batch, batch_format="pyarrow")
+
+
+# GPT-2-style pre-tokenizer, restricted to the RE2-compatible subset so
+# Python re (engine) and DuckDB regexp_extract_all (oracle) match the
+# same spans: contractions, optionally-space-prefixed letter runs, digit
+# runs, punctuation runs, whitespace runs. RE2 has no lookahead, so the
+# original's trailing-space rule \s+(?!\S) is folded into plain \s+.
+BPE_PRETOKEN_PATTERN = \
+    r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+
+
+def bpe_token_counts(sf_dir: str):
+    """Global (token, n) counts through the BPE-ish pre-tokenizer — the
+    token-budget estimator of an LLM-data pipeline (space-prefixed word
+    pieces, the GPT-2 convention). Per-batch Counter partials (combiner)
+    then one small hash-partitioned sum: the exchange moves one row per
+    DISTINCT (batch, token), not per occurrence.
+    Oracle: oracle.bpe_token_counts — same regex under RE2."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from .dedup import _partition_apply, _read_docs
+
+    rx = re.compile(BPE_PRETOKEN_PATTERN)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            c.update(rx.findall(text or ""))
+        toks = list(c.keys())
+        return pa.table({
+            "token": pa.array(toks, pa.string()),
+            "n": pa.array([c[t] for t in toks], pa.int64()),
+        })
+
+    rows = _read_docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(partial, batch_format="pyarrow")
+
+    def sum_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", sort=False)["n"].sum()
+        return pd.DataFrame({"token": g.index.to_numpy(),
+                             "n": g.to_numpy().astype(np.int64)})
+
+    return _partition_apply(rows, ["token"], sum_part, key_is_str=True)

@@ -125,3 +125,48 @@ def test_semdedup_bucket_cap_drops_oversized(ray_session):
     from lucene_kmp_ray.pipelines.scrub import semdedup_pairs
     got = semdedup_pairs(SF, max_bucket=1).to_pandas()
     assert len(got) == 0
+
+
+def test_bpe_token_counts_matches_brute(ray_session, corpus_texts):
+    import re
+    from collections import Counter
+
+    from lucene_kmp_ray.pipelines.textstats import (BPE_PRETOKEN_PATTERN,
+                                                    bpe_token_counts)
+    got = bpe_token_counts(SF).to_pandas()
+    rx = re.compile(BPE_PRETOKEN_PATTERN)
+    exp = Counter()
+    for text in corpus_texts:
+        exp.update(rx.findall(text))
+    assert dict(zip(got.token, got.n)) == dict(exp)
+    # space-prefixed word pieces exist (the GPT-2 convention)
+    assert any(t.startswith(" ") for t in got.token)
+
+
+def test_url_dedup_matches_brute(ray_session):
+    import re
+
+    from lucene_kmp_ray.pipelines.dedup import _doc_rows, url_dedup
+    got = url_dedup(SF).to_pandas().sort_values(
+        "url_canon").reset_index(drop=True)
+    n = _doc_rows(SF)
+    groups = {}
+    for d in range(n):
+        raw = "%s://%s/doc/%d%s%s" % (
+            "http" if d % 2 == 1 else "https",
+            "www.example.com" if d % 3 == 0
+            else ("EXAMPLE.com" if d % 11 == 0 else "example.com"),
+            d % 397,
+            "/" if d % 5 == 0 else "",
+            "?utm_source=feed" if d % 7 == 0 else "")
+        u = raw.lower()
+        u = re.sub(r"^http://", "https://", u)
+        u = re.sub(r"^https://www\.", "https://", u)
+        u = re.sub(r"\?utm_[a-z_]+=[^&#]*$", "", u)
+        u = re.sub(r"/$", "", u)
+        lo, cnt = groups.get(u, (d, 0))
+        groups[u] = (min(lo, d), cnt + 1)
+    assert len(got) == len(groups)
+    for r in got.itertuples():
+        assert groups[r.url_canon] == (r.keep_doc_id, r.n_dups)
+    assert (got.n_dups > 1).any()  # the variants really collide
