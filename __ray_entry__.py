@@ -20,8 +20,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from lucene_kmp_ray import oracle
-from lucene_kmp_ray.pipelines import (ann, dedup, events, gopher, pii,
-                                      scrub, sketches, textstats)
+from lucene_kmp_ray.pipelines import (ann, dedup, events, gopher, lmfilter,
+                                      pii, scrub, sketches, textstats)
 from lucene_kmp_ray.search import (BooleanQuery, DisjunctionMaxQuery,
                                    FuzzyQuery, Occur, PhraseQuery,
                                    PrefixQuery, RangeFilterQuery, Searcher,
@@ -3819,6 +3819,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # score on both sides (was the r4 hash-red row)
         "geo_polygon_all": _geo_polygon_all,      # LatLonShape role
         # ===== end of the driver's first-50 snapshot window =====
+        # r5 session 9: corpus-LM filter family (CCNet/DSIR-shaped)
+        "lm_bigram_scores": lmfilter.lm_bigram_scores,
+        "lm_rarity_filter": lmfilter.lm_rarity_filter,
+        "dsir_weights": lmfilter.dsir_weights,
+        "tfidf_top_terms": lmfilter.tfidf_top_terms,
         "hybrid_bm25_knn_top10": _hybrid_topk,
         "he_token_counts": _he_token_counts,      # hebmorph hspell
         "om_token_counts": lambda sf: _horn_token_counts(sf, "oromo"),
@@ -4300,6 +4305,14 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_pairs": oracle.semdedup_pairs(),
         "bpe_token_counts": oracle.bpe_token_counts(),
         "url_dedup": oracle.url_dedup(),
+        "lm_bigram_scores": oracle.lm_bigram_scores(
+            lmfilter.LM_MIN_COUNT, lmfilter.LM_VOCAB_CAP,
+            lmfilter.LM_BIGRAM_CAP),
+        "lm_rarity_filter": oracle.lm_rarity_filter(
+            lmfilter.LM_MIN_KNOWN_RATIO, lmfilter.LM_MAX_OOV_RATIO),
+        "dsir_weights": oracle.dsir_weights(
+            lmfilter.DSIR_BUCKET_HEX, lmfilter.DSIR_TARGET_HEX_LT),
+        "tfidf_top_terms": oracle.tfidf_top_terms(lmfilter.TFIDF_TOP_K),
         "ann_cosine_top10": oracle.ann_cosine_topk(),
         "ann_lsh_top10": oracle.ann_lsh_topk(),
         "bm25_german_top10": oracle.bm25_german_topk(_german_query_term()),

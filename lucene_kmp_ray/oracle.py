@@ -9552,3 +9552,112 @@ fp AS (SELECT doc_id, string_agg(DISTINCT t, ' ' ORDER BY t) AS fingerprint
 SELECT fingerprint, count(*) AS cnt FROM fp
 GROUP BY fingerprint ORDER BY fingerprint
 """
+
+
+def lm_bigram_scores(min_count: int = 2, vocab_cap: int = 24,
+                     bigram_cap: int = 600) -> str:
+    """Mirror of pipelines.lmfilter.lm_bigram_scores: corpus bigram +
+    unigram count model (count >= min_count, cut at the Zipf head by
+    (count desc, gram asc)), then per-doc OOV-token and known-bigram
+    rates. All counts integer; the two ratios are single integer
+    divisions (hash-exact)."""
+    return preamble() + f""",
+bg AS (
+  SELECT doc_id, term AS w1,
+         lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tokens
+),
+bgr AS (SELECT doc_id, w1 || ' ' || w2 AS gram FROM bg WHERE w2 IS NOT NULL),
+known AS (SELECT gram FROM (SELECT gram, count(*) AS n FROM bgr GROUP BY gram)
+          WHERE n >= {min_count} ORDER BY n DESC, gram LIMIT {bigram_cap}),
+vocab AS (SELECT term FROM (SELECT term, count(*) AS n FROM tokens GROUP BY term)
+          WHERE n >= {min_count} ORDER BY n DESC, term LIMIT {vocab_cap}),
+dstat AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         count(*) FILTER (WHERE term NOT IN (SELECT term FROM vocab)) AS n_oov
+  FROM tokens GROUP BY doc_id
+),
+bstat AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         count(*) FILTER (WHERE gram IN (SELECT gram FROM known)) AS n_known
+  FROM bgr GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(d.n_tokens, 0) AS n_tokens,
+       COALESCE(d.n_oov, 0) AS n_oov,
+       COALESCE(b.n_bigrams, 0) AS n_bigrams,
+       COALESCE(b.n_known, 0) AS n_known,
+       COALESCE(d.n_oov, 0) /
+         CAST(GREATEST(COALESCE(d.n_tokens, 0), 1) AS DOUBLE) AS oov_ratio,
+       COALESCE(b.n_known, 0) /
+         CAST(GREATEST(COALESCE(b.n_bigrams, 0), 1) AS DOUBLE) AS known_ratio
+FROM toksrc t
+LEFT JOIN dstat d USING (doc_id) LEFT JOIN bstat b USING (doc_id)
+"""
+
+
+def lm_rarity_filter(min_known: float, max_oov: float) -> str:
+    """Gate over lm_bigram_scores (pipelines.lmfilter.lm_rarity_filter)."""
+    return f"""
+WITH scores AS ({lm_bigram_scores()})
+SELECT doc_id, n_tokens FROM scores
+WHERE known_ratio >= {min_known} AND oov_ratio <= {max_oov}
+"""
+
+
+def dsir_weights(bucket_hex: int = 2, target_lt: str = "20000000") -> str:
+    """Mirror of pipelines.lmfilter.dsir_weights: md5-bucketed token
+    features, target = the deterministic md5(doc_id) 1/8 sample; per-doc
+    integer dot products against the target/corpus bucket histograms and
+    the single-divide importance ratio (float ops: two exact int->double
+    conversions, one multiply each side, one divide — hash-exact)."""
+    return preamble() + f""",
+tgt AS (SELECT doc_id FROM corpus
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{target_lt}'),
+tb AS (
+  SELECT substr(md5(term), 1, {bucket_hex}) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_c,
+         CAST(count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM tgt))
+              AS BIGINT) AS n_t
+  FROM tokens GROUP BY bucket
+),
+tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS tot_t,
+               CAST(sum(n_c) AS BIGINT) AS tot_c FROM tb),
+dsc AS (
+  SELECT t.doc_id,
+         CAST(sum(tb.n_t) AS BIGINT) AS score_t,
+         CAST(sum(tb.n_c) AS BIGINT) AS score_c
+  FROM tokens t JOIN tb ON tb.bucket = substr(md5(t.term), 1, {bucket_hex})
+  GROUP BY t.doc_id
+)
+SELECT c.doc_id,
+       COALESCE(d.score_t, 0) AS score_t,
+       COALESCE(d.score_c, 0) AS score_c,
+       (CAST(COALESCE(d.score_t, 0) AS DOUBLE) * CAST(tot.tot_c AS DOUBLE)) /
+       (CAST(GREATEST(COALESCE(d.score_c, 0), 1) AS DOUBLE) *
+        CAST(tot.tot_t AS DOUBLE)) AS weight
+FROM corpus c LEFT JOIN dsc d USING (doc_id), tot
+"""
+
+
+def tfidf_top_terms(k: int = 3) -> str:
+    """Mirror of pipelines.lmfilter.tfidf_top_terms: per-doc top-k terms
+    by freq * ln((N+1)/(df+1)), ties by term asc. One ln + one multiply
+    per row (no float sums) — the BM25 float-exactness contract."""
+    return preamble() + f""",
+dft AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+nn AS (SELECT count(*) AS n FROM corpus),
+sc AS (
+  SELECT p.doc_id, p.term,
+         p.freq * ln((nn.n + 1.0) / (d.df + 1.0)) AS tfidf
+  FROM postings p JOIN dft d USING (term), nn
+),
+rk AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rnk
+  FROM sc
+)
+SELECT doc_id, term, CAST(rnk AS BIGINT) AS "rank", tfidf
+FROM rk WHERE rnk <= {k}
+"""
