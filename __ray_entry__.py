@@ -3651,6 +3651,59 @@ def _explain_term_components(sf_dir: str):
 QP_STRING = f'{TERM_A} AND ({AND_TERMS[0]} OR "{" ".join(PHRASE_3)}") NOT window'
 
 
+MLT_SEED_DOC = 0
+MLT_N_TERMS = 3
+
+
+def _highlight_top10(sf_dir: str):
+    """Highlighter role (lucene/highlighter UnifiedHighlighter's
+    analyzed-stream mode, beyond the reference's module set): top-10
+    TermQuery hits, each with the 8-token window around the first term
+    occurrence. Oracle: oracle.highlight_term_topk."""
+    from lucene_kmp_ray.search.highlight import snippets_for_docs
+
+    top = _topk(sf_dir, TermQuery(TERM_A))
+    sn = snippets_for_docs(sf_dir, top["doc_id"].tolist(),
+                           TERM_A).to_pandas()
+    return top.merge(sn, on="doc_id")
+
+
+def _mlt_top10(sf_dir: str):
+    """MoreLikeThis role (lucene/queries MoreLikeThis, beyond the
+    reference's module set): the seed doc's top-3 terms by
+    tf*ln((N+1)/(df+1)) — tf from re-analysis, df/N from the INDEX's
+    term-stats table (the TermStates path MLT really uses) — become a
+    SHOULD disjunction in seed-rank order; top-10 excluding the seed.
+    Oracle: oracle.mlt_topk recomputes the seed ranking and the
+    clause-order score fold in SQL."""
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from lucene_kmp_ray.analysis.standard import tokenize
+    from lucene_kmp_ray.index.reader import IndexReader
+
+    index_dir = _ensure_index(sf_dir)
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"],
+                      filters=[("doc_id", "=", MLT_SEED_DOC)])
+    tf = Counter(tokenize(t["text"][0].as_py()))
+    reader = IndexReader(index_dir)
+    stats = reader.term_stats(sorted(tf))
+    n = reader.doc_count
+    seed = sorted(
+        ((term, c * math.log((n + 1.0) / (stats[term][0] + 1.0)))
+         for term, c in tf.items()),
+        key=lambda x: (-x[1], x[0]))[:MLT_N_TERMS]
+    q = BooleanQuery.build(*[(Occur.SHOULD, TermQuery(term))
+                             for term, _ in seed])
+    df = search_distributed(index_dir, {"q": q}, k=11,
+                            dtype="float64").to_pandas()
+    df = df[df["doc_id"] != MLT_SEED_DOC].head(10)
+    return df[["doc_id", "url", "score"]].reset_index(drop=True)
+
+
 def _queryparser_topk(sf_dir: str):
     """Classic QueryParser end-to-end (queryparser.py parse_query;
     queryparser/classic syntax subset): parse
@@ -3824,6 +3877,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_rarity_filter": lmfilter.lm_rarity_filter,
         "dsir_weights": lmfilter.dsir_weights,
         "tfidf_top_terms": lmfilter.tfidf_top_terms,
+        # r5 session 9: highlighter + MoreLikeThis roles
+        "highlight_term_top10": _highlight_top10,
+        "mlt_top10": _mlt_top10,
         "hybrid_bm25_knn_top10": _hybrid_topk,
         "he_token_counts": _he_token_counts,      # hebmorph hspell
         "om_token_counts": lambda sf: _horn_token_counts(sf, "oromo"),
@@ -4313,6 +4369,8 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": oracle.dsir_weights(
             lmfilter.DSIR_BUCKET_HEX, lmfilter.DSIR_TARGET_HEX_LT),
         "tfidf_top_terms": oracle.tfidf_top_terms(lmfilter.TFIDF_TOP_K),
+        "highlight_term_top10": oracle.highlight_term_topk(TERM_A),
+        "mlt_top10": oracle.mlt_topk(MLT_SEED_DOC, MLT_N_TERMS),
         "ann_cosine_top10": oracle.ann_cosine_topk(),
         "ann_lsh_top10": oracle.ann_lsh_topk(),
         "bm25_german_top10": oracle.bm25_german_topk(_german_query_term()),

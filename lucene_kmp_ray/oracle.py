@@ -9661,3 +9661,64 @@ rk AS (
 SELECT doc_id, term, CAST(rnk AS BIGINT) AS "rank", tfidf
 FROM rk WHERE rnk <= {k}
 """
+
+
+def highlight_term_topk(term: str, k: int = 10, before: int = 3,
+                        width: int = 8) -> str:
+    """Mirror of the highlighter entry (search/highlight.py): top-k BM25
+    docs for the term, each with the width-token analyzed-stream window
+    starting ``before`` tokens before the first term occurrence
+    (1-based inclusive DuckDB slice == the engine's 0-based half-open
+    slice)."""
+    lit = f"'{term}'"
+    pos = f"GREATEST(list_position(x.toks, {lit}) - {before}, 1)"
+    return preamble() + f""",
+scored AS ({term_scored_cte(lit)}),
+top AS (
+  SELECT s.doc_id, c.url, s.score
+  FROM scored s JOIN corpus c USING (doc_id)
+  ORDER BY s.score DESC, s.doc_id LIMIT {k}
+)
+SELECT t.doc_id, t.url, t.score,
+       array_to_string(x.toks[{pos} : {pos} + {width - 1}], ' ') AS snippet
+FROM top t JOIN toksrc x USING (doc_id)
+ORDER BY t.score DESC, t.doc_id
+"""
+
+
+def mlt_topk(seed_doc: int, n_terms: int = 3, k: int = 10) -> str:
+    """Mirror of the MoreLikeThis entry: the seed doc's top-n_terms terms
+    by freq * ln((N+1)/(df+1)) (ties term asc) become SHOULD clauses in
+    that order; per-doc score is the clause-order left fold of the
+    per-term BM25 scores (list_reduce over array_agg ORDER BY rk — the
+    same ((s0+s1)+s2) order the engine's accumulator uses); the seed doc
+    is excluded from the ranking."""
+    score = score_sql("p.freq", "n.dln", idf_sql("ts.df"))
+    return preamble() + f""",
+dft AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+nn AS (SELECT count(*) AS n FROM corpus),
+seed AS (
+  SELECT term, row_number() OVER (
+      ORDER BY sp.freq * ln((nn.n + 1.0) / (d.df + 1.0)) DESC, term) AS rk
+  FROM (SELECT term, freq FROM postings WHERE doc_id = {seed_doc}) sp
+  JOIN dft d USING (term), nn
+  ORDER BY rk LIMIT {n_terms}
+),
+persc AS (
+  SELECT p.doc_id, s.rk, {score} AS score
+  FROM seed s
+  JOIN tstats ts ON ts.term = s.term
+  JOIN postings p ON p.term = s.term
+  JOIN normd n ON n.doc_id = p.doc_id
+),
+agg AS (
+  SELECT doc_id,
+         list_reduce(array_agg(score ORDER BY rk), (a, b) -> a + b)
+           AS score
+  FROM persc GROUP BY doc_id
+)
+SELECT a.doc_id, c.url, a.score
+FROM agg a JOIN corpus c USING (doc_id)
+WHERE a.doc_id <> {seed_doc}
+ORDER BY a.score DESC, a.doc_id LIMIT {k}
+"""
