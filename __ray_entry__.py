@@ -3795,7 +3795,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "check_index_stats": _check_index_stats,
         # --- query operators (SURVEY §2.5) ---
         "bm25_term_spark": lambda sf: _topk(sf, TermQuery(TERM_A)),
-        "phrase_top10": lambda sf: _topk(sf, PhraseQuery(tuple(PHRASE_3))),
+        # r5 session 9: highlighter role, never driver-checked; displaces
+        # phrase_top10 (driver-green r1-r4; phrase family still in-window
+        # via phrase_prefix_top10 + match_positions_phrase)
+        "highlight_term_top10": _highlight_top10,
         "phrase_prefix_top10": _phrase_prefix_topk,
         "elevated_top10": _elevated_topk,
         # geojson sits in the driver window (new this round); prefix_all
@@ -3821,8 +3824,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multireader_top10": _multireader_topk,
         "shape_box_relations_all": _shape_box_relations_all,
         "shape_polygon_relations_all": _shape_polygon_relations_all,
-        "sorted_index_scan_top20": _sorted_index_scan,
-        "knn_vector_top10": _knn_topk,
+        # r5 session 9: MoreLikeThis + TF-IDF keywords, never
+        # driver-checked; displace sorted_index_scan_top20 (driver-green
+        # r4; sort family still in-window via rescore_sort / geo_sorted /
+        # sorted_numeric_range) and knn_vector_top10 (driver-green r4;
+        # knn family has 5 other in-window rows)
+        "mlt_top10": _mlt_top10,
+        "tfidf_top_terms": lmfilter.tfidf_top_terms,
         # r5 fix under driver review: HNSW candidates exact-reranked so
         # top-10 == brute top-10 (oracle = brute SQL)
         "knn_hnsw_top10": _knn_hnsw_topk,
@@ -3835,16 +3843,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_filtered_top10": _knn_filtered_topk,
         "knn_int8_top10": _knn_int8_topk,
         "byte_vector_similarity_all": _byte_vector_similarity_all,
-        "knn_hnsw_recall": _knn_hnsw_recall,
+        # r5 session 9: DSIR importance weights, never driver-checked;
+        # displaces knn_hnsw_recall (machine gate, redundant in-window
+        # now that knn_hnsw_top10 itself is oracle-green)
+        "dsir_weights": lmfilter.dsir_weights,
         "rrf_hybrid_top10": _rrf_hybrid_topk,
         "geo_nearest_top10": _geo_nearest_topk,
         "geo_sorted_by_distance_top10": _geo_sorted_by_distance_topk,
         "dv_update_search_all": _dv_update_search_all,
         "recency_boost_top10": _recency_boost_topk,
         "sorted_numeric_range_all": _sorted_numeric_range_all,
-        # --- round-4 families: ONE representative per family ---
-        "ja_token_counts": _ja_token_counts,      # kuromoji lattice
-        "ko_token_counts": _ko_token_counts,      # nori lattice
+        # r5 session 9: bigram-LM rarity family, never driver-checked;
+        # displaces ja/ko_token_counts (driver-green r4; dictionary-CJK
+        # family still in-window via ja_completion_counts)
+        "lm_bigram_scores": lmfilter.lm_bigram_scores,
+        "lm_rarity_filter": lmfilter.lm_rarity_filter,
         # round 5: Ukrainian (curated morfologik; dict binary absent
         # from the reference distribution — nori-lexicon precedent)
         "uk_token_counts": _uk_token_counts,
@@ -3872,14 +3885,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # score on both sides (was the r4 hash-red row)
         "geo_polygon_all": _geo_polygon_all,      # LatLonShape role
         # ===== end of the driver's first-50 snapshot window =====
-        # r5 session 9: corpus-LM filter family (CCNet/DSIR-shaped)
-        "lm_bigram_scores": lmfilter.lm_bigram_scores,
-        "lm_rarity_filter": lmfilter.lm_rarity_filter,
-        "dsir_weights": lmfilter.dsir_weights,
-        "tfidf_top_terms": lmfilter.tfidf_top_terms,
-        # r5 session 9: highlighter + MoreLikeThis roles
-        "highlight_term_top10": _highlight_top10,
-        "mlt_top10": _mlt_top10,
+        # rotated out of the window in r5 session 9 (driver-green r1-r4,
+        # families still represented in-window; swept by check_oracle)
+        "phrase_top10": lambda sf: _topk(sf, PhraseQuery(tuple(PHRASE_3))),
+        "sorted_index_scan_top20": _sorted_index_scan,
+        "knn_vector_top10": _knn_topk,
+        "knn_hnsw_recall": _knn_hnsw_recall,
+        "ja_token_counts": _ja_token_counts,      # kuromoji lattice
+        "ko_token_counts": _ko_token_counts,      # nori lattice
         "hybrid_bm25_knn_top10": _hybrid_topk,
         "he_token_counts": _he_token_counts,      # hebmorph hspell
         "om_token_counts": lambda sf: _horn_token_counts(sf, "oromo"),
