@@ -3894,6 +3894,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ja_token_counts": _ja_token_counts,      # kuromoji lattice
         "ko_token_counts": _ko_token_counts,      # nori lattice
         "hybrid_bm25_knn_top10": _hybrid_topk,
+        # r5 session 9: seeded nearest-centroid corpus clustering
+        "cluster_assign": ann.cluster_assign,
+        "cluster_sizes": ann.cluster_sizes,
         "he_token_counts": _he_token_counts,      # hebmorph hspell
         "om_token_counts": lambda sf: _horn_token_counts(sf, "oromo"),
         "bm25_or_top10": lambda sf: _topk(sf, BooleanQuery.build(
@@ -4384,6 +4387,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": oracle.tfidf_top_terms(lmfilter.TFIDF_TOP_K),
         "highlight_term_top10": oracle.highlight_term_topk(TERM_A),
         "mlt_top10": oracle.mlt_topk(MLT_SEED_DOC, MLT_N_TERMS),
+        "cluster_assign": oracle.cluster_assign(ann.CLUSTER_K),
+        "cluster_sizes": oracle.cluster_sizes(ann.CLUSTER_K),
         "ann_cosine_top10": oracle.ann_cosine_topk(),
         "ann_lsh_top10": oracle.ann_lsh_topk(),
         "bm25_german_top10": oracle.bm25_german_topk(_german_query_term()),

@@ -9722,3 +9722,39 @@ FROM agg a JOIN corpus c USING (doc_id)
 WHERE a.doc_id <> {seed_doc}
 ORDER BY a.score DESC, a.doc_id LIMIT {k}
 """
+
+
+def _cluster_assign_cte(k: int = 8) -> str:
+    """Shared CTE body: per-vector cosine vs the k seed centroids
+    (vec_id < k) and the FIRST-argmax cluster (the CASE chain fires at
+    the first index whose similarity >= every later one — exactly
+    np.argmax's first-max tie-break)."""
+    sims = ",\n".join(
+        f"       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+        f"(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings "
+        f"WHERE vec_id = {j})) AS s{j}" for j in range(k))
+    arms = " ".join(
+        "WHEN " + " AND ".join(f"s{j} >= s{i}" for i in range(j + 1, k))
+        + f" THEN {j}" for j in range(k - 1))
+    return f"""
+sims AS (
+  SELECT e.vec_id,
+{sims}
+  FROM embeddings e
+),
+assign AS (
+  SELECT vec_id,
+         CAST(CASE {arms} ELSE {k - 1} END AS BIGINT) AS cluster
+  FROM sims
+)"""
+
+
+def cluster_assign(k: int = 8) -> str:
+    """Mirror of pipelines.ann.cluster_assign."""
+    return f"WITH {_cluster_assign_cte(k)} SELECT vec_id, cluster FROM assign"
+
+
+def cluster_sizes(k: int = 8) -> str:
+    """Mirror of pipelines.ann.cluster_sizes."""
+    return (f"WITH {_cluster_assign_cte(k)} "
+            f"SELECT cluster, count(*) AS n FROM assign GROUP BY cluster")

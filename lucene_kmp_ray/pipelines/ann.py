@@ -381,3 +381,57 @@ def ann_ivf_partitioned(sf_dir: str, n_queries: int = 5, k: int = 10,
                                                     work_items=len(paths)))
     return partial.groupby("query_id").map_groups(
         _merge_topk_factory(k), batch_format="pandas")
+
+
+# ------------------------------------------------- corpus clustering ------
+CLUSTER_K = 8
+
+
+def cluster_assign(sf_dir: str, k: int = CLUSTER_K):
+    """Seeded nearest-centroid corpus clustering — the coarse
+    corpus-organization step of a curation pipeline (and the assignment
+    half of the IVF trainer above, exposed as a first-class operator).
+
+    Centroids are the vectors with ``vec_id < k`` (the deterministic
+    seed set, loaded with the same row-group-pruned read as the query
+    sets), broadcast via ``ray.put``; assignment is one vectorized
+    cosine matmul per batch with FIRST-max tie-break (np.argmax), so the
+    output is pure integers: (vec_id, cluster). Oracle:
+    oracle.cluster_assign mirrors the first-argmax with an unrolled
+    CASE chain over list_cosine_similarity columns.
+    """
+    import ray
+    import ray.data as rd
+
+    _, cent = _load_first_vectors(sf_dir, k)
+    cent_ref = ray.put(_norm_rows(np.asarray(cent, dtype=np.float64)))
+
+    class Assign:
+        def __init__(self):
+            import ray as _ray
+            self.cent = _ray.get(cent_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vec_ids = batch["vec_id"]
+            sims = _norm_rows(_dense(batch["embedding"])) @ self.cent.T
+            return pa.table({
+                "vec_id": vec_ids,
+                "cluster": pa.array(np.argmax(sims, axis=1)
+                                    .astype(np.int64)),
+            })
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"]) \
+        .map_batches(Assign, batch_format="pyarrow", batch_size=1024,
+                     concurrency=2)
+
+
+def cluster_sizes(sf_dir: str, k: int = CLUSTER_K):
+    """Per-cluster member counts of cluster_assign — the balance check a
+    curation pipeline runs before per-cluster sampling. One tiny
+    groupby over the assignment stream (k rows out)."""
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["cluster", "n"])
+
+    return cluster_assign(sf_dir, k).groupby("cluster").count() \
+        .map_batches(rename, batch_format="pyarrow")
