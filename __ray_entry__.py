@@ -3897,6 +3897,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r5 session 9: seeded nearest-centroid corpus clustering
         "cluster_assign": ann.cluster_assign,
         "cluster_sizes": ann.cluster_sizes,
+        # r5 session 9: maximal duplicate-span extents (suffix-array
+        # exact-substring-dedup role, gram granularity)
+        "dup_span_extents": scrub.dup_span_extents,
         "he_token_counts": _he_token_counts,      # hebmorph hspell
         "om_token_counts": lambda sf: _horn_token_counts(sf, "oromo"),
         "bm25_or_top10": lambda sf: _topk(sf, BooleanQuery.build(
@@ -4389,6 +4392,7 @@ def oracle_sql() -> dict[str, str]:
         "mlt_top10": oracle.mlt_topk(MLT_SEED_DOC, MLT_N_TERMS),
         "cluster_assign": oracle.cluster_assign(ann.CLUSTER_K),
         "cluster_sizes": oracle.cluster_sizes(ann.CLUSTER_K),
+        "dup_span_extents": oracle.dup_span_extents(scrub.DUP_GRAM_L),
         "ann_cosine_top10": oracle.ann_cosine_topk(),
         "ann_lsh_top10": oracle.ann_lsh_topk(),
         "bm25_german_top10": oracle.bm25_german_topk(_german_query_term()),

@@ -9758,3 +9758,40 @@ def cluster_sizes(k: int = 8) -> str:
     """Mirror of pipelines.ann.cluster_sizes."""
     return (f"WITH {_cluster_assign_cte(k)} "
             f"SELECT cluster, count(*) AS n FROM assign GROUP BY cluster")
+
+
+def dup_span_extents(L: int = 8) -> str:
+    """Mirror of pipelines.scrub.dup_span_extents: overlapping L-gram
+    md5-16 keys, positions whose gram repeats corpus-wide, per-doc
+    interval union of [p, p+L) into maximal extents (island break where
+    the gap exceeds L; lag NULL on the first row falls to the ELSE 1
+    arm)."""
+    return preamble() + f""",
+pos AS (
+  SELECT doc_id, unnest(generate_series(0, len(toks) - {L})) AS p, toks
+  FROM toksrc WHERE len(toks) >= {L}
+),
+gr AS (
+  SELECT doc_id, p,
+         substr(md5(array_to_string(toks[p + 1 : p + {L}], ' ')), 1, 16)
+           AS h
+  FROM pos
+),
+dp AS (
+  SELECT doc_id, p FROM gr
+  WHERE h IN (SELECT h FROM gr GROUP BY h HAVING count(*) >= 2)
+),
+isl AS (
+  SELECT doc_id, p,
+         CASE WHEN p <= lag(p) OVER (PARTITION BY doc_id ORDER BY p) + {L}
+              THEN 0 ELSE 1 END AS brk
+  FROM dp
+),
+grp AS (
+  SELECT doc_id, p,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS g
+  FROM isl
+)
+SELECT doc_id, min(p) AS start_pos, max(p) + {L} AS end_pos
+FROM grp GROUP BY doc_id, g
+"""

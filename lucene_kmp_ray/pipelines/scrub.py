@@ -238,3 +238,81 @@ def semdedup_pairs(sf_dir: str, threshold: float = SEM_THRESHOLD,
                          columns=["vec_id", "embedding"])
     return ds.map_batches(bucketize, batch_format="pyarrow") \
         .groupby("bucket").map_groups(bucket_dups, batch_format="pandas")
+
+
+# ----------------------------------- maximal duplicate-span extraction ----
+DUP_GRAM_L = 8
+
+
+def _gram_rows(batch: pa.Table, L: int) -> pa.Table:
+    """One row per OVERLAPPING L-gram position: (h = md5-16 of the
+    space-joined gram, doc_id, p). The gram text never leaves the task —
+    only the 16-hex key rides the exchange (collisions are identical on
+    both sides of the mirror, so exactness is preserved; a 100-TB run
+    would widen to the full 32-hex digest)."""
+    doc_ids = batch["doc_id"].to_numpy()
+    dl, flat, doc_of, pos = StandardAnalyzer().analyze_flat(
+        batch["text"].to_pylist())
+    starts = np.flatnonzero(pos + L <= dl[doc_of])
+    if len(starts):
+        cols = [flat.take(pa.array(starts + i, pa.int64()))
+                for i in range(L)]
+        h = _md5_list(pc.binary_join_element_wise(*cols, " "))
+        gdoc = doc_ids[doc_of[starts]]
+        gp = pos[starts].astype(np.int64)
+    else:
+        h = np.array([], dtype=object)
+        gdoc = gp = np.array([], dtype=np.int64)
+    return pa.table({"h": pa.array(h, pa.string()),
+                     "doc_id": pa.array(gdoc, pa.int64()),
+                     "p": pa.array(gp, pa.int64())})
+
+
+def dup_span_extents(sf_dir: str, L: int = DUP_GRAM_L):
+    """Maximal duplicated-substring extents — the suffix-array exact
+    substring dedup role (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", arXiv 2107.06499), approximated at gram
+    granularity: a token position is *duplicated* iff its overlapping
+    L-gram occurs ≥ 2 times in the corpus; per doc, overlapping-or-
+    touching duplicated gram intervals [p, p+L) merge into maximal
+    extents (the intervals all have length L, so islands break exactly
+    where the position gap exceeds L).
+
+    Two coarse hash-partitioned exchanges (gram-hash then doc), rows =
+    one per token position — the same O(corpus tokens) exchange shape as
+    the C4 scrub, no broadcast set, no driver state. Output: one row per
+    maximal extent (doc_id, start_pos, end_pos) with end exclusive.
+    Oracle: oracle.dup_span_extents — identical gram/md5/island
+    arithmetic via window functions."""
+    hint = _doc_rows(sf_dir) * 90  # ~positions per doc
+
+    rows = _read_docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(lambda b: _gram_rows(b, L), batch_format="pyarrow")
+
+    def dup_part(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby("h", sort=False)["h"].transform("size")
+        return df.loc[c >= 2, ["doc_id", "p"]]
+
+    dups = _partition_apply(rows, ["h"], dup_part, key_is_str=True,
+                            approx_rows=hint)
+
+    def extents(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "p"], kind="mergesort")
+        d = df["doc_id"].to_numpy()
+        p = df["p"].to_numpy()
+        if not len(d):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "start_pos": pd.Series([], dtype=np.int64),
+                                 "end_pos": pd.Series([], dtype=np.int64)})
+        new = np.ones(len(d), dtype=bool)
+        new[1:] = (d[1:] != d[:-1]) | (p[1:] > p[:-1] + L)
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:] - 1, len(d) - 1)
+        return pd.DataFrame({
+            "doc_id": d[starts].astype(np.int64),
+            "start_pos": p[starts].astype(np.int64),
+            "end_pos": (p[ends] + L).astype(np.int64),
+        })
+
+    return _partition_apply(dups, ["doc_id"], extents,
+                            approx_rows=_doc_rows(sf_dir))
