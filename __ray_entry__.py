@@ -1044,6 +1044,106 @@ def _uk_token_counts(sf_dir: str):
     return df.sort_values(["term"]).reset_index(drop=True)
 
 
+# The reference's own Bible-analyzer vectors, verbatim from the 17
+# TestBible*Analyzer.kt files (analysis/{common,extra,kuromoji,nori,
+# morfologik}/.../ct/): sacred-name canonicalization over each base
+# language chain — stacked posInc-0 canonicals, keyword-gated stems,
+# charfilter term rewrites. (lang, phrase, expected tokens).
+BIBLE_VECTORS = [
+    ("en", "weep weeps weeping wept", ["weep", "weep", "weep", "weep"]),
+    ("de", "Jesu Christi", ["jesu", "jesus", "christi", "christus"]),
+    ("de", "Jesus Christus", ["jesus", "christus"]),
+    ("de", "Jesum Christum", ["jesum", "jesus", "christum", "christus"]),
+    ("de", "Jesu Christo", ["jesu", "jesus", "christo", "christus"]),
+    ("de", "von Jesus Christus", ["jesus", "christus"]),
+    ("es", "Jesucristo", ["jesucrist", "jesus", "crist"]),
+    ("es", "Jesús", ["jesus"]),
+    ("es", "Cristo", ["crist"]),
+    ("pt", "Jesus", ["jesus"]),
+    ("pt", "Jesua", ["jesu"]),
+    ("pt", "Jesus Cristo", ["jesus", "cristo"]),
+    ("sv", "Jesu Kristi", ["jesu", "jesus", "kristi", "kristus"]),
+    ("sv", "Jesus Kristus", ["jesus", "kristus"]),
+    ("sv", "av Jesus Kristus", ["jesus", "kristus"]),
+    ("ru", "Иисуса", ["иисуса", "иисус"]),
+    ("ru", "Иисусу", ["иисусу", "иисус"]),
+    ("ru", "Иисуса Христа", ["иисуса", "иисус", "христа", "христос"]),
+    ("ru", "Иисусом Христом", ["иисусом", "иисус", "христом", "христос"]),
+    ("hi", "यीशु", ["यीशु"]),
+    ("hi", "यिशै", ["यिश"]),
+    ("hi", "यीशु मसीह", ["यीशु", "मसीह"]),
+    ("bn", "যীশু", ["যিসু"]),
+    ("bn", "যীশুর", ["যিসুর", "যিসু"]),
+    ("bn", "খ্রীষ্ট", ["খ্রিস্ট"]),
+    ("bn", "খ্রীষ্টের", ["খ্রিস্টের", "খ্রিস্ট"]),
+    ("te", "యేసు క్రీస్తు", ["యెసు", "క్రిస్త"]),
+    ("te", "యేసు క్రీస్తులో", ["యెసు", "క్రిస్తులొ", "క్రిస్త"]),
+    ("te", "యేసు క్రీస్తుతోను", ["యెసు", "క్రిస్తుతొను", "క్రిస్త"]),
+    ("ta", "இயேசுகிறிஸ்துவின்",
+     ["இயேசுகிறிஸ்துவின்", "இயேசுகிறிஸ்து", "இயேசு", "கிறிஸ்து"]),
+    ("ta", "இயேசுகிறிஸ்துவைக்கொண்டு",
+     ["இயேசுகிறிஸ்துவைக்கொண்டு", "இயேசுகிறிஸ்து", "இயேசு", "கிறிஸ்து"]),
+    ("mr", "ख्रिस्त येशू", ["येश", "खरिसत"]),
+    ("mr", "येशू ख्रिस्त", ["येश", "खरिसत"]),
+    ("tl", "Jesucristo", ["jesucristo", "jesus", "cristo"]),
+    ("tl", "Jesus", ["jesus"]),
+    ("tl", "Cristo", ["cristo"]),
+    ("vi", "Jêsus-Christ", ["jesus", "christ"]),
+    ("vi", "Jêsus Christ", ["jesus", "christ"]),
+    ("vi", "Jêsus", ["jesus"]),
+    ("vi", "Christ", ["christ"]),
+    ("vi", "Tin lành Chúa Jêsus Christ cứu",
+     ["tin lanh", "chua jesus", "jesus", "christ cuu", "christ"]),
+    ("ja", "キリスト・イエス", ["イエス", "キリスト"]),
+    ("ja", "イエス・キリスト", ["イエス", "キリスト"]),
+    ("ko", "예수아", ["예수아"]),
+    ("ko", "예수", ["예수"]),
+    ("ko", "예수 그리스도", ["예수", "그리스도"]),
+    ("uk", "Ісуса", ["ісуса", "ісус"]),
+    ("uk", "Ісуса Христа", ["ісуса", "ісус", "христа", "христос"]),
+    ("uk", "Ісусом Христом", ["ісусом", "ісус", "христом", "христос"]),
+]
+
+
+def _bible_token_counts(sf_dir: str):
+    """Global (lang, term, count) over all 17 Bible analyzer chains
+    (analysis/bible.py) applied to a synthesized per-doc verse (verse =
+    BIBLE_VECTORS[doc_id % k]). Oracle: oracle.bible_token_counts — the
+    reference's own TestBible*Analyzer.kt vectors, an independent ground
+    truth for the canonicalization/keyword/stem compositions."""
+    import pyarrow as pa
+    import ray
+
+    k = len(BIBLE_VECTORS)
+
+    class Derive:
+        def __init__(self):
+            from lucene_kmp_ray.analysis.bible import BIBLE_ANALYZERS
+            langs = {lang for lang, _, _ in BIBLE_VECTORS}
+            # every chain instantiated once per actor (lattices/lexica
+            # load in __init__, not per batch)
+            self.an = {lang: BIBLE_ANALYZERS[lang]() for lang in langs}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import collections
+            counts: collections.Counter = collections.Counter()
+            for doc_id in batch.column("doc_id").to_pylist():
+                lang, phrase, _ = BIBLE_VECTORS[doc_id % k]
+                for t in self.an[lang](phrase):
+                    counts[(lang, t)] += 1
+            keys = list(counts.keys())
+            return pa.table({"lang": [lg for lg, _ in keys],
+                             "term": [t for _, t in keys],
+                             "cnt": list(counts.values())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    agg = ds.map_batches(Derive, batch_format="pyarrow", concurrency=2) \
+        .groupby(["lang", "term"]).sum("cnt")
+    df = agg.to_pandas().rename(columns={"sum(cnt)": "cnt"})
+    return df.sort_values(["lang", "term"]).reset_index(drop=True)
+
+
 def _pl_token_counts(sf_dir: str):
     """Global (term, count) over the Morfologik chain (CFSA2 dictionary
     lookup -> lemma(s), pass-through when absent) applied to a
@@ -3861,7 +3961,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5: Ukrainian (curated morfologik; dict binary absent
         # from the reference distribution — nori-lexicon precedent)
         "uk_token_counts": _uk_token_counts,
-        "am_token_counts": lambda sf: _horn_token_counts(sf, "amharic"),
+        # r5 session 9: the Bible analyzer family (all 17 reference
+        # "ct" chains in one entry), never driver-checked; displaces
+        # am_token_counts (driver-green r4; Horn family swept from its
+        # later slot by scripts/check_oracle.py)
+        "bible_token_counts": _bible_token_counts,
         # r5 session 8: the last live-tested misc + payload filters join
         # the true first-50 window; zh/pl_token_counts (driver-green r4,
         # family represented by ja/ko above) rotate to later slots
@@ -3901,6 +4005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-substring-dedup role, gram granularity)
         "dup_span_extents": scrub.dup_span_extents,
         "he_token_counts": _he_token_counts,      # hebmorph hspell
+        "am_token_counts": lambda sf: _horn_token_counts(sf, "amharic"),
         "om_token_counts": lambda sf: _horn_token_counts(sf, "oromo"),
         "bm25_or_top10": lambda sf: _topk(sf, BooleanQuery.build(
             *[(Occur.SHOULD, TermQuery(t)) for t in OR_TERMS])),
@@ -4483,6 +4588,7 @@ def oracle_sql() -> dict[str, str]:
             _lang_query_term("hebrew")),
         "am_token_counts": oracle.horn_token_counts(AM_VECTORS),
         "om_token_counts": oracle.horn_token_counts(OM_VECTORS),
+        "bible_token_counts": oracle.bible_token_counts(BIBLE_VECTORS),
         "bm25_amharic_top10": oracle.bm25_amharic_topk(
             _lang_query_term("amharic")),
         "bm25_oromo_top10": oracle.bm25_oromo_topk(

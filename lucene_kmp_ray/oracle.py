@@ -9180,6 +9180,30 @@ GROUP BY e.term ORDER BY e.term
 """
 
 
+def bible_token_counts(
+        vectors: list[tuple[str, str, list[str]]]) -> str:
+    """Global (lang, term, cnt) over the 17 Bible analyzer chains
+    applied to a synthesized per-doc verse (verse = vectors[doc_id % k]).
+    Expectations are the REFERENCE's own TestBible*Analyzer.kt vectors —
+    an independent ground truth for the sacred-name canonicalization,
+    keyword-gated stemming and charfilter term-rewrite compositions."""
+    k = len(vectors)
+    rows = []
+    for i, (lang, _, toks) in enumerate(vectors):
+        for t in toks:
+            rows.append("({}, '{}', '{}')".format(
+                i, lang, t.replace("'", "''")))
+    values = ", ".join(rows)
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+expected(pidx, lang, term) AS (VALUES {values}),
+assigned AS (SELECT doc_id % {k} AS pidx FROM corpus)
+SELECT e.lang, e.term, count(*) AS cnt
+FROM assigned a JOIN expected e USING (pidx)
+GROUP BY e.lang, e.term ORDER BY e.lang, e.term
+"""
+
+
 # ------------------------------------------------------ Hebrew ------------
 def bm25_hebrew_topk(term: str, k: int = 10) -> str:
     """HebMorph chain over the Latin corpus: ASCII tokens pass through
