@@ -1144,6 +1144,85 @@ def _bible_token_counts(sf_dir: str):
     return df.sort_values(["lang", "term"]).reset_index(drop=True)
 
 
+# The reference's compound-decomposition vectors, verbatim from
+# TestCompoundWordTokenFilter.kt: (cfg, input text, expected tokens).
+# cfg selects the filter configuration (hyphenation+dict, longest-match,
+# hyphenation-only bounds, dictionary brute-force).
+COMPOUND_VECTORS = [
+    ("hyph_da", "min veninde som er lidt af en læsehest",
+     ["min", "veninde", "som", "er", "lidt", "af", "en", "læsehest",
+      "læse", "hest"]),
+    ("hyph_longest", "basketballkurv",
+     ["basketballkurv", "basketball", "ball", "kurv"]),
+    ("hyph_only_2_4", "basketballkurv",
+     ["basketballkurv", "ba", "sket", "ball", "bal", "kurv"]),
+    ("hyph_only_4_6", "basketballkurv",
+     ["basketballkurv", "basket", "sket", "ball", "lkurv", "kurv"]),
+    ("dict_se", "Glasögonfodral Skomakare Vindrutetorkarblad abba",
+     ["Glasögonfodral", "Glas", "ögon", "fodral", "Skomakare", "Sko",
+      "makare", "Vindrutetorkarblad", "Vind", "rute", "blad", "abba"]),
+]
+
+
+def _compound_token_counts(sf_dir: str):
+    """Global (cfg, term, count) over the compound word decomposition
+    filters (analysis/compound.py — DictionaryCompoundWordTokenFilter +
+    HyphenationCompoundWordTokenFilter with the shipped Danish FOP
+    grammar) applied to a synthesized per-doc phrase. Oracle:
+    oracle.compound_token_counts — the reference's own
+    TestCompoundWordTokenFilter.kt vectors."""
+    import pyarrow as pa
+    import ray
+
+    k = len(COMPOUND_VECTORS)
+
+    class Derive:
+        def __init__(self):
+            from lucene_kmp_ray.analysis.compound import (
+                DEFAULT_MAX_SUBWORD_SIZE, DEFAULT_MIN_SUBWORD_SIZE,
+                DEFAULT_MIN_WORD_SIZE, DictionaryCompoundAnalyzer,
+                HyphenationCompoundAnalyzer, HyphenationTree)
+            hyph = HyphenationTree.danish()  # grammar parsed once/actor
+            se = ["Bil", "Dörr", "Motor", "Tak", "Borr", "Slag",
+                  "Hammar", "Pelar", "Glas", "Ögon", "Fodral", "Bas",
+                  "Fiol", "Makare", "Gesäll", "Sko", "Vind", "Rute",
+                  "Torkare", "Blad"]
+            self.an = {
+                "hyph_da": HyphenationCompoundAnalyzer(
+                    hyph, ["læse", "hest"], DEFAULT_MIN_WORD_SIZE,
+                    DEFAULT_MIN_SUBWORD_SIZE, DEFAULT_MAX_SUBWORD_SIZE,
+                    False),
+                "hyph_longest": HyphenationCompoundAnalyzer(
+                    hyph, ["basketball", "basket", "ball", "kurv"],
+                    DEFAULT_MIN_WORD_SIZE, DEFAULT_MIN_SUBWORD_SIZE,
+                    40, True),
+                "hyph_only_2_4": HyphenationCompoundAnalyzer(
+                    hyph, None, DEFAULT_MIN_WORD_SIZE, 2, 4),
+                "hyph_only_4_6": HyphenationCompoundAnalyzer(
+                    hyph, None, DEFAULT_MIN_WORD_SIZE, 4, 6),
+                "dict_se": DictionaryCompoundAnalyzer(se),
+            }
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import collections
+            counts: collections.Counter = collections.Counter()
+            for doc_id in batch.column("doc_id").to_pylist():
+                cfg, phrase, _ = COMPOUND_VECTORS[doc_id % k]
+                for t in self.an[cfg](phrase):
+                    counts[(cfg, t)] += 1
+            keys = list(counts.keys())
+            return pa.table({"cfg": [c for c, _ in keys],
+                             "term": [t for _, t in keys],
+                             "cnt": list(counts.values())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    agg = ds.map_batches(Derive, batch_format="pyarrow", concurrency=2) \
+        .groupby(["cfg", "term"]).sum("cnt")
+    df = agg.to_pandas().rename(columns={"sum(cnt)": "cnt"})
+    return df.sort_values(["cfg", "term"]).reset_index(drop=True)
+
+
 def _pl_token_counts(sf_dir: str):
     """Global (term, count) over the Morfologik chain (CFSA2 dictionary
     lookup -> lemma(s), pass-through when absent) applied to a
@@ -3885,8 +3964,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # VERDICT r4 #7: r5 promotes 16 entries the driver has never
         # independently checked; the displaced r1-era entries move
         # below and stay covered by scripts/check_oracle.py) =====
-        # --- sources / schema (SURVEY §2.1) ---
-        "corpus_summary": _corpus_summary,
         # --- index build stats / norms (SURVEY §2.2, §2.6) ---
         # r5 window: the full-shuffle build path (same oracle as
         # term_stats — the two paths must agree) and CheckIndex; the
@@ -3971,6 +4048,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # family represented by ja/ko above) rotate to later slots
         "misc_filter_counts_v2": _misc_filter_counts_v2,
         "payload_filter_counts": _payload_filter_counts,
+        # r5 session 9: compound word decomposition (dictionary brute-
+        # force + FOP hyphenation grammar), never driver-checked;
+        # displaces corpus_summary (driver-green r1-r4; schema sanity
+        # still covered by every reader entry + the later slot)
+        "compound_token_counts": _compound_token_counts,
         # r5 session 8: corpus-scrub family, never driver-checked —
         # C4-style duplicate-span removal, the embedder chunking
         # flat_map, and bucketed SemDeDup (semantic dedup); displaces
@@ -3991,6 +4073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ===== end of the driver's first-50 snapshot window =====
         # rotated out of the window in r5 session 9 (driver-green r1-r4,
         # families still represented in-window; swept by check_oracle)
+        "corpus_summary": _corpus_summary,
         "phrase_top10": lambda sf: _topk(sf, PhraseQuery(tuple(PHRASE_3))),
         "sorted_index_scan_top20": _sorted_index_scan,
         "knn_vector_top10": _knn_topk,
@@ -4589,6 +4672,8 @@ def oracle_sql() -> dict[str, str]:
         "am_token_counts": oracle.horn_token_counts(AM_VECTORS),
         "om_token_counts": oracle.horn_token_counts(OM_VECTORS),
         "bible_token_counts": oracle.bible_token_counts(BIBLE_VECTORS),
+        "compound_token_counts":
+            oracle.compound_token_counts(COMPOUND_VECTORS),
         "bm25_amharic_top10": oracle.bm25_amharic_topk(
             _lang_query_term("amharic")),
         "bm25_oromo_top10": oracle.bm25_oromo_topk(

@@ -38,7 +38,8 @@ import numpy as np
 import pyarrow as pa
 
 from .arabic import fold_digits
-from .standard import ENGLISH_STOP_WORDS, StandardAnalyzer, tokenize
+from .expand import ExpandAnalyzer
+from .standard import ENGLISH_STOP_WORDS, tokenize
 
 
 # ---------------------------------------------------------------------------
@@ -65,75 +66,13 @@ def _per_doc_flat(analyzer, texts):
             np.array(pos_l, dtype=np.int64))
 
 
-class _BibleStdAnalyzer:
+class _BibleStdAnalyzer(ExpandAnalyzer):
     """Standard-tokenizer Bible chain: optional char prefilter, then a
-    token-local ``expand(tok) -> tuple[str, ...]`` covering the whole
-    post-tokenizer filter stack (stop / canon / keyword / stem). Empty
-    tuple = stopped; extra members = posInc-0 stacked canonicals (in
-    emit order after the original). Vectorized per unique token."""
+    token-local ``expand(tok)`` covering the whole post-tokenizer
+    filter stack (stop / canon / keyword / stem) — see ExpandAnalyzer
+    in expand.py for the vectorized machinery."""
 
     name = "bible"
-
-    def prefilter(self, text: str) -> str:
-        return text
-
-    _has_prefilter = False
-
-    def expand(self, tok: str) -> tuple[str, ...]:  # pragma: no cover
-        raise NotImplementedError
-
-    def __call__(self, text: str) -> list[str]:
-        out: list[str] = []
-        for t in tokenize(self.prefilter(text) if self._has_prefilter
-                          else text):
-            out.extend(self.expand(t))
-        return out
-
-    def analyze_flat(self, texts):
-        if self._has_prefilter:
-            if isinstance(texts, (pa.Array, pa.ChunkedArray)):
-                texts = texts.to_pylist()
-            texts = [self.prefilter(t or "") for t in texts]
-        dl, flat, doc_of, pos = StandardAnalyzer().analyze_flat(texts)
-        if len(flat) == 0:
-            return dl, flat, doc_of, pos
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
-        dict_arr = flat.dictionary_encode()
-        uniq = dict_arr.dictionary.to_pylist()
-        exp = [self.expand(u) for u in uniq]
-        nout = np.array([len(e) for e in exp], dtype=np.int64)
-        first = [(e[0] if e else "") for e in exp]
-        idx = dict_arr.indices.to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        flat1 = pa.DictionaryArray.from_arrays(
-            pa.array(idx, pa.int64()),
-            pa.array(first, pa.string())).cast(pa.string())
-        keep = nout[idx] > 0
-        parts_tok = [flat1.filter(pa.array(keep))]
-        parts_doc = [doc_of[keep]]
-        parts_pos = [pos[keep]]
-        for ui in np.nonzero(nout > 1)[0]:
-            m = idx == ui
-            d, p = doc_of[m], pos[m]
-            for s in exp[ui][1:]:  # stacked at the SAME position
-                parts_tok.append(pa.array([s] * len(d), pa.string()))
-                parts_doc.append(d)
-                parts_pos.append(p)
-        if len(parts_tok) == 1:
-            flat2, doc2, pos2 = parts_tok[0], parts_doc[0], parts_pos[0]
-        else:
-            flat2 = pa.concat_arrays(
-                [t.combine_chunks() if isinstance(t, pa.ChunkedArray)
-                 else t for t in parts_tok])
-            doc2 = np.concatenate(parts_doc)
-            pos2 = np.concatenate(parts_pos)
-            order = np.lexsort((pos2, doc2))  # stable: originals first
-            flat2 = flat2.take(pa.array(order))
-            doc2, pos2 = doc2[order], pos2[order]
-        norm_lengths = np.bincount(doc2, minlength=len(dl)) \
-            .astype(np.int64)
-        return norm_lengths, flat2, doc2, pos2
 
 
 # ---------------------------------------------------------------------------

@@ -9204,6 +9204,28 @@ GROUP BY e.lang, e.term ORDER BY e.lang, e.term
 """
 
 
+def compound_token_counts(
+        vectors: list[tuple[str, str, list[str]]]) -> str:
+    """Global (cfg, term, cnt) over the compound decomposition filters
+    applied to a synthesized per-doc phrase. Expectations are the
+    REFERENCE's own TestCompoundWordTokenFilter.kt vectors."""
+    k = len(vectors)
+    rows = []
+    for i, (cfg, _, toks) in enumerate(vectors):
+        for t in toks:
+            rows.append("({}, '{}', '{}')".format(
+                i, cfg, t.replace("'", "''")))
+    values = ", ".join(rows)
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+expected(pidx, cfg, term) AS (VALUES {values}),
+assigned AS (SELECT doc_id % {k} AS pidx FROM corpus)
+SELECT e.cfg, e.term, count(*) AS cnt
+FROM assigned a JOIN expected e USING (pidx)
+GROUP BY e.cfg, e.term ORDER BY e.cfg, e.term
+"""
+
+
 # ------------------------------------------------------ Hebrew ------------
 def bm25_hebrew_topk(term: str, k: int = 10) -> str:
     """HebMorph chain over the Latin corpus: ASCII tokens pass through
