@@ -3925,6 +3925,41 @@ def _count_term(sf_dir: str, term: str):
     return pd.DataFrame({"n": [n]})
 
 
+BLOOM_PROBE_TERMS = ("spark", "the", "join", "window",
+                     "zzzqabsent", "notinvocab123")
+
+
+def _bloom_term_counts(sf_dir: str):
+    """Bloom-gated term point lookups (the BloomFilteringPostingsFormat
+    role, index/bloom.py): the corpus indexed with ``bloom=True`` — per
+    probe term, df summed across segments through the bloom-gated
+    ``term_index`` path (a definite-NO skips the vocabulary load
+    entirely; present terms must never be rejected). Probes mix present
+    and absent terms; oracle recomputes each df from the corpus
+    tokenization. Oracle: oracle.bloom_term_counts."""
+    import pandas as pd
+
+    from lucene_kmp_ray.index.builder import build_index
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.sources.corpus import corpus_dataset
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/lucene_kmp_ray_index_bloom/{tag}"
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(corpus_dataset(sf_dir), idx,
+                    segment_size=SEGMENT_SIZE, bloom=True)
+    r = IndexReader(idx)
+    rows = []
+    for term in BLOOM_PROBE_TERMS:
+        n = 0
+        for sr in r.segment_readers:
+            row = sr.term_row(term)
+            if row is not None:
+                n += int(row["df"])
+        rows.append({"term": term, "n": n})
+    return pd.DataFrame(rows).sort_values("term").reset_index(drop=True)
+
+
 def _dedup_url_latest(sf_dir: str):
     """updateDocument-by-url analog (IndexWriter.kt:1641, SURVEY §2.8):
     two simulated crawls of the same urls; keep the latest warc_ts row."""
@@ -3971,7 +4006,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_stats_grouped": _term_stats_grouped,
         "check_index_stats": _check_index_stats,
         # --- query operators (SURVEY §2.5) ---
-        "bm25_term_spark": lambda sf: _topk(sf, TermQuery(TERM_A)),
+        # r5 session 9: bloom-filtered term dictionary (codecs/bloom
+        # role), never driver-checked; displaces bm25_term_spark
+        # (driver-green r1-r4, and its exact oracle is still driver-
+        # checked in-window through merged_index_search)
+        "bloom_term_counts": _bloom_term_counts,
         # r5 session 9: highlighter role, never driver-checked; displaces
         # phrase_top10 (driver-green r1-r4; phrase family still in-window
         # via phrase_prefix_top10 + match_positions_phrase)
@@ -4074,6 +4113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated out of the window in r5 session 9 (driver-green r1-r4,
         # families still represented in-window; swept by check_oracle)
         "corpus_summary": _corpus_summary,
+        "bm25_term_spark": lambda sf: _topk(sf, TermQuery(TERM_A)),
         "phrase_top10": lambda sf: _topk(sf, PhraseQuery(tuple(PHRASE_3))),
         "sorted_index_scan_top20": _sorted_index_scan,
         "knn_vector_top10": _knn_topk,
@@ -4674,6 +4714,8 @@ def oracle_sql() -> dict[str, str]:
         "bible_token_counts": oracle.bible_token_counts(BIBLE_VECTORS),
         "compound_token_counts":
             oracle.compound_token_counts(COMPOUND_VECTORS),
+        "bloom_term_counts":
+            oracle.bloom_term_counts(BLOOM_PROBE_TERMS),
         "bm25_amharic_top10": oracle.bm25_amharic_topk(
             _lang_query_term("amharic")),
         "bm25_oromo_top10": oracle.bm25_oromo_topk(

@@ -88,7 +88,8 @@ def build_index(ds, index_dir: str, segment_size: int = DEFAULT_SEGMENT_SIZE,
                 index_sort: tuple[tuple[str, bool], ...] | None = None,
                 hnsw: dict | None = None,
                 quantize: dict | None = None,
-                store_term_vectors: bool = False) -> dict:
+                store_term_vectors: bool = False,
+                bloom: bool = False) -> dict:
     """Build (or resume) an index from a corpus Dataset with
     ``doc_id, url`` plus one column per indexed field (default just
     ``text``; pass ``fields=("text", "title")`` for fielded documents,
@@ -128,7 +129,7 @@ def build_index(ds, index_dir: str, segment_size: int = DEFAULT_SEGMENT_SIZE,
             lineage, analyzer=analyzer, fields=fields,
             vector_col=vector_col, meta_cols=meta_cols,
             index_sort=index_sort, hnsw=hnsw, quantize=quantize,
-            store_term_vectors=store_term_vectors)
+            store_term_vectors=store_term_vectors, bloom=bloom)
         return pa.table({"manifest": pa.array([json.dumps(man)], pa.string())})
 
     ds = ds.select_columns(["doc_id", "url", *fields] +
@@ -161,7 +162,8 @@ def build_index_sharded(shards: list[dict], make_docs, index_dir: str,
                         None,
                         hnsw: dict | None = None,
                         quantize: dict | None = None,
-                        store_term_vectors: bool = False) -> dict:
+                        store_term_vectors: bool = False,
+                        bloom: bool = False) -> dict:
     """Shuffle-free build: one Ray task per shard, segment == shard.
 
     This is the production path (and the Lucene DWPT model: each writer
@@ -200,7 +202,8 @@ def build_index_sharded(shards: list[dict], make_docs, index_dir: str,
                                       fields=fields, vector_col=vector_col,
                                       index_sort=index_sort, hnsw=hnsw,
                                       quantize=quantize,
-                                      store_term_vectors=store_term_vectors)
+                                      store_term_vectors=store_term_vectors,
+                                      bloom=bloom)
         return json.dumps(man)
 
     pending: list = []

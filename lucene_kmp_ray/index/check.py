@@ -162,8 +162,44 @@ def check_segment(index_dir: str, seg_dir: str) -> dict:
                     f"field {f}: unique_terms disagrees with postings")
     _check_quantized_sidecar(d, man, n_docs, errors)
     _check_term_vectors_sidecar(d, docs_t, errors)
+    _check_bloom_sidecar(d, terms_t, errors)
     return {"seg": man["seg"], "ok": not errors, "errors": errors,
             "doc_count": n_docs, "unique_terms": terms_t.num_rows}
+
+
+def _check_bloom_sidecar(seg_dir: str, terms_t, errors: list[str]) -> None:
+    """'test: bloom filter' — the sidecar must answer MAYBE for every
+    term actually in the dictionary (false negatives are corruption;
+    false positives are by design)."""
+    from .bloom import load_segment_bloom, murmur128_bulk
+    import numpy as np
+    blooms = load_segment_bloom(seg_dir)
+    if blooms is None:
+        return
+    fields = (terms_t["field"].to_pylist()
+              if "field" in terms_t.column_names
+              else ["text"] * terms_t.num_rows)
+    terms = terms_t["term"].to_pylist()
+    by_field: dict[str, list[bytes]] = {}
+    for f, t in zip(fields, terms):
+        by_field.setdefault(f, []).append(t.encode("utf-8"))
+    for f, keys in by_field.items():
+        fs = blooms.get(f)
+        if fs is None:  # saturated filters are legitimately skipped
+            continue
+        h = murmur128_bulk(keys)
+        mask = np.uint64(fs.bloom_size)
+        ok = np.ones(len(keys), dtype=bool)
+        with np.errstate(over="ignore"):
+            for i in range(fs.hash_count):
+                pos = (h[:, 1] + np.uint64(i) * h[:, 0]) & mask
+                word = fs.bits[(pos >> np.uint64(6)).astype(np.int64)]
+                ok &= ((word >> (pos & np.uint64(63)))
+                       & np.uint64(1)).astype(bool)
+        nbad = int((~ok).sum())
+        if nbad:
+            errors.append(f"field {f}: bloom sidecar rejects {nbad} "
+                          f"dictionary terms (false negatives)")
 
 
 def _check_term_vectors_sidecar(seg_dir: str, docs_t, errors: list[str]

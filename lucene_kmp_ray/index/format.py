@@ -598,7 +598,8 @@ def write_segment(index_dir: str, terms_table: pa.Table, docs_table: pa.Table,
                   manifest: dict, vectors_table: pa.Table | None = None,
                   graph_table: pa.Table | None = None,
                   qvectors_table: pa.Table | None = None,
-                  tvectors_table: pa.Table | None = None
+                  tvectors_table: pa.Table | None = None,
+                  bloom: bool = False
                   ) -> dict:
     """Atomically persist one segment (write tmp dir, rename) — the
     per-partition two-phase commit (SegmentInfos.kt:35-45 analog).
@@ -639,6 +640,12 @@ def write_segment(index_dir: str, terms_table: pa.Table, docs_table: pa.Table,
         # random-access contract, re-expressed as row-group pruning)
         pq.write_table(tvectors_table, os.path.join(tmp_dir, TVECTORS_FILE),
                        row_group_size=TV_ROW_GROUP)
+    if bloom:
+        # opt-in per-field bloom sidecar over the term dictionary
+        # (BloomFilteringPostingsFormat role, index/bloom.py): readers
+        # answer "term definitely absent" without touching terms.parquet
+        from .bloom import build_segment_bloom
+        manifest["bloom"] = build_segment_bloom(terms_table, tmp_dir)
     with open(os.path.join(tmp_dir, SEG_MANIFEST), "w") as f:
         json.dump(manifest, f)
     try:
@@ -661,7 +668,8 @@ def build_and_write_segment(docs: pa.Table, seg: int, index_dir: str,
                             = None,
                             hnsw: dict | None = None,
                             quantize: dict | None = None,
-                            store_term_vectors: bool = False) -> dict:
+                            store_term_vectors: bool = False,
+                            bloom: bool = False) -> dict:
     """``vector_col`` names a per-doc vector column of ``docs`` (a
     KnnFloatVectorField, document/KnnFloatVectorField role): it splits
     into the vectors sidecar in local-docID order and never enters the
@@ -722,7 +730,7 @@ def build_and_write_segment(docs: pa.Table, seg: int, index_dir: str,
         manifest["term_vectors"] = True
     return write_segment(index_dir, terms_table, docs_table, manifest,
                          vectors_table, graph_table, qvectors_table,
-                         tvectors_table)
+                         tvectors_table, bloom=bloom)
 
 
 def build_quantized_sidecar(vectors_table: pa.Table,

@@ -548,9 +548,15 @@ def merge_segments(index_dir: str, segs: list[int], new_seg: int,
             [("doc_id", "ascending"), ("field", "ascending"),
              ("term", "ascending")])
         manifest["term_vectors"] = True
+    # carry the bloom sidecar forward: if ANY source segment had one,
+    # the merged segment gets a fresh filter over its merged vocabulary
+    # (BloomFilteringPostingsFormat writes a new filter per merge too)
+    from .bloom import BLOOM_FILE as _BLOOM_FILE
+    merged_bloom = any(os.path.exists(os.path.join(d, _BLOOM_FILE))
+                       for d in dirs)
     out = write_segment(index_dir, terms_table, docs_table, manifest,
                         vectors_table, graph_table, qvectors_table,
-                        tvectors_table)
+                        tvectors_table, bloom=merged_bloom)
     if soft_carry:
         # retention-exempt docs re-mark in the NEW segment (their concat
         # positions map through the docID permutation); idempotent on

@@ -68,6 +68,7 @@ class SegmentReader:
         self._vector_missing: np.ndarray | None = None
         self._hnsw = False  # False=unloaded, None=no graph sidecar
         self._quantized: tuple | None | bool = False  # int8 sidecar
+        self._bloom: dict | None | bool = False  # term-dict bloom sidecar
 
     @property
     def tombstones(self) -> np.ndarray | None:
@@ -369,9 +370,32 @@ class SegmentReader:
         return self._doc_meta
 
     # --- term access ----------------------------------------------------
+    @property
+    def bloom(self) -> dict | None:
+        """Per-field term-dictionary bloom filters (the opt-in
+        BloomFilteringPostingsFormat sidecar, index/bloom.py) or None.
+        A NO answer proves term absence without loading the vocabulary —
+        the point-lookup fast path across many segments."""
+        if self._bloom is False:
+            from .bloom import load_segment_bloom
+            self._bloom = load_segment_bloom(self.dir)
+        return self._bloom
+
     def term_index(self, term: str, field: str = "text") -> int | None:
         """Binary search the field's slice of the sorted term dictionary;
-        returns a GLOBAL row index into the terms table."""
+        returns a GLOBAL row index into the terms table. While the
+        vocabulary is still UNLOADED, a bloom-sidecar NO proves absence
+        without paying the dictionary load — the cross-segment
+        point-lookup fast path; once the vocabulary is cached, the
+        binary search is cheaper than hashing, so the filter steps
+        aside."""
+        if self._terms is None:
+            b = self.bloom
+            if b is not None:
+                fs = b.get(field)
+                if fs is not None and not fs.may_contain(
+                        term.encode("utf-8")):
+                    return None
         self.terms_table
         lo, hi = self.field_range(field)
         arr = self._term_arr

@@ -414,6 +414,20 @@ def count_term(term: str) -> str:
         f"SELECT count(*) AS n FROM postings WHERE term = '{term}'"
 
 
+def bloom_term_counts(terms: tuple[str, ...]) -> str:
+    """Per-probe-term document frequency (the bloom-gated point-lookup
+    entry): absent probes must come back 0, present probes must match
+    the corpus tokenization exactly (no bloom false negatives)."""
+    values = ", ".join("('{}')".format(t.replace("'", "''"))
+                       for t in terms)
+    return preamble() + f"""
+SELECT t.term,
+       (SELECT count(*) FROM postings p WHERE p.term = t.term) AS n
+FROM (VALUES {values}) t(term)
+ORDER BY t.term
+"""
+
+
 def collection_stats() -> str:
     return preamble() + """
 SELECT doc_count, CAST(sum_ttf AS BIGINT) AS sum_total_term_freq,
