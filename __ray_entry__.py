@@ -3929,6 +3929,98 @@ BLOOM_PROBE_TERMS = ("spark", "the", "join", "window",
                      "zzzqabsent", "notinvocab123")
 
 
+# Reference synonym-parser vectors (TestSolrSynonymParser.kt /
+# TestWordnetSynonymParser.kt): (cfg, input text, expected tokens).
+SYNMAP_VECTORS = [
+    ("solr", "ball", ["ball"]),
+    ("solr", "i-pod", ["i-pod", "ipod", "ipoooood"]),
+    ("solr", "foo", ["foo", "baz", "bar"]),
+    ("solr", "this test", ["this", "that", "test", "testing"]),
+    ("solr_pair", "spider man", ["spider", "spiderman", "man"]),
+    ("wordnet", "Lost in the woods",
+     ["Lost", "in", "the", "woods", "wood", "forest"]),
+    ("wordnet", "king", ["king", "baron"]),
+    ("wordnet", "king's evil", ["king's", "king's", "evil", "meany"]),
+    ("wordnet", "Lost in the forest",
+     ["Lost", "in", "the", "forest", "woods", "wood"]),
+]
+
+_WORDNET_FILE = ("s(100000001,1,'woods',n,1,0).\n"
+                 "s(100000001,2,'wood',n,1,0).\n"
+                 "s(100000001,3,'forest',n,1,0).\n"
+                 "s(100000002,1,'wolfish',n,1,0).\n"
+                 "s(100000002,2,'ravenous',n,1,0).\n"
+                 "s(100000003,1,'king',n,1,1).\n"
+                 "s(100000003,2,'baron',n,1,1).\n"
+                 "s(100000004,1,'king''s evil',n,1,1).\n"
+                 "s(100000004,2,'king''s meany',n,1,1).\n")
+
+
+def _synonym_map_counts(sf_dir: str):
+    """Global (cfg, term, count) over the synonym-file parsers + the
+    multi-word SynonymFilter (analysis/synmap.py — Solr wiki format,
+    prolog WordNet format, greedy longest-match flattened application)
+    applied to a synthesized per-doc phrase. Oracle:
+    oracle.synonym_map_counts — the reference's own parser-test
+    vectors."""
+    import pyarrow as pa
+    import ray
+
+    k = len(SYNMAP_VECTORS)
+
+    class Derive:
+        def __init__(self):
+            import pyarrow.compute as pc
+
+            from lucene_kmp_ray.analysis.core import WhitespaceAnalyzer
+            from lucene_kmp_ray.analysis.synmap import (
+                SolrSynonymParser, SynonymFilterAnalyzer,
+                WordnetSynonymParser)
+
+            class LowerWS:
+                def __call__(self, text):
+                    return [t.lower() for t in WhitespaceAnalyzer()(text)]
+
+                def analyze_flat(self, texts):
+                    dl, flat, doc, pos = \
+                        WhitespaceAnalyzer().analyze_flat(texts)
+                    return dl, pc.utf8_lower(flat), doc, pos
+
+            solr = SolrSynonymParser(True, True, LowerWS()).parse(
+                "i-pod, ipod, ipoooood\nfoo => foo bar\nfoo => baz\n"
+                "this test, that testing").build()
+            pair = SolrSynonymParser(True, True, LowerWS()).parse(
+                "spider man, spiderman").build()
+            wn = WordnetSynonymParser(
+                True, True, WhitespaceAnalyzer()).parse(
+                _WORDNET_FILE).build()
+            self.an = {
+                "solr": SynonymFilterAnalyzer(solr, base=LowerWS()),
+                "solr_pair": SynonymFilterAnalyzer(pair, base=LowerWS()),
+                "wordnet": SynonymFilterAnalyzer(
+                    wn, base=WhitespaceAnalyzer()),
+            }
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import collections
+            counts: collections.Counter = collections.Counter()
+            for doc_id in batch.column("doc_id").to_pylist():
+                cfg, phrase, _ = SYNMAP_VECTORS[doc_id % k]
+                for t in self.an[cfg](phrase):
+                    counts[(cfg, t)] += 1
+            keys = list(counts.keys())
+            return pa.table({"cfg": [c for c, _ in keys],
+                             "term": [t for _, t in keys],
+                             "cnt": list(counts.values())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    agg = ds.map_batches(Derive, batch_format="pyarrow", concurrency=2) \
+        .groupby(["cfg", "term"]).sum("cnt")
+    df = agg.to_pandas().rename(columns={"sum(cnt)": "cnt"})
+    return df.sort_values(["cfg", "term"]).reset_index(drop=True)
+
+
 def _bloom_term_counts(sf_dir: str):
     """Bloom-gated term point lookups (the BloomFilteringPostingsFormat
     role, index/bloom.py): the corpus indexed with ``bloom=True`` — per
@@ -4114,6 +4206,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # families still represented in-window; swept by check_oracle)
         "corpus_summary": _corpus_summary,
         "bm25_term_spark": lambda sf: _topk(sf, TermQuery(TERM_A)),
+        # r5 session 9: Solr/WordNet synonym-file parsers + the
+        # multi-word flattened SynonymFilter (analysis/synmap.py)
+        "synonym_map_counts": _synonym_map_counts,
         "phrase_top10": lambda sf: _topk(sf, PhraseQuery(tuple(PHRASE_3))),
         "sorted_index_scan_top20": _sorted_index_scan,
         "knn_vector_top10": _knn_topk,
@@ -4716,6 +4811,8 @@ def oracle_sql() -> dict[str, str]:
             oracle.compound_token_counts(COMPOUND_VECTORS),
         "bloom_term_counts":
             oracle.bloom_term_counts(BLOOM_PROBE_TERMS),
+        "synonym_map_counts":
+            oracle.synonym_map_counts(SYNMAP_VECTORS),
         "bm25_amharic_top10": oracle.bm25_amharic_topk(
             _lang_query_term("amharic")),
         "bm25_oromo_top10": oracle.bm25_oromo_topk(

@@ -428,6 +428,29 @@ ORDER BY t.term
 """
 
 
+def synonym_map_counts(
+        vectors: list[tuple[str, str, list[str]]]) -> str:
+    """Global (cfg, term, cnt) over the Solr/WordNet synonym parsers +
+    multi-word SynonymFilter applied to a synthesized per-doc phrase.
+    Expectations are the REFERENCE's own TestSolrSynonymParser.kt /
+    TestWordnetSynonymParser.kt vectors."""
+    k = len(vectors)
+    rows = []
+    for i, (cfg, _, toks) in enumerate(vectors):
+        for t in toks:
+            rows.append("({}, '{}', '{}')".format(
+                i, cfg, t.replace("'", "''")))
+    values = ", ".join(rows)
+    return f"""
+WITH corpus AS ({CORPUS_SQL}),
+expected(pidx, cfg, term) AS (VALUES {values}),
+assigned AS (SELECT doc_id % {k} AS pidx FROM corpus)
+SELECT e.cfg, e.term, count(*) AS cnt
+FROM assigned a JOIN expected e USING (pidx)
+GROUP BY e.cfg, e.term ORDER BY e.cfg, e.term
+"""
+
+
 def collection_stats() -> str:
     return preamble() + """
 SELECT doc_count, CAST(sum_ttf AS BIGINT) AS sum_total_term_freq,
