@@ -4021,6 +4021,84 @@ def _synonym_map_counts(sf_dir: str):
     return df.sort_values(["cfg", "term"]).reset_index(drop=True)
 
 
+# CustomAnalyzer chains (analysis/custom.py, the reference's
+# custom/CustomAnalyzer.kt builder): (cfg, input text, expected tokens)
+# from TestCustomAnalyzer.kt vectors + registry-composed chains.
+CUSTOM_ANALYZER_VECTORS = [
+    ("fold_ws", "foo bar FOO BAR", ["foo", "bar", "foo", "bar"]),
+    ("fold_ws", "föó bär FÖÖ BAR",
+     ["foo", "föó", "bar", "bär", "foo", "föö", "bar"]),
+    ("html_classic", "<p>foo bar</p> FOO BAR",
+     ["foo", "bar", "foo", "bar"]),
+    ("html_classic", "<p><b>föó</b> bär     FÖÖ BAR</p>",
+     ["foo", "föó", "bar", "bär", "foo", "föö", "bar"]),
+    ("stop_ic", "foo Foo Bar", []),
+    ("kw_porter", "Running jumps",
+     ["running", "run", "jumps", "jump"]),
+    ("kw_porter", "run", ["run"]),
+    ("mapping_ws", "phone quack", ["fone", "kwack"]),
+]
+
+
+def _custom_analyzer_counts(sf_dir: str):
+    """Global (cfg, term, count) over name-built CustomAnalyzer chains
+    (analysis/custom.py — SPI registry + in-order builder, the
+    reference's custom/CustomAnalyzer.kt) applied to a synthesized
+    per-doc phrase. Oracle: oracle.custom_analyzer_counts — the
+    reference's own TestCustomAnalyzer.kt vectors."""
+    import pyarrow as pa
+    import ray
+
+    k = len(CUSTOM_ANALYZER_VECTORS)
+
+    class Derive:
+        def __init__(self):
+            from lucene_kmp_ray.analysis.custom import CustomAnalyzer
+
+            def b():
+                return CustomAnalyzer.builder()
+
+            self.an = {
+                "fold_ws": b().with_tokenizer("whitespace")
+                .add_token_filter("asciifolding", preserveOriginal="true")
+                .add_token_filter("lowercase").build(),
+                "html_classic": b().add_char_filter("htmlstrip")
+                .with_tokenizer("classic")
+                .add_token_filter("asciifolding", preserveOriginal="true")
+                .add_token_filter("lowercase").build(),
+                "stop_ic": b().with_tokenizer("whitespace")
+                .add_token_filter("stop", ignoreCase="true",
+                                  words="foo,bar").build(),
+                "kw_porter": b().with_tokenizer("whitespace")
+                .add_token_filter("lowercase")
+                .add_token_filter("keywordrepeat")
+                .add_token_filter("porterstem")
+                .add_token_filter("removeduplicates").build(),
+                "mapping_ws": b().add_char_filter(
+                    "mapping", mapping={"ph": "f", "qu": "kw"})
+                .with_tokenizer("whitespace").build(),
+            }
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import collections
+            counts: collections.Counter = collections.Counter()
+            for doc_id in batch.column("doc_id").to_pylist():
+                cfg, phrase, _ = CUSTOM_ANALYZER_VECTORS[doc_id % k]
+                for t in self.an[cfg](phrase):
+                    counts[(cfg, t)] += 1
+            keys = list(counts.keys())
+            return pa.table({"cfg": [c for c, _ in keys],
+                             "term": [str(t) for _, t in keys],
+                             "cnt": list(counts.values())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    agg = ds.map_batches(Derive, batch_format="pyarrow", concurrency=2) \
+        .groupby(["cfg", "term"]).sum("cnt")
+    df = agg.to_pandas().rename(columns={"sum(cnt)": "cnt"})
+    return df.sort_values(["cfg", "term"]).reset_index(drop=True)
+
+
 def _bloom_term_counts(sf_dir: str):
     """Bloom-gated term point lookups (the BloomFilteringPostingsFormat
     role, index/bloom.py): the corpus indexed with ``bloom=True`` — per
@@ -4209,6 +4287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r5 session 9: Solr/WordNet synonym-file parsers + the
         # multi-word flattened SynonymFilter (analysis/synmap.py)
         "synonym_map_counts": _synonym_map_counts,
+        "custom_analyzer_counts": _custom_analyzer_counts,
         "phrase_top10": lambda sf: _topk(sf, PhraseQuery(tuple(PHRASE_3))),
         "sorted_index_scan_top20": _sorted_index_scan,
         "knn_vector_top10": _knn_topk,
@@ -4813,6 +4892,8 @@ def oracle_sql() -> dict[str, str]:
             oracle.bloom_term_counts(BLOOM_PROBE_TERMS),
         "synonym_map_counts":
             oracle.synonym_map_counts(SYNMAP_VECTORS),
+        "custom_analyzer_counts":
+            oracle.custom_analyzer_counts(CUSTOM_ANALYZER_VECTORS),
         "bm25_amharic_top10": oracle.bm25_amharic_topk(
             _lang_query_term("amharic")),
         "bm25_oromo_top10": oracle.bm25_oromo_topk(

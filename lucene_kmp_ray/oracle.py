@@ -451,6 +451,11 @@ GROUP BY e.cfg, e.term ORDER BY e.cfg, e.term
 """
 
 
+# CustomAnalyzer-chain counts share the vector-expansion shape: the
+# expectations are the reference's TestCustomAnalyzer.kt outputs.
+custom_analyzer_counts = synonym_map_counts
+
+
 def collection_stats() -> str:
     return preamble() + """
 SELECT doc_count, CAST(sum_ttf AS BIGINT) AS sum_total_term_freq,
