@@ -4099,6 +4099,35 @@ def _custom_analyzer_counts(sf_dir: str):
     return df.sort_values(["cfg", "term"]).reset_index(drop=True)
 
 
+# seekCeil probes for the term-ordinals entry: below-all, exact hits,
+# between-terms misses, above-all (END)
+TERM_ORD_PROBES = ("aaa", "batch", "join", "sparl", "spark",
+                   "the", "thf", "zzzz")
+
+
+def _term_ords_seek(sf_dir: str):
+    """Ord-indexed term dictionary + cross-segment OrdinalMap
+    (index/ords.py — the BlockTreeOrds codec role over the sorted
+    Parquet dictionary and core OrdinalMap.kt): seekCeil each probe on
+    the merged enum, report (status, global ord, landed term). Oracle:
+    oracle.term_ords_seek recomputes the merged vocabulary ordinals
+    from the corpus tokenization."""
+    import pandas as pd
+
+    from lucene_kmp_ray.index.ords import OrdinalMap
+    from lucene_kmp_ray.index.reader import IndexReader
+
+    r = IndexReader(_ensure_index(sf_dir))
+    om = OrdinalMap.build(r.segment_readers, "text")
+    rows = []
+    for probe in TERM_ORD_PROBES:
+        status, ord_ = om.seek_ceil(probe)
+        term = om.term_at(ord_) if ord_ < om.value_count else ""
+        rows.append({"probe": probe, "status": status,
+                     "ord": ord_, "term": term})
+    return pd.DataFrame(rows).sort_values("probe").reset_index(drop=True)
+
+
 def _bloom_term_counts(sf_dir: str):
     """Bloom-gated term point lookups (the BloomFilteringPostingsFormat
     role, index/bloom.py): the corpus indexed with ``bloom=True`` — per
@@ -4288,6 +4317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multi-word flattened SynonymFilter (analysis/synmap.py)
         "synonym_map_counts": _synonym_map_counts,
         "custom_analyzer_counts": _custom_analyzer_counts,
+        "term_ords_seek": _term_ords_seek,
         "phrase_top10": lambda sf: _topk(sf, PhraseQuery(tuple(PHRASE_3))),
         "sorted_index_scan_top20": _sorted_index_scan,
         "knn_vector_top10": _knn_topk,
@@ -4894,6 +4924,7 @@ def oracle_sql() -> dict[str, str]:
             oracle.synonym_map_counts(SYNMAP_VECTORS),
         "custom_analyzer_counts":
             oracle.custom_analyzer_counts(CUSTOM_ANALYZER_VECTORS),
+        "term_ords_seek": oracle.term_ords_seek(TERM_ORD_PROBES),
         "bm25_amharic_top10": oracle.bm25_amharic_topk(
             _lang_query_term("amharic")),
         "bm25_oromo_top10": oracle.bm25_oromo_topk(

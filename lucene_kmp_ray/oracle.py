@@ -456,6 +456,33 @@ GROUP BY e.cfg, e.term ORDER BY e.cfg, e.term
 custom_analyzer_counts = synonym_map_counts
 
 
+def term_ords_seek(probes: tuple[str, ...]) -> str:
+    """seekCeil over the GLOBAL merged term dictionary with ordinals
+    (index/ords.py TermsOrdEnum + OrdinalMap; the BlockTreeOrds codec /
+    OrdinalMap roles). Global ord = rank of the term in the merged
+    distinct vocabulary; END probes report ord = |vocab| and term ''."""
+    values = ", ".join("('{}')".format(p.replace("'", "''"))
+                       for p in probes)
+    return preamble() + f""",
+ordv AS (SELECT term,
+                row_number() OVER (ORDER BY term) - 1 AS ord
+         FROM tstats),
+probes(probe) AS (VALUES {values}),
+ceilt AS (SELECT p.probe, min(v.term) AS term
+          FROM probes p LEFT JOIN ordv v ON v.term >= p.probe
+          GROUP BY p.probe)
+SELECT c.probe,
+       CASE WHEN c.term IS NULL THEN 'END'
+            WHEN c.term = c.probe THEN 'FOUND'
+            ELSE 'NOT_FOUND' END AS status,
+       CAST(COALESCE(o.ord, (SELECT count(*) FROM ordv)) AS BIGINT)
+           AS ord,
+       COALESCE(c.term, '') AS term
+FROM ceilt c LEFT JOIN ordv o ON o.term = c.term
+ORDER BY c.probe
+"""
+
+
 def collection_stats() -> str:
     return preamble() + """
 SELECT doc_count, CAST(sum_ttf AS BIGINT) AS sum_total_term_freq,
