@@ -4237,8 +4237,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_search_all": _snapshot_search_all,
         "ip_range_relations_all": _ip_range_relations_all,
         "multireader_top10": _multireader_topk,
-        "shape_box_relations_all": _shape_box_relations_all,
         "shape_polygon_relations_all": _shape_polygon_relations_all,
+        # r5 session 10: synonym-file parsers + CustomAnalyzer SPI
+        # builder + term ordinals, never driver-checked; displace
+        # shape_box_relations_all (shape family stays in-window via
+        # shape_polygon), rescore_sort_top10 (rescore + typed-sort
+        # families stay via rescore_top10 / geo_sorted / sorted_numeric)
+        # and knn_int8_top10 (knn family has 4 other in-window rows)
+        "synonym_map_counts": _synonym_map_counts,
+        "custom_analyzer_counts": _custom_analyzer_counts,
+        "term_ords_seek": _term_ords_seek,
         # r5 session 9: MoreLikeThis + TF-IDF keywords, never
         # driver-checked; displace sorted_index_scan_top20 (driver-green
         # r4; sort family still in-window via rescore_sort / geo_sorted /
@@ -4251,12 +4259,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_hnsw_top10": _knn_hnsw_topk,
         "index_sort_range_all": _index_sort_range_all,
         "rescore_top10": _rescore_topk,
-        "rescore_sort_top10": _rescore_sort_topk,
         "match_positions_phrase": _match_positions_phrase,
         "term_vectors_sample": _term_vectors_sample,
         "knn_seeded_top10": _knn_seeded_topk,
         "knn_filtered_top10": _knn_filtered_topk,
-        "knn_int8_top10": _knn_int8_topk,
         "byte_vector_similarity_all": _byte_vector_similarity_all,
         # r5 session 9: DSIR importance weights, never driver-checked;
         # displaces knn_hnsw_recall (machine gate, redundant in-window
@@ -4313,11 +4319,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # families still represented in-window; swept by check_oracle)
         "corpus_summary": _corpus_summary,
         "bm25_term_spark": lambda sf: _topk(sf, TermQuery(TERM_A)),
-        # r5 session 9: Solr/WordNet synonym-file parsers + the
-        # multi-word flattened SynonymFilter (analysis/synmap.py)
-        "synonym_map_counts": _synonym_map_counts,
-        "custom_analyzer_counts": _custom_analyzer_counts,
-        "term_ords_seek": _term_ords_seek,
+        "shape_box_relations_all": _shape_box_relations_all,
+        "rescore_sort_top10": _rescore_sort_topk,
+        "knn_int8_top10": _knn_int8_topk,
         "phrase_top10": lambda sf: _topk(sf, PhraseQuery(tuple(PHRASE_3))),
         "sorted_index_scan_top20": _sorted_index_scan,
         "knn_vector_top10": _knn_topk,
