@@ -4099,6 +4099,29 @@ def _custom_analyzer_counts(sf_dir: str):
     return df.sort_values(["cfg", "term"]).reset_index(drop=True)
 
 
+def _bm25_direct_topk(sf_dir: str):
+    """DirectPostingsFormat role through the gate (index/direct.py,
+    codecs/memory/DirectPostingsFormat.kt): the same TermQuery top-10
+    as bm25_term_spark but every segment's text postings bulk-decoded
+    up-front into RAM (``IndexReader.load_direct``) — the ranking must
+    be bit-identical to the lazy path, so the oracle is the UNCHANGED
+    brute BM25 SQL (oracle.bm25_term_topk)."""
+    import pandas as pd
+
+    from lucene_kmp_ray.index.reader import IndexReader
+    from lucene_kmp_ray.search.searcher import Searcher
+    from lucene_kmp_ray.similarity.bm25 import BM25Similarity
+
+    r = IndexReader(_ensure_index(sf_dir))
+    r.load_direct("text")
+    s = Searcher(r, BM25Similarity(dtype="float64"))
+    td = s.search(TermQuery(TERM_A), k=10)
+    return pd.DataFrame({
+        "doc_id": [h.doc_id for h in td.score_docs],
+        "url": [h.url for h in td.score_docs],
+        "score": [h.score for h in td.score_docs]})
+
+
 # seekCeil probes for the term-ordinals entry: below-all, exact hits,
 # between-terms misses, above-all (END)
 TERM_ORD_PROBES = ("aaa", "batch", "join", "sparl", "spark",
@@ -4230,7 +4253,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explain_term_top10": _explain_term_components,
         "queryparser_top10": _queryparser_topk,
         "soft_delete_search": _soft_delete_search,
-        "soft_retention_merge_search": _soft_retention_merge_search,
         "merged_index_search": _merged_index_search,
         # point-in-time snapshot search joins the window; range_filter_all
         # (driver-green r1-r4) rotates to a later slot
@@ -4247,6 +4269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synonym_map_counts": _synonym_map_counts,
         "custom_analyzer_counts": _custom_analyzer_counts,
         "term_ords_seek": _term_ords_seek,
+        "bm25_direct_top10": _bm25_direct_topk,
         # r5 session 9: MoreLikeThis + TF-IDF keywords, never
         # driver-checked; displace sorted_index_scan_top20 (driver-green
         # r4; sort family still in-window via rescore_sort / geo_sorted /
@@ -4322,6 +4345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shape_box_relations_all": _shape_box_relations_all,
         "rescore_sort_top10": _rescore_sort_topk,
         "knn_int8_top10": _knn_int8_topk,
+        "soft_retention_merge_search": _soft_retention_merge_search,
         "phrase_top10": lambda sf: _topk(sf, PhraseQuery(tuple(PHRASE_3))),
         "sorted_index_scan_top20": _sorted_index_scan,
         "knn_vector_top10": _knn_topk,
@@ -4695,6 +4719,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_term_stats": oracle.doc_term_stats(),
         "collection_stats": oracle.collection_stats(),
         "bm25_term_spark": oracle.bm25_term_topk(TERM_A),
+        "bm25_direct_top10": oracle.bm25_term_topk(TERM_A),
         # merged index must rank bit-identically to the unmerged one
         "merged_index_search": oracle.bm25_term_topk(TERM_A),
         # snapshot reader must see the pre-merge, pre-delete corpus

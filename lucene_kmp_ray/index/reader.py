@@ -69,6 +69,9 @@ class SegmentReader:
         self._hnsw = False  # False=unloaded, None=no graph sidecar
         self._quantized: tuple | None | bool = False  # int8 sidecar
         self._bloom: dict | None | bool = False  # term-dict bloom sidecar
+        # DirectPostingsFormat role (index/direct.py): per-field
+        # up-front-decoded postings, consulted before the lazy path
+        self._direct: dict = {}
 
     @property
     def tombstones(self) -> np.ndarray | None:
@@ -420,6 +423,17 @@ class SegmentReader:
             self._term_row_cache.pop(next(iter(self._term_row_cache)))
         return row
 
+    def load_direct(self, field: str = "text") -> "object":
+        """Opt into the DirectPostingsFormat role for one field: all
+        postings bulk-decoded into RAM now; subsequent ``postings()``
+        calls skip the Parquet row-group + FOR-decode path entirely
+        (index/direct.py; codecs/memory/DirectPostingsFormat.kt)."""
+        d = self._direct.get(field)
+        if d is None:
+            from .direct import DirectField
+            d = self._direct[field] = DirectField(self, field)
+        return d
+
     def union_docs(self, idxs) -> np.ndarray:
         """Ascending union of the docID sets of many term rows — the
         MultiTermQuery expansion path. Decodes ONLY df + docs_enc (the
@@ -485,6 +499,10 @@ class SegmentReader:
         if hit is not None:
             self._postings_cache[key] = hit  # re-insert = most recent
             return hit
+        if not positions:
+            dfld = self._direct.get(field)
+            if dfld is not None:
+                return dfld.postings(term)
         row = self.term_row(term, field)
         if row is None:
             return None
@@ -653,6 +671,12 @@ class IndexReader:
         if current == self.manifest:
             return None
         return IndexReader(self.index_dir)
+
+    def load_direct(self, field: str = "text") -> int:
+        """Opt every segment into the DirectPostingsFormat role for one
+        field (index/direct.py); returns total ramBytesUsed."""
+        return sum(sr.load_direct(field).ram_bytes_used()
+                   for sr in self.segment_readers)
 
     def field_stats(self, field: str) -> tuple[int, int]:
         """(docCount, sumTotalTermFreq) of one field — the per-field
