@@ -4099,6 +4099,30 @@ def _custom_analyzer_counts(sf_dir: str):
     return df.sort_values(["cfg", "term"]).reset_index(drop=True)
 
 
+def _bool_rewrite_topk(sf_dir: str):
+    """BooleanQuery rewrite rules through the gate (search/rewrite.py —
+    BooleanQuery.kt:223-595): a deliberately messy tree — nested
+    conjunction, redundant MatchAll FILTER, MatchNoDocs SHOULD, a
+    FILTER duplicating a MUST — that MUST structurally simplify to the
+    plain two-term AND, so the oracle is the UNCHANGED bm25_and SQL
+    (oracle.bm25_and_topk)."""
+    from lucene_kmp_ray.search.query import (ConstantScoreQuery,
+                                             MatchAllDocsQuery,
+                                             MatchNoDocsQuery)
+    from lucene_kmp_ray.search.rewrite import rewrite_query
+
+    inner = BooleanQuery.build(
+        *[(Occur.MUST, TermQuery(t)) for t in AND_TERMS])
+    messy = BooleanQuery.build(
+        (Occur.MUST, BooleanQuery.build((Occur.MUST, inner))),
+        (Occur.FILTER, MatchAllDocsQuery()),
+        (Occur.SHOULD, MatchNoDocsQuery()),
+        (Occur.FILTER, ConstantScoreQuery(TermQuery(AND_TERMS[0]))),
+    )
+    assert rewrite_query(messy) == inner  # the structural contract
+    return _topk(sf_dir, messy)
+
+
 def _bm25_direct_topk(sf_dir: str):
     """DirectPostingsFormat role through the gate (index/direct.py,
     codecs/memory/DirectPostingsFormat.kt): the same TermQuery top-10
@@ -4276,7 +4300,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sorted_numeric_range) and knn_vector_top10 (driver-green r4;
         # knn family has 5 other in-window rows)
         "mlt_top10": _mlt_top10,
-        "tfidf_top_terms": lmfilter.tfidf_top_terms,
+        # r5 session 10: BooleanQuery structural rewrite rules; displaces
+        # tfidf_top_terms (corpus-LM family keeps dsir/lm_bigram/lm_rarity
+        # in-window, MLT keeps mlt_top10)
+        "bool_rewrite_top10": _bool_rewrite_topk,
         # r5 fix under driver review: HNSW candidates exact-reranked so
         # top-10 == brute top-10 (oracle = brute SQL)
         "knn_hnsw_top10": _knn_hnsw_topk,
@@ -4346,6 +4373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rescore_sort_top10": _rescore_sort_topk,
         "knn_int8_top10": _knn_int8_topk,
         "soft_retention_merge_search": _soft_retention_merge_search,
+        "tfidf_top_terms": lmfilter.tfidf_top_terms,
         "phrase_top10": lambda sf: _topk(sf, PhraseQuery(tuple(PHRASE_3))),
         "sorted_index_scan_top20": _sorted_index_scan,
         "knn_vector_top10": _knn_topk,
@@ -4720,6 +4748,7 @@ def oracle_sql() -> dict[str, str]:
         "collection_stats": oracle.collection_stats(),
         "bm25_term_spark": oracle.bm25_term_topk(TERM_A),
         "bm25_direct_top10": oracle.bm25_term_topk(TERM_A),
+        "bool_rewrite_top10": oracle.bm25_and_topk(AND_TERMS),
         # merged index must rank bit-identically to the unmerged one
         "merged_index_search": oracle.bm25_term_topk(TERM_A),
         # snapshot reader must see the pre-merge, pre-delete corpus

@@ -1431,11 +1431,18 @@ class Searcher:
         return cand, scores
 
     def rewrite(self, query: Query) -> Query:
-        """Resolve every KnnFloatVectorQuery in the tree to its global
+        """Structural simplification to a fixpoint (search/rewrite.py —
+        BooleanQuery.kt:223-595 rules: clause dedup, MatchAll/MatchNone
+        propagation, conjunction/disjunction flattening, msm bounds),
+        then resolve every KnnFloatVectorQuery in the tree to its global
         top-k doc set (IndexSearcher.rewrite loop + the KNN pre-pass,
         IndexSearcher.kt:699): per segment an exact cosine scan over the
         vector sidecar (tombstoned docs masked), then one global top-k by
         (similarity desc, seg asc, doc asc)."""
+        if isinstance(query, (BooleanQuery, BoostQuery,
+                              ConstantScoreQuery, PhraseQuery)):
+            from .rewrite import rewrite_query
+            query = rewrite_query(query)
         if isinstance(query, (KnnFloatVectorQuery, SeededKnnVectorQuery)):
             q = np.asarray(query.vector, dtype=np.float64)
             qn = np.linalg.norm(q)
