@@ -2474,6 +2474,36 @@ def _shape_box_relations_all(sf_dir: str):
 # disjoint 396; .3/.4 center offsets prevent boundary ties)
 SHAPE_QPOLY = dict(clat=-5.7, clon=-39.6, w=16.0)
 
+# ShapeCircleQuery: a planar circle vs the diamond docs — closed-form
+# circle/diamond relations in the oracle (fractional radius keeps every
+# comparison tie-free against the integer diamond lattice)
+SHAPE_QCIRCLE = dict(clat=-5.3, clon=-39.4, r=9.7)
+
+
+def _shape_circle_relations_all(sf_dir: str):
+    """Shape docs vs a query CIRCLE (LatLonShapeQuery with Circle over
+    the doc-values path, Circle2D.kt relations): the generic ring
+    kernel with vertex/center/clamped-edge-distance predicates
+    (searcher._score_shape_circle); the oracle reduces circle-vs-
+    diamond to exact closed forms. Reuses the shape index."""
+    import pandas as pd
+
+    from lucene_kmp_ray.search import ShapeCircleQuery
+
+    _shape_box_relations_all(sf_dir)  # ensure the shape index exists
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/lucene_kmp_ray_index_shape/{tag}"
+    c = SHAPE_QCIRCLE
+    frames = []
+    for rel in ("intersects", "within", "contains", "disjoint"):
+        q = ShapeCircleQuery("ring_lats", "ring_lons", c["clat"],
+                             c["clon"], c["r"], relation=rel)
+        df = search_all_matches(idx, q).to_pandas()
+        ids = df["doc_id"] if not df.empty else pd.Series(dtype="int64")
+        frames.append(pd.DataFrame({"relation": rel, "doc_id": ids}))
+    out = pd.concat(frames, ignore_index=True)
+    return out.sort_values(["relation", "doc_id"]).reset_index(drop=True)
+
 
 def _shape_polygon_relations_all(sf_dir: str):
     """Shape docs vs a query POLYGON (LatLonShapeQuery with Polygon over
@@ -4281,9 +4311,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # point-in-time snapshot search joins the window; range_filter_all
         # (driver-green r1-r4) rotates to a later slot
         "snapshot_search_all": _snapshot_search_all,
-        "ip_range_relations_all": _ip_range_relations_all,
         "multireader_top10": _multireader_topk,
         "shape_polygon_relations_all": _shape_polygon_relations_all,
+        # r5 session 10: LatLonShape circle relations (Circle2D role)
+        "shape_circle_relations_all": _shape_circle_relations_all,
         # r5 session 10: synonym-file parsers + CustomAnalyzer SPI
         # builder + term ordinals, never driver-checked; displace
         # shape_box_relations_all (shape family stays in-window via
@@ -4374,6 +4405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_int8_top10": _knn_int8_topk,
         "soft_retention_merge_search": _soft_retention_merge_search,
         "tfidf_top_terms": lmfilter.tfidf_top_terms,
+        "ip_range_relations_all": _ip_range_relations_all,
         "phrase_top10": lambda sf: _topk(sf, PhraseQuery(tuple(PHRASE_3))),
         "sorted_index_scan_top20": _sorted_index_scan,
         "knn_vector_top10": _knn_topk,
@@ -4788,6 +4820,8 @@ def oracle_sql() -> dict[str, str]:
             oracle.shape_box_relations_all(**SHAPE_BOX),
         "shape_polygon_relations_all":
             oracle.shape_polygon_relations_all(**SHAPE_QPOLY),
+        "shape_circle_relations_all":
+            oracle.shape_circle_relations_all(**SHAPE_QCIRCLE),
         "range_filter_all": oracle.range_filter_all(TERM_A, 40, 60),
         "sorted_by_length": oracle.sorted_by_length(TERM_A, 20),
         "sorted_page2_top20": oracle.sorted_page2(TERM_A, 20),

@@ -6905,6 +6905,56 @@ SELECT relation, doc_id FROM rel ORDER BY relation, doc_id
 """
 
 
+def shape_circle_relations_all(clat: float, clon: float,
+                               r: float) -> str:
+    """ShapeCircleQuery mirror: the doc shapes are L1 diamonds (center
+    (dlat, dlon), half-diagonal wd), so every circle relation has a
+    closed form in u = |dlat - clat|, v = |dlon - clon|:
+
+    - planar distance circle-center → diamond:
+      0 if u+v <= wd; (u+v-wd)/sqrt(2) while |u-v| <= wd (foot on the
+      facing edge); else to the nearest vertex
+      sqrt((max(u,v)-wd)^2 + min(u,v)^2)
+    - intersects ⇔ dist <= r;  disjoint ⇔ dist > r
+    - within (diamond ⊆ circle) ⇔ the farthest vertex is within r:
+      max(sqrt((u+wd)^2+v^2), sqrt(u^2+(v+wd)^2)) <= r
+    - contains (diamond ⊇ circle) ⇔ center inside with boundary
+      clearance r: u+v <= wd - r*sqrt(2)
+
+    Exact arithmetic, independent of the engine's generic ring kernel;
+    r fractional (e.g. 9.7) keeps every comparison tie-free against
+    the integer diamond lattice."""
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+    abs(CAST((doc_id * 11 % 80) - 40 AS DOUBLE) - ({clat})) AS u,
+    abs(CAST((doc_id * 13 % 100) - 50 AS DOUBLE) - ({clon})) AS v,
+    CAST(3 + doc_id * 7 % 25 AS DOUBLE) AS wd
+  FROM documents
+),
+m AS (
+  SELECT doc_id, u, v, wd,
+    CASE WHEN u + v <= wd THEN 0.0
+         WHEN abs(u - v) <= wd THEN (u + v - wd) / sqrt(2.0)
+         ELSE sqrt(pow(greatest(u, v) - wd, 2) + pow(least(u, v), 2))
+    END AS dist,
+    greatest(sqrt(pow(u + wd, 2) + pow(v, 2)),
+             sqrt(pow(u, 2) + pow(v + wd, 2))) AS far_vertex
+  FROM d
+),
+rel AS (
+  SELECT 'intersects' AS relation, doc_id FROM m WHERE dist <= {r}
+  UNION ALL
+  SELECT 'within', doc_id FROM m WHERE far_vertex <= {r}
+  UNION ALL
+  SELECT 'contains', doc_id FROM m WHERE u + v <= wd - {r} * sqrt(2.0)
+  UNION ALL
+  SELECT 'disjoint', doc_id FROM m WHERE dist > {r}
+)
+SELECT relation, doc_id FROM rel ORDER BY relation, doc_id
+"""
+
+
 def doc_term_stats() -> str:
     """Per-doc FieldInvertState extras (FieldInvertState.kt:59-62):
     maxTermFrequency = max tf over the doc's terms, uniqueTermCount =

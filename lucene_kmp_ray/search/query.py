@@ -672,6 +672,42 @@ class ShapeBoxQuery(Query):
 
 
 @dataclass(frozen=True)
+class ShapeCircleQuery(Query):
+    """Shape-valued documents vs a query CIRCLE —
+    ``LatLonShapeQuery.kt`` with a Circle geometry over the doc-values
+    path (``BaseShapeDocValuesQuery.kt``; the Circle2D.kt relation
+    machinery), completing the ShapeBox/ShapePolygon relation surface.
+    Planar-degree geometry like the XYCircle kernel
+    (``geo/Circle2D.kt:285-300``); geodesic circles remain the
+    point-field GeoDistanceQuery path. For a SIMPLE doc ring vs the
+    circle (center, radius) — exact because a circle is convex:
+
+    - intersects: any ring vertex within radius ∨ center inside ring ∨
+      any ring edge's clamped point-to-segment distance ≤ radius
+    - within (shape ⊆ circle): every ring vertex within radius (the
+      ring is contained in its vertices' convex hull)
+    - contains (shape ⊇ circle): center inside ring ∧ no ring edge
+      strictly closer than radius
+    - disjoint: ¬intersects
+
+    Constant score."""
+    lats_field: str
+    lons_field: str
+    center_lat: float
+    center_lon: float
+    radius: float
+    relation: str = "intersects"
+
+    def __post_init__(self):
+        if self.relation not in ("intersects", "within", "contains",
+                                 "disjoint"):
+            raise ValueError(f"unknown relation: {self.relation}")
+
+    def terms(self):
+        return []
+
+
+@dataclass(frozen=True)
 class ShapePolygonQuery(Query):
     """Shape-valued documents vs a query POLYGON —
     ``LatLonShapeQuery.kt`` with a Polygon geometry over the doc-values

@@ -46,7 +46,8 @@ from .query import (BlendedTermQuery, BooleanQuery, BoostQuery,
                     IndexSortRangeQuery, NGramPhraseQuery,
                     Occur, PhraseQuery, PointInSetQuery, Query,
                     MultiRangeFieldQuery, RangeFieldQuery,
-                    RangeFilterQuery, ShapeBoxQuery, ShapePolygonQuery,
+                    RangeFilterQuery, ShapeBoxQuery, ShapeCircleQuery,
+                    ShapePolygonQuery,
                     SortedNumericRangeQuery,
                     SynonymQuery, TermInSetQuery,
                     TermQuery,
@@ -519,6 +520,8 @@ class Searcher:
             return self._score_shape_box(sr, query, boost)
         if isinstance(query, ShapePolygonQuery):
             return self._score_shape_polygon(sr, query, boost)
+        if isinstance(query, ShapeCircleQuery):
+            return self._score_shape_circle(sr, query, boost)
         if isinstance(query, GeoLineQuery):
             return self._score_geo_line(sr, query, boost)
         if isinstance(query, XYBoxQuery):
@@ -1243,6 +1246,71 @@ class Searcher:
             "intersects": inter,
             "within": all_vin & ~any_cross,
             "contains": all_qv_in & ~any_cross,
+            "disjoint": ~inter,
+        }
+        mask = masks[q.relation] & has
+        docs = np.flatnonzero(mask).astype(np.int64)
+        return docs, np.full(len(docs), dt.type(boost), dtype=dt)
+
+    def _score_shape_circle(self, sr: SegmentReader,
+                            q: "ShapeCircleQuery", boost: float):
+        """LatLonShapeQuery(Circle) over shape doc-values: vertex
+        distances + center-in-ring parity + clamped point-to-segment
+        edge distances, all vectorized across every doc's flat ring
+        (one pass per predicate — no per-doc Python). Exact for simple
+        rings because the circle is convex (see ShapeCircleQuery)."""
+        dt = self.sim.dtype
+        lats = sr.doc_meta[q.lats_field].combine_chunks()
+        lons = sr.doc_meta[q.lons_field].combine_chunks()
+        off = lats.offsets.to_numpy().astype(np.int64)
+        y = lats.flatten().to_numpy().astype(np.float64)
+        x = lons.flatten().to_numpy().astype(np.float64)
+        n = sr.doc_count
+        counts = np.diff(off)
+        starts = off[:-1]
+        if not len(y):
+            return np.empty(0, np.int64), np.empty(0, dtype=dt)
+        safe_starts = np.minimum(starts, len(y) - 1)
+
+        def per_doc_count(flags):
+            s = np.add.reduceat(flags.astype(np.int64), safe_starts)
+            s[counts == 0] = 0
+            return s
+
+        cy, cx, r = q.center_lat, q.center_lon, q.radius
+
+        # vertex distances to the center
+        vd = np.hypot(y - cy, x - cx)
+        any_v = per_doc_count(vd <= r) > 0
+        all_v = per_doc_count(vd <= r) == counts
+
+        # doc ring edges (wraparound last→first)
+        nxt = np.arange(len(y)) + 1
+        ends = off[1:] - 1
+        nxt[ends[counts > 0]] = starts[counts > 0]
+        y2, x2 = y[nxt], x[nxt]
+
+        # center inside ring (even-odd parity over doc edges)
+        dy = y2 - y
+        crossing = ((y > cy) != (y2 > cy)) & \
+            (cx < (x2 - x) * (cy - y) / (dy + (dy == 0)) + x)
+        center_in = per_doc_count(crossing) % 2 == 1
+
+        # clamped point-to-segment distance per edge
+        ex, ey = x2 - x, y2 - y
+        ln2 = ex * ex + ey * ey
+        t = ((cx - x) * ex + (cy - y) * ey) / (ln2 + (ln2 == 0))
+        t = np.clip(t, 0.0, 1.0)
+        ed = np.hypot(cy - (y + t * ey), cx - (x + t * ex))
+        any_e = per_doc_count(ed <= r) > 0
+        edge_strictly_closer = per_doc_count(ed < r) > 0
+
+        inter = any_v | center_in | any_e
+        has = counts > 0
+        masks = {
+            "intersects": inter,
+            "within": all_v,
+            "contains": center_in & ~edge_strictly_closer,
             "disjoint": ~inter,
         }
         mask = masks[q.relation] & has
