@@ -203,7 +203,67 @@ def _tf_synonymgraph(**kw):
     return apply
 
 
+def _tf_shingle(**kw):
+    # ShingleFilterFactory params (minShingleSize/maxShingleSize/
+    # outputUnigrams/tokenSeparator); shingles stack at the position of
+    # their first token
+    min_n = int(kw.get("minShingleSize", 2))
+    max_n = int(kw.get("maxShingleSize", 2))
+    if not 2 <= min_n <= max_n:
+        raise ValueError("need 2 <= minShingleSize <= maxShingleSize")
+    out_uni = _bool(kw.get("outputUnigrams"), True)
+    sep = kw.get("tokenSeparator", " ")
+
+    def apply(stream: Stream) -> Stream:
+        toks = [t for t, _ in stream]
+        out: Stream = []
+        for i, (t, p) in enumerate(stream):
+            if out_uni:
+                out.append((t, p))
+            for n in range(min_n, max_n + 1):
+                if i + n <= len(toks):
+                    out.append((sep.join(toks[i:i + n]), p))
+        return out
+    return apply
+
+
+def _tf_ngram(**kw):
+    # NGramFilterFactory (minGramSize/maxGramSize), start-major order
+    mi = int(kw.get("minGramSize", 1))
+    ma = int(kw.get("maxGramSize", 2))
+
+    def apply(stream: Stream) -> Stream:
+        out: Stream = []
+        for t, p in stream:
+            for s in range(len(t)):
+                for n in range(mi, ma + 1):
+                    if s + n <= len(t):
+                        out.append((t[s:s + n], p))
+        return out
+    return apply
+
+
+def _tf_edgengram(**kw):
+    # EdgeNGramFilterFactory (minGramSize/maxGramSize/preserveOriginal)
+    mi = int(kw.get("minGramSize", 1))
+    ma = int(kw.get("maxGramSize", 2))
+    preserve = _bool(kw.get("preserveOriginal"))
+
+    def apply(stream: Stream) -> Stream:
+        out: Stream = []
+        for t, p in stream:
+            for n in range(mi, min(ma, len(t)) + 1):
+                out.append((t[:n], p))
+            if preserve and len(t) > ma:
+                out.append((t, p))
+        return out
+    return apply
+
+
 register_token_filter("lowercase", _tf_lowercase)
+register_token_filter("shingle", _tf_shingle)
+register_token_filter("ngram", _tf_ngram)
+register_token_filter("edgengram", _tf_edgengram)
 register_token_filter("asciifolding", _tf_asciifolding)
 register_token_filter("stop", _tf_stop)
 register_token_filter("porterstem", _tf_porterstem)

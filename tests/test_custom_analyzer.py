@@ -210,3 +210,36 @@ def test_mapping_char_filter():
          .with_tokenizer("whitespace")
          .build())
     assert a("phone quack") == ["fone", "kwack"]
+
+
+def test_shingle_filter_component():
+    a = (CustomAnalyzer.builder().with_tokenizer("whitespace")
+         .add_token_filter("shingle", minShingleSize=2,
+                           maxShingleSize=3).build())
+    assert a("please divide this") == \
+        ["please", "please divide", "please divide this",
+         "divide", "divide this", "this"]
+    b = (CustomAnalyzer.builder().with_tokenizer("whitespace")
+         .add_token_filter("shingle", outputUnigrams="false").build())
+    assert b("a b c") == ["a b", "b c"]
+    # shingles stack at the first token's position
+    toks, incs = _tokens_incs(b, "a b c")
+    assert incs == [1, 1]
+
+
+def test_ngram_filter_component():
+    a = (CustomAnalyzer.builder().with_tokenizer("whitespace")
+         .add_token_filter("ngram", minGramSize=2, maxGramSize=3)
+         .build())
+    assert a("abcd") == ["ab", "abc", "bc", "bcd", "cd"]
+
+
+def test_edgengram_filter_component():
+    a = (CustomAnalyzer.builder().with_tokenizer("whitespace")
+         .add_token_filter("edgengram", minGramSize=1, maxGramSize=3)
+         .build())
+    assert a("abcde") == ["a", "ab", "abc"]
+    b = (CustomAnalyzer.builder().with_tokenizer("whitespace")
+         .add_token_filter("edgengram", minGramSize=1, maxGramSize=3,
+                           preserveOriginal="true").build())
+    assert b("abcde") == ["a", "ab", "abc", "abcde"]
